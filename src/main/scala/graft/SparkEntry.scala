@@ -1,13 +1,33 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.queries._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` is the engine's full declared surface (one entry per implemented
+  * operator from SURVEY.md §2 + the north-star extensions); `oracleSql` holds
+  * the DuckDB-runnable equivalent for every SQL-expressible entry. Column
+  * names and row order are aligned pairwise (see QueryDef).
+  */
 object SparkEntry {
+
+  private val registry: Map[String, QueryDef] =
+    RelationalQueries.defs
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    registry("q03_join_agg_nation").fn(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    registry.view.mapValues(_.fn).toMap
+
+  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
+    * same parquet tables. Omitted for non-SQL-expressible ops → the driver
+    * records a weaker rows-only check.
+    */
+  def oracleSql: Map[String, String] =
+    registry.collect { case (k, QueryDef(_, Some(sql))) => k -> sql }
 }

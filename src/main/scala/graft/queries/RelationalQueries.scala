@@ -1,0 +1,339 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, IntegerType, LongType}
+
+import graft.queries.Q.{dsum, t}
+import graft.queries.QueryDef.of
+
+/** The engine's relational surface (SURVEY §2.4-2.9): aggregation, joins of
+  * every flavor, windows, sorts/top-k, set ops, rollup, scalar/string/date/
+  * JSON functions, explode. Each query is paired with its DuckDB oracle; all
+  * queries carry a total ORDER BY (unique tiebreak) so row order matches, and
+  * money aggregates go through the exact-decimal pattern in [[Q.dsum]].
+  *
+  * Scale notes (100 TB design stance): aggregations rely on Catalyst's
+  * partial/final hash-agg split (map-side combine before the shuffle); joins
+  * to the small dimension tables are explicitly `broadcast()` so the fact
+  * table never shuffles; AQE handles skew/coalescing at runtime.
+  */
+object RelationalQueries {
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // §2.5 aggregation — TPC-H Q1-shaped pricing summary.
+    "q01_agg_pricing" -> of(
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc_price,
+        | COUNT(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""") { (s, d) =>
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
+            (lit(1.0) - col("l_discount")).cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+
+    // §2.2 filter + projection — predicate/column pushdown to the parquet scan.
+    "q02_filter_project" -> of(
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00' AND l_quantity > 45
+        |ORDER BY l_orderkey, l_linenumber""") { (s, d) =>
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01 00:00:00").cast("timestamp") &&
+          col("l_quantity") > 45)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_returnflag")
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // §2.4 multi-way inner join — dims broadcast, fact never shuffles for the join.
+    "q03_join_agg_nation" -> of(
+      """SELECT n_name, r_name, COUNT(*) AS n_orders,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_rev
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY n_name, r_name ORDER BY n_name, r_name""") { (s, d) =>
+      t(s, d, "orders")
+        .join(broadcast(t(s, d, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"), col("r_name"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total_rev"))
+        .orderBy(col("n_name"), col("r_name"))
+    },
+
+    // §2.4 left outer join with 0-preserving count.
+    "q04_join_left_count" -> of(
+      """SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""") { (s, d) =>
+      t(s, d, "customer")
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_orders"))
+        .orderBy(col("c_custkey"))
+    },
+
+    // §2.4 semi join (EXISTS).
+    "q05_join_semi" -> of(
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+        |ORDER BY c_custkey""") { (s, d) =>
+      t(s, d, "customer")
+        .join(
+          t(s, d, "orders").filter(col("o_totalprice") > 400000),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    },
+
+    // §2.4 anti join (NOT EXISTS).
+    "q06_join_anti" -> of(
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""") { (s, d) =>
+      t(s, d, "customer")
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    },
+
+    // §2.6 window ranking — top-3 orders per customer.
+    "q07_window_topn" -> of(
+      """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |   ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |     ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) x
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""") { (s, d) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, d, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("o_custkey", "rn", "o_orderkey", "o_totalprice")
+        .orderBy("o_custkey", "rn")
+    },
+
+    // §2.6 window frame + lag — running sum and previous-row value.
+    "q08_window_running" -> of(
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+        |   PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty,
+        | LAG(l_quantity) OVER (
+        |   PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber) AS prev_qty
+        |FROM lineitem WHERE l_suppkey <= 10
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber""") { (s, d) =>
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      t(s, d, "lineitem").filter(col("l_suppkey") <= 10)
+        .select(
+          col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          sum(col("l_quantity").cast(DecimalType(18, 2)))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast(DoubleType).as("running_qty"),
+          lag(col("l_quantity"), 1).over(w).as("prev_qty"))
+        .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+    },
+
+    // §2.7 top-k — Catalyst rewrites to TakeOrderedAndProject (no full sort).
+    "q09_topk" -> of(
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""") { (s, d) =>
+      t(s, d, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+    },
+
+    // §2.8 distinct.
+    "q10_distinct" -> of(
+      """SELECT DISTINCT c_mktsegment, c_nationkey FROM customer
+        |ORDER BY c_mktsegment, c_nationkey""") { (s, d) =>
+      t(s, d, "customer")
+        .select("c_mktsegment", "c_nationkey").distinct()
+        .orderBy("c_mktsegment", "c_nationkey")
+    },
+
+    // §2.8 intersect.
+    "q11_intersect" -> of(
+      """SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1995
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1996
+        |ORDER BY o_custkey""") { (s, d) =>
+      val o = t(s, d, "orders")
+      o.filter(year(col("o_orderdate")) === 1995).select("o_custkey")
+        .intersect(o.filter(year(col("o_orderdate")) === 1996).select("o_custkey"))
+        .orderBy("o_custkey")
+    },
+
+    // §2.8 except.
+    "q12_except" -> of(
+      """SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1995
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1996
+        |ORDER BY o_custkey""") { (s, d) =>
+      val o = t(s, d, "orders")
+      o.filter(year(col("o_orderdate")) === 1995).select("o_custkey")
+        .except(o.filter(year(col("o_orderdate")) === 1996).select("o_custkey"))
+        .orderBy("o_custkey")
+    },
+
+    // §2.8 union all (the reference's degenerate two-branch union, generalized).
+    "q13_union" -> of(
+      """SELECT y, o_orderpriority, n FROM (
+        | SELECT CAST(1995 AS INT) AS y, o_orderpriority, COUNT(*) AS n FROM orders
+        |   WHERE EXTRACT(year FROM o_orderdate) = 1995 GROUP BY o_orderpriority
+        | UNION ALL
+        | SELECT CAST(1996 AS INT) AS y, o_orderpriority, COUNT(*) AS n FROM orders
+        |   WHERE EXTRACT(year FROM o_orderdate) = 1996 GROUP BY o_orderpriority) u
+        |ORDER BY y, o_orderpriority""") { (s, d) =>
+      val o = t(s, d, "orders")
+      def part(yr: Int) = o.filter(year(col("o_orderdate")) === yr)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+        .select(lit(yr).cast(IntegerType).as("y"), col("o_orderpriority"), col("n"))
+      part(1995).unionByName(part(1996)).orderBy("y", "o_orderpriority")
+    },
+
+    // §2.5 rollup (grouping sets) — null group keys coalesced to 'ALL' so the
+    // two engines' null-ordering defaults can't disagree.
+    "q14_rollup" -> of(
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,
+        | COUNT(*) AS n, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""") { (s, d) =>
+      t(s, d, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("n"), col("qty"))
+        .orderBy("rf", "ls")
+    },
+
+    // §2.9 scalar string functions + LIKE + CASE.
+    "q15_scalar_string" -> of(
+      """SELECT p_partkey, UPPER(p_name) AS uname, SUBSTRING(p_type, 1, 5) AS t5,
+        | CONCAT(p_brand, '-', CAST(p_size AS VARCHAR)) AS bs,
+        | CASE WHEN p_size > 25 THEN 'big' ELSE 'small' END AS sz
+        |FROM part WHERE p_name LIKE '%e%' ORDER BY p_partkey""") { (s, d) =>
+      t(s, d, "part")
+        .filter(col("p_name").like("%e%"))
+        .select(
+          col("p_partkey"),
+          upper(col("p_name")).as("uname"),
+          substring(col("p_type"), 1, 5).as("t5"),
+          concat(col("p_brand"), lit("-"), col("p_size").cast("string")).as("bs"),
+          when(col("p_size") > 25, "big").otherwise("small").as("sz"))
+        .orderBy("p_partkey")
+    },
+
+    // §2.9 datetime functions.
+    "q16_datetime" -> of(
+      """SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS y,
+        | CAST(EXTRACT(month FROM o_orderdate) AS INT) AS m,
+        | COUNT(*) AS n, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+        |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""") { (s, d) =>
+      t(s, d, "orders")
+        .groupBy(
+          year(col("o_orderdate")).as("y"),
+          month(col("o_orderdate")).as("m"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("rev"))
+        .orderBy("y", "m")
+    },
+
+    // §2.9/F5 JSON extraction (events.props is JSON text).
+    "q17_json" -> of(
+      """SELECT event_type,
+        | CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        | COUNT(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""") { (s, d) =>
+      Q.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(
+          sum(get_json_object(col("props"), "$.k").cast(LongType)).as("sum_k"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type")
+    },
+
+    // §2.3 explode/generator — token frequencies (the UDTF-shaped op,
+    // same machinery as the reference's Multi-geometry explode).
+    "q18_explode_tokens" -> of(
+      """SELECT token, COUNT(*) AS n FROM (
+        |  SELECT UNNEST(string_split(text, ' ')) AS token FROM documents) x
+        |GROUP BY token ORDER BY n DESC, token LIMIT 50""") { (s, d) =>
+      t(s, d, "documents")
+        .select(explode(split(col("text"), " ", -1)).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(50)
+    },
+
+    // §2.5 HAVING + conditional aggregation.
+    "q19_having_case" -> of(
+      """SELECT l_returnflag,
+        | CAST(SUM(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS BIGINT) AS big_cnt,
+        | COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag HAVING COUNT(*) > 10
+        |ORDER BY l_returnflag""") { (s, d) =>
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(when(col("l_quantity") > 25, 1L).otherwise(0L)).as("big_cnt"),
+          count(lit(1)).as("n"))
+        .filter(col("n") > 10)
+        .orderBy("l_returnflag")
+    },
+
+    // §2.9 math functions (IEEE-deterministic set only: abs/floor/sqrt).
+    "q20_math" -> of(
+      """SELECT l_orderkey, l_linenumber, ABS(l_discount - 0.05) AS ad,
+        | CAST(FLOOR(l_quantity / 7.0) AS BIGINT) AS fq, SQRT(l_extendedprice) AS sq
+        |FROM lineitem WHERE l_orderkey < 3000
+        |ORDER BY l_orderkey, l_linenumber""") { (s, d) =>
+      t(s, d, "lineitem")
+        .filter(col("l_orderkey") < 3000)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          abs(col("l_discount") - 0.05).as("ad"),
+          floor(col("l_quantity") / 7.0).as("fq"),
+          sqrt(col("l_extendedprice")).as("sq"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // scalar subquery (threshold as a broadcast cross join — no driver collect).
+    "q21_scalar_subquery" -> of(
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_totalprice > 1.5 * (
+        |  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+        |  FROM orders)
+        |ORDER BY o_orderkey""") { (s, d) =>
+      val o = t(s, d, "orders")
+      val thr = o.agg((Q.dsum(col("o_totalprice")) / count(lit(1))).as("avg_price"))
+      o.join(broadcast(thr))
+        .filter(col("o_totalprice") > lit(1.5) * col("avg_price"))
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    })
+}
