@@ -1,0 +1,125 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text primitives for the LLM-data-pipeline operators (SURVEY §2.11), built
+  * from codegen-friendly `org.apache.spark.sql.functions` + higher-order
+  * functions only — no UDFs, so everything stays inside Catalyst and is
+  * column-prunable/pushdown-transparent at 100 TB.
+  */
+object TextFunctions {
+
+  /** Whitespace tokenization (single-space; the corpus is single-spaced). */
+  def tokens(text: Column): Column = split(text, " ", -1)
+
+  /** BPE-ish subword segmentation regex: words, numbers, or single
+    * punctuation — a deterministic stand-in for a real tokenizer's pre-split.
+    */
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(text, lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"), lit(0))
+
+  /** k-word shingles as space-joined strings; fewer than k tokens → empty. */
+  def wordShingles(toks: Column, k: Int): Column =
+    when(size(toks) >= k,
+      transform(
+        sequence(lit(0), size(toks) - k),
+        i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** MinHash signature: for each of `numHashes` permutations i, the min of
+    * `xxhash64(shingle, i)` over the (distinct) shingle set. Empty set → null
+    * signature. xxhash64 is Spark-deterministic, so signatures are stable
+    * across runs/partitions.
+    */
+  def minhashSignature(shingles: Column, numHashes: Int): Column =
+    when(size(shingles) > 0,
+      transform(
+        sequence(lit(0), lit(numHashes - 1)),
+        i => array_min(transform(shingles, s => xxhash64(s, i)))))
+      .otherwise(lit(null).cast("array<bigint>"))
+
+  /** LSH band keys: the signature split into `bands` equal bands, each band
+    * hashed to one long. Two docs sharing any band key are candidates.
+    */
+  def lshBandKeys(signature: Column, numHashes: Int, bands: Int): Column = {
+    val rows = numHashes / bands
+    transform(
+      sequence(lit(0), lit(bands - 1)),
+      b => xxhash64(concat_ws(",", slice(signature, b * rows + 1, lit(rows))), b))
+  }
+
+  /** 64-bit SimHash over the token multiset: bit j of the result is set iff
+    * Σ_tokens sign(bit j of xxhash64(token)) > 0. Pure higher-order
+    * expressions: a 64-counter vector folded over tokens, then packed.
+    */
+  def simhash64(toks: Column): Column = {
+    val counters = aggregate(
+      toks,
+      array_repeat(lit(0L), 64),
+      (acc, t) => {
+        val h = xxhash64(t)
+        zip_with(acc, sequence(lit(0), lit(63)),
+          (a, j) => a + when(call_function("shiftright", h, j).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
+      })
+    aggregate(
+      zip_with(counters, sequence(lit(0), lit(63)),
+        (c, j) => when(c > 0, call_function("shiftleft", lit(1L), j)).otherwise(0L)),
+      lit(0L),
+      (acc, bit) => acc.bitwiseOR(bit))
+  }
+
+  /** Hamming distance between two 64-bit simhashes. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Deterministic whole-document fingerprint: xxhash64 of the normalized
+    * text (lowercased, punctuation stripped, whitespace collapsed).
+    */
+  def fingerprint(text: Column): Column = xxhash64(normalize(text))
+
+  /** Winnowing-style robust fingerprint: min shingle hash of the normalized
+    * token stream (survives local edits anywhere outside the min shingle).
+    */
+  def winnowFingerprint(text: Column, k: Int = 5): Column = {
+    val sh = wordShingles(tokens(normalize(text)), k)
+    when(size(sh) > 0, array_min(transform(sh, s => xxhash64(s)))).otherwise(xxhash64(normalize(text)))
+  }
+
+  def normalize(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " "))
+
+  /** Language-ID by stopword-marker voting (SURVEY §2.11): count marker hits
+    * per language over the token set, predict the argmax with a fixed
+    * tie-break order. A deterministic n-gram-free heuristic — accuracy is
+    * data-dependent, determinism is guaranteed.
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "es" -> Seq("el", "la", "de", "y", "es"),
+    "fr" -> Seq("le", "la", "de", "et", "est"),
+    "zh" -> Seq("de5", "shi4", "le5", "zai4", "he2"))
+
+  def langScore(toks: Column, markers: Seq[String]): Column =
+    size(filter(toks, t => markers.map(t === _).reduce(_ || _)))
+
+  def langId(toks: Column): Column = {
+    val scores = langMarkers.map { case (lang, markers) => lang -> langScore(toks, markers) }
+    // argmax with first-listed language winning ties
+    scores.tail.foldLeft((lit(scores.head._1), scores.head._2)) {
+      case ((bestLang, bestScore), (lang, score)) =>
+        (when(score > bestScore, lang).otherwise(bestLang),
+          when(score > bestScore, score).otherwise(bestScore))
+    }._1
+  }
+
+  /** Quality-score ingredients: exact integer/ratio features (SURVEY §2.11). */
+  def nTokens(toks: Column): Column = size(toks)
+  def nChars(text: Column): Column = length(text)
+  def meanTokenLen(text: Column, toks: Column): Column =
+    (length(text) - (size(toks) - 1)).cast("double") / size(toks)
+  def alphaRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[a-zA-Z]", ""))).cast("double") / length(text)
+  def stopwordRatio(toks: Column): Column =
+    langScore(toks, langMarkers.flatMap(_._2).distinct).cast("double") / size(toks)
+}

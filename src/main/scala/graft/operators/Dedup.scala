@@ -1,0 +1,142 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+
+/** Deduplication operators for LLM-corpus curation (SURVEY §2.11).
+  *
+  * Scale design: every variant is a shingle/signature → shuffle-on-key →
+  * bucket-local pair generation shape. Nothing ever materializes the full
+  * O(n²) pair space — candidates come from co-bucketed keys only, and the
+  * candidate key space (shingles, LSH bands, simhash bands) is tunable so
+  * bucket sizes stay bounded at 100 TB. `maxDocFreq` caps pathological hub
+  * shingles (stop-shingles shared by everything) exactly like a df-cut in IR.
+  */
+object Dedup {
+
+  /** Exact dedup, deterministic survivor: keep the lowest `tieBreak` row per
+    * key group (`dropDuplicates` picks an arbitrary row — unusable for
+    * reproducible corpus builds). One hash-shuffle on the key columns.
+    */
+  def exact(df: DataFrame, keys: Seq[String], tieBreak: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(tieBreak))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Distinct (doc, shingle) pairs for `idCol` over k-word shingles. */
+  private def shingleSet(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    docs.select(col(idCol), explode(wordShingles(tokens(col(textCol)), k)).as("shingle"))
+      .distinct()
+
+  /** Exact n-gram Jaccard near-dup pairs: J(A,B) = |A∩B| / |A∪B| over k-word
+    * shingle sets, emitted for J ≥ threshold with id_a < id_b.
+    *
+    * Plan shape: shingle explode → distinct → self-join on shingle (hash
+    * shuffle on the shingle key; co-bucketed docs meet locally) → pair-count
+    * aggregation → broadcast-join per-doc set sizes. `maxDocFreq` (off by
+    * default) drops shingles appearing in more than that many docs before the
+    * self-join — the standard df-cut that keeps hub keys from exploding the
+    * candidate space at scale (changes semantics: pairs sharing only hub
+    * shingles are missed; apply the same cut in any oracle).
+    */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                        k: Int = 4, threshold: Double = 0.5,
+                        maxDocFreq: Option[Int] = None): DataFrame = {
+    val sh = shingleSet(docs, idCol, textCol, k)
+    val filtered = maxDocFreq match {
+      case Some(cap) =>
+        val hot = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+          .filter(col("df") > cap).select("shingle")
+        sh.join(broadcast(hot), Seq("shingle"), "left_anti")
+      case None => sh
+    }
+    val sizes = filtered.groupBy(col(idCol)).agg(count(lit(1)).as("set_size"))
+    val a = filtered.select(col(idCol).as("id_a"), col("shingle"))
+    val b = filtered.select(col(idCol).as("id_b"), col("shingle"))
+    val inter = a.join(b, Seq("shingle"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(broadcast(sizes.select(col(idCol).as("id_a"), col("set_size").as("size_a"))), Seq("id_a"))
+      .join(broadcast(sizes.select(col(idCol).as("id_b"), col("set_size").as("size_b"))), Seq("id_b"))
+      .withColumn("jaccard", col("inter") / (col("size_a") + col("size_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** MinHash + LSH near-dup pairs: signature → band keys → bucket self-join
+    * (candidates) → exact Jaccard verification ≥ threshold.
+    *
+    * Candidate generation touches only docs sharing an LSH band bucket —
+    * O(Σ bucket²) not O(n²). With 64 hashes × 16 bands (4 rows/band), a pair
+    * at J=0.5 is caught with prob 1-(1-0.5⁴)¹⁶ ≈ 0.65, at J=0.9 ≈ 1-1e-13;
+    * near-exact recall for the ≥0.9 dups corpus curation hunts.
+    */
+  def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
+                      k: Int = 4, numHashes: Int = 64, bands: Int = 16,
+                      threshold: Double = 0.5): DataFrame = {
+    val sh = docs.select(col(idCol),
+      array_distinct(wordShingles(tokens(col(textCol)), k)).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+    val banded = sh
+      .withColumn("band_key",
+        explode(lshBandKeys(minhashSignature(col("shingles"), numHashes), numHashes, bands)))
+    val candidates = banded.select(col(idCol).as("id_a"), col("band_key"))
+      .join(banded.select(col(idCol).as("id_b"), col("band_key")), Seq("band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    val withSets = candidates
+      .join(broadcast(sh.select(col(idCol).as("id_a"), col("shingles").as("sh_a"))), Seq("id_a"))
+      .join(broadcast(sh.select(col(idCol).as("id_b"), col("shingles").as("sh_b"))), Seq("id_b"))
+    withSets
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard",
+        col("inter") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** SimHash near-dup pairs: 64-bit signatures, candidates from 16-bit band
+    * buckets (a pair within Hamming ≤ 3 shares ≥1 of 4 bands by pigeonhole —
+    * recall 1.0, no approximation), verified with exact Hamming ≤ maxHamming.
+    */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4-band pigeonhole guarantees recall only for hamming <= 3")
+    val sigs = docs.select(col(idCol), simhash64(tokens(col(textCol))).as("sig"))
+    val banded = sigs.select(col(idCol), col("sig"),
+      explode(transform(sequence(lit(0), lit(3)),
+        b => concat_ws(":", b, call_function("shiftright", col("sig"), b * 16).bitwiseAND(0xFFFFL)))).as("band"))
+    banded.select(col(idCol).as("id_a"), col("sig").as("sig_a"), col("band"))
+      .join(banded.select(col(idCol).as("id_b"), col("sig").as("sig_b"), col("band")), Seq("band"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sig_a", "sig_b")
+      .distinct()
+      .withColumn("hamming", hamming64(col("sig_a"), col("sig_b")))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  /** Embedding near-dup pairs: cosine ≥ threshold over `ARRAY<FLOAT>` columns.
+    * Exact (all-pairs) form — fine to a few 10⁵ vectors per run; beyond that
+    * use [[Similarity.lshBucketedNeighbors]] to restrict the pair space.
+    */
+  def embeddingCosinePairs(vecs: DataFrame, idCol: String, vecCol: String,
+                           threshold: Double): DataFrame = {
+    val v = vecs.select(col(idCol), col(vecCol).cast("array<double>").as("v"),
+      Similarity.l2norm(col(vecCol).cast("array<double>")).as("norm"))
+    v.select(col(idCol).as("id_a"), col("v").as("v_a"), col("norm").as("n_a"))
+      .crossJoin(v.select(col(idCol).as("id_b"), col("v").as("v_b"), col("norm").as("n_b")))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", Similarity.dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+}

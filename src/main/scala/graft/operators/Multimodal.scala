@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column handling (SURVEY §2.11): media travel as opaque
+  * `BINARY` payload columns with typed metadata beside them; decode /
+  * feature-extraction runs batched per partition so a real codec (image
+  * decoder, audio resampler) would amortize model/codec init per partition,
+  * not per row — the standard Spark shape for this.
+  *
+  * The actual byte-decode step is a STUB (this environment has no media
+  * libraries): [[stubDecode]] derives deterministic fake features from the
+  * bytes. The Spark-side plumbing — schema, binary payloads, partition-batched
+  * execution, feature struct — is real and tested; swap [[stubDecode]] for a
+  * codec call to productionize.
+  */
+object Multimodal {
+
+  /** Feature row produced per media payload. */
+  val featureSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("media_type", StringType),
+    StructField("n_bytes", IntegerType),
+    StructField("head_hex", StringType),
+    StructField("content_hash", LongType)))
+
+  /** STUB decode: deterministic features of the payload bytes. A real
+    * implementation would decode the media and emit e.g. width/height/
+    * duration/embedding here.
+    */
+  def stubDecode(payload: Array[Byte]): (Int, String) =
+    (payload.length, payload.take(8).map("%02X".format(_)).mkString)
+
+  /** Wrap a text table as a media table: payload = UTF-8 bytes (stand-in for
+    * image/audio blobs), metadata columns alongside.
+    */
+  def asMediaTable(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(
+      col(idCol).cast(LongType).as("doc_id"),
+      lit("text/plain").as("media_type"),
+      col(textCol).cast(BinaryType).as("payload"))
+
+  /** Partition-batched feature extraction over the payload column. Runs as a
+    * single narrow `mapPartitions` stage — no shuffle; the iterator shape is
+    * what a vectorized codec batch would consume.
+    */
+  def extractFeatures(media: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(featureSchema)
+    media.select("doc_id", "media_type", "payload").mapPartitions { rows =>
+      // per-partition init of a real codec would go here
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]]("payload")
+        val (n, head) = stubDecode(payload)
+        Row(r.getLong(0), r.getString(1), n, head,
+          java.util.Arrays.hashCode(payload).toLong)
+      }
+    }(enc)
+  }
+}

@@ -1,0 +1,137 @@
+package graft.operators
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.{Aggregator, Window}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`ARRAY<FLOAT>`; SURVEY §2.11).
+  *
+  * Numeric contract: vectors are widened to `ARRAY<DOUBLE>` (exact) and dot
+  * products are sequential left-folds — deterministic regardless of
+  * parallelism, and reproducible by any oracle that folds in array order.
+  */
+object Similarity {
+
+  /** Sequential-fold dot product via higher-order expressions (codegen-free
+    * but columnar; no UDF deserialization).
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
+
+  def l2norm(v: Column): Column = sqrt(dot(v, v))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+
+  /** One scored neighbor. */
+  final case class Scored(id: Long, score: Double)
+
+  /** Bounded-heap top-k typed Aggregator (the SURVEY §7.3-4 custom
+    * aggregate): per-group state is at most k entries, partial-aggregated
+    * map-side before the shuffle and merged associatively — the scale path
+    * for "top-k per query over a huge corpus" where a window function would
+    * shuffle the entire pair space to rank it.
+    *
+    * Ordering: score desc, id asc — total and deterministic.
+    */
+  final class TopKAggregator(k: Int) extends Aggregator[Scored, List[Scored], Seq[Scored]] {
+    private def better(x: Scored, y: Scored): Boolean =
+      x.score > y.score || (x.score == y.score && x.id < y.id)
+    private def insert(buf: List[Scored], s: Scored): List[Scored] = {
+      val merged = (s :: buf).sortWith(better)
+      if (merged.size > k) merged.take(k) else merged
+    }
+    override def zero: List[Scored] = Nil
+    override def reduce(buf: List[Scored], s: Scored): List[Scored] = insert(buf, s)
+    override def merge(a: List[Scored], b: List[Scored]): List[Scored] =
+      b.foldLeft(a)(insert)
+    override def finish(buf: List[Scored]): Seq[Scored] = buf.sortWith(better)
+    override def bufferEncoder: Encoder[List[Scored]] = ExpressionEncoder()
+    override def outputEncoder: Encoder[Seq[Scored]] = ExpressionEncoder()
+  }
+
+  /** All (query, corpus) cosine pairs for `queries` × `corpus` (minus
+    * self-pairs). The query side is broadcast; the corpus side never moves.
+    */
+  private def scoredPairs(queries: DataFrame, corpus: DataFrame,
+                          idCol: String, vecCol: String): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("cv"))
+    broadcast(q).crossJoin(c)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("qv"), col("cv")))
+  }
+
+  /** Brute-force exact top-k via the bounded-heap Aggregator: pairs are
+    * reduced to k survivors per query inside each partition (partial agg)
+    * before any shuffle — the 100 TB-shaped plan.
+    */
+  def cosineTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+                 vecCol: String, k: Int): DataFrame = {
+    val topk = udaf(new TopKAggregator(k), ExpressionEncoder[Scored]())
+    scoredPairs(queries, corpus, idCol, vecCol)
+      .groupBy(col("query_id"))
+      .agg(topk(col("neighbor_id"), col("cosine")).as("neighbors"))
+      .select(col("query_id"),
+        posexplode(col("neighbors")).as(Seq("rank0", "n")))
+      .select(col("query_id"), (col("rank0") + 1).as("rank"),
+        col("n.id").as("neighbor_id"), col("n.score").as("cosine"))
+  }
+
+  /** Window-ranked variant of the same query (built-ins only) — correct but
+    * shuffles the full pair space; kept as the cross-check/reference plan.
+    */
+  def cosineTopKWindow(queries: DataFrame, corpus: DataFrame, idCol: String,
+                       vecCol: String, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scoredPairs(queries, corpus, idCol, vecCol)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+  }
+
+  /** Random-hyperplane LSH signature: bit p = sign(v · h_p) where h_p is the
+    * deterministic ±1 hyperplane h_p[i] = sign(xxhash64(p, i)). Buckets
+    * cluster directionally-similar vectors; signatures are reproducible
+    * everywhere (hash-derived planes, no RNG state).
+    */
+  def hyperplaneSignature(v: Column, planes: Int): Column =
+    aggregate(
+      transform(sequence(lit(0), lit(planes - 1)), p => {
+        val d = aggregate(
+          zip_with(v, sequence(lit(0), size(v) - 1),
+            (x, i) => x * when(pmod(xxhash64(p, i), lit(2)) === 0, 1.0).otherwise(-1.0)),
+          lit(0.0), _ + _)
+        when(d >= 0, lit(1L)).otherwise(lit(0L))
+      }),
+      lit(0L),
+      (acc, bit) => shiftleft(acc, 1).bitwiseOR(bit))
+
+  /** LSH-bucketed approximate nearest neighbors: rank only the candidates in
+    * the query's bucket (exact cosine within bucket). The scale path — the
+    * corpus is hash-partitioned by bucket, queries probe one bucket each; no
+    * cross join. Approximate by construction: recall depends on `planes`
+    * (fewer planes → bigger buckets → higher recall, more work).
+    */
+  def lshBucketedNeighbors(queries: DataFrame, corpus: DataFrame, idCol: String,
+                           vecCol: String, k: Int, planes: Int = 8): DataFrame = {
+    def sig(df: DataFrame, id: String, vec: String) =
+      df.select(col(idCol).as(id), col(vecCol).cast("array<double>").as(vec),
+        hyperplaneSignature(col(vecCol).cast("array<double>"), planes).as("bucket"))
+    val q = sig(queries, "query_id", "qv")
+    val c = sig(corpus, "neighbor_id", "cv")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    broadcast(q).join(c, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+  }
+}

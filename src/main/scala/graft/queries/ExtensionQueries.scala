@@ -1,0 +1,289 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+import graft.functions.TextFunctions
+import graft.functions.TextFunctions._
+import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.queries.Q.{dsum, t}
+import graft.queries.QueryDef.{noOracle, of}
+
+/** North-star extension operators (SURVEY §2.11): dedup, similarity search,
+  * text analysis, multimodal plumbing, sessionization. Oracle SQL is supplied
+  * wherever the computation is DuckDB-expressible; hash-based operators
+  * (minhash/simhash/LSH/fingerprints) get rows-only checks plus ScalaTest
+  * invariants, except minhash-LSH whose *output contract* (all pairs with
+  * J ≥ 0.5) is oracle-checked against the exact-Jaccard SQL — at the test
+  * corpus's dup structure (J≈0.99 dups vs ≈0 background) 16 bands × 4 rows
+  * has recall ≈ 1-1e-13, so LSH and exact agree.
+  */
+object ExtensionQueries {
+
+  /** Shared oracle: exact k=4 word-shingle Jaccard pairs at J ≥ 0.5.
+    * Shape mirrors Dedup.ngramJaccardPairs: distinct (doc, shingle) →
+    * self-join → pair counts → set sizes → ratio.
+    */
+  private val jaccardOracle =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id,
+      |    tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] AS shingle
+      |  FROM toks, UNNEST(range(1, len(tk) - 2)) AS u(i)),
+      |sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id)
+      |SELECT id_a, id_b,
+      |  inter / (sa.set_size + sb.set_size - inter) AS jaccard
+      |FROM inter
+      |JOIN sizes sa ON sa.doc_id = id_a
+      |JOIN sizes sb ON sb.doc_id = id_b
+      |WHERE inter / (sa.set_size + sb.set_size - inter) >= 0.5
+      |ORDER BY id_a, id_b"""
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // ---- deduplication ----------------------------------------------------
+
+    // Exact dedup with deterministic survivor (lowest doc_id per key group).
+    "d01_dedup_exact" -> of(
+      """SELECT doc_id, lang, source FROM (
+        |  SELECT doc_id, lang, source,
+        |    ROW_NUMBER() OVER (PARTITION BY lang, source ORDER BY doc_id) AS rn
+        |  FROM documents) x
+        |WHERE rn = 1 ORDER BY doc_id""") { (s, d) =>
+      Dedup.exact(t(s, d, "documents"), Seq("lang", "source"), "doc_id")
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    },
+
+    // Exact n-gram Jaccard near-dup pairs.
+    "d02_dedup_ngram_jaccard" -> of(jaccardOracle) { (s, d) =>
+      Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text")
+        .orderBy("id_a", "id_b")
+    },
+
+    // MinHash+LSH candidates verified by exact Jaccard — oracle-checked
+    // against the exhaustive-Jaccard SQL (recall ≈ 1 at this dup structure).
+    "d03_dedup_minhash_lsh" -> of(jaccardOracle) { (s, d) =>
+      Dedup.minhashLshPairs(t(s, d, "documents"), "doc_id", "text")
+        .orderBy("id_a", "id_b")
+    },
+
+    // SimHash near-dup pairs (hash-defined → rows-only check; invariants in
+    // DedupSpec assert it finds the known J≈0.99 dup pairs).
+    "d04_dedup_simhash" -> noOracle { (s, d) =>
+      Dedup.simhashPairs(t(s, d, "documents"), "doc_id", "text")
+        .orderBy("id_a", "id_b")
+    },
+
+    // Embedding-cosine near-dup pairs (exact all-pairs at this scale).
+    "d05_dedup_embedding_cosine" -> of(
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  list_sum(list_transform(list_zip(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])),
+        |    x -> x[1] * x[2]))
+        |  / (sqrt(list_sum(list_transform(CAST(a.embedding AS DOUBLE[]), x -> x*x)))
+        |     * sqrt(list_sum(list_transform(CAST(b.embedding AS DOUBLE[]), x -> x*x)))) AS cosine
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_sum(list_transform(list_zip(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])),
+        |    x -> x[1] * x[2]))
+        |  / (sqrt(list_sum(list_transform(CAST(a.embedding AS DOUBLE[]), x -> x*x)))
+        |     * sqrt(list_sum(list_transform(CAST(b.embedding AS DOUBLE[]), x -> x*x)))) >= 0.4
+        |ORDER BY id_a, id_b""") { (s, d) =>
+      Dedup.embeddingCosinePairs(t(s, d, "embeddings"), "vec_id", "embedding", 0.4)
+        .orderBy("id_a", "id_b")
+    },
+
+    // ---- similarity search ------------------------------------------------
+
+    // Exact cosine top-5 for the first 10 vectors, via the bounded-heap
+    // Aggregator (rank + neighbor id are the contract; cosine is emitted and
+    // must bit-match the oracle's identical sequential-fold formula).
+    "s01_sim_topk_agg" -> of(
+      """SELECT query_id, rank, neighbor_id, cosine FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_sum(list_transform(list_zip(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])),
+        |      x -> x[1] * x[2]))
+        |    / (sqrt(list_sum(list_transform(CAST(q.embedding AS DOUBLE[]), x -> x*x)))
+        |       * sqrt(list_sum(list_transform(CAST(c.embedding AS DOUBLE[]), x -> x*x)))) AS cosine,
+        |    ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+        |      list_sum(list_transform(list_zip(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])),
+        |        x -> x[1] * x[2]))
+        |      / (sqrt(list_sum(list_transform(CAST(q.embedding AS DOUBLE[]), x -> x*x)))
+        |         * sqrt(list_sum(list_transform(CAST(c.embedding AS DOUBLE[]), x -> x*x)))) DESC,
+        |      c.vec_id) AS rank
+        |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        |  WHERE q.vec_id < 10) x
+        |WHERE rank <= 5 ORDER BY query_id, rank""") { (s, d) =>
+      val e = t(s, d, "embeddings")
+      Similarity.cosineTopK(e.filter(col("vec_id") < 10), e, "vec_id", "embedding", 5)
+        .orderBy("query_id", "rank")
+    },
+
+    // Same contract through the window-ranked plan (cross-check of the
+    // custom Aggregator against pure built-ins).
+    "s02_sim_topk_window" -> of(
+      """SELECT query_id, rank, neighbor_id FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+        |      list_sum(list_transform(list_zip(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])),
+        |        x -> x[1] * x[2]))
+        |      / (sqrt(list_sum(list_transform(CAST(q.embedding AS DOUBLE[]), x -> x*x)))
+        |         * sqrt(list_sum(list_transform(CAST(c.embedding AS DOUBLE[]), x -> x*x)))) DESC,
+        |      c.vec_id) AS rank
+        |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        |  WHERE q.vec_id < 10) x
+        |WHERE rank <= 5 ORDER BY query_id, rank""") { (s, d) =>
+      val e = t(s, d, "embeddings")
+      Similarity.cosineTopKWindow(e.filter(col("vec_id") < 10), e, "vec_id", "embedding", 5)
+        .select("query_id", "rank", "neighbor_id")
+        .orderBy("query_id", "rank")
+    },
+
+    // LSH-bucketed ANN (approximate by construction, hash-derived planes →
+    // rows-only; SimilaritySpec asserts bucket determinism and that returned
+    // neighbors carry exact cosines).
+    "s03_sim_ann_lsh" -> noOracle { (s, d) =>
+      val e = t(s, d, "embeddings")
+      Similarity.lshBucketedNeighbors(e.filter(col("vec_id") < 10), e,
+        "vec_id", "embedding", 5)
+        .orderBy("query_id", "rank")
+    },
+
+    // ---- text analysis ----------------------------------------------------
+
+    // Language-ID heuristic: stopword-marker voting with fixed tie-break.
+    "t01_text_langid" -> of {
+      val cases = TextFunctions.langMarkers.map { case (lang, ms) =>
+        val arr = ms.map(m => s"x = '$m'").mkString(" OR ")
+        s"len(list_filter(tk, x -> $arr)) AS s_$lang"
+      }.mkString(", ")
+      """WITH scored AS (
+        |  SELECT doc_id, lang, CASES FROM (
+        |    SELECT doc_id, lang, string_split(text, ' ') AS tk FROM documents) d)
+        |SELECT doc_id, lang AS labeled_lang,
+        |  CASE
+        |    WHEN s_de > s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+        |    WHEN s_es > s_en AND s_es > s_de AND s_es >= s_fr AND s_es >= s_zh THEN 'es'
+        |    WHEN s_fr > s_en AND s_fr > s_de AND s_fr > s_es AND s_fr >= s_zh THEN 'fr'
+        |    WHEN s_zh > s_en AND s_zh > s_de AND s_zh > s_es AND s_zh > s_fr THEN 'zh'
+        |    ELSE 'en' END AS pred_lang
+        |FROM scored ORDER BY doc_id""".replace("CASES", cases)
+    } { (s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), col("lang").as("labeled_lang"),
+          langId(tokens(col("text"))).as("pred_lang"))
+        .orderBy("doc_id")
+    },
+
+    // Quality scoring: exact token/char/ratio features.
+    "t02_text_quality" -> of(
+      """SELECT doc_id,
+        |  len(string_split(text, ' ')) AS n_tokens,
+        |  length(text) AS n_chars,
+        |  CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+        |    / len(string_split(text, ' ')) AS mean_token_len,
+        |  CAST(len(list_filter(string_split(text, ' '),
+        |    x -> x = 'the' OR x = 'a' OR x = 'of' OR x = 'and' OR x = 'is')) AS DOUBLE)
+        |    / len(string_split(text, ' ')) AS stopword_ratio
+        |FROM documents ORDER BY doc_id""") { (s, d) =>
+      val toks = tokens(col("text"))
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          nTokens(toks).as("n_tokens"),
+          nChars(col("text")).as("n_chars"),
+          meanTokenLen(col("text"), toks).as("mean_token_len"),
+          (langScore(toks, Seq("the", "a", "of", "and", "is")).cast(DoubleType) /
+            size(toks)).as("stopword_ratio"))
+        .orderBy("doc_id")
+    },
+
+    // Token counting: whitespace + BPE-ish regex segmentation.
+    "t03_text_tokens" -> of(
+      """SELECT doc_id, len(string_split(text, ' ')) AS ws_tokens,
+        |  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS bpe_tokens,
+        |  len(list_distinct(string_split(text, ' '))) AS distinct_tokens
+        |FROM documents ORDER BY doc_id""") { (s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          size(tokens(col("text"))).as("ws_tokens"),
+          size(bpeTokens(col("text"))).as("bpe_tokens"),
+          size(array_distinct(tokens(col("text")))).as("distinct_tokens"))
+        .orderBy("doc_id")
+    },
+
+    // Document fingerprinting (xxhash64-based → rows-only; TextSpec asserts
+    // dup pairs collide and fingerprints are stable).
+    "t04_text_fingerprint" -> noOracle { (s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          fingerprint(col("text")).as("fp"),
+          winnowFingerprint(col("text")).as("winnow_fp"))
+        .orderBy("doc_id")
+    },
+
+    // ---- multimodal -------------------------------------------------------
+
+    // Binary payload plumbing + partition-batched (stubbed) feature extract.
+    "m01_multimodal_features" -> of(
+      """SELECT doc_id, media_type, n_bytes, head_hex FROM (
+        |  SELECT doc_id, 'text/plain' AS media_type,
+        |    CAST(octet_length(CAST(text AS BLOB)) AS INT) AS n_bytes,
+        |    hex(CAST(substring(text, 1, 8) AS BLOB)) AS head_hex
+        |  FROM documents) x ORDER BY doc_id""") { (s, d) =>
+      Multimodal.extractFeatures(
+        Multimodal.asMediaTable(t(s, d, "documents"), "doc_id", "text"))
+        .select("doc_id", "media_type", "n_bytes", "head_hex")
+        .orderBy("doc_id")
+    },
+
+    // ---- event-stream shaping --------------------------------------------
+
+    // Gap-based sessionization (30-minute inactivity threshold): lag + step
+    // cumsum — the batch shape of the streaming session operator.
+    "e01_sessionize" -> of(
+      """WITH gaps AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      > INTERVAL 30 MINUTE OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |      THEN 1 ELSE 0 END AS new_session
+        |  FROM events),
+        |sessions AS (
+        |  SELECT user_id, event_id,
+        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+        |  FROM gaps)
+        |SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+        |  COUNT(*) AS n_events, MIN(event_id) AS first_event
+        |FROM sessions GROUP BY user_id, session_no
+        |ORDER BY user_id, session_no""") { (s, d) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Q.events(s, d)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull ||
+            unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 30L * 60 * 1000000, 1L)
+            .otherwise(0L))
+        .withColumn("session_no",
+          sum(col("new_session")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("session_no"))
+        .agg(count(lit(1)).as("n_events"), min(col("event_id")).as("first_event"))
+        .orderBy("user_id", "session_no")
+    },
+
+    // Tumbling-window aggregation (the batch equivalent of the streaming
+    // windowed agg; Structured Streaming runs the same plan via readStream).
+    "e02_event_windows" -> of(
+      """SELECT date_trunc('hour', ts) AS win, event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY win, event_type""") { (s, d) =>
+      Q.events(s, d)
+        .groupBy(date_trunc("hour", col("ts")).as("win"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+        .orderBy("win", "event_type")
+    })
+}

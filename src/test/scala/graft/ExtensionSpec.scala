@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+import graft.operators.{Dedup, Multimodal, Similarity}
+
+/** Invariants for the hash-defined extension operators (those with rows-only
+  * driver checks), cross-checked against the exactly-oracled variants on the
+  * sf0.001 testdata.
+  */
+class ExtensionSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private lazy val docs = spark.read.parquet(s"$dir/documents.parquet")
+  private lazy val embs = spark.read.parquet(s"$dir/embeddings.parquet")
+
+  private lazy val exactPairs =
+    Dedup.ngramJaccardPairs(docs, "doc_id", "text")
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("minhash LSH finds exactly the exact-Jaccard pairs on this corpus") {
+    val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text")
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh === exactPairs)
+    assert(exactPairs.nonEmpty) // the corpus has engineered near-dups
+  }
+
+  test("simhash (hamming<=3) finds a subset of docs incl. known near-dups") {
+    val sim = Dedup.simhashPairs(docs, "doc_id", "text")
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // SimHash at hamming<=3 is a different (stricter, token-multiset) notion
+    // than 4-gram Jaccard>=0.5 — but on this corpus's ~0.99-dups they overlap.
+    assert((sim intersect exactPairs).nonEmpty)
+    // determinism across plans/runs
+    val sim2 = Dedup.simhashPairs(docs, "doc_id", "text")
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sim === sim2)
+  }
+
+  test("whole-doc fingerprints: distinct docs don't collide; stable across runs") {
+    val fp = docs.select(col("doc_id"), fingerprint(col("text")).as("fp"))
+    val n = fp.count()
+    val nfp = fp.select("fp").distinct().count()
+    assert(nfp === n) // no exact dups in corpus → no collisions expected
+    val again = docs.select(col("doc_id"), fingerprint(col("text")).as("fp"))
+    assert(fp.except(again).count() === 0)
+  }
+
+  test("winnow fingerprint collides for near-dup pairs more than random pairs") {
+    val wfp = docs.select(col("doc_id"), winnowFingerprint(col("text")).as("w"))
+    val byId = wfp.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dupCollisions = exactPairs.count { case (a, b) => byId(a) == byId(b) }
+    assert(dupCollisions.toDouble / exactPairs.size > 0.5)
+  }
+
+  test("topK Aggregator agrees with window ranking end to end") {
+    val q = embs.filter(col("vec_id") < 5)
+    val viaAgg = Similarity.cosineTopK(q, embs, "vec_id", "embedding", 5)
+      .select("query_id", "rank", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val viaWin = Similarity.cosineTopKWindow(q, embs, "vec_id", "embedding", 5)
+      .select("query_id", "rank", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(viaAgg === viaWin)
+    assert(viaAgg.size === 25)
+  }
+
+  test("LSH ANN: deterministic, subset of corpus, exact cosines on survivors") {
+    val q = embs.filter(col("vec_id") < 5)
+    val ann = Similarity.lshBucketedNeighbors(q, embs, "vec_id", "embedding", 5)
+    val rows = ann.collect()
+    assert(rows.nonEmpty)
+    // cosine values on returned candidates equal the exact formula
+    val brute = Similarity.cosineTopKWindow(q, embs, "vec_id", "embedding", Int.MaxValue)
+      .select("query_id", "neighbor_id", "cosine").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    rows.foreach { r =>
+      val key = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+      assert(brute(key) === r.getAs[Double]("cosine"))
+    }
+    val again = Similarity.lshBucketedNeighbors(q, embs, "vec_id", "embedding", 5).collect()
+    assert(rows.map(_.toString).toSet === again.map(_.toString).toSet)
+  }
+
+  test("multimodal feature extract: stub features match payload bytes") {
+    val media = Multimodal.asMediaTable(docs, "doc_id", "text")
+    val feats = Multimodal.extractFeatures(media)
+    val joined = feats.join(docs, "doc_id")
+      .select(col("n_bytes"), length(col("text")).as("len"),
+        col("head_hex"), upper(hex(substring(col("text"), 1, 8))).as("expect_hex"))
+      .collect()
+    joined.foreach { r =>
+      assert(r.getInt(0) === r.getInt(1)) // ascii corpus: bytes == chars
+      assert(r.getString(2) === r.getString(3))
+    }
+  }
+
+  test("exact dedup keeps lowest tiebreak row and all groups") {
+    val out = Dedup.exact(docs, Seq("lang", "source"), "doc_id")
+    val groups = docs.select("lang", "source").distinct().count()
+    assert(out.count() === groups)
+    val viaMin = docs.groupBy("lang", "source").agg(min("doc_id").as("doc_id"))
+    assert(out.select("doc_id").except(viaMin.select("doc_id")).count() === 0)
+  }
+}
