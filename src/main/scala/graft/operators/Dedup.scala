@@ -81,12 +81,25 @@ object Dedup {
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       k: Int = 4, numHashes: Int = 64, bands: Int = 16,
                       threshold: Double = 0.5): DataFrame = {
+    val rowsPerBand = numHashes / bands
     val sh = docs.select(col(idCol),
       array_distinct(wordShingles(tokens(col(textCol)), k)).as("shingles"))
       .filter(size(col("shingles")) > 0)
-    val banded = sh
-      .withColumn("band_key",
-        explode(lshBandKeys(minhashSignature(col("shingles"), numHashes), numHashes, bands)))
+    // Signature via explode + codegen'd hash-agg (no higher-order lambdas on
+    // the hot path): each shingle is hashed to a long once, the i-th
+    // permutation re-mixes that long with xxhash64(·, i) — 8-byte input, not a
+    // re-hash of the string — and MIN-aggregates per doc. All whole-stage
+    // codegen; the shuffle is one hash partition on the doc id.
+    val hashed = sh.select(col(idCol), explode(col("shingles")).as("shingle"))
+      .select(col(idCol), xxhash64(col("shingle")).as("h"))
+    val minAggs = (0 until numHashes).map(i => min(xxhash64(col("h"), lit(i))).as(s"m$i"))
+    val sigs = hashed.groupBy(col(idCol)).agg(minAggs.head, minAggs.tail: _*)
+    // Band keys: xxhash64 over the band's signature slice + band index.
+    val bandKeyCols = (0 until bands).map { b =>
+      val slice = (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}"))
+      xxhash64(slice :+ lit(b): _*)
+    }
+    val banded = sigs.select(col(idCol), explode(array(bandKeyCols: _*)).as("band_key"))
     val candidates = banded.select(col(idCol).as("id_a"), col("band_key"))
       .join(banded.select(col(idCol).as("id_b"), col("band_key")), Seq("band_key"))
       .filter(col("id_a") < col("id_b"))
@@ -110,7 +123,21 @@ object Dedup {
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, "4-band pigeonhole guarantees recall only for hamming <= 3")
-    val sigs = docs.select(col(idCol), simhash64(tokens(col(textCol))).as("sig"))
+    // Same simhash64 semantics as TextFunctions.simhash64, computed as an
+    // exploded token stream + 64 codegen'd sign-sum aggregates (bit j counts
+    // +1/-1 by bit j of the token hash), then packed — no per-token lambda
+    // allocation; one doc-id shuffle.
+    val tokenHashes = docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+      .select(col(idCol), xxhash64(col("tok")).as("h"))
+    val signSums = (0 until 64).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)).as(s"s$j")
+    }
+    val packed = (0 until 64)
+      .map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ bitwiseOR _)
+    val sigs = tokenHashes.groupBy(col(idCol)).agg(signSums.head, signSums.tail: _*)
+      .select(col(idCol), packed.as("sig"))
     val banded = sigs.select(col(idCol), col("sig"),
       explode(transform(sequence(lit(0), lit(3)),
         b => concat_ws(":", b, call_function("shiftright", col("sig"), b * 16).bitwiseAND(0xFFFFL)))).as("band"))
@@ -130,6 +157,7 @@ object Dedup {
     */
   def embeddingCosinePairs(vecs: DataFrame, idCol: String, vecCol: String,
                            threshold: Double): DataFrame = {
+    graft.functions.NativeFunctions.register(vecs.sparkSession)
     val v = vecs.select(col(idCol), col(vecCol).cast("array<double>").as("v"),
       Similarity.l2norm(col(vecCol).cast("array<double>")).as("norm"))
     v.select(col(idCol).as("id_a"), col("v").as("v_a"), col("norm").as("n_a"))

@@ -15,10 +15,17 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Sequential-fold dot product via higher-order expressions (codegen-free
-    * but columnar; no UDF deserialization).
+  /** Sequential-fold dot product. Delegates to the codegen'd native
+    * [[graft.functions.DotProduct]] expression (registered as `dot_product`;
+    * every DataFrame-level operator here registers it on entry). Identical
+    * fold order/semantics to the HOF form [[dotHof]].
     */
-  def dot(a: Column, b: Column): Column =
+  def dot(a: Column, b: Column): Column = call_function("dot_product", a, b)
+
+  /** Higher-order-function reference implementation of [[dot]] (kept as the
+    * cross-check for the native expression; see SimilaritySpec).
+    */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
 
   def l2norm(v: Column): Column = sqrt(dot(v, v))
@@ -57,6 +64,7 @@ object Similarity {
     */
   private def scoredPairs(queries: DataFrame, corpus: DataFrame,
                           idCol: String, vecCol: String): DataFrame = {
+    graft.functions.NativeFunctions.register(queries.sparkSession)
     val q = queries.select(col(idCol).as("query_id"),
       col(vecCol).cast("array<double>").as("qv"))
     val c = corpus.select(col(idCol).as("neighbor_id"),
@@ -120,6 +128,7 @@ object Similarity {
     */
   def lshBucketedNeighbors(queries: DataFrame, corpus: DataFrame, idCol: String,
                            vecCol: String, k: Int, planes: Int = 8): DataFrame = {
+    graft.functions.NativeFunctions.register(queries.sparkSession)
     def sig(df: DataFrame, id: String, vec: String) =
       df.select(col(idCol).as(id), col(vecCol).cast("array<double>").as(vec),
         hyperplaneSignature(col(vecCol).cast("array<double>"), planes).as("bucket"))

@@ -1,0 +1,61 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.model.TaskConfig
+import graft.operators.CotripOps
+import graft.sources.CotripSource
+import graft.queries.QueryDef.of
+
+/** The reference conformance pipeline itself as driver-checked queries: the
+  * fixture pages are embedded (they model the API payload, not a parquet
+  * table), the oracle is the statically-known golden output as a VALUES
+  * literal — so the driver's DuckDB compare exercises the reference semantics
+  * (P1 strip → E1 explode with positional ids → P2 filter) end to end.
+  */
+object CotripQueries {
+
+  private def feat(id: String, t: String, coords: String) =
+    s"""{"type":"Feature","properties":{"id":"$id","name":"n-$id"},"geometry":{"type":"$t","coordinates":$coords}}"""
+
+  /** 3-page chain covering every geometry family incl. GeometryCollection. */
+  val fixturePages: Seq[String] = Seq(
+    s"""{"features":[${feat("pt1", "Point", "[-105.52,39.74]")},${feat("mp1", "MultiPoint", "[[1.0,2.0],[3.0,4.0],[5.0,6.0]]")}]}""",
+    """{"features":[]}""",
+    s"""{"features":[${feat("ls1", "LineString", "[[0.0,0.0],[1.0,1.0]]")},${feat("mpg1", "MultiPolygon", "[[[[0.0,0.0],[1.0,0.0],[1.0,1.0],[0.0,0.0]]],[[[5.0,5.0],[6.0,5.0],[6.0,6.0],[5.0,5.0]]]]")},${feat("gc1", "GeometryCollection", "null")}]}""")
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // Full pipeline, default config (all toggles on): Multi* explodes with
+    // positional id suffixes, GeometryCollection dropped.
+    "c01_cotrip_pipeline" -> of(
+      """SELECT * FROM (VALUES
+        | ('ls1', 'LineString', '[[0.0,0.0],[1.0,1.0]]'),
+        | ('mp1-0', 'Point', '[1.0,2.0]'),
+        | ('mp1-1', 'Point', '[3.0,4.0]'),
+        | ('mp1-2', 'Point', '[5.0,6.0]'),
+        | ('mpg1-0', 'Polygon', '[[[0.0,0.0],[1.0,0.0],[1.0,1.0],[0.0,0.0]]]'),
+        | ('mpg1-1', 'Polygon', '[[[5.0,5.0],[6.0,5.0],[6.0,6.0],[5.0,5.0]]]'),
+        | ('pt1', 'Point', '[-105.52,39.74]')
+        |) AS t(id, geom_type, coordinates) ORDER BY id""") { (s, _) =>
+      CotripOps.pipeline(CotripSource.fromPages(s, fixturePages), TaskConfig("t"))
+        .select(col("id"), col("geometry.type").as("geom_type"),
+          col("geometry.coordinates").as("coordinates"))
+        .orderBy("id")
+    },
+
+    // Toggle semantics: Point disabled → Point AND MultiPoint output dies
+    // (filter runs post-explode); LineString/Polygon survive.
+    "c02_cotrip_toggles" -> of(
+      """SELECT * FROM (VALUES
+        | ('ls1', 'LineString', '[[0.0,0.0],[1.0,1.0]]'),
+        | ('mpg1-0', 'Polygon', '[[[0.0,0.0],[1.0,0.0],[1.0,1.0],[0.0,0.0]]]'),
+        | ('mpg1-1', 'Polygon', '[[[5.0,5.0],[6.0,5.0],[6.0,6.0],[5.0,5.0]]]')
+        |) AS t(id, geom_type, coordinates) ORDER BY id""") { (s, _) =>
+      CotripOps.pipeline(CotripSource.fromPages(s, fixturePages),
+        TaskConfig("t", pointGeometries = false))
+        .select(col("id"), col("geometry.type").as("geom_type"),
+          col("geometry.coordinates").as("coordinates"))
+        .orderBy("id")
+    })
+}

@@ -1,0 +1,67 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface (SURVEY §2.10): the reference's execution
+  * model is scheduled full-snapshot micro-batch, whose direct Spark analogue
+  * is `Trigger.AvailableNow` — read what exists, process, stop; the schedule
+  * re-triggers. These helpers run the SAME transforms as the batch queries
+  * (`e02_event_windows`) through `readStream`, so batch/stream parity is
+  * testable (StreamingSpec asserts it).
+  */
+object EventsStream {
+
+  /** events.parquet schema with nanosecond ts surfaced as LongType (Spark 4
+    * rejects TIMESTAMP(NANOS) natively; see Q.events for the batch twin).
+    */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Streaming read of an events directory. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // FileStreamSource requires a directory; select the single table file
+    // from the sf dir via glob filter.
+    spark.readStream.schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros((col("ts") / lit(1000L)).cast("long")))
+  }
+
+  /** Tumbling 1-hour windowed aggregation with a watermark — the streaming
+    * twin of `e02_event_windows`. Watermark bounds the state store: windows
+    * older than (max event time - 2h) are finalized and evicted, so state is
+    * O(active windows), not O(stream length) — the property that matters when
+    * this runs forever against a real feed.
+    */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("total_value"))
+      .select(col("w.start").as("win"), col("event_type"), col("n"), col("total_value"))
+
+  /** Run a streaming query to a named in-memory sink with AvailableNow
+    * semantics (process everything present, then stop) — the direct
+    * equivalent of the reference's scheduled full-snapshot invocation.
+    */
+  def runAvailableNow(df: DataFrame, queryName: String,
+                      outputMode: String = "append"): Unit = {
+    val q = df.writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode(outputMode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+}

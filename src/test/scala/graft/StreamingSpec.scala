@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.streaming.EventsStream
+
+/** Batch/stream parity: the streaming windowed aggregation over the events
+  * fixture produces exactly the batch plan's rows once all data is processed
+  * (AvailableNow = the reference's full-snapshot scheduled run, SURVEY §2.10).
+  */
+class StreamingSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("AvailableNow streaming windowed agg == batch windowed agg") {
+    val stream = EventsStream.readEvents(spark, dir)
+    assert(stream.isStreaming)
+    // complete mode: every window is emitted, comparable to batch
+    EventsStream.runAvailableNow(
+      EventsStream.windowedCounts(stream), "win_counts", outputMode = "complete")
+    val streamed = spark.table("win_counts")
+
+    val batch = graft.queries.Q.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .select(col("w.start").as("win"), col("event_type"), col("n"), col("total_value"))
+
+    assert(streamed.count() > 0)
+    assert(streamed.except(batch).count() === 0)
+    assert(batch.except(streamed).count() === 0)
+  }
+
+  test("watermark evicts finalized windows in append mode") {
+    val stream = EventsStream.readEvents(spark, dir)
+    EventsStream.runAvailableNow(
+      EventsStream.windowedCounts(stream), "win_append", outputMode = "append")
+    val appended = spark.table("win_append")
+    // With a 2h watermark over a 30-day fixture, all but the trailing
+    // (window × event_type) groups are finalized and emitted exactly once;
+    // the unfinalized tail stays in state (not emitted).
+    val batchGroups = graft.queries.Q.events(spark, dir)
+      .select(date_trunc("hour", col("ts")).as("win"), col("event_type")).distinct()
+    val total = batchGroups.count()
+    assert(appended.count() < total, "watermark should hold back the trailing windows")
+    assert(appended.count() >= total - 15, "only the trailing ~2h may be held back")
+    // every emitted group matches the batch plan exactly
+    assert(appended.join(batchGroups, Seq("win", "event_type"), "left_anti").count() === 0)
+  }
+}
