@@ -275,6 +275,33 @@ object ExtensionQueries {
         .orderBy("user_id", "session_no")
     },
 
+    // As-of join (SURVEY §2.4: composable from window + filter — no custom
+    // operator needed): for each 'error' event, the most recent 'purchase'
+    // by the same user at-or-before it. One shuffle on user_id; the
+    // carry-forward is a running last() with purchases ordered first at
+    // equal timestamps so same-instant purchases qualify.
+    "e03_asof_join" -> of(
+      """SELECT e.event_id, e.user_id,
+        |  (SELECT MAX(CAST(p.ts AS TIMESTAMP)) FROM events p
+        |   WHERE p.event_type = 'purchase' AND p.user_id = e.user_id
+        |     AND CAST(p.ts AS TIMESTAMP) <= CAST(e.ts AS TIMESTAMP)) AS last_purchase_ts
+        |FROM events e WHERE e.event_type = 'error'
+        |ORDER BY e.event_id""") { (s, d) =>
+      val ev = Q.events(s, d)
+      val tagged = ev.select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
+        when(col("event_type") === "purchase", 0).otherwise(1).as("tag"))
+        .filter(col("event_type").isin("purchase", "error"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("tag"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tagged
+        .withColumn("last_purchase_ts",
+          last(when(col("tag") === 0, col("ts")), ignoreNulls = true).over(w))
+        .filter(col("event_type") === "error")
+        .select("event_id", "user_id", "last_purchase_ts")
+        .orderBy("event_id")
+    },
+
     // Tumbling-window aggregation (the batch equivalent of the streaming
     // windowed agg; Structured Streaming runs the same plan via readStream).
     "e02_event_windows" -> of(

@@ -38,8 +38,11 @@ object Q {
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // NB: integer division (`div`), NOT `/` — Column./ is true division and
+    // routes ~1.7e18 nanos through a double, which exceeds 2^53 and corrupts
+    // the microsecond by ±1.
     t(spark, dir, "events")
-      .withColumn("ts", timestamp_micros((col("ts") / lit(1000L)).cast("long")))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
   /** Exact, order-independent money/quantity aggregation: cast to

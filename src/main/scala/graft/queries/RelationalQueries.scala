@@ -322,6 +322,93 @@ object RelationalQueries {
         .orderBy("l_orderkey", "l_linenumber")
     },
 
+    // §2.4 full outer join — align two yearly aggregates, keys on either side.
+    "q22_join_full" -> of(
+      """SELECT COALESCE(a.k, b.k) AS custkey,
+        |  COALESCE(a.n, 0) AS n_1995, COALESCE(b.n, 0) AS n_1996
+        |FROM (SELECT o_custkey AS k, COUNT(*) AS n FROM orders
+        |      WHERE EXTRACT(year FROM o_orderdate) = 1995 GROUP BY 1) a
+        |FULL JOIN (SELECT o_custkey AS k, COUNT(*) AS n FROM orders
+        |      WHERE EXTRACT(year FROM o_orderdate) = 1996 GROUP BY 1) b
+        |ON a.k = b.k
+        |ORDER BY custkey""") { (s, d) =>
+      val o = t(s, d, "orders")
+      def yr(y: Int) = o.filter(year(col("o_orderdate")) === y)
+        .groupBy(col("o_custkey").as("k")).agg(count(lit(1)).as("n"))
+      val a = yr(1995).select(col("k"), col("n").as("n_a"))
+      val b = yr(1996).select(col("k").as("kb"), col("n").as("n_b"))
+      a.join(b, col("k") === col("kb"), "full")
+        .select(
+          coalesce(col("k"), col("kb")).as("custkey"),
+          coalesce(col("n_a"), lit(0L)).as("n_1995"),
+          coalesce(col("n_b"), lit(0L)).as("n_1996"))
+        .orderBy("custkey")
+    },
+
+    // §2.5 exact + approximate distinct counting. HLL++ sketches differ from
+    // DuckDB's approx impl, so the oracle checks the exact column and the
+    // approx column's ±5% contract via a CASE both engines agree on.
+    "q23_count_distinct" -> of(
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT l_partkey) AS exact_parts,
+        |  1 AS approx_within_5pct
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""") { (s, d) =>
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_partkey")).as("exact_parts"),
+          approx_count_distinct(col("l_partkey")).as("approx"))
+        .select(col("l_returnflag"), col("exact_parts"),
+          when(abs(col("approx") - col("exact_parts")) <= lit(0.05) * col("exact_parts"), 1)
+            .otherwise(0).as("approx_within_5pct"))
+        .orderBy("l_returnflag")
+    },
+
+    // §2.6 the window-function zoo: rank/dense_rank/ntile/lead/first/last.
+    "q24_window_zoo" -> of(
+      """SELECT o_custkey, o_orderkey,
+        |  RANK() OVER w AS rnk, DENSE_RANK() OVER w AS drnk,
+        |  NTILE(4) OVER w AS quartile,
+        |  LEAD(o_orderkey) OVER w AS next_order,
+        |  FIRST_VALUE(o_orderkey) OVER w AS first_order,
+        |  LAST_VALUE(o_orderkey) OVER
+        |    (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_order
+        |FROM orders
+        |WHERE o_custkey <= 100
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""") { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, d, "orders").filter(col("o_custkey") <= 100)
+        .select(col("o_custkey"), col("o_orderkey"),
+          rank().over(w).as("rnk"),
+          dense_rank().over(w).as("drnk"),
+          ntile(4).over(w).as("quartile"),
+          lead(col("o_orderkey"), 1).over(w).as("next_order"),
+          first(col("o_orderkey")).over(w).as("first_order"),
+          last(col("o_orderkey"))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+            .as("last_order"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
+    // §2.5 cube (full grouping-sets lattice).
+    "q25_cube" -> of(
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS st,
+        |  COALESCE(o_orderpriority, 'ALL') AS pri, COUNT(*) AS n
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY st, pri""") { (s, d) =>
+      t(s, d, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("st"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("pri"), col("n"))
+        .orderBy("st", "pri")
+    },
+
     // scalar subquery (threshold as a broadcast cross join — no driver collect).
     "q21_scalar_subquery" -> of(
       """SELECT o_orderkey, o_totalprice FROM orders
