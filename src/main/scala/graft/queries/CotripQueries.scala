@@ -44,6 +44,31 @@ object CotripQueries {
         .orderBy("id")
     },
 
+    // Same pipeline through the DataSourceV2 `cotrip-pages` source (one
+    // executor-side partition per page file) — proves the scale path agrees
+    // with the driver-side fetch byte for byte.
+    "c03_cotrip_dsv2" -> of(
+      """SELECT * FROM (VALUES
+        | ('ls1', 'LineString', '[[0.0,0.0],[1.0,1.0]]'),
+        | ('mp1-0', 'Point', '[1.0,2.0]'),
+        | ('mp1-1', 'Point', '[3.0,4.0]'),
+        | ('mp1-2', 'Point', '[5.0,6.0]'),
+        | ('mpg1-0', 'Polygon', '[[[0.0,0.0],[1.0,0.0],[1.0,1.0],[0.0,0.0]]]'),
+        | ('mpg1-1', 'Polygon', '[[[5.0,5.0],[6.0,5.0],[6.0,6.0],[5.0,5.0]]]'),
+        | ('pt1', 'Point', '[-105.52,39.74]')
+        |) AS t(id, geom_type, coordinates) ORDER BY id""") { (s, _) =>
+      val dir = java.nio.file.Files.createTempDirectory("cotrip-dsv2")
+      fixturePages.zipWithIndex.foreach { case (body, i) =>
+        java.nio.file.Files.writeString(dir.resolve(f"page-$i%03d.json"), body)
+      }
+      CotripOps.pipeline(
+        graft.sources.CotripSource.fromDsv2(s,
+          Map("mode" -> "fixture", "path" -> dir.toString)), TaskConfig("t"))
+        .select(col("id"), col("geometry.type").as("geom_type"),
+          col("geometry.coordinates").as("coordinates"))
+        .orderBy("id")
+    },
+
     // Toggle semantics: Point disabled → Point AND MultiPoint output dies
     // (filter runs post-explode); LineString/Polygon survive.
     "c02_cotrip_toggles" -> of(

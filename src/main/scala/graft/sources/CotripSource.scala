@@ -53,12 +53,24 @@ final class PagedFetcher(client: PageClient, maxPages: Int = 10000) {
   */
 object CotripSource {
 
-  /** Parse page bodies (each `{"features":[...]}`) into one row per feature. */
-  def fromPages(spark: SparkSession, bodies: Seq[String]): DataFrame =
-    spark.createDataset(bodies)(Encoders.STRING).toDF("body")
+  /** `(…, body)` page rows → one row per feature (codegen'd parse in the scan
+    * stage — shared by the Seq, DSv2, and file paths).
+    */
+  def fromPageRows(pages: DataFrame): DataFrame =
+    pages
       .select(from_json(col("body"), GeoSchemas.page).as("page"))
       .select(explode(col("page.features")).as("feature"))
       .select(col("feature.*"))
+
+  /** Parse page bodies (each `{"features":[...]}`) into one row per feature. */
+  def fromPages(spark: SparkSession, bodies: Seq[String]): DataFrame =
+    fromPageRows(spark.createDataset(bodies)(Encoders.STRING).toDF("body"))
+
+  /** DSv2 scale path: executor-parallel page fetch+parse via the
+    * `cotrip-pages` source (see [[CotripPageSource]] for modes/options).
+    */
+  def fromDsv2(spark: SparkSession, options: Map[String, String]): DataFrame =
+    fromPageRows(spark.read.format("cotrip-pages").options(options).load())
 
   /** Fetch the full chain with `client`, then parse distributed. */
   def fetch(spark: SparkSession, client: PageClient, maxPages: Int = 10000): DataFrame =

@@ -33,7 +33,9 @@ object EventsStream {
     spark.readStream.schema(rawSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", timestamp_micros((col("ts") / lit(1000L)).cast("long")))
+      // integer div, not `/`: true division via double corrupts microseconds
+      // for epoch-scale nanos (> 2^53)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
   /** Tumbling 1-hour windowed aggregation with a watermark — the streaming

@@ -31,6 +31,31 @@ class StreamingSpec extends SparkSpec {
     assert(batch.except(streamed).count() === 0)
   }
 
+  test("stateful streaming sessionization == batch sessionization (closed sessions)") {
+    val stream = EventsStream.readEvents(spark, dir)
+    EventsStream.runAvailableNow(
+      graft.streaming.SessionizeStream.sessions(stream).toDF(), "sessions_out")
+    val streamed = spark.table("sessions_out")
+
+    // batch oracle: e01's plan, restricted to each user's CLOSED sessions
+    // (the open tail stays in streaming state until the watermark passes it;
+    // AvailableNow ends before that happens for the trailing session).
+    val batch = graft.SparkEntry.queries("e01_sessionize")(spark, dir)
+    val lastPerUser = batch.groupBy("user_id")
+      .agg(max("session_no").as("session_no"))
+    val closedBatch = batch.join(lastPerUser, Seq("user_id", "session_no"), "left_anti")
+      .select("user_id", "session_no", "n_events", "first_event")
+
+    assert(streamed.count() > 0)
+    // every gap-closed batch session is emitted...
+    assert(closedBatch.except(streamed).count() === 0)
+    // ...and everything emitted is a genuine batch session: gap-closed, or a
+    // tail session finalized by event-time timeout (last event > gap+watermark
+    // before the stream's max event time)
+    val batchAll = batch.select("user_id", "session_no", "n_events", "first_event")
+    assert(streamed.except(batchAll).count() === 0)
+  }
+
   test("watermark evicts finalized windows in append mode") {
     val stream = EventsStream.readEvents(spark, dir)
     EventsStream.runAvailableNow(
