@@ -241,6 +241,27 @@ object ExtensionQueries {
         .orderBy("doc_id")
     },
 
+    // Fixed-size payload chunking — the frame-sampling/batch shape for media
+    // payloads (each chunk row would feed a decoder batch at scale).
+    "m02_multimodal_chunks" -> of(
+      """SELECT doc_id, i AS chunk_no,
+        |  substring(hex(CAST(text AS BLOB)), CAST(i*128+1 AS INT), 128) AS chunk_hex
+        |FROM documents,
+        |  UNNEST(range(0, CAST(ceil(octet_length(CAST(text AS BLOB)) / 64.0) AS BIGINT))) AS u(i)
+        |WHERE doc_id <= 50
+        |ORDER BY doc_id, chunk_no""") { (s, d) =>
+      graft.operators.Multimodal.asMediaTable(
+        t(s, d, "documents").filter(col("doc_id") <= 50), "doc_id", "text")
+        .withColumn("n_chunks",
+          ceil(octet_length(col("payload")) / lit(64.0)).cast("long"))
+        .filter(col("n_chunks") > 0)
+        .select(col("doc_id"), col("payload"),
+          explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_no"))
+        .select(col("doc_id"), col("chunk_no"),
+          expr("substring(hex(payload), cast(chunk_no*128+1 as int), 128)").as("chunk_hex"))
+        .orderBy("doc_id", "chunk_no")
+    },
+
     // ---- event-stream shaping --------------------------------------------
 
     // Gap-based sessionization (30-minute inactivity threshold): lag + step

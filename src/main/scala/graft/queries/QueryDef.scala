@@ -38,11 +38,7 @@ object Q {
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // NB: integer division (`div`), NOT `/` — Column./ is true division and
-    // routes ~1.7e18 nanos through a double, which exceeds 2^53 and corrupts
-    // the microsecond by ±1.
-    t(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    t(spark, dir, "events").withColumn("ts", nanosToMicros(col("ts")))
   }
 
   /** Exact, order-independent money/quantity aggregation: cast to
@@ -58,4 +54,12 @@ object Q {
     * two deterministic values).
     */
   def davg(c: Column): Column = dsum(c) / count(lit(1))
+
+  /** Epoch-nanos (long) → microsecond timestamp. Integer `div`, NOT `/`:
+    * Column./ is true division and routes ~1.7e18 nanos through a double,
+    * which exceeds 2^53 and corrupts the microsecond by ±1. Truncation
+    * matches DuckDB's TIMESTAMP_NS → TIMESTAMP cast.
+    */
+  def nanosToMicros(nanos: Column): Column =
+    timestamp_micros(call_function("div", nanos.cast("long"), lit(1000L)))
 }

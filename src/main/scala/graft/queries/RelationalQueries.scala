@@ -409,6 +409,59 @@ object RelationalQueries {
         .orderBy("st", "pri")
     },
 
+    // §2.5 pivot (conditional-aggregation rewrite on both sides so the
+    // column set is static and engine-independent).
+    "q26_pivot" -> of(
+      """SELECT c_mktsegment,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS f_cnt,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS o_cnt,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS p_cnt
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""") { (s, d) =>
+      t(s, d, "orders")
+        .join(broadcast(t(s, d, "customer")), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .select(col("c_mktsegment"),
+          coalesce(col("F"), lit(0L)).as("f_cnt"),
+          coalesce(col("O"), lit(0L)).as("o_cnt"),
+          coalesce(col("P"), lit(0L)).as("p_cnt"))
+        .orderBy("c_mktsegment")
+    },
+
+    // §2.5 array aggregation — order-pinned collect_list serialized to text
+    // so both engines compare a scalar.
+    "q27_array_agg" -> of(
+      """SELECT n_nationkey, string_agg(c_name, ',' ORDER BY c_name) AS members,
+        |  COUNT(*) AS n
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |WHERE c_acctbal > 9000
+        |GROUP BY n_nationkey ORDER BY n_nationkey""") { (s, d) =>
+      t(s, d, "customer").filter(col("c_acctbal") > 9000)
+        .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_nationkey"))
+        .agg(
+          array_join(array_sort(collect_list(col("c_name"))), ",").as("members"),
+          count(lit(1)).as("n"))
+        .orderBy("n_nationkey")
+    },
+
+    // §2.9 regex functions (simple, engine-portable patterns only).
+    "q28_regex" -> of(
+      """SELECT p_partkey,
+        |  regexp_extract(p_type, '([A-Z]+)', 1) AS first_word,
+        |  regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+        |  CASE WHEN regexp_matches(p_brand, '#1[0-9]$') THEN 1 ELSE 0 END AS brand_teens
+        |FROM part WHERE p_partkey <= 500 ORDER BY p_partkey""") { (s, d) =>
+      t(s, d, "part").filter(col("p_partkey") <= 500)
+        .select(col("p_partkey"),
+          regexp_extract(col("p_type"), "([A-Z]+)", 1).as("first_word"),
+          regexp_replace(col("p_name"), "[aeiou]", "_").as("devoweled"),
+          when(col("p_brand").rlike("#1[0-9]$"), 1).otherwise(0).as("brand_teens"))
+        .orderBy("p_partkey")
+    },
+
     // scalar subquery (threshold as a broadcast cross join — no driver collect).
     "q21_scalar_subquery" -> of(
       """SELECT o_orderkey, o_totalprice FROM orders

@@ -33,9 +33,7 @@ object EventsStream {
     spark.readStream.schema(rawSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      // integer div, not `/`: true division via double corrupts microseconds
-      // for epoch-scale nanos (> 2^53)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts", graft.queries.Q.nanosToMicros(col("ts")))
   }
 
   /** Tumbling 1-hour windowed aggregation with a watermark — the streaming
