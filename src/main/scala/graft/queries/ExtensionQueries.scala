@@ -323,6 +323,41 @@ object ExtensionQueries {
         .orderBy("event_id")
     },
 
+    // STREAMING, driver-checked: the flatMapGroupsWithState sessionizer runs
+    // as a real AvailableNow streaming query into a memory sink; the oracle
+    // models its exact emission semantics — a session is emitted iff closed
+    // by a gap (a later session exists for the user) or finalized by
+    // event-time timeout (last event ts + 30min gap < final watermark =
+    // global max ts - 1min).
+    "e04_stream_sessions" -> of(
+      """WITH gaps AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      > INTERVAL 30 MINUTE OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |      THEN 1 ELSE 0 END AS new_session
+        |  FROM events),
+        |numbered AS (
+        |  SELECT user_id, event_id, ts,
+        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+        |  FROM gaps),
+        |sessions AS (
+        |  SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+        |    COUNT(*) AS n_events, MIN(event_id) AS first_event, MAX(ts) AS last_ts,
+        |    MAX(CAST(session_no AS BIGINT)) OVER (PARTITION BY user_id) AS max_session
+        |  FROM numbered GROUP BY user_id, session_no)
+        |SELECT user_id, session_no, n_events, first_event FROM sessions
+        |WHERE session_no < max_session
+        |   OR CAST(last_ts AS TIMESTAMP) + INTERVAL 30 MINUTE
+        |      < (SELECT MAX(CAST(ts AS TIMESTAMP)) FROM events) - INTERVAL 1 MINUTE
+        |ORDER BY user_id, session_no""") { (s, d) =>
+      import graft.streaming.{EventsStream, SessionizeStream}
+      val sinkName = s"stream_sessions_${System.identityHashCode(s)}"
+      EventsStream.runAvailableNow(
+        SessionizeStream.sessions(EventsStream.readEvents(s, d)).toDF(), sinkName)
+      s.table(sinkName).orderBy("user_id", "session_no")
+    },
+
     // Tumbling-window aggregation (the batch equivalent of the streaming
     // windowed agg; Structured Streaming runs the same plan via readStream).
     "e02_event_windows" -> of(
