@@ -14,9 +14,19 @@ import graft.sources.{CotripSource, PageClient}
   */
 final case class CotripPipeline(config: TaskConfig) {
 
-  /** Transform-only core: features in → filtered exploded features out. */
-  def transform(features: DataFrame): DataFrame =
-    CotripOps.pipeline(features, config)
+  /** Transform-only core: features in → filtered exploded features out.
+    * DEBUG honors the declared-but-dead reference flag (SURVEY §1.5-2): a
+    * bounded sample of output features goes to stderr — never the reference's
+    * unconditional O(n) per-row write (task.ts:77).
+    */
+  def transform(features: DataFrame): DataFrame = {
+    val out = CotripOps.pipeline(features, config)
+    if (config.debug) {
+      graft.sinks.FeatureCollectionSink.featureJson(out).take(5)
+        .foreach(j => System.err.println(s"[cotrip DEBUG] $j"))
+    }
+    out
+  }
 
   /** Fetch via the pagination protocol and transform. */
   def run(spark: SparkSession, client: PageClient): DataFrame =

@@ -27,48 +27,6 @@ object TextFunctions {
         i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
       .otherwise(array().cast("array<string>"))
 
-  /** MinHash signature: for each of `numHashes` permutations i, the min of
-    * `xxhash64(shingle, i)` over the (distinct) shingle set. Empty set → null
-    * signature. xxhash64 is Spark-deterministic, so signatures are stable
-    * across runs/partitions.
-    */
-  def minhashSignature(shingles: Column, numHashes: Int): Column =
-    when(size(shingles) > 0,
-      transform(
-        sequence(lit(0), lit(numHashes - 1)),
-        i => array_min(transform(shingles, s => xxhash64(s, i)))))
-      .otherwise(lit(null).cast("array<bigint>"))
-
-  /** LSH band keys: the signature split into `bands` equal bands, each band
-    * hashed to one long. Two docs sharing any band key are candidates.
-    */
-  def lshBandKeys(signature: Column, numHashes: Int, bands: Int): Column = {
-    val rows = numHashes / bands
-    transform(
-      sequence(lit(0), lit(bands - 1)),
-      b => xxhash64(concat_ws(",", slice(signature, b * rows + 1, lit(rows))), b))
-  }
-
-  /** 64-bit SimHash over the token multiset: bit j of the result is set iff
-    * Σ_tokens sign(bit j of xxhash64(token)) > 0. Pure higher-order
-    * expressions: a 64-counter vector folded over tokens, then packed.
-    */
-  def simhash64(toks: Column): Column = {
-    val counters = aggregate(
-      toks,
-      array_repeat(lit(0L), 64),
-      (acc, t) => {
-        val h = xxhash64(t)
-        zip_with(acc, sequence(lit(0), lit(63)),
-          (a, j) => a + when(call_function("shiftright", h, j).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
-      })
-    aggregate(
-      zip_with(counters, sequence(lit(0), lit(63)),
-        (c, j) => when(c > 0, call_function("shiftleft", lit(1L), j)).otherwise(0L)),
-      lit(0L),
-      (acc, bit) => acc.bitwiseOR(bit))
-  }
-
   /** Hamming distance between two 64-bit simhashes. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
@@ -118,8 +76,4 @@ object TextFunctions {
   def nChars(text: Column): Column = length(text)
   def meanTokenLen(text: Column, toks: Column): Column =
     (length(text) - (size(toks) - 1)).cast("double") / size(toks)
-  def alphaRatio(text: Column): Column =
-    (length(text) - length(regexp_replace(text, "[a-zA-Z]", ""))).cast("double") / length(text)
-  def stopwordRatio(toks: Column): Column =
-    langScore(toks, langMarkers.flatMap(_._2).distinct).cast("double") / size(toks)
 }

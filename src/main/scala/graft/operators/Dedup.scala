@@ -52,7 +52,7 @@ object Dedup {
       case Some(cap) =>
         val hot = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
           .filter(col("df") > cap).select("shingle")
-        sh.join(broadcast(hot), Seq("shingle"), "left_anti")
+        sh.join(hot, Seq("shingle"), "left_anti")
       case None => sh
     }
     val sizes = filtered.groupBy(col(idCol)).agg(count(lit(1)).as("set_size"))
@@ -62,9 +62,11 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("inter"))
+    // NB: sizes/shingle-set tables are O(corpus) — no broadcast hints; these
+    // stay shuffle joins (AQE may still choose broadcast at small scale).
     inter
-      .join(broadcast(sizes.select(col(idCol).as("id_a"), col("set_size").as("size_a"))), Seq("id_a"))
-      .join(broadcast(sizes.select(col(idCol).as("id_b"), col("set_size").as("size_b"))), Seq("id_b"))
+      .join(sizes.select(col(idCol).as("id_a"), col("set_size").as("size_a")), Seq("id_a"))
+      .join(sizes.select(col(idCol).as("id_b"), col("set_size").as("size_b")), Seq("id_b"))
       .withColumn("jaccard", col("inter") / (col("size_a") + col("size_b") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
@@ -105,9 +107,10 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .distinct()
+    // the per-doc shingle-set table is O(corpus text) — never broadcast it
     val withSets = candidates
-      .join(broadcast(sh.select(col(idCol).as("id_a"), col("shingles").as("sh_a"))), Seq("id_a"))
-      .join(broadcast(sh.select(col(idCol).as("id_b"), col("shingles").as("sh_b"))), Seq("id_b"))
+      .join(sh.select(col(idCol).as("id_a"), col("shingles").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col(idCol).as("id_b"), col("shingles").as("sh_b")), Seq("id_b"))
     withSets
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard",
@@ -123,7 +126,8 @@ object Dedup {
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, "4-band pigeonhole guarantees recall only for hamming <= 3")
-    // Same simhash64 semantics as TextFunctions.simhash64, computed as an
+    // SimHash: bit j of the 64-bit signature is set iff the sign-sum of bit
+    // j across token hashes is positive — computed as an
     // exploded token stream + 64 codegen'd sign-sum aggregates (bit j counts
     // +1/-1 by bit j of the token hash), then packed — no per-token lambda
     // allocation; one doc-id shuffle.

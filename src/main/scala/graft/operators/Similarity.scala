@@ -23,7 +23,8 @@ object Similarity {
   def dot(a: Column, b: Column): Column = call_function("dot_product", a, b)
 
   /** Higher-order-function reference implementation of [[dot]] (kept as the
-    * cross-check for the native expression; see SimilaritySpec).
+    * cross-check for the native expression; NativeFunctionsSpec asserts
+    * bit-equality, including null on mismatched dimensions).
     */
   def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
@@ -44,8 +45,13 @@ object Similarity {
     * Ordering: score desc, id asc — total and deterministic.
     */
   final class TopKAggregator(k: Int) extends Aggregator[Scored, List[Scored], Seq[Scored]] {
-    private def better(x: Scored, y: Scored): Boolean =
-      x.score > y.score || (x.score == y.score && x.id < y.id)
+    // java.lang.Double.compare, not `>`: SQL ranks NaN as the LARGEST double
+    // (Spark and DuckDB both), so a NaN cosine (zero-norm vector) must land
+    // at rank 1 here too, keeping parity with the window/row_number variant.
+    private def better(x: Scored, y: Scored): Boolean = {
+      val c = java.lang.Double.compare(x.score, y.score)
+      c > 0 || (c == 0 && x.id < y.id)
+    }
     private def insert(buf: List[Scored], s: Scored): List[Scored] = {
       val merged = (s :: buf).sortWith(better)
       if (merged.size > k) merged.take(k) else merged
@@ -65,13 +71,18 @@ object Similarity {
   private def scoredPairs(queries: DataFrame, corpus: DataFrame,
                           idCol: String, vecCol: String): DataFrame = {
     graft.functions.NativeFunctions.register(queries.sparkSession)
+    // norms precomputed once per ROW (|Q|+|C| folds), not once per PAIR —
+    // the pair loop then does a single dot product instead of three.
+    // Bit-identical to per-pair recomputation (same values multiplied).
     val q = queries.select(col(idCol).as("query_id"),
       col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("q_norm", l2norm(col("qv")))
     val c = corpus.select(col(idCol).as("neighbor_id"),
       col(vecCol).cast("array<double>").as("cv"))
+      .withColumn("c_norm", l2norm(col("cv")))
     broadcast(q).crossJoin(c)
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", cosine(col("qv"), col("cv")))
+      .withColumn("cosine", dot(col("qv"), col("cv")) / (col("q_norm") * col("c_norm")))
   }
 
   /** Brute-force exact top-k via the bounded-heap Aggregator: pairs are
@@ -129,16 +140,17 @@ object Similarity {
   def lshBucketedNeighbors(queries: DataFrame, corpus: DataFrame, idCol: String,
                            vecCol: String, k: Int, planes: Int = 8): DataFrame = {
     graft.functions.NativeFunctions.register(queries.sparkSession)
-    def sig(df: DataFrame, id: String, vec: String) =
+    def sig(df: DataFrame, id: String, vec: String, norm: String) =
       df.select(col(idCol).as(id), col(vecCol).cast("array<double>").as(vec),
         hyperplaneSignature(col(vecCol).cast("array<double>"), planes).as("bucket"))
-    val q = sig(queries, "query_id", "qv")
-    val c = sig(corpus, "neighbor_id", "cv")
+        .withColumn(norm, l2norm(col(vec)))
+    val q = sig(queries, "query_id", "qv", "q_norm")
+    val c = sig(corpus, "neighbor_id", "cv", "c_norm")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     broadcast(q).join(c, Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", cosine(col("qv"), col("cv")))
+      .withColumn("cosine", dot(col("qv"), col("cv")) / (col("q_norm") * col("c_norm")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "cosine")

@@ -75,7 +75,7 @@ object ExtensionQueries {
     },
 
     // SimHash near-dup pairs (hash-defined → rows-only check; invariants in
-    // DedupSpec assert it finds the known J≈0.99 dup pairs).
+    // ExtensionSpec assert it finds the known J≈0.99 dup pairs).
     "d04_dedup_simhash" -> noOracle { (s, d) =>
       Dedup.simhashPairs(t(s, d, "documents"), "doc_id", "text")
         .orderBy("id_a", "id_b")
@@ -145,7 +145,7 @@ object ExtensionQueries {
     },
 
     // LSH-bucketed ANN (approximate by construction, hash-derived planes →
-    // rows-only; SimilaritySpec asserts bucket determinism and that returned
+    // rows-only; ExtensionSpec asserts bucket determinism and that returned
     // neighbors carry exact cosines).
     "s03_sim_ann_lsh" -> noOracle { (s, d) =>
       val e = t(s, d, "embeddings")
@@ -216,7 +216,7 @@ object ExtensionQueries {
         .orderBy("doc_id")
     },
 
-    // Document fingerprinting (xxhash64-based → rows-only; TextSpec asserts
+    // Document fingerprinting (xxhash64-based → rows-only; ExtensionSpec asserts
     // dup pairs collide and fingerprints are stable).
     "t04_text_fingerprint" -> noOracle { (s, d) =>
       t(s, d, "documents")
@@ -268,9 +268,9 @@ object ExtensionQueries {
     // cumsum — the batch shape of the streaming session operator.
     "e01_sessionize" -> of(
       """WITH gaps AS (
-        |  SELECT user_id, event_id, ts,
-        |    CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-        |      > INTERVAL 30 MINUTE OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+        |    CASE WHEN CAST(ts AS TIMESTAMP) - LAG(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+        |      > INTERVAL 30 MINUTE OR LAG(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) IS NULL
         |      THEN 1 ELSE 0 END AS new_session
         |  FROM events),
         |sessions AS (
@@ -331,9 +331,9 @@ object ExtensionQueries {
     // global max ts - 1min).
     "e04_stream_sessions" -> of(
       """WITH gaps AS (
-        |  SELECT user_id, event_id, ts,
-        |    CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-        |      > INTERVAL 30 MINUTE OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+        |    CASE WHEN CAST(ts AS TIMESTAMP) - LAG(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+        |      > INTERVAL 30 MINUTE OR LAG(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) IS NULL
         |      THEN 1 ELSE 0 END AS new_session
         |  FROM events),
         |numbered AS (

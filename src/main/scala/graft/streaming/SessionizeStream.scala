@@ -26,9 +26,13 @@ object SessionizeStream {
                  state: GroupState[OpenSession]): Iterator[Session] = {
     if (!state.exists && !events.hasNext) return Iterator.empty
     if (state.hasTimedOut) {
-      // watermark passed the open session: finalize it
+      // Watermark passed the open session: finalize it. Keep a closed-marker
+      // (nEvents = 0) holding the session counter so a later event for this
+      // user continues the numbering instead of restarting at 1 — parity
+      // with the batch cumsum numbering. Cost: one tiny record per ever-seen
+      // user instead of per active user.
       val s = state.get
-      state.remove()
+      state.update(OpenSession(s.sessionNo, s.lastTs, 0, 0))
       return Iterator.single(Session(userId, s.sessionNo, s.nEvents, s.firstEvent))
     }
     val sorted = events.toArray.sortBy(e => (e.ts_us, e.event_id))
@@ -36,11 +40,15 @@ object SessionizeStream {
     var open = state.getOption
     sorted.foreach { e =>
       open = open match {
-        case Some(s) if e.ts_us - s.lastTs <= GapMicros =>
-          Some(s.copy(lastTs = e.ts_us, nEvents = s.nEvents + 1,
+        case Some(s) if s.nEvents > 0 && e.ts_us - s.lastTs <= GapMicros =>
+          // max(): a late-but-within-watermark event must not regress the
+          // session's end, or the next gap would be measured from the wrong
+          // point and split the session (batch semantics sort globally).
+          Some(s.copy(lastTs = math.max(s.lastTs, e.ts_us), nEvents = s.nEvents + 1,
             firstEvent = math.min(s.firstEvent, e.event_id)))
         case Some(s) =>
-          closed += Session(userId, s.sessionNo, s.nEvents, s.firstEvent)
+          // gap exceeded, or s is a closed-marker from a timeout
+          if (s.nEvents > 0) closed += Session(userId, s.sessionNo, s.nEvents, s.firstEvent)
           Some(OpenSession(s.sessionNo + 1, e.ts_us, 1, e.event_id))
         case None =>
           Some(OpenSession(1, e.ts_us, 1, e.event_id))
@@ -48,8 +56,8 @@ object SessionizeStream {
     }
     open.foreach { s =>
       state.update(s)
-      // finalize when event time passes lastTs + gap
-      state.setTimeoutTimestamp(s.lastTs / 1000 + GapMicros / 1000)
+      // finalize when event time passes lastTs + gap (only live sessions)
+      if (s.nEvents > 0) state.setTimeoutTimestamp(s.lastTs / 1000 + GapMicros / 1000)
     }
     closed.result().iterator
   }

@@ -56,6 +56,55 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.except(batchAll).count() === 0)
   }
 
+  test("session numbering survives an event-time timeout (closed-marker state)") {
+    import graft.streaming.SessionizeStream._
+    import org.apache.spark.sql.streaming.TestGroupState
+    // session 1 opens
+    def mk(prev: Option[OpenSession], wmMs: Long, timedOut: Boolean) =
+      TestGroupState.create[OpenSession](
+        prev.map(org.apache.spark.api.java.Optional.of[OpenSession])
+          .getOrElse(org.apache.spark.api.java.Optional.empty[OpenSession]()),
+        org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout,
+        batchProcessingTimeMs = 0,
+        eventTimeWatermarkMs = org.apache.spark.api.java.Optional.of[Long](wmMs),
+        hasTimedOut = timedOut)
+    val s1 = mk(None, 0, timedOut = false)
+    assert(sessionize(7L, Iterator(Ev(7L, null, 1000L, 1L)), s1).isEmpty)
+    assert(s1.get.sessionNo === 1)
+    // watermark passes → timeout fires: session 1 emitted, marker retained
+    val s2 = mk(Some(s1.get), Long.MaxValue / 2, timedOut = true)
+    val emitted = sessionize(7L, Iterator.empty, s2).toSeq
+    assert(emitted === Seq(Session(7L, 1, 1, 1L)))
+    assert(s2.get.nEvents === 0) // closed marker, counter preserved
+    // a much later event continues as session 2, not a duplicate session 1
+    val s3 = mk(Some(s2.get), 0, timedOut = false)
+    assert(sessionize(7L, Iterator(Ev(7L, null, GapMicros * 100, 2L)), s3).isEmpty)
+    assert(s3.get.sessionNo === 2)
+  }
+
+  test("late in-batch event cannot regress the open session's end") {
+    import graft.streaming.SessionizeStream._
+    import org.apache.spark.sql.streaming.TestGroupState
+    def mk(prev: Option[OpenSession]) =
+      TestGroupState.create[OpenSession](
+        prev.map(org.apache.spark.api.java.Optional.of[OpenSession])
+          .getOrElse(org.apache.spark.api.java.Optional.empty[OpenSession]()),
+        org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout,
+        batchProcessingTimeMs = 0,
+        eventTimeWatermarkMs = org.apache.spark.api.java.Optional.of[Long](0L),
+        hasTimedOut = false)
+    val st = mk(None)
+    // events arrive unsorted; after sort lastTs must be the max, so a
+    // follow-up 29min after the TRUE end stays in-session
+    assert(sessionize(1L, Iterator(
+      Ev(1L, null, 100L, 1L), Ev(1L, null, 50L, 2L)), st).isEmpty)
+    assert(st.get.lastTs === 100L)
+    val cont = sessionize(1L,
+      Iterator(Ev(1L, null, 100L + GapMicros - 1, 3L)),
+      mk(Some(st.get)))
+    assert(cont.isEmpty) // still one open session
+  }
+
   test("watermark evicts finalized windows in append mode") {
     val stream = EventsStream.readEvents(spark, dir)
     EventsStream.runAvailableNow(
