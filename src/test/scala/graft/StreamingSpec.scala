@@ -105,6 +105,40 @@ class StreamingSpec extends SparkSpec {
     assert(cont.isEmpty) // still one open session
   }
 
+  test("cross-batch session continuity in a real multi-batch stream") {
+    // split the events table into 2 time-ordered files and stream them one
+    // file per micro-batch — sessions spanning the file boundary must not
+    // split, and numbering must match the batch plan
+    import org.apache.spark.sql.streaming.Trigger
+    val tmp = java.nio.file.Files.createTempDirectory("events-2batch")
+    val ev = graft.queries.Q.events(spark, dir).orderBy("ts")
+    val n = ev.count()
+    val rows = ev.collect()
+    val (first, second) = rows.splitAt((n / 2).toInt)
+    val schema = ev.schema
+    Seq(("0", first), ("1", second)).foreach { case (name, part) =>
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(part.toSeq, 1), schema)
+        .write.parquet(s"$tmp/batch-$name")
+    }
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$tmp/batch-*")
+    val q = graft.streaming.SessionizeStream.sessions(stream).toDF()
+      .writeStream.format("memory").queryName("two_batch_sessions")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("two_batch_sessions")
+    assert(q.lastProgress.batchId >= 1, "expected at least two micro-batches")
+
+    val batch = graft.SparkEntry.queries("e01_sessionize")(spark, dir)
+      .select("user_id", "session_no", "n_events", "first_event")
+    // everything emitted across the batch boundary matches the global batch
+    // computation exactly (no boundary splits, no renumbering)
+    assert(streamed.count() > 0)
+    assert(streamed.except(batch).count() === 0)
+  }
+
   test("watermark evicts finalized windows in append mode") {
     val stream = EventsStream.readEvents(spark, dir)
     EventsStream.runAvailableNow(
