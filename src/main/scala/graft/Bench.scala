@@ -13,6 +13,16 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm shared machinery (parquet reader, codegen compiler, udaf path,
+    // shuffle) on sf0.001 so per-query timings measure the query, not
+    // whichever query happens to run first paying global JIT warmup.
+    val warmDir = "/root/testdata/sf0.001"
+    if (new java.io.File(warmDir).isDirectory) {
+      try {
+        SparkEntry.queries.get("q01_agg_pricing").foreach(_(spark, warmDir).count())
+        SparkEntry.queries.get("s01_sim_topk_agg").foreach(_(spark, warmDir).count())
+      } catch { case _: Throwable => () }
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -28,10 +28,14 @@ object Dedup {
       .drop("__rn")
   }
 
-  /** Distinct (doc, shingle) pairs for `idCol` over k-word shingles. */
+  /** Distinct (doc, shingle) pairs for `idCol` over k-word shingles,
+    * persisted (spillable): the set feeds sizes + both self-join branches, so
+    * the shingle higher-order expression should run one corpus pass, not three.
+    */
   private def shingleSet(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
     docs.select(col(idCol), explode(wordShingles(tokens(col(textCol)), k)).as("shingle"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   /** Exact n-gram Jaccard near-dup pairs: J(A,B) = |A∩B| / |A∪B| over k-word
     * shingle sets, emitted for J ≥ threshold with id_a < id_b.
@@ -84,16 +88,18 @@ object Dedup {
                       k: Int = 4, numHashes: Int = 64, bands: Int = 16,
                       threshold: Double = 0.5): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val sh = docs.select(col(idCol),
-      array_distinct(wordShingles(tokens(col(textCol)), k)).as("shingles"))
-      .filter(size(col("shingles")) > 0)
-    // Signature via explode + codegen'd hash-agg (no higher-order lambdas on
-    // the hot path): each shingle is hashed to a long once, the i-th
-    // permutation re-mixes that long with xxhash64(·, i) — 8-byte input, not a
-    // re-hash of the string — and MIN-aggregates per doc. All whole-stage
-    // codegen; the shuffle is one hash partition on the doc id.
-    val hashed = sh.select(col(idCol), explode(col("shingles")).as("shingle"))
+    // One (doc, shingle-hash) row per distinct shingle. This intermediate
+    // feeds the signatures, the set sizes, AND the verification intersects —
+    // persist it (spillable) so the shingle higher-order expression runs once
+    // per corpus pass, not once per consumer. ~16 bytes/shingle.
+    val hashed = docs
+      .select(col(idCol),
+        explode(array_distinct(wordShingles(tokens(col(textCol)), k))).as("shingle"))
       .select(col(idCol), xxhash64(col("shingle")).as("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Signature via codegen'd hash-agg (no higher-order lambdas on the hot
+    // path): the i-th permutation re-mixes the 8-byte shingle hash with
+    // xxhash64(·, i) and MIN-aggregates per doc; one doc-id shuffle.
     val minAggs = (0 until numHashes).map(i => min(xxhash64(col("h"), lit(i))).as(s"m$i"))
     val sigs = hashed.groupBy(col(idCol)).agg(minAggs.head, minAggs.tail: _*)
     // Band keys: xxhash64 over the band's signature slice + band index.
@@ -107,14 +113,20 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .distinct()
-    // the per-doc shingle-set table is O(corpus text) — never broadcast it
-    val withSets = candidates
-      .join(sh.select(col(idCol).as("id_a"), col("shingles").as("sh_a")), Seq("id_a"))
-      .join(sh.select(col(idCol).as("id_b"), col("shingles").as("sh_b")), Seq("id_b"))
-    withSets
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
-      .withColumn("jaccard",
-        col("inter") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+    // Exact-Jaccard verification on the hashed shingle sets: |A∩B| counted by
+    // joining each candidate pair's rows on equal shingle hash (a 64-bit
+    // collision inside one pair is ~|A||B|/2^64 — negligible). Candidate-
+    // bounded work; nothing here is O(n²) or broadcast-sized.
+    val sizes = hashed.groupBy(col(idCol)).agg(count(lit(1)).as("set_size"))
+    val inter = candidates
+      .join(hashed.select(col(idCol).as("id_a"), col("h")), Seq("id_a"))
+      .join(hashed.select(col(idCol).as("id_b"), col("h")), Seq("id_b", "h"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col(idCol).as("id_a"), col("set_size").as("size_a")), Seq("id_a"))
+      .join(sizes.select(col(idCol).as("id_b"), col("set_size").as("size_b")), Seq("id_b"))
+      .withColumn("jaccard", col("inter") / (col("size_a") + col("size_b") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
