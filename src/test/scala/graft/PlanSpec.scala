@@ -1,0 +1,79 @@
+package graft
+
+import graft.model.TaskConfig
+import graft.operators.CotripOps
+import graft.queries.CotripQueries
+import graft.sinks.FeatureCollectionSink
+import graft.sources.CotripSource
+
+/** Plan-quality regression tests: the properties that make these queries
+  * scale (pushdown, pruning, broadcast dims, shuffle-free conformance path)
+  * asserted on the actual physical plans, so a refactor that silently
+  * de-optimizes fails CI rather than only showing up in a 100 TB bill.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def physicalPlan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q02: filters and column pruning reach the parquet scan") {
+    val plan = physicalPlan("q02_filter_project")
+    assert(plan.contains("PushedFilters: ["), plan.take(500))
+    assert(plan.contains("GreaterThanOrEqual(l_shipdate") || plan.contains("GreaterThan(l_quantity"))
+    // pruned read schema: no unused columns in the scan
+    assert(!plan.contains("l_comment") && !plan.contains("l_tax,"))
+  }
+
+  test("q03: all three dimension joins are broadcast hash joins") {
+    val plan = physicalPlan("q03_join_agg_nation")
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).size
+    assert(broadcasts === 3, s"expected 3 broadcast joins, plan:\n${plan.take(800)}")
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
+  test("q09: top-k plans as TakeOrderedAndProject, not a global sort") {
+    val plan = physicalPlan("q09_topk")
+    assert(plan.contains("TakeOrderedAndProject"))
+  }
+
+  test("conformance pipeline is shuffle-free (single stage, SURVEY §4.3)") {
+    val out = CotripOps.pipeline(
+      CotripSource.fromPages(spark, CotripQueries.fixturePages), TaskConfig("t"))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"conformance path must not shuffle:\n$plan")
+  }
+
+  test("s01: top-k aggregates partially before the shuffle (ObjectHashAggregate x2)") {
+    val plan = physicalPlan("s01_sim_topk_agg")
+    val aggs = "ObjectHashAggregate".r.findAllIn(plan).size
+    assert(aggs >= 2, s"expected partial+final ObjectHashAggregate:\n${plan.take(800)}")
+  }
+
+  test("runAndSubmit posts one FeatureCollection through a pluggable poster") {
+    var posted: Option[(String, String)] = None
+    graft.CotripPipeline(TaskConfig("tok")).runAndSubmit(
+      spark,
+      graft.sources.FixturePageClient.chain(CotripQueries.fixturePages),
+      "http://example.invalid/layer",
+      (url, body) => posted = Some((url, body)))
+    val (url, body) = posted.get
+    assert(url === "http://example.invalid/layer")
+    assert(body.startsWith("""{"type":"FeatureCollection","features":["""))
+    assert(body.contains("\"mp1-2\""))
+  }
+
+  test("DEBUG flag logs a bounded sample to stderr (honored, unlike reference)") {
+    val err = new java.io.ByteArrayOutputStream()
+    Console.withErr(new java.io.PrintStream(err)) {
+      val oldErr = System.err
+      System.setErr(new java.io.PrintStream(err))
+      try CotripPipeline(TaskConfig("tok", debug = true)).transform(
+        CotripSource.fromPages(spark, CotripQueries.fixturePages)).count()
+      finally System.setErr(oldErr)
+    }
+    val lines = err.toString.linesIterator.filter(_.contains("[cotrip DEBUG]")).toSeq
+    assert(lines.nonEmpty && lines.size <= 5)
+  }
+}
