@@ -33,19 +33,31 @@ case class DotProduct(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "dot_product"
 
-  // Mismatched dimensions → null, exactly like the HOF fold (zip_with pads
-  // the shorter array with nulls, which nulls the whole aggregate) — corrupt
-  // rows surface as missing similarities, never as plausible partial sums.
+  // Mismatched dimensions or a null element → null, exactly like the HOF
+  // fold (zip_with pads with nulls / a null product nulls the aggregate) —
+  // corrupt rows surface as missing similarities, never as plausible
+  // partial sums. The element null-check is emitted only when the input
+  // schema admits null elements.
   override def nullable: Boolean = true
+
+  private def elementsNullable: Boolean = Seq(left, right).exists(_.dataType match {
+    case ArrayType(_, containsNull) => containsNull
+    case _ => false
+  })
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     if (x.numElements() != y.numElements()) return null
     val n = x.numElements()
+    val checkNulls = elementsNullable
     var acc = 0.0
     var i = 0
-    while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
+    while (i < n) {
+      if (checkNulls && (x.isNullAt(i) || y.isNullAt(i))) return null
+      acc += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
     acc
   }
 
@@ -54,6 +66,10 @@ case class DotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
+      val nullCheck =
+        if (elementsNullable)
+          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
          |if ($a.numElements() != $b.numElements()) {
          |  ${ev.isNull} = true;
@@ -61,9 +77,10 @@ case class DotProduct(left: Expression, right: Expression)
          |  int $n = $a.numElements();
          |  double $acc = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullCheck
          |    $acc += $a.getDouble($i) * $b.getDouble($i);
          |  }
-         |  ${ev.value} = $acc;
+         |  if (!${ev.isNull}) { ${ev.value} = $acc; }
          |}
        """.stripMargin
     })

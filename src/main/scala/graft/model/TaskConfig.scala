@@ -40,7 +40,13 @@ object TaskConfig {
     if (token.isEmpty)
       throw new IllegalArgumentException("No COTrip API Token Provided")
     def bool(key: String, default: Boolean): Boolean =
-      m.get(key).map(_.trim.toBoolean).getOrElse(default)
+      m.get(key).map(_.trim.toLowerCase) match {
+        case None => default
+        case Some("true") | Some("1") | Some("yes") | Some("on") => true
+        case Some("false") | Some("0") | Some("no") | Some("off") | Some("") => false
+        case Some(other) => throw new IllegalArgumentException(
+          s"config '$key': cannot parse boolean from '$other'")
+      }
     TaskConfig(
       cotripToken = token,
       pointGeometries = bool("Point Geometries", default = true),

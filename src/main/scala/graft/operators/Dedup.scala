@@ -14,6 +14,12 @@ import graft.functions.TextFunctions._
   * candidate key space (shingles, LSH bands, simhash bands) is tunable so
   * bucket sizes stay bounded at 100 TB. `maxDocFreq` caps pathological hub
   * shingles (stop-shingles shared by everything) exactly like a df-cut in IR.
+  *
+  * Caching note: the Jaccard/MinHash operators persist their shingle
+  * intermediate (MEMORY_AND_DISK, spillable) because it feeds 2-3 downstream
+  * consumers; the handle is internal, so a long-lived session running many
+  * dedup passes should `spark.catalog.clearCache()` (or rely on LRU eviction)
+  * between corpora.
   */
 object Dedup {
 

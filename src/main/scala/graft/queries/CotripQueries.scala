@@ -18,6 +18,20 @@ object CotripQueries {
   private def feat(id: String, t: String, coords: String) =
     s"""{"type":"Feature","properties":{"id":"$id","name":"n-$id"},"geometry":{"type":"$t","coordinates":$coords}}"""
 
+  /** One per-JVM fixture dir for the DSv2 query (reused across invocations so
+    * repeated Verify/Bench runs don't litter the temp filesystem).
+    */
+  lazy val fixtureDir: java.nio.file.Path = {
+    val dir = java.nio.file.Files.createTempDirectory("cotrip-dsv2")
+    dir.toFile.deleteOnExit()
+    fixturePages.zipWithIndex.foreach { case (body, i) =>
+      val f = dir.resolve(f"page-$i%03d.json")
+      java.nio.file.Files.writeString(f, body)
+      f.toFile.deleteOnExit()
+    }
+    dir
+  }
+
   /** 3-page chain covering every geometry family incl. GeometryCollection. */
   val fixturePages: Seq[String] = Seq(
     s"""{"features":[${feat("pt1", "Point", "[-105.52,39.74]")},${feat("mp1", "MultiPoint", "[[1.0,2.0],[3.0,4.0],[5.0,6.0]]")}]}""",
@@ -57,13 +71,9 @@ object CotripQueries {
         | ('mpg1-1', 'Polygon', '[[[5.0,5.0],[6.0,5.0],[6.0,6.0],[5.0,5.0]]]'),
         | ('pt1', 'Point', '[-105.52,39.74]')
         |) AS t(id, geom_type, coordinates) ORDER BY id""") { (s, _) =>
-      val dir = java.nio.file.Files.createTempDirectory("cotrip-dsv2")
-      fixturePages.zipWithIndex.foreach { case (body, i) =>
-        java.nio.file.Files.writeString(dir.resolve(f"page-$i%03d.json"), body)
-      }
       CotripOps.pipeline(
         graft.sources.CotripSource.fromDsv2(s,
-          Map("mode" -> "fixture", "path" -> dir.toString)), TaskConfig("t"))
+          Map("mode" -> "fixture", "path" -> fixtureDir.toString)), TaskConfig("t"))
         .select(col("id"), col("geometry.type").as("geom_type"),
           col("geometry.coordinates").as("coordinates"))
         .orderBy("id")

@@ -35,6 +35,11 @@ object Q {
     * default; read nanos as long and convert to a microsecond timestamp
     * (truncating, exactly like DuckDB's TIMESTAMP_NS → TIMESTAMP cast so the
     * oracle agrees).
+    *
+    * NB deliberate session-wide side effect: `nanosAsLong` must be in force
+    * when the (lazy) scan executes, so it cannot be scoped-and-restored here.
+    * The flag only changes behavior for TIMESTAMP(NANOS) columns, which the
+    * session would otherwise refuse to read at all.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

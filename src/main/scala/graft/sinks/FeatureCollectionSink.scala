@@ -20,7 +20,7 @@ object FeatureCollectionSink {
       java.util.Map.of("ignoreNullFields", "false"))
     // Unquote the raw coordinates array: "coordinates":"[…]" → "coordinates":[…]
     val spliced = regexp_replace(j, "\"coordinates\":\"([^\"]*)\"", "\"coordinates\":$1")
-    df.select(spliced.as("json")).selectExpr("json").as[String](org.apache.spark.sql.Encoders.STRING)
+    df.select(spliced.as("json")).as[String](org.apache.spark.sql.Encoders.STRING)
   }
 
   /** The reference submits ONE FeatureCollection per run (task.ts:108-115) —

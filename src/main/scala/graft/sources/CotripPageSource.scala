@@ -68,17 +68,23 @@ final class CotripPageTable(options: Map[String, String]) extends Table with Sup
         options.getOrElse("mode", "fixture") match {
           case "fixture" =>
             val dir = new java.io.File(options("path"))
+            // numeric page order when the name encodes it (page-1000 must
+            // follow page-999, not precede it lexicographically)
+            def pageNum(name: String): (Long, String) = {
+              val digits = name.stripPrefix("page-").stripSuffix(".json")
+              (scala.util.Try(digits.toLong).getOrElse(Long.MaxValue), name)
+            }
             val files = Option(dir.listFiles())
               .getOrElse(Array.empty)
               .filter(f => f.getName.startsWith("page-") && f.getName.endsWith(".json"))
-              .sortBy(_.getName)
+              .sortBy(f => pageNum(f.getName))
             files.zipWithIndex.map { case (f, i) =>
               FixturePagePartition(i, f.getAbsolutePath): InputPartition
             }
           case "http" =>
             val offsets: Seq[Option[String]] =
-              None +: options.get("offsets").filter(_.nonEmpty).toSeq
-                .flatMap(_.split(",").toSeq.map(o => Some(o.trim)))
+              None +: options.get("offsets").toSeq
+                .flatMap(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty).map(Some(_)))
             offsets.zipWithIndex.map { case (off, i) =>
               HttpPagePartition(i, options("baseUrl"), options("apiKey"), off): InputPartition
             }.toArray

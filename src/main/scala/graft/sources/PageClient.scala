@@ -40,14 +40,20 @@ object FixturePageClient {
   * (task.ts:62-69). Fail-fast on non-2xx, mirroring the reference's lack of
   * retry handling (SURVEY §1.5-6).
   */
-final class HttpPageClient(baseUrl: String, apiKey: String) extends PageClient {
-  private val client = java.net.http.HttpClient.newHttpClient()
+final class HttpPageClient(baseUrl: String, apiKey: String,
+                           connectTimeout: java.time.Duration = java.time.Duration.ofSeconds(30),
+                           requestTimeout: java.time.Duration = java.time.Duration.ofSeconds(120)) extends PageClient {
+  // explicit timeouts: a stalled server must fail the fetch (and let the
+  // schedule/task retry), not hang the driver loop or an executor forever
+  private val client = java.net.http.HttpClient.newBuilder()
+    .connectTimeout(connectTimeout).build()
 
   override def fetch(offset: Option[String]): Page = {
     val params = s"apiKey=${java.net.URLEncoder.encode(apiKey, "UTF-8")}" +
       offset.map(o => s"&offset=${java.net.URLEncoder.encode(o, "UTF-8")}").getOrElse("")
     val uri = java.net.URI.create(s"$baseUrl/api/v1/signs?$params")
-    val req = java.net.http.HttpRequest.newBuilder(uri).GET().build()
+    val req = java.net.http.HttpRequest.newBuilder(uri)
+      .timeout(requestTimeout).GET().build()
     val res = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
     if (res.statusCode() / 100 != 2)
       throw new RuntimeException(s"fetch failed: HTTP ${res.statusCode()} for $uri")

@@ -15,6 +15,11 @@ object SessionizeStream {
 
   val GapMicros: Long = 30L * 60 * 1000000
 
+  /** How long (event time) a closed-marker survives before the user's session
+    * counter is forgotten — bounds state to recently-active users.
+    */
+  val MarkerTtlMillis: Long = 7L * 24 * 3600 * 1000
+
   final case class Ev(user_id: Long, ts: java.sql.Timestamp, ts_us: Long, event_id: Long)
   final case class OpenSession(sessionNo: Long, lastTs: Long, nEvents: Long, firstEvent: Long)
   final case class Session(user_id: Long, session_no: Long, n_events: Long, first_event: Long)
@@ -26,13 +31,22 @@ object SessionizeStream {
                  state: GroupState[OpenSession]): Iterator[Session] = {
     if (!state.exists && !events.hasNext) return Iterator.empty
     if (state.hasTimedOut) {
-      // Watermark passed the open session: finalize it. Keep a closed-marker
-      // (nEvents = 0) holding the session counter so a later event for this
-      // user continues the numbering instead of restarting at 1 — parity
-      // with the batch cumsum numbering. Cost: one tiny record per ever-seen
-      // user instead of per active user.
       val s = state.get
+      if (s.nEvents == 0) {
+        // marker TTL expired: forget the user entirely (numbering restarts
+        // at 1 if they ever return — the bounded-state tradeoff)
+        state.remove()
+        return Iterator.empty
+      }
+      // Watermark passed the open session: finalize it. Keep a closed-marker
+      // (nEvents = 0) holding the session counter so a near-future event for
+      // this user continues the numbering instead of restarting at 1 — parity
+      // with the batch cumsum numbering. The marker itself carries a TTL
+      // timeout so state stays O(recently-active users), not O(ever-seen).
       state.update(OpenSession(s.sessionNo, s.lastTs, 0, 0))
+      // must be strictly beyond the current watermark or Spark rejects it
+      state.setTimeoutTimestamp(
+        math.max(state.getCurrentWatermarkMs + 1, s.lastTs / 1000 + MarkerTtlMillis))
       return Iterator.single(Session(userId, s.sessionNo, s.nEvents, s.firstEvent))
     }
     val sorted = events.toArray.sortBy(e => (e.ts_us, e.event_id))
