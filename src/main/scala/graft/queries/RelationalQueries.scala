@@ -104,13 +104,20 @@ object RelationalQueries {
         .orderBy("c_custkey")
     },
 
-    // §2.4 anti join (NOT EXISTS).
+    // §2.4 anti join (NOT EXISTS) — customers with no 1995 urgent orders
+    // (every customer has SOME order in this data, so the unfiltered variant
+    // would be a degenerate empty check).
     "q06_join_anti" -> of(
       """SELECT c_custkey, c_name FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+        |    AND EXTRACT(year FROM o_orderdate) = 1995)
         |ORDER BY c_custkey""") { (s, d) =>
       t(s, d, "customer")
-        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(
+          t(s, d, "orders").filter(col("o_orderpriority") === "1-URGENT" &&
+            year(col("o_orderdate")) === 1995),
+          col("c_custkey") === col("o_custkey"), "left_anti")
         .select("c_custkey", "c_name")
         .orderBy("c_custkey")
     },
@@ -460,6 +467,33 @@ object RelationalQueries {
           regexp_replace(col("p_name"), "[aeiou]", "_").as("devoweled"),
           when(col("p_brand").rlike("#1[0-9]$"), 1).otherwise(0).as("brand_teens"))
         .orderBy("p_partkey")
+    },
+
+    // §2.4 skew-salting demonstration: the build side (per-user totals) is
+    // replicated across 8 salt buckets and the probe side routes each row to
+    // a deterministic bucket (hash of its unique key), so one hot user_id
+    // spreads over 8 reducers instead of one. Result provably identical to
+    // the plain join — the oracle IS the unsalted SQL.
+    "q29_salted_join" -> of(
+      """SELECT e.event_id, e.user_id, CAST(u.n_events AS BIGINT) AS user_total
+        |FROM events e JOIN (
+        |  SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id) u
+        |ON e.user_id = u.user_id
+        |WHERE e.event_type = 'purchase'
+        |ORDER BY e.event_id""") { (s, d) =>
+      val nSalt = 8
+      val ev = Q.events(s, d)
+      val totals = ev.groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
+      // build side: replicate each row into every salt bucket
+      val salted = totals.select(col("user_id"), col("n_events"),
+        explode(sequence(lit(0), lit(nSalt - 1))).as("salt"))
+      // probe side: deterministic bucket per row (hash of the unique key)
+      val probe = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          pmod(xxhash64(col("event_id")), lit(nSalt)).cast("int").as("salt"))
+      probe.join(salted, Seq("user_id", "salt"))
+        .select(col("event_id"), col("user_id"), col("n_events").as("user_total"))
+        .orderBy("event_id")
     },
 
     // scalar subquery (threshold as a broadcast cross join — no driver collect).
