@@ -131,6 +131,49 @@ object Similarity {
       lit(0L),
       (acc, bit) => shiftleft(acc, 1).bitwiseOR(bit))
 
+  /** IVF-style approximate nearest neighbors with a deterministic coarse
+    * quantizer (SURVEY §2.11 "IVF or LSH-bucketed variant as the scale path").
+    * The coarse "centroids" are the first `nCentroids` corpus vectors by id —
+    * a deterministic stand-in for trained k-means centers (training adds no
+    * new plumbing, only better centers). Every corpus vector is assigned to
+    * its max-cosine centroid (the inverted file); a query probes its `nProbe`
+    * closest centroids and ranks only those lists — at scale the corpus is
+    * hash-partitioned by centroid id, so a probe touches nProbe/nCentroids of
+    * the data instead of all of it. Fully deterministic → DuckDB-oracle-able.
+    */
+  def ivfNeighbors(queries: DataFrame, corpus: DataFrame, idCol: String,
+                   vecCol: String, k: Int, nCentroids: Int = 16,
+                   nProbe: Int = 2): DataFrame = {
+    graft.functions.NativeFunctions.register(queries.sparkSession)
+    val cent = broadcast(
+      corpus.filter(col(idCol) < nCentroids)
+        .select(col(idCol).as("cid"), col(vecCol).cast("array<double>").as("cvec"))
+        .withColumn("c_norm", l2norm(col("cvec"))))
+    def closestCentroids(df: DataFrame, idAs: String, vecAs: String, n: Int) = {
+      val w = Window.partitionBy(col(idAs)).orderBy(col("c_sim").desc, col("cid"))
+      df.select(col(idCol).as(idAs), col(vecCol).cast("array<double>").as(vecAs))
+        .withColumn("v_norm", l2norm(col(vecAs)))
+        .crossJoin(cent)
+        .withColumn("c_sim", dot(col(vecAs), col("cvec")) / (col("v_norm") * col("c_norm")))
+        .withColumn("crn", row_number().over(w))
+        .filter(col("crn") <= n)
+    }
+    val inverted = closestCentroids(corpus, "neighbor_id", "nv", 1)
+      .select(col("cid"), col("neighbor_id"), col("nv"), col("v_norm").as("n_norm"))
+    val probes = closestCentroids(queries, "query_id", "qv", nProbe)
+      .select(col("query_id"), col("qv"), col("v_norm").as("q_norm"), col("cid"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    probes.join(inverted, Seq("cid"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("qv"), col("nv")) / (col("q_norm") * col("n_norm"))).as("cosine"))
+      .distinct()
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+  }
+
   /** LSH-bucketed approximate nearest neighbors: rank only the candidates in
     * the query's bucket (exact cosine within bucket). The scale path — the
     * corpus is hash-partitioned by bucket, queries probe one bucket each; no

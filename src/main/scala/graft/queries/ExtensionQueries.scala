@@ -154,6 +154,41 @@ object ExtensionQueries {
         .orderBy("query_id", "rank")
     },
 
+    // IVF ANN with a deterministic coarse quantizer — unlike hash-based LSH
+    // this variant IS SQL-expressible, so the whole inverted-file path
+    // (assignment, probing, in-list ranking) is oracle-checked.
+    "s04_sim_ann_ivf" -> of {
+      def cos(a: String, b: String) =
+        s"list_sum(list_transform(list_zip($a, $b), x -> x[1] * x[2])) / " +
+          s"(sqrt(list_sum(list_transform($a, x -> x*x))) * sqrt(list_sum(list_transform($b, x -> x*x))))"
+      s"""WITH corp AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |cent AS (SELECT vec_id AS cid, v AS cv FROM corp WHERE vec_id < 16),
+         |assign AS (
+         |  SELECT vec_id AS neighbor_id, cid, v AS nv FROM (
+         |    SELECT c.vec_id, ct.cid, c.v,
+         |      ROW_NUMBER() OVER (PARTITION BY c.vec_id
+         |        ORDER BY ${cos("c.v", "ct.cv")} DESC, ct.cid) AS crn
+         |    FROM corp c CROSS JOIN cent ct) x WHERE crn = 1),
+         |probes AS (
+         |  SELECT query_id, cid, qv FROM (
+         |    SELECT q.vec_id AS query_id, ct.cid, q.v AS qv,
+         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${cos("q.v", "ct.cv")} DESC, ct.cid) AS crn
+         |    FROM corp q CROSS JOIN cent ct WHERE q.vec_id < 10) x WHERE crn <= 2),
+         |cand AS (
+         |  SELECT DISTINCT p.query_id, a.neighbor_id, ${cos("p.qv", "a.nv")} AS cosine
+         |  FROM probes p JOIN assign a ON a.cid = p.cid AND a.neighbor_id <> p.query_id)
+         |SELECT query_id, rank, neighbor_id, cosine FROM (
+         |  SELECT query_id, neighbor_id, cosine,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY cosine DESC, neighbor_id) AS rank
+         |  FROM cand) x WHERE rank <= 5 ORDER BY query_id, rank"""
+    } { (s, d) =>
+      val e = t(s, d, "embeddings")
+      Similarity.ivfNeighbors(e.filter(col("vec_id") < 10), e, "vec_id", "embedding", 5)
+        .orderBy("query_id", "rank")
+    },
+
     // ---- text analysis ----------------------------------------------------
 
     // Language-ID heuristic: stopword-marker voting with fixed tie-break.
