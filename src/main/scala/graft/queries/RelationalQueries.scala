@@ -496,6 +496,28 @@ object RelationalQueries {
         .orderBy("event_id")
     },
 
+    // §2.5 arbitrary GROUPING SETS with GROUPING() disambiguation — through
+    // the engine's SQL surface (spark.sql), the one grouping shape the
+    // DataFrame API doesn't expose directly.
+    "q30_grouping_sets" -> of(
+      """SELECT COALESCE(l_returnflag, '-') AS rf, COALESCE(l_linestatus, '-') AS ls,
+        |  CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+        |  CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
+        |  COUNT(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY g_rf, g_ls, rf, ls""") { (s, d) =>
+      t(s, d, "lineitem").createOrReplaceTempView("lineitem_gs")
+      s.sql(
+        """SELECT COALESCE(l_returnflag, '-') AS rf, COALESCE(l_linestatus, '-') AS ls,
+          |  CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+          |  CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
+          |  COUNT(*) AS n
+          |FROM lineitem_gs
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+          |ORDER BY g_rf, g_ls, rf, ls""".stripMargin)
+    },
+
     // scalar subquery (threshold as a broadcast cross join — no driver collect).
     "q21_scalar_subquery" -> of(
       """SELECT o_orderkey, o_totalprice FROM orders
