@@ -90,6 +90,16 @@ object CotripOps {
     else df.filter(col("geometry.type").isin(survivors: _*))
   }
 
+  /** Typed view of the carried properties (stripProperties=false mode):
+    * the two ISO-string timestamps of the declared schema (SURVEY §1.2b)
+    * parsed to TimestampType beside the originals. `try_to_timestamp` so
+    * unparseable/absent values degrade to null (PERMISSIVE stance, §1.4)
+    * even under ANSI mode, never failing the job.
+    */
+  def typedProperties(df: DataFrame): DataFrame =
+    df.withColumn("lastUpdated_ts", try_to_timestamp(col("properties.lastUpdated")))
+      .withColumn("activationTime_ts", try_to_timestamp(col("properties.activationTime")))
+
   /** The full conformance pipeline P1 → (pre-filter) → E1 → P2
     * (task.ts:76-113 end to end).
     */

@@ -125,6 +125,20 @@ class CotripPipelineSpec extends SparkSpec {
     assert(row.getString(0) === "n-pt1")
   }
 
+  test("typedProperties parses ISO timestamps, degrades unparseable to null") {
+    val df = features(Seq(
+      feature("t1", "Point", "[0.0,0.0]",
+        ""","lastUpdated":"2026-05-01T12:00:00Z","activationTime":"not-a-time""""),
+      feature("t2", "Point", "[0.0,0.0]")))
+    val out = CotripOps.typedProperties(
+      CotripOps.pipeline(df, TaskConfig("t", stripProperties = false)))
+      .select("id", "lastUpdated_ts", "activationTime_ts").collect()
+      .map(r => r.getString(0) -> (r.get(1), r.get(2))).toMap
+    assert(out("t1")._1 === java.sql.Timestamp.valueOf("2026-05-01 12:00:00"))
+    assert(out("t1")._2 === null) // unparseable degrades, never throws
+    assert(out("t2") === ((null, null))) // absent fields stay null
+  }
+
   test("pagination: chain with 'None' sentinel and absent-header variants") {
     val bodies = Seq(
       page(Seq(feature("a", "Point", "[1.0,1.0]"))),
