@@ -144,22 +144,33 @@ object Dedup {
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, "4-band pigeonhole guarantees recall only for hamming <= 3")
-    // SimHash: bit j of the 64-bit signature is set iff the sign-sum of bit
-    // j across token hashes is positive — computed as an
-    // exploded token stream + 64 codegen'd sign-sum aggregates (bit j counts
-    // +1/-1 by bit j of the token hash), then packed — no per-token lambda
-    // allocation; one doc-id shuffle.
+    // SimHash: bit b of the 64-bit signature is set iff the sign-sum of bit
+    // b across token hashes is positive — equivalently iff 2·c_b > n where
+    // c_b = popcount of bit b over the doc's token hashes and n = token count.
+    // The 64 per-bit popcounts are packed into 16 aggregate longs of 4×16-bit
+    // lanes (lane j of long g counts bit 4g+j): branch-free bit arithmetic,
+    // 4× fewer aggregation buffer slots and ~4× less generated code than one
+    // sum column per bit (the round-1 shape was 22% of the whole bench, almost
+    // all janino-compile + branchy agg). One doc-id shuffle, map-side partial
+    // agg. Lanes hold ≤ 32767 before the packed sum can overflow a long —
+    // docs beyond 32767 tokens must be chunked upstream (ANSI mode makes the
+    // overflow loud, not silently wrong).
     val tokenHashes = docs
       .select(col(idCol), explode(tokens(col(textCol))).as("tok"))
       .select(col(idCol), xxhash64(col("tok")).as("h"))
-    val signSums = (0 until 64).map { j =>
-      sum(when(shiftright(col("h"), j).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)).as(s"s$j")
+    val packedSums = (0 until 16).map { g =>
+      val lanes = (0 until 4).map { j =>
+        shiftleft(shiftright(col("h"), 4 * g + j).bitwiseAND(1L), 16 * j)
+      }
+      sum(lanes.reduce(_ + _)).as(s"p$g")
     }
-    val packed = (0 until 64)
-      .map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
-      .reduce(_ bitwiseOR _)
-    val sigs = tokenHashes.groupBy(col(idCol)).agg(signSums.head, signSums.tail: _*)
-      .select(col(idCol), packed.as("sig"))
+    val aggCols = packedSums :+ count(lit(1)).as("n")
+    val sigBits = (0 until 64).map { b =>
+      val cb = shiftright(col(s"p${b / 4}"), 16 * (b % 4)).bitwiseAND(0xFFFFL)
+      when(cb * 2 > col("n"), lit(1L << b)).otherwise(lit(0L))
+    }
+    val sigs = tokenHashes.groupBy(col(idCol)).agg(aggCols.head, aggCols.tail: _*)
+      .select(col(idCol), sigBits.reduce(_ bitwiseOR _).as("sig"))
     val banded = sigs.select(col(idCol), col("sig"),
       explode(transform(sequence(lit(0), lit(3)),
         b => concat_ws(":", b, call_function("shiftright", col("sig"), b * 16).bitwiseAND(0xFFFFL)))).as("band"))
