@@ -26,8 +26,15 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Omitted for non-SQL-expressible ops → the driver
-    * records a weaker rows-only check.
+    * records a weaker rows-only check. SQL may reference `{{AUX}}`, which
+    * Verify substitutes with the absolute path of the [[auxDumps]] directory.
     */
   def oracleSql: Map[String, String] =
     registry.collect { case (k, QueryDef(_, Some(sql))) => k -> sql }
+
+  /** Materialized oracle inputs for hash-defined operators (see
+    * [[graft.queries.AuxDumps]]); Verify writes each to
+    * `<outDir>_aux/<name>` before dumping `oracle_sql.json`.
+    */
+  def auxDumps: Map[String, (SparkSession, String) => DataFrame] = AuxDumps.defs
 }

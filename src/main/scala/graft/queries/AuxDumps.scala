@@ -1,0 +1,59 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+import graft.queries.Q.t
+
+/** Auxiliary oracle inputs for the hash-defined operators (simhash, LSH ANN,
+  * fingerprints): DuckDB cannot compute Spark's xxhash64, so `Verify` dumps
+  * the Spark-computed hash PRIMITIVES (string→hash mappings, hyperplane sign
+  * vectors) to parquet next to the query outputs, and the oracle SQL
+  * recomputes everything downstream of the hash — tokenization, sign-sums,
+  * signature packing, banding, hamming, bucket ranking, min-shingle
+  * selection — from scratch in SQL. That oracles ~95% of each operator's
+  * logic instead of 0% (the remaining 5% being xxhash64 itself, which has
+  * its own spec coverage).
+  *
+  * Oracle SQL references these via `{{AUX}}`, which Verify substitutes with
+  * the absolute dump directory.
+  */
+object AuxDumps {
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // d04: distinct token → xxhash64 mapping over the whole corpus. The
+    // oracle re-tokenizes in SQL and joins on the token STRING, so Spark's
+    // tokenization is itself under test (a divergent split shows up as a
+    // dropped/null hash and a value mismatch).
+    "d04_tok_hashes" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(explode(tokens(col("text"))).as("tok")).distinct()
+        .select(col("tok"), xxhash64(col("tok")).as("h"))),
+
+    // t04: distinct string → xxhash64 mapping for BOTH fingerprint inputs —
+    // normalized whole-doc texts and 5-word shingles of the normalized token
+    // stream. The oracle recomputes normalize() and the shingling in SQL.
+    "t04_hashes" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val norm = docs.select(normalize(col("text")).as("s"))
+      val sh = docs.select(
+        explode(wordShingles(tokens(normalize(col("text"))), 5)).as("s"))
+      norm.union(sh).distinct().select(col("s"), xxhash64(col("s")).as("h"))
+    }),
+
+    // s03 (and any hyperplane-LSH consumer at planes=8): the ±1 sign vector
+    // of each deterministic hyperplane, exactly as Similarity
+    // .hyperplaneSignature derives them (sign = +1 iff xxhash64(p, i) is
+    // even, with p and i as INTs — the hash is type-sensitive, so the
+    // sequence/lit types here must stay in lockstep with the operator).
+    "hyperplanes8" -> ((s, d) => {
+      val dim = t(s, d, "embeddings").select(size(col("embedding"))).head.getInt(0)
+      s.range(1).select(explode(sequence(lit(0), lit(7))).as("p"))
+        .select(col("p"),
+          transform(sequence(lit(0), lit(dim - 1)),
+            i => when(pmod(xxhash64(col("p"), i), lit(2)) === 0, lit(1.0))
+              .otherwise(lit(-1.0))).as("signs"))
+    }))
+}

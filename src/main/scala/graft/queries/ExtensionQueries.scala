@@ -8,16 +8,18 @@ import graft.functions.TextFunctions
 import graft.functions.TextFunctions._
 import graft.operators.{Dedup, Multimodal, Similarity}
 import graft.queries.Q.{dsum, t}
-import graft.queries.QueryDef.{noOracle, of}
+import graft.queries.QueryDef.of
 
 /** North-star extension operators (SURVEY §2.11): dedup, similarity search,
-  * text analysis, multimodal plumbing, sessionization. Oracle SQL is supplied
-  * wherever the computation is DuckDB-expressible; hash-based operators
-  * (minhash/simhash/LSH/fingerprints) get rows-only checks plus ScalaTest
-  * invariants, except minhash-LSH whose *output contract* (all pairs with
-  * J ≥ 0.5) is oracle-checked against the exact-Jaccard SQL — at the test
-  * corpus's dup structure (J≈0.99 dups vs ≈0 background) 16 bands × 4 rows
-  * has recall ≈ 1-1e-13, so LSH and exact agree.
+  * text analysis, multimodal plumbing, sessionization. EVERY query here
+  * carries a DuckDB oracle:
+  *  - directly-SQL-expressible computations as plain SQL over the sf tables;
+  *  - minhash-LSH against the exact-Jaccard SQL — at the test corpus's dup
+  *    structure (J≈0.99 dups vs ≈0 background) 16 bands × 4 rows has recall
+  *    ≈ 1-1e-13, so LSH and exact agree on the ≥0.5 output contract;
+  *  - xxhash64-based operators (simhash, hyperplane-LSH ANN, fingerprints)
+  *    via materialized hash primitives ([[AuxDumps]], `{{AUX}}` placeholder):
+  *    the oracle recomputes all logic downstream of the hash in SQL.
   */
 object ExtensionQueries {
 
@@ -74,9 +76,41 @@ object ExtensionQueries {
         .orderBy("id_a", "id_b")
     },
 
-    // SimHash near-dup pairs (hash-defined → rows-only check; invariants in
-    // ExtensionSpec assert it finds the known J≈0.99 dup pairs).
-    "d04_dedup_simhash" -> noOracle { (s, d) =>
+    // SimHash near-dup pairs. Oracled via the materialized token→xxhash64
+    // mapping (AuxDumps "d04_tok_hashes"): DuckDB re-tokenizes, recomputes
+    // the 64 per-bit majority votes, packs the signature, bands it, pairs
+    // within buckets and verifies Hamming ≤ 3 — everything downstream of the
+    // hash primitive.
+    "d04_dedup_simhash" -> of(
+      """WITH th AS (SELECT tok, h FROM read_parquet('{{AUX}}/d04_tok_hashes/*.parquet')),
+        |toks AS (
+        |  SELECT doc_id, u.tok
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents) d,
+        |    UNNEST(tk) AS u(tok)),
+        |hashed AS (SELECT doc_id, th.h AS h FROM toks JOIN th USING (tok)),
+        |bits AS (
+        |  SELECT doc_id, j,
+        |    CASE WHEN 2 * count(*) FILTER (WHERE (h >> CAST(j AS INT)) & 1 = 1)
+        |      > count(*) THEN 1 ELSE 0 END AS bit_set
+        |  FROM hashed, UNNEST(range(0, 64)) AS r(j)
+        |  GROUP BY doc_id, j),
+        |sigs AS (
+        |  SELECT doc_id,
+        |    bit_or(CASE WHEN bit_set = 0 THEN 0
+        |      WHEN j = 63 THEN -9223372036854775807 - 1
+        |      ELSE (1::BIGINT << CAST(j AS INT)) END) AS sig
+        |  FROM bits GROUP BY doc_id),
+        |banded AS (
+        |  SELECT doc_id, sig, b, (sig >> CAST(b * 16 AS INT)) & 65535 AS band_val
+        |  FROM sigs, UNNEST(range(0, 4)) AS r(b)),
+        |pairs AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    a.sig AS sig_a, b.sig AS sig_b
+        |  FROM banded a JOIN banded b
+        |    ON a.b = b.b AND a.band_val = b.band_val AND a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, CAST(bit_count(xor(sig_a, sig_b)) AS INT) AS hamming
+        |FROM pairs WHERE bit_count(xor(sig_a, sig_b)) <= 3
+        |ORDER BY id_a, id_b""") { (s, d) =>
       Dedup.simhashPairs(t(s, d, "documents"), "doc_id", "text")
         .orderBy("id_a", "id_b")
     },
@@ -144,10 +178,37 @@ object ExtensionQueries {
         .orderBy("query_id", "rank")
     },
 
-    // LSH-bucketed ANN (approximate by construction, hash-derived planes →
-    // rows-only; ExtensionSpec asserts bucket determinism and that returned
-    // neighbors carry exact cosines).
-    "s03_sim_ann_lsh" -> noOracle { (s, d) =>
+    // LSH-bucketed ANN. Oracled via the materialized hyperplane sign vectors
+    // (AuxDumps "hyperplanes8"): DuckDB recomputes each vector's 8 sign bits
+    // (sequential-fold dot against the ±1 planes — same fold order as the
+    // operator, so the d ≥ 0 threshold sees bit-identical sums), packs the
+    // bucket, joins query×corpus within buckets and ranks by exact cosine.
+    "s03_sim_ann_lsh" -> of(
+      """WITH planes AS (SELECT p, signs FROM read_parquet('{{AUX}}/hyperplanes8/*.parquet')),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |bits AS (
+        |  SELECT vec_id, p,
+        |    CASE WHEN list_sum(list_transform(list_zip(v, signs), x -> x[1] * x[2])) >= 0
+        |      THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+        |  FROM e, planes),
+        |buckets AS (
+        |  SELECT vec_id, CAST(sum(bit * (1::BIGINT << CAST(7 - p AS INT))) AS BIGINT) AS bucket
+        |  FROM bits GROUP BY vec_id),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_sum(list_transform(list_zip(qe.v, ce.v), x -> x[1] * x[2]))
+        |    / (sqrt(list_sum(list_transform(qe.v, x -> x*x)))
+        |       * sqrt(list_sum(list_transform(ce.v, x -> x*x)))) AS cosine
+        |  FROM buckets q JOIN buckets c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+        |  JOIN e qe ON qe.vec_id = q.vec_id
+        |  JOIN e ce ON ce.vec_id = c.vec_id
+        |  WHERE q.vec_id < 10)
+        |SELECT query_id, rank, neighbor_id, cosine FROM (
+        |  SELECT query_id, neighbor_id, cosine,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, neighbor_id) AS rank
+        |  FROM scored) x
+        |WHERE rank <= 5 ORDER BY query_id, rank""") { (s, d) =>
       val e = t(s, d, "embeddings")
       Similarity.lshBucketedNeighbors(e.filter(col("vec_id") < 10), e,
         "vec_id", "embedding", 5)
@@ -251,9 +312,30 @@ object ExtensionQueries {
         .orderBy("doc_id")
     },
 
-    // Document fingerprinting (xxhash64-based → rows-only; ExtensionSpec asserts
-    // dup pairs collide and fingerprints are stable).
-    "t04_text_fingerprint" -> noOracle { (s, d) =>
+    // Document fingerprinting. Oracled via the materialized string→xxhash64
+    // mapping (AuxDumps "t04_hashes"): DuckDB recomputes normalize() (lower,
+    // punctuation strip, whitespace collapse, trim), the 5-word shingling,
+    // and the min-shingle/fallback selection, joining the mapping only for
+    // the hash values themselves.
+    "t04_text_fingerprint" -> of(
+      """WITH hm AS (SELECT s, h FROM read_parquet('{{AUX}}/t04_hashes/*.parquet')),
+        |norm AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+        |      ' +', ' ', 'g')) AS nt
+        |  FROM documents),
+        |toks AS (SELECT doc_id, nt, string_split(nt, ' ') AS tk FROM norm),
+        |sh AS (
+        |  SELECT doc_id, array_to_string(tk[i:i+4], ' ') AS s
+        |  FROM toks, UNNEST(range(1, len(tk) - 3)) AS r(i)
+        |  WHERE len(tk) >= 5),
+        |shmin AS (
+        |  SELECT sh.doc_id, min(hm.h) AS min_h
+        |  FROM sh JOIN hm USING (s) GROUP BY sh.doc_id),
+        |fpj AS (SELECT toks.doc_id, hm.h AS fp FROM toks JOIN hm ON toks.nt = hm.s)
+        |SELECT fpj.doc_id AS doc_id, fp, coalesce(min_h, fp) AS winnow_fp
+        |FROM fpj LEFT JOIN shmin ON fpj.doc_id = shmin.doc_id
+        |ORDER BY fpj.doc_id""") { (s, d) =>
       t(s, d, "documents")
         .select(col("doc_id"),
           fingerprint(col("text")).as("fp"),
