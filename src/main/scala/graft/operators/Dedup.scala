@@ -184,9 +184,51 @@ object Dedup {
       .select("id_a", "id_b", "hamming")
   }
 
+  /** Embedding near-dup pairs via multi-table hyperplane LSH — the scale
+    * path. Each vector gets `tables` independent `planesPerTable`-bit
+    * signatures (deterministic hash-derived hyperplanes on disjoint index
+    * ranges of the same family — [[Similarity.hyperplaneSignature]]);
+    * candidate pairs share a bucket in ANY table (one hash shuffle on the
+    * (table, signature) key, O(Σ bucket²) not O(n²)) and are verified with
+    * the exact cosine ≥ threshold. Recall for a pair at angle θ is
+    * 1-(1-(1-θ/π)^b)^L — at b=4, L=8: ≈0.75 at cosine 0.4 and ≈0.998 at
+    * 0.9, the regime near-dup curation cares about; raise `tables` for more
+    * recall at proportional cost. [[embeddingCosinePairs]] is the exact
+    * all-pairs cross-check at small scale.
+    */
+  def embeddingCosinePairsLsh(vecs: DataFrame, idCol: String, vecCol: String,
+                              threshold: Double, planesPerTable: Int = 4,
+                              tables: Int = 8): DataFrame = {
+    graft.functions.NativeFunctions.register(vecs.sparkSession)
+    val v = vecs.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("norm", Similarity.l2norm(col("v")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigCols = (0 until tables).map { l =>
+      struct(lit(l).as("tbl"),
+        Similarity.hyperplaneSignature(col("v"), planesPerTable,
+          l * planesPerTable).as("sig"))
+    }
+    val banded = v.select(col(idCol), explode(array(sigCols: _*)).as("bk"))
+      .select(col(idCol), col("bk.tbl").as("tbl"), col("bk.sig").as("sig"))
+    // Candidates are distinct-ed BEFORE the vectors are joined back, so a
+    // pair sharing several buckets is verified once; neither side broadcast.
+    val candidates = banded.select(col(idCol).as("id_a"), col("tbl"), col("sig"))
+      .join(banded.select(col(idCol).as("id_b"), col("tbl"), col("sig")), Seq("tbl", "sig"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    candidates
+      .join(v.select(col(idCol).as("id_a"), col("v").as("v_a"), col("norm").as("n_a")), Seq("id_a"))
+      .join(v.select(col(idCol).as("id_b"), col("v").as("v_b"), col("norm").as("n_b")), Seq("id_b"))
+      .withColumn("cosine", Similarity.dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+
   /** Embedding near-dup pairs: cosine ≥ threshold over `ARRAY<FLOAT>` columns.
-    * Exact (all-pairs) form — fine to a few 10⁵ vectors per run; beyond that
-    * use [[Similarity.lshBucketedNeighbors]] to restrict the pair space.
+    * Exact (all-pairs) form — the small-scale (≤ a few 10⁵ vectors)
+    * cross-check for [[embeddingCosinePairsLsh]], which restricts the pair
+    * space by LSH bucket and is the variant to run at corpus scale.
     */
   def embeddingCosinePairs(vecs: DataFrame, idCol: String, vecCol: String,
                            threshold: Double): DataFrame = {

@@ -117,11 +117,13 @@ object Similarity {
   /** Random-hyperplane LSH signature: bit p = sign(v · h_p) where h_p is the
     * deterministic ±1 hyperplane h_p[i] = sign(xxhash64(p, i)). Buckets
     * cluster directionally-similar vectors; signatures are reproducible
-    * everywhere (hash-derived planes, no RNG state).
+    * everywhere (hash-derived planes, no RNG state). `offset` shifts the
+    * plane indices (p = offset .. offset+planes-1) so callers can draw
+    * INDEPENDENT signatures for multi-table LSH from the same hash family.
     */
-  def hyperplaneSignature(v: Column, planes: Int): Column =
+  def hyperplaneSignature(v: Column, planes: Int, offset: Int = 0): Column =
     aggregate(
-      transform(sequence(lit(0), lit(planes - 1)), p => {
+      transform(sequence(lit(offset), lit(offset + planes - 1)), p => {
         val d = aggregate(
           zip_with(v, sequence(lit(0), size(v) - 1),
             (x, i) => x * when(pmod(xxhash64(p, i), lit(2)) === 0, 1.0).otherwise(-1.0)),

@@ -43,14 +43,15 @@ object AuxDumps {
       norm.union(sh).distinct().select(col("s"), xxhash64(col("s")).as("h"))
     }),
 
-    // s03 (and any hyperplane-LSH consumer at planes=8): the ±1 sign vector
-    // of each deterministic hyperplane, exactly as Similarity
-    // .hyperplaneSignature derives them (sign = +1 iff xxhash64(p, i) is
-    // even, with p and i as INTs — the hash is type-sensitive, so the
-    // sequence/lit types here must stay in lockstep with the operator).
-    "hyperplanes8" -> ((s, d) => {
+    // Hyperplane-LSH consumers — s03 (one 8-plane table, p 0..7) and d06
+    // (8 tables × 4 planes, p 0..31): the ±1 sign vector of each
+    // deterministic hyperplane, exactly as Similarity.hyperplaneSignature
+    // derives them (sign = +1 iff xxhash64(p, i) is even, with p and i as
+    // INTs — the hash is type-sensitive, so the sequence/lit types here must
+    // stay in lockstep with the operator).
+    "hyperplanes32" -> ((s, d) => {
       val dim = t(s, d, "embeddings").select(size(col("embedding"))).head.getInt(0)
-      s.range(1).select(explode(sequence(lit(0), lit(7))).as("p"))
+      s.range(1).select(explode(sequence(lit(0), lit(31))).as("p"))
         .select(col("p"),
           transform(sequence(lit(0), lit(dim - 1)),
             i => when(pmod(xxhash64(col("p"), i), lit(2)) === 0, lit(1.0))

@@ -115,7 +115,43 @@ object ExtensionQueries {
         .orderBy("id_a", "id_b")
     },
 
-    // Embedding-cosine near-dup pairs (exact all-pairs at this scale).
+    // LSH-bucketed embedding near-dup — the scale path (pairs generated
+    // within hyperplane buckets only, exact-cosine verified). Oracled end to
+    // end via the materialized plane signs: DuckDB recomputes every bucket
+    // bit, the within-bucket pairing and the cosine threshold.
+    "d06_dedup_embedding_lsh" -> of(
+      """WITH planes AS (SELECT p, signs FROM read_parquet('{{AUX}}/hyperplanes32/*.parquet')),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |bits AS (
+        |  SELECT vec_id, p,
+        |    CASE WHEN list_sum(list_transform(list_zip(v, signs), x -> x[1] * x[2])) >= 0
+        |      THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+        |  FROM e, planes),
+        |sigs AS (
+        |  SELECT vec_id, p // 4 AS tbl,
+        |    CAST(sum(bit * (1::BIGINT << CAST(3 - (p % 4) AS INT))) AS BIGINT) AS sig
+        |  FROM bits GROUP BY vec_id, p // 4),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM sigs a JOIN sigs b
+        |    ON a.tbl = b.tbl AND a.sig = b.sig AND a.vec_id < b.vec_id),
+        |pairs AS (
+        |  SELECT id_a, id_b,
+        |    list_sum(list_transform(list_zip(ea.v, eb.v), x -> x[1] * x[2]))
+        |    / (sqrt(list_sum(list_transform(ea.v, x -> x*x)))
+        |       * sqrt(list_sum(list_transform(eb.v, x -> x*x)))) AS cosine
+        |  FROM cand
+        |  JOIN e ea ON ea.vec_id = id_a
+        |  JOIN e eb ON eb.vec_id = id_b)
+        |SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.4
+        |ORDER BY id_a, id_b""") { (s, d) =>
+      Dedup.embeddingCosinePairsLsh(t(s, d, "embeddings"), "vec_id", "embedding", 0.4)
+        .orderBy("id_a", "id_b")
+    },
+
+    // Embedding-cosine near-dup pairs — exact all-pairs CROSS-CHECK for d06
+    // (small-scale only; the crossJoin is the documented scale-killer the
+    // LSH variant replaces).
     "d05_dedup_embedding_cosine" -> of(
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |  list_sum(list_transform(list_zip(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])),
@@ -184,7 +220,7 @@ object ExtensionQueries {
     // operator, so the d ≥ 0 threshold sees bit-identical sums), packs the
     // bucket, joins query×corpus within buckets and ranks by exact cosine.
     "s03_sim_ann_lsh" -> of(
-      """WITH planes AS (SELECT p, signs FROM read_parquet('{{AUX}}/hyperplanes8/*.parquet')),
+      """WITH planes AS (SELECT p, signs FROM read_parquet('{{AUX}}/hyperplanes32/*.parquet') WHERE p < 8),
         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |bits AS (
         |  SELECT vec_id, p,

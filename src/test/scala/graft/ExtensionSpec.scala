@@ -83,6 +83,18 @@ class ExtensionSpec extends SparkSpec {
     assert(rows.map(_.toString).toSet === again.map(_.toString).toSet)
   }
 
+  test("LSH cosine dedup: subset of exact all-pairs, same cosines, finds dups") {
+    val exact = Dedup.embeddingCosinePairs(embs, "vec_id", "embedding", 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = Dedup.embeddingCosinePairsLsh(embs, "vec_id", "embedding", 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // every LSH pair is a true pair with the identical exact cosine
+    lsh.foreach { case (k, c) => assert(exact(k) === c) }
+    // recall sanity: the bucketing keeps a usable share of the true pairs
+    assert(exact.nonEmpty && lsh.nonEmpty)
+    assert(lsh.size.toDouble / exact.size > 0.3)
+  }
+
   test("multimodal feature extract: stub features match payload bytes") {
     val media = Multimodal.asMediaTable(docs, "doc_id", "text")
     val feats = Multimodal.extractFeatures(media)
