@@ -6,6 +6,7 @@ import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.{Aggregator, Window}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Similarity search over embedding columns (`ARRAY<FLOAT>`; SURVEY §2.11).
   *
@@ -133,11 +134,78 @@ object Similarity {
       lit(0L),
       (acc, bit) => shiftleft(acc, 1).bitwiseOR(bit))
 
+  /** Deterministic Lloyd k-means for the IVF coarse quantizer. Init = first
+    * k corpus vectors by id; each iteration assigns every vector to its
+    * nearest centroid by cosine (ties → lowest centroid id) and recomputes
+    * per-dimension means. Fully reproducible run to run — the property the
+    * DuckDB oracle needs, since Verify trains twice (query + centroid dump)
+    * and the results must bit-match:
+    *  - per-dimension sums aggregate as DECIMAL(38,18) (exact, so shuffle /
+    *    partial-agg order can't perturb them), divided once on the driver;
+    *  - centroids are collected (k × dim doubles — tiny) and re-broadcast as
+    *    literals each iteration, exactly how MLlib's KMeans iterates;
+    *  - assignment ranks by dot(v,c)/‖c‖ — ‖v‖ is constant per vector so
+    *    the argmax is the cosine argmax without the extra fold.
+    * Empty clusters keep their previous centroid.
+    */
+  def kmeansCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                      k: Int = 16, iters: Int = 3): Array[Array[Double]] = {
+    graft.functions.NativeFunctions.register(corpus.sparkSession)
+    val v = corpus.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var cents: Array[Array[Double]] =
+        v.orderBy("id").limit(k).collect().map(_.getSeq[Double](1).toArray)
+      for (_ <- 0 until iters) {
+        val norms = cents.map(c => math.sqrt(c.foldLeft(0.0)((a, x) => a + x * x)))
+        // struct(sim, -cid): array_max's lexicographic max = highest sim,
+        // then lowest cid — the deterministic tie-break.
+        val simStructs = cents.indices.map { ci =>
+          struct((dot(col("v"), array(cents(ci).toIndexedSeq.map(lit): _*)) / lit(norms(ci))).as("sim"),
+            lit(-ci).as("ncid"))
+        }
+        val assigned = v.withColumn("cid", -array_max(array(simStructs: _*)).getField("ncid"))
+        val sums = assigned
+          .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+          .groupBy("cid", "pos")
+          .agg(sum(col("x").cast(DecimalType(38, 18))).as("s"), count(lit(1)).as("n"))
+          .collect()
+        val next = cents.map(_.clone())
+        sums.foreach { r =>
+          val (cid, pos) = (r.getInt(0), r.getInt(1))
+          next(cid)(pos) = r.getDecimal(2).doubleValue() / r.getLong(3)
+        }
+        cents = next
+      }
+      cents
+    } finally v.unpersist()
+  }
+
+  /** Trained-quantizer IVF ANN: k-means centroids ([[kmeansCentroids]])
+    * instead of the first-N stand-in, same inverted-file search.
+    */
+  def ivfNeighborsTrained(queries: DataFrame, corpus: DataFrame, idCol: String,
+                          vecCol: String, k: Int, nCentroids: Int = 16,
+                          nProbe: Int = 2, iters: Int = 3): DataFrame =
+    ivfFrom(queries, corpus, idCol, vecCol, k,
+      centroidsDf(queries.sparkSession,
+        kmeansCentroids(corpus, idCol, vecCol, nCentroids, iters)), nProbe)
+
+  /** Centroid array → (cid, cvec) DataFrame (shared by the IVF search plan
+    * and the Verify aux dump so both see literally the same values).
+    */
+  def centroidsDf(spark: org.apache.spark.sql.SparkSession,
+                  cents: Array[Array[Double]]): DataFrame = {
+    import spark.implicits._
+    cents.zipWithIndex.map { case (c, i) => (i.toLong, c.toSeq) }.toSeq
+      .toDF("cid", "cvec")
+  }
+
   /** IVF-style approximate nearest neighbors with a deterministic coarse
     * quantizer (SURVEY §2.11 "IVF or LSH-bucketed variant as the scale path").
     * The coarse "centroids" are the first `nCentroids` corpus vectors by id —
-    * a deterministic stand-in for trained k-means centers (training adds no
-    * new plumbing, only better centers). Every corpus vector is assigned to
+    * the untrained stand-in kept as [[ivfNeighborsTrained]]'s cross-check.
+    * Every corpus vector is assigned to
     * its max-cosine centroid (the inverted file); a query probes its `nProbe`
     * closest centroids and ranks only those lists — at scale the corpus is
     * hash-partitioned by centroid id, so a probe touches nProbe/nCentroids of
@@ -145,12 +213,21 @@ object Similarity {
     */
   def ivfNeighbors(queries: DataFrame, corpus: DataFrame, idCol: String,
                    vecCol: String, k: Int, nCentroids: Int = 16,
-                   nProbe: Int = 2): DataFrame = {
-    graft.functions.NativeFunctions.register(queries.sparkSession)
-    val cent = broadcast(
+                   nProbe: Int = 2): DataFrame =
+    ivfFrom(queries, corpus, idCol, vecCol, k,
       corpus.filter(col(idCol) < nCentroids)
-        .select(col(idCol).as("cid"), col(vecCol).cast("array<double>").as("cvec"))
-        .withColumn("c_norm", l2norm(col("cvec"))))
+        .select(col(idCol).as("cid"), col(vecCol).cast("array<double>").as("cvec")),
+      nProbe)
+
+  /** Shared inverted-file search: assign corpus to max-cosine centroid,
+    * probe nProbe lists per query, exact-cosine rank within them. The
+    * centroid table is broadcast (k × dim — always small).
+    */
+  private def ivfFrom(queries: DataFrame, corpus: DataFrame, idCol: String,
+                      vecCol: String, k: Int, centroids: DataFrame,
+                      nProbe: Int): DataFrame = {
+    graft.functions.NativeFunctions.register(queries.sparkSession)
+    val cent = broadcast(centroids.withColumn("c_norm", l2norm(col("cvec"))))
     def closestCentroids(df: DataFrame, idAs: String, vecAs: String, n: Int) = {
       val w = Window.partitionBy(col(idAs)).orderBy(col("c_sim").desc, col("cid"))
       df.select(col(idCol).as(idAs), col(vecCol).cast("array<double>").as(vecAs))

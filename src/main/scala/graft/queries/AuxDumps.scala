@@ -43,6 +43,16 @@ object AuxDumps {
       norm.union(sh).distinct().select(col("s"), xxhash64(col("s")).as("h"))
     }),
 
+    // s04: the trained IVF coarse quantizer. Training is bit-reproducible
+    // (decimal sums, driver-side division — see Similarity.kmeansCentroids),
+    // so this second training inside Verify emits exactly the centroids the
+    // s04 query plan used; the oracle consumes them and recomputes
+    // assignment, probing and ranking in SQL.
+    "s04_centroids" -> ((s, d) =>
+      graft.operators.Similarity.centroidsDf(s,
+        graft.operators.Similarity.kmeansCentroids(
+          t(s, d, "embeddings"), "vec_id", "embedding"))),
+
     // Hyperplane-LSH consumers — s03 (one 8-plane table, p 0..7) and d06
     // (8 tables × 4 planes, p 0..31): the ±1 sign vector of each
     // deterministic hyperplane, exactly as Similarity.hyperplaneSignature
@@ -50,7 +60,7 @@ object AuxDumps {
     // INTs — the hash is type-sensitive, so the sequence/lit types here must
     // stay in lockstep with the operator).
     "hyperplanes32" -> ((s, d) => {
-      val dim = t(s, d, "embeddings").select(size(col("embedding"))).head.getInt(0)
+      val dim = t(s, d, "embeddings").select(size(col("embedding"))).head().getInt(0)
       s.range(1).select(explode(sequence(lit(0), lit(31))).as("p"))
         .select(col("p"),
           transform(sequence(lit(0), lit(dim - 1)),

@@ -251,15 +251,17 @@ object ExtensionQueries {
         .orderBy("query_id", "rank")
     },
 
-    // IVF ANN with a deterministic coarse quantizer — unlike hash-based LSH
-    // this variant IS SQL-expressible, so the whole inverted-file path
-    // (assignment, probing, in-list ranking) is oracle-checked.
+    // IVF ANN with a TRAINED deterministic coarse quantizer (reproducible
+    // k-means, Similarity.kmeansCentroids). The centroids are materialized
+    // by Verify (AuxDumps "s04_centroids"); the oracle consumes them and
+    // recomputes the whole inverted-file path — assignment, probing,
+    // in-list ranking — in SQL.
     "s04_sim_ann_ivf" -> of {
       def cos(a: String, b: String) =
         s"list_sum(list_transform(list_zip($a, $b), x -> x[1] * x[2])) / " +
           s"(sqrt(list_sum(list_transform($a, x -> x*x))) * sqrt(list_sum(list_transform($b, x -> x*x))))"
       s"""WITH corp AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |cent AS (SELECT vec_id AS cid, v AS cv FROM corp WHERE vec_id < 16),
+         |cent AS (SELECT cid, cvec AS cv FROM read_parquet('{{AUX}}/s04_centroids/*.parquet')),
          |assign AS (
          |  SELECT vec_id AS neighbor_id, cid, v AS nv FROM (
          |    SELECT c.vec_id, ct.cid, c.v,
@@ -282,7 +284,7 @@ object ExtensionQueries {
          |  FROM cand) x WHERE rank <= 5 ORDER BY query_id, rank"""
     } { (s, d) =>
       val e = t(s, d, "embeddings")
-      Similarity.ivfNeighbors(e.filter(col("vec_id") < 10), e, "vec_id", "embedding", 5)
+      Similarity.ivfNeighborsTrained(e.filter(col("vec_id") < 10), e, "vec_id", "embedding", 5)
         .orderBy("query_id", "rank")
     },
 

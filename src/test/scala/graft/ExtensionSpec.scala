@@ -95,6 +95,30 @@ class ExtensionSpec extends SparkSpec {
     assert(lsh.size.toDouble / exact.size > 0.3)
   }
 
+  test("k-means: bit-reproducible across trainings; trained IVF recall >= first-N") {
+    val c1 = Similarity.kmeansCentroids(embs, "vec_id", "embedding")
+    val c2 = Similarity.kmeansCentroids(embs, "vec_id", "embedding")
+    assert(c1.map(_.toSeq).toSeq === c2.map(_.toSeq).toSeq) // exact, not approx
+    // Queries must be DISJOINT from the first-N centroid seeds (vec_id < 16):
+    // a query that IS a centroid gets its own perfectly-tailored cell, which
+    // inflates first-N recall artificially.
+    val q = embs.filter(col("vec_id") >= 100 && col("vec_id") < 120)
+    val truth = Similarity.cosineTopKWindow(q, embs, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.select("query_id", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (got intersect truth).size.toDouble / truth.size
+    }
+    for (nProbe <- Seq(2, 3)) {
+      val trained = recall(Similarity.ivfNeighborsTrained(q, embs, "vec_id", "embedding", 5, 16, nProbe))
+      val firstN = recall(Similarity.ivfNeighbors(q, embs, "vec_id", "embedding", 5, 16, nProbe))
+      assert(trained >= firstN,
+        s"nProbe=$nProbe: trained recall $trained < first-N recall $firstN")
+    }
+  }
+
   test("multimodal feature extract: stub features match payload bytes") {
     val media = Multimodal.asMediaTable(docs, "doc_id", "text")
     val feats = Multimodal.extractFeatures(media)
