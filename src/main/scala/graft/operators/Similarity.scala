@@ -67,10 +67,16 @@ object Similarity {
   }
 
   /** All (query, corpus) cosine pairs for `queries` × `corpus` (minus
-    * self-pairs). The query side is broadcast; the corpus side never moves.
+    * self-pairs). With `broadcastQueries` (the default) the query side is
+    * broadcast and the corpus side never moves — correct for the "small
+    * query set vs huge corpus" shape, but a LARGE query set would OOM the
+    * driver instead of changing the plan; callers ranking corpus-vs-corpus
+    * must pass `broadcastQueries = false`, which leaves the join strategy to
+    * Catalyst/AQE (cartesian or size-based broadcast).
     */
   private def scoredPairs(queries: DataFrame, corpus: DataFrame,
-                          idCol: String, vecCol: String): DataFrame = {
+                          idCol: String, vecCol: String,
+                          broadcastQueries: Boolean = true): DataFrame = {
     graft.functions.NativeFunctions.register(queries.sparkSession)
     // norms precomputed once per ROW (|Q|+|C| folds), not once per PAIR —
     // the pair loop then does a single dot product instead of three.
@@ -81,7 +87,7 @@ object Similarity {
     val c = corpus.select(col(idCol).as("neighbor_id"),
       col(vecCol).cast("array<double>").as("cv"))
       .withColumn("c_norm", l2norm(col("cv")))
-    broadcast(q).crossJoin(c)
+    (if (broadcastQueries) broadcast(q) else q).crossJoin(c)
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", dot(col("qv"), col("cv")) / (col("q_norm") * col("c_norm")))
   }
@@ -91,9 +97,10 @@ object Similarity {
     * before any shuffle — the 100 TB-shaped plan.
     */
   def cosineTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
-                 vecCol: String, k: Int): DataFrame = {
+                 vecCol: String, k: Int,
+                 broadcastQueries: Boolean = true): DataFrame = {
     val topk = udaf(new TopKAggregator(k), ExpressionEncoder[Scored]())
-    scoredPairs(queries, corpus, idCol, vecCol)
+    scoredPairs(queries, corpus, idCol, vecCol, broadcastQueries)
       .groupBy(col("query_id"))
       .agg(topk(col("neighbor_id"), col("cosine")).as("neighbors"))
       .select(col("query_id"),
@@ -106,10 +113,11 @@ object Similarity {
     * shuffles the full pair space; kept as the cross-check/reference plan.
     */
   def cosineTopKWindow(queries: DataFrame, corpus: DataFrame, idCol: String,
-                       vecCol: String, k: Int): DataFrame = {
+                       vecCol: String, k: Int,
+                       broadcastQueries: Boolean = true): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
-    scoredPairs(queries, corpus, idCol, vecCol)
+    scoredPairs(queries, corpus, idCol, vecCol, broadcastQueries)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "cosine")

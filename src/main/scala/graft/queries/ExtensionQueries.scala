@@ -23,6 +23,12 @@ import graft.queries.QueryDef.of
   */
 object ExtensionQueries {
 
+  /** Memory-sink names must be unique per invocation within a session (a
+    * re-registered name would collide); a monotonic counter is the simplest
+    * collision-free source.
+    */
+  private val sinkCounter = new java.util.concurrent.atomic.AtomicLong(0)
+
   /** Shared oracle: exact k=4 word-shingle Jaccard pairs at J ≥ 0.5.
     * Shape mirrors Dedup.ngramJaccardPairs: distinct (doc, shingle) →
     * self-join → pair counts → set sizes → ratio.
@@ -507,7 +513,7 @@ object ExtensionQueries {
         |      < (SELECT MAX(CAST(ts AS TIMESTAMP)) FROM events) - INTERVAL 1 MINUTE
         |ORDER BY user_id, session_no""") { (s, d) =>
       import graft.streaming.{EventsStream, SessionizeStream}
-      val sinkName = s"stream_sessions_${System.identityHashCode(s)}"
+      val sinkName = s"stream_sessions_${sinkCounter.incrementAndGet()}"
       EventsStream.runAvailableNow(
         SessionizeStream.sessions(EventsStream.readEvents(s, d)).toDF(), sinkName)
       s.table(sinkName).orderBy("user_id", "session_no")

@@ -119,6 +119,19 @@ class ExtensionSpec extends SparkSpec {
     }
   }
 
+  test("topK without query-side broadcast: same results, no broadcast hint") {
+    val q = embs.filter(col("vec_id") < 5)
+    val hinted = Similarity.cosineTopK(q, embs, "vec_id", "embedding", 5)
+    val unhinted = Similarity.cosineTopK(q, embs, "vec_id", "embedding", 5,
+      broadcastQueries = false)
+    assert(unhinted.collect().map(_.toString).sorted
+      === hinted.collect().map(_.toString).sorted)
+    // the guard really removes the hint: no broadcast marker below the join
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    assert(hinted.queryExecution.analyzed.collect { case h: ResolvedHint => h }.nonEmpty)
+    assert(unhinted.queryExecution.analyzed.collect { case h: ResolvedHint => h }.isEmpty)
+  }
+
   test("multimodal feature extract: stub features match payload bytes") {
     val media = Multimodal.asMediaTable(docs, "doc_id", "text")
     val feats = Multimodal.extractFeatures(media)
