@@ -51,6 +51,25 @@ class PlanSpec extends SparkSpec {
     assert(aggs >= 2, s"expected partial+final ObjectHashAggregate:\n${plan.take(800)}")
   }
 
+  test("d06: LSH dedup never plans an all-pairs join (bucket-join only)") {
+    // All-pairs shows up as CartesianProduct, or as BroadcastNestedLoopJoin
+    // when AQE broadcasts the small side of a cross join.
+    def allPairs(plan: String) =
+      plan.contains("CartesianProduct") || plan.contains("BroadcastNestedLoopJoin")
+    val plan = physicalPlan("d06_dedup_embedding_lsh")
+    assert(!allPairs(plan),
+      s"LSH dedup must pair within buckets, not all-pairs:\n${plan.take(800)}")
+    // d05 (the exact cross-check) IS the all-pairs form — sanity that the
+    // assertion above is meaningful:
+    assert(allPairs(physicalPlan("d05_dedup_embedding_cosine")))
+  }
+
+  test("s04: centroid table broadcasts; corpus never moves for assignment") {
+    val plan = physicalPlan("s04_sim_ann_ivf")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"centroids must broadcast:\n${plan.take(800)}")
+  }
+
   test("runAndSubmit posts one FeatureCollection through a pluggable poster") {
     var posted: Option[(String, String)] = None
     graft.CotripPipeline(TaskConfig("tok")).runAndSubmit(
