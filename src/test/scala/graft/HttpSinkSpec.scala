@@ -53,6 +53,61 @@ class HttpSinkSpec extends SparkSpec {
     }
   }
 
+  test("DSv2 batch write: format(jsonl-http).save() posts every row") {
+    withServer { (endpoint, recorded) =>
+      import spark.implicits._
+      val rows = (0 until 40).map(i => s"""{"n":$i}""")
+      rows.toDS().toDF("json").repartition(3)
+        .write.format("jsonl-http")
+        .option("endpoint", endpoint).option("batchSize", "7")
+        .mode("append").save()
+      val lines = recorded.synchronized(recorded.flatMap(_.body.split("\n")).toVector)
+      assert(lines.sorted === rows.sorted)
+      recorded.synchronized(recorded.foreach { r =>
+        assert(r.body.split("\n").length <= 7)
+        assert(r.epoch === "-1")
+      })
+    }
+  }
+
+  test("DSv2 write rejects multi-column and missing-endpoint inputs") {
+    import spark.implicits._
+    val df = Seq(("a", 1)).toDF("json", "n")
+    val err = intercept[Exception] {
+      df.write.format("jsonl-http").option("endpoint", "http://x").mode("append").save()
+    }
+    assert(err.getMessage.contains("one STRING column"))
+    val err2 = intercept[Exception] {
+      Seq("a").toDF("json").write.format("jsonl-http").mode("append").save()
+    }
+    assert(err2.getMessage.contains("endpoint"))
+  }
+
+  test("DSv2 streaming write: epochs advance across micro-batches") {
+    withServer { (endpoint, recorded) =>
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val ctx = spark.sqlContext
+      import spark.implicits._
+      val ms = MemoryStream[String]
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-dsv2-ckpt").toString
+      val q = ms.toDS().toDF("json").writeStream
+        .format("jsonl-http")
+        .option("endpoint", endpoint)
+        .option("checkpointLocation", ckpt)
+        .start()
+      try {
+        ms.addData("a", "b")
+        q.processAllAvailable()
+        ms.addData("c")
+        q.processAllAvailable()
+      } finally q.stop()
+      val byEpoch = recorded.synchronized(recorded.groupBy(_.epoch).view
+        .mapValues(_.flatMap(_.body.split("\n")).toSet).toMap)
+      assert(byEpoch.size === 2)
+      assert(byEpoch.values.reduce(_ ++ _) === Set("a", "b", "c"))
+    }
+  }
+
   test("streaming foreach sink posts each micro-batch with epoch headers") {
     withServer { (endpoint, recorded) =>
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
