@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+import graft.functions.DotProduct
+
+/** Session-extension entry point (SURVEY §4.2): registers graft's native
+  * Catalyst expressions at session build time, the idiomatic deployment for
+  * a library extension —
+  *
+  * {{{
+  *   spark-submit --conf spark.sql.extensions=graft.GraftExtensions ...
+  *   // or
+  *   SparkSession.builder().withExtensions(new GraftExtensions) ...
+  * }}}
+  *
+  * Operators also self-register lazily ([[graft.functions.NativeFunctions
+  * .register]]) so the library works without any session configuration; the
+  * extension route additionally exposes `dot_product` to pure-SQL sessions
+  * (thriftserver, spark-sql) where no operator code runs first.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        DotProduct(exprs(0), exprs(1))))
+  }
+}

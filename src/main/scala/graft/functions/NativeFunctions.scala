@@ -91,10 +91,19 @@ case class DotProduct(left: Expression, right: Expression)
 
 object NativeFunctions {
 
-  /** Idempotent session registration; exposes `dot_product` to SQL too. */
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "dot_product", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+  /** Idempotent session registration; exposes `dot_product` to SQL too.
+    * Skips when already present (avoids the re-registration WARN that every
+    * operator call would otherwise log; [[graft.GraftExtensions]] is the
+    * config-time alternative).
+    */
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    if (!registry.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("dot_product"))) {
+      registry.createOrReplaceTempFunction(
+        "dot_product", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+    }
+  }
 
   def dotProduct(spark: SparkSession, a: Column, b: Column): Column = {
     register(spark)

@@ -519,6 +519,23 @@ object ExtensionQueries {
       s.table(sinkName).orderBy("user_id", "session_no")
     },
 
+    // STREAMING dedup, driver-checked: dropDuplicatesWithinWatermark runs as
+    // a real AvailableNow streaming query into a memory sink. The output
+    // projects only the dedup keys (survivor choice within a batch is
+    // engine-determined; the key set is not), so the emission contract is
+    // exactly DISTINCT over the feed.
+    "e05_stream_dedup" -> of(
+      """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""") { (s, d) =>
+      import graft.streaming.EventsStream
+      val sinkName = s"stream_dedup_${sinkCounter.incrementAndGet()}"
+      EventsStream.runAvailableNow(
+        EventsStream.dedupWithinWatermark(
+          EventsStream.readEvents(s, d), Seq("user_id", "event_type")), sinkName)
+      s.table(sinkName).select("user_id", "event_type")
+        .orderBy("user_id", "event_type")
+    },
+
     // Tumbling-window aggregation (the batch equivalent of the streaming
     // windowed agg; Structured Streaming runs the same plan via readStream).
     "e02_event_windows" -> of(

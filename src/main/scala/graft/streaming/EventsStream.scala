@@ -50,6 +50,21 @@ object EventsStream {
         sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("total_value"))
       .select(col("w.start").as("win"), col("event_type"), col("n"), col("total_value"))
 
+  /** Streaming deduplication with watermark-bounded state (the streaming
+    * twin of `Dedup.exact` for at-least-once event feeds): a key re-arriving
+    * within `delay` of the watermark is dropped as a duplicate; key state
+    * older than the watermark is evicted, so the store is O(keys per delay
+    * window), not O(stream length). Emission: the first sighting of a key
+    * emits in its micro-batch (append mode). Survivor choice within a batch
+    * is engine-determined, so deterministic consumers should project the key
+    * columns (the e05 query contract).
+    */
+  def dedupWithinWatermark(events: DataFrame, keys: Seq[String],
+                           watermarkCol: String = "ts",
+                           delay: String = "2 hours"): DataFrame =
+    events.withWatermark(watermarkCol, delay)
+      .dropDuplicatesWithinWatermark(keys)
+
   /** Run a streaming query to a named in-memory sink with AvailableNow
     * semantics (process everything present, then stop) — the direct
     * equivalent of the reference's scheduled full-snapshot invocation.

@@ -139,6 +139,31 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.except(batch).count() === 0)
   }
 
+  test("streaming dedup drops within-watermark re-arrivals across batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[(java.sql.Timestamp, Long, String)]
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$min%02d:00")
+    val q = graft.streaming.EventsStream.dedupWithinWatermark(
+      ms.toDF().toDF("ts", "user_id", "event_type"),
+      Seq("user_id", "event_type"), delay = "30 minutes")
+      .select("user_id", "event_type")
+      .writeStream.format("memory").queryName("stream_dedup_mb")
+      .outputMode("append").start()
+    try {
+      ms.addData((ts(0), 1L, "click"), (ts(1), 1L, "click"), (ts(2), 2L, "view"))
+      q.processAllAvailable()
+      // batch 2: (1, click) re-arrives within the watermark -> duplicate
+      ms.addData((ts(5), 1L, "click"), (ts(6), 3L, "click"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("stream_dedup_mb")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(out.size === out.distinct.size, "no key may be emitted twice")
+    assert(out.toSet === Set((1L, "click"), (2L, "view"), (3L, "click")))
+  }
+
   test("watermark evicts finalized windows in append mode") {
     val stream = EventsStream.readEvents(spark, dir)
     EventsStream.runAvailableNow(
