@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions.tokens
+
+/** Corpus-assembly operators for training-data pipelines (SURVEY §2.11):
+  * reproducible splits, per-source quotas, vocabulary building. Everything is
+  * hash-deterministic — re-running any of these on the same corpus yields
+  * the same assignment on any cluster, which is what makes a 100 TB corpus
+  * build auditable (no RNG state, no partition-order dependence).
+  */
+object CorpusOps {
+
+  /** Deterministic bucket in [0, 100) for an id — the basis for splits and
+    * quota ordering. xxhash64 decorrelates the bucket from any id structure
+    * (sequential ids, sharded ranges); `pmod` keeps it non-negative.
+    */
+  def hashBucket(id: Column): Column = pmod(xxhash64(id), lit(100L))
+
+  /** Reproducible train/val/test (or any) split: `weights` are cumulative
+    * percentage cut-points over the hash bucket, e.g.
+    * `Seq("train" -> 90, "val" -> 95, "test" -> 100)` → 90/5/5. A row's split
+    * follows its id alone — stable under corpus growth, re-partitioning and
+    * re-runs; adding documents never moves an existing one between splits
+    * (the leakage guarantee contamination audits rely on).
+    */
+  def hashSplit(df: DataFrame, idCol: String,
+                weights: Seq[(String, Int)]): DataFrame = {
+    require(weights.nonEmpty && weights.last._2 == 100,
+      "weights must be cumulative cut-points ending at 100")
+    val b = hashBucket(col(idCol))
+    val expr = weights.init.reverse.foldLeft(lit(weights.last._1)) {
+      case (acc, (name, cut)) => when(b < cut, lit(name)).otherwise(acc)
+    }
+    df.withColumn("split", expr)
+  }
+
+  /** Per-group quota sampling (source mixing): keep at most `quota` rows per
+    * `groupCol`, chosen by hash order (unbiased w.r.t. id ordering) with the
+    * id as the deterministic tiebreak. One shuffle on the group key; the
+    * per-group ranking never materializes more than the group's rows.
+    */
+  def quotaPerGroup(df: DataFrame, groupCol: String, idCol: String,
+                    quota: Int): DataFrame = {
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(xxhash64(col(idCol)), col(idCol))
+    df.withColumn("__qrn", row_number().over(w))
+      .filter(col("__qrn") <= quota)
+      .drop("__qrn")
+  }
+
+  /** Vocabulary head: the `k` most document-frequent tokens with total
+    * occurrence counts (the seed stats for tokenizer training / stopword
+    * lists). Shape: explode → two-level aggregate — both aggregations
+    * partial-combine map-side, so the shuffle carries one row per distinct
+    * (doc, token) resp. token, never the token stream.
+    */
+  def vocabTopK(docs: DataFrame, idCol: String, textCol: String,
+                k: Int): DataFrame = {
+    val tok = docs.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+    val perDoc = tok.groupBy(col(idCol), col("tok"))
+      .agg(count(lit(1)).as("occ"))
+    perDoc.groupBy(col("tok"))
+      .agg(count(lit(1)).as("doc_freq"), sum(col("occ")).as("occurrences"))
+      .orderBy(col("doc_freq").desc, col("tok"))
+      .limit(k)
+  }
+}

@@ -43,6 +43,13 @@ object AuxDumps {
       norm.union(sh).distinct().select(col("s"), xxhash64(col("s")).as("h"))
     }),
 
+    // t05/q31: xxhash64 over the document id — the split/quota primitive.
+    // Keyed by doc_id; the oracle recomputes bucketing, cut-points and
+    // per-source hash-order ranking from it in SQL.
+    "doc_hashes" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), xxhash64(col("doc_id")).as("h"))),
+
     // s04: the trained IVF coarse quantizer. Training is bit-reproducible
     // (decimal sums, driver-side division — see Similarity.kmeansCentroids),
     // so this second training inside Verify emits exactly the centroids the

@@ -387,6 +387,56 @@ object ExtensionQueries {
         .orderBy("doc_id")
     },
 
+    // ---- corpus assembly --------------------------------------------------
+
+    // Reproducible train/val/test split (90/5/5) keyed on the id hash alone:
+    // stable under growth/re-partitioning, no RNG. Oracle recomputes the
+    // bucketing and cut-points from the materialized id hashes.
+    "t05_corpus_split" -> of(
+      """WITH dh AS (SELECT doc_id, h FROM read_parquet('{{AUX}}/doc_hashes/*.parquet')),
+        |b AS (SELECT doc_id, ((h % 100) + 100) % 100 AS bucket FROM dh)
+        |SELECT doc_id,
+        |  CASE WHEN bucket < 90 THEN 'train'
+        |       WHEN bucket < 95 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM b ORDER BY doc_id""") { (s, d) =>
+      graft.operators.CorpusOps.hashSplit(t(s, d, "documents"), "doc_id",
+        Seq("train" -> 90, "val" -> 95, "test" -> 100))
+        .select("doc_id", "split")
+        .orderBy("doc_id")
+    },
+
+    // Per-source quota sampling (source mixing): at most 20 docs per source,
+    // chosen in hash order. Oracle reproduces the ranking from the same id
+    // hashes.
+    "q31_source_quota" -> of(
+      """WITH dh AS (SELECT doc_id, h FROM read_parquet('{{AUX}}/doc_hashes/*.parquet')),
+        |ranked AS (
+        |  SELECT d.doc_id, d.source,
+        |    ROW_NUMBER() OVER (PARTITION BY d.source ORDER BY dh.h, d.doc_id) AS rn
+        |  FROM documents d JOIN dh ON d.doc_id = dh.doc_id)
+        |SELECT doc_id, source FROM ranked WHERE rn <= 20
+        |ORDER BY doc_id""") { (s, d) =>
+      graft.operators.CorpusOps.quotaPerGroup(t(s, d, "documents"), "source", "doc_id", 20)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    },
+
+    // Vocabulary head: top-100 tokens by document frequency (tokenizer /
+    // stopword seed stats). Pure SQL — no hash primitive involved.
+    "t06_vocab_topk" -> of(
+      """WITH tok AS (
+        |  SELECT doc_id, u.tok
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents) d,
+        |    UNNEST(tk) AS u(tok)),
+        |per_doc AS (
+        |  SELECT doc_id, tok, COUNT(*) AS occ FROM tok GROUP BY doc_id, tok)
+        |SELECT tok, COUNT(*) AS doc_freq, CAST(SUM(occ) AS BIGINT) AS occurrences
+        |FROM per_doc GROUP BY tok
+        |ORDER BY doc_freq DESC, tok LIMIT 100""") { (s, d) =>
+      graft.operators.CorpusOps.vocabTopK(t(s, d, "documents"), "doc_id", "text", 100)
+    },
+
     // ---- multimodal -------------------------------------------------------
 
     // Binary payload plumbing + partition-batched (stubbed) feature extract.

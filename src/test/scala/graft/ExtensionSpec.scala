@@ -145,6 +145,24 @@ class ExtensionSpec extends SparkSpec {
     }
   }
 
+  test("hash split: stable under corpus growth; quota bound holds per group") {
+    import graft.operators.CorpusOps
+    val weights = Seq("train" -> 90, "val" -> 95, "test" -> 100)
+    val full = CorpusOps.hashSplit(docs, "doc_id", weights)
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // the leakage guarantee: splitting a SUBSET assigns identical labels
+    val subset = CorpusOps.hashSplit(docs.filter(col("doc_id") % 3 === 0), "doc_id", weights)
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    subset.foreach { case (id, s) => assert(full(id) === s) }
+    assert(full.values.toSet === Set("train", "val", "test"))
+    val quota = CorpusOps.quotaPerGroup(docs, "source", "doc_id", 5)
+    val sizes = quota.groupBy("source").count().collect().map(_.getLong(1))
+    assert(sizes.forall(_ <= 5))
+    assert(quota.count() ===
+      docs.groupBy("source").count().collect()
+        .map(r => math.min(r.getLong(1), 5L)).sum)
+  }
+
   test("exact dedup keeps lowest tiebreak row and all groups") {
     val out = Dedup.exact(docs, Seq("lang", "source"), "doc_id")
     val groups = docs.select("lang", "source").distinct().count()
