@@ -52,6 +52,47 @@ object CorpusOps {
       .drop("__qrn")
   }
 
+  /** Corpus length profile: exact token-count percentiles alongside the
+    * sketch the 100 TB path would use. Exact `percentile` is a full sort —
+    * affordable for a profile pass, and the value the oracle can check;
+    * `percentile_approx` (GK sketch, mergeable, one pass) rides along with a
+    * closeness-contract column instead of a value check, because no two
+    * engines sketch identically (same pattern as the q23 HLL contract).
+    */
+  def tokenPercentiles(docs: DataFrame, textCol: String,
+                       ps: Seq[Double]): DataFrame = {
+    val nTok = docs.select(size(tokens(col(textCol))).as("n_tokens"))
+    nTok.agg(
+      percentile(col("n_tokens"), array(ps.map(lit): _*)).as("qs"),
+      percentile_approx(col("n_tokens"), array(ps.map(lit): _*), lit(10000)).as("qa"))
+      .select(posexplode(arrays_zip(col("qs"), col("qa"))).as(Seq("idx", "z")))
+      .select(col("idx"), col("z.qs").as("q"),
+        when(abs(col("z.qa") - col("z.qs")) <= lit(0.02) * col("z.qs") + lit(1.0), 1)
+          .otherwise(0).as("approx_within_contract"))
+  }
+
+  /** Per-document top TF-IDF terms: tf(doc, t) · ln(N / df(t)). The corpus
+    * size N travels as a broadcast 1-row aggregate (never a driver collect);
+    * the doc-frequency table joins on the token key (O(vocab) — a shuffle
+    * join, deliberately unhinted so AQE may broadcast it only when small).
+    * One row_number per doc bounds the output.
+    */
+  def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+                    topPerDoc: Int): DataFrame = {
+    val tok = docs.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+    val tf = tok.groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("tfidf").desc, col("tok"))
+    tf.join(dfreq, "tok")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        col("tf") * log(col("n_docs").cast("double") / col("df")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topPerDoc)
+      .select(col(idCol), col("rank"), col("tok"), col("tfidf"))
+  }
+
   /** Vocabulary head: the `k` most document-frequent tokens with total
     * occurrence counts (the seed stats for tokenizer training / stopword
     * lists). Shape: explode → two-level aggregate — both aggregations

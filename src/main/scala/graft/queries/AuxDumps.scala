@@ -50,6 +50,22 @@ object AuxDumps {
       t(s, d, "documents")
         .select(col("doc_id"), xxhash64(col("doc_id")).as("h"))),
 
+    // t08: df → idf = ln(N/df) mapping. Spark's Log expression evaluates via
+    // StrictMath.log (fdlibm), which differs from DuckDB's libm ln by 1 ulp
+    // on some ratios — so the transcendental is treated as a primitive and
+    // materialized (like the hashes), and the oracle recomputes everything
+    // around it: tf, df, the join, the product, the ranking.
+    "t08_idf" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+        .select("df").distinct()
+        .crossJoin(docs.agg(count(lit(1)).as("n_docs")))
+        .select(col("df"),
+          log(col("n_docs").cast("double") / col("df")).as("idf"))
+    }),
+
     // s04: the trained IVF coarse quantizer. Training is bit-reproducible
     // (decimal sums, driver-side division — see Similarity.kmeansCentroids),
     // so this second training inside Verify emits exactly the centroids the

@@ -437,6 +437,49 @@ object ExtensionQueries {
       graft.operators.CorpusOps.vocabTopK(t(s, d, "documents"), "doc_id", "text", 100)
     },
 
+    // Corpus length profile: exact percentiles oracle-checked; the
+    // percentile_approx sketch rides along as a closeness-contract column
+    // (q23 HLL pattern — engines never sketch identically).
+    "t07_token_percentiles" -> of(
+      """WITH t AS (SELECT len(string_split(text, ' ')) AS n_tokens FROM documents)
+        |SELECT 0 AS idx, quantile_cont(n_tokens, 0.25) AS q, 1 AS approx_within_contract FROM t
+        |UNION ALL SELECT 1, quantile_cont(n_tokens, 0.5), 1 FROM t
+        |UNION ALL SELECT 2, quantile_cont(n_tokens, 0.75), 1 FROM t
+        |UNION ALL SELECT 3, quantile_cont(n_tokens, 0.9), 1 FROM t
+        |ORDER BY idx""") { (s, d) =>
+      graft.operators.CorpusOps.tokenPercentiles(
+        t(s, d, "documents"), "text", Seq(0.25, 0.5, 0.75, 0.9))
+        .orderBy("idx")
+    },
+
+    // Per-doc top TF-IDF terms (bounded to the first 50 docs for output
+    // size). The idf values come from the materialized df→ln(N/df) mapping
+    // (AuxDumps "t08_idf": Spark's StrictMath.log differs from DuckDB's ln
+    // by 1 ulp on some ratios); tf, df, the join, the product and the
+    // ranking are all recomputed in SQL.
+    "t08_tfidf_topterms" -> of(
+      """WITH idfmap AS (SELECT df, idf FROM read_parquet('{{AUX}}/t08_idf/*.parquet')),
+        |tok AS (
+        |  SELECT doc_id, u.tok
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents) d,
+        |    UNNEST(tk) AS u(tok)),
+        |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tok GROUP BY doc_id, tok),
+        |dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.tok, tf.tf * idf AS tfidf
+        |  FROM tf JOIN dfreq USING (tok) JOIN idfmap USING (df)),
+        |ranked AS (
+        |  SELECT doc_id, tok, tfidf,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, tok) AS rank
+        |  FROM scored)
+        |SELECT doc_id, rank, tok, tfidf FROM ranked
+        |WHERE rank <= 3 AND doc_id < 50
+        |ORDER BY doc_id, rank""") { (s, d) =>
+      graft.operators.CorpusOps.tfidfTopTerms(t(s, d, "documents"), "doc_id", "text", 3)
+        .filter(col("doc_id") < 50)
+        .orderBy("doc_id", "rank")
+    },
+
     // ---- multimodal -------------------------------------------------------
 
     // Binary payload plumbing + partition-batched (stubbed) feature extract.
