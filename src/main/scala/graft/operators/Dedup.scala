@@ -203,10 +203,15 @@ object Dedup {
     val v = vecs.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
       .withColumn("norm", Similarity.l2norm(col("v")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // signs hoisted once for all tables (bit-identical to the per-row HOF
+    // signature — see Similarity.hyperplaneSignatureFrom)
+    val dim = vecs.select(size(col(vecCol))).head().getInt(0)
+    val allSigns = Similarity.hyperplaneSigns(vecs.sparkSession,
+      tables * planesPerTable, 0, dim)
     val sigCols = (0 until tables).map { l =>
       struct(lit(l).as("tbl"),
-        Similarity.hyperplaneSignature(col("v"), planesPerTable,
-          l * planesPerTable).as("sig"))
+        Similarity.hyperplaneSignatureFrom(col("v"),
+          allSigns.slice(l * planesPerTable, (l + 1) * planesPerTable)).as("sig"))
     }
     val banded = v.select(col(idCol), explode(array(sigCols: _*)).as("bk"))
       .select(col(idCol), col("bk.tbl").as("tbl"), col("bk.sig").as("sig"))

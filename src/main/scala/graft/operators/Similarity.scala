@@ -142,6 +142,33 @@ object Similarity {
       lit(0L),
       (acc, bit) => shiftleft(acc, 1).bitwiseOR(bit))
 
+  /** The ±1 sign vectors of planes `offset .. offset+planes-1`, materialized
+    * once (tiny Spark job reusing the exact [[hyperplaneSignature]] hash
+    * expressions, so the values are identical by construction).
+    */
+  def hyperplaneSigns(spark: org.apache.spark.sql.SparkSession, planes: Int,
+                      offset: Int, dim: Int): Array[Array[Double]] =
+    spark.range(1)
+      .select(explode(sequence(lit(offset), lit(offset + planes - 1))).as("p"))
+      .select(col("p"), transform(sequence(lit(0), lit(dim - 1)),
+        i => when(pmod(xxhash64(col("p"), i), lit(2)) === 0, lit(1.0))
+          .otherwise(lit(-1.0))).as("signs"))
+      .orderBy("p").collect()
+      .map(_.getSeq[Double](1).toArray)
+
+  /** [[hyperplaneSignature]] with the hash work hoisted out: signs are
+    * precomputed literals ([[hyperplaneSigns]]) and each plane projection is
+    * one codegen'd `dot_product` — same sequential fold over the same ±1
+    * values, so the signature is bit-identical to the HOF form (spec-
+    * asserted), at a fraction of the per-row cost (the HOF recomputes
+    * planes × dim xxhash64 calls per ROW in interpreted lambdas).
+    */
+  def hyperplaneSignatureFrom(v: Column, signs: Array[Array[Double]]): Column =
+    signs.zipWithIndex.map { case (s, i) =>
+      when(dot(v, array(s.toIndexedSeq.map(lit): _*)) >= 0,
+        lit(1L << (signs.length - 1 - i))).otherwise(lit(0L))
+    }.reduce(_ bitwiseOR _)
+
   /** Deterministic Lloyd k-means for the IVF coarse quantizer. Init = first
     * k corpus vectors by id; each iteration assigns every vector to its
     * nearest centroid by cosine (ties → lowest centroid id) and recomputes
@@ -270,9 +297,11 @@ object Similarity {
   def lshBucketedNeighbors(queries: DataFrame, corpus: DataFrame, idCol: String,
                            vecCol: String, k: Int, planes: Int = 8): DataFrame = {
     graft.functions.NativeFunctions.register(queries.sparkSession)
+    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
+    val signs = hyperplaneSigns(queries.sparkSession, planes, 0, dim)
     def sig(df: DataFrame, id: String, vec: String, norm: String) =
       df.select(col(idCol).as(id), col(vecCol).cast("array<double>").as(vec),
-        hyperplaneSignature(col(vecCol).cast("array<double>"), planes).as("bucket"))
+        hyperplaneSignatureFrom(col(vecCol).cast("array<double>"), signs).as("bucket"))
         .withColumn(norm, l2norm(col(vec)))
     val q = sig(queries, "query_id", "qv", "q_norm")
     val c = sig(corpus, "neighbor_id", "cv", "c_norm")

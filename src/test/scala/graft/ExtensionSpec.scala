@@ -66,6 +66,17 @@ class ExtensionSpec extends SparkSpec {
     assert(viaAgg.size === 25)
   }
 
+  test("hoisted hyperplane signature is bit-identical to the HOF form") {
+    val dim = embs.select(size(col("embedding"))).head().getInt(0)
+    for (offset <- Seq(0, 4, 28)) {
+      val signs = Similarity.hyperplaneSigns(spark, 4, offset, dim)
+      val both = embs.select(
+        Similarity.hyperplaneSignature(col("embedding").cast("array<double>"), 4, offset).as("hof"),
+        Similarity.hyperplaneSignatureFrom(col("embedding").cast("array<double>"), signs).as("fast"))
+      assert(both.filter(col("hof") =!= col("fast")).count() === 0, s"offset=$offset")
+    }
+  }
+
   test("LSH ANN: deterministic, subset of corpus, exact cosines on survivors") {
     val q = embs.filter(col("vec_id") < 5)
     val ann = Similarity.lshBucketedNeighbors(q, embs, "vec_id", "embedding", 5)
