@@ -629,6 +629,38 @@ object ExtensionQueries {
         .orderBy("user_id", "event_type")
     },
 
+    // STREAMING stream-static enrichment join, driver-checked: the events
+    // stream joins a batch-computed per-user dimension (broadcast — re-read
+    // per micro-batch by contract, the standard enrichment shape), then a
+    // global aggregate bounds the output. AvailableNow over the full feed
+    // makes the emission equal the batch join+agg, which the oracle states
+    // directly.
+    "e06_stream_static_join" -> of(
+      """WITH user_stats AS (
+        |  SELECT user_id, COUNT(*) AS user_total FROM events GROUP BY user_id),
+        |enriched AS (
+        |  SELECT e.event_type,
+        |    CASE WHEN user_total >= 67 THEN 'heavy' ELSE 'light' END AS tier,
+        |    e.value
+        |  FROM events e JOIN user_stats USING (user_id))
+        |SELECT event_type, tier, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM enriched GROUP BY event_type, tier
+        |ORDER BY event_type, tier""") { (s, d) =>
+      import graft.streaming.EventsStream
+      val staticStats = Q.events(s, d)
+        .groupBy("user_id").agg(count(lit(1)).as("user_total"))
+      val joined = EventsStream.readEvents(s, d)
+        .join(broadcast(staticStats), "user_id")
+        .withColumn("tier",
+          when(col("user_total") >= 67, "heavy").otherwise("light"))
+        .groupBy("event_type", "tier")
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+      val sinkName = s"stream_enrich_${sinkCounter.incrementAndGet()}"
+      EventsStream.runAvailableNow(joined, sinkName, outputMode = "complete")
+      s.table(sinkName).orderBy("event_type", "tier")
+    },
+
     // Tumbling-window aggregation (the batch equivalent of the streaming
     // windowed agg; Structured Streaming runs the same plan via readStream).
     "e02_event_windows" -> of(

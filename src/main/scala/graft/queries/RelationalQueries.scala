@@ -518,6 +518,25 @@ object RelationalQueries {
           |ORDER BY g_rf, g_ls, rf, ls""".stripMargin)
     },
 
+    // §2.5 UNPIVOT (wide → long): the inverse of q26's pivot, a pure
+    // narrow transform (generator-shaped, no shuffle).
+    "q32_unpivot" -> of(
+      """SELECT l_orderkey, l_linenumber, metric, value FROM (
+        |  UNPIVOT (SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount
+        |           FROM lineitem WHERE l_orderkey < 500)
+        |  ON l_quantity, l_extendedprice, l_discount
+        |  INTO NAME metric VALUE value)
+        |ORDER BY l_orderkey, l_linenumber, metric, value""") { (s, d) =>
+      t(s, d, "lineitem")
+        .filter(col("l_orderkey") < 500)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount")
+        .unpivot(
+          ids = Array(col("l_orderkey"), col("l_linenumber")),
+          values = Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+          variableColumnName = "metric", valueColumnName = "value")
+        .orderBy("l_orderkey", "l_linenumber", "metric", "value")
+    },
+
     // scalar subquery (threshold as a broadcast cross join — no driver collect).
     "q21_scalar_subquery" -> of(
       """SELECT o_orderkey, o_totalprice FROM orders
