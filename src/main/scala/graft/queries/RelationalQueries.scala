@@ -537,6 +537,29 @@ object RelationalQueries {
         .orderBy("l_orderkey", "l_linenumber", "metric", "value")
     },
 
+    // §2.4 co-located bucketed join: both sides pre-bucketed (and sorted) by
+    // the join key, so the per-order aggregation AND the fact-to-fact join
+    // plan without any Exchange (PlanSpec asserts it with broadcast
+    // disabled) — the big-to-big join technique when neither side fits a
+    // broadcast. Results are layout-independent, so the oracle is the plain
+    // join SQL.
+    "q33_bucketed_join" -> of(
+      """SELECT o_orderkey, o_totalprice, n_items FROM orders
+        |JOIN (SELECT l_orderkey, COUNT(*) AS n_items
+        |      FROM lineitem GROUP BY l_orderkey) li
+        |  ON o_orderkey = l_orderkey
+        |WHERE o_orderkey < 2000
+        |ORDER BY o_orderkey""") { (s, d) =>
+      val lake = graft.sources.BucketedLake.ensure(s, d)
+      val items = s.table(lake.lineitem)
+        .groupBy(col("l_orderkey")).agg(count(lit(1)).as("n_items"))
+      s.table(lake.orders)
+        .join(items, col("o_orderkey") === col("l_orderkey"))
+        .filter(col("o_orderkey") < 2000)
+        .select("o_orderkey", "o_totalprice", "n_items")
+        .orderBy("o_orderkey")
+    },
+
     // scalar subquery (threshold as a broadcast cross join — no driver collect).
     "q21_scalar_subquery" -> of(
       """SELECT o_orderkey, o_totalprice FROM orders

@@ -1,0 +1,52 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** Bucketed-table layout for co-located joins (SURVEY scale stance:
+  * "repartition()/bucketing for co-located joins"). Writing both sides of a
+  * recurring fact-to-fact join bucketed (and sorted) by the join key lets
+  * every subsequent join and key-aggregation run WITHOUT an exchange — the
+  * technique for big-to-big joins where neither side is broadcastable, paid
+  * for once at write time. `q33_bucketed_join` demonstrates it and PlanSpec
+  * asserts the shuffle-free plan.
+  *
+  * Tables are written once per (session, sf dir) into the session warehouse
+  * (Spark's in-memory catalog; Overwrite handles stale files from earlier
+  * JVMs). Bucket counts MUST match across join sides — both use `buckets`.
+  */
+object BucketedLake {
+
+  final case class Tables(orders: String, lineitem: String)
+
+  def ensure(spark: SparkSession, dir: String, buckets: Int = 8): Tables = {
+    val suffix = java.lang.Long.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xFFFFFFFFL)
+    val tables = Tables(s"orders_bkt_$suffix", s"lineitem_bkt_$suffix")
+    def write(name: String, df: DataFrame, key: String): Unit =
+      if (!spark.catalog.tableExists(name)) {
+        // the in-memory catalog forgets tables across JVMs but the warehouse
+        // files persist; the layout is a derived cache, so clear stale files
+        // (CREATE TABLE AS validates the location even in Overwrite mode)
+        val warehouse = new java.net.URI(
+          spark.conf.get("spark.sql.warehouse.dir")).getPath
+        val stale = new java.io.File(warehouse, name)
+        if (stale.exists()) {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+          }
+          rm(stale)
+        }
+        df.write.mode(SaveMode.Overwrite)
+          .bucketBy(buckets, key).sortBy(key)
+          .format("parquet").saveAsTable(name)
+      }
+    write(tables.orders,
+      spark.read.parquet(s"$dir/orders.parquet")
+        .select("o_orderkey", "o_custkey", "o_totalprice"), "o_orderkey")
+    write(tables.lineitem,
+      spark.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_quantity")), "l_orderkey")
+    tables
+  }
+}

@@ -70,6 +70,22 @@ class PlanSpec extends SparkSpec {
       s"centroids must broadcast:\n${plan.take(800)}")
   }
 
+  test("q33: bucketed join and key-agg plan with ZERO exchanges") {
+    // disable broadcast so the co-location (not a broadcast) must carry it
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = physicalPlan("q33_bucketed_join")
+      // the final ORDER BY legitimately range-exchanges; nothing else may
+      val exchanges = "Exchange".r.findAllIn(plan).size
+      val rangeExchanges = "Exchange rangepartitioning".r.findAllIn(plan).size
+      assert(exchanges === rangeExchanges,
+        s"join/agg must be exchange-free on bucketed tables:\n${plan.take(1200)}")
+      assert(plan.contains("SortMergeJoin"), "expected a shuffle-free SMJ")
+      assert(plan.contains("Bucketed: true"), plan.take(600))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
+
   test("runAndSubmit posts one FeatureCollection through a pluggable poster") {
     var posted: Option[(String, String)] = None
     graft.CotripPipeline(TaskConfig("tok")).runAndSubmit(
