@@ -92,14 +92,23 @@ case class DotProduct(left: Expression, right: Expression)
 object NativeFunctions {
 
   /** Idempotent session registration; exposes `dot_product` to SQL too.
-    * Skips when already present (avoids the re-registration WARN that every
-    * operator call would otherwise log; [[graft.GraftExtensions]] is the
-    * config-time alternative).
+    * Skips only when the registered `dot_product` already RESOLVES TO OURS
+    * (avoids the re-registration WARN every operator call would otherwise
+    * log) — a same-named foreign function gets replaced, so the similarity
+    * operators can never silently compute through someone else's
+    * implementation. [[graft.GraftExtensions]] is the config-time
+    * alternative.
     */
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
-    if (!registry.functionExists(
-        org.apache.spark.sql.catalyst.FunctionIdentifier("dot_product"))) {
+    val ident = org.apache.spark.sql.catalyst.FunctionIdentifier("dot_product")
+    val alreadyOurs = registry.functionExists(ident) &&
+      (try {
+        val probe = org.apache.spark.sql.catalyst.expressions.Literal.create(
+          Array(0.0), ArrayType(DoubleType, containsNull = false))
+        registry.lookupFunction(ident, Seq(probe, probe)).isInstanceOf[DotProduct]
+      } catch { case _: Throwable => false })
+    if (!alreadyOurs) {
       registry.createOrReplaceTempFunction(
         "dot_product", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
     }

@@ -16,10 +16,12 @@ import graft.functions.TextFunctions._
   * shingles (stop-shingles shared by everything) exactly like a df-cut in IR.
   *
   * Caching note: the Jaccard/MinHash operators persist their shingle
-  * intermediate (MEMORY_AND_DISK, spillable) because it feeds 2-3 downstream
-  * consumers; the handle is internal, so a long-lived session running many
-  * dedup passes should `spark.catalog.clearCache()` (or rely on LRU eviction)
-  * between corpora.
+  * intermediate and the cosine-LSH operator its vector projection
+  * (MEMORY_AND_DISK, spillable) because each feeds 2-3 downstream consumers
+  * of the returned lazy plan (so they cannot be unpersisted eagerly); the
+  * handles are internal, so a long-lived session running many dedup passes
+  * should `spark.catalog.clearCache()` (or rely on LRU eviction) between
+  * corpora.
   */
 object Dedup {
 
@@ -152,9 +154,10 @@ object Dedup {
     // 4× fewer aggregation buffer slots and ~4× less generated code than one
     // sum column per bit (the round-1 shape was 22% of the whole bench, almost
     // all janino-compile + branchy agg). One doc-id shuffle, map-side partial
-    // agg. Lanes hold ≤ 32767 before the packed sum can overflow a long —
-    // docs beyond 32767 tokens must be chunked upstream (ANSI mode makes the
-    // overflow loud, not silently wrong).
+    // agg. A 16-bit lane saturates at 65535 tokens and would CARRY into its
+    // neighbor lane long before any long overflow that ANSI could catch, so
+    // the per-doc token count is guarded explicitly (assert_true below) —
+    // docs beyond 65535 tokens must be chunked upstream.
     val tokenHashes = docs
       .select(col(idCol), explode(tokens(col(textCol))).as("tok"))
       .select(col(idCol), xxhash64(col("tok")).as("h"))
@@ -170,7 +173,10 @@ object Dedup {
       when(cb * 2 > col("n"), lit(1L << b)).otherwise(lit(0L))
     }
     val sigs = tokenHashes.groupBy(col(idCol)).agg(aggCols.head, aggCols.tail: _*)
-      .select(col(idCol), sigBits.reduce(_ bitwiseOR _).as("sig"))
+      .withColumn("__lane_guard", assert_true(col("n") <= 65535,
+        lit("simhash: doc exceeds 65535 tokens; packed 16-bit popcount lanes would carry — chunk the doc upstream")))
+      .select(col(idCol), sigBits.reduce(_ bitwiseOR _).as("sig"), col("__lane_guard"))
+      .filter(col("__lane_guard").isNull).drop("__lane_guard")
     val banded = sigs.select(col(idCol), col("sig"),
       explode(transform(sequence(lit(0), lit(3)),
         b => concat_ws(":", b, call_function("shiftright", col("sig"), b * 16).bitwiseAND(0xFFFFL)))).as("band"))
@@ -204,10 +210,10 @@ object Dedup {
       .withColumn("norm", Similarity.l2norm(col("v")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // signs hoisted once for all tables (bit-identical to the per-row HOF
-    // signature — see Similarity.hyperplaneSignatureFrom)
-    val dim = vecs.select(size(col(vecCol))).head().getInt(0)
+    // signature — see Similarity.hyperplaneSignatureFrom); an empty corpus
+    // degenerates to dim 0 / empty signs and an empty result, not a throw
     val allSigns = Similarity.hyperplaneSigns(vecs.sparkSession,
-      tables * planesPerTable, 0, dim)
+      tables * planesPerTable, 0, Similarity.vectorDim(vecs, vecCol))
     val sigCols = (0 until tables).map { l =>
       struct(lit(l).as("tbl"),
         Similarity.hyperplaneSignatureFrom(col("v"),

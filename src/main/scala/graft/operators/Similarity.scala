@@ -142,13 +142,23 @@ object Similarity {
       lit(0L),
       (acc, bit) => shiftleft(acc, 1).bitwiseOR(bit))
 
+  /** Vector dimensionality from the first row carrying a non-null vector.
+    * An empty (or all-null) input gets dimension 0 — the sign vectors
+    * degenerate to empty arrays and the LSH operators return their
+    * (correct) empty result instead of throwing at plan-build time.
+    */
+  private[graft] def vectorDim(df: DataFrame, vecCol: String): Int =
+    df.select(size(col(vecCol)).as("d")).filter(col("d") >= 0).head(1)
+      .headOption.map(_.getInt(0)).getOrElse(0)
+
   /** The ±1 sign vectors of planes `offset .. offset+planes-1`, materialized
     * once (tiny Spark job reusing the exact [[hyperplaneSignature]] hash
     * expressions, so the values are identical by construction).
     */
   def hyperplaneSigns(spark: org.apache.spark.sql.SparkSession, planes: Int,
                       offset: Int, dim: Int): Array[Array[Double]] =
-    spark.range(1)
+    if (dim <= 0) Array.fill(planes)(Array.empty[Double])
+    else spark.range(1)
       .select(explode(sequence(lit(offset), lit(offset + planes - 1))).as("p"))
       .select(col("p"), transform(sequence(lit(0), lit(dim - 1)),
         i => when(pmod(xxhash64(col("p"), i), lit(2)) === 0, lit(1.0))
@@ -165,7 +175,9 @@ object Similarity {
     */
   def hyperplaneSignatureFrom(v: Column, signs: Array[Array[Double]]): Column =
     signs.zipWithIndex.map { case (s, i) =>
-      when(dot(v, array(s.toIndexedSeq.map(lit): _*)) >= 0,
+      // lit(Array[Double]) keeps the ARRAY<DOUBLE> type even when empty
+      // (array() of zero columns would be ARRAY<VOID> and fail analysis)
+      when(dot(v, lit(s)) >= 0,
         lit(1L << (signs.length - 1 - i))).otherwise(lit(0L))
     }.reduce(_ bitwiseOR _)
 
@@ -194,10 +206,15 @@ object Similarity {
       for (_ <- 0 until iters) {
         val norms = cents.map(c => math.sqrt(c.foldLeft(0.0)((a, x) => a + x * x)))
         // struct(sim, -cid): array_max's lexicographic max = highest sim,
-        // then lowest cid — the deterministic tie-break.
+        // then lowest cid — the deterministic tie-break. A zero-norm
+        // centroid (degenerate seed) must rank BELOW everything — dividing
+        // by it would give NaN, which SQL ranks above all doubles and would
+        // silently swallow every assignment.
         val simStructs = cents.indices.map { ci =>
-          struct((dot(col("v"), array(cents(ci).toIndexedSeq.map(lit): _*)) / lit(norms(ci))).as("sim"),
-            lit(-ci).as("ncid"))
+          val sim =
+            if (norms(ci) == 0.0) lit(Double.NegativeInfinity)
+            else dot(col("v"), lit(cents(ci))) / lit(norms(ci))
+          struct(sim.as("sim"), lit(-ci).as("ncid"))
         }
         val assigned = v.withColumn("cid", -array_max(array(simStructs: _*)).getField("ncid"))
         val sums = assigned
@@ -297,8 +314,8 @@ object Similarity {
   def lshBucketedNeighbors(queries: DataFrame, corpus: DataFrame, idCol: String,
                            vecCol: String, k: Int, planes: Int = 8): DataFrame = {
     graft.functions.NativeFunctions.register(queries.sparkSession)
-    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
-    val signs = hyperplaneSigns(queries.sparkSession, planes, 0, dim)
+    val signs = hyperplaneSigns(queries.sparkSession, planes, 0,
+      vectorDim(corpus, vecCol))
     def sig(df: DataFrame, id: String, vec: String, norm: String) =
       df.select(col(idCol).as(id), col(vecCol).cast("array<double>").as(vec),
         hyperplaneSignatureFrom(col(vecCol).cast("array<double>"), signs).as("bucket"))

@@ -78,16 +78,15 @@ object AuxDumps {
 
     // Hyperplane-LSH consumers — s03 (one 8-plane table, p 0..7) and d06
     // (8 tables × 4 planes, p 0..31): the ±1 sign vector of each
-    // deterministic hyperplane, exactly as Similarity.hyperplaneSignature
-    // derives them (sign = +1 iff xxhash64(p, i) is even, with p and i as
-    // INTs — the hash is type-sensitive, so the sequence/lit types here must
-    // stay in lockstep with the operator).
+    // deterministic hyperplane, materialized through the OPERATOR's own
+    // derivation (Similarity.hyperplaneSigns), so the dump can never drift
+    // out of lockstep with what the LSH plans hash.
     "hyperplanes32" -> ((s, d) => {
-      val dim = t(s, d, "embeddings").select(size(col("embedding"))).head().getInt(0)
-      s.range(1).select(explode(sequence(lit(0), lit(31))).as("p"))
-        .select(col("p"),
-          transform(sequence(lit(0), lit(dim - 1)),
-            i => when(pmod(xxhash64(col("p"), i), lit(2)) === 0, lit(1.0))
-              .otherwise(lit(-1.0))).as("signs"))
+      import graft.operators.Similarity
+      val dim = Similarity.vectorDim(t(s, d, "embeddings"), "embedding")
+      import s.implicits._
+      Similarity.hyperplaneSigns(s, 32, 0, dim).zipWithIndex
+        .map { case (sv, p) => (p, sv.toSeq) }.toSeq
+        .toDF("p", "signs")
     }))
 }

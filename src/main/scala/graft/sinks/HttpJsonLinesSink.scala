@@ -58,6 +58,7 @@ object HttpJsonLinesSink {
         true
       }
       override def process(value: String): Unit = {
+        require(value != null, "jsonl sink: null row (one non-null JSON document per row)")
         buf += value
         if (buf.size >= batchSize) flush()
       }
@@ -77,6 +78,8 @@ object HttpJsonLinesSink {
     ds.foreachPartition { it: Iterator[String] =>
       val pid = org.apache.spark.TaskContext.getPartitionId().toLong
       it.grouped(batchSize).foreach { batch =>
+        require(!batch.contains(null),
+          "jsonl sink: null row (one non-null JSON document per row)")
         post(endpoint, batch.mkString("\n"), pid, -1L)
       }
     }

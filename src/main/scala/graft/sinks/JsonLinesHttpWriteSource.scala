@@ -99,7 +99,10 @@ private final class JsonLinesDataWriter(endpoint: String, batchSize: Int,
   private val buf = new mutable.ArrayBuffer[String]
   private var written = 0L
   override def write(row: InternalRow): Unit = {
-    buf += row.getUTF8String(0).toString
+    val u = row.getUTF8String(0)
+    require(u != null,
+      "jsonl-http: null in the json column (one non-null JSON document per row)")
+    buf += u.toString
     written += 1
     if (buf.size >= batchSize) flush()
   }

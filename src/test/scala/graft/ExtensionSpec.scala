@@ -143,6 +143,23 @@ class ExtensionSpec extends SparkSpec {
     assert(unhinted.queryExecution.analyzed.collect { case h: ResolvedHint => h }.isEmpty)
   }
 
+  test("edge guards: empty corpus LSH is empty; over-long doc fails loudly") {
+    val emptyE = embs.filter(lit(false))
+    assert(Similarity.lshBucketedNeighbors(emptyE, emptyE, "vec_id", "embedding", 5).count() === 0)
+    assert(Dedup.embeddingCosinePairsLsh(emptyE, "vec_id", "embedding", 0.4).count() === 0)
+    // a doc beyond 65535 tokens would CARRY across packed popcount lanes —
+    // it must fail LOUDLY (the explicit 65535 guard, or ANSI overflow when
+    // the top lane is populated enough to blow the packed long first),
+    // never return a wrong signature
+    import spark.implicits._
+    val longDoc = Seq((1L, ("a " * 65536).trim), (2L, "b b")).toDF("doc_id", "text")
+    val err = intercept[Exception] {
+      Dedup.simhashPairs(longDoc, "doc_id", "text").count()
+    }
+    val all = (err.getMessage +: Option(err.getCause).map(_.getMessage).toSeq).mkString(" ")
+    assert(all.contains("65535") || all.toLowerCase.contains("overflow"))
+  }
+
   test("multimodal feature extract: stub features match payload bytes") {
     val media = Multimodal.asMediaTable(docs, "doc_id", "text")
     val feats = Multimodal.extractFeatures(media)

@@ -25,4 +25,15 @@ class GraftExtensionsSpec extends SparkSpec {
       "SELECT dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d").head()
     assert(row.getDouble(0) === 11.0)
   }
+
+  test("registration replaces a same-named foreign function (never computes through it)") {
+    spark.udf.register("dot_product",
+      (a: Seq[Double], b: Seq[Double]) => -1.0) // an impostor
+    try {
+      NativeFunctions.register(spark)
+      val row = spark.sql(
+        "SELECT dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d").head()
+      assert(row.getDouble(0) === 11.0, "graft's implementation must win")
+    } finally NativeFunctions.register(spark) // leave ours installed
+  }
 }
