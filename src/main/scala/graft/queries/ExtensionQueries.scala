@@ -661,6 +661,34 @@ object ExtensionQueries {
       s.table(sinkName).orderBy("event_type", "tier")
     },
 
+    // Time-spine gap fill with forward-fill (resample-and-ffill): every
+    // (hour, event_type) slot between the feed's bounds, observation counts
+    // zero-filled, hourly totals carried forward per type.
+    "e07_gapfill" -> of(
+      """WITH ev AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events),
+        |hourly AS (
+        |  SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |  FROM ev GROUP BY 1, 2),
+        |bounds AS (
+        |  SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi FROM ev),
+        |spine AS (
+        |  SELECT u.hour, t.event_type
+        |  FROM (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour FROM bounds) u
+        |  CROSS JOIN (SELECT DISTINCT event_type FROM ev) t),
+        |joined AS (
+        |  SELECT s.hour, s.event_type, COALESCE(n, 0) AS n, h.total
+        |  FROM spine s LEFT JOIN hourly h
+        |    ON s.hour = h.hour AND s.event_type = h.event_type)
+        |SELECT hour, event_type, n,
+        |  COALESCE(LAST_VALUE(total IGNORE NULLS) OVER (
+        |    PARTITION BY event_type ORDER BY hour
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0) AS carried_total
+        |FROM joined ORDER BY event_type, hour""") { (s, d) =>
+      graft.operators.TimeSeriesOps.gapFillHourly(Q.events(s, d), "event_type", "ts", "value")
+        .orderBy("event_type", "hour")
+    },
+
     // Tumbling-window aggregation (the batch equivalent of the streaming
     // windowed agg; Structured Streaming runs the same plan via readStream).
     "e02_event_windows" -> of(
