@@ -75,6 +75,39 @@ object ExtensionQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // The df-cut variant: hub shingles (document frequency > 2 here) are
+    // dropped BEFORE the self-join — the cut that keeps pathological join
+    // keys from exploding the candidate space at corpus scale. Semantics
+    // change (pairs sharing only hub shingles are missed, set sizes shrink),
+    // so the oracle applies the identical cut.
+    "d07_dedup_jaccard_dfcut" -> of(
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] AS shingle
+        |  FROM toks, UNNEST(range(1, len(tk) - 2)) AS u(i)),
+        |kept AS (
+        |  SELECT doc_id, shingle FROM sh
+        |  WHERE shingle IN (
+        |    SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 2)),
+        |sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM kept GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+        |  FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id)
+        |SELECT id_a, id_b,
+        |  inter / (sa.set_size + sb.set_size - inter) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = id_a
+        |JOIN sizes sb ON sb.doc_id = id_b
+        |WHERE inter / (sa.set_size + sb.set_size - inter) >= 0.5
+        |ORDER BY id_a, id_b""") { (s, d) =>
+      Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text",
+        maxDocFreq = Some(2))
+        .orderBy("id_a", "id_b")
+    },
+
     // MinHash+LSH candidates verified by exact Jaccard — oracle-checked
     // against the exhaustive-Jaccard SQL (recall ≈ 1 at this dup structure).
     "d03_dedup_minhash_lsh" -> of(jaccardOracle) { (s, d) =>
