@@ -15,6 +15,33 @@ import graft.queries.Q.dsum
   */
 object TimeSeriesOps {
 
+  /** Containment (range) join via time-bucket equi-join — the scale pattern
+    * for "points inside intervals" where a direct non-equi join would plan
+    * as a nested loop over the full pair space. Every interval explodes to
+    * its covering hour buckets (cost: interval length / bucket, small for
+    * bounded intervals); every point lives in exactly ONE bucket, so a
+    * (point, interval) pair meets in exactly one bucket and needs no dedup.
+    * The equi-join shuffles on the bucket key; the exact containment
+    * predicate filters residually.
+    *
+    * Returns one row per point: `(pointId, ts, n_containing)` — intervals
+    * from `intervals(lo, hi)` (inclusive bounds) containing the point's ts;
+    * 0 when none do.
+    */
+  def intervalContainCount(points: DataFrame, pointId: String, tsCol: String,
+                           intervals: DataFrame): DataFrame = {
+    val buckets = intervals.select(col("lo"), col("hi"),
+      explode(sequence(date_trunc("hour", col("lo")), date_trunc("hour", col("hi")),
+        expr("interval 1 hour"))).as("bucket"))
+    val p = points.select(col(pointId), col(tsCol).as("ts"),
+      date_trunc("hour", col(tsCol)).as("bucket"))
+    p.join(buckets, Seq("bucket"), "left")
+      .withColumn("hit",
+        when(col("ts") >= col("lo") && col("ts") <= col("hi"), 1L).otherwise(0L))
+      .groupBy(col(pointId), col("ts"))
+      .agg(sum(col("hit")).as("n_containing"))
+  }
+
   /** Hourly regularization of `events(keyCol, tsCol, valueCol)`: one row per
     * (hour, key) for EVERY hour between the global min and max — `n` counts
     * observations (0 on gap hours) and `carried_total` forward-fills the

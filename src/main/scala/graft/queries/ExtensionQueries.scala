@@ -694,6 +694,52 @@ object ExtensionQueries {
       s.table(sinkName).orderBy("event_type", "tier")
     },
 
+    // Containment/range join via time-bucket equi-join: for each error
+    // event, how many concurrent user sessions (gap-based intervals)
+    // contained its timestamp. The scale pattern replaces the nested-loop
+    // non-equi join with an hour-bucket equi-join + residual predicate; the
+    // oracle is the direct correlated range count.
+    "e08_range_join_bucketed" -> of(
+      """WITH gaps AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+        |    CASE WHEN CAST(ts AS TIMESTAMP) - LAG(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+        |      > INTERVAL 30 MINUTE OR LAG(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) IS NULL
+        |      THEN 1 ELSE 0 END AS new_session
+        |  FROM events),
+        |numbered AS (
+        |  SELECT user_id, ts,
+        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+        |  FROM gaps),
+        |sessions AS (
+        |  SELECT user_id, session_no, MIN(ts) AS lo, MAX(ts) AS hi
+        |  FROM numbered GROUP BY user_id, session_no),
+        |pts AS (
+        |  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+        |  WHERE event_type = 'error' AND event_id < 3000)
+        |SELECT p.event_id, p.ts,
+        |  (SELECT COUNT(*) FROM sessions s
+        |   WHERE p.ts >= s.lo AND p.ts <= s.hi) AS n_containing
+        |FROM pts p ORDER BY p.event_id""") { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val ev = Q.events(s, d)
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val sessions = ev
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull ||
+            unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 30L * 60 * 1000000, 1L)
+            .otherwise(0L))
+        .withColumn("session_no",
+          sum(col("new_session")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("session_no"))
+        .agg(min(col("ts")).as("lo"), max(col("ts")).as("hi"))
+      val points = ev.filter(col("event_type") === "error" && col("event_id") < 3000)
+        .select("event_id", "ts")
+      graft.operators.TimeSeriesOps.intervalContainCount(points, "event_id", "ts", sessions)
+        .orderBy("event_id")
+    },
+
     // Time-spine gap fill with forward-fill (resample-and-ffill): every
     // (hour, event_type) slot between the feed's bounds, observation counts
     // zero-filled, hourly totals carried forward per type.

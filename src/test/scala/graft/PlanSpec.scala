@@ -86,6 +86,12 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
   }
 
+  test("e08: bucketized range join is an equi-join, not a nested loop") {
+    val plan = physicalPlan("e08_range_join_bucketed")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"containment join must ride the bucket equi-key:\n${plan.take(900)}")
+  }
+
   test("runAndSubmit posts one FeatureCollection through a pluggable poster") {
     var posted: Option[(String, String)] = None
     graft.CotripPipeline(TaskConfig("tok")).runAndSubmit(
