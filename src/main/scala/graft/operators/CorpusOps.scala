@@ -79,8 +79,7 @@ object CorpusOps {
     */
   def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
                     topPerDoc: Int): DataFrame = {
-    val tok = docs.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
-    val tf = tok.groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("tf"))
+    val tf = termFrequencies(docs, idCol, textCol)
     val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy(col(idCol)).orderBy(col("tfidf").desc, col("tok"))
@@ -93,6 +92,14 @@ object CorpusOps {
       .select(col(idCol), col("rank"), col("tok"), col("tfidf"))
   }
 
+  /** Per-document term frequencies: one (id, tok, tf) row per distinct
+    * (doc, token) — the shared first aggregation of TF-IDF, the vocabulary
+    * head, and the t08 idf aux dump.
+    */
+  def termFrequencies(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("tf"))
+
   /** Vocabulary head: the `k` most document-frequent tokens with total
     * occurrence counts (the seed stats for tokenizer training / stopword
     * lists). Shape: explode → two-level aggregate — both aggregations
@@ -101,11 +108,9 @@ object CorpusOps {
     */
   def vocabTopK(docs: DataFrame, idCol: String, textCol: String,
                 k: Int): DataFrame = {
-    val tok = docs.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
-    val perDoc = tok.groupBy(col(idCol), col("tok"))
-      .agg(count(lit(1)).as("occ"))
-    perDoc.groupBy(col("tok"))
-      .agg(count(lit(1)).as("doc_freq"), sum(col("occ")).as("occurrences"))
+    termFrequencies(docs, idCol, textCol)
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("doc_freq"), sum(col("tf")).as("occurrences"))
       .orderBy(col("doc_freq").desc, col("tok"))
       .limit(k)
   }

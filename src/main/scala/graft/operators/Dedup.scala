@@ -172,11 +172,12 @@ object Dedup {
       val cb = shiftright(col(s"p${b / 4}"), 16 * (b % 4)).bitwiseAND(0xFFFFL)
       when(cb * 2 > col("n"), lit(1L << b)).otherwise(lit(0L))
     }
+    // assert_true returns null (or throws): filtering on it both forces the
+    // guard's evaluation and keeps every surviving row
     val sigs = tokenHashes.groupBy(col(idCol)).agg(aggCols.head, aggCols.tail: _*)
-      .withColumn("__lane_guard", assert_true(col("n") <= 65535,
-        lit("simhash: doc exceeds 65535 tokens; packed 16-bit popcount lanes would carry — chunk the doc upstream")))
-      .select(col(idCol), sigBits.reduce(_ bitwiseOR _).as("sig"), col("__lane_guard"))
-      .filter(col("__lane_guard").isNull).drop("__lane_guard")
+      .filter(assert_true(col("n") <= 65535,
+        lit("simhash: doc exceeds 65535 tokens; packed 16-bit popcount lanes would carry — chunk the doc upstream")).isNull)
+      .select(col(idCol), sigBits.reduce(_ bitwiseOR _).as("sig"))
     val banded = sigs.select(col(idCol), col("sig"),
       explode(transform(sequence(lit(0), lit(3)),
         b => concat_ws(":", b, call_function("shiftright", col("sig"), b * 16).bitwiseAND(0xFFFFL)))).as("band"))

@@ -57,9 +57,8 @@ object AuxDumps {
     // around it: tf, df, the join, the product, the ranking.
     "t08_idf" -> ((s, d) => {
       val docs = t(s, d, "documents")
-      val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
-      tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      graft.operators.CorpusOps.termFrequencies(docs, "doc_id", "text")
+        .groupBy(col("tok")).agg(count(lit(1)).as("df"))
         .select("df").distinct()
         .crossJoin(docs.agg(count(lit(1)).as("n_docs")))
         .select(col("df"),

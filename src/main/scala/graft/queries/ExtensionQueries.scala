@@ -29,21 +29,46 @@ object ExtensionQueries {
     */
   private val sinkCounter = new java.util.concurrent.atomic.AtomicLong(0)
 
-  /** Shared oracle: exact k=4 word-shingle Jaccard pairs at J ≥ 0.5.
-    * Shape mirrors Dedup.ngramJaccardPairs: distinct (doc, shingle) →
-    * self-join → pair counts → set sizes → ratio.
+  /** Gap-based session numbering (30-min inactivity): every event tagged
+    * with its (user_id, session_no) — the shared batch core of e01
+    * (session aggregation) and e08 (session intervals as range-join input).
     */
-  private val jaccardOracle =
-    """WITH toks AS (
+  private def gapSessions(ev: org.apache.spark.sql.DataFrame) = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    ev.withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 30L * 60 * 1000000, 1L)
+          .otherwise(0L))
+      .withColumn("session_no",
+        sum(col("new_session")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  /** Shared oracle: exact k=4 word-shingle Jaccard pairs at J ≥ 0.5, with
+    * an optional df-cut (shingles in more than `maxDocFreq` docs dropped
+    * before pairing — mirroring Dedup.ngramJaccardPairs' cut). Shape
+    * mirrors the operator: distinct (doc, shingle) → [cut] → self-join →
+    * pair counts → set sizes → ratio.
+    */
+  private def jaccardOracle(maxDocFreq: Option[Int] = None) = {
+    val kept = maxDocFreq match {
+      case Some(cap) =>
+        s"""SELECT doc_id, shingle FROM sh
+           |  WHERE shingle IN (
+           |    SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= $cap)"""
+      case None => "SELECT doc_id, shingle FROM sh"
+    }
+    s"""WITH toks AS (
       |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
       |sh AS (
       |  SELECT DISTINCT doc_id,
       |    tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] AS shingle
       |  FROM toks, UNNEST(range(1, len(tk) - 2)) AS u(i)),
-      |sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id),
+      |kept AS ($kept),
+      |sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM kept GROUP BY doc_id),
       |inter AS (
       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
-      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       |  GROUP BY a.doc_id, b.doc_id)
       |SELECT id_a, id_b,
       |  inter / (sa.set_size + sb.set_size - inter) AS jaccard
@@ -52,6 +77,7 @@ object ExtensionQueries {
       |JOIN sizes sb ON sb.doc_id = id_b
       |WHERE inter / (sa.set_size + sb.set_size - inter) >= 0.5
       |ORDER BY id_a, id_b"""
+  }
 
   val defs: Map[String, QueryDef] = Map(
 
@@ -70,7 +96,7 @@ object ExtensionQueries {
     },
 
     // Exact n-gram Jaccard near-dup pairs.
-    "d02_dedup_ngram_jaccard" -> of(jaccardOracle) { (s, d) =>
+    "d02_dedup_ngram_jaccard" -> of(jaccardOracle()) { (s, d) =>
       Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text")
         .orderBy("id_a", "id_b")
     },
@@ -80,29 +106,7 @@ object ExtensionQueries {
     // keys from exploding the candidate space at corpus scale. Semantics
     // change (pairs sharing only hub shingles are missed, set sizes shrink),
     // so the oracle applies the identical cut.
-    "d07_dedup_jaccard_dfcut" -> of(
-      """WITH toks AS (
-        |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
-        |sh AS (
-        |  SELECT DISTINCT doc_id,
-        |    tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] AS shingle
-        |  FROM toks, UNNEST(range(1, len(tk) - 2)) AS u(i)),
-        |kept AS (
-        |  SELECT doc_id, shingle FROM sh
-        |  WHERE shingle IN (
-        |    SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 2)),
-        |sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM kept GROUP BY doc_id),
-        |inter AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
-        |  FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        |  GROUP BY a.doc_id, b.doc_id)
-        |SELECT id_a, id_b,
-        |  inter / (sa.set_size + sb.set_size - inter) AS jaccard
-        |FROM inter
-        |JOIN sizes sa ON sa.doc_id = id_a
-        |JOIN sizes sb ON sb.doc_id = id_b
-        |WHERE inter / (sa.set_size + sb.set_size - inter) >= 0.5
-        |ORDER BY id_a, id_b""") { (s, d) =>
+    "d07_dedup_jaccard_dfcut" -> of(jaccardOracle(maxDocFreq = Some(2))) { (s, d) =>
       Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text",
         maxDocFreq = Some(2))
         .orderBy("id_a", "id_b")
@@ -110,7 +114,7 @@ object ExtensionQueries {
 
     // MinHash+LSH candidates verified by exact Jaccard — oracle-checked
     // against the exhaustive-Jaccard SQL (recall ≈ 1 at this dup structure).
-    "d03_dedup_minhash_lsh" -> of(jaccardOracle) { (s, d) =>
+    "d03_dedup_minhash_lsh" -> of(jaccardOracle()) { (s, d) =>
       Dedup.minhashLshPairs(t(s, d, "documents"), "doc_id", "text")
         .orderBy("id_a", "id_b")
     },
@@ -569,15 +573,7 @@ object ExtensionQueries {
         |  COUNT(*) AS n_events, MIN(event_id) AS first_event
         |FROM sessions GROUP BY user_id, session_no
         |ORDER BY user_id, session_no""") { (s, d) =>
-      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-      Q.events(s, d)
-        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
-        .withColumn("new_session",
-          when(col("prev_ts").isNull ||
-            unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 30L * 60 * 1000000, 1L)
-            .otherwise(0L))
-        .withColumn("session_no",
-          sum(col("new_session")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      gapSessions(Q.events(s, d))
         .groupBy(col("user_id"), col("session_no"))
         .agg(count(lit(1)).as("n_events"), min(col("event_id")).as("first_event"))
         .orderBy("user_id", "session_no")
@@ -721,17 +717,8 @@ object ExtensionQueries {
         |  (SELECT COUNT(*) FROM sessions s
         |   WHERE p.ts >= s.lo AND p.ts <= s.hi) AS n_containing
         |FROM pts p ORDER BY p.event_id""") { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
       val ev = Q.events(s, d)
-      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-      val sessions = ev
-        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
-        .withColumn("new_session",
-          when(col("prev_ts").isNull ||
-            unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 30L * 60 * 1000000, 1L)
-            .otherwise(0L))
-        .withColumn("session_no",
-          sum(col("new_session")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val sessions = gapSessions(ev)
         .groupBy(col("user_id"), col("session_no"))
         .agg(min(col("ts")).as("lo"), max(col("ts")).as("hi"))
       val points = ev.filter(col("event_type") === "error" && col("event_id") < 3000)
