@@ -191,6 +191,46 @@ object Dedup {
       .select("id_a", "id_b", "hamming")
   }
 
+  /** Near-dup clusters from a pair list: connected components by iterative
+    * min-label propagation (Pregel-style), so an A~B~C chain dedups as ONE
+    * cluster even when A~C was never emitted as a pair. Each iteration is
+    * one join + one aggregate (labels move along edges, keep the min);
+    * convergence needs O(component diameter) rounds — near-dup clusters are
+    * clique-ish, so 1-2 in practice — with a driver-side fixpoint check
+    * (the standard shape for iterative graph algorithms on Spark).
+    *
+    * Returns (id, cluster) for every id appearing in `pairs`, where
+    * `cluster` is the component's minimum id — which is also the
+    * deterministic survivor (`is_survivor = id == cluster`).
+    */
+  def dupClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a"), col("id_b"))
+      .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("id_a").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      val neighborMin = edges
+        .join(labels.select(col("id").as("id_b"), col("label").as("nbr_label")), "id_b")
+        .groupBy(col("id_a").as("id"))
+        .agg(min(col("nbr_label")).as("min_nbr"))
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("min_nbr"), col("label"))).as("label"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      converged = next.join(labels.withColumnRenamed("label", "old_label"), "id")
+        .filter(col("label") =!= col("old_label")).isEmpty
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select(col("id"), col("label").as("cluster"))
+  }
+
   /** Embedding near-dup pairs via multi-table hyperplane LSH — the scale
     * path. Each vector gets `tables` independent `planesPerTable`-bit
     * signatures (deterministic hash-derived hyperplanes on disjoint index

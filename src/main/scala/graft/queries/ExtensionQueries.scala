@@ -50,7 +50,7 @@ object ExtensionQueries {
     * mirrors the operator: distinct (doc, shingle) → [cut] → self-join →
     * pair counts → set sizes → ratio.
     */
-  private def jaccardOracle(maxDocFreq: Option[Int] = None) = {
+  private def jaccardCtes(maxDocFreq: Option[Int]) = {
     val kept = maxDocFreq match {
       case Some(cap) =>
         s"""SELECT doc_id, shingle FROM sh
@@ -58,7 +58,7 @@ object ExtensionQueries {
            |    SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= $cap)"""
       case None => "SELECT doc_id, shingle FROM sh"
     }
-    s"""WITH toks AS (
+    s"""toks AS (
       |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
       |sh AS (
       |  SELECT DISTINCT doc_id,
@@ -69,15 +69,19 @@ object ExtensionQueries {
       |inter AS (
       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
       |  FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      |  GROUP BY a.doc_id, b.doc_id)
-      |SELECT id_a, id_b,
-      |  inter / (sa.set_size + sb.set_size - inter) AS jaccard
-      |FROM inter
-      |JOIN sizes sa ON sa.doc_id = id_a
-      |JOIN sizes sb ON sb.doc_id = id_b
-      |WHERE inter / (sa.set_size + sb.set_size - inter) >= 0.5
-      |ORDER BY id_a, id_b"""
+      |  GROUP BY a.doc_id, b.doc_id),
+      |jp AS (
+      |  SELECT id_a, id_b,
+      |    inter / (sa.set_size + sb.set_size - inter) AS jaccard
+      |  FROM inter
+      |  JOIN sizes sa ON sa.doc_id = id_a
+      |  JOIN sizes sb ON sb.doc_id = id_b
+      |  WHERE inter / (sa.set_size + sb.set_size - inter) >= 0.5)"""
   }
+
+  private def jaccardOracle(maxDocFreq: Option[Int] = None) =
+    s"""WITH ${jaccardCtes(maxDocFreq)}
+      |SELECT id_a, id_b, jaccard FROM jp ORDER BY id_a, id_b"""
 
   val defs: Map[String, QueryDef] = Map(
 
@@ -110,6 +114,28 @@ object ExtensionQueries {
       Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text",
         maxDocFreq = Some(2))
         .orderBy("id_a", "id_b")
+    },
+
+    // Near-dup CLUSTERS from the Jaccard pairs: connected components via
+    // min-label propagation (an A~B~C chain collapses to one cluster even
+    // without an A~C pair), min id = cluster id = deterministic survivor.
+    // The oracle computes true components with a recursive reachability CTE.
+    "d08_dedup_clusters" -> of(
+      s"""WITH RECURSIVE ${jaccardCtes(None)},
+        |edges AS (
+        |  SELECT id_a, id_b FROM jp UNION ALL SELECT id_b, id_a FROM jp),
+        |reach(id, label) AS (
+        |  SELECT id_a, id_a FROM edges
+        |  UNION
+        |  SELECT e.id_a, r.label FROM edges e JOIN reach r ON r.id = e.id_b)
+        |SELECT id AS doc_id, MIN(label) AS cluster,
+        |  id = MIN(label) AS is_survivor
+        |FROM reach GROUP BY id ORDER BY doc_id""") { (s, d) =>
+      val pairs = Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text")
+      Dedup.dupClusters(pairs)
+        .select(col("id").as("doc_id"), col("cluster"),
+          (col("id") === col("cluster")).as("is_survivor"))
+        .orderBy("doc_id")
     },
 
     // MinHash+LSH candidates verified by exact Jaccard — oracle-checked

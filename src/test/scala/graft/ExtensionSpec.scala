@@ -191,6 +191,16 @@ class ExtensionSpec extends SparkSpec {
         .map(r => math.min(r.getLong(1), 5L)).sum)
   }
 
+  test("dup clusters: transitive chains collapse to the min-id component") {
+    import spark.implicits._
+    // 1-2, 2-3, 3-4 chain (diameter 3 — needs >1 propagation round) + 9-10
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (9L, 10L))
+      .toDF("id_a", "id_b")
+    val out = Dedup.dupClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 9L -> 9L, 10L -> 9L))
+  }
+
   test("exact dedup keeps lowest tiebreak row and all groups") {
     val out = Dedup.exact(docs, Seq("lang", "source"), "doc_id")
     val groups = docs.select("lang", "source").distinct().count()
