@@ -92,6 +92,31 @@ object CorpusOps {
       .select(col(idCol), col("rank"), col("tok"), col("tfidf"))
   }
 
+  /** Sequence packing: assign each document a (pack, offset) slot in a
+    * stream of fixed `targetTokens` training sequences, one stream per
+    * `shardCol` group (per-shard windows keep the cumsum parallel — a
+    * single global ordering would serialize on one partition at corpus
+    * scale). Documents are laid out in id order; a document starts at the
+    * running-token offset of its shard, `pack = start div target`,
+    * `offset = start mod target`. A document may straddle a pack boundary —
+    * the consumer splits or pads at materialization time; this operator owns
+    * the deterministic LAYOUT, which is what must be reproducible across
+    * runs for resumable corpus builds. Integer div/mod (never the
+    * double-routed `/`) so the layout stays exact at any cumsum magnitude.
+    */
+  def packSequences(docs: DataFrame, idCol: String, textCol: String,
+                    shardCol: String, targetTokens: Int): DataFrame = {
+    val w = Window.partitionBy(col(shardCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.select(col(shardCol), col(idCol),
+      size(tokens(col(textCol))).cast("long").as("n_tokens"))
+      .withColumn("start", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .select(col(shardCol),
+        call_function("div", col("start"), lit(targetTokens.toLong)).as("pack_no"),
+        pmod(col("start"), lit(targetTokens.toLong)).as("offset"),
+        col(idCol), col("n_tokens"))
+  }
+
   /** Per-document term frequencies: one (id, tok, tf) row per distinct
     * (doc, token) — the shared first aggregation of TF-IDF, the vocabulary
     * head, and the t08 idf aux dump.

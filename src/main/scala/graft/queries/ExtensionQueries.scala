@@ -543,6 +543,27 @@ object ExtensionQueries {
         .orderBy("doc_id", "rank")
     },
 
+    // Sequence packing: deterministic (pack, offset) layout of every doc
+    // into 2048-token training sequences, one stream per source shard —
+    // the reproducible last mile of a corpus build. Oracle recomputes the
+    // per-shard running layout with a window cumsum.
+    "t09_seq_packing" -> of(
+      """WITH sized AS (
+        |  SELECT source, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |laid AS (
+        |  SELECT source, doc_id, n_tokens,
+        |    SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS start
+        |  FROM sized)
+        |SELECT source, start // 2048 AS pack_no, start % 2048 AS "offset",
+        |  doc_id, n_tokens
+        |FROM laid ORDER BY source, pack_no, "offset", doc_id""") { (s, d) =>
+      graft.operators.CorpusOps.packSequences(
+        t(s, d, "documents"), "doc_id", "text", "source", 2048)
+        .orderBy("source", "pack_no", "offset", "doc_id")
+    },
+
     // ---- multimodal -------------------------------------------------------
 
     // Binary payload plumbing + partition-batched (stubbed) feature extract.
