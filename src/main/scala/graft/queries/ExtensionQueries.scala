@@ -564,6 +564,55 @@ object ExtensionQueries {
         .orderBy("source", "pack_no", "offset", "doc_id")
     },
 
+    // Contamination audit: non-train documents whose winnow fingerprint
+    // collides with a train document — near-dup leakage across the t05
+    // hash split. Composes hashSplit (id-hash buckets, doc_hashes aux) with
+    // the robust fingerprint (t04_hashes aux); the oracle recomputes both
+    // sides and the cross-split join.
+    "t10_contamination" -> of(
+      """WITH dh AS (SELECT doc_id, h FROM read_parquet('{{AUX}}/doc_hashes/*.parquet')),
+        |splits AS (
+        |  SELECT doc_id,
+        |    CASE WHEN ((h % 100) + 100) % 100 < 90 THEN 'train' ELSE 'holdout' END AS split
+        |  FROM dh),
+        |hm AS (SELECT s, h FROM read_parquet('{{AUX}}/t04_hashes/*.parquet')),
+        |norm AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+        |      ' +', ' ', 'g')) AS nt
+        |  FROM documents),
+        |toks AS (SELECT doc_id, nt, string_split(nt, ' ') AS tk FROM norm),
+        |sh AS (
+        |  SELECT doc_id, array_to_string(tk[i:i+4], ' ') AS s
+        |  FROM toks, UNNEST(range(1, len(tk) - 3)) AS r(i)
+        |  WHERE len(tk) >= 5),
+        |shmin AS (
+        |  SELECT sh.doc_id, min(hm.h) AS min_h
+        |  FROM sh JOIN hm USING (s) GROUP BY sh.doc_id),
+        |fpj AS (SELECT toks.doc_id AS doc_id, hm.h AS fp FROM toks JOIN hm ON toks.nt = hm.s),
+        |wfp AS (
+        |  SELECT fpj.doc_id AS doc_id, coalesce(min_h, fp) AS winnow_fp
+        |  FROM fpj LEFT JOIN shmin ON fpj.doc_id = shmin.doc_id)
+        |SELECT ho.doc_id AS holdout_doc, tr.doc_id AS train_doc
+        |FROM wfp ho
+        |JOIN splits sho ON sho.doc_id = ho.doc_id AND sho.split = 'holdout'
+        |JOIN wfp tr ON tr.winnow_fp = ho.winnow_fp AND tr.doc_id <> ho.doc_id
+        |JOIN splits str ON str.doc_id = tr.doc_id AND str.split = 'train'
+        |ORDER BY holdout_doc, train_doc""") { (s, d) =>
+      val docs = t(s, d, "documents")
+      val splits = graft.operators.CorpusOps.hashSplit(docs, "doc_id",
+        Seq("train" -> 90, "holdout" -> 100)).select("doc_id", "split")
+      val wfp = docs.select(col("doc_id"), winnowFingerprint(col("text")).as("winnow_fp"))
+      val ho = wfp.join(splits.filter(col("split") === "holdout"), "doc_id")
+        .select(col("doc_id").as("holdout_doc"), col("winnow_fp"))
+      val tr = wfp.join(splits.filter(col("split") === "train"), "doc_id")
+        .select(col("doc_id").as("train_doc"), col("winnow_fp"))
+      ho.join(tr, Seq("winnow_fp"))
+        .filter(col("holdout_doc") =!= col("train_doc"))
+        .select("holdout_doc", "train_doc")
+        .orderBy("holdout_doc", "train_doc")
+    },
+
     // ---- multimodal -------------------------------------------------------
 
     // Binary payload plumbing + partition-batched (stubbed) feature extract.
