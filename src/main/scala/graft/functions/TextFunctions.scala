@@ -19,13 +19,24 @@ object TextFunctions {
   def bpeTokens(text: Column): Column =
     regexp_extract_all(text, lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"), lit(0))
 
+  /** Let-binding for Column expressions: evaluates `value` ONCE per row (as
+    * the element of a single-element array, referenced through the HOF
+    * lambda variable) so `body` can use it many times. Without this, an
+    * expression referenced repeatedly inside HOF lambdas is INLINED and
+    * re-evaluated per reference — and per ELEMENT when it feeds a lambda
+    * (e.g. re-tokenizing the document for every shingle position: the
+    * unbound winnow fingerprint cost ~4 ms/doc, ~50× this form).
+    */
+  private def bind(value: Column, body: Column => Column): Column =
+    element_at(transform(array(value), body), 1)
+
   /** k-word shingles as space-joined strings; fewer than k tokens → empty. */
-  def wordShingles(toks: Column, k: Int): Column =
-    when(size(toks) >= k,
+  def wordShingles(toks: Column, k: Int): Column = bind(toks, t =>
+    when(size(t) >= k,
       transform(
-        sequence(lit(0), size(toks) - k),
-        i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
-      .otherwise(array().cast("array<string>"))
+        sequence(lit(0), size(t) - k),
+        i => concat_ws(" ", slice(t, i + 1, lit(k)))))
+      .otherwise(array().cast("array<string>")))
 
   /** Hamming distance between two 64-bit simhashes. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
@@ -38,10 +49,11 @@ object TextFunctions {
   /** Winnowing-style robust fingerprint: min shingle hash of the normalized
     * token stream (survives local edits anywhere outside the min shingle).
     */
-  def winnowFingerprint(text: Column, k: Int = 5): Column = {
-    val sh = wordShingles(tokens(normalize(text)), k)
-    when(size(sh) > 0, array_min(transform(sh, s => xxhash64(s)))).otherwise(xxhash64(normalize(text)))
-  }
+  def winnowFingerprint(text: Column, k: Int = 5): Column =
+    bind(normalize(text), nt =>
+      bind(wordShingles(tokens(nt), k), sh =>
+        when(size(sh) > 0, array_min(transform(sh, s => xxhash64(s))))
+          .otherwise(xxhash64(nt))))
 
   def normalize(text: Column): Column =
     trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " "))
@@ -61,15 +73,15 @@ object TextFunctions {
   def langScore(toks: Column, markers: Seq[String]): Column =
     size(filter(toks, t => markers.map(t === _).reduce(_ || _)))
 
-  def langId(toks: Column): Column = {
-    val scores = langMarkers.map { case (lang, markers) => lang -> langScore(toks, markers) }
+  def langId(toks: Column): Column = bind(toks, bound => {
+    val scores = langMarkers.map { case (lang, markers) => lang -> langScore(bound, markers) }
     // argmax with first-listed language winning ties
     scores.tail.foldLeft((lit(scores.head._1), scores.head._2)) {
       case ((bestLang, bestScore), (lang, score)) =>
         (when(score > bestScore, lang).otherwise(bestLang),
           when(score > bestScore, score).otherwise(bestScore))
     }._1
-  }
+  })
 
   /** Quality-score ingredients: exact integer/ratio features (SURVEY §2.11). */
   def nTokens(toks: Column): Column = size(toks)
