@@ -228,6 +228,12 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
+    // a silent partial propagation would report one component as several
+    // "clusters", each with its own survivor — downstream dedup would keep
+    // duplicates with nothing looking wrong. Fail loudly instead.
+    require(converged,
+      s"dupClusters did not converge in $maxIters rounds (component diameter" +
+        s" exceeds maxIters); raise maxIters")
     labels.select(col("id"), col("label").as("cluster"))
   }
 

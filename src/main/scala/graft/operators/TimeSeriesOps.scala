@@ -33,8 +33,11 @@ object TimeSeriesOps {
     val buckets = intervals.select(col("lo"), col("hi"),
       explode(sequence(date_trunc("hour", col("lo")), date_trunc("hour", col("hi")),
         expr("interval 1 hour"))).as("bucket"))
+    // one OUTPUT row per distinct point: duplicate (id, ts) input rows would
+    // otherwise each join the buckets and the per-point sums would add up
+    // (a point in 3 intervals reporting n_containing = 6)
     val p = points.select(col(pointId), col(tsCol).as("ts"),
-      date_trunc("hour", col(tsCol)).as("bucket"))
+      date_trunc("hour", col(tsCol)).as("bucket")).distinct()
     p.join(buckets, Seq("bucket"), "left")
       .withColumn("hit",
         when(col("ts") >= col("lo") && col("ts") <= col("hi"), 1L).otherwise(0L))

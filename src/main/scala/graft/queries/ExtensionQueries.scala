@@ -602,7 +602,10 @@ object ExtensionQueries {
       val docs = t(s, d, "documents")
       val splits = graft.operators.CorpusOps.hashSplit(docs, "doc_id",
         Seq("train" -> 90, "holdout" -> 100)).select("doc_id", "split")
+      // both join branches consume the fingerprints — persist so the HOF
+      // pipeline runs one corpus pass, not two (Dedup caching convention)
       val wfp = docs.select(col("doc_id"), winnowFingerprint(col("text")).as("winnow_fp"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val ho = wfp.join(splits.filter(col("split") === "holdout"), "doc_id")
         .select(col("doc_id").as("holdout_doc"), col("winnow_fp"))
       val tr = wfp.join(splits.filter(col("split") === "train"), "doc_id")
