@@ -44,7 +44,12 @@ object Bench {
       name -> (0 until reps).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        val sec = (System.nanoTime() - t0) / 1e9
+        // clear persisted intermediates AFTER the clock stops: queries are
+        // timed including their own caching work but never pay for (or
+        // benefit from) another query's leftovers
+        spark.catalog.clearCache()
+        sec
       }
     }
     val best = results.view.mapValues(_.min).toMap

@@ -21,6 +21,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // operators persist internal intermediates (dedup shingles, LSH
+      // projections); drop them between queries so 68 queries in one
+      // session stay memory-bounded
+      finally spark.catalog.clearCache()
     }
     // Hash-primitive oracle inputs go to a SIBLING of outDir (not inside it:
     // the driver enumerates outDir's subdirectories as query outputs). The
