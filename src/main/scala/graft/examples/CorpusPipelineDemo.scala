@@ -1,0 +1,68 @@
+package graft.examples
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.{CorpusOps, Dedup}
+import graft.functions.TextFunctions.winnowFingerprint
+
+/** Runnable end-to-end LLM-corpus build: the operators composed the way a
+  * real curation pipeline chains them —
+  *
+  *   near-dup pairs → components → survivors → train/val/test split →
+  *   per-source quotas → sequence packing → contamination audit
+  *
+  * Every stage is the oracle-checked operator from `graft.queries`; this
+  * main just shows they compose. Usage:
+  * `runMain graft.examples.CorpusPipelineDemo [sfDir]`
+  */
+object CorpusPipelineDemo {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("corpus-pipeline-demo")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    println(s"=== corpus: ${docs.count()} documents from $dir")
+
+    // 1. near-dup pairs (bucketed Jaccard) → clusters → keep survivors only
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text")
+    val clusters = Dedup.dupClusters(pairs)
+    val losers = clusters.filter(col("id") =!= col("cluster")).select(col("id").as("doc_id"))
+    val deduped = docs.join(losers, Seq("doc_id"), "left_anti")
+    println(s"=== dedup: ${pairs.count()} near-dup pairs → " +
+      s"${losers.count()} non-survivors dropped, ${deduped.count()} docs remain")
+
+    // 2. reproducible split + per-source quota
+    val split = CorpusOps.hashSplit(deduped, "doc_id",
+      Seq("train" -> 90, "val" -> 95, "test" -> 100))
+    split.groupBy("split").count().orderBy("split").collect()
+      .foreach(r => println(s"=== split ${r.getString(0)}: ${r.getLong(1)} docs"))
+    val train = CorpusOps.quotaPerGroup(
+      split.filter(col("split") === "train"), "source", "doc_id", 100)
+    println(s"=== train after per-source quota(100): ${train.count()} docs")
+
+    // 3. pack the train split into 2048-token sequences per source shard
+    val packed = CorpusOps.packSequences(train, "doc_id", "text", "source", 2048)
+    val packs = packed.groupBy("source").agg(max("pack_no").as("packs"))
+      .orderBy("source").collect()
+      .map(r => s"${r.getString(0)}:${r.getLong(1) + 1}").mkString(", ")
+    println(s"=== packing: sequences per source shard → $packs")
+
+    // 4. contamination audit: held-out docs fingerprint-colliding with train
+    val wfp = deduped.select(col("doc_id"), winnowFingerprint(col("text")).as("w"))
+    val trainFp = wfp.join(train.select("doc_id"), "doc_id")
+      .select(col("w"))
+    val leaks = wfp.join(split.filter(col("split") =!= "train").select("doc_id"), "doc_id")
+      .join(trainFp, Seq("w"))
+      .select("doc_id").distinct()
+    println(s"=== contamination: ${leaks.count()} held-out docs collide with train")
+
+    spark.stop()
+  }
+}
