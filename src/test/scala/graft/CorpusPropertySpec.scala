@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.operators.CorpusOps
+
+/** Property-based invariants for the corpus-assembly operators: random
+  * corpora (ids, sources, texts) must satisfy the structural contracts the
+  * 100 TB pipeline relies on — disjoint covering splits stable under
+  * subsetting, quota bounds, packing layout arithmetic.
+  */
+object CorpusPropertySpec {
+  final case class Doc(doc_id: Long, source: String, text: String)
+}
+
+class CorpusPropertySpec extends SparkSpec {
+  import CorpusPropertySpec.Doc
+
+  private val wordGen = Gen.oneOf("alpha", "beta", "gamma", "delta", "eps", "zeta")
+  private val docGen: Gen[Doc] = for {
+    id <- Gen.chooseNum(0L, 100000L)
+    src <- Gen.oneOf("s0", "s1", "s2")
+    n <- Gen.chooseNum(0, 30)
+    words <- Gen.listOfN(n, wordGen)
+  } yield Doc(id, src, words.mkString(" "))
+
+  private def corpus(seed: Long): Seq[Doc] =
+    Gen.listOfN(120, docGen)(Gen.Parameters.default, Seed(seed)).get
+      .groupBy(_.doc_id).map(_._2.head).toSeq // unique ids
+
+  test("hashSplit: splits disjointly cover the corpus and survive subsetting") {
+    import spark.implicits._
+    for (seed <- 1L to 3L) {
+      val docs = corpus(seed).toDF()
+      val weights = Seq("a" -> 50, "b" -> 80, "c" -> 100)
+      val split = CorpusOps.hashSplit(docs, "doc_id", weights)
+      // total cover, no extra rows, only declared labels
+      assert(split.count() === docs.count())
+      assert(split.select("split").distinct().collect().map(_.getString(0)).toSet
+        .subsetOf(Set("a", "b", "c")))
+      // stability: any subset gets identical labels
+      val full = split.select("doc_id", "split").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      val sub = CorpusOps.hashSplit(docs.filter(col("doc_id") % 2 === 0), "doc_id", weights)
+        .select("doc_id", "split").collect()
+      sub.foreach(r => assert(full(r.getLong(0)) === r.getString(1)))
+    }
+  }
+
+  test("quotaPerGroup: bound holds, output is a subset, determinism") {
+    import spark.implicits._
+    for (seed <- 4L to 6L) {
+      val docs = corpus(seed).toDF()
+      val q = CorpusOps.quotaPerGroup(docs, "source", "doc_id", 7)
+      val sizes = q.groupBy("source").count().collect().map(_.getLong(1))
+      assert(sizes.forall(_ <= 7))
+      assert(q.except(docs).count() === 0) // subset of input rows
+      val again = CorpusOps.quotaPerGroup(docs, "source", "doc_id", 7)
+      assert(q.except(again).count() === 0 && again.except(q).count() === 0)
+    }
+  }
+
+  test("packSequences: starts are contiguous per shard; offsets in [0, target)") {
+    import spark.implicits._
+    for (seed <- 7L to 9L) {
+      val docs = corpus(seed).toDF()
+      val target = 64
+      val packed = CorpusOps.packSequences(docs, "doc_id", "text", "source", target)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      assert(packed.forall { case (_, pack, off, _, _) => pack >= 0 && off >= 0 && off < target })
+      // reconstruct: within a shard ordered by doc id, each start equals the
+      // previous start + previous n_tokens (the layout is gapless)
+      packed.groupBy(_._1).foreach { case (_, rows) =>
+        val ordered = rows.sortBy(_._4)
+        ordered.zip(ordered.tail).foreach { case ((_, p1, o1, _, n1), (_, p2, o2, _, _)) =>
+          val start1 = p1 * target + o1
+          val start2 = p2 * target + o2
+          assert(start2 === start1 + n1, "layout must be gapless in id order")
+        }
+      }
+    }
+  }
+}
