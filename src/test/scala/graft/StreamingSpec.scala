@@ -164,6 +164,47 @@ class StreamingSpec extends SparkSpec {
     assert(out.toSet === Set((1L, "click"), (2L, "view"), (3L, "click")))
   }
 
+  test("sessionization state survives a query RESTART from checkpoint") {
+    // run 1 processes the first half of the feed and stops; run 2 is a NEW
+    // query over the same checkpoint after the second half lands — sessions
+    // spanning the restart must continue (no splits, no renumbering, no
+    // re-emission), exactly as if one query had seen everything
+    import org.apache.spark.sql.streaming.Trigger
+    val tmp = java.nio.file.Files.createTempDirectory("events-restart")
+    val ckpt = java.nio.file.Files.createTempDirectory("restart-ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("restart-out").toString
+    val ev = graft.queries.Q.events(spark, dir).orderBy("ts")
+    val rows = ev.collect()
+    val (first, second) = rows.splitAt(rows.length / 2)
+    val schema = ev.schema
+    def addFile(name: String, part: Array[org.apache.spark.sql.Row]): Unit =
+      spark.createDataFrame(spark.sparkContext.parallelize(part.toSeq, 1), schema)
+        .write.parquet(s"$tmp/batch-$name")
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$tmp/batch-*")
+      val q = graft.streaming.SessionizeStream.sessions(stream).toDF()
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    addFile("0", first)
+    runOnce()
+    val emittedAfterRun1 = spark.read.parquet(out).count()
+    addFile("1", second)
+    runOnce()
+    val streamed = spark.read.parquet(out)
+      .select("user_id", "session_no", "n_events", "first_event")
+    assert(emittedAfterRun1 < streamed.count(), "run 2 must emit further sessions")
+    val batch = graft.SparkEntry.queries("e01_sessionize")(spark, dir)
+      .select("user_id", "session_no", "n_events", "first_event")
+    // every session emitted across the restart matches the single-run batch
+    // computation, and nothing was emitted twice
+    assert(streamed.except(batch).count() === 0)
+    assert(streamed.count() === streamed.distinct().count())
+  }
+
   test("watermark evicts finalized windows in append mode") {
     val stream = EventsStream.readEvents(spark, dir)
     EventsStream.runAvailableNow(
