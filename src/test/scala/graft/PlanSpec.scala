@@ -92,6 +92,14 @@ class PlanSpec extends SparkSpec {
       s"containment join must ride the bucket equi-key:\n${plan.take(900)}")
   }
 
+  test("corpus queries prune the documents scan to referenced columns") {
+    // t05 touches only the id — a scan dragging `text` along would read
+    // ~100x the bytes at corpus scale
+    assert(physicalPlan("t05_corpus_split").contains("ReadSchema: struct<doc_id:bigint>"))
+    assert(physicalPlan("q31_source_quota")
+      .contains("ReadSchema: struct<doc_id:bigint,source:string>"))
+  }
+
   test("runAndSubmit posts one FeatureCollection through a pluggable poster") {
     var posted: Option[(String, String)] = None
     graft.CotripPipeline(TaskConfig("tok")).runAndSubmit(
