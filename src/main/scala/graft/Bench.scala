@@ -40,10 +40,13 @@ object Bench {
         SparkEntry.queries.get("s01_sim_topk_agg").foreach(_(spark, warmDir).count())
       } catch { case _: Throwable => () }
     }
+    val failed = scala.collection.mutable.SortedSet[String]()
     val results: Map[String, Seq[Double]] = SparkEntry.queries.map { case (name, fn) =>
       name -> (0 until reps).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        // a failed query must NOT contribute a flattering time-to-failure:
+        // record it so the artifact carries an explicit error list
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => failed += name }
         val sec = (System.nanoTime() - t0) / 1e9
         // clear persisted intermediates AFTER the clock stops: queries are
         // timed including their own caching work but never pay for (or
@@ -59,8 +62,9 @@ object Bench {
       s"\"" + k + "\":" + v.mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val total = if (best.nonEmpty) best.values.sum else 0.0
+    val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"reps":$reps,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"reps":$reps,"errors":$errs,"sf":"$sfDir"}"""
     println(line)
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
     try Files.writeString(Paths.get(out), line + "\n")

@@ -154,10 +154,13 @@ object Dedup {
     // 4× fewer aggregation buffer slots and ~4× less generated code than one
     // sum column per bit (the round-1 shape was 22% of the whole bench, almost
     // all janino-compile + branchy agg). One doc-id shuffle, map-side partial
-    // agg. A 16-bit lane saturates at 65535 tokens and would CARRY into its
-    // neighbor lane long before any long overflow that ANSI could catch, so
-    // the per-doc token count is guarded explicitly (assert_true below) —
-    // docs beyond 65535 tokens must be chunked upstream.
+    // agg. Correctness envelope: ≤32767 tokens/doc is crash-free (the
+    // worst-case packed sum stays under 2^63); 32768–65535 can abort with a
+    // loud ANSI overflow when a popular bit's lane-3 contribution
+    // (count × 2^48) tops the long — never silently wrong, since a lane
+    // CARRY needs ≥65536 of one bit and that regime is rejected by the
+    // explicit assert_true guard below. Docs beyond 32767 tokens should be
+    // chunked upstream.
     val tokenHashes = docs
       .select(col(idCol), explode(tokens(col(textCol))).as("tok"))
       .select(col(idCol), xxhash64(col("tok")).as("h"))

@@ -203,6 +203,9 @@ object Similarity {
     try {
       var cents: Array[Array[Double]] =
         v.orderBy("id").limit(k).collect().map(_.getSeq[Double](1).toArray)
+      // empty corpus → no centroids → empty ANN result downstream (the same
+      // degrade-not-throw contract as vectorDim/hyperplaneSigns)
+      if (cents.isEmpty) return Array.empty
       for (_ <- 0 until iters) {
         val norms = cents.map(c => math.sqrt(c.foldLeft(0.0)((a, x) => a + x * x)))
         // struct(sim, -cid): array_max's lexicographic max = highest sim,

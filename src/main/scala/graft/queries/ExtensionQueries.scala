@@ -44,6 +44,24 @@ object ExtensionQueries {
         sum(col("new_session")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
   }
 
+  /** Shared oracle CTEs mirroring [[gapSessions]]: `gaps` (new-session
+    * flags) and `numbered` (per-event session_no) — consumed by the e01,
+    * e04 and e08 oracles so the session semantics live in ONE place on the
+    * SQL side too.
+    */
+  private val gapSessionCtes =
+    """gaps AS (
+      |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+      |    CASE WHEN CAST(ts AS TIMESTAMP) - LAG(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+      |      > INTERVAL 30 MINUTE OR LAG(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) IS NULL
+      |      THEN 1 ELSE 0 END AS new_session
+      |  FROM events),
+      |numbered AS (
+      |  SELECT user_id, event_id, ts,
+      |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+      |  FROM gaps)"""
+
   /** Shared oracle: exact k=4 word-shingle Jaccard pairs at J ≥ 0.5, with
     * an optional df-cut (shingles in more than `maxDocFreq` docs dropped
     * before pairing — mirroring Dedup.ngramJaccardPairs' cut). Shape
@@ -623,7 +641,7 @@ object ExtensionQueries {
       """SELECT doc_id, media_type, n_bytes, head_hex FROM (
         |  SELECT doc_id, 'text/plain' AS media_type,
         |    CAST(octet_length(CAST(text AS BLOB)) AS INT) AS n_bytes,
-        |    hex(CAST(substring(text, 1, 8) AS BLOB)) AS head_hex
+        |    substring(hex(CAST(text AS BLOB)), 1, 16) AS head_hex
         |  FROM documents) x ORDER BY doc_id""") { (s, d) =>
       Multimodal.extractFeatures(
         Multimodal.asMediaTable(t(s, d, "documents"), "doc_id", "text"))
@@ -657,20 +675,10 @@ object ExtensionQueries {
     // Gap-based sessionization (30-minute inactivity threshold): lag + step
     // cumsum — the batch shape of the streaming session operator.
     "e01_sessionize" -> of(
-      """WITH gaps AS (
-        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
-        |    CASE WHEN CAST(ts AS TIMESTAMP) - LAG(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
-        |      > INTERVAL 30 MINUTE OR LAG(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) IS NULL
-        |      THEN 1 ELSE 0 END AS new_session
-        |  FROM events),
-        |sessions AS (
-        |  SELECT user_id, event_id,
-        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
-        |  FROM gaps)
+      s"""WITH $gapSessionCtes
         |SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
         |  COUNT(*) AS n_events, MIN(event_id) AS first_event
-        |FROM sessions GROUP BY user_id, session_no
+        |FROM numbered GROUP BY user_id, session_no
         |ORDER BY user_id, session_no""") { (s, d) =>
       gapSessions(Q.events(s, d))
         .groupBy(col("user_id"), col("session_no"))
@@ -712,17 +720,7 @@ object ExtensionQueries {
     // event-time timeout (last event ts + 30min gap < final watermark =
     // global max ts - 1min).
     "e04_stream_sessions" -> of(
-      """WITH gaps AS (
-        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
-        |    CASE WHEN CAST(ts AS TIMESTAMP) - LAG(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
-        |      > INTERVAL 30 MINUTE OR LAG(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) IS NULL
-        |      THEN 1 ELSE 0 END AS new_session
-        |  FROM events),
-        |numbered AS (
-        |  SELECT user_id, event_id, ts,
-        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
-        |  FROM gaps),
+      s"""WITH $gapSessionCtes,
         |sessions AS (
         |  SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
         |    COUNT(*) AS n_events, MIN(event_id) AS first_event, MAX(ts) AS last_ts,
@@ -744,7 +742,11 @@ object ExtensionQueries {
     // a real AvailableNow streaming query into a memory sink. The output
     // projects only the dedup keys (survivor choice within a batch is
     // engine-determined; the key set is not), so the emission contract is
-    // exactly DISTINCT over the feed.
+    // exactly DISTINCT over the feed. NB the strict-DISTINCT equivalence
+    // holds for the single-snapshot ingest used here (one parquet file →
+    // one micro-batch); multi-batch feeds legitimately re-emit keys whose
+    // state aged past the watermark — that is the operator's documented
+    // semantics, not a defect, but it would diverge from this oracle.
     "e05_stream_dedup" -> of(
       """SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY user_id, event_type""") { (s, d) =>
@@ -795,17 +797,7 @@ object ExtensionQueries {
     // non-equi join with an hour-bucket equi-join + residual predicate; the
     // oracle is the direct correlated range count.
     "e08_range_join_bucketed" -> of(
-      """WITH gaps AS (
-        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
-        |    CASE WHEN CAST(ts AS TIMESTAMP) - LAG(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
-        |      > INTERVAL 30 MINUTE OR LAG(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) IS NULL
-        |      THEN 1 ELSE 0 END AS new_session
-        |  FROM events),
-        |numbered AS (
-        |  SELECT user_id, ts,
-        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
-        |  FROM gaps),
+      s"""WITH $gapSessionCtes,
         |sessions AS (
         |  SELECT user_id, session_no, MIN(ts) AS lo, MAX(ts) AS hi
         |  FROM numbered GROUP BY user_id, session_no),

@@ -14,8 +14,12 @@ final case class QueryDef(
     oracle: Option[String])
 
 object QueryDef {
+  // stripMargin only — collapsing whitespace runs would also rewrite
+  // multi-space/tab/newline sequences INSIDE SQL string literals, silently
+  // changing the predicate DuckDB evaluates. Verify's JSON escaping handles
+  // the newlines.
   def of(oracle: String)(fn: (SparkSession, String) => DataFrame): QueryDef =
-    QueryDef(fn, Some(oracle.stripMargin.replaceAll("\\s+", " ").trim))
+    QueryDef(fn, Some(oracle.stripMargin.trim))
 
   /** Non-SQL-expressible op → driver records a weaker rows-only check. */
   def noOracle(fn: (SparkSession, String) => DataFrame): QueryDef =

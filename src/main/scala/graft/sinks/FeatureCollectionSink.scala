@@ -19,7 +19,12 @@ object FeatureCollectionSink {
       struct(df("id"), df("type"), df("properties"), df("geometry")),
       java.util.Map.of("ignoreNullFields", "false"))
     // Unquote the raw coordinates array: "coordinates":"[…]" → "coordinates":[…]
-    val spliced = regexp_replace(j, "\"coordinates\":\"([^\"]*)\"", "\"coordinates\":$1")
+    // The char class admits exactly numeric-JSON text; anything else (e.g. a
+    // quote smuggled into coordinates by a misbehaving feed) does NOT match
+    // and stays a quoted string — degraded but still valid JSON, never a
+    // structurally corrupted document.
+    val spliced = regexp_replace(j,
+      "\"coordinates\":\"([0-9eE+\\-.,\\[\\] ]*)\"", "\"coordinates\":$1")
     df.select(spliced.as("json")).as[String](org.apache.spark.sql.Encoders.STRING)
   }
 

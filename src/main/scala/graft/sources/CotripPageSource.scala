@@ -45,7 +45,8 @@ class CotripPageSource extends TableProvider with DataSourceRegister {
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table =
-    new CotripPageTable(properties.asScala.toMap)
+    // DSv2 options are case-insensitive by contract — normalize once here
+    new CotripPageTable(properties.asScala.map { case (k, v) => k.toLowerCase -> v }.toMap)
 }
 
 object CotripPageSource {
@@ -86,7 +87,7 @@ final class CotripPageTable(options: Map[String, String]) extends Table with Sup
               None +: options.get("offsets").toSeq
                 .flatMap(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty).map(Some(_)))
             offsets.zipWithIndex.map { case (off, i) =>
-              HttpPagePartition(i, options("baseUrl"), options("apiKey"), off): InputPartition
+              HttpPagePartition(i, options("baseurl"), options("apikey"), off): InputPartition
             }.toArray
           case other => throw new IllegalArgumentException(s"unknown mode: $other")
         }
