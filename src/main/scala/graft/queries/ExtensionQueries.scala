@@ -649,6 +649,21 @@ object ExtensionQueries {
         .orderBy("doc_id")
     },
 
+    // Byte-level header parsing (REAL, not the decode stub): two big-endian
+    // u32 fields from each payload's first 8 bytes — the width/height /
+    // sample-rate shape of media header sniffing, pure codegen expressions.
+    "m03_multimodal_header" -> of(
+      """SELECT doc_id,
+        |  ('0x' || substring(hex(CAST(text AS BLOB)), 1, 8))::BIGINT AS hdr_a,
+        |  ('0x' || substring(hex(CAST(text AS BLOB)), 9, 8))::BIGINT AS hdr_b
+        |FROM documents
+        |WHERE octet_length(CAST(text AS BLOB)) >= 8
+        |ORDER BY doc_id""") { (s, d) =>
+      Multimodal.parseHeaderU32(
+        Multimodal.asMediaTable(t(s, d, "documents"), "doc_id", "text"))
+        .orderBy("doc_id")
+    },
+
     // Fixed-size payload chunking — the frame-sampling/batch shape for media
     // payloads (each chunk row would feed a decoder batch at scale).
     "m02_multimodal_chunks" -> of(
