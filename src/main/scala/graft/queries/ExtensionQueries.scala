@@ -338,6 +338,23 @@ object ExtensionQueries {
         .orderBy("query_id", "rank")
     },
 
+    // Embedding L2 normalization — the standard pre-index step (unit
+    // vectors make cosine = dot). The norm is computed ONCE per row and
+    // referenced from the transform lambda; both engines divide the same
+    // doubles element-wise, so the unit vectors bit-match.
+    "s05_normalize" -> of(
+      """SELECT vec_id,
+        |  list_transform(CAST(embedding AS DOUBLE[]),
+        |    x -> x / sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), y -> y*y)))) AS unit
+        |FROM embeddings WHERE vec_id < 100 ORDER BY vec_id""") { (s, d) =>
+      graft.functions.NativeFunctions.register(s)
+      t(s, d, "embeddings").filter(col("vec_id") < 100)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .withColumn("norm", Similarity.l2norm(col("v")))
+        .select(col("vec_id"), transform(col("v"), x => x / col("norm")).as("unit"))
+        .orderBy("vec_id")
+    },
+
     // IVF ANN with a TRAINED deterministic coarse quantizer (reproducible
     // k-means, Similarity.kmeansCentroids). The centroids are materialized
     // by Verify (AuxDumps "s04_centroids"); the oracle consumes them and
