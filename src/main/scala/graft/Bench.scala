@@ -55,7 +55,9 @@ object Bench {
         sec
       }
     }
-    val best = results.view.mapValues(_.min).toMap
+    // a failed query's time-to-failure must not flow into best/total — the
+    // errors array is the only place failures appear
+    val best = results.view.filterKeys(!failed.contains(_)).mapValues(_.min).toMap
     val qs = best.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val runs = results.map { case (k, v) =>

@@ -154,13 +154,14 @@ object Dedup {
     // 4× fewer aggregation buffer slots and ~4× less generated code than one
     // sum column per bit (the round-1 shape was 22% of the whole bench, almost
     // all janino-compile + branchy agg). One doc-id shuffle, map-side partial
-    // agg. Correctness envelope: ≤32767 tokens/doc is crash-free (the
-    // worst-case packed sum stays under 2^63); 32768–65535 can abort with a
-    // loud ANSI overflow when a popular bit's lane-3 contribution
-    // (count × 2^48) tops the long — never silently wrong, since a lane
-    // CARRY needs ≥65536 of one bit and that regime is rejected by the
-    // explicit assert_true guard below. Docs beyond 32767 tokens should be
-    // chunked upstream.
+    // agg. Correctness envelope: ≤32767 tokens/doc — the worst-case packed
+    // sum (n × 2^48 in lane 3) stays under 2^63, so no overflow is reachable
+    // on accepted input regardless of the session's ANSI setting. The
+    // assert_true guard below rejects anything larger: at 32768+ a popular
+    // bit's lane-3 contribution could top the long, which would abort loudly
+    // under ANSI but WRAP SILENTLY with spark.sql.ansi.enabled=false — so
+    // the guard must sit at the crash-free boundary, not at the lane-carry
+    // boundary (65536). Docs beyond 32767 tokens should be chunked upstream.
     val tokenHashes = docs
       .select(col(idCol), explode(tokens(col(textCol))).as("tok"))
       .select(col(idCol), xxhash64(col("tok")).as("h"))
@@ -178,8 +179,8 @@ object Dedup {
     // assert_true returns null (or throws): filtering on it both forces the
     // guard's evaluation and keeps every surviving row
     val sigs = tokenHashes.groupBy(col(idCol)).agg(aggCols.head, aggCols.tail: _*)
-      .filter(assert_true(col("n") <= 65535,
-        lit("simhash: doc exceeds 65535 tokens; packed 16-bit popcount lanes would carry — chunk the doc upstream")).isNull)
+      .filter(assert_true(col("n") <= 32767,
+        lit("simhash: doc exceeds 32767 tokens; the packed popcount sum could overflow Long — chunk the doc upstream")).isNull)
       .select(col(idCol), sigBits.reduce(_ bitwiseOR _).as("sig"))
     val banded = sigs.select(col(idCol), col("sig"),
       explode(transform(sequence(lit(0), lit(3)),

@@ -341,18 +341,28 @@ object ExtensionQueries {
     // Embedding L2 normalization — the standard pre-index step (unit
     // vectors make cosine = dot). The norm is computed ONCE per row and
     // referenced from the transform lambda; both engines divide the same
-    // doubles element-wise, so the unit vectors bit-match.
+    // doubles element-wise, so the unit vectors bit-match. The query
+    // posexplodes to one scalar row per component: the driver's comparer
+    // row-sorts with pandas, which cannot sort array columns — arrays must
+    // never appear in a final query output (library callers still get the
+    // array form via the `unit` intermediate).
     "s05_normalize" -> of(
-      """SELECT vec_id,
-        |  list_transform(CAST(embedding AS DOUBLE[]),
-        |    x -> x / sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), y -> y*y)))) AS unit
-        |FROM embeddings WHERE vec_id < 100 ORDER BY vec_id""") { (s, d) =>
+      """WITH norm AS (
+        |  SELECT vec_id,
+        |    list_transform(CAST(embedding AS DOUBLE[]),
+        |      x -> x / sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), y -> y*y)))) AS unit
+        |  FROM embeddings WHERE vec_id < 100)
+        |SELECT vec_id, CAST(i AS INT) AS idx, unit[i + 1] AS unit_val
+        |FROM norm, UNNEST(range(len(unit))) AS r(i)
+        |ORDER BY vec_id, idx""") { (s, d) =>
       graft.functions.NativeFunctions.register(s)
       t(s, d, "embeddings").filter(col("vec_id") < 100)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
         .withColumn("norm", Similarity.l2norm(col("v")))
-        .select(col("vec_id"), transform(col("v"), x => x / col("norm")).as("unit"))
-        .orderBy("vec_id")
+        .select(col("vec_id"),
+          posexplode(transform(col("v"), x => x / col("norm"))))
+        .select(col("vec_id"), col("pos").as("idx"), col("col").as("unit_val"))
+        .orderBy("vec_id", "idx")
     },
 
     // IVF ANN with a TRAINED deterministic coarse quantizer (reproducible
@@ -588,8 +598,11 @@ object ExtensionQueries {
         |  FROM documents),
         |laid AS (
         |  SELECT source, doc_id, n_tokens,
-        |    SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS start
+        |    -- CAST: DuckDB's windowed SUM(BIGINT) returns HUGEINT, which
+        |    -- pandas renders as float — the driver's dtype-sensitive hash
+        |    -- then sees 0.0 vs Spark's 0
+        |    CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS BIGINT) AS start
         |  FROM sized)
         |SELECT source, start // 2048 AS pack_no, start % 2048 AS "offset",
         |  doc_id, n_tokens

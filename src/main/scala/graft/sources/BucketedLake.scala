@@ -20,16 +20,21 @@ object BucketedLake {
   final case class Tables(orders: String, lineitem: String)
 
   def ensure(spark: SparkSession, dir: String, buckets: Int = 8): Tables = {
+    // the bucket count is part of the layout identity: a table cached by an
+    // earlier call with a different `buckets` must not be silently reused
     val suffix = java.lang.Long.toHexString(
-      scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xFFFFFFFFL)
+      scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xFFFFFFFFL) +
+      s"_b$buckets"
     val tables = Tables(s"orders_bkt_$suffix", s"lineitem_bkt_$suffix")
     def write(name: String, df: DataFrame, key: String): Unit =
       if (!spark.catalog.tableExists(name)) {
         // the in-memory catalog forgets tables across JVMs but the warehouse
         // files persist; the layout is a derived cache, so clear stale files
-        // (CREATE TABLE AS validates the location even in Overwrite mode)
-        val warehouse = new java.net.URI(
-          spark.conf.get("spark.sql.warehouse.dir")).getPath
+        // (CREATE TABLE AS validates the location even in Overwrite mode).
+        // hadoop Path handles unencoded/scheme-less warehouse dirs where
+        // java.net.URI would throw or yield a null path
+        val warehouse = new org.apache.hadoop.fs.Path(
+          spark.conf.get("spark.sql.warehouse.dir")).toUri.getPath
         val stale = new java.io.File(warehouse, name)
         if (stale.exists()) {
           def rm(f: java.io.File): Unit = {
