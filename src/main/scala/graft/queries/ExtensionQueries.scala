@@ -836,6 +836,36 @@ object ExtensionQueries {
       s.table(sinkName).orderBy("event_type", "tier")
     },
 
+    // STREAMING stream-stream interval join, driver-checked: errors that
+    // follow a purchase by the same user within an hour, as two watermarked
+    // event streams. The watermark + time-range condition bound BOTH join
+    // state stores (the property that lets this run forever); AvailableNow
+    // over the full feed makes the emission equal the batch interval join,
+    // which the oracle states directly.
+    "e09_stream_stream_join" -> of(
+      """WITH e AS (
+        |  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type
+        |  FROM events)
+        |SELECT p.event_id AS purchase_id, er.event_id AS error_id, p.user_id
+        |FROM e p JOIN e er ON p.user_id = er.user_id
+        |  AND er.ts >= p.ts AND er.ts <= p.ts + INTERVAL 1 HOUR
+        |WHERE p.event_type = 'purchase' AND er.event_type = 'error'
+        |ORDER BY purchase_id, error_id""") { (s, d) =>
+      import graft.streaming.EventsStream
+      val purchases = EventsStream.readEvents(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("ts"), col("user_id"))
+      val errors = EventsStream.readEvents(s, d)
+        .filter(col("event_type") === "error")
+        .select(col("event_id").as("error_id"), col("ts"), col("user_id"))
+      val joined = EventsStream.intervalJoin(purchases, errors, "user_id")
+        .select(col("purchase_id"), col("error_id"),
+          col("l.user_id").as("user_id"))
+      val sinkName = s"stream_interval_${sinkCounter.incrementAndGet()}"
+      EventsStream.runAvailableNow(joined, sinkName)
+      s.table(sinkName).orderBy("purchase_id", "error_id")
+    },
+
     // Containment/range join via time-bucket equi-join: for each error
     // event, how many concurrent user sessions (gap-based intervals)
     // contained its timestamp. The scale pattern replaces the nested-loop

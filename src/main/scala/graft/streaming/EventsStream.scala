@@ -65,6 +65,29 @@ object EventsStream {
     events.withWatermark(watermarkCol, delay)
       .dropDuplicatesWithinWatermark(keys)
 
+  /** STREAM-STREAM interval join: rows from `right` that land within
+    * [l.ts, l.ts + window] of a `left` row with the same key. Both sides
+    * carry a watermark and the join condition carries the time range — the
+    * two facts Spark's stream-stream join REQUIRES to bound its state
+    * stores: each side buffers only rows newer than
+    * (watermark − join window), so state is O(rows per window per key),
+    * not O(stream length). Inner join in append mode: a pair emits once
+    * both sides have arrived.
+    *
+    * Output columns: every `left` column, then every `right` column
+    * prefixed per the caller's pre-join aliasing (callers should project
+    * distinct names before joining — the helper keys on raw `ts`/key
+    * column names on both sides).
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
+                   window: String = "1 hour",
+                   delay: String = "2 hours"): DataFrame = {
+    val l = left.withWatermark("ts", delay).alias("l")
+    val r = right.withWatermark("ts", delay).alias("r")
+    l.join(r, expr(
+      s"l.$keyCol = r.$keyCol AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL $window"))
+  }
+
   /** Run a streaming query to a named in-memory sink with AvailableNow
     * semantics (process everything present, then stop) — the direct
     * equivalent of the reference's scheduled full-snapshot invocation.
