@@ -83,6 +83,49 @@ object TextFunctions {
     }._1
   })
 
+  /** PII patterns (email / NANP-style phone / IPv4), written in the regex
+    * subset Java and RE2 interpret identically (no backreferences or
+    * lookaround) so the DuckDB oracle can run the same patterns verbatim.
+    */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+  val ipv4Re = "\\b(\\d{1,3}\\.){3}\\d{1,3}\\b"
+
+  /** Redact PII spans with typed placeholders. Email first (its pattern
+    * contains dots and digits that the later patterns must not see), then
+    * phone, then IPv4 — the replacement tokens contain no digits, so the
+    * passes cannot cascade.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, emailRe, "<EMAIL>"),
+        phoneRe, "<PHONE>"),
+      ipv4Re, "<IP>")
+
+  def piiCount(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0)))
+
+  /** Longest run of identical consecutive elements — single-pass aggregate
+    * HOF, so the repetition signal needs no shuffle and no explode (the
+    * 100 TB shape: one projection over the corpus).
+    */
+  def maxRunLength(arr: Column): Column =
+    aggregate(arr,
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (st, x) => {
+        val run = when(x === st.getField("prev"), st.getField("run") + 1)
+          .otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(st.getField("best"), run).as("best"))
+      },
+      st => st.getField("best"))
+
+  /** Occurrences of the most frequent element: sort, then the longest run of
+    * equal neighbors IS the mode count — per-row O(m log m), no shuffle.
+    */
+  def maxDupCount(arr: Column): Column = maxRunLength(array_sort(arr))
+
   /** Quality-score ingredients: exact integer/ratio features (SURVEY §2.11). */
   def nTokens(toks: Column): Column = size(toks)
   def nChars(text: Column): Column = length(text)

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.TextFunctions.tokens
+import graft.functions.TextFunctions.{maxDupCount, maxRunLength, tokens, wordShingles}
 
 /** Corpus-assembly operators for training-data pipelines (SURVEY §2.11):
   * reproducible splits, per-source quotas, vocabulary building. Everything is
@@ -115,6 +115,75 @@ object CorpusOps {
         call_function("div", col("start"), lit(targetTokens.toLong)).as("pack_no"),
         pmod(col("start"), lit(targetTokens.toLong)).as("offset"),
         col(idCol), col("n_tokens"))
+  }
+
+  /** Gopher-style repetition/boilerplate signals, all computed per-row with
+    * HOFs — NO explode, NO shuffle: one projection over the corpus is the
+    * whole plan, so the filter costs a scan at any scale.
+    *  - `max_run`: longest run of the same token (.....aaaa.... spam);
+    *  - `top_bigram_n` / `top_bigram_frac`: occurrences of the most frequent
+    *    word bigram, absolute and as a fraction of all bigrams (boilerplate
+    *    phrase repetition);
+    *  - `dup_shingle_frac`: fraction of 5-gram shingles that are repeats of
+    *    an earlier shingle (near-copy spans inside the document).
+    */
+  def repetitionSignals(docs: DataFrame, idCol: String,
+                        textCol: String): DataFrame = {
+    val tk = tokens(col(textCol))
+    val bg = wordShingles(tk, 2)
+    val sh = wordShingles(tk, 5)
+    docs.select(col(idCol),
+      size(tk).cast("long").as("n_tokens"),
+      maxRunLength(tk).as("max_run"),
+      when(size(bg) > 0, maxDupCount(bg)).otherwise(0L).as("top_bigram_n"),
+      when(size(bg) > 0, maxDupCount(bg).cast("double") / size(bg))
+        .otherwise(0.0).as("top_bigram_frac"),
+      when(size(sh) > 0,
+        (size(sh) - size(array_distinct(sh))).cast("double") / size(sh))
+        .otherwise(0.0).as("dup_shingle_frac"))
+  }
+
+  /** Stratified deterministic sampling: keep a row iff its id's hash bucket
+    * falls under the stratum's rate (`rateCol`, percent in [0,100]). The
+    * selection follows the id alone — reproducible on any cluster, stable
+    * under corpus growth, and shuffle-free (a filter over the scan).
+    */
+  def stratifiedSample(df: DataFrame, idCol: String, rateCol: Column): DataFrame =
+    df.withColumn("hash_bucket", hashBucket(col(idCol)))
+      .withColumn("rate", rateCol)
+      .filter(col("hash_bucket") < col("rate"))
+
+  /** Temperature-weighted source mixing (the multi-source sampling step of a
+    * training-data build): source `s` gets a document budget proportional to
+    * `tokens_s^0.5` — up-weighting small sources exactly like T=2
+    * temperature sampling — and fills it with its hash-first documents.
+    * sqrt is correctly rounded (IEEE), so the weights are bit-reproducible
+    * across engines (which a fractional `pow` would NOT be); the weight
+    * normalizer is folded in source order so double addition order cannot
+    * perturb it. Plan shape: one agg on source (tiny), broadcast back, one
+    * per-source window — scales as a corpus pass plus a bounded ranking.
+    */
+  def temperatureMix(docs: DataFrame, idCol: String, textCol: String,
+                     srcCol: String, totalTarget: Long): DataFrame = {
+    val perSource = docs.groupBy(col(srcCol))
+      .agg(sum(size(tokens(col(textCol))).cast("long")).as("n_tokens"))
+      .withColumn("w", sqrt(col("n_tokens").cast("double")))
+    // Σw as a sequential fold over sources in name order: deterministic,
+    // unlike a double SUM whose partial-agg order is engine/partition-chosen
+    val norm = perSource
+      .agg(aggregate(
+        array_sort(collect_list(struct(col(srcCol), col("w")))),
+        lit(0.0), (acc, x) => acc + x.getField("w")).as("sum_w"))
+    val targets = perSource.crossJoin(broadcast(norm))
+      .withColumn("target_docs",
+        floor(lit(totalTarget.toDouble) * col("w") / col("sum_w")).cast("long"))
+      .select(col(srcCol), col("target_docs"))
+    val w = Window.partitionBy(col(srcCol))
+      .orderBy(xxhash64(col(idCol)), col(idCol))
+    docs.join(broadcast(targets), srcCol)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= col("target_docs"))
+      .drop("__rn")
   }
 
   /** Per-document term frequencies: one (id, tok, tf) row per distinct

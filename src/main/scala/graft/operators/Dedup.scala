@@ -197,11 +197,15 @@ object Dedup {
 
   /** Near-dup clusters from a pair list: connected components by iterative
     * min-label propagation (Pregel-style), so an A~B~C chain dedups as ONE
-    * cluster even when A~C was never emitted as a pair. Each iteration is
-    * one join + one aggregate (labels move along edges, keep the min);
-    * convergence needs O(component diameter) rounds — near-dup clusters are
-    * clique-ish, so 1-2 in practice — with a driver-side fixpoint check
-    * (the standard shape for iterative graph algorithms on Spark).
+    * cluster even when A~C was never emitted as a pair. Each round moves
+    * labels one hop along edges (join + min-aggregate) and then POINTER-JUMPS
+    * (label ← label(label)), which doubles propagation reach per round —
+    * convergence in O(log component diameter) rounds, not O(diameter). That
+    * matters beyond asymptotics: Jaccard dup sets are clique-ish (1-2
+    * rounds either way), but semantic-similarity graphs form CHAINS
+    * (a~b~c~… at threshold cosine), where hop-only propagation pays a full
+    * Spark job round-trip per chain link. Driver-side fixpoint check, the
+    * standard shape for iterative graph algorithms on Spark.
     *
     * Returns (id, cluster) for every id appearing in `pairs`, where
     * `cluster` is the component's minimum id — which is also the
@@ -221,14 +225,25 @@ object Dedup {
         .join(labels.select(col("id").as("id_b"), col("label").as("nbr_label")), "id_b")
         .groupBy(col("id_a").as("id"))
         .agg(min(col("nbr_label")).as("min_nbr"))
-      val next = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
+      val stepped = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"), col("label").as("old_label"),
           least(col("label"), coalesce(col("min_nbr"), col("label"))).as("label"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      converged = next.join(labels.withColumnRenamed("label", "old_label"), "id")
-        .filter(col("label") =!= col("old_label")).isEmpty
+      // pointer jump: every label is itself an id in `labels` (labels are
+      // ids of the same component and only ever decrease toward its min),
+      // so label(label) is defined and stays within the component
+      // localCheckpoint (eager), not persist: the self-join references
+      // `stepped` twice, so without lineage TRUNCATION the logical plan
+      // doubles every round — exponential analysis/stringification cost
+      // even though the persisted data is tiny
+      val next = stepped.alias("x")
+        .join(stepped.select(col("id").as("jid"), col("label").as("jlabel")).alias("j"),
+          col("x.label") === col("j.jid"), "left")
+        .select(col("x.id").as("id"), col("x.old_label").as("old_label"),
+          coalesce(col("j.jlabel"), col("x.label")).as("label"))
+        .localCheckpoint()
+      converged = next.filter(col("label") =!= col("old_label")).isEmpty
       labels.unpersist()
-      labels = next
+      labels = next.select("id", "label")
       iter += 1
     }
     edges.unpersist()

@@ -308,6 +308,55 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "cosine")
   }
 
+  /** SemDeDup-style semantic near-dup pairs: cluster the corpus with the
+    * reproducible k-means quantizer, then pair ONLY within clusters and keep
+    * pairs with cosine ≥ `threshold`. The cluster assignment is the candidate
+    * generator (an inverted file, like IVF search): pair work is
+    * O(Σ cluster²), never all-pairs, and at scale the corpus is
+    * hash-partitioned by cluster id so each cluster's pairing is one
+    * partition-local job. `nClusters` grows with the corpus (√n is the usual
+    * choice) to bound cluster sizes. Same defaults as the s04 quantizer, so
+    * a Verify run dumps one centroid table both oracles consume.
+    */
+  def semanticDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
+                       threshold: Double, nClusters: Int = 16,
+                       iters: Int = 3): DataFrame = {
+    graft.functions.NativeFunctions.register(corpus.sparkSession)
+    val cents = kmeansCentroids(corpus, idCol, vecCol, nClusters, iters)
+    val cent = broadcast(centroidsDf(corpus.sparkSession, cents)
+      .withColumn("c_norm", l2norm(col("cvec"))))
+    val w = Window.partitionBy(col("id")).orderBy(col("c_sim").desc, col("cid"))
+    // both pair sides consume the assignment — persist so clustering runs
+    // once, not twice (Dedup caching convention)
+    val assigned = corpus
+      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("v_norm", l2norm(col("v")))
+      .crossJoin(cent)
+      .withColumn("c_sim", dot(col("v"), col("cvec")) / (col("v_norm") * col("c_norm")))
+      .withColumn("crn", row_number().over(w)).filter(col("crn") === 1)
+      .select(col("id"), col("v"), col("v_norm"), col("cid"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = assigned.select(col("id").as("id_a"), col("v").as("va"),
+      col("v_norm").as("na"), col("cid"))
+    val b = assigned.select(col("id").as("id_b"), col("v").as("vb"),
+      col("v_norm").as("nb"), col("cid"))
+    a.join(b, Seq("cid")).filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+
+  /** Symmetric int8 scalar quantization (the standard embedding-index
+    * compression): per-vector scale = max|x|/127, component q = round(x/scale).
+    * max and the divisions are exact/correctly-rounded, so quantized values
+    * bit-match across engines. A zero vector quantizes to zeros.
+    */
+  def int8Scale(v: Column): Column =
+    array_max(transform(v, x => abs(x))) / lit(127)
+
+  def int8Quantize(x: Column, scale: Column): Column =
+    when(scale === 0, lit(0)).otherwise(round(x / scale)).cast("int")
+
   /** LSH-bucketed approximate nearest neighbors: rank only the candidates in
     * the query's bucket (exact cosine within bucket). The scale path — the
     * corpus is hash-partitioned by bucket, queries probe one bucket each; no

@@ -255,6 +255,44 @@ object ExtensionQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // SemDeDup-style semantic dedup: k-means clusters are the candidate
+    // generator (within-cluster pairs only — the IVF idea applied to dedup),
+    // pairs at cosine ≥ 0.4 resolve to clusters by connected components.
+    // The oracle recomputes assignment, pairing and the component closure
+    // from the same materialized centroids s04 trains (identical call:
+    // kmeansCentroids(k=16, iters=3) is bit-reproducible).
+    "d09_dedup_semantic" -> of {
+      def cos(a: String, b: String) =
+        s"list_sum(list_transform(list_zip($a, $b), x -> x[1] * x[2])) / " +
+          s"(sqrt(list_sum(list_transform($a, x -> x*x))) * sqrt(list_sum(list_transform($b, x -> x*x))))"
+      s"""WITH RECURSIVE corp AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |cent AS (SELECT cid, cvec AS cv FROM read_parquet('{{AUX}}/s04_centroids/*.parquet')),
+         |assign AS (
+         |  SELECT vec_id, v, cid FROM (
+         |    SELECT c.vec_id, c.v, ct.cid,
+         |      ROW_NUMBER() OVER (PARTITION BY c.vec_id
+         |        ORDER BY ${cos("c.v", "ct.cv")} DESC, ct.cid) AS crn
+         |    FROM corp c CROSS JOIN cent ct) x WHERE crn = 1),
+         |pairs AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM assign a JOIN assign b ON a.cid = b.cid AND a.vec_id < b.vec_id
+         |  WHERE ${cos("a.v", "b.v")} >= 0.4),
+         |edges AS (SELECT id_a, id_b FROM pairs UNION ALL SELECT id_b, id_a FROM pairs),
+         |reach(id, label) AS (
+         |  SELECT id_a, id_a FROM edges
+         |  UNION
+         |  SELECT e.id_a, r.label FROM edges e JOIN reach r ON r.id = e.id_b)
+         |SELECT id AS vec_id, MIN(label) AS cluster, id = MIN(label) AS is_survivor
+         |FROM reach GROUP BY id ORDER BY vec_id"""
+    } { (s, d) =>
+      val pairs = Similarity.semanticDupPairs(
+        t(s, d, "embeddings"), "vec_id", "embedding", 0.4)
+      Dedup.dupClusters(pairs)
+        .select(col("id").as("vec_id"), col("cluster"),
+          (col("id") === col("cluster")).as("is_survivor"))
+        .orderBy("vec_id")
+    },
+
     // ---- similarity search ------------------------------------------------
 
     // Exact cosine top-5 for the first 10 vectors, via the bounded-heap
@@ -362,6 +400,33 @@ object ExtensionQueries {
         .select(col("vec_id"),
           posexplode(transform(col("v"), x => x / col("norm"))))
         .select(col("vec_id"), col("pos").as("idx"), col("col").as("unit_val"))
+        .orderBy("vec_id", "idx")
+    },
+
+    // Symmetric int8 scalar quantization of the embedding column — the
+    // compression step before indexing. scale = max|x|/127 (exact max,
+    // exact division); q = round(x/scale) (both engines round half away
+    // from zero on doubles). Exploded to scalar rows like s05.
+    "s06_quantize_int8" -> of(
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id < 100),
+        |sc AS (
+        |  SELECT vec_id, v,
+        |    list_max(list_transform(v, x -> abs(x))) / 127 AS scale
+        |  FROM e)
+        |SELECT vec_id, CAST(i AS INT) AS idx,
+        |  CAST(CASE WHEN scale = 0 THEN 0 ELSE round(v[i + 1] / scale) END AS INT) AS q_val,
+        |  scale
+        |FROM sc, UNNEST(range(len(v))) AS r(i)
+        |ORDER BY vec_id, idx""") { (s, d) =>
+      t(s, d, "embeddings").filter(col("vec_id") < 100)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .withColumn("scale", Similarity.int8Scale(col("v")))
+        .select(col("vec_id"), col("scale"), posexplode(col("v")))
+        .select(col("vec_id"), col("pos").as("idx"),
+          Similarity.int8Quantize(col("col"), col("scale")).as("q_val"),
+          col("scale"))
         .orderBy("vec_id", "idx")
     },
 
@@ -662,6 +727,145 @@ object ExtensionQueries {
         .filter(col("holdout_doc") =!= col("train_doc"))
         .select("holdout_doc", "train_doc")
         .orderBy("holdout_doc", "train_doc")
+    },
+
+    // PII detection + redaction. The synthetic corpus is letters-only (no
+    // organic PII), so the demo derives deterministic PII spans from table
+    // fields (source → email, doc_id → phone/IPv4, presence varying by
+    // doc_id residue) and then runs the GENERIC operator over the enriched
+    // text; both engines run the identical RE2-compatible patterns.
+    "t11_pii_redact" -> of {
+      import TextFunctions.{emailRe, ipv4Re, phoneRe}
+      s"""WITH enriched AS (
+         |  SELECT doc_id,
+         |    text || ' contact ' || source || '@example.com' ||
+         |    CASE WHEN doc_id % 3 = 0
+         |      THEN ' tel 303-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') ||
+         |           '-' || lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0')
+         |      ELSE '' END ||
+         |    CASE WHEN doc_id % 2 = 0
+         |      THEN ' ip 10.' || CAST(doc_id % 256 AS VARCHAR) ||
+         |           '.0.' || CAST(n_chars % 256 AS VARCHAR)
+         |      ELSE '' END AS contact_text
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(contact_text, '$emailRe')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(contact_text, '$phoneRe')) AS BIGINT) AS n_phones,
+         |  CAST(len(regexp_extract_all(contact_text, '$ipv4Re')) AS BIGINT) AS n_ips,
+         |  regexp_replace(regexp_replace(regexp_replace(contact_text,
+         |    '$emailRe', '<EMAIL>', 'g'), '$phoneRe', '<PHONE>', 'g'),
+         |    '$ipv4Re', '<IP>', 'g') AS redacted
+         |FROM enriched ORDER BY doc_id"""
+    } { (s, d) =>
+      val contact = concat(col("text"), lit(" contact "), col("source"),
+        lit("@example.com"),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          concat(lit(" tel 303-"),
+            lpad(pmod(col("doc_id"), lit(1000)).cast("string"), 3, "0"),
+            lit("-"),
+            lpad(pmod(col("doc_id") * 7, lit(10000)).cast("string"), 4, "0")))
+          .otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(2)) === 0,
+          concat(lit(" ip 10."), pmod(col("doc_id"), lit(256)).cast("string"),
+            lit(".0."), pmod(col("n_chars"), lit(256)).cast("string")))
+          .otherwise(lit("")))
+      t(s, d, "documents")
+        .withColumn("contact_text", contact)
+        .select(col("doc_id"),
+          piiCount(col("contact_text"), TextFunctions.emailRe).cast("long").as("n_emails"),
+          piiCount(col("contact_text"), TextFunctions.phoneRe).cast("long").as("n_phones"),
+          piiCount(col("contact_text"), TextFunctions.ipv4Re).cast("long").as("n_ips"),
+          redactPii(col("contact_text")).as("redacted"))
+        .orderBy("doc_id")
+    },
+
+    // Gopher-style repetition/boilerplate signals. The Spark plan is ONE
+    // shuffle-free projection (run lengths and mode counts via single-pass
+    // HOFs; the mode of the bigram multiset = longest equal-run of the
+    // SORTED array); the oracle recomputes every signal relationally
+    // (islands for runs, GROUP BY for the mode).
+    "t12_repetition" -> of(
+      """WITH toks AS (
+        |  SELECT doc_id, tk, len(tk) AS n FROM (
+        |    SELECT doc_id, string_split(text, ' ') AS tk FROM documents) d),
+        |pos AS (
+        |  SELECT doc_id, i, tk[i + 1] AS tok
+        |  FROM toks, UNNEST(range(len(tk))) AS r(i)),
+        |runs AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS run
+        |  FROM (SELECT doc_id, tok,
+        |          i - ROW_NUMBER() OVER (PARTITION BY doc_id, tok ORDER BY i) AS grp
+        |        FROM pos) g
+        |  GROUP BY doc_id, tok, grp),
+        |mr AS (SELECT doc_id, MAX(run) AS max_run FROM runs GROUP BY doc_id),
+        |bg AS (
+        |  SELECT doc_id, tk[i + 1] || ' ' || tk[i + 2] AS bigram
+        |  FROM toks, UNNEST(range(len(tk) - 1)) AS r(i) WHERE len(tk) >= 2),
+        |bgc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS c FROM bg GROUP BY doc_id, bigram),
+        |tb AS (SELECT doc_id, MAX(c) AS top_bigram_n FROM bgc GROUP BY doc_id),
+        |shn AS (
+        |  SELECT doc_id, CAST(len(shl) AS BIGINT) AS n_sh,
+        |    CAST(len(shl) - len(list_distinct(shl)) AS BIGINT) AS dup_sh
+        |  FROM (SELECT doc_id, list(array_to_string(tk[i:i + 4], ' ')) AS shl
+        |        FROM toks, UNNEST(range(1, len(tk) - 3)) AS r(i) WHERE len(tk) >= 5
+        |        GROUP BY doc_id) s)
+        |SELECT t.doc_id, CAST(t.n AS BIGINT) AS n_tokens, mr.max_run,
+        |  COALESCE(tb.top_bigram_n, 0) AS top_bigram_n,
+        |  COALESCE(CAST(tb.top_bigram_n AS DOUBLE) / (t.n - 1), 0.0) AS top_bigram_frac,
+        |  COALESCE(CAST(dup_sh AS DOUBLE) / n_sh, 0.0) AS dup_shingle_frac
+        |FROM toks t JOIN mr USING (doc_id)
+        |LEFT JOIN tb USING (doc_id) LEFT JOIN shn USING (doc_id)
+        |ORDER BY doc_id""") { (s, d) =>
+      graft.operators.CorpusOps.repetitionSignals(
+        t(s, d, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
+    // Stratified deterministic sampling: per-source keep rates (derived
+    // from the source name so both engines compute them), selection by id
+    // hash bucket — reproducible, shuffle-free, stable under corpus growth.
+    "t13_sample_stratified" -> of(
+      """WITH dh AS (SELECT doc_id, h FROM read_parquet('{{AUX}}/doc_hashes/*.parquet')),
+        |rated AS (
+        |  SELECT d.doc_id, d.source,
+        |    10 + (CAST(substr(d.source, 4) AS INT) % 4) * 25 AS rate,
+        |    ((h % 100) + 100) % 100 AS hash_bucket
+        |  FROM documents d JOIN dh USING (doc_id))
+        |SELECT doc_id, source, CAST(rate AS INT) AS rate, hash_bucket
+        |FROM rated WHERE hash_bucket < rate ORDER BY doc_id""") { (s, d) =>
+      val rate = lit(10) + (substring(col("source"), 4, 10).cast("int") % 4) * 25
+      graft.operators.CorpusOps.stratifiedSample(t(s, d, "documents"), "doc_id", rate)
+        .select(col("doc_id"), col("source"), col("rate").cast("int").as("rate"),
+          col("hash_bucket"))
+        .orderBy("doc_id")
+    },
+
+    // Temperature-weighted source mixing: per-source doc budgets ∝
+    // sqrt(source tokens) (T=2 temperature sampling; sqrt is correctly
+    // rounded so the weights bit-match, unlike a fractional pow), filled by
+    // hash-first ranking. The weight normalizer folds in source order on
+    // both engines so double addition order cannot perturb it.
+    "t14_source_mix" -> of(
+      """WITH dh AS (SELECT doc_id, h FROM read_parquet('{{AUX}}/doc_hashes/*.parquet')),
+        |per_src AS (
+        |  SELECT source, SUM(len(string_split(text, ' '))) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |ws AS (SELECT source, sqrt(CAST(n_tokens AS DOUBLE)) AS w FROM per_src),
+        |norm AS (SELECT list_reduce(list(w ORDER BY source), (a, b) -> a + b) AS sum_w FROM ws),
+        |targets AS (
+        |  SELECT source, CAST(floor(200 * w / sum_w) AS BIGINT) AS target_docs
+        |  FROM ws CROSS JOIN norm),
+        |ranked AS (
+        |  SELECT d.doc_id, d.source,
+        |    ROW_NUMBER() OVER (PARTITION BY d.source ORDER BY dh.h, d.doc_id) AS rn
+        |  FROM documents d JOIN dh USING (doc_id))
+        |SELECT r.doc_id, r.source
+        |FROM ranked r JOIN targets t ON t.source = r.source AND r.rn <= t.target_docs
+        |ORDER BY doc_id""") { (s, d) =>
+      graft.operators.CorpusOps.temperatureMix(
+        t(s, d, "documents"), "doc_id", "text", "source", 200)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
     },
 
     // ---- multimodal -------------------------------------------------------

@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.functions.TextFunctions._
+import graft.operators.{CorpusOps, Dedup, Similarity}
+
+/** Unit/property coverage for the round-3 pipeline operators: PII redaction,
+  * repetition signals, stratified sampling, temperature mixing, semantic
+  * dedup, int8 quantization. (Their end-to-end values are oracle-checked by
+  * the driver; these specs pin the operator-level contracts on fixtures.)
+  */
+class PipelineOpsSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private lazy val docs = spark.read.parquet(s"$dir/documents.parquet")
+  private lazy val embs = spark.read.parquet(s"$dir/embeddings.parquet")
+
+  test("redactPii replaces email/phone/IPv4 with typed placeholders, leaves clean text alone") {
+    import spark.implicits._
+    val rows = Seq(
+      "write to jo.doe+x@mail.example.org today",
+      "call 303-555-0142 now",
+      "host 192.168.0.1 down",
+      "all three a@b.co 111-222-3333 1.2.3.4",
+      "no pii here at all").toDF("t")
+      .select(redactPii(col("t")).as("r")).as[String].collect()
+    assert(rows(0) === "write to <EMAIL> today")
+    assert(rows(1) === "call <PHONE> now")
+    assert(rows(2) === "host <IP> down")
+    assert(rows(3) === "all three <EMAIL> <PHONE> <IP>")
+    assert(rows(4) === "no pii here at all")
+  }
+
+  test("piiCount counts non-overlapping matches") {
+    import spark.implicits._
+    val n = Seq("a@b.co and c@d.org but not at-sign alone @").toDF("t")
+      .select(piiCount(col("t"), TextFunctions.emailRe).as("n"))
+      .as[Int].head()
+    assert(n === 2)
+  }
+
+  test("maxRunLength / maxDupCount on hand-computed fixtures") {
+    import spark.implicits._
+    val r = Seq(("x", Seq("a", "a", "a", "b", "a", "b")))
+      .toDF("id", "arr")
+      .select(
+        maxRunLength(col("arr")).as("run"),
+        maxDupCount(col("arr")).as("dup"))
+      .head()
+    assert(r.getLong(0) === 3) // a a a
+    assert(r.getLong(1) === 4) // four a's total
+  }
+
+  test("repetitionSignals matches a hand-computed doc") {
+    import spark.implicits._
+    // tokens: a a a b a b → runs: aaa=3; bigrams: (a a)(a a)(a b)(b a)(a b)
+    // → top bigram "a a"|"a b" both 2 of 5; 5-shingles: 2 distinct of 2 → 0 dups
+    val row = CorpusOps.repetitionSignals(
+      Seq((1L, "a a a b a b")).toDF("doc_id", "text"), "doc_id", "text").head()
+    assert(row.getLong(1) === 6)            // n_tokens
+    assert(row.getLong(2) === 3)            // max_run
+    assert(row.getLong(3) === 2)            // top_bigram_n
+    assert(row.getDouble(4) === 2.0 / 5)    // top_bigram_frac
+    assert(row.getDouble(5) === 0.0)        // dup_shingle_frac
+    // an all-same-token doc maxes every signal
+    val spam = CorpusOps.repetitionSignals(
+      Seq((2L, "z z z z z z")).toDF("doc_id", "text"), "doc_id", "text").head()
+    assert(spam.getLong(2) === 6)
+    assert(spam.getDouble(4) === 1.0)
+    assert(spam.getDouble(5) === 0.5) // 2 identical shingles, 1 distinct
+  }
+
+  test("stratifiedSample: kept rows satisfy bucket < rate; rate 0 keeps none, 100 keeps all") {
+    val rate = (substring(col("source"), 4, 10).cast("int") % 4) * 25 + 10
+    val out = CorpusOps.stratifiedSample(docs, "doc_id", rate)
+    assert(out.filter(col("hash_bucket") >= col("rate")).count() === 0)
+    assert(CorpusOps.stratifiedSample(docs, "doc_id", lit(0)).count() === 0)
+    assert(CorpusOps.stratifiedSample(docs, "doc_id", lit(100)).count() === docs.count())
+  }
+
+  test("temperatureMix: per-source counts hit the sqrt-weighted budgets; deterministic") {
+    val mix = CorpusOps.temperatureMix(docs, "doc_id", "text", "source", 100)
+    val got = mix.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // recompute budgets directly: floor(100 * sqrt(tok_s) / Σ sqrt(tok))
+    val toks = docs.select(col("source"), size(tokens(col("text"))).cast("long").as("n"))
+      .groupBy("source").agg(sum("n").as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    val sumw = toks.foldLeft(0.0)((a, t) => a + math.sqrt(t._2.toDouble))
+    toks.foreach { case (src, n) =>
+      val budget = math.floor(100 * math.sqrt(n.toDouble) / sumw).toLong
+      // a source with fewer docs than its budget keeps them all
+      val have = docs.filter(col("source") === src).count()
+      assert(got.getOrElse(src, 0L) === math.min(budget, have), s"source $src")
+    }
+    // determinism
+    val again = CorpusOps.temperatureMix(docs, "doc_id", "text", "source", 100)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again === mix.select("doc_id").collect().map(_.getLong(0)).toSet)
+  }
+
+  test("semanticDupPairs is a subset of exact all-pairs at the same threshold, with equal cosines") {
+    val exact = Dedup.embeddingCosinePairs(embs, "vec_id", "embedding", 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val sem = Similarity.semanticDupPairs(embs, "vec_id", "embedding", 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+    assert(sem.nonEmpty)
+    sem.foreach { case (pair, cos) =>
+      assert(exact.contains(pair), s"false positive $pair")
+      assert(exact(pair) === cos)
+    }
+  }
+
+  test("int8 quantization: |q| <= 127 and dequantization error <= scale/2") {
+    val q = embs.limit(50)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("scale", Similarity.int8Scale(col("v")))
+      .select(col("scale"), posexplode(col("v")))
+      .select(col("scale"), col("col").as("x"),
+        Similarity.int8Quantize(col("col"), col("scale")).as("q"))
+    assert(q.filter(abs(col("q")) > 127).count() === 0)
+    assert(q.filter(abs(col("q") * col("scale") - col("x")) > col("scale") / 2 + 1e-12).count() === 0)
+  }
+}

@@ -31,6 +31,32 @@ class StreamingSpec extends SparkSpec {
     assert(batch.except(streamed).count() === 0)
   }
 
+  test("stream-stream interval join == batch interval join") {
+    def side(tpe: String, idAs: String) = EventsStream.readEvents(spark, dir)
+      .filter(col("event_type") === tpe)
+      .select(col("event_id").as(idAs), col("ts"), col("user_id"))
+    val joined = EventsStream.intervalJoin(
+      side("purchase", "purchase_id"), side("error", "error_id"), "user_id")
+      .select(col("purchase_id"), col("error_id"))
+    assert(joined.isStreaming)
+    EventsStream.runAvailableNow(joined, "interval_join_parity")
+    val streamed = spark.table("interval_join_parity")
+
+    val ev = graft.queries.Q.events(spark, dir)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("ts").as("pts"), col("user_id"))
+    val e = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("error_id"), col("ts").as("ets"), col("user_id"))
+    val batch = p.join(e, Seq("user_id"))
+      .filter(col("ets") >= col("pts") &&
+        col("ets") <= col("pts") + expr("INTERVAL 1 HOUR"))
+      .select("purchase_id", "error_id")
+
+    assert(streamed.count() > 0)
+    assert(streamed.except(batch).count() === 0)
+    assert(batch.except(streamed).count() === 0)
+  }
+
   test("stateful streaming sessionization == batch sessionization (closed sessions)") {
     val stream = EventsStream.readEvents(spark, dir)
     EventsStream.runAvailableNow(
