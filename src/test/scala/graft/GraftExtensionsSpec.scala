@@ -18,6 +18,17 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(expr.eval(null) === 11.0)
   }
 
+  test("dot_product rejects wrong arity with an analysis error, not an index crash") {
+    val ext = new SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    val registry = GraftExtensionsProbe.applyInjections(ext)
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      registry.lookupFunction(FunctionIdentifier("dot_product"),
+        Seq(org.apache.spark.sql.catalyst.expressions.Literal.create(Array(1.0))))
+    }
+    assert(e.getMessage.contains("dot_product"))
+  }
+
   test("lazy registration is idempotent and SQL-visible") {
     NativeFunctions.register(spark)
     NativeFunctions.register(spark) // second call must be a silent no-op

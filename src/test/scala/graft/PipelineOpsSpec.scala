@@ -113,6 +113,16 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("BucketedLake: a different bucket count gets its own table, not a stale reuse") {
+    val t8 = graft.sources.BucketedLake.ensure(spark, dir, buckets = 8)
+    val t4 = graft.sources.BucketedLake.ensure(spark, dir, buckets = 4)
+    assert(t8.orders !== t4.orders)
+    val buckets = spark.sql(s"DESCRIBE TABLE EXTENDED ${t4.orders}")
+      .filter(col("col_name") === "Num Buckets").select("data_type")
+      .head().getString(0)
+    assert(buckets === "4")
+  }
+
   test("int8 quantization: |q| <= 127 and dequantization error <= scale/2") {
     val q = embs.limit(50)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))

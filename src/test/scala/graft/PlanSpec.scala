@@ -100,6 +100,32 @@ class PlanSpec extends SparkSpec {
       .contains("ReadSchema: struct<doc_id:bigint,source:string>"))
   }
 
+  test("t12: repetition signals are one shuffle-free projection over the scan") {
+    val plan = graft.operators.CorpusOps.repetitionSignals(
+      spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"repetition signals must not shuffle:\n${plan.take(800)}")
+    assert(!plan.contains("Generate"),
+      s"repetition signals must not explode the token stream:\n${plan.take(800)}")
+  }
+
+  test("t13: stratified sample is a filter over the scan — no shuffle, no join") {
+    val plan = graft.operators.CorpusOps.stratifiedSample(
+      spark.read.parquet(s"$dir/documents.parquet"), "doc_id", org.apache.spark.sql.functions.lit(50))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join"),
+      s"stratified sampling must stay embarrassingly parallel:\n${plan.take(800)}")
+  }
+
+  test("d09: semantic dedup pairs within clusters, never all-pairs") {
+    val plan = graft.operators.Similarity.semanticDupPairs(
+      spark.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding", 0.4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"semantic dedup must pair within k-means clusters:\n${plan.take(800)}")
+  }
+
   test("runAndSubmit posts one FeatureCollection through a pluggable poster") {
     var posted: Option[(String, String)] = None
     graft.CotripPipeline(TaskConfig("tok")).runAndSubmit(
