@@ -256,6 +256,26 @@ object Dedup {
     labels.select(col("id"), col("label").as("cluster"))
   }
 
+  /** Pluggable survivor selection over dup clusters: instead of the default
+    * min-id survivor, keep each cluster's highest-`score` member (ties →
+    * lowest id) — the "keep the best copy" policy a curation pipeline wants
+    * (longest doc, highest quality score, freshest crawl). `clusters` is
+    * [[dupClusters]] output (id, cluster); `scores` maps id → score.
+    * One shuffle on the cluster key; per-cluster ranking is bounded by
+    * cluster size. Returns (id, cluster, survivor, is_survivor).
+    */
+  def survivorsByScore(clusters: DataFrame, scores: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(col("score").desc, col("id"))
+    val ranked = clusters.join(scores, "id")
+      .withColumn("__rn", row_number().over(w))
+    val surv = ranked.filter(col("__rn") === 1)
+      .select(col("cluster"), col("id").as("survivor"))
+    ranked.drop("__rn", "score").join(surv, "cluster")
+      .select(col("id"), col("cluster"), col("survivor"),
+        (col("id") === col("survivor")).as("is_survivor"))
+  }
+
   /** Embedding near-dup pairs via multi-table hyperplane LSH — the scale
     * path. Each vector gets `tables` independent `planesPerTable`-bit
     * signatures (deterministic hash-derived hyperplanes on disjoint index

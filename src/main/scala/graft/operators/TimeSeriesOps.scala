@@ -15,6 +15,30 @@ import graft.queries.Q.dsum
   */
 object TimeSeriesOps {
 
+  /** Per-key exponentially-weighted moving average over the key's
+    * time-ordered series — the classic sequential fold that looks like it
+    * needs a UDF but doesn't: collect the key's series as a sorted array
+    * (ts + a unique tiebreak give a TOTAL order, so the fold order — and
+    * therefore the float result — is reproducible) and fold it with an
+    * `aggregate` HOF: acc ← acc·(1−α) + x·α from acc₀ = 0.
+    *
+    * Scale shape: one shuffle on the key; per-key state is that key's
+    * series (fine for bounded histories — sessions, per-user activity;
+    * an unbounded series belongs in the streaming path's
+    * `flatMapGroupsWithState` instead). Returns (key, n_events, ewma).
+    */
+  def ewmaPerKey(df: DataFrame, keyCol: String, tsCol: String,
+                 tieCol: String, valCol: String, alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha <= 1, "alpha must be in (0, 1]")
+    df.groupBy(col(keyCol))
+      .agg(sort_array(collect_list(
+        struct(col(tsCol), col(tieCol), col(valCol).as("v")))).as("seq"))
+      .select(col(keyCol),
+        size(col("seq")).cast("long").as("n_events"),
+        aggregate(col("seq"), lit(0.0),
+          (acc, x) => acc * (1 - alpha) + x.getField("v") * alpha).as("ewma"))
+  }
+
   /** Containment (range) join via time-bucket equi-join — the scale pattern
     * for "points inside intervals" where a direct non-equi join would plan
     * as a nested loop over the full pair space. Every interval explodes to

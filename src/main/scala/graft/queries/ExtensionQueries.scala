@@ -255,6 +255,40 @@ object ExtensionQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // Pluggable survivor policy over dup clusters: keep each cluster's
+    // LONGEST member (quality-aware curation), not the min id — composes
+    // dupClusters with a score table; the oracle recomputes the component
+    // closure and the score ranking.
+    "d10_dedup_survivor_quality" -> of(
+      s"""WITH RECURSIVE ${jaccardCtes(None)},
+        |edges AS (
+        |  SELECT id_a, id_b FROM jp UNION ALL SELECT id_b, id_a FROM jp),
+        |reach(id, label) AS (
+        |  SELECT id_a, id_a FROM edges
+        |  UNION
+        |  SELECT e.id_a, r.label FROM edges e JOIN reach r ON r.id = e.id_b),
+        |comp AS (SELECT id, MIN(label) AS cluster FROM reach GROUP BY id),
+        |scored AS (
+        |  SELECT c.id, c.cluster,
+        |    ROW_NUMBER() OVER (PARTITION BY c.cluster
+        |      ORDER BY len(string_split(d.text, ' ')) DESC, c.id) AS rn
+        |  FROM comp c JOIN documents d ON d.doc_id = c.id),
+        |surv AS (SELECT cluster, id AS survivor FROM scored WHERE rn = 1)
+        |SELECT s.id AS doc_id, s.cluster, sv.survivor,
+        |  s.id = sv.survivor AS is_survivor
+        |FROM scored s JOIN surv sv USING (cluster)
+        |ORDER BY doc_id""") { (s, d) =>
+      val docs = t(s, d, "documents")
+      val clusters = Dedup.dupClusters(
+        Dedup.ngramJaccardPairs(docs, "doc_id", "text"))
+      val scores = docs.select(col("doc_id").as("id"),
+        size(tokens(col("text"))).cast("long").as("score"))
+      Dedup.survivorsByScore(clusters, scores)
+        .select(col("id").as("doc_id"), col("cluster"), col("survivor"),
+          col("is_survivor"))
+        .orderBy("doc_id")
+    },
+
     // SemDeDup-style semantic dedup: k-means clusters are the candidate
     // generator (within-cluster pairs only — the IVF idea applied to dedup),
     // pairs at cosine ≥ 0.4 resolve to clusters by connected components.
@@ -1068,6 +1102,26 @@ object ExtensionQueries {
       val sinkName = s"stream_interval_${sinkCounter.incrementAndGet()}"
       EventsStream.runAvailableNow(joined, sinkName)
       s.table(sinkName).orderBy("purchase_id", "error_id")
+    },
+
+    // Per-user EWMA of purchase values — the sequential fold that looks
+    // like it needs a UDF but is a sorted collect + aggregate HOF. The fold
+    // order is total (ts, event_id), so the float result is reproducible;
+    // the oracle prepends the 0.0 seed and folds the identical arithmetic
+    // with list_reduce.
+    "e10_ewma" -> of(
+      """WITH seq AS (
+        |  SELECT user_id,
+        |    list(value ORDER BY ts, event_id) AS vals
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id)
+        |SELECT user_id, CAST(len(vals) AS BIGINT) AS n_events,
+        |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE), vals),
+        |    (a, b) -> a * 0.9 + b * 0.1) AS ewma
+        |FROM seq ORDER BY user_id""") { (s, d) =>
+      graft.operators.TimeSeriesOps.ewmaPerKey(
+        Q.events(s, d).filter(col("event_type") === "purchase"),
+        "user_id", "ts", "event_id", "value", alpha = 0.1)
+        .orderBy("user_id")
     },
 
     // Containment/range join via time-bucket equi-join: for each error

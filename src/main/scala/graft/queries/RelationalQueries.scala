@@ -537,6 +537,36 @@ object RelationalQueries {
         .orderBy("l_orderkey", "l_linenumber", "metric", "value")
     },
 
+    // §2.6 RANGE frame (value-based window bounds): per customer, count and
+    // exact-decimal sum of their orders in the 30 days up to each order —
+    // the rolling-window shape ROWS frames cannot express (rows ≠ days).
+    // Both engines order the frame by integral epoch seconds; money goes
+    // through DECIMAL inside the frame (Q.dsum discipline).
+    "q34_window_range_frame" -> of(
+      """SELECT o_orderkey, o_custkey,
+        |  COUNT(*) OVER w AS n_recent,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_recent
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |  ORDER BY CAST(epoch(o_orderdate) AS BIGINT)
+        |  RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)
+        |QUALIFY o_orderkey < 5000
+        |ORDER BY o_orderkey""") { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      // NTZ cannot cast to long directly; via TIMESTAMP with the session
+      // pinned to UTC this is the same integral epoch DuckDB's epoch() sees
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").cast("timestamp").cast("long"))
+        .rangeBetween(-30L * 86400, Window.currentRow)
+      t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          count(lit(1)).over(w).as("n_recent"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).over(w)
+            .cast(DoubleType).as("sum_recent"))
+        .filter(col("o_orderkey") < 5000)
+        .orderBy("o_orderkey")
+    },
+
     // §2.4 co-located bucketed join: both sides pre-bucketed (and sorted) by
     // the join key, so the per-order aggregation AND the fact-to-fact join
     // plan without any Exchange (PlanSpec asserts it with broadcast

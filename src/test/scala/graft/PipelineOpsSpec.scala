@@ -113,6 +113,31 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("ewmaPerKey folds in (ts, tie) order from a 0.0 seed") {
+    import spark.implicits._
+    // out-of-order input rows must not change the fold
+    val df = Seq((1L, 30L, 3L, 4.0), (1L, 10L, 1L, 1.0), (1L, 20L, 2L, 2.0))
+      .toDF("k", "ts", "tie", "v")
+    val r = graft.operators.TimeSeriesOps.ewmaPerKey(df, "k", "ts", "tie", "v", 0.5)
+      .head()
+    // ((0*0.5 + 1*0.5)*0.5 + 2*0.5)*0.5 + 4*0.5 = 2.625
+    assert(r.getLong(1) === 3)
+    assert(r.getDouble(2) === 2.625)
+  }
+
+  test("survivorsByScore keeps the highest-score member, min id on ties") {
+    import spark.implicits._
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L))
+      .toDF("id", "cluster")
+    val scores = Seq((1L, 5L), (2L, 9L), (3L, 9L), (7L, 1L)).toDF("id", "score")
+    val out = graft.operators.Dedup.survivorsByScore(clusters, scores)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(3))).toMap
+    assert(out(1L) === (2L, false)) // 2 and 3 tie at 9; min id 2 wins
+    assert(out(2L) === (2L, true))
+    assert(out(3L) === (2L, false))
+    assert(out(7L) === (7L, true))  // singleton survives itself
+  }
+
   test("BucketedLake: a different bucket count gets its own table, not a stale reuse") {
     val t8 = graft.sources.BucketedLake.ensure(spark, dir, buckets = 8)
     val t4 = graft.sources.BucketedLake.ensure(spark, dir, buckets = 4)
