@@ -194,6 +194,46 @@ object CorpusOps {
     docs.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
       .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("tf"))
 
+  /** Unigram language-model corpus table: token → (count, log-prob) for the
+    * `vocabCap` most frequent tokens. The LM side of a CCNet-style
+    * perplexity filter, deterministic end to end: counts are exact, the
+    * collect is bounded by the vocab cap (the real design — production LMs
+    * ship a capped vocab), ties order by token.
+    */
+  def unigramLm(docs: DataFrame, idCol: String, textCol: String,
+                vocabCap: Int = 65536): DataFrame = {
+    val counts = docs
+      .select(explode(tokens(col(textCol))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).cast("long")).head().getLong(0)
+    counts.orderBy(col("n").desc, col("tok")).limit(vocabCap)
+      .select(col("tok"), col("n"),
+        log(col("n").cast("double") / total.toDouble).as("lp"))
+  }
+
+  /** Per-document mean unigram log-probability — the quality signal a
+    * CCNet-style perplexity filter thresholds on (low mean log-prob = the
+    * LM finds the text surprising = tail bucket). The capped LM table
+    * broadcasts as a map literal and the per-doc sum is an `aggregate` HOF
+    * fold in TOKEN ORDER from a 0.0 seed — no explode/re-aggregate round
+    * trip, and the float addition order is reproducible (a per-doc double
+    * SUM after a join would be partition-order-dependent). Out-of-vocab
+    * tokens score `oovLp`.
+    */
+  def unigramLogprob(docs: DataFrame, idCol: String, textCol: String,
+                     lm: DataFrame, oovLp: Double): DataFrame = {
+    val entries = lm.select(col("tok"), col("lp")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1))
+    val lpMap = map_from_arrays(
+      lit(entries.map(_._1)), lit(entries.map(_._2)))
+    val tk = tokens(col(textCol))
+    docs.select(col(idCol),
+      size(tk).cast("long").as("n_tokens"),
+      (aggregate(tk, lit(0.0),
+        (acc, t) => acc + coalesce(element_at(lpMap, t), lit(oovLp)))
+        / size(tk)).as("mean_logprob"))
+  }
+
   /** Vocabulary head: the `k` most document-frequent tokens with total
     * occurrence counts (the seed stats for tokenizer training / stopword
     * lists). Shape: explode → two-level aggregate — both aggregations

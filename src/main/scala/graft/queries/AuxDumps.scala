@@ -65,6 +65,13 @@ object AuxDumps {
           log(col("n_docs").cast("double") / col("df")).as("idf"))
     }),
 
+    // t15: the unigram LM table (tok, count, ln(count/total)). The ln is the
+    // materialized primitive (StrictMath vs libm, as t08); the oracle
+    // revalidates the COUNTS by joining on (tok, n) after recounting in SQL,
+    // so only the transcendental itself is taken on trust.
+    "t15_lp" -> ((s, d) =>
+      graft.operators.CorpusOps.unigramLm(t(s, d, "documents"), "doc_id", "text")),
+
     // s04: the trained IVF coarse quantizer. Training is bit-reproducible
     // (decimal sums, driver-side division — see Similarity.kmeansCentroids),
     // so this second training inside Verify emits exactly the centroids the

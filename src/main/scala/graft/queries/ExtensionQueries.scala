@@ -902,6 +902,45 @@ object ExtensionQueries {
         .orderBy("doc_id")
     },
 
+    // CCNet-style unigram log-prob quality scoring: a capped unigram LM
+    // (AuxDumps "t15_lp"; the ln is the materialized primitive, the counts
+    // are revalidated by the oracle's (tok, n) join) scores each doc by
+    // mean token log-prob, folded in token order on both engines, then
+    // bucketed head/middle/tail — the shape a perplexity filter thresholds.
+    "t15_unigram_logprob" -> of(
+      """WITH lm AS (SELECT tok, n, lp FROM read_parquet('{{AUX}}/t15_lp/*.parquet')),
+        |cnt AS (
+        |  SELECT u.tok, COUNT(*) AS n
+        |  FROM (SELECT string_split(text, ' ') AS tk FROM documents) d,
+        |    UNNEST(tk) AS u(tok) GROUP BY u.tok),
+        |vlm AS (SELECT lm.tok, lm.lp FROM lm JOIN cnt ON cnt.tok = lm.tok AND cnt.n = lm.n),
+        |toks AS (
+        |  SELECT doc_id, i, tk[i + 1] AS tok, len(tk) AS n_tokens
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents) d,
+        |    UNNEST(range(len(tk))) AS r(i)),
+        |scored AS (
+        |  SELECT t.doc_id, t.i, t.n_tokens, COALESCE(vlm.lp, -20.0) AS lp
+        |  FROM toks t LEFT JOIN vlm ON vlm.tok = t.tok),
+        |folded AS (
+        |  SELECT doc_id, CAST(MAX(n_tokens) AS BIGINT) AS n_tokens,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(lp ORDER BY i)),
+        |      (a, b) -> a + b) / MAX(n_tokens) AS mean_logprob
+        |  FROM scored GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, mean_logprob,
+        |  CASE WHEN mean_logprob >= -3.40 THEN 'head'
+        |       WHEN mean_logprob >= -3.42 THEN 'middle'
+        |       ELSE 'tail' END AS ppl_bucket
+        |FROM folded ORDER BY doc_id""") { (s, d) =>
+      val docs = t(s, d, "documents")
+      val lm = graft.operators.CorpusOps.unigramLm(docs, "doc_id", "text")
+      graft.operators.CorpusOps.unigramLogprob(docs, "doc_id", "text", lm, -20.0)
+        .withColumn("ppl_bucket",
+          when(col("mean_logprob") >= -3.40, "head")
+            .when(col("mean_logprob") >= -3.42, "middle")
+            .otherwise("tail"))
+        .orderBy("doc_id")
+    },
+
     // ---- multimodal -------------------------------------------------------
 
     // Binary payload plumbing + partition-batched (stubbed) feature extract.

@@ -81,11 +81,13 @@ object EventsStream {
     */
   def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
                    window: String = "1 hour",
-                   delay: String = "2 hours"): DataFrame = {
+                   delay: String = "2 hours",
+                   joinType: String = "inner"): DataFrame = {
     val l = left.withWatermark("ts", delay).alias("l")
     val r = right.withWatermark("ts", delay).alias("r")
     l.join(r, expr(
-      s"l.$keyCol = r.$keyCol AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL $window"))
+      s"l.$keyCol = r.$keyCol AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL $window"),
+      joinType)
   }
 
   /** Run a streaming query to a named in-memory sink with AvailableNow

@@ -113,6 +113,24 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("unigramLm + unigramLogprob: exact counts, OOV fallback, vocab cap") {
+    import spark.implicits._
+    val corpus = Seq((1L, "a a b")).toDF("doc_id", "text")
+    val lm = graft.operators.CorpusOps.unigramLm(corpus, "doc_id", "text")
+    val entries = lm.collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(entries("a")._1 === 2 && entries("b")._1 === 1)
+    assert(entries("a")._2 === math.log(2.0 / 3))
+    // score a doc containing an OOV token
+    val scored = graft.operators.CorpusOps.unigramLogprob(
+      Seq((9L, "a b c")).toDF("doc_id", "text"), "doc_id", "text", lm, -5.0).head()
+    assert(scored.getLong(1) === 3)
+    assert(scored.getDouble(2) ===
+      (0.0 + math.log(2.0 / 3) + math.log(1.0 / 3) + -5.0) / 3)
+    // cap keeps the most frequent tokens only
+    val capped = graft.operators.CorpusOps.unigramLm(corpus, "doc_id", "text", vocabCap = 1)
+    assert(capped.collect().map(_.getString(0)).toSeq === Seq("a"))
+  }
+
   test("ewmaPerKey folds in (ts, tie) order from a 0.0 seed") {
     import spark.implicits._
     // out-of-order input rows must not change the fold

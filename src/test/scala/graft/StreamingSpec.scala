@@ -57,6 +57,44 @@ class StreamingSpec extends SparkSpec {
     assert(batch.except(streamed).count() === 0)
   }
 
+  test("left-outer stream-stream join: matched rows == batch; null rows watermark-bounded") {
+    // Outer-null emission timing is governed by state eviction (watermark −
+    // delay), so exact parity with batch is NOT the contract — the stable
+    // contract is: matched rows identical to the batch join; emitted null
+    // rows are a subset of the batch join's null rows (never an invented
+    // pair, never a duplicate).
+    def side(tpe: String, idAs: String) = EventsStream.readEvents(spark, dir)
+      .filter(col("event_type") === tpe)
+      .select(col("event_id").as(idAs), col("ts"), col("user_id"))
+    val joined = EventsStream.intervalJoin(
+      side("purchase", "purchase_id"), side("error", "error_id"), "user_id",
+      joinType = "left_outer")
+      .select(col("purchase_id"), col("error_id"))
+    EventsStream.runAvailableNow(joined, "interval_outer_parity")
+    val streamed = spark.table("interval_outer_parity")
+
+    val ev = graft.queries.Q.events(spark, dir)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("ts").as("pts"), col("user_id"))
+    val e = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("error_id"), col("ts").as("ets"), col("user_id"))
+    val batch = p.join(e,
+      p("user_id") === e("user_id") && col("ets") >= col("pts") &&
+        col("ets") <= col("pts") + expr("INTERVAL 1 HOUR"), "left_outer")
+      .select("purchase_id", "error_id")
+
+    val sMatched = streamed.filter(col("error_id").isNotNull)
+    val bMatched = batch.filter(col("error_id").isNotNull)
+    assert(sMatched.except(bMatched).count() === 0)
+    assert(bMatched.except(sMatched).count() === 0)
+    // null rows: subset of batch nulls, no duplicates
+    val sNulls = streamed.filter(col("error_id").isNull).select("purchase_id")
+    val bNulls = batch.filter(col("error_id").isNull).select("purchase_id")
+    assert(sNulls.count() > 0, "outer rows must actually emit")
+    assert(sNulls.except(bNulls).count() === 0)
+    assert(sNulls.count() === sNulls.distinct().count())
+  }
+
   test("stateful streaming sessionization == batch sessionization (closed sessions)") {
     val stream = EventsStream.readEvents(spark, dir)
     EventsStream.runAvailableNow(
