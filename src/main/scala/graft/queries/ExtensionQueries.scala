@@ -1143,6 +1143,39 @@ object ExtensionQueries {
       s.table(sinkName).orderBy("purchase_id", "error_id")
     },
 
+    // Native session_window sessionization (the built-in operator, vs the
+    // hand-rolled cumsum e01 and stateful e04): session end = last event +
+    // gap. NB the boundary is STRICT — [ts, ts+gap) windows merge only on
+    // overlap, so a gap of exactly 30min starts a new session (diff >= gap
+    // in the oracle, unlike e01's diff > gap convention).
+    "e11_session_window" -> of(
+      """WITH gaps AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+        |    CASE WHEN CAST(ts AS TIMESTAMP)
+        |        - LAG(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id
+        |            ORDER BY CAST(ts AS TIMESTAMP), event_id) >= INTERVAL 30 MINUTE
+        |      OR LAG(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id
+        |            ORDER BY CAST(ts AS TIMESTAMP), event_id) IS NULL
+        |      THEN 1 ELSE 0 END AS new_session
+        |  FROM events),
+        |numbered AS (
+        |  SELECT user_id, ts,
+        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+        |  FROM gaps)
+        |SELECT user_id, MIN(ts) AS session_start,
+        |  MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events
+        |FROM numbered GROUP BY user_id, session_no
+        |ORDER BY user_id, session_start""") { (s, d) =>
+      Q.events(s, d)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("w.start").as("session_start"),
+          col("w.end").as("session_end"), col("n_events"))
+        .orderBy("user_id", "session_start")
+    },
+
     // Per-user EWMA of purchase values — the sequential fold that looks
     // like it needs a UDF but is a sorted collect + aggregate HOF. The fold
     // order is total (ts, event_id), so the float result is reproducible;

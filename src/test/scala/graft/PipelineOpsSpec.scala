@@ -113,6 +113,31 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("built-in session_window agrees with the hand-rolled gap sessionizer on the fixture") {
+    // the two differ only at EXACTLY-gap boundaries (strict vs non-strict),
+    // which the µs-random fixture never hits — counts must line up
+    val ev = graft.queries.Q.events(spark, dir)
+    val sw = ev.groupBy(col("user_id"),
+        session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("w.start").as("session_start"), col("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val hand = ev.withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 30L * 60 * 1000000, 1L)
+          .otherwise(0L))
+      .withColumn("session_no", sum(col("new_session")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "session_no")
+      .agg(min(col("ts")).as("session_start"), count(lit(1)).as("n"))
+      .select("user_id", "session_start", "n")
+    assert(sw.count() > 0)
+    assert(sw.except(hand).count() === 0)
+    assert(hand.except(sw).count() === 0)
+  }
+
   test("unigramLm + unigramLogprob: exact counts, OOV fallback, vocab cap") {
     import spark.implicits._
     val corpus = Seq((1L, "a a b")).toDF("doc_id", "text")
