@@ -9,8 +9,9 @@ import graft.functions.TextFunctions.winnowFingerprint
 /** Runnable end-to-end LLM-corpus build: the operators composed the way a
   * real curation pipeline chains them —
   *
-  *   near-dup pairs → components → survivors → train/val/test split →
-  *   per-source quotas → sequence packing → contamination audit
+  *   near-dup pairs → components → survivors → repetition + LM-quality
+  *   filters → PII redaction → train/val/test split → per-source quotas →
+  *   sequence packing → contamination audit → partitioned curated write
   *
   * Every stage is the oracle-checked operator from `graft.queries`; this
   * main just shows they compose. Usage:
@@ -38,8 +39,19 @@ object CorpusPipelineDemo {
     println(s"=== dedup: ${pairs.count()} near-dup pairs → " +
       s"${losers.count()} non-survivors dropped, ${deduped.count()} docs remain")
 
-    // 2. reproducible split + per-source quota
-    val split = CorpusOps.hashSplit(deduped, "doc_id",
+    // 2. quality gate: repetition signals + unigram-LM score, then redact
+    val rep = CorpusOps.repetitionSignals(deduped, "doc_id", "text")
+      .filter(col("top_bigram_frac") < 0.5 && col("max_run") < 10)
+      .select("doc_id")
+    val lm = CorpusOps.unigramLm(deduped, "doc_id", "text")
+    val lpOk = CorpusOps.unigramLogprob(deduped, "doc_id", "text", lm, -20.0)
+      .filter(col("mean_logprob") > -10.0).select("doc_id")
+    val clean = deduped.join(rep, "doc_id").join(lpOk, "doc_id")
+      .withColumn("text", graft.functions.TextFunctions.redactPii(col("text")))
+    println(s"=== quality gate: ${clean.count()} docs pass repetition + LM filters")
+
+    // 3. reproducible split + per-source quota
+    val split = CorpusOps.hashSplit(clean, "doc_id",
       Seq("train" -> 90, "val" -> 95, "test" -> 100))
     split.groupBy("split").count().orderBy("split").collect()
       .foreach(r => println(s"=== split ${r.getString(0)}: ${r.getLong(1)} docs"))
@@ -47,21 +59,28 @@ object CorpusPipelineDemo {
       split.filter(col("split") === "train"), "source", "doc_id", 100)
     println(s"=== train after per-source quota(100): ${train.count()} docs")
 
-    // 3. pack the train split into 2048-token sequences per source shard
+    // 4. pack the train split into 2048-token sequences per source shard
     val packed = CorpusOps.packSequences(train, "doc_id", "text", "source", 2048)
     val packs = packed.groupBy("source").agg(max("pack_no").as("packs"))
       .orderBy("source").collect()
       .map(r => s"${r.getString(0)}:${r.getLong(1) + 1}").mkString(", ")
     println(s"=== packing: sequences per source shard → $packs")
 
-    // 4. contamination audit: held-out docs fingerprint-colliding with train
-    val wfp = deduped.select(col("doc_id"), winnowFingerprint(col("text")).as("w"))
+    // 5. contamination audit: held-out docs fingerprint-colliding with train
+    val wfp = clean.select(col("doc_id"), winnowFingerprint(col("text")).as("w"))
     val trainFp = wfp.join(train.select("doc_id"), "doc_id")
       .select(col("w"))
     val leaks = wfp.join(split.filter(col("split") =!= "train").select("doc_id"), "doc_id")
       .join(trainFp, Seq("w"))
       .select("doc_id").distinct()
     println(s"=== contamination: ${leaks.count()} held-out docs collide with train")
+
+    // 6. materialize the curated corpus as the partitioned, prunable layout
+    val out = java.nio.file.Files.createTempDirectory("curated").toString
+    CorpusOps.writeCurated(split, out)
+    val written = spark.read.parquet(out)
+    println(s"=== curated write: ${written.count()} docs in " +
+      s"${new java.io.File(out).listFiles().count(_.isDirectory)} split dirs at $out")
 
     spark.stop()
   }

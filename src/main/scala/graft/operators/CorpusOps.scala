@@ -186,6 +186,21 @@ object CorpusOps {
       .drop("__rn")
   }
 
+  /** The corpus build's last mile: materialize the curated corpus as a
+    * partitioned lake layout — one directory per (split, source), documents
+    * sorted by id within each file. Readers prune partitions (training
+    * touches `split=train` only; a source quarantine drops one directory),
+    * and the sorted ids make per-file row order reproducible, so two builds
+    * of the same curated corpus are byte-comparable file by file.
+    */
+  def writeCurated(docs: DataFrame, path: String, idCol: String = "doc_id",
+                   splitCol: String = "split", srcCol: String = "source"): Unit =
+    docs.repartition(col(splitCol), col(srcCol))
+      .sortWithinPartitions(col(splitCol), col(srcCol), col(idCol))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy(splitCol, srcCol)
+      .parquet(path)
+
   /** Per-document term frequencies: one (id, tok, tf) row per distinct
     * (doc, token) — the shared first aggregation of TF-IDF, the vocabulary
     * head, and the t08 idf aux dump.

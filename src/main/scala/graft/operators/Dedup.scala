@@ -84,6 +84,35 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Incremental near-dup screening: which `fresh` docs are near-dups of the
+    * EXISTING `corpus` — the daily-ingest shape (screen today's crawl against
+    * the standing corpus; never re-pair the corpus against itself). Same
+    * shingle-bucket candidate generation as [[ngramJaccardPairs]], but the
+    * join is fresh-vs-corpus, so the pair space is
+    * O(fresh shingles × bucket occupancy), independent of corpus-side
+    * self-pairs. At scale the corpus shingle table is the standing index
+    * (bucketed/partitioned by shingle); each ingest shuffles only the
+    * fresh batch. Returns (fresh_id, corpus_id, jaccard).
+    */
+  def incrementalJaccardPairs(fresh: DataFrame, corpus: DataFrame,
+                              idCol: String, textCol: String,
+                              k: Int = 4, threshold: Double = 0.5): DataFrame = {
+    val shF = shingleSet(fresh, idCol, textCol, k)
+    val shC = shingleSet(corpus, idCol, textCol, k)
+    val sizeF = shF.groupBy(col(idCol)).agg(count(lit(1)).as("size_f"))
+    val sizeC = shC.groupBy(col(idCol)).agg(count(lit(1)).as("size_c"))
+    shF.select(col(idCol).as("fresh_id"), col("shingle"))
+      .join(shC.select(col(idCol).as("corpus_id"), col("shingle")), Seq("shingle"))
+      .groupBy("fresh_id", "corpus_id")
+      .agg(count(lit(1)).as("inter"))
+      .join(sizeF.select(col(idCol).as("fresh_id"), col("size_f")), Seq("fresh_id"))
+      .join(sizeC.select(col(idCol).as("corpus_id"), col("size_c")), Seq("corpus_id"))
+      .withColumn("jaccard",
+        col("inter") / (col("size_f") + col("size_c") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("fresh_id", "corpus_id", "jaccard")
+  }
+
   /** MinHash + LSH near-dup pairs: signature → band keys → bucket self-join
     * (candidates) → exact Jaccard verification ≥ threshold.
     *

@@ -289,6 +289,36 @@ object ExtensionQueries {
         .orderBy("doc_id")
     },
 
+    // Incremental near-dup screening — today's batch (doc_id >= 400)
+    // against the standing corpus (< 400), never corpus-vs-corpus: the
+    // daily-ingest shape where the corpus shingle table is a standing
+    // index and each ingest shuffles only the fresh batch.
+    "d11_dedup_incremental" -> of(
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] AS shingle
+        |  FROM toks, UNNEST(range(1, len(tk) - 2)) AS u(i)),
+        |sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT f.doc_id AS fresh_id, c.doc_id AS corpus_id, COUNT(*) AS inter
+        |  FROM sh f JOIN sh c ON f.shingle = c.shingle
+        |  WHERE f.doc_id >= 400 AND c.doc_id < 400
+        |  GROUP BY f.doc_id, c.doc_id)
+        |SELECT fresh_id, corpus_id,
+        |  inter / (sf.set_size + sc.set_size - inter) AS jaccard
+        |FROM inter
+        |JOIN sizes sf ON sf.doc_id = fresh_id
+        |JOIN sizes sc ON sc.doc_id = corpus_id
+        |WHERE inter / (sf.set_size + sc.set_size - inter) >= 0.5
+        |ORDER BY fresh_id, corpus_id""") { (s, d) =>
+      val docs = t(s, d, "documents")
+      Dedup.incrementalJaccardPairs(
+        docs.filter(col("doc_id") >= 400), docs.filter(col("doc_id") < 400),
+        "doc_id", "text")
+        .orderBy("fresh_id", "corpus_id")
+    },
+
     // SemDeDup-style semantic dedup: k-means clusters are the candidate
     // generator (within-cluster pairs only — the IVF idea applied to dedup),
     // pairs at cosine ≥ 0.4 resolve to clusters by connected components.
@@ -1141,6 +1171,27 @@ object ExtensionQueries {
       val sinkName = s"stream_interval_${sinkCounter.incrementAndGet()}"
       EventsStream.runAvailableNow(joined, sinkName)
       s.table(sinkName).orderBy("purchase_id", "error_id")
+    },
+
+    // Sliding (overlapping) windows — each event lands in size/slide
+    // windows (2h/1h → two), the generator shape behind rolling rates. The
+    // oracle expands the same two epoch-aligned window starts per event.
+    "e12_sliding_windows" -> of(
+      """WITH wins AS (
+        |  SELECT event_type, value,
+        |    UNNEST([date_trunc('hour', CAST(ts AS TIMESTAMP)) - INTERVAL 1 HOUR,
+        |            date_trunc('hour', CAST(ts AS TIMESTAMP))]) AS win
+        |  FROM events)
+        |SELECT win, event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM wins GROUP BY win, event_type
+        |ORDER BY win, event_type""") { (s, d) =>
+      Q.events(s, d)
+        .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+        .select(col("w.start").as("win"), col("event_type"), col("n"),
+          col("total_value"))
+        .orderBy("win", "event_type")
     },
 
     // Native session_window sessionization (the built-in operator, vs the

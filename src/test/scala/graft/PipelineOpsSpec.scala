@@ -113,6 +113,24 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("writeCurated: partitioned layout, lossless, and split filters prune partitions") {
+    val out = java.nio.file.Files.createTempDirectory("curated").toString
+    val curated = CorpusOps.hashSplit(docs, "doc_id",
+      Seq("train" -> 90, "holdout" -> 100))
+    CorpusOps.writeCurated(curated, out)
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory).map(_.getName)
+    assert(dirs.toSet.subsetOf(Set("split=train", "split=holdout")) && dirs.nonEmpty)
+    val back = spark.read.parquet(out)
+    assert(back.count() === docs.count())
+    // reading one split must prune to that split's directories only
+    val plan = back.filter(col("split") === "train")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("split"),
+      plan.take(500))
+    assert(back.filter(col("split") === "train").count() ===
+      curated.filter(col("split") === "train").count())
+  }
+
   test("built-in session_window agrees with the hand-rolled gap sessionizer on the fixture") {
     // the two differ only at EXACTLY-gap boundaries (strict vs non-strict),
     // which the µs-random fixture never hits — counts must line up
