@@ -244,8 +244,13 @@ object Dedup {
     val edges = pairs.select(col("id_a"), col("id_b"))
       .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("id_a").as("id")).distinct()
-      .withColumn("label", col("id"))
+    // seed labels with the 1-hop minimum (min of self and direct neighbors)
+    // instead of self: clique-ish components — the common dup shape — then
+    // converge in a single fixpoint-check round instead of two
+    var labels = edges.groupBy(col("id_a"))
+      .agg(min(col("id_b")).as("nbr_min"))
+      .select(col("id_a").as("id"),
+        least(col("id_a"), col("nbr_min")).as("label"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var converged = false
     var iter = 0

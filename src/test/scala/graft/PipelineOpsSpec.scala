@@ -113,6 +113,18 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("incrementalJaccardPairs == full self-join pairs restricted to the split boundary") {
+    val full = graft.operators.Dedup.ngramJaccardPairs(docs, "doc_id", "text")
+      .filter(col("id_a") < 400 && col("id_b") >= 400) // id_a < id_b always
+      .collect().map(r => (r.getLong(1), r.getLong(0)) -> r.getDouble(2)).toMap
+    val inc = graft.operators.Dedup.incrementalJaccardPairs(
+      docs.filter(col("doc_id") >= 400), docs.filter(col("doc_id") < 400),
+      "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(inc.nonEmpty)
+    assert(inc === full)
+  }
+
   test("writeCurated: partitioned layout, lossless, and split filters prune partitions") {
     val out = java.nio.file.Files.createTempDirectory("curated").toString
     val curated = CorpusOps.hashSplit(docs, "doc_id",
