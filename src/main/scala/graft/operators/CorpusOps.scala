@@ -194,12 +194,23 @@ object CorpusOps {
     * of the same curated corpus are byte-comparable file by file.
     */
   def writeCurated(docs: DataFrame, path: String, idCol: String = "doc_id",
-                   splitCol: String = "split", srcCol: String = "source"): Unit =
-    docs.repartition(col(splitCol), col(srcCol))
+                   splitCol: String = "split", srcCol: String = "source",
+                   maxRecordsPerFile: Long = 0L): Unit = {
+    val writer = docs.repartition(col(splitCol), col(srcCol))
       .sortWithinPartitions(col(splitCol), col(srcCol), col(idCol))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .partitionBy(splitCol, srcCol)
-      .parquet(path)
+    // hash-repartitioning on the partition columns yields ~one file per
+    // (split, source) directory; at 100 TB a hot source would make that
+    // file huge — cap records per file so the writer rolls files (the
+    // sort above keeps every rolled file internally ordered). Only set
+    // when requested: the per-write option OVERRIDES the session's
+    // spark.sql.files.maxRecordsPerFile, and 0 would override it with
+    // "unlimited".
+    val capped =
+      if (maxRecordsPerFile > 0) writer.option("maxRecordsPerFile", maxRecordsPerFile)
+      else writer
+    capped.partitionBy(splitCol, srcCol).parquet(path)
+  }
 
   /** Per-document term frequencies: one (id, tok, tf) row per distinct
     * (doc, token) — the shared first aggregation of TF-IDF, the vocabulary
@@ -220,7 +231,12 @@ object CorpusOps {
     val counts = docs
       .select(explode(tokens(col(textCol))).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("n"))
-    val total = counts.agg(sum(col("n")).cast("long")).head().getLong(0)
+    val totalRow = counts.agg(sum(col("n")).cast("long")).head()
+    // empty corpus → SUM is null → empty LM (degrade-not-throw, like
+    // kmeansCentroids on an empty corpus)
+    if (totalRow.isNullAt(0))
+      return counts.select(col("tok"), col("n"), lit(0.0).as("lp")).limit(0)
+    val total = totalRow.getLong(0)
     counts.orderBy(col("n").desc, col("tok")).limit(vocabCap)
       .select(col("tok"), col("n"),
         log(col("n").cast("double") / total.toDouble).as("lp"))
@@ -228,12 +244,14 @@ object CorpusOps {
 
   /** Per-document mean unigram log-probability — the quality signal a
     * CCNet-style perplexity filter thresholds on (low mean log-prob = the
-    * LM finds the text surprising = tail bucket). The capped LM table
-    * broadcasts as a map literal and the per-doc sum is an `aggregate` HOF
-    * fold in TOKEN ORDER from a 0.0 seed — no explode/re-aggregate round
-    * trip, and the float addition order is reproducible (a per-doc double
-    * SUM after a join would be partition-order-dependent). Out-of-vocab
-    * tokens score `oovLp`.
+    * LM finds the text surprising = tail bucket). The capped LM table is
+    * embedded as a constant-folded map LITERAL in the plan (ships with the
+    * task binary — fine at curation-vocab sizes; a 1M+-entry vocab would
+    * graduate to a broadcast variable or map-side join) and the per-doc sum
+    * is an `aggregate` HOF fold in TOKEN ORDER from a 0.0 seed — no
+    * explode/re-aggregate round trip, and the float addition order is
+    * reproducible (a per-doc double SUM after a join would be
+    * partition-order-dependent). Out-of-vocab tokens score `oovLp`.
     */
   def unigramLogprob(docs: DataFrame, idCol: String, textCol: String,
                      lm: DataFrame, oovLp: Double): DataFrame = {

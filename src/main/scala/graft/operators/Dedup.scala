@@ -259,16 +259,19 @@ object Dedup {
         .join(labels.select(col("id").as("id_b"), col("label").as("nbr_label")), "id_b")
         .groupBy(col("id_a").as("id"))
         .agg(min(col("nbr_label")).as("min_nbr"))
+      // persist: the pointer-jump self-join consumes `stepped` twice —
+      // uncached, each round's hop join + min-aggregate would run twice
       val stepped = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"), col("label").as("old_label"),
           least(col("label"), coalesce(col("min_nbr"), col("label"))).as("label"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // pointer jump: every label is itself an id in `labels` (labels are
       // ids of the same component and only ever decrease toward its min),
-      // so label(label) is defined and stays within the component
-      // localCheckpoint (eager), not persist: the self-join references
-      // `stepped` twice, so without lineage TRUNCATION the logical plan
-      // doubles every round — exponential analysis/stringification cost
-      // even though the persisted data is tiny
+      // so label(label) is defined and stays within the component.
+      // localCheckpoint (eager), not persist, on the round's RESULT: the
+      // self-join doubles the logical plan every round without lineage
+      // TRUNCATION — exponential analysis/stringification cost even though
+      // the persisted data is tiny
       val next = stepped.alias("x")
         .join(stepped.select(col("id").as("jid"), col("label").as("jlabel")).alias("j"),
           col("x.label") === col("j.jid"), "left")
@@ -277,6 +280,7 @@ object Dedup {
         .localCheckpoint()
       converged = next.filter(col("label") =!= col("old_label")).isEmpty
       labels.unpersist()
+      stepped.unpersist()
       labels = next.select("id", "label")
       iter += 1
     }
@@ -294,7 +298,10 @@ object Dedup {
     * min-id survivor, keep each cluster's highest-`score` member (ties →
     * lowest id) — the "keep the best copy" policy a curation pipeline wants
     * (longest doc, highest quality score, freshest crawl). `clusters` is
-    * [[dupClusters]] output (id, cluster); `scores` maps id → score.
+    * [[dupClusters]] output (id, cluster); `scores` maps id → score and
+    * MUST cover every clustered id — the join is inner, so an unscored
+    * member would silently drop out of its cluster (score defaults belong
+    * in the caller, who knows the right neutral value).
     * One shuffle on the cluster key; per-cluster ranking is bounded by
     * cluster size. Returns (id, cluster, survivor, is_survivor).
     */

@@ -1235,7 +1235,9 @@ object ExtensionQueries {
     "e10_ewma" -> of(
       """WITH seq AS (
         |  SELECT user_id,
-        |    list(value ORDER BY ts, event_id) AS vals
+        |    -- CAST: order at µs like Spark (raw ns order could disagree
+        |    -- with (µs, event_id) order for same-µs events)
+        |    list(value ORDER BY CAST(ts AS TIMESTAMP), event_id) AS vals
         |  FROM events WHERE event_type = 'purchase' GROUP BY user_id)
         |SELECT user_id, CAST(len(vals) AS BIGINT) AS n_events,
         |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE), vals),
