@@ -346,6 +346,28 @@ object Similarity {
       .select("id_a", "id_b", "cosine")
   }
 
+  /** JL-style dense random projection to `outDims`: y_p = dot(v, sign_p)
+    * over the hash-derived ±1 sign family (offset 1000 keeps the family
+    * disjoint from the LSH planes). Pairwise distances are preserved in
+    * expectation (Johnson–Lindenstrauss) at a fraction of the
+    * dimensionality — the cheapening step before ANN/dedup passes whose
+    * cost is linear in dim. Deterministic (hash-derived signs, sequential
+    * dot fold) → oracle-able; signs hoisted to literals × codegen
+    * `dot_product`, one projection over the scan, no shuffle.
+    */
+  def randomProjection(df: DataFrame, idCol: String, vecCol: String,
+                       outDims: Int = 16): DataFrame = {
+    graft.functions.NativeFunctions.register(df.sparkSession)
+    val signs = hyperplaneSigns(df.sparkSession, outDims, 1000,
+      vectorDim(df, vecCol))
+    val v = col(vecCol).cast("array<double>")
+    val comps = signs.zipWithIndex.map { case (sv, p) =>
+      struct(lit(p).as("p"), dot(v, lit(sv)).as("y"))
+    }
+    df.select(col(idCol), explode(array(comps: _*)).as("c"))
+      .select(col(idCol), col("c.p").as("dim"), col("c.y").as("y"))
+  }
+
   /** Symmetric int8 scalar quantization (the standard embedding-index
     * compression): per-vector scale = max|x|/127, component q = round(x/scale).
     * max and the divisions are exact/correctly-rounded, so quantized values

@@ -94,5 +94,17 @@ object AuxDumps {
       Similarity.hyperplaneSigns(s, 32, 0, dim).zipWithIndex
         .map { case (sv, p) => (p, sv.toSeq) }.toSeq
         .toDF("p", "signs")
+    }),
+
+    // s07: the random-projection sign family (offset 1000, disjoint from
+    // the LSH planes above) — same shared derivation, same lockstep
+    // guarantee.
+    "rp_signs16" -> ((s, d) => {
+      import graft.operators.Similarity
+      val dim = Similarity.vectorDim(t(s, d, "embeddings"), "embedding")
+      import s.implicits._
+      Similarity.hyperplaneSigns(s, 16, 1000, dim).zipWithIndex
+        .map { case (sv, p) => (p, sv.toSeq) }.toSeq
+        .toDF("p", "signs")
     }))
 }

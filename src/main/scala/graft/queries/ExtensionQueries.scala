@@ -494,6 +494,22 @@ object ExtensionQueries {
         .orderBy("vec_id", "idx")
     },
 
+    // JL-style random projection to 16 dims (hash-derived ±1 signs,
+    // AuxDumps "rp_signs16") — the dimensionality-cheapening step before
+    // ANN/dedup passes. Exploded to scalar rows like s05/s06.
+    "s07_random_projection" -> of(
+      """WITH signs AS (SELECT p, signs FROM read_parquet('{{AUX}}/rp_signs16/*.parquet')),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |      FROM embeddings WHERE vec_id < 100)
+        |SELECT vec_id, CAST(p AS INT) AS dim,
+        |  list_sum(list_transform(list_zip(v, signs), x -> x[1] * x[2])) AS y
+        |FROM e, signs
+        |ORDER BY vec_id, dim""") { (s, d) =>
+      Similarity.randomProjection(
+        t(s, d, "embeddings").filter(col("vec_id") < 100), "vec_id", "embedding", 16)
+        .orderBy("vec_id", "dim")
+    },
+
     // IVF ANN with a TRAINED deterministic coarse quantizer (reproducible
     // k-means, Similarity.kmeansCentroids). The centroids are materialized
     // by Verify (AuxDumps "s04_centroids"); the oracle consumes them and
@@ -1019,6 +1035,31 @@ object ExtensionQueries {
           explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_no"))
         .select(col("doc_id"), col("chunk_no"),
           expr("substring(hex(payload), cast(chunk_no*128+1 as int), 128)").as("chunk_hex"))
+        .orderBy("doc_id", "chunk_no")
+    },
+
+    // Stride "frame" sampling over the m02 chunk layout — every 4th chunk
+    // stands in for keyframe extraction from a video payload (the decode
+    // itself stays the honest stub; the selection/layout plumbing is real).
+    "m04_multimodal_frames" -> of(
+      """SELECT doc_id, CAST(i // 4 AS BIGINT) AS frame_no, i AS chunk_no,
+        |  substring(hex(CAST(text AS BLOB)), CAST(i*128+1 AS INT), 128) AS frame_hex
+        |FROM documents,
+        |  UNNEST(range(0, CAST(ceil(octet_length(CAST(text AS BLOB)) / 64.0) AS BIGINT))) AS u(i)
+        |WHERE doc_id <= 50 AND i % 4 = 0
+        |ORDER BY doc_id, chunk_no""") { (s, d) =>
+      graft.operators.Multimodal.asMediaTable(
+        t(s, d, "documents").filter(col("doc_id") <= 50), "doc_id", "text")
+        .withColumn("n_chunks",
+          ceil(octet_length(col("payload")) / lit(64.0)).cast("long"))
+        .filter(col("n_chunks") > 0)
+        .select(col("doc_id"), col("payload"),
+          explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_no"))
+        .filter(pmod(col("chunk_no"), lit(4L)) === 0)
+        .select(col("doc_id"),
+          call_function("div", col("chunk_no"), lit(4L)).as("frame_no"),
+          col("chunk_no"),
+          expr("substring(hex(payload), cast(chunk_no*128+1 as int), 128)").as("frame_hex"))
         .orderBy("doc_id", "chunk_no")
     },
 
