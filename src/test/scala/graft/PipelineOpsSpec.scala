@@ -221,6 +221,49 @@ class PipelineOpsSpec extends SparkSpec {
     assert(buckets === "4")
   }
 
+  test("property: HOF run/mode statistics match a plain-Scala oracle on random docs") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import spark.implicits._
+    def plainMaxRun(ts: Seq[String]): Long =
+      if (ts.isEmpty) 0L
+      else ts.foldLeft((("", 0L), 0L)) { case (((prev, run), best), t) =>
+        val r = if (t == prev) run + 1 else 1L
+        ((t, r), math.max(best, r))
+      }._2
+    val docGen = Gen.listOfN(40, Gen.oneOf("a", "b", "c", "aa")).map(_.mkString(" "))
+    for (seed <- 1L to 5L) {
+      val texts = Gen.listOfN(30, docGen)(Gen.Parameters.default, Seed(seed)).get
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val got = CorpusOps.repetitionSignals(df, "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+      texts.zipWithIndex.foreach { case (t, i) =>
+        val toks = t.split(" ", -1).toSeq
+        val bigrams = toks.sliding(2).filter(_.size == 2).map(_.mkString(" ")).toSeq
+        val expectMode = if (bigrams.isEmpty) 0L
+          else bigrams.groupBy(identity).values.map(_.size).max.toLong
+        assert(got(i.toLong)._1 === plainMaxRun(toks), s"max_run doc $i seed $seed")
+        assert(got(i.toLong)._2 === expectMode, s"top_bigram_n doc $i seed $seed")
+      }
+    }
+  }
+
+  test("property: ewma HOF fold matches a plain-Scala fold on random series") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import spark.implicits._
+    for (seed <- 1L to 3L) {
+      val vals = Gen.listOfN(25, Gen.chooseNum(-100.0, 100.0))(
+        Gen.Parameters.default, Seed(seed)).get
+      val df = vals.zipWithIndex.map { case (v, i) => (1L, i.toLong, i.toLong, v) }
+        .toDF("k", "ts", "tie", "v")
+      val got = graft.operators.TimeSeriesOps.ewmaPerKey(df, "k", "ts", "tie", "v", 0.25)
+        .head().getDouble(2)
+      val expect = vals.foldLeft(0.0)((acc, x) => acc * 0.75 + x * 0.25)
+      assert(got === expect, s"seed $seed") // bit-exact: same fold order
+    }
+  }
+
   test("int8 quantization: |q| <= 127 and dequantization error <= scale/2") {
     val q = embs.limit(50)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
