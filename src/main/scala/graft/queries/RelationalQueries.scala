@@ -537,6 +537,27 @@ object RelationalQueries {
         .orderBy("l_orderkey", "l_linenumber", "metric", "value")
     },
 
+    // §2.4 correlated EXISTS / NOT EXISTS through the SQL surface —
+    // Catalyst's RewritePredicateSubquery turns them into semi/anti joins
+    // (the DataFrame twins are q05/q06; this exercises the subquery path).
+    "q35_exists_subquery" -> of(
+      """SELECT o_orderkey, o_totalprice FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l
+        |                  WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+        |ORDER BY o_orderkey""") { (s, d) =>
+      t(s, d, "orders").createOrReplaceTempView("orders_ex")
+      t(s, d, "lineitem").createOrReplaceTempView("lineitem_ex")
+      s.sql(
+        """SELECT o_orderkey, o_totalprice FROM orders_ex o
+          |WHERE EXISTS (SELECT 1 FROM lineitem_ex l
+          |              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+          |  AND NOT EXISTS (SELECT 1 FROM lineitem_ex l
+          |                  WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+          |ORDER BY o_orderkey""".stripMargin)
+    },
+
     // §2.6 RANGE frame (value-based window bounds): per customer, count and
     // exact-decimal sum of their orders in the 30 days up to each order —
     // the rolling-window shape ROWS frames cannot express (rows ≠ days).
@@ -565,6 +586,53 @@ object RelationalQueries {
             .cast(DoubleType).as("sum_recent"))
         .filter(col("o_orderkey") < 5000)
         .orderBy("o_orderkey")
+    },
+
+    // SCD2 merge (the MERGE INTO shape without a lakehouse format): a
+    // deterministic update batch (every 10th order, +10% price, effective
+    // +30 days) closes the old version and opens the new one; untouched
+    // rows stay open. The oracle states the same three-way union.
+    "q37_scd2_merge" -> of(
+      """WITH cur AS (
+        |  SELECT o_orderkey, o_totalprice, CAST(o_orderdate AS TIMESTAMP) AS valid_from
+        |  FROM orders WHERE o_orderkey < 2000),
+        |upd AS (
+        |  SELECT o_orderkey, o_totalprice * 1.1 AS o_totalprice,
+        |    CAST(o_orderdate AS TIMESTAMP) + INTERVAL 30 DAY AS uts
+        |  FROM orders WHERE o_orderkey < 2000 AND o_orderkey % 10 = 0)
+        |SELECT c.o_orderkey, c.o_totalprice, c.valid_from, u.uts AS valid_to
+        |FROM cur c JOIN upd u USING (o_orderkey)
+        |UNION ALL
+        |SELECT c.o_orderkey, c.o_totalprice, c.valid_from, NULL
+        |FROM cur c WHERE c.o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+        |UNION ALL
+        |SELECT o_orderkey, o_totalprice, uts AS valid_from, NULL FROM upd
+        |ORDER BY o_orderkey, valid_from""") { (s, d) =>
+      val orders = t(s, d, "orders").filter(col("o_orderkey") < 2000)
+      val cur = orders.select(col("o_orderkey"), col("o_totalprice"),
+        col("o_orderdate").cast("timestamp").as("valid_from"))
+      val upd = orders.filter(pmod(col("o_orderkey"), lit(10)) === 0)
+        .select(col("o_orderkey"), (col("o_totalprice") * 1.1).as("o_totalprice"),
+          (col("o_orderdate").cast("timestamp") + expr("INTERVAL 30 DAYS")).as("uts"))
+      graft.operators.Merges.scd2(cur, upd, "o_orderkey", "uts")
+        .orderBy("o_orderkey", "valid_from")
+    },
+
+    // Lake-layout Z-order (Morton) key: interleaved bits of two pruning
+    // columns — sorting files by z gives min/max stats locality in BOTH
+    // dimensions (the OPTIMIZE ZORDER technique, here as a pure codegen'd
+    // key expression). The oracle states literally the same unrolled bit
+    // math (ZOrder.zorderSql).
+    "q36_zorder_key" -> of(
+      s"""SELECT p_partkey, p_size,
+        |  ${graft.functions.ZOrder.zorderSql("(p_partkey % 65536)", "p_size")} AS z
+        |FROM part WHERE p_partkey <= 2000
+        |ORDER BY z, p_partkey""") { (s, d) =>
+      t(s, d, "part").filter(col("p_partkey") <= 2000)
+        .select(col("p_partkey"), col("p_size"),
+          graft.functions.ZOrder.zorderKey(
+            pmod(col("p_partkey"), lit(65536L)), col("p_size")).as("z"))
+        .orderBy("z", "p_partkey")
     },
 
     // §2.4 co-located bucketed join: both sides pre-bucketed (and sorted) by

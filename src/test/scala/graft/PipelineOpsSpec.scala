@@ -221,6 +221,40 @@ class PipelineOpsSpec extends SparkSpec {
     assert(buckets === "4")
   }
 
+  test("property: zorderKey matches a plain-Scala Morton interleave") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import spark.implicits._
+    def plain(x: Long, y: Long, bits: Int): Long =
+      (0 until bits).foldLeft(0L) { (z, j) =>
+        z | (((x >> j) & 1L) << (2 * j)) | (((y >> j) & 1L) << (2 * j + 1))
+      }
+    val pairs = Gen.listOfN(200,
+      Gen.zip(Gen.chooseNum(0L, 65535L), Gen.chooseNum(0L, 65535L)))(
+      Gen.Parameters.default, Seed(7L)).get
+    val got = pairs.toDF("x", "y")
+      .select(graft.functions.ZOrder.zorderKey(col("x"), col("y")).as("z"))
+      .as[Long].collect()
+    got.zip(pairs).foreach { case (z, (x, y)) => assert(z === plain(x, y, 16)) }
+    // interleave of maxed inputs fills all 32 low bits
+    assert(plain(65535L, 65535L, 16) === (1L << 32) - 1)
+  }
+
+  test("scd2: updated keys get closed+reopened versions; untouched keys stay open") {
+    import spark.implicits._
+    val cur = Seq((1L, 10.0, 100L), (2L, 20.0, 100L), (3L, 30.0, 100L))
+      .toDF("k", "v", "valid_from")
+    val upd = Seq((2L, 25.0, 200L)).toDF("k", "v", "ts")
+    val out = graft.operators.Merges.scd2(cur, upd, "k", "ts")
+      .collect().map(r => (r.getLong(0), r.getDouble(1),
+        r.getLong(2), if (r.isNullAt(3)) None else Some(r.getLong(3))))
+    assert(out.count(_._1 == 2L) === 2)
+    assert(out.toSet.contains((2L, 20.0, 100L, Some(200L)))) // closed old version
+    assert(out.toSet.contains((2L, 25.0, 200L, None)))       // open new version
+    assert(out.toSet.contains((1L, 10.0, 100L, None)))       // untouched stays open
+    assert(out.length === 4)
+  }
+
   test("property: HOF run/mode statistics match a plain-Scala oracle on random docs") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed
