@@ -1290,6 +1290,77 @@ object ExtensionQueries {
         .orderBy("user_id")
     },
 
+    // Funnel analysis: per-user furthest stage through view → click →
+    // purchase in event-time order — a sequential state machine, expressed
+    // as the same sorted-collect + integer fold e10 uses (no UDF). Events
+    // map to stage codes first so both engines fold int-state over
+    // int-elements (DuckDB's list_reduce needs acc and element to agree).
+    "e13_funnel" -> of(
+      """WITH coded AS (
+        |  SELECT user_id,
+        |    CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+        |      WHEN 'purchase' THEN 3 ELSE 0 END AS code,
+        |    CAST(ts AS TIMESTAMP) AS ts, event_id
+        |  FROM events),
+        |seqs AS (
+        |  SELECT user_id, list(code ORDER BY ts, event_id) AS codes
+        |  FROM coded GROUP BY user_id)
+        |SELECT user_id,
+        |  list_reduce(list_prepend(0, codes), (a, b) ->
+        |    CASE WHEN a = 0 AND b = 1 THEN 1
+        |         WHEN a = 1 AND b = 2 THEN 2
+        |         WHEN a = 2 AND b = 3 THEN 3
+        |         ELSE a END) AS stage
+        |FROM seqs ORDER BY user_id""") { (s, d) =>
+      val coded = Q.events(s, d).select(col("user_id"), col("ts"), col("event_id"),
+        when(col("event_type") === "view", 1)
+          .when(col("event_type") === "click", 2)
+          .when(col("event_type") === "purchase", 3).otherwise(0).as("code"))
+      coded.groupBy("user_id")
+        .agg(sort_array(collect_list(struct(col("ts"), col("event_id"),
+          col("code")))).as("seq"))
+        .select(col("user_id"),
+          aggregate(col("seq"), lit(0), (st, x) => {
+            val c = x.getField("code")
+            when(st === 0 && c === 1, 1)
+              .when(st === 1 && c === 2, 2)
+              .when(st === 2 && c === 3, 3)
+              .otherwise(st)
+          }).as("stage"))
+        .orderBy("user_id")
+    },
+
+    // Cohort retention: users grouped by first-activity week, counted per
+    // weekly offset they remain active — two aggregations and a join, the
+    // canonical product-analytics rollup.
+    "e14_cohort_retention" -> of(
+      """WITH act AS (
+        |  SELECT DISTINCT user_id,
+        |    -- CAST: DuckDB date_trunc('week') yields DATE; Spark yields
+        |    -- TIMESTAMP
+        |    CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS week
+        |  FROM events),
+        |cohort AS (SELECT user_id, MIN(week) AS cohort_week FROM act GROUP BY user_id)
+        |SELECT c.cohort_week,
+        |  CAST((epoch(a.week) - epoch(c.cohort_week)) AS BIGINT) // 604800 AS week_offset,
+        |  CAST(COUNT(*) AS BIGINT) AS n_users
+        |FROM act a JOIN cohort c USING (user_id)
+        |GROUP BY c.cohort_week, week_offset
+        |ORDER BY cohort_week, week_offset""") { (s, d) =>
+      val act = Q.events(s, d)
+        .select(col("user_id"), date_trunc("week", col("ts")).as("week"))
+        .distinct()
+      val cohort = act.groupBy("user_id").agg(min(col("week")).as("cohort_week"))
+      act.join(cohort, "user_id")
+        .select(col("cohort_week"),
+          call_function("div",
+            unix_timestamp(col("week")) - unix_timestamp(col("cohort_week")),
+            lit(604800L)).as("week_offset"))
+        .groupBy("cohort_week", "week_offset")
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    },
+
     // Containment/range join via time-bucket equi-join: for each error
     // event, how many concurrent user sessions (gap-based intervals)
     // contained its timestamp. The scale pattern replaces the nested-loop

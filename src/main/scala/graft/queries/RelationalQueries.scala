@@ -588,6 +588,38 @@ object RelationalQueries {
         .orderBy("o_orderkey")
     },
 
+    // Data-quality constraint audit (deequ/dbt-style): each rule is a
+    // violation query; the audit is a union of counts. Referential
+    // integrity (orphans), key uniqueness, domain and null checks over the
+    // fact tables — zero violations is itself the assertion worth oracling.
+    "q38_quality_audit" -> of(
+      """SELECT 'lineitem_orphan' AS rule, CAST(COUNT(*) AS BIGINT) AS violations
+        |FROM lineitem l WHERE NOT EXISTS (
+        |  SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+        |UNION ALL
+        |SELECT 'order_dup_key', CAST(COALESCE(SUM(n - 1), 0) AS BIGINT) FROM (
+        |  SELECT COUNT(*) AS n FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1) x
+        |UNION ALL
+        |SELECT 'nonpositive_quantity', CAST(COUNT(*) AS BIGINT)
+        |FROM lineitem WHERE l_quantity <= 0
+        |UNION ALL
+        |SELECT 'null_orderkey', CAST(COUNT(*) AS BIGINT)
+        |FROM lineitem WHERE l_orderkey IS NULL
+        |ORDER BY rule""") { (s, d) =>
+      val li = t(s, d, "lineitem")
+      val o = t(s, d, "orders")
+      graft.operators.QualityChecks.audit(s, Seq(
+        "lineitem_orphan" ->
+          li.join(o, li("l_orderkey") === o("o_orderkey"), "left_anti"),
+        "order_dup_key" ->
+          o.groupBy("o_orderkey").agg(count(lit(1)).as("n"))
+            .filter(col("n") > 1)
+            .select(explode(sequence(lit(1L), col("n") - 1))),
+        "nonpositive_quantity" -> li.filter(col("l_quantity") <= 0),
+        "null_orderkey" -> li.filter(col("l_orderkey").isNull)))
+        .orderBy("rule")
+    },
+
     // SCD2 merge (the MERGE INTO shape without a lakehouse format): a
     // deterministic update batch (every 10th order, +10% price, effective
     // +30 days) closes the old version and opens the new one; untouched

@@ -240,6 +240,17 @@ class PipelineOpsSpec extends SparkSpec {
     assert(plain(65535L, 65535L, 16) === (1L << 32) - 1)
   }
 
+  test("QualityChecks.audit: one count row per rule, violation queries counted exactly") {
+    import spark.implicits._
+    val tbl = Seq((1L, 5.0), (2L, -1.0), (2L, 3.0), (3L, -2.0)).toDF("k", "v")
+    val out = graft.operators.QualityChecks.audit(spark, Seq(
+      "negative_v" -> tbl.filter(col("v") < 0),
+      "dup_k" -> tbl.groupBy("k").agg(count(lit(1)).as("n")).filter(col("n") > 1),
+      "never" -> tbl.filter(col("k") < 0)))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out === Map("negative_v" -> 2L, "dup_k" -> 1L, "never" -> 0L))
+  }
+
   test("scd2: updated keys get closed+reopened versions; untouched keys stay open") {
     import spark.implicits._
     val cur = Seq((1L, 10.0, 100L), (2L, 20.0, 100L), (3L, 30.0, 100L))
