@@ -23,6 +23,26 @@ object Merges {
     * union — no driver-side state. Output: value columns + `valid_from` +
     * `valid_to` (null = open).
     */
+  /** Snapshot reconciliation: classify every key across two snapshots of
+    * the same table as added / removed / changed / unchanged — the audit
+    * behind incremental-load verification and CDC backfills. One full
+    * outer join on the key; values compare as a struct (null-safe), so the
+    * comparison cost is one row-local equality regardless of column count.
+    */
+  def snapshotDiff(a: DataFrame, b: DataFrame, keyCol: String,
+                   valueCols: Seq[String]): DataFrame = {
+    val sa = a.select(col(keyCol), struct(valueCols.map(col): _*).as("__va"),
+      lit(true).as("__ina"))
+    val sb = b.select(col(keyCol), struct(valueCols.map(col): _*).as("__vb"),
+      lit(true).as("__inb"))
+    sa.join(sb, Seq(keyCol), "full_outer")
+      .select(col(keyCol),
+        when(col("__inb").isNull, "removed")
+          .when(col("__ina").isNull, "added")
+          .when(not(col("__va") <=> col("__vb")), "changed")
+          .otherwise("unchanged").as("status"))
+  }
+
   def scd2(current: DataFrame, updates: DataFrame, keyCol: String,
            tsCol: String): DataFrame = {
     val valueCols = current.columns.filterNot(_ == "valid_from").toSeq

@@ -588,6 +588,44 @@ object RelationalQueries {
         .orderBy("o_orderkey")
     },
 
+    // Snapshot reconciliation: the second snapshot is a deterministic
+    // mutation of the first (every 17th key dropped, every 10th repriced,
+    // a new key range appended); the diff classifies each key. Both
+    // engines derive snapshot B identically, so the diff is oracle-exact.
+    "q39_snapshot_diff" -> of(
+      """WITH a AS (
+        |  SELECT o_orderkey AS k, o_totalprice AS price
+        |  FROM orders WHERE o_orderkey < 2000),
+        |b AS (
+        |  SELECT k, CASE WHEN k % 10 = 0 THEN price * 1.05 ELSE price END AS price
+        |  FROM a WHERE k % 17 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE o_orderkey >= 2000 AND o_orderkey < 2100),
+        |d AS (
+        |  SELECT COALESCE(a.k, b.k) AS k,
+        |    CASE WHEN b.k IS NULL THEN 'removed'
+        |         WHEN a.k IS NULL THEN 'added'
+        |         WHEN a.price <> b.price THEN 'changed'
+        |         ELSE 'unchanged' END AS status
+        |  FROM a FULL OUTER JOIN b ON a.k = b.k)
+        |SELECT k AS o_orderkey, status FROM d
+        |WHERE status <> 'unchanged' ORDER BY o_orderkey""") { (s, d) =>
+      val orders = t(s, d, "orders")
+      val a = orders.filter(col("o_orderkey") < 2000)
+        .select(col("o_orderkey").as("k"), col("o_totalprice").as("price"))
+      val b = a.filter(pmod(col("k"), lit(17)) =!= 0)
+        .select(col("k"),
+          when(pmod(col("k"), lit(10)) === 0, col("price") * 1.05)
+            .otherwise(col("price")).as("price"))
+        .union(orders.filter(col("o_orderkey") >= 2000 && col("o_orderkey") < 2100)
+          .select(col("o_orderkey"), col("o_totalprice")))
+      graft.operators.Merges.snapshotDiff(a, b, "k", Seq("price"))
+        .filter(col("status") =!= "unchanged")
+        .select(col("k").as("o_orderkey"), col("status"))
+        .orderBy("o_orderkey")
+    },
+
     // Data-quality constraint audit (deequ/dbt-style): each rule is a
     // violation query; the audit is a union of counts. Referential
     // integrity (orphans), key uniqueness, domain and null checks over the

@@ -240,6 +240,19 @@ class PipelineOpsSpec extends SparkSpec {
     assert(plain(65535L, 65535L, 16) === (1L << 32) - 1)
   }
 
+  test("snapshotDiff classifies added/removed/changed/unchanged, null-safely") {
+    import spark.implicits._
+    val a = Seq((1L, Some(1.0)), (2L, Some(2.0)), (3L, None), (4L, Some(4.0)))
+      .toDF("k", "v")
+    val b = Seq((1L, Some(1.0)), (2L, Some(9.0)), (3L, None), (5L, Some(5.0)))
+      .toDF("k", "v")
+    val out = graft.operators.Merges.snapshotDiff(a, b, "k", Seq("v"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out === Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "unchanged", // null == null under null-safe compare
+      4L -> "removed", 5L -> "added"))
+  }
+
   test("QualityChecks.audit: one count row per rule, violation queries counted exactly") {
     import spark.implicits._
     val tbl = Seq((1L, 5.0), (2L, -1.0), (2L, 3.0), (3L, -2.0)).toDF("k", "v")
