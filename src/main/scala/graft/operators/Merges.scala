@@ -9,6 +9,29 @@ import org.apache.spark.sql.functions._
   */
 object Merges {
 
+  /** Snapshot reconciliation: classify every key across two snapshots of
+    * the same table as added / removed / changed / unchanged — the audit
+    * behind incremental-load verification and CDC backfills. One full
+    * outer join on the key; both the key match and the value comparison
+    * are null-safe (`<=>`), so a null key present in both snapshots
+    * compares as the same row instead of splitting into removed+added.
+    * Values compare as a struct — one row-local equality regardless of
+    * column count.
+    */
+  def snapshotDiff(a: DataFrame, b: DataFrame, keyCol: String,
+                   valueCols: Seq[String]): DataFrame = {
+    val sa = a.select(col(keyCol).as("__ka"),
+      struct(valueCols.map(col): _*).as("__va"), lit(true).as("__ina"))
+    val sb = b.select(col(keyCol).as("__kb"),
+      struct(valueCols.map(col): _*).as("__vb"), lit(true).as("__inb"))
+    sa.join(sb, col("__ka") <=> col("__kb"), "full_outer")
+      .select(coalesce(col("__ka"), col("__kb")).as(keyCol),
+        when(col("__inb").isNull, "removed")
+          .when(col("__ina").isNull, "added")
+          .when(not(col("__va") <=> col("__vb")), "changed")
+          .otherwise("unchanged").as("status"))
+  }
+
   /** SCD2 merge: apply a batch of `updates` to the OPEN rows of `current`,
     * producing the full version history —
     *  - a current row whose key is updated closes (`valid_to` = update ts);
@@ -18,31 +41,12 @@ object Merges {
     * `current` carries the value columns + `valid_from` (no `valid_to`
     * column — all rows open); `updates` carries the same value columns +
     * `tsCol`, at most one update per key per batch (enforce upstream — the
-    * standard dedup-the-batch contract). Plan shape: two key-shuffle joins
-    * of current against the (typically small, broadcastable) batch + one
+    * standard dedup-the-batch contract; a violating batch would emit
+    * duplicate closed/opened rows). Plan shape: two key-shuffle joins of
+    * current against the (typically small, broadcastable) batch + one
     * union — no driver-side state. Output: value columns + `valid_from` +
     * `valid_to` (null = open).
     */
-  /** Snapshot reconciliation: classify every key across two snapshots of
-    * the same table as added / removed / changed / unchanged — the audit
-    * behind incremental-load verification and CDC backfills. One full
-    * outer join on the key; values compare as a struct (null-safe), so the
-    * comparison cost is one row-local equality regardless of column count.
-    */
-  def snapshotDiff(a: DataFrame, b: DataFrame, keyCol: String,
-                   valueCols: Seq[String]): DataFrame = {
-    val sa = a.select(col(keyCol), struct(valueCols.map(col): _*).as("__va"),
-      lit(true).as("__ina"))
-    val sb = b.select(col(keyCol), struct(valueCols.map(col): _*).as("__vb"),
-      lit(true).as("__inb"))
-    sa.join(sb, Seq(keyCol), "full_outer")
-      .select(col(keyCol),
-        when(col("__inb").isNull, "removed")
-          .when(col("__ina").isNull, "added")
-          .when(not(col("__va") <=> col("__vb")), "changed")
-          .otherwise("unchanged").as("status"))
-  }
-
   def scd2(current: DataFrame, updates: DataFrame, keyCol: String,
            tsCol: String): DataFrame = {
     val valueCols = current.columns.filterNot(_ == "valid_from").toSeq

@@ -42,6 +42,24 @@ object Multimodal {
       lit("text/plain").as("media_type"),
       col(textCol).cast(BinaryType).as("payload"))
 
+  /** Fixed-size chunk layout over the BINARY payload, one hex-encoded row
+    * per chunk — shared by the chunking (m02) and frame-sampling (m04)
+    * surfaces so the chunk-size/offset math lives in one place. Pure
+    * codegen (`sequence` explode + `hex`/`substring`).
+    */
+  def hexChunks(media: DataFrame, chunkBytes: Int = 64): DataFrame = {
+    val hexLen = 2 * chunkBytes
+    media
+      .withColumn("n_chunks",
+        ceil(octet_length(col("payload")) / lit(chunkBytes.toDouble)).cast("long"))
+      .filter(col("n_chunks") > 0)
+      .select(col("doc_id"), col("payload"),
+        explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_no"))
+      .select(col("doc_id"), col("chunk_no"),
+        expr(s"substring(hex(payload), cast(chunk_no*$hexLen+1 as int), $hexLen)")
+          .as("chunk_hex"))
+  }
+
   /** Byte-level header parsing over the BINARY payload — REAL (not stubbed):
     * two big-endian u32 fields from the payload's first 8 bytes, the exact
     * shape of pulling width/height (PNG IHDR), sample-rate/channels (WAV), or

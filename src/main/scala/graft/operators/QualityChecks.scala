@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Deequ/dbt-style data-quality audit: each rule names a DataFrame of its
@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions._
   */
 object QualityChecks {
 
-  def audit(spark: SparkSession, rules: Seq[(String, DataFrame)]): DataFrame = {
+  def audit(rules: Seq[(String, DataFrame)]): DataFrame = {
     require(rules.nonEmpty, "audit needs at least one rule")
     rules.map { case (name, violating) =>
       violating.agg(count(lit(1)).as("violations"))

@@ -49,6 +49,18 @@ object ExtensionQueries {
     * e04 and e08 oracles so the session semantics live in ONE place on the
     * SQL side too.
     */
+  /** Shared oracle fragment mirroring [[graft.operators.Multimodal.hexChunks]]
+    * (64-byte chunks, hex offsets) over the ≤50-doc media subset — consumed
+    * by the m02 and m04 oracles so the chunk math lives in ONE place on the
+    * SQL side too.
+    */
+  private val hexChunkSql =
+    """SELECT doc_id, i AS chunk_no,
+      |    substring(hex(CAST(text AS BLOB)), CAST(i*128+1 AS INT), 128) AS chunk_hex
+      |  FROM documents,
+      |    UNNEST(range(0, CAST(ceil(octet_length(CAST(text AS BLOB)) / 64.0) AS BIGINT))) AS u(i)
+      |  WHERE doc_id <= 50""".stripMargin
+
   private val gapSessionCtes =
     """gaps AS (
       |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
@@ -1020,21 +1032,11 @@ object ExtensionQueries {
     // Fixed-size payload chunking — the frame-sampling/batch shape for media
     // payloads (each chunk row would feed a decoder batch at scale).
     "m02_multimodal_chunks" -> of(
-      """SELECT doc_id, i AS chunk_no,
-        |  substring(hex(CAST(text AS BLOB)), CAST(i*128+1 AS INT), 128) AS chunk_hex
-        |FROM documents,
-        |  UNNEST(range(0, CAST(ceil(octet_length(CAST(text AS BLOB)) / 64.0) AS BIGINT))) AS u(i)
-        |WHERE doc_id <= 50
+      s"""SELECT doc_id, chunk_no, chunk_hex FROM ($hexChunkSql) c
         |ORDER BY doc_id, chunk_no""") { (s, d) =>
-      graft.operators.Multimodal.asMediaTable(
-        t(s, d, "documents").filter(col("doc_id") <= 50), "doc_id", "text")
-        .withColumn("n_chunks",
-          ceil(octet_length(col("payload")) / lit(64.0)).cast("long"))
-        .filter(col("n_chunks") > 0)
-        .select(col("doc_id"), col("payload"),
-          explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_no"))
-        .select(col("doc_id"), col("chunk_no"),
-          expr("substring(hex(payload), cast(chunk_no*128+1 as int), 128)").as("chunk_hex"))
+      graft.operators.Multimodal.hexChunks(
+        graft.operators.Multimodal.asMediaTable(
+          t(s, d, "documents").filter(col("doc_id") <= 50), "doc_id", "text"))
         .orderBy("doc_id", "chunk_no")
     },
 
@@ -1042,24 +1044,17 @@ object ExtensionQueries {
     // stands in for keyframe extraction from a video payload (the decode
     // itself stays the honest stub; the selection/layout plumbing is real).
     "m04_multimodal_frames" -> of(
-      """SELECT doc_id, CAST(i // 4 AS BIGINT) AS frame_no, i AS chunk_no,
-        |  substring(hex(CAST(text AS BLOB)), CAST(i*128+1 AS INT), 128) AS frame_hex
-        |FROM documents,
-        |  UNNEST(range(0, CAST(ceil(octet_length(CAST(text AS BLOB)) / 64.0) AS BIGINT))) AS u(i)
-        |WHERE doc_id <= 50 AND i % 4 = 0
+      s"""SELECT doc_id, CAST(chunk_no // 4 AS BIGINT) AS frame_no, chunk_no,
+        |  chunk_hex AS frame_hex
+        |FROM ($hexChunkSql) c WHERE chunk_no % 4 = 0
         |ORDER BY doc_id, chunk_no""") { (s, d) =>
-      graft.operators.Multimodal.asMediaTable(
-        t(s, d, "documents").filter(col("doc_id") <= 50), "doc_id", "text")
-        .withColumn("n_chunks",
-          ceil(octet_length(col("payload")) / lit(64.0)).cast("long"))
-        .filter(col("n_chunks") > 0)
-        .select(col("doc_id"), col("payload"),
-          explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_no"))
+      graft.operators.Multimodal.hexChunks(
+        graft.operators.Multimodal.asMediaTable(
+          t(s, d, "documents").filter(col("doc_id") <= 50), "doc_id", "text"))
         .filter(pmod(col("chunk_no"), lit(4L)) === 0)
         .select(col("doc_id"),
           call_function("div", col("chunk_no"), lit(4L)).as("frame_no"),
-          col("chunk_no"),
-          expr("substring(hex(payload), cast(chunk_no*128+1 as int), 128)").as("frame_hex"))
+          col("chunk_no"), col("chunk_hex").as("frame_hex"))
         .orderBy("doc_id", "chunk_no")
     },
 

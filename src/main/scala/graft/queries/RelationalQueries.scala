@@ -646,7 +646,7 @@ object RelationalQueries {
         |ORDER BY rule""") { (s, d) =>
       val li = t(s, d, "lineitem")
       val o = t(s, d, "orders")
-      graft.operators.QualityChecks.audit(s, Seq(
+      graft.operators.QualityChecks.audit(Seq(
         "lineitem_orphan" ->
           li.join(o, li("l_orderkey") === o("o_orderkey"), "left_anti"),
         "order_dup_key" ->

@@ -256,7 +256,7 @@ class PipelineOpsSpec extends SparkSpec {
   test("QualityChecks.audit: one count row per rule, violation queries counted exactly") {
     import spark.implicits._
     val tbl = Seq((1L, 5.0), (2L, -1.0), (2L, 3.0), (3L, -2.0)).toDF("k", "v")
-    val out = graft.operators.QualityChecks.audit(spark, Seq(
+    val out = graft.operators.QualityChecks.audit(Seq(
       "negative_v" -> tbl.filter(col("v") < 0),
       "dup_k" -> tbl.groupBy("k").agg(count(lit(1)).as("n")).filter(col("n") > 1),
       "never" -> tbl.filter(col("k") < 0)))
