@@ -251,6 +251,14 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out === Map(1L -> "unchanged", 2L -> "changed",
       3L -> "unchanged", // null == null under null-safe compare
       4L -> "removed", 5L -> "added"))
+    // a null KEY present in both snapshots is one compared row, not a
+    // removed+added pair (the key join is null-safe too)
+    val an = Seq((Some(1L), 1.0), (None, 7.0)).toDF("k", "v")
+    val bn = Seq((Some(1L), 1.0), (None, 8.0)).toDF("k", "v")
+    val outn = graft.operators.Merges.snapshotDiff(an, bn, "k", Seq("v"))
+      .collect().map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0))) -> r.getString(1))
+    assert(outn.toMap === Map(Some(1L) -> "unchanged", None -> "changed"))
+    assert(outn.length === 2)
   }
 
   test("QualityChecks.audit: one count row per rule, violation queries counted exactly") {
