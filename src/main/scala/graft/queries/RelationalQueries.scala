@@ -588,6 +588,60 @@ object RelationalQueries {
         .orderBy("o_orderkey")
     },
 
+    // Statistical profiling: per-group Pearson correlation from EXACT
+    // decimal moment sums (n, Σx, Σy, Σxy, Σx², Σy²) — the built-in corr()
+    // sums doubles in partition order and is not oracle-able; the decimal
+    // moments are. The derived correlation is compared at 9 decimals: the
+    // closed form contains a*b - c*d, which DuckDB's C++ build CONTRACTS
+    // into fused multiply-add while the JVM does not, a genuine 1-ulp
+    // cross-engine gap (same class as the t08 StrictMath-vs-libm rule; the
+    // moments themselves stay value-exact).
+    "q40_stats_corr" -> of(
+      """WITH m AS (
+        |  SELECT l_returnflag,
+        |    COUNT(*) AS n,
+        |    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+        |    SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy,
+        |    SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS sxx,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS syy
+        |  FROM lineitem GROUP BY l_returnflag),
+        |f AS (
+        |  SELECT l_returnflag, n, sx, sy, sxy, sxx, syy,
+        |    CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+        |    CAST(sy AS DOUBLE) AS syd, CAST(sxy AS DOUBLE) AS sxyd,
+        |    CAST(sxx AS DOUBLE) AS sxxd, CAST(syy AS DOUBLE) AS syyd
+        |  FROM m)
+        |SELECT l_returnflag, n,
+        |  CAST(sx AS VARCHAR) AS sx, CAST(sy AS VARCHAR) AS sy,
+        |  CAST(sxy AS VARCHAR) AS sxy, CAST(sxx AS VARCHAR) AS sxx,
+        |  CAST(syy AS VARCHAR) AS syy,
+        |  sxd / n AS mean_qty, syd / n AS mean_price,
+        |  round((nd * sxyd - sxd * syd)
+        |    / (sqrt(nd * sxxd - sxd * sxd) * sqrt(nd * syyd - syd * syd)), 9) AS corr9
+        |FROM f ORDER BY l_returnflag""") { (s, d) =>
+      val qd = col("l_quantity").cast(DecimalType(18, 2))
+      val pd = col("l_extendedprice").cast(DecimalType(18, 2))
+      val nD = col("n").cast(DoubleType)
+      def dbl(c: String) = col(c).cast(DoubleType)
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(qd).as("sx"), sum(pd).as("sy"), sum(qd * pd).as("sxy"),
+          sum(qd * qd).as("sxx"), sum(pd * pd).as("syy"))
+        .select(col("l_returnflag"), col("n"),
+          col("sx").cast("string").as("sx"), col("sy").cast("string").as("sy"),
+          col("sxy").cast("string").as("sxy"), col("sxx").cast("string").as("sxx"),
+          col("syy").cast("string").as("syy"),
+          (dbl("sx") / nD).as("mean_qty"),
+          (dbl("sy") / nD).as("mean_price"),
+          round((nD * dbl("sxy") - dbl("sx") * dbl("sy")) /
+            (sqrt(nD * dbl("sxx") - dbl("sx") * dbl("sx")) *
+              sqrt(nD * dbl("syy") - dbl("sy") * dbl("sy"))), 9)
+            .as("corr9"))
+        .orderBy("l_returnflag")
+    },
+
     // Snapshot reconciliation: the second snapshot is a deterministic
     // mutation of the first (every 17th key dropped, every 10th repriced,
     // a new key range appended); the diff classifies each key. Both
