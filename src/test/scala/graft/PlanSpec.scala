@@ -126,6 +126,20 @@ class PlanSpec extends SparkSpec {
       s"semantic dedup must pair within k-means clusters:\n${plan.take(800)}")
   }
 
+  test("q36: z-order key is a pure projection — no shuffle, no generator") {
+    val plan = physicalPlan("q36_zorder_key")
+    // the final orderBy is the query's presentation sort; the KEY itself
+    // must not add exchanges beyond it
+    assert("Exchange".r.findAllIn(plan).size <= 1, plan.take(800))
+    assert(!plan.contains("Generate"))
+  }
+
+  test("q40: moment statistics partial-aggregate before one shuffle") {
+    val plan = physicalPlan("q40_stats_corr")
+    val aggs = "HashAggregate".r.findAllIn(plan).size
+    assert(aggs >= 2, s"expected partial+final HashAggregate:\n${plan.take(800)}")
+  }
+
   test("runAndSubmit posts one FeatureCollection through a pluggable poster") {
     var posted: Option[(String, String)] = None
     graft.CotripPipeline(TaskConfig("tok")).runAndSubmit(
