@@ -125,6 +125,23 @@ class PipelineOpsSpec extends SparkSpec {
     assert(inc === full)
   }
 
+  test("observe(): corpus metrics ride the curated write, no second pass") {
+    // the production pattern for pipeline health numbers: attach metrics to
+    // the write's own plan (docs written, tokens written) instead of paying
+    // a second corpus scan to recount
+    val obs = new org.apache.spark.sql.Observation("curated_metrics")
+    val out = java.nio.file.Files.createTempDirectory("curated_obs").toString
+    val curated = CorpusOps.hashSplit(docs, "doc_id", Seq("train" -> 90, "holdout" -> 100))
+      .observe(obs, count(lit(1)).as("docs"),
+        sum(size(tokens(col("text"))).cast("long")).as("tokens"))
+    CorpusOps.writeCurated(curated, out)
+    val m = obs.get
+    assert(m("docs") === docs.count())
+    val expectTokens = docs.select(sum(size(tokens(col("text"))).cast("long")))
+      .head().getLong(0)
+    assert(m("tokens") === expectTokens)
+  }
+
   test("writeCurated: partitioned layout, lossless, and split filters prune partitions") {
     val out = java.nio.file.Files.createTempDirectory("curated").toString
     val curated = CorpusOps.hashSplit(docs, "doc_id",
