@@ -999,6 +999,49 @@ object ExtensionQueries {
         .orderBy("doc_id")
     },
 
+    // The curated-corpus chain as ONE oracled query (the CorpusPipelineDemo
+    // path, value-checked): near-dup survivors (connected-component closure)
+    // ∘ reproducible train split (id-hash) ∘ per-source doc/token stats.
+    // Composition is where silent drift hides; this pins the composed result,
+    // not just each stage.
+    "t17_curated_stats" -> of(
+      s"""WITH RECURSIVE ${jaccardCtes(None)},
+        |edges AS (
+        |  SELECT id_a, id_b FROM jp UNION ALL SELECT id_b, id_a FROM jp),
+        |reach(id, label) AS (
+        |  SELECT id_a, id_a FROM edges
+        |  UNION
+        |  SELECT e.id_a, r.label FROM edges e JOIN reach r ON r.id = e.id_b),
+        |losers AS (
+        |  SELECT id FROM (SELECT id, MIN(label) AS cluster FROM reach GROUP BY id) x
+        |  WHERE id <> cluster),
+        |dh AS (SELECT doc_id, h FROM read_parquet('{{AUX}}/doc_hashes/*.parquet')),
+        |splits AS (
+        |  SELECT doc_id,
+        |    CASE WHEN ((h % 100) + 100) % 100 < 90 THEN 'train' ELSE 'holdout' END AS split
+        |  FROM dh),
+        |curated AS (
+        |  SELECT d.doc_id, d.source, len(string_split(d.text, ' ')) AS n
+        |  FROM documents d JOIN splits s ON s.doc_id = d.doc_id AND s.split = 'train'
+        |  WHERE d.doc_id NOT IN (SELECT id FROM losers))
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n) AS BIGINT) AS n_tokens
+        |FROM curated GROUP BY source ORDER BY source""") { (s, d) =>
+      val docs = t(s, d, "documents")
+      val clusters = Dedup.dupClusters(
+        Dedup.ngramJaccardPairs(docs, "doc_id", "text"))
+      val losers = clusters.filter(col("id") =!= col("cluster"))
+        .select(col("id").as("doc_id"))
+      val survivors = docs.join(losers, Seq("doc_id"), "left_anti")
+      graft.operators.CorpusOps.hashSplit(survivors, "doc_id",
+        Seq("train" -> 90, "holdout" -> 100))
+        .filter(col("split") === "train")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(tokens(col("text"))).cast("long")).as("n_tokens"))
+        .orderBy("source")
+    },
+
     // ---- multimodal -------------------------------------------------------
 
     // Binary payload plumbing + partition-batched (stubbed) feature extract.
