@@ -32,12 +32,10 @@ object CorpusPipelineDemo {
     println(s"=== corpus: ${docs.count()} documents from $dir")
 
     // 1. near-dup pairs (bucketed Jaccard) → clusters → keep survivors only
-    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text")
-    val clusters = Dedup.dupClusters(pairs)
-    val losers = clusters.filter(col("id") =!= col("cluster")).select(col("id").as("doc_id"))
-    val deduped = docs.join(losers, Seq("doc_id"), "left_anti")
-    println(s"=== dedup: ${pairs.count()} near-dup pairs → " +
-      s"${losers.count()} non-survivors dropped, ${deduped.count()} docs remain")
+    // (Dedup.nearDupSurvivors — the same definition the t17 oracle pins)
+    val deduped = Dedup.nearDupSurvivors(docs, "doc_id", "text")
+    println(s"=== dedup: ${docs.count() - deduped.count()} non-survivors dropped, " +
+      s"${deduped.count()} docs remain")
 
     // 2. quality gate: repetition signals + unigram-LM score, then redact
     val rep = CorpusOps.repetitionSignals(deduped, "doc_id", "text")

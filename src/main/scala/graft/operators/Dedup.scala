@@ -294,6 +294,20 @@ object Dedup {
     labels.select(col("id"), col("label").as("cluster"))
   }
 
+  /** The standard near-dup curation step in one call: Jaccard pairs →
+    * component closure → drop every non-min member. The one definition the
+    * demo pipeline and the composed-chain oracle query both use, so a
+    * change to pairing defaults or survivor policy cannot silently diverge
+    * them.
+    */
+  def nearDupSurvivors(docs: DataFrame, idCol: String,
+                       textCol: String): DataFrame = {
+    val losers = dupClusters(ngramJaccardPairs(docs, idCol, textCol))
+      .filter(col("id") =!= col("cluster"))
+      .select(col("id").as(idCol))
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Pluggable survivor selection over dup clusters: instead of the default
     * min-id survivor, keep each cluster's highest-`score` member (ties →
     * lowest id) — the "keep the best copy" policy a curation pipeline wants

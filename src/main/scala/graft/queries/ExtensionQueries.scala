@@ -1027,12 +1027,7 @@ object ExtensionQueries {
         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
         |  CAST(SUM(n) AS BIGINT) AS n_tokens
         |FROM curated GROUP BY source ORDER BY source""") { (s, d) =>
-      val docs = t(s, d, "documents")
-      val clusters = Dedup.dupClusters(
-        Dedup.ngramJaccardPairs(docs, "doc_id", "text"))
-      val losers = clusters.filter(col("id") =!= col("cluster"))
-        .select(col("id").as("doc_id"))
-      val survivors = docs.join(losers, Seq("doc_id"), "left_anti")
+      val survivors = Dedup.nearDupSurvivors(t(s, d, "documents"), "doc_id", "text")
       graft.operators.CorpusOps.hashSplit(survivors, "doc_id",
         Seq("train" -> 90, "holdout" -> 100))
         .filter(col("split") === "train")
