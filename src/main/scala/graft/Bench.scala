@@ -41,6 +41,12 @@ object Bench {
       } catch { case _: Throwable => () }
     }
     val failed = scala.collection.mutable.SortedSet[String]()
+    // leak telemetry (VERDICT r3: checkpoint-style RDD blocks leaked across
+    // queries invisibly): what each query leaves persisted after its last
+    // rep, BEFORE the sweep — nonzero means retained state the next query
+    // would have paid for
+    val leftRdds = scala.collection.mutable.Map[String, Int]()
+    val leftBytes = scala.collection.mutable.Map[String, Long]()
     val results: Map[String, Seq[Double]] = SparkEntry.queries.map { case (name, fn) =>
       name -> (0 until reps).map { _ =>
         val t0 = System.nanoTime()
@@ -48,10 +54,15 @@ object Bench {
         // record it so the artifact carries an explicit error list
         try { fn(spark, sfDir).count() } catch { case _: Throwable => failed += name }
         val sec = (System.nanoTime() - t0) / 1e9
-        // clear persisted intermediates AFTER the clock stops: queries are
-        // timed including their own caching work but never pay for (or
-        // benefit from) another query's leftovers
-        spark.catalog.clearCache()
+        val (nRdds, bytes) = SessionSweep.storageFootprint(spark)
+        leftRdds(name) = nRdds
+        leftBytes(name) = bytes
+        // free persisted intermediates AFTER the clock stops — BOTH cache
+        // layers (SQL catalog + RDD-level persists): queries are timed
+        // including their own caching work but never pay for (or benefit
+        // from) another query's leftovers. blocking=true so the drop
+        // completes before the next clock starts.
+        SessionSweep.sweep(spark, blocking = true)
         sec
       }
     }
@@ -65,8 +76,12 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = if (best.nonEmpty) best.values.sum else 0.0
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val rddsJson = leftRdds.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val bytesJson = leftBytes.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"reps":$reps,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"reps":$reps,"errors":$errs,"persistent_rdds":$rddsJson,"storage_bytes":$bytesJson,"sf":"$sfDir"}"""
     println(line)
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
     try Files.writeString(Paths.get(out), line + "\n")

@@ -27,9 +27,10 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // operators persist internal intermediates (dedup shingles, LSH
-      // projections); drop them between queries so 68 queries in one
-      // session stay memory-bounded
-      finally spark.catalog.clearCache()
+      // projections, label-propagation rounds); drop them between queries —
+      // at BOTH cache layers — so ~95 queries in one session stay
+      // memory-bounded
+      finally SessionSweep.sweep(spark)
     }
     // Hash-primitive oracle inputs go to a SIBLING of outDir (not inside it:
     // the driver enumerates outDir's subdirectories as query outputs). The

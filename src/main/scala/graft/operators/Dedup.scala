@@ -18,10 +18,12 @@ import graft.functions.TextFunctions._
   * Caching note: the Jaccard/MinHash operators persist their shingle
   * intermediate and the cosine-LSH operator its vector projection
   * (MEMORY_AND_DISK, spillable) because each feeds 2-3 downstream consumers
-  * of the returned lazy plan (so they cannot be unpersisted eagerly); the
-  * handles are internal, so a long-lived session running many dedup passes
-  * should `spark.catalog.clearCache()` (or rely on LRU eviction) between
-  * corpora.
+  * of the returned lazy plan (so they cannot be unpersisted eagerly), and
+  * [[dupClusters]] leaves its FINAL round persisted as an RDD (the returned
+  * frame is built on it). The handles are internal, so a long-lived session
+  * running many dedup passes should call [[graft.SessionSweep.sweep]]
+  * between corpora — it clears both the SQL cache AND RDD-level persists,
+  * which `spark.catalog.clearCache()` alone does not.
   */
 object Dedup {
 
@@ -241,6 +243,7 @@ object Dedup {
     * deterministic survivor (`is_survivor = id == cluster`).
     */
   def dupClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val spark = pairs.sparkSession
     val edges = pairs.select(col("id_a"), col("id_b"))
       .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -252,6 +255,15 @@ object Dedup {
       .select(col("id_a").as("id"),
         least(col("id_a"), col("nbr_min")).as("label"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // each round's result is materialized into an RDD WE hold the handle to
+    // (not Dataset.localCheckpoint: that persists a hidden RDD that neither
+    // Dataset.unpersist nor catalog.clearCache can free — leaked blocks
+    // squeezed every later query in the session). Rebuilding the frame from
+    // the persisted RDD gives the same lineage TRUNCATION (the pointer-jump
+    // self-join doubles the logical plan every round otherwise — exponential
+    // analysis/stringification cost even though the data is tiny), and the
+    // handle lets each round free its predecessor the moment it lands.
+    var prevRdd: Option[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]] = None
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
@@ -268,20 +280,28 @@ object Dedup {
       // pointer jump: every label is itself an id in `labels` (labels are
       // ids of the same component and only ever decrease toward its min),
       // so label(label) is defined and stays within the component.
-      // localCheckpoint (eager), not persist, on the round's RESULT: the
-      // self-join doubles the logical plan every round without lineage
-      // TRUNCATION — exponential analysis/stringification cost even though
-      // the persisted data is tiny
-      val next = stepped.alias("x")
+      val nextPlan = stepped.alias("x")
         .join(stepped.select(col("id").as("jid"), col("label").as("jlabel")).alias("j"),
           col("x.label") === col("j.jid"), "left")
         .select(col("x.id").as("id"), col("x.old_label").as("old_label"),
           coalesce(col("j.jlabel"), col("x.label")).as("label"))
-        .localCheckpoint()
-      converged = next.filter(col("label") =!= col("old_label")).isEmpty
+      val rdd = nextPlan.rdd
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // ONE action per round: computing the changed-label count materializes
+      // the persisted round result as a side effect (a separate
+      // filter(...).isEmpty fixpoint probe was a full extra job per round)
+      val changed = spark.sparkContext.runJob(rdd,
+        (it: Iterator[org.apache.spark.sql.Row]) => {
+          var c = 0L
+          it.foreach(r => if (r.get(1) != r.get(2)) c += 1)
+          c
+        }).sum
+      converged = changed == 0L
       labels.unpersist()
       stepped.unpersist()
-      labels = next.select("id", "label")
+      prevRdd.foreach(_.unpersist(blocking = false))
+      prevRdd = Some(rdd)
+      labels = spark.createDataFrame(rdd, nextPlan.schema).select("id", "label")
       iter += 1
     }
     edges.unpersist()

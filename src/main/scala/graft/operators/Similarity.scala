@@ -6,7 +6,6 @@ import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.{Aggregator, Window}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 /** Similarity search over embedding columns (`ARRAY<FLOAT>`; SURVEY §2.11).
   *
@@ -187,8 +186,10 @@ object Similarity {
     * per-dimension means. Fully reproducible run to run — the property the
     * DuckDB oracle needs, since Verify trains twice (query + centroid dump)
     * and the results must bit-match:
-    *  - per-dimension sums aggregate as DECIMAL(38,18) (exact, so shuffle /
-    *    partial-agg order can't perturb them), divided once on the driver;
+    *  - per-dimension sums aggregate as scale-18 BigDecimals (the exact
+    *    image of cast(DOUBLE AS DECIMAL(38,18)), so partition / merge order
+    *    can't perturb them), combined as per-partition array partials —
+    *    O(partitions × k) shuffled rows — and divided once on the driver;
     *  - centroids are collected (k × dim doubles — tiny) and re-broadcast as
     *    literals each iteration, exactly how MLlib's KMeans iterates;
     *  - assignment ranks by dot(v,c)/‖c‖ — ‖v‖ is constant per vector so
@@ -220,15 +221,58 @@ object Similarity {
           struct(sim.as("sim"), lit(-ci).as("ncid"))
         }
         val assigned = v.withColumn("cid", -array_max(array(simStructs: _*)).getField("ncid"))
-        val sums = assigned
-          .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
-          .groupBy("cid", "pos")
-          .agg(sum(col("x").cast(DecimalType(38, 18))).as("s"), count(lit(1)).as("n"))
+        // Per-dimension sums as PER-PARTITION exact partial sums: each task
+        // emits at most k rows (cid → array of decimal component sums +
+        // count), so the per-iteration shuffle is O(partitions × k) rows —
+        // not the n×d posexploded rows a groupBy(cid, pos) would move. At
+        // 100 TB × 3 iterations that is a metadata-sized shuffle instead of
+        // re-shuffling the corpus thrice. Exactness is preserved:
+        // double→BigDecimal reproduces Spark's cast(DOUBLE AS
+        // DECIMAL(38,18)) bit for bit (shortest-repr string, then scale-18
+        // HALF_UP — Decimal.changePrecision's rounding), and BigDecimal
+        // addition is exact and associative, so partition boundaries and
+        // merge order cannot perturb the centroid values.
+        val sums = assigned.select(col("cid"), col("v")).rdd
+          .mapPartitions { it =>
+            val acc = mutable.Map.empty[Int, (mutable.ArrayBuffer[java.math.BigDecimal], Long)]
+            it.foreach { r =>
+              if (!r.isNullAt(1)) {
+                val cid = r.getInt(0)
+                val vec = r.getSeq[java.lang.Double](1)
+                val (buf, n) = acc.getOrElse(cid,
+                  (mutable.ArrayBuffer.empty[java.math.BigDecimal], 0L))
+                while (buf.length < vec.length) buf += java.math.BigDecimal.ZERO
+                var i = 0
+                vec.foreach { x =>
+                  // null components: SUM ignores them (the posexplode shape
+                  // skipped the value but still counted the row — identical
+                  // because the row count below is per cid, not per pos)
+                  if (x != null)
+                    buf(i) = buf(i).add(new java.math.BigDecimal(
+                      java.lang.Double.toString(x.doubleValue()))
+                      .setScale(18, java.math.RoundingMode.HALF_UP))
+                  i += 1
+                }
+                acc(cid) = (buf, n + 1)
+              }
+            }
+            acc.iterator
+          }
+          .reduceByKey { (a, b) =>
+            val ((b1, n1), (b2, n2)) = (a, b)
+            val (lo, hi) = if (b1.length >= b2.length) (b2, b1) else (b1, b2)
+            var i = 0
+            while (i < lo.length) { hi(i) = hi(i).add(lo(i)); i += 1 }
+            (hi, n1 + n2)
+          }
           .collect()
         val next = cents.map(_.clone())
-        sums.foreach { r =>
-          val (cid, pos) = (r.getInt(0), r.getInt(1))
-          next(cid)(pos) = r.getDecimal(2).doubleValue() / r.getLong(3)
+        sums.foreach { case (cid, (buf, n)) =>
+          var pos = 0
+          while (pos < buf.length) {
+            next(cid)(pos) = buf(pos).doubleValue() / n
+            pos += 1
+          }
         }
         cents = next
       }
@@ -323,17 +367,34 @@ object Similarity {
                        iters: Int = 3): DataFrame = {
     graft.functions.NativeFunctions.register(corpus.sparkSession)
     val cents = kmeansCentroids(corpus, idCol, vecCol, nClusters, iters)
-    val cent = broadcast(centroidsDf(corpus.sparkSession, cents)
-      .withColumn("c_norm", l2norm(col("cvec"))))
-    val w = Window.partitionBy(col("id")).orderBy(col("c_sim").desc, col("cid"))
-    // both pair sides consume the assignment — persist so clustering runs
-    // once, not twice (Dedup caching convention)
+    // empty corpus → no centroids → no pairs (the degrade-not-throw
+    // contract of vectorDim/kmeansCentroids; an empty struct-argmax array
+    // below would otherwise fail analysis)
+    if (cents.isEmpty)
+      return corpus.select(col(idCol).as("id_a"), col(idCol).as("id_b"),
+        lit(0.0).as("cosine")).limit(0)
+    val norms = cents.map(c => math.sqrt(c.foldLeft(0.0)((a, x) => a + x * x)))
+    // Nearest-centroid assignment as a SHUFFLE-FREE argmax projection
+    // (struct(sim, -cid) lexicographic max — the kmeansCentroids shape),
+    // not crossJoin(centroids) + row_number: the window form shuffled n×k
+    // expanded rows just to keep rank 1. Semantics are identical INCLUDING
+    // the degenerate cases, because the sim formula is the unmodified
+    // per-pair cosine dot/(v_norm·c_norm) every oracle recomputes: a
+    // zero-norm vector or centroid yields NaN, which ranks ABOVE all
+    // doubles in struct ordering exactly as it sorted first in the
+    // row_number window (and in DuckDB's ORDER BY DESC), with the same
+    // lowest-cid tie-break via the negated id.
+    val simStructs = cents.indices.map { ci =>
+      struct((dot(col("v"), lit(cents(ci))) / (col("v_norm") * lit(norms(ci))))
+        .as("sim"), lit(-ci).as("ncid"))
+    }
+    // both pair sides consume the assignment — persist so the n×k dot
+    // products run once, not twice (Dedup caching convention; freed by
+    // SessionSweep between queries)
     val assigned = corpus
       .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
       .withColumn("v_norm", l2norm(col("v")))
-      .crossJoin(cent)
-      .withColumn("c_sim", dot(col("v"), col("cvec")) / (col("v_norm") * col("c_norm")))
-      .withColumn("crn", row_number().over(w)).filter(col("crn") === 1)
+      .withColumn("cid", (-array_max(array(simStructs: _*)).getField("ncid")).cast("long"))
       .select(col("id"), col("v"), col("v_norm"), col("cid"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = assigned.select(col("id").as("id_a"), col("v").as("va"),

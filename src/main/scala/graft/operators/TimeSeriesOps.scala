@@ -24,8 +24,9 @@ object TimeSeriesOps {
     *
     * Scale shape: one shuffle on the key; per-key state is that key's
     * series (fine for bounded histories — sessions, per-user activity;
-    * an unbounded series belongs in the streaming path's
-    * `flatMapGroupsWithState` instead). Returns (key, n_events, ewma).
+    * an unbounded series belongs in the streaming path —
+    * [[graft.streaming.EwmaStream]], which folds the identical arithmetic
+    * with O(1) state per key). Returns (key, n_events, ewma).
     */
   def ewmaPerKey(df: DataFrame, keyCol: String, tsCol: String,
                  tieCol: String, valCol: String, alpha: Double): DataFrame = {
