@@ -244,27 +244,58 @@ object CorpusOps {
 
   /** Per-document mean unigram log-probability — the quality signal a
     * CCNet-style perplexity filter thresholds on (low mean log-prob = the
-    * LM finds the text surprising = tail bucket). The capped LM table is
-    * embedded as a constant-folded map LITERAL in the plan (ships with the
-    * task binary — fine at curation-vocab sizes; a 1M+-entry vocab would
-    * graduate to a broadcast variable or map-side join) and the per-doc sum
-    * is an `aggregate` HOF fold in TOKEN ORDER from a 0.0 seed — no
-    * explode/re-aggregate round trip, and the float addition order is
-    * reproducible (a per-doc double SUM after a join would be
-    * partition-order-dependent). Out-of-vocab tokens score `oovLp`.
+    * LM finds the text surprising = tail bucket). Out-of-vocab tokens score
+    * `oovLp`; the per-doc sum always folds in TOKEN ORDER from a 0.0 seed,
+    * so the float result is reproducible (a per-doc double SUM after a join
+    * would be partition-order-dependent) and BOTH plan shapes below are
+    * bit-identical.
+    *
+    * Two shapes behind one contract, picked by vocab size:
+    *  - ≤ `literalVocabMax` entries: the LM embeds as a constant-folded map
+    *    LITERAL in the plan and the fold is one `aggregate` HOF over the
+    *    token array — no explode, no shuffle, one projection over the scan.
+    *  - larger: a literal that size would bloat every consumer's plan and
+    *    codegen, so the LM stays distributed — `posexplode` the tokens,
+    *    broadcast map-side join against the LM (one hash lookup per token,
+    *    no corpus shuffle), then re-assemble each doc's (pos, lp) list and
+    *    fold it SORTED BY POS: the identical addition sequence as the
+    *    literal path, exactness spec-pinned. Per-doc state is the doc's own
+    *    token list — the bounded-history envelope every per-doc HOF here
+    *    already has.
     */
   def unigramLogprob(docs: DataFrame, idCol: String, textCol: String,
-                     lm: DataFrame, oovLp: Double): DataFrame = {
-    val entries = lm.select(col("tok"), col("lp")).collect()
-      .map(r => r.getString(0) -> r.getDouble(1))
-    val lpMap = map_from_arrays(
-      lit(entries.map(_._1)), lit(entries.map(_._2)))
+                     lm: DataFrame, oovLp: Double,
+                     literalVocabMax: Int = 65536): DataFrame = {
     val tk = tokens(col(textCol))
-    docs.select(col(idCol),
-      size(tk).cast("long").as("n_tokens"),
-      (aggregate(tk, lit(0.0),
-        (acc, t) => acc + coalesce(element_at(lpMap, t), lit(oovLp)))
-        / size(tk)).as("mean_logprob"))
+    // probe limit+1 rows: decides the path without counting (or collecting)
+    // an over-threshold vocab on the driver
+    val entries = lm.select(col("tok"), col("lp"))
+      .limit(literalVocabMax + 1).collect()
+    if (entries.length <= literalVocabMax) {
+      val lpMap = map_from_arrays(
+        lit(entries.map(_.getString(0))), lit(entries.map(_.getDouble(1))))
+      docs.select(col(idCol),
+        size(tk).cast("long").as("n_tokens"),
+        (aggregate(tk, lit(0.0),
+          (acc, t) => acc + coalesce(element_at(lpMap, t), lit(oovLp)))
+          / size(tk)).as("mean_logprob"))
+    } else {
+      val toks = docs
+        .select(col(idCol), posexplode(tk).as(Seq("pos", "tok")))
+        .join(broadcast(lm.select(col("tok"), col("lp"))), Seq("tok"), "left")
+        .groupBy(col(idCol))
+        .agg(aggregate(
+          array_sort(collect_list(
+            struct(col("pos"), coalesce(col("lp"), lit(oovLp)).as("lp")))),
+          lit(0.0), (acc, x) => acc + x.getField("lp")).as("__sum_lp"))
+      // zero-token docs emit no explode rows — restore them from the docs
+      // side; 0.0/0 = NaN on both paths (double division, IEEE)
+      docs.select(col(idCol), size(tk).cast("long").as("n_tokens"))
+        .join(toks, Seq(idCol), "left")
+        .select(col(idCol), col("n_tokens"),
+          (coalesce(col("__sum_lp"), lit(0.0)) / col("n_tokens"))
+            .as("mean_logprob"))
+    }
   }
 
   /** Vocabulary head: the `k` most document-frequent tokens with total

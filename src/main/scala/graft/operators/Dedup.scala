@@ -333,16 +333,21 @@ object Dedup {
     * lowest id) — the "keep the best copy" policy a curation pipeline wants
     * (longest doc, highest quality score, freshest crawl). `clusters` is
     * [[dupClusters]] output (id, cluster); `scores` maps id → score and
-    * MUST cover every clustered id — the join is inner, so an unscored
-    * member would silently drop out of its cluster (score defaults belong
-    * in the caller, who knows the right neutral value).
+    * MUST cover every clustered id — enforced with a left join + null
+    * guard (`assert_true`), because under an inner join an unscored member
+    * would silently drop out of its cluster, a shrunken-cluster corruption
+    * nothing downstream could notice (score DEFAULTS still belong in the
+    * caller, who knows the right neutral value).
     * One shuffle on the cluster key; per-cluster ranking is bounded by
     * cluster size. Returns (id, cluster, survivor, is_survivor).
     */
   def survivorsByScore(clusters: DataFrame, scores: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("cluster"))
       .orderBy(col("score").desc, col("id"))
-    val ranked = clusters.join(scores, "id")
+    val ranked = clusters.join(scores, Seq("id"), "left")
+      .filter(assert_true(col("score").isNotNull,
+        concat(lit("survivorsByScore: no score row for clustered id "),
+          col("id"), lit(" — cover every member or default upstream"))).isNull)
       .withColumn("__rn", row_number().over(w))
     val surv = ranked.filter(col("__rn") === 1)
       .select(col("cluster"), col("id").as("survivor"))

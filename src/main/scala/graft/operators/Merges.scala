@@ -40,23 +40,33 @@ object Merges {
     *
     * `current` carries the value columns + `valid_from` (no `valid_to`
     * column — all rows open); `updates` carries the same value columns +
-    * `tsCol`, at most one update per key per batch (enforce upstream — the
-    * standard dedup-the-batch contract; a violating batch would emit
-    * duplicate closed/opened rows). Plan shape: two key-shuffle joins of
-    * current against the (typically small, broadcastable) batch + one
-    * union — no driver-side state. Output: value columns + `valid_from` +
-    * `valid_to` (null = open).
+    * `tsCol`, at most one update per key per batch (the standard
+    * dedup-the-batch contract). The contract is ENFORCED, not just
+    * documented: a violating batch would silently emit duplicate
+    * closed/opened rows, so a per-key count guard (`assert_true`, the
+    * simhash-envelope pattern) aborts it loudly instead — its window
+    * shuffles on the same key the joins shuffle on anyway. Plan shape: two
+    * key-shuffle joins of current against the (typically small,
+    * broadcastable) batch + one union — no driver-side state. Output:
+    * value columns + `valid_from` + `valid_to` (null = open).
     */
   def scd2(current: DataFrame, updates: DataFrame, keyCol: String,
            tsCol: String): DataFrame = {
     val valueCols = current.columns.filterNot(_ == "valid_from").toSeq
-    val upKeys = updates.select(col(keyCol), col(tsCol).as("__uts"))
+    val perKey = org.apache.spark.sql.expressions.Window.partitionBy(col(keyCol))
+    val guarded = updates
+      .withColumn("__kn", count(lit(1)).over(perKey))
+      .filter(assert_true(col("__kn") <= 1,
+        lit(s"scd2: batch carries multiple updates for one $keyCol — " +
+          "dedup the batch upstream")).isNull)
+      .drop("__kn")
+    val upKeys = guarded.select(col(keyCol), col(tsCol).as("__uts"))
     val closed = current.join(upKeys, Seq(keyCol))
       .select(valueCols.map(col) :+ col("valid_from") :+ col("__uts").as("valid_to"): _*)
     val stillOpen = current.join(upKeys.select(keyCol), Seq(keyCol), "left_anti")
       .select(valueCols.map(col) :+ col("valid_from") :+
         lit(null).cast(closed.schema("valid_to").dataType).as("valid_to"): _*)
-    val opened = updates
+    val opened = guarded
       .select(valueCols.map(col) :+ col(tsCol).as("valid_from") :+
         lit(null).cast(closed.schema("valid_to").dataType).as("valid_to"): _*)
     closed.union(stillOpen).union(opened)

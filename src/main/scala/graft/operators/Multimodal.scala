@@ -45,10 +45,15 @@ object Multimodal {
   /** Fixed-size chunk layout over the BINARY payload, one hex-encoded row
     * per chunk — shared by the chunking (m02) and frame-sampling (m04)
     * surfaces so the chunk-size/offset math lives in one place. Pure
-    * codegen (`sequence` explode + `hex`/`substring`).
+    * codegen (`sequence` explode + `substring`/`hex`).
+    *
+    * The payload BYTES are sliced first and only the slice is hex-encoded:
+    * byte offsets are bounded by the JVM array limit (< 2³¹), so the int
+    * offset cast can never overflow — unlike slicing the hex STRING, whose
+    * doubled length tops Int.MaxValue for payloads over ~1 GiB (and which
+    * re-encoded the whole payload once per chunk row).
     */
   def hexChunks(media: DataFrame, chunkBytes: Int = 64): DataFrame = {
-    val hexLen = 2 * chunkBytes
     media
       .withColumn("n_chunks",
         ceil(octet_length(col("payload")) / lit(chunkBytes.toDouble)).cast("long"))
@@ -56,7 +61,7 @@ object Multimodal {
       .select(col("doc_id"), col("payload"),
         explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_no"))
       .select(col("doc_id"), col("chunk_no"),
-        expr(s"substring(hex(payload), cast(chunk_no*$hexLen+1 as int), $hexLen)")
+        hex(expr(s"substring(payload, cast(chunk_no*$chunkBytes+1 as int), $chunkBytes)"))
           .as("chunk_hex"))
   }
 

@@ -358,15 +358,21 @@ object Similarity {
     * generator (an inverted file, like IVF search): pair work is
     * O(Σ cluster²), never all-pairs, and at scale the corpus is
     * hash-partitioned by cluster id so each cluster's pairing is one
-    * partition-local job. `nClusters` grows with the corpus (√n is the usual
-    * choice) to bound cluster sizes. Same defaults as the s04 quantizer, so
-    * a Verify run dumps one centroid table both oracles consume.
+    * partition-local job. `nClusters` defaults to ⌈√n⌉ — the choice that
+    * balances cluster count against cluster size, making expected pair work
+    * O(n^1.5) — capped at 65536 so the broadcast centroid table stays
+    * metadata-sized at any corpus scale (the default costs one count()
+    * action; pass an explicit value to skip it — the oracled d09 fixture
+    * pins 16 = the s04 quantizer's default so both read one dumped centroid
+    * table).
     */
   def semanticDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
-                       threshold: Double, nClusters: Int = 16,
+                       threshold: Double, nClusters: Option[Int] = None,
                        iters: Int = 3): DataFrame = {
     graft.functions.NativeFunctions.register(corpus.sparkSession)
-    val cents = kmeansCentroids(corpus, idCol, vecCol, nClusters, iters)
+    val k = nClusters.getOrElse(
+      math.min(math.ceil(math.sqrt(corpus.count().toDouble)).toInt, 65536).max(1))
+    val cents = kmeansCentroids(corpus, idCol, vecCol, k, iters)
     // empty corpus → no centroids → no pairs (the degrade-not-throw
     // contract of vectorDim/kmeansCentroids; an empty struct-argmax array
     // below would otherwise fail analysis)

@@ -361,8 +361,10 @@ object ExtensionQueries {
          |SELECT id AS vec_id, MIN(label) AS cluster, id = MIN(label) AS is_survivor
          |FROM reach GROUP BY id ORDER BY vec_id"""
     } { (s, d) =>
+      // nClusters pinned to the s04 quantizer's 16 (NOT the √n default) so
+      // the oracle reads the same dumped centroid table s04 trains
       val pairs = Similarity.semanticDupPairs(
-        t(s, d, "embeddings"), "vec_id", "embedding", 0.4)
+        t(s, d, "embeddings"), "vec_id", "embedding", 0.4, nClusters = Some(16))
       Dedup.dupClusters(pairs)
         .select(col("id").as("vec_id"), col("cluster"),
           (col("id") === col("cluster")).as("is_survivor"))
@@ -999,6 +1001,10 @@ object ExtensionQueries {
         .orderBy("doc_id")
     },
 
+    // NB: there is no t16 — the id was retired during round-3 review when
+    // its candidate query merged into this composed chain; ids are stable
+    // across rounds (BENCH/CORRECTNESS history), so the gap stays.
+    //
     // The curated-corpus chain as ONE oracled query (the CorpusPipelineDemo
     // path, value-checked): near-dup survivors (connected-component closure)
     // ∘ reproducible train split (id-hash) ∘ per-source doc/token stats.

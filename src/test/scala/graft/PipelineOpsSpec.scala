@@ -113,6 +113,21 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("semanticDupPairs default nClusters is the ceil-sqrt-n rule") {
+    val n = embs.count()
+    val k = math.ceil(math.sqrt(n.toDouble)).toInt
+    assert(k > 16, "fixture must exercise a default above the old constant")
+    // deterministic quantizer -> the default must reproduce the explicit
+    // sqrt-n call bit for bit (pins the wiring, not just the bound)
+    def rows(p: org.apache.spark.sql.DataFrame) = p.orderBy("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val byDefault = rows(Similarity.semanticDupPairs(embs, "vec_id", "embedding", 0.4))
+    val explicit = rows(Similarity.semanticDupPairs(embs, "vec_id", "embedding", 0.4,
+      nClusters = Some(k)))
+    assert(byDefault === explicit)
+    assert(byDefault.nonEmpty)
+  }
+
   test("incrementalJaccardPairs == full self-join pairs restricted to the split boundary") {
     val full = graft.operators.Dedup.ngramJaccardPairs(docs, "doc_id", "text")
       .filter(col("id_a") < 400 && col("id_b") >= 400) // id_a < id_b always
@@ -201,6 +216,32 @@ class PipelineOpsSpec extends SparkSpec {
     // cap keeps the most frequent tokens only
     val capped = graft.operators.CorpusOps.unigramLm(corpus, "doc_id", "text", vocabCap = 1)
     assert(capped.collect().map(_.getString(0)).toSeq === Seq("a"))
+  }
+
+  test("unigramLogprob above literalVocabMax: broadcast-join path bit-matches the literal path") {
+    import spark.implicits._
+    val corpus = Seq((1L, "a a b c d e a"), (2L, "d q b"), (3L, "zz zz"),
+      (4L, ""), (5L, "q")).toDF("doc_id", "text")
+    val lm = graft.operators.CorpusOps.unigramLm(corpus, "doc_id", "text")
+    assert(lm.count() > 3)
+    val docs = Seq((9L, "a b oov d"), (10L, "zz"), (11L, " "), (12L, "q c q"))
+      .toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val literal = graft.operators.CorpusOps.unigramLogprob(
+      docs, "doc_id", "text", lm, -5.0) // default threshold: literal path
+    val joined = graft.operators.CorpusOps.unigramLogprob(
+      docs, "doc_id", "text", lm, -5.0, literalVocabMax = 3) // forced join path
+    // the join path must broadcast the LM, not embed it in the plan
+    assert(joined.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+    val (l, j) = (rows(literal), rows(joined))
+    assert(l.map(_._1) === j.map(_._1) && l.map(_._2) === j.map(_._2))
+    // EXACT double equality — the sorted-by-pos fold is the same addition
+    // sequence as the literal path's token-order fold. (NB: tokens() is
+    // split-on-space with -1 limit, so even "" and " " yield ≥1 empty-string
+    // token — the zero-token restore branch only matters for null text.)
+    l.zip(j).foreach { case ((_, _, a), (_, _, b)) =>
+      assert(java.lang.Double.compare(a, b) === 0, s"$a != $b") }
   }
 
   test("ewmaPerKey folds in (ts, tie) order from a 0.0 seed") {
@@ -302,6 +343,28 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out.toSet.contains((2L, 25.0, 200L, None)))       // open new version
     assert(out.toSet.contains((1L, 10.0, 100L, None)))       // untouched stays open
     assert(out.length === 4)
+  }
+
+  test("scd2 aborts loudly on a batch with two updates for one key") {
+    import spark.implicits._
+    val cur = Seq((1L, 10.0, 100L)).toDF("k", "v", "valid_from")
+    val upd = Seq((1L, 11.0, 200L), (1L, 12.0, 300L)).toDF("k", "v", "ts")
+    val ex = intercept[Exception] {
+      graft.operators.Merges.scd2(cur, upd, "k", "ts").collect()
+    }
+    assert(ex.getMessage.contains("scd2") ||
+      Option(ex.getCause).exists(_.getMessage.contains("scd2")))
+  }
+
+  test("survivorsByScore aborts loudly when a clustered id has no score row") {
+    import spark.implicits._
+    val clusters = Seq((1L, 1L), (2L, 1L)).toDF("id", "cluster")
+    val scores = Seq((1L, 5L)).toDF("id", "score") // id 2 unscored
+    val ex = intercept[Exception] {
+      graft.operators.Dedup.survivorsByScore(clusters, scores).collect()
+    }
+    assert(ex.getMessage.contains("survivorsByScore") ||
+      Option(ex.getCause).exists(_.getMessage.contains("survivorsByScore")))
   }
 
   test("property: HOF run/mode statistics match a plain-Scala oracle on random docs") {

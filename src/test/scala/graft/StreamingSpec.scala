@@ -269,6 +269,77 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.count() === streamed.distinct().count())
   }
 
+  test("streaming EWMA == batch ewmaPerKey fold across out-of-order micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[(java.sql.Timestamp, Long, Long, Double)]
+    def ts(h: Int, m: Int, s: Int = 0) =
+      java.sql.Timestamp.valueOf(f"2026-01-01 $h%02d:$m%02d:$s%02d")
+    val alpha = 0.25
+    val q = graft.streaming.EwmaStream.ewma(
+      ms.toDF().toDF("ts", "k", "tie", "v"), "k", "tie", "v", alpha,
+      delay = "1 minute")
+      .toDF()
+      .writeStream.format("memory").queryName("ewma_stream_parity")
+      .outputMode("append").start()
+    val batch1 = Seq( // out of order WITHIN the batch
+      (ts(10, 5), 1L, 1L, 1.0), (ts(10, 3), 1L, 2L, 2.0), (ts(10, 4), 2L, 3L, 5.0))
+    val batch2 = Seq( // out of order ACROSS batches: 10:04:30 lands after 10:05
+      (ts(10, 4, 30), 1L, 4L, 3.0), (ts(10, 6), 2L, 5L, 1.0))
+    try {
+      ms.addData(batch1); q.processAllAvailable()
+      ms.addData(batch2); q.processAllAvailable()
+      // watermark far past lastTs + IdleTtl -> keys 1,2 finalize; the second
+      // sentinel forces the micro-batch in which the timeouts actually fire
+      ms.addData(Seq((ts(13, 30), 99L, 6L, 0.0))); q.processAllAvailable()
+      ms.addData(Seq((ts(13, 31), 99L, 7L, 0.0))); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("ewma_stream_parity")
+      .filter(col("key") =!= 99L)
+      .select(col("key").as("k"), col("n_events"), col("ewma"))
+    val batch = graft.operators.TimeSeriesOps.ewmaPerKey(
+      (batch1 ++ batch2).toDF("ts", "k", "tie", "v"), "k", "ts", "tie", "v", alpha)
+    assert(streamed.count() === 2)
+    // EXACT equality: identical fold order -> identical double arithmetic
+    assert(streamed.except(batch).count() === 0)
+    assert(batch.except(streamed).count() === 0)
+  }
+
+  test("streaming EWMA buffers in-watermark events and evicts state on idle timeout") {
+    import graft.streaming.EwmaStream._
+    import org.apache.spark.sql.streaming.TestGroupState
+    def mk(prev: Option[EwmaState], wmMs: Long, timedOut: Boolean) =
+      TestGroupState.create[EwmaState](
+        prev.map(org.apache.spark.api.java.Optional.of[EwmaState])
+          .getOrElse(org.apache.spark.api.java.Optional.empty[EwmaState]()),
+        org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout,
+        batchProcessingTimeMs = 0,
+        eventTimeWatermarkMs = org.apache.spark.api.java.Optional.of[Long](wmMs),
+        hasTimedOut = timedOut)
+    def pt(us: Long, tie: Long, v: Double) =
+      Pt(1L, new java.sql.Timestamp(us / 1000), us, tie, v)
+    val alpha = 0.5
+    // watermark 0: everything buffers, nothing folds, nothing emits
+    val s1 = mk(None, 0L, timedOut = false)
+    assert(step(alpha)(1L, Iterator(pt(5_000_000L, 1L, 4.0), pt(3_000_000L, 2L, 2.0)), s1).isEmpty)
+    assert(s1.get.n === 0L && s1.get.pending.size === 2)
+    // watermark passes 3s (strictly): only the 3s event is ripe and folds
+    val s2 = mk(Some(s1.get), 4_000L, timedOut = false)
+    assert(step(alpha)(1L, Iterator(pt(4_000_000L, 3L, 6.0)), s2).isEmpty)
+    assert(s2.get.n === 1L && s2.get.acc === 1.0) // 0.0*(1-a) + 2.0*a
+    assert(s2.get.pending.map(_._1).sorted === List(4_000_000L, 5_000_000L))
+    // idle timeout: remaining pending folds IN (ts, tie) ORDER, key evicted
+    val s3 = mk(Some(s2.get), Long.MaxValue / 2, timedOut = true)
+    val out = step(alpha)(1L, Iterator.empty, s3).toSeq
+    assert(out === Seq(KeyEwma(1L, 3L, ((1.0 * 0.5 + 6.0 * 0.5) * 0.5 + 4.0 * 0.5))))
+    assert(s3.isRemoved, "finalized key must evict its state")
+    // a returning key restarts from the 0.0 seed (no stale accumulator)
+    val s4 = mk(None, 100_000L, timedOut = false)
+    assert(step(alpha)(1L, Iterator(pt(200_000_000L, 9L, 8.0)), s4).isEmpty)
+    assert(s4.get.acc === 0.0 && s4.get.n === 0L && s4.get.pending.size === 1)
+  }
+
   test("watermark evicts finalized windows in append mode") {
     val stream = EventsStream.readEvents(spark, dir)
     EventsStream.runAvailableNow(
