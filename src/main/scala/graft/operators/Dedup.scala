@@ -38,19 +38,34 @@ object Dedup {
       .drop("__rn")
   }
 
-  /** Distinct (doc, shingle) pairs for `idCol` over k-word shingles,
-    * persisted (spillable): the set feeds sizes + both self-join branches, so
-    * the shingle higher-order expression should run one corpus pass, not three.
+  /** Distinct (doc, shingle) pairs for `idCol` over k-word shingles. By
+    * default persisted (spillable, guarded against double-persist): the set
+    * feeds sizes + both self-join branches, so the shingle higher-order
+    * expression should run one corpus pass, not three. `persist = false` is
+    * the 100 TB escape hatch (see SCALE.md "shingle set"): the persist is
+    * itself corpus-scale storage, so a caller that keeps a STANDING shingle
+    * table (the d11 ingest shape — write this frame out bucketed by
+    * shingle, read it back for every consumer) or accepts recompute should
+    * opt out rather than spill a second copy of the corpus.
     */
-  private def shingleSet(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
-    docs.select(col(idCol), explode(wordShingles(tokens(col(textCol)), k)).as("shingle"))
-      .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  private def shingleSet(docs: DataFrame, idCol: String, textCol: String, k: Int,
+                         persist: Boolean = true): DataFrame = {
+    // array_distinct BEFORE the explode: `idCol` is part of the output key,
+    // so per-doc dedup of the shingle array IS the globally-distinct
+    // (doc, shingle) set — identical rows to explode-then-`.distinct()`,
+    // with zero shuffle (a full exchange of the corpus's largest
+    // intermediate, removed; the set materializes in one scan stage).
+    val sh = docs
+      .select(col(idCol),
+        explode(array_distinct(wordShingles(tokens(col(textCol)), k))).as("shingle"))
+    if (persist) Caching.persisted(sh) else sh
+  }
 
   /** Exact n-gram Jaccard near-dup pairs: J(A,B) = |A∩B| / |A∪B| over k-word
     * shingle sets, emitted for J ≥ threshold with id_a < id_b.
     *
-    * Plan shape: shingle explode → distinct → self-join on shingle (hash
+    * Plan shape: per-doc array_distinct → shingle explode (no global
+    * distinct needed — see [[shingleSet]]) → self-join on shingle (hash
     * shuffle on the shingle key; co-bucketed docs meet locally) → pair-count
     * aggregation → broadcast-join per-doc set sizes. `maxDocFreq` (off by
     * default) drops shingles appearing in more than that many docs before the
@@ -60,8 +75,9 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         k: Int = 4, threshold: Double = 0.5,
-                        maxDocFreq: Option[Int] = None): DataFrame = {
-    val sh = shingleSet(docs, idCol, textCol, k)
+                        maxDocFreq: Option[Int] = None,
+                        persistShingles: Boolean = true): DataFrame = {
+    val sh = shingleSet(docs, idCol, textCol, k, persistShingles)
     val filtered = maxDocFreq match {
       case Some(cap) =>
         val hot = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
@@ -98,9 +114,10 @@ object Dedup {
     */
   def incrementalJaccardPairs(fresh: DataFrame, corpus: DataFrame,
                               idCol: String, textCol: String,
-                              k: Int = 4, threshold: Double = 0.5): DataFrame = {
-    val shF = shingleSet(fresh, idCol, textCol, k)
-    val shC = shingleSet(corpus, idCol, textCol, k)
+                              k: Int = 4, threshold: Double = 0.5,
+                              persistShingles: Boolean = true): DataFrame = {
+    val shF = shingleSet(fresh, idCol, textCol, k, persistShingles)
+    val shC = shingleSet(corpus, idCol, textCol, k, persistShingles)
     val sizeF = shF.groupBy(col(idCol)).agg(count(lit(1)).as("size_f"))
     val sizeC = shC.groupBy(col(idCol)).agg(count(lit(1)).as("size_c"))
     shF.select(col(idCol).as("fresh_id"), col("shingle"))
@@ -131,11 +148,10 @@ object Dedup {
     // feeds the signatures, the set sizes, AND the verification intersects —
     // persist it (spillable) so the shingle higher-order expression runs once
     // per corpus pass, not once per consumer. ~16 bytes/shingle.
-    val hashed = docs
+    val hashed = Caching.persisted(docs
       .select(col(idCol),
         explode(array_distinct(wordShingles(tokens(col(textCol)), k))).as("shingle"))
-      .select(col(idCol), xxhash64(col("shingle")).as("h"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .select(col(idCol), xxhash64(col("shingle")).as("h")))
     // Signature via codegen'd hash-agg (no higher-order lambdas on the hot
     // path): the i-th permutation re-mixes the 8-byte shingle hash with
     // xxhash64(·, i) and MIN-aggregates per doc; one doc-id shuffle.
@@ -228,14 +244,22 @@ object Dedup {
 
   /** Near-dup clusters from a pair list: connected components by iterative
     * min-label propagation (Pregel-style), so an A~B~C chain dedups as ONE
-    * cluster even when A~C was never emitted as a pair. Each round moves
-    * labels one hop along edges (join + min-aggregate) and then POINTER-JUMPS
-    * (label ← label(label)), which doubles propagation reach per round —
-    * convergence in O(log component diameter) rounds, not O(diameter). That
-    * matters beyond asymptotics: Jaccard dup sets are clique-ish (1-2
-    * rounds either way), but semantic-similarity graphs form CHAINS
-    * (a~b~c~… at threshold cosine), where hop-only propagation pays a full
-    * Spark job round-trip per chain link. Driver-side fixpoint check, the
+    * cluster even when A~C was never emitted as a pair. Each round fuses the
+    * one-hop step and the POINTER-JUMP (label ← label(label)) into a SINGLE
+    * join + min-aggregate: the static edge list is unioned with the current
+    * (id → label) pointer edges, the union is joined once against the label
+    * table, and the per-node min over the joined messages is simultaneously
+    *   min over neighbors v of label(v)        — the hop — and
+    *   label(label(id))                        — the jump
+    * (the pointer row's message; labels only decrease and label(x) ≤ x, so
+    * that message also carries the node's own label implicitly). Pointer
+    * jumping keeps convergence at O(log component diameter) rounds — which
+    * matters because semantic-similarity graphs form CHAINS (a~b~c~… at
+    * threshold cosine) where hop-only propagation pays a full Spark round
+    * per chain link — while the fused round runs ONE shuffle-join + ONE
+    * aggregate instead of the previous hop-join + left-join + pointer-jump
+    * self-join (the per-round driver/stage overhead was the dedup pack's
+    * dominant bench cost, not data volume). Driver-side fixpoint check, the
     * standard shape for iterative graph algorithms on Spark.
     *
     * Returns (id, cluster) for every id appearing in `pairs`, where
@@ -246,6 +270,7 @@ object Dedup {
     val spark = pairs.sparkSession
     val edges = pairs.select(col("id_a"), col("id_b"))
       .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .withColumn("ptr", lit(false))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // seed labels with the 1-hop minimum (min of self and direct neighbors)
     // instead of self: clique-ish components — the common dup shape — then
@@ -260,31 +285,28 @@ object Dedup {
     // Dataset.unpersist nor catalog.clearCache can free — leaked blocks
     // squeezed every later query in the session). Rebuilding the frame from
     // the persisted RDD gives the same lineage TRUNCATION (the pointer-jump
-    // self-join doubles the logical plan every round otherwise — exponential
+    // would double the logical plan every round otherwise — exponential
     // analysis/stringification cost even though the data is tiny), and the
     // handle lets each round free its predecessor the moment it lands.
     var prevRdd: Option[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]] = None
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
-      val neighborMin = edges
+      // pointer edges: exactly one per node (labels has one row per node),
+      // flagged so the aggregate below can recover the node's OLD label —
+      // min(when(ptr, id_b)) — from the same shuffled rows, with no extra
+      // join against the previous label table. Every label is itself an id
+      // in `labels` (labels are ids of the same component and only ever
+      // decrease toward its min), so the inner join drops no pointer row
+      // and label(label) is always defined.
+      val pointers = labels.select(col("id").as("id_a"),
+        col("label").as("id_b"), lit(true).as("ptr"))
+      val nextPlan = edges.union(pointers)
         .join(labels.select(col("id").as("id_b"), col("label").as("nbr_label")), "id_b")
-        .groupBy(col("id_a").as("id"))
-        .agg(min(col("nbr_label")).as("min_nbr"))
-      // persist: the pointer-jump self-join consumes `stepped` twice —
-      // uncached, each round's hop join + min-aggregate would run twice
-      val stepped = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"), col("label").as("old_label"),
-          least(col("label"), coalesce(col("min_nbr"), col("label"))).as("label"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // pointer jump: every label is itself an id in `labels` (labels are
-      // ids of the same component and only ever decrease toward its min),
-      // so label(label) is defined and stays within the component.
-      val nextPlan = stepped.alias("x")
-        .join(stepped.select(col("id").as("jid"), col("label").as("jlabel")).alias("j"),
-          col("x.label") === col("j.jid"), "left")
-        .select(col("x.id").as("id"), col("x.old_label").as("old_label"),
-          coalesce(col("j.jlabel"), col("x.label")).as("label"))
+        .groupBy(col("id_a"))
+        .agg(min(when(col("ptr"), col("id_b"))).as("old_label"),
+          min(col("nbr_label")).as("label"))
+        .select(col("id_a").as("id"), col("old_label"), col("label"))
       val rdd = nextPlan.rdd
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // ONE action per round: computing the changed-label count materializes
@@ -298,7 +320,6 @@ object Dedup {
         }).sum
       converged = changed == 0L
       labels.unpersist()
-      stepped.unpersist()
       prevRdd.foreach(_.unpersist(blocking = false))
       prevRdd = Some(rdd)
       labels = spark.createDataFrame(rdd, nextPlan.schema).select("id", "label")
@@ -372,9 +393,9 @@ object Dedup {
                               threshold: Double, planesPerTable: Int = 4,
                               tables: Int = 8): DataFrame = {
     graft.functions.NativeFunctions.register(vecs.sparkSession)
-    val v = vecs.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
-      .withColumn("norm", Similarity.l2norm(col("v")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val v = Caching.persisted(
+      vecs.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
+        .withColumn("norm", Similarity.l2norm(col("v"))))
     // signs hoisted once for all tables (bit-identical to the per-row HOF
     // signature — see Similarity.hyperplaneSignatureFrom); an empty corpus
     // degenerates to dim 0 / empty signs and an empty result, not a throw
@@ -402,10 +423,12 @@ object Dedup {
       .select("id_a", "id_b", "cosine")
   }
 
-  /** Embedding near-dup pairs: cosine ≥ threshold over `ARRAY<FLOAT>` columns.
-    * Exact (all-pairs) form — the small-scale (≤ a few 10⁵ vectors)
-    * cross-check for [[embeddingCosinePairsLsh]], which restricts the pair
-    * space by LSH bucket and is the variant to run at corpus scale.
+  /** ==SMALL-SCALE CROSS-CHECK — not a scale path== Embedding near-dup
+    * pairs: cosine ≥ threshold over `ARRAY<FLOAT>` columns, as an EXACT
+    * all-pairs crossJoin. Deliberately O(n²): it exists to verify
+    * [[embeddingCosinePairsLsh]] (the production variant — LSH-bucketed,
+    * never all-pairs) on corpora small enough to enumerate, ≤ a few 10⁵
+    * vectors. Do not point it at a real corpus.
     */
   def embeddingCosinePairs(vecs: DataFrame, idCol: String, vecCol: String,
                            threshold: Double): DataFrame = {

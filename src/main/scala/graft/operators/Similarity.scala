@@ -108,8 +108,12 @@ object Similarity {
         col("n.id").as("neighbor_id"), col("n.score").as("cosine"))
   }
 
-  /** Window-ranked variant of the same query (built-ins only) — correct but
-    * shuffles the full pair space; kept as the cross-check/reference plan.
+  /** ==SMALL-SCALE CROSS-CHECK — not a scale path== Window-ranked variant
+    * of the same query (built-ins only): correct, but it shuffles the FULL
+    * pair space to rank it. It exists to verify [[cosineTopK]] (the
+    * production variant — bounded-heap partial aggregation, k survivors per
+    * query leave each partition) on inputs small enough to enumerate. Do
+    * not point it at a real corpus.
     */
   def cosineTopKWindow(queries: DataFrame, corpus: DataFrame, idCol: String,
                        vecCol: String, k: Int,
@@ -180,6 +184,68 @@ object Similarity {
         lit(1L << (signs.length - 1 - i))).otherwise(lit(0L))
     }.reduce(_ bitwiseOR _)
 
+  /** One task's exact per-cluster partial: scale-18 decimal component sums
+    * plus the row count. The Tungsten leg of [[kmeansCentroids]] — at most k
+    * of these leave each input partition, so the per-iteration shuffle is
+    * O(partitions × k) rows (spec-pinned in SimilaritySpec), never the
+    * corpus. `java.math.BigDecimal` encodes as DECIMAL(38,18) (Spark's
+    * system default), which round-trips scale-18 sums exactly while
+    * |sum| < 10²⁰ — the loud guard in [[centroidPartials]] enforces that
+    * envelope instead of letting an encoder overflow null out a centroid.
+    */
+  private[graft] final case class CentroidPartial(
+      cid: Int, sums: Array[java.math.BigDecimal], n: Long)
+
+  /** Exact image of Spark's cast(DOUBLE AS DECIMAL(38,18)): shortest-repr
+    * string, then scale-18 HALF_UP (Decimal.changePrecision's rounding).
+    */
+  private def toDec18(x: Double): java.math.BigDecimal =
+    new java.math.BigDecimal(java.lang.Double.toString(x))
+      .setScale(18, java.math.RoundingMode.HALF_UP)
+
+  private val DecLimit = new java.math.BigDecimal(java.math.BigInteger.ONE, -20)
+
+  /** Per-partition exact partial sums over an assignment frame with
+    * `cid: int` and `v: array<double>` (nulls pre-handled by the caller:
+    * null rows filtered, null components zeroed — adding exact decimal 0 is
+    * the identity, so the sums equal SUM-skips-null semantics). Typed
+    * Dataset end to end: rows deserialize to primitive (Int, Array[Double])
+    * tuples — no external `Row`/boxed-Seq pass — and the partials shuffle
+    * through the DECIMAL(38,18) encoder, ≤ k rows per input partition.
+    */
+  private[graft] def centroidPartials(
+      assigned: DataFrame): org.apache.spark.sql.Dataset[CentroidPartial] = {
+    implicit val inEnc: Encoder[(Int, Array[Double])] = ExpressionEncoder()
+    implicit val outEnc: Encoder[CentroidPartial] = ExpressionEncoder()
+    assigned.select(col("cid").cast("int"), col("v")).as[(Int, Array[Double])]
+      .mapPartitions { it =>
+        val acc = mutable.Map.empty[Int, (mutable.ArrayBuffer[java.math.BigDecimal], Long)]
+        it.foreach { case (cid, vec) =>
+          val (buf, n) = acc.getOrElse(cid,
+            (mutable.ArrayBuffer.empty[java.math.BigDecimal], 0L))
+          while (buf.length < vec.length) buf += java.math.BigDecimal.ZERO
+          var i = 0
+          while (i < vec.length) {
+            buf(i) = buf(i).add(toDec18(vec(i)))
+            i += 1
+          }
+          acc(cid) = (buf, n + 1)
+        }
+        acc.iterator.map { case (cid, (buf, n)) =>
+          // DECIMAL(38,18) holds |sum| < 10²⁰ exactly; beyond that the
+          // encoder would overflow to null and silently corrupt a centroid
+          // — abort loudly at the boundary instead (10²⁰ ≈ a 10¹⁹-row
+          // partition of unit-scale components; unreachable on real input).
+          buf.foreach { s =>
+            if (s.abs.compareTo(DecLimit) >= 0)
+              throw new IllegalStateException(
+                "kmeansCentroids: partial component sum exceeds DECIMAL(38,18) range")
+          }
+          CentroidPartial(cid, buf.toArray, n)
+        }
+      }
+  }
+
   /** Deterministic Lloyd k-means for the IVF coarse quantizer. Init = first
     * k corpus vectors by id; each iteration assigns every vector to its
     * nearest centroid by cosine (ties → lowest centroid id) and recomputes
@@ -188,8 +254,10 @@ object Similarity {
     * and the results must bit-match:
     *  - per-dimension sums aggregate as scale-18 BigDecimals (the exact
     *    image of cast(DOUBLE AS DECIMAL(38,18)), so partition / merge order
-    *    can't perturb them), combined as per-partition array partials —
-    *    O(partitions × k) shuffled rows — and divided once on the driver;
+    *    can't perturb them), combined as per-partition array partials
+    *    ([[centroidPartials]] — O(partitions × k) shuffled rows, typed
+    *    Dataset with primitive encoders, no RDD/external-Row pass) and
+    *    divided once on the driver;
     *  - centroids are collected (k × dim doubles — tiny) and re-broadcast as
     *    literals each iteration, exactly how MLlib's KMeans iterates;
     *  - assignment ranks by dot(v,c)/‖c‖ — ‖v‖ is constant per vector so
@@ -199,8 +267,12 @@ object Similarity {
   def kmeansCentroids(corpus: DataFrame, idCol: String, vecCol: String,
                       k: Int = 16, iters: Int = 3): Array[Array[Double]] = {
     graft.functions.NativeFunctions.register(corpus.sparkSession)
-    val v = corpus.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // guarded persist + unconditional unpersist: if an equivalent plan is
+    // already cached (repeated training in one session), the unpersist in
+    // `finally` releases that shared entry — acceptable, since the corpus
+    // projection is rebuilt (and re-guarded) by any later caller.
+    val v = Caching.persisted(
+      corpus.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v")))
     try {
       var cents: Array[Array[Double]] =
         v.orderBy("id").limit(k).collect().map(_.getSeq[Double](1).toArray)
@@ -221,53 +293,35 @@ object Similarity {
           struct(sim.as("sim"), lit(-ci).as("ncid"))
         }
         val assigned = v.withColumn("cid", -array_max(array(simStructs: _*)).getField("ncid"))
-        // Per-dimension sums as PER-PARTITION exact partial sums: each task
-        // emits at most k rows (cid → array of decimal component sums +
-        // count), so the per-iteration shuffle is O(partitions × k) rows —
-        // not the n×d posexploded rows a groupBy(cid, pos) would move. At
-        // 100 TB × 3 iterations that is a metadata-sized shuffle instead of
-        // re-shuffling the corpus thrice. Exactness is preserved:
-        // double→BigDecimal reproduces Spark's cast(DOUBLE AS
-        // DECIMAL(38,18)) bit for bit (shortest-repr string, then scale-18
-        // HALF_UP — Decimal.changePrecision's rounding), and BigDecimal
-        // addition is exact and associative, so partition boundaries and
-        // merge order cannot perturb the centroid values.
-        val sums = assigned.select(col("cid"), col("v")).rdd
-          .mapPartitions { it =>
-            val acc = mutable.Map.empty[Int, (mutable.ArrayBuffer[java.math.BigDecimal], Long)]
-            it.foreach { r =>
-              if (!r.isNullAt(1)) {
-                val cid = r.getInt(0)
-                val vec = r.getSeq[java.lang.Double](1)
-                val (buf, n) = acc.getOrElse(cid,
-                  (mutable.ArrayBuffer.empty[java.math.BigDecimal], 0L))
-                while (buf.length < vec.length) buf += java.math.BigDecimal.ZERO
-                var i = 0
-                vec.foreach { x =>
-                  // null components: SUM ignores them (the posexplode shape
-                  // skipped the value but still counted the row — identical
-                  // because the row count below is per cid, not per pos)
-                  if (x != null)
-                    buf(i) = buf(i).add(new java.math.BigDecimal(
-                      java.lang.Double.toString(x.doubleValue()))
-                      .setScale(18, java.math.RoundingMode.HALF_UP))
-                  i += 1
-                }
-                acc(cid) = (buf, n + 1)
-              }
-            }
-            acc.iterator
-          }
-          .reduceByKey { (a, b) =>
-            val ((b1, n1), (b2, n2)) = (a, b)
-            val (lo, hi) = if (b1.length >= b2.length) (b2, b1) else (b1, b2)
+        // Per-dimension sums as PER-PARTITION exact partial sums
+        // ([[centroidPartials]]): each task emits at most k rows (cid →
+        // array of decimal component sums + count), so the per-iteration
+        // shuffle is O(partitions × k) rows — not the n×d posexploded rows
+        // a groupBy(cid, pos) would move, and not a corpus re-shuffle. At
+        // 100 TB × 3 iterations that is a metadata-sized shuffle. Exactness
+        // is preserved: double→BigDecimal reproduces Spark's cast(DOUBLE AS
+        // DECIMAL(38,18)) bit for bit, and BigDecimal addition is exact and
+        // associative, so partition boundaries and merge order cannot
+        // perturb the centroid values. Null handling matches SUM: null
+        // vectors contribute nothing (filtered), null components add exact
+        // decimal zero — identity — while the row still counts toward n.
+        val prepared = assigned
+          .filter(col("v").isNotNull)
+          .select(col("cid"),
+            transform(col("v"), x => coalesce(x, lit(0.0))).as("v"))
+        implicit val intEnc: Encoder[Int] = Encoders.scalaInt
+        val sums = centroidPartials(prepared)
+          .groupByKey(_.cid)
+          .reduceGroups { (a, b) =>
+            val (lo, hi) = if (a.sums.length >= b.sums.length) (b, a) else (a, b)
+            val merged = hi.sums.clone()
             var i = 0
-            while (i < lo.length) { hi(i) = hi(i).add(lo(i)); i += 1 }
-            (hi, n1 + n2)
+            while (i < lo.sums.length) { merged(i) = merged(i).add(lo.sums(i)); i += 1 }
+            CentroidPartial(a.cid, merged, a.n + b.n)
           }
           .collect()
         val next = cents.map(_.clone())
-        sums.foreach { case (cid, (buf, n)) =>
+        sums.foreach { case (_, CentroidPartial(cid, buf, n)) =>
           var pos = 0
           while (pos < buf.length) {
             next(cid)(pos) = buf(pos).doubleValue() / n
@@ -394,15 +448,16 @@ object Similarity {
       struct((dot(col("v"), lit(cents(ci))) / (col("v_norm") * lit(norms(ci))))
         .as("sim"), lit(-ci).as("ncid"))
     }
-    // both pair sides consume the assignment — persist so the n×k dot
-    // products run once, not twice (Dedup caching convention; freed by
-    // SessionSweep between queries)
-    val assigned = corpus
+    // both pair sides consume the assignment — persist (guarded) so the n×k
+    // dot products run once, not twice. Like the Dedup shingle caches this
+    // CANNOT be unpersisted eagerly — the returned frame is a lazy plan
+    // built on it — so release is the documented session convention:
+    // [[graft.SessionSweep.sweep]] between corpora/queries.
+    val assigned = Caching.persisted(corpus
       .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
       .withColumn("v_norm", l2norm(col("v")))
       .withColumn("cid", (-array_max(array(simStructs: _*)).getField("ncid")).cast("long"))
-      .select(col("id"), col("v"), col("v_norm"), col("cid"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .select(col("id"), col("v"), col("v_norm"), col("cid")))
     val a = assigned.select(col("id").as("id_a"), col("v").as("va"),
       col("v_norm").as("na"), col("cid"))
     val b = assigned.select(col("id").as("id_b"), col("v").as("vb"),

@@ -90,18 +90,63 @@ object EventsStream {
       joinType)
   }
 
+  /** Checkpoint root for throwaway AvailableNow runs: tmpfs when the host
+    * has one. A micro-batch commits offsets + one state-store delta per
+    * shuffle partition per store, each fsync'd — on spinning/virtual disks
+    * those fsyncs dominated the stream-stream join's wall time (e09 was the
+    * bench's slowest query with the work itself being trivial). A RESTARTABLE
+    * production query must keep its checkpoint on durable shared storage;
+    * these helpers are the reference's run-to-completion-then-discard model,
+    * where the checkpoint dies with the run anyway.
+    */
+  private def ephemeralCheckpointRoot: java.nio.file.Path = {
+    val shm = new java.io.File("/dev/shm")
+    if (shm.isDirectory && shm.canWrite) shm.toPath
+    else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+  }
+
   /** Run a streaming query to a named in-memory sink with AvailableNow
     * semantics (process everything present, then stop) — the direct
     * equivalent of the reference's scheduled full-snapshot invocation.
+    * The checkpoint is ephemeral ([[ephemeralCheckpointRoot]]) and deleted
+    * on completion.
+    *
+    * `statePartitions` bounds the stream's shuffle width, which is ALSO the
+    * number of state-store instances per stateful operator (pinned at first
+    * start). Every micro-batch — including the zero-row watermark-advance
+    * batch — pays a per-store commit plus a state scan per instance, so a
+    * snapshot run inheriting a batch-sized `spark.sql.shuffle.partitions`
+    * spends most of its wall time iterating idle stores (measured on the
+    * stream-stream join: 32 partitions ≈ 5s, 8 ≈ 2s, identical output). A
+    * long-lived production stream should size this to its volume instead —
+    * results are identical at any width, only task/store counts change. The
+    * session's batch setting is restored after the run.
     */
   def runAvailableNow(df: DataFrame, queryName: String,
-                      outputMode: String = "append"): Unit = {
-    val q = df.writeStream
-      .format("memory")
-      .queryName(queryName)
-      .outputMode(outputMode)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+                      outputMode: String = "append",
+                      statePartitions: Int = 8): Unit = {
+    val spark = df.sparkSession
+    val ckpt = java.nio.file.Files
+      .createTempDirectory(ephemeralCheckpointRoot, "graft-ckpt-")
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions",
+        math.min(statePartitions, prevShuffle.toInt).max(1).toString)
+      val q = df.writeStream
+        .format("memory")
+        .queryName(queryName)
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode(outputMode)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      import java.nio.file.{Files, Path}
+      import java.util.Comparator
+      try Files.walk(ckpt).sorted(Comparator.reverseOrder[Path]())
+        .forEach(p => Files.deleteIfExists(p))
+      catch { case _: java.io.IOException => () }
+    }
   }
 }

@@ -130,6 +130,51 @@ class ExtensionSpec extends SparkSpec {
     }
   }
 
+  test("k-means partials: <= k rows leave each partition; sums = SQL decimal image") {
+    // The property lives below the SQL layer (typed mapPartitions), so
+    // PlanSpec can't see it — pin it here: the per-iteration shuffle input
+    // is bounded by partitions × k rows, and the exact decimal partials
+    // reproduce SUM(CAST(component AS DECIMAL(38,18))) bit for bit.
+    val k = 7
+    val nPart = 5
+    val assigned = embs
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
+        (col("vec_id") % k).cast("int").as("cid"))
+      .repartition(nPart)
+    val partials = Similarity.centroidPartials(assigned.select(col("cid"), col("v")))
+    val perPartition = partials.rdd
+      .mapPartitions(it => Iterator.single(it.size)).collect()
+    assert(perPartition.length === nPart)
+    assert(perPartition.forall(_ <= k),
+      s"a partition emitted more than k=$k partial rows: ${perPartition.toSeq}")
+    // exactness: driver-merged partials == the n×d posexplode decimal sums
+    val merged = partials.collect().groupBy(_.cid).map { case (cid, ps) =>
+      val dim = ps.map(_.sums.length).max
+      val sums = Array.fill(dim)(java.math.BigDecimal.ZERO)
+      ps.foreach(p => p.sums.indices.foreach(i => sums(i) = sums(i).add(p.sums(i))))
+      cid -> (sums.toSeq, ps.map(_.n).sum)
+    }
+    val viaSql = assigned
+      .select(col("cid"), posexplode(col("v")))
+      .groupBy("cid", "pos")
+      .agg(sum(col("col").cast("decimal(38,18)")).as("s"),
+        count(lit(1)).as("n"))
+      .collect()
+      .groupBy(_.getInt(0))
+      .map { case (cid, rows) =>
+        val byPos = rows.map(r => r.getInt(1) -> r.getDecimal(2)).toMap
+        cid -> ((0 until byPos.size).map(byPos), rows.head.getLong(3))
+      }
+    assert(merged.keySet === viaSql.keySet)
+    merged.foreach { case (cid, (sums, n)) =>
+      val (expS, expN) = viaSql(cid)
+      assert(n === expN, s"cid=$cid row count")
+      sums.indices.foreach { i =>
+        assert(sums(i).compareTo(expS(i)) === 0, s"cid=$cid pos=$i")
+      }
+    }
+  }
+
   test("topK without query-side broadcast: same results, no broadcast hint") {
     val q = embs.filter(col("vec_id") < 5)
     val hinted = Similarity.cosineTopK(q, embs, "vec_id", "embedding", 5)
