@@ -242,97 +242,173 @@ object Dedup {
       .select("id_a", "id_b", "hamming")
   }
 
-  /** Near-dup clusters from a pair list: connected components by iterative
-    * min-label propagation (Pregel-style), so an A~B~C chain dedups as ONE
-    * cluster even when A~C was never emitted as a pair. Each round fuses the
-    * one-hop step and the POINTER-JUMP (label ← label(label)) into a SINGLE
-    * join + min-aggregate: the static edge list is unioned with the current
-    * (id → label) pointer edges, the union is joined once against the label
-    * table, and the per-node min over the joined messages is simultaneously
-    *   min over neighbors v of label(v)        — the hop — and
-    *   label(label(id))                        — the jump
-    * (the pointer row's message; labels only decrease and label(x) ≤ x, so
-    * that message also carries the node's own label implicitly). Pointer
-    * jumping keeps convergence at O(log component diameter) rounds — which
-    * matters because semantic-similarity graphs form CHAINS (a~b~c~… at
-    * threshold cosine) where hop-only propagation pays a full Spark round
-    * per chain link — while the fused round runs ONE shuffle-join + ONE
-    * aggregate instead of the previous hop-join + left-join + pointer-jump
-    * self-join (the per-round driver/stage overhead was the dedup pack's
-    * dominant bench cost, not data volume). Driver-side fixpoint check, the
-    * standard shape for iterative graph algorithms on Spark.
+  /** Near-dup clusters from a pair list: connected components by
+    * Shiloach–Vishkin-style HOOK, FLATTEN, CONTRACT rounds, so an A~B~C
+    * chain dedups as ONE cluster even when A~C was never emitted as a
+    * pair. Each round:
+    *   1. HOOK every supernode onto the minimum of its
+    *      neighborhood-plus-self (one aggregate over the symmetrized
+    *      edges) — hooks always point strictly downward, so they form a
+    *      forest rooted at local minima;
+    *   2. FLATTEN that forest to stars by pointer doubling
+    *      (hook ← hook∘hook until stable). This is the textbook jump on a
+    *      STATIC forest, which provably halves pointer depth per
+    *      iteration — unlike jumping on a per-round label function, which
+    *      this operator previously did and which degenerates to
+    *      ~diameter/3 rounds on randomly-permuted chains (the jump target
+    *      lands uniformly inside the already-known window; measured in
+    *      simulation: a 5000-chain took ~1500 label rounds, and
+    *      jump-after-hop / double-jump variants measured the same);
+    *   3. CONTRACT the graph by relabeling both edge endpoints to their
+    *      flattened root and dropping self-loops (two joins + distinct),
+    *      composing the roots into the running original-id mapping.
+    * Convergence is when the contracted edge set is EMPTY — an exact test
+    * that falls out of the same count that materializes the round, with no
+    * separate fixpoint probe.
+    *
+    * Measured rounds (simulation, any id layout): cliques — the common
+    * Jaccard-dup shape — 1 round + 1 flatten iteration; monotone chains
+    * 1 round + log₂(diameter) iterations (the hook forest IS the chain;
+    * flattening collapses it); randomly-permuted chains — the shape
+    * semantic-similarity graphs take at threshold cosine, and the worst
+    * observed — ≈ 11 rounds / ~35 total iterations at diameter 10⁵;
+    * Erdős–Rényi graphs ≈ 4 rounds. The default 50-round cap therefore
+    * covers components far beyond any real corpus; the loop stops at the
+    * empty edge set regardless, and a non-converged exit fails loudly (a
+    * silent partial contraction would report one component as several
+    * clusters, each with its own survivor — downstream dedup would keep
+    * duplicates with nothing looking wrong). The spec pins chain round
+    * bounds in both layouts.
     *
     * Returns (id, cluster) for every id appearing in `pairs`, where
     * `cluster` is the component's minimum id — which is also the
-    * deterministic survivor (`is_survivor = id == cluster`).
+    * deterministic survivor (`is_survivor = id == cluster`). The minimum
+    * is preserved by contraction: a component's global minimum only ever
+    * hooks onto itself, so it is the component's last surviving supernode.
     */
-  def dupClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+  def dupClusters(pairs: DataFrame, maxIters: Int = 50): DataFrame =
+    dupClustersWithRounds(pairs, maxIters)._1
+
+  /** [[dupClusters]] plus the number of contraction rounds it ran —
+    * operational telemetry (a rounds count near `maxIters` says the pair
+    * graph is chain-like and the cap needs headroom) and the hook the
+    * convergence-rate spec measures through.
+    */
+  private[graft] def dupClustersWithRounds(pairs: DataFrame,
+                                           maxIters: Int = 50): (DataFrame, Int) = {
     val spark = pairs.sparkSession
-    val edges = pairs.select(col("id_a"), col("id_b"))
-      .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
-      .withColumn("ptr", lit(false))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // seed labels with the 1-hop minimum (min of self and direct neighbors)
-    // instead of self: clique-ish components — the common dup shape — then
-    // converge in a single fixpoint-check round instead of two
-    var labels = edges.groupBy(col("id_a"))
-      .agg(min(col("id_b")).as("nbr_min"))
-      .select(col("id_a").as("id"),
-        least(col("id_a"), col("nbr_min")).as("label"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // each round's result is materialized into an RDD WE hold the handle to
-    // (not Dataset.localCheckpoint: that persists a hidden RDD that neither
-    // Dataset.unpersist nor catalog.clearCache can free — leaked blocks
-    // squeezed every later query in the session). Rebuilding the frame from
-    // the persisted RDD gives the same lineage TRUNCATION (the pointer-jump
-    // would double the logical plan every round otherwise — exponential
-    // analysis/stringification cost even though the data is tiny), and the
-    // handle lets each round free its predecessor the moment it lands.
-    var prevRdd: Option[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]] = None
-    var converged = false
-    var iter = 0
-    while (!converged && iter < maxIters) {
-      // pointer edges: exactly one per node (labels has one row per node),
-      // flagged so the aggregate below can recover the node's OLD label —
-      // min(when(ptr, id_b)) — from the same shuffled rows, with no extra
-      // join against the previous label table. Every label is itself an id
-      // in `labels` (labels are ids of the same component and only ever
-      // decrease toward its min), so the inner join drops no pointer row
-      // and label(label) is always defined.
-      val pointers = labels.select(col("id").as("id_a"),
-        col("label").as("id_b"), lit(true).as("ptr"))
-      val nextPlan = edges.union(pointers)
-        .join(labels.select(col("id").as("id_b"), col("label").as("nbr_label")), "id_b")
-        .groupBy(col("id_a"))
-        .agg(min(when(col("ptr"), col("id_b"))).as("old_label"),
-          min(col("nbr_label")).as("label"))
-        .select(col("id_a").as("id"), col("old_label"), col("label"))
-      val rdd = nextPlan.rdd
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // ONE action per round: computing the changed-label count materializes
-      // the persisted round result as a side effect (a separate
-      // filter(...).isEmpty fixpoint probe was a full extra job per round)
-      val changed = spark.sparkContext.runJob(rdd,
+    val level = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // Every per-round intermediate is materialized into an RDD WE hold the
+    // handle to (not Dataset.localCheckpoint: that persists a hidden RDD
+    // that neither Dataset.unpersist nor catalog.clearCache can free —
+    // leaked blocks squeezed every later query in the session). The
+    // RDD-level localCheckpoint additionally truncates the RDD DEPENDENCY
+    // chain, which rebuilding the frame with createDataFrame alone does
+    // not: without it every round's RDD references the whole prior-round
+    // DAG, and dozens of rounds overflow the stack serializing the shuffle
+    // lineage. The single number each runJob returns doubles as the loop
+    // control (row count for contractions, changed count for flattening) —
+    // one action per materialization, no separate probes.
+    def materialize(df: DataFrame)(count: org.apache.spark.sql.Row => Boolean)
+        : (org.apache.spark.rdd.RDD[org.apache.spark.sql.Row], Long) = {
+      val rdd = df.rdd.persist(level)
+      rdd.localCheckpoint()
+      val cnt = spark.sparkContext.runJob(rdd,
         (it: Iterator[org.apache.spark.sql.Row]) => {
-          var c = 0L
-          it.foreach(r => if (r.get(1) != r.get(2)) c += 1)
-          c
+          var c = 0L; it.foreach(r => if (count(r)) c += 1); c
         }).sum
-      converged = changed == 0L
-      labels.unpersist()
-      prevRdd.foreach(_.unpersist(blocking = false))
-      prevRdd = Some(rdd)
-      labels = spark.createDataFrame(rdd, nextPlan.schema).select("id", "label")
+      (rdd, cnt)
+    }
+    // flattened hook tables stay alive until the FINAL mapping materializes
+    // (its lazy plan references every round's roots); freed together after.
+    // Only the mapping's own RDD remains, released by SessionSweep like
+    // every operator-internal cache.
+    val retained = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]]
+    val e0 = pairs
+      .select(least(col("id_a"), col("id_b")).as("a"),
+        greatest(col("id_a"), col("id_b")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    var (eRdd, eCnt) = materialize(e0)(_ => true)
+    retained += eRdd
+    var edges = spark.createDataFrame(eRdd, e0.schema)
+    var mapping: Option[DataFrame] = None
+    var iter = 0
+    while (eCnt > 0 && iter < maxIters) {
+      // 1. hook: supernode → min(neighbors ∪ self). Lazy — it is consumed
+      // only inside the first flatten iteration's plan (twice: both join
+      // sides; the aggregate re-runs over the cached edge RDD, cheaper
+      // than a separate materialization action).
+      val hook = edges.union(edges.select(col("b").as("a"), col("a").as("b")))
+        .groupBy(col("a"))
+        .agg(min(col("b")).as("nbr_min"))
+        .select(col("a").as("node"), least(col("a"), col("nbr_min")).as("lbl"))
+      // 2. flatten the hook forest to stars: hook ← hook∘hook until no
+      // pointer moves. Hooks point strictly downward to existing supernode
+      // keys, so the left join always resolves and depth halves per
+      // iteration (static forest — ≤ log₂(depth)+1 actions).
+      var flat = hook
+      var flatRdd: Option[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]] = None
+      var moved = 1L
+      var jumpIter = 0
+      while (moved > 0) {
+        jumpIter += 1
+        require(jumpIter <= 64, "dupClusters: flatten failed to stabilize" +
+          " (impossible for a downward-pointing forest — internal invariant broken)")
+        val jump = flat
+          .join(flat.select(col("node").as("jn"), col("lbl").as("jl")),
+            col("lbl") === col("jn"), "left")
+          .select(col("node"), col("lbl").as("old_lbl"),
+            coalesce(col("jl"), col("lbl")).as("lbl"))
+        val (jRdd, changed) = materialize(jump)(r => r.get(1) != r.get(2))
+        moved = changed
+        // a superseded flatten step is dead the moment its successor lands
+        flatRdd.foreach(_.unpersist(blocking = false))
+        flatRdd = Some(jRdd)
+        flat = spark.createDataFrame(jRdd, jump.schema).select("node", "lbl")
+      }
+      retained ++= flatRdd
+      // 3a. compose the roots into the original-id mapping: a supernode
+      // whose component already fully contracted no longer appears in
+      // `flat` — the left join keeps its (final) label
+      mapping = Some(mapping match {
+        case None => flat.select(col("node").as("id"), col("lbl").as("cluster"))
+        case Some(m) =>
+          m.join(flat.select(col("node").as("__n"), col("lbl").as("__l")),
+              m("cluster") === col("__n"), "left")
+            .select(m("id"), coalesce(col("__l"), m("cluster")).as("cluster"))
+      })
+      // 3b. contract: relabel both endpoints to their root, drop
+      // self-loops, dedupe; the row count of the result IS the
+      // convergence test (empty ⟺ every component is a single supernode)
+      val contracted = edges
+        .join(flat.select(col("node").as("a"), col("lbl").as("la")), "a")
+        .join(flat.select(col("node").as("b"), col("lbl").as("lb")), "b")
+        .select(least(col("la"), col("lb")).as("a"),
+          greatest(col("la"), col("lb")).as("b"))
+        .filter(col("a") =!= col("b"))
+        .distinct()
+      val (rdd, cnt) = materialize(contracted)(_ => true)
+      retained += rdd
+      eRdd = rdd
+      eCnt = cnt
+      edges = spark.createDataFrame(rdd, e0.schema)
       iter += 1
     }
-    edges.unpersist()
-    // a silent partial propagation would report one component as several
-    // "clusters", each with its own survivor — downstream dedup would keep
-    // duplicates with nothing looking wrong. Fail loudly instead.
-    require(converged,
-      s"dupClusters did not converge in $maxIters rounds (component diameter" +
-        s" exceeds maxIters); raise maxIters")
-    labels.select(col("id"), col("label").as("cluster"))
+    require(eCnt == 0L,
+      s"dupClusters did not contract to empty in $maxIters rounds (the pair" +
+        s" graph is more chain-like than the cap allows); raise maxIters")
+    val result = mapping match {
+      // no edges at all (empty pair list): every id would be its own
+      // cluster, and there are none — an empty (id, cluster) frame
+      case None => pairs.select(col("id_a").as("id"), col("id_a").as("cluster")).limit(0)
+      case Some(m) =>
+        val (mRdd, _) = materialize(m)(_ => true)
+        spark.createDataFrame(mRdd, m.schema)
+    }
+    retained.foreach(_.unpersist(blocking = false))
+    (result, iter)
   }
 
   /** The standard near-dup curation step in one call: Jaccard pairs →

@@ -246,6 +246,35 @@ class ExtensionSpec extends SparkSpec {
     assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 9L -> 9L, 10L -> 9L))
   }
 
+  test("dup clusters: 200-node chains converge in few rounds in BOTH id layouts") {
+    import spark.implicits._
+    // Path graphs are the worst case for connected components (semantic-dup
+    // graphs chain at threshold cosine), and the two id layouts stress the
+    // two different failure modes this operator has had to engineer out:
+    //  - MONOTONE ids (sorted along the chain): the hook forest is one long
+    //    pointer path — plain min-contraction without flattening shifts the
+    //    chain by one per round (~199 rounds); flattening must collapse it
+    //    in ONE contraction round.
+    //  - RANDOMLY PERMUTED ids: label-propagation-with-jump degenerates to
+    //    ~diameter/3 rounds here; hook-flatten-contract must shrink the
+    //    chain geometrically (~5 rounds at diameter 199).
+    // The permuted run also drives enough rounds to regress the RDD-lineage
+    // truncation (dozens of un-checkpointed rounds overflowed the stack).
+    val n = 200
+    val base = (0 until n).toList.map(_.toLong + 5000)
+    for ((ids, layout, maxRounds) <- Seq(
+        (base, "sorted", 2),
+        (new scala.util.Random(42).shuffle(base), "shuffled", 12))) {
+      val pairs = ids.zip(ids.tail).map { case (a, b) => (a, b) }.toDF("id_a", "id_b")
+      val (clusters, rounds) = Dedup.dupClustersWithRounds(pairs)
+      val out = clusters.collect().map(r => r.getLong(0) -> r.getLong(1))
+      assert(out.length === n, layout)
+      assert(out.map(_._2).toSet === Set(5000L), layout)
+      assert(rounds <= maxRounds,
+        s"$layout chain: expected geometric contraction, took $rounds rounds")
+    }
+  }
+
   test("exact dedup keeps lowest tiebreak row and all groups") {
     val out = Dedup.exact(docs, Seq("lang", "source"), "doc_id")
     val groups = docs.select("lang", "source").distinct().count()

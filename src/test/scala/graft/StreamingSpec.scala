@@ -31,6 +31,25 @@ class StreamingSpec extends SparkSpec {
     assert(batch.except(streamed).count() === 0)
   }
 
+  test("runAvailableNow bounds state width for the run and restores the session") {
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    // the run completes at the bounded width with the same rows...
+    EventsStream.runAvailableNow(
+      EventsStream.windowedCounts(EventsStream.readEvents(spark, dir)),
+      "width_probe", outputMode = "complete", statePartitions = 3)
+    assert(spark.table("width_probe").count() > 0)
+    // ...and the session's batch setting is back untouched
+    assert(spark.conf.get("spark.sql.shuffle.partitions") === before)
+    // ... and restores even when the stream fails to start/run
+    intercept[Exception] {
+      EventsStream.runAvailableNow(
+        spark.readStream.schema(EventsStream.rawSchema)
+          .parquet("/nonexistent-graft-dir").groupBy("event_type").count(),
+        "width_probe_fail", outputMode = "complete", statePartitions = 3)
+    }
+    assert(spark.conf.get("spark.sql.shuffle.partitions") === before)
+  }
+
   test("stream-stream interval join == batch interval join") {
     def side(tpe: String, idAs: String) = EventsStream.readEvents(spark, dir)
       .filter(col("event_type") === tpe)
