@@ -325,14 +325,21 @@ object Dedup {
     // every operator-internal cache.
     val retained = scala.collection.mutable.ArrayBuffer
       .empty[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]]
+    // self-pairs (x,x) are kept through the ONE materialization of the
+    // input (so the upstream pair plan — often an expensive Jaccard query —
+    // is never re-evaluated) but excluded from the edge count and the
+    // contraction: they contribute no connectivity, yet their ids still owe
+    // a singleton (id, id) output row under this operator's every-id
+    // contract. No real pair generator emits them; the cost is one filter
+    // over the cached RDD.
     val e0 = pairs
       .select(least(col("id_a"), col("id_b")).as("a"),
         greatest(col("id_a"), col("id_b")).as("b"))
-      .filter(col("a") =!= col("b"))
       .distinct()
-    var (eRdd, eCnt) = materialize(e0)(_ => true)
+    var (eRdd, eCnt) = materialize(e0)(r => r.get(0) != r.get(1))
     retained += eRdd
     var edges = spark.createDataFrame(eRdd, e0.schema)
+      .filter(col("a") =!= col("b"))
     var mapping: Option[DataFrame] = None
     var iter = 0
     while (eCnt > 0 && iter < maxIters) {
@@ -399,14 +406,18 @@ object Dedup {
     require(eCnt == 0L,
       s"dupClusters did not contract to empty in $maxIters rounds (the pair" +
         s" graph is more chain-like than the cap allows); raise maxIters")
-    val result = mapping match {
-      // no edges at all (empty pair list): every id would be its own
-      // cluster, and there are none — an empty (id, cluster) frame
-      case None => pairs.select(col("id_a").as("id"), col("id_a").as("cluster")).limit(0)
-      case Some(m) =>
-        val (mRdd, _) = materialize(m)(_ => true)
-        spark.createDataFrame(mRdd, m.schema)
+    // singleton rows for ids seen ONLY as self-pairs (cluster = the id
+    // itself); reads the already-cached input RDD, materialized into the
+    // final result BEFORE the intermediates are freed
+    val selfOnly = spark.createDataFrame(retained.head, e0.schema)
+      .filter(col("a") === col("b"))
+      .select(col("a").as("id"), col("b").as("cluster"))
+    val resultPlan = mapping match {
+      case None => selfOnly
+      case Some(m) => m.union(selfOnly.join(m, Seq("id"), "left_anti"))
     }
+    val (mRdd, _) = materialize(resultPlan)(_ => true)
+    val result = spark.createDataFrame(mRdd, resultPlan.schema)
     retained.foreach(_.unpersist(blocking = false))
     (result, iter)
   }

@@ -275,6 +275,20 @@ class ExtensionSpec extends SparkSpec {
     }
   }
 
+  test("dup clusters: self-pairs yield singleton rows; empty input yields empty") {
+    import spark.implicits._
+    // (7,7) is an id seen ONLY as a self-pair — no connectivity, but the
+    // every-id contract still owes it a singleton row; (1,1) also appears
+    // in a real pair and must NOT be duplicated by the singleton path
+    val pairs = Seq((1L, 2L), (1L, 1L), (7L, 7L)).toDF("id_a", "id_b")
+    val out = Dedup.dupClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 1L, 2L -> 1L, 7L -> 7L))
+    val empty = Dedup.dupClusters(pairs.limit(0))
+    assert(empty.columns.toSeq === Seq("id", "cluster"))
+    assert(empty.count() === 0)
+  }
+
   test("exact dedup keeps lowest tiebreak row and all groups") {
     val out = Dedup.exact(docs, Seq("lang", "source"), "doc_id")
     val groups = docs.select("lang", "source").distinct().count()
