@@ -64,6 +64,27 @@ class PlanSpec extends SparkSpec {
     assert(allPairs(physicalPlan("d05_dedup_embedding_cosine")))
   }
 
+  test("d02: shingle set materializes with no exchange of its own") {
+    // The distinct (doc, shingle) set is per-doc array_distinct before the
+    // explode — doc_id is part of the key, so a global `.distinct()` would
+    // be a redundant full exchange of the corpus's largest intermediate.
+    // Pin: no Exchange between the parquet scan and the Generate(explode)
+    // — the set materializes in the scan stage. Built with
+    // persistShingles = false so the subplan is visible (the cached form
+    // would collapse it into an InMemoryTableScan).
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val plan = graft.operators.Dedup
+      .ngramJaccardPairs(docs, "doc_id", "text", persistShingles = false)
+      .queryExecution.executedPlan.toString
+    val lines = plan.linesIterator.toVector
+    val gen = lines.indexWhere(_.contains("Generate explode"))
+    val scan = lines.indexWhere(_.contains("Scan parquet"), gen)
+    assert(gen >= 0 && scan > gen, s"expected explode-over-scan:\n${plan.take(800)}")
+    val between = lines.slice(gen, scan + 1)
+    assert(!between.exists(_.contains("Exchange")),
+      s"shingle set must not shuffle before the self-join:\n${between.mkString("\n")}")
+  }
+
   test("s04: centroid table broadcasts; corpus never moves for assignment") {
     val plan = physicalPlan("s04_sim_ann_ivf")
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
