@@ -486,7 +486,7 @@ object Similarity {
     val comps = signs.zipWithIndex.map { case (sv, p) =>
       struct(lit(p).as("p"), dot(v, lit(sv)).as("y"))
     }
-    df.select(col(idCol), explode(array(comps: _*)).as("c"))
+    df.select(col(idCol), explode(array(comps.toIndexedSeq: _*)).as("c"))
       .select(col(idCol), col("c.p").as("dim"), col("c.y").as("y"))
   }
 

@@ -61,7 +61,7 @@ object EwmaStream {
     }
     val s0 = state.getOption.getOrElse(EwmaState(0.0, 0L, Long.MinValue, Nil))
     val arrived = events.map(e => (e.ts_us, e.tie, e.v)).toList
-    val wmUs = state.getCurrentWatermarkMs * 1000
+    val wmUs = state.getCurrentWatermarkMs() * 1000
     // fold only events STRICTLY below the watermark — an event AT the
     // watermark could still be joined by an equal-ts, smaller-tie late
     // arrival, and folding it early would break (ts, tie) order parity
@@ -71,7 +71,7 @@ object EwmaStream {
     state.update(EwmaState(acc, n, lastTs, pending))
     // must be strictly beyond the current watermark or Spark rejects it
     state.setTimeoutTimestamp(
-      math.max(state.getCurrentWatermarkMs + 1, lastTs / 1000 + IdleTtlMillis))
+      math.max(state.getCurrentWatermarkMs() + 1, lastTs / 1000 + IdleTtlMillis))
     Iterator.empty
   }
 

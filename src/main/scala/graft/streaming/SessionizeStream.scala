@@ -46,7 +46,7 @@ object SessionizeStream {
       state.update(OpenSession(s.sessionNo, s.lastTs, 0, 0))
       // must be strictly beyond the current watermark or Spark rejects it
       state.setTimeoutTimestamp(
-        math.max(state.getCurrentWatermarkMs + 1, s.lastTs / 1000 + MarkerTtlMillis))
+        math.max(state.getCurrentWatermarkMs() + 1, s.lastTs / 1000 + MarkerTtlMillis))
       return Iterator.single(Session(userId, s.sessionNo, s.nEvents, s.firstEvent))
     }
     val sorted = events.toArray.sortBy(e => (e.ts_us, e.event_id))
