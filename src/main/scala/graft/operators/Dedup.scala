@@ -116,20 +116,76 @@ object Dedup {
                               idCol: String, textCol: String,
                               k: Int = 4, threshold: Double = 0.5,
                               persistShingles: Boolean = true): DataFrame = {
-    val shF = shingleSet(fresh, idCol, textCol, k, persistShingles)
     val shC = shingleSet(corpus, idCol, textCol, k, persistShingles)
+    screenAgainst(shingleSet(fresh, idCol, textCol, k, persistShingles),
+      shC, shC.groupBy(col(idCol)).agg(count(lit(1)).as("set_size")),
+      idCol, threshold)
+  }
+
+  /** The shared fresh-vs-corpus screen: intersect counts from the shingle
+    * join, Jaccard from the per-side set sizes. `shC`/`sizeC` carry
+    * (`idCol`, shingle) and (`idCol`, set_size).
+    */
+  private def screenAgainst(shF: DataFrame, shC: DataFrame, sizeC: DataFrame,
+                            idCol: String, threshold: Double): DataFrame = {
     val sizeF = shF.groupBy(col(idCol)).agg(count(lit(1)).as("size_f"))
-    val sizeC = shC.groupBy(col(idCol)).agg(count(lit(1)).as("size_c"))
     shF.select(col(idCol).as("fresh_id"), col("shingle"))
       .join(shC.select(col(idCol).as("corpus_id"), col("shingle")), Seq("shingle"))
       .groupBy("fresh_id", "corpus_id")
       .agg(count(lit(1)).as("inter"))
       .join(sizeF.select(col(idCol).as("fresh_id"), col("size_f")), Seq("fresh_id"))
-      .join(sizeC.select(col(idCol).as("corpus_id"), col("size_c")), Seq("corpus_id"))
+      .join(sizeC.select(col(idCol).as("corpus_id"),
+        col("set_size").as("size_c")), Seq("corpus_id"))
       .withColumn("jaccard",
         col("inter") / (col("size_f") + col("size_c") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select("fresh_id", "corpus_id", "jaccard")
+  }
+
+  /** Names of the two warehouse tables that make up a standing shingle
+    * index: the (id, shingle) set bucketed+sorted by `shingle` (the probe
+    * join key) and the per-doc set sizes bucketed by `idCol` (the
+    * post-aggregation join key).
+    */
+  final case class ShingleIndex(shingles: String, sizes: String)
+
+  /** Materialize the standing shingle index for `corpus` — the SCALE.md
+    * "standing index" escape for the Jaccard family's corpus-scale
+    * intermediate: instead of persisting (or recomputing) the shingle set
+    * per job, write it ONCE as a bucketed warehouse layout and run every
+    * later consumer against the tables. Each daily
+    * [[incrementalJaccardPairsIndexed]] screen then shuffles ONLY the
+    * fresh batch: the corpus side of the probe join reads pre-bucketed,
+    * pre-sorted files with no Exchange (the q33 zero-exchange pattern,
+    * PlanSpec-pinned), and the sizes join likewise. `k` and `buckets` are
+    * part of the layout contract — screen with the same `k` the index was
+    * built with.
+    */
+  def writeShingleIndex(corpus: DataFrame, idCol: String, textCol: String,
+                        index: ShingleIndex, k: Int = 4,
+                        buckets: Int = 16): ShingleIndex = {
+    val spark = corpus.sparkSession
+    val sh = shingleSet(corpus, idCol, textCol, k, persist = true)
+    graft.sources.BucketedLake.writeBucketedTable(spark, index.shingles,
+      sh, "shingle", buckets)
+    graft.sources.BucketedLake.writeBucketedTable(spark, index.sizes,
+      sh.groupBy(col(idCol)).agg(count(lit(1)).as("set_size")), idCol, buckets)
+    sh.unpersist()
+    index
+  }
+
+  /** [[incrementalJaccardPairs]] against a standing [[ShingleIndex]]
+    * instead of a corpus DataFrame — identical results when the index was
+    * built from the same corpus with the same `k` (spec-pinned); per-ingest
+    * cost ∝ the fresh batch, with the corpus never re-shuffled.
+    */
+  def incrementalJaccardPairsIndexed(fresh: DataFrame, index: ShingleIndex,
+                                     idCol: String, textCol: String,
+                                     k: Int = 4,
+                                     threshold: Double = 0.5): DataFrame = {
+    val spark = fresh.sparkSession
+    screenAgainst(shingleSet(fresh, idCol, textCol, k),
+      spark.table(index.shingles), spark.table(index.sizes), idCol, threshold)
   }
 
   /** MinHash + LSH near-dup pairs: signature → band keys → bucket self-join

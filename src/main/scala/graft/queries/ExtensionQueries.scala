@@ -29,6 +29,18 @@ object ExtensionQueries {
     */
   private val sinkCounter = new java.util.concurrent.atomic.AtomicLong(0)
 
+  /** Build (once per session + sf dir) the d12 standing shingle index over
+    * the sub-400 corpus; k=4 and the bucket count are part of the layout
+    * identity via the table-name suffix.
+    */
+  private def ensureShingleIndex(s: org.apache.spark.sql.SparkSession,
+                                 dir: String,
+                                 corpus: org.apache.spark.sql.DataFrame) = {
+    val suffix = graft.sources.BucketedLake.layoutSuffix(dir + "#shingle_k4", 16)
+    Dedup.writeShingleIndex(corpus, "doc_id", "text",
+      Dedup.ShingleIndex(s"shingle_idx_$suffix", s"shingle_sz_$suffix"))
+  }
+
   /** Gap-based session numbering (30-min inactivity): every event tagged
     * with its (user_id, session_no) — the shared batch core of e01
     * (session aggregation) and e08 (session intervals as range-join input).
@@ -328,6 +340,38 @@ object ExtensionQueries {
       Dedup.incrementalJaccardPairs(
         docs.filter(col("doc_id") >= 400), docs.filter(col("doc_id") < 400),
         "doc_id", "text")
+        .orderBy("fresh_id", "corpus_id")
+    },
+
+    // The same screen served from the STANDING bucketed shingle index
+    // (SCALE.md's amortized ingest shape): the corpus (id, shingle) set and
+    // its sizes live as bucketed+sorted warehouse tables written once; each
+    // ingest probes them with no corpus-side exchange (PlanSpec pins the
+    // bucketed scan). Semantics are identical to d11 by construction, so
+    // the d11 oracle applies verbatim.
+    "d12_dedup_incremental_indexed" -> of(
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] AS shingle
+        |  FROM toks, UNNEST(range(1, len(tk) - 2)) AS u(i)),
+        |sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT f.doc_id AS fresh_id, c.doc_id AS corpus_id, COUNT(*) AS inter
+        |  FROM sh f JOIN sh c ON f.shingle = c.shingle
+        |  WHERE f.doc_id >= 400 AND c.doc_id < 400
+        |  GROUP BY f.doc_id, c.doc_id)
+        |SELECT fresh_id, corpus_id,
+        |  inter / (sf.set_size + sc.set_size - inter) AS jaccard
+        |FROM inter
+        |JOIN sizes sf ON sf.doc_id = fresh_id
+        |JOIN sizes sc ON sc.doc_id = corpus_id
+        |WHERE inter / (sf.set_size + sc.set_size - inter) >= 0.5
+        |ORDER BY fresh_id, corpus_id""") { (s, d) =>
+      val docs = t(s, d, "documents")
+      val idx = ensureShingleIndex(s, d, docs.filter(col("doc_id") < 400))
+      Dedup.incrementalJaccardPairsIndexed(
+        docs.filter(col("doc_id") >= 400), idx, "doc_id", "text")
         .orderBy("fresh_id", "corpus_id")
     },
 

@@ -19,39 +19,51 @@ object BucketedLake {
 
   final case class Tables(orders: String, lineitem: String)
 
-  def ensure(spark: SparkSession, dir: String, buckets: Int = 8): Tables = {
-    // the bucket count is part of the layout identity: a table cached by an
-    // earlier call with a different `buckets` must not be silently reused
-    val suffix = java.lang.Long.toHexString(
+  /** A layout-identity suffix for derived bucketed tables: same source dir
+    * + same bucket count ⟺ same table name, so a session never silently
+    * reuses a layout built with different parameters.
+    */
+  private[graft] def layoutSuffix(dir: String, buckets: Int): String =
+    java.lang.Long.toHexString(
       scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xFFFFFFFFL) +
       s"_b$buckets"
-    val tables = Tables(s"orders_bkt_$suffix", s"lineitem_bkt_$suffix")
-    def write(name: String, df: DataFrame, key: String): Unit =
-      if (!spark.catalog.tableExists(name)) {
-        // the in-memory catalog forgets tables across JVMs but the warehouse
-        // files persist; the layout is a derived cache, so clear stale files
-        // (CREATE TABLE AS validates the location even in Overwrite mode).
-        // hadoop Path handles unencoded/scheme-less warehouse dirs where
-        // java.net.URI would throw or yield a null path
-        val warehouse = new org.apache.hadoop.fs.Path(
-          spark.conf.get("spark.sql.warehouse.dir")).toUri.getPath
-        val stale = new java.io.File(warehouse, name)
-        if (stale.exists()) {
-          def rm(f: java.io.File): Unit = {
-            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-          }
-          rm(stale)
+
+  /** Write `df` as a bucketed+sorted-by-`key` warehouse table unless it
+    * already exists in this session's catalog. The in-memory catalog
+    * forgets tables across JVMs but the warehouse files persist; the
+    * layout is a derived cache, so stale files from earlier JVMs are
+    * cleared first (CREATE TABLE AS validates the location even in
+    * Overwrite mode).
+    */
+  private[graft] def writeBucketedTable(spark: SparkSession, name: String,
+                                        df: DataFrame, key: String,
+                                        buckets: Int): Unit =
+    if (!spark.catalog.tableExists(name)) {
+      // hadoop Path handles unencoded/scheme-less warehouse dirs where
+      // java.net.URI would throw or yield a null path
+      val warehouse = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir")).toUri.getPath
+      val stale = new java.io.File(warehouse, name)
+      if (stale.exists()) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
         }
-        df.write.mode(SaveMode.Overwrite)
-          .bucketBy(buckets, key).sortBy(key)
-          .format("parquet").saveAsTable(name)
+        rm(stale)
       }
-    write(tables.orders,
+      df.write.mode(SaveMode.Overwrite)
+        .bucketBy(buckets, key).sortBy(key)
+        .format("parquet").saveAsTable(name)
+    }
+
+  def ensure(spark: SparkSession, dir: String, buckets: Int = 8): Tables = {
+    val suffix = layoutSuffix(dir, buckets)
+    val tables = Tables(s"orders_bkt_$suffix", s"lineitem_bkt_$suffix")
+    writeBucketedTable(spark, tables.orders,
       spark.read.parquet(s"$dir/orders.parquet")
-        .select("o_orderkey", "o_custkey", "o_totalprice"), "o_orderkey")
-    write(tables.lineitem,
+        .select("o_orderkey", "o_custkey", "o_totalprice"), "o_orderkey", buckets)
+    writeBucketedTable(spark, tables.lineitem,
       spark.read.parquet(s"$dir/lineitem.parquet")
-        .select(col("l_orderkey"), col("l_quantity")), "l_orderkey")
+        .select(col("l_orderkey"), col("l_quantity")), "l_orderkey", buckets)
     tables
   }
 }

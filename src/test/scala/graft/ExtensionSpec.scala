@@ -275,6 +275,21 @@ class ExtensionSpec extends SparkSpec {
     }
   }
 
+  test("indexed incremental screen == direct incremental screen") {
+    // the standing-index variant must be a pure layout change: same rows,
+    // same jaccard values as screening against the corpus DataFrame
+    val fresh = docs.filter(col("doc_id") >= 400)
+    val corpus = docs.filter(col("doc_id") < 400)
+    val idx = Dedup.writeShingleIndex(corpus, "doc_id", "text",
+      Dedup.ShingleIndex("spec_shingle_idx", "spec_shingle_sz"))
+    val direct = Dedup.incrementalJaccardPairs(fresh, corpus, "doc_id", "text")
+      .collect().map(_.toString).sorted
+    val indexed = Dedup.incrementalJaccardPairsIndexed(fresh, idx, "doc_id", "text")
+      .collect().map(_.toString).sorted
+    assert(indexed.nonEmpty)
+    assert(indexed.toSeq === direct.toSeq)
+  }
+
   test("dup clusters: self-pairs yield singleton rows; empty input yields empty") {
     import spark.implicits._
     // (7,7) is an id seen ONLY as a self-pair — no connectivity, but the

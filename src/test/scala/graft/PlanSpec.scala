@@ -85,6 +85,24 @@ class PlanSpec extends SparkSpec {
       s"shingle set must not shuffle before the self-join:\n${between.mkString("\n")}")
   }
 
+  test("d12: standing shingle index reads bucketed, corpus side never exchanges") {
+    val plan = physicalPlan("d12_dedup_incremental_indexed")
+    // the index table must actually be read through its bucketed layout
+    assert(plan.contains("Bucketed: true"), plan.take(1200))
+    // and no Exchange may sit between the probe join and the index scan —
+    // the whole point of the layout is that each ingest never re-shuffles
+    // the corpus side (the fresh side exchanging/broadcasting is fine)
+    val lines = plan.linesIterator.toVector
+    val scanIdx = lines.indexWhere(_.contains("shingle_idx_"))
+    assert(scanIdx > 0, s"expected a scan of the shingle index:\n${plan.take(1200)}")
+    val joinIdx = lines.lastIndexWhere(_.contains("Join"), scanIdx)
+    assert(joinIdx >= 0)
+    val branch = lines.slice(joinIdx + 1, scanIdx + 1)
+      .filterNot(_.contains("BroadcastExchange")) // fresh-side broadcast, other branch
+    assert(!branch.exists(_.contains("Exchange")),
+      s"index side must not exchange:\n${branch.mkString("\n")}")
+  }
+
   test("s04: centroid table broadcasts; corpus never moves for assignment") {
     val plan = physicalPlan("s04_sim_ann_ivf")
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
