@@ -37,5 +37,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
               "docroot" -> "https://spark.apache.org/docs/latest"))
         DotProduct(exprs(0), exprs(1))
       }))
+    // The explicit runtime-filter pair (see NativeFunctions.registerBloom):
+    // internal Spark expressions surfaced under graft_ names so pure-SQL
+    // sessions can build/probe bloom sketches for semi-join reductions.
+    ext.injectFunction((
+      FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "graft_bloom_agg"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          exprs(0), exprs(1), exprs(2))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "graft_might_contain"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          exprs(0), exprs(1))))
   }
 }

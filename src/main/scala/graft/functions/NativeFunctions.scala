@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.functions.{call_function, lit}
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
 /** Native Catalyst expressions for the numeric hot path (SURVEY §4.2: custom
@@ -118,4 +118,69 @@ object NativeFunctions {
     register(spark)
     call_function("dot_product", a, b)
   }
+
+  /** Spark's own runtime-filter primitives — `BloomFilterAggregate` /
+    * `BloomFilterMightContain`, the expression pair `InjectRuntimeFilter`
+    * plants to prune a shuffle join's probe side — exposed as callable
+    * functions (they are not in the public registry). An operator can then
+    * apply an EXPLICIT semi-join reduction where the optimizer's heuristic
+    * (a selective scan-level filter on the build side, creation-side size
+    * thresholds) can never fire: in the dedup screen the "build side" is an
+    * entire small table, not a filtered one. Both expressions are
+    * codegen-friendly; the sketch rides the plan as a BINARY literal and
+    * ships to executors once with the task closure.
+    */
+  private def registerBloom(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    val ident = org.apache.spark.sql.catalyst.FunctionIdentifier("graft_might_contain")
+    val alreadyOurs = registry.functionExists(ident) &&
+      (try {
+        val bloomProbe = org.apache.spark.sql.catalyst.expressions.Literal.create(
+          null, org.apache.spark.sql.types.BinaryType)
+        val valueProbe = org.apache.spark.sql.catalyst.expressions.Literal(0L)
+        registry.lookupFunction(ident, Seq(bloomProbe, valueProbe))
+          .isInstanceOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain]
+      } catch { case _: Throwable => false })
+    if (!alreadyOurs) {
+      registry.createOrReplaceTempFunction("graft_bloom_agg",
+        exprs => new org.apache.spark.sql.catalyst.expressions.aggregate
+          .BloomFilterAggregate(exprs(0), exprs(1), exprs(2)),
+        "built-in")
+      registry.createOrReplaceTempFunction("graft_might_contain",
+        exprs => org.apache.spark.sql.catalyst.expressions
+          .BloomFilterMightContain(exprs(0), exprs(1)),
+        "built-in")
+    }
+  }
+
+  /** Build a bloom filter over `hash` (a LONG column, conventionally
+    * `xxhash64(...)`) across all rows of `df`, returning the serialized
+    * sketch (`BloomFilterImpl` format, the one [[mightContain]] reads).
+    * Runs one job over `df` — call it on the SMALL side of a planned
+    * reduction. Returns null on empty input (no rows → no sketch).
+    *
+    * Sizing is a cost knob, never a correctness one: oversizing `numBits`
+    * costs sketch bytes, undersizing costs false-positive probe rows that
+    * the downstream exact join drops anyway.
+    */
+  def bloomAggBytes(df: org.apache.spark.sql.DataFrame, hash: Column,
+                    expectedItems: Long, numBits: Long): Array[Byte] = {
+    registerBloom(df.sparkSession)
+    df.select(call_function("graft_bloom_agg", hash,
+        lit(expectedItems), lit(numBits)))
+      .head().getAs[Array[Byte]](0)
+  }
+
+  /** Membership probe against a [[bloomAggBytes]] sketch: true if `hash`
+    * might be in the set, false only when it is definitely absent — the
+    * no-false-negatives guarantee that makes a bloom prefilter semantics-
+    * preserving in front of any exact join. A null `bloom` (empty build
+    * side) yields a constant-false filter: nothing can match.
+    */
+  def mightContain(spark: SparkSession, bloom: Array[Byte], hash: Column): Column =
+    if (bloom == null) lit(false)
+    else {
+      registerBloom(spark)
+      call_function("graft_might_contain", lit(bloom), hash)
+    }
 }

@@ -188,6 +188,44 @@ object Dedup {
       spark.table(index.shingles), spark.table(index.sizes), idCol, threshold)
   }
 
+  /** [[incrementalJaccardPairs]] with a bloom semi-join reduction on the
+    * corpus side — the third point in the ingest-screen design space
+    * (direct / standing-index / bloom-pruned):
+    *
+    * A bloom sketch is built over the FRESH batch's shingle hashes (one job
+    * over the small side; the sketch is ≤ `numBits/8` bytes and rides the
+    * plan as a literal), and the CORPUS shingle stream is pruned by
+    * `might_contain` before the shuffle join. The big shuffle's corpus side
+    * then carries only shingles that might also occur in today's batch —
+    * at daily-ingest ratios ~|fresh shingles| + fpp·|corpus| rows instead
+    * of |corpus| rows. False positives are dropped by the exact join and
+    * false negatives cannot occur, so results are identical to the direct
+    * screen (spec-pinned; the d11 oracle applies verbatim).
+    *
+    * Spark's own `InjectRuntimeFilter` plants exactly this expression pair,
+    * but only under its heuristics (a selective scan-level filter on the
+    * build side); a whole-small-table build side never qualifies, hence the
+    * explicit operator. The full-corpus pass for the Jaccard denominators
+    * (per-doc set sizes) remains — that aggregation ships one row per doc
+    * after map-side partial aggregation, not one per shingle, so the
+    * shingle-key join shuffle this prunes is the dominant mover.
+    */
+  def incrementalJaccardPairsBloomed(fresh: DataFrame, corpus: DataFrame,
+                                     idCol: String, textCol: String,
+                                     k: Int = 4, threshold: Double = 0.5,
+                                     expectedFreshShingles: Long = 1L << 20,
+                                     bloomBits: Long = 1L << 23,
+                                     persistShingles: Boolean = true): DataFrame = {
+    val shF = shingleSet(fresh, idCol, textCol, k, persistShingles)
+    val shC = shingleSet(corpus, idCol, textCol, k, persistShingles)
+    val sizeC = shC.groupBy(col(idCol)).agg(count(lit(1)).as("set_size"))
+    val bloom = graft.functions.NativeFunctions.bloomAggBytes(
+      shF, xxhash64(col("shingle")), expectedFreshShingles, bloomBits)
+    val pruned = shC.filter(graft.functions.NativeFunctions.mightContain(
+      shC.sparkSession, bloom, xxhash64(col("shingle"))))
+    screenAgainst(shF, pruned, sizeC, idCol, threshold)
+  }
+
   /** MinHash + LSH near-dup pairs: signature → band keys → bucket self-join
     * (candidates) → exact Jaccard verification ≥ threshold.
     *

@@ -343,6 +343,38 @@ object ExtensionQueries {
         .orderBy("fresh_id", "corpus_id")
     },
 
+    // The same screen with a BLOOM semi-join reduction (Spark's own
+    // runtime-filter expression pair, applied explicitly): a sketch of the
+    // fresh batch's shingle hashes prunes the corpus side of the shuffle
+    // join to ~|fresh| + fpp·|corpus| rows. No false negatives → identical
+    // results, so the d11 oracle applies verbatim; PlanSpec pins the
+    // might_contain filter on the corpus branch.
+    "d13_dedup_incremental_bloom" -> of(
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] AS shingle
+        |  FROM toks, UNNEST(range(1, len(tk) - 2)) AS u(i)),
+        |sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT f.doc_id AS fresh_id, c.doc_id AS corpus_id, COUNT(*) AS inter
+        |  FROM sh f JOIN sh c ON f.shingle = c.shingle
+        |  WHERE f.doc_id >= 400 AND c.doc_id < 400
+        |  GROUP BY f.doc_id, c.doc_id)
+        |SELECT fresh_id, corpus_id,
+        |  inter / (sf.set_size + sc.set_size - inter) AS jaccard
+        |FROM inter
+        |JOIN sizes sf ON sf.doc_id = fresh_id
+        |JOIN sizes sc ON sc.doc_id = corpus_id
+        |WHERE inter / (sf.set_size + sc.set_size - inter) >= 0.5
+        |ORDER BY fresh_id, corpus_id""") { (s, d) =>
+      val docs = t(s, d, "documents")
+      Dedup.incrementalJaccardPairsBloomed(
+        docs.filter(col("doc_id") >= 400), docs.filter(col("doc_id") < 400),
+        "doc_id", "text")
+        .orderBy("fresh_id", "corpus_id")
+    },
+
     // The same screen served from the STANDING bucketed shingle index
     // (SCALE.md's amortized ingest shape): the corpus (id, shingle) set and
     // its sizes live as bucketed+sorted warehouse tables written once; each

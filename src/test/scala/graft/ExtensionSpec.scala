@@ -290,6 +290,26 @@ class ExtensionSpec extends SparkSpec {
     assert(indexed.toSeq === direct.toSeq)
   }
 
+  test("bloomed incremental screen == direct incremental screen; empty fresh side is empty") {
+    // the bloom prefilter must be a pure shuffle reduction: no false
+    // negatives, so same rows and jaccard values as the direct screen —
+    // even with a deliberately undersized sketch (high fpp only costs
+    // shuffle rows, never correctness)
+    val fresh = docs.filter(col("doc_id") >= 400)
+    val corpus = docs.filter(col("doc_id") < 400)
+    val direct = Dedup.incrementalJaccardPairs(fresh, corpus, "doc_id", "text")
+      .collect().map(_.toString).sorted
+    val bloomed = Dedup.incrementalJaccardPairsBloomed(fresh, corpus, "doc_id", "text",
+      expectedFreshShingles = 64, bloomBits = 512)
+      .collect().map(_.toString).sorted
+    assert(bloomed.nonEmpty)
+    assert(bloomed.toSeq === direct.toSeq)
+    // empty fresh side → null sketch → constant-false prefilter, not an NPE
+    val none = Dedup.incrementalJaccardPairsBloomed(
+      fresh.filter(lit(false)), corpus, "doc_id", "text")
+    assert(none.count() === 0)
+  }
+
   test("dup clusters: self-pairs yield singleton rows; empty input yields empty") {
     import spark.implicits._
     // (7,7) is an id seen ONLY as a self-pair — no connectivity, but the

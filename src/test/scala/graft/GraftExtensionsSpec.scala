@@ -29,6 +29,33 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(e.getMessage.contains("dot_product"))
   }
 
+  test("GraftExtensions injects the bloom runtime-filter pair") {
+    val ext = new SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    val registry = GraftExtensionsProbe.applyInjections(ext)
+    assert(registry.functionExists(FunctionIdentifier("graft_bloom_agg")))
+    assert(registry.functionExists(FunctionIdentifier("graft_might_contain")))
+  }
+
+  test("bloom sketch round-trips through SQL build + probe") {
+    import spark.implicits._
+    Seq("a", "b", "c", "d").toDF("s").createOrReplaceTempView("bloom_build")
+    val bloom = NativeFunctions.bloomAggBytes(
+      spark.table("bloom_build"),
+      org.apache.spark.sql.functions.xxhash64(
+        org.apache.spark.sql.functions.col("s")),
+      expectedItems = 100L, numBits = 1024L)
+    assert(bloom != null)
+    val hits = Seq("a", "zz", "b").toDF("s")
+      .filter(NativeFunctions.mightContain(spark, bloom,
+        org.apache.spark.sql.functions.xxhash64(
+          org.apache.spark.sql.functions.col("s"))))
+      .as[String].collect().sorted
+    // "a" and "b" MUST hit (no false negatives); "zz" may only slip in as
+    // a false positive, impossible here at 1024 bits over 4 items
+    assert(hits.toSeq === Seq("a", "b"))
+  }
+
   test("lazy registration is idempotent and SQL-visible") {
     NativeFunctions.register(spark)
     NativeFunctions.register(spark) // second call must be a silent no-op

@@ -103,6 +103,21 @@ class PlanSpec extends SparkSpec {
       s"index side must not exchange:\n${branch.mkString("\n")}")
   }
 
+  test("d13: bloom prefilter sits on the corpus branch before the shuffle join") {
+    val plan = physicalPlan("d13_dedup_incremental_bloom")
+    // the semi-join reduction must actually be planted: a might_contain
+    // filter pruning the corpus shingle stream BEFORE its exchange, so the
+    // big shuffle ships only possibly-matching shingles
+    assert(plan.contains("might_contain"),
+      s"expected a might_contain prefilter:\n${plan.take(1200)}")
+    val lines = plan.linesIterator.toVector
+    val filterIdx = lines.indexWhere(_.contains("might_contain"))
+    // an Exchange must appear ABOVE the bloom filter (nearer the join),
+    // i.e. the filter runs scan-side, below the corpus branch's shuffle
+    assert(lines.take(filterIdx).exists(_.contains("Exchange")),
+      s"bloom filter must run below the corpus-side exchange:\n${plan.take(1500)}")
+  }
+
   test("s04: centroid table broadcasts; corpus never moves for assignment") {
     val plan = physicalPlan("s04_sim_ann_ivf")
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
