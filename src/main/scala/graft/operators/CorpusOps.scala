@@ -312,4 +312,48 @@ object CorpusOps {
       .orderBy(col("doc_freq").desc, col("tok"))
       .limit(k)
   }
+
+  /** Exact duplicated-substring spans — the exact-match dedup shape of
+    * "Deduplicating Training Data Makes Language Models Better" (Lee et
+    * al. 2021) re-expressed relationally: instead of a corpus-wide suffix
+    * array, every k-token window is a positioned shingle, windows whose
+    * text occurs in ≥ `minDocs` distinct docs survive, and per-doc runs of
+    * surviving windows merge (gaps-and-islands) into maximal spans. Output:
+    * one row per (doc, span) — `span_start`/`span_end` inclusive 0-based
+    * token indices, `span_tokens` its length — the cut-list a curation
+    * pass needs to excise boilerplate/licenses/copy-pasta from documents
+    * rather than dropping them whole.
+    *
+    * Plan shape: scan-stage window projection (no shuffle) → one shuffle
+    * on the window text for the distinct-doc count (both aggregation
+    * phases partial-combine) → one shuffle join positions-vs-duplicated
+    * windows → one doc-key window pass for the merge. At 100 TB the join
+    * key should be `xxhash64(window)` rather than the window text (8-byte
+    * shuffle keys; a 64-bit collision can only conjure a FALSE duplicate
+    * window, never lose one) — kept as text here so the contract is
+    * hash-free and engine-reproducible.
+    */
+  def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+                     k: Int = 8, minDocs: Int = 2): DataFrame = {
+    val win = docs.select(col(idCol),
+      posexplode(wordShingles(tokens(col(textCol)), k)).as(Seq("pos", "win")))
+    val dup = win.groupBy("win")
+      .agg(countDistinct(col(idCol)).as("df"))
+      .filter(col("df") >= minDocs)
+      .select("win")
+    val hits = win.join(dup, Seq("win")).select(col(idCol), col("pos"))
+    val byPos = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    // gaps-and-islands: a window starting more than k past its predecessor
+    // opens a new span (<= k overlaps or is contiguous with the previous
+    // window's [pos, pos+k-1] coverage); first row's null lag -> otherwise 0
+    hits
+      .withColumn("new_span",
+        when(col("pos") > lag(col("pos"), 1).over(byPos) + lit(k), 1).otherwise(0))
+      .withColumn("span_no", sum(col("new_span")).over(byPos))
+      .groupBy(col(idCol), col("span_no"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + lit(k - 1)).as("span_end"))
+      .withColumn("span_tokens", col("span_end") - col("span_start") + 1)
+      .select(col(idCol), col("span_start"), col("span_end"), col("span_tokens"))
+  }
 }

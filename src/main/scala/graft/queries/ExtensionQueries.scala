@@ -1077,6 +1077,39 @@ object ExtensionQueries {
         .orderBy("doc_id")
     },
 
+    // Exact duplicated-substring spans (Lee et al. 2021's exact-match dedup
+    // shape): k-token windows shared across >= 2 docs, merged per doc into
+    // maximal spans — the cut-list for excising boilerplate instead of
+    // dropping whole documents. Hash-free contract (window TEXT is the key),
+    // so the oracle rebuilds it verbatim: positioned shingles → distinct-doc
+    // count → gaps-and-islands merge.
+    "t18_dup_spans" -> of(
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |win AS (
+        |  SELECT doc_id, i - 1 AS pos,
+        |    tk[i]||' '||tk[i+1]||' '||tk[i+2]||' '||tk[i+3]||' '||
+        |    tk[i+4]||' '||tk[i+5]||' '||tk[i+6]||' '||tk[i+7] AS w
+        |  FROM toks, UNNEST(range(1, len(tk) - 6)) AS u(i)),
+        |dup AS (SELECT w FROM win GROUP BY w HAVING COUNT(DISTINCT doc_id) >= 2),
+        |hits AS (SELECT win.doc_id, win.pos FROM win JOIN dup USING (w)),
+        |flagged AS (
+        |  SELECT doc_id, pos,
+        |    CASE WHEN pos > LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 8
+        |      THEN 1 ELSE 0 END AS new_span
+        |  FROM hits),
+        |spans AS (
+        |  SELECT doc_id, pos,
+        |    SUM(new_span) OVER (PARTITION BY doc_id ORDER BY pos) AS span_no
+        |  FROM flagged)
+        |SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 7 AS span_end,
+        |  MAX(pos) + 7 - MIN(pos) + 1 AS span_tokens
+        |FROM spans GROUP BY doc_id, span_no
+        |ORDER BY doc_id, span_start""") { (s, d) =>
+      graft.operators.CorpusOps.duplicateSpans(t(s, d, "documents"),
+        "doc_id", "text", k = 8)
+        .orderBy("doc_id", "span_start")
+    },
+
     // NB: there is no t16 — the id was retired during round-3 review when
     // its candidate query merged into this composed chain; ids are stable
     // across rounds (BENCH/CORRECTNESS history), so the gap stays.

@@ -367,6 +367,30 @@ class PipelineOpsSpec extends SparkSpec {
       Option(ex.getCause).exists(_.getMessage.contains("survivorsByScore")))
   }
 
+  test("duplicateSpans merges overlapping windows; isolates separated spans; ignores solo docs") {
+    import spark.implicits._
+    // doc 1 & 2 share tokens 0..9 (10 tokens → three overlapping k=8
+    // windows at pos 0,1,2 → ONE merged span [0,9]); doc 1 additionally
+    // shares tokens 20..27 with doc 3 (one window → second span [20,27]);
+    // doc 4 repeats its own 8-gram twice but shares nothing cross-doc.
+    val shared = (0 until 10).map(i => s"s$i").mkString(" ")
+    val tail1 = (0 until 10).map(i => s"a$i").mkString(" ")
+    val lic = (0 until 8).map(i => s"l$i").mkString(" ")
+    val fix = Seq(
+      (1, s"$shared $tail1 $lic x1 x2"),
+      (2, s"$shared b0 b1 b2 b3 b4 b5 b6 b7 b8 b9 c0 c1 c2 c3 c4 c5 c6 c7 c8 c9"),
+      (3, s"d0 d1 d2 d3 d4 d5 d6 d7 d8 d9 e0 e1 e2 e3 e4 e5 e6 e7 e8 e9 $lic f1 f2"),
+      (4, "g0 g1 g2 g3 g4 g5 g6 g7 h0 g0 g1 g2 g3 g4 g5 g6 g7 h1")
+    ).toDF("doc_id", "text")
+    val spans = CorpusOps.duplicateSpans(fix, "doc_id", "text", k = 8)
+      .orderBy("doc_id", "span_start")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+    assert(spans.toSeq === Seq(
+      (1, 0, 9, 10), (1, 20, 27, 8),
+      (2, 0, 9, 10),
+      (3, 20, 27, 8)))
+  }
+
   test("property: HOF run/mode statistics match a plain-Scala oracle on random docs") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed
