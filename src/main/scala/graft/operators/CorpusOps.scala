@@ -313,6 +313,52 @@ object CorpusOps {
       .limit(k)
   }
 
+  /** DSIR-style importance weight ("Data Selection for Language Models via
+    * Importance Resampling", Xie et al. 2023), unigram feature space: each
+    * doc scores `weight = mean_tok lp_target(tok) − mean_tok lp_raw(tok)` —
+    * the per-token log importance ratio between a TARGET-domain LM and the
+    * RAW-corpus LM. High weight = the target model finds the doc much less
+    * surprising than the raw model = the doc looks like the domain you
+    * want more of; thresholding/ranking on it is the deterministic stand-in
+    * for the paper's Gumbel-noise resampling.
+    *
+    * Both terms are [[unigramLogprob]]-contract folds: token-order
+    * deterministic from a 0.0 seed, OOV floored at `oovLp`, so the weight
+    * is engine-reproducible. When both vocabs fit the literal cap the two
+    * folds FUSE into one projection over the scan — no join, no shuffle,
+    * one corpus pass; oversized vocabs fall back to composing two
+    * [[unigramLogprob]] passes joined on the id (each side then the
+    * broadcast-join shape, still no corpus shuffle).
+    */
+  def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
+                  targetLm: DataFrame, rawLm: DataFrame,
+                  oovLp: Double = -20.0,
+                  literalVocabMax: Int = 65536): DataFrame = {
+    val tk = tokens(col(textCol))
+    val tEntries = targetLm.select(col("tok"), col("lp"))
+      .limit(literalVocabMax + 1).collect()
+    val rEntries = rawLm.select(col("tok"), col("lp"))
+      .limit(literalVocabMax + 1).collect()
+    if (tEntries.length <= literalVocabMax && rEntries.length <= literalVocabMax) {
+      def lpMap(entries: Array[org.apache.spark.sql.Row]) = map_from_arrays(
+        lit(entries.map(_.getString(0))), lit(entries.map(_.getDouble(1))))
+      def meanLp(m: Column) =
+        aggregate(tk, lit(0.0),
+          (acc, t) => acc + coalesce(element_at(m, t), lit(oovLp))) / size(tk)
+      docs.select(col(idCol), size(tk).cast("long").as("n_tokens"),
+          meanLp(lpMap(tEntries)).as("lp_target"),
+          meanLp(lpMap(rEntries)).as("lp_raw"))
+        .withColumn("weight", col("lp_target") - col("lp_raw"))
+    } else {
+      val tgt = unigramLogprob(docs, idCol, textCol, targetLm, oovLp, literalVocabMax)
+        .select(col(idCol), col("n_tokens"), col("mean_logprob").as("lp_target"))
+      val raw = unigramLogprob(docs, idCol, textCol, rawLm, oovLp, literalVocabMax)
+        .select(col(idCol), col("mean_logprob").as("lp_raw"))
+      tgt.join(raw, Seq(idCol))
+        .withColumn("weight", col("lp_target") - col("lp_raw"))
+    }
+  }
+
   /** Exact duplicated-substring spans — the exact-match dedup shape of
     * "Deduplicating Training Data Makes Language Models Better" (Lee et
     * al. 2021) re-expressed relationally: instead of a corpus-wide suffix

@@ -72,6 +72,15 @@ object AuxDumps {
     "t15_lp" -> ((s, d) =>
       graft.operators.CorpusOps.unigramLm(t(s, d, "documents"), "doc_id", "text")),
 
+    // t19: the TARGET-domain unigram LM (src0 subcorpus) for the DSIR
+    // importance ratio; the raw-corpus side reuses t15_lp. Same validation
+    // contract as t15: the oracle re-derives every count in SQL and joins
+    // on (tok, n), so only the ln itself is trusted from the dump.
+    "t19_lp_target" -> ((s, d) =>
+      graft.operators.CorpusOps.unigramLm(
+        t(s, d, "documents").filter(col("source") === "src0"),
+        "doc_id", "text")),
+
     // s04: the trained IVF coarse quantizer. Training is bit-reproducible
     // (decimal sums, driver-side division — see Similarity.kmeansCentroids),
     // so this second training inside Verify emits exactly the centroids the

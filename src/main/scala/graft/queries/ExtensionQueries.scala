@@ -1110,6 +1110,54 @@ object ExtensionQueries {
         .orderBy("doc_id", "span_start")
     },
 
+    // DSIR importance weights (Xie et al. 2023, unigram feature space):
+    // weight = mean log p_target(tok) − mean log p_raw(tok), target LM
+    // trained on the src0 subcorpus, raw LM on the whole corpus. Both LM
+    // lns are materialized primitives (t19_lp_target / t15_lp aux, counts
+    // revalidated in SQL); both folds run in token order from a 0.0 seed,
+    // so the weight difference is bit-identical across engines.
+    "t19_dsir_weights" -> of(
+      """WITH lmr AS (SELECT tok, n, lp FROM read_parquet('{{AUX}}/t15_lp/*.parquet')),
+        |lmt AS (SELECT tok, n, lp FROM read_parquet('{{AUX}}/t19_lp_target/*.parquet')),
+        |cntr AS (
+        |  SELECT u.tok, COUNT(*) AS n
+        |  FROM (SELECT string_split(text, ' ') AS tk FROM documents) d,
+        |    UNNEST(tk) AS u(tok) GROUP BY u.tok),
+        |cntt AS (
+        |  SELECT u.tok, COUNT(*) AS n
+        |  FROM (SELECT string_split(text, ' ') AS tk FROM documents
+        |        WHERE source = 'src0') d,
+        |    UNNEST(tk) AS u(tok) GROUP BY u.tok),
+        |vr AS (SELECT lmr.tok, lmr.lp FROM lmr JOIN cntr ON cntr.tok = lmr.tok AND cntr.n = lmr.n),
+        |vt AS (SELECT lmt.tok, lmt.lp FROM lmt JOIN cntt ON cntt.tok = lmt.tok AND cntt.n = lmt.n),
+        |toks AS (
+        |  SELECT doc_id, i, tk[i + 1] AS tok, len(tk) AS n_tokens
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents) d,
+        |    UNNEST(range(len(tk))) AS r(i)),
+        |scored AS (
+        |  SELECT t.doc_id, t.i, t.n_tokens,
+        |    COALESCE(vt.lp, -20.0) AS lpt, COALESCE(vr.lp, -20.0) AS lpr
+        |  FROM toks t
+        |  LEFT JOIN vt ON vt.tok = t.tok
+        |  LEFT JOIN vr ON vr.tok = t.tok),
+        |folded AS (
+        |  SELECT doc_id, CAST(MAX(n_tokens) AS BIGINT) AS n_tokens,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(lpt ORDER BY i)),
+        |      (a, b) -> a + b) / MAX(n_tokens) AS lp_target,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(lpr ORDER BY i)),
+        |      (a, b) -> a + b) / MAX(n_tokens) AS lp_raw
+        |  FROM scored GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, lp_target, lp_raw,
+        |  lp_target - lp_raw AS weight
+        |FROM folded ORDER BY doc_id""") { (s, d) =>
+      val docs = t(s, d, "documents")
+      val rawLm = graft.operators.CorpusOps.unigramLm(docs, "doc_id", "text")
+      val tgtLm = graft.operators.CorpusOps.unigramLm(
+        docs.filter(col("source") === "src0"), "doc_id", "text")
+      graft.operators.CorpusOps.dsirWeights(docs, "doc_id", "text", tgtLm, rawLm)
+        .orderBy("doc_id")
+    },
+
     // NB: there is no t16 — the id was retired during round-3 review when
     // its candidate query merged into this composed chain; ids are stable
     // across rounds (BENCH/CORRECTNESS history), so the gap stays.

@@ -367,6 +367,30 @@ class PipelineOpsSpec extends SparkSpec {
       Option(ex.getCause).exists(_.getMessage.contains("survivorsByScore")))
   }
 
+  test("dsirWeights: fused literal path == two-pass join path bit-exactly; target docs score higher") {
+    val rawLm = CorpusOps.unigramLm(docs, "doc_id", "text")
+    val tgtLm = CorpusOps.unigramLm(
+      docs.filter(col("source") === "src0"), "doc_id", "text")
+    val fused = CorpusOps.dsirWeights(docs, "doc_id", "text", tgtLm, rawLm)
+      .orderBy("doc_id").collect()
+    // literalVocabMax = 0 forces the compose-two-logprob-passes fallback;
+    // the fold contract promises the same addition sequence → bit equality
+    val joined = CorpusOps.dsirWeights(docs, "doc_id", "text", tgtLm, rawLm,
+        literalVocabMax = 0)
+      .orderBy("doc_id")
+      .select("doc_id", "n_tokens", "lp_target", "lp_raw", "weight").collect()
+    assert(fused.length === joined.length)
+    fused.zip(joined).foreach { case (a, b) => assert(a === b) }
+    // the importance ratio must actually prefer the target domain: src0
+    // docs' mean weight strictly above the rest's
+    val w = CorpusOps.dsirWeights(docs, "doc_id", "text", tgtLm, rawLm)
+      .join(docs.select("doc_id", "source"), Seq("doc_id"))
+      .groupBy(col("source") === "src0").agg(avg("weight").as("mw"))
+      .collect().map(r => (r.getBoolean(0), r.getDouble(1))).toMap
+    assert(w(true) > w(false),
+      s"src0 mean weight ${w(true)} must exceed non-target ${w(false)}")
+  }
+
   test("duplicateSpans merges overlapping windows; isolates separated spans; ignores solo docs") {
     import spark.implicits._
     // doc 1 & 2 share tokens 0..9 (10 tokens → three overlapping k=8
