@@ -48,8 +48,8 @@ object Dedup {
     * shingle, read it back for every consumer) or accepts recompute should
     * opt out rather than spill a second copy of the corpus.
     */
-  private def shingleSet(docs: DataFrame, idCol: String, textCol: String, k: Int,
-                         persist: Boolean = true): DataFrame = {
+  private[graft] def shingleSet(docs: DataFrame, idCol: String, textCol: String, k: Int,
+                                persist: Boolean = true): DataFrame = {
     // array_distinct BEFORE the explode: `idCol` is part of the output key,
     // so per-doc dedup of the shingle array IS the globally-distinct
     // (doc, shingle) set — identical rows to explode-then-`.distinct()`,

@@ -1,0 +1,77 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+import graft.functions.TextFunctions.{tokens, wordShingles}
+
+/** The fresh-vs-corpus near-dup screen as a Structured Streaming query —
+  * the d11 "daily ingest" story made literal: fresh documents ARRIVE as a
+  * stream, the standing corpus is static, and each micro-batch emits the
+  * arriving docs' near-dup pairs against the corpus.
+  *
+  * Streaming plan restrictions shape the design (joins are not allowed
+  * AFTER a streaming aggregation), so every static join happens BEFORE the
+  * single stateful operator:
+  *
+  *  - the fresh doc's own shingle-set size (`size_f`, one Jaccard
+  *    denominator) is computed per-row from its `array_distinct` shingle
+  *    array at projection time — no fresh-side aggregation exists at all;
+  *  - the corpus side arrives pre-joined as (corpus_id, shingle, size_c),
+  *    so the stream-static shingle join (stateless) carries the other
+  *    denominator into the one streaming groupBy, where both sizes ride as
+  *    grouping columns (each is functionally determined by its id);
+  *  - `inter` is the only aggregated value; Jaccard + threshold are a
+  *    stateless projection after the aggregation.
+  *
+  * State is O(distinct live (fresh, corpus) candidate pairs) — bucketed
+  * candidate generation, never all-pairs, exactly like the batch screen.
+  * With an AvailableNow one-shot run in complete mode the emission equals
+  * [[graft.operators.Dedup.incrementalJaccardPairs]] on the same split,
+  * which is what lets the d11 oracle grade the streaming plan verbatim
+  * (e15) and the spec pin batch parity.
+  */
+object ScreenStream {
+
+  val docsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** Streaming read of the documents table (FileStreamSource needs a
+    * directory; glob-select the single table file from the sf dir).
+    */
+  def readDocs(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(docsSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+
+  /** Build the streaming screen plan. `freshDocs` is a STREAMING frame of
+    * arriving documents; `corpusShingles` (`idCol`, shingle) and
+    * `corpusSizes` (`idCol`, set_size) are static — a caller can hand the
+    * [[graft.operators.Dedup.ShingleIndex]] tables straight in, making
+    * this the streaming consumer of the standing index layout.
+    */
+  def screen(freshDocs: DataFrame, corpusShingles: DataFrame,
+             corpusSizes: DataFrame, idCol: String, textCol: String,
+             k: Int = 4, threshold: Double = 0.5): DataFrame = {
+    val shF = freshDocs
+      .select(col(idCol).as("fresh_id"),
+        array_distinct(wordShingles(tokens(col(textCol)), k)).as("__sh"))
+      .select(col("fresh_id"), size(col("__sh")).cast("long").as("size_f"),
+        explode(col("__sh")).as("shingle"))
+    val shC = corpusShingles.select(col(idCol).as("corpus_id"), col("shingle"))
+      .join(corpusSizes.select(col(idCol).as("corpus_id"),
+        col("set_size").as("size_c")), Seq("corpus_id"))
+    shF.join(shC, Seq("shingle"))
+      .groupBy("fresh_id", "corpus_id", "size_f", "size_c")
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard",
+        col("inter") / (col("size_f") + col("size_c") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("fresh_id", "corpus_id", "jaccard")
+  }
+}

@@ -50,6 +50,27 @@ class StreamingSpec extends SparkSpec {
     assert(spark.conf.get("spark.sql.shuffle.partitions") === before)
   }
 
+  test("streaming fresh-vs-corpus screen == batch incremental screen") {
+    import graft.streaming.ScreenStream
+    import graft.operators.Dedup
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val corpus = docs.filter(col("doc_id") < 400)
+    val shC = Dedup.shingleSet(corpus, "doc_id", "text", 4, persist = false)
+    val sizes = shC.groupBy(col("doc_id")).agg(count(lit(1)).as("set_size"))
+    val fresh = ScreenStream.readDocs(spark, dir).filter(col("doc_id") >= 400)
+    assert(fresh.isStreaming)
+    EventsStream.runAvailableNow(
+      ScreenStream.screen(fresh, shC, sizes, "doc_id", "text"),
+      "stream_screen_parity", outputMode = "complete")
+    val streamed = spark.table("stream_screen_parity")
+    val batch = Dedup.incrementalJaccardPairs(
+      docs.filter(col("doc_id") >= 400), corpus, "doc_id", "text",
+      persistShingles = false)
+    assert(streamed.count() > 0)
+    assert(streamed.except(batch).count() === 0)
+    assert(batch.except(streamed).count() === 0)
+  }
+
   test("stream-stream interval join == batch interval join") {
     def side(tpe: String, idAs: String) = EventsStream.readEvents(spark, dir)
       .filter(col("event_type") === tpe)
