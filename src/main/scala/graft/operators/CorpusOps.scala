@@ -313,6 +313,44 @@ object CorpusOps {
       .limit(k)
   }
 
+  /** Overlapping fixed-size token chunking — the RAG / context-window
+    * preparation shape: each doc yields chunks of `chunkTokens` tokens
+    * whose starts step by `chunkTokens - overlap`, with token-coordinate
+    * bounds (`start_tok`/`end_tok` inclusive, 0-based) and the chunk text.
+    * The last chunk starts at the smallest stride multiple that still
+    * reaches the tail, so every token lands in ≥ 1 chunk and a short doc
+    * yields exactly one. Pure generator projection over the scan —
+    * `sequence` + `posexplode` + `slice`, no shuffle, no UDF; chunk rows
+    * land partitioned exactly like their documents, which is what lets a
+    * downstream embed/index stage run without a repartition.
+    */
+  def chunkDocs(docs: DataFrame, idCol: String, textCol: String,
+                chunkTokens: Int = 128, overlap: Int = 16): DataFrame = {
+    require(overlap >= 0 && overlap < chunkTokens,
+      s"overlap must be in [0, chunkTokens): $overlap vs $chunkTokens")
+    val stride = chunkTokens - overlap
+    val tk = tokens(col(textCol))
+    docs
+      .select(col(idCol), tk.as("__tk"), size(tk).cast("long").as("__n"))
+      // last start index (in stride units): 0 for short docs, else
+      // ceil((n - chunkTokens) / stride) — integer arithmetic via floor on
+      // exact small doubles
+      .withColumn("__nc",
+        when(col("__n") > chunkTokens,
+          floor((col("__n") - chunkTokens + (stride - 1)) / lit(stride)))
+          .otherwise(lit(0L)))
+      .select(col(idCol), col("__tk"), col("__n"),
+        posexplode(sequence(lit(0L), col("__nc") * stride, lit(stride.toLong)))
+          .as(Seq("chunk_no", "start_tok")))
+      .select(col(idCol), col("chunk_no"), col("start_tok"),
+        (least(col("start_tok") + chunkTokens, col("__n")) - 1).as("end_tok"),
+        least(lit(chunkTokens.toLong), col("__n") - col("start_tok"))
+          .as("n_chunk_tokens"),
+        concat_ws(" ", slice(col("__tk"),
+          (col("start_tok") + 1).cast("int"), lit(chunkTokens)))
+          .as("chunk_text"))
+  }
+
   /** DSIR-style importance weight ("Data Selection for Language Models via
     * Importance Resampling", Xie et al. 2023), unigram feature space: each
     * doc scores `weight = mean_tok lp_target(tok) − mean_tok lp_raw(tok)` —

@@ -1158,6 +1158,29 @@ object ExtensionQueries {
         .orderBy("doc_id")
     },
 
+    // Overlapping token chunking (RAG / context-window prep): 32-token
+    // chunks striding by 24 (8-token overlap), token-coordinate bounds +
+    // chunk text. Pure integer arithmetic + slicing — both engines rebuild
+    // it exactly.
+    "t20_chunking" -> of(
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |base AS (
+        |  SELECT doc_id, tk, len(tk) AS n,
+        |    CASE WHEN len(tk) > 32 THEN (len(tk) - 32 + 23) // 24 ELSE 0 END AS nc
+        |  FROM toks),
+        |chunks AS (
+        |  SELECT doc_id, i AS chunk_no, i * 24 AS start_tok, tk, n
+        |  FROM base, UNNEST(range(0, nc + 1)) AS u(i))
+        |SELECT doc_id, chunk_no, start_tok,
+        |  LEAST(start_tok + 32, n) - 1 AS end_tok,
+        |  LEAST(32, n - start_tok) AS n_chunk_tokens,
+        |  array_to_string(tk[start_tok + 1 : start_tok + 32], ' ') AS chunk_text
+        |FROM chunks ORDER BY doc_id, chunk_no""") { (s, d) =>
+      graft.operators.CorpusOps.chunkDocs(t(s, d, "documents"),
+        "doc_id", "text", chunkTokens = 32, overlap = 8)
+        .orderBy("doc_id", "chunk_no")
+    },
+
     // NB: there is no t16 — the id was retired during round-3 review when
     // its candidate query merged into this composed chain; ids are stable
     // across rounds (BENCH/CORRECTNESS history), so the gap stays.

@@ -367,6 +367,31 @@ class PipelineOpsSpec extends SparkSpec {
       Option(ex.getCause).exists(_.getMessage.contains("survivorsByScore")))
   }
 
+  test("chunkDocs: stride/tail/short-doc contract on a fixture") {
+    import spark.implicits._
+    val fix = Seq(
+      (1, (0 until 10).map(i => s"w$i").mkString(" ")), // 10 tokens
+      (2, "a b c")                                      // shorter than a chunk
+    ).toDF("doc_id", "text")
+    val rows = CorpusOps.chunkDocs(fix, "doc_id", "text",
+        chunkTokens = 4, overlap = 1)
+      .orderBy("doc_id", "chunk_no")
+      .select("doc_id", "chunk_no", "start_tok", "end_tok", "n_chunk_tokens", "chunk_text")
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5)))
+    // stride 3: starts 0,3,6 — tail chunk truncates to the doc end; every
+    // token lands in >= 1 chunk; consecutive chunks overlap by 1 token
+    assert(rows.toSeq === Seq(
+      (1, 0, 0L, 3L, 4L, "w0 w1 w2 w3"),
+      (1, 1, 3L, 6L, 4L, "w3 w4 w5 w6"),
+      (1, 2, 6L, 9L, 4L, "w6 w7 w8 w9"),
+      (2, 0, 0L, 2L, 3L, "a b c")))
+    intercept[IllegalArgumentException] {
+      CorpusOps.chunkDocs(fix, "doc_id", "text", chunkTokens = 4, overlap = 4)
+    }
+  }
+
   test("dsirWeights: fused literal path == two-pass join path bit-exactly; target docs score higher") {
     val rawLm = CorpusOps.unigramLm(docs, "doc_id", "text")
     val tgtLm = CorpusOps.unigramLm(
