@@ -714,6 +714,23 @@ object RelationalQueries {
         .orderBy("rule")
     },
 
+    // Shuffle-key skew report: the heaviest user_ids with row counts,
+    // corpus share, and ratio-to-mean-key-load — the diagnostic that
+    // decides whether a planned shuffle on the key needs salting (q29's
+    // shape) or AQE skew handling. mean_ratio multiplies in DOUBLE (a
+    // long product would overflow at 100 TB row counts); both engines run
+    // the identical IEEE expression.
+    "q41_skew_report" -> of(
+      """WITH c AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS total, COUNT(*) AS keys FROM c)
+        |SELECT c.user_id, c.n, c.n / t.total AS share,
+        |  CAST(c.n AS DOUBLE) * t.keys / t.total AS mean_ratio
+        |FROM c, t
+        |ORDER BY c.n DESC, c.user_id LIMIT 15""") { (s, d) =>
+      graft.operators.QualityChecks.keySkewReport(
+        Q.events(s, d), "user_id", topN = 15)
+    },
+
     // SCD2 merge (the MERGE INTO shape without a lakehouse format): a
     // deterministic update batch (every 10th order, +10% price, effective
     // +30 days) closes the old version and opens the new one; untouched

@@ -330,6 +330,18 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out === Map("negative_v" -> 2L, "dup_k" -> 1L, "never" -> 0L))
   }
 
+  test("keySkewReport: counts, shares and mean-ratios on a known skew; topN + tiebreak order") {
+    import spark.implicits._
+    // 8 rows over 4 keys: "hot" carries 5 → share 5/8, mean load 2 rows/key
+    val tbl = (Seq.fill(5)("hot") ++ Seq("a", "b", "c")).toDF("k")
+    val out = graft.operators.QualityChecks.keySkewReport(tbl, "k", topN = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(out.toSeq === Seq(
+      ("hot", 5L, 5.0 / 8.0, 5.0 * 4.0 / 8.0),
+      ("a", 1L, 1.0 / 8.0, 1.0 * 4.0 / 8.0),
+      ("b", 1L, 1.0 / 8.0, 0.5)))
+  }
+
   test("scd2: updated keys get closed+reopened versions; untouched keys stay open") {
     import spark.implicits._
     val cur = Seq((1L, 10.0, 100L), (2L, 20.0, 100L), (3L, 30.0, 100L))
