@@ -143,6 +143,60 @@ object CorpusOps {
         .otherwise(0.0).as("dup_shingle_frac"))
   }
 
+  /** Gopher/C4-style composite quality gate (Rae et al. 2021 §A1.1's rule
+    * shape): per-document metrics, one boolean flag per rule, and the
+    * conjunctive `keep` decision — the filter step of a training-data build,
+    * kept as flags (not a filter) so downstream audits can count WHY
+    * documents dropped, per rule, before committing to the cut.
+    *
+    * Rules (all bounds inclusive, tuned per corpus by the caller):
+    *  - `r_len`:      minTokens ≤ n_tokens ≤ maxTokens
+    *  - `r_mean_len`: minMeanLen ≤ mean token length ≤ maxMeanLen
+    *  - `r_stop`:     stopword ratio ≥ minStopRatio (Gopher's "contains
+    *                  required words" test, ratio form)
+    *  - `r_rep`:      top bigram fraction ≤ maxTopBigramFrac (Gopher's
+    *                  duplicate-n-gram cut at n=2)
+    *  - `r_run`:      longest identical-token run ≤ maxRunTokens
+    *
+    * Every metric is a pure per-row projection (tokens/shingles/run HOFs from
+    * [[graft.functions.TextFunctions]]) — shuffle-free, one corpus pass, no
+    * UDF; ratios divide two exact integers so both engines see identical
+    * doubles.
+    */
+  def qualityGate(docs: DataFrame, idCol: String, textCol: String,
+                  stopwords: Seq[String] = Seq("the", "a", "of", "and", "is"),
+                  minTokens: Int = 20, maxTokens: Int = 90,
+                  minMeanLen: Double = 4.0, maxMeanLen: Double = 5.0,
+                  minStopRatio: Double = 0.03,
+                  maxTopBigramFrac: Double = 0.1,
+                  maxRunTokens: Int = 2): DataFrame = {
+    val tk = tokens(col(textCol))
+    val n = size(tk)
+    val meanLen = graft.functions.TextFunctions.meanTokenLen(col(textCol), tk)
+    val stopR =
+      graft.functions.TextFunctions.langScore(tk, stopwords).cast("double") / n
+    val bg = wordShingles(tk, 2)
+    val topBgFrac = when(size(bg) > 0,
+      maxDupCount(bg).cast("double") / size(bg)).otherwise(0.0)
+    val run = maxRunLength(tk)
+    docs.select(col(idCol),
+        n.cast("long").as("n_tokens"),
+        meanLen.as("mean_token_len"),
+        stopR.as("stopword_ratio"),
+        topBgFrac.as("top_bigram_frac"),
+        run.as("max_run"))
+      .withColumn("r_len",
+        col("n_tokens").between(minTokens, maxTokens))
+      .withColumn("r_mean_len",
+        col("mean_token_len").between(minMeanLen, maxMeanLen))
+      .withColumn("r_stop", col("stopword_ratio") >= minStopRatio)
+      .withColumn("r_rep", col("top_bigram_frac") <= maxTopBigramFrac)
+      .withColumn("r_run", col("max_run") <= maxRunTokens)
+      .withColumn("keep",
+        col("r_len") && col("r_mean_len") && col("r_stop") &&
+          col("r_rep") && col("r_run"))
+  }
+
   /** Stratified deterministic sampling: keep a row iff its id's hash bucket
     * falls under the stratum's rate (`rateCol`, percent in [0,100]). The
     * selection follows the id alone — reproducible on any cluster, stable

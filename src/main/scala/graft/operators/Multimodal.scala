@@ -78,6 +78,24 @@ object Multimodal {
         conv(substring(hex(col("payload")), 1, 8), 16, 10).cast(LongType).as("hdr_a"),
         conv(substring(hex(col("payload")), 9, 8), 16, 10).cast(LongType).as("hdr_b"))
 
+  /** Exact binary dedup by cryptographic content hash — the media twin of
+    * the text exact-dedup (Dedup.exactDedup): group payloads on
+    * `sha2(payload, 256)`, keep the lowest doc_id as survivor, report the
+    * group size. One shuffle on the 64-hex-char digest (256-bit collision
+    * space — safe to treat hash equality as byte equality at any corpus
+    * size, which is the point: 100 TB of media never compares bodies
+    * pairwise). The digest, not the payload, is the shuffle key AND the only
+    * carried column — shuffle volume is O(rows × 64 B) regardless of
+    * payload size.
+    */
+  def dedupByContent(media: DataFrame): DataFrame =
+    media
+      .select(col("doc_id"), sha2(col("payload"), 256).as("content_sha256"),
+        octet_length(col("payload")).cast(LongType).as("n_bytes"))
+      .groupBy(col("content_sha256"), col("n_bytes"))
+      .agg(min(col("doc_id")).as("survivor_id"),
+        count(lit(1)).as("n_copies"))
+
   /** Partition-batched feature extraction over the payload column. Runs as a
     * single narrow `mapPartitions` stage — no shuffle; the iterator shape is
     * what a vectorized codec batch would consume.

@@ -527,4 +527,52 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "cosine")
   }
+
+  /** Two-stage ANN: LSH-bucketed candidates → int8-quantized integer-dot
+    * COARSE score keeps the top `coarseM` per query → exact-cosine re-rank of
+    * only those survivors emits the top `k` — the production retrieval shape
+    * (quantized prefilter over the index, full-precision re-rank of a
+    * bounded candidate set).
+    *
+    * Scale shape: candidate generation is the same bucket join as
+    * [[lshBucketedNeighbors]] (never all-pairs); the coarse stage runs pure
+    * 64-bit integer arithmetic (quantized components are ints, the dot is an
+    * order-free exact integer sum — cheap AND bit-reproducible); the
+    * expensive float cosine touches at most `coarseM` rows per query.
+    * Determinism: coarse ties break on neighbor_id, so the re-rank sees an
+    * engine-independent candidate set (the property the oracle checks).
+    */
+  def annRerankQuantized(queries: DataFrame, corpus: DataFrame, idCol: String,
+                         vecCol: String, k: Int, coarseM: Int = 20,
+                         planes: Int = 8): DataFrame = {
+    graft.functions.NativeFunctions.register(queries.sparkSession)
+    val signs = hyperplaneSigns(queries.sparkSession, planes, 0,
+      vectorDim(corpus, vecCol))
+    def sig(df: DataFrame, id: String, vec: String, qvec: String) = {
+      val v = col(vecCol).cast("array<double>")
+      df.select(col(idCol).as(id), v.as(vec),
+          hyperplaneSignatureFrom(v, signs).as("bucket"),
+          int8Scale(v).as("__sc"))
+        .withColumn(qvec,
+          transform(col(vec), x => int8Quantize(x, col("__sc")).cast("long")))
+        .drop("__sc")
+    }
+    val q = sig(queries, "query_id", "qv", "qq")
+    val c = sig(corpus, "neighbor_id", "cv", "cq")
+    val coarseW = Window.partitionBy(col("query_id"))
+      .orderBy(col("coarse_score").desc, col("neighbor_id"))
+    val fineW = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    broadcast(q).join(c, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("coarse_score",
+        aggregate(zip_with(col("qq"), col("cq"), (x, y) => x * y),
+          lit(0L), (acc, x) => acc + x))
+      .withColumn("__crn", row_number().over(coarseW))
+      .filter(col("__crn") <= coarseM)
+      .withColumn("cosine", cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(fineW))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "coarse_score", "cosine")
+  }
 }

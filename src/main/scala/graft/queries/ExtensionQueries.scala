@@ -125,6 +125,35 @@ object ExtensionQueries {
     s"""WITH ${jaccardCtes(maxDocFreq)}
       |SELECT id_a, id_b, jaccard FROM jp ORDER BY id_a, id_b"""
 
+  /** PageRank oracle: the jp pair graph symmetrized, then `iters` unrolled
+    * rank rounds. Every constant is forced through DOUBLE arithmetic and the
+    * per-node rank sum folds in source-id order from a 0.0 seed — the same
+    * IEEE operation sequence as GraphOps.pageRank, so ranks bit-match.
+    */
+  private def pagerankOracle(iters: Int, damping: Double): String = {
+    val d = s"CAST($damping AS DOUBLE)"
+    val itCtes = (1 to iters).map { i =>
+      val prev = if (i == 1) "r0" else s"it${i - 1}"
+      s"""it$i AS (
+        |  SELECT e.t AS id,
+        |    (CAST(1.0 AS DOUBLE) - $d) / nn.n + $d * list_reduce(
+        |      list_prepend(CAST(0.0 AS DOUBLE), list(r.pr / dg.d ORDER BY e.s)),
+        |      (a, b) -> a + b) AS pr
+        |  FROM edges0 e JOIN $prev r ON r.id = e.s JOIN deg dg ON dg.s = e.s, nn
+        |  GROUP BY e.t, nn.n)"""
+    }.mkString(",\n")
+    s"""WITH ${jaccardCtes(None)},
+      |edges0 AS (SELECT id_a AS s, id_b AS t FROM jp
+      |           UNION ALL SELECT id_b, id_a FROM jp),
+      |deg AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS d FROM edges0 GROUP BY s),
+      |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM deg),
+      |r0 AS (SELECT s AS id, CAST(1.0 AS DOUBLE) / nn.n AS pr FROM deg, nn),
+      |$itCtes
+      |SELECT f.id, dg.d AS degree, f.pr AS pagerank
+      |FROM it$iters f JOIN deg dg ON dg.s = f.id
+      |ORDER BY f.id"""
+  }
+
   val defs: Map[String, QueryDef] = Map(
 
     // ---- deduplication ----------------------------------------------------
@@ -447,6 +476,19 @@ object ExtensionQueries {
         .orderBy("vec_id")
     },
 
+    // ---- graph propagation ------------------------------------------------
+
+    // Fixed-iteration PageRank over the near-dup pair graph (the curation
+    // use: rank documents/hosts by similarity-graph centrality before
+    // sampling). 3 rounds, d = 0.85, undirected edges from the d02 Jaccard
+    // pairs; rank sums fold in source-id order so the doubles bit-match.
+    "g01_pagerank" -> of(pagerankOracle(3, 0.85)) { (s, d) =>
+      graft.operators.GraphOps.pageRank(
+        Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text"),
+        iters = 3)
+        .orderBy("id")
+    },
+
     // ---- similarity search ------------------------------------------------
 
     // Exact cosine top-5 for the first 10 vectors, via the bounded-heap
@@ -598,6 +640,62 @@ object ExtensionQueries {
       Similarity.randomProjection(
         t(s, d, "embeddings").filter(col("vec_id") < 100), "vec_id", "embedding", 16)
         .orderBy("vec_id", "dim")
+    },
+
+    // Two-stage ANN: LSH-bucketed candidates → int8-quantized INTEGER-dot
+    // coarse top-20 → exact-cosine re-rank top-5 (the production retrieval
+    // shape: quantized prefilter, full-precision re-rank of a bounded set).
+    // The coarse stage is pure 64-bit integer arithmetic — order-free and
+    // bit-reproducible — so the oracle rebuilds the exact candidate set from
+    // the dumped hyperplanes + the s06 quantization formula, then re-ranks
+    // with the s01 sequential-fold cosine.
+    "s08_ann_rerank" -> of(
+      """WITH planes AS (SELECT p, signs FROM read_parquet('{{AUX}}/hyperplanes32/*.parquet') WHERE p < 8),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |qz AS (
+        |  SELECT vec_id, v,
+        |    list_transform(v, x -> CAST(CASE WHEN scale = 0 THEN 0
+        |      ELSE round(x / scale) END AS BIGINT)) AS q
+        |  FROM (SELECT vec_id, v,
+        |          list_max(list_transform(v, x -> abs(x))) / 127 AS scale
+        |        FROM e) sc),
+        |bits AS (
+        |  SELECT vec_id, p,
+        |    CASE WHEN list_sum(list_transform(list_zip(v, signs), x -> x[1] * x[2])) >= 0
+        |      THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+        |  FROM e, planes),
+        |buckets AS (
+        |  SELECT vec_id, CAST(sum(bit * (1::BIGINT << CAST(7 - p AS INT))) AS BIGINT) AS bucket
+        |  FROM bits GROUP BY vec_id),
+        |cand AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    CAST(list_sum(list_transform(list_zip(qq.q, cq.q), x -> x[1] * x[2])) AS BIGINT) AS coarse_score,
+        |    qq.v AS qv, cq.v AS cv
+        |  FROM buckets q JOIN buckets c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+        |  JOIN qz qq ON qq.vec_id = q.vec_id
+        |  JOIN qz cq ON cq.vec_id = c.vec_id
+        |  WHERE q.vec_id < 10),
+        |coarse AS (
+        |  SELECT query_id, neighbor_id, coarse_score, qv, cv,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY coarse_score DESC, neighbor_id) AS crn
+        |  FROM cand),
+        |fine AS (
+        |  SELECT query_id, neighbor_id, coarse_score,
+        |    list_sum(list_transform(list_zip(qv, cv), x -> x[1] * x[2]))
+        |    / (sqrt(list_sum(list_transform(qv, x -> x*x)))
+        |       * sqrt(list_sum(list_transform(cv, x -> x*x)))) AS cosine
+        |  FROM coarse WHERE crn <= 20)
+        |SELECT query_id, rank, neighbor_id, coarse_score, cosine FROM (
+        |  SELECT query_id, neighbor_id, coarse_score, cosine,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, neighbor_id) AS rank
+        |  FROM fine) x
+        |WHERE rank <= 5 ORDER BY query_id, rank""") { (s, d) =>
+      val e = t(s, d, "embeddings")
+      Similarity.annRerankQuantized(e.filter(col("vec_id") < 10), e,
+        "vec_id", "embedding", k = 5, coarseM = 20)
+        .orderBy("query_id", "rank")
     },
 
     // IVF ANN with a TRAINED deterministic coarse quantizer (reproducible
@@ -1181,6 +1279,57 @@ object ExtensionQueries {
         .orderBy("doc_id", "chunk_no")
     },
 
+    // Gopher/C4-style composite quality gate: per-rule boolean flags + the
+    // conjunctive keep decision, kept as flags (not a filter) so the drop
+    // reasons stay auditable per rule. Metrics reuse the t02/t12 fragments
+    // (token count, mean token length, stopword ratio, top-bigram fraction,
+    // max identical-token run); every ratio divides two exact integers, so
+    // the flag comparisons see bit-identical doubles in both engines.
+    "t21_quality_gate" -> of(
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk, length(text) AS nchars
+        |  FROM documents),
+        |pos AS (
+        |  SELECT doc_id, i, tk[i + 1] AS tok
+        |  FROM toks, UNNEST(range(len(tk))) AS r(i)),
+        |runs AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS run
+        |  FROM (SELECT doc_id, tok,
+        |          i - ROW_NUMBER() OVER (PARTITION BY doc_id, tok ORDER BY i) AS grp
+        |        FROM pos) g
+        |  GROUP BY doc_id, tok, grp),
+        |mr AS (SELECT doc_id, MAX(run) AS max_run FROM runs GROUP BY doc_id),
+        |bg AS (
+        |  SELECT doc_id, tk[i + 1] || ' ' || tk[i + 2] AS bigram
+        |  FROM toks, UNNEST(range(len(tk) - 1)) AS r(i) WHERE len(tk) >= 2),
+        |bgc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS c
+        |        FROM bg GROUP BY doc_id, bigram),
+        |tb AS (SELECT doc_id, MAX(c) AS top_bigram_n FROM bgc GROUP BY doc_id),
+        |m AS (
+        |  SELECT t.doc_id,
+        |    CAST(len(t.tk) AS BIGINT) AS n_tokens,
+        |    CAST(t.nchars - (len(t.tk) - 1) AS DOUBLE) / len(t.tk) AS mean_token_len,
+        |    CAST(len(list_filter(t.tk,
+        |      x -> x = 'the' OR x = 'a' OR x = 'of' OR x = 'and' OR x = 'is')) AS DOUBLE)
+        |      / len(t.tk) AS stopword_ratio,
+        |    COALESCE(CAST(tb.top_bigram_n AS DOUBLE) / (len(t.tk) - 1), 0.0) AS top_bigram_frac,
+        |    mr.max_run
+        |  FROM toks t JOIN mr USING (doc_id) LEFT JOIN tb USING (doc_id))
+        |SELECT doc_id, n_tokens, mean_token_len, stopword_ratio, top_bigram_frac,
+        |  max_run,
+        |  n_tokens BETWEEN 20 AND 90 AS r_len,
+        |  mean_token_len BETWEEN 4.0 AND 5.0 AS r_mean_len,
+        |  stopword_ratio >= 0.03 AS r_stop,
+        |  top_bigram_frac <= 0.1 AS r_rep,
+        |  max_run <= 2 AS r_run,
+        |  (n_tokens BETWEEN 20 AND 90) AND (mean_token_len BETWEEN 4.0 AND 5.0)
+        |    AND stopword_ratio >= 0.03 AND top_bigram_frac <= 0.1
+        |    AND max_run <= 2 AS keep
+        |FROM m ORDER BY doc_id""") { (s, d) =>
+      graft.operators.CorpusOps.qualityGate(t(s, d, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
     // NB: there is no t16 — the id was retired during round-3 review when
     // its candidate query merged into this composed chain; ids are stable
     // across rounds (BENCH/CORRECTNESS history), so the gap stays.
@@ -1280,6 +1429,27 @@ object ExtensionQueries {
           call_function("div", col("chunk_no"), lit(4L)).as("frame_no"),
           col("chunk_no"), col("chunk_hex").as("frame_hex"))
         .orderBy("doc_id", "chunk_no")
+    },
+
+    // Exact binary dedup by cryptographic content hash — the media twin of
+    // d01 (text exact dedup): group on sha256(payload), survivor = lowest
+    // doc_id, copies counted. The digest (64 hex chars) is the shuffle key
+    // and the only carried column, so shuffle volume is independent of
+    // payload size; 256-bit collision space makes hash-equality a safe
+    // byte-equality proxy at any corpus scale. DuckDB's sha256(VARCHAR)
+    // hashes the string's UTF-8 bytes — exactly the payload asMediaTable
+    // wraps — so both digests match byte-for-byte.
+    "m05_multimodal_dedup" -> of(
+      """SELECT sha256(text) AS content_sha256,
+        |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+        |  MIN(doc_id) AS survivor_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_copies
+        |FROM documents GROUP BY 1, 2 ORDER BY survivor_id""") { (s, d) =>
+      graft.operators.Multimodal.dedupByContent(
+        graft.operators.Multimodal.asMediaTable(
+          t(s, d, "documents"), "doc_id", "text"))
+        .select("content_sha256", "n_bytes", "survivor_id", "n_copies")
+        .orderBy("survivor_id")
     },
 
     // ---- event-stream shaping --------------------------------------------

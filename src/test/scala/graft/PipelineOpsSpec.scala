@@ -505,4 +505,91 @@ class PipelineOpsSpec extends SparkSpec {
     assert(q.filter(abs(col("q")) > 127).count() === 0)
     assert(q.filter(abs(col("q") * col("scale") - col("x")) > col("scale") / 2 + 1e-12).count() === 0)
   }
+
+  test("qualityGate: each rule flag fires on its own violation; keep is the conjunction") {
+    import spark.implicits._
+    val df = Seq(
+      // passes every rule: 23 tokens, mean length 112/23 ≈ 4.87 ∈ [4,5],
+      // two stopwords (ratio 0.087), all bigrams distinct, no runs
+      (0L, "the brave eagle soars where windy cliffs meet misty ocean spray " +
+        "and every robin sings under amber light during early quiet spring dawn"),
+      (1L, "the a of"), // violates r_len (3 tokens)
+      (2L, ("the " * 20).trim + " a of mill pond glen"), // run of 'the' > 2 → r_run
+      (3L, "the quick quick quick brown fox " + ("word pair " * 10).trim)
+    ).toDF("doc_id", "text")
+    val got = CorpusOps.qualityGate(df, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(got(0L).getAs[Boolean]("keep"), "doc 0 should pass all rules")
+    assert(!got(1L).getAs[Boolean]("r_len") && !got(1L).getAs[Boolean]("keep"))
+    assert(!got(2L).getAs[Boolean]("r_run") && !got(2L).getAs[Boolean]("keep"))
+    // doc 3: 'word pair' bigram repeats 10/25 > 0.1 → r_rep fires
+    assert(!got(3L).getAs[Boolean]("r_rep") && !got(3L).getAs[Boolean]("keep"))
+    // metrics are the t02/t12 fragments: spot-check doc 1 exactly
+    assert(got(1L).getAs[Long]("n_tokens") === 3L)
+    assert(got(1L).getAs[Double]("mean_token_len") === (8.0 - 2.0) / 3.0)
+  }
+
+  test("annRerank with an all-pass coarse stage == exact in-bucket top-k; " +
+    "small coarseM returns a subset of the bucket candidates") {
+    val q = embs.filter(col("vec_id") < 10)
+    // coarseM >= any bucket size → coarse stage drops nothing → identical
+    // to the exact-cosine bucketed ranking
+    val rerank = Similarity.annRerankQuantized(q, embs, "vec_id", "embedding",
+      k = 5, coarseM = 1000000)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    val exact = Similarity.lshBucketedNeighbors(q, embs, "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(rerank === exact)
+    // tight coarse stage: every survivor still comes from the query's bucket
+    // (subset of the exact candidate ranking's id space), ranks contiguous
+    val tight = Similarity.annRerankQuantized(q, embs, "vec_id", "embedding",
+      k = 5, coarseM = 8)
+    val perQuery = tight.groupBy("query_id").agg(
+      count(lit(1)).as("n"), max(col("rank")).as("maxr")).collect()
+    perQuery.foreach { r =>
+      assert(r.getLong(1) <= 5L && r.getLong(1) === r.getInt(2).toLong)
+    }
+  }
+
+  test("pageRank bit-matches a plain-Scala fixed-iteration reference; mass conserved") {
+    import spark.implicits._
+    // path 1-2-3 plus isolated pair 4-5: asymmetric degrees on one
+    // component, symmetric on the other
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val got = graft.operators.GraphOps.pageRank(pairs, iters = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val edges = Seq(1L -> 2L, 2L -> 1L, 2L -> 3L, 3L -> 2L, 4L -> 5L, 5L -> 4L)
+    val deg = edges.groupBy(_._1).view.mapValues(_.size).toMap
+    val n = deg.size.toDouble
+    var r = deg.keys.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to 3) r = deg.keys.map { t =>
+      val msum = edges.filter(_._2 == t).map(_._1).sorted
+        .foldLeft(0.0)((acc, s) => acc + r(s) / deg(s))
+      t -> ((1.0 - 0.85) / n + 0.85 * msum)
+    }.toMap
+    assert(got.keySet === deg.keySet)
+    deg.keys.foreach { id =>
+      assert(got(id)._1 === deg(id).toLong, s"degree of $id")
+      assert(got(id)._2 === r(id), s"pagerank of $id") // bit-exact: same fold
+    }
+    assert(math.abs(got.values.map(_._2).sum - 1.0) < 1e-12) // no dangling loss
+  }
+
+  test("dedupByContent: identical payloads collapse to min-id survivor; copies conserved") {
+    import spark.implicits._
+    val media = graft.operators.Multimodal.asMediaTable(
+      Seq((10L, "same text"), (3L, "same text"), (7L, "unique one"),
+        (5L, "same text"), (9L, "another")).toDF("doc_id", "text"),
+      "doc_id", "text")
+    val got = graft.operators.Multimodal.dedupByContent(media)
+      .collect().map(r => r.getAs[Long]("survivor_id") ->
+        (r.getAs[Long]("n_copies"), r.getAs[String]("content_sha256"))).toMap
+    assert(got.keySet === Set(3L, 7L, 9L))
+    assert(got(3L)._1 === 3L) // three copies of "same text"
+    assert(got(7L)._1 === 1L && got(9L)._1 === 1L)
+    assert(got.values.map(_._1).sum === 5L)
+    // digest is the full lowercase sha256 hex
+    assert(got(3L)._2.matches("[0-9a-f]{64}"))
+  }
 }
