@@ -209,18 +209,29 @@ object Dedup {
     * (per-doc set sizes) remains — that aggregation ships one row per doc
     * after map-side partial aggregation, not one per shingle, so the
     * shingle-key join shuffle this prunes is the dominant mover.
+    *
+    * Sizing: `bloomBits = 0` (default) derives ~8 bits per expected item
+    * (≈2% fpp). The sketch is not free — it rides the plan as a literal, so
+    * the driver re-hashes it during optimization and every task ships it:
+    * an oversized 1 MiB sketch measurably costs ~1 s/run at bench scale
+    * where a right-sized 256 KiB one is noise. Size to the BATCH (the build
+    * side), never the corpus; undersizing only costs false-positive probe
+    * rows that the exact join drops anyway.
     */
   def incrementalJaccardPairsBloomed(fresh: DataFrame, corpus: DataFrame,
                                      idCol: String, textCol: String,
                                      k: Int = 4, threshold: Double = 0.5,
                                      expectedFreshShingles: Long = 1L << 20,
-                                     bloomBits: Long = 1L << 23,
+                                     bloomBits: Long = 0L,
                                      persistShingles: Boolean = true): DataFrame = {
+    val bits =
+      if (bloomBits > 0) bloomBits
+      else math.max(expectedFreshShingles * 8, 1L << 16)
     val shF = shingleSet(fresh, idCol, textCol, k, persistShingles)
     val shC = shingleSet(corpus, idCol, textCol, k, persistShingles)
     val sizeC = shC.groupBy(col(idCol)).agg(count(lit(1)).as("set_size"))
     val bloom = graft.functions.NativeFunctions.bloomAggBytes(
-      shF, xxhash64(col("shingle")), expectedFreshShingles, bloomBits)
+      shF, xxhash64(col("shingle")), expectedFreshShingles, bits)
     val pruned = shC.filter(graft.functions.NativeFunctions.mightContain(
       shC.sparkSession, bloom, xxhash64(col("shingle"))))
     screenAgainst(shF, pruned, sizeC, idCol, threshold)

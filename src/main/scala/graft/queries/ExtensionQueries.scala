@@ -400,7 +400,10 @@ object ExtensionQueries {
       val docs = t(s, d, "documents")
       Dedup.incrementalJaccardPairsBloomed(
         docs.filter(col("doc_id") >= 400), docs.filter(col("doc_id") < 400),
-        "doc_id", "text")
+        "doc_id", "text",
+        // sized to the batch: ≤ sf0.1's ~250k fresh shingles → 2 Mb sketch
+        // (256 KiB); an oversized sketch is pure literal-shipping overhead
+        expectedFreshShingles = 1L << 18)
         .orderBy("fresh_id", "corpus_id")
     },
 
