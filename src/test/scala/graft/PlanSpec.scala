@@ -180,6 +180,40 @@ class PlanSpec extends SparkSpec {
       s"semantic dedup must pair within k-means clusters:\n${plan.take(800)}")
   }
 
+  test("t21: quality gate is one shuffle-free projection over the scan") {
+    val plan = graft.operators.CorpusOps.qualityGate(
+      spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"quality gate must cost no more than the metrics it reads:\n${plan.take(800)}")
+    assert(!plan.contains("Generate"),
+      s"quality gate must not explode the token stream:\n${plan.take(800)}")
+  }
+
+  test("s08: two-stage re-rank never plans an all-pairs join (bucket-join only)") {
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val plan = graft.operators.Similarity.annRerankQuantized(
+      e.filter(org.apache.spark.sql.functions.col("vec_id") < 10), e,
+      "vec_id", "embedding", k = 5, coarseM = 20)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"re-rank candidates must come from the LSH bucket join:\n${plan.take(800)}")
+  }
+
+  test("m05: binary dedup shuffles the digest, never the payload") {
+    val plan = graft.operators.Multimodal.dedupByContent(
+      graft.operators.Multimodal.asMediaTable(
+        spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text"))
+      .queryExecution.executedPlan.toString
+    // partial agg drops `payload` before the exchange: the shuffled schema
+    // carries only the digest/byte-count keys and agg buffers
+    val exchange = plan.split("Exchange hashpartitioning")(1)
+    assert(exchange.contains("content_sha256"), plan.take(800))
+    assert(!exchange.split("\n")(0).contains("payload"), plan.take(800))
+    val aggs = "HashAggregate".r.findAllIn(plan).size
+    assert(aggs >= 2, s"expected partial+final HashAggregate:\n${plan.take(800)}")
+  }
+
   test("q36: z-order key is a pure projection — no shuffle, no generator") {
     val plan = physicalPlan("q36_zorder_key")
     // the final orderBy is the query's presentation sort; the KEY itself
