@@ -352,6 +352,62 @@ object CorpusOps {
     }
   }
 
+  /** Bigram language-model corpus table: space-joined bigram → (count,
+    * context-count, log conditional probability ln(n/ctx)) for the
+    * `vocabCap` most frequent bigrams — the n=2 step up from [[unigramLm]]
+    * in a KenLM-style perplexity-filter ladder. `ctx` counts the first
+    * token's appearances AS A BIGRAM CONTEXT (i.e. the sum of bigram counts
+    * sharing its first token), so p(w2|w1) columns are exactly normalized:
+    * Σ_w2 p(w2|w1) = 1. Counts are exact; the context aggregation runs over
+    * the (small) bigram-count table, never the token stream; ties on the
+    * cap order by bigram string.
+    */
+  def bigramLm(docs: DataFrame, idCol: String, textCol: String,
+               vocabCap: Int = 262144): DataFrame = {
+    val counts = docs
+      .select(explode(wordShingles(tokens(col(textCol)), 2)).as("bg"))
+      .groupBy(col("bg")).agg(count(lit(1)).as("n"))
+    val ctx = counts
+      .groupBy(substring_index(col("bg"), " ", 1).as("__w1"))
+      .agg(sum(col("n")).as("ctx"))
+    counts
+      .join(ctx, substring_index(col("bg"), " ", 1) === col("__w1"))
+      .orderBy(col("n").desc, col("bg")).limit(vocabCap)
+      .select(col("bg"), col("n"), col("ctx"),
+        log(col("n").cast("double") / col("ctx")).as("lp"))
+  }
+
+  /** Per-document mean bigram log-probability — [[unigramLogprob]]'s n=2
+    * sibling (a sharper fluency/perplexity signal: token-ORDER violations
+    * score low even when every unigram is common). Out-of-vocab bigrams
+    * score `oovLp`; the per-doc sum folds in bigram-position order from a
+    * 0.0 seed, so the float result is partition-order-independent.
+    *
+    * Always the broadcast-join shape (posexplode → map-side hash join →
+    * sorted re-fold): a bigram vocabulary is quadratically richer than a
+    * unigram one and routinely exceeds any sane plan-literal budget, so
+    * the distributed LM is the only scale path ([[unigramLogprob]]'s
+    * literal-vs-join bit-parity spec covers the fold equivalence this
+    * relies on). Documents with fewer than 2 tokens yield no bigrams and
+    * are absent from the output — the caller's contract.
+    */
+  def bigramLogprob(docs: DataFrame, idCol: String, textCol: String,
+                    lm: DataFrame, oovLp: Double): DataFrame = {
+    val bgArr = wordShingles(tokens(col(textCol)), 2)
+    docs
+      .select(col(idCol), size(bgArr).cast("long").as("__nb"),
+        posexplode(bgArr).as(Seq("pos", "bg")))
+      .join(broadcast(lm.select(col("bg"), col("lp"))), Seq("bg"), "left")
+      .groupBy(col(idCol))
+      .agg(max(col("__nb")).as("n_bigrams"),
+        aggregate(
+          array_sort(collect_list(
+            struct(col("pos"), coalesce(col("lp"), lit(oovLp)).as("lp")))),
+          lit(0.0), (acc, x) => acc + x.getField("lp")).as("__sum_lp"))
+      .select(col(idCol), col("n_bigrams"),
+        (col("__sum_lp") / col("n_bigrams")).as("mean_logprob"))
+  }
+
   /** Vocabulary head: the `k` most document-frequent tokens with total
     * occurrence counts (the seed stats for tokenizer training / stopword
     * lists). Shape: explode → two-level aggregate — both aggregations

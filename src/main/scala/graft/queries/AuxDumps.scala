@@ -81,6 +81,12 @@ object AuxDumps {
         t(s, d, "documents").filter(col("source") === "src0"),
         "doc_id", "text")),
 
+    // t22: the bigram LM table (bg, n, ctx, ln(n/ctx)). Same contract as
+    // t15: the oracle recounts the bigrams AND the context sums in SQL and
+    // joins on (bg, n, ctx), so only the ln itself is taken on trust.
+    "t22_lp" -> ((s, d) =>
+      graft.operators.CorpusOps.bigramLm(t(s, d, "documents"), "doc_id", "text")),
+
     // s04: the trained IVF coarse quantizer. Training is bit-reproducible
     // (decimal sums, driver-side division — see Similarity.kmeansCentroids),
     // so this second training inside Verify emits exactly the centroids the

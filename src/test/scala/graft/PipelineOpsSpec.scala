@@ -552,6 +552,27 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("bigramLm + bigramLogprob: exact conditional counts, vocab cap, OOV floor") {
+    import spark.implicits._
+    val df = Seq((1L, "a b a b c")).toDF("doc_id", "text")
+    // bigrams: "a b"×2, "b a"×1, "b c"×1; contexts: a→2, b→2
+    val lm = CorpusOps.bigramLm(df, "doc_id", "text")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(lm("a b") === ((2L, 2L, 0.0)))
+    assert(lm("b a") === ((1L, 2L, StrictMath.log(0.5))))
+    assert(lm("b c") === ((1L, 2L, StrictMath.log(0.5))))
+    // conditional normalization: Σ_w2 p(w2|w1) = 1 per context
+    assert(math.exp(lm("b a")._3) + math.exp(lm("b c")._3) === 1.0)
+    // cap = 2 keeps "a b" (n=2) then "b a" (tie on n=1 breaks by bigram
+    // string) → "b c" goes OOV and scores the floor
+    val capped = CorpusOps.bigramLm(df, "doc_id", "text", vocabCap = 2)
+    val scored = CorpusOps.bigramLogprob(df, "doc_id", "text", capped, -20.0).head()
+    assert(scored.getLong(1) === 4L)
+    val expect = (((0.0 + 0.0) + StrictMath.log(0.5)) + 0.0 + -20.0) / 4
+    assert(scored.getDouble(2) === expect) // bit-exact: same fold order
+  }
+
   test("pageRank bit-matches a plain-Scala fixed-iteration reference; mass conserved") {
     import spark.implicits._
     // path 1-2-3 plus isolated pair 4-5: asymmetric degrees on one
