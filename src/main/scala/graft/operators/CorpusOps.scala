@@ -169,7 +169,8 @@ object CorpusOps {
                   minMeanLen: Double = 4.0, maxMeanLen: Double = 5.0,
                   minStopRatio: Double = 0.03,
                   maxTopBigramFrac: Double = 0.1,
-                  maxRunTokens: Int = 2): DataFrame = {
+                  maxRunTokens: Int = 2,
+                  carryCols: Seq[String] = Nil): DataFrame = {
     val tk = tokens(col(textCol))
     val n = size(tk)
     val meanLen = graft.functions.TextFunctions.meanTokenLen(col(textCol), tk)
@@ -179,12 +180,12 @@ object CorpusOps {
     val topBgFrac = when(size(bg) > 0,
       maxDupCount(bg).cast("double") / size(bg)).otherwise(0.0)
     val run = maxRunLength(tk)
-    docs.select(col(idCol),
+    docs.select((col(idCol) +: carryCols.map(col)) ++ Seq(
         n.cast("long").as("n_tokens"),
         meanLen.as("mean_token_len"),
         stopR.as("stopword_ratio"),
         topBgFrac.as("top_bigram_frac"),
-        run.as("max_run"))
+        run.as("max_run")): _*)
       .withColumn("r_len",
         col("n_tokens").between(minTokens, maxTokens))
       .withColumn("r_mean_len",

@@ -125,6 +125,52 @@ object ExtensionQueries {
     s"""WITH ${jaccardCtes(maxDocFreq)}
       |SELECT id_a, id_b, jaccard FROM jp ORDER BY id_a, id_b"""
 
+  /** The t21 quality-gate CTE chain (metrics from the t02/t12 fragments,
+    * per-rule flags, conjunctive keep), shared by the batch gate (t21) and
+    * its streaming-yield twin (e16) so the two oracles cannot drift.
+    */
+  private val qualityGateCtes =
+    """toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS tk, length(text) AS nchars
+      |  FROM documents),
+      |pos AS (
+      |  SELECT doc_id, i, tk[i + 1] AS tok
+      |  FROM toks, UNNEST(range(len(tk))) AS r(i)),
+      |runs AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS run
+      |  FROM (SELECT doc_id, tok,
+      |          i - ROW_NUMBER() OVER (PARTITION BY doc_id, tok ORDER BY i) AS grp
+      |        FROM pos) g
+      |  GROUP BY doc_id, tok, grp),
+      |mr AS (SELECT doc_id, MAX(run) AS max_run FROM runs GROUP BY doc_id),
+      |bg AS (
+      |  SELECT doc_id, tk[i + 1] || ' ' || tk[i + 2] AS bigram
+      |  FROM toks, UNNEST(range(len(tk) - 1)) AS r(i) WHERE len(tk) >= 2),
+      |bgc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS c
+      |        FROM bg GROUP BY doc_id, bigram),
+      |tb AS (SELECT doc_id, MAX(c) AS top_bigram_n FROM bgc GROUP BY doc_id),
+      |m AS (
+      |  SELECT t.doc_id,
+      |    CAST(len(t.tk) AS BIGINT) AS n_tokens,
+      |    CAST(t.nchars - (len(t.tk) - 1) AS DOUBLE) / len(t.tk) AS mean_token_len,
+      |    CAST(len(list_filter(t.tk,
+      |      x -> x = 'the' OR x = 'a' OR x = 'of' OR x = 'and' OR x = 'is')) AS DOUBLE)
+      |      / len(t.tk) AS stopword_ratio,
+      |    COALESCE(CAST(tb.top_bigram_n AS DOUBLE) / (len(t.tk) - 1), 0.0) AS top_bigram_frac,
+      |    mr.max_run
+      |  FROM toks t JOIN mr USING (doc_id) LEFT JOIN tb USING (doc_id)),
+      |gated AS (
+      |  SELECT m.*,
+      |    n_tokens BETWEEN 20 AND 90 AS r_len,
+      |    mean_token_len BETWEEN 4.0 AND 5.0 AS r_mean_len,
+      |    stopword_ratio >= 0.03 AS r_stop,
+      |    top_bigram_frac <= 0.1 AS r_rep,
+      |    max_run <= 2 AS r_run,
+      |    (n_tokens BETWEEN 20 AND 90) AND (mean_token_len BETWEEN 4.0 AND 5.0)
+      |      AND stopword_ratio >= 0.03 AND top_bigram_frac <= 0.1
+      |      AND max_run <= 2 AS keep
+      |  FROM m)"""
+
   /** PageRank oracle: the jp pair graph symmetrized, then `iters` unrolled
     * rank rounds. Every constant is forced through DOUBLE arithmetic and the
     * per-node rank sum folds in source-id order from a 0.0 seed — the same
@@ -1329,48 +1375,31 @@ object ExtensionQueries {
     // max identical-token run); every ratio divides two exact integers, so
     // the flag comparisons see bit-identical doubles in both engines.
     "t21_quality_gate" -> of(
-      """WITH toks AS (
-        |  SELECT doc_id, string_split(text, ' ') AS tk, length(text) AS nchars
-        |  FROM documents),
-        |pos AS (
-        |  SELECT doc_id, i, tk[i + 1] AS tok
-        |  FROM toks, UNNEST(range(len(tk))) AS r(i)),
-        |runs AS (
-        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS run
-        |  FROM (SELECT doc_id, tok,
-        |          i - ROW_NUMBER() OVER (PARTITION BY doc_id, tok ORDER BY i) AS grp
-        |        FROM pos) g
-        |  GROUP BY doc_id, tok, grp),
-        |mr AS (SELECT doc_id, MAX(run) AS max_run FROM runs GROUP BY doc_id),
-        |bg AS (
-        |  SELECT doc_id, tk[i + 1] || ' ' || tk[i + 2] AS bigram
-        |  FROM toks, UNNEST(range(len(tk) - 1)) AS r(i) WHERE len(tk) >= 2),
-        |bgc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS c
-        |        FROM bg GROUP BY doc_id, bigram),
-        |tb AS (SELECT doc_id, MAX(c) AS top_bigram_n FROM bgc GROUP BY doc_id),
-        |m AS (
-        |  SELECT t.doc_id,
-        |    CAST(len(t.tk) AS BIGINT) AS n_tokens,
-        |    CAST(t.nchars - (len(t.tk) - 1) AS DOUBLE) / len(t.tk) AS mean_token_len,
-        |    CAST(len(list_filter(t.tk,
-        |      x -> x = 'the' OR x = 'a' OR x = 'of' OR x = 'and' OR x = 'is')) AS DOUBLE)
-        |      / len(t.tk) AS stopword_ratio,
-        |    COALESCE(CAST(tb.top_bigram_n AS DOUBLE) / (len(t.tk) - 1), 0.0) AS top_bigram_frac,
-        |    mr.max_run
-        |  FROM toks t JOIN mr USING (doc_id) LEFT JOIN tb USING (doc_id))
+      s"""WITH $qualityGateCtes
         |SELECT doc_id, n_tokens, mean_token_len, stopword_ratio, top_bigram_frac,
-        |  max_run,
-        |  n_tokens BETWEEN 20 AND 90 AS r_len,
-        |  mean_token_len BETWEEN 4.0 AND 5.0 AS r_mean_len,
-        |  stopword_ratio >= 0.03 AS r_stop,
-        |  top_bigram_frac <= 0.1 AS r_rep,
-        |  max_run <= 2 AS r_run,
-        |  (n_tokens BETWEEN 20 AND 90) AND (mean_token_len BETWEEN 4.0 AND 5.0)
-        |    AND stopword_ratio >= 0.03 AND top_bigram_frac <= 0.1
-        |    AND max_run <= 2 AS keep
-        |FROM m ORDER BY doc_id""") { (s, d) =>
+        |  max_run, r_len, r_mean_len, r_stop, r_rep, r_run, keep
+        |FROM gated ORDER BY doc_id""") { (s, d) =>
       graft.operators.CorpusOps.qualityGate(t(s, d, "documents"), "doc_id", "text")
         .orderBy("doc_id")
+    },
+
+    // The quality gate against a LIVE ingest (e16): per-(source, keep)
+    // doc/token yield counts, complete-mode AvailableNow — the stateless
+    // gate drops into the streaming plan unchanged, the one stateful op is
+    // an O(sources × 2)-state groupBy, and the emission equals the batch
+    // gate + aggregation, so the batch SQL grades the streaming plan.
+    "e16_stream_quality" -> of(
+      s"""WITH $qualityGateCtes
+        |SELECT d.source, g.keep, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(g.n_tokens) AS BIGINT) AS n_tokens
+        |FROM gated g JOIN documents d USING (doc_id)
+        |GROUP BY d.source, g.keep ORDER BY d.source, g.keep""") { (s, d) =>
+      import graft.streaming.{EventsStream, QualityStream, ScreenStream}
+      val gated = QualityStream.gateCounts(
+        ScreenStream.readDocs(s, d), "doc_id", "text")
+      val sinkName = s"stream_quality_${sinkCounter.incrementAndGet()}"
+      EventsStream.runAvailableNow(gated, sinkName, outputMode = "complete")
+      s.table(sinkName).orderBy("source", "keep")
     },
 
     // NB: there is no t16 — the id was retired during round-3 review when

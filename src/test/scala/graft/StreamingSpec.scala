@@ -71,6 +71,21 @@ class StreamingSpec extends SparkSpec {
     assert(batch.except(streamed).count() === 0)
   }
 
+  test("streaming quality-gate yield counts == batch gate + aggregation") {
+    import graft.streaming.{QualityStream, ScreenStream}
+    val stream = ScreenStream.readDocs(spark, dir)
+    val gated = QualityStream.gateCounts(stream, "doc_id", "text")
+    assert(gated.isStreaming)
+    EventsStream.runAvailableNow(gated, "stream_quality_parity",
+      outputMode = "complete")
+    val streamed = spark.table("stream_quality_parity")
+    val batch = QualityStream.gateCounts(
+      spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
+    assert(streamed.count() > 0)
+    assert(streamed.except(batch).count() === 0)
+    assert(batch.except(streamed).count() === 0)
+  }
+
   test("stream-stream interval join == batch interval join") {
     def side(tpe: String, idAs: String) = EventsStream.readEvents(spark, dir)
       .filter(col("event_type") === tpe)
