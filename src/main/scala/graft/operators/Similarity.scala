@@ -528,6 +528,114 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "cosine")
   }
 
+  /** Product-quantization codebooks (the FAISS-PQ shape, inner-product
+    * flavor): the vector splits into `subspaces` contiguous slices and each
+    * slice gets its own `k`-centroid quantizer trained with the SAME
+    * bit-reproducible k-means as the IVF coarse quantizer — so the whole
+    * codebook is rebuildable and auditable. Returns one centroid array per
+    * subspace.
+    */
+  def pqCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
+                  subspaces: Int = 4, k: Int = 16,
+                  iters: Int = 3): Seq[Array[Array[Double]]] = {
+    val dim = vectorDim(corpus, vecCol)
+    if (dim == 0) return Seq.fill(subspaces)(Array.empty)
+    require(dim % subspaces == 0,
+      s"pqCodebooks: dim $dim not divisible into $subspaces subspaces")
+    val sub = dim / subspaces
+    (0 until subspaces).map { s =>
+      kmeansCentroids(
+        corpus.select(col(idCol),
+          slice(col(vecCol).cast("array<double>"), s * sub + 1, sub).as("__subv")),
+        idCol, "__subv", k, iters)
+    }
+  }
+
+  /** Codebook arrays → (sub, cid, cvec) DataFrame — shared by the search
+    * plan and the Verify aux dump so both see literally the same values
+    * (the [[centroidsDf]] contract, per subspace).
+    */
+  def pqCodebooksDf(spark: org.apache.spark.sql.SparkSession,
+                    cbs: Seq[Array[Array[Double]]]): DataFrame = {
+    import spark.implicits._
+    cbs.zipWithIndex.flatMap { case (cb, s) =>
+      cb.zipWithIndex.map { case (c, i) => (s.toLong, i.toLong, c.toSeq) }
+    }.toDF("sub", "cid", "cvec")
+  }
+
+  /** PQ-ADC approximate search with exact re-rank: corpus vectors compress
+    * to `subspaces` small integer codes (nearest codebook centroid by max
+    * dot, ties to the lowest cid); a query precomputes one dot per
+    * (subspace, centroid) — the ADC lookup table — and every candidate's
+    * approximate inner product is the sum of `subspaces` table entries.
+    * Coarse ADC keeps `coarseM` per query; exact cosine re-ranks those into
+    * the top `k` ([[annRerankQuantized]]'s two-stage contract, compressed-
+    * domain flavor).
+    *
+    * Scale shape: the compressed scan moves (id, sub, cid) rows — the
+    * 100 TB point of PQ: the float corpus is touched only for the bounded
+    * re-rank join; the ADC stage reads codes (bytes/vector, not KB/vector).
+    * Every fold is order-pinned: per-candidate ADC sums fold in subspace
+    * order from a 0.0 seed, so scores — and therefore the coarse cut — are
+    * bit-reproducible on any partitioning.
+    */
+  def pqSearch(queries: DataFrame, corpus: DataFrame, idCol: String,
+               vecCol: String, k: Int, coarseM: Int = 20,
+               subspaces: Int = 4, codebookK: Int = 16,
+               iters: Int = 3): DataFrame = {
+    graft.functions.NativeFunctions.register(queries.sparkSession)
+    val cbs = pqCodebooks(corpus, idCol, vecCol, subspaces, codebookK, iters)
+    val v = col(vecCol).cast("array<double>")
+    if (cbs.exists(_.isEmpty))
+      // empty corpus → empty result, schema intact (degrade-not-throw)
+      return queries.limit(0).select(col(idCol).cast("long").as("query_id"),
+        lit(0).as("rank"), col(idCol).cast("long").as("neighbor_id"),
+        lit(0.0).as("adc"), lit(0.0).as("cosine"))
+    val dim = vectorDim(corpus, vecCol)
+    val sub = dim / subspaces
+    // corpus → codes: a pure projection over broadcast centroid literals
+    // (struct-argmax: max dot, then lowest cid — the d09 assignment shape)
+    val codeCols = (0 until subspaces).map { s =>
+      val sv = slice(v, s * sub + 1, sub)
+      val structs = cbs(s).indices.map { ci =>
+        struct(dot(sv, lit(cbs(s)(ci))).as("d"), lit(-ci).as("nc")) }
+      (-array_max(array(structs: _*)).getField("nc")).cast("long").as(s"code_$s")
+    }
+    val melted = corpus
+      .select(col(idCol).as("neighbor_id") +: codeCols: _*)
+      .select(col("neighbor_id"),
+        posexplode(array((0 until subspaces).map(s => col(s"code_$s")): _*))
+          .as(Seq("sub", "cid")))
+      .select(col("neighbor_id"), col("sub").cast("long").as("sub"), col("cid"))
+    // ADC lookup tables: one dot per (query, subspace, centroid)
+    val cbDf = pqCodebooksDf(queries.sparkSession, cbs)
+    val tables = queries.select(col(idCol).as("query_id"), v.as("qv"))
+      .crossJoin(broadcast(cbDf))
+      .select(col("query_id"), col("sub"), col("cid"),
+        dot(slice(col("qv"), (col("sub") * sub + 1).cast("int"), lit(sub)),
+          col("cvec")).as("tdot"))
+    val coarseW = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").desc, col("neighbor_id"))
+    val fineW = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    val qv = queries.select(col(idCol).as("query_id"), v.as("qv"))
+    val nv = corpus.select(col(idCol).as("neighbor_id"), v.as("nv"))
+    melted.join(broadcast(tables), Seq("sub", "cid"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(aggregate(
+        array_sort(collect_list(struct(col("sub"), col("tdot").as("t")))),
+        lit(0.0), (acc, x) => acc + x.getField("t")).as("adc"))
+      .withColumn("__crn", row_number().over(coarseW))
+      .filter(col("__crn") <= coarseM)
+      .join(broadcast(qv), "query_id")
+      .join(nv, "neighbor_id")
+      .withColumn("cosine", cosine(col("qv"), col("nv")))
+      .withColumn("rank", row_number().over(fineW))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "adc", "cosine")
+  }
+
   /** Two-stage ANN: LSH-bucketed candidates → int8-quantized integer-dot
     * COARSE score keeps the top `coarseM` per query → exact-cosine re-rank of
     * only those survivors emits the top `k` — the production retrieval shape

@@ -97,6 +97,16 @@ object AuxDumps {
         graft.operators.Similarity.kmeansCentroids(
           t(s, d, "embeddings"), "vec_id", "embedding"))),
 
+    // s09: the per-subspace PQ codebooks (sub, cid, cvec). Training is the
+    // same bit-reproducible k-means as s04, run per vector slice, so this
+    // second training inside Verify emits exactly the codebooks the s09
+    // plan used; the oracle recomputes codes, ADC tables, the
+    // subspace-ordered score folds and both rankings in SQL.
+    "s09_codebooks" -> ((s, d) =>
+      graft.operators.Similarity.pqCodebooksDf(s,
+        graft.operators.Similarity.pqCodebooks(
+          t(s, d, "embeddings"), "vec_id", "embedding"))),
+
     // Hyperplane-LSH consumers — s03 (one 8-plane table, p 0..7) and d06
     // (8 tables × 4 planes, p 0..31): the ±1 sign vector of each
     // deterministic hyperplane, materialized through the OPERATOR's own

@@ -597,6 +597,20 @@ class PipelineOpsSpec extends SparkSpec {
     assert(math.abs(got.values.map(_._2).sum - 1.0) < 1e-12) // no dangling loss
   }
 
+  test("pqSearch with an all-pass coarse stage == brute-force cosine top-k") {
+    val q = embs.filter(col("vec_id") < 10)
+    // coarseM >= corpus size → ADC drops nothing → the exact re-rank sees
+    // every candidate and must reproduce the brute-force ranking exactly
+    val pq = Similarity.pqSearch(q, embs, "vec_id", "embedding",
+      k = 5, coarseM = 1000000)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getLong(2), r.getDouble(4))).toMap
+    val exact = Similarity.cosineTopK(q, embs, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(pq === exact)
+  }
+
   test("dedupByContent: identical payloads collapse to min-id survivor; copies conserved") {
     import spark.implicits._
     val media = graft.operators.Multimodal.asMediaTable(
