@@ -33,13 +33,16 @@ object GraphOps {
   def pageRank(pairs: DataFrame, iters: Int = 3,
                damping: Double = 0.85): DataFrame = {
     require(iters >= 1, "pageRank: iters must be >= 1")
-    val sym = pairs
+    // The symmetrized edge set is THE upstream cut: every consumer below —
+    // degree, N, the uniform start, the final join, and all `iters`
+    // propagation rounds — would otherwise re-evaluate the pair input
+    // (often an expensive Jaccard self-join) once each. Persist it first
+    // (guarded persist, swept by SessionSweep like every operator-internal
+    // cache); everything else derives from the cached edges.
+    val sym = Caching.persisted(pairs
       .select(col("id_a").as("s"), col("id_b").as("t"))
       .union(pairs.select(col("id_b").as("s"), col("id_a").as("t")))
-      .distinct()
-    // degree + per-source edge fan-out, materialized once for the whole
-    // fixed-depth plan (each iteration reads it; guarded persist, swept by
-    // SessionSweep like every operator-internal cache)
+      .distinct())
     val deg = sym.groupBy(col("s")).agg(count(lit(1)).as("d"))
     val edges = Caching.persisted(sym.join(deg, "s"))
     // N rides along as a broadcast 1-row frame so the whole operator stays
