@@ -214,6 +214,16 @@ class PlanSpec extends SparkSpec {
     assert(aggs >= 2, s"expected partial+final HashAggregate:\n${plan.take(800)}")
   }
 
+  test("t22: the bigram-LM join is broadcast map-side, never a corpus sort-merge") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val lm = graft.operators.CorpusOps.bigramLm(docs, "doc_id", "text")
+    val plan = graft.operators.CorpusOps.bigramLogprob(docs, "doc_id", "text", lm, -20.0)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+    assert(!plan.contains("SortMergeJoin"),
+      s"the token stream must never shuffle for the LM lookup:\n${plan.take(800)}")
+  }
+
   test("q36: z-order key is a pure projection — no shuffle, no generator") {
     val plan = physicalPlan("q36_zorder_key")
     // the final orderBy is the query's presentation sort; the KEY itself
