@@ -162,6 +162,12 @@ object CorpusOps {
     * [[graft.functions.TextFunctions]]) — shuffle-free, one corpus pass, no
     * UDF; ratios divide two exact integers so both engines see identical
     * doubles.
+    *
+    * Null-text rows are EXCLUDED (not scored): every metric would be null,
+    * which would put the row in neither the keep nor the drop bucket —
+    * invisible to the audit this operator exists for. Nullness screening
+    * belongs to the upstream constraint audit ([[QualityChecks.audit]]
+    * counts null violations loudly); this gate scores only scoreable text.
     */
   def qualityGate(docs: DataFrame, idCol: String, textCol: String,
                   stopwords: Seq[String] = Seq("the", "a", "of", "and", "is"),
@@ -180,7 +186,8 @@ object CorpusOps {
     val topBgFrac = when(size(bg) > 0,
       maxDupCount(bg).cast("double") / size(bg)).otherwise(0.0)
     val run = maxRunLength(tk)
-    docs.select((col(idCol) +: carryCols.map(col)) ++ Seq(
+    docs.filter(col(textCol).isNotNull)
+      .select((col(idCol) +: carryCols.map(col)) ++ Seq(
         n.cast("long").as("n_tokens"),
         meanLen.as("mean_token_len"),
         stopR.as("stopword_ratio"),

@@ -224,9 +224,14 @@ object Dedup {
                                      expectedFreshShingles: Long = 1L << 20,
                                      bloomBits: Long = 0L,
                                      persistShingles: Boolean = true): DataFrame = {
+    // derived sizing is capped: the sketch is a driver-built plan literal,
+    // so it must stay plan-sized no matter what the caller estimates. A
+    // batch too big for the 8 MiB cap only raises fpp (never correctness);
+    // a corpus screened repeatedly at that scale wants the standing index
+    // (d12) instead of a per-run sketch.
     val bits =
       if (bloomBits > 0) bloomBits
-      else math.max(expectedFreshShingles * 8, 1L << 16)
+      else math.min(math.max(expectedFreshShingles * 8, 1L << 16), 1L << 26)
     val shF = shingleSet(fresh, idCol, textCol, k, persistShingles)
     val shC = shingleSet(corpus, idCol, textCol, k, persistShingles)
     val sizeC = shC.groupBy(col(idCol)).agg(count(lit(1)).as("set_size"))

@@ -537,8 +537,13 @@ object Similarity {
     */
   def pqCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
                   subspaces: Int = 4, k: Int = 16,
-                  iters: Int = 3): Seq[Array[Array[Double]]] = {
-    val dim = vectorDim(corpus, vecCol)
+                  iters: Int = 3): Seq[Array[Array[Double]]] =
+    pqCodebooksFor(corpus, idCol, vecCol, vectorDim(corpus, vecCol),
+      subspaces, k, iters)
+
+  private def pqCodebooksFor(corpus: DataFrame, idCol: String, vecCol: String,
+                             dim: Int, subspaces: Int, k: Int,
+                             iters: Int): Seq[Array[Array[Double]]] = {
     if (dim == 0) return Seq.fill(subspaces)(Array.empty)
     require(dim % subspaces == 0,
       s"pqCodebooks: dim $dim not divisible into $subspaces subspaces")
@@ -584,14 +589,17 @@ object Similarity {
                subspaces: Int = 4, codebookK: Int = 16,
                iters: Int = 3): DataFrame = {
     graft.functions.NativeFunctions.register(queries.sparkSession)
-    val cbs = pqCodebooks(corpus, idCol, vecCol, subspaces, codebookK, iters)
+    // dimension probed ONCE for both training and search (it's a one-row
+    // job, but it's a job — no reason to schedule it twice per call)
+    val dim = vectorDim(corpus, vecCol)
+    val cbs = pqCodebooksFor(corpus, idCol, vecCol, dim, subspaces,
+      codebookK, iters)
     val v = col(vecCol).cast("array<double>")
     if (cbs.exists(_.isEmpty))
       // empty corpus → empty result, schema intact (degrade-not-throw)
       return queries.limit(0).select(col(idCol).cast("long").as("query_id"),
         lit(0).as("rank"), col(idCol).cast("long").as("neighbor_id"),
         lit(0.0).as("adc"), lit(0.0).as("cosine"))
-    val dim = vectorDim(corpus, vecCol)
     val sub = dim / subspaces
     // corpus → codes: a pure projection over broadcast centroid literals
     // (struct-argmax: max dot, then lowest cid — the d09 assignment shape)

@@ -527,6 +527,11 @@ class PipelineOpsSpec extends SparkSpec {
     // metrics are the t02/t12 fragments: spot-check doc 1 exactly
     assert(got(1L).getAs[Long]("n_tokens") === 3L)
     assert(got(1L).getAs[Double]("mean_token_len") === (8.0 - 2.0) / 3.0)
+    // null text is EXCLUDED, not scored as a keep=NULL ghost row
+    val withNull = Seq((0L, Option("the a of")), (1L, Option.empty[String]))
+      .toDF("doc_id", "text")
+    assert(CorpusOps.qualityGate(withNull, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSeq === Seq(0L))
   }
 
   test("annRerank with an all-pass coarse stage == exact in-bucket top-k; " +
