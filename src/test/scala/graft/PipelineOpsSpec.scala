@@ -602,6 +602,20 @@ class PipelineOpsSpec extends SparkSpec {
     assert(math.abs(got.values.map(_._2).sum - 1.0) < 1e-12) // no dangling loss
   }
 
+  test("fused PQ codebook training bit-matches per-subspace kmeansCentroids") {
+    val fused = Similarity.pqCodebooks(embs, "vec_id", "embedding")
+    val sub = 16 // 64-dim fixtures, 4 subspaces
+    (0 until 4).foreach { s =>
+      val perSlice = Similarity.kmeansCentroids(
+        embs.select(col("vec_id"),
+          expr(s"slice(cast(embedding as array<double>), ${s * sub + 1}, $sub)")
+            .as("sv")),
+        "vec_id", "sv")
+      assert(fused(s).map(_.toSeq).toSeq === perSlice.map(_.toSeq).toSeq,
+        s"subspace $s")
+    }
+  }
+
   test("pqSearch with an all-pass coarse stage == brute-force cosine top-k") {
     val q = embs.filter(col("vec_id") < 10)
     // coarseM >= corpus size → ADC drops nothing → the exact re-rank sees
