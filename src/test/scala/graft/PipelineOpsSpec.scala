@@ -602,6 +602,79 @@ class PipelineOpsSpec extends SparkSpec {
     assert(math.abs(got.values.map(_._2).sum - 1.0) < 1e-12) // no dangling loss
   }
 
+  test("property: qualityGate metrics and flags match a plain-Scala oracle on random docs") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import spark.implicits._
+    val vocab = Seq("the", "a", "of", "and", "is", "word", "pair", "mill",
+      "pond", "glen", "quick", "brown")
+    val stop = Set("the", "a", "of", "and", "is")
+    for (seed <- 1L to 3L) {
+      val texts = Gen.listOfN(30,
+        Gen.chooseNum(1, 40).flatMap(n => Gen.listOfN(n, Gen.oneOf(vocab))
+          .map(_.mkString(" "))))(Gen.Parameters.default, Seed(seed)).get
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = CorpusOps.qualityGate(df, "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> r).toMap
+      texts.zipWithIndex.foreach { case (text, i) =>
+        val tk = text.split(" ", -1).toSeq
+        val n = tk.size
+        val meanLen = (text.length - (n - 1)).toDouble / n
+        val stopR = tk.count(stop).toDouble / n
+        val bg = tk.sliding(2).filter(_.size == 2).map(_.mkString(" ")).toSeq
+        val topBg = if (bg.isEmpty) 0.0
+          else bg.groupBy(identity).values.map(_.size).max.toDouble / bg.size
+        val run = tk.foldLeft((0L, "", 0L)) { case ((best, prev, cur), t) =>
+          val c = if (t == prev) cur + 1 else 1L
+          (math.max(best, c), t, c)
+        }._1
+        val r = got(i.toLong)
+        assert(r.getAs[Long]("n_tokens") === n.toLong, s"n doc $i seed $seed")
+        assert(r.getAs[Double]("mean_token_len") === meanLen, s"ml doc $i seed $seed")
+        assert(r.getAs[Double]("stopword_ratio") === stopR, s"sr doc $i seed $seed")
+        assert(r.getAs[Double]("top_bigram_frac") === topBg, s"bg doc $i seed $seed")
+        assert(r.getAs[Long]("max_run") === run, s"run doc $i seed $seed")
+        val keep = (n >= 20 && n <= 90) && (meanLen >= 4.0 && meanLen <= 5.0) &&
+          stopR >= 0.03 && topBg <= 0.1 && run <= 2
+        assert(r.getAs[Boolean]("keep") === keep, s"keep doc $i seed $seed")
+      }
+    }
+  }
+
+  test("property: bigramLogprob matches a plain-Scala LM + ordered fold on random docs") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import spark.implicits._
+    val vocab = Seq("aa", "bb", "cc", "dd")
+    for (seed <- 1L to 3L) {
+      val texts = Gen.listOfN(20,
+        Gen.chooseNum(2, 25).flatMap(n => Gen.listOfN(n, Gen.oneOf(vocab))
+          .map(_.mkString(" "))))(Gen.Parameters.default, Seed(seed)).get
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      // plain-Scala LM: bigram counts, first-token context sums, ln(n/ctx)
+      val allBg = texts.flatMap(_.split(" ", -1).toSeq.sliding(2)
+        .filter(_.size == 2).map(_.mkString(" ")))
+      val bgN = allBg.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val ctxN = bgN.groupBy(_._1.split(" ", -1)(0)).view
+        .mapValues(_.values.sum).toMap
+      val lp = bgN.map { case (bg, n) =>
+        bg -> StrictMath.log(n.toDouble / ctxN(bg.split(" ", -1)(0)))
+      }
+      val lm = CorpusOps.bigramLm(df, "doc_id", "text")
+      val got = CorpusOps.bigramLogprob(df, "doc_id", "text", lm, -20.0)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      texts.zipWithIndex.foreach { case (text, i) =>
+        val bgs = text.split(" ", -1).toSeq.sliding(2)
+          .filter(_.size == 2).map(_.mkString(" ")).toSeq
+        val sum = bgs.foldLeft(0.0)((acc, bg) => acc + lp.getOrElse(bg, -20.0))
+        assert(got(i.toLong)._1 === bgs.size.toLong, s"nb doc $i seed $seed")
+        assert(got(i.toLong)._2 === sum / bgs.size, s"mean doc $i seed $seed")
+      }
+    }
+  }
+
   test("fused PQ codebook training bit-matches per-subspace kmeansCentroids") {
     val fused = Similarity.pqCodebooks(embs, "vec_id", "embedding")
     val sub = 16 // 64-dim fixtures, 4 subspaces
