@@ -1498,6 +1498,52 @@ object ExtensionQueries {
         .orderBy("source")
     },
 
+    // The t17 curated chain EXTENDED with the t21 quality gate — the full
+    // modern curation recipe in one oracled query: near-dup survivors
+    // (component closure) ∘ quality-gate keep ∘ reproducible train split ∘
+    // per-source doc/token stats. Gate flags are per-doc, so gating the
+    // survivor set equals gating the corpus and intersecting — the SQL
+    // mirrors the whole composition (recursive closure + gate CTEs with
+    // `toks` renamed to avoid colliding with the Jaccard chain's CTE).
+    "t23_curated_gated" -> of(
+      s"""WITH RECURSIVE ${jaccardCtes(None)},
+        |edges AS (
+        |  SELECT id_a, id_b FROM jp UNION ALL SELECT id_b, id_a FROM jp),
+        |reach(id, label) AS (
+        |  SELECT id_a, id_a FROM edges
+        |  UNION
+        |  SELECT e.id_a, r.label FROM edges e JOIN reach r ON r.id = e.id_b),
+        |losers AS (
+        |  SELECT id FROM (SELECT id, MIN(label) AS cluster FROM reach GROUP BY id) x
+        |  WHERE id <> cluster),
+        |${qualityGateCtes.replace("toks", "qtoks")},
+        |dh AS (SELECT doc_id, h FROM read_parquet('{{AUX}}/doc_hashes/*.parquet')),
+        |splits AS (
+        |  SELECT doc_id,
+        |    CASE WHEN ((h % 100) + 100) % 100 < 90 THEN 'train' ELSE 'holdout' END AS split
+        |  FROM dh),
+        |curated AS (
+        |  SELECT d.doc_id, d.source, g.n_tokens
+        |  FROM documents d
+        |  JOIN gated g ON g.doc_id = d.doc_id AND g.keep
+        |  JOIN splits s ON s.doc_id = d.doc_id AND s.split = 'train'
+        |  WHERE d.doc_id NOT IN (SELECT id FROM losers))
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+        |FROM curated GROUP BY source ORDER BY source""") { (s, d) =>
+      val survivors = Dedup.nearDupSurvivors(t(s, d, "documents"), "doc_id", "text")
+      val gated = graft.operators.CorpusOps.qualityGate(
+        survivors, "doc_id", "text", carryCols = Seq("source"))
+        .filter(col("keep"))
+      graft.operators.CorpusOps.hashSplit(gated, "doc_id",
+        Seq("train" -> 90, "holdout" -> 100))
+        .filter(col("split") === "train")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"))
+        .orderBy("source")
+    },
+
     // ---- multimodal -------------------------------------------------------
 
     // Binary payload plumbing + partition-batched (stubbed) feature extract.
