@@ -1544,6 +1544,33 @@ object ExtensionQueries {
         .orderBy("source")
     },
 
+    // Curated-writer roundtrip (t24): hash-split the corpus, write it
+    // through the partitioned/sorted curated layout, READ THE FILES BACK
+    // and aggregate — the writer's losslessness graded by the oracle
+    // (DuckDB aggregates the same split assignment straight from the source
+    // table, so any row the layout dropped, duplicated or mangled breaks
+    // the value compare). Upgrades the writer from spec-only to oracled.
+    "t24_curated_roundtrip" -> of(
+      """WITH dh AS (SELECT doc_id, h FROM read_parquet('{{AUX}}/doc_hashes/*.parquet')),
+        |splits AS (
+        |  SELECT doc_id,
+        |    CASE WHEN ((h % 100) + 100) % 100 < 90 THEN 'train' ELSE 'holdout' END AS split
+        |  FROM dh)
+        |SELECT s.split, d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(len(string_split(d.text, ' '))) AS BIGINT) AS n_tokens
+        |FROM documents d JOIN splits s USING (doc_id)
+        |GROUP BY s.split, d.source ORDER BY s.split, d.source""") { (s, d) =>
+      val split = graft.operators.CorpusOps.hashSplit(
+        t(s, d, "documents"), "doc_id", Seq("train" -> 90, "holdout" -> 100))
+      val dir = java.nio.file.Files.createTempDirectory("graft-curated-rt-")
+      graft.operators.CorpusOps.writeCurated(split, dir.toString)
+      s.read.parquet(dir.toString)
+        .groupBy(col("split"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(tokens(col("text"))).cast("long")).as("n_tokens"))
+        .orderBy("split", "source")
+    },
+
     // ---- multimodal -------------------------------------------------------
 
     // Binary payload plumbing + partition-batched (stubbed) feature extract.
