@@ -705,6 +705,94 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "adc", "cosine")
   }
 
+  /** IVF-PQ composite index search — the two proven quantizers composed
+    * into the workhorse large-corpus index architecture: a coarse k-means
+    * partitions the corpus into cells ([[kmeansCentroids]], the s04
+    * trainer), each vector compresses to PQ codes ([[pqCodebooksFor]], the
+    * s09 trainer — non-residual: codes quantize the vector itself, not the
+    * cell residual; documented simplification), and a query touches ONLY
+    * the codes of its `nProbe` closest cells: ADC-scores them, keeps
+    * `coarseM`, exact-cosine re-ranks into the top `k`.
+    *
+    * Scale shape: the corpus is hash-partitioned by cell; a probe reads
+    * nProbe/nCells of the CODES (bytes per vector), and floats surface
+    * only for the bounded re-rank join — IVF's data-skipping stacked on
+    * PQ's compression. All rankings tie-break on ids and the ADC fold is
+    * subspace-ordered, so results are bit-reproducible (and DuckDB-graded
+    * from the same two aux dumps s04 and s09 already materialize).
+    */
+  def ivfPqSearch(queries: DataFrame, corpus: DataFrame, idCol: String,
+                  vecCol: String, k: Int, nProbe: Int = 2, coarseM: Int = 20,
+                  nCells: Int = 16, subspaces: Int = 4, codebookK: Int = 16,
+                  iters: Int = 3): DataFrame = {
+    graft.functions.NativeFunctions.register(queries.sparkSession)
+    val dim = vectorDim(corpus, vecCol)
+    val cents = kmeansCentroids(corpus, idCol, vecCol, nCells, iters)
+    val cbs = pqCodebooksFor(corpus, idCol, vecCol, dim, subspaces,
+      codebookK, iters)
+    val v = col(vecCol).cast("array<double>")
+    if (cents.isEmpty || cbs.exists(_.isEmpty))
+      return queries.limit(0).select(col(idCol).cast("long").as("query_id"),
+        lit(0).as("rank"), col(idCol).cast("long").as("neighbor_id"),
+        lit(0.0).as("adc"), lit(0.0).as("cosine"))
+    val sub = dim / subspaces
+    val cent = broadcast(centroidsDf(queries.sparkSession, cents)
+      .withColumn("c_norm", l2norm(col("cvec"))))
+    // cell assignment/probing: the s04 window shape (cosine rank, cid tie)
+    def closestCells(df: DataFrame, idAs: String, n: Int) = {
+      val w = Window.partitionBy(col(idAs)).orderBy(col("c_sim").desc, col("cid"))
+      df.select(col(idCol).as(idAs), v.as("__v"))
+        .withColumn("v_norm", l2norm(col("__v")))
+        .crossJoin(cent)
+        .withColumn("c_sim", dot(col("__v"), col("cvec")) / (col("v_norm") * col("c_norm")))
+        .withColumn("crn", row_number().over(w))
+        .filter(col("crn") <= n)
+        .select(col(idAs), col("cid").as("cell"))
+    }
+    // corpus → (cell, PQ code rows): only codes move through the probe join
+    val codeCols = (0 until subspaces).map { s =>
+      val sv = slice(v, s * sub + 1, sub)
+      val structs = cbs(s).indices.map { ci =>
+        struct(dot(sv, lit(cbs(s)(ci))).as("d"), lit(-ci).as("nc")) }
+      (-array_max(array(structs: _*)).getField("nc")).cast("long").as(s"code_$s")
+    }
+    val melted = corpus
+      .select(col(idCol).as("neighbor_id") +: codeCols: _*)
+      .join(closestCells(corpus, "neighbor_id", 1), "neighbor_id")
+      .select(col("neighbor_id"), col("cell"),
+        posexplode(array((0 until subspaces).map(s => col(s"code_$s")): _*))
+          .as(Seq("sub", "cid")))
+      .select(col("neighbor_id"), col("cell"),
+        col("sub").cast("long").as("sub"), col("cid"))
+    val tables = queries.select(col(idCol).as("query_id"), v.as("qv"))
+      .crossJoin(broadcast(pqCodebooksDf(queries.sparkSession, cbs)))
+      .select(col("query_id"), col("sub"), col("cid"),
+        dot(slice(col("qv"), (col("sub") * sub + 1).cast("int"), lit(sub)),
+          col("cvec")).as("tdot"))
+    val probes = closestCells(queries, "query_id", nProbe)
+    val coarseW = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").desc, col("neighbor_id"))
+    val fineW = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    val qv = queries.select(col(idCol).as("query_id"), v.as("qv"))
+    val nv = corpus.select(col(idCol).as("neighbor_id"), v.as("nv"))
+    melted.join(broadcast(probes), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .join(broadcast(tables), Seq("query_id", "sub", "cid"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(aggregate(
+        array_sort(collect_list(struct(col("sub"), col("tdot").as("t")))),
+        lit(0.0), (acc, x) => acc + x.getField("t")).as("adc"))
+      .withColumn("__crn", row_number().over(coarseW))
+      .filter(col("__crn") <= coarseM)
+      .join(broadcast(qv), "query_id")
+      .join(nv, "neighbor_id")
+      .withColumn("cosine", cosine(col("qv"), col("nv")))
+      .withColumn("rank", row_number().over(fineW))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "adc", "cosine")
+  }
+
   /** Two-stage ANN: LSH-bucketed candidates → int8-quantized integer-dot
     * COARSE score keeps the top `coarseM` per query → exact-cosine re-rank of
     * only those survivors emits the top `k` — the production retrieval shape

@@ -801,6 +801,77 @@ object ExtensionQueries {
         .orderBy("query_id", "rank")
     },
 
+    // IVF-PQ composite search (s10): the s04 coarse cells and the s09
+    // product codes stacked into the workhorse index — a query ADC-scores
+    // ONLY the codes of its 2 probed cells, then exact-cosine re-ranks the
+    // coarse top-20. Both quantizers are the already-dumped primitives, so
+    // the oracle rebuilds assignment, probing, codes, tables, folds and
+    // both rankings from the same two aux tables s04 and s09 use.
+    "s10_ivf_pq" -> of {
+      def sdot(a: String, b: String) =
+        s"list_sum(list_transform(list_zip($a, $b), x -> x[1] * x[2]))"
+      def cos(a: String, b: String) =
+        s"${sdot(a, b)} / (sqrt(${sdot(a, a)}) * sqrt(${sdot(b, b)}))"
+      val qslice = "v[CAST(sub*16+1 AS INT) : CAST(sub*16+16 AS INT)]"
+      s"""WITH cent AS (SELECT cid, cvec AS cv FROM read_parquet('{{AUX}}/s04_centroids/*.parquet')),
+        |cb AS (SELECT sub, cid, cvec FROM read_parquet('{{AUX}}/s09_codebooks/*.parquet')),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cells AS (
+        |  SELECT vec_id, cid AS cell FROM (
+        |    SELECT e.vec_id, ct.cid,
+        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |        ORDER BY ${cos("e.v", "ct.cv")} DESC, ct.cid) AS crn
+        |    FROM e CROSS JOIN cent ct) x WHERE crn = 1),
+        |probes AS (
+        |  SELECT vec_id AS query_id, cid AS cell FROM (
+        |    SELECT q.vec_id, ct.cid,
+        |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |        ORDER BY ${cos("q.v", "ct.cv")} DESC, ct.cid) AS crn
+        |    FROM e q CROSS JOIN cent ct WHERE q.vec_id < 10) x WHERE crn <= 2),
+        |codes AS (
+        |  SELECT vec_id, sub, cid FROM (
+        |    SELECT e.vec_id, cb.sub, cb.cid,
+        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id, cb.sub
+        |        ORDER BY ${sdot(qslice, "cb.cvec")} DESC, cb.cid) AS rn
+        |    FROM e, cb) x WHERE rn = 1),
+        |tabs AS (
+        |  SELECT q.vec_id AS query_id, cb.sub, cb.cid,
+        |    ${sdot(qslice.replace("v[", "q.v["), "cb.cvec")} AS tdot
+        |  FROM e q, cb WHERE q.vec_id < 10),
+        |adc AS (
+        |  SELECT t.query_id, c.vec_id AS neighbor_id,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(t.tdot ORDER BY t.sub)),
+        |      (a, b) -> a + b) AS adc
+        |  FROM cells cl
+        |  JOIN probes p ON p.cell = cl.cell
+        |  JOIN codes c ON c.vec_id = cl.vec_id
+        |  JOIN tabs t ON t.query_id = p.query_id AND t.sub = c.sub AND t.cid = c.cid
+        |  WHERE cl.vec_id <> p.query_id
+        |  GROUP BY t.query_id, c.vec_id),
+        |cand AS (
+        |  SELECT query_id, neighbor_id, adc,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY adc DESC, neighbor_id) AS crn
+        |  FROM adc),
+        |fine AS (
+        |  SELECT query_id, neighbor_id, adc, ${cos("qe.v", "ce.v")} AS cosine
+        |  FROM cand
+        |  JOIN e qe ON qe.vec_id = query_id
+        |  JOIN e ce ON ce.vec_id = neighbor_id
+        |  WHERE crn <= 20)
+        |SELECT query_id, rank, neighbor_id, adc, cosine FROM (
+        |  SELECT query_id, neighbor_id, adc, cosine,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, neighbor_id) AS rank
+        |  FROM fine) x
+        |WHERE rank <= 5 ORDER BY query_id, rank"""
+    } { (s, d) =>
+      val e = t(s, d, "embeddings")
+      Similarity.ivfPqSearch(e.filter(col("vec_id") < 10), e,
+        "vec_id", "embedding", k = 5, nProbe = 2, coarseM = 20)
+        .orderBy("query_id", "rank")
+    },
+
     // IVF ANN with a TRAINED deterministic coarse quantizer (reproducible
     // k-means, Similarity.kmeansCentroids). The centroids are materialized
     // by Verify (AuxDumps "s04_centroids"); the oracle consumes them and

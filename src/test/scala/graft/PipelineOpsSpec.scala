@@ -703,6 +703,18 @@ class PipelineOpsSpec extends SparkSpec {
     assert(pq === exact)
   }
 
+  test("ivfPqSearch probing every cell with an all-pass coarse == brute-force top-k") {
+    val q = embs.filter(col("vec_id") < 10)
+    val ivfpq = Similarity.ivfPqSearch(q, embs, "vec_id", "embedding",
+      k = 5, nProbe = 16, coarseM = 1000000)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getLong(2), r.getDouble(4))).toMap
+    val exact = Similarity.cosineTopK(q, embs, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(ivfpq === exact)
+  }
+
   test("dedupByContent: identical payloads collapse to min-id survivor; copies conserved") {
     import spark.implicits._
     val media = graft.operators.Multimodal.asMediaTable(
