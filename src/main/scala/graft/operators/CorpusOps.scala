@@ -416,6 +416,70 @@ object CorpusOps {
         (col("__sum_lp") / col("n_bigrams")).as("mean_logprob"))
   }
 
+  /** BPE merge learning — the tokenizer-TRAINING step (Sennrich et al.
+    * 2016's byte-pair encoding, word-weighted): each round counts adjacent
+    * symbol pairs across the vocabulary weighted by word frequency, adopts
+    * the most frequent pair as a merge (ties: lowest left, then right
+    * symbol), and applies it to every word before the next count. Returns
+    * the learned merge table (round, left, right, merged, weighted_count).
+    *
+    * Scale shape: the corpus is touched ONCE (the word-count aggregation);
+    * every round thereafter works on the DISTINCT-WORD table — vocabulary-
+    * sized, not corpus-sized — with one pair-count shuffle per round and a
+    * single-row argmax collect (bounded driver action, like the k-means
+    * centroid collect). That is exactly how production BPE trainers scale:
+    * corpus once, then vocab-sized iterations.
+    *
+    * Merge application contract: words carry their symbols as a spaced
+    * string and a merge applies via left-to-right non-overlapping string
+    * `replace` — deterministic and identical across engines (both Spark's
+    * `StringReplace` and the oracle's `replace` scan the original string
+    * once, resuming after each replacement). On degenerate same-symbol runs
+    * (length ≥ 4) this diverges from canonical greedy BPE's re-scan — a
+    * documented simplification shared by several fast BPE variants.
+    */
+  def bpeMerges(docs: DataFrame, idCol: String, textCol: String,
+                rounds: Int = 3): DataFrame = {
+    val spark = docs.sparkSession
+    val words = docs
+      .select(explode(tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+    var sym = Caching.persisted(words.select(col("w"), col("n"),
+      concat(lit(" "), array_join(split(col("w"), ""), " "), lit(" ")).as("s")))
+    val learned = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, String, Long)]
+    import spark.implicits._
+    def result() =
+      learned.toSeq.toDF("round", "left", "right", "merged", "weighted_count")
+    try {
+      for (r <- 1 to rounds) {
+        val sp = split(trim(col("s")), " ")
+        // single-symbol words emit no pairs; Spark's `sequence` DESCENDS
+        // when start > stop, so they must be excluded before the generator
+        val best = sym
+          .filter(size(sp) >= 2)
+          .select(col("n"), explode(
+            transform(sequence(lit(0), size(sp) - 2), i =>
+              struct(element_at(sp, i + 1).as("l"),
+                element_at(sp, i + 2).as("r")))).as("p"))
+          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+          .agg(sum(col("n")).as("c"))
+          .orderBy(col("c").desc, col("l"), col("r"))
+          .limit(1).collect()
+        if (best.isEmpty) return result() // single-char vocab: nothing to merge
+        val (l, rr, c) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        learned += ((r, l, rr, l + rr, c))
+        val next = Caching.persisted(sym.withColumn("s",
+          call_function("replace", col("s"), lit(s" $l $rr "), lit(s" $l$rr "))))
+        next.count() // materialize before freeing the previous round
+        sym.unpersist()
+        sym = next
+      }
+      result()
+    } finally sym.unpersist()
+  }
+
   /** Vocabulary head: the `k` most document-frequent tokens with total
     * occurrence counts (the seed stats for tokenizer training / stopword
     * lists). Shape: explode → two-level aggregate — both aggregations

@@ -171,6 +171,39 @@ object ExtensionQueries {
       |      AND max_run <= 2 AS keep
       |  FROM m)"""
 
+  /** BPE-training oracle: word counts once, then `rounds` unrolled
+    * count→argmax→replace steps over the vocabulary table — the same
+    * replace-scan merge contract as CorpusOps.bpeMerges, so the learned
+    * merge table matches row for row.
+    */
+  private def bpeOracle(rounds: Int): String = {
+    def roundCtes(r: Int) = {
+      val prev = if (r == 1) "sym0" else s"sym${r - 1}"
+      s"""p$r AS (
+        |  SELECT sp[i + 1] AS l, sp[i + 2] AS r, CAST(SUM(n) AS BIGINT) AS c
+        |  FROM (SELECT n, string_split(trim(s), ' ') AS sp FROM $prev) x,
+        |    UNNEST(range(len(sp) - 1)) AS u(i)
+        |  GROUP BY 1, 2),
+        |m$r AS (SELECT l, r, c FROM p$r ORDER BY c DESC, l, r LIMIT 1),
+        |sym$r AS (
+        |  SELECT w, n,
+        |    replace(s, ' ' || m.l || ' ' || m.r || ' ', ' ' || m.l || m.r || ' ') AS s
+        |  FROM $prev, m$r m)"""
+    }
+    s"""WITH wc AS (
+      |  SELECT u.tok AS w, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM (SELECT string_split(text, ' ') AS tk FROM documents) d,
+      |    UNNEST(tk) AS u(tok) WHERE len(u.tok) > 0 GROUP BY 1),
+      |sym0 AS (
+      |  SELECT w, n, ' ' || array_to_string(string_split(w, ''), ' ') || ' ' AS s
+      |  FROM wc),
+      |${(1 to rounds).map(roundCtes).mkString(",\n")}
+      |${(1 to rounds).map(r =>
+        s"""SELECT $r AS round, l AS "left", r AS "right", l || r AS merged, c AS weighted_count FROM m$r""")
+        .mkString("\nUNION ALL\n")}
+      |ORDER BY round"""
+  }
+
   /** PageRank oracle: the jp pair graph symmetrized, then `iters` unrolled
     * rank rounds. Every constant is forced through DOUBLE arithmetic and the
     * per-node rank sum folds in source-id order from a 0.0 seed — the same
@@ -1613,6 +1646,17 @@ object ExtensionQueries {
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_tokens")).as("n_tokens"))
         .orderBy("source")
+    },
+
+    // BPE merge learning (t25) — tokenizer TRAINING: 3 rounds of
+    // word-weighted pair counting + argmax + merge application over the
+    // vocabulary table (corpus touched once; rounds are vocab-sized).
+    // Round r's counts depend on every earlier merge's application, so the
+    // 3-row merge table value-checks the whole iterative pipeline.
+    "t25_bpe_merges" -> of(bpeOracle(3)) { (s, d) =>
+      graft.operators.CorpusOps.bpeMerges(t(s, d, "documents"), "doc_id", "text",
+        rounds = 3)
+        .orderBy("round")
     },
 
     // Curated-writer roundtrip (t24): hash-split the corpus, write it

@@ -675,6 +675,22 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("bpeMerges learns hand-computed merges with deterministic tie-breaks") {
+    import spark.implicits._
+    // the classic BPE example: low x5, lower x2, lowest x1
+    val docs = Seq((1L, (("low " * 5).trim + " lower lower lowest")))
+      .toDF("doc_id", "text")
+    val got = CorpusOps.bpeMerges(docs, "doc_id", "text", rounds = 3)
+      .orderBy("round").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    // round 1: (l,o) and (o,w) tie at 8 → lowest left symbol wins
+    assert(got === Array(
+      (1, "l", "o", "lo", 8L),
+      (2, "lo", "w", "low", 8L),
+      (3, "low", "e", "lowe", 3L)))
+  }
+
   test("fused PQ codebook training bit-matches per-subspace kmeansCentroids") {
     val fused = Similarity.pqCodebooks(embs, "vec_id", "embedding")
     val sub = 16 // 64-dim fixtures, 4 subspaces
