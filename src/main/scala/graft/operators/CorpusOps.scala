@@ -480,6 +480,57 @@ object CorpusOps {
     } finally sym.unpersist()
   }
 
+  /** Tokenizer APPLICATION: encode the corpus vocabulary with a learned
+    * merge table ([[bpeMerges]] output) and return each distinct word's
+    * piece count. Merges apply in round order via the SAME spaced-string
+    * `replace` the trainer used (see the contract on [[bpeMerges]]), so
+    * encode(train(corpus)) reproduces the trainer's own final symbol state
+    * word for word.
+    *
+    * Scale shape: the fold runs once per DISTINCT word — vocabulary-sized
+    * work, not corpus-sized — and the merge table rides the plan as one
+    * broadcast row (merge lists are tokenizer-sized: ≤ a few 10⁴ rows of
+    * short strings). No shuffle at all: distinct-vocab aggregation aside,
+    * the encode itself is a projection.
+    */
+  def bpeEncodedVocab(docs: DataFrame, idCol: String, textCol: String,
+                      merges: DataFrame): DataFrame = {
+    // collect_list order is partition-dependent — array_sort on the round
+    // field (first struct field, so lexicographic struct order = round
+    // order) makes the fold sequence deterministic
+    val mArr = merges.agg(array_sort(collect_list(struct(
+      col("round"), col("left").as("l"), col("right").as("r")))).as("__ms"))
+    docs.select(explode(tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) > 0)
+      .distinct()
+      .crossJoin(broadcast(mArr))
+      .withColumn("__s",
+        concat(lit(" "), array_join(split(col("w"), ""), " "), lit(" ")))
+      .withColumn("__enc", aggregate(col("__ms"), col("__s"),
+        (acc, m) => call_function("replace", acc,
+          concat(lit(" "), m.getField("l"), lit(" "), m.getField("r"), lit(" ")),
+          concat(lit(" "), m.getField("l"), m.getField("r"), lit(" ")))))
+      .select(col("w"), split(trim(col("__enc")), " ").as("pieces"))
+  }
+
+  /** Per-doc token counts under a learned BPE tokenizer: whitespace tokens
+    * and the exact encoded piece count — the REAL token budget a training
+    * pipeline packs sequences by, where t03's regex count is only an
+    * estimate. One explode + one vocab-sized join (broadcastable: the
+    * encoded-vocab side is distinct words, orders of magnitude smaller
+    * than the token stream) + one partial-aggregated doc rollup.
+    */
+  def bpeTokenCounts(docs: DataFrame, idCol: String, textCol: String,
+                     merges: DataFrame): DataFrame = {
+    val enc = bpeEncodedVocab(docs, idCol, textCol, merges)
+      .select(col("w"), size(col("pieces")).cast("long").as("__n_bpe"))
+    docs.select(col(idCol), explode(tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) > 0)
+      .join(enc, Seq("w"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_ws_tokens"), sum(col("__n_bpe")).as("n_bpe_tokens"))
+  }
+
   /** Vocabulary head: the `k` most document-frequent tokens with total
     * occurrence counts (the seed stats for tokenizer training / stopword
     * lists). Shape: explode → two-level aggregate — both aggregations

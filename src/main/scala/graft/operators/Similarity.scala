@@ -406,6 +406,68 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "cosine")
   }
 
+  /** Nearest-centroid assignment as a SHUFFLE-FREE argmax projection
+    * (struct(sim, -cid) lexicographic max — the kmeansCentroids shape),
+    * not crossJoin(centroids) + row_number: the window form shuffled n×k
+    * expanded rows just to keep rank 1. Semantics are identical INCLUDING
+    * the degenerate cases, because the sim formula is the unmodified
+    * per-pair cosine dot/(v_norm·c_norm) every oracle recomputes: a
+    * zero-norm vector or centroid yields NaN, which ranks ABOVE all
+    * doubles in struct ordering exactly as it sorted first in the
+    * row_number window (and in DuckDB's ORDER BY DESC), with the same
+    * lowest-cid tie-break via the negated id. Returns
+    * (id, v, v_norm, cid) — one row per corpus vector, no shuffle.
+    */
+  private[graft] def assignToCentroids(corpus: DataFrame, idCol: String,
+                                       vecCol: String,
+                                       cents: Array[Array[Double]]): DataFrame = {
+    graft.functions.NativeFunctions.register(corpus.sparkSession)
+    val norms = cents.map(c => math.sqrt(c.foldLeft(0.0)((a, x) => a + x * x)))
+    val simStructs = cents.indices.map { ci =>
+      struct((dot(col("v"), lit(cents(ci))) / (col("v_norm") * lit(norms(ci))))
+        .as("sim"), lit(-ci).as("ncid"))
+    }
+    corpus
+      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("v_norm", l2norm(col("v")))
+      .withColumn("cid", (-array_max(array(simStructs: _*)).getField("ncid")).cast("long"))
+      .select(col("id"), col("v"), col("v_norm"), col("cid"))
+  }
+
+  /** Cluster-balanced diversity sampling (the D4/DeDup-then-Diversify
+    * shape): cap each semantic cluster's contribution at `perCluster`
+    * docs, so over-represented modes (boilerplate clouds, template farms)
+    * cannot dominate the curated sample however many near-copies they
+    * ship. Clusters come from the bit-reproducible k-means quantizer;
+    * within a cluster, members are taken in `xxhash64(id)` order (id
+    * tie-break) — the same growth-stable deterministic choice as the t13
+    * stratified sampler, so adding new docs never reshuffles which old
+    * docs a stable cluster keeps beyond displacement.
+    *
+    * Scale shape: centroid training is the s04 machinery (corpus-once +
+    * vocab-sized iterations), assignment is the shuffle-free argmax
+    * projection, and the only data shuffle is ONE exchange on the cluster
+    * key for the per-cluster window — rank work bounded by cluster size.
+    * Returns (id, cid, sample_rank ≤ perCluster).
+    */
+  def clusterBalancedSample(corpus: DataFrame, idCol: String, vecCol: String,
+                            perCluster: Int, nClusters: Option[Int] = None,
+                            iters: Int = 3): DataFrame = {
+    require(perCluster >= 1, s"perCluster must be >= 1: $perCluster")
+    val k = nClusters.getOrElse(
+      math.min(math.ceil(math.sqrt(corpus.count().toDouble)).toInt, 65536).max(1))
+    val cents = kmeansCentroids(corpus, idCol, vecCol, k, iters)
+    if (cents.isEmpty)
+      return corpus.select(col(idCol).as("id"), lit(0L).as("cid"),
+        lit(0).as("sample_rank")).limit(0)
+    val w = Window.partitionBy(col("cid"))
+      .orderBy(xxhash64(col("id")), col("id"))
+    assignToCentroids(corpus, idCol, vecCol, cents)
+      .select(col("id"), col("cid"))
+      .withColumn("sample_rank", row_number().over(w))
+      .filter(col("sample_rank") <= perCluster)
+  }
+
   /** SemDeDup-style semantic near-dup pairs: cluster the corpus with the
     * reproducible k-means quantizer, then pair ONLY within clusters and keep
     * pairs with cosine ≥ `threshold`. The cluster assignment is the candidate
@@ -433,31 +495,13 @@ object Similarity {
     if (cents.isEmpty)
       return corpus.select(col(idCol).as("id_a"), col(idCol).as("id_b"),
         lit(0.0).as("cosine")).limit(0)
-    val norms = cents.map(c => math.sqrt(c.foldLeft(0.0)((a, x) => a + x * x)))
-    // Nearest-centroid assignment as a SHUFFLE-FREE argmax projection
-    // (struct(sim, -cid) lexicographic max — the kmeansCentroids shape),
-    // not crossJoin(centroids) + row_number: the window form shuffled n×k
-    // expanded rows just to keep rank 1. Semantics are identical INCLUDING
-    // the degenerate cases, because the sim formula is the unmodified
-    // per-pair cosine dot/(v_norm·c_norm) every oracle recomputes: a
-    // zero-norm vector or centroid yields NaN, which ranks ABOVE all
-    // doubles in struct ordering exactly as it sorted first in the
-    // row_number window (and in DuckDB's ORDER BY DESC), with the same
-    // lowest-cid tie-break via the negated id.
-    val simStructs = cents.indices.map { ci =>
-      struct((dot(col("v"), lit(cents(ci))) / (col("v_norm") * lit(norms(ci))))
-        .as("sim"), lit(-ci).as("ncid"))
-    }
     // both pair sides consume the assignment — persist (guarded) so the n×k
     // dot products run once, not twice. Like the Dedup shingle caches this
     // CANNOT be unpersisted eagerly — the returned frame is a lazy plan
     // built on it — so release is the documented session convention:
     // [[graft.SessionSweep.sweep]] between corpora/queries.
-    val assigned = Caching.persisted(corpus
-      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
-      .withColumn("v_norm", l2norm(col("v")))
-      .withColumn("cid", (-array_max(array(simStructs: _*)).getField("ncid")).cast("long"))
-      .select(col("id"), col("v"), col("v_norm"), col("cid")))
+    val assigned = Caching.persisted(
+      assignToCentroids(corpus, idCol, vecCol, cents))
     val a = assigned.select(col("id").as("id_a"), col("v").as("va"),
       col("v_norm").as("na"), col("cid"))
     val b = assigned.select(col("id").as("id_b"), col("v").as("vb"),

@@ -50,6 +50,13 @@ object AuxDumps {
       t(s, d, "documents")
         .select(col("doc_id"), xxhash64(col("doc_id")).as("h"))),
 
+    // s11: xxhash64 over the vector id — the within-cluster sampling order.
+    // Same contract as doc_hashes: the oracle recomputes assignment and
+    // ranking in SQL and takes only the hash value from the dump.
+    "vec_hashes" -> ((s, d) =>
+      t(s, d, "embeddings")
+        .select(col("vec_id"), xxhash64(col("vec_id")).as("h"))),
+
     // t08: df → idf = ln(N/df) mapping. Spark's Log expression evaluates via
     // StrictMath.log (fdlibm), which differs from DuckDB's libm ln by 1 ulp
     // on some ratios — so the transcendental is treated as a primitive and

@@ -176,7 +176,14 @@ object ExtensionQueries {
     * replace-scan merge contract as CorpusOps.bpeMerges, so the learned
     * merge table matches row for row.
     */
-  private def bpeOracle(rounds: Int): String = {
+  /** The BPE training CTE chain (word counts, spaced symbol strings, then
+    * `rounds` count→argmax→replace steps) shared by the trainer oracle
+    * (t25) and the tokenizer-application oracle (t26): after round R,
+    * `symR.s` IS the vocabulary encoded by the first R merges, so the
+    * apply oracle reads the trainer's own final state rather than
+    * re-deriving the merge walk a second way.
+    */
+  private def bpeCtes(rounds: Int): String = {
     def roundCtes(r: Int) = {
       val prev = if (r == 1) "sym0" else s"sym${r - 1}"
       s"""p$r AS (
@@ -190,19 +197,42 @@ object ExtensionQueries {
         |    replace(s, ' ' || m.l || ' ' || m.r || ' ', ' ' || m.l || m.r || ' ') AS s
         |  FROM $prev, m$r m)"""
     }
-    s"""WITH wc AS (
+    s"""wc AS (
       |  SELECT u.tok AS w, CAST(COUNT(*) AS BIGINT) AS n
       |  FROM (SELECT string_split(text, ' ') AS tk FROM documents) d,
       |    UNNEST(tk) AS u(tok) WHERE len(u.tok) > 0 GROUP BY 1),
       |sym0 AS (
       |  SELECT w, n, ' ' || array_to_string(string_split(w, ''), ' ') || ' ' AS s
       |  FROM wc),
-      |${(1 to rounds).map(roundCtes).mkString(",\n")}
+      |${(1 to rounds).map(roundCtes).mkString(",\n")}"""
+  }
+
+  private def bpeOracle(rounds: Int): String =
+    s"""WITH ${bpeCtes(rounds)}
       |${(1 to rounds).map(r =>
         s"""SELECT $r AS round, l AS "left", r AS "right", l || r AS merged, c AS weighted_count FROM m$r""")
         .mkString("\nUNION ALL\n")}
       |ORDER BY round"""
-  }
+
+  /** t26: per-doc token counts under the learned tokenizer — the encoded
+    * vocabulary is the trainer chain's own final symbol state (`symR`), so
+    * a drift between "what training merged" and "what encoding applies"
+    * is impossible by construction on the oracle side, and the Spark side
+    * is pinned to it value-for-value.
+    */
+  private def bpeApplyOracle(rounds: Int): String =
+    s"""WITH ${bpeCtes(rounds)},
+      |enc AS (
+      |  SELECT w, CAST(len(string_split(trim(s), ' ')) AS BIGINT) AS n_bpe
+      |  FROM sym$rounds),
+      |docw AS (
+      |  SELECT doc_id, u.tok AS w
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents) d,
+      |    UNNEST(tk) AS u(tok) WHERE len(u.tok) > 0)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_ws_tokens,
+      |  CAST(SUM(n_bpe) AS BIGINT) AS n_bpe_tokens
+      |FROM docw JOIN enc USING (w)
+      |GROUP BY doc_id ORDER BY doc_id"""
 
   /** PageRank oracle: the jp pair graph symmetrized, then `iters` unrolled
     * rank rounds. Every constant is forced through DOUBLE arithmetic and the
@@ -232,6 +262,40 @@ object ExtensionQueries {
       |FROM it$iters f JOIN deg dg ON dg.s = f.id
       |ORDER BY f.id"""
   }
+
+  /** Triangle-census oracle: the jp pair graph canonicalized, every edge
+    * oriented toward its (degree, id)-larger endpoint, wedges generated at
+    * the oriented source and closed against the canonical edge key —
+    * operation for operation the GraphOps.triangleStats plan, so counts and
+    * the clustering-coefficient doubles match exactly.
+    */
+  private val triangleOracle =
+    s"""WITH ${jaccardCtes(None)},
+      |und AS (SELECT id_a AS a, id_b AS b FROM jp),
+      |deg AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS degree
+      |        FROM (SELECT id_a AS id FROM jp UNION ALL SELECT id_b FROM jp) n
+      |        GROUP BY id),
+      |ori AS (
+      |  SELECT CASE WHEN da.degree < db.degree
+      |                   OR (da.degree = db.degree AND a < b) THEN a ELSE b END AS s,
+      |         CASE WHEN da.degree < db.degree
+      |                   OR (da.degree = db.degree AND a < b) THEN b ELSE a END AS t
+      |  FROM und JOIN deg da ON da.id = a JOIN deg db ON db.id = b),
+      |tri AS (
+      |  SELECT x.s AS u, x.t AS v, y.t AS w
+      |  FROM ori x JOIN ori y ON x.s = y.s AND x.t < y.t
+      |  JOIN und e ON e.a = LEAST(x.t, y.t) AND e.b = GREATEST(x.t, y.t)),
+      |pn AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS triangles
+      |       FROM (SELECT u AS id FROM tri UNION ALL SELECT v FROM tri
+      |             UNION ALL SELECT w FROM tri) z
+      |       GROUP BY id)
+      |SELECT d.id, d.degree, COALESCE(pn.triangles, 0) AS triangles,
+      |  CASE WHEN d.degree >= 2
+      |       THEN (CAST(2.0 AS DOUBLE) * COALESCE(pn.triangles, 0))
+      |            / (d.degree * (d.degree - 1))
+      |       ELSE CAST(0.0 AS DOUBLE) END AS clustering
+      |FROM deg d LEFT JOIN pn ON pn.id = d.id
+      |ORDER BY d.id"""
 
   val defs: Map[String, QueryDef] = Map(
 
@@ -571,6 +635,16 @@ object ExtensionQueries {
         .orderBy("id")
     },
 
+    // Triangle census over the same near-dup graph: per-node triangle
+    // counts + local clustering coefficient, wedges generated only at each
+    // edge's (degree, id)-lower endpoint — O(m^1.5) wedge volume however
+    // skewed the degree distribution (the hub never fans out).
+    "g02_triangles" -> of(triangleOracle) { (s, d) =>
+      graft.operators.GraphOps.triangleStats(
+        Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text"))
+        .orderBy("id")
+    },
+
     // ---- similarity search ------------------------------------------------
 
     // Exact cosine top-5 for the first 10 vectors, via the bounded-heap
@@ -903,6 +977,39 @@ object ExtensionQueries {
       Similarity.ivfPqSearch(e.filter(col("vec_id") < 10), e,
         "vec_id", "embedding", k = 5, nProbe = 2, coarseM = 20)
         .orderBy("query_id", "rank")
+    },
+
+    // Cluster-balanced diversity sampling (s11): cap each semantic
+    // cluster's contribution at 5 docs, members taken in xxhash64(id)
+    // order — over-represented modes can't dominate the curated sample.
+    // nClusters pinned to 16 so the oracle reads the same s04_centroids
+    // dump; the hash order comes from the vec_hashes aux (the t05
+    // doc_hashes contract applied to vector ids).
+    "s11_cluster_sample" -> of {
+      def cos(a: String, b: String) =
+        s"list_sum(list_transform(list_zip($a, $b), x -> x[1] * x[2])) / " +
+          s"(sqrt(list_sum(list_transform($a, x -> x*x))) * sqrt(list_sum(list_transform($b, x -> x*x))))"
+      s"""WITH corp AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |cent AS (SELECT cid, cvec AS cv FROM read_parquet('{{AUX}}/s04_centroids/*.parquet')),
+         |assign AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT c.vec_id, ct.cid,
+         |      ROW_NUMBER() OVER (PARTITION BY c.vec_id
+         |        ORDER BY ${cos("c.v", "ct.cv")} DESC, ct.cid) AS crn
+         |    FROM corp c CROSS JOIN cent ct) x WHERE crn = 1),
+         |vh AS (SELECT vec_id, h FROM read_parquet('{{AUX}}/vec_hashes/*.parquet')),
+         |ranked AS (
+         |  SELECT a.vec_id, a.cid,
+         |    ROW_NUMBER() OVER (PARTITION BY a.cid
+         |      ORDER BY vh.h, a.vec_id) AS sample_rank
+         |  FROM assign a JOIN vh ON vh.vec_id = a.vec_id)
+         |SELECT vec_id, cid, sample_rank FROM ranked
+         |WHERE sample_rank <= 5 ORDER BY cid, sample_rank"""
+    } { (s, d) =>
+      Similarity.clusterBalancedSample(t(s, d, "embeddings"), "vec_id",
+        "embedding", perCluster = 5, nClusters = Some(16))
+        .select(col("id").as("vec_id"), col("cid"), col("sample_rank"))
+        .orderBy("cid", "sample_rank")
     },
 
     // IVF ANN with a TRAINED deterministic coarse quantizer (reproducible
@@ -1657,6 +1764,19 @@ object ExtensionQueries {
       graft.operators.CorpusOps.bpeMerges(t(s, d, "documents"), "doc_id", "text",
         rounds = 3)
         .orderBy("round")
+    },
+
+    // BPE tokenizer APPLICATION (t26): train 3 merges, encode the
+    // vocabulary with them, and report each doc's whitespace vs encoded
+    // token counts — the real packing budget where t03's regex count is an
+    // estimate. The oracle applies the trainer chain's own final symbol
+    // state, so train→encode cannot drift between engines.
+    "t26_bpe_token_counts" -> of(bpeApplyOracle(3)) { (s, d) =>
+      val docs = t(s, d, "documents")
+      val merges = graft.operators.CorpusOps.bpeMerges(docs, "doc_id", "text",
+        rounds = 3)
+      graft.operators.CorpusOps.bpeTokenCounts(docs, "doc_id", "text", merges)
+        .orderBy("doc_id")
     },
 
     // Curated-writer roundtrip (t24): hash-split the corpus, write it

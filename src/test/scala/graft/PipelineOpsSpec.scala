@@ -602,6 +602,36 @@ class PipelineOpsSpec extends SparkSpec {
     assert(math.abs(got.values.map(_._2).sum - 1.0) < 1e-12) // no dangling loss
   }
 
+  test("triangleStats: counts/clustering match brute force; input canonicalization") {
+    import spark.implicits._
+    // K4 (every node in 3 triangles), a triangle-free path 5-6-7, a pendant
+    // 8 on node 1, plus reversed duplicates and a self-loop to exercise
+    // canonicalization — results must be those of the simple graph
+    val pairs = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (5L, 6L), (6L, 7L), (1L, 8L),
+      (2L, 1L), (3L, 1L), (7L, 7L)).toDF("id_a", "id_b")
+    val got = graft.operators.GraphOps.triangleStats(pairs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val und = Set((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (5L, 6L), (6L, 7L), (1L, 8L))
+    val nodes = und.flatMap(e => Set(e._1, e._2))
+    def adj(a: Long, b: Long) = und.contains((math.min(a, b), math.max(a, b)))
+    nodes.foreach { v =>
+      val others = (nodes - v).toSeq.sorted
+      val deg = others.count(adj(v, _)).toLong
+      val tri = (for {
+        i <- others; j <- others if i < j && adj(v, i) && adj(v, j) && adj(i, j)
+      } yield 1).size.toLong
+      val (gd, gt, gc) = got(v)
+      assert(gd === deg, s"degree of $v")
+      assert(gt === tri, s"triangles of $v")
+      val expC = if (deg >= 2) 2.0 * tri / (deg * (deg - 1)) else 0.0
+      assert(gc === expC, s"clustering of $v")
+    }
+    assert(got.keySet === nodes) // self-loop contributes no node or degree
+  }
+
   test("property: qualityGate metrics and flags match a plain-Scala oracle on random docs") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed
@@ -689,6 +719,24 @@ class PipelineOpsSpec extends SparkSpec {
       (1, "l", "o", "lo", 8L),
       (2, "lo", "w", "low", 8L),
       (3, "low", "e", "lowe", 3L)))
+  }
+
+  test("bpeEncodedVocab + bpeTokenCounts apply learned merges; hand-traced counts") {
+    import spark.implicits._
+    // words: aaab x2, ab x2, b x1. Round 1: (a,a)=4 ties (a,b)=4 → lowest
+    // left wins, merge (a,a)→aa; ' a a a b ' → ' aa a b ' (non-overlapping
+    // left-to-right). Round 2: (a,b)=4 beats (aa,a)=2 → merge (a,b)→ab.
+    val docs = Seq((1L, "aaab aaab ab"), (2L, "ab b")).toDF("doc_id", "text")
+    val merges = CorpusOps.bpeMerges(docs, "doc_id", "text", rounds = 2)
+    assert(merges.orderBy("round").collect().map(r =>
+      (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+      === Array((1, "a", "a", "aa", 4L), (2, "a", "b", "ab", 4L)))
+    val enc = CorpusOps.bpeEncodedVocab(docs, "doc_id", "text", merges)
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(enc === Map("aaab" -> Seq("aa", "ab"), "ab" -> Seq("ab"), "b" -> Seq("b")))
+    val counts = CorpusOps.bpeTokenCounts(docs, "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(counts === Map(1L -> ((3L, 5L)), 2L -> ((2L, 2L))))
   }
 
   test("fused PQ codebook training bit-matches per-subspace kmeansCentroids") {

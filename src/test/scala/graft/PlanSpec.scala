@@ -224,6 +224,13 @@ class PlanSpec extends SparkSpec {
       s"the token stream must never shuffle for the LM lookup:\n${plan.take(800)}")
   }
 
+  test("g02: triangle census is all equi-joins — no cartesian, no nested loop") {
+    val plan = physicalPlan("g02_triangles")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"triangle wedge/closure must stay equi-joins:\n${plan.take(1200)}")
+  }
+
   test("q36: z-order key is a pure projection — no shuffle, no generator") {
     val plan = physicalPlan("q36_zorder_key")
     // the final orderBy is the query's presentation sort; the KEY itself
