@@ -40,6 +40,51 @@ object TimeSeriesOps {
           (acc, x) => acc * (1 - alpha) + x.getField("v") * alpha).as("ewma"))
   }
 
+  /** Per-event trailing-window z-score anomaly flags — the monitoring
+    * primitive over a metric stream: each event is scored against the
+    * moments of its own PRECEDING `lookback` events (never itself, so a
+    * spike cannot mask its own detection), flagged when |z| exceeds
+    * `zThreshold` and at least `minPrev` observations back the estimate.
+    *
+    * Reproducibility: the frame's mean/variance derive from EXACT
+    * DECIMAL(18,2) window sums (Σx, Σx² — the q40 moment pattern applied
+    * over a frame), so partitioning cannot perturb them; the final float
+    * division/sqrt is one pinned expression tree and the emitted z is
+    * rounded to 6 decimals — the same 1-ulp cross-engine margin q40
+    * documents for a·b−c·d under FMA contraction. The flag tests the
+    * ROUNDED z so it cannot disagree wherever z6 agrees.
+    *
+    * Scale shape: ONE shuffle on the key, one sort, one window pass
+    * computing all three frame aggregates; state per row is the
+    * `lookback`-bounded frame. Returns one row per input event:
+    * (key, tie, value, n_prev, z6, is_anomaly).
+    */
+  def anomalyZScores(df: DataFrame, keyCol: String, tsCol: String,
+                     tieCol: String, valCol: String, lookback: Int = 20,
+                     minPrev: Int = 5, zThreshold: Double = 3.0): DataFrame = {
+    require(lookback >= minPrev && minPrev >= 2,
+      s"need lookback >= minPrev >= 2: $lookback, $minPrev")
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(tieCol))
+      .rowsBetween(-lookback, -1)
+    val vd = col(valCol).cast(DecimalType(18, 2))
+    val nD = col("n_prev").cast(DoubleType)
+    val varPrev = (nD * col("__sxx") - col("__sx") * col("__sx")) /
+      (nD * (nD - 1))
+    val z6 = round((col(valCol) - col("__sx") / nD) / sqrt(varPrev), 6)
+    df.select(col(keyCol), col(tsCol), col(tieCol), col(valCol),
+        count(lit(1)).over(w).as("n_prev"),
+        sum(vd).over(w).cast(DoubleType).as("__sx"),
+        sum(vd * vd).over(w).cast(DoubleType).as("__sxx"))
+      .withColumn("z6",
+        when(col("n_prev") >= minPrev && varPrev > 0, z6))
+      .withColumn("is_anomaly",
+        coalesce(col("n_prev") >= minPrev && varPrev > 0 &&
+          abs(col("z6")) > zThreshold, lit(false)))
+      .drop("__sx", "__sxx")
+  }
+
   /** Containment (range) join via time-bucket equi-join — the scale pattern
     * for "points inside intervals" where a direct non-equi join would plan
     * as a nested loop over the full pair space. Every interval explodes to

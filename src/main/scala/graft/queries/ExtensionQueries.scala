@@ -2113,6 +2113,42 @@ object ExtensionQueries {
         .orderBy("user_id")
     },
 
+    // Trailing-window z-score anomaly flags (e17): each purchase scored
+    // against the exact-decimal moments of its own preceding ≤20 events
+    // (the q40 moment pattern over a ROWS frame), flagged at |z6| > 3 with
+    // ≥5 observations. z is emitted rounded to 6 decimals and the flag
+    // tests the rounded value — the q40 FMA-contraction margin.
+    "e17_anomaly_zscore" -> of(
+      """WITH e AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS mts, value
+        |  FROM events WHERE event_type = 'purchase'),
+        |win AS (
+        |  SELECT user_id, event_id, value,
+        |    CAST(COUNT(*) OVER w AS BIGINT) AS n_prev,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sxx
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY mts, event_id
+        |               ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+        |SELECT user_id, event_id, value, n_prev,
+        |  CASE WHEN n_prev >= 5
+        |            AND (n_prev * sxx - sx * sx) / (n_prev * (n_prev - 1)) > 0
+        |       THEN round((value - sx / n_prev)
+        |         / sqrt((n_prev * sxx - sx * sx) / (n_prev * (n_prev - 1))), 6)
+        |       END AS z6,
+        |  COALESCE(n_prev >= 5
+        |      AND (n_prev * sxx - sx * sx) / (n_prev * (n_prev - 1)) > 0
+        |      AND abs(round((value - sx / n_prev)
+        |        / sqrt((n_prev * sxx - sx * sx) / (n_prev * (n_prev - 1))), 6)) > 3.0,
+        |    FALSE) AS is_anomaly
+        |FROM win ORDER BY user_id, event_id""") { (s, d) =>
+      graft.operators.TimeSeriesOps.anomalyZScores(
+        Q.events(s, d).filter(col("event_type") === "purchase"),
+        "user_id", "ts", "event_id", "value")
+        .select("user_id", "event_id", "value", "n_prev", "z6", "is_anomaly")
+        .orderBy("user_id", "event_id")
+    },
+
     // STREAMING fresh-vs-corpus near-dup screen — the d11 daily-ingest
     // story as a live pipeline: fresh docs arrive as a stream, the corpus
     // shingles/sizes are static (the standing-index shape), all static

@@ -602,6 +602,28 @@ class PipelineOpsSpec extends SparkSpec {
     assert(math.abs(got.values.map(_._2).sum - 1.0) < 1e-12) // no dangling loss
   }
 
+  test("anomalyZScores: trailing-frame moments, spike flagged, zero-variance guarded") {
+    import spark.implicits._
+    // key 1: 1..5 then a 100 spike — frame mean 3, variance 2.5, huge z;
+    // key 2: constant 10s then 99 — zero variance must yield NO flag and a
+    // null z (a 0/0 or x/0 z would be NaN/Inf), however large the jump
+    val rows =
+      (1 to 6).map(i => (1L, i.toLong, i.toLong, if (i == 6) 100.0 else i.toDouble)) ++
+        (1 to 6).map(i => (2L, i.toLong, i.toLong, if (i == 6) 99.0 else 10.0))
+    val got = graft.operators.TimeSeriesOps.anomalyZScores(
+      rows.toDF("k", "ts", "tie", "v"), "k", "ts", "tie", "v")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2)) ->
+        ((r.getLong(4), Option(r.get(5)).map(_.asInstanceOf[Double]),
+          r.getBoolean(6)))).toMap
+    val zExp = BigDecimal((100.0 - 3.0) / math.sqrt(2.5))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got((1L, 6L)) === ((5L, Some(zExp), true)))
+    assert(got((2L, 6L)) === ((5L, None, false))) // zero variance
+    assert(got((1L, 1L)) === ((0L, None, false))) // empty frame
+    assert(got((1L, 4L)) === ((3L, None, false))) // below minPrev
+  }
+
   test("triangleStats: counts/clustering match brute force; input canonicalization") {
     import spark.implicits._
     // K4 (every node in 3 triangles), a triangle-free path 5-6-7, a pendant
