@@ -2149,6 +2149,52 @@ object ExtensionQueries {
         .orderBy("user_id", "event_id")
     },
 
+    // STREAMING per-event anomaly scoring (e18): the e17 z-score as a live
+    // pipeline — bounded per-key frame state, events emitted as the
+    // watermark finalizes them. The oracle is e17's moment SQL restricted
+    // to the watermark-ripe prefix (strictly below max purchase ts − 1min,
+    // with the watermark's ms flooring reproduced), exactly the rows the
+    // AvailableNow run's flush timeout emits; score parity with the batch
+    // operator is bit-exact (spec-pinned).
+    "e18_stream_anomaly" -> of(
+      """WITH e AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS mts, value
+        |  FROM events WHERE event_type = 'purchase'),
+        |wm AS (
+        |  SELECT (MAX(epoch_us(mts)) // 1000 - 60000) * 1000 AS wm_us FROM e),
+        |win AS (
+        |  SELECT user_id, event_id, mts, value,
+        |    CAST(COUNT(*) OVER w AS BIGINT) AS n_prev,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sxx
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY mts, event_id
+        |               ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+        |SELECT user_id, event_id, value, n_prev,
+        |  CASE WHEN n_prev >= 5
+        |            AND (n_prev * sxx - sx * sx) / (n_prev * (n_prev - 1)) > 0
+        |       THEN round((value - sx / n_prev)
+        |         / sqrt((n_prev * sxx - sx * sx) / (n_prev * (n_prev - 1))), 6)
+        |       END AS z6,
+        |  COALESCE(n_prev >= 5
+        |      AND (n_prev * sxx - sx * sx) / (n_prev * (n_prev - 1)) > 0
+        |      AND abs(round((value - sx / n_prev)
+        |        / sqrt((n_prev * sxx - sx * sx) / (n_prev * (n_prev - 1))), 6)) > 3.0,
+        |    FALSE) AS is_anomaly
+        |FROM win, wm WHERE epoch_us(mts) < wm.wm_us
+        |ORDER BY user_id, event_id""") { (s, d) =>
+      import graft.streaming.{AnomalyStream, EventsStream}
+      val sinkName = s"stream_anomaly_${sinkCounter.incrementAndGet()}"
+      EventsStream.runAvailableNow(
+        AnomalyStream.scores(
+          EventsStream.readEvents(s, d).filter(col("event_type") === "purchase"),
+          "user_id", "event_id", "value").toDF(), sinkName)
+      s.table(sinkName)
+        .select(col("key").as("user_id"), col("tie").as("event_id"),
+          col("value"), col("n_prev"), col("z6"), col("is_anomaly"))
+        .orderBy("user_id", "event_id")
+    },
+
     // STREAMING fresh-vs-corpus near-dup screen — the d11 daily-ingest
     // story as a live pipeline: fresh docs arrive as a stream, the corpus
     // shingles/sizes are static (the standing-index shape), all static

@@ -361,6 +361,91 @@ class StreamingSpec extends SparkSpec {
     assert(batch.except(streamed).count() === 0)
   }
 
+  test("streaming anomaly == batch anomalyZScores across out-of-order micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[(java.sql.Timestamp, Long, Long, Double)]
+    def ts(h: Int, m: Int, s: Int = 0) =
+      java.sql.Timestamp.valueOf(f"2026-01-01 $h%02d:$m%02d:$s%02d")
+    val q = graft.streaming.AnomalyStream.scores(
+      ms.toDF().toDF("ts", "k", "tie", "v"), "k", "tie", "v",
+      lookback = 20, minPrev = 5, delay = "1 minute")
+      .toDF()
+      .writeStream.format("memory").queryName("anomaly_stream_parity")
+      .outputMode("append").start()
+    // key 1: 1..5 then a 100 spike (flagged); key 2: constants (zero
+    // variance, never flagged); late-but-IN-WATERMARK arrivals across
+    // batches (batch-1 max is 10:05, so the watermark is 10:04 — a 10:04:30
+    // event in batch 2 is out of order yet not droppable-late)
+    val batch1 = Seq(
+      (ts(10, 1), 1L, 1L, 1.0), (ts(10, 3), 1L, 3L, 3.0), (ts(10, 2), 1L, 2L, 2.0),
+      (ts(10, 5), 1L, 5L, 5.0), (ts(10, 1), 2L, 6L, 10.0), (ts(10, 2), 2L, 7L, 10.0))
+    val batch2 = Seq( // 10:04:30 lands after 10:05 was seen
+      (ts(10, 4, 30), 1L, 4L, 4.0), (ts(10, 6), 1L, 8L, 100.0),
+      (ts(10, 4, 30), 2L, 9L, 10.0), (ts(10, 7), 2L, 10L, 10.0))
+    try {
+      ms.addData(batch1); q.processAllAvailable()
+      ms.addData(batch2); q.processAllAvailable()
+      // sentinel key far past every event + idle TTL; second one forces the
+      // batch in which the flush timeouts actually fire
+      ms.addData(Seq((ts(13, 30), 99L, 11L, 0.0))); q.processAllAvailable()
+      ms.addData(Seq((ts(13, 31), 99L, 12L, 0.0))); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("anomaly_stream_parity")
+      .filter(col("key") =!= 99L)
+      .select(col("key").as("k"), col("tie"), col("value"),
+        col("n_prev"), col("z6"), col("is_anomaly"))
+    val batch = graft.operators.TimeSeriesOps.anomalyZScores(
+      (batch1 ++ batch2).toDF("ts", "k", "tie", "v"), "k", "ts", "tie", "v")
+      .select(col("k"), col("tie"), col("v").as("value"),
+        col("n_prev"), col("z6"), col("is_anomaly"))
+    assert(streamed.count() === 10)
+    assert(streamed.filter(col("is_anomaly")).count() === 1) // the 100 spike
+    // EXACT equality: same decimal moments, same double ops, same rounding
+    assert(streamed.except(batch).count() === 0)
+    assert(batch.except(streamed).count() === 0)
+  }
+
+  test("streaming anomaly buffers in-watermark events; evicts only on idle TTL") {
+    import graft.streaming.AnomalyStream._
+    import org.apache.spark.sql.streaming.TestGroupState
+    def mk(prev: Option[AnomalyState], wmMs: Long, timedOut: Boolean) =
+      TestGroupState.create[AnomalyState](
+        prev.map(org.apache.spark.api.java.Optional.of[AnomalyState])
+          .getOrElse(org.apache.spark.api.java.Optional.empty[AnomalyState]()),
+        org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout,
+        batchProcessingTimeMs = 0,
+        eventTimeWatermarkMs = org.apache.spark.api.java.Optional.of[Long](wmMs),
+        hasTimedOut = timedOut)
+    def pt(us: Long, tie: Long, v: Double) =
+      Pt(1L, new java.sql.Timestamp(us / 1000), us, tie, v)
+    val st = step(3, 2, 3.0) _
+    // watermark 0: everything buffers, nothing scores
+    val s1 = mk(None, 0L, timedOut = false)
+    assert(st(1L, Iterator(pt(5_000_000L, 1L, 4.0), pt(3_000_000L, 2L, 2.0)), s1).isEmpty)
+    assert(s1.get.frame.isEmpty && s1.get.pending.size === 2)
+    // watermark passes 3s only: that event scores against an empty frame
+    val s2 = mk(Some(s1.get), 4_000L, timedOut = false)
+    assert(st(1L, Iterator(pt(4_500_000L, 3L, 6.0)), s2).toSeq ===
+      Seq(ScoredPt(1L, 2L, 2.0, 0L, None, false)))
+    assert(s2.get.frame === List((3_000_000L, 2L, 2.0)))
+    assert(s2.get.pending.map(_._2).sorted === List(1L, 3L))
+    // flush timeout: ripe events score in (ts, tie) order against the
+    // growing frame; the key is NOT evicted (not idle). Frame (2,6) for the
+    // 5s event: mean 4, var 8 → z6 = 0.0 exactly
+    val s3 = mk(Some(s2.get), 10_000L, timedOut = true)
+    assert(st(1L, Iterator.empty, s3).toSeq === Seq(
+      ScoredPt(1L, 3L, 6.0, 1L, None, false),
+      ScoredPt(1L, 1L, 4.0, 2L, Some(0.0), false)))
+    assert(!s3.isRemoved, "a flush timeout must not drop the frame")
+    assert(s3.get.frame.size === 3 && s3.get.pending.isEmpty)
+    // idle TTL with nothing pending: the key evicts entirely
+    val s4 = mk(Some(s3.get), 5_000L + IdleTtlMillis, timedOut = true)
+    assert(st(1L, Iterator.empty, s4).isEmpty)
+    assert(s4.isRemoved, "idle key must evict its state")
+  }
+
   test("streaming EWMA buffers in-watermark events and evicts state on idle timeout") {
     import graft.streaming.EwmaStream._
     import org.apache.spark.sql.streaming.TestGroupState
