@@ -96,6 +96,35 @@ object Multimodal {
       .agg(min(col("doc_id")).as("survivor_id"),
         count(lit(1)).as("n_copies"))
 
+  /** Chunk-level dedup statistics — the storage-dedup view of a media
+    * corpus: how much of each blob is bytes already stored elsewhere. Each
+    * payload's fixed-size chunks ([[hexChunks]] — the m02 layout, so the
+    * chunk math lives in one place) are digested with SHA-256 and each
+    * digest's FIRST occurrence in (doc_id, chunk_no) order is the canonical
+    * copy; every later occurrence is a dup. Returns per doc:
+    * (doc_id, n_chunks, n_dup_chunks).
+    *
+    * Scale shape: the payload is chunked and digested inside the scan
+    * stage; only (doc_id, chunk_no, 32-byte digest) rows ever shuffle —
+    * once on the digest for the first-occurrence ranking, once on doc_id
+    * for the rollup — so shuffle volume is O(chunks), independent of blob
+    * size. Fixed-size chunking is the deliberate baseline (deterministic,
+    * oracle-able); a content-defined chunker (Rabin/Gear) would raise the
+    * dedup hit rate on shifted payloads at the cost of a data-dependent
+    * boundary scan, and would slot into the same digest→rank→rollup plan.
+    */
+  def chunkDedupStats(media: DataFrame, chunkBytes: Int = 64): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("digest")).orderBy(col("doc_id"), col("chunk_no"))
+    hexChunks(media, chunkBytes)
+      .select(col("doc_id"), col("chunk_no"),
+        sha2(unhex(col("chunk_hex")), 256).as("digest"))
+      .withColumn("__rn", row_number().over(w))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("__rn") > 1, 1L).otherwise(0L)).as("n_dup_chunks"))
+  }
+
   /** Partition-batched feature extraction over the payload column. Runs as a
     * single narrow `mapPartitions` stage — no shuffle; the iterator shape is
     * what a vectorized codec batch would consume.

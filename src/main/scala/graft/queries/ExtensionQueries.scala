@@ -1886,6 +1886,28 @@ object ExtensionQueries {
         .orderBy("survivor_id")
     },
 
+    // Chunk-level dedup statistics (m06): per blob, how many of its 64-byte
+    // chunks are bytes already stored under an earlier (doc, chunk)
+    // digest — the storage-dedup view composing the m02 chunk layout with
+    // the m05 digest key. Only digests shuffle, never payload bytes.
+    "m06_chunk_dedup" -> of(
+      // the oracle ranks within chunk_hex instead of the digest: hex is
+      // injective on the chunk bytes, so the partitions are identical and
+      // the digest itself (an internal key) needs no cross-engine twin
+      s"""WITH c AS ($hexChunkSql),
+        |r AS (SELECT doc_id, chunk_no,
+        |        ROW_NUMBER() OVER (PARTITION BY chunk_hex
+        |          ORDER BY doc_id, chunk_no) AS rn
+        |      FROM c)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+        |  CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks
+        |FROM r GROUP BY doc_id ORDER BY doc_id""") { (s, d) =>
+      graft.operators.Multimodal.chunkDedupStats(
+        graft.operators.Multimodal.asMediaTable(
+          t(s, d, "documents").filter(col("doc_id") <= 50), "doc_id", "text"))
+        .orderBy("doc_id")
+    },
+
     // ---- event-stream shaping --------------------------------------------
 
     // Gap-based sessionization (30-minute inactivity threshold): lag + step

@@ -602,6 +602,21 @@ class PipelineOpsSpec extends SparkSpec {
     assert(math.abs(got.values.map(_._2).sum - 1.0) < 1e-12) // no dangling loss
   }
 
+  test("chunkDedupStats: first-occurrence canonical chunks, later copies counted") {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    val a64 = "a" * 64
+    val b64 = "b" * 64
+    // doc1 owns both full chunks; doc2 repeats A plus a distinct short tail
+    // chunk; doc3 is a permutation of doc1 — all its chunks are dups
+    val docs = Seq((1L, a64 + b64), (2L, a64 + ("b" * 10)), (3L, b64 + a64))
+      .toDF("doc_id", "text")
+    val got = Multimodal.chunkDedupStats(
+      Multimodal.asMediaTable(docs, "doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === Map(1L -> ((2L, 0L)), 2L -> ((2L, 1L)), 3L -> ((2L, 2L))))
+  }
+
   test("anomalyZScores: trailing-frame moments, spike flagged, zero-variance guarded") {
     import spark.implicits._
     // key 1: 1..5 then a 100 spike — frame mean 3, variance 2.5, huge z;
