@@ -231,6 +231,24 @@ class PlanSpec extends SparkSpec {
       s"triangle wedge/closure must stay equi-joins:\n${plan.take(1200)}")
   }
 
+  test("s11: cluster sample shuffles ONCE (the window key) — assignment is a projection") {
+    val plan = physicalPlan("s11_cluster_sample")
+    // assignment rides as centroid literals (no join), so the only data
+    // exchanges are the per-cluster window and the presentation sort
+    assert(!plan.contains("Join"), s"assignment must not join:\n${plan.take(800)}")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges === 1,
+      s"expected exactly the cluster-key exchange, got $exchanges:\n${plan.take(1200)}")
+  }
+
+  test("e17: anomaly scoring is one window pass — single key exchange, no join") {
+    val plan = physicalPlan("e17_anomaly_zscore")
+    assert(!plan.contains("Join"), s"moments must come from the frame, not a join:\n${plan.take(800)}")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges === 1,
+      s"expected exactly the user_id window exchange, got $exchanges:\n${plan.take(1200)}")
+  }
+
   test("q36: z-order key is a pure projection — no shuffle, no generator") {
     val plan = physicalPlan("q36_zorder_key")
     // the final orderBy is the query's presentation sort; the KEY itself
