@@ -669,6 +669,88 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got.keySet === nodes) // self-loop contributes no node or degree
   }
 
+  test("property: triangleStats matches brute force on random multigraph pair lists") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import spark.implicits._
+    for (seed <- 1L to 3L) {
+      // raw pair lists with duplicates, reversals and self-loops — the
+      // operator must behave as if given the canonical simple graph
+      val pairs = Gen.listOfN(30, for {
+        a <- Gen.chooseNum(1L, 12L); b <- Gen.chooseNum(1L, 12L)
+      } yield (a, b))(Gen.Parameters.default, Seed(seed)).get
+      val und = pairs.collect { case (a, b) if a != b =>
+        (math.min(a, b), math.max(a, b))
+      }.toSet
+      if (und.nonEmpty) {
+        val got = graft.operators.GraphOps.triangleStats(
+          pairs.toDF("id_a", "id_b")).collect()
+          .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+          .toMap
+        val nodes = und.flatMap(e => Set(e._1, e._2))
+        def adj(a: Long, b: Long) = und.contains((math.min(a, b), math.max(a, b)))
+        assert(got.keySet === nodes, s"node set, seed $seed")
+        nodes.foreach { v =>
+          val others = (nodes - v).toSeq.sorted
+          val deg = others.count(adj(v, _)).toLong
+          val tri = (for {
+            i <- others; j <- others
+            if i < j && adj(v, i) && adj(v, j) && adj(i, j)
+          } yield 1).size.toLong
+          val expC = if (deg >= 2) 2.0 * tri / (deg * (deg - 1)) else 0.0
+          assert(got(v) === ((deg, tri, expC)), s"node $v seed $seed")
+        }
+      }
+    }
+  }
+
+  test("property: BPE train+encode counts match a plain-Scala replica on random docs") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import spark.implicits._
+    val rounds = 3
+    for (seed <- 1L to 3L) {
+      val texts = Gen.listOfN(20,
+        Gen.chooseNum(1, 6).flatMap(n => Gen.listOfN(n,
+          Gen.chooseNum(1, 5).flatMap(l => Gen.listOfN(l, Gen.oneOf("a", "b", "c"))
+            .map(_.mkString)))
+          .map(_.mkString(" "))))(Gen.Parameters.default, Seed(seed)).get
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      // plain-Scala replica of the trainer + encoder: the same spaced-string
+      // representation and the same leftmost-non-overlapping replace
+      val words = texts.flatMap(_.split(" ", -1)).filter(_.nonEmpty)
+      val wc = words.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      var sym = wc.keys.map(w => w -> (" " + w.split("").mkString(" ") + " ")).toMap
+      var merges = List.empty[(String, String)]
+      for (_ <- 1 to rounds) {
+        val pairCounts = scala.collection.mutable.Map.empty[(String, String), Long]
+        sym.foreach { case (w, s) =>
+          val sp = s.trim.split(" ")
+          sp.sliding(2).filter(_.length == 2).foreach { p =>
+            pairCounts((p(0), p(1))) =
+              pairCounts.getOrElse((p(0), p(1)), 0L) + wc(w)
+          }
+        }
+        if (pairCounts.nonEmpty) {
+          val (l, r) = pairCounts.toSeq
+            .sortBy { case ((l, r), c) => (-c, l, r) }.head._1
+          merges = merges :+ ((l, r))
+          sym = sym.view.mapValues(_.replace(s" $l $r ", s" $l$r ")).toMap
+        }
+      }
+      val expect = texts.zipWithIndex.map { case (t, i) =>
+        val toks = t.split(" ", -1).filter(_.nonEmpty)
+        i.toLong -> ((toks.length.toLong,
+          toks.map(w => sym(w).trim.split(" ").length.toLong).sum))
+      }.toMap
+      val trained = CorpusOps.bpeMerges(df, "doc_id", "text", rounds)
+      val got = CorpusOps.bpeTokenCounts(df, "doc_id", "text", trained)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(got === expect, s"seed $seed merges=$merges")
+    }
+  }
+
   test("property: qualityGate metrics and flags match a plain-Scala oracle on random docs") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed
