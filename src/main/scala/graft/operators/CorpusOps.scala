@@ -327,12 +327,24 @@ object CorpusOps {
     */
   def unigramLogprob(docs: DataFrame, idCol: String, textCol: String,
                      lm: DataFrame, oovLp: Double,
-                     literalVocabMax: Int = 65536): DataFrame = {
+                     literalVocabMax: Int = 65536): DataFrame =
+    unigramLogprobFrom(docs, idCol, textCol, lm,
+      probeLm(lm, literalVocabMax), oovLp, literalVocabMax)
+
+  /** Probe limit+1 rows: decides the literal-vs-broadcast path without
+    * counting (or collecting) an over-threshold vocab on the driver. Shared
+    * with [[dsirWeights]] so its fallback path does not probe each LM a
+    * second time inside the composed [[unigramLogprob]] calls.
+    */
+  private def probeLm(lm: DataFrame, literalVocabMax: Int) =
+    lm.select(col("tok"), col("lp")).limit(literalVocabMax + 1).collect()
+
+  private def unigramLogprobFrom(docs: DataFrame, idCol: String,
+                                 textCol: String, lm: DataFrame,
+                                 entries: Array[org.apache.spark.sql.Row],
+                                 oovLp: Double,
+                                 literalVocabMax: Int): DataFrame = {
     val tk = tokens(col(textCol))
-    // probe limit+1 rows: decides the path without counting (or collecting)
-    // an over-threshold vocab on the driver
-    val entries = lm.select(col("tok"), col("lp"))
-      .limit(literalVocabMax + 1).collect()
     if (entries.length <= literalVocabMax) {
       val lpMap = map_from_arrays(
         lit(entries.map(_.getString(0))), lit(entries.map(_.getDouble(1))))
@@ -564,6 +576,11 @@ object CorpusOps {
     val stride = chunkTokens - overlap
     val tk = tokens(col(textCol))
     docs
+      // a null text must yield NO chunks: its null token array would
+      // otherwise slip through the when/least null handling as one
+      // fabricated full-size chunk of empty text (the qualityGate
+      // null-exclusion rule, applied at the generator)
+      .filter(col(textCol).isNotNull)
       .select(col(idCol), tk.as("__tk"), size(tk).cast("long").as("__n"))
       // last start index (in stride units): 0 for short docs, else
       // ceil((n - chunkTokens) / stride) — integer arithmetic via floor on
@@ -606,10 +623,8 @@ object CorpusOps {
                   oovLp: Double = -20.0,
                   literalVocabMax: Int = 65536): DataFrame = {
     val tk = tokens(col(textCol))
-    val tEntries = targetLm.select(col("tok"), col("lp"))
-      .limit(literalVocabMax + 1).collect()
-    val rEntries = rawLm.select(col("tok"), col("lp"))
-      .limit(literalVocabMax + 1).collect()
+    val tEntries = probeLm(targetLm, literalVocabMax)
+    val rEntries = probeLm(rawLm, literalVocabMax)
     if (tEntries.length <= literalVocabMax && rEntries.length <= literalVocabMax) {
       def lpMap(entries: Array[org.apache.spark.sql.Row]) = map_from_arrays(
         lit(entries.map(_.getString(0))), lit(entries.map(_.getDouble(1))))
@@ -621,9 +636,12 @@ object CorpusOps {
           meanLp(lpMap(rEntries)).as("lp_raw"))
         .withColumn("weight", col("lp_target") - col("lp_raw"))
     } else {
-      val tgt = unigramLogprob(docs, idCol, textCol, targetLm, oovLp, literalVocabMax)
+      // reuse the probes above — no second bounded collect per LM
+      val tgt = unigramLogprobFrom(docs, idCol, textCol, targetLm, tEntries,
+          oovLp, literalVocabMax)
         .select(col(idCol), col("n_tokens"), col("mean_logprob").as("lp_target"))
-      val raw = unigramLogprob(docs, idCol, textCol, rawLm, oovLp, literalVocabMax)
+      val raw = unigramLogprobFrom(docs, idCol, textCol, rawLm, rEntries,
+          oovLp, literalVocabMax)
         .select(col(idCol), col("mean_logprob").as("lp_raw"))
       tgt.join(raw, Seq(idCol))
         .withColumn("weight", col("lp_target") - col("lp_raw"))
@@ -652,8 +670,12 @@ object CorpusOps {
     */
   def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
                      k: Int = 8, minDocs: Int = 2): DataFrame = {
-    val win = docs.select(col(idCol),
-      posexplode(wordShingles(tokens(col(textCol)), k)).as(Seq("pos", "win")))
+    // the positioned-window set feeds BOTH the doc-frequency aggregate and
+    // the hits join — persist (guarded, spillable) so the corpus-wide
+    // tokenize+shingle projection runs one scan pass, not two (the
+    // Dedup.shingleSet convention; released by SessionSweep)
+    val win = Caching.persisted(docs.select(col(idCol),
+      posexplode(wordShingles(tokens(col(textCol)), k)).as(Seq("pos", "win"))))
     val dup = win.groupBy("win")
       .agg(countDistinct(col(idCol)).as("df"))
       .filter(col("df") >= minDocs)

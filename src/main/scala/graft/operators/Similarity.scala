@@ -205,6 +205,21 @@ object Similarity {
 
   private val DecLimit = new java.math.BigDecimal(java.math.BigInteger.ONE, -20)
 
+  /** Exact combine of two per-cluster partials — the reduce both k-means
+    * trainers ([[kmeansCentroids]], [[pqCodebooksFor]]) shuffle through.
+    * BigDecimal addition is exact and associative, so combine order cannot
+    * perturb the merged sums; a shorter array (an empty partial) extends
+    * with exact zeros implicitly.
+    */
+  private def mergeCentroidPartials(a: CentroidPartial,
+                                    b: CentroidPartial): CentroidPartial = {
+    val (lo, hi) = if (a.sums.length >= b.sums.length) (b, a) else (a, b)
+    val merged = hi.sums.clone()
+    var i = 0
+    while (i < lo.sums.length) { merged(i) = merged(i).add(lo.sums(i)); i += 1 }
+    CentroidPartial(a.cid, merged, a.n + b.n)
+  }
+
   /** Per-partition exact partial sums over an assignment frame with
     * `cid: int` and `v: array<double>` (nulls pre-handled by the caller:
     * null rows filtered, null components zeroed — adding exact decimal 0 is
@@ -312,13 +327,7 @@ object Similarity {
         implicit val intEnc: Encoder[Int] = Encoders.scalaInt
         val sums = centroidPartials(prepared)
           .groupByKey(_.cid)
-          .reduceGroups { (a, b) =>
-            val (lo, hi) = if (a.sums.length >= b.sums.length) (b, a) else (a, b)
-            val merged = hi.sums.clone()
-            var i = 0
-            while (i < lo.sums.length) { merged(i) = merged(i).add(lo.sums(i)); i += 1 }
-            CentroidPartial(a.cid, merged, a.n + b.n)
-          }
+          .reduceGroups(mergeCentroidPartials _)
           .collect()
         val next = cents.map(_.clone())
         sums.foreach { case (_, CentroidPartial(cid, buf, n)) =>
@@ -638,13 +647,7 @@ object Similarity {
         implicit val intEnc: Encoder[Int] = Encoders.scalaInt
         val sums = centroidPartials(prepared)
           .groupByKey(_.cid)
-          .reduceGroups { (a, b) =>
-            val (lo, hi) = if (a.sums.length >= b.sums.length) (b, a) else (a, b)
-            val merged = hi.sums.clone()
-            var i = 0
-            while (i < lo.sums.length) { merged(i) = merged(i).add(lo.sums(i)); i += 1 }
-            CentroidPartial(a.cid, merged, a.n + b.n)
-          }
+          .reduceGroups(mergeCentroidPartials _)
           .collect()
         val next = cents.map(_.map(_.clone()))
         sums.foreach { case (_, CentroidPartial(key, buf, n)) =>
@@ -671,6 +674,72 @@ object Similarity {
     cbs.zipWithIndex.flatMap { case (cb, s) =>
       cb.zipWithIndex.map { case (c, i) => (s.toLong, i.toLong, c.toSeq) }
     }.toDF("sub", "cid", "cvec")
+  }
+
+  /** Per-subspace PQ code columns over broadcast codebook literals
+    * (struct-argmax: max dot, then lowest cid — the d09 assignment shape);
+    * column s is named `code_s`. Shared by [[pqSearch]] and
+    * [[ivfPqSearch]] so the code-assignment arithmetic cannot drift
+    * between the flat and the IVF-composed index.
+    */
+  private def pqCodeCols(cbs: Seq[Array[Array[Double]]], v: Column,
+                         sub: Int): Seq[Column] =
+    cbs.indices.map { s =>
+      val sv = slice(v, s * sub + 1, sub)
+      val structs = cbs(s).indices.map { ci =>
+        struct(dot(sv, lit(cbs(s)(ci))).as("d"), lit(-ci).as("nc")) }
+      (-array_max(array(structs: _*)).getField("nc")).cast("long").as(s"code_$s")
+    }
+
+  /** Melt `code_0..code_{n-1}` columns to (neighbor_id, [carry,] sub, cid)
+    * rows — the compressed-domain scan relation both PQ searches join.
+    */
+  private def pqMeltCodes(withCodes: DataFrame, subspaces: Int,
+                          carry: Seq[String]): DataFrame =
+    withCodes
+      .select(col("neighbor_id") +: (carry.map(col) :+
+        posexplode(array((0 until subspaces).map(s => col(s"code_$s")): _*))
+          .as(Seq("sub", "cid"))): _*)
+      .select(col("neighbor_id") +: (carry.map(col) ++
+        Seq(col("sub").cast("long").as("sub"), col("cid"))): _*)
+
+  /** ADC lookup tables: one dot per (query, subspace, centroid). */
+  private def pqAdcTables(queries: DataFrame, idCol: String, v: Column,
+                          cbs: Seq[Array[Array[Double]]], sub: Int): DataFrame =
+    queries.select(col(idCol).as("query_id"), v.as("qv"))
+      .crossJoin(broadcast(pqCodebooksDf(queries.sparkSession, cbs)))
+      .select(col("query_id"), col("sub"), col("cid"),
+        dot(slice(col("qv"), (col("sub") * sub + 1).cast("int"), lit(sub)),
+          col("cvec")).as("tdot"))
+
+  /** The shared ADC→re-rank tail: candidate (query_id, neighbor_id, sub,
+    * tdot) rows fold per candidate in SUBSPACE ORDER from a 0.0 seed (so
+    * the coarse cut is bit-reproducible on any partitioning), the coarse
+    * window keeps `coarseM` per query, and the exact cosine re-ranks the
+    * survivors into the top `k`.
+    */
+  private def pqRankTail(cands: DataFrame, queries: DataFrame,
+                         corpus: DataFrame, idCol: String, v: Column,
+                         coarseM: Int, k: Int): DataFrame = {
+    val coarseW = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").desc, col("neighbor_id"))
+    val fineW = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    val qv = queries.select(col(idCol).as("query_id"), v.as("qv"))
+    val nv = corpus.select(col(idCol).as("neighbor_id"), v.as("nv"))
+    cands
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(aggregate(
+        array_sort(collect_list(struct(col("sub"), col("tdot").as("t")))),
+        lit(0.0), (acc, x) => acc + x.getField("t")).as("adc"))
+      .withColumn("__crn", row_number().over(coarseW))
+      .filter(col("__crn") <= coarseM)
+      .join(broadcast(qv), "query_id")
+      .join(nv, "neighbor_id")
+      .withColumn("cosine", cosine(col("qv"), col("nv")))
+      .withColumn("rank", row_number().over(fineW))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "adc", "cosine")
   }
 
   /** PQ-ADC approximate search with exact re-rank: corpus vectors compress
@@ -706,47 +775,17 @@ object Similarity {
         lit(0).as("rank"), col(idCol).cast("long").as("neighbor_id"),
         lit(0.0).as("adc"), lit(0.0).as("cosine"))
     val sub = dim / subspaces
-    // corpus → codes: a pure projection over broadcast centroid literals
-    // (struct-argmax: max dot, then lowest cid — the d09 assignment shape)
-    val codeCols = (0 until subspaces).map { s =>
-      val sv = slice(v, s * sub + 1, sub)
-      val structs = cbs(s).indices.map { ci =>
-        struct(dot(sv, lit(cbs(s)(ci))).as("d"), lit(-ci).as("nc")) }
-      (-array_max(array(structs: _*)).getField("nc")).cast("long").as(s"code_$s")
-    }
-    val melted = corpus
-      .select(col(idCol).as("neighbor_id") +: codeCols: _*)
-      .select(col("neighbor_id"),
-        posexplode(array((0 until subspaces).map(s => col(s"code_$s")): _*))
-          .as(Seq("sub", "cid")))
-      .select(col("neighbor_id"), col("sub").cast("long").as("sub"), col("cid"))
-    // ADC lookup tables: one dot per (query, subspace, centroid)
-    val cbDf = pqCodebooksDf(queries.sparkSession, cbs)
-    val tables = queries.select(col(idCol).as("query_id"), v.as("qv"))
-      .crossJoin(broadcast(cbDf))
-      .select(col("query_id"), col("sub"), col("cid"),
-        dot(slice(col("qv"), (col("sub") * sub + 1).cast("int"), lit(sub)),
-          col("cvec")).as("tdot"))
-    val coarseW = Window.partitionBy(col("query_id"))
-      .orderBy(col("adc").desc, col("neighbor_id"))
-    val fineW = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    val qv = queries.select(col(idCol).as("query_id"), v.as("qv"))
-    val nv = corpus.select(col(idCol).as("neighbor_id"), v.as("nv"))
-    melted.join(broadcast(tables), Seq("sub", "cid"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .groupBy(col("query_id"), col("neighbor_id"))
-      .agg(aggregate(
-        array_sort(collect_list(struct(col("sub"), col("tdot").as("t")))),
-        lit(0.0), (acc, x) => acc + x.getField("t")).as("adc"))
-      .withColumn("__crn", row_number().over(coarseW))
-      .filter(col("__crn") <= coarseM)
-      .join(broadcast(qv), "query_id")
-      .join(nv, "neighbor_id")
-      .withColumn("cosine", cosine(col("qv"), col("nv")))
-      .withColumn("rank", row_number().over(fineW))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "adc", "cosine")
+    // corpus → codes (pure projection over broadcast codebook literals) →
+    // melted code rows; ADC tables per query; fold + rank via the shared
+    // tail
+    val melted = pqMeltCodes(
+      corpus.select(col(idCol).as("neighbor_id") +: pqCodeCols(cbs, v, sub): _*),
+      subspaces, Nil)
+    val tables = pqAdcTables(queries, idCol, v, cbs, sub)
+    pqRankTail(
+      melted.join(broadcast(tables), Seq("sub", "cid"))
+        .filter(col("query_id") =!= col("neighbor_id")),
+      queries, corpus, idCol, v, coarseM, k)
   }
 
   /** IVF-PQ composite index search — the two proven quantizers composed
@@ -793,48 +832,19 @@ object Similarity {
         .filter(col("crn") <= n)
         .select(col(idAs), col("cid").as("cell"))
     }
-    // corpus → (cell, PQ code rows): only codes move through the probe join
-    val codeCols = (0 until subspaces).map { s =>
-      val sv = slice(v, s * sub + 1, sub)
-      val structs = cbs(s).indices.map { ci =>
-        struct(dot(sv, lit(cbs(s)(ci))).as("d"), lit(-ci).as("nc")) }
-      (-array_max(array(structs: _*)).getField("nc")).cast("long").as(s"code_$s")
-    }
-    val melted = corpus
-      .select(col(idCol).as("neighbor_id") +: codeCols: _*)
-      .join(closestCells(corpus, "neighbor_id", 1), "neighbor_id")
-      .select(col("neighbor_id"), col("cell"),
-        posexplode(array((0 until subspaces).map(s => col(s"code_$s")): _*))
-          .as(Seq("sub", "cid")))
-      .select(col("neighbor_id"), col("cell"),
-        col("sub").cast("long").as("sub"), col("cid"))
-    val tables = queries.select(col(idCol).as("query_id"), v.as("qv"))
-      .crossJoin(broadcast(pqCodebooksDf(queries.sparkSession, cbs)))
-      .select(col("query_id"), col("sub"), col("cid"),
-        dot(slice(col("qv"), (col("sub") * sub + 1).cast("int"), lit(sub)),
-          col("cvec")).as("tdot"))
+    // corpus → (cell, PQ code rows): only codes move through the probe
+    // join; the shared tail folds + ranks exactly as pqSearch
+    val melted = pqMeltCodes(
+      corpus.select(col(idCol).as("neighbor_id") +: pqCodeCols(cbs, v, sub): _*)
+        .join(closestCells(corpus, "neighbor_id", 1), "neighbor_id"),
+      subspaces, Seq("cell"))
+    val tables = pqAdcTables(queries, idCol, v, cbs, sub)
     val probes = closestCells(queries, "query_id", nProbe)
-    val coarseW = Window.partitionBy(col("query_id"))
-      .orderBy(col("adc").desc, col("neighbor_id"))
-    val fineW = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    val qv = queries.select(col(idCol).as("query_id"), v.as("qv"))
-    val nv = corpus.select(col(idCol).as("neighbor_id"), v.as("nv"))
-    melted.join(broadcast(probes), Seq("cell"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .join(broadcast(tables), Seq("query_id", "sub", "cid"))
-      .groupBy(col("query_id"), col("neighbor_id"))
-      .agg(aggregate(
-        array_sort(collect_list(struct(col("sub"), col("tdot").as("t")))),
-        lit(0.0), (acc, x) => acc + x.getField("t")).as("adc"))
-      .withColumn("__crn", row_number().over(coarseW))
-      .filter(col("__crn") <= coarseM)
-      .join(broadcast(qv), "query_id")
-      .join(nv, "neighbor_id")
-      .withColumn("cosine", cosine(col("qv"), col("nv")))
-      .withColumn("rank", row_number().over(fineW))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "adc", "cosine")
+    pqRankTail(
+      melted.join(broadcast(probes), Seq("cell"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .join(broadcast(tables), Seq("query_id", "sub", "cid")),
+      queries, corpus, idCol, v, coarseM, k)
   }
 
   /** Two-stage ANN: LSH-bucketed candidates → int8-quantized integer-dot

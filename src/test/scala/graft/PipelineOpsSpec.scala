@@ -383,7 +383,8 @@ class PipelineOpsSpec extends SparkSpec {
     import spark.implicits._
     val fix = Seq(
       (1, (0 until 10).map(i => s"w$i").mkString(" ")), // 10 tokens
-      (2, "a b c")                                      // shorter than a chunk
+      (2, "a b c"),                                     // shorter than a chunk
+      (3, null.asInstanceOf[String])                    // null text → NO chunks
     ).toDF("doc_id", "text")
     val rows = CorpusOps.chunkDocs(fix, "doc_id", "text",
         chunkTokens = 4, overlap = 1)
