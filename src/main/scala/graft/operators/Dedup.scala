@@ -102,6 +102,43 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Shingle CONTAINMENT pairs: C(A→B) = |A∩B| / |A| over k-word shingle
+    * sets, emitted DIRECTED for C ≥ threshold — the asymmetric duplication
+    * Jaccard structurally misses: a short doc quoted whole inside a long
+    * one has containment ≈ 1 but Jaccard ≈ |A|/|B| ≈ 0, so a
+    * Jaccard-thresholded pass keeps both copies of every quote, license
+    * block and syndicated excerpt. Returns
+    * (contained_id, container_id, containment), both directions of a pair
+    * tested independently.
+    *
+    * Scale shape: identical to [[ngramJaccardPairs]] — the one shingle-key
+    * shuffle generates candidates, the denominators join per side — only
+    * the final ratio differs, so the same bucket-boundedness (and the same
+    * hub-shingle caveat) applies. The two directions derive from ONE
+    * intersection count; nothing is paired twice.
+    */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       k: Int = 4, threshold: Double = 0.8,
+                       persistShingles: Boolean = true): DataFrame = {
+    val sh = shingleSet(docs, idCol, textCol, k, persistShingles)
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("set_size"))
+    val a = sh.select(col(idCol).as("id_a"), col("shingle"))
+    val b = sh.select(col(idCol).as("id_b"), col("shingle"))
+    val inter = a.join(b, Seq("shingle"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("inter"))
+    val both = inter
+      .join(sizes.select(col(idCol).as("id_a"), col("set_size").as("size_a")), Seq("id_a"))
+      .join(sizes.select(col(idCol).as("id_b"), col("set_size").as("size_b")), Seq("id_b"))
+    both.select(col("id_a").as("contained_id"), col("id_b").as("container_id"),
+        (col("inter") / col("size_a")).as("containment"))
+      .union(both.select(col("id_b").as("contained_id"),
+        col("id_a").as("container_id"),
+        (col("inter") / col("size_b")).as("containment")))
+      .filter(col("containment") >= threshold)
+  }
+
   /** Incremental near-dup screening: which `fresh` docs are near-dups of the
     * EXISTING `corpus` — the daily-ingest shape (screen today's crawl against
     * the standing corpus; never re-pair the corpus against itself). Same

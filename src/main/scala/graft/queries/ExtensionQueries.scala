@@ -100,6 +100,21 @@ object ExtensionQueries {
            |    SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= $cap)"""
       case None => "SELECT doc_id, shingle FROM sh"
     }
+    s"""${shingleInterCtes(kept)},
+      |jp AS (
+      |  SELECT id_a, id_b,
+      |    inter / (sa.set_size + sb.set_size - inter) AS jaccard
+      |  FROM inter
+      |  JOIN sizes sa ON sa.doc_id = id_a
+      |  JOIN sizes sb ON sb.doc_id = id_b
+      |  WHERE inter / (sa.set_size + sb.set_size - inter) >= 0.5)"""
+  }
+
+  /** The shingle/size/intersection base CTEs (through `inter`) shared by the
+    * Jaccard oracles and the containment oracle — one definition of the
+    * k=4 shingling and the pair-intersection count on the SQL side too.
+    */
+  private def shingleInterCtes(kept: String) =
     s"""toks AS (
       |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
       |sh AS (
@@ -111,15 +126,7 @@ object ExtensionQueries {
       |inter AS (
       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
       |  FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      |  GROUP BY a.doc_id, b.doc_id),
-      |jp AS (
-      |  SELECT id_a, id_b,
-      |    inter / (sa.set_size + sb.set_size - inter) AS jaccard
-      |  FROM inter
-      |  JOIN sizes sa ON sa.doc_id = id_a
-      |  JOIN sizes sb ON sb.doc_id = id_b
-      |  WHERE inter / (sa.set_size + sb.set_size - inter) >= 0.5)"""
-  }
+      |  GROUP BY a.doc_id, b.doc_id)"""
 
   private def jaccardOracle(maxDocFreq: Option[Int] = None) =
     s"""WITH ${jaccardCtes(maxDocFreq)}
@@ -548,6 +555,31 @@ object ExtensionQueries {
         // (256 KiB); an oversized sketch is pure literal-shipping overhead
         expectedFreshShingles = 1L << 18)
         .orderBy("fresh_id", "corpus_id")
+    },
+
+    // Shingle CONTAINMENT pairs (d14): directed |A∩B|/|A| ≥ 0.8 — the
+    // asymmetric duplication Jaccard structurally misses (a short doc
+    // quoted whole inside a long one has containment ≈ 1, Jaccard ≈ 0).
+    // Same candidate shuffle as d02; both directions from one
+    // intersection count.
+    "d14_dedup_containment" -> of(
+      s"""WITH ${shingleInterCtes("SELECT doc_id, shingle FROM sh")},
+        |sides AS (
+        |  SELECT id_a, id_b, inter,
+        |    sa.set_size AS size_a, sb.set_size AS size_b
+        |  FROM inter
+        |  JOIN sizes sa ON sa.doc_id = id_a
+        |  JOIN sizes sb ON sb.doc_id = id_b),
+        |dir AS (
+        |  SELECT id_a AS contained_id, id_b AS container_id,
+        |    inter / size_a AS containment FROM sides
+        |  UNION ALL
+        |  SELECT id_b, id_a, inter / size_b FROM sides)
+        |SELECT contained_id, container_id, containment
+        |FROM dir WHERE containment >= 0.8
+        |ORDER BY contained_id, container_id""") { (s, d) =>
+      Dedup.containmentPairs(t(s, d, "documents"), "doc_id", "text")
+        .orderBy("contained_id", "container_id")
     },
 
     // The same screen served from the STANDING bucketed shingle index

@@ -603,6 +603,23 @@ class PipelineOpsSpec extends SparkSpec {
     assert(math.abs(got.values.map(_._2).sum - 1.0) < 1e-12) // no dangling loss
   }
 
+  test("containmentPairs flags the quoted-subset pair that Jaccard misses") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // doc2's 2 shingles are BOTH inside doc1's 5 → containment(2→1) = 1.0
+    // while Jaccard = 2/5 = 0.4 sits under the d02 threshold — the
+    // asymmetric case this operator exists for; the reverse direction
+    // (1→2, 0.4) and the unrelated doc3 must not appear
+    val docs = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "a b c d e"),
+      (3L, "x y z w v")).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq === Seq((2L, 1L, 1.0)))
+    assert(Dedup.ngramJaccardPairs(docs, "doc_id", "text").count() === 0)
+  }
+
   test("chunkDedupStats: first-occurrence canonical chunks, later copies counted") {
     import spark.implicits._
     import graft.operators.Multimodal
