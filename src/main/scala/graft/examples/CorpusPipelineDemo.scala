@@ -37,14 +37,23 @@ object CorpusPipelineDemo {
     println(s"=== dedup: ${docs.count() - deduped.count()} non-survivors dropped, " +
       s"${deduped.count()} docs remain")
 
+    // 1b. containment cut: survivors that are quoted (near-)whole inside
+    // another surviving doc — the asymmetric duplication the Jaccard pass
+    // above structurally misses (d14)
+    val contained = Dedup.containmentPairs(deduped, "doc_id", "text")
+      .select(col("contained_id").as("doc_id")).distinct()
+    val uncontained = deduped.join(contained, Seq("doc_id"), "left_anti")
+    println(s"=== containment cut: ${deduped.count() - uncontained.count()} " +
+      s"quoted-subset docs dropped, ${uncontained.count()} remain")
+
     // 2. quality gate: repetition signals + unigram-LM score, then redact
-    val rep = CorpusOps.repetitionSignals(deduped, "doc_id", "text")
+    val rep = CorpusOps.repetitionSignals(uncontained, "doc_id", "text")
       .filter(col("top_bigram_frac") < 0.5 && col("max_run") < 10)
       .select("doc_id")
-    val lm = CorpusOps.unigramLm(deduped, "doc_id", "text")
-    val lpOk = CorpusOps.unigramLogprob(deduped, "doc_id", "text", lm, -20.0)
+    val lm = CorpusOps.unigramLm(uncontained, "doc_id", "text")
+    val lpOk = CorpusOps.unigramLogprob(uncontained, "doc_id", "text", lm, -20.0)
       .filter(col("mean_logprob") > -10.0).select("doc_id")
-    val clean = deduped.join(rep, "doc_id").join(lpOk, "doc_id")
+    val clean = uncontained.join(rep, "doc_id").join(lpOk, "doc_id")
       .withColumn("text", graft.functions.TextFunctions.redactPii(col("text")))
     println(s"=== quality gate: ${clean.count()} docs pass repetition + LM filters")
 
@@ -63,6 +72,15 @@ object CorpusPipelineDemo {
       .orderBy("source").collect()
       .map(r => s"${r.getString(0)}:${r.getLong(1) + 1}").mkString(", ")
     println(s"=== packing: sequences per source shard → $packs")
+
+    // 4b. the REAL token budget: train a small BPE tokenizer on the train
+    // split and count encoded tokens (t25 + t26) — the number the 2048-token
+    // packs above only estimate with whitespace counts
+    val merges = CorpusOps.bpeMerges(train, "doc_id", "text", rounds = 3)
+    val budget = CorpusOps.bpeTokenCounts(train, "doc_id", "text", merges)
+      .agg(sum("n_ws_tokens").as("ws"), sum("n_bpe_tokens").as("bpe")).head()
+    println(s"=== token budget: ${budget.getLong(0)} whitespace tokens → " +
+      s"${budget.getLong(1)} BPE pieces after 3 merges")
 
     // 5. contamination audit: held-out docs fingerprint-colliding with train
     val wfp = clean.select(col("doc_id"), winnowFingerprint(col("text")).as("w"))
