@@ -477,6 +477,35 @@ object Similarity {
       .filter(col("sample_rank") <= perCluster)
   }
 
+  /** ANN recall@k — the index-quality measurement a retrieval pipeline
+    * runs before trusting an approximate index: for each query, the
+    * fraction of the EXACT top-k neighbor set the approximate result
+    * recovered (rank-insensitive, the standard definition). Both inputs
+    * are (query_id, rank, neighbor_id[, ...]) frames — any of the s01–s10
+    * searches compose directly; `k` truncates BOTH sides so a deeper
+    * approximate list cannot inflate its own score.
+    *
+    * Scale shape: one equi-join on (query_id, neighbor_id) between two
+    * already-k-bounded frames (≤ queries × k rows each) and one query-key
+    * rollup — evaluation cost is independent of corpus size, which is what
+    * lets it run as a standing index-health check. A query with NO exact
+    * top-k rows (empty corpus slice) is excluded rather than scored 0/0.
+    * Returns (query_id, n_exact, n_hit, recall) — one row per query with
+    * exact results.
+    */
+  def recallAtK(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"recallAtK: k must be >= 1: $k")
+    val ex = exact.filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"))
+    val ap = approx.filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("__hit"))
+    ex.join(ap, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))
+      .withColumn("recall", col("n_hit") / col("n_exact"))
+  }
+
   /** SemDeDup-style semantic near-dup pairs: cluster the corpus with the
     * reproducible k-means quantizer, then pair ONLY within clusters and keep
     * pairs with cosine ≥ `threshold`. The cluster assignment is the candidate

@@ -304,6 +304,60 @@ object ExtensionQueries {
       |FROM deg d LEFT JOIN pn ON pn.id = d.id
       |ORDER BY d.id"""
 
+  /** DuckDB's list-lambda cosine over two DOUBLE[] expressions — the exact
+    * per-pair formula every embedding oracle folds.
+    */
+  private def listCos(a: String, b: String) =
+    s"list_sum(list_transform(list_zip($a, $b), x -> x[1] * x[2])) / " +
+      s"(sqrt(list_sum(list_transform($a, x -> x*x))) * sqrt(list_sum(list_transform($b, x -> x*x))))"
+
+  /** The s01 exact-top-5 oracle — standalone SELECT, reused verbatim as
+    * the ground-truth CTE of the recall oracle (s12) so "exact" cannot
+    * drift between the two gates.
+    */
+  private val s01TopkSql = {
+    val cos = listCos("CAST(q.embedding AS DOUBLE[])", "CAST(c.embedding AS DOUBLE[])")
+    s"""SELECT query_id, rank, neighbor_id, cosine FROM (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |    $cos AS cosine,
+      |    ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+      |      $cos DESC,
+      |      c.vec_id) AS rank
+      |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+      |  WHERE q.vec_id < 10) x
+      |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** The s04 trained-IVF oracle, split into its CTE chain and final SELECT
+    * so the recall oracle (s12) can mount the same approximate search as a
+    * CTE — one definition of the IVF walk on the SQL side.
+    */
+  private val ivfCtes =
+    s"""corp AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |cent AS (SELECT cid, cvec AS cv FROM read_parquet('{{AUX}}/s04_centroids/*.parquet')),
+      |assign AS (
+      |  SELECT vec_id AS neighbor_id, cid, v AS nv FROM (
+      |    SELECT c.vec_id, ct.cid, c.v,
+      |      ROW_NUMBER() OVER (PARTITION BY c.vec_id
+      |        ORDER BY ${listCos("c.v", "ct.cv")} DESC, ct.cid) AS crn
+      |    FROM corp c CROSS JOIN cent ct) x WHERE crn = 1),
+      |probes AS (
+      |  SELECT query_id, cid, qv FROM (
+      |    SELECT q.vec_id AS query_id, ct.cid, q.v AS qv,
+      |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+      |        ORDER BY ${listCos("q.v", "ct.cv")} DESC, ct.cid) AS crn
+      |    FROM corp q CROSS JOIN cent ct WHERE q.vec_id < 10) x WHERE crn <= 2),
+      |cand AS (
+      |  SELECT DISTINCT p.query_id, a.neighbor_id, ${listCos("p.qv", "a.nv")} AS cosine
+      |  FROM probes p JOIN assign a ON a.cid = p.cid AND a.neighbor_id <> p.query_id)""".stripMargin
+
+  private val ivfSelect =
+    """SELECT query_id, rank, neighbor_id, cosine FROM (
+      |  SELECT query_id, neighbor_id, cosine,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id
+      |      ORDER BY cosine DESC, neighbor_id) AS rank
+      |  FROM cand) x WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
 
     // ---- deduplication ----------------------------------------------------
@@ -682,22 +736,7 @@ object ExtensionQueries {
     // Exact cosine top-5 for the first 10 vectors, via the bounded-heap
     // Aggregator (rank + neighbor id are the contract; cosine is emitted and
     // must bit-match the oracle's identical sequential-fold formula).
-    "s01_sim_topk_agg" -> of(
-      """SELECT query_id, rank, neighbor_id, cosine FROM (
-        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-        |    list_sum(list_transform(list_zip(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])),
-        |      x -> x[1] * x[2]))
-        |    / (sqrt(list_sum(list_transform(CAST(q.embedding AS DOUBLE[]), x -> x*x)))
-        |       * sqrt(list_sum(list_transform(CAST(c.embedding AS DOUBLE[]), x -> x*x)))) AS cosine,
-        |    ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
-        |      list_sum(list_transform(list_zip(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])),
-        |        x -> x[1] * x[2]))
-        |      / (sqrt(list_sum(list_transform(CAST(q.embedding AS DOUBLE[]), x -> x*x)))
-        |         * sqrt(list_sum(list_transform(CAST(c.embedding AS DOUBLE[]), x -> x*x)))) DESC,
-        |      c.vec_id) AS rank
-        |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
-        |  WHERE q.vec_id < 10) x
-        |WHERE rank <= 5 ORDER BY query_id, rank""") { (s, d) =>
+    "s01_sim_topk_agg" -> of(s01TopkSql) { (s, d) =>
       val e = t(s, d, "embeddings")
       Similarity.cosineTopK(e.filter(col("vec_id") < 10), e, "vec_id", "embedding", 5)
         .orderBy("query_id", "rank")
@@ -1049,36 +1088,39 @@ object ExtensionQueries {
     // by Verify (AuxDumps "s04_centroids"); the oracle consumes them and
     // recomputes the whole inverted-file path — assignment, probing,
     // in-list ranking — in SQL.
-    "s04_sim_ann_ivf" -> of {
-      def cos(a: String, b: String) =
-        s"list_sum(list_transform(list_zip($a, $b), x -> x[1] * x[2])) / " +
-          s"(sqrt(list_sum(list_transform($a, x -> x*x))) * sqrt(list_sum(list_transform($b, x -> x*x))))"
-      s"""WITH corp AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |cent AS (SELECT cid, cvec AS cv FROM read_parquet('{{AUX}}/s04_centroids/*.parquet')),
-         |assign AS (
-         |  SELECT vec_id AS neighbor_id, cid, v AS nv FROM (
-         |    SELECT c.vec_id, ct.cid, c.v,
-         |      ROW_NUMBER() OVER (PARTITION BY c.vec_id
-         |        ORDER BY ${cos("c.v", "ct.cv")} DESC, ct.cid) AS crn
-         |    FROM corp c CROSS JOIN cent ct) x WHERE crn = 1),
-         |probes AS (
-         |  SELECT query_id, cid, qv FROM (
-         |    SELECT q.vec_id AS query_id, ct.cid, q.v AS qv,
-         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
-         |        ORDER BY ${cos("q.v", "ct.cv")} DESC, ct.cid) AS crn
-         |    FROM corp q CROSS JOIN cent ct WHERE q.vec_id < 10) x WHERE crn <= 2),
-         |cand AS (
-         |  SELECT DISTINCT p.query_id, a.neighbor_id, ${cos("p.qv", "a.nv")} AS cosine
-         |  FROM probes p JOIN assign a ON a.cid = p.cid AND a.neighbor_id <> p.query_id)
-         |SELECT query_id, rank, neighbor_id, cosine FROM (
-         |  SELECT query_id, neighbor_id, cosine,
-         |    ROW_NUMBER() OVER (PARTITION BY query_id
-         |      ORDER BY cosine DESC, neighbor_id) AS rank
-         |  FROM cand) x WHERE rank <= 5 ORDER BY query_id, rank"""
-    } { (s, d) =>
+    "s04_sim_ann_ivf" -> of(s"WITH $ivfCtes\n$ivfSelect") { (s, d) =>
       val e = t(s, d, "embeddings")
       Similarity.ivfNeighborsTrained(e.filter(col("vec_id") < 10), e, "vec_id", "embedding", 5)
         .orderBy("query_id", "rank")
+    },
+
+    // ANN recall@k (s12): the index-quality gate — fraction of the exact
+    // top-5 set (s01's ground truth, same SQL) the trained-IVF search
+    // (s04's walk, same CTEs) recovers per query. Evaluation is two
+    // k-bounded frames joined on (query, neighbor) — cost independent of
+    // corpus size, the property that lets it run as a standing health
+    // check next to the index build.
+    "s12_ann_recall" -> of(
+      s"""WITH $ivfCtes,
+        |exact AS ($s01TopkSql),
+        |approx AS ($ivfSelect),
+        |j AS (
+        |  SELECT exact.query_id,
+        |    CASE WHEN approx.neighbor_id IS NULL THEN 0 ELSE 1 END AS hit
+        |  FROM exact LEFT JOIN approx
+        |    ON approx.query_id = exact.query_id
+        |   AND approx.neighbor_id = exact.neighbor_id)
+        |SELECT query_id, n_exact, n_hit, n_hit / n_exact AS recall FROM (
+        |  SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_exact,
+        |    CAST(SUM(hit) AS BIGINT) AS n_hit
+        |  FROM j GROUP BY query_id) x
+        |ORDER BY query_id""") { (s, d) =>
+      val e = t(s, d, "embeddings")
+      val q = e.filter(col("vec_id") < 10)
+      Similarity.recallAtK(
+        Similarity.ivfNeighborsTrained(q, e, "vec_id", "embedding", 5),
+        Similarity.cosineTopK(q, e, "vec_id", "embedding", 5), k = 5)
+        .orderBy("query_id")
     },
 
     // ---- text analysis ----------------------------------------------------

@@ -603,6 +603,20 @@ class PipelineOpsSpec extends SparkSpec {
     assert(math.abs(got.values.map(_._2).sum - 1.0) < 1e-12) // no dangling loss
   }
 
+  test("recallAtK: rank-insensitive overlap, k-truncation on both sides, per-query rollup") {
+    import spark.implicits._
+    val exact = Seq((1L, 1, 10L), (1L, 2, 11L), (1L, 3, 12L), (2L, 1, 20L))
+      .toDF("query_id", "rank", "neighbor_id")
+    // q1's approx finds 12 and 10 (different ranks — irrelevant) plus a
+    // miss; its rank-4 hit on 11 is truncated at k=3. q2 recovers nothing.
+    val approx = Seq((1L, 1, 12L), (1L, 2, 99L), (1L, 3, 10L), (1L, 4, 11L),
+      (2L, 1, 21L)).toDF("query_id", "rank", "neighbor_id")
+    val got = Similarity.recallAtK(approx, exact, 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got === Map(1L -> ((3L, 2L, 2.0 / 3.0)), 2L -> ((1L, 0L, 0.0))))
+  }
+
   test("containmentPairs flags the quoted-subset pair that Jaccard misses") {
     import spark.implicits._
     import graft.operators.Dedup
