@@ -77,7 +77,8 @@ object AnomalyStream {
   }
 
   /** Per-key incremental scoring step. */
-  def step(lookback: Int, minPrev: Int, zThreshold: Double)
+  def step(lookback: Int, minPrev: Int, zThreshold: Double,
+           idleTtlMillis: Long = IdleTtlMillis)
           (key: Long, events: Iterator[Pt], state: GroupState[AnomalyState])
       : Iterator[ScoredPt] = {
     val s0 = state.getOption.getOrElse(AnomalyState(Nil, Nil, Long.MinValue))
@@ -94,7 +95,7 @@ object AnomalyStream {
     // eviction ONLY at true event-time idleness — a flush timeout must not
     // drop the frame of a key that is merely between batches
     if (state.hasTimedOut && pending.isEmpty &&
-        wmMs >= lastTs / 1000 + IdleTtlMillis) {
+        wmMs >= lastTs / 1000 + idleTtlMillis) {
       state.remove()
     } else {
       state.update(AnomalyState(frame, pending, lastTs))
@@ -102,7 +103,7 @@ object AnomalyStream {
       // zero-row advance batch); an all-flushed key waits for its idle TTL
       val target =
         if (pending.nonEmpty) wmMs + 1
-        else lastTs / 1000 + IdleTtlMillis
+        else lastTs / 1000 + idleTtlMillis
       state.setTimeoutTimestamp(math.max(wmMs + 1, target))
     }
     out.iterator
@@ -114,8 +115,8 @@ object AnomalyStream {
     */
   def scores(events: DataFrame, keyCol: String, tieCol: String,
              valCol: String, lookback: Int = 20, minPrev: Int = 5,
-             zThreshold: Double = 3.0,
-             delay: String = "1 minute"): Dataset[ScoredPt] = {
+             zThreshold: Double = 3.0, delay: String = "1 minute",
+             idleTtlMillis: Long = IdleTtlMillis): Dataset[ScoredPt] = {
     require(lookback >= minPrev && minPrev >= 2,
       s"need lookback >= minPrev >= 2: $lookback, $minPrev")
     val spark = events.sparkSession
@@ -128,6 +129,7 @@ object AnomalyStream {
       .as[Pt]
       .groupByKey(_.key)
       .flatMapGroupsWithState(OutputMode.Append,
-        GroupStateTimeout.EventTimeTimeout)(step(lookback, minPrev, zThreshold))
+        GroupStateTimeout.EventTimeTimeout)(
+        step(lookback, minPrev, zThreshold, idleTtlMillis))
   }
 }

@@ -324,6 +324,63 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.count() === streamed.distinct().count())
   }
 
+  test("anomaly scoring state survives a query RESTART from checkpoint") {
+    // run 1 processes the first half of the purchase feed and stops — its
+    // final-minute events are still buffered in CHECKPOINTED state; run 2
+    // is a new query over the same checkpoint after the second half lands.
+    // Frames spanning the restart must continue (scores identical to one
+    // uninterrupted run == the batch operator's watermark-ripe prefix),
+    // with nothing emitted twice.
+    import org.apache.spark.sql.streaming.Trigger
+    val tmp = java.nio.file.Files.createTempDirectory("anom-restart")
+    val ckpt = java.nio.file.Files.createTempDirectory("anom-ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("anom-out").toString
+    val ev = graft.queries.Q.events(spark, dir)
+      .filter(col("event_type") === "purchase").orderBy("ts")
+    val rows = ev.collect()
+    val (first, second) = rows.splitAt(rows.length / 2)
+    val schema = ev.schema
+    def addFile(name: String, part: Array[org.apache.spark.sql.Row]): Unit =
+      spark.createDataFrame(spark.sparkContext.parallelize(part.toSeq, 1), schema)
+        .write.parquet(s"$tmp/batch-$name")
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$tmp/batch-*")
+      // TTL off: the fixture's per-user purchase gaps exceed 1h of event
+      // time, and the batch operator being compared against has no idle
+      // restarts (eviction itself is unit-tested separately)
+      val q = graft.streaming.AnomalyStream
+        .scores(stream, "user_id", "event_id", "value",
+          idleTtlMillis = Long.MaxValue / 4).toDF()
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    addFile("0", first)
+    runOnce()
+    val emittedAfterRun1 = spark.read.parquet(out).count()
+    addFile("1", second)
+    runOnce()
+    val streamed = spark.read.parquet(out)
+      .select("key", "tie", "value", "n_prev", "z6", "is_anomaly")
+    assert(emittedAfterRun1 < streamed.count(), "run 2 must emit further events")
+    val evb = graft.queries.Q.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+    val wmUs = {
+      val m = evb.agg(max(unix_micros(col("ts")))).head().getLong(0)
+      (m / 1000 - 60000) * 1000 // the ms-floored final watermark
+    }
+    val batch = graft.operators.TimeSeriesOps
+      .anomalyZScores(evb, "user_id", "ts", "event_id", "value")
+      .filter(unix_micros(col("ts")) < wmUs)
+      .select(col("user_id").as("key"), col("event_id").as("tie"),
+        col("value"), col("n_prev"), col("z6"), col("is_anomaly"))
+    assert(streamed.except(batch).count() === 0)
+    assert(batch.except(streamed).count() === 0)
+    assert(streamed.count() === streamed.distinct().count())
+  }
+
   test("streaming EWMA == batch ewmaPerKey fold across out-of-order micro-batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val ctx = spark.sqlContext
