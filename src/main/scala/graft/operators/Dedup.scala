@@ -657,6 +657,57 @@ object Dedup {
       .select("id_a", "id_b", "cosine")
   }
 
+  /** Incremental EMBEDDING near-dup screening — the d11 daily-ingest shape
+    * in cosine space: which `fresh` vectors are semantic near-dups of the
+    * EXISTING `corpus` (inputs disjoint by contract, like d11). Both sides
+    * draw multi-table hyperplane signatures from the SAME hash-derived
+    * family ([[embeddingCosinePairsLsh]]'s tables — dimension probed from
+    * the corpus side), candidates share a bucket in any table, and the
+    * exact cosine verifies ≥ `threshold`. Returns
+    * (fresh_id, corpus_id, cosine).
+    *
+    * Scale shape: the join is fresh-vs-corpus only — pair work is
+    * O(fresh-bucket occupancy), never corpus self-pairs — and at scale the
+    * corpus signature table is a standing index (bucketed by (table, sig),
+    * the d12 layout applied to signatures) so each ingest shuffles only
+    * the fresh batch.
+    */
+  def incrementalEmbeddingPairsLsh(fresh: DataFrame, corpus: DataFrame,
+                                   idCol: String, vecCol: String,
+                                   threshold: Double, planesPerTable: Int = 4,
+                                   tables: Int = 8): DataFrame = {
+    graft.functions.NativeFunctions.register(fresh.sparkSession)
+    val allSigns = Similarity.hyperplaneSigns(fresh.sparkSession,
+      tables * planesPerTable, 0, Similarity.vectorDim(corpus, vecCol))
+    def prep(df: DataFrame) = Caching.persisted(
+      df.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
+        .withColumn("norm", Similarity.l2norm(col("v"))))
+    def banded(v: DataFrame, as: String) = {
+      val sigCols = (0 until tables).map { l =>
+        struct(lit(l).as("tbl"),
+          Similarity.hyperplaneSignatureFrom(col("v"),
+            allSigns.slice(l * planesPerTable, (l + 1) * planesPerTable)).as("sig"))
+      }
+      v.select(col(idCol).as(as), explode(array(sigCols: _*)).as("bk"))
+        .select(col(as), col("bk.tbl").as("tbl"), col("bk.sig").as("sig"))
+    }
+    val vf = prep(fresh)
+    val vc = prep(corpus)
+    val candidates = banded(vf, "fresh_id")
+      .join(banded(vc, "corpus_id"), Seq("tbl", "sig"))
+      .select("fresh_id", "corpus_id")
+      .distinct()
+    candidates
+      .join(vf.select(col(idCol).as("fresh_id"), col("v").as("v_f"),
+        col("norm").as("n_f")), Seq("fresh_id"))
+      .join(vc.select(col(idCol).as("corpus_id"), col("v").as("v_c"),
+        col("norm").as("n_c")), Seq("corpus_id"))
+      .withColumn("cosine",
+        Similarity.dot(col("v_f"), col("v_c")) / (col("n_f") * col("n_c")))
+      .filter(col("cosine") >= threshold)
+      .select("fresh_id", "corpus_id", "cosine")
+  }
+
   /** ==SMALL-SCALE CROSS-CHECK — not a scale path== Embedding near-dup
     * pairs: cosine ≥ threshold over `ARRAY<FLOAT>` columns, as an EXACT
     * all-pairs crossJoin. Deliberately O(n²): it exists to verify

@@ -493,6 +493,43 @@ object ExtensionQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // Incremental EMBEDDING ingest screen (d15): the d11 daily-ingest
+    // shape in cosine space — fresh vectors (every 8th id, the batch)
+    // against the standing corpus (the rest), same signature family and
+    // verify as d06, pair work bounded by fresh-bucket occupancy.
+    "d15_dedup_incremental_embedding" -> of(
+      """WITH planes AS (SELECT p, signs FROM read_parquet('{{AUX}}/hyperplanes32/*.parquet')),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |bits AS (
+        |  SELECT vec_id, p,
+        |    CASE WHEN list_sum(list_transform(list_zip(v, signs), x -> x[1] * x[2])) >= 0
+        |      THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+        |  FROM e, planes),
+        |sigs AS (
+        |  SELECT vec_id, p // 4 AS tbl,
+        |    CAST(sum(bit * (1::BIGINT << CAST(3 - (p % 4) AS INT))) AS BIGINT) AS sig
+        |  FROM bits GROUP BY vec_id, p // 4),
+        |cand AS (
+        |  SELECT DISTINCT f.vec_id AS fresh_id, c.vec_id AS corpus_id
+        |  FROM sigs f JOIN sigs c ON f.tbl = c.tbl AND f.sig = c.sig
+        |  WHERE f.vec_id % 8 = 0 AND c.vec_id % 8 <> 0),
+        |pairs AS (
+        |  SELECT fresh_id, corpus_id,
+        |    list_sum(list_transform(list_zip(ef.v, ec.v), x -> x[1] * x[2]))
+        |    / (sqrt(list_sum(list_transform(ef.v, x -> x*x)))
+        |       * sqrt(list_sum(list_transform(ec.v, x -> x*x)))) AS cosine
+        |  FROM cand
+        |  JOIN e ef ON ef.vec_id = fresh_id
+        |  JOIN e ec ON ec.vec_id = corpus_id)
+        |SELECT fresh_id, corpus_id, cosine FROM pairs WHERE cosine >= 0.4
+        |ORDER BY fresh_id, corpus_id""") { (s, d) =>
+      val e = t(s, d, "embeddings")
+      Dedup.incrementalEmbeddingPairsLsh(
+        e.filter(col("vec_id") % 8 === 0), e.filter(col("vec_id") % 8 =!= 0),
+        "vec_id", "embedding", 0.4)
+        .orderBy("fresh_id", "corpus_id")
+    },
+
     // Embedding-cosine near-dup pairs — exact all-pairs CROSS-CHECK for d06
     // (small-scale only; the crossJoin is the documented scale-killer the
     // LSH variant replaces).

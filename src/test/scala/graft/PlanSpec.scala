@@ -59,6 +59,9 @@ class PlanSpec extends SparkSpec {
     val plan = physicalPlan("d06_dedup_embedding_lsh")
     assert(!allPairs(plan),
       s"LSH dedup must pair within buckets, not all-pairs:\n${plan.take(800)}")
+    // the incremental (fresh-vs-corpus) screen keeps the same bucket-join
+    // contract
+    assert(!allPairs(physicalPlan("d15_dedup_incremental_embedding")))
     // d05 (the exact cross-check) IS the all-pairs form — sanity that the
     // assertion above is meaningful:
     assert(allPairs(physicalPlan("d05_dedup_embedding_cosine")))
