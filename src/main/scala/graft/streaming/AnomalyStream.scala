@@ -32,8 +32,10 @@ object AnomalyStream {
     * is evicted. */
   val IdleTtlMillis: Long = 60L * 60 * 1000
 
-  final case class Pt(key: Long, ts: java.sql.Timestamp, ts_us: Long,
-                      tie: Long, v: Double)
+  /** Input point — the shared [[KeyedFeed]] shape (aliased so callers and
+    * specs keep addressing it as `AnomalyStream.Pt`). */
+  type Pt = KeyedFeed.Pt
+  val Pt = KeyedFeed.Pt
   /** (scored trailing frame — ascending (ts, tie), ≤ lookback entries;
     * in-flight events not yet past the watermark; last event seen µs).
     */
@@ -121,12 +123,7 @@ object AnomalyStream {
       s"need lookback >= minPrev >= 2: $lookback, $minPrev")
     val spark = events.sparkSession
     import spark.implicits._
-    events
-      .withWatermark("ts", delay)
-      .select(col(keyCol).as("key"), col("ts"),
-        unix_micros(col("ts")).as("ts_us"), col(tieCol).as("tie"),
-        col(valCol).cast("double").as("v"))
-      .as[Pt]
+    KeyedFeed.points(events, keyCol, tieCol, valCol, delay)
       .groupByKey(_.key)
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.EventTimeTimeout)(

@@ -128,6 +128,11 @@ object EventsStream {
     val spark = df.sparkSession
     val ckpt = java.nio.file.Files
       .createTempDirectory(ephemeralCheckpointRoot, "graft-ckpt-")
+    // NB the save/set/restore below is session-global, like every
+    // spark.conf setting: this helper assumes one runAvailableNow at a
+    // time per session (the snapshot-runner contract). Overlapping runs
+    // from multiple threads would race the restore; a batch job planned
+    // concurrently on the same session would see the reduced width.
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     try {
       spark.conf.set("spark.sql.shuffle.partitions",
@@ -142,11 +147,18 @@ object EventsStream {
       q.awaitTermination()
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      // best-effort cleanup that must never mask the query's own failure:
+      // walk streams throw UncheckedIOException (a RuntimeException) from
+      // iteration, not just IOException, and the stream holds a directory
+      // handle until closed
       import java.nio.file.{Files, Path}
       import java.util.Comparator
-      try Files.walk(ckpt).sorted(Comparator.reverseOrder[Path]())
-        .forEach(p => Files.deleteIfExists(p))
-      catch { case _: java.io.IOException => () }
+      try {
+        val walk = Files.walk(ckpt)
+        try walk.sorted(Comparator.reverseOrder[Path]())
+          .forEach(p => Files.deleteIfExists(p))
+        finally walk.close()
+      } catch { case scala.util.control.NonFatal(_) => () }
     }
   }
 }

@@ -28,11 +28,16 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object EwmaStream {
 
-  /** Event-time idle gap after which a key's EWMA finalizes. */
+  /** Default event-time idle gap after which a key's EWMA finalizes —
+    * overridable per call (AnomalyStream parity): a consumer needing
+    * batch-equal folds over feeds with long per-key gaps passes a large
+    * `idleTtlMillis` to opt out of burst finalization. */
   val IdleTtlMillis: Long = 60L * 60 * 1000
 
-  final case class Pt(key: Long, ts: java.sql.Timestamp, ts_us: Long,
-                      tie: Long, v: Double)
+  /** Input point — the shared [[KeyedFeed]] shape (aliased so callers and
+    * specs keep addressing it as `EwmaStream.Pt`). */
+  type Pt = KeyedFeed.Pt
+  val Pt = KeyedFeed.Pt
   /** (folded accumulator, folded count, last event seen µs, in-flight
     * events (ts_us, tie, v) not yet past the watermark).
     */
@@ -49,8 +54,9 @@ object EwmaStream {
   }
 
   /** Per-key incremental EWMA step. */
-  def step(alpha: Double)(key: Long, events: Iterator[Pt],
-                          state: GroupState[EwmaState]): Iterator[KeyEwma] = {
+  def step(alpha: Double, idleTtlMillis: Long = IdleTtlMillis)
+          (key: Long, events: Iterator[Pt],
+           state: GroupState[EwmaState]): Iterator[KeyEwma] = {
     if (state.hasTimedOut) {
       // watermark passed lastTs + TTL, so everything still pending is ripe:
       // fold it, emit the finalized value, forget the key
@@ -71,7 +77,7 @@ object EwmaStream {
     state.update(EwmaState(acc, n, lastTs, pending))
     // must be strictly beyond the current watermark or Spark rejects it
     state.setTimeoutTimestamp(
-      math.max(state.getCurrentWatermarkMs() + 1, lastTs / 1000 + IdleTtlMillis))
+      math.max(state.getCurrentWatermarkMs() + 1, lastTs / 1000 + idleTtlMillis))
     Iterator.empty
   }
 
@@ -81,18 +87,14 @@ object EwmaStream {
     * activity burst.
     */
   def ewma(events: DataFrame, keyCol: String, tieCol: String, valCol: String,
-           alpha: Double, delay: String = "1 minute"): Dataset[KeyEwma] = {
+           alpha: Double, delay: String = "1 minute",
+           idleTtlMillis: Long = IdleTtlMillis): Dataset[KeyEwma] = {
     require(alpha > 0 && alpha <= 1, "alpha must be in (0, 1]")
     val spark = events.sparkSession
     import spark.implicits._
-    events
-      .withWatermark("ts", delay)
-      .select(col(keyCol).as("key"), col("ts"),
-        unix_micros(col("ts")).as("ts_us"), col(tieCol).as("tie"),
-        col(valCol).cast("double").as("v"))
-      .as[Pt]
+    KeyedFeed.points(events, keyCol, tieCol, valCol, delay)
       .groupByKey(_.key)
       .flatMapGroupsWithState(OutputMode.Append,
-        GroupStateTimeout.EventTimeTimeout)(step(alpha))
+        GroupStateTimeout.EventTimeTimeout)(step(alpha, idleTtlMillis))
   }
 }

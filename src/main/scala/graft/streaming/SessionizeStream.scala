@@ -70,8 +70,13 @@ object SessionizeStream {
     }
     open.foreach { s =>
       state.update(s)
-      // finalize when event time passes lastTs + gap (only live sessions)
-      if (s.nEvents > 0) state.setTimeoutTimestamp(s.lastTs / 1000 + GapMicros / 1000)
+      // finalize when event time passes lastTs + gap (only live sessions).
+      // The wm+1 floor matches every other arm site: Spark rejects a
+      // timeout at-or-below the watermark, and while sub-watermark events
+      // are filtered upstream today, safety should not rest on that
+      // non-local invariant.
+      if (s.nEvents > 0) state.setTimeoutTimestamp(
+        math.max(state.getCurrentWatermarkMs() + 1, s.lastTs / 1000 + GapMicros / 1000))
     }
     closed.result().iterator
   }
