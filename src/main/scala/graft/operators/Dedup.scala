@@ -397,35 +397,47 @@ object Dedup {
     *      neighborhood-plus-self (one aggregate over the symmetrized
     *      edges) — hooks always point strictly downward, so they form a
     *      forest rooted at local minima;
-    *   2. FLATTEN that forest to stars by pointer doubling
-    *      (hook ← hook∘hook until stable). This is the textbook jump on a
-    *      STATIC forest, which provably halves pointer depth per
-    *      iteration — unlike jumping on a per-round label function, which
-    *      this operator previously did and which degenerates to
-    *      ~diameter/3 rounds on randomly-permuted chains (the jump target
-    *      lands uniformly inside the already-known window; measured in
-    *      simulation: a 5000-chain took ~1500 label rounds, and
-    *      jump-after-hop / double-jump variants measured the same);
+    *   2. FLATTEN that forest toward stars. Two modes:
+    *      OPTIMISTIC (the default, and the terminal state for clique-like
+    *      dup graphs): a LAZY bounded 3-hop pointer advance (two
+    *      self-joins of the hook, no materialization) folded into the
+    *      contraction's job — the whole round is ONE Spark action.
+    *      Partial flattening is safe: labels still point strictly
+    *      downward within their component, so the exit condition below is
+    *      unchanged; the only cost of an under-flattened round is more
+    *      rounds. The mode demotes itself the first time a round fails
+    *      to halve the edge count — the signature of a chain-like hook
+    *      forest, where bounded advances merely SHIFT the chain
+    *      (~diameter/3 rounds if left optimistic) — and from then on
+    *      FULL flattening runs: materialized pointer doubling
+    *      (hook ← hook∘hook until stable) on the STATIC forest, which
+    *      provably halves pointer depth per iteration — unlike jumping on
+    *      a per-round label function, which this operator once did and
+    *      which degenerates on randomly-permuted chains (measured in
+    *      simulation: a 5000-chain took ~1500 label rounds);
     *   3. CONTRACT the graph by relabeling both edge endpoints to their
-    *      flattened root and dropping self-loops (two joins + distinct),
-    *      composing the roots into the running original-id mapping.
+    *      flattened label and dropping self-loops (two joins + distinct),
+    *      composing the labels into the running original-id mapping.
     * Convergence is when the contracted edge set is EMPTY — an exact test
     * that falls out of the same count that materializes the round, with no
-    * separate fixpoint probe.
+    * separate fixpoint probe. Empty contraction ⟺ every edge's endpoints
+    * share a label ⟺ each component carries ONE label, and since a
+    * component's minimum only ever hooks onto itself, that label is the
+    * component minimum — exactness does not depend on how flat any
+    * intermediate round was.
     *
     * Measured rounds (simulation, any id layout): cliques — the common
-    * Jaccard-dup shape — 1 round + 1 flatten iteration; monotone chains
-    * 1 round + log₂(diameter) iterations (the hook forest IS the chain;
-    * flattening collapses it); randomly-permuted chains — the shape
-    * semantic-similarity graphs take at threshold cosine, and the worst
-    * observed — ≈ 11 rounds / ~35 total iterations at diameter 10⁵;
-    * Erdős–Rényi graphs ≈ 4 rounds. The default 50-round cap therefore
-    * covers components far beyond any real corpus; the loop stops at the
-    * empty edge set regardless, and a non-converged exit fails loudly (a
-    * silent partial contraction would report one component as several
-    * clusters, each with its own survivor — downstream dedup would keep
-    * duplicates with nothing looking wrong). The spec pins chain round
-    * bounds in both layouts.
+    * Jaccard-dup shape — 1 one-action round; monotone chains 2 rounds
+    * (one optimistic round shifts, demotes the mode, one flatten round
+    * collapses); randomly-permuted chains — the shape semantic-similarity
+    * graphs take at threshold cosine — shrink ≥3× per optimistic round
+    * (supernodes ≈ local minima ≈ n/3). The default 50-round cap
+    * therefore covers components far beyond any real corpus; the loop
+    * stops at the empty edge set regardless, and a non-converged exit
+    * fails loudly (a silent partial contraction would report one
+    * component as several clusters, each with its own survivor —
+    * downstream dedup would keep duplicates with nothing looking wrong).
+    * The spec pins chain round bounds in both layouts.
     *
     * Returns (id, cluster) for every id appearing in `pairs`, where
     * `cluster` is the component's minimum id — which is also the
@@ -489,40 +501,57 @@ object Dedup {
       .filter(col("a") =!= col("b"))
     var mapping: Option[DataFrame] = None
     var iter = 0
+    var optimistic = true
     while (eCnt > 0 && iter < maxIters) {
       // 1. hook: supernode → min(neighbors ∪ self). Lazy — it is consumed
-      // only inside the first flatten iteration's plan (twice: both join
-      // sides; the aggregate re-runs over the cached edge RDD, cheaper
-      // than a separate materialization action).
+      // only inside this round's job plans (the aggregate re-runs over the
+      // cached edge RDD; identical subplans share their shuffle via
+      // Spark's exchange reuse, cheaper than a materialization action).
       val hook = edges.union(edges.select(col("b").as("a"), col("a").as("b")))
         .groupBy(col("a"))
         .agg(min(col("b")).as("nbr_min"))
         .select(col("a").as("node"), least(col("a"), col("nbr_min")).as("lbl"))
-      // 2. flatten the hook forest to stars: hook ← hook∘hook until no
-      // pointer moves. Hooks point strictly downward to existing supernode
-      // keys, so the left join always resolves and depth halves per
-      // iteration (static forest — ≤ log₂(depth)+1 actions).
-      var flat = hook
-      var flatRdd: Option[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]] = None
-      var moved = 1L
-      var jumpIter = 0
-      while (moved > 0) {
-        jumpIter += 1
-        require(jumpIter <= 64, "dupClusters: flatten failed to stabilize" +
-          " (impossible for a downward-pointing forest — internal invariant broken)")
-        val jump = flat
-          .join(flat.select(col("node").as("jn"), col("lbl").as("jl")),
-            col("lbl") === col("jn"), "left")
-          .select(col("node"), col("lbl").as("old_lbl"),
-            coalesce(col("jl"), col("lbl")).as("lbl"))
-        val (jRdd, changed) = materialize(jump)(r => r.get(1) != r.get(2))
-        moved = changed
-        // a superseded flatten step is dead the moment its successor lands
-        flatRdd.foreach(_.unpersist(blocking = false))
-        flatRdd = Some(jRdd)
-        flat = spark.createDataFrame(jRdd, jump.schema).select("node", "lbl")
+      // 2. flatten — see the scaladoc's two modes.
+      val flat: DataFrame = if (optimistic) {
+        // lazy bounded 3-hop advance: node → hook³(node), roots absorb
+        // (left join misses keep the shorter label). No action of its own;
+        // it is evaluated inside the contraction job below (and once more
+        // in the final mapping job). Under-flattening only costs rounds.
+        val h1 = hook.select(col("node").as("jn1"), col("lbl").as("jl1"))
+        val h2 = hook.select(col("node").as("jn2"), col("lbl").as("jl2"))
+        hook
+          .join(h1, col("lbl") === col("jn1"), "left")
+          .select(col("node"), coalesce(col("jl1"), col("lbl")).as("lbl"))
+          .join(h2, col("lbl") === col("jn2"), "left")
+          .select(col("node"), coalesce(col("jl2"), col("lbl")).as("lbl"))
+      } else {
+        // full: hook ← hook∘hook until no pointer moves. Hooks point
+        // strictly downward to existing supernode keys, so the left join
+        // always resolves and depth halves per iteration (static forest —
+        // ≤ log₂(depth)+1 actions).
+        var f = hook
+        var flatRdd: Option[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]] = None
+        var moved = 1L
+        var jumpIter = 0
+        while (moved > 0) {
+          jumpIter += 1
+          require(jumpIter <= 64, "dupClusters: flatten failed to stabilize" +
+            " (impossible for a downward-pointing forest — internal invariant broken)")
+          val jump = f
+            .join(f.select(col("node").as("jn"), col("lbl").as("jl")),
+              col("lbl") === col("jn"), "left")
+            .select(col("node"), col("lbl").as("old_lbl"),
+              coalesce(col("jl"), col("lbl")).as("lbl"))
+          val (jRdd, changed) = materialize(jump)(r => r.get(1) != r.get(2))
+          moved = changed
+          // a superseded flatten step is dead the moment its successor lands
+          flatRdd.foreach(_.unpersist(blocking = false))
+          flatRdd = Some(jRdd)
+          f = spark.createDataFrame(jRdd, jump.schema).select("node", "lbl")
+        }
+        retained ++= flatRdd
+        f
       }
-      retained ++= flatRdd
       // 3a. compose the roots into the original-id mapping: a supernode
       // whose component already fully contracted no longer appears in
       // `flat` — the left join keeps its (final) label
@@ -544,6 +573,9 @@ object Dedup {
         .filter(col("a") =!= col("b"))
         .distinct()
       val (rdd, cnt) = materialize(contracted)(_ => true)
+      // an optimistic round that failed to halve the edges is the
+      // chain-shift signature — demote to full flattening for the rest
+      if (optimistic && cnt * 2 > eCnt) optimistic = false
       retained += rdd
       eRdd = rdd
       eCnt = cnt
