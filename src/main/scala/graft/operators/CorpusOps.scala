@@ -670,21 +670,34 @@ object CorpusOps {
     */
   def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
                      k: Int = 8, minDocs: Int = 2): DataFrame = {
-    // the positioned-window set feeds BOTH the doc-frequency aggregate and
-    // the hits join — persist (guarded, spillable) so the corpus-wide
-    // tokenize+shingle projection runs one scan pass, not two (the
-    // Dedup.shingleSet convention; released by SessionSweep)
-    val win = Caching.persisted(docs.select(col(idCol),
-      posexplode(wordShingles(tokens(col(textCol)), k)).as(Seq("pos", "win"))))
+    val win = positionedWindows(docs, idCol, textCol, k)
     val dup = win.groupBy("win")
       .agg(countDistinct(col(idCol)).as("df"))
       .filter(col("df") >= minDocs)
       .select("win")
     val hits = win.join(dup, Seq("win")).select(col(idCol), col("pos"))
+    spansFromHits(hits, idCol, k)
+  }
+
+  /** The positioned k-token window set (id, pos, win) feeding BOTH the
+    * doc-frequency aggregate and the hits join of the span operators —
+    * persisted (guarded, spillable) so the corpus-wide tokenize+shingle
+    * projection runs one scan pass, not two (the Dedup.shingleSet
+    * convention; released by SessionSweep).
+    */
+  private def positionedWindows(docs: DataFrame, idCol: String,
+                                textCol: String, k: Int): DataFrame =
+    Caching.persisted(docs.select(col(idCol),
+      posexplode(wordShingles(tokens(col(textCol)), k)).as(Seq("pos", "win"))))
+
+  /** Gaps-and-islands merge of surviving window positions into maximal
+    * spans: a window starting more than k past its predecessor opens a new
+    * span (<= k overlaps or is contiguous with the previous window's
+    * [pos, pos+k-1] coverage — merged spans are the EXACT union of window
+    * coverage, no extra tokens); first row's null lag -> otherwise 0.
+    */
+  private def spansFromHits(hits: DataFrame, idCol: String, k: Int): DataFrame = {
     val byPos = Window.partitionBy(col(idCol)).orderBy(col("pos"))
-    // gaps-and-islands: a window starting more than k past its predecessor
-    // opens a new span (<= k overlaps or is contiguous with the previous
-    // window's [pos, pos+k-1] coverage); first row's null lag -> otherwise 0
     hits
       .withColumn("new_span",
         when(col("pos") > lag(col("pos"), 1).over(byPos) + lit(k), 1).otherwise(0))
@@ -694,5 +707,61 @@ object CorpusOps {
         (max(col("pos")) + lit(k - 1)).as("span_end"))
       .withColumn("span_tokens", col("span_end") - col("span_start") + 1)
       .select(col(idCol), col("span_start"), col("span_end"), col("span_tokens"))
+  }
+
+  /** KEEP-FIRST cut list — the excision step a Lee-et-al. pipeline runs
+    * after [[duplicateSpans]]: every duplicated window designates its
+    * MINIMUM-id containing doc as keeper, and only non-keeper occurrences
+    * enter the cut list, so one copy of each duplicated substring survives
+    * the cut (the t18 span list flags ALL occurrences — applying it
+    * verbatim would erase the text from the corpus entirely). Overlap
+    * caveat, documented not hidden: a keeper doc can still lose part of a
+    * kept window when an OVERLAPPING window has a different keeper — the
+    * greedy per-window rule guarantees no duplicated window survives in
+    * two docs, not that every window survives in one.
+    *
+    * Same plan shape as [[duplicateSpans]] (the keeper min rides the
+    * existing doc-frequency shuffle for free); output schema is identical,
+    * so [[applyCutList]] consumes either list.
+    */
+  def duplicateSpansKeepFirst(docs: DataFrame, idCol: String, textCol: String,
+                              k: Int = 8, minDocs: Int = 2): DataFrame = {
+    val win = positionedWindows(docs, idCol, textCol, k)
+    val dup = win.groupBy("win")
+      .agg(countDistinct(col(idCol)).as("df"), min(col(idCol)).as("__keeper"))
+      .filter(col("df") >= minDocs)
+      .select("win", "__keeper")
+    val hits = win.join(dup, Seq("win"))
+      .filter(col(idCol) =!= col("__keeper"))
+      .select(col(idCol), col("pos"))
+    spansFromHits(hits, idCol, k)
+  }
+
+  /** Apply a cut list: excise every token whose 0-based index falls inside
+    * one of the doc's spans and re-join the survivors — the step that turns
+    * a [[duplicateSpansKeepFirst]] list into a cleaned corpus. Emits every
+    * input doc (cut or not) as (id, text_clean, n_cut).
+    *
+    * One shuffle total: spans collapse to a per-doc array (small — spans
+    * per doc are bounded by duplicated-region count, not text length) and
+    * join the docs on the id key; the excision itself is a single
+    * codegen'd projection — indexed `filter` over the token array with an
+    * `exists` containment lambda, no UDF, no explode of the token stream.
+    * Docs without spans take the null-array fast path untouched.
+    */
+  def applyCutList(docs: DataFrame, spans: DataFrame, idCol: String,
+                   textCol: String): DataFrame = {
+    val cuts = spans.groupBy(col(idCol))
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("__cuts"))
+    docs.join(cuts, Seq(idCol), "left")
+      .withColumn("__toks", tokens(col(textCol)))
+      .withColumn("__kept",
+        when(col("__cuts").isNull, col("__toks"))
+          .otherwise(filter(col("__toks"), (tok, i) =>
+            !exists(col("__cuts"), c =>
+              i >= c.getField("span_start") && i <= c.getField("span_end")))))
+      .select(col(idCol),
+        concat_ws(" ", col("__kept")).as("text_clean"),
+        (size(col("__toks")) - size(col("__kept"))).cast("long").as("n_cut"))
   }
 }

@@ -1633,6 +1633,59 @@ object ExtensionQueries {
         .orderBy("doc_id", "span_start")
     },
 
+    // Apply the cut list (the step after t18 in a Lee-et-al. pipeline):
+    // keep-first span list — each duplicated window's minimum containing
+    // doc keeps its copy, every other occurrence is excised — then token
+    // indices inside any span are dropped and survivors re-joined. The
+    // oracle rebuilds the whole chain from t18's CTEs: keeper rides the
+    // same doc-frequency aggregate, cut spans merge gaps-and-islands, and
+    // the cleaned text is the order-preserving join of uncut tokens.
+    "t27_apply_cutlist" -> of(
+      """WITH toks0 AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |win AS (
+        |  SELECT doc_id, i - 1 AS pos,
+        |    tk[i]||' '||tk[i+1]||' '||tk[i+2]||' '||tk[i+3]||' '||
+        |    tk[i+4]||' '||tk[i+5]||' '||tk[i+6]||' '||tk[i+7] AS w
+        |  FROM toks0, UNNEST(range(1, len(tk) - 6)) AS u(i)),
+        |dup AS (
+        |  SELECT w, MIN(doc_id) AS keeper FROM win GROUP BY w
+        |  HAVING COUNT(DISTINCT doc_id) >= 2),
+        |hits AS (
+        |  SELECT win.doc_id, win.pos FROM win JOIN dup USING (w)
+        |  WHERE win.doc_id <> dup.keeper),
+        |flagged AS (
+        |  SELECT doc_id, pos,
+        |    CASE WHEN pos > LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 8
+        |      THEN 1 ELSE 0 END AS new_span
+        |  FROM hits),
+        |spans AS (
+        |  SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 7 AS span_end
+        |  FROM (SELECT doc_id, pos,
+        |          SUM(new_span) OVER (PARTITION BY doc_id ORDER BY pos) AS span_no
+        |        FROM flagged)
+        |  GROUP BY doc_id, span_no),
+        |toks AS (
+        |  SELECT doc_id, i, tk[i + 1] AS tok
+        |  FROM toks0, UNNEST(range(len(tk))) AS r(i)),
+        |kept AS (
+        |  SELECT t.doc_id, t.i, t.tok FROM toks t
+        |  WHERE NOT EXISTS (SELECT 1 FROM spans s
+        |    WHERE s.doc_id = t.doc_id AND t.i BETWEEN s.span_start AND s.span_end)),
+        |agg AS (
+        |  SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS text_clean,
+        |    COUNT(*) AS n_kept
+        |  FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id, COALESCE(a.text_clean, '') AS text_clean,
+        |  len(string_split(d.text, ' ')) - COALESCE(a.n_kept, 0) AS n_cut
+        |FROM documents d LEFT JOIN agg a USING (doc_id)
+        |ORDER BY d.doc_id""") { (s, d) =>
+      val docs = t(s, d, "documents")
+      val spans = graft.operators.CorpusOps.duplicateSpansKeepFirst(
+        docs, "doc_id", "text", k = 8)
+      graft.operators.CorpusOps.applyCutList(docs, spans, "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
     // DSIR importance weights (Xie et al. 2023, unigram feature space):
     // weight = mean log p_target(tok) − mean log p_raw(tok), target LM
     // trained on the src0 subcorpus, raw LM on the whole corpus. Both LM

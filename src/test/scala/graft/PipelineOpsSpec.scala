@@ -453,6 +453,38 @@ class PipelineOpsSpec extends SparkSpec {
       (3, 20, 27, 8)))
   }
 
+  test("applyCutList keep-first: keeper copy survives, others excised, rescan finds no dups") {
+    import spark.implicits._
+    // doc 1 is the minimum doc containing BOTH duplicated regions (the
+    // 10-token shared head with doc 2, the 8-token license block with
+    // doc 3) → keeper twice, untouched; docs 2/3 lose exactly those spans.
+    val shared = (0 until 10).map(i => s"s$i").mkString(" ")
+    val lic = (0 until 8).map(i => s"l$i").mkString(" ")
+    val fix = Seq(
+      (1, s"$shared p0 p1 $lic x1 x2"),
+      (2, s"$shared q0 q1 q2 q3"),
+      (3, s"r0 r1 r2 r3 r4 r5 r6 r7 r8 r9 $lic f1 f2")
+    ).toDF("doc_id", "text")
+    val spans = CorpusOps.duplicateSpansKeepFirst(fix, "doc_id", "text", k = 8)
+    val cleaned = CorpusOps.applyCutList(fix, spans, "doc_id", "text")
+    val out = cleaned.collect()
+      .map(r => r.getInt(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out(1) === (s"$shared p0 p1 $lic x1 x2", 0L))
+    assert(out(2) === ("q0 q1 q2 q3", 10L))
+    assert(out(3) === ("r0 r1 r2 r3 r4 r5 r6 r7 r8 r9 f1 f2", 8L))
+    // the Lee-et-al. loop-closure property: re-scanning the cleaned corpus
+    // finds nothing left to cut — on the synthetic fixture AND on the real
+    // documents table (cut-edge adjacencies must not conjure new windows)
+    def rescan(c: org.apache.spark.sql.DataFrame): Long =
+      CorpusOps.duplicateSpans(
+        c.select(col("doc_id"), col("text_clean").as("text")),
+        "doc_id", "text", k = 8).count()
+    assert(rescan(cleaned) === 0L)
+    val realSpans = CorpusOps.duplicateSpansKeepFirst(docs, "doc_id", "text", k = 8)
+    val realClean = CorpusOps.applyCutList(docs, realSpans, "doc_id", "text")
+    assert(rescan(realClean) === 0L)
+  }
+
   test("property: HOF run/mode statistics match a plain-Scala oracle on random docs") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed
