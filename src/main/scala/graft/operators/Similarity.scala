@@ -497,8 +497,14 @@ object Similarity {
     require(k >= 1, s"recallAtK: k must be >= 1: $k")
     val ex = exact.filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"))
+    // distinct: the contract expects ranked search output with unique
+    // neighbors per query, but a malformed approx frame with duplicate
+    // (query, neighbor) rows would fan out the join and silently OVERSTATE
+    // both n_exact and n_hit — dedup here so recall can only be honest
     val ap = approx.filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), lit(1L).as("__hit"))
+      .select(col("query_id"), col("neighbor_id"))
+      .distinct()
+      .withColumn("__hit", lit(1L))
     ex.join(ap, Seq("query_id", "neighbor_id"), "left")
       .groupBy(col("query_id"))
       .agg(count(lit(1)).as("n_exact"),

@@ -358,6 +358,123 @@ object ExtensionQueries {
       |      ORDER BY cosine DESC, neighbor_id) AS rank
       |  FROM cand) x WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  /** The s03 hyperplane-LSH oracle, split CTEs/SELECT like the IVF walk so
+    * the s13 recall row mounts the same approximate search as a CTE.
+    */
+  private val lshCtes =
+    """planes AS (SELECT p, signs FROM read_parquet('{{AUX}}/hyperplanes32/*.parquet') WHERE p < 8),
+      |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |bits AS (
+      |  SELECT vec_id, p,
+      |    CASE WHEN list_sum(list_transform(list_zip(v, signs), x -> x[1] * x[2])) >= 0
+      |      THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+      |  FROM e, planes),
+      |buckets AS (
+      |  SELECT vec_id, CAST(sum(bit * (1::BIGINT << CAST(7 - p AS INT))) AS BIGINT) AS bucket
+      |  FROM bits GROUP BY vec_id),
+      |scored AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |    list_sum(list_transform(list_zip(qe.v, ce.v), x -> x[1] * x[2]))
+      |    / (sqrt(list_sum(list_transform(qe.v, x -> x*x)))
+      |       * sqrt(list_sum(list_transform(ce.v, x -> x*x)))) AS cosine
+      |  FROM buckets q JOIN buckets c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+      |  JOIN e qe ON qe.vec_id = q.vec_id
+      |  JOIN e ce ON ce.vec_id = c.vec_id
+      |  WHERE q.vec_id < 10)""".stripMargin
+
+  private val lshSelect =
+    """SELECT query_id, rank, neighbor_id, cosine FROM (
+      |  SELECT query_id, neighbor_id, cosine,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id
+      |      ORDER BY cosine DESC, neighbor_id) AS rank
+      |  FROM scored) x
+      |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** The s10 IVF-PQ oracle, same split. */
+  private val (ivfPqCtes, ivfPqSelect) = {
+    def sdot(a: String, b: String) =
+      s"list_sum(list_transform(list_zip($a, $b), x -> x[1] * x[2]))"
+    def cos(a: String, b: String) =
+      s"${sdot(a, b)} / (sqrt(${sdot(a, a)}) * sqrt(${sdot(b, b)}))"
+    val qslice = "v[CAST(sub*16+1 AS INT) : CAST(sub*16+16 AS INT)]"
+    val ctes =
+      s"""cent AS (SELECT cid, cvec AS cv FROM read_parquet('{{AUX}}/s04_centroids/*.parquet')),
+        |cb AS (SELECT sub, cid, cvec FROM read_parquet('{{AUX}}/s09_codebooks/*.parquet')),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cells AS (
+        |  SELECT vec_id, cid AS cell FROM (
+        |    SELECT e.vec_id, ct.cid,
+        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |        ORDER BY ${cos("e.v", "ct.cv")} DESC, ct.cid) AS crn
+        |    FROM e CROSS JOIN cent ct) x WHERE crn = 1),
+        |probes AS (
+        |  SELECT vec_id AS query_id, cid AS cell FROM (
+        |    SELECT q.vec_id, ct.cid,
+        |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |        ORDER BY ${cos("q.v", "ct.cv")} DESC, ct.cid) AS crn
+        |    FROM e q CROSS JOIN cent ct WHERE q.vec_id < 10) x WHERE crn <= 2),
+        |codes AS (
+        |  SELECT vec_id, sub, cid FROM (
+        |    SELECT e.vec_id, cb.sub, cb.cid,
+        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id, cb.sub
+        |        ORDER BY ${sdot(qslice, "cb.cvec")} DESC, cb.cid) AS rn
+        |    FROM e, cb) x WHERE rn = 1),
+        |tabs AS (
+        |  SELECT q.vec_id AS query_id, cb.sub, cb.cid,
+        |    ${sdot(qslice.replace("v[", "q.v["), "cb.cvec")} AS tdot
+        |  FROM e q, cb WHERE q.vec_id < 10),
+        |adcs AS (
+        |  SELECT t.query_id, c.vec_id AS neighbor_id,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(t.tdot ORDER BY t.sub)),
+        |      (a, b) -> a + b) AS adc
+        |  FROM cells cl
+        |  JOIN probes p ON p.cell = cl.cell
+        |  JOIN codes c ON c.vec_id = cl.vec_id
+        |  JOIN tabs t ON t.query_id = p.query_id AND t.sub = c.sub AND t.cid = c.cid
+        |  WHERE cl.vec_id <> p.query_id
+        |  GROUP BY t.query_id, c.vec_id),
+        |cand2 AS (
+        |  SELECT query_id, neighbor_id, adc,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY adc DESC, neighbor_id) AS crn
+        |  FROM adcs),
+        |fine AS (
+        |  SELECT query_id, neighbor_id, adc, ${cos("qe.v", "ce.v")} AS cosine
+        |  FROM cand2
+        |  JOIN e qe ON qe.vec_id = query_id
+        |  JOIN e ce ON ce.vec_id = neighbor_id
+        |  WHERE crn <= 20)""".stripMargin
+    val sel =
+      """SELECT query_id, rank, neighbor_id, adc, cosine FROM (
+        |  SELECT query_id, neighbor_id, adc, cosine,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, neighbor_id) AS rank
+        |  FROM fine) x
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+    (ctes, sel)
+  }
+
+  /** The recall@k oracle template (s12/s13/s14): exact = s01's ground
+    * truth verbatim, approx = the index family's own oracled walk mounted
+    * as a CTE, joined on (query, neighbor) and rolled up per query — ONE
+    * SQL definition of "recall" across every shipped index.
+    */
+  private def recallOracle(ctes: String, approxSelect: String) =
+    s"""WITH $ctes,
+      |exact AS ($s01TopkSql),
+      |approx AS ($approxSelect),
+      |j AS (
+      |  SELECT exact.query_id,
+      |    CASE WHEN approx.neighbor_id IS NULL THEN 0 ELSE 1 END AS hit
+      |  FROM exact LEFT JOIN approx
+      |    ON approx.query_id = exact.query_id
+      |   AND approx.neighbor_id = exact.neighbor_id)
+      |SELECT query_id, n_exact, n_hit, n_hit / n_exact AS recall FROM (
+      |  SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_exact,
+      |    CAST(SUM(hit) AS BIGINT) AS n_hit
+      |  FROM j GROUP BY query_id) x
+      |ORDER BY query_id"""
+
   val defs: Map[String, QueryDef] = Map(
 
     // ---- deduplication ----------------------------------------------------
@@ -804,32 +921,7 @@ object ExtensionQueries {
     // (sequential-fold dot against the ±1 planes — same fold order as the
     // operator, so the d ≥ 0 threshold sees bit-identical sums), packs the
     // bucket, joins query×corpus within buckets and ranks by exact cosine.
-    "s03_sim_ann_lsh" -> of(
-      """WITH planes AS (SELECT p, signs FROM read_parquet('{{AUX}}/hyperplanes32/*.parquet') WHERE p < 8),
-        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |bits AS (
-        |  SELECT vec_id, p,
-        |    CASE WHEN list_sum(list_transform(list_zip(v, signs), x -> x[1] * x[2])) >= 0
-        |      THEN 1::BIGINT ELSE 0::BIGINT END AS bit
-        |  FROM e, planes),
-        |buckets AS (
-        |  SELECT vec_id, CAST(sum(bit * (1::BIGINT << CAST(7 - p AS INT))) AS BIGINT) AS bucket
-        |  FROM bits GROUP BY vec_id),
-        |scored AS (
-        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-        |    list_sum(list_transform(list_zip(qe.v, ce.v), x -> x[1] * x[2]))
-        |    / (sqrt(list_sum(list_transform(qe.v, x -> x*x)))
-        |       * sqrt(list_sum(list_transform(ce.v, x -> x*x)))) AS cosine
-        |  FROM buckets q JOIN buckets c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
-        |  JOIN e qe ON qe.vec_id = q.vec_id
-        |  JOIN e ce ON ce.vec_id = c.vec_id
-        |  WHERE q.vec_id < 10)
-        |SELECT query_id, rank, neighbor_id, cosine FROM (
-        |  SELECT query_id, neighbor_id, cosine,
-        |    ROW_NUMBER() OVER (PARTITION BY query_id
-        |      ORDER BY cosine DESC, neighbor_id) AS rank
-        |  FROM scored) x
-        |WHERE rank <= 5 ORDER BY query_id, rank""") { (s, d) =>
+    "s03_sim_ann_lsh" -> of(s"WITH $lshCtes\n$lshSelect") { (s, d) =>
       val e = t(s, d, "embeddings")
       Similarity.lshBucketedNeighbors(e.filter(col("vec_id") < 10), e,
         "vec_id", "embedding", 5)
@@ -1022,65 +1114,7 @@ object ExtensionQueries {
     // coarse top-20. Both quantizers are the already-dumped primitives, so
     // the oracle rebuilds assignment, probing, codes, tables, folds and
     // both rankings from the same two aux tables s04 and s09 use.
-    "s10_ivf_pq" -> of {
-      def sdot(a: String, b: String) =
-        s"list_sum(list_transform(list_zip($a, $b), x -> x[1] * x[2]))"
-      def cos(a: String, b: String) =
-        s"${sdot(a, b)} / (sqrt(${sdot(a, a)}) * sqrt(${sdot(b, b)}))"
-      val qslice = "v[CAST(sub*16+1 AS INT) : CAST(sub*16+16 AS INT)]"
-      s"""WITH cent AS (SELECT cid, cvec AS cv FROM read_parquet('{{AUX}}/s04_centroids/*.parquet')),
-        |cb AS (SELECT sub, cid, cvec FROM read_parquet('{{AUX}}/s09_codebooks/*.parquet')),
-        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |cells AS (
-        |  SELECT vec_id, cid AS cell FROM (
-        |    SELECT e.vec_id, ct.cid,
-        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
-        |        ORDER BY ${cos("e.v", "ct.cv")} DESC, ct.cid) AS crn
-        |    FROM e CROSS JOIN cent ct) x WHERE crn = 1),
-        |probes AS (
-        |  SELECT vec_id AS query_id, cid AS cell FROM (
-        |    SELECT q.vec_id, ct.cid,
-        |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
-        |        ORDER BY ${cos("q.v", "ct.cv")} DESC, ct.cid) AS crn
-        |    FROM e q CROSS JOIN cent ct WHERE q.vec_id < 10) x WHERE crn <= 2),
-        |codes AS (
-        |  SELECT vec_id, sub, cid FROM (
-        |    SELECT e.vec_id, cb.sub, cb.cid,
-        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id, cb.sub
-        |        ORDER BY ${sdot(qslice, "cb.cvec")} DESC, cb.cid) AS rn
-        |    FROM e, cb) x WHERE rn = 1),
-        |tabs AS (
-        |  SELECT q.vec_id AS query_id, cb.sub, cb.cid,
-        |    ${sdot(qslice.replace("v[", "q.v["), "cb.cvec")} AS tdot
-        |  FROM e q, cb WHERE q.vec_id < 10),
-        |adc AS (
-        |  SELECT t.query_id, c.vec_id AS neighbor_id,
-        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(t.tdot ORDER BY t.sub)),
-        |      (a, b) -> a + b) AS adc
-        |  FROM cells cl
-        |  JOIN probes p ON p.cell = cl.cell
-        |  JOIN codes c ON c.vec_id = cl.vec_id
-        |  JOIN tabs t ON t.query_id = p.query_id AND t.sub = c.sub AND t.cid = c.cid
-        |  WHERE cl.vec_id <> p.query_id
-        |  GROUP BY t.query_id, c.vec_id),
-        |cand AS (
-        |  SELECT query_id, neighbor_id, adc,
-        |    ROW_NUMBER() OVER (PARTITION BY query_id
-        |      ORDER BY adc DESC, neighbor_id) AS crn
-        |  FROM adc),
-        |fine AS (
-        |  SELECT query_id, neighbor_id, adc, ${cos("qe.v", "ce.v")} AS cosine
-        |  FROM cand
-        |  JOIN e qe ON qe.vec_id = query_id
-        |  JOIN e ce ON ce.vec_id = neighbor_id
-        |  WHERE crn <= 20)
-        |SELECT query_id, rank, neighbor_id, adc, cosine FROM (
-        |  SELECT query_id, neighbor_id, adc, cosine,
-        |    ROW_NUMBER() OVER (PARTITION BY query_id
-        |      ORDER BY cosine DESC, neighbor_id) AS rank
-        |  FROM fine) x
-        |WHERE rank <= 5 ORDER BY query_id, rank"""
-    } { (s, d) =>
+    "s10_ivf_pq" -> of(s"WITH $ivfPqCtes\n$ivfPqSelect") { (s, d) =>
       val e = t(s, d, "embeddings")
       Similarity.ivfPqSearch(e.filter(col("vec_id") < 10), e,
         "vec_id", "embedding", k = 5, nProbe = 2, coarseM = 20)
@@ -1137,25 +1171,34 @@ object ExtensionQueries {
     // k-bounded frames joined on (query, neighbor) — cost independent of
     // corpus size, the property that lets it run as a standing health
     // check next to the index build.
-    "s12_ann_recall" -> of(
-      s"""WITH $ivfCtes,
-        |exact AS ($s01TopkSql),
-        |approx AS ($ivfSelect),
-        |j AS (
-        |  SELECT exact.query_id,
-        |    CASE WHEN approx.neighbor_id IS NULL THEN 0 ELSE 1 END AS hit
-        |  FROM exact LEFT JOIN approx
-        |    ON approx.query_id = exact.query_id
-        |   AND approx.neighbor_id = exact.neighbor_id)
-        |SELECT query_id, n_exact, n_hit, n_hit / n_exact AS recall FROM (
-        |  SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_exact,
-        |    CAST(SUM(hit) AS BIGINT) AS n_hit
-        |  FROM j GROUP BY query_id) x
-        |ORDER BY query_id""") { (s, d) =>
+    "s12_ann_recall" -> of(recallOracle(ivfCtes, ivfSelect)) { (s, d) =>
       val e = t(s, d, "embeddings")
       val q = e.filter(col("vec_id") < 10)
       Similarity.recallAtK(
         Similarity.ivfNeighborsTrained(q, e, "vec_id", "embedding", 5),
+        Similarity.cosineTopK(q, e, "vec_id", "embedding", 5), k = 5)
+        .orderBy("query_id")
+    },
+
+    // Recall@k for the OTHER shipped index families — with s12 this gives
+    // every approximate index a standing, corpus-size-independent quality
+    // gate against the same s01 ground truth: s13 = the hyperplane-LSH
+    // bucket search (s03's walk), s14 = the IVF-PQ composite (s10's walk).
+    "s13_lsh_recall" -> of(recallOracle(lshCtes, lshSelect)) { (s, d) =>
+      val e = t(s, d, "embeddings")
+      val q = e.filter(col("vec_id") < 10)
+      Similarity.recallAtK(
+        Similarity.lshBucketedNeighbors(q, e, "vec_id", "embedding", 5),
+        Similarity.cosineTopK(q, e, "vec_id", "embedding", 5), k = 5)
+        .orderBy("query_id")
+    },
+
+    "s14_ivfpq_recall" -> of(recallOracle(ivfPqCtes, ivfPqSelect)) { (s, d) =>
+      val e = t(s, d, "embeddings")
+      val q = e.filter(col("vec_id") < 10)
+      Similarity.recallAtK(
+        Similarity.ivfPqSearch(q, e, "vec_id", "embedding",
+          k = 5, nProbe = 2, coarseM = 20),
         Similarity.cosineTopK(q, e, "vec_id", "embedding", 5), k = 5)
         .orderBy("query_id")
     },

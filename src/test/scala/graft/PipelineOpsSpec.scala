@@ -647,6 +647,13 @@ class PipelineOpsSpec extends SparkSpec {
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
       .toMap
     assert(got === Map(1L -> ((3L, 2L, 2.0 / 3.0)), 2L -> ((1L, 0L, 0.0))))
+    // a malformed approx frame with duplicate (query, neighbor) rows must
+    // not fan out the join and overstate n_exact/n_hit
+    val dupApprox = approx.union(approx)
+    val gotDup = Similarity.recallAtK(dupApprox, exact, 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(gotDup === got)
   }
 
   test("containmentPairs flags the quoted-subset pair that Jaccard misses") {
