@@ -437,10 +437,15 @@ object CorpusOps {
     *
     * Scale shape: the corpus is touched ONCE (the word-count aggregation);
     * every round thereafter works on the DISTINCT-WORD table — vocabulary-
-    * sized, not corpus-sized — with one pair-count shuffle per round and a
+    * sized, not corpus-sized — and costs exactly ONE action: the
     * single-row argmax collect (bounded driver action, like the k-means
-    * centroid collect). That is exactly how production BPE trainers scale:
-    * corpus once, then vocab-sized iterations.
+    * centroid collect) doubles as the materialization of that round's
+    * lazily-persisted symbol table (its plan is one cached-parent `replace`
+    * projection, so the cache fills while the pair count runs; the parent's
+    * cache is released one round later, once its child is materialized).
+    * The final round's table is never materialized at all — nothing reads
+    * it. That is exactly how production BPE trainers scale: corpus once,
+    * then vocab-sized iterations.
     *
     * Merge application contract: words carry their symbols as a spaced
     * string and a merge applies via left-to-right non-overlapping string
@@ -459,6 +464,9 @@ object CorpusOps {
       .groupBy(col("w")).agg(count(lit(1)).as("n"))
     var sym = Caching.persisted(words.select(col("w"), col("n"),
       concat(lit(" "), array_join(split(col("w"), ""), " "), lit(" ")).as("s")))
+    // the round-(r-1) table must outlive round r's argmax (which is what
+    // materializes round r's lazily-persisted child); freed one round late
+    var parent: Option[DataFrame] = None
     val learned = scala.collection.mutable.ArrayBuffer
       .empty[(Int, String, String, String, Long)]
     import spark.implicits._
@@ -479,17 +487,19 @@ object CorpusOps {
           .agg(sum(col("n")).as("c"))
           .orderBy(col("c").desc, col("l"), col("r"))
           .limit(1).collect()
+        parent.foreach(_.unpersist()) // this round's table is now cached
+        parent = Some(sym)
         if (best.isEmpty) return result() // single-char vocab: nothing to merge
         val (l, rr, c) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
         learned += ((r, l, rr, l + rr, c))
-        val next = Caching.persisted(sym.withColumn("s",
+        sym = Caching.persisted(sym.withColumn("s",
           call_function("replace", col("s"), lit(s" $l $rr "), lit(s" $l$rr "))))
-        next.count() // materialize before freeing the previous round
-        sym.unpersist()
-        sym = next
       }
       result()
-    } finally sym.unpersist()
+    } finally {
+      parent.foreach(_.unpersist())
+      sym.unpersist()
+    }
   }
 
   /** Tokenizer APPLICATION: encode the corpus vocabulary with a learned
@@ -505,7 +515,7 @@ object CorpusOps {
     * short strings). No shuffle at all: distinct-vocab aggregation aside,
     * the encode itself is a projection.
     */
-  def bpeEncodedVocab(docs: DataFrame, idCol: String, textCol: String,
+  def bpeEncodedVocab(docs: DataFrame, textCol: String,
                       merges: DataFrame): DataFrame = {
     // collect_list order is partition-dependent — array_sort on the round
     // field (first struct field, so lexicographic struct order = round
@@ -534,7 +544,7 @@ object CorpusOps {
     */
   def bpeTokenCounts(docs: DataFrame, idCol: String, textCol: String,
                      merges: DataFrame): DataFrame = {
-    val enc = bpeEncodedVocab(docs, idCol, textCol, merges)
+    val enc = bpeEncodedVocab(docs, textCol, merges)
       .select(col("w"), size(col("pieces")).cast("long").as("__n_bpe"))
     docs.select(col(idCol), explode(tokens(col(textCol))).as("w"))
       .filter(length(col("w")) > 0)

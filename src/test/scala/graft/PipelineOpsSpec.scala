@@ -921,7 +921,7 @@ class PipelineOpsSpec extends SparkSpec {
     assert(merges.orderBy("round").collect().map(r =>
       (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
       === Array((1, "a", "a", "aa", 4L), (2, "a", "b", "ab", 4L)))
-    val enc = CorpusOps.bpeEncodedVocab(docs, "doc_id", "text", merges)
+    val enc = CorpusOps.bpeEncodedVocab(docs, "text", merges)
       .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
     assert(enc === Map("aaab" -> Seq("aa", "ab"), "ab" -> Seq("ab"), "b" -> Seq("b")))
     val counts = CorpusOps.bpeTokenCounts(docs, "doc_id", "text", merges)
