@@ -29,6 +29,31 @@ object ExtensionQueries {
     */
   private val sinkCounter = new java.util.concurrent.atomic.AtomicLong(0)
 
+  /** The purchase→error interval-join contract shared by e09 (inner) and
+    * e19 (left-outer, matched subset): one SQL definition, two feed
+    * projections — the two queries must agree on their matched rows by
+    * construction, so only the SQL pins the semantics.
+    */
+  private val purchaseErrorJoinSql =
+    """WITH e AS (
+      |  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type
+      |  FROM events)
+      |SELECT p.event_id AS purchase_id, er.event_id AS error_id, p.user_id
+      |FROM e p JOIN e er ON p.user_id = er.user_id
+      |  AND er.ts >= p.ts AND er.ts <= p.ts + INTERVAL 1 HOUR
+      |WHERE p.event_type = 'purchase' AND er.event_type = 'error'
+      |ORDER BY purchase_id, error_id""".stripMargin
+
+  private def purchaseFeed(s: org.apache.spark.sql.SparkSession, d: String) =
+    graft.streaming.EventsStream.readEvents(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("ts"), col("user_id"))
+
+  private def errorFeed(s: org.apache.spark.sql.SparkSession, d: String) =
+    graft.streaming.EventsStream.readEvents(s, d)
+      .filter(col("event_type") === "error")
+      .select(col("event_id").as("error_id"), col("ts"), col("user_id"))
+
   /** Build (once per session + sf dir) the d12 standing shingle index over
     * the sub-400 corpus; k=4 and the bucket count are part of the layout
     * identity via the table-name suffix.
@@ -2242,28 +2267,34 @@ object ExtensionQueries {
     // state stores (the property that lets this run forever); AvailableNow
     // over the full feed makes the emission equal the batch interval join,
     // which the oracle states directly.
-    "e09_stream_stream_join" -> of(
-      """WITH e AS (
-        |  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type
-        |  FROM events)
-        |SELECT p.event_id AS purchase_id, er.event_id AS error_id, p.user_id
-        |FROM e p JOIN e er ON p.user_id = er.user_id
-        |  AND er.ts >= p.ts AND er.ts <= p.ts + INTERVAL 1 HOUR
-        |WHERE p.event_type = 'purchase' AND er.event_type = 'error'
-        |ORDER BY purchase_id, error_id""") { (s, d) =>
+    "e09_stream_stream_join" -> of(purchaseErrorJoinSql) { (s, d) =>
       import graft.streaming.EventsStream
-      val purchases = EventsStream.readEvents(s, d)
-        .filter(col("event_type") === "purchase")
-        .select(col("event_id").as("purchase_id"), col("ts"), col("user_id"))
-      val errors = EventsStream.readEvents(s, d)
-        .filter(col("event_type") === "error")
-        .select(col("event_id").as("error_id"), col("ts"), col("user_id"))
-      val joined = EventsStream.intervalJoin(purchases, errors, "user_id")
+      val joined = EventsStream.intervalJoin(
+        purchaseFeed(s, d), errorFeed(s, d), "user_id")
         .select(col("purchase_id"), col("error_id"),
           col("l.user_id").as("user_id"))
       val sinkName = s"stream_interval_${sinkCounter.incrementAndGet()}"
       EventsStream.runAvailableNow(joined, sinkName)
       s.table(sinkName).orderBy("purchase_id", "error_id")
+    },
+
+    // T7's oracled MATCHED subset (e19): a left-outer stream-stream join's
+    // matched rows emit exactly when an inner join's do (a pair emits once
+    // both sides arrive; only the null-padded UNMATCHED rows wait on
+    // watermark-timed eviction, which is engine state and stays
+    // spec-pinned). Same SQL as e09 — the equality IS the check.
+    "e19_stream_outer_join_matched" -> of(purchaseErrorJoinSql) { (s, d) =>
+      import graft.streaming.EventsStream
+      val joined = EventsStream.intervalJoin(
+        purchaseFeed(s, d), errorFeed(s, d), "user_id",
+        joinType = "left_outer")
+        .select(col("purchase_id"), col("error_id"),
+          col("l.user_id").as("user_id"))
+      val sinkName = s"stream_outer_${sinkCounter.incrementAndGet()}"
+      EventsStream.runAvailableNow(joined, sinkName)
+      s.table(sinkName)
+        .filter(col("error_id").isNotNull)
+        .orderBy("purchase_id", "error_id")
     },
 
     // Sliding (overlapping) windows — each event lands in size/slide
