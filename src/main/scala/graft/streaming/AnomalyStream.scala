@@ -111,9 +111,11 @@ object AnomalyStream {
     out.iterator
   }
 
-  /** Wire the scorer over a (streaming or batch) frame carrying
-    * `keyCol: long`, `ts: timestamp`, `tieCol: long`, `valCol: numeric` —
-    * append-mode per-event rows, emitted as the watermark finalizes them.
+  /** Wire the scorer over a STREAMING frame (the event-time timeout state
+    * calls in [[step]] require streaming execution — see
+    * [[KeyedFeed.points]]) carrying `keyCol: long`, `ts: timestamp`,
+    * `tieCol: long`, `valCol: numeric` — append-mode per-event rows,
+    * emitted as the watermark finalizes them.
     */
   def scores(events: DataFrame, keyCol: String, tieCol: String,
              valCol: String, lookback: Int = 20, minPrev: Int = 5,

@@ -81,10 +81,11 @@ object EwmaStream {
     Iterator.empty
   }
 
-  /** Wire the EWMA over a (streaming or batch) frame carrying
-    * `keyCol: long`, `ts: timestamp`, `tieCol: long`, `valCol: numeric` —
-    * append-mode finalized (key, n_events, ewma) rows, one per key per
-    * activity burst.
+  /** Wire the EWMA over a STREAMING frame (the event-time timeout state
+    * calls in [[step]] require streaming execution — see
+    * [[KeyedFeed.points]]) carrying `keyCol: long`, `ts: timestamp`,
+    * `tieCol: long`, `valCol: numeric` — append-mode finalized
+    * (key, n_events, ewma) rows, one per key per activity burst.
     */
   def ewma(events: DataFrame, keyCol: String, tieCol: String, valCol: String,
            alpha: Double, delay: String = "1 minute",

@@ -13,9 +13,14 @@ private[streaming] object KeyedFeed {
   final case class Pt(key: Long, ts: java.sql.Timestamp, ts_us: Long,
                       tie: Long, v: Double)
 
-  /** Watermarked (key, ts, ts_us, tie, v) dataset over a (streaming or
-    * batch) frame carrying `keyCol: long`, `ts: timestamp`, `tieCol: long`,
-    * `valCol: numeric`.
+  /** Watermarked (key, ts, ts_us, tie, v) dataset over a STREAMING frame
+    * carrying `keyCol: long`, `ts: timestamp`, `tieCol: long`,
+    * `valCol: numeric`. The projection itself would run on a batch frame
+    * (withWatermark is a no-op there), but the stateful consumers this
+    * feeds require streaming execution: with no watermark present,
+    * `GroupState.getCurrentWatermarkMs`/`setTimeoutTimestamp` throw —
+    * batch parity is checked by running the SAME feed through
+    * AvailableNow, not by executing the scorer as a batch plan.
     */
   def points(events: DataFrame, keyCol: String, tieCol: String,
              valCol: String, delay: String): Dataset[Pt] = {

@@ -81,8 +81,11 @@ object SessionizeStream {
     closed.result().iterator
   }
 
-  /** Wire the sessionizer over a (streaming or batch) events frame with
-    * `ts: timestamp` — append-mode closed sessions.
+  /** Wire the sessionizer over a STREAMING events frame with
+    * `ts: timestamp` — append-mode closed sessions. (Streaming only for
+    * the same reason as [[KeyedFeed.points]]' consumers: the event-time
+    * timeout state calls throw when no watermark is present, i.e. under
+    * batch execution.)
     */
   def sessions(events: DataFrame): Dataset[Session] = {
     val spark = events.sparkSession
