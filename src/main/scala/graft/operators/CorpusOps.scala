@@ -248,6 +248,72 @@ object CorpusOps {
       .drop("__rn")
   }
 
+  /** Per-source PERCENTILE quality gate: keep each source's best
+    * `keepFrac` of rows by `scoreCol` — the adaptive-threshold variant of
+    * a fixed-cutoff filter (CCNet keeps the head/middle perplexity
+    * buckets PER SHARD for exactly this reason: one global cutoff
+    * over-prunes clean sources and under-prunes noisy ones). Emits every
+    * input row with its within-source `pct_rank` (PERCENT_RANK over
+    * score-descending, id-tiebroken order — deterministic because ids are
+    * unique) and `keep` = pct_rank <= keepFrac, so the drop reason stays
+    * auditable like [[qualityGate]]'s flags.
+    *
+    * One source-key window pass; rank state per task is bounded by the
+    * largest source's row count — the same skew profile as every
+    * per-source window here (a pathological mega-source salts or
+    * pre-splits upstream, which changes ITS percentile population
+    * explicitly rather than silently).
+    */
+  def percentileGate(scored: DataFrame, idCol: String, srcCol: String,
+                     scoreCol: String, keepFrac: Double): DataFrame = {
+    require(keepFrac >= 0.0 && keepFrac <= 1.0,
+      s"percentileGate: keepFrac must be in [0,1]: $keepFrac")
+    val w = Window.partitionBy(col(srcCol))
+      .orderBy(col(scoreCol).desc, col(idCol))
+    scored
+      .withColumn("pct_rank", percent_rank().over(w))
+      .withColumn("keep", col("pct_rank") <= keepFrac)
+  }
+
+  /** TOKEN-budget mixture realization — the step after
+    * [[temperatureMix]]'s weighting when the training recipe is budgeted
+    * in tokens (as real mixtures are), not document counts: source `s`
+    * gets `floor(totalTokenBudget · √tokens_s / Σ√tokens)` tokens and
+    * fills it greedily with its hash-first documents' running token sum
+    * (kept ⟺ the doc's CUMULATIVE count fits the budget — the fill
+    * undershoots by at most one document, never splits one). The
+    * cumulative sums are exact longs over the same deterministic
+    * (xxhash64(id), id) order as every sampler here, so the realized
+    * mixture is bit-stable on any partitioning and growth-stable under
+    * corpus appends. Same plan shape as temperatureMix: one tiny source
+    * agg, broadcast back, one per-source window pass.
+    * Returns the KEPT rows with (n_tokens, cum_tokens, target_tokens).
+    */
+  def tokenBudgetMix(docs: DataFrame, idCol: String, textCol: String,
+                     srcCol: String, totalTokenBudget: Long): DataFrame = {
+    val withN = docs.withColumn("n_tokens",
+      size(tokens(col(textCol))).cast("long"))
+    val perSource = withN.groupBy(col(srcCol))
+      .agg(sum(col("n_tokens")).as("__src_tokens"))
+      .withColumn("w", sqrt(col("__src_tokens").cast("double")))
+    // Σw as a sequential fold in source-name order (the temperatureMix
+    // determinism argument: double addition order must not perturb it)
+    val norm = perSource
+      .agg(aggregate(
+        array_sort(collect_list(struct(col(srcCol), col("w")))),
+        lit(0.0), (acc, x) => acc + x.getField("w")).as("sum_w"))
+    val targets = perSource.crossJoin(broadcast(norm))
+      .withColumn("target_tokens",
+        floor(lit(totalTokenBudget.toDouble) * col("w") / col("sum_w")).cast("long"))
+      .select(col(srcCol), col("target_tokens"))
+    val w = Window.partitionBy(col(srcCol))
+      .orderBy(xxhash64(col(idCol)), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    withN.join(broadcast(targets), srcCol)
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= col("target_tokens"))
+  }
+
   /** The corpus build's last mile: materialize the curated corpus as a
     * partitioned lake layout — one directory per (split, source), documents
     * sorted by id within each file. Readers prune partitions (training

@@ -1754,6 +1754,65 @@ object ExtensionQueries {
         .orderBy("doc_id")
     },
 
+    // Per-source percentile quality gate (t28): keep each source's best
+    // half by stopword-ratio score — the adaptive-threshold shape CCNet
+    // uses per shard (a global cutoff over-prunes clean sources and
+    // under-prunes noisy ones). PERCENT_RANK over unique (score desc, id)
+    // order is deterministic on both engines.
+    "t28_percentile_gate" -> of(
+      """WITH scored AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      x -> x = 'the' OR x = 'a' OR x = 'of' OR x = 'and' OR x = 'is')) AS DOUBLE)
+        |      / len(string_split(text, ' ')) AS score
+        |  FROM documents)
+        |SELECT doc_id, source, score,
+        |  PERCENT_RANK() OVER (PARTITION BY source ORDER BY score DESC, doc_id) AS pct_rank,
+        |  PERCENT_RANK() OVER (PARTITION BY source ORDER BY score DESC, doc_id) <= 0.5 AS keep
+        |FROM scored ORDER BY doc_id""") { (s, d) =>
+      val toks = tokens(col("text"))
+      val scored = t(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          (langScore(toks, Seq("the", "a", "of", "and", "is")).cast(DoubleType) /
+            size(toks)).as("score"))
+      graft.operators.CorpusOps.percentileGate(
+        scored, "doc_id", "source", "score", 0.5)
+        .orderBy("doc_id")
+    },
+
+    // Token-budget mixture realization (t29): t14's √tokens temperature
+    // weights budgeted in TOKENS (as real training mixtures are) — each
+    // source greedily fills its floor(B·w/Σw) token budget with hash-first
+    // documents' exact cumulative counts; a doc is kept iff its cumsum
+    // fits (undershoot < one doc, never a split doc). Same doc_hashes aux
+    // contract as t05/t14.
+    "t29_token_budget_mix" -> of(
+      """WITH dh AS (SELECT doc_id, h FROM read_parquet('{{AUX}}/doc_hashes/*.parquet')),
+        |per_src AS (
+        |  SELECT source, SUM(len(string_split(text, ' '))) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |ws AS (SELECT source, sqrt(CAST(n_tokens AS DOUBLE)) AS w FROM per_src),
+        |norm AS (SELECT list_reduce(list(w ORDER BY source), (a, b) -> a + b) AS sum_w FROM ws),
+        |targets AS (
+        |  SELECT source, CAST(floor(20000 * w / sum_w) AS BIGINT) AS target_tokens
+        |  FROM ws CROSS JOIN norm),
+        |ranked AS (
+        |  SELECT d.doc_id, d.source,
+        |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+        |    CAST(SUM(CAST(len(string_split(d.text, ' ')) AS BIGINT)) OVER (
+        |      PARTITION BY d.source ORDER BY dh.h, d.doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+        |  FROM documents d JOIN dh USING (doc_id))
+        |SELECT r.doc_id, r.source, r.n_tokens, r.cum_tokens, t.target_tokens
+        |FROM ranked r JOIN targets t ON t.source = r.source
+        |  AND r.cum_tokens <= t.target_tokens
+        |ORDER BY doc_id""") { (s, d) =>
+      graft.operators.CorpusOps.tokenBudgetMix(
+        t(s, d, "documents"), "doc_id", "text", "source", 20000)
+        .select("doc_id", "source", "n_tokens", "cum_tokens", "target_tokens")
+        .orderBy("doc_id")
+    },
+
     // DSIR importance weights (Xie et al. 2023, unigram feature space):
     // weight = mean log p_target(tok) − mean log p_raw(tok), target LM
     // trained on the src0 subcorpus, raw LM on the whole corpus. Both LM

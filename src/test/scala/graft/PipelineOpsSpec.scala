@@ -656,6 +656,58 @@ class PipelineOpsSpec extends SparkSpec {
     assert(gotDup === got)
   }
 
+  test("percentileGate: per-source percent_rank keep, unique order, bounds checked") {
+    import spark.implicits._
+    val scored = Seq(
+      ("a", 1L, 0.9), ("a", 2L, 0.8), ("a", 3L, 0.7), ("a", 4L, 0.6), ("a", 5L, 0.5),
+      ("b", 6L, 0.1), ("b", 7L, 0.1) // tied scores: doc_id breaks the order
+    ).toDF("source", "doc_id", "score")
+    val out = CorpusOps.percentileGate(scored, "doc_id", "source", "score", 0.5)
+      .collect().map(r => r.getLong(1) -> ((r.getDouble(3), r.getBoolean(4)))).toMap
+    // source a: pct = (rn-1)/4 over score desc; source b: tie resolved by id
+    assert(out === Map(
+      1L -> ((0.0, true)), 2L -> ((0.25, true)), 3L -> ((0.5, true)),
+      4L -> ((0.75, false)), 5L -> ((1.0, false)),
+      6L -> ((0.0, true)), 7L -> ((1.0, false))))
+    intercept[IllegalArgumentException] {
+      CorpusOps.percentileGate(scored, "doc_id", "source", "score", 1.5)
+    }
+  }
+
+  test("tokenBudgetMix: maximal hash-order prefix within √-temperature token budgets") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a", "w1 w2 w3 w4"), (2L, "a", "x1 x2 x3"), (3L, "a", "y1 y2"),
+      (4L, "a", "z1 z2 z3 z4 z5"), (5L, "b", "p1 p2"), (6L, "b", "q1 q2 q3"),
+      (7L, "c", "r1")
+    ).toDF("doc_id", "source", "text")
+    val budget = 12L
+    val got = CorpusOps.tokenBudgetMix(docs, "doc_id", "text", "source", budget)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("cum_tokens"),
+          r.getAs[Long]("target_tokens")))).toMap
+    // plain-Scala replica: same hashes (read back from Spark's xxhash64 —
+    // the order primitive, not the math under test), same √-weights folded
+    // in source order, same floor(B·w/Σw) budgets, same strict-prefix fill
+    val rows = docs.select(col("doc_id"), col("source"),
+      size(split(col("text"), " ", -1)).cast("long"), xxhash64(col("doc_id")))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val bySrc = rows.groupBy(_._2)
+    val w = bySrc.view.mapValues(ds => math.sqrt(ds.map(_._3).sum.toDouble)).toMap
+    val sumW = w.toSeq.sortBy(_._1).map(_._2).foldLeft(0.0)(_ + _)
+    val expected = bySrc.flatMap { case (src, ds) =>
+      val target = math.floor(budget.toDouble * w(src) / sumW).toLong
+      var cum = 0L
+      ds.toSeq.sortBy(d => (d._4, d._1)).flatMap { d =>
+        cum += d._3 // skipped docs still advance the cumsum: STRICT prefix
+        if (cum <= target) Some(d._1 -> ((d._3, cum, target))) else None
+      }
+    }.toMap
+    assert(got === expected)
+    assert(got.nonEmpty && got.size < rows.length) // budget actually binds
+  }
+
   test("containmentPairs flags the quoted-subset pair that Jaccard misses") {
     import spark.implicits._
     import graft.operators.Dedup
