@@ -167,6 +167,47 @@ class PlanSpec extends SparkSpec {
       s"repetition signals must not explode the token stream:\n${plan.take(800)}")
   }
 
+  test("t27: cut-list application is a projection after one doc-key join — no UDF, no token explode") {
+    import org.apache.spark.sql.functions._
+    val spark0 = spark
+    import spark0.implicits._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val spans = Seq((0L, 1L, 8L, 8L))
+      .toDF("doc_id", "span_start", "span_end", "span_tokens")
+    val plan = graft.operators.CorpusOps.applyCutList(docs, spans, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    // the excision is an indexed-filter HOF inside a Project: the token
+    // stream must never explode, and no scala UDF may appear
+    assert(!plan.contains("Generate"),
+      s"cut application must not explode the token stream:\n${plan.take(800)}")
+    assert(!plan.toLowerCase.contains("scalaudf"),
+      s"cut application must stay HOF-only:\n${plan.take(800)}")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("t28: percentile gate is one window pass — single key exchange, no join") {
+    import org.apache.spark.sql.functions._
+    val scored = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("source"), length(col("text")).as("score"))
+    val plan = graft.operators.CorpusOps.percentileGate(
+      scored, "doc_id", "source", "score", 0.5)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges === 1, s"expected exactly one source-key exchange:\n${plan.take(800)}")
+    assert(!plan.contains("Join"), s"gate must not join:\n${plan.take(800)}")
+  }
+
+  test("t29: token-budget mix broadcasts the target table; one window exchange for the corpus") {
+    val plan = graft.operators.CorpusOps.tokenBudgetMix(
+      spark.read.parquet(s"$dir/documents.parquet"),
+      "doc_id", "text", "source", 20000L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"per-source targets must broadcast:\n${plan.take(800)}")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the corpus must not sort-merge against a tiny target table:\n${plan.take(800)}")
+  }
+
   test("t13: stratified sample is a filter over the scan — no shuffle, no join") {
     val plan = graft.operators.CorpusOps.stratifiedSample(
       spark.read.parquet(s"$dir/documents.parquet"), "doc_id", org.apache.spark.sql.functions.lit(50))
