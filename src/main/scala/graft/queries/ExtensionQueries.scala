@@ -2514,6 +2514,43 @@ object ExtensionQueries {
         .orderBy("user_id", "event_id")
     },
 
+    // STREAMING per-key EWMA, finalized subset (e20): under an AvailableNow
+    // snapshot the data arrives in one micro-batch (watermark still at 0 —
+    // no mid-run burst splits), so a key emits exactly ONE row — all its
+    // events folded in (µs ts, tie) order, the e10 fold — iff its idle TTL
+    // expires strictly before the final watermark (the zero-row advance
+    // batch fires the timeout); every other key emits nothing. The oracle
+    // reproduces the fold, the watermark's ms flooring and the strict
+    // timeout edge; what stays spec-pinned for the EWMA stream shrinks to
+    // mid-stream burst splits, which need multi-batch arrival by
+    // construction.
+    "e20_stream_ewma" -> of(
+      """WITH e AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS mts, value
+        |  FROM events WHERE event_type = 'purchase'),
+        |wm AS (
+        |  SELECT MAX(epoch_us(mts)) // 1000 - 60000 AS wm_ms FROM e),
+        |agg AS (
+        |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |        list(value ORDER BY mts, event_id)),
+        |      (a, b) -> a * 0.9 + b * 0.1) AS ewma,
+        |    MAX(epoch_us(mts)) // 1000 AS last_ms
+        |  FROM e GROUP BY user_id)
+        |SELECT user_id, n_events, ewma FROM agg, wm
+        |WHERE last_ms + 3600000 < wm.wm_ms
+        |ORDER BY user_id""") { (s, d) =>
+      import graft.streaming.{EventsStream, EwmaStream}
+      val sinkName = s"stream_ewma_${sinkCounter.incrementAndGet()}"
+      EventsStream.runAvailableNow(
+        EwmaStream.ewma(
+          EventsStream.readEvents(s, d).filter(col("event_type") === "purchase"),
+          "user_id", "event_id", "value", alpha = 0.1).toDF(), sinkName)
+      s.table(sinkName)
+        .select(col("key").as("user_id"), col("n_events"), col("ewma"))
+        .orderBy("user_id")
+    },
+
     // STREAMING fresh-vs-corpus near-dup screen — the d11 daily-ingest
     // story as a live pipeline: fresh docs arrive as a stream, the corpus
     // shingles/sizes are static (the standing-index shape), all static
