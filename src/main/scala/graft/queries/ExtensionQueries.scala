@@ -2339,9 +2339,9 @@ object ExtensionQueries {
 
     // T7's oracled MATCHED subset (e19): a left-outer stream-stream join's
     // matched rows emit exactly when an inner join's do (a pair emits once
-    // both sides arrive; only the null-padded UNMATCHED rows wait on
-    // watermark-timed eviction, which is engine state and stays
-    // spec-pinned). Same SQL as e09 — the equality IS the check.
+    // both sides arrive; the null-padded UNMATCHED rows wait on
+    // watermark-timed eviction — oracled separately at snapshot semantics
+    // as e21). Same SQL as e09 — the equality IS the check.
     "e19_stream_outer_join_matched" -> of(purchaseErrorJoinSql) { (s, d) =>
       import graft.streaming.EventsStream
       val joined = EventsStream.intervalJoin(
@@ -2354,6 +2354,48 @@ object ExtensionQueries {
       s.table(sinkName)
         .filter(col("error_id").isNotNull)
         .orderBy("purchase_id", "error_id")
+    },
+
+    // T7's oracled UNMATCHED subset (e21): at snapshot (AvailableNow)
+    // semantics even the eviction is deterministic — a left row null-pads
+    // exactly when the final watermark proves no future match can arrive,
+    // i.e. its whole join window [ts, ts + 1h] sits strictly below the
+    // watermark; later matchless rows stay buffered and never emit. The
+    // oracle is an anti-join bounded by the ms-floored watermark. With e19
+    // this makes T7 fully oracled; only the sink/capability internals
+    // remain spec-only.
+    "e21_stream_outer_join_unmatched" -> of(
+      """WITH e AS (
+        |  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type
+        |  FROM events),
+        |wm AS (
+        |  -- two watermarked inputs, 2h delay each; the global watermark is
+        |  -- the MIN of the per-input (ms-floored max ts - delay) values
+        |  SELECT LEAST(
+        |    (SELECT MAX(epoch_us(ts)) // 1000 FROM e WHERE event_type = 'purchase'),
+        |    (SELECT MAX(epoch_us(ts)) // 1000 FROM e WHERE event_type = 'error'))
+        |    - 7200000 AS wm_ms)
+        |SELECT p.event_id AS purchase_id, p.user_id
+        |FROM e p, wm
+        |WHERE p.event_type = 'purchase'
+        |  AND epoch_us(p.ts) // 1000 + 3600000 < wm.wm_ms
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM e er WHERE er.event_type = 'error'
+        |      AND er.user_id = p.user_id
+        |      AND er.ts >= p.ts AND er.ts <= p.ts + INTERVAL 1 HOUR)
+        |ORDER BY purchase_id""") { (s, d) =>
+      import graft.streaming.EventsStream
+      val joined = EventsStream.intervalJoin(
+        purchaseFeed(s, d), errorFeed(s, d), "user_id",
+        joinType = "left_outer")
+        .select(col("purchase_id"), col("error_id"),
+          col("l.user_id").as("user_id"))
+      val sinkName = s"stream_outer_${sinkCounter.incrementAndGet()}"
+      EventsStream.runAvailableNow(joined, sinkName)
+      s.table(sinkName)
+        .filter(col("error_id").isNull)
+        .select("purchase_id", "user_id")
+        .orderBy("purchase_id")
     },
 
     // Sliding (overlapping) windows — each event lands in size/slide
