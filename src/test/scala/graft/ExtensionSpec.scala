@@ -275,6 +275,28 @@ class ExtensionSpec extends SparkSpec {
     }
   }
 
+  test("dup clusters: clique+chain mixture demotes within one wasted round") {
+    import spark.implicits._
+    // The optimistic mode's blind spot: a round where cliques dominate the
+    // edge count contracts massively even while an embedded chain only
+    // SHIFTS — the demotion ratio must catch the chain on the next round
+    // (bounded waste: one optimistic round), not thrash until maxIters.
+    val cliques = (0 until 30).flatMap { c =>
+      val base = 10000L + c * 100
+      for (i <- 0 until 20; j <- i + 1 until 20) yield (base + i, base + j)
+    }
+    val chain = (0L until 199L).map(i => (i, i + 1)) // monotone: worst shift case
+    val pairs = (cliques ++ chain).toDF("id_a", "id_b")
+    val (clusters, rounds) = Dedup.dupClustersWithRounds(pairs)
+    val out = clusters.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rounds <= 4, s"mixture should demote after one wasted round, took $rounds")
+    assert((0L to 199L).forall(out(_) == 0L), "chain must collapse to its min")
+    assert((0 until 30).forall { c =>
+      val base = 10000L + c * 100
+      (0 until 20).forall(i => out(base + i) == base)
+    }, "each clique must collapse to its own min")
+  }
+
   test("indexed incremental screen == direct incremental screen") {
     // the standing-index variant must be a pure layout change: same rows,
     // same jaccard values as screening against the corpus DataFrame

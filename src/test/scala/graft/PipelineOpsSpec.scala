@@ -656,6 +656,46 @@ class PipelineOpsSpec extends SparkSpec {
     assert(gotDup === got)
   }
 
+  test("property: keep-first cut list matches a plain-Scala replica on random docs") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import spark.implicits._
+    val k = 3
+    // the operator's span merge is the EXACT union of window coverage, so
+    // the replica can cut the union of [pos, pos+k-1] index sets directly
+    def replica(docs: Seq[(Long, String)]): Map[Long, (String, Long)] = {
+      val toks = docs.map { case (id, t) => id -> t.split(" ", -1).toSeq }.toMap
+      val wins = toks.toSeq.flatMap { case (id, ts) =>
+        if (ts.size < k) Nil
+        else (0 to ts.size - k).map(p => (id, p, ts.slice(p, p + k).mkString(" ")))
+      }
+      val keeper = wins.groupBy(_._3).collect {
+        case (w, occ) if occ.map(_._1).distinct.size >= 2 => w -> occ.map(_._1).min
+      }
+      val cutIdx = wins
+        .filter(w => keeper.get(w._3).exists(_ != w._1))
+        .groupBy(_._1).view
+        .mapValues(_.flatMap(w => w._2 until w._2 + k).toSet).toMap
+      docs.map { case (id, _) =>
+        val ts = toks(id)
+        val cuts = cutIdx.getOrElse(id, Set.empty[Int])
+        val kept = ts.zipWithIndex.collect { case (tok, i) if !cuts.contains(i) => tok }
+        id -> ((kept.mkString(" "), (ts.size - kept.size).toLong))
+      }.toMap
+    }
+    val docGen = Gen.choose(5, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "c", "d")).map(_.mkString(" ")))
+    for (seed <- 1L to 5L) {
+      val texts = Gen.listOfN(12, docGen)(Gen.Parameters.default, Seed(seed)).get
+      val fixture = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val df = fixture.toDF("doc_id", "text")
+      val spans = CorpusOps.duplicateSpansKeepFirst(df, "doc_id", "text", k = k)
+      val got = CorpusOps.applyCutList(df, spans, "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+      assert(got === replica(fixture), s"seed $seed")
+    }
+  }
+
   test("percentileGate: per-source percent_rank keep, unique order, bounds checked") {
     import spark.implicits._
     val scored = Seq(
