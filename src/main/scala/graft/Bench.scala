@@ -3,52 +3,78 @@ import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.SparkSession
 
 /** Driver-run benchmark: times every SparkEntry query at
-  * `SPARK_GRAFT_SF_DIR` and emits ONE machine-parseable JSON line.
+  * `SPARK_GRAFT_SF_DIR` and emits machine-parseable JSON.
   *
-  * The line is BOTH printed to stdout and written to a file — sbt prefixes
-  * log lines with `[info]`, which broke the driver's log-scrape parse in
-  * round 1 (`BENCH_r01.json` → `parsed: null`), so the file is the durable
-  * artifact: `SPARK_GRAFT_BENCH_OUT` if set, else `BENCH.json` in the cwd
-  * (the repo root under `sbt run`).
+  * TWO artifacts, on purpose (round 6's wrapper showed `parsed: null` — the
+  * driver's log-scrape truncated the full telemetry line mid-JSON):
+  *   - stdout: ONE COMPACT line (headline + per-query seconds + trust
+  *     labels, no per-rep telemetry) printed as the program's LAST output,
+  *     sized well under any log-scraper truncation;
+  *   - file (`SPARK_GRAFT_BENCH_OUT`, else `BENCH.json` in the cwd): the
+  *     FULL artifact with every per-rep field. The file is the durable
+  *     record; the stdout line is the scrape-safe summary of the same run.
   *
-  * Each query is timed `reps` times (default 3 — round 4's official
-  * artifact showed min-of-2 cannot reject a machine-load spike spanning
-  * both reps) and the MIN is reported (the driver's 72.7s vs a local 29.5s
-  * for identical code showed warmup/JIT noise is a third of a single-shot
-  * number); all raw timings ship in `"runs"` so the variance stays visible.
+  * Each query is timed `reps` times (default 3) and the MIN is reported;
+  * all raw timings ship in `"runs"`.
   *
-  * Self-defense against machine load, in two layers. (1) Per rep, the JVM's
-  * GC time delta (`gc_ms`) and process CPU time delta (`cpu_ms`) from the
-  * management beans. CAVEAT (learned round 5): `cpu_ms` is NOT load-proof —
-  * on a contended host, cache thrash inflates cycles-per-instruction, so
-  * process CPU itself inflated 13–47× (s12: 87–160s recorded vs 6.8s on an
-  * idle host for identical code). `cpu_ms` distinguishes "JVM idle-waiting"
-  * from "JVM executing", but cannot alone distinguish "engine burned CPU"
-  * from "host thrashed the caches". (2) Therefore, per rep, two
-  * engine-INDEPENDENT load signals: the 1-minute `/proc/loadavg` sampled at
-  * rep start and end (`loadavg`), and a fixed-work single-threaded spin
-  * probe (~60–120ms idle) timed immediately after the rep (`probe_ms`).
-  * The probe does constant arithmetic work, so its wall time scales purely
-  * with how much CPU the host is willing to give one thread —
-  * `calibration_x` = probe_ms / (startup warm-min probe_ms) ≈ the host
-  * contention factor. Top-level `"contended": true` is set when any rep's
-  * factor exceeds 2× OR any loadavg sample exceeds 1.5× the worker thread
-  * count. Raw `probe_baseline_ms` ships too, so a judge replica on an idle
-  * host can also compare absolute probe times across runs (a contended
-  * STARTUP would inflate the baseline and mask calibration_x — loadavg and
-  * the absolute probe floor cover that case).
+  * == Trust model (round 7) ==
+  * Rounds 5 and 6 both produced official artifacts whose wall times were
+  * 10–20× inflated by host load; round 6 LABELED the contamination
+  * (`contended: true`) but still REPORTED contaminated minima (g02: 32.4s
+  * reported vs 1.55s on an idle judge replica). Round 7 makes trust
+  * per-rep and the headline trusted:
+  *   - Every rep carries two engine-independent load signals: a fixed-work
+  *     single-thread spin probe timed right after the rep (`calibration_x`
+  *     = probe / startup-warm baseline ≈ host contention factor) and
+  *     /proc/loadavg sampled at rep start, max-during-rep (200ms daemon
+  *     sampler — ADVICE r6: end-of-rep-only sampling can miss transient
+  *     mid-rep load), and rep end.
+  *   - A rep is TRUSTED ⟺ calibration_x ≤ 1.5 AND every loadavg sample
+  *     ≤ 1.5 × effective threads, where effective threads =
+  *     min(configured local[N], physical cores) — ADVICE r6: on a host
+  *     with fewer cores than the configured thread count, the configured-N
+  *     threshold was too permissive.
+  *   - Per query: `trusted_min` = min over trusted reps. A query whose
+  *     base reps are ALL untrusted is re-run up to 2 extra times, stopping
+  *     at the first trusted rep; if still none, it lands in `untrusted`
+  *     and is EXCLUDED from `value_trusted` — listed, never silently
+  *     summed.
+  *   - Headline: `value` = Σ raw per-query min (back-compat), and
+  *     `value_trusted` = Σ trusted_min over trusted queries, with
+  *     `untrusted_n` making any exclusion visible at top level.
+  * `contended: true` is still set when any rep trips either signal, and
+  * `probe_baseline_ms` ships raw so a judge replica can cross-check the
+  * baseline itself (a contended STARTUP inflates the baseline and masks
+  * calibration_x; loadavg + the absolute probe floor cover that case).
   *
-  * Streaming queries additionally report `micro_batches` (per rep, via a
-  * StreamingQueryListener progress count): their wall time includes a
-  * per-micro-batch state-store commit floor (SCALE.md "single-node
-  * artifacts"), and this field makes the fixed-vs-data cost split visible
-  * in the artifact. Batch queries report 0.
+  * == Load-independent work metrics (round 7) ==
+  * Per rep, a [[WorkMetricsListener]] records shuffle-read/write bytes,
+  * spilled bytes (memory + disk), and task count. These are invariant
+  * under host load, so a PLAN regression — a new exchange, a lost
+  * broadcast, a lost pushdown — is provable from the artifact even when
+  * every wall time is thrashed (`WorkMetricsSpec` A/Bs a
+  * broadcast-disabled join on exactly this principle). The listener bus is
+  * drained before each snapshot (BusFlush), so deltas are
+  * read-after-write consistent with the rep's own tasks.
+  *
+  * `cpu_ms` caveat (learned round 5): process CPU is NOT load-proof — on a
+  * contended host cache thrash inflates cycles-per-instruction 13–47×. It
+  * distinguishes "JVM idle-waiting" from "JVM executing", nothing more.
+  *
+  * Streaming queries report `micro_batches` per rep — counted
+  * SYNCHRONOUSLY by `runAvailableNow` from the terminated query's own
+  * progress history (ADVICE r6: the previous async StreamingQueryListener
+  * count could attribute a rep's last batches to the next rep). Their wall
+  * time includes a per-micro-batch state-store commit floor (SCALE.md);
+  * this field makes the fixed-vs-data cost split visible. Batch queries
+  * report 0.
   *
   * `SPARK_GRAFT_BENCH_ONLY` (comma-separated query names) re-measures a
-  * subset in seconds instead of a full ~122-query run — dispute-resolution
-  * path for a suspicious number. The artifact then carries
-  * `"filter":"<list>"` and `"partial":true` so a filtered BENCH.json can
-  * never masquerade as a full run.
+  * subset — dispute-resolution path for a suspicious number. Names that
+  * match no query FAIL FAST with the unmatched list (ADVICE r6: a typo
+  * used to yield a silently-partial artifact). The artifact then carries
+  * `"filter"` and `"partial": true` so a filtered BENCH.json can never
+  * masquerade as a full run.
   */
 object Bench {
   private def gcMillis(): Long = {
@@ -67,6 +93,25 @@ object Bench {
   private def loadAvg1(): Double =
     try Files.readString(Paths.get("/proc/loadavg")).split("\\s+")(0).toDouble
     catch { case _: Throwable => -1.0 }
+
+  /** Daemon thread tracking the max 1-min loadavg seen while a rep runs —
+    * the 1-min EMA lags, so transient contention can peak mid-rep and
+    * subside before the end sample (ADVICE r6).
+    */
+  private final class LoadSampler {
+    @volatile private var maxSeen = -1.0
+    @volatile private var running = true
+    private val t = new Thread(() => {
+      while (running) {
+        val l = loadAvg1()
+        if (l > maxSeen) maxSeen = l
+        try Thread.sleep(200) catch { case _: InterruptedException => () }
+      }
+    }, "bench-load-sampler")
+    t.setDaemon(true)
+    def start(): Unit = t.start()
+    def stopAndMax(): Double = { running = false; t.interrupt(); maxSeen }
+  }
 
   // JIT-elimination blackhole for the calibration probe.
   @volatile private var probeSink: Long = 0L
@@ -89,6 +134,13 @@ object Bench {
     (System.nanoTime() - t0) / 1e6
   }
 
+  /** One rep's complete telemetry. `loads` = (start, max-during, end). */
+  private final case class Rep(sec: Double, ok: Boolean, gcMs: Long,
+                               cpuMs: Long, microBatches: Long,
+                               loads: Seq[Double], probeMs: Double,
+                               work: WorkSnapshot, leftRdds: Int,
+                               leftBytes: Long)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -97,6 +149,13 @@ object Bench {
     val only: Set[String] = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .getOrElse(Set.empty)
+    val unknown = only.diff(SparkEntry.queries.keySet)
+    if (unknown.nonEmpty) {
+      // a typo'd filter must not yield a well-formed-looking partial run
+      System.err.println("[bench] SPARK_GRAFT_BENCH_ONLY names match no query: " +
+        unknown.toSeq.sorted.mkString(", "))
+      sys.exit(2)
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -106,15 +165,8 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // streaming progress counter: each completed micro-batch fires one
-    // onQueryProgress; per-rep deltas give n_micro_batches per query
-    val mbCounter = new java.util.concurrent.atomic.AtomicLong(0L)
-    spark.streams.addListener(new org.apache.spark.sql.streaming.StreamingQueryListener {
-      import org.apache.spark.sql.streaming.StreamingQueryListener._
-      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
-      override def onQueryProgress(e: QueryProgressEvent): Unit = { mbCounter.incrementAndGet(); () }
-      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
-    })
+    val work = new WorkMetricsListener
+    spark.sparkContext.addSparkListener(work)
     // Warm shared machinery (parquet reader, codegen compiler, udaf path,
     // shuffle) on sf0.001 so per-query timings measure the query, not
     // whichever query happens to run first paying global JIT warmup.
@@ -131,88 +183,124 @@ object Bench {
     // probe_baseline_ms + loadavg fields expose instead.
     (0 until 3).foreach(_ => probeMillis())
     val probeBaseline = (0 until 5).map(_ => probeMillis()).min
-    val failed = scala.collection.mutable.SortedSet[String]()
-    // leak telemetry (VERDICT r3: checkpoint-style RDD blocks leaked across
-    // queries invisibly): what each query leaves persisted after its last
-    // rep, BEFORE the sweep — nonzero means retained state the next query
-    // would have paid for
-    val leftRdds = scala.collection.mutable.Map[String, Int]()
-    val leftBytes = scala.collection.mutable.Map[String, Long]()
-    val gcMs = scala.collection.mutable.Map[String, Seq[Long]]()
-    val cpuMs = scala.collection.mutable.Map[String, Seq[Long]]()
-    val loadAvgs = scala.collection.mutable.Map[String, Seq[Double]]()
-    val probeMs = scala.collection.mutable.Map[String, Seq[Double]]()
-    val microBatches = scala.collection.mutable.Map[String, Seq[Long]]()
+    // ADVICE r6: threshold on the CPUs the host actually has, not the
+    // configured thread count — local[32] on an 8-core box saturates at
+    // loadavg ~32 while the work still contends 4× per core.
+    val effThreads = math.min(cpus.toInt,
+      Runtime.getRuntime.availableProcessors).toDouble
+    val loadThreshold = 1.5 * effThreads
+
+    def oneRep(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Rep = {
+      val gc0 = gcMillis(); val cpu0 = cpuMillis()
+      val mb0 = graft.streaming.StreamTelemetry.microBatchesCompleted.get()
+      val w0 = work.snapshot(spark.sparkContext)
+      val load0 = loadAvg1()
+      val sampler = new LoadSampler
+      sampler.start()
+      val t0 = System.nanoTime()
+      // a failed query must NOT contribute a flattering time-to-failure:
+      // the artifact carries an explicit error list instead
+      val ok = try { fn(spark, sfDir).count(); true }
+      catch { case _: Throwable => false }
+      val sec = (System.nanoTime() - t0) / 1e9
+      val loadMid = sampler.stopAndMax()
+      val load1 = loadAvg1()
+      val gc = gcMillis() - gc0
+      val cpu = if (cpu0 < 0) -1L else cpuMillis() - cpu0
+      val mb = graft.streaming.StreamTelemetry.microBatchesCompleted.get() - mb0
+      // work snapshot drains the listener bus, AFTER the clock stops
+      val w1 = work.snapshot(spark.sparkContext)
+      val probe = probeMillis()
+      val (nRdds, bytes) = SessionSweep.storageFootprint(spark)
+      // free persisted intermediates AFTER the clock stops — BOTH cache
+      // layers (SQL catalog + RDD-level persists): queries are timed
+      // including their own caching work but never pay for (or benefit
+      // from) another query's leftovers. blocking=true so the drop
+      // completes before the next clock starts.
+      SessionSweep.sweep(spark, blocking = true)
+      Rep(sec, ok, gc, cpu, mb, Seq(load0, loadMid, load1), probe, w1 - w0,
+        nRdds, bytes)
+    }
+
+    def trusted(r: Rep): Boolean =
+      (r.probeMs / probeBaseline) <= 1.5 &&
+        r.loads.forall(l => l < 0.0 || l <= loadThreshold)
+
     val selected = SparkEntry.queries.filter { case (name, _) =>
       only.isEmpty || only.contains(name)
     }
-    val results: Map[String, Seq[Double]] = selected.map { case (name, fn) =>
-      name -> (0 until reps).map { _ =>
-        val (gc0, cpu0, mb0) = (gcMillis(), cpuMillis(), mbCounter.get())
-        val load0 = loadAvg1()
-        val t0 = System.nanoTime()
-        // a failed query must NOT contribute a flattering time-to-failure:
-        // record it so the artifact carries an explicit error list
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => failed += name }
-        val sec = (System.nanoTime() - t0) / 1e9
-        gcMs(name) = gcMs.getOrElse(name, Seq.empty) :+ (gcMillis() - gc0)
-        cpuMs(name) = cpuMs.getOrElse(name, Seq.empty) :+
-          (if (cpu0 < 0) -1L else cpuMillis() - cpu0)
-        microBatches(name) = microBatches.getOrElse(name, Seq.empty) :+ (mbCounter.get() - mb0)
-        // load signals AFTER the clock stops: the probe must not be counted
-        // in the query's wall time, and end-of-rep loadavg reflects the load
-        // the rep actually ran under (1-min EMA lags the start sample)
-        loadAvgs(name) = loadAvgs.getOrElse(name, Seq.empty) ++ Seq(load0, loadAvg1())
-        probeMs(name) = probeMs.getOrElse(name, Seq.empty) :+ probeMillis()
-        val (nRdds, bytes) = SessionSweep.storageFootprint(spark)
-        leftRdds(name) = nRdds
-        leftBytes(name) = bytes
-        // free persisted intermediates AFTER the clock stops — BOTH cache
-        // layers (SQL catalog + RDD-level persists): queries are timed
-        // including their own caching work but never pay for (or benefit
-        // from) another query's leftovers. blocking=true so the drop
-        // completes before the next clock starts.
-        SessionSweep.sweep(spark, blocking = true)
-        sec
+    val maxRetries = 2
+    val allReps: Map[String, Seq[Rep]] = selected.map { case (name, fn) =>
+      var rs = (0 until reps).map(_ => oneRep(fn)).toVector
+      // a query whose every base rep is load-flagged gets bounded re-runs:
+      // a contaminated min is WORSE than a late one (r6: g02 reported 21×
+      // its real cost). Failures are never load-related — don't retry them.
+      var extra = 0
+      while (rs.forall(_.ok) && !rs.exists(trusted) && extra < maxRetries) {
+        rs = rs :+ oneRep(fn)
+        extra += 1
       }
+      name -> (rs: Seq[Rep])
     }
-    // a failed query's time-to-failure must not flow into best/total — the
-    // errors array is the only place failures appear
-    val best = results.view.filterKeys(!failed.contains(_)).mapValues(_.min).toMap
-    val qs = best.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val runs = results.map { case (k, v) =>
-      s"\"" + k + "\":" + v.mkString("[", ",", "]")
-    }.mkString("{", ",", "}")
+
+    val failed = scala.collection.immutable.SortedSet.empty[String] ++
+      allReps.collect { case (n, rs) if rs.exists(!_.ok) => n }
+    val okReps = allReps.view.filterKeys(!failed.contains(_)).toMap
+    val best = okReps.view.mapValues(_.map(_.sec).min).toMap
+    val trustedMin: Map[String, Double] = okReps.collect {
+      case (n, rs) if rs.exists(trusted) =>
+        n -> rs.filter(trusted).map(_.sec).min
+    }
+    val untrusted = (okReps.keySet -- trustedMin.keySet).toSeq.sorted
     val total = if (best.nonEmpty) best.values.sum else 0.0
-    val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val rddsJson = leftRdds.toSeq.sortBy(_._1)
-      .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val bytesJson = leftBytes.toSeq.sortBy(_._1)
-      .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
-    def repsJson[T](m: scala.collection.Map[String, Seq[T]]): String =
-      m.toSeq.sortBy(_._1)
-        .map { case (k, v) => s"\"" + k + "\":" + v.mkString("[", ",", "]") }
-        .mkString("{", ",", "}")
-    val calX = probeMs.view.mapValues(_.map(p => p / probeBaseline)).toMap
+    val totalTrusted = if (trustedMin.nonEmpty) trustedMin.values.sum else 0.0
+    val contended = allReps.values.exists(_.exists(r => !trusted(r)))
+
+    // ---- JSON assembly (hand-rolled; no json lib on the classpath) ----
+    def objD(m: Iterable[(String, Double)]): String =
+      m.toSeq.sortBy(_._1).map { case (k, v) => s"\"$k\":${v}" }.mkString("{", ",", "}")
+    def objRaw(m: Iterable[(String, String)]): String =
+      m.toSeq.sortBy(_._1).map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
+    def arr[T](v: Seq[T]): String = v.mkString("[", ",", "]")
+    def perRep[T](f: Rep => T): String =
+      objRaw(allReps.view.mapValues(rs => arr(rs.map(f))).toSeq)
     def fmtX(v: Double): String = f"$v%.2f"
-    val calJson = calX.toSeq.sortBy(_._1)
-      .map { case (k, v) => s"\"" + k + "\":" + v.map(fmtX).mkString("[", ",", "]") }
-      .mkString("{", ",", "}")
-    val loadJson = loadAvgs.toSeq.sortBy(_._1)
-      .map { case (k, v) => s"\"" + k + "\":" + v.map(fmtX).mkString("[", ",", "]") }
-      .mkString("{", ",", "}")
-    val nThreads = cpus.toDouble
-    val contended = calX.values.exists(_.exists(_ > 2.0)) ||
-      loadAvgs.values.exists(_.exists(l => l > 1.5 * nThreads))
+
+    val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val untrustedJson = untrusted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val filterFields =
       if (only.isEmpty) "" else s""","filter":"${only.toSeq.sorted.mkString(",")}","partial":true"""
-    val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"reps":$reps,"errors":$errs,"gc_ms":${repsJson(gcMs)},"cpu_ms":${repsJson(cpuMs)},"micro_batches":${repsJson(microBatches)},"loadavg":$loadJson,"probe_ms":${repsJson(probeMs.view.mapValues(_.map(p => f"$p%.1f")).toMap)},"probe_baseline_ms":${f"$probeBaseline%.1f"},"calibration_x":$calJson,"contended":$contended,"persistent_rdds":$rddsJson,"storage_bytes":$bytesJson,"sf":"$sfDir"$filterFields}"""
-    println(line)
+    val headline =
+      s""""metric":"total","value":$total,"value_trusted":$totalTrusted,"unit":"sec"""" +
+        s""","queries":${objD(best)},"trusted_min":${objD(trustedMin)}""" +
+        s""","untrusted":$untrustedJson,"untrusted_n":${untrusted.size}""" +
+        s""","errors":$errs,"reps":$reps,"contended":$contended,"sf":"$sfDir"$filterFields"""
+    val fullLine = "{" + headline +
+      s""","runs":${perRep(_.sec)}""" +
+      s""","trusted_reps":${perRep(r => trusted(r))}""" +
+      s""","gc_ms":${perRep(_.gcMs)}""" +
+      s""","cpu_ms":${perRep(_.cpuMs)}""" +
+      s""","micro_batches":${perRep(_.microBatches)}""" +
+      s""","loadavg":${objRaw(allReps.view.mapValues(rs => arr(rs.flatMap(_.loads.map(fmtX)))).toSeq)}""" +
+      s""","probe_ms":${perRep(r => f"${r.probeMs}%.1f")}""" +
+      s""","probe_baseline_ms":${f"$probeBaseline%.1f"}""" +
+      s""","calibration_x":${perRep(r => fmtX(r.probeMs / probeBaseline))}""" +
+      s""","load_threshold":${fmtX(loadThreshold)}""" +
+      s""","shuffle_read_bytes":${perRep(_.work.shuffleReadBytes)}""" +
+      s""","shuffle_write_bytes":${perRep(_.work.shuffleWriteBytes)}""" +
+      s""","spill_mem_bytes":${perRep(_.work.spillMemBytes)}""" +
+      s""","spill_disk_bytes":${perRep(_.work.spillDiskBytes)}""" +
+      s""","tasks":${perRep(_.work.tasks)}""" +
+      s""","persistent_rdds":${perRep(_.leftRdds)}""" +
+      s""","storage_bytes":${perRep(_.leftBytes)}""" +
+      "}"
+    val compactLine = "{" + headline + "}"
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
-    try Files.writeString(Paths.get(out), line + "\n")
+    try Files.writeString(Paths.get(out), fullLine + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] file write failed: $e") }
     spark.stop()
+    // compact line LAST, after spark.stop()'s own log noise, so the
+    // driver's log-scrape finds it unbroken at the tail of stdout
+    println(compactLine)
   }
 }

@@ -567,4 +567,51 @@ class StreamingSpec extends SparkSpec {
     // every emitted group matches the batch plan exactly
     assert(appended.join(batchGroups, Seq("win", "event_type"), "left_anti").count() === 0)
   }
+
+  test("runAvailableNow rejects a concurrent call loudly (VERDICT r6 #8)") {
+    // The session-global shuffle-partition save/restore makes overlapping
+    // snapshot runs a silent-corruption hazard; the guard turns the
+    // documented single-runner contract into an enforced one. A UDF latch
+    // holds the first run mid-micro-batch while the second call is made.
+    import java.util.concurrent.TimeUnit
+    val block = udf { (x: Long) =>
+      RunGuardGate.entered.countDown()
+      RunGuardGate.release.await(30, TimeUnit.SECONDS)
+      x
+    }
+    val first = EventsStream.readEvents(spark, dir)
+      .withColumn("gated", block(col("event_id")))
+    @volatile var firstErr: Throwable = null
+    val t = new Thread(() => {
+      try EventsStream.runAvailableNow(first, "guard_first")
+      catch { case e: Throwable => firstErr = e }
+    }, "guard-first-runner")
+    t.start()
+    try {
+      assert(RunGuardGate.entered.await(60, TimeUnit.SECONDS),
+        "first snapshot run never started processing")
+      val ex = intercept[IllegalStateException] {
+        EventsStream.runAvailableNow(
+          EventsStream.readEvents(spark, dir), "guard_second")
+      }
+      assert(ex.getMessage.contains("single-runner"))
+    } finally {
+      RunGuardGate.release.countDown()
+      t.join(120000)
+    }
+    assert(!t.isAlive, "first run did not finish after release")
+    assert(firstErr == null, s"first run failed: $firstErr")
+    // and the guard is released: a THIRD, serialized run succeeds
+    EventsStream.runAvailableNow(
+      EventsStream.readEvents(spark, dir), "guard_third")
+    assert(spark.table("guard_third").count() > 0)
+  }
+}
+
+/** Latches for the single-runner guard test; top-level so the UDF closure
+  * captures a stable static reference, not the suite instance.
+  */
+private object RunGuardGate {
+  val entered = new java.util.concurrent.CountDownLatch(1)
+  val release = new java.util.concurrent.CountDownLatch(1)
 }
