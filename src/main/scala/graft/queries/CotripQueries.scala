@@ -79,6 +79,42 @@ object CotripQueries {
         .orderBy("id")
     },
 
+    // S4 capabilities surface (task.ts:18-48) as a relation: one row per
+    // declared field of each Incoming schema, parsed back from the JSON
+    // strings describe() serves. The oracle is the reference's declaration
+    // reconstructed as constants — the 5 config fields with their TypeBox
+    // defaults (task.ts:5-11; required = fields without defaults, see
+    // CotripPipeline.describe scaladoc) and the 16 output record fields
+    // (task.ts:26-43; JS Number ⇒ JSON-Schema number).
+    "c04_capabilities" -> of(
+      """SELECT * FROM (VALUES
+        | ('Input', 'COTRIP_TOKEN', 'string', NULL, true),
+        | ('Input', 'Point Geometries', 'boolean', 'true', false),
+        | ('Input', 'LineString Geometries', 'boolean', 'true', false),
+        | ('Input', 'Polygon Geometries', 'boolean', 'true', false),
+        | ('Input', 'DEBUG', 'boolean', 'false', false),
+        | ('Output', 'communicationStatus', 'string', NULL, true),
+        | ('Output', 'marker', 'number', NULL, true),
+        | ('Output', 'messageText', 'string', NULL, true),
+        | ('Output', 'direction', 'string', NULL, true),
+        | ('Output', 'lastUpdated', 'string', NULL, true),
+        | ('Output', 'messagePreview', 'string', NULL, true),
+        | ('Output', 'displayStatus', 'string', NULL, true),
+        | ('Output', 'name', 'string', NULL, true),
+        | ('Output', 'id', 'string', NULL, true),
+        | ('Output', 'speed', 'number', NULL, true),
+        | ('Output', 'routeName', 'string', NULL, true),
+        | ('Output', 'messageMarkup', 'string', NULL, true),
+        | ('Output', 'publicName', 'string', NULL, true),
+        | ('Output', 'submittedBy', 'string', NULL, true),
+        | ('Output', 'nativeId', 'string', NULL, true),
+        | ('Output', 'activationTime', 'string', NULL, true)
+        |) AS t(schema_type, field, json_type, default_value, required)
+        |ORDER BY schema_type, field""") { (s, _) =>
+      graft.CotripPipeline.capabilitiesTable(s)
+        .orderBy("schema_type", "field")
+    },
+
     // Toggle semantics: Point disabled → Point AND MultiPoint output dies
     // (filter runs post-explode); LineString/Polygon survive.
     "c02_cotrip_toggles" -> of(

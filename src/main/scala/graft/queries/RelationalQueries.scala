@@ -731,6 +731,34 @@ object RelationalQueries {
         Q.events(s, d), "user_id", topN = 15)
     },
 
+    // q41 composed into the salting DECISION (VERDICT r6 #5): the join
+    // measures its probe side's skew and salts only when the measurement
+    // says to, with the factor derived from the measured ratio. The oracle
+    // is the UNSALTED SQL — the equality is the check. The testdata's
+    // user_id load is near-uniform (top mean_ratio ≈ 1.3–1.5 at every SF),
+    // so the query pins skewThreshold=1.1 to force the SALTED branch
+    // through the oracle; the production default stays 4.0, and PlanSpec
+    // covers both branches (salt expansion present above threshold, absent
+    // below) on engineered inputs.
+    "q42_auto_salted_join" -> of(
+      """SELECT e.event_id, e.user_id, CAST(u.n_events AS BIGINT) AS user_total
+        |FROM events e JOIN (
+        |  SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id) u
+        |ON e.user_id = u.user_id
+        |WHERE e.event_type = 'purchase'
+        |ORDER BY e.event_id""") { (s, d) =>
+      val ev = Q.events(s, d)
+      val totals = ev.groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
+      val probe = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"))
+      graft.operators.QualityChecks
+        .autoSaltedJoin(probe, totals, "user_id", "event_id",
+          skewThreshold = 1.1)
+        .select(col("event_id"), col("user_id"),
+          col("n_events").as("user_total"))
+        .orderBy("event_id")
+    },
+
     // SCD2 merge (the MERGE INTO shape without a lakehouse format): a
     // deterministic update batch (every 10th order, +10% price, effective
     // +30 days) closes the old version and opens the new one; untouched

@@ -66,6 +66,28 @@ class ExtensionSpec extends SparkSpec {
     assert(viaAgg.size === 25)
   }
 
+  test("all-pairs cross-checks abort loudly above the enforced cap") {
+    // VERDICT r6 #3: the two deliberately-quadratic cross-check operators
+    // must be structurally incapable of running at corpus scale — the
+    // smallness contract is a require(), not a doc comment. embs has 200
+    // rows at sf0.001, so a cap of 10 must abort BEFORE any pair work.
+    val e1 = intercept[IllegalArgumentException] {
+      Dedup.embeddingCosinePairs(embs, "vec_id", "embedding", 0.4,
+        crossCheckCap = 10)
+    }
+    assert(e1.getMessage.contains("CROSS-CHECK") &&
+      e1.getMessage.contains("embeddingCosinePairsLsh"))
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.cosineTopKWindow(embs.limit(3), embs, "vec_id", "embedding",
+        5, crossCheckCap = 10)
+    }
+    assert(e2.getMessage.contains("CROSS-CHECK") &&
+      e2.getMessage.contains("cosineTopK"))
+    // and at the default cap both still run on enumerable inputs
+    assert(Dedup.embeddingCosinePairs(embs, "vec_id", "embedding", 0.4)
+      .count() > 0)
+  }
+
   test("hoisted hyperplane signature is bit-identical to the HOF form") {
     val dim = embs.select(size(col("embedding"))).head().getInt(0)
     for (offset <- Seq(0, 4, 28)) {

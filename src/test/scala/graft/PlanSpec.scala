@@ -320,6 +320,44 @@ class PlanSpec extends SparkSpec {
     assert(body.contains("\"mp1-2\""))
   }
 
+  test("q42: salt expansion appears iff the MEASURED skew exceeds threshold") {
+    // The decision is measurement-driven, so drive it with engineered
+    // inputs: a uniform probe must plan the plain join (no generator, no
+    // build-side replication), a one-hot-key probe must plan q29's salted
+    // shape. The salt explode shows up as a Generate node over sequence().
+    import org.apache.spark.sql.functions._
+    import graft.operators.QualityChecks
+    val build = spark.range(0, 50).select(col("id").as("k"), lit(1L).as("v"))
+    val uniform = spark.range(0, 5000)
+      .select((col("id") % 50).as("k"), col("id").as("row_id"))
+    // 4000 of 5000 rows on one key → mean_ratio = 0.8 × 50 = 40 ≫ 4
+    val hot = spark.range(0, 5000)
+      .select(when(col("id") < 4000, lit(7)).otherwise(col("id") % 50)
+        .cast("long").as("k"), col("id").as("row_id"))
+
+    val plainPlan = QualityChecks.autoSaltedJoin(uniform, build, "k", "row_id")
+      .queryExecution.executedPlan.toString
+    assert(!plainPlan.contains("Generate"),
+      s"uniform input must not pay salt replication:\n${plainPlan.take(600)}")
+
+    val saltedDf = QualityChecks.autoSaltedJoin(hot, build, "k", "row_id")
+    val saltedPlan = saltedDf.queryExecution.executedPlan.toString
+    assert(saltedPlan.contains("Generate"),
+      s"hot key (ratio ~40) must trigger the salt explode:\n${saltedPlan.take(600)}")
+    // factor derivation: ratio ~40 → ⌈40⌉ buckets, capped at maxSalt
+    assert(QualityChecks.saltFactorFor(40.0, 4.0, 64) === 40)
+    assert(QualityChecks.saltFactorFor(40.0, 4.0, 16) === 16)
+    assert(QualityChecks.saltFactorFor(3.9, 4.0, 64) === 1)
+    // and both branches return the SAME relation
+    val plain = uniform.join(build, Seq("k"))
+    assert(QualityChecks.autoSaltedJoin(uniform, build, "k", "row_id")
+      .exceptAll(plain).isEmpty && plain.exceptAll(
+        QualityChecks.autoSaltedJoin(uniform, build, "k", "row_id")).isEmpty)
+    val hotPlain = hot.join(build, Seq("k"))
+    assert(saltedDf.exceptAll(hotPlain).isEmpty &&
+      hotPlain.exceptAll(saltedDf).isEmpty)
+  }
+
   test("DEBUG flag logs a bounded sample to stderr (honored, unlike reference)") {
     val err = new java.io.ByteArrayOutputStream()
     Console.withErr(new java.io.PrintStream(err)) {
