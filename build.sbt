@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked program's stdout straight through (no "[info] " logger
+// prefix): the driver log-scrapes the tail of stdout for Bench's final
+// compact JSON line, and a prefixed/re-wrapped line can defeat a strict
+// line parser. Child stderr (Spark log noise) goes to sbt's stderr,
+// keeping the scraped stdout tail clean.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -62,7 +62,12 @@ object QualityChecks {
     if (!(ratio > threshold)) 1
     else math.min(maxSalt.toDouble, math.max(2.0, math.ceil(ratio))).toInt
 
-  /** MEASUREMENT-DRIVEN skew-salted equi-join (VERDICT r6 #5): measure the
+  /** EAGER: runs a small Spark job (partial-aggregated key count + 1-row
+    * collect) at CALL time to measure probe-side skew — unlike a plain
+    * DataFrame-returning API, calling this is not free plan construction
+    * (ADVICE r7).
+    *
+    * MEASUREMENT-DRIVEN skew-salted equi-join (VERDICT r6 #5): measure the
     * probe side's key skew ([[keySkewReport]]'s top `mean_ratio`), then
     * join with the salt factor the measurement justifies — q29's salted
     * shape (build side replicated into n buckets, probe rows routed by
@@ -81,6 +86,11 @@ object QualityChecks {
   def autoSaltedJoin(probe: DataFrame, build: DataFrame, keyCol: String,
                      probeRowKey: String, skewThreshold: Double = 4.0,
                      maxSalt: Int = 64): DataFrame = {
+    // the working column would silently collide with (and then drop) a
+    // caller's own `__salt` — fail loudly instead (ADVICE r7)
+    require(!probe.columns.contains("__salt") && !build.columns.contains("__salt"),
+      "autoSaltedJoin uses an internal `__salt` working column; rename the " +
+        "input's `__salt` column before calling")
     val ratio = measuredSkewRatio(probe, keyCol)
     val nSalt = saltFactorFor(ratio, skewThreshold, maxSalt)
     if (nSalt <= 1) probe.join(build, Seq(keyCol))

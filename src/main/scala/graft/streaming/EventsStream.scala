@@ -158,8 +158,15 @@ object EventsStream {
           .start()
         q.awaitTermination()
         // synchronous micro-batch accounting from THIS query's own history —
-        // see StreamTelemetry for why a StreamingQueryListener can't do this
-        StreamTelemetry.microBatchesCompleted.addAndGet(q.recentProgress.length.toLong)
+        // see StreamTelemetry for why a StreamingQueryListener can't do this.
+        // Count from lastProgress.batchId (monotonic from 0, uncapped), NOT
+        // recentProgress.length: the latter saturates at
+        // spark.sql.streaming.numRecentProgressUpdates (default 100), so a
+        // >100-micro-batch run would silently undercount (ADVICE r7). A
+        // fresh AvailableNow query on a new checkpoint always starts at
+        // batch 0, so batchId + 1 = batches this run.
+        val batches = Option(q.lastProgress).map(_.batchId + 1L).getOrElse(0L)
+        StreamTelemetry.microBatchesCompleted.addAndGet(batches)
         ()
       } finally {
         spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)

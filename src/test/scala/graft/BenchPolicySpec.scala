@@ -1,0 +1,94 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the bench's rep-aggregation policy ([[Bench.judgeReps]]) and the
+  * scrape-safety of the stdout summary ([[Bench.compactSummary]]).
+  *
+  * Round-7 VERDICT #4: a rep faster than the trusted minimum must never be
+  * discarded by calibration — contention only inflates wall time, so the
+  * invariant is `trusted_min ≤ min(runs)` whenever both exist.
+  * Round-7 ADVICE (medium): the stdout line must stay well under the
+  * driver's ~2KB log-tail scrape window even in the worst case (every
+  * query untrusted AND failed); two rounds produced `parsed: null`.
+  */
+class BenchPolicySpec extends AnyFunSuite {
+  private val T = true
+  private val F = false
+
+  test("trusted_min is the min over ALL ok reps when any rep is trusted (s10 case)") {
+    // r7's s10_ivf_pq: fastest rep 5.00s was calibration-flagged, trusted
+    // reps' min was 7.31s — the old policy reported 7.31s.
+    val v = Bench.judgeReps(Seq(7.31, 8.02, 5.00), Seq(T, T, T), Seq(T, T, F), 3)
+    assert(!v.failed)
+    assert(v.rawMin.contains(5.00))
+    assert(v.trustedMin.contains(5.00))
+  }
+
+  test("invariant: trustedMin ≤ rawMin for every rep/trust combination") {
+    val secs = Seq(3.0, 1.0, 2.0, 0.5)
+    for {
+      okBits <- (0 until 16)
+      trBits <- (0 until 16)
+    } {
+      val ok = (0 until 4).map(i => (okBits & (1 << i)) != 0)
+      val tr = (0 until 4).map(i => (trBits & (1 << i)) != 0)
+      val v = Bench.judgeReps(secs, ok, tr, baseReps = 3)
+      for (t <- v.trustedMin; r <- v.rawMin)
+        assert(t <= r, s"trustedMin $t > rawMin $r for ok=$ok trusted=$tr")
+      // trustedMin defined ⟹ rawMin defined
+      assert(v.trustedMin.isEmpty || v.rawMin.isDefined)
+    }
+  }
+
+  test("no trusted successful rep → trustedMin empty, query is untrusted not failed") {
+    val v = Bench.judgeReps(Seq(2.0, 2.1), Seq(T, T), Seq(F, F), 2)
+    assert(!v.failed && v.rawMin.contains(2.0) && v.trustedMin.isEmpty)
+  }
+
+  test("a failed trust-RETRY rep does not fail a query with clean base reps (ADVICE r7)") {
+    // 3 ok-but-untrusted base reps, then rep 4 (a trust retry) throws
+    val v = Bench.judgeReps(Seq(2.0, 2.2, 2.1, 9.9), Seq(T, T, T, F),
+      Seq(F, F, F, F), baseReps = 3)
+    assert(!v.failed, "retry failure must not discard 3 successful base reps")
+    assert(v.rawMin.contains(2.0))
+    assert(v.trustedMin.isEmpty) // still untrusted — listed, not summed
+  }
+
+  test("a trusted retry rep rescues an all-untrusted query at the raw floor") {
+    val v = Bench.judgeReps(Seq(5.0, 6.0, 7.0, 5.5), Seq(T, T, T, T),
+      Seq(F, F, F, T), baseReps = 3)
+    assert(!v.failed && v.trustedMin.contains(5.0))
+  }
+
+  test("a base-rep failure fails the query; all-failed yields no minima") {
+    assert(Bench.judgeReps(Seq(1.0, 0.1), Seq(T, F), Seq(T, T), 2).failed)
+    val all = Bench.judgeReps(Seq(0.1, 0.1), Seq(F, F), Seq(T, T), 2)
+    assert(all.failed && all.rawMin.isEmpty && all.trustedMin.isEmpty)
+  }
+
+  test("compact stdout line stays under 1500 chars in the worst case") {
+    // worst case: 132 long-named queries ALL untrusted and ALL failed,
+    // plus a dispute filter suffix
+    val names = (1 to 132).map(i => f"q${i}%02d_some_long_query_name_$i")
+    val line = Bench.compactSummary(
+      total = 113.2345, totalTrusted = 99999.9999, queriesN = 132,
+      untrusted = names, failed = names, reps = 3, contended = true,
+      sf = "/root/testdata/sf0.1", detail = "/root/repo/BENCH.json",
+      filterFields = s""","filter":"${names.take(3).mkString(",")}","partial":true""")
+    assert(line.length < 1500, s"compact line is ${line.length} chars:\n$line")
+    assert(line.startsWith("{") && line.endsWith("}"))
+    assert(!line.contains("\n"))
+    // the capped lists must make the truncation visible
+    assert(line.contains("+122 more"))
+    assert(line.contains("\"untrusted_n\":132"))
+  }
+
+  test("compact line carries full short lists uncapped") {
+    val line = Bench.compactSummary(1.0, 1.0, 132, Seq("s10_ivf_pq"), Nil,
+      3, contended = false, sf = "sf0.1", detail = "BENCH.json")
+    assert(line.contains(""""untrusted":["s10_ivf_pq"]"""))
+    assert(line.contains(""""errors":[]"""))
+    assert(!line.contains("more"))
+  }
+}
