@@ -395,6 +395,66 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.count() === streamed.distinct().count())
   }
 
+  test("left-outer stream-stream join state survives a query RESTART from checkpoint") {
+    // Completes the restart-coverage triad (VERDICT r7 #3): sessionize and
+    // anomaly restarts are pinned above; this pins the LAST stateful family,
+    // the left-outer interval join, whose checkpoint carries BOTH sides'
+    // join buffers AND the not-yet-matched left rows awaiting null-padding.
+    // Run 1 processes the first half of the feed and stops; run 2 is a new
+    // query on the same checkpoint after the second half lands. The
+    // restarted pair must equal one UNINTERRUPTED query over the same files
+    // with the same micro-batch boundaries (maxFilesPerTrigger=1): matched
+    // rows that straddle the restart (purchase in run 1, error in run 2)
+    // still pair, null-padded rows evict at the same watermark, nothing
+    // emits twice.
+    import org.apache.spark.sql.streaming.Trigger
+    val tmp = java.nio.file.Files.createTempDirectory("oj-restart")
+    val ckptA = java.nio.file.Files.createTempDirectory("oj-ckpt-a").toString
+    val outA = java.nio.file.Files.createTempDirectory("oj-out-a").toString
+    val ckptB = java.nio.file.Files.createTempDirectory("oj-ckpt-b").toString
+    val outB = java.nio.file.Files.createTempDirectory("oj-out-b").toString
+    val ev = graft.queries.Q.events(spark, dir)
+      .filter(col("event_type").isin("purchase", "error")).orderBy("ts")
+    val rows = ev.collect()
+    val (first, second) = rows.splitAt(rows.length / 2)
+    val schema = ev.schema
+    def addFile(name: String, part: Array[org.apache.spark.sql.Row]): Unit =
+      spark.createDataFrame(spark.sparkContext.parallelize(part.toSeq, 1), schema)
+        .write.parquet(s"$tmp/batch-$name")
+    def joined() = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$tmp/batch-*")
+      EventsStream.intervalJoin(
+        stream.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), col("ts"), col("user_id")),
+        stream.filter(col("event_type") === "error")
+          .select(col("event_id").as("error_id"), col("ts"), col("user_id")),
+        "user_id", joinType = "left_outer")
+        .select(col("purchase_id"), col("error_id"), col("l.user_id").as("user_id"))
+    }
+    def runOnce(out: String, ckpt: String): Unit = {
+      val q = joined().writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    addFile("0", first)
+    runOnce(outA, ckptA) // run 1: half the feed, then STOP
+    val emittedAfterRun1 = spark.read.parquet(outA).count()
+    addFile("1", second)
+    runOnce(outA, ckptA) // run 2: NEW query, SAME checkpoint
+    runOnce(outB, ckptB) // control: one uninterrupted query over both files
+    val restarted = spark.read.parquet(outA)
+    val control = spark.read.parquet(outB)
+    assert(emittedAfterRun1 < restarted.count(), "run 2 must emit further rows")
+    // the fixture must exercise both emission paths across the restart
+    assert(restarted.filter(col("error_id").isNotNull).count() > 0, "no matched rows")
+    assert(restarted.filter(col("error_id").isNull).count() > 0, "no null-padded rows")
+    assert(restarted.except(control).count() === 0)
+    assert(control.except(restarted).count() === 0)
+    assert(restarted.count() === restarted.distinct().count(), "duplicate emission")
+  }
+
   test("streaming EWMA == batch ewmaPerKey fold across out-of-order micro-batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val ctx = spark.sqlContext
