@@ -455,6 +455,33 @@ class StreamingSpec extends SparkSpec {
     assert(restarted.count() === restarted.distinct().count(), "duplicate emission")
   }
 
+  test("e22 multi-batch EWMA: bit-equal to single-batch e20, and the split is real") {
+    // the oracle equality (shared SQL) is graded by the driver; this spec
+    // pins the two facts the oracle can't see: the feed really arrives as
+    // MULTIPLE micro-batches, and emitted keys really span the split (so
+    // the cross-batch partial-fold path runs, not just a re-run of e20)
+    val mb0 = graft.streaming.StreamTelemetry.microBatchesCompleted.get()
+    val multi = graft.SparkEntry.queries("e22_stream_ewma_multibatch")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val mbUsed = graft.streaming.StreamTelemetry.microBatchesCompleted.get() - mb0
+    assert(mbUsed >= 3, s"expected >= 2 data + 1 advance micro-batches, got $mbUsed")
+    val single = graft.SparkEntry.queries("e20_stream_ewma")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(multi.nonEmpty)
+    assert(multi === single, "multi-batch fold diverged from single-batch fold")
+    // at least one EMITTED key must have events on both sides of the median
+    val ev = graft.queries.Q.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+    val midUs = ev.agg(expr("percentile(unix_micros(ts), 0.5)"))
+      .head().getDouble(0).toLong
+    val spanning = ev.groupBy("user_id")
+      .agg(min(unix_micros(col("ts"))).as("lo"), max(unix_micros(col("ts"))).as("hi"))
+      .filter(col("lo") <= midUs && col("hi") > midUs)
+      .select("user_id").collect().map(_.getLong(0)).toSet
+    assert(multi.map(_._1).toSet.intersect(spanning).nonEmpty,
+      "no emitted key spans the batch split — fixture exercises nothing new")
+  }
+
   test("streaming EWMA == batch ewmaPerKey fold across out-of-order micro-batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val ctx = spark.sqlContext
