@@ -18,14 +18,18 @@ import org.apache.spark.sql.functions._
   *    and grow pair counts quadratically in `factor` — a different
   *    workload, not a bigger one.) Pair-count linearity is spec-pinned
   *    (`ScaledCorpusSpec`).
-  *  - `embeddings`: `factor` replicas with remapped ids and the vector
-  *    cyclically shifted by `rep` positions. A shift is a coordinate
-  *    permutation, so norms and INTRA-replica dot products are the same
-  *    TERMS (summed in a different order — bit-equality is pinned only for
-  *    the unshifted replica 0; other replicas are value-equal within float
-  *    summation reorder); each replica carries sf-identical similarity
-  *    structure, and cross-replica cosines decorrelate like random pairs at
-  *    these dimensions.
+  *  - `embeddings`: `factor` replicas with remapped ids and a per-replica
+  *    hash-derived ±1 sign diagonal (Rademacher) applied to the vector
+  *    (VERDICT r8 #2 — the earlier cyclic shift mapped one vector's
+  *    dominant axis onto another's, so cross-replica cosines were NOT
+  *    random-pair-like and the 10× smoke saw ~100× pairs). Sign flips are
+  *    exact in IEEE (sign-bit only), and intra-replica dot products cancel
+  *    them term-by-term — (s·x)(s·y) = x·y with identical terms AND order —
+  *    so EVERY replica's pair set and cosines are bit-identical to the
+  *    base run (spec-pinned). Cross-replica dots become Rademacher sums
+  *    Σ ε·x·y with E=0 and std ≈ 1/√(effective dim) ≈ 0.21 on this corpus
+  *    (effective dim ≈ 22), far below any dedup threshold — replicas are
+  *    genuinely decorrelated shards.
   *
   * This is a measurement utility for SCALE.md's empirical scaling table,
   * not a pipeline operator: it runs once, writes parquet under the given
@@ -48,7 +52,11 @@ object ScaledCorpus {
       .withColumn("n_chars", length(col("text")).cast("long"))
   }
 
-  /** `factor` replicas, vector cyclically shifted by `rep`; ids remapped. */
+  /** `factor` replicas under a per-replica ±1 sign diagonal; ids remapped.
+    * Replica 0 is the base corpus verbatim; replica r>0 flips component i
+    * iff xxhash64("graft-scale-emb", r, i) is odd — deterministic, so the
+    * scaled corpus is bit-reproducible across runs and partitionings.
+    */
   def scaleEmbeddings(embs: DataFrame, factor: Int): DataFrame = {
     val rep = explode(sequence(lit(0), lit(factor - 1))).as("rep")
     embs
@@ -56,10 +64,9 @@ object ScaledCorpus {
       .select(
         (col("vec_id") * factor + col("rep")).as("vec_id"),
         when(col("rep") === 0, col("embedding")).otherwise(
-          flatten(array(
-            slice(col("embedding"), col("rep") + 1,
-              size(col("embedding")) - col("rep")),
-            slice(col("embedding"), lit(1), col("rep"))))).as("embedding"),
+          transform(col("embedding"), (x, i) =>
+            when(pmod(xxhash64(lit("graft-scale-emb"), col("rep"), i), lit(2)) === 0,
+              x).otherwise(-x))).as("embedding"),
         col("label"))
   }
 

@@ -35,10 +35,15 @@ object Q {
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** events.parquet carries TIMESTAMP(NANOS), which Spark 4 rejects by
-    * default; read nanos as long and convert to a microsecond timestamp
-    * (truncating, exactly like DuckDB's TIMESTAMP_NS → TIMESTAMP cast so the
-    * oracle agrees).
+  /** events.parquet reader, TYPE-ADAPTIVE on `ts` (VERDICT r8 #1): the
+    * driver has shipped this column both as TIMESTAMP(NANOS) (rounds 1–7)
+    * and as plain timestamp[us] (round 8+), and may flip again. Hard-coding
+    * either path broke 23 queries in one regeneration, so the reader probes
+    * the loaded schema and adapts — [[Q.adaptEventTs]] documents the
+    * branches. The DuckDB oracle side is already adaptive: its queries use
+    * `CAST(ts AS TIMESTAMP)`, a no-op on TIMESTAMP and a truncating cast on
+    * TIMESTAMP_NS, so both engines land on the same microsecond value
+    * whichever schema the files carry.
     *
     * NB deliberate session-wide side effect: `nanosAsLong` must be in force
     * when the (lazy) scan executes, so it cannot be scoped-and-restored here.
@@ -47,7 +52,38 @@ object Q {
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(spark, dir, "events").withColumn("ts", nanosToMicros(col("ts")))
+    adaptEventTs(t(spark, dir, "events"), s"$dir/events.parquet")
+  }
+
+  /** Normalize an events frame's `ts` to session-zoned TimestampType (the
+    * type every downstream window/watermark/interval expression was written
+    * against), whatever the files carry:
+    *
+    *  - TIMESTAMP           → already the target type, untouched;
+    *  - TIMESTAMP_NTZ       → cast; with the engine-wide UTC session zone
+    *    this is value-preserving (same micros), and it keeps the output
+    *    schema identical to the nanos-era one so round-over-round artifacts
+    *    stay comparable;
+    *  - integral (epoch-ns via `nanosAsLong`) → truncating nanos→micros
+    *    conversion ([[nanosToMicros]]);
+    *  - anything else → fail LOUDLY naming the actual type. A schema
+    *    mismatch must never silently corrupt event times again (round 8's
+    *    streaming path read timestamps through a stale LongType schema and
+    *    produced wrong answers instead of an error — the worst failure mode).
+    */
+  def adaptEventTs(df: DataFrame, source: String): DataFrame = {
+    import org.apache.spark.sql.types.{IntegerType, LongType, TimestampNTZType, TimestampType}
+    val field = df.schema.fields.find(_.name == "ts").getOrElse(
+      throw new IllegalArgumentException(
+        s"events reader: no `ts` column in $source; actual schema: ${df.schema.simpleString}"))
+    field.dataType match {
+      case TimestampType    => df
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case LongType | IntegerType => df.withColumn("ts", nanosToMicros(col("ts")))
+      case other => throw new IllegalArgumentException(
+        s"events reader: unsupported `ts` type ${other.sql} in $source — " +
+          "expected a timestamp type (used as-is) or an integral epoch-nanos column")
+    }
   }
 
   /** Exact, order-independent money/quantity aggregation: cast to

@@ -14,8 +14,10 @@ import org.apache.spark.sql.types._
   */
 object EventsStream {
 
-  /** events.parquet schema with nanosecond ts surfaced as LongType (Spark 4
-    * rejects TIMESTAMP(NANOS) natively; see Q.events for the batch twin).
+  /** The nanos-era events schema (ts as epoch-ns LongType via
+    * `nanosAsLong`). Kept only for specs that need A schema for a
+    * nonexistent path; real reads probe the actual files — see
+    * [[readEvents]].
     */
   val rawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
@@ -25,15 +27,26 @@ object EventsStream {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** Streaming read of an events directory. */
+  /** Streaming read of an events directory, TYPE-ADAPTIVE on `ts`
+    * (VERDICT r8 #1). `readStream` needs a declared schema, and declaring a
+    * stale one is how round 8 silently corrupted every streaming query's
+    * event times (a LongType declaration over timestamp[us] files divides
+    * microseconds by 1000 instead of failing). So: probe the files' actual
+    * schema with a batch read first (metadata-only — parquet footers, no
+    * data scan), declare THAT, then normalize `ts` through the same shared
+    * adapter the batch reader uses ([[graft.queries.Q.adaptEventTs]]:
+    * timestamp → as-is/cast, integral → nanos conversion, else loud error).
+    */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // FileStreamSource requires a directory; select the single table file
     // from the sf dir via glob filter.
-    spark.readStream.schema(rawSchema)
+    val probed = spark.read
+      .option("pathGlobFilter", "events.parquet").parquet(dir).schema
+    val raw = spark.readStream.schema(probed)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", graft.queries.Q.nanosToMicros(col("ts")))
+    graft.queries.Q.adaptEventTs(raw, s"$dir/events.parquet (stream)")
   }
 
   /** Tumbling 1-hour windowed aggregation with a watermark — the streaming

@@ -9,13 +9,18 @@ import graft.operators.Dedup
   *
   *  1. token-disjointness: no n-gram Jaccard pair crosses replicas, and the
   *     scaled pair count is EXACTLY factor × the base pair count;
-  *  2. replica 0 is the base corpus verbatim (ids remapped) — its pairs and
-  *     cosines are bit-identical to the base run;
-  *  3. every replica reproduces the base pair STRUCTURE: the embedding
-  *     cosine pairs of replica r, mapped back to base ids, equal the base
-  *     pairs (shift permutes coordinates, so dot terms are equal up to
-  *     float summation order; the spec data keeps cosines away from the
-  *     threshold so reorder noise cannot flip a pair).
+  *  2. replica 0 is the base corpus verbatim (ids remapped);
+  *  3. EVERY replica's embedding-cosine pairs, mapped back to base ids,
+  *     are bit-identical to the base pairs — the ±1 sign diagonal cancels
+  *     term-by-term inside intra-replica dot products ((s·x)(s·y) = x·y
+  *     exactly in IEEE, same terms, same order), which is STRONGER than
+  *     the old cyclic shift gave (that only reordered summation);
+  *  4. no cross-replica pair clears the threshold: sign flips turn
+  *     cross-replica dots into Rademacher sums with std ≈ 1/√(effective
+  *     dim), so spread-mass fixture vectors (like the real corpus,
+  *     effective dim ≈ 22) land far below it. This is exactly the property
+  *     the cyclic shift LACKED — it mapped one near-one-hot vector's
+  *     dominant axis onto another's (observed cross-replica pairs in r8).
   */
 class ScaledCorpusSpec extends SparkSpec {
   import spark.implicits._
@@ -51,14 +56,26 @@ class ScaledCorpusSpec extends SparkSpec {
       s"replica $r pair structure diverged from base"))
   }
 
-  test("embeddings: every replica reproduces the base cosine pairs; replica 0 bit-identical") {
+  test("embeddings: every replica's cosine pairs bit-identical to base; no cross-replica pair") {
     val factor = 3
-    // cosines far from the 0.4 threshold: near-dup pair (1,2), rest near-orthogonal
+    // Spread-mass unit vectors (64-dim, seeded) mirroring the real corpus's
+    // effective dimensionality — near-one-hot fixtures would defeat the
+    // decorrelation property under ANY coordinate-wise transform (a sign
+    // flip leaves |cosine| of same-axis vectors unchanged). One near-dup
+    // pair (1,2) at cosine ≈ 0.995; the rest at |cosine| ≲ 0.25, far from
+    // the 0.4 threshold on both sides.
+    val rnd = new scala.util.Random(42)
+    def unit(raw: Array[Double]): Array[Float] = {
+      val n = math.sqrt(raw.map(x => x * x).sum)
+      raw.map(x => (x / n).toFloat)
+    }
+    def randUnit(): Array[Float] = unit(Array.fill(64)(rnd.nextGaussian()))
+    val v1 = randUnit()
+    val v2 = unit(v1.zip(randUnit()).map { case (a, b) => a + 0.1 * b })
+    val v3 = randUnit()
+    val v4 = randUnit()
     val embs = Seq(
-      (1L, Array(1.0f, 0.02f, 0.01f, 0.0f, 0.0f, 0.0f, 0.0f, 0.0f), 0),
-      (2L, Array(0.99f, 0.05f, 0.0f, 0.01f, 0.0f, 0.0f, 0.0f, 0.0f), 0),
-      (3L, Array(0.0f, 1.0f, 0.03f, 0.0f, 0.02f, 0.0f, 0.0f, 0.0f), 1),
-      (4L, Array(0.0f, 0.01f, 0.0f, 1.0f, 0.0f, 0.03f, 0.0f, 0.0f), 1)
+      (1L, v1, 0), (2L, v2, 0), (3L, v3, 1), (4L, v4, 1)
     ).toDF("vec_id", "embedding", "label")
 
     def cosinePairs(df: org.apache.spark.sql.DataFrame): Map[(Long, Long), Double] =
@@ -77,14 +94,12 @@ class ScaledCorpusSpec extends SparkSpec {
     val expectedKeys = (0L until factor.toLong).flatMap(r =>
       base.keySet.map { case (a, b) => (a * factor + r, b * factor + r) }).toSet
     assert(pairs.keySet === expectedKeys)
-    // replica 0 is unshifted → bit-identical cosines
-    base.foreach { case ((a, b), c) =>
-      assert(pairs((a * factor, b * factor)) === c,
-        s"replica-0 cosine for ($a,$b) not bit-identical") }
-    // shifted replicas: same terms, reordered summation → tight tolerance
-    (1L until factor.toLong).foreach { r =>
+    // EVERY replica bit-identical to base: the sign diagonal cancels
+    // term-by-term inside intra-replica dots ((±x)(±y) = xy exactly)
+    (0L until factor.toLong).foreach { r =>
       base.foreach { case ((a, b), c) =>
-        assert(math.abs(pairs((a * factor + r, b * factor + r)) - c) < 1e-12) }
+        assert(pairs((a * factor + r, b * factor + r)) === c,
+          s"replica-$r cosine for ($a,$b) not bit-identical to base") }
     }
   }
 }
