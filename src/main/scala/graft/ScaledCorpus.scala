@@ -19,17 +19,35 @@ import org.apache.spark.sql.functions._
   *    workload, not a bigger one.) Pair-count linearity is spec-pinned
   *    (`ScaledCorpusSpec`).
   *  - `embeddings`: `factor` replicas with remapped ids and a per-replica
-  *    hash-derived ±1 sign diagonal (Rademacher) applied to the vector
-  *    (VERDICT r8 #2 — the earlier cyclic shift mapped one vector's
-  *    dominant axis onto another's, so cross-replica cosines were NOT
-  *    random-pair-like and the 10× smoke saw ~100× pairs). Sign flips are
-  *    exact in IEEE (sign-bit only), and intra-replica dot products cancel
-  *    them term-by-term — (s·x)(s·y) = x·y with identical terms AND order —
-  *    so EVERY replica's pair set and cosines are bit-identical to the
-  *    base run (spec-pinned). Cross-replica dots become Rademacher sums
-  *    Σ ε·x·y with E=0 and std ≈ 1/√(effective dim) ≈ 0.21 on this corpus
-  *    (effective dim ≈ 22), far below any dedup threshold — replicas are
-  *    genuinely decorrelated shards.
+  *    hash-derived SIGNED PERMUTATION (coordinate permutation ∘ ±1 sign
+  *    diagonal) applied to the vector (VERDICT r8 #2 — the earlier cyclic
+  *    shift mapped one vector's dominant axis onto another's, so
+  *    cross-replica cosines were NOT random-pair-like and the r8 smoke's
+  *    pair count partly measured the artifact). A signed permutation is
+  *    orthogonal and IEEE-exact per component (moves + sign-bit flips, no
+  *    arithmetic), so intra-replica dot products contain exactly the base
+  *    run's terms (reordered summation → values equal to ~1 ulp; replica 0
+  *    is verbatim and bit-identical — both spec-pinned).
+  *
+  *    Why not the plain sign diagonal VERDICT r8 suggested: measured on
+  *    this corpus it is insufficient — sign flips keep each component on
+  *    its own axis, so cross-replica versions of correlated pairs (and of
+  *    a vector with itself, Σ±x_i² with std √(Σx_i⁴) ≈ 0.21 at effective
+  *    dim ≈ 22) retain fat tails; the measured cross-replica pair density
+  *    at the 0.4 threshold was 5.9e-4 vs the generator's own random-pair
+  *    density 4.6e-4. The permutation decouples the axes, making
+  *    cross-replica dots statistically indistinguishable from the
+  *    generator's own random pairs (std ≈ 1/√d = 0.125).
+  *
+  *    What "decorrelated" can and cannot mean here: these embeddings are
+  *    near-generic 64-dim directions (no injected high-cosine near-dups;
+  *    max base pair cosine ≈ 0.6), so the ≥0.4-pair population IS the
+  *    random-pair tail and its count grows ~quadratically in corpus size
+  *    for ANY faithful scaling — in d=64 a sphere-packing argument rules
+  *    out 10×-more vectors with pairwise cosine < 0.4. The honest 10×
+  *    yardstick is therefore pair DENSITY (pairs / C(n,2) ≈ 4.6e-4,
+  *    constant), not pair count; count linearity holds only for
+  *    thresholds ≥ ~0.75 where the random tail vanishes (≈0 pairs).
   *
   * This is a measurement utility for SCALE.md's empirical scaling table,
   * not a pipeline operator: it runs once, writes parquet under the given
@@ -52,21 +70,52 @@ object ScaledCorpus {
       .withColumn("n_chars", length(col("text")).cast("long"))
   }
 
-  /** `factor` replicas under a per-replica ±1 sign diagonal; ids remapped.
-    * Replica 0 is the base corpus verbatim; replica r>0 flips component i
-    * iff xxhash64("graft-scale-emb", r, i) is odd — deterministic, so the
-    * scaled corpus is bit-reproducible across runs and partitionings.
+  /** Deterministic splitmix64-derived signed permutation for replica `rep`
+    * over dimension `d`: (perm, signs) with y_i = signs(i) · x_{perm(i)}.
+    * Pure function of (rep, d) — the scaled corpus is bit-reproducible
+    * across runs and partitionings.
+    */
+  def signedPerm(rep: Int, d: Int): (Array[Int], Array[Float]) = {
+    var state = 0x9E3779B97F4A7C15L * (rep + 1)
+    def next(): Long = {
+      state += 0x9E3779B97F4A7C15L
+      var z = state
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    val perm = Array.tabulate(d)(identity)
+    var i = d - 1
+    while (i > 0) { // Fisher–Yates over the splitmix stream
+      val j = java.lang.Math.floorMod(next(), i + 1L).toInt
+      val t = perm(i); perm(i) = perm(j); perm(j) = t
+      i -= 1
+    }
+    val signs = Array.fill(d)(if (next() >= 0L) 1.0f else -1.0f)
+    (perm, signs)
+  }
+
+  /** `factor` replicas under per-replica signed permutations; ids remapped.
+    * Replica 0 is the base corpus verbatim. The (perm, signs) tables are
+    * driver-computed literals indexed by `rep` inside one `zip_with` over
+    * the scan — a single pass, no shuffle, no UDF.
     */
   def scaleEmbeddings(embs: DataFrame, factor: Int): DataFrame = {
+    val d = graft.operators.Similarity.vectorDim(embs, "embedding")
+    val sp = (0 until factor).map(r => signedPerm(r, d))
+    val perms = typedLit(sp.map(_._1.toSeq))
+    val signs = typedLit(sp.map(_._2.toSeq))
     val rep = explode(sequence(lit(0), lit(factor - 1))).as("rep")
     embs
       .select(col("*"), rep)
       .select(
         (col("vec_id") * factor + col("rep")).as("vec_id"),
         when(col("rep") === 0, col("embedding")).otherwise(
-          transform(col("embedding"), (x, i) =>
-            when(pmod(xxhash64(lit("graft-scale-emb"), col("rep"), i), lit(2)) === 0,
-              x).otherwise(-x))).as("embedding"),
+          zip_with(
+            element_at(perms, col("rep") + 1),
+            element_at(signs, col("rep") + 1),
+            (src, s) => element_at(col("embedding"), src + 1) * s))
+          .as("embedding"),
         col("label"))
   }
 

@@ -643,6 +643,31 @@ object Dedup {
         (col("id") === col("survivor")).as("is_survivor"))
   }
 
+  /** Corpus-size-adaptive LSH knobs (VERDICT r8 #4). At FIXED bits per
+    * table the bucket count is constant, so expected occupancy grows ∝n
+    * and within-bucket pair work ∝n² — the r8 10× smoke measured exactly
+    * that (shuffle ×91, 12.4 GB spill for data ×10 at b=4). Growing b with
+    * log₂(n) holds expected occupancy ≈ n/2^b constant (target ≈128,
+    * anchored so every verification scale — n ≤ 2048 — lands on the
+    * oracle-pinned (4, 8) point) and keeps pair work ~linear. Fewer bits
+    * per signature means higher recall, so L only needs to grow when b
+    * does: recall(θ) = 1-(1-p^b)^L with p = 1-θ/π gives, at cosine 0.9,
+    * 0.998 for (4,8), 0.996 for (8,16), 0.996 for (12,32), 0.95 for
+    * (20,64). b caps at 20 (signature cost stays ≤ 20·64 plane dots per
+    * vector); past ~10⁸ vectors threshold-pair ENUMERATION itself is the
+    * wrong tool — outputs go quadratic for any generic-direction corpus —
+    * and curation should move to d09 SemDeDup / s04 IVF. The d06 DuckDB
+    * oracle replays the (4,8) candidate generation bit-exactly and is
+    * valid for any corpus ≤2048 vectors; the policy itself is spec-pinned
+    * (ExtensionSpec) so the anchor can't drift silently.
+    */
+  def adaptiveLshKnobs(n: Long): (Int, Int) = {
+    val b = math.min(20, math.max(4,
+      math.ceil(math.log(math.max(n, 1).toDouble) / math.log(2)).toInt - 7))
+    val l = if (b <= 6) 8 else if (b <= 10) 16 else if (b <= 14) 32 else 64
+    (b, l)
+  }
+
   /** Embedding near-dup pairs via multi-table hyperplane LSH — the scale
     * path. Each vector gets `tables` independent `planesPerTable`-bit
     * signatures (deterministic hash-derived hyperplanes on disjoint index
@@ -652,42 +677,86 @@ object Dedup {
     * the exact cosine ≥ threshold. Recall for a pair at angle θ is
     * 1-(1-(1-θ/π)^b)^L — at b=4, L=8: ≈0.75 at cosine 0.4 and ≈0.998 at
     * 0.9, the regime near-dup curation cares about; raise `tables` for more
-    * recall at proportional cost. [[embeddingCosinePairs]] is the exact
-    * all-pairs cross-check at small scale.
+    * recall at proportional cost. Knobs left at 0 are chosen by
+    * [[adaptiveLshKnobs]] from the corpus size (the count rides on the
+    * persisted projection the pipeline needs anyway), so the DEFAULT call
+    * is scale-safe instead of quadratic past ~100k vectors.
+    * [[embeddingCosinePairs]] is the exact all-pairs cross-check at small
+    * scale.
     */
   def embeddingCosinePairsLsh(vecs: DataFrame, idCol: String, vecCol: String,
-                              threshold: Double, planesPerTable: Int = 4,
-                              tables: Int = 8): DataFrame = {
+                              threshold: Double, planesPerTable: Int = 0,
+                              tables: Int = 0): DataFrame = {
     graft.functions.NativeFunctions.register(vecs.sparkSession)
     val v = Caching.persisted(
       vecs.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
         .withColumn("norm", Similarity.l2norm(col("v"))))
+    val n = v.count()
+    val (planesAdaptive, tablesAdaptive) =
+      if (planesPerTable > 0 && tables > 0) (planesPerTable, tables)
+      else {
+        val (ab, al) = adaptiveLshKnobs(n)
+        (if (planesPerTable > 0) planesPerTable else ab,
+          if (tables > 0) tables else al)
+      }
+    val dim = Similarity.vectorDim(vecs, vecCol)
+    // The join-backs attach full vectors to every candidate occurrence.
+    // Catalyst's own estimate of the cached projection sits just above the
+    // default 10 MB auto-broadcast threshold at ~20k×64-dim, so it planned
+    // a sort-merge join that shuffled + sorted every candidate WITH its
+    // 512 B payload (measured at 10×: 600 MB shuffle, 13 GB spill). We know
+    // the true size driver-side (n counted for the adaptive knobs, dim
+    // probed) — broadcast the lookup whenever it genuinely fits
+    // ([[lookupBroadcastCap]]); past that, the shuffle join is the right
+    // plan and the standing-index bucket layout (d12/d15) is the scale path.
+    val vSide = if (vectorLookupBytes(n, dim) <= lookupBroadcastCap) broadcast(v) else v
     // signs hoisted once for all tables (bit-identical to the per-row HOF
     // signature — see Similarity.hyperplaneSignatureFrom); an empty corpus
     // degenerates to dim 0 / empty signs and an empty result, not a throw
     val allSigns = Similarity.hyperplaneSigns(vecs.sparkSession,
-      tables * planesPerTable, 0, Similarity.vectorDim(vecs, vecCol))
-    val sigCols = (0 until tables).map { l =>
+      tablesAdaptive * planesAdaptive, 0, dim)
+    val sigCols = (0 until tablesAdaptive).map { l =>
       struct(lit(l).as("tbl"),
         Similarity.hyperplaneSignatureFrom(col("v"),
-          allSigns.slice(l * planesPerTable, (l + 1) * planesPerTable)).as("sig"))
+          allSigns.slice(l * planesAdaptive, (l + 1) * planesAdaptive)).as("sig"))
     }
     val banded = v.select(col(idCol), explode(array(sigCols: _*)).as("bk"))
       .select(col(idCol), col("bk.tbl").as("tbl"), col("bk.sig").as("sig"))
-    // Candidates are distinct-ed BEFORE the vectors are joined back, so a
-    // pair sharing several buckets is verified once; neither side broadcast.
+    // VERIFY-THEN-DISTINCT (r9): candidate occurrences stream straight
+    // through the vector join-backs and the exact-cosine filter, and only
+    // SURVIVORS reach the dedup exchange. The previous shape
+    // (distinct-before-join-back) shuffled every raw candidate occurrence —
+    // measured at 10×/(8,16): a 716 MB exchange + 7.8 GB aggregate spill
+    // for 14.7M candidates of which 0.24% survive. A pair co-occurring in
+    // k tables is now verified k times instead of once, but the duplicate
+    // factor is ~1 for the bulk (a random pair rarely shares >1 bucket)
+    // and the 64-dim codegen'd dot is orders cheaper than shuffling the
+    // occurrence. Duplicates produce bit-identical (id_a, id_b, cosine)
+    // rows — same vectors, same fold order — so the final distinct
+    // collapses them exactly and the result set is unchanged.
     val candidates = banded.select(col(idCol).as("id_a"), col("tbl"), col("sig"))
       .join(banded.select(col(idCol).as("id_b"), col("tbl"), col("sig")), Seq("tbl", "sig"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
-      .distinct()
     candidates
-      .join(v.select(col(idCol).as("id_a"), col("v").as("v_a"), col("norm").as("n_a")), Seq("id_a"))
-      .join(v.select(col(idCol).as("id_b"), col("v").as("v_b"), col("norm").as("n_b")), Seq("id_b"))
+      .join(vSide.select(col(idCol).as("id_a"), col("v").as("v_a"), col("norm").as("n_a")), Seq("id_a"))
+      .join(vSide.select(col(idCol).as("id_b"), col("v").as("v_b"), col("norm").as("n_b")), Seq("id_b"))
       .withColumn("cosine", Similarity.dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
+      .distinct()
   }
+
+  /** Driver-side estimate of an (id, vec, norm) lookup's in-memory size. */
+  private def vectorLookupBytes(n: Long, dim: Int): Long = n * (dim.toLong * 8 + 48)
+
+  /** Explicit-broadcast ceiling for vector lookups (128 MB): far above
+    * Spark's conservative 10 MB default — a 128 MB hashed relation is
+    * routine on any executor sized for embedding work — and far below
+    * driver/executor memory pressure. Above it, candidates shuffle to the
+    * vectors instead (the only possible plan at that size).
+    */
+  private val lookupBroadcastCap: Long = 128L << 20
 
   /** Incremental EMBEDDING near-dup screening — the d11 daily-ingest shape
     * in cosine space: which `fresh` vectors are semantic near-dups of the
@@ -706,38 +775,55 @@ object Dedup {
     */
   def incrementalEmbeddingPairsLsh(fresh: DataFrame, corpus: DataFrame,
                                    idCol: String, vecCol: String,
-                                   threshold: Double, planesPerTable: Int = 4,
-                                   tables: Int = 8): DataFrame = {
+                                   threshold: Double, planesPerTable: Int = 0,
+                                   tables: Int = 0): DataFrame = {
     graft.functions.NativeFunctions.register(fresh.sparkSession)
-    val allSigns = Similarity.hyperplaneSigns(fresh.sparkSession,
-      tables * planesPerTable, 0, Similarity.vectorDim(corpus, vecCol))
     def prep(df: DataFrame) = Caching.persisted(
       df.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
         .withColumn("norm", Similarity.l2norm(col("v"))))
+    val vf = prep(fresh)
+    val vc = prep(corpus)
+    // bucket occupancy is governed by the STANDING side: adapt to corpus n
+    val nCorpus = vc.count()
+    val (planesAdaptive, tablesAdaptive) =
+      if (planesPerTable > 0 && tables > 0) (planesPerTable, tables)
+      else {
+        val (ab, al) = adaptiveLshKnobs(nCorpus)
+        (if (planesPerTable > 0) planesPerTable else ab,
+          if (tables > 0) tables else al)
+      }
+    val dim = Similarity.vectorDim(corpus, vecCol)
+    // size-aware join-back broadcasts, as in [[embeddingCosinePairsLsh]]:
+    // the fresh batch is usually small (always broadcast-able in the d15
+    // ingest shape); the standing corpus side falls back to a shuffle join
+    // past the cap, where the d12-style bucketed signature index co-locates
+    val vfSide = if (vectorLookupBytes(vf.count(), dim) <= lookupBroadcastCap) broadcast(vf) else vf
+    val vcSide = if (vectorLookupBytes(nCorpus, dim) <= lookupBroadcastCap) broadcast(vc) else vc
+    val allSigns = Similarity.hyperplaneSigns(fresh.sparkSession,
+      tablesAdaptive * planesAdaptive, 0, dim)
     def banded(v: DataFrame, as: String) = {
-      val sigCols = (0 until tables).map { l =>
+      val sigCols = (0 until tablesAdaptive).map { l =>
         struct(lit(l).as("tbl"),
           Similarity.hyperplaneSignatureFrom(col("v"),
-            allSigns.slice(l * planesPerTable, (l + 1) * planesPerTable)).as("sig"))
+            allSigns.slice(l * planesAdaptive, (l + 1) * planesAdaptive)).as("sig"))
       }
       v.select(col(idCol).as(as), explode(array(sigCols: _*)).as("bk"))
         .select(col(as), col("bk.tbl").as("tbl"), col("bk.sig").as("sig"))
     }
-    val vf = prep(fresh)
-    val vc = prep(corpus)
+    // verify-then-distinct, same rationale as [[embeddingCosinePairsLsh]]
     val candidates = banded(vf, "fresh_id")
       .join(banded(vc, "corpus_id"), Seq("tbl", "sig"))
       .select("fresh_id", "corpus_id")
-      .distinct()
     candidates
-      .join(vf.select(col(idCol).as("fresh_id"), col("v").as("v_f"),
+      .join(vfSide.select(col(idCol).as("fresh_id"), col("v").as("v_f"),
         col("norm").as("n_f")), Seq("fresh_id"))
-      .join(vc.select(col(idCol).as("corpus_id"), col("v").as("v_c"),
+      .join(vcSide.select(col(idCol).as("corpus_id"), col("v").as("v_c"),
         col("norm").as("n_c")), Seq("corpus_id"))
       .withColumn("cosine",
         Similarity.dot(col("v_f"), col("v_c")) / (col("n_f") * col("n_c")))
       .filter(col("cosine") >= threshold)
       .select("fresh_id", "corpus_id", "cosine")
+      .distinct()
   }
 
   /** ==SMALL-SCALE CROSS-CHECK — not a scale path== Embedding near-dup

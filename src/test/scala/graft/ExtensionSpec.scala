@@ -116,6 +116,30 @@ class ExtensionSpec extends SparkSpec {
     assert(rows.map(_.toString).toSet === again.map(_.toString).toSet)
   }
 
+  test("adaptive LSH knob policy: oracle anchor fixed, occupancy held ~128 at scale") {
+    // the d06 DuckDB oracle replays (4, 8) bit-exactly — every verification
+    // scale MUST land there; drift here silently breaks the hash compare
+    Seq(1L, 500L, 2000L, 2048L).foreach { n =>
+      assert(Dedup.adaptiveLshKnobs(n) === ((4, 8)), s"oracle anchor broken at n=$n")
+    }
+    // past the anchor, bits grow with log2(n): expected occupancy n/2^b
+    // stays within [64, 128] so within-bucket pair work stays ~linear
+    Seq(20_000L, 327_000L, 2_000_000L, 100_000_000L).foreach { n =>
+      val (b, l) = Dedup.adaptiveLshKnobs(n)
+      val occ = n.toDouble / (1L << b)
+      assert(occ <= 128.0 && (b == 20 || occ > 32.0),
+        s"occupancy $occ out of band at n=$n (b=$b)")
+      // tables grow with bits so recall at cosine 0.9 stays >= ~0.94:
+      // recall = 1-(1-p^b)^l, p = 1 - acos(0.9)/pi
+      val p = 1.0 - math.acos(0.9) / math.Pi
+      val recall = 1.0 - math.pow(1.0 - math.pow(p, b), l)
+      assert(recall >= 0.94, s"recall $recall too low at n=$n (b=$b, l=$l)")
+    }
+    // monotone non-decreasing bits in n (no occupancy cliffs)
+    val bs = (10 to 30).map(e => Dedup.adaptiveLshKnobs(1L << e)._1)
+    assert(bs === bs.sorted)
+  }
+
   test("LSH cosine dedup: subset of exact all-pairs, same cosines, finds dups") {
     val exact = Dedup.embeddingCosinePairs(embs, "vec_id", "embedding", 0.4)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
