@@ -720,8 +720,21 @@ object Dedup {
         Similarity.hyperplaneSignatureFrom(col("v"),
           allSigns.slice(l * planesAdaptive, (l + 1) * planesAdaptive)).as("sig"))
     }
-    val banded = v.select(col(idCol), explode(array(sigCols: _*)).as("bk"))
+    val bandedNarrow = v.select(col(idCol), explode(array(sigCols: _*)).as("bk"))
       .select(col(idCol), col("bk.tbl").as("tbl"), col("bk.sig").as("sig"))
+    // PARALLELISM FLOOR (r9): with every downstream join a broadcast there
+    // is no exchange left in the pipeline, so the whole
+    // candidate-generate + verify chain inherits the SCAN's partitioning —
+    // and a 10× corpus is still one ~80 MB parquet split, i.e. ONE task
+    // (measured: 56 s wall at 1.1 cores busy). When the scan is narrower
+    // than the cluster, spread the banded rows on their natural bucket key
+    // (n·L small rows, a few MB — the same exchange a non-broadcast plan
+    // would do anyway); the build side stays narrow for a cheap broadcast,
+    // or falls back to the co-partitioned join at sizes past the cap.
+    val target = vecs.sparkSession.sparkContext.defaultParallelism
+    val banded =
+      if (bandedNarrow.rdd.getNumPartitions >= target) bandedNarrow
+      else bandedNarrow.repartition(target, col("tbl"), col("sig"))
     // VERIFY-THEN-DISTINCT (r9): candidate occurrences stream straight
     // through the vector join-backs and the exact-cosine filter, and only
     // SURVIVORS reach the dedup exchange. The previous shape
@@ -734,8 +747,13 @@ object Dedup {
     // occurrence. Duplicates produce bit-identical (id_a, id_b, cosine)
     // rows — same vectors, same fold order — so the final distinct
     // collapses them exactly and the result set is unchanged.
+    val bandedBytes = n * tablesAdaptive.toLong * 40
+    val buildSide =
+      if (bandedBytes <= lookupBroadcastCap)
+        broadcast(bandedNarrow.select(col(idCol).as("id_b"), col("tbl"), col("sig")))
+      else banded.select(col(idCol).as("id_b"), col("tbl"), col("sig"))
     val candidates = banded.select(col(idCol).as("id_a"), col("tbl"), col("sig"))
-      .join(banded.select(col(idCol).as("id_b"), col("tbl"), col("sig")), Seq("tbl", "sig"))
+      .join(buildSide, Seq("tbl", "sig"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
     candidates
@@ -797,7 +815,8 @@ object Dedup {
     // the fresh batch is usually small (always broadcast-able in the d15
     // ingest shape); the standing corpus side falls back to a shuffle join
     // past the cap, where the d12-style bucketed signature index co-locates
-    val vfSide = if (vectorLookupBytes(vf.count(), dim) <= lookupBroadcastCap) broadcast(vf) else vf
+    val nFresh = vf.count()
+    val vfSide = if (vectorLookupBytes(nFresh, dim) <= lookupBroadcastCap) broadcast(vf) else vf
     val vcSide = if (vectorLookupBytes(nCorpus, dim) <= lookupBroadcastCap) broadcast(vc) else vc
     val allSigns = Similarity.hyperplaneSigns(fresh.sparkSession,
       tablesAdaptive * planesAdaptive, 0, dim)
@@ -810,9 +829,23 @@ object Dedup {
       v.select(col(idCol).as(as), explode(array(sigCols: _*)).as("bk"))
         .select(col(as), col("bk.tbl").as("tbl"), col("bk.sig").as("sig"))
     }
-    // verify-then-distinct, same rationale as [[embeddingCosinePairsLsh]]
-    val candidates = banded(vf, "fresh_id")
-      .join(banded(vc, "corpus_id"), Seq("tbl", "sig"))
+    // verify-then-distinct + parallelism floor + size-aware broadcast,
+    // same rationale as [[embeddingCosinePairsLsh]]: the corpus side
+    // carries the volume — spread it on the bucket key when the scan is
+    // narrower than the cluster; the fresh side is the natural broadcast
+    // in the d15 ingest shape, falling back to the co-partitioned join.
+    val target = fresh.sparkSession.sparkContext.defaultParallelism
+    val corpusBandedNarrow = banded(vc, "corpus_id")
+    val corpusBanded =
+      if (corpusBandedNarrow.rdd.getNumPartitions >= target) corpusBandedNarrow
+      else corpusBandedNarrow.repartition(target, col("tbl"), col("sig"))
+    val freshBanded = banded(vf, "fresh_id")
+    val freshSide =
+      if (nFresh * tablesAdaptive.toLong * 40 <= lookupBroadcastCap)
+        broadcast(freshBanded)
+      else freshBanded
+    val candidates = corpusBanded
+      .join(freshSide, Seq("tbl", "sig"))
       .select("fresh_id", "corpus_id")
     candidates
       .join(vfSide.select(col(idCol).as("fresh_id"), col("v").as("v_f"),
