@@ -89,6 +89,131 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** All `tables` hyperplane-LSH signatures of a vector in ONE fused loop —
+  * `hyperplane_signatures(vec, flatPlanes)` → ARRAY<LONG> of length
+  * `tables`, where `flatPlanes` is the (tables·planesPerTable) × dim plane
+  * matrix flattened row-major as a plan literal.
+  *
+  * Why an expression and not `planesPerTable × tables` separate
+  * `dot_product` calls: at the corpus-adaptive knob sizes (up to 20×64 =
+  * 1280 planes) the per-plane expression forest blows past Janino's method
+  * budget, whole-stage codegen bails out, and every plane dot runs through
+  * interpreted eval — measured ~7 s per 32 planes over a 20k corpus where
+  * the same arithmetic in a fused loop is milliseconds. One expression =
+  * one tight `tables × planes × dim` loop with the matrix hoisted to a
+  * codegen reference.
+  *
+  * Semantics contract (spec-pinned bit-equality with
+  * [[graft.operators.Similarity.hyperplaneSignatureFrom]]): per plane a
+  * sequential left-fold Σ v[i]·M[p][i] in array order, bit 1 iff ≥ 0,
+  * packed MSB-first within each table (plane t·b is the high bit of
+  * table t's signature). Mismatched dims or a null element → null row,
+  * like [[DotProduct]].
+  */
+case class HyperplaneSignatures(left: Expression, right: Expression,
+                                planesPerTable: Int, tables: Int)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    }) && planesPerTable > 0 && planesPerTable <= 63 && tables > 0
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "hyperplane_signatures expects (ARRAY<DOUBLE> vec, ARRAY<DOUBLE> flat planes) " +
+        s"with 0 < planesPerTable <= 63 and tables > 0, got ${left.dataType.sql} / " +
+        s"${right.dataType.sql}, b=$planesPerTable, L=$tables")
+  }
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = "hyperplane_signatures"
+  override def nullable: Boolean = true
+
+  private def elementsNullable: Boolean = Seq(left, right).exists(_.dataType match {
+    case ArrayType(_, containsNull) => containsNull
+    case _ => false
+  })
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val m = b.asInstanceOf[ArrayData]
+    val dim = v.numElements()
+    val nPlanes = planesPerTable * tables
+    if (m.numElements() != dim.toLong * nPlanes) return null
+    val checkNulls = elementsNullable
+    val sigs = new Array[Long](tables)
+    var p = 0
+    var t = 0
+    while (t < tables) {
+      var acc = 0L
+      var j = 0
+      while (j < planesPerTable) {
+        var d = 0.0
+        val base = p * dim
+        var i = 0
+        while (i < dim) {
+          if (checkNulls && (v.isNullAt(i) || m.isNullAt(base + i))) return null
+          d += v.getDouble(i) * m.getDouble(base + i)
+          i += 1
+        }
+        acc = (acc << 1) | (if (d >= 0.0) 1L else 0L)
+        j += 1; p += 1
+      }
+      sigs(t) = acc
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(sigs)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val dim = ctx.freshName("dim")
+      val sigs = ctx.freshName("sigs")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      val base = ctx.freshName("base")
+      val p = ctx.freshName("p")
+      val t = ctx.freshName("t")
+      val j = ctx.freshName("j")
+      val i = ctx.freshName("i")
+      val done = ctx.freshName("done")
+      val nullCheck =
+        if (elementsNullable)
+          s"if ($a.isNullAt($i) || $b.isNullAt($base + $i)) { ${ev.isNull} = true; $done = true; break; }"
+        else ""
+      s"""
+         |int $dim = $a.numElements();
+         |if ($b.numElements() != (long) $dim * ${planesPerTable * tables}) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long[] $sigs = new long[$tables];
+         |  boolean $done = false;
+         |  int $p = 0;
+         |  for (int $t = 0; $t < $tables && !$done; $t++) {
+         |    long $acc = 0L;
+         |    for (int $j = 0; $j < $planesPerTable && !$done; $j++, $p++) {
+         |      double $d = 0.0;
+         |      int $base = $p * $dim;
+         |      for (int $i = 0; $i < $dim; $i++) {
+         |        $nullCheck
+         |        $d += $a.getDouble($i) * $b.getDouble($base + $i);
+         |      }
+         |      $acc = ($acc << 1) | ($d >= 0.0 ? 1L : 0L);
+         |    }
+         |    $sigs[$t] = $acc;
+         |  }
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($sigs);
+         |  }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): HyperplaneSignatures =
+    copy(left = l, right = r)
+}
+
 object NativeFunctions {
 
   /** Idempotent session registration; exposes `dot_product` to SQL too.
@@ -117,6 +242,36 @@ object NativeFunctions {
   def dotProduct(spark: SparkSession, a: Column, b: Column): Column = {
     register(spark)
     call_function("dot_product", a, b)
+  }
+
+  /** All `tables` LSH signatures of `vec` against the flattened row-major
+    * plane matrix, as one fused-loop column (see [[HyperplaneSignatures]]).
+    */
+  def hyperplaneSignatures(spark: SparkSession, vec: Column,
+                           flatPlanes: Array[Double],
+                           planesPerTable: Int, tables: Int): Column = {
+    registerSignatures(spark)
+    call_function("hyperplane_signatures", vec, lit(flatPlanes),
+      lit(planesPerTable), lit(tables))
+  }
+
+  private def registerSignatures(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    val ident = org.apache.spark.sql.catalyst.FunctionIdentifier("hyperplane_signatures")
+    val alreadyOurs = registry.functionExists(ident) &&
+      (try {
+        val arr = org.apache.spark.sql.catalyst.expressions.Literal.create(
+          Array(0.0), ArrayType(DoubleType, containsNull = false))
+        val one = org.apache.spark.sql.catalyst.expressions.Literal(1)
+        registry.lookupFunction(ident, Seq(arr, arr, one, one))
+          .isInstanceOf[HyperplaneSignatures]
+      } catch { case _: Throwable => false })
+    if (!alreadyOurs) {
+      registry.createOrReplaceTempFunction("hyperplane_signatures", exprs =>
+        HyperplaneSignatures(exprs(0), exprs(1),
+          exprs(2).eval().asInstanceOf[Int], exprs(3).eval().asInstanceOf[Int]),
+        "built-in")
+    }
   }
 
   /** Spark's own runtime-filter primitives — `BloomFilterAggregate` /

@@ -688,9 +688,18 @@ object Dedup {
                               threshold: Double, planesPerTable: Int = 0,
                               tables: Int = 0): DataFrame = {
     graft.functions.NativeFunctions.register(vecs.sparkSession)
-    val v = Caching.persisted(
+    // PARALLELISM FLOOR (r9): with every downstream join a broadcast there
+    // is no exchange in the candidate pipeline, so signature computation,
+    // candidate generation and verification ALL inherit the scan's
+    // partitioning — and a 10× corpus is still one ~80 MB parquet split,
+    // i.e. ONE task end to end (measured: 56 s wall at 1.1 cores busy).
+    // When the scan is narrower than the cluster, hash-spread the cached
+    // projection by id ONCE (vectors are small rows; ~10 MB here) so every
+    // downstream stage runs cluster-wide. At real corpus sizes the scan is
+    // already wide and this is a no-op.
+    val v = Caching.persisted(widenedToCluster(
       vecs.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
-        .withColumn("norm", Similarity.l2norm(col("v"))))
+        .withColumn("norm", Similarity.l2norm(col("v"))), idCol))
     val n = v.count()
     val (planesAdaptive, tablesAdaptive) =
       if (planesPerTable > 0 && tables > 0) (planesPerTable, tables)
@@ -710,31 +719,18 @@ object Dedup {
     // ([[lookupBroadcastCap]]); past that, the shuffle join is the right
     // plan and the standing-index bucket layout (d12/d15) is the scale path.
     val vSide = if (vectorLookupBytes(n, dim) <= lookupBroadcastCap) broadcast(v) else v
-    // signs hoisted once for all tables (bit-identical to the per-row HOF
-    // signature — see Similarity.hyperplaneSignatureFrom); an empty corpus
-    // degenerates to dim 0 / empty signs and an empty result, not a throw
+    // signs hoisted once for all tables, all signatures computed in ONE
+    // fused codegen loop (hyperplane_signatures — bit-identical to the
+    // per-plane dot_product form, spec-pinned; at adaptive knob sizes the
+    // per-plane expression forest fell out of whole-stage codegen and ran
+    // interpreted, ~7 s per 32 planes at 10×); an empty corpus degenerates
+    // to dim 0 / empty signs and an empty result, not a throw
     val allSigns = Similarity.hyperplaneSigns(vecs.sparkSession,
       tablesAdaptive * planesAdaptive, 0, dim)
-    val sigCols = (0 until tablesAdaptive).map { l =>
-      struct(lit(l).as("tbl"),
-        Similarity.hyperplaneSignatureFrom(col("v"),
-          allSigns.slice(l * planesAdaptive, (l + 1) * planesAdaptive)).as("sig"))
-    }
-    val bandedNarrow = v.select(col(idCol), explode(array(sigCols: _*)).as("bk"))
-      .select(col(idCol), col("bk.tbl").as("tbl"), col("bk.sig").as("sig"))
-    // PARALLELISM FLOOR (r9): with every downstream join a broadcast there
-    // is no exchange left in the pipeline, so the whole
-    // candidate-generate + verify chain inherits the SCAN's partitioning —
-    // and a 10× corpus is still one ~80 MB parquet split, i.e. ONE task
-    // (measured: 56 s wall at 1.1 cores busy). When the scan is narrower
-    // than the cluster, spread the banded rows on their natural bucket key
-    // (n·L small rows, a few MB — the same exchange a non-broadcast plan
-    // would do anyway); the build side stays narrow for a cheap broadcast,
-    // or falls back to the co-partitioned join at sizes past the cap.
-    val target = vecs.sparkSession.sparkContext.defaultParallelism
-    val banded =
-      if (bandedNarrow.rdd.getNumPartitions >= target) bandedNarrow
-      else bandedNarrow.repartition(target, col("tbl"), col("sig"))
+    val banded = v.select(col(idCol),
+        posexplode(graft.functions.NativeFunctions.hyperplaneSignatures(
+          vecs.sparkSession, col("v"), allSigns.flatten,
+          planesAdaptive, tablesAdaptive)).as(Seq("tbl", "sig")))
     // VERIFY-THEN-DISTINCT (r9): candidate occurrences stream straight
     // through the vector join-backs and the exact-cosine filter, and only
     // SURVIVORS reach the dedup exchange. The previous shape
@@ -750,7 +746,7 @@ object Dedup {
     val bandedBytes = n * tablesAdaptive.toLong * 40
     val buildSide =
       if (bandedBytes <= lookupBroadcastCap)
-        broadcast(bandedNarrow.select(col(idCol).as("id_b"), col("tbl"), col("sig")))
+        broadcast(banded.select(col(idCol).as("id_b"), col("tbl"), col("sig")))
       else banded.select(col(idCol).as("id_b"), col("tbl"), col("sig"))
     val candidates = banded.select(col(idCol).as("id_a"), col("tbl"), col("sig"))
       .join(buildSide, Seq("tbl", "sig"))
@@ -767,6 +763,18 @@ object Dedup {
 
   /** Driver-side estimate of an (id, vec, norm) lookup's in-memory size. */
   private def vectorLookupBytes(n: Long, dim: Int): Long = n * (dim.toLong * 8 + 48)
+
+  /** Hash-spread `df` by `key` up to defaultParallelism when its plan is
+    * narrower — the parallelism floor for broadcast-only pipelines whose
+    * every stage otherwise inherits a single-split scan. Deterministic
+    * placement (hash partitioning, not round-robin); a no-op whenever the
+    * source is already at least cluster-wide.
+    */
+  private def widenedToCluster(df: DataFrame, key: String): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df
+    else df.repartition(target, col(key))
+  }
 
   /** Explicit-broadcast ceiling for vector lookups (128 MB): far above
     * Spark's conservative 10 MB default — a 128 MB hashed relation is
@@ -796,9 +804,9 @@ object Dedup {
                                    threshold: Double, planesPerTable: Int = 0,
                                    tables: Int = 0): DataFrame = {
     graft.functions.NativeFunctions.register(fresh.sparkSession)
-    def prep(df: DataFrame) = Caching.persisted(
+    def prep(df: DataFrame) = Caching.persisted(widenedToCluster(
       df.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
-        .withColumn("norm", Similarity.l2norm(col("v"))))
+        .withColumn("norm", Similarity.l2norm(col("v"))), idCol))
     val vf = prep(fresh)
     val vc = prep(corpus)
     // bucket occupancy is governed by the STANDING side: adapt to corpus n
@@ -820,31 +828,22 @@ object Dedup {
     val vcSide = if (vectorLookupBytes(nCorpus, dim) <= lookupBroadcastCap) broadcast(vc) else vc
     val allSigns = Similarity.hyperplaneSigns(fresh.sparkSession,
       tablesAdaptive * planesAdaptive, 0, dim)
-    def banded(v: DataFrame, as: String) = {
-      val sigCols = (0 until tablesAdaptive).map { l =>
-        struct(lit(l).as("tbl"),
-          Similarity.hyperplaneSignatureFrom(col("v"),
-            allSigns.slice(l * planesAdaptive, (l + 1) * planesAdaptive)).as("sig"))
-      }
-      v.select(col(idCol).as(as), explode(array(sigCols: _*)).as("bk"))
-        .select(col(as), col("bk.tbl").as("tbl"), col("bk.sig").as("sig"))
-    }
-    // verify-then-distinct + parallelism floor + size-aware broadcast,
-    // same rationale as [[embeddingCosinePairsLsh]]: the corpus side
-    // carries the volume — spread it on the bucket key when the scan is
-    // narrower than the cluster; the fresh side is the natural broadcast
-    // in the d15 ingest shape, falling back to the co-partitioned join.
-    val target = fresh.sparkSession.sparkContext.defaultParallelism
-    val corpusBandedNarrow = banded(vc, "corpus_id")
-    val corpusBanded =
-      if (corpusBandedNarrow.rdd.getNumPartitions >= target) corpusBandedNarrow
-      else corpusBandedNarrow.repartition(target, col("tbl"), col("sig"))
+    def banded(v: DataFrame, as: String) =
+      v.select(col(idCol).as(as),
+        posexplode(graft.functions.NativeFunctions.hyperplaneSignatures(
+          fresh.sparkSession, col("v"), allSigns.flatten,
+          planesAdaptive, tablesAdaptive)).as(Seq("tbl", "sig")))
+    // verify-then-distinct + parallelism floor (prep widens both cached
+    // sides) + size-aware broadcast, same rationale as
+    // [[embeddingCosinePairsLsh]]: the corpus side carries the volume;
+    // the fresh side is the natural broadcast in the d15 ingest shape,
+    // falling back to the co-partitioned join past the cap.
     val freshBanded = banded(vf, "fresh_id")
     val freshSide =
       if (nFresh * tablesAdaptive.toLong * 40 <= lookupBroadcastCap)
         broadcast(freshBanded)
       else freshBanded
-    val candidates = corpusBanded
+    val candidates = banded(vc, "corpus_id")
       .join(freshSide, Seq("tbl", "sig"))
       .select("fresh_id", "corpus_id")
     candidates

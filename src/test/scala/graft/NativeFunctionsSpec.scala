@@ -48,6 +48,43 @@ class NativeFunctionsSpec extends SparkSpec {
     assert(out.isNullAt(0) && out.isNullAt(1))
   }
 
+  test("hyperplane_signatures: fused loop bit-matches the per-plane dot_product form") {
+    // real vectors, several (b, L) shapes incl. the adaptive ladder points
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .limit(200)
+    for ((b, l) <- Seq((4, 8), (8, 16), (5, 3))) {
+      val signs = Similarity.hyperplaneSigns(spark, b * l, 0, 64)
+      val perPlane = (0 until l).map { t =>
+        Similarity.hyperplaneSignatureFrom(col("v"),
+          signs.slice(t * b, (t + 1) * b))
+      }
+      val diff = e.select(
+        NativeFunctions.hyperplaneSignatures(spark, col("v"), signs.flatten, b, l).as("fused"),
+        array(perPlane: _*).as("per_plane"))
+        .filter(col("fused") =!= col("per_plane"))
+      assert(diff.count() === 0, s"signature mismatch at (b=$b, L=$l)")
+    }
+  }
+
+  test("hyperplane_signatures: interpreted eval matches codegen; nulls on mismatch") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("embedding").cast("array<double>").as("v")).limit(50)
+    val signs = Similarity.hyperplaneSigns(spark, 12, 0, 64).flatten
+    val viaCodegen = e.select(
+      NativeFunctions.hyperplaneSignatures(spark, col("v"), signs, 4, 3).as("s"))
+      .collect().map(_.getSeq[Long](0))
+    val expr = graft.functions.HyperplaneSignatures(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(null,
+        ArrayType(DoubleType)), Literal.create(null, ArrayType(DoubleType)), 4, 3)
+    assert(expr.eval(null) === null) // null inputs -> null
+    // wrong matrix length -> null row, not a crash
+    val bad = e.select(NativeFunctions.hyperplaneSignatures(
+      spark, col("v"), signs.take(100), 4, 3).as("s")).collect()
+    assert(bad.forall(_.isNullAt(0)))
+    assert(viaCodegen.nonEmpty && viaCodegen.forall(_.length == 3))
+  }
+
   test("TopKAggregator ranks NaN first, matching SQL NaN-is-largest ordering") {
     val data = Seq((1L, 10L, 0.5), (1L, 11L, Double.NaN), (1L, 12L, 0.9))
       .toDF("query_id", "neighbor_id", "cosine")
