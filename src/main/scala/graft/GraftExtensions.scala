@@ -37,6 +37,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
               "docroot" -> "https://spark.apache.org/docs/latest"))
         DotProduct(exprs(0), exprs(1))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("hyperplane_signatures"),
+      new ExpressionInfo(classOf[graft.functions.HyperplaneSignatures].getName,
+        "hyperplane_signatures"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        if (exprs.length != 4)
+          throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+            messageParameters = Map(
+              "functionName" -> "`hyperplane_signatures`",
+              "expectedNum" -> "4",
+              "actualNum" -> exprs.length.toString,
+              "docroot" -> "https://spark.apache.org/docs/latest"))
+        graft.functions.HyperplaneSignatures(exprs(0), exprs(1),
+          exprs(2).eval().asInstanceOf[Int], exprs(3).eval().asInstanceOf[Int])
+      }))
     // The explicit runtime-filter pair (see NativeFunctions.registerBloom):
     // internal Spark expressions surfaced under graft_ names so pure-SQL
     // sessions can build/probe bloom sketches for semi-join reductions.
