@@ -67,6 +67,23 @@ class PlanSpec extends SparkSpec {
     assert(allPairs(physicalPlan("d05_dedup_embedding_cosine")))
   }
 
+  test("d06: candidates stay off the wire — broadcast joins, fused signatures (r9)") {
+    val plan = physicalPlan("d06_dedup_embedding_lsh")
+    // the joins around candidate generation + verification must all be
+    // broadcasts at lookup sizes under the cap: a SortMergeJoin here means
+    // Catalyst's under-estimate won and every candidate occurrence is
+    // being shuffled+sorted WITH its vector payload again (the r9 13 GB
+    // spill shape)
+    assert(!plan.contains("SortMergeJoin"),
+      s"candidate pipeline must not sort-merge join:\n${plan.take(800)}")
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 3,
+      s"expected broadcast self-join + two vector join-backs:\n${plan.take(800)}")
+    // signatures come from the fused native expression, not a per-plane
+    // dot_product forest (which falls out of codegen at adaptive sizes)
+    assert(plan.contains("hyperplane_signatures"),
+      "banding must use the fused hyperplane_signatures expression")
+  }
+
   test("d02: shingle set materializes with no exchange of its own") {
     // The distinct (doc, shingle) set is per-doc array_distinct before the
     // explode — doc_id is part of the key, so a global `.distinct()` would
