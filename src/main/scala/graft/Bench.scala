@@ -219,6 +219,19 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.ui.enabled", "false")
+      // Scan-split sizing experiment knob (SCALE.md "scan-stage
+      // parallelism"): heavy per-row text work (shingling, tokenizing)
+      // runs IN the scan stage, so wall scales with splits, not cores,
+      // once a corpus outgrows cores × maxPartitionBytes. Default is
+      // Spark's 128 MB; the smoke uses this to measure the effect.
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("SPARK_GRAFT_MAX_PARTITION_BYTES", "134217728"))
+      // Companion knob for compute-dense-per-byte stages: AQE's
+      // bytes-based coalescing shrinks a 5 MB shuffle to ~5 partitions
+      // even when each byte drives ~µs of verification CPU. Default is
+      // Spark's 1 MB.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PARTITION", "1048576"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val work = new WorkMetricsListener
