@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, unix_micros}
 import org.apache.spark.sql.types._
 
 import graft.queries.Q
@@ -99,6 +99,44 @@ class TestdataCanarySpec extends SparkSpec {
         assert(adapted.limit(1).collect().length === 1)
       }
     }
+  }
+
+  test("canary: the epoch-nanos branch still round-trips (driver may regenerate as int64)") {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    // Build a single-FILE events.parquet with ts as epoch-nanos int64 —
+    // the rounds-1..7 physical layout the adaptive reader must keep
+    // supporting. Spark writes directories, the testdata layout is one
+    // file, and the streaming probe's pathGlobFilter matches leaf file
+    // names — so write to a staging dir and move the lone part file.
+    val root = Files.createTempDirectory("graft-nanos-canary")
+    val staging = root.resolve("staging")
+    Seq(
+      (1L, 1700000000123456789L, 10L, "click", 1.5, "{}"),
+      (2L, 1700000003999999999L, 11L, "view", 2.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(staging.toString)
+    val part = staging.toFile.listFiles().filter(_.getName.endsWith(".parquet")).head
+    Files.move(part.toPath, root.resolve("events.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+
+    // batch: LongType -> truncating nanos->micros TimestampType
+    val batch = Q.events(spark, root.toString)
+    assert(batch.schema("ts").dataType === TimestampType)
+    val micros = batch.orderBy("event_id")
+      .select(unix_micros(col("ts"))).as[Long].collect()
+    assert(micros === Array(1700000000123456L, 1700000003999999L),
+      s"nanos must truncate to micros like DuckDB's TIMESTAMP_NS cast, got ${micros.toSeq}")
+
+    // streaming: the schema probe must land on the same adapted type and
+    // the stream must actually deliver the rows
+    val stream = graft.streaming.EventsStream.readEvents(spark, root.toString)
+    assert(stream.isStreaming)
+    assert(stream.schema("ts").dataType === TimestampType)
+    graft.streaming.EventsStream.runAvailableNow(
+      stream.groupBy(col("event_type")).count(), "nanos_canary",
+      outputMode = "complete")
+    assert(spark.table("nanos_canary").count() === 2)
   }
 
   test("canary: adaptEventTs fails LOUDLY on an unsupported ts type, naming it") {
