@@ -214,6 +214,191 @@ case class HyperplaneSignatures(left: Expression, right: Expression,
     copy(left = l, right = r)
 }
 
+/** Max-similarity centroid id of a vector against a centroid matrix in ONE
+  * fused loop — `nearest_centroid(vec, flatCents, norms, useVnorm)` → LONG.
+  * `flatCents` is the k × dim centroid matrix flattened row-major and
+  * `norms` the k centroid L2 norms, both plan literals.
+  *
+  * Same motivation as [[HyperplaneSignatures]]: the k-struct
+  * `array_max(array(struct(dot/…, -ci)…))` argmax forest blows past the
+  * codegen budget once k is corpus-adaptive (√n — 141 at the 10× smoke)
+  * and every dot runs interpreted.
+  *
+  * Semantics contract (spec-pinned bit-equality with the struct-argmax
+  * form, [[graft.operators.Similarity.assignToCentroids]]):
+  *  - per centroid, sim = dot/(vnorm·norm_ci) when `useVnorm` (cosine
+  *    assignment; vnorm = √(Σv²) over the same sequential fold as
+  *    `l2norm`, divisions in the same association) or dot/norm_ci when not
+  *    (the k-means iteration form, argmax-invariant to the positive vnorm
+  *    factor), where a zero norm_ci in the latter form pins sim = -∞ (the
+  *    degenerate-seed guard);
+  *  - a null dot (null element / dim mismatch) is a NULL sim, ranking
+  *    below every value exactly like Spark's struct ordering;
+  *  - winner = highest sim under Spark's double total order
+  *    (java.lang.Double.compare: NaN above all, -0.0 < 0.0), ties to the
+  *    LOWEST ci — the `(sim, -ci)` lexicographic max.
+  *
+  * Degenerate norms (cosine form only): division is IEEE, like the DuckDB
+  * oracle — a zero vnorm makes every sim NaN (→ ci 0 by the tie rule); an
+  * un-guarded zero-norm CENTROID yields 0/0 = NaN which ranks above every
+  * real sim and captures the row. NB the expression-forest form this
+  * replaces did NOT get that far under Spark 4's default ANSI mode — it
+  * threw DIVIDE_BY_ZERO — so the fused loop is strictly more permissive
+  * there, and agrees with the oracle. Training paths use the guarded
+  * iteration form (`useVnorm = false`, zero-norm → -∞), so the hazard is
+  * confined to a genuinely zero-mean trained cluster.
+  */
+case class NearestCentroid(first: Expression, second: Expression,
+                           third: Expression, useVnorm: Boolean)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(first, second, third).forall(_.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "nearest_centroid expects (ARRAY<DOUBLE> vec, ARRAY<DOUBLE> flat centroids, " +
+        s"ARRAY<DOUBLE> norms), got ${first.dataType.sql} / ${second.dataType.sql} / ${third.dataType.sql}")
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "nearest_centroid"
+  override def nullable: Boolean = true
+
+  private def vecElementsNullable: Boolean = first.dataType match {
+    case ArrayType(_, containsNull) => containsNull
+    case _ => false
+  }
+
+  override def nullSafeEval(a: Any, b: Any, c: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val cents = b.asInstanceOf[ArrayData]
+    val norms = c.asInstanceOf[ArrayData]
+    val dim = v.numElements()
+    val k = norms.numElements()
+    if (k == 0) return null
+    val dimOk = cents.numElements() == dim.toLong * k
+    var vHasNull = false
+    if (vecElementsNullable) {
+      var i = 0
+      while (i < dim && !vHasNull) { vHasNull = v.isNullAt(i); i += 1 }
+    }
+    val dotNull = !dimOk || vHasNull
+    var vnorm = 0.0
+    if (useVnorm && !dotNull) {
+      var i = 0
+      var acc = 0.0
+      while (i < dim) { acc += v.getDouble(i) * v.getDouble(i); i += 1 }
+      vnorm = math.sqrt(acc)
+    }
+    var bestCi = 0
+    var bestSim = 0.0
+    var bestNull = true
+    var ci = 0
+    while (ci < k) {
+      val norm = norms.getDouble(ci)
+      var simNull = dotNull
+      var sim = 0.0
+      if (!useVnorm && norm == 0.0) { sim = Double.NegativeInfinity; simNull = false }
+      else if (!dotNull) {
+        var d = 0.0
+        val base = ci * dim
+        var i = 0
+        while (i < dim) { d += v.getDouble(i) * cents.getDouble(base + i); i += 1 }
+        sim = if (useVnorm) d / (vnorm * norm) else d / norm
+      }
+      val wins =
+        if (ci == 0) true
+        else if (simNull) false
+        else if (bestNull) true
+        else java.lang.Double.compare(sim, bestSim) > 0
+      if (wins) { bestCi = ci; bestSim = sim; bestNull = simNull }
+      ci += 1
+    }
+    bestCi.toLong
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b, c) => {
+      val dim = ctx.freshName("dim")
+      val k = ctx.freshName("k")
+      val dotNull = ctx.freshName("dotNull")
+      val vnorm = ctx.freshName("vnorm")
+      val acc = ctx.freshName("acc")
+      val bestCi = ctx.freshName("bestCi")
+      val bestSim = ctx.freshName("bestSim")
+      val bestNull = ctx.freshName("bestNull")
+      val ci = ctx.freshName("ci")
+      val i = ctx.freshName("i")
+      val d = ctx.freshName("d")
+      val base = ctx.freshName("base")
+      val norm = ctx.freshName("nrm")
+      val sim = ctx.freshName("sim")
+      val simNull = ctx.freshName("simNull")
+      val wins = ctx.freshName("wins")
+      val vNullScan =
+        if (vecElementsNullable)
+          s"for (int $i = 0; $i < $dim && !$dotNull; $i++) { if ($a.isNullAt($i)) $dotNull = true; }"
+        else ""
+      val vnormCalc =
+        if (useVnorm)
+          s"""
+             |double $acc = 0.0;
+             |if (!$dotNull) {
+             |  for (int $i = 0; $i < $dim; $i++) {
+             |    $acc += $a.getDouble($i) * $a.getDouble($i);
+             |  }
+             |  $vnorm = java.lang.Math.sqrt($acc);
+             |}
+           """.stripMargin
+        else ""
+      val simCalc =
+        if (useVnorm) s"$sim = $d / ($vnorm * $norm);"
+        else s"$sim = $d / $norm;"
+      val zeroNormGuard =
+        if (useVnorm) ""
+        else s"if ($norm == 0.0) { $sim = Double.NEGATIVE_INFINITY; $simNull = false; } else"
+      s"""
+         |int $dim = $a.numElements();
+         |int $k = $c.numElements();
+         |if ($k == 0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  boolean $dotNull = $b.numElements() != (long) $dim * $k;
+         |  $vNullScan
+         |  double $vnorm = 0.0;
+         |  $vnormCalc
+         |  int $bestCi = 0;
+         |  double $bestSim = 0.0;
+         |  boolean $bestNull = true;
+         |  for (int $ci = 0; $ci < $k; $ci++) {
+         |    double $norm = $c.getDouble($ci);
+         |    boolean $simNull = $dotNull;
+         |    double $sim = 0.0;
+         |    $zeroNormGuard
+         |    if (!$dotNull) {
+         |      double $d = 0.0;
+         |      int $base = $ci * $dim;
+         |      for (int $i = 0; $i < $dim; $i++) {
+         |        $d += $a.getDouble($i) * $b.getDouble($base + $i);
+         |      }
+         |      $simCalc
+         |    }
+         |    boolean $wins = ($ci == 0) ||
+         |      (!$simNull && ($bestNull || java.lang.Double.compare($sim, $bestSim) > 0));
+         |    if ($wins) { $bestCi = $ci; $bestSim = $sim; $bestNull = $simNull; }
+         |  }
+         |  ${ev.value} = (long) $bestCi;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+                                                 t: Expression): NearestCentroid =
+    copy(first = f, second = s, third = t)
+}
+
 object NativeFunctions {
 
   /** Idempotent session registration; exposes `dot_product` to SQL too.
@@ -253,6 +438,40 @@ object NativeFunctions {
     registerSignatures(spark)
     call_function("hyperplane_signatures", vec, lit(flatPlanes),
       lit(planesPerTable), lit(tables))
+  }
+
+  /** Nearest-centroid id by the fused argmax loop (see [[NearestCentroid]]).
+    * `useVnorm = true` is the cosine-assignment form; `false` the k-means
+    * iteration form (vnorm factored out, zero-norm seeds pinned to -∞).
+    */
+  def nearestCentroid(spark: SparkSession, vec: Column,
+                      flatCents: Array[Double], norms: Array[Double],
+                      useVnorm: Boolean): Column = {
+    registerNearest(spark)
+    call_function(
+      if (useVnorm) "nearest_centroid_cos" else "nearest_centroid_dot",
+      vec, lit(flatCents), lit(norms))
+  }
+
+  private def registerNearest(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    Seq(("nearest_centroid_cos", true), ("nearest_centroid_dot", false)).foreach {
+      case (name, useVnorm) =>
+        val ident = org.apache.spark.sql.catalyst.FunctionIdentifier(name)
+        val alreadyOurs = registry.functionExists(ident) &&
+          (try {
+            val arr = org.apache.spark.sql.catalyst.expressions.Literal.create(
+              Array(0.0), ArrayType(DoubleType, containsNull = false))
+            registry.lookupFunction(ident, Seq(arr, arr, arr)) match {
+              case NearestCentroid(_, _, _, u) => u == useVnorm
+              case _ => false
+            }
+          } catch { case _: Throwable => false })
+        if (!alreadyOurs) {
+          registry.createOrReplaceTempFunction(name, exprs =>
+            NearestCentroid(exprs(0), exprs(1), exprs(2), useVnorm), "built-in")
+        }
+    }
   }
 
   private def registerSignatures(spark: SparkSession): Unit = {

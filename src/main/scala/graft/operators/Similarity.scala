@@ -306,18 +306,15 @@ object Similarity {
       if (cents.isEmpty) return Array.empty
       for (_ <- 0 until iters) {
         val norms = cents.map(c => math.sqrt(c.foldLeft(0.0)((a, x) => a + x * x)))
-        // struct(sim, -cid): array_max's lexicographic max = highest sim,
-        // then lowest cid — the deterministic tie-break. A zero-norm
-        // centroid (degenerate seed) must rank BELOW everything — dividing
-        // by it would give NaN, which SQL ranks above all doubles and would
-        // silently swallow every assignment.
-        val simStructs = cents.indices.map { ci =>
-          val sim =
-            if (norms(ci) == 0.0) lit(Double.NegativeInfinity)
-            else dot(col("v"), lit(cents(ci))) / lit(norms(ci))
-          struct(sim.as("sim"), lit(-ci).as("ncid"))
-        }
-        val assigned = v.withColumn("cid", -array_max(array(simStructs: _*)).getField("ncid"))
+        // fused argmax (nearest_centroid_dot): highest dot/norm, ties to
+        // the lowest cid, zero-norm (degenerate-seed) centroids pinned to
+        // -∞ so they can never swallow assignments. Bit-identical to the
+        // struct(sim, -cid)/array_max form (NativeFunctionsSpec pins it) —
+        // the k-expression argmax forest fell out of whole-stage codegen
+        // at corpus-adaptive k = √n and ran interpreted.
+        val assigned = v.withColumn("cid",
+          graft.functions.NativeFunctions.nearestCentroid(
+            corpus.sparkSession, col("v"), cents.flatten, norms, useVnorm = false))
         // Per-dimension sums as PER-PARTITION exact partial sums
         // ([[centroidPartials]]): each task emits at most k rows (cid →
         // array of decimal component sums + count), so the per-iteration
@@ -442,14 +439,16 @@ object Similarity {
                                        cents: Array[Array[Double]]): DataFrame = {
     graft.functions.NativeFunctions.register(corpus.sparkSession)
     val norms = cents.map(c => math.sqrt(c.foldLeft(0.0)((a, x) => a + x * x)))
-    val simStructs = cents.indices.map { ci =>
-      struct((dot(col("v"), lit(cents(ci))) / (col("v_norm") * lit(norms(ci))))
-        .as("sim"), lit(-ci).as("ncid"))
-    }
+    // fused cosine argmax (nearest_centroid_cos): same values, same
+    // Double.compare ordering and min-ci tie-break as the struct/array_max
+    // form it replaces (spec-pinned) — one tight k × dim loop instead of a
+    // k-expression forest that leaves whole-stage codegen at k = √n.
     corpus
       .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
       .withColumn("v_norm", l2norm(col("v")))
-      .withColumn("cid", (-array_max(array(simStructs: _*)).getField("ncid")).cast("long"))
+      .withColumn("cid",
+        graft.functions.NativeFunctions.nearestCentroid(
+          corpus.sparkSession, col("v"), cents.flatten, norms, useVnorm = true))
       .select(col("id"), col("v"), col("v_norm"), col("cid"))
   }
 

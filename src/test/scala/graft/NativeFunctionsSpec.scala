@@ -85,6 +85,71 @@ class NativeFunctionsSpec extends SparkSpec {
     assert(viaCodegen.nonEmpty && viaCodegen.forall(_.length == 3))
   }
 
+  test("nearest_centroid: fused argmax bit-matches the struct/array_max forest") {
+    // the struct(sim, -ci)/array_max reference, in both divisor forms
+    def reference(df: org.apache.spark.sql.DataFrame, cents: Array[Array[Double]],
+                  useVnorm: Boolean): org.apache.spark.sql.Column = {
+      val norms = cents.map(c => math.sqrt(c.foldLeft(0.0)((a, x) => a + x * x)))
+      val structs = cents.indices.map { ci =>
+        val sim =
+          if (!useVnorm && norms(ci) == 0.0) lit(Double.NegativeInfinity)
+          else if (useVnorm)
+            Similarity.dot(col("v"), lit(cents(ci))) / (col("v_norm") * lit(norms(ci)))
+          else Similarity.dot(col("v"), lit(cents(ci))) / lit(norms(ci))
+        struct(sim.as("sim"), lit(-ci).as("ncid"))
+      }
+      (-array_max(array(structs: _*)).getField("ncid")).cast("long")
+    }
+    val real = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("v"))
+    // adversarial fixtures: a zero vector (cosine sims all NaN — NaN ranks
+    // above all doubles in Spark's ordering), exact ties via duplicated
+    // centroids (→ lowest ci), and a ragged-dim vector (null sims → ci 0)
+    val weird = Seq(
+      (9001L, Seq(0.0, 0.0, 0.0, 0.0)),
+      (9002L, Seq(1.0, 2.0, 3.0, 4.0)),
+      (9003L, Seq(-1.0, -2.0, 3.0, 4.0)),
+      (9004L, Seq(1.0, 2.0)) // ragged
+    ).toDF("id", "v").select(col("id"), col("v").cast("array<double>").as("v"))
+    val centsReal = Similarity.kmeansCentroids(real, "id", "v", 7, 1)
+    val centsWeird = Array(
+      Array(1.0, 0.0, 0.0, 0.0),
+      Array(0.0, 0.0, 0.0, 0.0), // zero-norm centroid (degenerate seed)
+      Array(1.0, 0.0, 0.0, 0.0), // duplicate of ci 0 → tie
+      Array(0.0, 1.0, 0.0, 0.0))
+    // reference-comparable cases: the real corpus (both modes — no
+    // degenerate norms) and the weird fixture in iteration mode (its
+    // zero-norm guard predates the division). The weird fixture in cosine
+    // mode is NOT reference-comparable: under Spark 4's default ANSI mode
+    // the struct form THROWS DIVIDE_BY_ZERO on a zero norm, while the
+    // fused loop keeps IEEE semantics (NaN/∞) — which is what the DuckDB
+    // oracle computes too. Those cases are pinned explicitly below.
+    for ((df, cents, useVnorm) <- Seq(
+      (real, centsReal, true), (real, centsReal, false), (weird, centsWeird, false))) {
+      val norms = cents.map(c => math.sqrt(c.foldLeft(0.0)((a, x) => a + x * x)))
+      val withNorm = df.withColumn("v_norm", Similarity.l2norm(col("v")))
+      val diff = withNorm.select(
+        NativeFunctions.nearestCentroid(spark, col("v"), cents.flatten, norms,
+          useVnorm).as("fused"),
+        reference(withNorm, cents, useVnorm).as("ref"))
+        .filter(col("fused") =!= col("ref") ||
+          col("fused").isNull =!= col("ref").isNull)
+      assert(diff.count() === 0, s"argmax drift (useVnorm=$useVnorm)")
+    }
+    // degenerate cosine semantics, pinned: IEEE division like the oracle —
+    // a zero vnorm makes every sim NaN (ties → ci 0); an un-guarded
+    // zero-norm CENTROID yields 0/0 = NaN which ranks above every real sim
+    // (the documented degenerate-seed hazard — training goes through the
+    // guarded iteration form, so this arises only from a genuinely
+    // zero-mean cluster); a ragged vector nulls every sim → ci 0.
+    val normsW = centsWeird.map(c => math.sqrt(c.foldLeft(0.0)((a, x) => a + x * x)))
+    val got = weird.select(col("id"),
+      NativeFunctions.nearestCentroid(spark, col("v"), centsWeird.flatten,
+        normsW, useVnorm = true).as("cid"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(9001L -> 0L, 9002L -> 1L, 9003L -> 1L, 9004L -> 0L))
+  }
+
   test("TopKAggregator ranks NaN first, matching SQL NaN-is-largest ordering") {
     val data = Seq((1L, 10L, 0.5), (1L, 11L, Double.NaN), (1L, 12L, 0.9))
       .toDF("query_id", "neighbor_id", "cosine")
