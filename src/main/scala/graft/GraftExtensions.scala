@@ -53,6 +53,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.HyperplaneSignatures(exprs(0), exprs(1),
           exprs(2).eval().asInstanceOf[Int], exprs(3).eval().asInstanceOf[Int])
       }))
+    Seq(("nearest_centroid_cos", true), ("nearest_centroid_dot", false)).foreach {
+      case (name, useVnorm) =>
+        ext.injectFunction((
+          FunctionIdentifier(name),
+          new ExpressionInfo(classOf[graft.functions.NearestCentroid].getName, name),
+          (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+            if (exprs.length != 3)
+              throw new org.apache.spark.sql.AnalysisException(
+                errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+                messageParameters = Map(
+                  "functionName" -> s"`$name`",
+                  "expectedNum" -> "3",
+                  "actualNum" -> exprs.length.toString,
+                  "docroot" -> "https://spark.apache.org/docs/latest"))
+            graft.functions.NearestCentroid(exprs(0), exprs(1), exprs(2), useVnorm)
+          }))
+    }
     // The explicit runtime-filter pair (see NativeFunctions.registerBloom):
     // internal Spark expressions surfaced under graft_ names so pure-SQL
     // sessions can build/probe bloom sketches for semi-join reductions.
