@@ -662,8 +662,13 @@ object Dedup {
     * (ExtensionSpec) so the anchor can't drift silently.
     */
   def adaptiveLshKnobs(n: Long): (Int, Int) = {
-    val b = math.min(20, math.max(4,
-      math.ceil(math.log(math.max(n, 1).toDouble) / math.log(2)).toInt - 7))
+    // exact integer ⌈log₂(n)⌉ (ADVICE r9): the double-log formulation held
+    // the spec-pinned (4,8) anchor at n=2048 only because libm's ln came out
+    // exactly integral there — 64 - nlz(n-1) has no such dependence
+    val ceilLog2 =
+      if (n <= 1L) 0
+      else 64 - java.lang.Long.numberOfLeadingZeros(n - 1)
+    val b = math.min(20, math.max(4, ceilLog2 - 7))
     val l = if (b <= 6) 8 else if (b <= 10) 16 else if (b <= 14) 32 else 64
     (b, l)
   }
@@ -701,13 +706,7 @@ object Dedup {
       vecs.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
         .withColumn("norm", Similarity.l2norm(col("v"))), idCol))
     val n = v.count()
-    val (planesAdaptive, tablesAdaptive) =
-      if (planesPerTable > 0 && tables > 0) (planesPerTable, tables)
-      else {
-        val (ab, al) = adaptiveLshKnobs(n)
-        (if (planesPerTable > 0) planesPerTable else ab,
-          if (tables > 0) tables else al)
-      }
+    val (planesAdaptive, tablesAdaptive) = resolveLshKnobs(n, planesPerTable, tables)
     val dim = Similarity.vectorDim(vecs, vecCol)
     // The join-backs attach full vectors to every candidate occurrence.
     // Catalyst's own estimate of the cached projection sits just above the
@@ -761,6 +760,18 @@ object Dedup {
       .distinct()
   }
 
+  /** Caller-override-aware knob resolution: explicit knobs win per-knob;
+    * anything left at 0 comes from [[adaptiveLshKnobs]] of the corpus size.
+    */
+  private def resolveLshKnobs(n: Long, planesPerTable: Int,
+                              tables: Int): (Int, Int) =
+    if (planesPerTable > 0 && tables > 0) (planesPerTable, tables)
+    else {
+      val (ab, al) = adaptiveLshKnobs(n)
+      (if (planesPerTable > 0) planesPerTable else ab,
+        if (tables > 0) tables else al)
+    }
+
   /** Driver-side estimate of an (id, vec, norm) lookup's in-memory size. */
   private def vectorLookupBytes(n: Long, dim: Int): Long = n * (dim.toLong * 8 + 48)
 
@@ -794,10 +805,12 @@ object Dedup {
     * (fresh_id, corpus_id, cosine).
     *
     * Scale shape: the join is fresh-vs-corpus only — pair work is
-    * O(fresh-bucket occupancy), never corpus self-pairs — and at scale the
-    * corpus signature table is a standing index (bucketed by (table, sig),
-    * the d12 layout applied to signatures) so each ingest shuffles only
-    * the fresh batch.
+    * O(fresh-bucket occupancy), never corpus self-pairs. This DIRECT form
+    * still re-scans and re-signatures the corpus every ingest; at scale,
+    * build the corpus signatures once as a standing
+    * [[EmbeddingSignatureIndex]] and screen with
+    * [[incrementalEmbeddingPairsIndexed]] (result-identical, per-ingest
+    * work ∝ the fresh batch).
     */
   def incrementalEmbeddingPairsLsh(fresh: DataFrame, corpus: DataFrame,
                                    idCol: String, vecCol: String,
@@ -812,12 +825,7 @@ object Dedup {
     // bucket occupancy is governed by the STANDING side: adapt to corpus n
     val nCorpus = vc.count()
     val (planesAdaptive, tablesAdaptive) =
-      if (planesPerTable > 0 && tables > 0) (planesPerTable, tables)
-      else {
-        val (ab, al) = adaptiveLshKnobs(nCorpus)
-        (if (planesPerTable > 0) planesPerTable else ab,
-          if (tables > 0) tables else al)
-      }
+      resolveLshKnobs(nCorpus, planesPerTable, tables)
     val dim = Similarity.vectorDim(corpus, vecCol)
     // size-aware join-back broadcasts, as in [[embeddingCosinePairsLsh]]:
     // the fresh batch is usually small (always broadcast-able in the d15
@@ -851,6 +859,138 @@ object Dedup {
         col("norm").as("n_f")), Seq("fresh_id"))
       .join(vcSide.select(col(idCol).as("corpus_id"), col("v").as("v_c"),
         col("norm").as("n_c")), Seq("corpus_id"))
+      .withColumn("cosine",
+        Similarity.dot(col("v_f"), col("v_c")) / (col("n_f") * col("n_c")))
+      .filter(col("cosine") >= threshold)
+      .select("fresh_id", "corpus_id", "cosine")
+      .distinct()
+  }
+
+  /** A standing embedding-signature index: the d12 bucketed-layout pattern
+    * applied to [[incrementalEmbeddingPairsLsh]]'s LSH signatures, so the
+    * daily embedding ingest screen stops re-scanning and re-signaturing the
+    * corpus. Two warehouse tables — the (id, tbl, sig) signature set
+    * bucketed+sorted by (tbl, sig) (the probe join key) and the
+    * (id, v, norm) vector lookup bucketed by id (the verification join-back
+    * key) — plus the knobs that are part of the layout identity: screening
+    * MUST band the fresh side with the same (planesPerTable, tables, dim)
+    * family the index was built with, so they ride the value, not a naming
+    * convention. `corpusRows` carries the build-time count so consumers can
+    * size the verification join-back without re-counting the corpus.
+    */
+  final case class EmbeddingSignatureIndex(signatures: String, vectors: String,
+                                           planesPerTable: Int, tables: Int,
+                                           dim: Int, corpusRows: Long)
+
+  /** Materialize the standing signature index for `corpus` — write ONCE,
+    * screen every later ingest against the tables
+    * ([[incrementalEmbeddingPairsIndexed]]). Knobs left at 0 resolve via
+    * [[adaptiveLshKnobs]] from the corpus size, exactly as the direct
+    * screen resolves them, so the indexed screen is result-identical to
+    * [[incrementalEmbeddingPairsLsh]] on the same corpus (spec-pinned).
+    * Table names embed the resolved knobs and bucket count
+    * (`{prefix}_sig_p{b}x{L}_b{buckets}`), mirroring
+    * [[graft.sources.BucketedLake.layoutSuffix]]: a session can never
+    * silently screen against a layout built with different parameters.
+    *
+    * Scale shape: one corpus pass computes signatures (fused
+    * `hyperplane_signatures` codegen) and norms; both tables write through
+    * their bucket layout, after which per-ingest work is ∝ the fresh batch
+    * — the corpus side of the probe join reads pre-bucketed, pre-sorted
+    * files with no Exchange (the q33/d12 zero-exchange pattern,
+    * PlanSpec-pinned).
+    */
+  def writeEmbeddingSignatureIndex(corpus: DataFrame, idCol: String,
+                                   vecCol: String, namePrefix: String,
+                                   planesPerTable: Int = 0, tables: Int = 0,
+                                   buckets: Int = 16): EmbeddingSignatureIndex = {
+    val spark = corpus.sparkSession
+    graft.functions.NativeFunctions.register(spark)
+    val v = corpus
+      .select(col(idCol), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("norm", Similarity.l2norm(col("v")))
+      .persist()
+    val n = v.count()
+    val (b, l) = resolveLshKnobs(n, planesPerTable, tables)
+    val dim = Similarity.vectorDim(corpus, vecCol)
+    val idx = EmbeddingSignatureIndex(
+      s"${namePrefix}_sig_p${b}x${l}_b$buckets",
+      s"${namePrefix}_vec_p${b}x${l}_b$buckets", b, l, dim, n)
+    val allSigns = Similarity.hyperplaneSigns(spark, l * b, 0, dim)
+    graft.sources.BucketedLake.writeBucketedTable(spark, idx.signatures,
+      v.select(col(idCol),
+        posexplode(graft.functions.NativeFunctions.hyperplaneSignatures(
+          spark, col("v"), allSigns.flatten, b, l)).as(Seq("tbl", "sig"))),
+      "tbl", buckets, "sig")
+    graft.sources.BucketedLake.writeBucketedTable(spark, idx.vectors,
+      v, idCol, buckets)
+    v.unpersist(blocking = false)
+    idx
+  }
+
+  /** [[incrementalEmbeddingPairsLsh]] against a standing
+    * [[EmbeddingSignatureIndex]] instead of a corpus DataFrame — identical
+    * results when the index was built from the same corpus (spec-pinned;
+    * the d15 oracle applies verbatim), but the per-ingest cost excludes the
+    * corpus scan + signature computation the direct screen pays every run:
+    * only the FRESH batch is banded, the probe join reads the corpus
+    * signature table through its bucket layout with no corpus-side
+    * Exchange, and the verification join-back reads the pre-normed vector
+    * table. Fresh-side banding uses the index's own knob family — the one
+    * it was built with — never a re-adapted one (a fresh batch is small;
+    * adapting to IT would silently change the bucket space out from under
+    * the standing side).
+    */
+  def incrementalEmbeddingPairsIndexed(fresh: DataFrame,
+                                       index: EmbeddingSignatureIndex,
+                                       idCol: String, vecCol: String,
+                                       threshold: Double): DataFrame = {
+    val spark = fresh.sparkSession
+    graft.functions.NativeFunctions.register(spark)
+    val vf = Caching.persisted(widenedToCluster(
+      fresh.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
+        .withColumn("norm", Similarity.l2norm(col("v"))), idCol))
+    val nFresh = vf.count()
+    val dimFresh = Similarity.vectorDim(fresh, vecCol)
+    require(dimFresh == index.dim || nFresh == 0,
+      s"incrementalEmbeddingPairsIndexed: fresh dim $dimFresh != index dim " +
+        s"${index.dim} — the signature family is dimension-specific; " +
+        "rebuild the index or fix the batch")
+    val allSigns = Similarity.hyperplaneSigns(spark,
+      index.tables * index.planesPerTable, 0, index.dim)
+    val freshBanded = vf.select(col(idCol).as("fresh_id"),
+      posexplode(graft.functions.NativeFunctions.hyperplaneSignatures(
+        spark, col("v"), allSigns.flatten,
+        index.planesPerTable, index.tables)).as(Seq("tbl", "sig")))
+    // the ingest batch is the natural broadcast; past the cap the probe
+    // join falls back to the bucket-co-located shuffle join, where ONLY the
+    // fresh side exchanges (the index side reads bucketed — PlanSpec)
+    val freshSide =
+      if (nFresh * index.tables.toLong * 40 <= lookupBroadcastCap)
+        broadcast(freshBanded)
+      else freshBanded
+    val candidates = spark.table(index.signatures)
+      .select(col(idCol).as("corpus_id"), col("tbl"), col("sig"))
+      .join(freshSide, Seq("tbl", "sig"))
+      .select("fresh_id", "corpus_id")
+    // verify-then-distinct, size-aware join-backs, as in the direct screen;
+    // the corpus lookup side reuses the build-time count instead of paying
+    // a count job per ingest
+    val vfSide =
+      if (vectorLookupBytes(nFresh, index.dim) <= lookupBroadcastCap)
+        broadcast(vf)
+      else vf
+    val vcLookup = spark.table(index.vectors)
+      .select(col(idCol).as("corpus_id"), col("v").as("v_c"),
+        col("norm").as("n_c"))
+    val vcSide =
+      if (vectorLookupBytes(index.corpusRows, index.dim) <= lookupBroadcastCap)
+        broadcast(vcLookup)
+      else vcLookup
+    candidates
+      .join(vfSide.select(col(idCol).as("fresh_id"), col("v").as("v_f"),
+        col("norm").as("n_f")), Seq("fresh_id"))
+      .join(vcSide, Seq("corpus_id"))
       .withColumn("cosine",
         Similarity.dot(col("v_f"), col("v_c")) / (col("n_f") * col("n_c")))
       .filter(col("cosine") >= threshold)

@@ -120,6 +120,51 @@ object ExtensionQueries {
       Dedup.ShingleIndex(s"shingle_idx_$suffix", s"shingle_sz_$suffix"))
   }
 
+  /** Build (once per session + sf dir) the d16 standing embedding-signature
+    * index over the non-batch corpus (`vec_id % 8 ≠ 0` — d15's split). The
+    * source-dir hash keys the name like [[ensureShingleIndex]]; the LSH
+    * knobs and bucket count are appended by the writer itself.
+    */
+  private def ensureEmbeddingIndex(s: org.apache.spark.sql.SparkSession,
+                                   dir: String,
+                                   corpus: org.apache.spark.sql.DataFrame) =
+    Dedup.writeEmbeddingSignatureIndex(corpus, "vec_id", "embedding",
+      "emb_idx_" + graft.sources.BucketedLake.layoutSuffix(dir + "#emb", 16))
+
+  /** The fresh-vs-corpus embedding screen contract shared by d15 (direct)
+    * and d16 (standing signature index): one SQL definition — replaying the
+    * (4,8)-knob signature family from the materialized hyperplane signs,
+    * fresh = every 8th vec_id — so the two variants must agree on their
+    * output by construction, and the indexed path's "identical results"
+    * claim is pinned by the oracle, not just by ExtensionSpec.
+    */
+  private val incrementalEmbeddingSql =
+    """WITH planes AS (SELECT p, signs FROM read_parquet('{{AUX}}/hyperplanes32/*.parquet')),
+      |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |bits AS (
+      |  SELECT vec_id, p,
+      |    CASE WHEN list_sum(list_transform(list_zip(v, signs), x -> x[1] * x[2])) >= 0
+      |      THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+      |  FROM e, planes),
+      |sigs AS (
+      |  SELECT vec_id, p // 4 AS tbl,
+      |    CAST(sum(bit * (1::BIGINT << CAST(3 - (p % 4) AS INT))) AS BIGINT) AS sig
+      |  FROM bits GROUP BY vec_id, p // 4),
+      |cand AS (
+      |  SELECT DISTINCT f.vec_id AS fresh_id, c.vec_id AS corpus_id
+      |  FROM sigs f JOIN sigs c ON f.tbl = c.tbl AND f.sig = c.sig
+      |  WHERE f.vec_id % 8 = 0 AND c.vec_id % 8 <> 0),
+      |pairs AS (
+      |  SELECT fresh_id, corpus_id,
+      |    list_sum(list_transform(list_zip(ef.v, ec.v), x -> x[1] * x[2]))
+      |    / (sqrt(list_sum(list_transform(ef.v, x -> x*x)))
+      |       * sqrt(list_sum(list_transform(ec.v, x -> x*x)))) AS cosine
+      |  FROM cand
+      |  JOIN e ef ON ef.vec_id = fresh_id
+      |  JOIN e ec ON ec.vec_id = corpus_id)
+      |SELECT fresh_id, corpus_id, cosine FROM pairs WHERE cosine >= 0.4
+      |ORDER BY fresh_id, corpus_id"""
+
   /** Gap-based session numbering (30-min inactivity): every event tagged
     * with its (user_id, session_no) — the shared batch core of e01
     * (session aggregation) and e08 (session intervals as range-join input).
@@ -693,38 +738,30 @@ object ExtensionQueries {
     // shape in cosine space — fresh vectors (every 8th id, the batch)
     // against the standing corpus (the rest), same signature family and
     // verify as d06, pair work bounded by fresh-bucket occupancy.
-    "d15_dedup_incremental_embedding" -> of(
-      """WITH planes AS (SELECT p, signs FROM read_parquet('{{AUX}}/hyperplanes32/*.parquet')),
-        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |bits AS (
-        |  SELECT vec_id, p,
-        |    CASE WHEN list_sum(list_transform(list_zip(v, signs), x -> x[1] * x[2])) >= 0
-        |      THEN 1::BIGINT ELSE 0::BIGINT END AS bit
-        |  FROM e, planes),
-        |sigs AS (
-        |  SELECT vec_id, p // 4 AS tbl,
-        |    CAST(sum(bit * (1::BIGINT << CAST(3 - (p % 4) AS INT))) AS BIGINT) AS sig
-        |  FROM bits GROUP BY vec_id, p // 4),
-        |cand AS (
-        |  SELECT DISTINCT f.vec_id AS fresh_id, c.vec_id AS corpus_id
-        |  FROM sigs f JOIN sigs c ON f.tbl = c.tbl AND f.sig = c.sig
-        |  WHERE f.vec_id % 8 = 0 AND c.vec_id % 8 <> 0),
-        |pairs AS (
-        |  SELECT fresh_id, corpus_id,
-        |    list_sum(list_transform(list_zip(ef.v, ec.v), x -> x[1] * x[2]))
-        |    / (sqrt(list_sum(list_transform(ef.v, x -> x*x)))
-        |       * sqrt(list_sum(list_transform(ec.v, x -> x*x)))) AS cosine
-        |  FROM cand
-        |  JOIN e ef ON ef.vec_id = fresh_id
-        |  JOIN e ec ON ec.vec_id = corpus_id)
-        |SELECT fresh_id, corpus_id, cosine FROM pairs WHERE cosine >= 0.4
-        |ORDER BY fresh_id, corpus_id""") { (s, d) =>
+    "d15_dedup_incremental_embedding" -> of(incrementalEmbeddingSql) { (s, d) =>
       val e = t(s, d, "embeddings")
       Dedup.incrementalEmbeddingPairsLsh(
         e.filter(col("vec_id") % 8 === 0), e.filter(col("vec_id") % 8 =!= 0),
         "vec_id", "embedding", 0.4)
         .orderBy("fresh_id", "corpus_id")
     },
+
+    // The same embedding screen served from the STANDING bucketed signature
+    // index (d16 — the d12 amortized-ingest pattern in cosine space): corpus
+    // signatures and pre-normed vectors live as bucketed warehouse tables
+    // written once; each ingest bands only the fresh batch and probes them
+    // with no corpus-side exchange (PlanSpec pins the bucketed scan).
+    // Semantics are identical to d15 by construction — same knob family,
+    // same verify — so the d15 oracle applies verbatim (and ExtensionSpec
+    // pins result equality directly).
+    "d16_dedup_incremental_embedding_indexed" ->
+      of(incrementalEmbeddingSql) { (s, d) =>
+        val e = t(s, d, "embeddings")
+        val idx = ensureEmbeddingIndex(s, d, e.filter(col("vec_id") % 8 =!= 0))
+        Dedup.incrementalEmbeddingPairsIndexed(
+          e.filter(col("vec_id") % 8 === 0), idx, "vec_id", "embedding", 0.4)
+          .orderBy("fresh_id", "corpus_id")
+      },
 
     // Embedding-cosine near-dup pairs — exact all-pairs CROSS-CHECK for d06
     // (small-scale only; the crossJoin is the documented scale-killer the

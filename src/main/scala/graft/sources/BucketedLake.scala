@@ -37,7 +37,8 @@ object BucketedLake {
     */
   private[graft] def writeBucketedTable(spark: SparkSession, name: String,
                                         df: DataFrame, key: String,
-                                        buckets: Int): Unit =
+                                        buckets: Int,
+                                        moreKeys: String*): Unit =
     if (!spark.catalog.tableExists(name)) {
       // hadoop Path handles unencoded/scheme-less warehouse dirs where
       // java.net.URI would throw or yield a null path
@@ -51,7 +52,7 @@ object BucketedLake {
         rm(stale)
       }
       df.write.mode(SaveMode.Overwrite)
-        .bucketBy(buckets, key).sortBy(key)
+        .bucketBy(buckets, key, moreKeys: _*).sortBy(key, moreKeys: _*)
         .format("parquet").saveAsTable(name)
     }
 

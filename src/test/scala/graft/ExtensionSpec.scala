@@ -152,6 +152,33 @@ class ExtensionSpec extends SparkSpec {
     assert(lsh.size.toDouble / exact.size > 0.3)
   }
 
+  test("d16 standing signature index reproduces the direct embedding screen exactly") {
+    val fresh = embs.filter(col("vec_id") % 8 === 0)
+    val corpus = embs.filter(col("vec_id") % 8 =!= 0)
+    val direct = Dedup.incrementalEmbeddingPairsLsh(
+      fresh, corpus, "vec_id", "embedding", 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val idx = Dedup.writeEmbeddingSignatureIndex(corpus, "vec_id", "embedding",
+      "emb_idx_spec")
+    // knobs resolved identically to the direct screen (corpus-size-adaptive)
+    assert((idx.planesPerTable, idx.tables) ===
+      Dedup.adaptiveLshKnobs(corpus.count()))
+    val indexed = Dedup.incrementalEmbeddingPairsIndexed(
+      fresh, idx, "vec_id", "embedding", 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // identical pair set, bit-identical cosines — the d15 oracle applies
+    // verbatim to d16 only because of this equivalence
+    assert(indexed === direct)
+    assert(direct.nonEmpty)
+    // a mismatched batch dimension fails loudly, never silently returns
+    val e = intercept[IllegalArgumentException] {
+      Dedup.incrementalEmbeddingPairsIndexed(
+        fresh.select(col("vec_id"), expr("slice(embedding, 1, 8)").as("embedding")),
+        idx, "vec_id", "embedding", 0.4)
+    }
+    assert(e.getMessage.contains("dim"))
+  }
+
   test("k-means: bit-reproducible across trainings; trained IVF recall >= first-N") {
     val c1 = Similarity.kmeansCentroids(embs, "vec_id", "embedding")
     val c2 = Similarity.kmeansCentroids(embs, "vec_id", "embedding")

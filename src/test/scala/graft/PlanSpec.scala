@@ -123,6 +123,31 @@ class PlanSpec extends SparkSpec {
       s"index side must not exchange:\n${branch.mkString("\n")}")
   }
 
+  test("d16: standing signature index reads bucketed, corpus side never exchanges") {
+    val plan = physicalPlan("d16_dedup_incremental_embedding_indexed")
+    // both standing tables must be read through their bucketed layout
+    assert(plan.contains("Bucketed: true"), plan.take(1200))
+    // no Exchange between the probe join and the signature-index scan: the
+    // whole point of the layout is that each embedding ingest never
+    // re-shuffles (or re-signatures) the corpus side — fresh-side
+    // broadcasts are fine
+    val lines = plan.linesIterator.toVector
+    val scanIdx = lines.indexWhere(l => l.contains("emb_idx_") && l.contains("_sig_"))
+    assert(scanIdx > 0, s"expected a scan of the signature index:\n${plan.take(1200)}")
+    val joinIdx = lines.lastIndexWhere(_.contains("Join"), scanIdx)
+    assert(joinIdx >= 0)
+    val branch = lines.slice(joinIdx + 1, scanIdx + 1)
+      .filterNot(_.contains("BroadcastExchange"))
+    assert(!branch.exists(_.contains("Exchange")),
+      s"signature-index side must not exchange:\n${branch.mkString("\n")}")
+    // and the fused signature expression bands ONLY the fresh side — the
+    // corpus branch must not recompute signatures from vectors
+    val sigExprs = lines.count(_.contains("hyperplane_signatures"))
+    assert(sigExprs >= 1 && lines.slice(joinIdx + 1, scanIdx + 1)
+      .forall(!_.contains("hyperplane_signatures")),
+      s"corpus side must read stored signatures, not recompute:\n${plan.take(1500)}")
+  }
+
   test("d13: bloom prefilter sits on the corpus branch before the shuffle join") {
     val plan = physicalPlan("d13_dedup_incremental_bloom")
     // the semi-join reduction must actually be planted: a might_contain
