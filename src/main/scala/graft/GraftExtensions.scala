@@ -51,7 +51,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
               "actualNum" -> exprs.length.toString,
               "docroot" -> "https://spark.apache.org/docs/latest"))
         graft.functions.HyperplaneSignatures(exprs(0), exprs(1),
-          exprs(2).eval().asInstanceOf[Int], exprs(3).eval().asInstanceOf[Int])
+          graft.functions.NativeFunctions.intConstArg(
+            "hyperplane_signatures", "planesPerTable", exprs(2)),
+          graft.functions.NativeFunctions.intConstArg(
+            "hyperplane_signatures", "tables", exprs(3)))
       }))
     Seq(("nearest_centroid_cos", true), ("nearest_centroid_dot", false)).foreach {
       case (name, useVnorm) =>

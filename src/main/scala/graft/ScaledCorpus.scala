@@ -76,13 +76,21 @@ object ScaledCorpus {
     * across runs and partitionings.
     */
   def signedPerm(rep: Int, d: Int): (Array[Int], Array[Float]) = {
-    var state = 0x9E3779B97F4A7C15L * (rep + 1)
-    def next(): Long = {
-      state += 0x9E3779B97F4A7C15L
-      var z = state
+    def mix(x: Long): Long = {
+      var z = x
       z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
       z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
       z ^ (z >>> 31)
+    }
+    // seed through the splitmix FINALIZER, not a raw GAMMA multiple
+    // (ADVICE r9): seeding state = GAMMA·(rep+1) made replica r+1's draw
+    // stream exactly replica r's shifted by one position — overlapping
+    // entropy that left the decorrelation resting on the permutation alone.
+    // mix(rep) places each replica at an unrelated point of the sequence.
+    var state = mix(rep + 1L)
+    def next(): Long = {
+      state += 0x9E3779B97F4A7C15L
+      mix(state)
     }
     val perm = Array.tabulate(d)(identity)
     var i = d - 1

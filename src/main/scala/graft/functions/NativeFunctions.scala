@@ -5,8 +5,8 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.functions.{call_function, lit}
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.functions.{call_function, lit, typedlit}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
 
 /** Native Catalyst expressions for the numeric hot path (SURVEY §4.2: custom
   * `Expression` beats UDF). Higher-order-function folds (`aggregate`/
@@ -232,8 +232,11 @@ case class HyperplaneSignatures(left: Expression, right: Expression,
   *    (the k-means iteration form, argmax-invariant to the positive vnorm
   *    factor), where a zero norm_ci in the latter form pins sim = -∞ (the
   *    degenerate-seed guard);
-  *  - a null dot (null element / dim mismatch) is a NULL sim, ranking
-  *    below every value exactly like Spark's struct ordering;
+  *  - a null dot (null vector element / dim mismatch) is a NULL sim,
+  *    ranking below every value exactly like Spark's struct ordering; a
+  *    null NORM or null CENTROID component likewise nulls that centroid's
+  *    sim (ADVICE r9 — previously those flowed through getDouble as a
+  *    silent 0.0);
   *  - winner = highest sim under Spark's double total order
   *    (java.lang.Double.compare: NaN above all, -0.0 < 0.0), ties to the
   *    LOWEST ci — the `(sim, -ci)` lexicographic max.
@@ -271,6 +274,19 @@ case class NearestCentroid(first: Expression, second: Expression,
     case _ => false
   }
 
+  // null elements in the CENTROID/NORM arrays get the same treatment as the
+  // vector path: a null norm or null centroid component makes that
+  // centroid's sim NULL (ranks below every value), never a silent 0.0
+  // through getDouble's unboxing (ADVICE r9). Internal callers pass
+  // containsNull=false literals ([[NativeFunctions.nearestCentroid]] uses
+  // typedlit, whose Scala-reflected schema carries primitive-element
+  // non-nullability), so the per-element branch compiles away on the hot
+  // path and only guards the SQL surface.
+  private def matElementsNullable: Boolean = Seq(second, third).exists(_.dataType match {
+    case ArrayType(_, containsNull) => containsNull
+    case _ => false
+  })
+
   override def nullSafeEval(a: Any, b: Any, c: Any): Any = {
     val v = a.asInstanceOf[ArrayData]
     val cents = b.asInstanceOf[ArrayData]
@@ -285,6 +301,7 @@ case class NearestCentroid(first: Expression, second: Expression,
       while (i < dim && !vHasNull) { vHasNull = v.isNullAt(i); i += 1 }
     }
     val dotNull = !dimOk || vHasNull
+    val matsNullable = matElementsNullable
     var vnorm = 0.0
     if (useVnorm && !dotNull) {
       var i = 0
@@ -297,16 +314,22 @@ case class NearestCentroid(first: Expression, second: Expression,
     var bestNull = true
     var ci = 0
     while (ci < k) {
-      val norm = norms.getDouble(ci)
       var simNull = dotNull
       var sim = 0.0
-      if (!useVnorm && norm == 0.0) { sim = Double.NegativeInfinity; simNull = false }
-      else if (!dotNull) {
-        var d = 0.0
-        val base = ci * dim
-        var i = 0
-        while (i < dim) { d += v.getDouble(i) * cents.getDouble(base + i); i += 1 }
-        sim = if (useVnorm) d / (vnorm * norm) else d / norm
+      if (matsNullable && norms.isNullAt(ci)) simNull = true
+      else {
+        val norm = norms.getDouble(ci)
+        if (!useVnorm && norm == 0.0) { sim = Double.NegativeInfinity; simNull = false }
+        else if (!dotNull) {
+          var d = 0.0
+          val base = ci * dim
+          var i = 0
+          while (i < dim && !simNull) {
+            if (matsNullable && cents.isNullAt(base + i)) simNull = true
+            else { d += v.getDouble(i) * cents.getDouble(base + i); i += 1 }
+          }
+          if (!simNull) sim = if (useVnorm) d / (vnorm * norm) else d / norm
+        }
       }
       val wins =
         if (ci == 0) true
@@ -354,11 +377,19 @@ case class NearestCentroid(first: Expression, second: Expression,
            """.stripMargin
         else ""
       val simCalc =
-        if (useVnorm) s"$sim = $d / ($vnorm * $norm);"
-        else s"$sim = $d / $norm;"
+        if (useVnorm) s"if (!$simNull) $sim = $d / ($vnorm * $norm);"
+        else s"if (!$simNull) $sim = $d / $norm;"
       val zeroNormGuard =
         if (useVnorm) ""
         else s"if ($norm == 0.0) { $sim = Double.NEGATIVE_INFINITY; $simNull = false; } else"
+      val normNullGuard =
+        if (matElementsNullable)
+          s"if ($c.isNullAt($ci)) { $simNull = true; } else"
+        else ""
+      val centNullCheck =
+        if (matElementsNullable)
+          s"if ($b.isNullAt($base + $i)) { $simNull = true; break; }"
+        else ""
       s"""
          |int $dim = $a.numElements();
          |int $k = $c.numElements();
@@ -373,17 +404,21 @@ case class NearestCentroid(first: Expression, second: Expression,
          |  double $bestSim = 0.0;
          |  boolean $bestNull = true;
          |  for (int $ci = 0; $ci < $k; $ci++) {
-         |    double $norm = $c.getDouble($ci);
          |    boolean $simNull = $dotNull;
          |    double $sim = 0.0;
-         |    $zeroNormGuard
-         |    if (!$dotNull) {
-         |      double $d = 0.0;
-         |      int $base = $ci * $dim;
-         |      for (int $i = 0; $i < $dim; $i++) {
-         |        $d += $a.getDouble($i) * $b.getDouble($base + $i);
+         |    $normNullGuard
+         |    {
+         |      double $norm = $c.getDouble($ci);
+         |      $zeroNormGuard
+         |      if (!$dotNull) {
+         |        double $d = 0.0;
+         |        int $base = $ci * $dim;
+         |        for (int $i = 0; $i < $dim; $i++) {
+         |          $centNullCheck
+         |          $d += $a.getDouble($i) * $b.getDouble($base + $i);
+         |        }
+         |        $simCalc
          |      }
-         |      $simCalc
          |    }
          |    boolean $wins = ($ci == 0) ||
          |      (!$simNull && ($bestNull || java.lang.Double.compare($sim, $bestSim) > 0));
@@ -436,7 +471,9 @@ object NativeFunctions {
                            flatPlanes: Array[Double],
                            planesPerTable: Int, tables: Int): Column = {
     registerSignatures(spark)
-    call_function("hyperplane_signatures", vec, lit(flatPlanes),
+    // typedlit: containsNull=false element type (lit() declares true), so
+    // the fused loop's per-element null branch keys off the vector side only
+    call_function("hyperplane_signatures", vec, typedlit(flatPlanes),
       lit(planesPerTable), lit(tables))
   }
 
@@ -448,9 +485,11 @@ object NativeFunctions {
                       flatCents: Array[Double], norms: Array[Double],
                       useVnorm: Boolean): Column = {
     registerNearest(spark)
+    // typedlit (containsNull=false): keeps the argmax loop branch-free —
+    // the null-element guard compiles in only for genuinely nullable args
     call_function(
       if (useVnorm) "nearest_centroid_cos" else "nearest_centroid_dot",
-      vec, lit(flatCents), lit(norms))
+      vec, typedlit(flatCents), typedlit(norms))
   }
 
   private def registerNearest(spark: SparkSession): Unit = {
@@ -474,6 +513,32 @@ object NativeFunctions {
     }
   }
 
+  /** Resolve a knob argument of `hyperplane_signatures` to its Int value at
+    * function-build time (the knobs shape the expression, so they must be
+    * plan constants). A bare `exprs(i).eval().asInstanceOf[Int]` threw an
+    * unreadable unbound-attribute UnsupportedOperationException on column
+    * arguments and a ClassCastException on LONG literals (ADVICE r9); this
+    * raises the standard NON_FOLDABLE_ARGUMENT AnalysisException instead.
+    */
+  private[graft] def intConstArg(funcName: String, paramName: String,
+                                 e: org.apache.spark.sql.catalyst.expressions.Expression): Int = {
+    def fail() = throw new org.apache.spark.sql.AnalysisException(
+      errorClass = "NON_FOLDABLE_ARGUMENT",
+      messageParameters = Map(
+        "funcName" -> s"`$funcName`",
+        "paramName" -> s"`$paramName`",
+        "paramType" -> "\"INT\""))
+    e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(i: Int, IntegerType) => i
+      case other if other.foldable && other.dataType == IntegerType =>
+        other.eval() match {
+          case i: java.lang.Integer => i.intValue
+          case _ => fail()
+        }
+      case _ => fail()
+    }
+  }
+
   private def registerSignatures(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
     val ident = org.apache.spark.sql.catalyst.FunctionIdentifier("hyperplane_signatures")
@@ -488,7 +553,8 @@ object NativeFunctions {
     if (!alreadyOurs) {
       registry.createOrReplaceTempFunction("hyperplane_signatures", exprs =>
         HyperplaneSignatures(exprs(0), exprs(1),
-          exprs(2).eval().asInstanceOf[Int], exprs(3).eval().asInstanceOf[Int]),
+          intConstArg("hyperplane_signatures", "planesPerTable", exprs(2)),
+          intConstArg("hyperplane_signatures", "tables", exprs(3))),
         "built-in")
     }
   }

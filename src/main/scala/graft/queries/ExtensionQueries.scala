@@ -86,6 +86,10 @@ object ExtensionQueries {
     * file mtimes stamped 60s apart so the FileStreamSource's
     * modification-time ordering IS the event-time ordering and
     * `maxFilesPerTrigger=1` yields exactly one data micro-batch per half.
+    * Mtimes derive from a FIXED epoch (VERDICT r9 #5) — the source only
+    * compares the feed's files against each other, never against the wall
+    * clock, so a fixed base makes the feed dir bit-reproducible across runs
+    * (the tmp-dir name is the one remaining run-unique part).
     * Test-feed constructor for e22: the `coalesce(1)`s and the exact-median
     * aggregate are snapshot-fixture feed-build costs, not part of the
     * operator under measurement.
@@ -102,7 +106,7 @@ object ExtensionQueries {
       df.coalesce(1).write.parquet(p)
       new java.io.File(p).listFiles().foreach(_.setLastModified(mtime))
     }
-    val t0 = System.currentTimeMillis() - 120000
+    val t0 = 1600000000000L // 2020-09-13T12:26:40Z; only relative order matters
     dump(ev.filter(unix_micros(col("ts")) <= midUs), "batch-0", t0)
     dump(ev.filter(unix_micros(col("ts")) > midUs), "batch-1", t0 + 60000)
     root.toString

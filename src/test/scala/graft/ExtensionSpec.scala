@@ -152,6 +152,19 @@ class ExtensionSpec extends SparkSpec {
     assert(lsh.size.toDouble / exact.size > 0.3)
   }
 
+  test("recall gate formula: floors match the documented knob points") {
+    // the 1-(1-p^b)^L values SCALE.md and the adaptive-knob scaladoc quote,
+    // pinned so the ScaleSmoke recall gate's floor can't drift from the doc
+    assert(math.abs(ScaleSmoke.recallFloor(4, 8, 0.4) - 0.75) < 0.01)
+    assert(ScaleSmoke.recallFloor(4, 8, 0.9) > 0.995)
+    assert(ScaleSmoke.recallFloor(8, 16, 0.9) > 0.995)
+    assert(ScaleSmoke.recallFloor(12, 32, 0.9) > 0.99)
+    assert(ScaleSmoke.recallFloor(20, 64, 0.9) > 0.94)
+    // floors are honest: monotone in L, decreasing in b at fixed L
+    assert(ScaleSmoke.recallFloor(4, 16, 0.4) > ScaleSmoke.recallFloor(4, 8, 0.4))
+    assert(ScaleSmoke.recallFloor(8, 8, 0.4) < ScaleSmoke.recallFloor(4, 8, 0.4))
+  }
+
   test("d16 standing signature index reproduces the direct embedding screen exactly") {
     val fresh = embs.filter(col("vec_id") % 8 === 0)
     val corpus = embs.filter(col("vec_id") % 8 =!= 0)

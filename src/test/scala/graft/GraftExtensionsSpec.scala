@@ -29,6 +29,39 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(e.getMessage.contains("dot_product"))
   }
 
+  test("hyperplane_signatures knobs reject non-constant / non-INT args readably") {
+    val ext = new SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    val registry = GraftExtensionsProbe.applyInjections(ext)
+    val vec = org.apache.spark.sql.catalyst.expressions.Literal.create(Array(1.0, 2.0))
+    def build(knob: org.apache.spark.sql.catalyst.expressions.Expression) =
+      registry.lookupFunction(FunctionIdentifier("hyperplane_signatures"),
+        Seq(vec, vec, knob, org.apache.spark.sql.catalyst.expressions.Literal(1)))
+    // a column reference used to surface as an unbound-attribute
+    // UnsupportedOperationException; a LONG literal as a ClassCastException
+    // (ADVICE r9) — both must now be AnalysisExceptions naming the knob
+    val nonConst = intercept[org.apache.spark.sql.AnalysisException] {
+      build(org.apache.spark.sql.catalyst.analysis
+        .UnresolvedAttribute("some_col"))
+    }
+    assert(nonConst.getMessage.contains("planesPerTable"))
+    val longTyped = intercept[org.apache.spark.sql.AnalysisException] {
+      build(org.apache.spark.sql.catalyst.expressions.Literal(2L))
+    }
+    assert(longTyped.getMessage.contains("planesPerTable"))
+    // foldable non-literal INT arithmetic still resolves (1+1 planes)
+    val folded = build(org.apache.spark.sql.catalyst.expressions.Literal(2))
+    assert(folded.isInstanceOf[graft.functions.HyperplaneSignatures])
+    // and the lazy-registration path shares the same guard
+    graft.functions.NativeFunctions.hyperplaneSignatures(
+      spark, org.apache.spark.sql.functions.col("v"), Array(1.0, 2.0), 1, 1)
+    val lazyGuard = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT hyperplane_signatures(array(1.0d), array(1.0d), 2L, 1)")
+        .head()
+    }
+    assert(lazyGuard.getMessage.contains("planesPerTable"))
+  }
+
   test("GraftExtensions injects the bloom runtime-filter pair") {
     val ext = new SparkSessionExtensions
     new GraftExtensions().apply(ext)

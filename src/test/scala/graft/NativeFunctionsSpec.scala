@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ArrayType, DoubleType}
 
-import graft.functions.{DotProduct, NativeFunctions}
+import graft.functions.{DotProduct, NativeFunctions, NearestCentroid}
 import graft.operators.Similarity
 
 /** The custom codegen DotProduct expression: bit-equality with the
@@ -148,6 +148,52 @@ class NativeFunctionsSpec extends SparkSpec {
         normsW, useVnorm = true).as("cid"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got === Map(9001L -> 0L, 9002L -> 1L, 9003L -> 1L, 9004L -> 0L))
+  }
+
+  test("nearest_centroid nulls a centroid's sim on null norm/component, never unboxes 0.0") {
+    // null elements in the SQL-exposed centroid/norm arrays used to flow
+    // through getDouble as a silent 0.0 (ADVICE r9); now they null that
+    // centroid's sim — it ranks below every real sim, like a null dot
+    NativeFunctions.nearestCentroid(spark, col("v"), Array(1.0), Array(1.0),
+      useVnorm = true) // registers both SQL names
+    // centroid 0 has a null component; centroid 1 matches the vector → 1
+    // (under the old unboxing bug ci 0 would score dot = 0·1 + 2·2 = big)
+    val nullCent = spark.sql(
+      """SELECT nearest_centroid_cos(array(1.0d, 2.0d),
+        |  array(CAST(NULL AS DOUBLE), 2.0d, 1.0d, 2.0d),
+        |  array(2.23606797749979d, 2.23606797749979d)) AS cid""".stripMargin)
+      .head().getLong(0)
+    assert(nullCent === 1L)
+    // centroid 0 has a null NORM; centroid 1 is real → 1
+    val nullNorm = spark.sql(
+      """SELECT nearest_centroid_cos(array(1.0d, 2.0d),
+        |  array(1.0d, 2.0d, 1.0d, 2.0d),
+        |  array(CAST(NULL AS DOUBLE), 2.23606797749979d)) AS cid""".stripMargin)
+      .head().getLong(0)
+    assert(nullNorm === 1L)
+    // all sims null → ci 0 by the ties-to-lowest rule (same as ragged dims)
+    val allNull = spark.sql(
+      """SELECT nearest_centroid_cos(array(1.0d, 2.0d),
+        |  array(CAST(NULL AS DOUBLE), 2.0d, CAST(NULL AS DOUBLE), 2.0d),
+        |  array(1.0d, 1.0d)) AS cid""".stripMargin)
+      .head().getLong(0)
+    assert(allNull === 0L)
+    // interpreted path agrees with codegen
+    val expr = NearestCentroid(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Array[java.lang.Double](1.0, 2.0),
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType, containsNull = true)),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Array[java.lang.Double](null, 2.0, 1.0, 2.0),
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType, containsNull = true)),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Array[java.lang.Double](2.23606797749979, 2.23606797749979),
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType, containsNull = true)),
+      useVnorm = true)
+    assert(expr.eval(null) === 1L)
   }
 
   test("TopKAggregator ranks NaN first, matching SQL NaN-is-largest ordering") {

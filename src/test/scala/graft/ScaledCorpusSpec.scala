@@ -116,5 +116,20 @@ class ScaledCorpusSpec extends SparkSpec {
     // distinct replicas get distinct transforms
     val (q, _) = ScaledCorpus.signedPerm(4, 64)
     assert(p1.toSeq !== q.toSeq)
+    // replica streams are INDEPENDENT points of the splitmix sequence, not
+    // one-step shifts of each other (ADVICE r9): consecutive replicas' sign
+    // vectors must look like independent fair coins — agreement well inside
+    // the Binomial(64, ½) bulk, and no small relative shift aligning them
+    for (r <- 0 until 8) {
+      val sA = ScaledCorpus.signedPerm(r, 64)._2
+      val sB = ScaledCorpus.signedPerm(r + 1, 64)._2
+      val agree = (0 until 64).count(i => sA(i) == sB(i))
+      assert(agree >= 17 && agree <= 47, s"reps $r/${r + 1}: agreement $agree")
+      for (shift <- 1 to 4) {
+        val shifted = (0 until 64 - shift).count(i => sA(i + shift) == sB(i))
+        assert(shifted < 64 - shift - 4,
+          s"reps $r/${r + 1} look like a shift-$shift copy")
+      }
+    }
   }
 }

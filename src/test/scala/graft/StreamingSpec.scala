@@ -455,6 +455,95 @@ class StreamingSpec extends SparkSpec {
     assert(restarted.count() === restarted.distinct().count(), "duplicate emission")
   }
 
+  test("flatMapGroupsWithState EWMA state survives a query RESTART from checkpoint") {
+    // Extends restart coverage to the EWMA family (VERDICT r9 #7): its
+    // checkpoint carries the richest custom state encoding — the running
+    // (acc, n) fold, the last-seen timestamp AND the in-watermark pending
+    // buffer, plus a registered event-time timeout per key. Run 1 processes
+    // the first half of the purchase feed and stops mid-fold; run 2 is a
+    // NEW query on the same checkpoint after the second half lands. The
+    // restarted pair must emit bit-equal finalized rows to one
+    // UNINTERRUPTED query over the same files at the same micro-batch
+    // boundaries — folds spanning the restart continue from the
+    // checkpointed accumulator, timeouts re-arm, nothing emits twice.
+    //
+    // TTL choice: a query STOP ends with a no-data batch in which keys
+    // whose later events haven't arrived yet can burst-finalize (that IS
+    // the idle-TTL semantics — stopping a feed mid-gap looks idle; the
+    // first draft of this spec measured 28 keys doing exactly that). The
+    // restart-parity claim is about the STATE ENCODING, not about TTL
+    // firing, so the TTL is sized to outlast every straddling key's
+    // boundary gap, and a far-future sentinel event then advances the
+    // watermark so every real key finalizes through the checkpointed fold
+    // in both scenarios.
+    import org.apache.spark.sql.streaming.Trigger
+    val tmp = java.nio.file.Files.createTempDirectory("ewma-restart")
+    val ckptA = java.nio.file.Files.createTempDirectory("ewma-ckpt-a").toString
+    val outA = java.nio.file.Files.createTempDirectory("ewma-out-a").toString
+    val ckptB = java.nio.file.Files.createTempDirectory("ewma-ckpt-b").toString
+    val outB = java.nio.file.Files.createTempDirectory("ewma-out-b").toString
+    val ev = graft.queries.Q.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .orderBy("ts")
+    val rows = ev.collect()
+    val (first, second) = rows.splitAt(rows.length / 2)
+    val schema = ev.schema
+    def tsMs(r: org.apache.spark.sql.Row): Long =
+      r.getAs[java.sql.Timestamp]("ts").getTime
+    // straddlers: keys with events on both sides of the split — the TTL
+    // must exceed (run-1-final-watermark − their last batch-0 event) so the
+    // stop can't finalize them ahead of their own queued later events
+    val keys1 = second.map(_.getAs[Long]("user_id")).toSet
+    val wm0Ms = first.map(tsMs).max - 60000
+    val maxGapMs = first.filter(r => keys1.contains(r.getAs[Long]("user_id")))
+      .groupBy(_.getAs[Long]("user_id")).values
+      .map(rs => wm0Ms - rs.map(tsMs).max).max
+    val ttlMs = maxGapMs + 120000
+    val sentinelKey = -1L
+    val sentinel = org.apache.spark.sql.Row(sentinelKey,
+      new java.sql.Timestamp(rows.map(tsMs).max + ttlMs + 3600000),
+      -1L, 0.0)
+    def addFile(name: String, part: Array[org.apache.spark.sql.Row]): Unit =
+      spark.createDataFrame(spark.sparkContext.parallelize(part.toSeq, 1), schema)
+        .write.parquet(s"$tmp/batch-$name")
+    def runOnce(out: String, ckpt: String): Unit = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$tmp/batch-*")
+      val q = graft.streaming.EwmaStream
+        .ewma(stream, "user_id", "event_id", "value", alpha = 0.1,
+          idleTtlMillis = ttlMs).toDF()
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    addFile("0", first)
+    runOnce(outA, ckptA) // run 1: half the feed, then STOP mid-fold
+    // no straddling key may finalize at the stop boundary (TTL outlasts it)
+    val run1Keys = spark.read.parquet(outA)
+      .select("key").collect().map(_.getLong(0)).toSet
+    assert(run1Keys.intersect(keys1).isEmpty,
+      "a key finalized at the stop ahead of its own queued later events")
+    addFile("1", second :+ sentinel)
+    runOnce(outA, ckptA) // run 2: NEW query, SAME checkpoint
+    runOnce(outB, ckptB) // control: one uninterrupted query over both files
+    val restarted = spark.read.parquet(outA).filter(col("key") =!= sentinelKey)
+    val control = spark.read.parquet(outB).filter(col("key") =!= sentinelKey)
+    assert(restarted.count() > 0, "fixture must finalize at least one key")
+    assert(run1Keys.size < restarted.count(), "run 2 must emit further keys")
+    // straddlers must actually be present in the output — their folds are
+    // the rows that crossed the restart through the checkpointed state
+    assert(restarted.select("key").collect().map(_.getLong(0)).toSet
+      .intersect(keys1).nonEmpty, "no fold crossed the restart")
+    // bit-equal finalized rows (ewma compared as exact doubles): the state
+    // encoding round-tripped through the checkpoint without perturbing the
+    // fold
+    assert(restarted.except(control).count() === 0)
+    assert(control.except(restarted).count() === 0)
+    assert(restarted.count() === restarted.distinct().count(), "duplicate emission")
+  }
+
   test("e22 multi-batch EWMA: bit-equal to single-batch e20, and the split is real") {
     // the oracle equality (shared SQL) is graded by the driver; this spec
     // pins the two facts the oracle can't see: the feed really arrives as
