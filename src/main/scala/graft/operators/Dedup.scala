@@ -880,7 +880,8 @@ object Dedup {
     */
   final case class EmbeddingSignatureIndex(signatures: String, vectors: String,
                                            planesPerTable: Int, tables: Int,
-                                           dim: Int, corpusRows: Long)
+                                           dim: Int, corpusRows: Long,
+                                           buckets: Int)
 
   /** Materialize the standing signature index for `corpus` — write ONCE,
     * screen every later ingest against the tables
@@ -915,7 +916,7 @@ object Dedup {
     val dim = Similarity.vectorDim(corpus, vecCol)
     val idx = EmbeddingSignatureIndex(
       s"${namePrefix}_sig_p${b}x${l}_b$buckets",
-      s"${namePrefix}_vec_p${b}x${l}_b$buckets", b, l, dim, n)
+      s"${namePrefix}_vec_p${b}x${l}_b$buckets", b, l, dim, n, buckets)
     val allSigns = Similarity.hyperplaneSigns(spark, l * b, 0, dim)
     graft.sources.BucketedLake.writeBucketedTable(spark, idx.signatures,
       v.select(col(idCol),
@@ -927,6 +928,66 @@ object Dedup {
     v.unpersist(blocking = false)
     idx
   }
+
+  /** Fold an ACCEPTED ingest batch into a standing
+    * [[EmbeddingSignatureIndex]] without rebuilding it — the compaction
+    * step that closes the daily loop (screen with
+    * [[incrementalEmbeddingPairsIndexed]], keep the survivors, append them
+    * so tomorrow's batch screens against them too). The batch is banded
+    * with the INDEX'S knob family (never re-adapted) and appended into both
+    * tables under the same bucket spec — Spark validates the spec against
+    * the catalog, so an append can never silently change the layout; reads
+    * keep pruning/co-locating by bucket with no exchange (multi-file
+    * buckets lose global sortedness, costing consumers a local re-sort,
+    * not a shuffle — compact by rebuilding when that matters).
+    * `batch` must be id-disjoint from the indexed corpus (the d11/d15
+    * ingest contract — the screen that precedes this call is exactly what
+    * establishes it). Returns the updated handle; check [[staleKnobs]]
+    * after growth — occupancy grows ∝ appended volume at fixed bits, so a
+    * corpus that doubles wants the next adaptive knob step, i.e. a
+    * rebuild.
+    */
+  def appendEmbeddingSignatureIndex(batch: DataFrame,
+                                    index: EmbeddingSignatureIndex,
+                                    idCol: String,
+                                    vecCol: String): EmbeddingSignatureIndex = {
+    val spark = batch.sparkSession
+    graft.functions.NativeFunctions.register(spark)
+    val v = batch
+      .select(col(idCol), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("norm", Similarity.l2norm(col("v")))
+      .persist()
+    val n = v.count()
+    val dimBatch = Similarity.vectorDim(batch, vecCol)
+    require(dimBatch == index.dim || n == 0,
+      s"appendEmbeddingSignatureIndex: batch dim $dimBatch != index dim " +
+        s"${index.dim} — the signature family is dimension-specific")
+    val allSigns = Similarity.hyperplaneSigns(spark,
+      index.tables * index.planesPerTable, 0, index.dim)
+    graft.sources.BucketedLake.appendBucketedTable(spark, index.signatures,
+      v.select(col(idCol),
+        posexplode(graft.functions.NativeFunctions.hyperplaneSignatures(
+          spark, col("v"), allSigns.flatten,
+          index.planesPerTable, index.tables)).as(Seq("tbl", "sig"))),
+      "tbl", index.buckets, "sig")
+    graft.sources.BucketedLake.appendBucketedTable(spark, index.vectors,
+      v, idCol, index.buckets)
+    v.unpersist(blocking = false)
+    index.copy(corpusRows = index.corpusRows + n)
+  }
+
+  /** Advisory: after appends, does the adaptive policy now prescribe a
+    * different knob point than this index was built with? Fixed bits at
+    * growing n means bucket occupancy (and so within-bucket pair work)
+    * grows linearly in the appended volume — the exact failure
+    * [[adaptiveLshKnobs]] exists to prevent. True says "rebuild the index
+    * at the current corpus size"; results remain CORRECT either way (knobs
+    * trade cost/recall, never membership of the verified output in the
+    * exact-cosine contract).
+    */
+  def staleKnobs(index: EmbeddingSignatureIndex): Boolean =
+    adaptiveLshKnobs(index.corpusRows) !=
+      ((index.planesPerTable, index.tables))
 
   /** [[incrementalEmbeddingPairsLsh]] against a standing
     * [[EmbeddingSignatureIndex]] instead of a corpus DataFrame — identical

@@ -135,12 +135,44 @@ object ExtensionQueries {
     Dedup.writeEmbeddingSignatureIndex(corpus, "vec_id", "embedding",
       "emb_idx_" + graft.sources.BucketedLake.layoutSuffix(dir + "#emb", 16))
 
-  /** The fresh-vs-corpus embedding screen contract shared by d15 (direct)
-    * and d16 (standing signature index): one SQL definition — replaying the
+  /** Build-then-append variant for d17: the standing index is built from
+    * HALF the corpus (`vec_id % 8 ∈ {1..3}`) and the other half
+    * (`% 8 ∈ {4..7}`) is folded in via
+    * [[Dedup.appendEmbeddingSignatureIndex]] — the daily compaction step.
+    * Idempotent per (session, dir): the catalog presence of the
+    * final signature table is the already-built-AND-appended marker
+    * (append is not naturally idempotent — a second append would duplicate
+    * rows — so the table name, which embeds the knobs resolved from the
+    * INITIAL half, is checked first and the handle reconstructed from the
+    * catalog when found).
+    */
+  private def ensureAppendedEmbeddingIndex(
+      s: org.apache.spark.sql.SparkSession, dir: String,
+      initial: org.apache.spark.sql.DataFrame,
+      appended: org.apache.spark.sql.DataFrame): Dedup.EmbeddingSignatureIndex = {
+    val prefix =
+      "emb_idxa_" + graft.sources.BucketedLake.layoutSuffix(dir + "#emb_app", 16)
+    val (b, l) = Dedup.adaptiveLshKnobs(initial.count())
+    val sigName = s"${prefix}_sig_p${b}x${l}_b16"
+    if (s.catalog.tableExists(sigName)) {
+      val vecName = s"${prefix}_vec_p${b}x${l}_b16"
+      Dedup.EmbeddingSignatureIndex(sigName, vecName, b, l,
+        graft.operators.Similarity.vectorDim(initial, "embedding"),
+        s.table(vecName).count(), 16)
+    } else
+      Dedup.appendEmbeddingSignatureIndex(appended,
+        Dedup.writeEmbeddingSignatureIndex(initial, "vec_id", "embedding",
+          prefix),
+        "vec_id", "embedding")
+  }
+
+  /** The fresh-vs-corpus embedding screen contract shared by d15 (direct),
+    * d16 (standing signature index) and d17 (index built from half the
+    * corpus, other half appended): one SQL definition — replaying the
     * (4,8)-knob signature family from the materialized hyperplane signs,
-    * fresh = every 8th vec_id — so the two variants must agree on their
-    * output by construction, and the indexed path's "identical results"
-    * claim is pinned by the oracle, not just by ExtensionSpec.
+    * fresh = every 8th vec_id — so the three variants must agree on their
+    * output by construction, and the indexed paths' "identical results"
+    * claims are pinned by the oracle, not just by ExtensionSpec.
     */
   private val incrementalEmbeddingSql =
     """WITH planes AS (SELECT p, signs FROM read_parquet('{{AUX}}/hyperplanes32/*.parquet')),
@@ -762,6 +794,23 @@ object ExtensionQueries {
       of(incrementalEmbeddingSql) { (s, d) =>
         val e = t(s, d, "embeddings")
         val idx = ensureEmbeddingIndex(s, d, e.filter(col("vec_id") % 8 =!= 0))
+        Dedup.incrementalEmbeddingPairsIndexed(
+          e.filter(col("vec_id") % 8 === 0), idx, "vec_id", "embedding", 0.4)
+          .orderBy("fresh_id", "corpus_id")
+      },
+
+    // The d16 index GROWN BY APPEND (d17 — the daily compaction step):
+    // built from half the corpus, the other half folded in via
+    // appendEmbeddingSignatureIndex, then the same fresh screen. The oracle
+    // (d15's verbatim) pins that an appended index screens exactly like a
+    // freshly-built one — same knob family, same bucket layout, union of
+    // bucket files.
+    "d17_dedup_incremental_embedding_appended" ->
+      of(incrementalEmbeddingSql) { (s, d) =>
+        val e = t(s, d, "embeddings")
+        val idx = ensureAppendedEmbeddingIndex(s, d,
+          e.filter(col("vec_id") % 8 =!= 0 && col("vec_id") % 8 <= 3),
+          e.filter(col("vec_id") % 8 >= 4))
         Dedup.incrementalEmbeddingPairsIndexed(
           e.filter(col("vec_id") % 8 === 0), idx, "vec_id", "embedding", 0.4)
           .orderBy("fresh_id", "corpus_id")

@@ -56,6 +56,23 @@ object BucketedLake {
         .format("parquet").saveAsTable(name)
     }
 
+  /** Append `df` into an existing bucketed table under the SAME bucket
+    * spec (Spark validates the spec against the catalog and refuses a
+    * mismatch — an append can never silently change a layout). Each append
+    * adds one file per bucket; reads still prune/co-locate by bucket id
+    * with no exchange, but multi-file buckets are no longer globally
+    * sorted, so a sort-merge consumer re-sorts WITHIN partitions (a local
+    * sort, not a shuffle). Compact by rewriting the table when append count
+    * makes that sort noticeable.
+    */
+  private[graft] def appendBucketedTable(spark: SparkSession, name: String,
+                                         df: DataFrame, key: String,
+                                         buckets: Int,
+                                         moreKeys: String*): Unit =
+    df.write.mode(SaveMode.Append)
+      .bucketBy(buckets, key, moreKeys: _*).sortBy(key, moreKeys: _*)
+      .format("parquet").saveAsTable(name)
+
   def ensure(spark: SparkSession, dir: String, buckets: Int = 8): Tables = {
     val suffix = layoutSuffix(dir, buckets)
     val tables = Tables(s"orders_bkt_$suffix", s"lineitem_bkt_$suffix")

@@ -192,6 +192,40 @@ class ExtensionSpec extends SparkSpec {
     assert(e.getMessage.contains("dim"))
   }
 
+  test("d17 appended signature index screens exactly like a freshly-built one") {
+    val fresh = embs.filter(col("vec_id") % 8 === 0)
+    val corpus = embs.filter(col("vec_id") % 8 =!= 0)
+    val direct = Dedup.incrementalEmbeddingPairsLsh(
+      fresh, corpus, "vec_id", "embedding", 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val half1 = corpus.filter(col("vec_id") % 8 <= 3)
+    val half2 = corpus.filter(col("vec_id") % 8 >= 4)
+    val built = Dedup.writeEmbeddingSignatureIndex(half1, "vec_id", "embedding",
+      "emb_idx_append_spec")
+    val grown = Dedup.appendEmbeddingSignatureIndex(half2, built,
+      "vec_id", "embedding")
+    // the handle accounts for the appended rows; knob family unchanged
+    assert(grown.corpusRows === corpus.count())
+    assert((grown.planesPerTable, grown.tables) ===
+      ((built.planesPerTable, built.tables)))
+    val screened = Dedup.incrementalEmbeddingPairsIndexed(
+      fresh, grown, "vec_id", "embedding", 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(screened === direct)
+    assert(direct.nonEmpty)
+    // a mismatched append batch fails loudly before touching the tables
+    val e = intercept[IllegalArgumentException] {
+      Dedup.appendEmbeddingSignatureIndex(
+        fresh.select(col("vec_id"), expr("slice(embedding, 1, 8)").as("embedding")),
+        grown, "vec_id", "embedding")
+    }
+    assert(e.getMessage.contains("dim"))
+    // staleness advisory: growth past the adaptive policy's next knob step
+    // flags a rebuild; same-point growth does not
+    assert(!Dedup.staleKnobs(grown.copy(corpusRows = 2048)))
+    assert(Dedup.staleKnobs(grown.copy(corpusRows = 1L << 20)))
+  }
+
   test("k-means: bit-reproducible across trainings; trained IVF recall >= first-N") {
     val c1 = Similarity.kmeansCentroids(embs, "vec_id", "embedding")
     val c2 = Similarity.kmeansCentroids(embs, "vec_id", "embedding")
