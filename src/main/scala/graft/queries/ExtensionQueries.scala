@@ -2783,6 +2783,26 @@ object ExtensionQueries {
       s.table(sinkName).orderBy("fresh_id", "corpus_id")
     },
 
+    // STREAMING embedding ingest screen against the STANDING signature
+    // index — the d16 layout's live consumer (e15's cosine-space twin):
+    // arriving vectors band in-row with the index's knob family, candidate
+    // + vector joins are stream-static against the bucketed tables, and
+    // the one stateful operator is the distinct-of-survivors. AvailableNow
+    // complete-mode emission equals the batch indexed screen, so the d15
+    // oracle grades the streaming plan verbatim.
+    "e23_stream_embedding_screen" -> of(incrementalEmbeddingSql) { (s, d) =>
+      import graft.streaming.{EventsStream, ScreenStream}
+      val e = t(s, d, "embeddings")
+      val idx = ensureEmbeddingIndex(s, d, e.filter(col("vec_id") % 8 =!= 0))
+      val fresh = ScreenStream.readEmbeddings(s, d)
+        .filter(col("vec_id") % 8 === 0)
+      val screened = ScreenStream.screenEmbeddings(fresh, idx,
+        "vec_id", "embedding", 0.4)
+      val sinkName = s"stream_emb_screen_${sinkCounter.incrementAndGet()}"
+      EventsStream.runAvailableNow(screened, sinkName, outputMode = "complete")
+      s.table(sinkName).orderBy("fresh_id", "corpus_id")
+    },
+
     // Funnel analysis: per-user furthest stage through view → click →
     // purchase in event-time order — a sequential state machine, expressed
     // as the same sorted-collect + integer fold e10 uses (no UDF). Events

@@ -74,4 +74,75 @@ object ScreenStream {
       .filter(col("jaccard") >= threshold)
       .select("fresh_id", "corpus_id", "jaccard")
   }
+
+  val embeddingsSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding",
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType)),
+    StructField("label", org.apache.spark.sql.types.IntegerType)))
+
+  /** Streaming read of the embeddings table (same single-file glob shape
+    * as [[readDocs]]).
+    */
+  def readEmbeddings(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(embeddingsSchema)
+      .option("pathGlobFilter", "embeddings.parquet")
+      .parquet(dir)
+
+  /** The EMBEDDING ingest screen as a Structured Streaming query — the
+    * d15/d16 daily-ingest story live: fresh vectors ARRIVE as a stream and
+    * screen against the standing [[graft.operators.Dedup
+    * .EmbeddingSignatureIndex]] tables (static side). Same streaming-plan
+    * shape as [[screen]]: every static join runs BEFORE the one stateful
+    * operator —
+    *
+    *  - each arriving vector bands in-row via the fused
+    *    `hyperplane_signatures` expression with the INDEX'S knob family
+    *    (the index value carries it, so stream and standing side can never
+    *    band differently), its own norm a per-row projection;
+    *  - the (tbl, sig) candidate join and the corpus vector join-back are
+    *    stream-static and stateless — the standing tables read through
+    *    their bucket layout;
+    *  - the exact-cosine verify is a stateless filter, and the one
+    *    stateful operator is the final distinct-of-survivors (a groupBy on
+    *    the verified pair — cosine rides as a grouping column since the
+    *    pair determines it), state O(live VERIFIED pairs), strictly
+    *    smaller than e15's candidate-pair state.
+    *
+    * An AvailableNow complete-mode run equals
+    * [[graft.operators.Dedup.incrementalEmbeddingPairsIndexed]] on the
+    * same split, so the d15 oracle grades the streaming plan verbatim
+    * (e23).
+    */
+  def screenEmbeddings(freshVecs: DataFrame,
+                       index: graft.operators.Dedup.EmbeddingSignatureIndex,
+                       idCol: String, vecCol: String,
+                       threshold: Double): DataFrame = {
+    val spark = freshVecs.sparkSession
+    graft.functions.NativeFunctions.register(spark)
+    val allSigns = graft.operators.Similarity.hyperplaneSigns(spark,
+      index.tables * index.planesPerTable, 0, index.dim)
+    val banded = freshVecs
+      .select(col(idCol).as("fresh_id"),
+        col(vecCol).cast("array<double>").as("v_f"))
+      .withColumn("n_f", graft.operators.Similarity.l2norm(col("v_f")))
+      .select(col("fresh_id"), col("v_f"), col("n_f"),
+        posexplode(graft.functions.NativeFunctions.hyperplaneSignatures(
+          spark, col("v_f"), allSigns.flatten,
+          index.planesPerTable, index.tables)).as(Seq("tbl", "sig")))
+    banded
+      .join(spark.table(index.signatures)
+        .select(col(idCol).as("corpus_id"), col("tbl"), col("sig")),
+        Seq("tbl", "sig"))
+      .join(spark.table(index.vectors)
+        .select(col(idCol).as("corpus_id"), col("v").as("v_c"),
+          col("norm").as("n_c")), Seq("corpus_id"))
+      .withColumn("cosine", graft.operators.Similarity.dot(col("v_f"), col("v_c"))
+        / (col("n_f") * col("n_c")))
+      .filter(col("cosine") >= threshold)
+      .groupBy("fresh_id", "corpus_id", "cosine")
+      .agg(count(lit(1)).as("__occurrences"))
+      .select("fresh_id", "corpus_id", "cosine")
+  }
 }
