@@ -211,6 +211,30 @@ object Dedup {
     index
   }
 
+  /** Fold an ACCEPTED ingest batch into a standing [[ShingleIndex]] — the
+    * Jaccard-family compaction step (the d17 pattern for shingles): batch
+    * shingle set and per-doc sizes append into both tables under the
+    * catalog-validated bucket spec, so tomorrow's
+    * [[incrementalJaccardPairsIndexed]] screens against today's survivors
+    * without a rebuild. `k` and `buckets` MUST be the index's own (they are
+    * part of the layout contract, baked into the caller's table naming);
+    * batch ids must be disjoint from the indexed corpus — the screen that
+    * precedes this call establishes exactly that, and id-disjointness is
+    * what makes the per-doc sizes append pure addition.
+    */
+  def appendShingleIndex(batch: DataFrame, index: ShingleIndex,
+                         idCol: String, textCol: String,
+                         k: Int = 4, buckets: Int = 16): ShingleIndex = {
+    val spark = batch.sparkSession
+    val sh = shingleSet(batch, idCol, textCol, k, persist = true)
+    graft.sources.BucketedLake.appendBucketedTable(spark, index.shingles,
+      sh, "shingle", buckets)
+    graft.sources.BucketedLake.appendBucketedTable(spark, index.sizes,
+      sh.groupBy(col(idCol)).agg(count(lit(1)).as("set_size")), idCol, buckets)
+    sh.unpersist()
+    index
+  }
+
   /** [[incrementalJaccardPairs]] against a standing [[ShingleIndex]]
     * instead of a corpus DataFrame — identical results when the index was
     * built from the same corpus with the same `k` (spec-pinned); per-ingest

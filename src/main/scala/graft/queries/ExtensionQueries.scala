@@ -991,6 +991,48 @@ object ExtensionQueries {
         .orderBy("fresh_id", "corpus_id")
     },
 
+    // The d12 standing shingle index GROWN BY APPEND (d18 — the Jaccard
+    // family's compaction step, d17's shape for shingles): built from the
+    // sub-200 corpus, docs 200-399 folded in via appendShingleIndex, then
+    // the same fresh screen. The d11 oracle pins that an appended index
+    // screens exactly like a freshly-built one.
+    "d18_dedup_incremental_shingle_appended" -> of(
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] AS shingle
+        |  FROM toks, UNNEST(range(1, len(tk) - 2)) AS u(i)),
+        |sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT f.doc_id AS fresh_id, c.doc_id AS corpus_id, COUNT(*) AS inter
+        |  FROM sh f JOIN sh c ON f.shingle = c.shingle
+        |  WHERE f.doc_id >= 400 AND c.doc_id < 400
+        |  GROUP BY f.doc_id, c.doc_id)
+        |SELECT fresh_id, corpus_id,
+        |  inter / (sf.set_size + sc.set_size - inter) AS jaccard
+        |FROM inter
+        |JOIN sizes sf ON sf.doc_id = fresh_id
+        |JOIN sizes sc ON sc.doc_id = corpus_id
+        |WHERE inter / (sf.set_size + sc.set_size - inter) >= 0.5
+        |ORDER BY fresh_id, corpus_id""") { (s, d) =>
+      val docs = t(s, d, "documents")
+      val suffix =
+        graft.sources.BucketedLake.layoutSuffix(d + "#shingle_k4_app", 16)
+      val idx = Dedup.ShingleIndex(s"shingle_idxa_$suffix", s"shingle_sza_$suffix")
+      // append is not idempotent — the catalog presence of the shingles
+      // table marks already-built-AND-appended for this (session, dir)
+      if (!s.catalog.tableExists(idx.shingles)) {
+        Dedup.writeShingleIndex(docs.filter(col("doc_id") < 200),
+          "doc_id", "text", idx)
+        Dedup.appendShingleIndex(
+          docs.filter(col("doc_id") >= 200 && col("doc_id") < 400), idx,
+          "doc_id", "text")
+      }
+      Dedup.incrementalJaccardPairsIndexed(
+        docs.filter(col("doc_id") >= 400), idx, "doc_id", "text")
+        .orderBy("fresh_id", "corpus_id")
+    },
+
     // SemDeDup-style semantic dedup: k-means clusters are the candidate
     // generator (within-cluster pairs only — the IVF idea applied to dedup),
     // pairs at cosine ≥ 0.4 resolve to clusters by connected components.

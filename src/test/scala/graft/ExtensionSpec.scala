@@ -226,6 +226,23 @@ class ExtensionSpec extends SparkSpec {
     assert(Dedup.staleKnobs(grown.copy(corpusRows = 1L << 20)))
   }
 
+  test("d18 appended shingle index screens exactly like a freshly-built one") {
+    val fresh = docs.filter(col("doc_id") >= 400)
+    val corpus = docs.filter(col("doc_id") < 400)
+    val direct = Dedup.incrementalJaccardPairs(fresh, corpus, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val idx = Dedup.writeShingleIndex(corpus.filter(col("doc_id") < 200),
+      "doc_id", "text",
+      Dedup.ShingleIndex("shingle_idx_append_spec", "shingle_sz_append_spec"))
+    Dedup.appendShingleIndex(
+      corpus.filter(col("doc_id") >= 200), idx, "doc_id", "text")
+    val screened = Dedup.incrementalJaccardPairsIndexed(fresh, idx,
+      "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(screened === direct)
+    assert(direct.nonEmpty)
+  }
+
   test("k-means: bit-reproducible across trainings; trained IVF recall >= first-N") {
     val c1 = Similarity.kmeansCentroids(embs, "vec_id", "embedding")
     val c2 = Similarity.kmeansCentroids(embs, "vec_id", "embedding")
