@@ -625,6 +625,49 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "cosine")
   }
 
+  /** Multi-probe LSH ANN (the Lv et al. 2007 idea in hyperplane space):
+    * rank candidates from the query's own bucket PLUS the `planes` buckets
+    * at Hamming distance 1 — each probe flips one signature bit. A true
+    * neighbor lost to quantization differs from the query on planes with
+    * small margins; its bucket is one of the 1-flip buckets, so probing
+    * them recovers most of that recall at a FIXED index size. The
+    * alternative (fewer planes → bigger buckets) pays quadratic
+    * within-bucket candidate growth instead — multi-probe moves the cost
+    * to a linear (planes+1)× probe fan-out, which is the right trade at
+    * corpus scale where bucket occupancy, not probe count, is the
+    * scale-killer. A corpus vector lives in exactly ONE bucket and the
+    * probe set is distinct buckets, so the probe join yields each
+    * (query, candidate) pair at most once — no dedup exchange. Candidates
+    * are a strict superset of [[lshBucketedNeighbors]]'s (spec-pinned),
+    * hence recall ≥ the single-probe operator on any input.
+    */
+  def multiProbeLshNeighbors(queries: DataFrame, corpus: DataFrame,
+                             idCol: String, vecCol: String, k: Int,
+                             planes: Int = 8): DataFrame = {
+    graft.functions.NativeFunctions.register(queries.sparkSession)
+    val signs = hyperplaneSigns(queries.sparkSession, planes, 0,
+      vectorDim(corpus, vecCol))
+    def sig(df: DataFrame, id: String, vec: String, norm: String) =
+      df.select(col(idCol).as(id), col(vecCol).cast("array<double>").as(vec),
+        hyperplaneSignatureFrom(col(vecCol).cast("array<double>"), signs).as("bucket"))
+        .withColumn(norm, l2norm(col(vec)))
+    // 1-flip masks are plan constants; probe 0 is the query's own bucket
+    val masks = (0 until planes).map(p => 1L << (planes - 1 - p))
+    val q = sig(queries, "query_id", "qv", "q_norm")
+      .select(col("query_id"), col("qv"), col("q_norm"),
+        explode(array(col("bucket") +:
+          masks.map(m => col("bucket").bitwiseXOR(lit(m))): _*)).as("bucket"))
+    val c = sig(corpus, "neighbor_id", "cv", "c_norm")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    broadcast(q).join(c, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", dot(col("qv"), col("cv")) / (col("q_norm") * col("c_norm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+  }
+
   /** Product-quantization codebooks (the FAISS-PQ shape, inner-product
     * flavor): the vector splits into `subspaces` contiguous slices and each
     * slice gets its own `k`-centroid quantizer trained with the SAME

@@ -1139,6 +1139,42 @@ object ExtensionQueries {
         .orderBy("query_id", "rank")
     },
 
+    // MULTI-PROBE LSH ANN (s15): the s03 bucket search extended with the 8
+    // Hamming-distance-1 probe buckets per query (Lv et al. 2007) — recall
+    // recovered at fixed index size via a linear probe fan-out instead of
+    // quadratic bucket growth. The oracle replays the same buckets from
+    // the materialized planes and generates the identical 1-flip probe set
+    // with xor; candidates are provably distinct (one bucket per corpus
+    // vector), ranked by exact cosine.
+    "s15_ann_multiprobe" -> of(
+      s"""WITH $lshCtes,
+        |probes AS (
+        |  SELECT vec_id AS query_id, bucket AS probe
+        |  FROM buckets WHERE vec_id < 10
+        |  UNION
+        |  SELECT b.vec_id, xor(b.bucket, (1::BIGINT << CAST(7 - u.p AS INT)))
+        |  FROM buckets b, UNNEST(range(0, 8)) AS u(p) WHERE b.vec_id < 10),
+        |mscored AS (
+        |  SELECT p.query_id, c.vec_id AS neighbor_id,
+        |    list_sum(list_transform(list_zip(qe.v, ce.v), x -> x[1] * x[2]))
+        |    / (sqrt(list_sum(list_transform(qe.v, x -> x*x)))
+        |       * sqrt(list_sum(list_transform(ce.v, x -> x*x)))) AS cosine
+        |  FROM probes p
+        |  JOIN buckets c ON c.bucket = p.probe AND c.vec_id <> p.query_id
+        |  JOIN e qe ON qe.vec_id = p.query_id
+        |  JOIN e ce ON ce.vec_id = c.vec_id)
+        |SELECT query_id, rank, neighbor_id, cosine FROM (
+        |  SELECT query_id, neighbor_id, cosine,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, neighbor_id) AS rank
+        |  FROM mscored) x
+        |WHERE rank <= 5 ORDER BY query_id, rank""") { (s, d) =>
+      val e = t(s, d, "embeddings")
+      Similarity.multiProbeLshNeighbors(e.filter(col("vec_id") < 10), e,
+        "vec_id", "embedding", 5)
+        .orderBy("query_id", "rank")
+    },
+
     // Embedding L2 normalization — the standard pre-index step (unit
     // vectors make cosine = dot). The norm is computed ONCE per row and
     // referenced from the transform lambda; both engines divide the same

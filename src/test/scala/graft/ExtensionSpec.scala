@@ -152,6 +152,32 @@ class ExtensionSpec extends SparkSpec {
     assert(lsh.size.toDouble / exact.size > 0.3)
   }
 
+  test("multi-probe LSH: strict superset of single-probe candidates, recall >= s03") {
+    val q = embs.filter(col("vec_id") < 10)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val single = pairs(Similarity.lshBucketedNeighbors(
+      q, embs, "vec_id", "embedding", Int.MaxValue))
+    val multi = pairs(Similarity.multiProbeLshNeighbors(
+      q, embs, "vec_id", "embedding", Int.MaxValue))
+    assert(single.subsetOf(multi),
+      "1-flip probing must never lose the own-bucket candidates")
+    assert(multi.size > single.size,
+      "on this corpus the flip probes must actually add candidates")
+    // recall@5 against the exact ground truth: multi-probe can only help
+    val truth = pairs(Similarity.cosineTopKWindow(
+      q, embs, "vec_id", "embedding", 5))
+    val top5single = pairs(Similarity.lshBucketedNeighbors(
+      q, embs, "vec_id", "embedding", 5))
+    val top5multi = pairs(Similarity.multiProbeLshNeighbors(
+      q, embs, "vec_id", "embedding", 5))
+    assert((top5multi intersect truth).size >= (top5single intersect truth).size)
+    // determinism
+    assert(pairs(Similarity.multiProbeLshNeighbors(
+      q, embs, "vec_id", "embedding", 5)) === top5multi)
+  }
+
   test("recall gate formula: floors match the documented knob points") {
     // the 1-(1-p^b)^L values SCALE.md and the adaptive-knob scaladoc quote,
     // pinned so the ScaleSmoke recall gate's floor can't drift from the doc
