@@ -163,6 +163,15 @@ class PlanSpec extends SparkSpec {
       s"bloom filter must run below the corpus-side exchange:\n${plan.take(1500)}")
   }
 
+  test("s15: multi-probe candidates come from the bucket equi-join — no all-pairs, query side broadcast") {
+    val plan = physicalPlan("s15_ann_multiprobe")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"probe fan-out must ride the bucket equi-key:\n${plan.take(900)}")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the (query × probes) side must broadcast:\n${plan.take(900)}")
+  }
+
   test("s04: centroid table broadcasts; corpus never moves for assignment") {
     val plan = physicalPlan("s04_sim_ann_ivf")
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
