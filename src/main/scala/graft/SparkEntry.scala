@@ -14,7 +14,8 @@ import graft.queries._
 object SparkEntry {
 
   private val registry: Map[String, QueryDef] =
-    RelationalQueries.defs ++ ExtensionQueries.defs ++ CotripQueries.defs
+    RelationalQueries.defs ++ ExtensionQueries.defs ++ SketchQueries.defs ++
+      CotripQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Upsert/merge semantics vanilla Spark lacks (no `MERGE INTO` without a
   * lakehouse format), expressed as plain joins — the slowly-changing-
@@ -50,6 +51,37 @@ object Merges {
     * broadcastable) batch + one union — no driver-side state. Output:
     * value columns + `valid_from` + `valid_to` (null = open).
     */
+  /** Partial aggregation state for incremental view maintenance: per key,
+    * (cnt, tot) with the sum carried as DECIMAL(18,2)→DECIMAL(28,2) so
+    * states merge EXACTLY — `state(A) ⊕ state(B) = state(A ∪ B)` holds
+    * bit-for-bit, which double sums (order-dependent rounding) cannot
+    * promise. Callers cast `tot` to double only at the final read edge.
+    */
+  def aggState(df: DataFrame, keyCols: Seq[String], valCol: String): DataFrame =
+    df.groupBy(keyCols.map(col): _*).agg(
+      count(lit(1)).as("cnt"),
+      sum(col(valCol).cast(DecimalType(18, 2))).as("tot"))
+
+  /** Merge two [[aggState]] frames: the standing state absorbs a delta
+    * batch in one key join — per-ingest cost ∝ |delta state|, never a
+    * rescan of the data behind the standing side (the d17 signature-index
+    * contract, applied to aggregates). Full-outer + null-safe key equality:
+    * keys present on either side survive, null group keys merge as one
+    * group (the snapshotDiff contract).
+    */
+  def mergeAggStates(a: DataFrame, b: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val zero = lit(0).cast(DecimalType(28, 2))
+    val an = a.select(keyCols.map(c => col(c).as(s"__a_$c")) :+
+      col("cnt").as("__a_cnt") :+ col("tot").cast(DecimalType(28, 2)).as("__a_tot"): _*)
+    val bn = b.select(keyCols.map(c => col(c).as(s"__b_$c")) :+
+      col("cnt").as("__b_cnt") :+ col("tot").cast(DecimalType(28, 2)).as("__b_tot"): _*)
+    val cond = keyCols.map(c => col(s"__a_$c") <=> col(s"__b_$c")).reduce(_ && _)
+    an.join(bn, cond, "full_outer").select(
+      keyCols.map(c => coalesce(col(s"__a_$c"), col(s"__b_$c")).as(c)) ++ Seq(
+        (coalesce(col("__a_cnt"), lit(0L)) + coalesce(col("__b_cnt"), lit(0L))).as("cnt"),
+        (coalesce(col("__a_tot"), zero) + coalesce(col("__b_tot"), zero)).as("tot")): _*)
+  }
+
   def scd2(current: DataFrame, updates: DataFrame, keyCol: String,
            tsCol: String): DataFrame = {
     val valueCols = current.columns.filterNot(_ == "valid_from").toSeq

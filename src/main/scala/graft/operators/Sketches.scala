@@ -1,0 +1,256 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Mergeable summary sketches — the cardinality / frequency / set-overlap
+  * estimators a 100 TB profiling pass runs INSTEAD of exact aggregation,
+  * because their per-group state is a few hundred bytes regardless of input
+  * size and merges associatively (map-side partial aggregation does most of
+  * the work before any shuffle):
+  *
+  *  - HyperLogLog distinct-count (Flajolet et al. 2007): m=16 max-rank
+  *    registers per group; register table = one `groupBy(grp, bucket).max`,
+  *    estimate = one more tiny aggregate. Cluster cost per group is O(m),
+  *    never O(distinct).
+  *  - Count-Min frequency (Cormode & Muthukrishnan 2005): d×w counter grid,
+  *    counters ADD under union — partial sums combine map-side, and the
+  *    final grid (192 cells) broadcasts back for estimation.
+  *  - KMV/theta distinct sketch (Bar-Yossef et al. 2002): the k smallest
+  *    distinct key hashes per group. Uniquely among the three it supports
+  *    SET ALGEBRA ON THE SUMMARIES — union/intersection estimates for every
+  *    group pair come from the k-row sketches alone, no second data pass.
+  *
+  * Determinism contract (what makes these DuckDB-oracle-able, not just
+  * statistically plausible): every estimate is a fixed tree of IEEE double
+  * ops over integer-exact inputs — register harmonic numerators are kept
+  * exact in 64-bit by capping registers at [[HllRegCap]], KMV thetas divide
+  * by the exact power 2^64 — so Spark and the oracle compute bit-identical
+  * results when they compute the same tree. The only non-SQL primitives
+  * (xxhash64, StrictMath.log) are materialized for the oracle via AuxDumps,
+  * the same contract as simhash/LSH (AuxDumps.scala).
+  */
+object Sketches {
+
+  // ---------------------------------------------------------------- HLL --
+
+  /** Register-index bits: m = 2^p = 16 registers per group. Small by
+    * design — the oracle exercises both estimator branches at test scale
+    * (raw harmonic-mean above 2.5m, linear counting below) and the standard
+    * error 1.04/√m ≈ 26% is documented, not hidden. Production callers can
+    * widen p; every expression below derives from these constants.
+    */
+  val HllP = 4
+  val HllM = 16
+  /** Register cap: bounds every harmonic term 2^(cap-reg) ≤ 2^40, so the
+    * per-group numerator sum stays EXACT in a 64-bit long (16 · 2^40 ≪
+    * 2^63) — the estimate is then a deterministic double tree over exact
+    * integers. Caps the estimable range at ~0.7·16·2^40 ≈ 8e12 distinct
+    * keys, far beyond any per-group cardinality a 100 TB corpus holds
+    * (fixed-width register files make the same trade, e.g. 6-bit registers
+    * capping at 63).
+    */
+  val HllRegCap = 40
+  /** α₁₆ bias constant (Flajolet et al. 2007, table for m=16). */
+  val HllAlpha = 0.673
+  private val HllMask = (1L << (64 - HllP)) - 1 // low 60 bits
+  private val Pow2CapLong = 1L << HllRegCap
+  private val Pow2CapDouble = Pow2CapLong.toDouble // 2^40, exact
+
+  /** Leading-zero count of a NON-NEGATIVE long via smear + popcount —
+    * codegen-friendly built-ins only, and expressible verbatim in the
+    * DuckDB oracle (no clz function there either). The smear propagates the
+    * highest set bit into every lower position; 64 - popcount is then the
+    * leading-zero count.
+    */
+  private def clz64NonNeg(w: Column): Column = {
+    val s1 = w.bitwiseOR(shiftright(w, 1))
+    val s2 = s1.bitwiseOR(shiftright(s1, 2))
+    val s3 = s2.bitwiseOR(shiftright(s2, 4))
+    val s4 = s3.bitwiseOR(shiftright(s3, 8))
+    val s5 = s4.bitwiseOR(shiftright(s4, 16))
+    val s6 = s5.bitwiseOR(shiftright(s5, 32))
+    lit(64) - bit_count(s6)
+  }
+
+  /** Register index: top p bits of the hash. Arithmetic shift + mask keeps
+    * the top bits exact for negative hashes (same as the oracle's
+    * `(h >> 60) & 15`).
+    */
+  def hllBucket(h: Column): Column =
+    shiftright(h, 64 - HllP).bitwiseAND(lit(HllM - 1))
+
+  /** Register value ρ: leading zeros WITHIN the remaining 60 hash bits + 1,
+    * capped at [[HllRegCap]]. Computed on the masked (always non-negative)
+    * low bits rather than `h << p` — a left shift would overflow DuckDB's
+    * checked BIGINT `<<` on half of all hashes; on the masked value,
+    * clz64(hm) - p + 1 is the same ρ with shift-free arithmetic.
+    */
+  def hllReg(h: Column): Column = {
+    val hm = h.bitwiseAND(lit(HllMask))
+    least(
+      when(hm === 0, lit(64 - HllP + 1))
+        .otherwise(clz64NonNeg(hm) - lit(HllP - 1)),
+      lit(HllRegCap))
+  }
+
+  /** Linear-counting logarithm ln(m/zeros) — THE shared derivation for the
+    * q43 plan and the `hll_ln` aux dump, so the oracle's materialized table
+    * can never drift from what the query computes (the hyperplane-signs
+    * lockstep contract).
+    */
+  def lcLn(zeros: Column): Column =
+    log(lit(HllM.toDouble) / zeros.cast("double"))
+
+  /** Register table: (grpCols..., bucket, reg) for the buckets PRESENT in
+    * the input — absent buckets are zero registers, accounted for
+    * arithmetically in [[hllEstimate]] (a present bucket always has reg ≥ 1,
+    * so `zeros = m - count(*)` needs no bucket-fill join). One shuffle, with
+    * map-side partial max: the mergeability of the sketch IS this groupBy's
+    * combine step.
+    */
+  def hllRegisters(df: DataFrame, grpCols: Seq[String], key: Column): DataFrame = {
+    val h = xxhash64(key)
+    df.select(grpCols.map(col) :+ hllBucket(h).as("bucket") :+ hllReg(h).as("reg"): _*)
+      .groupBy((grpCols :+ "bucket").map(col): _*)
+      .agg(max("reg").as("reg"))
+  }
+
+  /** Per-group estimate from a register table: (grpCols..., zeros, s_num,
+    * est). `s_num` is the cap-relative harmonic numerator
+    * Σ 2^(cap - reg_j) over all m registers (missing buckets contribute
+    * 2^cap each) — integer-exact, so `est` is a deterministic double tree:
+    * raw = α·m²·2^cap / s_num, switched to linear counting m·ln(m/zeros)
+    * below 2.5m when zero registers remain (Flajolet et al. 2007 §4; the
+    * 32-bit large-range correction does not apply at 64-bit hash width).
+    */
+  def hllEstimate(regs: DataFrame, grpCols: Seq[String]): DataFrame = {
+    val g = regs.groupBy(grpCols.map(col): _*).agg(
+      (lit(HllM) - count(lit(1))).cast("int").as("zeros"),
+      sum(expr(s"shiftleft(1L, $HllRegCap - reg)")).as("s_present"))
+    val withS = g.select(grpCols.map(col) :+ col("zeros") :+
+      (col("s_present") + col("zeros").cast("long") * lit(Pow2CapLong)).as("s_num"): _*)
+    val estRaw =
+      lit(HllAlpha) * lit((HllM * HllM).toDouble) * lit(Pow2CapDouble) /
+        col("s_num").cast("double")
+    withS.withColumn("est",
+      when(col("zeros") > 0 && estRaw <= lit(2.5 * HllM),
+        lit(HllM.toDouble) * lcLn(col("zeros"))).otherwise(estRaw))
+  }
+
+  // ---------------------------------------------------------- Count-Min --
+
+  val CmsDepth = 3
+  val CmsWidth = 64
+
+  /** Row-seeded hash — shared by the q44 plan and the `cms_hashes` aux dump
+    * (lockstep contract, as [[lcLn]]).
+    */
+  def cmsHash(r: Column, tok: Column): Column = xxhash64(r, tok)
+
+  /** Bucket: top 6 hash bits (arithmetic shift + mask, exact for negative
+    * hashes — same expression as the oracle's `(h >> 58) & 63`).
+    */
+  def cmsBucket(h: Column): Column =
+    shiftright(h, 64 - 6).bitwiseAND(lit(CmsWidth - 1))
+
+  /** Count-Min heavy hitters over the whitespace token stream: exact
+    * per-token counts feed a d×w counter grid (each token instance
+    * increments one bucket per row), and each token's estimate is the MIN
+    * of its d cells — ≥ the true count always, with overestimate bounded by
+    * colliding mass. Output: the topN tokens by exact count (ties by token)
+    * with both counts, so the estimate is auditable against truth row by
+    * row. Plan shape: one token-count shuffle; the grid is d·w = 192 rows,
+    * aggregated tiny and BROADCAST back — per-token estimation never
+    * shuffles the token table again.
+    */
+  def cmsHeavyHitters(docs: DataFrame, textCol: String, topN: Int): DataFrame = {
+    val counts = docs
+      .select(explode(TextFunctions.tokens(col(textCol))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+    val routed = counts
+      .select(col("tok"), col("n"),
+        explode(sequence(lit(0), lit(CmsDepth - 1))).as("r"))
+      .withColumn("bucket", cmsBucket(cmsHash(col("r"), col("tok"))))
+    val cells = routed.groupBy("r", "bucket")
+      .agg(sum("n").as("cell"))
+    routed.join(broadcast(cells), Seq("r", "bucket"))
+      .groupBy("tok", "n").agg(min("cell").as("cms_est"))
+      .orderBy(col("n").desc, col("tok")).limit(topN)
+  }
+
+  // ---------------------------------------------------------------- KMV --
+
+  /** Sketch size: estimate standard error ≈ 1/√(k-2) ≈ 18% at k=32. */
+  val KmvK = 32
+  private val FlipBit = Long.MinValue
+  private val TwoPow64 = 1.8446744073709552e19 // 2^64, exact as a double
+
+  /** Signed↔unsigned order flip: xor with the sign bit is a monotone
+    * bijection from unsigned hash order onto signed long order, so sorted
+    * collections of FLIPPED hashes are in unsigned hash order — the order
+    * KMV's "k minimum values" is defined over.
+    */
+  def flip(h: Column): Column = h.bitwiseXOR(lit(FlipBit))
+
+  /** Exact-rounded unsigned-long → double conversion of a raw hash. */
+  private def u2d(raw: Column): Column =
+    raw.cast("double") +
+      when(raw < 0, lit(TwoPow64)).otherwise(lit(0.0))
+
+  /** Bounded bottom-k DISTINCT longs — the KMV sketch state. List stays
+    * sorted ascending and ≤ k entries, duplicates dropped on insert (equal
+    * keys hash equal, so multiset input needs no upstream distinct);
+    * partial-aggregates map-side and merges associatively like
+    * [[Similarity.TopKAggregator]].
+    */
+  final class BottomKDistinctLongs(k: Int)
+      extends Aggregator[Long, List[Long], Seq[Long]] {
+    private def insert(buf: List[Long], v: Long): List[Long] =
+      if (buf.contains(v)) buf
+      else {
+        val m = (v :: buf).sorted
+        if (m.size > k) m.take(k) else m
+      }
+    override def zero: List[Long] = Nil
+    override def reduce(buf: List[Long], v: Long): List[Long] = insert(buf, v)
+    override def merge(a: List[Long], b: List[Long]): List[Long] =
+      b.foldLeft(a)(insert)
+    override def finish(buf: List[Long]): Seq[Long] = buf
+    override def bufferEncoder: Encoder[List[Long]] = ExpressionEncoder()
+    override def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder()
+  }
+
+  /** Per-group KMV sketch: (grpCol, sk) where sk = the k smallest distinct
+    * flipped key hashes, ascending. One shuffle with bounded partial-agg
+    * state — never a distinct-then-rank over the raw keys.
+    */
+  def kmvSketches(df: DataFrame, grpCol: String, key: Column, k: Int): DataFrame = {
+    val bottomK = udaf(new BottomKDistinctLongs(k), Encoders.scalaLong)
+    df.select(col(grpCol), flip(xxhash64(key)).as("fh"))
+      .groupBy(grpCol).agg(bottomK(col("fh")).as("sk"))
+  }
+
+  /** Sketch-algebra union: the k smallest distinct values of A ∪ B are a
+    * subset of bottomK(A) ∪ bottomK(B), so the union sketch derives from
+    * the two summaries alone — no second pass over the data.
+    */
+  def kmvUnion(a: Column, b: Column, k: Int): Column =
+    slice(array_sort(array_distinct(concat(a, b))), 1, k)
+
+  /** Distinct-count estimate from a sketch: exact size when the sketch
+    * never filled (fewer than k distinct keys seen — the sketch IS the key
+    * set), else (k-1)/θ with θ = kth-smallest hash / 2^64. The division by
+    * 2^64 is exact (power of two), so the estimate is a two-op double tree
+    * over the exact-rounded hash conversion.
+    */
+  def kmvEstimate(sk: Column, k: Int): Column = {
+    val raw = element_at(sk, k).bitwiseXOR(lit(FlipBit))
+    when(size(sk) < k, size(sk).cast("double"))
+      .otherwise(lit((k - 1).toDouble) / (u2d(raw) / lit(TwoPow64)))
+  }
+}

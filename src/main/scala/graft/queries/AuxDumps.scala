@@ -128,6 +128,34 @@ object AuxDumps {
         .toDF("p", "signs")
     }),
 
+    // q43/t30: xxhash64 over the user id — the HLL/KMV key primitive for
+    // the events grouping. Keyed by user_id; the oracle recomputes
+    // bucketing, rho, registers, bottom-k ranking and every estimate from
+    // it in SQL (doc_hashes already covers the documents grouping).
+    "user_hashes" -> ((s, d) =>
+      Q.events(s, d).select(col("user_id")).distinct()
+        .select(col("user_id"), xxhash64(col("user_id")).as("h"))),
+
+    // q43: the linear-counting ln(m/zeros) table for zeros = 1..m —
+    // materialized through the OPERATOR's own derivation (Sketches.lcLn),
+    // the lockstep contract hyperplanes32 uses, because Spark's log is
+    // StrictMath-based and DuckDB's ln may differ by 1 ulp.
+    "hll_ln" -> ((s, d) =>
+      s.range(1, graft.operators.Sketches.HllM + 1)
+        .select(col("id").cast("int").as("z"),
+          graft.operators.Sketches.lcLn(col("id")).as("lnv"))),
+
+    // q44: distinct token × CMS row → row-seeded xxhash64 — materialized
+    // through the operator's own cmsHash, joined back on the token STRING
+    // so Spark's tokenization stays under oracle test (the d04 contract).
+    "cms_hashes" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(explode(tokens(col("text"))).as("tok")).distinct()
+        .select(col("tok"),
+          explode(sequence(lit(0), lit(graft.operators.Sketches.CmsDepth - 1))).as("r"))
+        .select(col("tok"), col("r"),
+          graft.operators.Sketches.cmsHash(col("r"), col("tok")).as("h"))),
+
     // s07: the random-projection sign family (offset 1000, disjoint from
     // the LSH planes above) — same shared derivation, same lockstep
     // guarantee.

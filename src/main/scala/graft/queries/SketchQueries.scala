@@ -1,0 +1,204 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Merges, Sketches}
+import graft.queries.Q.t
+import graft.queries.QueryDef.of
+
+/** Sketch + incremental-maintenance queries (SURVEY §2.11 profiling
+  * surface): mergeable summaries whose cluster cost is governed by summary
+  * size, not data size. Oracle contract (see Sketches.scala header): the
+  * hash and log primitives are materialized via AuxDumps; DuckDB recomputes
+  * every downstream step — bucketing, rho via the same smear/popcount
+  * arithmetic, register maxima, harmonic numerators, counter grids,
+  * bottom-k ranking, set algebra, and the exact estimate float trees — from
+  * scratch in SQL.
+  */
+object SketchQueries {
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // HyperLogLog distinct-count over two groupings at once — distinct
+    // users per event type (the raw harmonic-mean branch at test scale) and
+    // distinct docs per source (the linear-counting branch), so BOTH
+    // estimator regimes are oracle-exercised. The union happens BEFORE the
+    // register groupBy: one register shuffle + one estimate shuffle total.
+    "q43_hll_distinct" -> of(
+      """WITH uh AS (SELECT user_id, h FROM read_parquet('{{AUX}}/user_hashes/*.parquet')),
+        |dh AS (SELECT doc_id, h FROM read_parquet('{{AUX}}/doc_hashes/*.parquet')),
+        |lnl AS (SELECT z, lnv FROM read_parquet('{{AUX}}/hll_ln/*.parquet')),
+        |keys AS (
+        |  SELECT 'events' AS kind, e.event_type AS grp, uh.h AS h
+        |  FROM events e JOIN uh USING (user_id)
+        |  UNION ALL
+        |  SELECT 'documents' AS kind, dc.source AS grp, dh.h AS h
+        |  FROM documents dc JOIN dh USING (doc_id)),
+        |hm AS (SELECT kind, grp, (h >> 60) & 15 AS bucket,
+        |  h & 1152921504606846975 AS w FROM keys),
+        |s1 AS (SELECT kind, grp, bucket, w, w | (w >> 1) AS s FROM hm),
+        |s2 AS (SELECT kind, grp, bucket, w, s | (s >> 2) AS s FROM s1),
+        |s3 AS (SELECT kind, grp, bucket, w, s | (s >> 4) AS s FROM s2),
+        |s4 AS (SELECT kind, grp, bucket, w, s | (s >> 8) AS s FROM s3),
+        |s5 AS (SELECT kind, grp, bucket, w, s | (s >> 16) AS s FROM s4),
+        |s6 AS (SELECT kind, grp, bucket, w, s | (s >> 32) AS s FROM s5),
+        |rho AS (SELECT kind, grp, bucket,
+        |  LEAST(CASE WHEN w = 0 THEN 61 ELSE (64 - bit_count(s)) - 3 END, 40) AS reg
+        |  FROM s6),
+        |regs AS (SELECT kind, grp, bucket, MAX(reg) AS reg
+        |  FROM rho GROUP BY kind, grp, bucket),
+        |g AS (SELECT kind, grp,
+        |    CAST(16 - COUNT(*) AS INT) AS zeros,
+        |    CAST(SUM(1::BIGINT << CAST(40 - reg AS INT)) AS BIGINT) AS s_present
+        |  FROM regs GROUP BY kind, grp),
+        |est0 AS (SELECT kind, grp, zeros,
+        |    s_present + CAST(zeros AS BIGINT) * 1099511627776 AS s_num FROM g),
+        |est1 AS (SELECT kind, grp, zeros, s_num,
+        |    CAST(0.673 AS DOUBLE) * CAST(256 AS DOUBLE) * CAST(1099511627776 AS DOUBLE)
+        |      / CAST(s_num AS DOUBLE) AS est_raw
+        |  FROM est0)
+        |SELECT kind, grp, zeros, s_num,
+        |  CASE WHEN zeros > 0 AND est_raw <= CAST(40.0 AS DOUBLE)
+        |    THEN CAST(16.0 AS DOUBLE) * lnl.lnv ELSE est_raw END AS est
+        |FROM est1 LEFT JOIN lnl ON lnl.z = est1.zeros
+        |ORDER BY kind, grp""") { (s, d) =>
+      val ev = Q.events(s, d).select(lit("events").as("kind"),
+        col("event_type").as("grp"), col("user_id").as("k"))
+      val docs = t(s, d, "documents").select(lit("documents").as("kind"),
+        col("source").as("grp"), col("doc_id").as("k"))
+      val regs = Sketches.hllRegisters(ev.unionByName(docs), Seq("kind", "grp"), col("k"))
+      Sketches.hllEstimate(regs, Seq("kind", "grp")).orderBy("kind", "grp")
+    },
+
+    // Count-Min heavy hitters: top-20 exact tokens with their grid
+    // estimate alongside — integer-exact end to end, so the oracle match is
+    // bit-trivial and the ≥-truth guarantee is visible per row.
+    "q44_cms_heavy_hitters" -> of(
+      """WITH ch AS (SELECT tok, r, h FROM read_parquet('{{AUX}}/cms_hashes/*.parquet')),
+        |toks AS (
+        |  SELECT u.tok
+        |  FROM (SELECT string_split(text, ' ') AS tk FROM documents) d,
+        |    UNNEST(tk) AS u(tok)),
+        |counts AS (SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok),
+        |routed AS (SELECT c.tok, c.n, ch.r, (ch.h >> 58) & 63 AS bucket
+        |  FROM counts c JOIN ch ON ch.tok = c.tok),
+        |cells AS (SELECT r, bucket, CAST(SUM(n) AS BIGINT) AS cell
+        |  FROM routed GROUP BY r, bucket),
+        |est AS (SELECT ro.tok, ro.n, MIN(ce.cell) AS cms_est
+        |  FROM routed ro JOIN cells ce ON ce.r = ro.r AND ce.bucket = ro.bucket
+        |  GROUP BY ro.tok, ro.n)
+        |SELECT tok, n, cms_est FROM est ORDER BY n DESC, tok LIMIT 20""") { (s, d) =>
+      Sketches.cmsHeavyHitters(t(s, d, "documents"), "text", 20)
+    },
+
+    // Incremental aggregate maintenance: the monthly order-status rollup is
+    // maintained as standing state + a delta batch merged in (split at
+    // 2000-01-01), and must equal the from-scratch aggregate over all
+    // orders — the oracle IS that from-scratch recompute, so equality
+    // proves state(A) ⊕ state(B) = state(A ∪ B) on real data.
+    "q45_incremental_agg" -> of(
+      """SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS om,
+        |  o_orderstatus AS status,
+        |  COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY 1, 2 ORDER BY om, status""") { (s, d) =>
+      val orders = t(s, d, "orders")
+        .withColumn("om", date_trunc("month", col("o_orderdate")))
+      val cut = lit("2000-01-01").cast("timestamp")
+      val keys = Seq("om", "o_orderstatus")
+      val base = Merges.aggState(
+        orders.filter(col("o_orderdate") < cut), keys, "o_totalprice")
+      val delta = Merges.aggState(
+        orders.filter(col("o_orderdate") >= cut), keys, "o_totalprice")
+      Merges.mergeAggStates(base, delta, keys)
+        .select(col("om"), col("o_orderstatus").as("status"),
+          col("cnt"), col("tot").cast("double").as("total"))
+        .orderBy("om", "status")
+    },
+
+    // KMV/theta sketch set algebra: per-event-type user sketches (k=32),
+    // then union + inclusion-exclusion intersection estimates for every
+    // type pair FROM THE SKETCHES ALONE; exact counts ride along so the
+    // estimates are auditable per row.
+    "t30_kmv_set_ops" -> of(
+      """WITH uh AS (SELECT user_id, h FROM read_parquet('{{AUX}}/user_hashes/*.parquet')),
+        |eu AS (SELECT DISTINCT e.event_type AS et, e.user_id FROM events e),
+        |exact AS (SELECT et, CAST(COUNT(*) AS BIGINT) AS exact FROM eu GROUP BY et),
+        |fh AS (SELECT DISTINCT eu.et, xor(uh.h, -9223372036854775808) AS fh
+        |  FROM eu JOIN uh USING (user_id)),
+        |rk AS (SELECT et, fh, ROW_NUMBER() OVER (PARTITION BY et ORDER BY fh) AS rn,
+        |  COUNT(*) OVER (PARTITION BY et) AS cnt FROM fh),
+        |bot AS (SELECT et, fh, rn, cnt FROM rk WHERE rn <= 32),
+        |kth AS (SELECT et, MAX(cnt) AS cnt,
+        |  MAX(CASE WHEN rn = 32 THEN fh END) AS kfh FROM bot GROUP BY et),
+        |sest AS (SELECT et,
+        |  CASE WHEN cnt < 32 THEN CAST(cnt AS DOUBLE)
+        |  ELSE CAST(31.0 AS DOUBLE) /
+        |    ((CAST(xor(kfh, -9223372036854775808) AS DOUBLE)
+        |      + CASE WHEN xor(kfh, -9223372036854775808) < 0
+        |          THEN CAST(18446744073709551616 AS DOUBLE)
+        |          ELSE CAST(0 AS DOUBLE) END)
+        |     / CAST(18446744073709551616 AS DOUBLE)) END AS est
+        |  FROM kth),
+        |pairs AS (SELECT a.et AS et_a, b.et AS et_b
+        |  FROM exact a JOIN exact b ON a.et < b.et),
+        |ubot AS (SELECT DISTINCT p.et_a, p.et_b, bo.fh
+        |  FROM pairs p JOIN bot bo ON bo.et = p.et_a OR bo.et = p.et_b),
+        |urk AS (SELECT et_a, et_b, fh,
+        |  ROW_NUMBER() OVER (PARTITION BY et_a, et_b ORDER BY fh) AS rn,
+        |  COUNT(*) OVER (PARTITION BY et_a, et_b) AS ucnt FROM ubot),
+        |ukth AS (SELECT et_a, et_b, MAX(ucnt) AS ucnt,
+        |  MAX(CASE WHEN rn = 32 THEN fh END) AS kfh FROM urk GROUP BY et_a, et_b),
+        |uest AS (SELECT et_a, et_b,
+        |  CASE WHEN ucnt < 32 THEN CAST(ucnt AS DOUBLE)
+        |  ELSE CAST(31.0 AS DOUBLE) /
+        |    ((CAST(xor(kfh, -9223372036854775808) AS DOUBLE)
+        |      + CASE WHEN xor(kfh, -9223372036854775808) < 0
+        |          THEN CAST(18446744073709551616 AS DOUBLE)
+        |          ELSE CAST(0 AS DOUBLE) END)
+        |     / CAST(18446744073709551616 AS DOUBLE)) END AS est_union
+        |  FROM ukth),
+        |inter AS (SELECT a.et AS et_a, b.et AS et_b,
+        |    CAST(COUNT(*) AS BIGINT) AS exact_inter
+        |  FROM eu a JOIN eu b ON a.user_id = b.user_id AND a.et < b.et
+        |  GROUP BY 1, 2)
+        |SELECT p.et_a, p.et_b, ea.exact AS exact_a, eb.exact AS exact_b,
+        |  COALESCE(i.exact_inter, 0) AS exact_inter,
+        |  sa.est AS est_a, sb.est AS est_b, u.est_union AS est_union,
+        |  (sa.est + sb.est) - u.est_union AS est_inter
+        |FROM pairs p
+        |JOIN exact ea ON ea.et = p.et_a
+        |JOIN exact eb ON eb.et = p.et_b
+        |JOIN sest sa ON sa.et = p.et_a
+        |JOIN sest sb ON sb.et = p.et_b
+        |JOIN uest u ON u.et_a = p.et_a AND u.et_b = p.et_b
+        |LEFT JOIN inter i ON i.et_a = p.et_a AND i.et_b = p.et_b
+        |ORDER BY p.et_a, p.et_b""") { (s, d) =>
+      val ev = Q.events(s, d)
+      val eu = ev.select(col("event_type").as("et"), col("user_id")).distinct()
+      val exact = eu.groupBy("et").agg(count(lit(1)).as("exact"))
+      val sk = Sketches.kmvSketches(ev, "event_type", col("user_id"), Sketches.KmvK)
+        .withColumnRenamed("event_type", "et").join(exact, "et")
+      val a = sk.select(col("et").as("et_a"), col("sk").as("sk_a"),
+        col("exact").as("exact_a"))
+      val b = sk.select(col("et").as("et_b"), col("sk").as("sk_b"),
+        col("exact").as("exact_b"))
+      val inter = eu.as("x")
+        .join(eu.as("y"),
+          col("x.user_id") === col("y.user_id") && col("x.et") < col("y.et"))
+        .groupBy(col("x.et").as("et_a"), col("y.et").as("et_b"))
+        .agg(count(lit(1)).as("exact_inter0"))
+      val k = Sketches.KmvK
+      a.join(b, col("et_a") < col("et_b"))
+        .join(inter, Seq("et_a", "et_b"), "left")
+        .withColumn("exact_inter", coalesce(col("exact_inter0"), lit(0L)))
+        .withColumn("est_a", Sketches.kmvEstimate(col("sk_a"), k))
+        .withColumn("est_b", Sketches.kmvEstimate(col("sk_b"), k))
+        .withColumn("est_union",
+          Sketches.kmvEstimate(Sketches.kmvUnion(col("sk_a"), col("sk_b"), k), k))
+        .withColumn("est_inter", (col("est_a") + col("est_b")) - col("est_union"))
+        .select("et_a", "et_b", "exact_a", "exact_b", "exact_inter",
+          "est_a", "est_b", "est_union", "est_inter")
+        .orderBy("et_a", "et_b")
+    })
+}

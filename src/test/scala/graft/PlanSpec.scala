@@ -409,6 +409,38 @@ class PlanSpec extends SparkSpec {
       hotPlain.exceptAll(saltedDf).isEmpty)
   }
 
+  test("q43: HLL is two pure aggregations — no joins, partial-agg before both shuffles") {
+    val plan = physicalPlan("q43_hll_distinct")
+    assert(!plan.contains("Join"),
+      s"HLL must not join (registers and estimate are pure aggregates):\n${plan.take(800)}")
+    // partial+final HashAggregate at both the register and estimate levels:
+    // the map-side combine IS the sketch's mergeability at work
+    val aggs = "HashAggregate".r.findAllIn(plan).size
+    assert(aggs >= 4, s"expected partial+final aggregates at 2 levels:\n${plan.take(800)}")
+  }
+
+  test("q44: CMS grid broadcasts back; top-20 plans as TakeOrderedAndProject") {
+    val plan = physicalPlan("q44_cms_heavy_hitters")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the 192-cell grid must broadcast, never shuffle the token table:\n${plan.take(800)}")
+    assert(!plan.contains("SortMergeJoin"), plan.take(800))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-20 must not globally sort:\n${plan.take(800)}")
+  }
+
+  test("t30: KMV sketches partial-aggregate (ObjectHashAggregate x2) — bounded state per group") {
+    val plan = physicalPlan("t30_kmv_set_ops")
+    val aggs = "ObjectHashAggregate".r.findAllIn(plan).size
+    assert(aggs >= 2, s"expected partial+final bottom-k aggregation:\n${plan.take(800)}")
+  }
+
+  test("q45: the base/delta split predicates push down to both order scans") {
+    val plan = physicalPlan("q45_incremental_agg")
+    assert(plan.contains("LessThan(o_orderdate") &&
+      plan.contains("GreaterThanOrEqual(o_orderdate"),
+      s"split predicates must reach the parquet scans:\n${plan.take(1200)}")
+  }
+
   test("DEBUG flag logs a bounded sample to stderr (honored, unlike reference)") {
     val err = new java.io.ByteArrayOutputStream()
     Console.withErr(new java.io.PrintStream(err)) {

@@ -1,0 +1,192 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.prop.TableDrivenPropertyChecks
+
+import graft.operators.{Merges, Sketches}
+
+/** Sketch operators (Sketches.scala) + incremental aggregate state
+  * (Merges.aggState/mergeAggStates): algorithmic correctness against plain
+  * Scala references, the mergeability laws that make them scale, and the
+  * estimator guarantees the query outputs rely on.
+  */
+class SketchSpec extends SparkSpec with TableDrivenPropertyChecks {
+
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  // ------------------------------------------------------------- HLL ----
+
+  /** Plain-Scala ρ reference: leading zeros of the low 60 hash bits, read
+    * from bit 59 downward, + 1 — via the JDK clz the Column expression must
+    * reproduce with smear/popcount arithmetic.
+    */
+  private def refReg(h: Long): Int = {
+    val hm = h & ((1L << 60) - 1)
+    val rho = if (hm == 0L) 61 else java.lang.Long.numberOfLeadingZeros(hm) - 3
+    math.min(rho, Sketches.HllRegCap)
+  }
+
+  test("hll: smear/popcount register matches the JDK clz reference on edge and random hashes") {
+    val rnd = new scala.util.Random(7)
+    val hashes = Seq(0L, 1L, -1L, Long.MinValue, Long.MaxValue,
+      1L << 59, (1L << 60) - 1, 1L << 60, 15L << 60) ++
+      Seq.fill(500)(rnd.nextLong())
+    val got = hashes.toDF("h")
+      .select(col("h"), Sketches.hllReg(col("h")).as("reg"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    hashes.foreach { h =>
+      assert(got(h) === refReg(h), s"hash $h: reg ${got(h)} != ref ${refReg(h)}")
+    }
+  }
+
+  test("hll: registers merge — sketch(A ∪ B) == merge(sketch(A), sketch(B)) exactly") {
+    val keys = (1L to 400L).map(i => ("g", i))
+    val all = keys.toDF("grp", "k")
+    val (ha, hb) = (keys.take(173), keys.drop(173))
+    val merged = Sketches
+      .hllRegisters(ha.toDF("grp", "k"), Seq("grp"), col("k"))
+      .unionByName(Sketches.hllRegisters(hb.toDF("grp", "k"), Seq("grp"), col("k")))
+      .groupBy("grp", "bucket").agg(max("reg").as("reg"))
+    val direct = Sketches.hllRegisters(all, Seq("grp"), col("k"))
+    assert(direct.except(merged).isEmpty && merged.except(direct).isEmpty)
+    // and the estimates built from them are identical rows
+    val eA = Sketches.hllEstimate(direct, Seq("grp")).collect().toSeq
+    val eB = Sketches.hllEstimate(merged, Seq("grp")).collect().toSeq
+    assert(eA === eB)
+  }
+
+  test("hll: raw-branch estimate within 3 standard errors on a 400-key group") {
+    val regs = Sketches.hllRegisters(
+      (1L to 400L).map(i => ("g", i)).toDF("grp", "k"), Seq("grp"), col("k"))
+    val est = Sketches.hllEstimate(regs, Seq("grp"))
+      .select("est").as[Double].head()
+    // σ = 1.04/√16 = 26%; 3σ = 78%
+    assert(est > 400 * 0.22 && est < 400 * 1.78, s"est $est vs n=400")
+    assert(est > 2.5 * Sketches.HllM, "400 keys must take the raw branch")
+  }
+
+  test("hll: linear-counting branch engages on a small group and is near-exact") {
+    val regs = Sketches.hllRegisters(
+      (1L to 10L).map(i => ("g", i)).toDF("grp", "k"), Seq("grp"), col("k"))
+    val row = Sketches.hllEstimate(regs, Seq("grp"))
+      .select("zeros", "est").head()
+    val (zeros, est) = (row.getInt(0), row.getDouble(1))
+    assert(zeros > 0, "10 keys into 16 buckets must leave zero registers")
+    // LC: m·ln(m/zeros) — reproduce and compare bit-identically
+    val expected = 16.0 * math.log(16.0 / zeros)
+    assert(est === expected, s"LC est $est != m·ln(m/zeros) $expected")
+  }
+
+  // ------------------------------------------------------- Count-Min ----
+
+  test("cms: estimate >= exact count for EVERY token, and equals it absent collisions") {
+    val docs = Seq("a a a b c", "a b d e", "c c f").toDF("text")
+      .select(monotonically_increasing_id().as("doc_id"), col("text"))
+    val rows = Sketches.cmsHeavyHitters(docs, "text", 100).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1),
+        s"token ${r.getString(0)}: est ${r.getLong(2)} < exact ${r.getLong(1)}")
+    }
+    // 8 distinct tokens into 3×64 cells: overwhelmingly collision-free, and
+    // the top token's exact count must be correct regardless
+    val top = rows.head
+    assert(top.getString(0) === "a" && top.getLong(1) === 4L)
+  }
+
+  test("cms: counter grids merge additively — cells(A ∪ B) == cells(A) + cells(B)") {
+    val mk = (texts: Seq[String]) => {
+      val docs = texts.toDF("text")
+      docs.select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("n"))
+        .select(col("tok"), col("n"),
+          explode(sequence(lit(0), lit(Sketches.CmsDepth - 1))).as("r"))
+        .withColumn("bucket", Sketches.cmsBucket(Sketches.cmsHash(col("r"), col("tok"))))
+        .groupBy("r", "bucket").agg(sum("n").as("cell"))
+    }
+    val (ta, tb) = (Seq("x y z x", "p q"), Seq("x q q", "z z r"))
+    val summed = mk(ta).unionByName(mk(tb))
+      .groupBy("r", "bucket").agg(sum("cell").as("cell"))
+    val direct = mk(ta ++ tb)
+    assert(direct.except(summed).isEmpty && summed.except(direct).isEmpty)
+  }
+
+  // ------------------------------------------------------------- KMV ----
+
+  test("kmv: sketch of the whole == sketch-algebra union of the halves") {
+    val k = 8
+    val df = (1L to 300L).map(i => ("g", i)).toDF("grp", "key")
+    val whole = Sketches.kmvSketches(df, "grp", col("key"), k)
+      .select("sk").as[Seq[Long]].head()
+    val halves = Seq(df.filter(col("key") <= 150), df.filter(col("key") > 150))
+      .map(Sketches.kmvSketches(_, "grp", col("key"), k)
+        .select("sk").as[Seq[Long]].head())
+    val unioned = spark.range(1)
+      .select(Sketches.kmvUnion(typedLit(halves(0)), typedLit(halves(1)), k).as("u"))
+      .select("u").as[Seq[Long]].head()
+    assert(unioned === whole)
+  }
+
+  test("kmv: duplicates in the input do not change the sketch (distinct semantics)") {
+    val base = (1L to 100L).map(i => ("g", i))
+    val dup = base ++ base ++ base.take(40)
+    val a = Sketches.kmvSketches(base.toDF("grp", "key"), "grp", col("key"), 16)
+      .select("sk").as[Seq[Long]].head()
+    val b = Sketches.kmvSketches(dup.toDF("grp", "key"), "grp", col("key"), 16)
+      .select("sk").as[Seq[Long]].head()
+    assert(a === b)
+  }
+
+  test("kmv: under-filled sketch estimates exactly; filled sketch within 3σ") {
+    val k = Sketches.KmvK
+    val small = Sketches.kmvSketches(
+      (1L to 20L).map(i => ("g", i)).toDF("grp", "key"), "grp", col("key"), k)
+    val eSmall = small.select(Sketches.kmvEstimate(col("sk"), k)).as[Double].head()
+    assert(eSmall === 20.0, "sketch below k IS the key set — estimate must be exact")
+    val big = Sketches.kmvSketches(
+      (1L to 2000L).map(i => ("g", i)).toDF("grp", "key"), "grp", col("key"), k)
+    val eBig = big.select(Sketches.kmvEstimate(col("sk"), k)).as[Double].head()
+    // σ ≈ n/√(k-2) ≈ 365 at n=2000; 3σ band
+    assert(eBig > 2000 - 3 * 365 && eBig < 2000 + 3 * 365, s"est $eBig vs n=2000")
+  }
+
+  // ------------------------------------------- incremental agg state ----
+
+  test("ivm: state(base) ⊕ state(delta) == state(all) exactly, for several split points") {
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+      .withColumn("om", date_trunc("month", col("o_orderdate")))
+    val keys = Seq("om", "o_orderstatus")
+    val full = Merges.aggState(orders, keys, "o_totalprice")
+      .orderBy("om", "o_orderstatus").collect().toSeq
+    forAll(Table("cut", "1996-06-15", "1999-01-01", "2001-07-31")) { cut =>
+      val c = lit(cut).cast("timestamp")
+      val merged = Merges.mergeAggStates(
+        Merges.aggState(orders.filter(col("o_orderdate") < c), keys, "o_totalprice"),
+        Merges.aggState(orders.filter(col("o_orderdate") >= c), keys, "o_totalprice"),
+        keys)
+      // cast both sides to the merged (29,2) decimal for row comparison
+      val m = merged.select(col("om"), col("o_orderstatus"), col("cnt"),
+        col("tot").cast("decimal(29,2)").as("tot"))
+        .orderBy("om", "o_orderstatus").collect().toSeq
+      val f = full.map(r => (r.get(0), r.get(1), r.get(2),
+        r.getDecimal(3).setScale(2)))
+      val got = m.map(r => (r.get(0), r.get(1), r.get(2),
+        r.getDecimal(3).setScale(2)))
+      assert(got === f, s"split at $cut diverges from the from-scratch state")
+    }
+  }
+
+  test("ivm: a delta whose keys are all new appends without disturbing standing state") {
+    val a = Seq(("k1", 10.0), ("k2", 20.0)).toDF("k", "v")
+    val b = Seq(("k3", 5.0)).toDF("k", "v")
+    val merged = Merges.mergeAggStates(
+      Merges.aggState(a, Seq("k"), "v"),
+      Merges.aggState(b, Seq("k"), "v"), Seq("k"))
+      .orderBy("k")
+      .select(col("k"), col("cnt"), col("tot").cast("double"))
+      .as[(String, Long, Double)].collect().toSeq
+    assert(merged === Seq(("k1", 1L, 10.0), ("k2", 1L, 20.0), ("k3", 1L, 5.0)))
+  }
+}
