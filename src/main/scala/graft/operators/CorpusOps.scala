@@ -215,6 +215,34 @@ object CorpusOps {
       .withColumn("rate", rateCol)
       .filter(col("hash_bucket") < col("rate"))
 
+  /** ln(u) for the deterministic per-id uniform u = (h̄ + 0.5) / 2^64 with
+    * h̄ the unsigned hash — u ∈ (0,1) strictly, so the log is finite. THE
+    * shared derivation for [[weightedSample]] and the `wrs_logu` aux dump
+    * (the lcLn/hyperplanes lockstep contract): the oracle takes the
+    * transcendental from the dump and recomputes keys + ranking in SQL.
+    */
+  def wrsLogU(id: Column): Column = {
+    val h = xxhash64(id)
+    log((h.cast("double") +
+      when(h < 0, lit(1.8446744073709552e19)).otherwise(lit(0.0)) +
+      lit(0.5)) / lit(1.8446744073709552e19))
+  }
+
+  /** Weighted sampling without replacement (Efraimidis–Spirakis 2006): each
+    * row draws key = u^(1/w) from its id's deterministic uniform, and the k
+    * largest keys are the sample — inclusion probability ∝ weight, in ONE
+    * distributed pass with no sequential state. Ranked in log space
+    * (ln(u)/w, monotone in the key) so no fractional pow enters the float
+    * tree; ids break exact ties. Rows with non-positive weight are excluded
+    * (the estimator is undefined there). Plan shape: a projection over the
+    * scan + TakeOrderedAndProject — per-partition top-k, never a global
+    * sort, the same 100 TB shape as q09.
+    */
+  def weightedSample(df: DataFrame, idCol: String, weight: Column, k: Int): DataFrame =
+    df.filter(weight > 0)
+      .withColumn("key", wrsLogU(col(idCol)) / weight.cast("double"))
+      .orderBy(col("key").desc, col(idCol)).limit(k)
+
   /** Temperature-weighted source mixing (the multi-source sampling step of a
     * training-data build): source `s` gets a document budget proportional to
     * `tokens_s^0.5` — up-weighting small sources exactly like T=2

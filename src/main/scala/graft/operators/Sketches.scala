@@ -142,6 +142,18 @@ object Sketches {
         lit(HllM.toDouble) * lcLn(col("zeros"))).otherwise(estRaw))
   }
 
+  /** Merge two register tables: union + per-bucket max — the same combine
+    * the register groupBy already does map-side, exposed as state algebra so
+    * a STANDING register table absorbs delta batches (the
+    * [[Merges.mergeAggStates]] contract for sketch state: per-ingest cost ∝
+    * |delta registers| = m rows per touched group, never a rescan of the
+    * keys behind the standing side).
+    */
+  def hllMergeRegisters(a: DataFrame, b: DataFrame, grpCols: Seq[String]): DataFrame =
+    a.unionByName(b)
+      .groupBy((grpCols :+ "bucket").map(col): _*)
+      .agg(max("reg").as("reg"))
+
   // ---------------------------------------------------------- Count-Min --
 
   val CmsDepth = 3

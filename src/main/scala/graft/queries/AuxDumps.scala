@@ -156,6 +156,13 @@ object AuxDumps {
         .select(col("tok"), col("r"),
           graft.operators.Sketches.cmsHash(col("r"), col("tok")).as("h"))),
 
+    // t31: ln of the per-doc deterministic uniform — materialized through
+    // the operator's own derivation (CorpusOps.wrsLogU); the oracle
+    // recomputes the weighted keys and the ranking from it in SQL.
+    "wrs_logu" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        graft.operators.CorpusOps.wrsLogU(col("doc_id")).as("lnu"))),
+
     // s07: the random-projection sign family (offset 1000, disjoint from
     // the LSH planes above) — same shared derivation, same lockstep
     // guarantee.

@@ -116,6 +116,78 @@ object SketchQueries {
         .orderBy("om", "status")
     },
 
+    // Incremental HLL: a STANDING register table (events before Jan 15)
+    // absorbs the delta batch (rest of the month) via register-max merge,
+    // and the estimate over the merged state must equal the from-scratch
+    // sketch over all events — the oracle IS that from-scratch recompute
+    // (q43's events branch), so equality proves sketch-state IVM the way
+    // q45 proves it for decimal aggregate state.
+    "q46_hll_incremental" -> of(
+      """WITH uh AS (SELECT user_id, h FROM read_parquet('{{AUX}}/user_hashes/*.parquet')),
+        |lnl AS (SELECT z, lnv FROM read_parquet('{{AUX}}/hll_ln/*.parquet')),
+        |keys AS (
+        |  SELECT e.event_type AS grp, uh.h AS h
+        |  FROM events e JOIN uh USING (user_id)),
+        |hm AS (SELECT grp, (h >> 60) & 15 AS bucket,
+        |  h & 1152921504606846975 AS w FROM keys),
+        |s1 AS (SELECT grp, bucket, w, w | (w >> 1) AS s FROM hm),
+        |s2 AS (SELECT grp, bucket, w, s | (s >> 2) AS s FROM s1),
+        |s3 AS (SELECT grp, bucket, w, s | (s >> 4) AS s FROM s2),
+        |s4 AS (SELECT grp, bucket, w, s | (s >> 8) AS s FROM s3),
+        |s5 AS (SELECT grp, bucket, w, s | (s >> 16) AS s FROM s4),
+        |s6 AS (SELECT grp, bucket, w, s | (s >> 32) AS s FROM s5),
+        |rho AS (SELECT grp, bucket,
+        |  LEAST(CASE WHEN w = 0 THEN 61 ELSE (64 - bit_count(s)) - 3 END, 40) AS reg
+        |  FROM s6),
+        |regs AS (SELECT grp, bucket, MAX(reg) AS reg FROM rho GROUP BY grp, bucket),
+        |g AS (SELECT grp,
+        |    CAST(16 - COUNT(*) AS INT) AS zeros,
+        |    CAST(SUM(1::BIGINT << CAST(40 - reg AS INT)) AS BIGINT) AS s_present
+        |  FROM regs GROUP BY grp),
+        |est0 AS (SELECT grp, zeros,
+        |    s_present + CAST(zeros AS BIGINT) * 1099511627776 AS s_num FROM g),
+        |est1 AS (SELECT grp, zeros, s_num,
+        |    CAST(0.673 AS DOUBLE) * CAST(256 AS DOUBLE) * CAST(1099511627776 AS DOUBLE)
+        |      / CAST(s_num AS DOUBLE) AS est_raw
+        |  FROM est0)
+        |SELECT grp, zeros, s_num,
+        |  CASE WHEN zeros > 0 AND est_raw <= CAST(40.0 AS DOUBLE)
+        |    THEN CAST(16.0 AS DOUBLE) * lnl.lnv ELSE est_raw END AS est
+        |FROM est1 LEFT JOIN lnl ON lnl.z = est1.zeros
+        |ORDER BY grp""") { (s, d) =>
+      val ev = Q.events(s, d)
+      val cut = lit("2024-01-15").cast("timestamp")
+      def regsOf(df: org.apache.spark.sql.DataFrame) = Sketches.hllRegisters(
+        df.select(col("event_type").as("grp"), col("user_id").as("k")),
+        Seq("grp"), col("k"))
+      val merged = Sketches.hllMergeRegisters(
+        regsOf(ev.filter(col("ts") < cut)),
+        regsOf(ev.filter(col("ts") >= cut)), Seq("grp"))
+      Sketches.hllEstimate(merged, Seq("grp")).orderBy("grp")
+    },
+
+    // Weighted sampling without replacement (Efraimidis–Spirakis): 50 docs
+    // drawn with inclusion probability ∝ n_chars — the quality-weighted
+    // selection step of a corpus build. The oracle takes only ln(u) from
+    // the aux dump and rebuilds keys, ranking and the cut in SQL.
+    "t31_weighted_sample" -> of(
+      """WITH wr AS (SELECT doc_id, lnu FROM read_parquet('{{AUX}}/wrs_logu/*.parquet')),
+        |keyed AS (SELECT d.doc_id, d.source, d.n_chars,
+        |    wr.lnu / CAST(d.n_chars AS DOUBLE) AS key
+        |  FROM documents d JOIN wr USING (doc_id) WHERE d.n_chars > 0),
+        |rk AS (SELECT keyed.*, ROW_NUMBER() OVER (ORDER BY key DESC, doc_id) AS rank
+        |  FROM keyed)
+        |SELECT CAST(rank AS INT) AS rank, doc_id, source, n_chars, key
+        |FROM rk WHERE rank <= 50 ORDER BY rank""") { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      graft.operators.CorpusOps.weightedSample(
+        t(s, d, "documents"), "doc_id", col("n_chars"), 50)
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("key").desc, col("doc_id"))))
+        .select("rank", "doc_id", "source", "n_chars", "key")
+        .orderBy("rank")
+    },
+
     // KMV/theta sketch set algebra: per-event-type user sketches (k=32),
     // then union + inclusion-exclusion intersection estimates for every
     // type pair FROM THE SKETCHES ALONE; exact counts ride along so the

@@ -441,6 +441,19 @@ class PlanSpec extends SparkSpec {
       s"split predicates must reach the parquet scans:\n${plan.take(1200)}")
   }
 
+  test("q46: incremental HLL stays join-free — register merge is a pure aggregate") {
+    val plan = physicalPlan("q46_hll_incremental")
+    assert(!plan.contains("Join"),
+      s"register-state merge must be union+max, never a join:\n${plan.take(800)}")
+  }
+
+  test("t31: weighted sample cut plans as TakeOrderedAndProject over the scan") {
+    val plan = physicalPlan("t31_weighted_sample")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"the k-cut must be per-partition top-k, not a global sort:\n${plan.take(800)}")
+    assert(!plan.contains("Join"), plan.take(800))
+  }
+
   test("DEBUG flag logs a bounded sample to stderr (honored, unlike reference)") {
     val err = new java.io.ByteArrayOutputStream()
     Console.withErr(new java.io.PrintStream(err)) {

@@ -45,10 +45,10 @@ class SketchSpec extends SparkSpec with TableDrivenPropertyChecks {
     val keys = (1L to 400L).map(i => ("g", i))
     val all = keys.toDF("grp", "k")
     val (ha, hb) = (keys.take(173), keys.drop(173))
-    val merged = Sketches
-      .hllRegisters(ha.toDF("grp", "k"), Seq("grp"), col("k"))
-      .unionByName(Sketches.hllRegisters(hb.toDF("grp", "k"), Seq("grp"), col("k")))
-      .groupBy("grp", "bucket").agg(max("reg").as("reg"))
+    val merged = Sketches.hllMergeRegisters(
+      Sketches.hllRegisters(ha.toDF("grp", "k"), Seq("grp"), col("k")),
+      Sketches.hllRegisters(hb.toDF("grp", "k"), Seq("grp"), col("k")),
+      Seq("grp"))
     val direct = Sketches.hllRegisters(all, Seq("grp"), col("k"))
     assert(direct.except(merged).isEmpty && merged.except(direct).isEmpty)
     // and the estimates built from them are identical rows
@@ -75,7 +75,7 @@ class SketchSpec extends SparkSpec with TableDrivenPropertyChecks {
     val (zeros, est) = (row.getInt(0), row.getDouble(1))
     assert(zeros > 0, "10 keys into 16 buckets must leave zero registers")
     // LC: m·ln(m/zeros) — reproduce and compare bit-identically
-    val expected = 16.0 * math.log(16.0 / zeros)
+    val expected = 16.0 * StrictMath.log(16.0 / zeros)
     assert(est === expected, s"LC est $est != m·ln(m/zeros) $expected")
   }
 
@@ -150,6 +150,45 @@ class SketchSpec extends SparkSpec with TableDrivenPropertyChecks {
     val eBig = big.select(Sketches.kmvEstimate(col("sk"), k)).as[Double].head()
     // σ ≈ n/√(k-2) ≈ 365 at n=2000; 3σ band
     assert(eBig > 2000 - 3 * 365 && eBig < 2000 + 3 * 365, s"est $eBig vs n=2000")
+  }
+
+  // -------------------------------------------------- weighted sample ----
+
+  test("wrs: sample is invariant under weight scaling (the E-S key property)") {
+    val docs = (1L to 200L).map(i => (i, (i % 37 + 1).toDouble)).toDF("id", "w")
+    val pick = (weights: org.apache.spark.sql.Column) =>
+      graft.operators.CorpusOps.weightedSample(docs, "id", weights, 25)
+        .select("id").as[Long].collect().toSet
+    assert(pick(col("w")) === pick(col("w") * 7.0),
+      "keys ln(u)/w scale by 1/c under w → c·w: the ORDER cannot change")
+  }
+
+  test("wrs: keys match a plain-Scala replica of the float tree, and the cut is the top-k") {
+    val docs = (1L to 300L).map(i => (i, (i % 37 + 1).toDouble)).toDF("id", "w")
+    val hashes = docs.select(col("id"), xxhash64(col("id")).as("h"), col("w"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val twoP64 = 1.8446744073709552e19
+    val refKeys = hashes.map { case (id, h, w) =>
+      val u = (h.toDouble + (if (h < 0) twoP64 else 0.0) + 0.5) / twoP64
+      // StrictMath, not math.log: Spark's Log expression is StrictMath-based
+      // and the intrinsic differs by 1 ulp on some inputs
+      id -> StrictMath.log(u) / w
+    }.toMap
+    val got = graft.operators.CorpusOps.weightedSample(docs, "id", col("w"), 40)
+      .select("id", "key").as[(Long, Double)].collect()
+    got.foreach { case (id, key) =>
+      assert(key === refKeys(id), s"id $id: key $key != replica ${refKeys(id)}")
+    }
+    val expectedTop = refKeys.toSeq.sortBy { case (id, k) => (-k, id) }
+      .take(40).map(_._1).toSet
+    assert(got.map(_._1).toSet === expectedTop)
+  }
+
+  test("wrs: non-positive weights are excluded, never sampled") {
+    val docs = Seq((1L, 5.0), (2L, 0.0), (3L, -2.0), (4L, 1.0)).toDF("id", "w")
+    val ids = graft.operators.CorpusOps.weightedSample(docs, "id", col("w"), 10)
+      .select("id").as[Long].collect().toSet
+    assert(ids === Set(1L, 4L))
   }
 
   // ------------------------------------------- incremental agg state ----
