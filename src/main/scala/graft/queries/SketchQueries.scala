@@ -17,6 +17,48 @@ import graft.queries.QueryDef.of
   */
 object SketchQueries {
 
+  /** Memory-sink name source (the ExtensionQueries contract). */
+  private val sinkCounter = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** The per-event-type HLL contract shared by q46 (incremental batch
+    * merge) and e24 (streaming register maintenance): one SQL definition —
+    * the from-scratch sketch over ALL events — so both maintenance paths
+    * must land on the identical estimate by construction.
+    */
+  private val hllEventsSql =
+    """WITH uh AS (SELECT user_id, h FROM read_parquet('{{AUX}}/user_hashes/*.parquet')),
+      |lnl AS (SELECT z, lnv FROM read_parquet('{{AUX}}/hll_ln/*.parquet')),
+      |keys AS (
+      |  SELECT e.event_type AS grp, uh.h AS h
+      |  FROM events e JOIN uh USING (user_id)),
+      |hm AS (SELECT grp, (h >> 60) & 15 AS bucket,
+      |  h & 1152921504606846975 AS w FROM keys),
+      |s1 AS (SELECT grp, bucket, w, w | (w >> 1) AS s FROM hm),
+      |s2 AS (SELECT grp, bucket, w, s | (s >> 2) AS s FROM s1),
+      |s3 AS (SELECT grp, bucket, w, s | (s >> 4) AS s FROM s2),
+      |s4 AS (SELECT grp, bucket, w, s | (s >> 8) AS s FROM s3),
+      |s5 AS (SELECT grp, bucket, w, s | (s >> 16) AS s FROM s4),
+      |s6 AS (SELECT grp, bucket, w, s | (s >> 32) AS s FROM s5),
+      |rho AS (SELECT grp, bucket,
+      |  LEAST(CASE WHEN w = 0 THEN 61 ELSE (64 - bit_count(s)) - 3 END, 40) AS reg
+      |  FROM s6),
+      |regs AS (SELECT grp, bucket, MAX(reg) AS reg FROM rho GROUP BY grp, bucket),
+      |g AS (SELECT grp,
+      |    CAST(16 - COUNT(*) AS INT) AS zeros,
+      |    CAST(SUM(1::BIGINT << CAST(40 - reg AS INT)) AS BIGINT) AS s_present
+      |  FROM regs GROUP BY grp),
+      |est0 AS (SELECT grp, zeros,
+      |    s_present + CAST(zeros AS BIGINT) * 1099511627776 AS s_num FROM g),
+      |est1 AS (SELECT grp, zeros, s_num,
+      |    CAST(0.673 AS DOUBLE) * CAST(256 AS DOUBLE) * CAST(1099511627776 AS DOUBLE)
+      |      / CAST(s_num AS DOUBLE) AS est_raw
+      |  FROM est0)
+      |SELECT grp, zeros, s_num,
+      |  CASE WHEN zeros > 0 AND est_raw <= CAST(40.0 AS DOUBLE)
+      |    THEN CAST(16.0 AS DOUBLE) * lnl.lnv ELSE est_raw END AS est
+      |FROM est1 LEFT JOIN lnl ON lnl.z = est1.zeros
+      |ORDER BY grp""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
 
     // HyperLogLog distinct-count over two groupings at once — distinct
@@ -122,39 +164,7 @@ object SketchQueries {
     // sketch over all events — the oracle IS that from-scratch recompute
     // (q43's events branch), so equality proves sketch-state IVM the way
     // q45 proves it for decimal aggregate state.
-    "q46_hll_incremental" -> of(
-      """WITH uh AS (SELECT user_id, h FROM read_parquet('{{AUX}}/user_hashes/*.parquet')),
-        |lnl AS (SELECT z, lnv FROM read_parquet('{{AUX}}/hll_ln/*.parquet')),
-        |keys AS (
-        |  SELECT e.event_type AS grp, uh.h AS h
-        |  FROM events e JOIN uh USING (user_id)),
-        |hm AS (SELECT grp, (h >> 60) & 15 AS bucket,
-        |  h & 1152921504606846975 AS w FROM keys),
-        |s1 AS (SELECT grp, bucket, w, w | (w >> 1) AS s FROM hm),
-        |s2 AS (SELECT grp, bucket, w, s | (s >> 2) AS s FROM s1),
-        |s3 AS (SELECT grp, bucket, w, s | (s >> 4) AS s FROM s2),
-        |s4 AS (SELECT grp, bucket, w, s | (s >> 8) AS s FROM s3),
-        |s5 AS (SELECT grp, bucket, w, s | (s >> 16) AS s FROM s4),
-        |s6 AS (SELECT grp, bucket, w, s | (s >> 32) AS s FROM s5),
-        |rho AS (SELECT grp, bucket,
-        |  LEAST(CASE WHEN w = 0 THEN 61 ELSE (64 - bit_count(s)) - 3 END, 40) AS reg
-        |  FROM s6),
-        |regs AS (SELECT grp, bucket, MAX(reg) AS reg FROM rho GROUP BY grp, bucket),
-        |g AS (SELECT grp,
-        |    CAST(16 - COUNT(*) AS INT) AS zeros,
-        |    CAST(SUM(1::BIGINT << CAST(40 - reg AS INT)) AS BIGINT) AS s_present
-        |  FROM regs GROUP BY grp),
-        |est0 AS (SELECT grp, zeros,
-        |    s_present + CAST(zeros AS BIGINT) * 1099511627776 AS s_num FROM g),
-        |est1 AS (SELECT grp, zeros, s_num,
-        |    CAST(0.673 AS DOUBLE) * CAST(256 AS DOUBLE) * CAST(1099511627776 AS DOUBLE)
-        |      / CAST(s_num AS DOUBLE) AS est_raw
-        |  FROM est0)
-        |SELECT grp, zeros, s_num,
-        |  CASE WHEN zeros > 0 AND est_raw <= CAST(40.0 AS DOUBLE)
-        |    THEN CAST(16.0 AS DOUBLE) * lnl.lnv ELSE est_raw END AS est
-        |FROM est1 LEFT JOIN lnl ON lnl.z = est1.zeros
-        |ORDER BY grp""") { (s, d) =>
+    "q46_hll_incremental" -> of(hllEventsSql) { (s, d) =>
       val ev = Q.events(s, d)
       val cut = lit("2024-01-15").cast("timestamp")
       def regsOf(df: org.apache.spark.sql.DataFrame) = Sketches.hllRegisters(
@@ -186,6 +196,23 @@ object SketchQueries {
           row_number().over(Window.orderBy(col("key").desc, col("doc_id"))))
         .select("rank", "doc_id", "source", "n_chars", "key")
         .orderBy("rank")
+    },
+
+    // Streaming HLL: the register table is MAINTAINED BY THE STREAM (one
+    // complete-mode max-aggregate — state is m rows per group, bounded by
+    // construction, never per-user); the estimate is a batch read over the
+    // materialized state, which is how a live cardinality dashboard serves
+    // it. Graded against the same from-scratch SQL as q46, so the
+    // streaming maintenance path must land on the identical estimate.
+    "e24_stream_hll" -> of(hllEventsSql) { (s, d) =>
+      import graft.streaming.EventsStream
+      val ev = EventsStream.readEvents(s, d)
+      val regs = Sketches.hllRegisters(
+        ev.select(col("event_type").as("grp"), col("user_id").as("k")),
+        Seq("grp"), col("k"))
+      val sinkName = s"stream_hll_${sinkCounter.incrementAndGet()}"
+      EventsStream.runAvailableNow(regs, sinkName, outputMode = "complete")
+      Sketches.hllEstimate(s.table(sinkName), Seq("grp")).orderBy("grp")
     },
 
     // KMV/theta sketch set algebra: per-event-type user sketches (k=32),

@@ -782,6 +782,36 @@ class StreamingSpec extends SparkSpec {
       EventsStream.readEvents(spark, dir), "guard_third")
     assert(spark.table("guard_third").count() > 0)
   }
+
+  test("e24: HLL registers accumulate across micro-batches == batch sketch of the union") {
+    // the streaming register table is complete-mode max state: after two
+    // micro-batches it must equal the BATCH sketch over everything seen —
+    // the register-merge law under the stream's incremental arrival order
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.Sketches
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[(String, Long)]
+    val regs = Sketches.hllRegisters(
+      ms.toDF().toDF("grp", "k"), Seq("grp"), col("k"))
+    val q = regs.writeStream.format("memory").queryName("stream_hll_mb")
+      .outputMode("complete").start()
+    val b1 = (1L to 80L).map(i => ("a", i)) ++ (1L to 30L).map(i => ("b", i))
+    val b2 = (60L to 140L).map(i => ("a", i)) ++ (200L to 220L).map(i => ("b", i))
+    try {
+      ms.addData(b1: _*)
+      q.processAllAvailable()
+      ms.addData(b2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("stream_hll_mb")
+    val batch = Sketches.hllRegisters((b1 ++ b2).toDF("grp", "k"), Seq("grp"), col("k"))
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty,
+      "streamed register state diverged from the batch sketch of the union")
+    // and the served estimates agree bit-for-bit
+    assert(Sketches.hllEstimate(streamed, Seq("grp")).orderBy("grp").collect().toSeq ===
+      Sketches.hllEstimate(batch, Seq("grp")).orderBy("grp").collect().toSeq)
+  }
 }
 
 /** Latches for the single-runner guard test; top-level so the UDF closure
