@@ -390,29 +390,38 @@ object Similarity {
 
   /** Shared inverted-file search: assign corpus to max-cosine centroid,
     * probe nProbe lists per query, exact-cosine rank within them. The
-    * centroid table is broadcast (k × dim — always small).
+    * centroid table is broadcast (k × dim — always small). When `attrCol`
+    * is set, the search is METADATA-FILTERED: the attribute rides both the
+    * inverted file and the probe side, and the probe join keys on
+    * (cid, attr) — each probe scans only the matching slice of its cells
+    * (pre-filtering; post-filtering a top-k would LOSE recall when the
+    * unfiltered top-k is dominated by non-matching neighbors).
     */
   private def ivfFrom(queries: DataFrame, corpus: DataFrame, idCol: String,
                       vecCol: String, k: Int, centroids: DataFrame,
-                      nProbe: Int): DataFrame = {
+                      nProbe: Int, attrCol: Option[String] = None): DataFrame = {
     graft.functions.NativeFunctions.register(queries.sparkSession)
     val cent = broadcast(centroids.withColumn("c_norm", l2norm(col("cvec"))))
     def closestCentroids(df: DataFrame, idAs: String, vecAs: String, n: Int) = {
       val w = Window.partitionBy(col(idAs)).orderBy(col("c_sim").desc, col("cid"))
-      df.select(col(idCol).as(idAs), col(vecCol).cast("array<double>").as(vecAs))
+      df.select(Seq(col(idCol).as(idAs), col(vecCol).cast("array<double>").as(vecAs)) ++
+          attrCol.map(a => col(a).as("attr")): _*)
         .withColumn("v_norm", l2norm(col(vecAs)))
         .crossJoin(cent)
         .withColumn("c_sim", dot(col(vecAs), col("cvec")) / (col("v_norm") * col("c_norm")))
         .withColumn("crn", row_number().over(w))
         .filter(col("crn") <= n)
     }
+    val attr = attrCol.map(_ => col("attr")).toSeq
     val inverted = closestCentroids(corpus, "neighbor_id", "nv", 1)
-      .select(col("cid"), col("neighbor_id"), col("nv"), col("v_norm").as("n_norm"))
+      .select(Seq(col("cid"), col("neighbor_id"), col("nv"),
+        col("v_norm").as("n_norm")) ++ attr: _*)
     val probes = closestCentroids(queries, "query_id", "qv", nProbe)
-      .select(col("query_id"), col("qv"), col("v_norm").as("q_norm"), col("cid"))
+      .select(Seq(col("query_id"), col("qv"), col("v_norm").as("q_norm"),
+        col("cid")) ++ attr: _*)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
-    probes.join(inverted, Seq("cid"))
+    probes.join(inverted, Seq("cid") ++ attrCol.map(_ => "attr"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         (dot(col("qv"), col("nv")) / (col("q_norm") * col("n_norm"))).as("cosine"))
@@ -420,6 +429,52 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "cosine")
+  }
+
+  /** Metadata-filtered trained-IVF search: valid neighbors must share the
+    * query's `attrCol` value (same-language chunks, same-tenant documents —
+    * the constrained-retrieval shape every vector store grows). The coarse
+    * quantizer is trained on the FULL corpus (standard for filtered
+    * search — per-attr quantizers fragment training data); the filter is
+    * applied INSIDE the cell scan via the (cid, attr) probe join, so a
+    * probe's work shrinks to the matching slice of its nProbe cells.
+    */
+  def ivfNeighborsTrainedFiltered(queries: DataFrame, corpus: DataFrame,
+                                  idCol: String, vecCol: String,
+                                  attrCol: String, k: Int,
+                                  nCentroids: Int = 16, nProbe: Int = 2,
+                                  iters: Int = 3): DataFrame =
+    ivfFrom(queries, corpus, idCol, vecCol, k,
+      centroidsDf(queries.sparkSession,
+        kmeansCentroids(corpus, idCol, vecCol, nCentroids, iters)),
+      nProbe, Some(attrCol))
+
+  /** Exact metadata-filtered top-k — the ground truth [[ivfNeighborsTrainedFiltered]]
+    * is gated against (and a correct-by-construction filtered search in its
+    * own right). The attribute equality IS the join key: the pair space is
+    * the per-attr-slice blocks instead of |Q|×|C|, and the bounded-heap
+    * Aggregator still caps per-query state at k before any shuffle.
+    */
+  def cosineTopKFiltered(queries: DataFrame, corpus: DataFrame, idCol: String,
+                         vecCol: String, attrCol: String, k: Int,
+                         broadcastQueries: Boolean = true): DataFrame = {
+    graft.functions.NativeFunctions.register(queries.sparkSession)
+    val topk = udaf(new TopKAggregator(k), ExpressionEncoder[Scored]())
+    val q = queries.select(col(idCol).as("query_id"), col(attrCol).as("attr"),
+        col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("q_norm", l2norm(col("qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(attrCol).as("attr"),
+        col(vecCol).cast("array<double>").as("cv"))
+      .withColumn("c_norm", l2norm(col("cv")))
+    (if (broadcastQueries) broadcast(q) else q).join(c, Seq("attr"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", dot(col("qv"), col("cv")) / (col("q_norm") * col("c_norm")))
+      .groupBy(col("query_id"))
+      .agg(topk(col("neighbor_id"), col("cosine")).as("neighbors"))
+      .select(col("query_id"),
+        posexplode(col("neighbors")).as(Seq("rank0", "n")))
+      .select(col("query_id"), (col("rank0") + 1).as("rank"),
+        col("n.id").as("neighbor_id"), col("n.score").as("cosine"))
   }
 
   /** Nearest-centroid assignment as a SHUFFLE-FREE argmax projection

@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
-import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.expressions.{Aggregator, Window}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
@@ -193,6 +193,112 @@ object Sketches {
     routed.join(broadcast(cells), Seq("r", "bucket"))
       .groupBy("tok", "n").agg(min("cell").as("cms_est"))
       .orderBy(col("n").desc, col("tok")).limit(topN)
+  }
+
+  /** Per-INSTANCE (r, bucket) routing of a key stream — `groupBy(r,
+    * bucket).count` over this is the same d×w grid [[cmsHeavyHitters]]
+    * builds from pre-aggregated counts (each instance increments one cell
+    * per row), but expressed per arriving row so a STREAM can maintain the
+    * grid directly: one complete-mode count aggregate whose state is the
+    * d·w = 192 cells, bounded by construction however many distinct keys
+    * flow past (the e24 register-maintenance pattern for counter state).
+    */
+  def cmsInstances(df: DataFrame, key: Column): DataFrame =
+    df.select(key.as("tok"),
+        explode(sequence(lit(0), lit(CmsDepth - 1))).as("r"))
+      .withColumn("bucket", cmsBucket(cmsHash(col("r"), col("tok"))))
+      .select("r", "bucket")
+
+  /** Min-of-cells estimation against a materialized grid: each (tok, n)
+    * candidate is routed to its d cells and takes the MIN — the grid
+    * (192 rows) is BROADCAST, so estimation never reshuffles the candidate
+    * table. Returns (tok, n, cms_est).
+    */
+  def cmsEstimates(candidates: DataFrame, cells: DataFrame): DataFrame =
+    candidates
+      .select(col("tok"), col("n"),
+        explode(sequence(lit(0), lit(CmsDepth - 1))).as("r"))
+      .withColumn("bucket", cmsBucket(cmsHash(col("r"), col("tok"))))
+      .join(broadcast(cells), Seq("r", "bucket"))
+      .groupBy("tok", "n").agg(min("cell").as("cms_est"))
+
+  // ---------------------------------------------------- Histogram (quantile) --
+
+  /** Fixed-bin histogram spec — the quantile counterpart of the HLL/CMS
+    * constants above. Equi-width bins over [lo, lo + bins·w) with CLAMPING
+    * edge bins (everything below lo lands in bin 0, everything at or above
+    * the top edge in bin bins-1), so the sketch never rejects out-of-range
+    * values — tail quantiles inside an edge bin interpolate linearly like
+    * any other bin, they just lose sub-bin resolution. `HistW` is a power
+    * of two: (v - lo)/w only rescales the exponent, so the bin index is
+    * computed without any rounding and Spark and the SQL oracle cannot
+    * disagree on a boundary value. Inputs are assumed non-null (null
+    * values would bin to null, and the two engines order null bins
+    * differently in the cumulative window).
+    */
+  val HistLo = 0.0
+  val HistW = 8.0
+  val HistBins = 64
+
+  /** Clamped bin index of one value — floor((v - lo)/w) bounded into
+    * [0, bins). The exact expression the oracle mirrors
+    * (`CAST(LEAST(GREATEST(CAST(FLOOR((value - 0e0)/8e0) AS BIGINT), 0), 63) AS INT)`).
+    */
+  def histBin(v: Column): Column =
+    least(greatest(floor((v - lit(HistLo)) / lit(HistW)), lit(0L)),
+      lit(HistBins - 1L)).cast("int")
+
+  /** Per-group histogram state: (grpCols..., bin, cnt) for the bins
+    * PRESENT in the input (absent bins are implicit zeros — the
+    * [[hllRegisters]] convention). ONE groupBy with map-side partial sums:
+    * counters add under union, so the combine step IS the sketch merge,
+    * and per-group state is ≤ [[HistBins]] rows regardless of input size.
+    */
+  def histCounts(df: DataFrame, grpCols: Seq[String], value: Column): DataFrame =
+    df.select(grpCols.map(col) :+ histBin(value).as("bin"): _*)
+      .groupBy((grpCols :+ "bin").map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Merge two histogram states: union + per-bin sum — the additive state
+    * algebra that lets a STANDING histogram table absorb delta batches
+    * (the [[hllMergeRegisters]] contract for counter state: per-ingest
+    * cost ∝ |delta bins|, never a rescan of the base data).
+    */
+  def histMergeCounts(a: DataFrame, b: DataFrame, grpCols: Seq[String]): DataFrame =
+    a.unionByName(b)
+      .groupBy((grpCols :+ "bin").map(col): _*)
+      .agg(sum("cnt").as("cnt"))
+
+  /** Quantile estimates from a histogram state: for each q, the first bin
+    * whose cumulative count reaches the target rank t = q·n, linearly
+    * interpolated inside the bin —
+    * est = lo + w·(bin + (t - cum_before)/cnt_bin). Every step is either
+    * integer-exact (counts, cumulative sums) or a fixed IEEE double tree
+    * over exact integers (t, the interpolation), so the estimate is
+    * DuckDB-oracle-able bit for bit — the [[Sketches]] determinism
+    * contract. Returns (grpCols..., q, n, bin, est); cost after the state
+    * is held: windows and joins over ≤ bins rows per group, independent of
+    * data size.
+    */
+  def histQuantiles(counts: DataFrame, grpCols: Seq[String],
+                    qs: Seq[Double]): DataFrame = {
+    val spark = counts.sparkSession
+    import spark.implicits._
+    val tot = counts.groupBy(grpCols.map(col): _*).agg(sum("cnt").as("n"))
+    val w = Window.partitionBy(grpCols.map(col): _*).orderBy("bin")
+    val cum = counts.withColumn("cum", sum("cnt").over(w))
+    val tgt = tot.crossJoin(broadcast(qs.toDF("q")))
+      .withColumn("t", col("q") * col("n").cast("double"))
+    val hit = tgt.join(cum, grpCols)
+      .filter(col("cum").cast("double") >= col("t"))
+      .groupBy(grpCols.map(col) :+ col("q") :+ col("n") :+ col("t"): _*)
+      .agg(min("bin").as("bin"))
+    hit.join(cum, grpCols :+ "bin")
+      .withColumn("est", lit(HistLo) + lit(HistW) *
+        (col("bin").cast("double") +
+          (col("t") - (col("cum") - col("cnt")).cast("double")) /
+            col("cnt").cast("double")))
+      .select(grpCols.map(col) ++ Seq(col("q"), col("n"), col("bin"), col("est")): _*)
   }
 
   // ---------------------------------------------------------------- KMV --

@@ -156,6 +156,18 @@ object AuxDumps {
         .select(col("tok"), col("r"),
           graft.operators.Sketches.cmsHash(col("r"), col("tok")).as("h"))),
 
+    // e25: distinct user id × CMS row → row-seeded xxhash64 — the q44
+    // cms_hashes contract for the EVENTS key domain (user_id is a long, so
+    // the hash differs from any string token's), materialized through the
+    // operator's own cmsHash; the oracle recomputes bucketing, the grid
+    // and min-estimation from it in SQL.
+    "user_cms_hashes" -> ((s, d) =>
+      Q.events(s, d).select(col("user_id")).distinct()
+        .select(col("user_id"),
+          explode(sequence(lit(0), lit(graft.operators.Sketches.CmsDepth - 1))).as("r"))
+        .select(col("user_id"), col("r"),
+          graft.operators.Sketches.cmsHash(col("r"), col("user_id")).as("h"))),
+
     // t31: ln of the per-doc deterministic uniform — materialized through
     // the operator's own derivation (CorpusOps.wrsLogU); the oracle
     // recomputes the weighted keys and the ranking from it in SQL.

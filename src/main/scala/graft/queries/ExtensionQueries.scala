@@ -614,14 +614,61 @@ object ExtensionQueries {
     (ctes, sel)
   }
 
-  /** The recall@k oracle template (s12/s13/s14): exact = s01's ground
-    * truth verbatim, approx = the index family's own oracled walk mounted
-    * as a CTE, joined on (query, neighbor) and rolled up per query — ONE
-    * SQL definition of "recall" across every shipped index.
+  /** The filtered-exact ground truth (s16): s01's brute-force top-5 with
+    * the label-equality constraint folded into the pair join — the exact
+    * answer a metadata-filtered search must recover.
     */
-  private def recallOracle(ctes: String, approxSelect: String) =
+  private val filtExactSql = {
+    val cos = listCos("CAST(q.embedding AS DOUBLE[])", "CAST(c.embedding AS DOUBLE[])")
+    s"""SELECT query_id, rank, neighbor_id, cosine FROM (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |    $cos AS cosine,
+      |    ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+      |      $cos DESC,
+      |      c.vec_id) AS rank
+      |  FROM embeddings q JOIN embeddings c
+      |    ON q.vec_id <> c.vec_id AND q.label = c.label
+      |  WHERE q.vec_id < 10) x
+      |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** The s04 IVF walk with the label filter threaded through (s16):
+    * assignment is unchanged (the quantizer is label-blind), but the label
+    * rides both the inverted file and the probes, and the candidate join
+    * requires `a.label = p.label` — the SQL mirror of the (cid, attr)
+    * probe join in Similarity.ivfFrom. Ends in `cand`, so [[ivfSelect]]
+    * mounts unchanged.
+    */
+  private val ivfFiltCtes =
+    s"""corp AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |cent AS (SELECT cid, cvec AS cv FROM read_parquet('{{AUX}}/s04_centroids/*.parquet')),
+      |assign AS (
+      |  SELECT vec_id AS neighbor_id, label, cid, v AS nv FROM (
+      |    SELECT c.vec_id, c.label, ct.cid, c.v,
+      |      ROW_NUMBER() OVER (PARTITION BY c.vec_id
+      |        ORDER BY ${listCos("c.v", "ct.cv")} DESC, ct.cid) AS crn
+      |    FROM corp c CROSS JOIN cent ct) x WHERE crn = 1),
+      |probes AS (
+      |  SELECT query_id, label, cid, qv FROM (
+      |    SELECT q.vec_id AS query_id, q.label, ct.cid, q.v AS qv,
+      |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+      |        ORDER BY ${listCos("q.v", "ct.cv")} DESC, ct.cid) AS crn
+      |    FROM corp q CROSS JOIN cent ct WHERE q.vec_id < 10) x WHERE crn <= 2),
+      |cand AS (
+      |  SELECT DISTINCT p.query_id, a.neighbor_id, ${listCos("p.qv", "a.nv")} AS cosine
+      |  FROM probes p JOIN assign a
+      |    ON a.cid = p.cid AND a.label = p.label AND a.neighbor_id <> p.query_id)""".stripMargin
+
+  /** The recall@k oracle template (s12/s13/s14/s16): exact = s01's ground
+    * truth verbatim (or a caller-supplied constrained variant), approx =
+    * the index family's own oracled walk mounted as a CTE, joined on
+    * (query, neighbor) and rolled up per query — ONE SQL definition of
+    * "recall" across every shipped index.
+    */
+  private def recallOracle(ctes: String, approxSelect: String,
+                           exactSql: String = s01TopkSql) =
     s"""WITH $ctes,
-      |exact AS ($s01TopkSql),
+      |exact AS ($exactSql),
       |approx AS ($approxSelect),
       |j AS (
       |  SELECT exact.query_id,
@@ -1437,6 +1484,24 @@ object ExtensionQueries {
       Similarity.recallAtK(
         Similarity.lshBucketedNeighbors(q, e, "vec_id", "embedding", 5),
         Similarity.cosineTopK(q, e, "vec_id", "embedding", 5), k = 5)
+        .orderBy("query_id")
+    },
+
+    // Metadata-FILTERED ANN with its recall gate (s16): neighbors must
+    // share the query's label (constrained retrieval — same-language
+    // chunks, same-tenant docs). Exact side = brute force with the label
+    // equality AS the join key (attr slices replace the |Q|×|C| pair
+    // space); approx side = the s04 trained IVF with the filter applied
+    // INSIDE the cell scan via the (cid, label) probe join — pre-filter,
+    // not post-filter, because dropping non-matching rows from an
+    // unfiltered top-k loses recall whenever the true filtered neighbors
+    // rank below k unfiltered. Both walks fully recomputed by the oracle.
+    "s16_filtered_recall" -> of(recallOracle(ivfFiltCtes, ivfSelect, filtExactSql)) { (s, d) =>
+      val e = t(s, d, "embeddings")
+      val q = e.filter(col("vec_id") < 10)
+      Similarity.recallAtK(
+        Similarity.ivfNeighborsTrainedFiltered(q, e, "vec_id", "embedding", "label", 5),
+        Similarity.cosineTopKFiltered(q, e, "vec_id", "embedding", "label", 5), k = 5)
         .orderBy("query_id")
     },
 

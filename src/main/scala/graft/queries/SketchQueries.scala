@@ -176,6 +176,47 @@ object SketchQueries {
       Sketches.hllEstimate(merged, Seq("grp")).orderBy("grp")
     },
 
+    // Mergeable histogram quantile sketch, maintained INCREMENTALLY: the
+    // per-event-type value histogram is built as standing state (events
+    // before Jan 15) + a delta batch merged in by per-bin ADDITION, then
+    // p50/p90/p99 are interpolated from the merged counters — and must
+    // equal the from-scratch sketch over all events, which is exactly what
+    // the oracle recomputes (the q46 incremental-proof contract for
+    // counter state). Plan: one bin-count shuffle with map-side partial
+    // sums (the combine IS the merge); everything downstream operates on
+    // ≤ 64 rows per group.
+    "q47_hist_quantiles" -> of(
+      """WITH h AS (SELECT event_type AS grp,
+        |    CAST(LEAST(GREATEST(CAST(FLOOR((value - 0e0) / 8e0) AS BIGINT), 0), 63) AS INT) AS bin
+        |  FROM events),
+        |bc AS (SELECT grp, bin, CAST(COUNT(*) AS BIGINT) AS cnt FROM h GROUP BY grp, bin),
+        |tot AS (SELECT grp, CAST(SUM(cnt) AS BIGINT) AS n FROM bc GROUP BY grp),
+        |cum AS (SELECT grp, bin, cnt,
+        |    CAST(SUM(cnt) OVER (PARTITION BY grp ORDER BY bin) AS BIGINT) AS cum
+        |  FROM bc),
+        |qs AS (SELECT CAST(q AS DOUBLE) AS q FROM (VALUES (0.5), (0.9), (0.99)) v(q)),
+        |tgt AS (SELECT t.grp, qs.q, t.n, qs.q * CAST(t.n AS DOUBLE) AS t
+        |  FROM tot t CROSS JOIN qs),
+        |hit AS (SELECT tgt.grp, tgt.q, tgt.n, tgt.t, MIN(c.bin) AS bin
+        |  FROM tgt JOIN cum c ON c.grp = tgt.grp AND CAST(c.cum AS DOUBLE) >= tgt.t
+        |  GROUP BY tgt.grp, tgt.q, tgt.n, tgt.t)
+        |SELECT h.grp, h.q, h.n, h.bin,
+        |  0e0 + 8e0 * (CAST(h.bin AS DOUBLE) +
+        |    (h.t - CAST(c.cum - c.cnt AS DOUBLE)) / CAST(c.cnt AS DOUBLE)) AS est
+        |FROM hit h JOIN cum c ON c.grp = h.grp AND c.bin = h.bin
+        |ORDER BY h.grp, h.q""") { (s, d) =>
+      val ev = Q.events(s, d)
+      val cut = lit("2024-01-15").cast("timestamp")
+      def histOf(df: org.apache.spark.sql.DataFrame) = Sketches.histCounts(
+        df.select(col("event_type").as("grp"), col("value")),
+        Seq("grp"), col("value"))
+      val merged = Sketches.histMergeCounts(
+        histOf(ev.filter(col("ts") < cut)),
+        histOf(ev.filter(col("ts") >= cut)), Seq("grp"))
+      Sketches.histQuantiles(merged, Seq("grp"), Seq(0.5, 0.9, 0.99))
+        .orderBy("grp", "q")
+    },
+
     // Weighted sampling without replacement (Efraimidis–Spirakis): 50 docs
     // drawn with inclusion probability ∝ n_chars — the quality-weighted
     // selection step of a corpus build. The oracle takes only ln(u) from
@@ -213,6 +254,42 @@ object SketchQueries {
       val sinkName = s"stream_hll_${sinkCounter.incrementAndGet()}"
       EventsStream.runAvailableNow(regs, sinkName, outputMode = "complete")
       Sketches.hllEstimate(s.table(sinkName), Seq("grp")).orderBy("grp")
+    },
+
+    // Streaming Count-Min: the d×w counter grid is MAINTAINED BY THE
+    // STREAM (one complete-mode count over per-instance cell routing —
+    // state is the 192 grid cells, bounded however many distinct users
+    // flow past; exact per-user streaming counts would hold one state row
+    // PER USER, the thing the sketch exists to avoid). The heavy-hitter
+    // listing is then a batch read joining exact counts with the streamed
+    // grid — the q44 auditable output served from live sketch state, as
+    // e24 serves the HLL estimate from streamed registers. Oracle = the
+    // from-scratch grid over all events, so stream maintenance must land
+    // on the identical cells.
+    "e25_stream_cms" -> of(
+      """WITH ch AS (SELECT user_id, r, h FROM read_parquet('{{AUX}}/user_cms_hashes/*.parquet')),
+        |counts AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY user_id),
+        |routed AS (SELECT c.user_id, c.n, ch.r, (ch.h >> 58) & 63 AS bucket
+        |  FROM counts c JOIN ch ON ch.user_id = c.user_id),
+        |cells AS (SELECT r, bucket, CAST(SUM(n) AS BIGINT) AS cell
+        |  FROM routed GROUP BY r, bucket),
+        |est AS (SELECT ro.user_id, ro.n, MIN(ce.cell) AS cms_est
+        |  FROM routed ro JOIN cells ce ON ce.r = ro.r AND ce.bucket = ro.bucket
+        |  GROUP BY ro.user_id, ro.n)
+        |SELECT user_id, n, cms_est FROM est
+        |ORDER BY n DESC, user_id LIMIT 20""") { (s, d) =>
+      import graft.streaming.EventsStream
+      val ev = EventsStream.readEvents(s, d)
+      val grid = Sketches.cmsInstances(ev, col("user_id"))
+        .groupBy("r", "bucket").agg(count(lit(1)).as("cell"))
+      val sinkName = s"stream_cms_${sinkCounter.incrementAndGet()}"
+      EventsStream.runAvailableNow(grid, sinkName, outputMode = "complete")
+      val exact = Q.events(s, d)
+        .select(col("user_id").as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("n"))
+      Sketches.cmsEstimates(exact, s.table(sinkName))
+        .select(col("tok").as("user_id"), col("n"), col("cms_est"))
+        .orderBy(col("n").desc, col("user_id")).limit(20)
     },
 
     // KMV/theta sketch set algebra: per-event-type user sketches (k=32),

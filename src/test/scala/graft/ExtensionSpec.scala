@@ -293,6 +293,46 @@ class ExtensionSpec extends SparkSpec {
     }
   }
 
+  test("filtered topK: equals the label-restricted window ranking; labels never cross") {
+    val q = embs.filter(col("vec_id") < 10)
+    val got = Similarity.cosineTopKFiltered(q, embs, "vec_id", "embedding", "label", 5)
+      .orderBy("query_id", "rank").collect().toSeq
+    // reference: brute-force pairs restricted to matching labels, window-ranked
+    val labels = embs.select("vec_id", "label")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val ref = Similarity.cosineTopKWindow(q, embs, "vec_id", "embedding", Int.MaxValue)
+      .collect()
+      .filter(r => labels(r.getAs[Long]("query_id")) == labels(r.getAs[Long]("neighbor_id")))
+      .groupBy(_.getAs[Long]("query_id")).toSeq
+      .flatMap { case (qid, rows) =>
+        rows.sortBy(r => (-r.getAs[Double]("cosine"), r.getAs[Long]("neighbor_id")))
+          .take(5).zipWithIndex
+          .map { case (r, i) =>
+            (qid, i + 1, r.getAs[Long]("neighbor_id"), r.getAs[Double]("cosine")) }
+      }.sortBy(t => (t._1, t._2))
+    assert(got.map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))) === ref)
+    got.foreach(r => assert(labels(r.getLong(0)) == labels(r.getLong(2))))
+  }
+
+  test("filtered IVF: probing every cell recovers the filtered exact answer — recall 1") {
+    // at nProbe = nCentroids the cell scan is exhaustive within the label
+    // slice, so the approximate walk must equal the filtered ground truth
+    val q = embs.filter(col("vec_id") < 10)
+    val exact = Similarity.cosineTopKFiltered(q, embs, "vec_id", "embedding", "label", 5)
+    val full = Similarity.ivfNeighborsTrainedFiltered(
+      q, embs, "vec_id", "embedding", "label", 5, nCentroids = 16, nProbe = 16)
+    import spark.implicits._
+    val recall = Similarity.recallAtK(full, exact, 5)
+      .select("recall").as[Double].collect()
+    assert(recall.nonEmpty && recall.forall(_ === 1.0))
+    // and at the shipped nProbe=2 every candidate still respects the filter
+    val labels = embs.select("vec_id", "label")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    Similarity.ivfNeighborsTrainedFiltered(q, embs, "vec_id", "embedding", "label", 5)
+      .select("query_id", "neighbor_id").collect()
+      .foreach(r => assert(labels(r.getLong(0)) == labels(r.getLong(1))))
+  }
+
   test("k-means partials: <= k rows leave each partition; sums = SQL decimal image") {
     // The property lives below the SQL layer (typed mapPartitions), so
     // PlanSpec can't see it — pin it here: the per-iteration shuffle input

@@ -454,6 +454,21 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Join"), plan.take(800))
   }
 
+  test("q47: bin counts partial-aggregate; split predicates push to both event scans") {
+    val plan = physicalPlan("q47_hist_quantiles")
+    // the map-side combine on (grp, bin) IS the histogram merge at work
+    val aggs = "HashAggregate".r.findAllIn(plan).size
+    assert(aggs >= 4, s"expected partial+final aggregates at 2+ levels:\n${plan.take(800)}")
+    assert(plan.contains("LessThan(ts") && plan.contains("GreaterThanOrEqual(ts"),
+      s"base/delta split predicates must reach the parquet scans:\n${plan.take(1200)}")
+  }
+
+  test("s16: the label filter rides the hash joins — no cartesian pair space") {
+    val plan = physicalPlan("s16_filtered_recall")
+    assert(!plan.contains("CartesianProduct"),
+      s"filtered search must join on (cell, label) / label, never all-pairs:\n${plan.take(800)}")
+  }
+
   test("DEBUG flag logs a bounded sample to stderr (honored, unlike reference)") {
     val err = new java.io.ByteArrayOutputStream()
     Console.withErr(new java.io.PrintStream(err)) {

@@ -113,6 +113,74 @@ class SketchSpec extends SparkSpec with TableDrivenPropertyChecks {
     assert(direct.except(summed).isEmpty && summed.except(direct).isEmpty)
   }
 
+  test("cms: per-instance routing grid == the grid from pre-aggregated counts") {
+    // the streaming maintenance path (e25) counts instances; the batch path
+    // (q44) routes exact counts — same cells by construction, verified here
+    val rnd = new scala.util.Random(11)
+    val keys = Seq.fill(300)(rnd.nextInt(40).toLong).toDF("user_id")
+    val fromInstances = Sketches.cmsInstances(keys, col("user_id"))
+      .groupBy("r", "bucket").agg(count(lit(1)).as("cell"))
+    val fromCounts = keys.groupBy("user_id").agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("n"),
+        explode(sequence(lit(0), lit(Sketches.CmsDepth - 1))).as("r"))
+      .withColumn("bucket", Sketches.cmsBucket(Sketches.cmsHash(col("r"), col("user_id"))))
+      .groupBy("r", "bucket").agg(sum("n").as("cell"))
+    assert(fromInstances.except(fromCounts).isEmpty &&
+      fromCounts.except(fromInstances).isEmpty)
+  }
+
+  // ------------------------------------------------------- histogram ----
+
+  private def refBin(v: Double): Int = {
+    val b = math.floor((v - Sketches.HistLo) / Sketches.HistW)
+    math.min(math.max(b, 0.0), Sketches.HistBins - 1.0).toInt
+  }
+
+  test("hist: clamped bin index matches the plain-Scala reference on edges and random values") {
+    val rnd = new scala.util.Random(13)
+    val vals = Seq(-5.0, 0.0, 7.999999, 8.0, 255.9, 504.0, 511.999, 512.0, 9999.0) ++
+      Seq.fill(300)(rnd.nextDouble() * 600 - 20)
+    val got = vals.toDF("v")
+      .select(col("v"), Sketches.histBin(col("v")).as("bin"))
+      .collect().map(r => r.getDouble(0) -> r.getInt(1)).toMap
+    vals.foreach { v =>
+      assert(got(v) === refBin(v), s"value $v: bin ${got(v)} != ref ${refBin(v)}")
+    }
+  }
+
+  test("hist: counters merge additively and the merged quantiles are bit-identical") {
+    val rnd = new scala.util.Random(17)
+    val vals = Seq.fill(500)(("g", rnd.nextDouble() * 520))
+    val all = vals.toDF("grp", "v")
+    val (va, vb) = vals.splitAt(211)
+    val merged = Sketches.histMergeCounts(
+      Sketches.histCounts(va.toDF("grp", "v"), Seq("grp"), col("v")),
+      Sketches.histCounts(vb.toDF("grp", "v"), Seq("grp"), col("v")),
+      Seq("grp"))
+    val direct = Sketches.histCounts(all, Seq("grp"), col("v"))
+    assert(direct.except(merged).isEmpty && merged.except(direct).isEmpty)
+    val qs = Seq(0.5, 0.9, 0.99)
+    val eA = Sketches.histQuantiles(direct, Seq("grp"), qs).orderBy("q").collect().toSeq
+    val eB = Sketches.histQuantiles(merged, Seq("grp"), qs).orderBy("q").collect().toSeq
+    assert(eA === eB)
+  }
+
+  test("hist: estimate lands in the same bin as the true quantile — error < one bin width") {
+    val rnd = new scala.util.Random(19)
+    val vals = Seq.fill(1000)(rnd.nextDouble() * 500)
+    val counts = Sketches.histCounts(
+      vals.map(("g", _)).toDF("grp", "v"), Seq("grp"), col("v"))
+    val sorted = vals.sorted
+    Sketches.histQuantiles(counts, Seq("grp"), Seq(0.5, 0.9, 0.99))
+      .select("q", "est").as[(Double, Double)].collect().foreach { case (q, est) =>
+        // the ⌈q·n⌉-th smallest value shares the estimate's bin: cum_{b-1} <
+        // q·n ≤ cum_b bounds its rank into bin b, so both lie within HistW
+        val trueQ = sorted(math.ceil(q * vals.size).toInt - 1)
+        assert(math.abs(est - trueQ) < Sketches.HistW,
+          s"q=$q: est $est vs true $trueQ drifts beyond one bin width")
+      }
+  }
+
   // ------------------------------------------------------------- KMV ----
 
   test("kmv: sketch of the whole == sketch-algebra union of the halves") {
