@@ -282,18 +282,20 @@ object Sketches {
     */
   def histQuantiles(counts: DataFrame, grpCols: Seq[String],
                     qs: Seq[Double]): DataFrame = {
-    val spark = counts.sparkSession
-    import spark.implicits._
-    val tot = counts.groupBy(grpCols.map(col): _*).agg(sum("cnt").as("n"))
+    // join-free: the whole derivation is window passes over the ≤ bins
+    // rows per group (total n = the final cumulative, target-bin search =
+    // a conditional min over the frame), so the state table is scanned
+    // once whatever its source — including streaming memory sinks, where a
+    // self-join on the same scan would conflict on attribute identity.
     val w = Window.partitionBy(grpCols.map(col): _*).orderBy("bin")
-    val cum = counts.withColumn("cum", sum("cnt").over(w))
-    val tgt = tot.crossJoin(broadcast(qs.toDF("q")))
+    val wg = Window.partitionBy((grpCols :+ "q").map(col): _*)
+    counts.withColumn("cum", sum("cnt").over(w))
+      .withColumn("q", explode(typedlit(qs)))
+      .withColumn("n", max("cum").over(wg))
       .withColumn("t", col("q") * col("n").cast("double"))
-    val hit = tgt.join(cum, grpCols)
-      .filter(col("cum").cast("double") >= col("t"))
-      .groupBy(grpCols.map(col) :+ col("q") :+ col("n") :+ col("t"): _*)
-      .agg(min("bin").as("bin"))
-    hit.join(cum, grpCols :+ "bin")
+      .withColumn("hit_bin",
+        min(when(col("cum").cast("double") >= col("t"), col("bin"))).over(wg))
+      .filter(col("bin") === col("hit_bin"))
       .withColumn("est", lit(HistLo) + lit(HistW) *
         (col("bin").cast("double") +
           (col("t") - (col("cum") - col("cnt")).cast("double")) /

@@ -20,6 +20,33 @@ object SketchQueries {
   /** Memory-sink name source (the ExtensionQueries contract). */
   private val sinkCounter = new java.util.concurrent.atomic.AtomicLong(0)
 
+  /** The per-event-type histogram contract shared by q47 (incremental
+    * batch merge) and e26 (streaming counter maintenance): one SQL
+    * definition — the from-scratch sketch + quantile interpolation over
+    * ALL events — so both maintenance paths must land on the identical
+    * estimates by construction (the hllEventsSql pattern).
+    */
+  private val histEventsSql =
+    """WITH h AS (SELECT event_type AS grp,
+      |    CAST(LEAST(GREATEST(CAST(FLOOR((value - 0e0) / 8e0) AS BIGINT), 0), 63) AS INT) AS bin
+      |  FROM events),
+      |bc AS (SELECT grp, bin, CAST(COUNT(*) AS BIGINT) AS cnt FROM h GROUP BY grp, bin),
+      |tot AS (SELECT grp, CAST(SUM(cnt) AS BIGINT) AS n FROM bc GROUP BY grp),
+      |cum AS (SELECT grp, bin, cnt,
+      |    CAST(SUM(cnt) OVER (PARTITION BY grp ORDER BY bin) AS BIGINT) AS cum
+      |  FROM bc),
+      |qs AS (SELECT CAST(q AS DOUBLE) AS q FROM (VALUES (0.5), (0.9), (0.99)) v(q)),
+      |tgt AS (SELECT t.grp, qs.q, t.n, qs.q * CAST(t.n AS DOUBLE) AS t
+      |  FROM tot t CROSS JOIN qs),
+      |hit AS (SELECT tgt.grp, tgt.q, tgt.n, tgt.t, MIN(c.bin) AS bin
+      |  FROM tgt JOIN cum c ON c.grp = tgt.grp AND CAST(c.cum AS DOUBLE) >= tgt.t
+      |  GROUP BY tgt.grp, tgt.q, tgt.n, tgt.t)
+      |SELECT h.grp, h.q, h.n, h.bin,
+      |  0e0 + 8e0 * (CAST(h.bin AS DOUBLE) +
+      |    (h.t - CAST(c.cum - c.cnt AS DOUBLE)) / CAST(c.cnt AS DOUBLE)) AS est
+      |FROM hit h JOIN cum c ON c.grp = h.grp AND c.bin = h.bin
+      |ORDER BY h.grp, h.q""".stripMargin
+
   /** The per-event-type HLL contract shared by q46 (incremental batch
     * merge) and e24 (streaming register maintenance): one SQL definition —
     * the from-scratch sketch over ALL events — so both maintenance paths
@@ -185,26 +212,7 @@ object SketchQueries {
     // counter state). Plan: one bin-count shuffle with map-side partial
     // sums (the combine IS the merge); everything downstream operates on
     // ≤ 64 rows per group.
-    "q47_hist_quantiles" -> of(
-      """WITH h AS (SELECT event_type AS grp,
-        |    CAST(LEAST(GREATEST(CAST(FLOOR((value - 0e0) / 8e0) AS BIGINT), 0), 63) AS INT) AS bin
-        |  FROM events),
-        |bc AS (SELECT grp, bin, CAST(COUNT(*) AS BIGINT) AS cnt FROM h GROUP BY grp, bin),
-        |tot AS (SELECT grp, CAST(SUM(cnt) AS BIGINT) AS n FROM bc GROUP BY grp),
-        |cum AS (SELECT grp, bin, cnt,
-        |    CAST(SUM(cnt) OVER (PARTITION BY grp ORDER BY bin) AS BIGINT) AS cum
-        |  FROM bc),
-        |qs AS (SELECT CAST(q AS DOUBLE) AS q FROM (VALUES (0.5), (0.9), (0.99)) v(q)),
-        |tgt AS (SELECT t.grp, qs.q, t.n, qs.q * CAST(t.n AS DOUBLE) AS t
-        |  FROM tot t CROSS JOIN qs),
-        |hit AS (SELECT tgt.grp, tgt.q, tgt.n, tgt.t, MIN(c.bin) AS bin
-        |  FROM tgt JOIN cum c ON c.grp = tgt.grp AND CAST(c.cum AS DOUBLE) >= tgt.t
-        |  GROUP BY tgt.grp, tgt.q, tgt.n, tgt.t)
-        |SELECT h.grp, h.q, h.n, h.bin,
-        |  0e0 + 8e0 * (CAST(h.bin AS DOUBLE) +
-        |    (h.t - CAST(c.cum - c.cnt AS DOUBLE)) / CAST(c.cnt AS DOUBLE)) AS est
-        |FROM hit h JOIN cum c ON c.grp = h.grp AND c.bin = h.bin
-        |ORDER BY h.grp, h.q""") { (s, d) =>
+    "q47_hist_quantiles" -> of(histEventsSql) { (s, d) =>
       val ev = Q.events(s, d)
       val cut = lit("2024-01-15").cast("timestamp")
       def histOf(df: org.apache.spark.sql.DataFrame) = Sketches.histCounts(
@@ -290,6 +298,27 @@ object SketchQueries {
       Sketches.cmsEstimates(exact, s.table(sinkName))
         .select(col("tok").as("user_id"), col("n"), col("cms_est"))
         .orderBy(col("n").desc, col("user_id")).limit(20)
+    },
+
+    // Streaming histogram: the per-group bin counters are MAINTAINED BY
+    // THE STREAM (one complete-mode count aggregate — state is ≤ 64 bins
+    // per group, bounded by the sketch spec, never per-value); the
+    // quantile interpolation is a batch read over the materialized state,
+    // which is how a live latency/size dashboard serves p50/p90/p99.
+    // Graded against the same from-scratch SQL as q47, so all THREE
+    // maintenance paths — from-scratch, incremental merge, streaming —
+    // must land on identical estimates (completing the e24/e25 pattern:
+    // every mergeable sketch family ships its streaming twin).
+    "e26_stream_hist" -> of(histEventsSql) { (s, d) =>
+      import graft.streaming.EventsStream
+      val ev = EventsStream.readEvents(s, d)
+      val counts = Sketches.histCounts(
+        ev.select(col("event_type").as("grp"), col("value")),
+        Seq("grp"), col("value"))
+      val sinkName = s"stream_hist_${sinkCounter.incrementAndGet()}"
+      EventsStream.runAvailableNow(counts, sinkName, outputMode = "complete")
+      Sketches.histQuantiles(s.table(sinkName), Seq("grp"), Seq(0.5, 0.9, 0.99))
+        .orderBy("grp", "q")
     },
 
     // KMV/theta sketch set algebra: per-event-type user sketches (k=32),

@@ -812,6 +812,102 @@ class StreamingSpec extends SparkSpec {
     assert(Sketches.hllEstimate(streamed, Seq("grp")).orderBy("grp").collect().toSeq ===
       Sketches.hllEstimate(batch, Seq("grp")).orderBy("grp").collect().toSeq)
   }
+
+  test("e25: CMS grid accumulates across micro-batches == batch grid of the union") {
+    // complete-mode additive counter state: after two micro-batches the
+    // grid must equal the batch routing of everything seen
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.Sketches
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[Long]
+    val grid = Sketches.cmsInstances(ms.toDF().toDF("user_id"), col("user_id"))
+      .groupBy("r", "bucket").agg(count(lit(1)).as("cell"))
+    val q = grid.writeStream.format("memory").queryName("stream_cms_mb")
+      .outputMode("complete").start()
+    val b1 = (1L to 50L) ++ (1L to 20L)
+    val b2 = (30L to 90L) ++ Seq.fill(15)(7L)
+    try {
+      ms.addData(b1: _*)
+      q.processAllAvailable()
+      ms.addData(b2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val batch = Sketches.cmsInstances((b1 ++ b2).toDF("user_id"), col("user_id"))
+      .groupBy("r", "bucket").agg(count(lit(1)).as("cell"))
+    val streamed = spark.table("stream_cms_mb")
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty,
+      "streamed grid diverged from the batch grid of the union")
+  }
+
+  test("e26: histogram counters accumulate across micro-batches; quantiles bit-equal") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.Sketches
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[(String, Double)]
+    val counts = Sketches.histCounts(
+      ms.toDF().toDF("grp", "v"), Seq("grp"), col("v"))
+    val q = counts.writeStream.format("memory").queryName("stream_hist_mb")
+      .outputMode("complete").start()
+    val rnd = new scala.util.Random(23)
+    val b1 = Seq.fill(200)(("a", rnd.nextDouble() * 520)) ++
+      Seq.fill(80)(("b", rnd.nextDouble() * 100))
+    val b2 = Seq.fill(150)(("a", rnd.nextDouble() * 300)) ++
+      Seq.fill(60)(("b", rnd.nextDouble() * 600))
+    try {
+      ms.addData(b1: _*)
+      q.processAllAvailable()
+      ms.addData(b2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val batch = Sketches.histCounts((b1 ++ b2).toDF("grp", "v"), Seq("grp"), col("v"))
+    val streamed = spark.table("stream_hist_mb")
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty,
+      "streamed counters diverged from the batch histogram of the union")
+    val qs = Seq(0.5, 0.9, 0.99)
+    assert(Sketches.histQuantiles(streamed, Seq("grp"), qs).orderBy("grp", "q").collect().toSeq ===
+      Sketches.histQuantiles(batch, Seq("grp"), qs).orderBy("grp", "q").collect().toSeq)
+  }
+
+  test("complete-mode sketch state survives a query RESTART from checkpoint") {
+    // the e24/e25/e26 serving story assumes the grid/register state outlives
+    // any one query run: run 1 counts the first half of the feed and stops;
+    // run 2 is a NEW query on the same checkpoint that only sees the second
+    // half (file-source offsets are committed) — its complete-mode emission
+    // must still equal the batch grid over EVERYTHING, which can only
+    // happen if run 1's counters were recovered from the state store
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.operators.Sketches
+    val tmp = java.nio.file.Files.createTempDirectory("cms-restart")
+    val ckpt = java.nio.file.Files.createTempDirectory("cms-restart-ckpt").toString
+    val ev = graft.queries.Q.events(spark, dir).select("user_id")
+    val rows = ev.collect()
+    val (first, second) = rows.splitAt(rows.length / 2)
+    val schema = ev.schema
+    def addFile(name: String, part: Array[org.apache.spark.sql.Row]): Unit =
+      spark.createDataFrame(spark.sparkContext.parallelize(part.toSeq, 1), schema)
+        .write.parquet(s"$tmp/batch-$name")
+    def runOnce(sink: String): Unit = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$tmp/batch-*")
+      val q = Sketches.cmsInstances(stream, col("user_id"))
+        .groupBy("r", "bucket").agg(count(lit(1)).as("cell"))
+        .writeStream.format("memory").queryName(sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    addFile("0", first)
+    runOnce("cms_restart_1")
+    addFile("1", second)
+    runOnce("cms_restart_2")
+    val batch = Sketches.cmsInstances(ev, col("user_id"))
+      .groupBy("r", "bucket").agg(count(lit(1)).as("cell"))
+    val streamed = spark.table("cms_restart_2")
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty,
+      "post-restart grid diverged from the batch grid over the full feed")
+  }
 }
 
 /** Latches for the single-runner guard test; top-level so the UDF closure
