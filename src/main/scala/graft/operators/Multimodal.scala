@@ -125,6 +125,40 @@ object Multimodal {
         sum(when(col("__rn") > 1, 1L).otherwise(0L)).as("n_dup_chunks"))
   }
 
+  /** Blob-level NEAR-dup pairs from shared content chunks — the media twin
+    * of the text n-gram Jaccard (Dedup.ngramJaccardPairs): two blobs are
+    * near-dups when the Jaccard of their DISTINCT chunk-digest sets clears
+    * `threshold` (shifted or partially-overwritten copies that exact
+    * content dedup — dedupByContent — misses, as long as shared runs stay
+    * chunk-aligned; content-defined chunking would lift the alignment
+    * caveat, see [[chunkDedupStats]]). The digest IS the candidate join
+    * key: pairs form only inside digest buckets, never all-pairs, and only
+    * (doc_id, 32-byte digest) rows shuffle — O(chunks) wire volume however
+    * large the blobs. Hub digests (a chunk shared by thousands of blobs —
+    * zero-fill, codec padding) would explode the bucket join exactly like
+    * d02's hub shingles; the d07 df-cut composes here unchanged if a
+    * corpus grows them (this corpus maxes at df=3). Returns
+    * (id_a < id_b, inter, sz_a, sz_b, jaccard ≥ threshold).
+    */
+  def chunkJaccardPairs(media: DataFrame, threshold: Double = 0.5,
+                        chunkBytes: Int = 64): DataFrame = {
+    val d = hexChunks(media, chunkBytes)
+      .select(col("doc_id"), sha2(unhex(col("chunk_hex")), 256).as("digest"))
+      .distinct()
+    val sizes = d.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val shared = d.select(col("doc_id").as("id_a"), col("digest"))
+      .join(d.select(col("doc_id").as("id_b"), col("digest")), "digest")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    shared
+      .join(sizes.select(col("doc_id").as("id_a"), col("sz").as("sz_a")), "id_a")
+      .join(sizes.select(col("doc_id").as("id_b"), col("sz").as("sz_b")), "id_b")
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("sz_a") + col("sz_b") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "inter", "sz_a", "sz_b", "jaccard")
+  }
+
   /** Partition-batched feature extraction over the payload column. Runs as a
     * single narrow `mapPartitions` stage — no shuffle; the iterator shape is
     * what a vectorized codec batch would consume.

@@ -226,12 +226,19 @@ object ExtensionQueries {
     * by the m02 and m04 oracles so the chunk math lives in ONE place on the
     * SQL side too.
     */
-  private val hexChunkSql =
-    """SELECT doc_id, i AS chunk_no,
+  private def hexChunkSqlWhere(where: String) =
+    s"""SELECT doc_id, i AS chunk_no,
       |    substring(hex(CAST(text AS BLOB)), CAST(i*128+1 AS INT), 128) AS chunk_hex
       |  FROM documents,
       |    UNNEST(range(0, CAST(ceil(octet_length(CAST(text AS BLOB)) / 64.0) AS BIGINT))) AS u(i)
-      |  WHERE doc_id <= 50""".stripMargin
+      |  $where""".stripMargin
+
+  private val hexChunkSql = hexChunkSqlWhere("WHERE doc_id <= 50")
+
+  /** Full-corpus chunk layout (m07 scans every blob — near-dup candidates
+    * must come from the whole corpus, not the bounded m02 subset).
+    */
+  private val hexChunkAllSql = hexChunkSqlWhere("")
 
   private val gapSessionCtes =
     """gaps AS (
@@ -2484,6 +2491,31 @@ object ExtensionQueries {
         graft.operators.Multimodal.asMediaTable(
           t(s, d, "documents").filter(col("doc_id") <= 50), "doc_id", "text"))
         .orderBy("doc_id")
+    },
+
+    // Blob-level near-dup pairs by shared content chunks (m07): the media
+    // twin of d02 — Jaccard over DISTINCT chunk-digest sets, candidates
+    // generated inside digest buckets (never all-pairs), only digests on
+    // the wire. Full corpus (near-dups live anywhere), threshold 0.5. The
+    // oracle partitions by chunk_hex instead of the digest (injective on
+    // the chunk bytes — the m06 contract) and recomputes sizes, the
+    // bucket self-join, and the Jaccard division from scratch.
+    "m07_chunk_similarity" -> of(
+      s"""WITH c AS ($hexChunkAllSql),
+        |d AS (SELECT DISTINCT doc_id, chunk_hex FROM c),
+        |sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM d GROUP BY doc_id),
+        |sh AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS inter
+        |  FROM d a JOIN d b ON a.chunk_hex = b.chunk_hex AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT sh.id_a, sh.id_b, sh.inter, sa.sz AS sz_a, sb.sz AS sz_b,
+        |  CAST(sh.inter AS DOUBLE) / CAST(sa.sz + sb.sz - sh.inter AS DOUBLE) AS jaccard
+        |FROM sh JOIN sz sa ON sa.doc_id = sh.id_a JOIN sz sb ON sb.doc_id = sh.id_b
+        |WHERE CAST(sh.inter AS DOUBLE) / CAST(sa.sz + sb.sz - sh.inter AS DOUBLE) >= 0.5
+        |ORDER BY id_a, id_b""") { (s, d) =>
+      graft.operators.Multimodal.chunkJaccardPairs(
+        graft.operators.Multimodal.asMediaTable(
+          t(s, d, "documents"), "doc_id", "text"))
+        .orderBy("id_a", "id_b")
     },
 
     // ---- event-stream shaping --------------------------------------------

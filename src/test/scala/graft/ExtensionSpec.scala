@@ -408,6 +408,27 @@ class ExtensionSpec extends SparkSpec {
     assert(all.contains("65535") || all.toLowerCase.contains("overflow"))
   }
 
+  test("chunk-similarity pairs: engineered shared chunks yield the exact Jaccards") {
+    import spark.implicits._
+    // 64-byte building blocks; blobs are aligned concatenations of them
+    def blk(c: Char) = c.toString * 64
+    val media = Seq(
+      (1L, blk('a') + blk('b') + blk('c')), // A
+      (2L, blk('a') + blk('b') + blk('x')), // B: shares 2 of 3 with A
+      (3L, blk('p') + blk('q') + blk('r')), // C: disjoint
+      (4L, blk('a') + blk('b') + blk('c'))  // D == A byte-identical
+    ).toDF("doc_id", "payload")
+      .select(col("doc_id"), col("payload").cast("binary").as("payload"))
+    val got = graft.operators.Multimodal.chunkJaccardPairs(media)
+      .select("id_a", "id_b", "inter", "jaccard")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(got === Set(
+      (1L, 2L, 2L, 0.5),   // 2 shared / (3+3-2)
+      (1L, 4L, 3L, 1.0),   // identical blobs
+      (2L, 4L, 2L, 0.5)))  // C pairs with nothing; threshold 0.5 holds the rest out
+  }
+
   test("multimodal feature extract: stub features match payload bytes") {
     val media = Multimodal.asMediaTable(docs, "doc_id", "text")
     val feats = Multimodal.extractFeatures(media)
