@@ -321,6 +321,45 @@ object SketchQueries {
         .orderBy("grp", "q")
     },
 
+    // Streaming KMV: the bottom-k sketch is MAINTAINED BY THE STREAM (the
+    // BottomKDistinctLongs Aggregator as a complete-mode streaming agg —
+    // state is ≤ k hashes per group, bounded by the sketch spec); the
+    // estimate is a batch read over the materialized sketches. Completes
+    // the streaming-maintenance story for all four sketch families
+    // (e24 HLL registers, e25 CMS cells, e26 histogram bins, e27 KMV
+    // bottom-k). Oracle = the from-scratch per-type sketch + estimate over
+    // all events (t30's single-sketch walk), so stream maintenance must
+    // land on identical sketches.
+    "e27_stream_kmv" -> of(
+      """WITH uh AS (SELECT user_id, h FROM read_parquet('{{AUX}}/user_hashes/*.parquet')),
+        |fh AS (SELECT DISTINCT e.event_type AS et, xor(uh.h, -9223372036854775808) AS fh
+        |  FROM events e JOIN uh USING (user_id)),
+        |rk AS (SELECT et, fh, ROW_NUMBER() OVER (PARTITION BY et ORDER BY fh) AS rn,
+        |  COUNT(*) OVER (PARTITION BY et) AS cnt FROM fh),
+        |kth AS (SELECT et, MAX(cnt) AS cnt,
+        |  MAX(CASE WHEN rn = 32 THEN fh END) AS kfh FROM rk WHERE rn <= 32 GROUP BY et)
+        |SELECT et, CAST(LEAST(cnt, 32) AS INT) AS sk_size,
+        |  CASE WHEN cnt < 32 THEN CAST(LEAST(cnt, 32) AS DOUBLE)
+        |  ELSE CAST(31.0 AS DOUBLE) /
+        |    ((CAST(xor(kfh, -9223372036854775808) AS DOUBLE)
+        |      + CASE WHEN xor(kfh, -9223372036854775808) < 0
+        |          THEN CAST(18446744073709551616 AS DOUBLE)
+        |          ELSE CAST(0 AS DOUBLE) END)
+        |     / CAST(18446744073709551616 AS DOUBLE)) END AS est
+        |FROM kth ORDER BY et""") { (s, d) =>
+      import graft.streaming.EventsStream
+      val ev = EventsStream.readEvents(s, d)
+      val sk = Sketches.kmvSketches(
+        ev.select(col("event_type").as("et"), col("user_id")),
+        "et", col("user_id"), Sketches.KmvK)
+      val sinkName = s"stream_kmv_${sinkCounter.incrementAndGet()}"
+      EventsStream.runAvailableNow(sk, sinkName, outputMode = "complete")
+      s.table(sinkName)
+        .select(col("et"), size(col("sk")).as("sk_size"),
+          Sketches.kmvEstimate(col("sk"), Sketches.KmvK).as("est"))
+        .orderBy("et")
+    },
+
     // KMV/theta sketch set algebra: per-event-type user sketches (k=32),
     // then union + inclusion-exclusion intersection estimates for every
     // type pair FROM THE SKETCHES ALONE; exact counts ride along so the

@@ -870,6 +870,29 @@ class StreamingSpec extends SparkSpec {
       Sketches.histQuantiles(batch, Seq("grp"), qs).orderBy("grp", "q").collect().toSeq)
   }
 
+  test("e27: KMV bottom-k accumulates across micro-batches == batch sketch of the union") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.Sketches
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[(String, Long)]
+    val sk = Sketches.kmvSketches(ms.toDF().toDF("et", "k"), "et", col("k"), 8)
+    val q = sk.writeStream.format("memory").queryName("stream_kmv_mb")
+      .outputMode("complete").start()
+    val b1 = (1L to 60L).map(("a", _)) ++ (1L to 5L).map(("b", _))
+    val b2 = (40L to 120L).map(("a", _)) ++ (3L to 9L).map(("b", _))
+    try {
+      ms.addData(b1: _*)
+      q.processAllAvailable()
+      ms.addData(b2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val batch = Sketches.kmvSketches((b1 ++ b2).toDF("et", "k"), "et", col("k"), 8)
+    val streamed = spark.table("stream_kmv_mb")
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty,
+      "streamed bottom-k state diverged from the batch sketch of the union")
+  }
+
   test("complete-mode sketch state survives a query RESTART from checkpoint") {
     // the e24/e25/e26 serving story assumes the grid/register state outlives
     // any one query run: run 1 counts the first half of the feed and stops;
