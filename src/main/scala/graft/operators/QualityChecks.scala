@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Deequ/dbt-style data-quality audit: each rule names a DataFrame of its
@@ -28,6 +28,42 @@ object QualityChecks {
     * broadcastable two-row global aggregate; the top-N is
     * TakeOrderedAndProject, so nothing wide ever reaches the driver.
     */
+  /** One-pass column profiler — the first query a team runs against an
+    * unfamiliar 100 TB table: per column, row/null/distinct counts, the
+    * min/max of the column's STRING image (a profiling convention: one
+    * comparable domain for every type; both engines compare ASCII
+    * byte-wise), and the HLL distinct ESTIMATE next to the exact count so
+    * the sketch the production profiler would rely on (exact
+    * count-distinct is the thing that does not scale) is audited row by
+    * row.
+    *
+    * `cols` maps column name → the string-image expression. Callers pick
+    * cross-engine-stable images: strings as-is, integers via plain cast,
+    * doubles through DECIMAL (raw double→string formatting differs between
+    * engines). Plan shape: the melt multiplies rows × |cols| but carries
+    * only (name, value-string) pairs, and both aggregates partial-combine
+    * map-side — the n-column profile costs one scan + two small shuffles
+    * regardless of table width held per call.
+    */
+  def profileColumns(df: DataFrame, cols: Seq[(String, Column)]): DataFrame = {
+    val melted = df.select(explode(array(cols.map { case (n, e) =>
+      struct(lit(n).as("col"), e.cast("string").as("v"))
+    }: _*)).as("m")).select(col("m.col").as("col"), col("m.v").as("v"))
+    val prof = melted.groupBy("col").agg(
+      count(lit(1)).as("n_rows"),
+      (count(lit(1)) - count(col("v"))).as("n_null"),
+      countDistinct(col("v")).as("n_distinct"),
+      min("v").as("min_v"), max("v").as("max_v"))
+    val est = Sketches.hllEstimate(
+      Sketches.hllRegisters(melted.filter(col("v").isNotNull),
+        Seq("col"), col("v")),
+      Seq("col"))
+      .select(col("col"), col("est").as("distinct_est"))
+    prof.join(est, Seq("col"), "left")
+      .select("col", "n_rows", "n_null", "n_distinct", "distinct_est",
+        "min_v", "max_v")
+  }
+
   def keySkewReport(df: DataFrame, keyCol: String, topN: Int = 10): DataFrame = {
     val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
     val totals = counts.agg(

@@ -168,6 +168,22 @@ object AuxDumps {
         .select(col("user_id"), col("r"),
           graft.operators.Sketches.cmsHash(col("r"), col("user_id")).as("h"))),
 
+    // q48: distinct profiled string image → xxhash64 — the HLL key
+    // primitive for the column profiler. The oracle re-derives every
+    // column's string image in SQL and joins on it (the d04 contract: a
+    // divergent cast shows up as a dropped hash and a value mismatch),
+    // then rebuilds registers and estimates from the hash.
+    "profile_hashes" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      o.select(explode(array(
+          col("o_orderstatus").cast("string"),
+          col("o_custkey").cast("string"),
+          col("o_orderpriority").cast("string"),
+          col("o_totalprice").cast("decimal(18,2)").cast("string"))).as("v"))
+        .filter(col("v").isNotNull).distinct()
+        .select(col("v"), xxhash64(col("v")).as("h"))
+    }),
+
     // t31: ln of the per-doc deterministic uniform — materialized through
     // the operator's own derivation (CorpusOps.wrsLogU); the oracle
     // recomputes the weighted keys and the ranking from it in SQL.

@@ -225,6 +225,69 @@ object SketchQueries {
         .orderBy("grp", "q")
     },
 
+    // One-pass column profiler (q48): the first query against an
+    // unfamiliar table — per column, row/null/exact-distinct counts,
+    // string-image min/max, and the HLL distinct ESTIMATE alongside the
+    // exact count (the q44 auditable-estimate pattern: at 100 TB the
+    // sketch is what actually runs; exact count-distinct rides along here
+    // so every estimate is graded row by row). Column images are chosen
+    // cross-engine-stable: strings as-is, integers via plain cast, the
+    // double through DECIMAL(18,2). Both the low-cardinality (status,
+    // priority → linear counting) and high-cardinality (custkey, price →
+    // raw harmonic) estimator branches are exercised.
+    "q48_profile_table" -> of(
+      """WITH ph AS (SELECT v, h FROM read_parquet('{{AUX}}/profile_hashes/*.parquet')),
+        |lnl AS (SELECT z, lnv FROM read_parquet('{{AUX}}/hll_ln/*.parquet')),
+        |m AS (
+        |  SELECT 'o_orderstatus' AS col, CAST(o_orderstatus AS VARCHAR) AS v FROM orders
+        |  UNION ALL SELECT 'o_custkey', CAST(o_custkey AS VARCHAR) FROM orders
+        |  UNION ALL SELECT 'o_orderpriority', CAST(o_orderpriority AS VARCHAR) FROM orders
+        |  UNION ALL SELECT 'o_totalprice',
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) FROM orders),
+        |prof AS (SELECT col, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |    CAST(COUNT(*) - COUNT(v) AS BIGINT) AS n_null,
+        |    CAST(COUNT(DISTINCT v) AS BIGINT) AS n_distinct,
+        |    MIN(v) AS min_v, MAX(v) AS max_v
+        |  FROM m GROUP BY col),
+        |keys AS (SELECT m.col AS grp, ph.h AS h FROM m JOIN ph ON ph.v = m.v),
+        |hm AS (SELECT grp, (h >> 60) & 15 AS bucket,
+        |  h & 1152921504606846975 AS w FROM keys),
+        |s1 AS (SELECT grp, bucket, w, w | (w >> 1) AS s FROM hm),
+        |s2 AS (SELECT grp, bucket, w, s | (s >> 2) AS s FROM s1),
+        |s3 AS (SELECT grp, bucket, w, s | (s >> 4) AS s FROM s2),
+        |s4 AS (SELECT grp, bucket, w, s | (s >> 8) AS s FROM s3),
+        |s5 AS (SELECT grp, bucket, w, s | (s >> 16) AS s FROM s4),
+        |s6 AS (SELECT grp, bucket, w, s | (s >> 32) AS s FROM s5),
+        |rho AS (SELECT grp, bucket,
+        |  LEAST(CASE WHEN w = 0 THEN 61 ELSE (64 - bit_count(s)) - 3 END, 40) AS reg
+        |  FROM s6),
+        |regs AS (SELECT grp, bucket, MAX(reg) AS reg FROM rho GROUP BY grp, bucket),
+        |g AS (SELECT grp,
+        |    CAST(16 - COUNT(*) AS INT) AS zeros,
+        |    CAST(SUM(1::BIGINT << CAST(40 - reg AS INT)) AS BIGINT) AS s_present
+        |  FROM regs GROUP BY grp),
+        |est0 AS (SELECT grp, zeros,
+        |    s_present + CAST(zeros AS BIGINT) * 1099511627776 AS s_num FROM g),
+        |est1 AS (SELECT grp, zeros, s_num,
+        |    CAST(0.673 AS DOUBLE) * CAST(256 AS DOUBLE) * CAST(1099511627776 AS DOUBLE)
+        |      / CAST(s_num AS DOUBLE) AS est_raw
+        |  FROM est0),
+        |est AS (SELECT grp,
+        |  CASE WHEN zeros > 0 AND est_raw <= CAST(40.0 AS DOUBLE)
+        |    THEN CAST(16.0 AS DOUBLE) * lnl.lnv ELSE est_raw END AS est
+        |  FROM est1 LEFT JOIN lnl ON lnl.z = est1.zeros)
+        |SELECT p.col, p.n_rows, p.n_null, p.n_distinct, e.est AS distinct_est,
+        |  p.min_v, p.max_v
+        |FROM prof p JOIN est e ON e.grp = p.col
+        |ORDER BY p.col""") { (s, d) =>
+      graft.operators.QualityChecks.profileColumns(t(s, d, "orders"), Seq(
+        "o_orderstatus" -> col("o_orderstatus"),
+        "o_custkey" -> col("o_custkey"),
+        "o_orderpriority" -> col("o_orderpriority"),
+        "o_totalprice" -> col("o_totalprice").cast("decimal(18,2)")))
+        .orderBy("col")
+    },
+
     // Weighted sampling without replacement (Efraimidis–Spirakis): 50 docs
     // drawn with inclusion probability ∝ n_chars — the quality-weighted
     // selection step of a corpus build. The oracle takes only ln(u) from

@@ -181,6 +181,33 @@ class SketchSpec extends SparkSpec with TableDrivenPropertyChecks {
       }
   }
 
+  // ------------------------------------------------------ profiler ----
+
+  test("profiler: counts, nulls, string-image min/max and estimate branches behave") {
+    import graft.operators.QualityChecks
+    val df = Seq(
+      (Some("a"), 1L), (Some("b"), 2L), (None, 3L), (Some("a"), 4L),
+      (Some("c"), 5L), (None, 6L)
+    ).toDF("s", "k")
+    val prof = QualityChecks.profileColumns(df, Seq(
+        "s" -> col("s"), "k" -> col("k")))
+      .orderBy("col").collect()
+    val byCol = prof.map(r => r.getString(0) -> r).toMap
+    val s = byCol("s")
+    assert(s.getLong(1) === 6L && s.getLong(2) === 2L && s.getLong(3) === 3L)
+    assert(s.getString(5) === "a" && s.getString(6) === "c")
+    val k = byCol("k")
+    assert(k.getLong(1) === 6L && k.getLong(2) === 0L && k.getLong(3) === 6L)
+    // string-image ordering: "1" < "6" lexicographically over these digits
+    assert(k.getString(5) === "1" && k.getString(6) === "6")
+    // LC branch near-exactness at tiny cardinality: estimate within 3σ
+    prof.foreach { r =>
+      val (exact, est) = (r.getLong(3).toDouble, r.getDouble(4))
+      assert(math.abs(est - exact) <= 3 * 0.26 * math.max(exact, 1.0) + 1.0,
+        s"${r.getString(0)}: est $est vs exact $exact")
+    }
+  }
+
   // ------------------------------------------------------------- KMV ----
 
   test("kmv: sketch of the whole == sketch-algebra union of the halves") {
