@@ -2518,6 +2518,41 @@ object ExtensionQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // Media dup CLUSTERS (m08): the d08 closure over m07's chunk-similarity
+    // pairs — an A~B~C chain of partially-overlapping blobs collapses to one
+    // cluster (survivor = min id) even without a direct A~C pair, which is
+    // how a storage-dedup pass actually retires near-copies. Same
+    // Shiloach–Vishkin machinery as d08 (map-side-combined hooks, bounded
+    // contraction rounds); the oracle computes true components with a
+    // recursive reachability CTE over the m07 pair SQL.
+    "m08_chunk_dup_clusters" -> of(
+      s"""WITH RECURSIVE c AS ($hexChunkAllSql),
+        |d AS (SELECT DISTINCT doc_id, chunk_hex FROM c),
+        |sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM d GROUP BY doc_id),
+        |sh AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS inter
+        |  FROM d a JOIN d b ON a.chunk_hex = b.chunk_hex AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |jp AS (SELECT sh.id_a, sh.id_b
+        |  FROM sh JOIN sz sa ON sa.doc_id = sh.id_a JOIN sz sb ON sb.doc_id = sh.id_b
+        |  WHERE CAST(sh.inter AS DOUBLE) / CAST(sa.sz + sb.sz - sh.inter AS DOUBLE) >= 0.5),
+        |edges AS (
+        |  SELECT id_a, id_b FROM jp UNION ALL SELECT id_b, id_a FROM jp),
+        |reach(id, label) AS (
+        |  SELECT id_a, id_a FROM edges
+        |  UNION
+        |  SELECT e.id_a, r.label FROM edges e JOIN reach r ON r.id = e.id_b)
+        |SELECT id AS doc_id, MIN(label) AS cluster,
+        |  id = MIN(label) AS is_survivor
+        |FROM reach GROUP BY id ORDER BY doc_id""") { (s, d) =>
+      val pairs = graft.operators.Multimodal.chunkJaccardPairs(
+        graft.operators.Multimodal.asMediaTable(
+          t(s, d, "documents"), "doc_id", "text"))
+      Dedup.dupClusters(pairs)
+        .select(col("id").as("doc_id"), col("cluster"),
+          (col("id") === col("cluster")).as("is_survivor"))
+        .orderBy("doc_id")
+    },
+
     // ---- event-stream shaping --------------------------------------------
 
     // Gap-based sessionization (30-minute inactivity threshold): lag + step
