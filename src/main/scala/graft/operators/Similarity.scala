@@ -477,6 +477,92 @@ object Similarity {
         col("n.id").as("neighbor_id"), col("n.score").as("cosine"))
   }
 
+  /** Standing IVF index handle (the d16 amortized-serving pattern applied
+    * to retrieval): `cells` = the inverted file as a cid-bucketed,
+    * cid-sorted warehouse table (cid, id, v, norm); `centroids` = the
+    * trained quantizer (cid, cvec). Table names embed k and the bucket
+    * count — the layout identity — so a session can never probe a layout
+    * built with different parameters under the same name.
+    */
+  final case class IvfIndex(cells: String, centroids: String,
+                            nCentroids: Int, dim: Int, corpusRows: Long,
+                            buckets: Int)
+
+  /** Materialize the standing IVF index for `corpus` — train and assign
+    * ONCE, then serve every later query batch from the tables
+    * ([[ivfSearchIndexed]]) without re-training the quantizer or
+    * re-scanning/re-assigning the corpus (what [[ivfNeighborsTrained]]
+    * pays on every call). Training is the bit-reproducible k-means and
+    * assignment the fused shuffle-free argmax, so the indexed search is
+    * result-identical to the direct one by construction (spec-pinned; the
+    * s04 oracle applies verbatim). Idempotent per (session, names): an
+    * existing catalog layout is reused, not retrained.
+    *
+    * Scale shape: one corpus pass assigns and writes through the cid
+    * bucket layout; a probe then reads nProbe/nCentroids of the corpus
+    * through pre-bucketed files with no index-side Exchange (the q33/d16
+    * zero-exchange pattern, PlanSpec-pinned).
+    */
+  def writeIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                    namePrefix: String, nCentroids: Int = 16,
+                    iters: Int = 3, buckets: Int = 16): IvfIndex = {
+    val spark = corpus.sparkSession
+    graft.functions.NativeFunctions.register(spark)
+    val dim = vectorDim(corpus, vecCol)
+    val idx = IvfIndex(s"${namePrefix}_cells_k${nCentroids}_b$buckets",
+      s"${namePrefix}_cent_k$nCentroids", nCentroids, dim, 0L, buckets)
+    if (!(spark.catalog.tableExists(idx.cells) &&
+        spark.catalog.tableExists(idx.centroids))) {
+      val cents = kmeansCentroids(corpus, idCol, vecCol, nCentroids, iters)
+      graft.sources.BucketedLake.writeBucketedTable(spark, idx.cells,
+        assignToCentroids(corpus, idCol, vecCol, cents)
+          .select(col("cid"), col("id"), col("v"), col("v_norm").as("norm")),
+        "cid", buckets)
+      graft.sources.BucketedLake.writeBucketedTable(spark, idx.centroids,
+        centroidsDf(spark, cents), "cid", 1)
+    }
+    idx.copy(corpusRows = spark.table(idx.cells).count())
+  }
+
+  /** [[ivfNeighborsTrained]] against a standing [[IvfIndex]] instead of a
+    * corpus DataFrame — identical results when the index was built from
+    * the same corpus (spec-pinned), but per-query-batch cost excludes the
+    * k-means training and the corpus assignment scan: the query batch
+    * ranks centroids from the broadcast centroid table and probes its
+    * nProbe cells through the bucketed inverted file. The probe tail is
+    * the exact [[ivfNeighborsTrained]] walk, so the s04 oracle grades this
+    * path verbatim.
+    */
+  def ivfSearchIndexed(queries: DataFrame, index: IvfIndex, idCol: String,
+                       vecCol: String, k: Int, nProbe: Int = 2): DataFrame = {
+    val spark = queries.sparkSession
+    graft.functions.NativeFunctions.register(spark)
+    val cent = broadcast(spark.table(index.centroids)
+      .withColumn("c_norm", l2norm(col("cvec"))))
+    val wp = Window.partitionBy(col("query_id")).orderBy(col("c_sim").desc, col("cid"))
+    val probes = queries
+      .select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("q_norm", l2norm(col("qv")))
+      .crossJoin(cent)
+      .withColumn("c_sim", dot(col("qv"), col("cvec")) / (col("q_norm") * col("c_norm")))
+      .withColumn("crn", row_number().over(wp))
+      .filter(col("crn") <= nProbe)
+      .select(col("query_id"), col("qv"), col("q_norm"), col("cid"))
+    val inverted = spark.table(index.cells)
+      .select(col("cid"), col("id").as("neighbor_id"), col("v").as("nv"),
+        col("norm").as("n_norm"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    probes.join(inverted, Seq("cid"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("qv"), col("nv")) / (col("q_norm") * col("n_norm"))).as("cosine"))
+      .distinct()
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+  }
+
   /** Nearest-centroid assignment as a SHUFFLE-FREE argmax projection
     * (struct(sim, -cid) lexicographic max — the kmeansCentroids shape),
     * not crossJoin(centroids) + row_number: the window form shuffled n×k

@@ -1466,6 +1466,23 @@ object ExtensionQueries {
         .orderBy("query_id", "rank")
     },
 
+    // Standing IVF index (s17): the d16 amortized-serving pattern applied
+    // to retrieval — quantizer + cid-bucketed inverted file persisted as
+    // warehouse tables; each query batch ranks the broadcast centroid
+    // table and probes its cells through the bucketed layout, paying
+    // neither the k-means training nor the corpus assignment scan that
+    // s04's direct path pays per call. Result-identical to s04 by
+    // construction (bit-reproducible training, spec-pinned assignment
+    // parity), so the s04 oracle grades this path verbatim.
+    "s17_ivf_indexed" -> of(s"WITH $ivfCtes\n$ivfSelect") { (s, d) =>
+      val e = t(s, d, "embeddings")
+      val idx = Similarity.writeIvfIndex(e, "vec_id", "embedding",
+        "ivf_idx_" + graft.sources.BucketedLake.layoutSuffix(d + "#ivf", 16))
+      Similarity.ivfSearchIndexed(e.filter(col("vec_id") < 10), idx,
+        "vec_id", "embedding", 5)
+        .orderBy("query_id", "rank")
+    },
+
     // ANN recall@k (s12): the index-quality gate — fraction of the exact
     // top-5 set (s01's ground truth, same SQL) the trained-IVF search
     // (s04's walk, same CTEs) recovers per query. Evaluation is two

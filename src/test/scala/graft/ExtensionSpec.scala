@@ -293,6 +293,18 @@ class ExtensionSpec extends SparkSpec {
     }
   }
 
+  test("s17 standing IVF index serves the direct trained search bit-for-bit") {
+    val q = embs.filter(col("vec_id") < 10)
+    val idx = Similarity.writeIvfIndex(embs, "vec_id", "embedding", "ivf_idx_spec")
+    val indexed = Similarity.ivfSearchIndexed(q, idx, "vec_id", "embedding", 5)
+    val direct = Similarity.ivfNeighborsTrained(q, embs, "vec_id", "embedding", 5)
+    assert(indexed.orderBy("query_id", "rank").collect().toSeq ===
+      direct.orderBy("query_id", "rank").collect().toSeq)
+    // rebuild call with the same names must reuse the catalog layout
+    val again = Similarity.writeIvfIndex(embs, "vec_id", "embedding", "ivf_idx_spec")
+    assert(again === idx)
+  }
+
   test("filtered topK: equals the label-restricted window ranking; labels never cross") {
     val q = embs.filter(col("vec_id") < 10)
     val got = Similarity.cosineTopKFiltered(q, embs, "vec_id", "embedding", "label", 5)

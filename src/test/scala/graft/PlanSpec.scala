@@ -469,6 +469,28 @@ class PlanSpec extends SparkSpec {
       s"filtered search must join on (cell, label) / label, never all-pairs:\n${plan.take(800)}")
   }
 
+  test("s17: inverted file reads bucketed; index side never exchanges") {
+    val plan = physicalPlan("s17_ivf_indexed")
+    assert(plan.contains("Bucketed: true"), plan.take(1200))
+    // no Exchange between the probe join and the cells scan — the point of
+    // the standing layout is that a query batch never re-shuffles (or
+    // re-assigns) the corpus side; probe-side broadcasts are fine
+    val lines = plan.linesIterator.toVector
+    val scanIdx = lines.indexWhere(l => l.contains("ivf_idx_") && l.contains("_cells_"))
+    assert(scanIdx > 0, s"expected a scan of the inverted file:\n${plan.take(1200)}")
+    val joinIdx = lines.lastIndexWhere(_.contains("Join"), scanIdx)
+    assert(joinIdx >= 0)
+    val branch = lines.slice(joinIdx + 1, scanIdx + 1)
+      .filterNot(_.contains("BroadcastExchange"))
+    assert(!branch.exists(_.contains("Exchange")),
+      s"inverted-file side must not exchange:\n${branch.mkString("\n")}")
+    // and the corpus branch must not re-run assignment — the fused argmax
+    // belongs to the BUILD, never the probe
+    assert(lines.slice(joinIdx + 1, scanIdx + 1)
+      .forall(!_.contains("nearest_centroid")),
+      s"probe path must read stored assignments, not recompute:\n${plan.take(1500)}")
+  }
+
   test("DEBUG flag logs a bounded sample to stderr (honored, unlike reference)") {
     val err = new java.io.ByteArrayOutputStream()
     Console.withErr(new java.io.PrintStream(err)) {
