@@ -524,6 +524,40 @@ object Similarity {
     idx.copy(corpusRows = spark.table(idx.cells).count())
   }
 
+  /** Fold an ingest batch into a standing [[IvfIndex]] without rebuilding
+    * it — the compaction step that closes the retrieval daily loop (the
+    * d17 pattern for the inverted file). The batch assigns under the
+    * FROZEN quantizer read back from the centroid table (never re-trained:
+    * re-training would silently move cell boundaries out from under the
+    * standing assignments) and appends into the cells table under the same
+    * bucket spec, catalog-validated. `batch` must be id-disjoint from the
+    * indexed corpus. Like signature appends, occupancy grows ∝ appended
+    * volume at fixed k — a corpus that doubles wants a re-trained, larger
+    * quantizer (rebuild); results stay CORRECT either way, probes just
+    * scan longer cell lists.
+    */
+  def appendIvfIndex(batch: DataFrame, index: IvfIndex, idCol: String,
+                     vecCol: String): IvfIndex = {
+    val spark = batch.sparkSession
+    graft.functions.NativeFunctions.register(spark)
+    val dimBatch = vectorDim(batch, vecCol)
+    require(dimBatch == index.dim,
+      s"appendIvfIndex: batch dim $dimBatch != index dim ${index.dim} — " +
+        "the quantizer is dimension-specific")
+    // bounded driver-side read: nCentroids rows, the k-means-seed shape
+    val cents = spark.table(index.centroids)
+      .orderBy("cid").collect()
+      .map(_.getAs[scala.collection.Seq[Double]]("cvec").toArray)
+    require(cents.length == index.nCentroids,
+      s"appendIvfIndex: centroid table ${index.centroids} holds " +
+        s"${cents.length} rows, expected ${index.nCentroids}")
+    val assigned = assignToCentroids(batch, idCol, vecCol, cents)
+      .select(col("cid"), col("id"), col("v"), col("v_norm").as("norm"))
+    graft.sources.BucketedLake.appendBucketedTable(spark, index.cells,
+      assigned, "cid", index.buckets)
+    index.copy(corpusRows = spark.table(index.cells).count())
+  }
+
   /** [[ivfNeighborsTrained]] against a standing [[IvfIndex]] instead of a
     * corpus DataFrame — identical results when the index was built from
     * the same corpus (spec-pinned), but per-query-batch cost excludes the

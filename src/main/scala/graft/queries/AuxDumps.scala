@@ -114,6 +114,16 @@ object AuxDumps {
         graft.operators.Similarity.pqCodebooks(
           t(s, d, "embeddings"), "vec_id", "embedding"))),
 
+    // s18: the FROZEN initial-half quantizer the appended IVF index serves
+    // under — trained on `vec_id % 4 ≠ 0` with the same bit-reproducible
+    // k-means the index build ran, so this second training inside Verify
+    // emits exactly the centroids every appended-corpus assignment froze.
+    "s18_centroids" -> ((s, d) =>
+      graft.operators.Similarity.centroidsDf(s,
+        graft.operators.Similarity.kmeansCentroids(
+          t(s, d, "embeddings").filter(pmod(col("vec_id"), lit(4)) =!= 0),
+          "vec_id", "embedding"))),
+
     // Hyperplane-LSH consumers — s03 (one 8-plane table, p 0..7) and d06
     // (8 tables × 4 planes, p 0..31): the ±1 sign vector of each
     // deterministic hyperplane, materialized through the OPERATOR's own

@@ -499,9 +499,14 @@ object ExtensionQueries {
     * so the recall oracle (s12) can mount the same approximate search as a
     * CTE — one definition of the IVF walk on the SQL side.
     */
-  private val ivfCtes =
+  /** The trained-IVF CTE chain parameterized on the centroid aux table —
+    * one SQL definition of the inverted-file walk whoever trained the
+    * quantizer (s04/s12/s17 = full-corpus training, s18 = the frozen
+    * initial-half quantizer the appended index serves under).
+    */
+  private def ivfCtesFrom(centroidAux: String) =
     s"""corp AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-      |cent AS (SELECT cid, cvec AS cv FROM read_parquet('{{AUX}}/s04_centroids/*.parquet')),
+      |cent AS (SELECT cid, cvec AS cv FROM read_parquet('{{AUX}}/$centroidAux/*.parquet')),
       |assign AS (
       |  SELECT vec_id AS neighbor_id, cid, v AS nv FROM (
       |    SELECT c.vec_id, ct.cid, c.v,
@@ -517,6 +522,8 @@ object ExtensionQueries {
       |cand AS (
       |  SELECT DISTINCT p.query_id, a.neighbor_id, ${listCos("p.qv", "a.nv")} AS cosine
       |  FROM probes p JOIN assign a ON a.cid = p.cid AND a.neighbor_id <> p.query_id)""".stripMargin
+
+  private val ivfCtes = ivfCtesFrom("s04_centroids")
 
   private val ivfSelect =
     """SELECT query_id, rank, neighbor_id, cosine FROM (
@@ -665,6 +672,30 @@ object ExtensionQueries {
       |  SELECT DISTINCT p.query_id, a.neighbor_id, ${listCos("p.qv", "a.nv")} AS cosine
       |  FROM probes p JOIN assign a
       |    ON a.cid = p.cid AND a.label = p.label AND a.neighbor_id <> p.query_id)""".stripMargin
+
+  /** Build-then-append the s18 standing IVF index: trained on the initial
+    * 3/4 (`vec_id % 4 ≠ 0`), the remaining quarter folded in under the
+    * frozen quantizer. Idempotent per (session, dir) via the d17 contract:
+    * append is not naturally idempotent, so catalog presence of the cells
+    * table is the already-built-AND-appended marker and the handle is
+    * reconstructed from the catalog when found.
+    */
+  private def ensureAppendedIvfIndex(
+      s: org.apache.spark.sql.SparkSession, dir: String,
+      initial: org.apache.spark.sql.DataFrame,
+      appended: org.apache.spark.sql.DataFrame): Similarity.IvfIndex = {
+    val prefix =
+      "ivf_idxa_" + graft.sources.BucketedLake.layoutSuffix(dir + "#ivfa", 16)
+    val cellsName = s"${prefix}_cells_k16_b16"
+    if (s.catalog.tableExists(cellsName))
+      Similarity.IvfIndex(cellsName, s"${prefix}_cent_k16", 16,
+        Similarity.vectorDim(initial, "embedding"),
+        s.table(cellsName).count(), 16)
+    else
+      Similarity.appendIvfIndex(appended,
+        Similarity.writeIvfIndex(initial, "vec_id", "embedding", prefix),
+        "vec_id", "embedding")
+  }
 
   /** The recall@k oracle template (s12/s13/s14/s16): exact = s01's ground
     * truth verbatim (or a caller-supplied constrained variant), approx =
@@ -1478,6 +1509,25 @@ object ExtensionQueries {
       val e = t(s, d, "embeddings")
       val idx = Similarity.writeIvfIndex(e, "vec_id", "embedding",
         "ivf_idx_" + graft.sources.BucketedLake.layoutSuffix(d + "#ivf", 16))
+      Similarity.ivfSearchIndexed(e.filter(col("vec_id") < 10), idx,
+        "vec_id", "embedding", 5)
+        .orderBy("query_id", "rank")
+    },
+
+    // IVF index APPEND (s18): the d17 compaction step for retrieval — the
+    // standing index is built from 3/4 of the corpus, the remaining
+    // quarter folds in under the FROZEN initial quantizer (re-training
+    // would move cell boundaries out from under the standing
+    // assignments), and queries probe the appended layout. The oracle is
+    // the same inverted-file walk with the centroid CTE pointed at the
+    // initial-half training (s18_centroids aux) — assignment of EVERY
+    // corpus row, appended or not, recomputed in SQL from those frozen
+    // centroids.
+    "s18_ivf_index_append" -> of(s"WITH ${ivfCtesFrom("s18_centroids")}\n$ivfSelect") { (s, d) =>
+      val e = t(s, d, "embeddings")
+      val idx = ensureAppendedIvfIndex(s, d,
+        e.filter(pmod(col("vec_id"), lit(4)) =!= 0),
+        e.filter(pmod(col("vec_id"), lit(4)) === 0))
       Similarity.ivfSearchIndexed(e.filter(col("vec_id") < 10), idx,
         "vec_id", "embedding", 5)
         .orderBy("query_id", "rank")

@@ -305,6 +305,30 @@ class ExtensionSpec extends SparkSpec {
     assert(again === idx)
   }
 
+  test("s18 IVF append: appended cells == frozen-quantizer assignment of the union") {
+    val half1 = embs.filter(pmod(col("vec_id"), lit(2)) === 0)
+    val half2 = embs.filter(pmod(col("vec_id"), lit(2)) =!= 0)
+    val idx0 = Similarity.writeIvfIndex(half1, "vec_id", "embedding", "ivf_app_spec")
+    val idx = Similarity.appendIvfIndex(half2, idx0, "vec_id", "embedding")
+    assert(idx.corpusRows === embs.count())
+    // the cells table must equal assigning the WHOLE corpus under the
+    // quantizer trained on half1 — appends froze the cell boundaries
+    val cents = Similarity.kmeansCentroids(half1, "vec_id", "embedding")
+    val expect = graft.operators.Similarity
+      .assignToCentroids(embs, "vec_id", "embedding", cents)
+      .select(col("cid"), col("id"), col("v"), col("v_norm").as("norm"))
+    val stored = spark.table(idx.cells)
+    assert(stored.except(expect).isEmpty && expect.except(stored).isEmpty,
+      "appended inverted file diverged from the frozen-quantizer assignment")
+    // dimension guard fails loudly
+    import spark.implicits._
+    val bad = Seq((999999L, Seq(1.0f, 2.0f))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.appendIvfIndex(bad, idx, "vec_id", "embedding")
+    }
+    assert(e.getMessage.contains("dim"))
+  }
+
   test("filtered topK: equals the label-restricted window ranking; labels never cross") {
     val q = embs.filter(col("vec_id") < 10)
     val got = Similarity.cosineTopKFiltered(q, embs, "vec_id", "embedding", "label", 5)
