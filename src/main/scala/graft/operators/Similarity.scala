@@ -524,6 +524,21 @@ object Similarity {
     idx.copy(corpusRows = spark.table(idx.cells).count())
   }
 
+  /** Read the frozen quantizer back from a standing [[IvfIndex]] — a
+    * bounded driver-side collect (nCentroids rows, the k-means-seed
+    * shape), validated against the handle's k.
+    */
+  def loadCentroids(spark: org.apache.spark.sql.SparkSession,
+                    index: IvfIndex): Array[Array[Double]] = {
+    val cents = spark.table(index.centroids)
+      .orderBy("cid").collect()
+      .map(_.getAs[scala.collection.Seq[Double]]("cvec").toArray)
+    require(cents.length == index.nCentroids,
+      s"loadCentroids: centroid table ${index.centroids} holds " +
+        s"${cents.length} rows, expected ${index.nCentroids}")
+    cents
+  }
+
   /** Fold an ingest batch into a standing [[IvfIndex]] without rebuilding
     * it — the compaction step that closes the retrieval daily loop (the
     * d17 pattern for the inverted file). The batch assigns under the
@@ -544,13 +559,7 @@ object Similarity {
     require(dimBatch == index.dim,
       s"appendIvfIndex: batch dim $dimBatch != index dim ${index.dim} — " +
         "the quantizer is dimension-specific")
-    // bounded driver-side read: nCentroids rows, the k-means-seed shape
-    val cents = spark.table(index.centroids)
-      .orderBy("cid").collect()
-      .map(_.getAs[scala.collection.Seq[Double]]("cvec").toArray)
-    require(cents.length == index.nCentroids,
-      s"appendIvfIndex: centroid table ${index.centroids} holds " +
-        s"${cents.length} rows, expected ${index.nCentroids}")
+    val cents = loadCentroids(spark, index)
     val assigned = assignToCentroids(batch, idCol, vecCol, cents)
       .select(col("cid"), col("id"), col("v"), col("v_norm").as("norm"))
     graft.sources.BucketedLake.appendBucketedTable(spark, index.cells,

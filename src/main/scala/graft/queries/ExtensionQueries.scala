@@ -499,12 +499,15 @@ object ExtensionQueries {
     * so the recall oracle (s12) can mount the same approximate search as a
     * CTE — one definition of the IVF walk on the SQL side.
     */
-  /** The trained-IVF CTE chain parameterized on the centroid aux table —
-    * one SQL definition of the inverted-file walk whoever trained the
-    * quantizer (s04/s12/s17 = full-corpus training, s18 = the frozen
-    * initial-half quantizer the appended index serves under).
+  /** The trained-IVF CTE chain parameterized on the centroid aux table and
+    * probe width — one SQL definition of the inverted-file walk whoever
+    * trained the quantizer (s04/s12/s17 = full-corpus training, s18 = the
+    * frozen initial-half quantizer the appended index serves under) and
+    * however many cells a query probes (e28's streaming serve probes 1 —
+    * the nearest-cell assignment expression, since windows can't rank
+    * centroids in-stream).
     */
-  private def ivfCtesFrom(centroidAux: String) =
+  private def ivfCtesFrom(centroidAux: String, nProbe: Int = 2) =
     s"""corp AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       |cent AS (SELECT cid, cvec AS cv FROM read_parquet('{{AUX}}/$centroidAux/*.parquet')),
       |assign AS (
@@ -518,7 +521,7 @@ object ExtensionQueries {
       |    SELECT q.vec_id AS query_id, ct.cid, q.v AS qv,
       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
       |        ORDER BY ${listCos("q.v", "ct.cv")} DESC, ct.cid) AS crn
-      |    FROM corp q CROSS JOIN cent ct WHERE q.vec_id < 10) x WHERE crn <= 2),
+      |    FROM corp q CROSS JOIN cent ct WHERE q.vec_id < 10) x WHERE crn <= $nProbe),
       |cand AS (
       |  SELECT DISTINCT p.query_id, a.neighbor_id, ${listCos("p.qv", "a.nv")} AS cosine
       |  FROM probes p JOIN assign a ON a.cid = p.cid AND a.neighbor_id <> p.query_id)""".stripMargin
@@ -1530,6 +1533,47 @@ object ExtensionQueries {
         e.filter(pmod(col("vec_id"), lit(4)) === 0))
       Similarity.ivfSearchIndexed(e.filter(col("vec_id") < 10), idx,
         "vec_id", "embedding", 5)
+        .orderBy("query_id", "rank")
+    },
+
+    // Streaming retrieval serve (e28): query vectors ARRIVE as a stream
+    // and take top-5 from the standing IVF index live — the serving twin
+    // of s17 (the e23 pattern for retrieval). In-stream cell assignment
+    // uses the fused nearest-centroid expression (windows can't rank
+    // centroids in a stream), so the streaming path probes nProbe=1 — the
+    // documented latency-over-recall serving point; the stream-static
+    // candidate join runs BEFORE the one stateful op, a complete-mode
+    // bounded-heap top-k whose state is O(queries × k). Oracle = the IVF
+    // walk at crn <= 1, assignment parity spec-pinned.
+    "e28_stream_ivf_serve" -> of(s"WITH ${ivfCtesFrom("s04_centroids", 1)}\n$ivfSelect") { (s, d) =>
+      import graft.streaming.{EventsStream, ScreenStream}
+      val e = t(s, d, "embeddings")
+      val idx = Similarity.writeIvfIndex(e, "vec_id", "embedding",
+        "ivf_idx_" + graft.sources.BucketedLake.layoutSuffix(d + "#ivf", 16))
+      val cents = Similarity.loadCentroids(s, idx)
+      val probes = Similarity.assignToCentroids(
+        ScreenStream.readEmbeddings(s, d).filter(col("vec_id") < 10),
+        "vec_id", "embedding", cents)
+        .select(col("id").as("query_id"), col("v").as("qv"),
+          col("v_norm").as("q_norm"), col("cid"))
+      val inverted = s.table(idx.cells)
+        .select(col("cid"), col("id").as("neighbor_id"), col("v").as("nv"),
+          col("norm").as("n_norm"))
+      val cand = probes.join(inverted, Seq("cid"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          (Similarity.dot(col("qv"), col("nv")) /
+            (col("q_norm") * col("n_norm"))).as("cosine"))
+      val topk = udaf(new Similarity.TopKAggregator(5),
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Similarity.Scored]())
+      val agg = cand.groupBy("query_id")
+        .agg(topk(col("neighbor_id"), col("cosine")).as("neighbors"))
+      val sinkName = s"stream_ivf_serve_${sinkCounter.incrementAndGet()}"
+      EventsStream.runAvailableNow(agg, sinkName, outputMode = "complete")
+      s.table(sinkName)
+        .select(col("query_id"), posexplode(col("neighbors")).as(Seq("rank0", "n")))
+        .select(col("query_id"), (col("rank0") + 1).as("rank"),
+          col("n.id").as("neighbor_id"), col("n.score").as("cosine"))
         .orderBy("query_id", "rank")
     },
 
