@@ -82,6 +82,28 @@ object Merges {
         (coalesce(col("__a_tot"), zero) + coalesce(col("__b_tot"), zero)).as("tot")): _*)
   }
 
+  /** Incremental JOIN view maintenance — the join half of the IVM story
+    * ([[aggState]]/[[mergeAggStates]] cover aggregates, sketch-state
+    * merges cover summaries): with V = A ⋈ B materialized as standing
+    * state, an ingest of (ΔA, ΔB) contributes exactly
+    *
+    *   ΔV = (ΔA ⋈ B) ∪ (A ⋈ ΔB) ∪ (ΔA ⋈ ΔB)
+    *
+    * and V_new = V ∪ ΔV — the standard delta algebra for inner equi-joins
+    * (each new pair has a delta row on at least one side; the three terms
+    * partition the new pairs by WHICH side is new, so the union is
+    * disjoint and duplicate-free without a dedup pass). Per-ingest join
+    * work is ∝ the delta sides (each term shuffles a delta plus its
+    * matches — small deltas broadcast), never a recompute of A ⋈ B.
+    * `baseA`/`baseB` must exclude the deltas (the ingest split contract).
+    */
+  def incrementalJoinDelta(baseA: DataFrame, deltaA: DataFrame,
+                           baseB: DataFrame, deltaB: DataFrame,
+                           keys: Seq[String]): DataFrame =
+    deltaA.join(baseB, keys)
+      .unionByName(baseA.join(deltaB, keys))
+      .unionByName(deltaA.join(deltaB, keys))
+
   def scd2(current: DataFrame, updates: DataFrame, keyCol: String,
            tsCol: String): DataFrame = {
     val valueCols = current.columns.filterNot(_ == "valid_from").toSeq

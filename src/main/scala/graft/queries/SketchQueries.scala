@@ -185,6 +185,38 @@ object SketchQueries {
         .orderBy("om", "status")
     },
 
+    // Incremental JOIN view maintenance (q49): the join half of the IVM
+    // story (q45 = aggregate state, q46/q47 = sketch state). The standing
+    // view is orders ⋈ customer with BOTH sides split (orders at
+    // 2000-01-01, customers at key mod 10 = 0 — "newly onboarded"); the
+    // delta algebra ΔV = ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB unioned onto the old view
+    // must equal the from-scratch join over everything — which is exactly
+    // what the oracle recomputes, proving the three delta terms cover the
+    // new pairs disjointly. Per-ingest join work ∝ the deltas; the
+    // standing view is never recomputed.
+    "q49_incremental_join" -> of(
+      """SELECT o.o_orderkey, c.c_custkey, c.c_name,
+        |  CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total
+        |FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        |ORDER BY o_orderkey""") { (s, d) =>
+      val cutO = lit("2000-01-01").cast("timestamp")
+      val o = t(s, d, "orders").select(col("o_orderkey"),
+        col("o_custkey").as("c_custkey"), col("o_orderdate"),
+        col("o_totalprice").cast("decimal(18,2)").cast("double").as("total"))
+      val c = t(s, d, "customer").select(col("c_custkey"), col("c_name"))
+      val (baseO, deltaO) =
+        (o.filter(col("o_orderdate") < cutO), o.filter(col("o_orderdate") >= cutO))
+      val (baseC, deltaC) =
+        (c.filter(pmod(col("c_custkey"), lit(10)) =!= 0),
+          c.filter(pmod(col("c_custkey"), lit(10)) === 0))
+      val standing = baseO.join(baseC, Seq("c_custkey"))
+      val delta = Merges.incrementalJoinDelta(
+        baseO, deltaO, baseC, deltaC, Seq("c_custkey"))
+      standing.unionByName(delta)
+        .select("o_orderkey", "c_custkey", "c_name", "total")
+        .orderBy("o_orderkey")
+    },
+
     // Incremental HLL: a STANDING register table (events before Jan 15)
     // absorbs the delta batch (rest of the month) via register-max merge,
     // and the estimate over the merged state must equal the from-scratch

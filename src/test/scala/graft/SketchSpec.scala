@@ -312,6 +312,22 @@ class SketchSpec extends SparkSpec with TableDrivenPropertyChecks {
     }
   }
 
+  test("ivm join: standing ∪ delta == from-scratch join, duplicate-free, at several splits") {
+    val a = (1L to 40L).map(k => (k % 7, k)).toDF("k", "av")
+    val b = (1L to 20L).map(k => (k % 7, k * 100)).toDF("k", "bv")
+    val full = a.join(b, Seq("k")).orderBy("k", "av", "bv").collect().toSeq
+    forAll(Table("splitA", 0L, 13L, 40L)) { sa =>
+      val (baseA, deltaA) = (a.filter(col("av") <= sa), a.filter(col("av") > sa))
+      val (baseB, deltaB) = (b.filter(col("bv") <= 700L), b.filter(col("bv") > 700L))
+      val got = baseA.join(baseB, Seq("k"))
+        .unionByName(Merges.incrementalJoinDelta(baseA, deltaA, baseB, deltaB, Seq("k")))
+      // duplicate-free by the disjoint delta algebra — no dedup pass needed
+      assert(got.count() === got.distinct().count())
+      assert(got.orderBy("k", "av", "bv").collect().toSeq === full,
+        s"split at av=$sa diverges from the from-scratch join")
+    }
+  }
+
   test("ivm: a delta whose keys are all new appends without disturbing standing state") {
     val a = Seq(("k1", 10.0), ("k2", 20.0)).toDF("k", "v")
     val b = Seq(("k3", 5.0)).toDF("k", "v")
