@@ -1184,6 +1184,42 @@ object ExtensionQueries {
         .orderBy("id")
     },
 
+    // Dup-cluster size profile (g03): the distribution a dedup-pipeline
+    // owner reads before choosing survivor policy and salting strategy —
+    // how many clusters of each size, how many docs they hold, and each
+    // size's share of all CLUSTERED docs (singletons are docs that pair
+    // but only with themselves transitively — every node in the pair
+    // graph belongs to exactly one component). Composes the d08 closure
+    // with a two-level rollup; cost after the closure is O(components).
+    "g03_cluster_profile" -> of(
+      s"""WITH RECURSIVE ${jaccardCtes(None)},
+        |edges AS (
+        |  SELECT id_a, id_b FROM jp UNION ALL SELECT id_b, id_a FROM jp),
+        |reach(id, label) AS (
+        |  SELECT id_a, id_a FROM edges
+        |  UNION
+        |  SELECT e.id_a, r.label FROM edges e JOIN reach r ON r.id = e.id_b),
+        |comp AS (SELECT id, MIN(label) AS cluster FROM reach GROUP BY id),
+        |cs AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS csize FROM comp GROUP BY cluster),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM comp)
+        |SELECT csize, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+        |  CAST(csize * COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(csize * COUNT(*) AS DOUBLE) / CAST(tot.n_docs AS DOUBLE) AS doc_share
+        |FROM cs CROSS JOIN tot
+        |GROUP BY csize, tot.n_docs ORDER BY csize""") { (s, d) =>
+      val pairs = Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text")
+      val comp = Dedup.dupClusters(pairs)
+      val cs = comp.groupBy("cluster").agg(count(lit(1)).as("csize"))
+      val tot = comp.agg(count(lit(1)).as("n_docs0"))
+      cs.groupBy("csize").agg(count(lit(1)).as("n_clusters"))
+        .crossJoin(tot)
+        .select(col("csize"), col("n_clusters"),
+          (col("csize") * col("n_clusters")).as("n_docs"),
+          ((col("csize") * col("n_clusters")).cast("double") /
+            col("n_docs0").cast("double")).as("doc_share"))
+        .orderBy("csize")
+    },
+
     // ---- similarity search ------------------------------------------------
 
     // Exact cosine top-5 for the first 10 vectors, via the bounded-heap
