@@ -71,6 +71,42 @@ object CorpusOps {
           .otherwise(0).as("approx_within_contract"))
   }
 
+  /** Vocabulary growth curve (Heaps-law audit): cumulative distinct-token
+    * count at each 1/buckets corpus prefix, prefixes taken in
+    * xxhash64(id) order — the growth-stable ordering every sampler here
+    * uses, so the curve is a property of the corpus, not of ingestion
+    * order, and re-running after appends extends rather than reshuffles
+    * it. A flattening curve signals diversity exhaustion (new data re-uses
+    * the existing vocabulary); scaling-law work reads exactly this shape.
+    * Returns (q, n_docs, n_tokens, vocab) cumulative per prefix.
+    *
+    * Scale note: prefix assignment is one global NTILE over (hash, id) —
+    * a total order. At corpus scale assign buckets by hash RANGE instead
+    * (range partitioning gives the same growth-stable prefixes without a
+    * single-partition window); the per-token min-prefix aggregation and
+    * rollups are unchanged.
+    */
+  def vocabularyGrowth(docs: DataFrame, idCol: String, textCol: String,
+                       buckets: Int = 4): DataFrame = {
+    val w = Window.orderBy(col("h"), col(idCol))
+    val qd = docs.select(col(idCol), col(textCol).as("text"))
+      .withColumn("h", xxhash64(col(idCol)))
+      .withColumn("q", ntile(buckets).over(w))
+    val tok = qd.select(col("q"), explode(tokens(col("text"))).as("tok"))
+    val perQ = tok.groupBy("q").agg(count(lit(1)).as("toks"))
+    val docsQ = qd.groupBy("q").agg(count(lit(1)).as("docs"))
+    val newV = tok.groupBy("tok").agg(min("q").as("q"))
+      .groupBy("q").agg(count(lit(1)).as("new_vocab"))
+    val cum = Window.orderBy("q")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docsQ.join(perQ, "q").join(newV, Seq("q"), "left")
+      .na.fill(0L, Seq("new_vocab"))
+      .select(col("q"),
+        sum("docs").over(cum).as("n_docs"),
+        sum("toks").over(cum).as("n_tokens"),
+        sum("new_vocab").over(cum).as("vocab"))
+  }
+
   /** Per-document top TF-IDF terms: tf(doc, t) · ln(N / df(t)). The corpus
     * size N travels as a broadcast 1-row aggregate (never a driver collect);
     * the doc-frequency table joins on the token key (O(vocab) — a shuffle

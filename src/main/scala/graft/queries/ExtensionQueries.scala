@@ -1879,6 +1879,36 @@ object ExtensionQueries {
         .orderBy("source", "pack_no", "offset", "doc_id")
     },
 
+    // Vocabulary growth curve (t32): cumulative distinct-token count at
+    // each quarter-corpus prefix in hash order — the Heaps-law diversity
+    // audit (a flattening curve means new data re-uses the existing
+    // vocabulary). Hash-ordered prefixes make the curve a property of the
+    // corpus, not of ingestion order. The oracle recomputes NTILE,
+    // first-prefix-per-token and all three cumulative rollups from the
+    // doc_hashes aux.
+    "t32_vocab_growth" -> of(
+      """WITH dh AS (SELECT doc_id, h FROM read_parquet('{{AUX}}/doc_hashes/*.parquet')),
+        |qd AS (SELECT d.doc_id, d.text,
+        |    NTILE(4) OVER (ORDER BY dh.h, d.doc_id) AS q
+        |  FROM documents d JOIN dh USING (doc_id)),
+        |tok AS (SELECT q, u.tok
+        |  FROM (SELECT q, string_split(text, ' ') AS tk FROM qd) x,
+        |    UNNEST(tk) AS u(tok)),
+        |perq AS (SELECT q, CAST(COUNT(*) AS BIGINT) AS toks FROM tok GROUP BY q),
+        |docsq AS (SELECT q, CAST(COUNT(*) AS BIGINT) AS docs FROM qd GROUP BY q),
+        |newv AS (SELECT q, CAST(COUNT(*) AS BIGINT) AS new_vocab
+        |  FROM (SELECT tok, MIN(q) AS q FROM tok GROUP BY tok) f GROUP BY q)
+        |SELECT d.q,
+        |  CAST(SUM(d.docs) OVER (ORDER BY d.q) AS BIGINT) AS n_docs,
+        |  CAST(SUM(p.toks) OVER (ORDER BY d.q) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(COALESCE(v.new_vocab, 0)) OVER (ORDER BY d.q) AS BIGINT) AS vocab
+        |FROM docsq d JOIN perq p USING (q) LEFT JOIN newv v USING (q)
+        |ORDER BY q""") { (s, d) =>
+      graft.operators.CorpusOps.vocabularyGrowth(
+        t(s, d, "documents"), "doc_id", "text")
+        .orderBy("q")
+    },
+
     // Contamination audit: non-train documents whose winnow fingerprint
     // collides with a train document — near-dup leakage across the t05
     // hash split. Composes hashSplit (id-hash buckets, doc_hashes aux) with
