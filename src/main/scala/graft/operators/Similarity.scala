@@ -1118,6 +1118,106 @@ object Similarity {
       queries, corpus, idCol, v, coarseM, k)
   }
 
+  /** Standing IVF-PQ index handle — the [[IvfIndex]] pattern for the
+    * compressed composite: `codes` = the melted (cell, neighbor_id, sub,
+    * cid) code rows bucketed by cell (bytes per vector on disk and on the
+    * probe path), `vectors` = the full-precision (id, v) table the bounded
+    * re-rank joins, plus the two trained artifact tables. Names embed
+    * every layout-identity parameter.
+    */
+  final case class IvfPqIndex(codes: String, centroids: String,
+                              codebooks: String, vectors: String,
+                              nCells: Int, subspaces: Int, codebookK: Int,
+                              dim: Int, corpusRows: Long, buckets: Int)
+
+  /** Materialize the standing IVF-PQ index — train both quantizers and
+    * encode ONCE; every later query batch ADC-scans stored codes for its
+    * probed cells and re-ranks from the stored vectors
+    * ([[ivfPqSearchIndexed]]), paying neither training nor corpus
+    * encoding per call. Both trainings are bit-reproducible and the code
+    * assignment is the same [[pqCodeCols]] projection [[ivfPqSearch]]
+    * runs, so the indexed search is result-identical to the direct one by
+    * construction (the s10 oracle applies verbatim). Idempotent per
+    * (session, names).
+    */
+  def writeIvfPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                      namePrefix: String, nCells: Int = 16,
+                      subspaces: Int = 4, codebookK: Int = 16,
+                      iters: Int = 3, buckets: Int = 16): IvfPqIndex = {
+    val spark = corpus.sparkSession
+    graft.functions.NativeFunctions.register(spark)
+    val dim = vectorDim(corpus, vecCol)
+    val idx = IvfPqIndex(
+      s"${namePrefix}_codes_c${nCells}_s${subspaces}x${codebookK}_b$buckets",
+      s"${namePrefix}_cent_c$nCells",
+      s"${namePrefix}_cb_s${subspaces}x$codebookK",
+      s"${namePrefix}_vec_b$buckets",
+      nCells, subspaces, codebookK, dim, 0L, buckets)
+    if (!(spark.catalog.tableExists(idx.codes) &&
+        spark.catalog.tableExists(idx.centroids) &&
+        spark.catalog.tableExists(idx.codebooks) &&
+        spark.catalog.tableExists(idx.vectors))) {
+      val cents = kmeansCentroids(corpus, idCol, vecCol, nCells, iters)
+      val cbs = pqCodebooksFor(corpus, idCol, vecCol, dim, subspaces,
+        codebookK, iters)
+      val sub = dim / subspaces
+      val v = col(vecCol).cast("array<double>")
+      val cells = assignToCentroids(corpus, idCol, vecCol, cents)
+        .select(col("id").as("neighbor_id"), col("cid").as("cell"))
+      val melted = pqMeltCodes(
+        corpus.select(col(idCol).as("neighbor_id") +: pqCodeCols(cbs, v, sub): _*)
+          .join(cells, "neighbor_id"),
+        subspaces, Seq("cell"))
+      graft.sources.BucketedLake.writeBucketedTable(spark, idx.codes,
+        melted, "cell", buckets)
+      graft.sources.BucketedLake.writeBucketedTable(spark, idx.centroids,
+        centroidsDf(spark, cents), "cid", 1)
+      graft.sources.BucketedLake.writeBucketedTable(spark, idx.codebooks,
+        pqCodebooksDf(spark, cbs), "sub", 1)
+      graft.sources.BucketedLake.writeBucketedTable(spark, idx.vectors,
+        corpus.select(col(idCol).as("id"), v.as("v")), "id", buckets)
+    }
+    idx.copy(corpusRows = spark.table(idx.codes).count() / subspaces)
+  }
+
+  /** [[ivfPqSearch]] against a standing [[IvfPqIndex]] — identical results
+    * when the index was built from the same corpus (spec-pinned; the s10
+    * oracle grades this path verbatim), but the per-query-batch plan
+    * touches only the broadcast artifact tables, the probed cells' CODE
+    * rows (read through the bucket layout, no index-side exchange), and a
+    * coarseM-bounded slice of the vector table.
+    */
+  def ivfPqSearchIndexed(queries: DataFrame, index: IvfPqIndex,
+                         idCol: String, vecCol: String, k: Int,
+                         nProbe: Int = 2, coarseM: Int = 20): DataFrame = {
+    val spark = queries.sparkSession
+    graft.functions.NativeFunctions.register(spark)
+    val sub = index.dim / index.subspaces
+    val v = col(vecCol).cast("array<double>")
+    val cent = broadcast(spark.table(index.centroids)
+      .withColumn("c_norm", l2norm(col("cvec"))))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("c_sim").desc, col("cid"))
+    val probes = queries.select(col(idCol).as("query_id"), v.as("__v"))
+      .withColumn("v_norm", l2norm(col("__v")))
+      .crossJoin(cent)
+      .withColumn("c_sim", dot(col("__v"), col("cvec")) / (col("v_norm") * col("c_norm")))
+      .withColumn("crn", row_number().over(w))
+      .filter(col("crn") <= nProbe)
+      .select(col("query_id"), col("cid").as("cell"))
+    val tables = queries.select(col(idCol).as("query_id"), v.as("qv"))
+      .crossJoin(broadcast(spark.table(index.codebooks)))
+      .select(col("query_id"), col("sub"), col("cid"),
+        dot(slice(col("qv"), (col("sub") * sub + 1).cast("int"), lit(sub)),
+          col("cvec")).as("tdot"))
+    val cands = spark.table(index.codes)
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .join(broadcast(tables), Seq("query_id", "sub", "cid"))
+    val corpusTbl = spark.table(index.vectors)
+      .select(col("id").as(idCol), col("v").as(vecCol))
+    pqRankTail(cands, queries, corpusTbl, idCol, v, coarseM, k)
+  }
+
   /** Two-stage ANN: LSH-bucketed candidates → int8-quantized integer-dot
     * COARSE score keeps the top `coarseM` per query → exact-cosine re-rank of
     * only those survivors emits the top `k` — the production retrieval shape

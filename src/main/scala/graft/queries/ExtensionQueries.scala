@@ -1613,6 +1613,22 @@ object ExtensionQueries {
         .orderBy("query_id", "rank")
     },
 
+    // Standing IVF-PQ index (s19): the s17 treatment for the compressed
+    // composite — coarse quantizer, PQ codebooks, the melted code rows
+    // (bucketed by cell) and the re-rank vector table all persisted; a
+    // query batch ADC-scans stored codes for its probed cells and
+    // re-ranks from the stored vectors, paying neither training nor
+    // corpus encoding per call. Result-identical to s10 by construction,
+    // so the s10 oracle grades this path verbatim.
+    "s19_ivfpq_indexed" -> of(s"WITH $ivfPqCtes\n$ivfPqSelect") { (s, d) =>
+      val e = t(s, d, "embeddings")
+      val idx = Similarity.writeIvfPqIndex(e, "vec_id", "embedding",
+        "ivfpq_idx_" + graft.sources.BucketedLake.layoutSuffix(d + "#ivfpq", 16))
+      Similarity.ivfPqSearchIndexed(e.filter(col("vec_id") < 10), idx,
+        "vec_id", "embedding", k = 5, nProbe = 2, coarseM = 20)
+        .orderBy("query_id", "rank")
+    },
+
     // ANN recall@k (s12): the index-quality gate — fraction of the exact
     // top-5 set (s01's ground truth, same SQL) the trained-IVF search
     // (s04's walk, same CTEs) recovers per query. Evaluation is two

@@ -305,6 +305,19 @@ class ExtensionSpec extends SparkSpec {
     assert(again === idx)
   }
 
+  test("s19 standing IVF-PQ index serves the direct composite search bit-for-bit") {
+    val q = embs.filter(col("vec_id") < 10)
+    val idx = Similarity.writeIvfPqIndex(embs, "vec_id", "embedding", "ivfpq_spec")
+    val indexed = Similarity.ivfPqSearchIndexed(q, idx, "vec_id", "embedding",
+      k = 5, nProbe = 2, coarseM = 20)
+    val direct = Similarity.ivfPqSearch(q, embs, "vec_id", "embedding",
+      k = 5, nProbe = 2, coarseM = 20)
+    assert(indexed.orderBy("query_id", "rank").collect().toSeq ===
+      direct.orderBy("query_id", "rank").collect().toSeq)
+    val again = Similarity.writeIvfPqIndex(embs, "vec_id", "embedding", "ivfpq_spec")
+    assert(again === idx)
+  }
+
   test("s18 IVF append: appended cells == frozen-quantizer assignment of the union") {
     val half1 = embs.filter(pmod(col("vec_id"), lit(2)) === 0)
     val half2 = embs.filter(pmod(col("vec_id"), lit(2)) =!= 0)

@@ -491,6 +491,20 @@ class PlanSpec extends SparkSpec {
       s"probe path must read stored assignments, not recompute:\n${plan.take(1500)}")
   }
 
+  test("s19: code table reads bucketed; no code recompute on the probe path") {
+    val plan = physicalPlan("s19_ivfpq_indexed")
+    assert(plan.contains("Bucketed: true"), plan.take(1200))
+    val lines = plan.linesIterator.toVector
+    val scanIdx = lines.indexWhere(l => l.contains("ivfpq_idx_") && l.contains("_codes_"))
+    assert(scanIdx > 0, s"expected a scan of the code table:\n${plan.take(1200)}")
+    val joinIdx = lines.lastIndexWhere(_.contains("Join"), scanIdx)
+    assert(joinIdx >= 0)
+    val branch = lines.slice(joinIdx + 1, scanIdx + 1)
+      .filterNot(_.contains("BroadcastExchange"))
+    assert(!branch.exists(_.contains("Exchange")),
+      s"code-table side must not exchange:\n${branch.mkString("\n")}")
+  }
+
   test("DEBUG flag logs a bounded sample to stderr (honored, unlike reference)") {
     val err = new java.io.ByteArrayOutputStream()
     Console.withErr(new java.io.PrintStream(err)) {
