@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -103,6 +103,21 @@ object Merges {
     deltaA.join(baseB, keys)
       .unionByName(baseA.join(deltaB, keys))
       .unionByName(deltaA.join(deltaB, keys))
+
+  /** Point-in-time lookup against an SCD2 history ([[scd2]]'s output
+    * shape: key cols + `valid_from` + nullable `valid_to`, half-open
+    * intervals): each fact row joins the dimension VERSION valid at its
+    * own timestamp. The validity test runs as a FILTER after a plain
+    * equi-join on the key — versions per key are few by construction, so
+    * this never needs a range join; non-overlapping intervals guarantee
+    * at most one match per fact, and facts predating every version drop
+    * (inner semantics — the as-of-with-history contract).
+    */
+  def pointInTimeLookup(facts: DataFrame, history: DataFrame,
+                        keys: Seq[String], ts: Column): DataFrame =
+    facts.join(history, keys)
+      .filter(col("valid_from") <= ts &&
+        (col("valid_to").isNull || ts < col("valid_to")))
 
   def scd2(current: DataFrame, updates: DataFrame, keyCol: String,
            tsCol: String): DataFrame = {

@@ -357,6 +357,21 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out.length === 4)
   }
 
+  test("scd2 point-in-time lookup: one version per fact, predating facts drop") {
+    import spark.implicits._
+    val cur = Seq((1L, 10.0, 100L), (2L, 20.0, 100L)).toDF("k", "v", "valid_from")
+    val upd = Seq((2L, 25.0, 200L)).toDF("k", "v", "ts")
+    val hist = graft.operators.Merges.scd2(cur, upd, "k", "ts")
+    val facts = Seq((1L, "a", 150L), (2L, "b", 150L), (2L, "c", 200L),
+      (2L, "d", 250L), (1L, "early", 50L)).toDF("k", "fid", "ts")
+    val out = graft.operators.Merges
+      .pointInTimeLookup(facts, hist, Seq("k"), col("ts"))
+      .select("fid", "v").collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // boundary fact "c" (ts == update ts) sees the NEW version (half-open);
+    // "early" predates every version and drops; everyone matches once
+    assert(out === Map("a" -> 10.0, "b" -> 20.0, "c" -> 25.0, "d" -> 25.0))
+  }
+
   test("scd2 aborts loudly on a batch with two updates for one key") {
     import spark.implicits._
     val cur = Seq((1L, 10.0, 100L)).toDF("k", "v", "valid_from")
