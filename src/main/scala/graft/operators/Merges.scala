@@ -119,6 +119,34 @@ object Merges {
       .filter(col("valid_from") <= ts &&
         (col("valid_to").isNull || ts < col("valid_to")))
 
+  /** CDC apply: fold an ordered changelog of upserts and deletes into a
+    * base table — the MERGE a lakehouse sink runs per micro-batch,
+    * expressed as plain operators. `changes` carries the key, an `op`
+    * column ('U' upsert with the row's new values, 'D' delete) and
+    * `tsCol`; only the LATEST change per key applies (earlier ones are
+    * superseded — ties break on op, 'U' over 'D', making the fold total
+    * and deterministic). Result: base rows with no change survive
+    * untouched, latest-'U' keys take the change row's values (insert or
+    * overwrite), latest-'D' keys drop.
+    *
+    * Plan shape: one per-key window over the CHANGES (changelogs are
+    * delta-sized), one anti join + one union against the base — the base
+    * table is never rewritten beyond the touched keys' rows, and nothing
+    * is driver-side.
+    */
+  def applyCdc(base: DataFrame, changes: DataFrame, keyCol: String,
+               tsCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol).desc, col("op").desc)
+    val latest = changes
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    val untouched = base.join(latest.select(keyCol), Seq(keyCol), "left_anti")
+    val upserts = latest.filter(col("op") === "U")
+      .select(base.columns.map(col): _*)
+    untouched.unionByName(upserts)
+  }
+
   def scd2(current: DataFrame, updates: DataFrame, keyCol: String,
            tsCol: String): DataFrame = {
     val valueCols = current.columns.filterNot(_ == "valid_from").toSeq

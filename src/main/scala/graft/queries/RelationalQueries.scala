@@ -837,6 +837,61 @@ object RelationalQueries {
         .orderBy("o_orderkey", "l_linenumber", "sd", "valid_from")
     },
 
+    // CDC apply (q51): fold an ordered insert/update/delete changelog into
+    // a base table — the per-micro-batch MERGE of a lakehouse sink. The
+    // changelog carries two generations of changes for updated keys plus
+    // brand-new insert keys, so latest-wins supersession, overwrite,
+    // insert and delete all exercise; ties at one timestamp break 'U'
+    // over 'D' (total, deterministic). One window over the delta-sized
+    // changelog + one anti join + one union — the base never rewrites
+    // beyond touched keys.
+    "q51_cdc_apply" -> of(
+      """WITH o AS (SELECT * FROM orders WHERE o_orderkey < 3000),
+        |base AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM o),
+        |ch AS (
+        |  SELECT o_orderkey, 'U' AS op, o_orderstatus,
+        |    o_totalprice * 1.05 AS o_totalprice,
+        |    CAST(o_orderdate AS TIMESTAMP) + INTERVAL 10 DAY AS ts
+        |  FROM o WHERE o_orderkey % 5 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 15 = 0 THEN 'D' ELSE 'U' END,
+        |    o_orderstatus, o_totalprice * 1.10,
+        |    CAST(o_orderdate AS TIMESTAMP) + INTERVAL 20 DAY
+        |  FROM o WHERE o_orderkey % 5 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 1000000, 'U', 'N', o_totalprice,
+        |    CAST(o_orderdate AS TIMESTAMP) + INTERVAL 5 DAY
+        |  FROM o WHERE o_orderkey % 7 = 0),
+        |latest AS (SELECT * FROM (
+        |  SELECT ch.*, ROW_NUMBER() OVER (PARTITION BY o_orderkey
+        |    ORDER BY ts DESC, op DESC) AS rn FROM ch) x WHERE rn = 1)
+        |SELECT b.o_orderkey, b.o_orderstatus, b.o_totalprice FROM base b
+        |WHERE NOT EXISTS (SELECT 1 FROM latest l WHERE l.o_orderkey = b.o_orderkey)
+        |UNION ALL
+        |SELECT o_orderkey, o_orderstatus, o_totalprice FROM latest WHERE op = 'U'
+        |ORDER BY o_orderkey""") { (s, d) =>
+      val o = t(s, d, "orders").filter(col("o_orderkey") < 3000)
+      val base = o.select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val c1 = o.filter(pmod(col("o_orderkey"), lit(5)) === 0)
+        .select(col("o_orderkey"), lit("U").as("op"), col("o_orderstatus"),
+          (col("o_totalprice") * 1.05).as("o_totalprice"),
+          (col("o_orderdate").cast("timestamp") + expr("INTERVAL 10 DAYS")).as("ts"))
+      val c2 = o.filter(pmod(col("o_orderkey"), lit(5)) === 0)
+        .select(col("o_orderkey"),
+          when(pmod(col("o_orderkey"), lit(15)) === 0, "D").otherwise("U").as("op"),
+          col("o_orderstatus"), (col("o_totalprice") * 1.10).as("o_totalprice"),
+          (col("o_orderdate").cast("timestamp") + expr("INTERVAL 20 DAYS")).as("ts"))
+      val c3 = o.filter(pmod(col("o_orderkey"), lit(7)) === 0)
+        .select((col("o_orderkey") + 1000000L).as("o_orderkey"),
+          lit("U").as("op"), lit("N").as("o_orderstatus"),
+          col("o_totalprice"),
+          (col("o_orderdate").cast("timestamp") + expr("INTERVAL 5 DAYS")).as("ts"))
+      graft.operators.Merges.applyCdc(base,
+        c1.unionByName(c2).unionByName(c3), "o_orderkey", "ts")
+        .orderBy("o_orderkey")
+    },
+
     // Lake-layout Z-order (Morton) key: interleaved bits of two pruning
     // columns — sorting files by z gives min/max stats locality in BOTH
     // dimensions (the OPTIMIZE ZORDER technique, here as a pure codegen'd

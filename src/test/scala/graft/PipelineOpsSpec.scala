@@ -372,6 +372,20 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out === Map("a" -> 10.0, "b" -> 20.0, "c" -> 25.0, "d" -> 25.0))
   }
 
+  test("cdc apply: latest change wins, deletes drop, inserts land, U beats D on ties") {
+    import spark.implicits._
+    val base = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("k", "v")
+    val changes = Seq(
+      (2L, "U", 21.0, 100L), (2L, "U", 22.0, 200L), // supersession: 22 wins
+      (3L, "U", 31.0, 100L), (3L, "D", 0.0, 200L),  // later delete drops 3
+      (4L, "U", 40.0, 100L),                        // insert
+      (5L, "U", 50.0, 100L), (5L, "D", 0.0, 100L)   // tie: U over D
+    ).toDF("k", "op", "v", "ts")
+    val out = graft.operators.Merges.applyCdc(base, changes, "k", "ts")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out === Map(1L -> 10.0, 2L -> 22.0, 4L -> 40.0, 5L -> 50.0))
+  }
+
   test("scd2 aborts loudly on a batch with two updates for one key") {
     import spark.implicits._
     val cur = Seq((1L, 10.0, 100L)).toDF("k", "v", "valid_from")
