@@ -1536,6 +1536,45 @@ object ExtensionQueries {
         .orderBy("query_id", "rank")
     },
 
+    // Streaming CDC apply (e29): the q51 changelog ARRIVES as a stream —
+    // generation 1 and generation 2 land in separate micro-batches, so
+    // latest-wins supersession crosses the batch boundary through the
+    // state store. One complete-mode max_by aggregate holds the latest
+    // change per TOUCHED key (state ∝ changed keys — the CDC-state shape;
+    // a production stream bounds it with a watermarked window or periodic
+    // compaction into the base), and the serve step merges that state
+    // with the base table exactly as the batch apply does. Graded against
+    // the same from-scratch SQL as q51, so both maintenance paths must
+    // agree.
+    "e29_stream_cdc_apply" -> of(RelationalQueries.cdcOracleSql) { (s, d) =>
+      import graft.streaming.EventsStream
+      val (base, c1, c23) = RelationalQueries.cdcParts(s, d)
+      val root = java.nio.file.Files.createTempDirectory("graft-cdc-feed-")
+      def dump(df: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit = {
+        val p = s"$root/$name"
+        df.coalesce(1).write.parquet(p)
+        new java.io.File(p).listFiles().foreach(_.setLastModified(mtime))
+      }
+      val t0 = 1600000000000L // fixed epoch base; only relative order matters
+      dump(c1, "batch-0", t0)
+      dump(c23, "batch-1", t0 + 60000)
+      val schema = s.read.parquet(s"$root/batch-0").schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$root/batch-*")
+      val latest = stream.groupBy("o_orderkey")
+        .agg(max_by(struct(col("op"), col("o_orderstatus"), col("o_totalprice")),
+          struct(col("ts"), col("op"))).as("c"))
+      val sinkName = s"stream_cdc_${sinkCounter.incrementAndGet()}"
+      EventsStream.runAvailableNow(latest, sinkName, outputMode = "complete")
+      val st = s.table(sinkName).select(col("o_orderkey"),
+        col("c.op").as("op"), col("c.o_orderstatus").as("o_orderstatus"),
+        col("c.o_totalprice").as("o_totalprice"))
+      base.join(st.select("o_orderkey"), Seq("o_orderkey"), "left_anti")
+        .unionByName(st.filter(col("op") === "U")
+          .select("o_orderkey", "o_orderstatus", "o_totalprice"))
+        .orderBy("o_orderkey")
+    },
+
     // Standing IVF index (s17): the d16 amortized-serving pattern applied
     // to retrieval — quantizer + cid-bucketed inverted file persisted as
     // warehouse tables; each query batch ranks the broadcast centroid

@@ -20,6 +20,67 @@ import graft.queries.QueryDef.of
   */
 object RelationalQueries {
 
+  /** The CDC fixture shared by q51 (batch apply) and e29 (streaming
+    * apply): base = orders < 3000 projected; changelog = two generations
+    * for every %5 key (gen-2 supersedes gen-1; %15 keys delete) plus
+    * brand-new insert keys — so supersession, overwrite, delete and
+    * insert all exercise. Returned split (base, gen1, gen2+inserts) so
+    * the streaming twin can feed the generations as separate
+    * micro-batches and supersession crosses the batch boundary.
+    */
+  private[queries] def cdcParts(s: org.apache.spark.sql.SparkSession, d: String):
+      (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame) = {
+    val o = t(s, d, "orders").filter(col("o_orderkey") < 3000)
+    val base = o.select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val c1 = o.filter(pmod(col("o_orderkey"), lit(5)) === 0)
+      .select(col("o_orderkey"), lit("U").as("op"), col("o_orderstatus"),
+        (col("o_totalprice") * 1.05).as("o_totalprice"),
+        (col("o_orderdate").cast("timestamp") + expr("INTERVAL 10 DAYS")).as("ts"))
+    val c2 = o.filter(pmod(col("o_orderkey"), lit(5)) === 0)
+      .select(col("o_orderkey"),
+        when(pmod(col("o_orderkey"), lit(15)) === 0, "D").otherwise("U").as("op"),
+        col("o_orderstatus"), (col("o_totalprice") * 1.10).as("o_totalprice"),
+        (col("o_orderdate").cast("timestamp") + expr("INTERVAL 20 DAYS")).as("ts"))
+    val c3 = o.filter(pmod(col("o_orderkey"), lit(7)) === 0)
+      .select((col("o_orderkey") + 1000000L).as("o_orderkey"),
+        lit("U").as("op"), lit("N").as("o_orderstatus"),
+        col("o_totalprice"),
+        (col("o_orderdate").cast("timestamp") + expr("INTERVAL 5 DAYS")).as("ts"))
+    (base, c1, c2.unionByName(c3))
+  }
+
+  /** The q51/e29 shared oracle: from-scratch changelog + latest-wins +
+    * apply, so the batch and streaming maintenance paths grade against
+    * one SQL definition (the hllEventsSql contract).
+    */
+  private[queries] val cdcOracleSql =
+    """WITH o AS (SELECT * FROM orders WHERE o_orderkey < 3000),
+      |base AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM o),
+      |ch AS (
+      |  SELECT o_orderkey, 'U' AS op, o_orderstatus,
+      |    o_totalprice * 1.05 AS o_totalprice,
+      |    CAST(o_orderdate AS TIMESTAMP) + INTERVAL 10 DAY AS ts
+      |  FROM o WHERE o_orderkey % 5 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey,
+      |    CASE WHEN o_orderkey % 15 = 0 THEN 'D' ELSE 'U' END,
+      |    o_orderstatus, o_totalprice * 1.10,
+      |    CAST(o_orderdate AS TIMESTAMP) + INTERVAL 20 DAY
+      |  FROM o WHERE o_orderkey % 5 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey + 1000000, 'U', 'N', o_totalprice,
+      |    CAST(o_orderdate AS TIMESTAMP) + INTERVAL 5 DAY
+      |  FROM o WHERE o_orderkey % 7 = 0),
+      |latest AS (SELECT * FROM (
+      |  SELECT ch.*, ROW_NUMBER() OVER (PARTITION BY o_orderkey
+      |    ORDER BY ts DESC, op DESC) AS rn FROM ch) x WHERE rn = 1)
+      |SELECT b.o_orderkey, b.o_orderstatus, b.o_totalprice FROM base b
+      |WHERE NOT EXISTS (SELECT 1 FROM latest l WHERE l.o_orderkey = b.o_orderkey)
+      |UNION ALL
+      |SELECT o_orderkey, o_orderstatus, o_totalprice FROM latest WHERE op = 'U'
+      |ORDER BY o_orderkey""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
 
     // §2.5 aggregation — TPC-H Q1-shaped pricing summary.
@@ -845,50 +906,10 @@ object RelationalQueries {
     // over 'D' (total, deterministic). One window over the delta-sized
     // changelog + one anti join + one union — the base never rewrites
     // beyond touched keys.
-    "q51_cdc_apply" -> of(
-      """WITH o AS (SELECT * FROM orders WHERE o_orderkey < 3000),
-        |base AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM o),
-        |ch AS (
-        |  SELECT o_orderkey, 'U' AS op, o_orderstatus,
-        |    o_totalprice * 1.05 AS o_totalprice,
-        |    CAST(o_orderdate AS TIMESTAMP) + INTERVAL 10 DAY AS ts
-        |  FROM o WHERE o_orderkey % 5 = 0
-        |  UNION ALL
-        |  SELECT o_orderkey,
-        |    CASE WHEN o_orderkey % 15 = 0 THEN 'D' ELSE 'U' END,
-        |    o_orderstatus, o_totalprice * 1.10,
-        |    CAST(o_orderdate AS TIMESTAMP) + INTERVAL 20 DAY
-        |  FROM o WHERE o_orderkey % 5 = 0
-        |  UNION ALL
-        |  SELECT o_orderkey + 1000000, 'U', 'N', o_totalprice,
-        |    CAST(o_orderdate AS TIMESTAMP) + INTERVAL 5 DAY
-        |  FROM o WHERE o_orderkey % 7 = 0),
-        |latest AS (SELECT * FROM (
-        |  SELECT ch.*, ROW_NUMBER() OVER (PARTITION BY o_orderkey
-        |    ORDER BY ts DESC, op DESC) AS rn FROM ch) x WHERE rn = 1)
-        |SELECT b.o_orderkey, b.o_orderstatus, b.o_totalprice FROM base b
-        |WHERE NOT EXISTS (SELECT 1 FROM latest l WHERE l.o_orderkey = b.o_orderkey)
-        |UNION ALL
-        |SELECT o_orderkey, o_orderstatus, o_totalprice FROM latest WHERE op = 'U'
-        |ORDER BY o_orderkey""") { (s, d) =>
-      val o = t(s, d, "orders").filter(col("o_orderkey") < 3000)
-      val base = o.select("o_orderkey", "o_orderstatus", "o_totalprice")
-      val c1 = o.filter(pmod(col("o_orderkey"), lit(5)) === 0)
-        .select(col("o_orderkey"), lit("U").as("op"), col("o_orderstatus"),
-          (col("o_totalprice") * 1.05).as("o_totalprice"),
-          (col("o_orderdate").cast("timestamp") + expr("INTERVAL 10 DAYS")).as("ts"))
-      val c2 = o.filter(pmod(col("o_orderkey"), lit(5)) === 0)
-        .select(col("o_orderkey"),
-          when(pmod(col("o_orderkey"), lit(15)) === 0, "D").otherwise("U").as("op"),
-          col("o_orderstatus"), (col("o_totalprice") * 1.10).as("o_totalprice"),
-          (col("o_orderdate").cast("timestamp") + expr("INTERVAL 20 DAYS")).as("ts"))
-      val c3 = o.filter(pmod(col("o_orderkey"), lit(7)) === 0)
-        .select((col("o_orderkey") + 1000000L).as("o_orderkey"),
-          lit("U").as("op"), lit("N").as("o_orderstatus"),
-          col("o_totalprice"),
-          (col("o_orderdate").cast("timestamp") + expr("INTERVAL 5 DAYS")).as("ts"))
-      graft.operators.Merges.applyCdc(base,
-        c1.unionByName(c2).unionByName(c3), "o_orderkey", "ts")
+    "q51_cdc_apply" -> of(cdcOracleSql) { (s, d) =>
+      val (base, c1, c23) = cdcParts(s, d)
+      graft.operators.Merges.applyCdc(base, c1.unionByName(c23),
+        "o_orderkey", "ts")
         .orderBy("o_orderkey")
     },
 
