@@ -1536,6 +1536,31 @@ object ExtensionQueries {
         .orderBy("query_id", "rank")
     },
 
+    // Streaming point-in-time enrichment (e30): the fact rows ARRIVE as a
+    // stream and each joins the SCD2 dimension version valid at its own
+    // timestamp — stream-static equi-join + validity filter, fully
+    // STATELESS (no watermark, no state store): versioned-dimension
+    // enrichment rides the scan, which is why it scales to any fact rate.
+    // Graded against the same from-scratch SQL as q50.
+    "e30_stream_pit_enrich" -> of(RelationalQueries.pitOracleSql) { (s, d) =>
+      import graft.streaming.EventsStream
+      val hist = RelationalQueries.pitHistory(s, d)
+      val liSchema = s.read
+        .option("pathGlobFilter", "lineitem.parquet").parquet(d).schema
+      val liStream = s.readStream.schema(liSchema)
+        .option("pathGlobFilter", "lineitem.parquet").parquet(d)
+        .filter(col("l_orderkey") < 2000)
+        .select(col("l_orderkey").as("o_orderkey"), col("l_linenumber"),
+          col("l_shipdate").cast("timestamp").as("sd"))
+      val joined = graft.operators.Merges
+        .pointInTimeLookup(liStream, hist, Seq("o_orderkey"), col("sd"))
+        .select(col("o_orderkey"), col("l_linenumber"), col("sd"),
+          col("o_totalprice").as("price_at_ship"), col("valid_from"))
+      val sinkName = s"stream_pit_${sinkCounter.incrementAndGet()}"
+      EventsStream.runAvailableNow(joined, sinkName)
+      s.table(sinkName).orderBy("o_orderkey", "l_linenumber", "sd", "valid_from")
+    },
+
     // Streaming CDC apply (e29): the q51 changelog ARRIVES as a stream —
     // generation 1 and generation 2 land in separate micro-batches, so
     // latest-wins supersession crosses the batch boundary through the

@@ -81,6 +81,55 @@ object RelationalQueries {
       |SELECT o_orderkey, o_orderstatus, o_totalprice FROM latest WHERE op = 'U'
       |ORDER BY o_orderkey""".stripMargin
 
+  /** The q50/e30 shared SCD2 history (orders < 2000, %10 keys updated at
+    * +30 days) and PIT serve tail, so the batch lookup and the streaming
+    * enrichment grade against one SQL definition.
+    */
+  private[queries] def pitHistory(s: org.apache.spark.sql.SparkSession,
+                                  d: String): org.apache.spark.sql.DataFrame = {
+    val orders = t(s, d, "orders").filter(col("o_orderkey") < 2000)
+    val cur = orders.select(col("o_orderkey"), col("o_totalprice"),
+      col("o_orderdate").cast("timestamp").as("valid_from"))
+    val upd = orders.filter(pmod(col("o_orderkey"), lit(10)) === 0)
+      .select(col("o_orderkey"), (col("o_totalprice") * 1.1).as("o_totalprice"),
+        (col("o_orderdate").cast("timestamp") + expr("INTERVAL 30 DAYS")).as("uts"))
+    graft.operators.Merges.scd2(cur, upd, "o_orderkey", "uts")
+  }
+
+  private[queries] def pitServe(li: org.apache.spark.sql.DataFrame,
+                                hist: org.apache.spark.sql.DataFrame):
+      org.apache.spark.sql.DataFrame =
+    graft.operators.Merges.pointInTimeLookup(li, hist, Seq("o_orderkey"), col("sd"))
+      .select(col("o_orderkey"), col("l_linenumber"), col("sd"),
+        col("o_totalprice").as("price_at_ship"), col("valid_from"))
+      .orderBy("o_orderkey", "l_linenumber", "sd", "valid_from")
+
+  private[queries] val pitOracleSql =
+    """WITH cur AS (
+      |  SELECT o_orderkey, o_totalprice, CAST(o_orderdate AS TIMESTAMP) AS valid_from
+      |  FROM orders WHERE o_orderkey < 2000),
+      |upd AS (
+      |  SELECT o_orderkey, o_totalprice * 1.1 AS o_totalprice,
+      |    CAST(o_orderdate AS TIMESTAMP) + INTERVAL 30 DAY AS uts
+      |  FROM orders WHERE o_orderkey < 2000 AND o_orderkey % 10 = 0),
+      |hist AS (
+      |  SELECT c.o_orderkey, c.o_totalprice, c.valid_from, u.uts AS valid_to
+      |  FROM cur c JOIN upd u USING (o_orderkey)
+      |  UNION ALL
+      |  SELECT c.o_orderkey, c.o_totalprice, c.valid_from, NULL
+      |  FROM cur c WHERE c.o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+      |  UNION ALL
+      |  SELECT o_orderkey, o_totalprice, uts AS valid_from, NULL FROM upd),
+      |li AS (
+      |  SELECT l_orderkey AS o_orderkey, l_linenumber,
+      |    CAST(l_shipdate AS TIMESTAMP) AS sd
+      |  FROM lineitem WHERE l_orderkey < 2000)
+      |SELECT li.o_orderkey, li.l_linenumber, li.sd,
+      |  h.o_totalprice AS price_at_ship, h.valid_from
+      |FROM li JOIN hist h USING (o_orderkey)
+      |WHERE h.valid_from <= li.sd AND (h.valid_to IS NULL OR li.sd < h.valid_to)
+      |ORDER BY o_orderkey, l_linenumber, sd, valid_from""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
 
     // §2.5 aggregation — TPC-H Q1-shaped pricing summary.
@@ -857,45 +906,11 @@ object RelationalQueries {
     // by the validity filter — versions per key are few, so this is a
     // plain hash join, never a range join; facts whose ts precede every
     // version drop (inner semantics, the as-of-with-history contract).
-    "q50_scd2_pit" -> of(
-      """WITH cur AS (
-        |  SELECT o_orderkey, o_totalprice, CAST(o_orderdate AS TIMESTAMP) AS valid_from
-        |  FROM orders WHERE o_orderkey < 2000),
-        |upd AS (
-        |  SELECT o_orderkey, o_totalprice * 1.1 AS o_totalprice,
-        |    CAST(o_orderdate AS TIMESTAMP) + INTERVAL 30 DAY AS uts
-        |  FROM orders WHERE o_orderkey < 2000 AND o_orderkey % 10 = 0),
-        |hist AS (
-        |  SELECT c.o_orderkey, c.o_totalprice, c.valid_from, u.uts AS valid_to
-        |  FROM cur c JOIN upd u USING (o_orderkey)
-        |  UNION ALL
-        |  SELECT c.o_orderkey, c.o_totalprice, c.valid_from, NULL
-        |  FROM cur c WHERE c.o_orderkey NOT IN (SELECT o_orderkey FROM upd)
-        |  UNION ALL
-        |  SELECT o_orderkey, o_totalprice, uts AS valid_from, NULL FROM upd),
-        |li AS (
-        |  SELECT l_orderkey AS o_orderkey, l_linenumber,
-        |    CAST(l_shipdate AS TIMESTAMP) AS sd
-        |  FROM lineitem WHERE l_orderkey < 2000)
-        |SELECT li.o_orderkey, li.l_linenumber, li.sd,
-        |  h.o_totalprice AS price_at_ship, h.valid_from
-        |FROM li JOIN hist h USING (o_orderkey)
-        |WHERE h.valid_from <= li.sd AND (h.valid_to IS NULL OR li.sd < h.valid_to)
-        |ORDER BY o_orderkey, l_linenumber, sd, valid_from""") { (s, d) =>
-      val orders = t(s, d, "orders").filter(col("o_orderkey") < 2000)
-      val cur = orders.select(col("o_orderkey"), col("o_totalprice"),
-        col("o_orderdate").cast("timestamp").as("valid_from"))
-      val upd = orders.filter(pmod(col("o_orderkey"), lit(10)) === 0)
-        .select(col("o_orderkey"), (col("o_totalprice") * 1.1).as("o_totalprice"),
-          (col("o_orderdate").cast("timestamp") + expr("INTERVAL 30 DAYS")).as("uts"))
-      val hist = graft.operators.Merges.scd2(cur, upd, "o_orderkey", "uts")
+    "q50_scd2_pit" -> of(pitOracleSql) { (s, d) =>
       val li = t(s, d, "lineitem").filter(col("l_orderkey") < 2000)
         .select(col("l_orderkey").as("o_orderkey"), col("l_linenumber"),
           col("l_shipdate").cast("timestamp").as("sd"))
-      graft.operators.Merges.pointInTimeLookup(li, hist, Seq("o_orderkey"), col("sd"))
-        .select(col("o_orderkey"), col("l_linenumber"), col("sd"),
-          col("o_totalprice").as("price_at_ship"), col("valid_from"))
-        .orderBy("o_orderkey", "l_linenumber", "sd", "valid_from")
+      pitServe(li, pitHistory(s, d))
     },
 
     // CDC apply (q51): fold an ordered insert/update/delete changelog into
