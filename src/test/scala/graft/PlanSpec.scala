@@ -505,6 +505,22 @@ class PlanSpec extends SparkSpec {
       s"code-table side must not exchange:\n${branch.mkString("\n")}")
   }
 
+  test("q49/q50: IVM delta terms and the PIT lookup are all equi-joins — never nested-loop") {
+    for (q <- Seq("q49_incremental_join", "q50_scd2_pit")) {
+      val plan = physicalPlan(q)
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"$q must plan hash equi-joins only:\n${plan.take(800)}")
+    }
+  }
+
+  test("q51: split predicates push to the order scans; the base is never re-scanned wide") {
+    val plan = physicalPlan("q51_cdc_apply")
+    assert(plan.contains("LessThan(o_orderkey"),
+      s"the < 3000 bound must reach the parquet scan:\n${plan.take(1200)}")
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+  }
+
   test("DEBUG flag logs a bounded sample to stderr (honored, unlike reference)") {
     val err = new java.io.ByteArrayOutputStream()
     Console.withErr(new java.io.PrintStream(err)) {
