@@ -159,6 +159,40 @@ object Multimodal {
       .select("id_a", "id_b", "inter", "sz_a", "sz_b", "jaccard")
   }
 
+  /** Incremental media ingest screen — the d11 daily-ingest shape for the
+    * chunk-similarity family: FRESH blobs screen against the standing
+    * corpus (never against each other; intra-batch dups are
+    * [[chunkJaccardPairs]] on the batch alone), pairing where the Jaccard
+    * of distinct chunk-digest sets clears `threshold`. The digest is the
+    * probe key: candidates form only where a fresh chunk's digest already
+    * exists in the corpus, so per-ingest pair work is ∝ the fresh batch's
+    * digest hits, and only (id, 32-byte digest) rows shuffle. Corpus
+    * chunking recurs per run here — the standing bucketed digest index
+    * (the d12 layout) removes that exactly as it did for shingles.
+    * Returns (fresh_id, corpus_id, inter, sz_f, sz_c, jaccard).
+    */
+  def incrementalChunkPairs(fresh: DataFrame, corpus: DataFrame,
+                            threshold: Double = 0.5,
+                            chunkBytes: Int = 64): DataFrame = {
+    def digests(media: DataFrame, idAs: String) =
+      hexChunks(media, chunkBytes)
+        .select(col("doc_id").as(idAs),
+          sha2(unhex(col("chunk_hex")), 256).as("digest"))
+        .distinct()
+    val df = digests(fresh, "fresh_id")
+    val dc = digests(corpus, "corpus_id")
+    val szF = df.groupBy("fresh_id").agg(count(lit(1)).as("sz_f"))
+    val szC = dc.groupBy("corpus_id").agg(count(lit(1)).as("sz_c"))
+    df.join(dc, Seq("digest"))
+      .groupBy("fresh_id", "corpus_id").agg(count(lit(1)).as("inter"))
+      .join(szF, Seq("fresh_id"))
+      .join(szC, Seq("corpus_id"))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("sz_f") + col("sz_c") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("fresh_id", "corpus_id", "inter", "sz_f", "sz_c", "jaccard")
+  }
+
   /** Partition-batched feature extraction over the payload column. Runs as a
     * single narrow `mapPartitions` stage — no shuffle; the iterator shape is
     * what a vectorized codec batch would consume.

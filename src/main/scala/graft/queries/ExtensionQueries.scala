@@ -2810,6 +2810,35 @@ object ExtensionQueries {
         .orderBy("doc_id")
     },
 
+    // Incremental media ingest screen (m09): the d11 daily-ingest shape
+    // for the chunk-similarity family — a fresh blob batch (doc_id % 10 =
+    // 0) screens against the standing corpus (the rest) through the
+    // digest probe join; fresh-vs-corpus pairs only, never corpus
+    // self-pairs, per-ingest pair work ∝ the batch's digest hits. The
+    // oracle recomputes both sides' chunk sets, the probe join and the
+    // Jaccard from scratch over injective chunk_hex.
+    "m09_chunk_screen" -> of(
+      s"""WITH c AS ($hexChunkAllSql),
+        |d AS (SELECT DISTINCT doc_id, chunk_hex FROM c),
+        |df AS (SELECT doc_id AS fresh_id, chunk_hex FROM d WHERE doc_id % 10 = 0),
+        |dc AS (SELECT doc_id AS corpus_id, chunk_hex FROM d WHERE doc_id % 10 <> 0),
+        |szf AS (SELECT fresh_id, CAST(COUNT(*) AS BIGINT) AS sz_f FROM df GROUP BY 1),
+        |szc AS (SELECT corpus_id, CAST(COUNT(*) AS BIGINT) AS sz_c FROM dc GROUP BY 1),
+        |sh AS (SELECT df.fresh_id, dc.corpus_id, CAST(COUNT(*) AS BIGINT) AS inter
+        |  FROM df JOIN dc USING (chunk_hex) GROUP BY 1, 2)
+        |SELECT sh.fresh_id, sh.corpus_id, sh.inter, szf.sz_f, szc.sz_c,
+        |  CAST(sh.inter AS DOUBLE) / CAST(szf.sz_f + szc.sz_c - sh.inter AS DOUBLE) AS jaccard
+        |FROM sh JOIN szf USING (fresh_id) JOIN szc USING (corpus_id)
+        |WHERE CAST(sh.inter AS DOUBLE) / CAST(szf.sz_f + szc.sz_c - sh.inter AS DOUBLE) >= 0.5
+        |ORDER BY fresh_id, corpus_id""") { (s, d) =>
+      val media = graft.operators.Multimodal.asMediaTable(
+        t(s, d, "documents"), "doc_id", "text")
+      graft.operators.Multimodal.incrementalChunkPairs(
+        media.filter(pmod(col("doc_id"), lit(10)) === 0),
+        media.filter(pmod(col("doc_id"), lit(10)) =!= 0))
+        .orderBy("fresh_id", "corpus_id")
+    },
+
     // ---- event-stream shaping --------------------------------------------
 
     // Gap-based sessionization (30-minute inactivity threshold): lag + step
