@@ -174,23 +174,85 @@ object Multimodal {
   def incrementalChunkPairs(fresh: DataFrame, corpus: DataFrame,
                             threshold: Double = 0.5,
                             chunkBytes: Int = 64): DataFrame = {
-    def digests(media: DataFrame, idAs: String) =
-      hexChunks(media, chunkBytes)
-        .select(col("doc_id").as(idAs),
-          sha2(unhex(col("chunk_hex")), 256).as("digest"))
-        .distinct()
-    val df = digests(fresh, "fresh_id")
-    val dc = digests(corpus, "corpus_id")
-    val szF = df.groupBy("fresh_id").agg(count(lit(1)).as("sz_f"))
-    val szC = dc.groupBy("corpus_id").agg(count(lit(1)).as("sz_c"))
-    df.join(dc, Seq("digest"))
+    val dc = hexChunks(corpus, chunkBytes)
+      .select(col("doc_id").as("corpus_id"),
+        sha2(unhex(col("chunk_hex")), 256).as("digest"))
+      .distinct()
+    chunkScreen(freshDigestSet(fresh, chunkBytes), dc,
+      dc.groupBy("corpus_id").agg(count(lit(1)).as("sz_c")), threshold)
+  }
+
+  /** Standing chunk-digest index handle: corpus (digest, doc_id) rows
+    * bucketed+sorted on the digest (the probe key) and per-doc distinct
+    * chunk counts bucketed on the doc id — the d12 layout for the media
+    * family. Chunk size and bucket count are part of the layout contract
+    * (bake them into the caller's table naming).
+    */
+  final case class ChunkIndex(digests: String, sizes: String)
+
+  /** Materialize the standing chunk-digest index for `corpus` — write
+    * ONCE, screen every later ingest against the tables
+    * ([[incrementalChunkPairsIndexed]]), removing the per-run corpus
+    * chunking+digesting the direct screen pays (exactly what the shingle
+    * index did for the Jaccard family). Idempotent per (session, names).
+    */
+  def writeChunkIndex(corpus: DataFrame, index: ChunkIndex,
+                      chunkBytes: Int = 64, buckets: Int = 16): ChunkIndex = {
+    val spark = corpus.sparkSession
+    if (!(spark.catalog.tableExists(index.digests) &&
+        spark.catalog.tableExists(index.sizes))) {
+      val d = hexChunks(corpus, chunkBytes)
+        .select(col("doc_id"), sha2(unhex(col("chunk_hex")), 256).as("digest"))
+        .distinct().persist()
+      graft.sources.BucketedLake.writeBucketedTable(spark, index.digests,
+        d, "digest", buckets)
+      graft.sources.BucketedLake.writeBucketedTable(spark, index.sizes,
+        d.groupBy("doc_id").agg(count(lit(1)).as("sz_c")), "doc_id", buckets)
+      d.unpersist(blocking = false)
+    }
+    index
+  }
+
+  /** Shared screen tail: fresh digest set vs a corpus digest/size pair of
+    * frames (live or table-backed) — probe join on the digest, pair
+    * counts, Jaccard cut. Fresh-vs-corpus only by construction.
+    */
+  private def chunkScreen(freshDigests: DataFrame, corpusDigests: DataFrame,
+                          corpusSizes: DataFrame,
+                          threshold: Double): DataFrame = {
+    val szF = freshDigests.groupBy("fresh_id").agg(count(lit(1)).as("sz_f"))
+    freshDigests.join(corpusDigests, Seq("digest"))
       .groupBy("fresh_id", "corpus_id").agg(count(lit(1)).as("inter"))
       .join(szF, Seq("fresh_id"))
-      .join(szC, Seq("corpus_id"))
+      .join(corpusSizes, Seq("corpus_id"))
       .withColumn("jaccard", col("inter").cast("double") /
         (col("sz_f") + col("sz_c") - col("inter")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select("fresh_id", "corpus_id", "inter", "sz_f", "sz_c", "jaccard")
+  }
+
+  private def freshDigestSet(fresh: DataFrame, chunkBytes: Int): DataFrame =
+    hexChunks(fresh, chunkBytes)
+      .select(col("doc_id").as("fresh_id"),
+        sha2(unhex(col("chunk_hex")), 256).as("digest"))
+      .distinct()
+
+  /** [[incrementalChunkPairs]] against a standing [[ChunkIndex]] —
+    * identical results when the index was built from the same corpus
+    * (spec-pinned; the m09 oracle applies verbatim), but the per-ingest
+    * cost excludes the corpus chunking + digesting: only the FRESH batch
+    * chunks, and the probe join reads the corpus digest table through its
+    * bucket layout with no corpus-side Exchange (the d16 pattern,
+    * PlanSpec-pinned).
+    */
+  def incrementalChunkPairsIndexed(fresh: DataFrame, index: ChunkIndex,
+                                   threshold: Double = 0.5,
+                                   chunkBytes: Int = 64): DataFrame = {
+    val spark = fresh.sparkSession
+    chunkScreen(freshDigestSet(fresh, chunkBytes),
+      spark.table(index.digests).select(col("doc_id").as("corpus_id"), col("digest")),
+      spark.table(index.sizes).select(col("doc_id").as("corpus_id"), col("sz_c")),
+      threshold)
   }
 
   /** Partition-batched feature extraction over the payload column. Runs as a

@@ -240,6 +240,25 @@ object ExtensionQueries {
     */
   private val hexChunkAllSql = hexChunkSqlWhere("")
 
+  /** The m09/m10 shared oracle: from-scratch fresh-vs-corpus chunk screen
+    * at the doc_id % 10 split, so the direct and the standing-index
+    * maintenance paths grade against one SQL definition.
+    */
+  private val chunkScreenOracle =
+    s"""WITH c AS ($hexChunkAllSql),
+      |d AS (SELECT DISTINCT doc_id, chunk_hex FROM c),
+      |df AS (SELECT doc_id AS fresh_id, chunk_hex FROM d WHERE doc_id % 10 = 0),
+      |dc AS (SELECT doc_id AS corpus_id, chunk_hex FROM d WHERE doc_id % 10 <> 0),
+      |szf AS (SELECT fresh_id, CAST(COUNT(*) AS BIGINT) AS sz_f FROM df GROUP BY 1),
+      |szc AS (SELECT corpus_id, CAST(COUNT(*) AS BIGINT) AS sz_c FROM dc GROUP BY 1),
+      |sh AS (SELECT df.fresh_id, dc.corpus_id, CAST(COUNT(*) AS BIGINT) AS inter
+      |  FROM df JOIN dc USING (chunk_hex) GROUP BY 1, 2)
+      |SELECT sh.fresh_id, sh.corpus_id, sh.inter, szf.sz_f, szc.sz_c,
+      |  CAST(sh.inter AS DOUBLE) / CAST(szf.sz_f + szc.sz_c - sh.inter AS DOUBLE) AS jaccard
+      |FROM sh JOIN szf USING (fresh_id) JOIN szc USING (corpus_id)
+      |WHERE CAST(sh.inter AS DOUBLE) / CAST(szf.sz_f + szc.sz_c - sh.inter AS DOUBLE) >= 0.5
+      |ORDER BY fresh_id, corpus_id""".stripMargin
+
   private val gapSessionCtes =
     """gaps AS (
       |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
@@ -2810,6 +2829,25 @@ object ExtensionQueries {
         .orderBy("doc_id")
     },
 
+    // Standing chunk-digest index screen (m10): m09 with the corpus side
+    // served from the d12-style bucketed layout — per-ingest cost
+    // excludes the corpus chunking + digesting, the probe join reads the
+    // digest table through its buckets with no corpus-side exchange, and
+    // results are identical to the direct screen by construction (the m09
+    // oracle verbatim).
+    "m10_chunk_screen_indexed" -> of(chunkScreenOracle) { (s, d) =>
+      val media = graft.operators.Multimodal.asMediaTable(
+        t(s, d, "documents"), "doc_id", "text")
+      val suffix = graft.sources.BucketedLake.layoutSuffix(d + "#chunk64", 16)
+      val idx = graft.operators.Multimodal.writeChunkIndex(
+        media.filter(pmod(col("doc_id"), lit(10)) =!= 0),
+        graft.operators.Multimodal.ChunkIndex(
+          s"chunk_idx_$suffix", s"chunk_sz_$suffix"))
+      graft.operators.Multimodal.incrementalChunkPairsIndexed(
+        media.filter(pmod(col("doc_id"), lit(10)) === 0), idx)
+        .orderBy("fresh_id", "corpus_id")
+    },
+
     // Incremental media ingest screen (m09): the d11 daily-ingest shape
     // for the chunk-similarity family — a fresh blob batch (doc_id % 10 =
     // 0) screens against the standing corpus (the rest) through the
@@ -2817,20 +2855,7 @@ object ExtensionQueries {
     // self-pairs, per-ingest pair work ∝ the batch's digest hits. The
     // oracle recomputes both sides' chunk sets, the probe join and the
     // Jaccard from scratch over injective chunk_hex.
-    "m09_chunk_screen" -> of(
-      s"""WITH c AS ($hexChunkAllSql),
-        |d AS (SELECT DISTINCT doc_id, chunk_hex FROM c),
-        |df AS (SELECT doc_id AS fresh_id, chunk_hex FROM d WHERE doc_id % 10 = 0),
-        |dc AS (SELECT doc_id AS corpus_id, chunk_hex FROM d WHERE doc_id % 10 <> 0),
-        |szf AS (SELECT fresh_id, CAST(COUNT(*) AS BIGINT) AS sz_f FROM df GROUP BY 1),
-        |szc AS (SELECT corpus_id, CAST(COUNT(*) AS BIGINT) AS sz_c FROM dc GROUP BY 1),
-        |sh AS (SELECT df.fresh_id, dc.corpus_id, CAST(COUNT(*) AS BIGINT) AS inter
-        |  FROM df JOIN dc USING (chunk_hex) GROUP BY 1, 2)
-        |SELECT sh.fresh_id, sh.corpus_id, sh.inter, szf.sz_f, szc.sz_c,
-        |  CAST(sh.inter AS DOUBLE) / CAST(szf.sz_f + szc.sz_c - sh.inter AS DOUBLE) AS jaccard
-        |FROM sh JOIN szf USING (fresh_id) JOIN szc USING (corpus_id)
-        |WHERE CAST(sh.inter AS DOUBLE) / CAST(szf.sz_f + szc.sz_c - sh.inter AS DOUBLE) >= 0.5
-        |ORDER BY fresh_id, corpus_id""") { (s, d) =>
+    "m09_chunk_screen" -> of(chunkScreenOracle) { (s, d) =>
       val media = graft.operators.Multimodal.asMediaTable(
         t(s, d, "documents"), "doc_id", "text")
       graft.operators.Multimodal.incrementalChunkPairs(

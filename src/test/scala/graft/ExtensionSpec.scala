@@ -478,6 +478,20 @@ class ExtensionSpec extends SparkSpec {
       (2L, 4L, 2L, 0.5)))  // C pairs with nothing; threshold 0.5 holds the rest out
   }
 
+  test("m10 standing chunk index screens exactly like the direct screen") {
+    import graft.operators.Multimodal
+    val media = Multimodal.asMediaTable(docs, "doc_id", "text")
+    val fresh = media.filter(pmod(col("doc_id"), lit(10)) === 0)
+    val corpus = media.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+    val idx = Multimodal.writeChunkIndex(corpus,
+      Multimodal.ChunkIndex("chunk_idx_spec", "chunk_sz_spec"))
+    val indexed = Multimodal.incrementalChunkPairsIndexed(fresh, idx)
+      .orderBy("fresh_id", "corpus_id").collect().toSeq
+    val direct = Multimodal.incrementalChunkPairs(fresh, corpus)
+      .orderBy("fresh_id", "corpus_id").collect().toSeq
+    assert(indexed === direct)
+  }
+
   test("multimodal feature extract: stub features match payload bytes") {
     val media = Multimodal.asMediaTable(docs, "doc_id", "text")
     val feats = Multimodal.extractFeatures(media)

@@ -521,6 +521,25 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(800))
   }
 
+  test("m10: chunk-digest index reads bucketed; corpus side never exchanges or re-digests") {
+    val plan = physicalPlan("m10_chunk_screen_indexed")
+    assert(plan.contains("Bucketed: true"), plan.take(1200))
+    val lines = plan.linesIterator.toVector
+    val scanIdx = lines.indexWhere(l => l.contains("chunk_idx_") && l.contains("FileScan"))
+    assert(scanIdx > 0, s"expected a scan of the digest index:\n${plan.take(1200)}")
+    assert(lines(scanIdx).contains("Bucketed: true"),
+      s"digest index must be read through its bucket layout:\n${lines(scanIdx)}")
+    // the index BRANCH is the contiguous run after the fresh side's last
+    // scan/generate line — it must carry no exchange and no re-digesting
+    val freshEnd = lines.lastIndexWhere(
+      l => l.contains("FileScan") || l.contains("Generate"), scanIdx - 1)
+    val branch = lines.slice(freshEnd + 1, scanIdx)
+    assert(!branch.exists(l => l.contains("Exchange") && !l.contains("BroadcastExchange")),
+      s"digest-index side must not exchange:\n${branch.mkString("\n")}")
+    assert(branch.forall(!_.contains("sha2")),
+      s"corpus side must read stored digests, not re-digest:\n${branch.mkString("\n")}")
+  }
+
   test("DEBUG flag logs a bounded sample to stderr (honored, unlike reference)") {
     val err = new java.io.ByteArrayOutputStream()
     Console.withErr(new java.io.PrintStream(err)) {
