@@ -237,6 +237,28 @@ object Multimodal {
         sha2(unhex(col("chunk_hex")), 256).as("digest"))
       .distinct()
 
+  /** Per-blob DISTINCT chunk-digest ARRAY as one in-row projection — every
+    * chunk of a blob lives in the blob's own row, so the distinct that the
+    * batch screen buys with a shuffle happens inside the row
+    * (`array_distinct` over a `transform` of byte slices). This is what
+    * lets the STREAMING chunk screen stay stateless until its single
+    * aggregate: fresh-side digesting, sizing (`size(digests)`) and
+    * dedup all ride the scan. Digests are bit-identical to
+    * [[hexChunks]]+sha2 (same byte slices, hex round-trip elided).
+    * Returns (doc_id, sz_f, digests).
+    */
+  def inRowChunkDigests(media: DataFrame, chunkBytes: Int = 64): DataFrame =
+    media
+      .withColumn("n_chunks",
+        ceil(octet_length(col("payload")) / lit(chunkBytes.toDouble)).cast("long"))
+      .filter(col("n_chunks") > 0)
+      .withColumn("digests", array_distinct(transform(
+        sequence(lit(0L), col("n_chunks") - 1),
+        i => sha2(col("payload").substr(
+          (i * chunkBytes + 1).cast("int"), lit(chunkBytes)), 256))))
+      .select(col("doc_id"), size(col("digests")).cast("long").as("sz_f"),
+        col("digests"))
+
   /** [[incrementalChunkPairs]] against a standing [[ChunkIndex]] —
     * identical results when the index was built from the same corpus
     * (spec-pinned; the m09 oracle applies verbatim), but the per-ingest

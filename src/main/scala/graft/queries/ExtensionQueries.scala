@@ -719,6 +719,20 @@ object ExtensionQueries {
         "vec_id", "embedding")
   }
 
+  /** Build (once per session + sf dir) the m10 standing chunk-digest index
+    * over the non-fresh corpus (`doc_id % 10 ≠ 0` — the m09 split); chunk
+    * size and bucket count ride the naming per the layout contract.
+    */
+  private def ensureChunkIndex(s: org.apache.spark.sql.SparkSession,
+                               dir: String,
+                               media: org.apache.spark.sql.DataFrame) = {
+    val suffix = graft.sources.BucketedLake.layoutSuffix(dir + "#chunk64", 16)
+    graft.operators.Multimodal.writeChunkIndex(
+      media.filter(pmod(col("doc_id"), lit(10)) =!= 0),
+      graft.operators.Multimodal.ChunkIndex(
+        s"chunk_idx_$suffix", s"chunk_sz_$suffix"))
+  }
+
   /** The recall@k oracle template (s12/s13/s14/s16): exact = s01's ground
     * truth verbatim (or a caller-supplied constrained variant), approx =
     * the index family's own oracled walk mounted as a CTE, joined on
@@ -2838,13 +2852,41 @@ object ExtensionQueries {
     "m10_chunk_screen_indexed" -> of(chunkScreenOracle) { (s, d) =>
       val media = graft.operators.Multimodal.asMediaTable(
         t(s, d, "documents"), "doc_id", "text")
-      val suffix = graft.sources.BucketedLake.layoutSuffix(d + "#chunk64", 16)
-      val idx = graft.operators.Multimodal.writeChunkIndex(
-        media.filter(pmod(col("doc_id"), lit(10)) =!= 0),
-        graft.operators.Multimodal.ChunkIndex(
-          s"chunk_idx_$suffix", s"chunk_sz_$suffix"))
       graft.operators.Multimodal.incrementalChunkPairsIndexed(
-        media.filter(pmod(col("doc_id"), lit(10)) === 0), idx)
+        media.filter(pmod(col("doc_id"), lit(10)) === 0),
+        ensureChunkIndex(s, d, media))
+        .orderBy("fresh_id", "corpus_id")
+    },
+
+    // Streaming media ingest screen (e31): fresh blobs ARRIVE as a stream
+    // and screen live against the m10 standing chunk index — per-blob
+    // digesting/dedup/sizing happen IN-ROW (a blob's chunks all live in
+    // its row, so the fresh side is stateless), the probe and size joins
+    // are stream-static on the bucketed tables, and the one stateful op
+    // is the shared-chunk count per candidate pair. The Jaccard cut is
+    // served batch-side over the materialized state; graded against the
+    // same from-scratch SQL as m09/m10, so all three maintenance paths
+    // must agree.
+    "e31_stream_chunk_screen" -> of(chunkScreenOracle) { (s, d) =>
+      import graft.streaming.{EventsStream, ScreenStream}
+      val media = graft.operators.Multimodal.asMediaTable(
+        t(s, d, "documents"), "doc_id", "text")
+      val idx = ensureChunkIndex(s, d, media)
+      val docsSchema = s.read
+        .option("pathGlobFilter", "documents.parquet").parquet(d).schema
+      val freshStream = s.readStream.schema(docsSchema)
+        .option("pathGlobFilter", "documents.parquet").parquet(d)
+        .filter(pmod(col("doc_id"), lit(10)) === 0)
+        .select(col("doc_id").cast("long").as("doc_id"),
+          col("text").cast("binary").as("payload"))
+      val agg = ScreenStream.screenChunks(freshStream, idx)
+      val sinkName = s"stream_chunk_screen_${sinkCounter.incrementAndGet()}"
+      EventsStream.runAvailableNow(agg, sinkName, outputMode = "complete")
+      s.table(sinkName)
+        .withColumn("jaccard", col("inter").cast("double") /
+          (col("sz_f") + col("sz_c") - col("inter")).cast("double"))
+        .filter(col("jaccard") >= 0.5)
+        .select("fresh_id", "corpus_id", "inter", "sz_f", "sz_c", "jaccard")
         .orderBy("fresh_id", "corpus_id")
     },
 

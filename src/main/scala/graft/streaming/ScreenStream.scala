@@ -145,4 +145,42 @@ object ScreenStream {
       .agg(count(lit(1)).as("__occurrences"))
       .select("fresh_id", "corpus_id", "cosine")
   }
+
+  /** The MEDIA ingest screen as a Structured Streaming query — the
+    * m09/m10 daily-ingest story live: fresh blobs ARRIVE as a stream and
+    * screen against the standing [[graft.operators.Multimodal.ChunkIndex]]
+    * tables. Same plan shape as [[screenEmbeddings]] — every static join
+    * before the one stateful operator:
+    *
+    *  - each arriving blob digests, DEDUPS and sizes its chunk set IN ITS
+    *    OWN ROW ([[graft.operators.Multimodal.inRowChunkDigests]] — all of
+    *    a blob's chunks live in its row, so no distinct shuffle exists);
+    *  - the digest probe join and the corpus-size join are stream-static
+    *    and stateless, reading the bucketed tables;
+    *  - the one stateful operator is the shared-chunk COUNT per
+    *    (fresh, corpus) pair — state O(candidate pairs), each row a few
+    *    longs.
+    *
+    * Emits (fresh_id, corpus_id, inter, sz_f, sz_c) — the serve step
+    * computes the Jaccard cut batch-side over the materialized state, and
+    * an AvailableNow complete-mode run then equals
+    * [[graft.operators.Multimodal.incrementalChunkPairsIndexed]] on the
+    * same split (the m09 oracle grades the streaming plan verbatim, e31).
+    */
+  def screenChunks(freshMedia: DataFrame,
+                   index: graft.operators.Multimodal.ChunkIndex,
+                   chunkBytes: Int = 64): DataFrame = {
+    val spark = freshMedia.sparkSession
+    val fresh = graft.operators.Multimodal
+      .inRowChunkDigests(freshMedia, chunkBytes)
+      .select(col("doc_id").as("fresh_id"), col("sz_f"),
+        explode(col("digests")).as("digest"))
+    fresh
+      .join(spark.table(index.digests)
+        .select(col("doc_id").as("corpus_id"), col("digest")), Seq("digest"))
+      .join(spark.table(index.sizes)
+        .select(col("doc_id").as("corpus_id"), col("sz_c")), Seq("corpus_id"))
+      .groupBy("fresh_id", "corpus_id", "sz_f", "sz_c")
+      .agg(count(lit(1)).as("inter"))
+  }
 }
