@@ -213,6 +213,29 @@ object Multimodal {
     index
   }
 
+  /** Fold an ACCEPTED ingest batch into a standing [[ChunkIndex]] — the
+    * media-family compaction step (the d17/d18 pattern): the batch's
+    * distinct digests and per-doc counts append into both tables under
+    * the catalog-validated bucket spec, so tomorrow's
+    * [[incrementalChunkPairsIndexed]] screens against today's survivors
+    * without a rebuild. Batch ids must be disjoint from the indexed
+    * corpus (the screen that precedes this call establishes it — that is
+    * what makes the sizes append pure addition).
+    */
+  def appendChunkIndex(batch: DataFrame, index: ChunkIndex,
+                       chunkBytes: Int = 64, buckets: Int = 16): ChunkIndex = {
+    val spark = batch.sparkSession
+    val d = hexChunks(batch, chunkBytes)
+      .select(col("doc_id"), sha2(unhex(col("chunk_hex")), 256).as("digest"))
+      .distinct().persist()
+    graft.sources.BucketedLake.appendBucketedTable(spark, index.digests,
+      d, "digest", buckets)
+    graft.sources.BucketedLake.appendBucketedTable(spark, index.sizes,
+      d.groupBy("doc_id").agg(count(lit(1)).as("sz_c")), "doc_id", buckets)
+    d.unpersist(blocking = false)
+    index
+  }
+
   /** Shared screen tail: fresh digest set vs a corpus digest/size pair of
     * frames (live or table-backed) — probe join on the digest, pair
     * counts, Jaccard cut. Fresh-vs-corpus only by construction.

@@ -733,6 +733,28 @@ object ExtensionQueries {
         s"chunk_idx_$suffix", s"chunk_sz_$suffix"))
   }
 
+  /** Build-then-append the m11 chunk index: built from half the standing
+    * corpus (`doc_id % 10 ∈ 1..5`), the other half (`% 10 ∈ 6..9`) folded
+    * in via [[graft.operators.Multimodal.appendChunkIndex]]. Idempotent
+    * per (session, dir) via the d17 contract — catalog presence of the
+    * digest table is the built-AND-appended marker.
+    */
+  private def ensureAppendedChunkIndex(
+      s: org.apache.spark.sql.SparkSession, dir: String,
+      media: org.apache.spark.sql.DataFrame):
+      graft.operators.Multimodal.ChunkIndex = {
+    val suffix = graft.sources.BucketedLake.layoutSuffix(dir + "#chunk64a", 16)
+    val names = graft.operators.Multimodal.ChunkIndex(
+      s"chunk_idxa_$suffix", s"chunk_sza_$suffix")
+    if (s.catalog.tableExists(names.digests)) names
+    else {
+      graft.operators.Multimodal.appendChunkIndex(
+        media.filter(pmod(col("doc_id"), lit(10)) >= 6),
+        graft.operators.Multimodal.writeChunkIndex(
+          media.filter(pmod(col("doc_id"), lit(10)).between(1, 5)), names))
+    }
+  }
+
   /** The recall@k oracle template (s12/s13/s14/s16): exact = s01's ground
     * truth verbatim (or a caller-supplied constrained variant), approx =
     * the index family's own oracled walk mounted as a CTE, joined on
@@ -2855,6 +2877,21 @@ object ExtensionQueries {
       graft.operators.Multimodal.incrementalChunkPairsIndexed(
         media.filter(pmod(col("doc_id"), lit(10)) === 0),
         ensureChunkIndex(s, d, media))
+        .orderBy("fresh_id", "corpus_id")
+    },
+
+    // Chunk-index append (m11): the media-family compaction step — the
+    // standing index is built from half the corpus and the other half
+    // folds in under the catalog-validated bucket spec (no rebuild);
+    // screening the fresh batch against the appended index must equal the
+    // freshly-built screen, which is exactly what the shared oracle
+    // recomputes.
+    "m11_chunk_index_append" -> of(chunkScreenOracle) { (s, d) =>
+      val media = graft.operators.Multimodal.asMediaTable(
+        t(s, d, "documents"), "doc_id", "text")
+      graft.operators.Multimodal.incrementalChunkPairsIndexed(
+        media.filter(pmod(col("doc_id"), lit(10)) === 0),
+        ensureAppendedChunkIndex(s, d, media))
         .orderBy("fresh_id", "corpus_id")
     },
 

@@ -492,6 +492,24 @@ class ExtensionSpec extends SparkSpec {
     assert(indexed === direct)
   }
 
+  test("m11 appended chunk index screens exactly like a freshly-built one") {
+    import graft.operators.Multimodal
+    val media = Multimodal.asMediaTable(docs, "doc_id", "text")
+    val fresh = media.filter(pmod(col("doc_id"), lit(10)) === 0)
+    val half1 = media.filter(pmod(col("doc_id"), lit(10)).between(1, 5))
+    val half2 = media.filter(pmod(col("doc_id"), lit(10)) >= 6)
+    val appended = Multimodal.appendChunkIndex(half2,
+      Multimodal.writeChunkIndex(half1,
+        Multimodal.ChunkIndex("chunk_idxa_spec", "chunk_sza_spec")))
+    val direct = Multimodal.writeChunkIndex(half1.unionByName(half2),
+      Multimodal.ChunkIndex("chunk_idxf_spec", "chunk_szf_spec"))
+    val a = Multimodal.incrementalChunkPairsIndexed(fresh, appended)
+      .orderBy("fresh_id", "corpus_id").collect().toSeq
+    val b = Multimodal.incrementalChunkPairsIndexed(fresh, direct)
+      .orderBy("fresh_id", "corpus_id").collect().toSeq
+    assert(a === b)
+  }
+
   test("multimodal feature extract: stub features match payload bytes") {
     val media = Multimodal.asMediaTable(docs, "doc_id", "text")
     val feats = Multimodal.extractFeatures(media)
