@@ -107,6 +107,42 @@ object CorpusOps {
         sum("new_vocab").over(cum).as("vocab"))
   }
 
+  /** Token-distribution DRIFT between a fresh batch and the standing
+    * corpus — the ingest-anomaly alarm a production pipeline fires before
+    * bad data lands: over the corpus's top-K tokens (deterministic
+    * (count, token) cut), the χ² statistic of the batch's counts against
+    * the corpus-proportional expectation, reported per token so the
+    * alarm is attributable (WHICH tokens drifted, not just "something
+    * did"). χ² is deliberate: pure rational arithmetic — exact integer
+    * counts and one fixed double tree per row, no transcendentals —
+    * so it is oracle-able without materialized primitives (KL would
+    * need ln). Returns (rank, tok, corpus_n, fresh_n, expected,
+    * contrib) with expected = F·cᵢ/C and contrib = (fᵢ-expected)²/expected,
+    * C/F the within-top-K totals. Plan: two token-count aggregates
+    * (map-side combined), a top-K cut, broadcast-sized joins after it.
+    */
+  def tokenDriftChi2(corpus: DataFrame, fresh: DataFrame, idCol: String,
+                     textCol: String, topK: Int = 50): DataFrame = {
+    val w = Window.orderBy(col("corpus_n").desc, col("tok"))
+    val top = corpus.select(explode(tokens(col(textCol))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("corpus_n"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+    val ft = fresh.select(explode(tokens(col(textCol))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("fresh_n"))
+    val joined = top.join(ft, Seq("tok"), "left")
+      .na.fill(0L, Seq("fresh_n"))
+    val totals = joined.agg(sum("corpus_n").as("c_tot"), sum("fresh_n").as("f_tot"))
+    joined.crossJoin(broadcast(totals))
+      .withColumn("expected",
+        col("f_tot").cast("double") * col("corpus_n").cast("double") /
+          col("c_tot").cast("double"))
+      .withColumn("contrib",
+        (col("fresh_n").cast("double") - col("expected")) *
+          (col("fresh_n").cast("double") - col("expected")) / col("expected"))
+      .select("rank", "tok", "corpus_n", "fresh_n", "expected", "contrib")
+  }
+
   /** Per-document top TF-IDF terms: tf(doc, t) · ln(N / df(t)). The corpus
     * size N travels as a broadcast 1-row aggregate (never a driver collect);
     * the doc-frequency table joins on the token key (O(vocab) — a shuffle

@@ -2044,6 +2044,45 @@ object ExtensionQueries {
         .orderBy("q")
     },
 
+    // Token-distribution drift (t33): χ² of a fresh batch's token counts
+    // against the corpus-proportional expectation over the corpus's
+    // top-50 tokens — the attributable ingest-anomaly alarm (which tokens
+    // drifted). χ² deliberately: exact counts + one fixed double tree per
+    // row, no transcendentals, so the oracle recomputes everything from
+    // scratch with no materialized primitives.
+    "t33_token_drift" -> of(
+      """WITH ct AS (
+        |  SELECT u.tok, CAST(COUNT(*) AS BIGINT) AS corpus_n
+        |  FROM (SELECT string_split(text, ' ') AS tk FROM documents
+        |        WHERE doc_id % 10 <> 0) d, UNNEST(tk) AS u(tok)
+        |  GROUP BY u.tok),
+        |top AS (SELECT tok, corpus_n,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY corpus_n DESC, tok) AS INT) AS rank
+        |  FROM ct QUALIFY rank <= 50),
+        |ft AS (
+        |  SELECT u.tok, CAST(COUNT(*) AS BIGINT) AS fresh_n
+        |  FROM (SELECT string_split(text, ' ') AS tk FROM documents
+        |        WHERE doc_id % 10 = 0) d, UNNEST(tk) AS u(tok)
+        |  GROUP BY u.tok),
+        |j AS (SELECT top.rank, top.tok, top.corpus_n,
+        |    COALESCE(ft.fresh_n, 0) AS fresh_n
+        |  FROM top LEFT JOIN ft USING (tok)),
+        |tot AS (SELECT CAST(SUM(corpus_n) AS BIGINT) AS c_tot,
+        |    CAST(SUM(fresh_n) AS BIGINT) AS f_tot FROM j)
+        |SELECT j.rank, j.tok, j.corpus_n, j.fresh_n,
+        |  CAST(tot.f_tot AS DOUBLE) * CAST(j.corpus_n AS DOUBLE) / CAST(tot.c_tot AS DOUBLE) AS expected,
+        |  (CAST(j.fresh_n AS DOUBLE) - CAST(tot.f_tot AS DOUBLE) * CAST(j.corpus_n AS DOUBLE) / CAST(tot.c_tot AS DOUBLE))
+        |    * (CAST(j.fresh_n AS DOUBLE) - CAST(tot.f_tot AS DOUBLE) * CAST(j.corpus_n AS DOUBLE) / CAST(tot.c_tot AS DOUBLE))
+        |    / (CAST(tot.f_tot AS DOUBLE) * CAST(j.corpus_n AS DOUBLE) / CAST(tot.c_tot AS DOUBLE)) AS contrib
+        |FROM j CROSS JOIN tot ORDER BY rank""") { (s, d) =>
+      val docs = t(s, d, "documents")
+      graft.operators.CorpusOps.tokenDriftChi2(
+        docs.filter(pmod(col("doc_id"), lit(10)) =!= 0),
+        docs.filter(pmod(col("doc_id"), lit(10)) === 0),
+        "doc_id", "text")
+        .orderBy("rank")
+    },
+
     // Contamination audit: non-train documents whose winnow fingerprint
     // collides with a train document — near-dup leakage across the t05
     // hash split. Composes hashSplit (id-hash buckets, doc_hashes aux) with
