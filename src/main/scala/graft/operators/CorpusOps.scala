@@ -122,15 +122,24 @@ object CorpusOps {
     * (map-side combined), a top-K cut, broadcast-sized joins after it.
     */
   def tokenDriftChi2(corpus: DataFrame, fresh: DataFrame, idCol: String,
-                     textCol: String, topK: Int = 50): DataFrame = {
+                     textCol: String, topK: Int = 50): DataFrame =
+    tokenDriftChi2FromCounts(corpus,
+      fresh.select(explode(tokens(col(textCol))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("fresh_n")),
+      textCol, topK)
+
+  /** [[tokenDriftChi2]] against PRE-AGGREGATED fresh counts (tok,
+    * fresh_n) — the serve tail the streaming drift monitor reads off its
+    * materialized count state (e32), and the batch path's own core.
+    */
+  def tokenDriftChi2FromCounts(corpus: DataFrame, freshCounts: DataFrame,
+                               textCol: String, topK: Int = 50): DataFrame = {
     val w = Window.orderBy(col("corpus_n").desc, col("tok"))
     val top = corpus.select(explode(tokens(col(textCol))).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("corpus_n"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= topK)
-    val ft = fresh.select(explode(tokens(col(textCol))).as("tok"))
-      .groupBy("tok").agg(count(lit(1)).as("fresh_n"))
-    val joined = top.join(ft, Seq("tok"), "left")
+    val joined = top.join(freshCounts, Seq("tok"), "left")
       .na.fill(0L, Seq("fresh_n"))
     val totals = joined.agg(sum("corpus_n").as("c_tot"), sum("fresh_n").as("f_tot"))
     joined.crossJoin(broadcast(totals))

@@ -240,6 +240,36 @@ object ExtensionQueries {
     */
   private val hexChunkAllSql = hexChunkSqlWhere("")
 
+  /** The t33/e32 shared oracle: from-scratch drift statistic at the
+    * doc_id % 10 split, so the batch alarm and the streaming monitor
+    * grade against one SQL definition.
+    */
+  private val t33OracleSql =
+    """WITH ct AS (
+        |  SELECT u.tok, CAST(COUNT(*) AS BIGINT) AS corpus_n
+        |  FROM (SELECT string_split(text, ' ') AS tk FROM documents
+        |        WHERE doc_id % 10 <> 0) d, UNNEST(tk) AS u(tok)
+        |  GROUP BY u.tok),
+        |top AS (SELECT tok, corpus_n,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY corpus_n DESC, tok) AS INT) AS rank
+        |  FROM ct QUALIFY rank <= 50),
+        |ft AS (
+        |  SELECT u.tok, CAST(COUNT(*) AS BIGINT) AS fresh_n
+        |  FROM (SELECT string_split(text, ' ') AS tk FROM documents
+        |        WHERE doc_id % 10 = 0) d, UNNEST(tk) AS u(tok)
+        |  GROUP BY u.tok),
+        |j AS (SELECT top.rank, top.tok, top.corpus_n,
+        |    COALESCE(ft.fresh_n, 0) AS fresh_n
+        |  FROM top LEFT JOIN ft USING (tok)),
+        |tot AS (SELECT CAST(SUM(corpus_n) AS BIGINT) AS c_tot,
+        |    CAST(SUM(fresh_n) AS BIGINT) AS f_tot FROM j)
+        |SELECT j.rank, j.tok, j.corpus_n, j.fresh_n,
+        |  CAST(tot.f_tot AS DOUBLE) * CAST(j.corpus_n AS DOUBLE) / CAST(tot.c_tot AS DOUBLE) AS expected,
+        |  (CAST(j.fresh_n AS DOUBLE) - CAST(tot.f_tot AS DOUBLE) * CAST(j.corpus_n AS DOUBLE) / CAST(tot.c_tot AS DOUBLE))
+        |    * (CAST(j.fresh_n AS DOUBLE) - CAST(tot.f_tot AS DOUBLE) * CAST(j.corpus_n AS DOUBLE) / CAST(tot.c_tot AS DOUBLE))
+        |    / (CAST(tot.f_tot AS DOUBLE) * CAST(j.corpus_n AS DOUBLE) / CAST(tot.c_tot AS DOUBLE)) AS contrib
+        |FROM j CROSS JOIN tot ORDER BY rank"""
+
   /** The m09/m10 shared oracle: from-scratch fresh-vs-corpus chunk screen
     * at the doc_id % 10 split, so the direct and the standing-index
     * maintenance paths grade against one SQL definition.
@@ -2050,36 +2080,35 @@ object ExtensionQueries {
     // drifted). χ² deliberately: exact counts + one fixed double tree per
     // row, no transcendentals, so the oracle recomputes everything from
     // scratch with no materialized primitives.
-    "t33_token_drift" -> of(
-      """WITH ct AS (
-        |  SELECT u.tok, CAST(COUNT(*) AS BIGINT) AS corpus_n
-        |  FROM (SELECT string_split(text, ' ') AS tk FROM documents
-        |        WHERE doc_id % 10 <> 0) d, UNNEST(tk) AS u(tok)
-        |  GROUP BY u.tok),
-        |top AS (SELECT tok, corpus_n,
-        |    CAST(ROW_NUMBER() OVER (ORDER BY corpus_n DESC, tok) AS INT) AS rank
-        |  FROM ct QUALIFY rank <= 50),
-        |ft AS (
-        |  SELECT u.tok, CAST(COUNT(*) AS BIGINT) AS fresh_n
-        |  FROM (SELECT string_split(text, ' ') AS tk FROM documents
-        |        WHERE doc_id % 10 = 0) d, UNNEST(tk) AS u(tok)
-        |  GROUP BY u.tok),
-        |j AS (SELECT top.rank, top.tok, top.corpus_n,
-        |    COALESCE(ft.fresh_n, 0) AS fresh_n
-        |  FROM top LEFT JOIN ft USING (tok)),
-        |tot AS (SELECT CAST(SUM(corpus_n) AS BIGINT) AS c_tot,
-        |    CAST(SUM(fresh_n) AS BIGINT) AS f_tot FROM j)
-        |SELECT j.rank, j.tok, j.corpus_n, j.fresh_n,
-        |  CAST(tot.f_tot AS DOUBLE) * CAST(j.corpus_n AS DOUBLE) / CAST(tot.c_tot AS DOUBLE) AS expected,
-        |  (CAST(j.fresh_n AS DOUBLE) - CAST(tot.f_tot AS DOUBLE) * CAST(j.corpus_n AS DOUBLE) / CAST(tot.c_tot AS DOUBLE))
-        |    * (CAST(j.fresh_n AS DOUBLE) - CAST(tot.f_tot AS DOUBLE) * CAST(j.corpus_n AS DOUBLE) / CAST(tot.c_tot AS DOUBLE))
-        |    / (CAST(tot.f_tot AS DOUBLE) * CAST(j.corpus_n AS DOUBLE) / CAST(tot.c_tot AS DOUBLE)) AS contrib
-        |FROM j CROSS JOIN tot ORDER BY rank""") { (s, d) =>
+    "t33_token_drift" -> of(t33OracleSql) { (s, d) =>
       val docs = t(s, d, "documents")
       graft.operators.CorpusOps.tokenDriftChi2(
         docs.filter(pmod(col("doc_id"), lit(10)) =!= 0),
         docs.filter(pmod(col("doc_id"), lit(10)) === 0),
         "doc_id", "text")
+        .orderBy("rank")
+    },
+
+    // Streaming drift monitor (e32): t33 live — the fresh batch's token
+    // counts are MAINTAINED BY THE STREAM (one complete-mode count whose
+    // state is the batch's VOCABULARY, bounded by language, not data
+    // volume — the natural home for an always-on ingest alarm), and the
+    // χ² serve reads the materialized counts against the static corpus
+    // top-K. Graded by the same from-scratch SQL as t33.
+    "e32_stream_drift" -> of(t33OracleSql) { (s, d) =>
+      import graft.streaming.EventsStream
+      val docsSchema = s.read
+        .option("pathGlobFilter", "documents.parquet").parquet(d).schema
+      val freshStream = s.readStream.schema(docsSchema)
+        .option("pathGlobFilter", "documents.parquet").parquet(d)
+        .filter(pmod(col("doc_id"), lit(10)) === 0)
+        .select(explode(TextFunctions.tokens(col("text"))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("fresh_n"))
+      val sinkName = s"stream_drift_${sinkCounter.incrementAndGet()}"
+      EventsStream.runAvailableNow(freshStream, sinkName, outputMode = "complete")
+      graft.operators.CorpusOps.tokenDriftChi2FromCounts(
+        t(s, d, "documents").filter(pmod(col("doc_id"), lit(10)) =!= 0),
+        s.table(sinkName), "text")
         .orderBy("rank")
     },
 
