@@ -135,4 +135,75 @@ object GraphOps {
           lit(2.0) * col("triangles") / (col("degree") * (col("degree") - 1)))
           .otherwise(lit(0.0)))
   }
+
+  /** Neighborhood-similarity link prediction over an UNDIRECTED pair graph:
+    * for every node pair sharing at least one neighbor, the three classic
+    * scores — common-neighbor count, neighborhood Jaccard
+    * |N(a)∩N(b)| / |N(a)∪N(b)|, and the Resource-Allocation index Σ_{c∈N(a)∩N(b)} 1/deg(c)
+    * (Zhou, Lü & Zhang 2009 — Adamic–Adar's 1/ln(deg) discount sharpened
+    * to 1/deg, chosen here over AA because 1/deg is exact IEEE division of
+    * small integers and therefore bit-identical across engines, where
+    * 1/ln(deg) inherits each engine's libm log, which differs by 1 ULP
+    * between the JVM's StrictMath and glibc) — plus whether the pair is already an edge. The curation use: a
+    * near-dup graph's *missing* high-score links are pairs one noisy
+    * candidate generator dropped (LSH band miss, df-cut shingle), so the
+    * score ranks candidate pairs for a second-pass exact verify; pairs that
+    * ARE edges with low Jaccard flag weakly-attached cluster bridges worth
+    * re-checking before transitive-closure merging.
+    *
+    * Scale shape: co-neighbor pairs are generated per shared neighbor c
+    * (one self-join of the symmetrized edge list on the center key — the
+    * d02 shingle-bucket pattern with nodes as buckets), so wedge volume is
+    * Σ_c deg(c)², quadratic at a hub center. Unlike the triangle census the
+    * pair SET is the output, so degree-orientation cannot prune it;
+    * `maxCenterDegree` is the honest mitigation — drop centers above the
+    * cap before pairing (the d07 df-cut applied to nodes). A capped run
+    * loses exactly the pairs whose ONLY shared neighbors are hubs, which is
+    * also what the RA index's 1/deg says those pairs are worth (a
+    * degree-10⁷ hub contributes weight 10⁻⁷ and ~10¹⁴ wedges). Two
+    * aggregations (degree, pair-group) + three hash joins, nothing
+    * collected or broadcast; the RA double folds per pair in
+    * center-id order from a 0.0 seed (the pageRank pattern), so scores are
+    * bit-reproducible on any partitioning.
+    *
+    * Returns (id_a, id_b, common, jaccard, ra_index, is_edge) with
+    * id_a < id_b, one row per co-neighbor pair.
+    */
+  def nodeSimilarity(pairs: DataFrame,
+                     maxCenterDegree: Option[Int] = None): DataFrame = {
+    val und = Caching.persisted(pairs
+      .select(least(col("id_a"), col("id_b")).as("a"),
+        greatest(col("id_a"), col("id_b")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct())
+    val sym = und.select(col("a").as("s"), col("b").as("t"))
+      .union(und.select(col("b").as("s"), col("a").as("t")))
+    val deg = Caching.persisted(
+      sym.groupBy(col("s")).agg(count(lit(1)).as("d")))
+    // center-keyed adjacency; both wedge sides are the same plan, so the
+    // exchange on s is built once and reused (the triangleStats pattern)
+    val centered = maxCenterDegree.foldLeft(sym.join(deg, "s")) {
+      (df, cap) => df.filter(col("d") <= cap)
+    }
+    val wedges = centered.as("x").join(centered.as("y"),
+        col("x.s") === col("y.s") && col("x.t") < col("y.t"))
+      .select(col("x.t").as("u"), col("y.t").as("v"),
+        col("x.s").as("c"), col("x.d").as("dc"))
+    val cn = wedges.groupBy(col("u"), col("v")).agg(
+      count(lit(1)).as("common"),
+      aggregate(
+        array_sort(collect_list(struct(col("c"),
+          (lit(1.0) / col("dc").cast("double")).as("w")))),
+        lit(0.0), (acc, x) => acc + x.getField("w")).as("ra_index"))
+    cn
+      .join(deg.select(col("s").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("s").as("v"), col("d").as("dv")), "v")
+      .join(und.select(col("a").as("u"), col("b").as("v"),
+        lit(true).as("edge_mark")), Seq("u", "v"), "left")
+      .select(col("u").as("id_a"), col("v").as("id_b"), col("common"),
+        (col("common").cast("double") /
+          (col("du") + col("dv") - col("common")).cast("double")).as("jaccard"),
+        col("ra_index"),
+        coalesce(col("edge_mark"), lit(false)).as("is_edge"))
+  }
 }

@@ -1305,6 +1305,39 @@ object ExtensionQueries {
         .orderBy("csize")
     },
 
+    // Neighborhood-similarity link prediction (g04): common-neighbor /
+    // Jaccard / Resource-Allocation scores over the near-dup graph — ranks the
+    // pairs a noisy candidate generator may have dropped (LSH band miss)
+    // for a second-pass exact verify, and flags weakly-attached cluster
+    // bridges (is_edge with low jaccard) before transitive-closure merges
+    // them. Oracle mirrors the wedge-at-center plan and the center-id-
+    // ordered RA-weight fold operation for operation.
+    "g04_node_similarity" -> of(
+      s"""WITH ${jaccardCtes(None)},
+        |und AS (SELECT id_a AS a, id_b AS b FROM jp),
+        |sym AS (SELECT a AS s, b AS t FROM und UNION ALL SELECT b, a FROM und),
+        |deg AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY s),
+        |wed AS (
+        |  SELECT x.t AS u, y.t AS v, x.s AS c, dg.d AS dc
+        |  FROM sym x JOIN sym y ON x.s = y.s AND x.t < y.t
+        |  JOIN deg dg ON dg.s = x.s),
+        |cn AS (
+        |  SELECT u, v, CAST(COUNT(*) AS BIGINT) AS common,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list(CAST(1.0 AS DOUBLE) / CAST(dc AS DOUBLE) ORDER BY c)),
+        |      (a, b) -> a + b) AS ra_index
+        |  FROM wed GROUP BY u, v)
+        |SELECT cn.u AS id_a, cn.v AS id_b, cn.common,
+        |  CAST(cn.common AS DOUBLE) / (du.d + dv.d - cn.common) AS jaccard,
+        |  cn.ra_index, (e.a IS NOT NULL) AS is_edge
+        |FROM cn JOIN deg du ON du.s = cn.u JOIN deg dv ON dv.s = cn.v
+        |LEFT JOIN und e ON e.a = cn.u AND e.b = cn.v
+        |ORDER BY id_a, id_b""") { (s, d) =>
+      graft.operators.GraphOps.nodeSimilarity(
+        Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text"))
+        .orderBy("id_a", "id_b")
+    },
+
     // ---- similarity search ------------------------------------------------
 
     // Exact cosine top-5 for the first 10 vectors, via the bounded-heap

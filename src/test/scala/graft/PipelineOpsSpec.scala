@@ -861,6 +861,48 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got.keySet === nodes) // self-loop contributes no node or degree
   }
 
+  test("nodeSimilarity: scores match brute force; canonicalization; hub cap") {
+    import spark.implicits._
+    // square 1-2-3-4-1 with one diagonal (1,3), pendant 5 on 4, plus a
+    // reversed duplicate and a self-loop to exercise canonicalization
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L), (4L, 5L),
+      (2L, 1L), (5L, 5L)).toDF("id_a", "id_b")
+    val und = Set((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L), (1L, 3L), (4L, 5L))
+    val nodes = und.flatMap(e => Set(e._1, e._2))
+    def nbrs(v: Long) = nodes.filter(o =>
+      und.contains((math.min(v, o), math.max(v, o))) && o != v)
+    val got = graft.operators.GraphOps.nodeSimilarity(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4), r.getBoolean(5)))).toMap
+    val expPairs = for {
+      a <- nodes.toSeq.sorted; b <- nodes.toSeq.sorted
+      if a < b && (nbrs(a) intersect nbrs(b)).nonEmpty
+    } yield (a, b)
+    assert(got.keySet === expPairs.toSet)
+    expPairs.foreach { case (a, b) =>
+      val inter = (nbrs(a) intersect nbrs(b)).toSeq.sorted
+      val (c, j, aa, e) = got((a, b))
+      assert(c === inter.size.toLong, s"common of ($a,$b)")
+      assert(j === inter.size.toDouble /
+        (nbrs(a).size + nbrs(b).size - inter.size), s"jaccard of ($a,$b)")
+      // bit-exact: same center-id-ordered fold from a 0.0 seed
+      assert(aa === inter.foldLeft(0.0)((acc, ctr) =>
+        acc + 1.0 / nbrs(ctr).size.toDouble), s"ra_index of ($a,$b)")
+      assert(e === und.contains((a, b)), s"is_edge of ($a,$b)")
+    }
+    // hub cap: center 1 (degree 3) and center 4 (degree 3) dropped at cap 2
+    // leaves only wedges through degree-<=2 centers (2, 3, 5)
+    val capped = graft.operators.GraphOps
+      .nodeSimilarity(pairs, maxCenterDegree = Some(2)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expCapped = (for {
+      a <- nodes.toSeq.sorted; b <- nodes.toSeq.sorted
+      if a < b && (nbrs(a) intersect nbrs(b)).exists(c => nbrs(c).size <= 2)
+    } yield (a, b)).toSet
+    assert(capped === expCapped)
+  }
+
   test("property: triangleStats matches brute force on random multigraph pair lists") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed
