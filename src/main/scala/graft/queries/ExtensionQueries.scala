@@ -2145,6 +2145,46 @@ object ExtensionQueries {
         .orderBy("rank")
     },
 
+    // STREAMING per-session conversion funnel (e33), driver-checked: the
+    // e13 stage fold scoped per 30-minute session, run as a real
+    // AvailableNow flatMapGroupsWithState query into a memory sink — the
+    // live conversion-dashboard twin. Emission semantics are e04's (a
+    // session-funnel row appears iff the session closed by gap or
+    // finalized by event-time timeout under the final watermark); the
+    // oracle composes the e04 session numbering with the e13 list_reduce
+    // transition fold per session.
+    "e33_stream_funnel" -> of(
+      s"""WITH $gapSessionCtes,
+        |coded AS (
+        |  SELECT n.user_id, n.session_no, n.ts, n.event_id,
+        |    CASE e.event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+        |      WHEN 'purchase' THEN 3 ELSE 0 END AS code
+        |  FROM numbered n JOIN events e ON e.event_id = n.event_id),
+        |sess AS (
+        |  SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+        |    CAST(COUNT(*) AS BIGINT) AS n_events, MAX(ts) AS last_ts,
+        |    list_reduce(list_prepend(0, list(code ORDER BY ts, event_id)), (a, b) ->
+        |      CASE WHEN a = 0 AND b = 1 THEN 1
+        |           WHEN a = 1 AND b = 2 THEN 2
+        |           WHEN a = 2 AND b = 3 THEN 3
+        |           ELSE a END) AS stage
+        |  FROM coded GROUP BY user_id, session_no),
+        |wm AS (
+        |  SELECT user_id, session_no, stage, n_events, last_ts,
+        |    MAX(session_no) OVER (PARTITION BY user_id) AS max_session
+        |  FROM sess)
+        |SELECT user_id, session_no, stage, n_events FROM wm
+        |WHERE session_no < max_session
+        |   OR CAST(last_ts AS TIMESTAMP) + INTERVAL 30 MINUTE
+        |      < (SELECT MAX(CAST(ts AS TIMESTAMP)) FROM events) - INTERVAL 1 MINUTE
+        |ORDER BY user_id, session_no""") { (s, d) =>
+      import graft.streaming.{EventsStream, FunnelStream}
+      val sinkName = s"stream_funnel_${sinkCounter.incrementAndGet()}"
+      EventsStream.runAvailableNow(
+        FunnelStream.funnels(EventsStream.readEvents(s, d)).toDF(), sinkName)
+      s.table(sinkName).orderBy("user_id", "session_no")
+    },
+
     // Contamination audit: non-train documents whose winnow fingerprint
     // collides with a train document — near-dup leakage across the t05
     // hash split. Composes hashSplit (id-hash buckets, doc_hashes aux) with
