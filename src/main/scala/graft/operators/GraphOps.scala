@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Graph propagation operators over pair tables (the dedup family's edge
   * lists double as document graphs). The LLM-pipeline use is quality/spam
@@ -12,13 +13,37 @@ import org.apache.spark.sql.functions._
   * Scale shape: one shuffle per iteration on the destination id (the same
   * key every iteration, so a pre-partitioned edge table reuses its exchange),
   * edge table persisted once and read `iters` times; no driver-side loop
-  * over data — the driver only composes a fixed-depth lazy plan. Rank sums
-  * fold per destination in source-id order from a 0.0 seed (exact collect →
-  * sort → fold, the t15 pattern), so the double addition order — PageRank's
-  * one nondeterminism trap on a cluster — is pinned and the result is
-  * bit-reproducible on any partitioning.
+  * over data — the driver only composes a fixed-depth lazy plan.
+  *
+  * Bit-reproducibility without hub buffering: double addition is
+  * order-dependent — PageRank's one nondeterminism trap on a cluster — but
+  * pinning the order by collecting each destination's messages into one
+  * sorted array (the t15 pattern) buffers a hub's ENTIRE in-neighborhood in
+  * a single aggregation group (a degree-10⁷ hub is a 10⁷-struct array —
+  * OOM at exactly the skewed graphs similarity graphs are). Instead each
+  * double message m ∈ [0, 1] is quantized once to the fixed-point integer
+  * `floor(m · 10¹⁸)` (the multiply and floor are single deterministic IEEE
+  * ops; the result is ≤ 10¹⁸ so the long is exact) and the integers are
+  * summed as DECIMAL(38,0) — exact integer addition is order-independent,
+  * so map-side partial aggregation works, per-group state is one 16-byte
+  * decimal regardless of degree, and the result is still bit-identical on
+  * any partitioning. One decimal→double conversion (correctly rounded in
+  * every engine) at the read edge keeps ~12 significant digits at rank
+  * scale 1/N — quantization noise 10⁻¹⁸ per message, far below double
+  * roundoff of any alternative summation order.
   */
 object GraphOps {
+
+  /** Quantized exact sum of a non-negative double message column bounded by
+    * 1.0: Σ floor(m·10¹⁸) as DECIMAL(38,0), read back as a double, giving an
+    * order-independent (hence partitioning-independent) bit-reproducible
+    * sum with O(1) per-group state. `floor` on a non-negative double ≤ 10¹⁸
+    * yields an exact long in Spark and an exact integral double in DuckDB —
+    * the oracle mirrors the same tree with HUGEINT as the exact adder.
+    */
+  private[graft] def quantizedSum(msg: Column): Column =
+    sum(floor(msg * lit(1e18)).cast(DecimalType(38, 0)))
+      .cast("double") / lit(1e18)
 
   /** Fixed-iteration PageRank over an UNDIRECTED pair graph: each pair
     * contributes both directions; nodes are the pair-member ids (every node
@@ -53,9 +78,7 @@ object GraphOps {
       edges
         .join(ranks.select(col("id").as("s"), col("pr"), col("n_nodes")), "s")
         .groupBy(col("t"), col("n_nodes"))
-        .agg(aggregate(
-          array_sort(collect_list(struct(col("s"), (col("pr") / col("d")).as("c")))),
-          lit(0.0), (acc, x) => acc + x.getField("c")).as("msum"))
+        .agg(quantizedSum(col("pr") / col("d")).as("msum"))
         .select(col("t").as("id"), col("n_nodes"),
           (teleport / col("n_nodes") + lit(damping) * col("msum")).as("pr"))
     val r0 = deg.select(col("s").as("id")).crossJoin(broadcast(nDf))
@@ -162,12 +185,17 @@ object GraphOps {
     * also what the RA index's 1/deg says those pairs are worth (a
     * degree-10⁷ hub contributes weight 10⁻⁷ and ~10¹⁴ wedges). Two
     * aggregations (degree, pair-group) + three hash joins, nothing
-    * collected or broadcast; the RA double folds per pair in
-    * center-id order from a 0.0 seed (the pageRank pattern), so scores are
-    * bit-reproducible on any partitioning.
+    * collected or broadcast; the RA weights sum through [[quantizedSum]]
+    * (fixed-point quantize + exact DECIMAL add — see the object doc), so
+    * scores are bit-reproducible on any partitioning with O(1) per-pair
+    * aggregation state even when a pair shares min(deg_u, deg_v) centers.
     *
     * Returns (id_a, id_b, common, jaccard, ra_index, is_edge) with
-    * id_a < id_b, one row per co-neighbor pair.
+    * id_a < id_b, one row per co-neighbor pair. Note: only pairs with at
+    * least one COMMON neighbor appear — an existing edge whose endpoints
+    * share no neighbor (the weakest bridge of all, jaccard would be 0) has
+    * no row, so a bridge audit over `is_edge` must anti-join the edge set
+    * against this frame to see those, or treat absence as jaccard = 0.
     */
   def nodeSimilarity(pairs: DataFrame,
                      maxCenterDegree: Option[Int] = None): DataFrame = {
@@ -191,10 +219,7 @@ object GraphOps {
         col("x.s").as("c"), col("x.d").as("dc"))
     val cn = wedges.groupBy(col("u"), col("v")).agg(
       count(lit(1)).as("common"),
-      aggregate(
-        array_sort(collect_list(struct(col("c"),
-          (lit(1.0) / col("dc").cast("double")).as("w")))),
-        lit(0.0), (acc, x) => acc + x.getField("w")).as("ra_index"))
+      quantizedSum(lit(1.0) / col("dc").cast("double")).as("ra_index"))
     cn
       .join(deg.select(col("s").as("u"), col("d").as("du")), "u")
       .join(deg.select(col("s").as("v"), col("d").as("dv")), "v")

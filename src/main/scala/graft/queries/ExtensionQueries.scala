@@ -459,8 +459,11 @@ object ExtensionQueries {
 
   /** PageRank oracle: the jp pair graph symmetrized, then `iters` unrolled
     * rank rounds. Every constant is forced through DOUBLE arithmetic and the
-    * per-node rank sum folds in source-id order from a 0.0 seed — the same
-    * IEEE operation sequence as GraphOps.pageRank, so ranks bit-match.
+    * per-node rank sum is GraphOps.quantizedSum's tree — each message
+    * floor-quantized to 10⁻¹⁸ fixed point (deterministic IEEE multiply +
+    * floor), summed exactly as HUGEINT (DuckDB's 128-bit exact adder,
+    * mirroring Spark's DECIMAL(38,0)), converted to double once — so ranks
+    * bit-match with NO ordered fold on either side.
     */
   private def pagerankOracle(iters: Int, damping: Double): String = {
     val d = s"CAST($damping AS DOUBLE)"
@@ -468,9 +471,8 @@ object ExtensionQueries {
       val prev = if (i == 1) "r0" else s"it${i - 1}"
       s"""it$i AS (
         |  SELECT e.t AS id,
-        |    (CAST(1.0 AS DOUBLE) - $d) / nn.n + $d * list_reduce(
-        |      list_prepend(CAST(0.0 AS DOUBLE), list(r.pr / dg.d ORDER BY e.s)),
-        |      (a, b) -> a + b) AS pr
+        |    (CAST(1.0 AS DOUBLE) - $d) / nn.n + $d *
+        |      (CAST(SUM(CAST(floor(r.pr / dg.d * 1e18) AS HUGEINT)) AS DOUBLE) / 1e18) AS pr
         |  FROM edges0 e JOIN $prev r ON r.id = e.s JOIN deg dg ON dg.s = e.s, nn
         |  GROUP BY e.t, nn.n)"""
     }.mkString(",\n")
@@ -1251,7 +1253,8 @@ object ExtensionQueries {
     // Fixed-iteration PageRank over the near-dup pair graph (the curation
     // use: rank documents/hosts by similarity-graph centrality before
     // sampling). 3 rounds, d = 0.85, undirected edges from the d02 Jaccard
-    // pairs; rank sums fold in source-id order so the doubles bit-match.
+    // pairs; rank sums are quantized exact-integer sums (GraphOps
+    // .quantizedSum) so the doubles bit-match with no per-node buffering.
     "g01_pagerank" -> of(pagerankOracle(3, 0.85)) { (s, d) =>
       graft.operators.GraphOps.pageRank(
         Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text"),
@@ -1310,8 +1313,8 @@ object ExtensionQueries {
     // pairs a noisy candidate generator may have dropped (LSH band miss)
     // for a second-pass exact verify, and flags weakly-attached cluster
     // bridges (is_edge with low jaccard) before transitive-closure merges
-    // them. Oracle mirrors the wedge-at-center plan and the center-id-
-    // ordered RA-weight fold operation for operation.
+    // them. Oracle mirrors the wedge-at-center plan and the quantized
+    // exact RA-weight sum operation for operation.
     "g04_node_similarity" -> of(
       s"""WITH ${jaccardCtes(None)},
         |und AS (SELECT id_a AS a, id_b AS b FROM jp),
@@ -1323,9 +1326,8 @@ object ExtensionQueries {
         |  JOIN deg dg ON dg.s = x.s),
         |cn AS (
         |  SELECT u, v, CAST(COUNT(*) AS BIGINT) AS common,
-        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-        |      list(CAST(1.0 AS DOUBLE) / CAST(dc AS DOUBLE) ORDER BY c)),
-        |      (a, b) -> a + b) AS ra_index
+        |    CAST(SUM(CAST(floor(CAST(1.0 AS DOUBLE) / CAST(dc AS DOUBLE) * 1e18)
+        |      AS HUGEINT)) AS DOUBLE) / 1e18 AS ra_index
         |  FROM wed GROUP BY u, v)
         |SELECT cn.u AS id_a, cn.v AS id_b, cn.common,
         |  CAST(cn.common AS DOUBLE) / (du.d + dv.d - cn.common) AS jaccard,

@@ -652,9 +652,12 @@ class PipelineOpsSpec extends SparkSpec {
     val n = deg.size.toDouble
     var r = deg.keys.map(_ -> 1.0 / n).toMap
     for (_ <- 1 to 3) r = deg.keys.map { t =>
-      val msum = edges.filter(_._2 == t).map(_._1).sorted
-        .foldLeft(0.0)((acc, s) => acc + r(s) / deg(s))
-      t -> ((1.0 - 0.85) / n + 0.85 * msum)
+      // the operator's quantizedSum tree: floor-quantize each message to
+      // 1e-18 fixed point, exact integer sum (BigInt = the DECIMAL(38,0)),
+      // one conversion back to double
+      val msumq = edges.filter(_._2 == t).map(_._1)
+        .map(s => BigInt(math.floor(r(s) / deg(s) * 1e18).toLong)).sum
+      t -> ((1.0 - 0.85) / n + 0.85 * (msumq.toDouble / 1e18))
     }.toMap
     assert(got.keySet === deg.keySet)
     deg.keys.foreach { id =>
@@ -886,9 +889,10 @@ class PipelineOpsSpec extends SparkSpec {
       assert(c === inter.size.toLong, s"common of ($a,$b)")
       assert(j === inter.size.toDouble /
         (nbrs(a).size + nbrs(b).size - inter.size), s"jaccard of ($a,$b)")
-      // bit-exact: same center-id-ordered fold from a 0.0 seed
-      assert(aa === inter.foldLeft(0.0)((acc, ctr) =>
-        acc + 1.0 / nbrs(ctr).size.toDouble), s"ra_index of ($a,$b)")
+      // bit-exact: same quantize-then-exact-sum tree as quantizedSum
+      assert(aa === inter.map(ctr =>
+        BigInt(math.floor(1.0 / nbrs(ctr).size.toDouble * 1e18).toLong))
+        .sum.toDouble / 1e18, s"ra_index of ($a,$b)")
       assert(e === und.contains((a, b)), s"is_edge of ($a,$b)")
     }
     // hub cap: center 1 (degree 3) and center 4 (degree 3) dropped at cap 2

@@ -326,6 +326,20 @@ class PlanSpec extends SparkSpec {
       s"triangle wedge/closure must stay equi-joins:\n${plan.take(1200)}")
   }
 
+  test("g01/g04: rank and RA sums are plain hash aggregates — no per-group message arrays") {
+    // the r10-verdict hub fix: a collect_list fold buffers a destination's
+    // whole in-neighborhood in one aggregation group (OOM at a degree-1e7
+    // hub); the quantizedSum tree must plan as a partial-aggregating
+    // HashAggregate whose state is one decimal, with no array in sight
+    for (q <- Seq("g01_pagerank", "g04_node_similarity")) {
+      val plan = physicalPlan(q)
+      assert(!plan.contains("collect_list") && !plan.contains("array_sort"),
+        s"$q must not buffer per-group message arrays:\n${plan.take(1200)}")
+      assert(!plan.contains("ObjectHashAggregate"),
+        s"$q sums must stay in codegen HashAggregate:\n${plan.take(1200)}")
+    }
+  }
+
   test("s11: cluster sample shuffles ONCE (the window key) — assignment is a projection") {
     val plan = physicalPlan("s11_cluster_sample")
     // assignment rides as centroid literals (no join), so the only data
