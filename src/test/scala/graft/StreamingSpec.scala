@@ -272,6 +272,89 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.except(batch).count() === 0)
   }
 
+  test("funnel: timeout emits the reached stage; numbering continues past the marker; marker TTL removes state") {
+    import graft.streaming.FunnelStream._
+    import org.apache.spark.sql.streaming.TestGroupState
+    def mk(prev: Option[OpenFunnel], wmMs: Long, timedOut: Boolean) =
+      TestGroupState.create[OpenFunnel](
+        prev.map(org.apache.spark.api.java.Optional.of[OpenFunnel])
+          .getOrElse(org.apache.spark.api.java.Optional.empty[OpenFunnel]()),
+        org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout,
+        batchProcessingTimeMs = 0,
+        eventTimeWatermarkMs = org.apache.spark.api.java.Optional.of[Long](wmMs),
+        hasTimedOut = timedOut)
+    // session 1 opens and advances view→click (stage 2)
+    val s1 = mk(None, 0, timedOut = false)
+    assert(funnel(7L, Iterator(
+      Ev(7L, null, 1000L, 1L, 1), Ev(7L, null, 2000L, 2L, 2)), s1).isEmpty)
+    assert(s1.get === OpenFunnel(1, 2000L, 2, 2))
+    // watermark passes → timeout: the session emits WITH its reached stage,
+    // the closed marker (counter kept, stage reset) re-arms for the TTL
+    val s2 = mk(Some(s1.get), Long.MaxValue / 2, timedOut = true)
+    assert(funnel(7L, Iterator.empty, s2).toSeq === Seq(FunnelRow(7L, 1, 2, 2)))
+    assert(s2.get === OpenFunnel(1, 2000L, 0, 0))
+    // a much later event continues as session 2, not a duplicate session 1
+    val s3 = mk(Some(s2.get), 0, timedOut = false)
+    assert(funnel(7L, Iterator(Ev(7L, null, GapMicros * 100, 3L, 1)), s3).isEmpty)
+    assert(s3.get.sessionNo === 2 && s3.get.stage === 1)
+    // the marker's own timeout (TTL) removes the state entirely — no
+    // immortal per-user rows
+    val s4 = mk(Some(s2.get), Long.MaxValue / 2, timedOut = true)
+    assert(funnel(7L, Iterator.empty, s4).isEmpty)
+    assert(s4.isRemoved)
+  }
+
+  test("funnel: in-batch gap closes a session with its stage; fold advances only on the exact next step") {
+    import graft.streaming.FunnelStream._
+    import org.apache.spark.sql.streaming.TestGroupState
+    // skipping a step does not advance; regression does not reset
+    assert(advance(advance(0, 1), 3) === 1)
+    assert(advance(advance(advance(0, 1), 2), 1) === 2)
+    val st = TestGroupState.create[OpenFunnel](
+      org.apache.spark.api.java.Optional.empty[OpenFunnel](),
+      org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout,
+      batchProcessingTimeMs = 0,
+      eventTimeWatermarkMs = org.apache.spark.api.java.Optional.of[Long](0L),
+      hasTimedOut = false)
+    // full view→click→purchase inside the gap, then a gap opens session 2
+    val out = funnel(1L, Iterator(
+      Ev(1L, null, 0L, 1L, 1), Ev(1L, null, 1000L, 2L, 2),
+      Ev(1L, null, 2000L, 3L, 3), Ev(1L, null, GapMicros * 10, 4L, 1)), st).toSeq
+    assert(out === Seq(FunnelRow(1L, 1, 3, 3)))
+    assert(st.get.sessionNo === 2 && st.get.stage === 1 && st.get.nEvents === 1)
+  }
+
+  test("cross-batch funnel continuity in a real multi-batch stream") {
+    import org.apache.spark.sql.streaming.Trigger
+    val tmp = java.nio.file.Files.createTempDirectory("events-2batch-funnel")
+    val ev = graft.queries.Q.events(spark, dir).orderBy("ts")
+    val rows = ev.collect()
+    val (first, second) = rows.splitAt(rows.length / 2)
+    val schema = ev.schema
+    Seq(("0", first), ("1", second)).foreach { case (name, part) =>
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(part.toSeq, 1), schema)
+        .write.parquet(s"$tmp/batch-$name")
+    }
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$tmp/batch-*")
+    val q = graft.streaming.FunnelStream.funnels(stream).toDF()
+      .writeStream.format("memory").queryName("two_batch_funnels")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("two_batch_funnels")
+    assert(q.lastProgress.batchId >= 1, "expected at least two micro-batches")
+    // the single-pass e33 run is driver-oracled against the batch SQL; the
+    // two-batch run ends at the same final watermark, so its closed +
+    // finalized rows must match exactly (no boundary splits or renumbering)
+    val single = graft.SparkEntry.queries("e33_stream_funnel")(spark, dir)
+      .select("user_id", "session_no", "stage", "n_events")
+    assert(streamed.count() > 0)
+    assert(streamed.except(single).count() === 0)
+    assert(single.except(streamed).count() === 0)
+  }
+
   test("streaming dedup drops within-watermark re-arrivals across batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val ctx = spark.sqlContext
