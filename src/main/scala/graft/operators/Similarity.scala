@@ -935,6 +935,49 @@ object Similarity {
     } finally v.unpersist()
   }
 
+  /** Per-vector cell residuals r = v − centroid(cell) under the given
+    * coarse centroids: (id, rv) with the same cosine-argmax assignment the
+    * IVF probe uses. The subtraction is one `zip_with` of IEEE doubles —
+    * deterministic, so residuals (and everything trained on them) stay
+    * bit-reproducible.
+    */
+  private[graft] def residualFrame(corpus: DataFrame, idCol: String,
+                                   vecCol: String,
+                                   cents: Array[Array[Double]]): DataFrame =
+    assignToCentroids(corpus, idCol, vecCol, cents)
+      .join(broadcast(centroidsDf(corpus.sparkSession, cents)), "cid")
+      .select(col("id"),
+        zip_with(col("v"), col("cvec"), (x, y) => x - y).as("rv"))
+
+  /** Residual product codebooks: the [[pqCodebooksFor]] trainer run over
+    * the cell residuals instead of the raw vectors — the FAISS IVF-PQ
+    * shape. Residuals cluster around the origin with the coarse structure
+    * subtracted out, so a fixed code budget spends its centroids on
+    * within-cell variation instead of re-describing cell means — the
+    * recall-per-byte gain the s14 gate measures. Deterministic end to end
+    * (assignment, subtraction, and the exact-decimal k-means), so a
+    * retraining inside Verify reproduces the search plan's codebooks
+    * bit-for-bit (the s09 dump contract).
+    */
+  def residualPqCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
+                          nCells: Int = 16, subspaces: Int = 4,
+                          codebookK: Int = 16,
+                          iters: Int = 3): Seq[Array[Array[Double]]] = {
+    val cents = kmeansCentroids(corpus, idCol, vecCol, nCells, iters)
+    residualPqCodebooksFor(corpus, idCol, vecCol, cents, subspaces,
+      codebookK, iters)
+  }
+
+  private def residualPqCodebooksFor(corpus: DataFrame, idCol: String,
+                                     vecCol: String,
+                                     cents: Array[Array[Double]],
+                                     subspaces: Int, codebookK: Int,
+                                     iters: Int): Seq[Array[Array[Double]]] = {
+    if (cents.isEmpty) return Seq.fill(subspaces)(Array.empty)
+    pqCodebooksFor(residualFrame(corpus, idCol, vecCol, cents), "id", "rv",
+      cents.head.length, subspaces, codebookK, iters)
+  }
+
   /** Codebook arrays → (sub, cid, cvec) DataFrame — shared by the search
     * plan and the Verify aux dump so both see literally the same values
     * (the [[centroidsDf]] contract, per subspace).
@@ -985,9 +1028,13 @@ object Similarity {
 
   /** The shared ADC→re-rank tail: candidate (query_id, neighbor_id, sub,
     * tdot) rows fold per candidate in SUBSPACE ORDER from a 0.0 seed (so
-    * the coarse cut is bit-reproducible on any partitioning), the coarse
+    * the coarse cut is bit-reproducible on any partitioning; the buffered
+    * list is `subspaces` entries — a constant, never a hub), the coarse
     * window keeps `coarseM` per query, and the exact cosine re-ranks the
-    * survivors into the top `k`.
+    * survivors into the top `k`. If the candidates carry an `adc_shift`
+    * column (the residual path's per-(query, cell) ⟨q, centroid⟩ dot,
+    * constant within a candidate group), the ADC score is shift + fold —
+    * the residual decomposition ⟨q,v⟩ ≈ ⟨q,c⟩ + ⟨q,r̂⟩.
     */
   private def pqRankTail(cands: DataFrame, queries: DataFrame,
                          corpus: DataFrame, idCol: String, v: Column,
@@ -998,11 +1045,19 @@ object Similarity {
       .orderBy(col("cosine").desc, col("neighbor_id"))
     val qv = queries.select(col(idCol).as("query_id"), v.as("qv"))
     val nv = corpus.select(col(idCol).as("neighbor_id"), v.as("nv"))
-    cands
-      .groupBy(col("query_id"), col("neighbor_id"))
-      .agg(aggregate(
-        array_sort(collect_list(struct(col("sub"), col("tdot").as("t")))),
-        lit(0.0), (acc, x) => acc + x.getField("t")).as("adc"))
+    val fold = aggregate(
+      array_sort(collect_list(struct(col("sub"), col("tdot").as("t")))),
+      lit(0.0), (acc, x) => acc + x.getField("t"))
+    val scored =
+      if (cands.columns.contains("adc_shift"))
+        cands.groupBy(col("query_id"), col("neighbor_id"))
+          .agg(fold.as("__adc0"), max(col("adc_shift")).as("__shift"))
+          .select(col("query_id"), col("neighbor_id"),
+            (col("__shift") + col("__adc0")).as("adc"))
+      else
+        cands.groupBy(col("query_id"), col("neighbor_id"))
+          .agg(fold.as("adc"))
+    scored
       .withColumn("__crn", row_number().over(coarseW))
       .filter(col("__crn") <= coarseM)
       .join(broadcast(qv), "query_id")
@@ -1062,11 +1117,15 @@ object Similarity {
   /** IVF-PQ composite index search — the two proven quantizers composed
     * into the workhorse large-corpus index architecture: a coarse k-means
     * partitions the corpus into cells ([[kmeansCentroids]], the s04
-    * trainer), each vector compresses to PQ codes ([[pqCodebooksFor]], the
-    * s09 trainer — non-residual: codes quantize the vector itself, not the
-    * cell residual; documented simplification), and a query touches ONLY
-    * the codes of its `nProbe` closest cells: ADC-scores them, keeps
-    * `coarseM`, exact-cosine re-ranks into the top `k`.
+    * trainer), each vector compresses to PQ codes, and a query touches
+    * ONLY the codes of its `nProbe` closest cells: ADC-scores them, keeps
+    * `coarseM`, exact-cosine re-ranks into the top `k`. `residual = true`
+    * (the s10 serving configuration) encodes the cell residual
+    * v − centroid(cell) against residual-trained codebooks and scores
+    * ⟨q,v⟩ ≈ ⟨q,c⟩ + Σ table entries — the FAISS shape, better recall at
+    * the same code budget (the s14 gate measures it); `false` quantizes
+    * the raw vector ([[pqCodebooksFor]] on v, the s09 flat-PQ trainer) as
+    * the cross-check option.
     *
     * Scale shape: the corpus is hash-partitioned by cell; a probe reads
     * nProbe/nCells of the CODES (bytes per vector), and floats surface
@@ -1078,12 +1137,18 @@ object Similarity {
   def ivfPqSearch(queries: DataFrame, corpus: DataFrame, idCol: String,
                   vecCol: String, k: Int, nProbe: Int = 2, coarseM: Int = 20,
                   nCells: Int = 16, subspaces: Int = 4, codebookK: Int = 16,
-                  iters: Int = 3): DataFrame = {
+                  iters: Int = 3, residual: Boolean = false): DataFrame = {
     graft.functions.NativeFunctions.register(queries.sparkSession)
     val dim = vectorDim(corpus, vecCol)
     val cents = kmeansCentroids(corpus, idCol, vecCol, nCells, iters)
-    val cbs = pqCodebooksFor(corpus, idCol, vecCol, dim, subspaces,
-      codebookK, iters)
+    // residual=true trains the codebooks on v − centroid(cell) (the FAISS
+    // IVF-PQ shape — see [[residualPqCodebooks]]); false keeps the
+    // raw-vector codebooks as the cross-check option
+    val cbs =
+      if (residual) residualPqCodebooksFor(corpus, idCol, vecCol, cents,
+        subspaces, codebookK, iters)
+      else pqCodebooksFor(corpus, idCol, vecCol, dim, subspaces,
+        codebookK, iters)
     val v = col(vecCol).cast("array<double>")
     if (cents.isEmpty || cbs.exists(_.isEmpty))
       return queries.limit(0).select(col(idCol).cast("long").as("query_id"),
@@ -1092,7 +1157,8 @@ object Similarity {
     val sub = dim / subspaces
     val cent = broadcast(centroidsDf(queries.sparkSession, cents)
       .withColumn("c_norm", l2norm(col("cvec"))))
-    // cell assignment/probing: the s04 window shape (cosine rank, cid tie)
+    // cell assignment/probing: the s04 window shape (cosine rank, cid
+    // tie); probe rows carry ⟨q, centroid⟩ — the residual path's ADC shift
     def closestCells(df: DataFrame, idAs: String, n: Int) = {
       val w = Window.partitionBy(col(idAs)).orderBy(col("c_sim").desc, col("cid"))
       df.select(col(idCol).as(idAs), v.as("__v"))
@@ -1101,16 +1167,25 @@ object Similarity {
         .withColumn("c_sim", dot(col("__v"), col("cvec")) / (col("v_norm") * col("c_norm")))
         .withColumn("crn", row_number().over(w))
         .filter(col("crn") <= n)
-        .select(col(idAs), col("cid").as("cell"))
+        .select(col(idAs), col("cid").as("cell"),
+          dot(col("__v"), col("cvec")).as("adc_shift"))
     }
     // corpus → (cell, PQ code rows): only codes move through the probe
-    // join; the shared tail folds + ranks exactly as pqSearch
+    // join; the shared tail folds + ranks exactly as pqSearch. On the
+    // residual path the encoded vector is the cell residual.
+    val encoded =
+      if (residual)
+        residualFrame(corpus, idCol, vecCol, cents)
+          .select(col("id").as("neighbor_id") +:
+            pqCodeCols(cbs, col("rv"), sub): _*)
+      else corpus.select(col(idCol).as("neighbor_id") +: pqCodeCols(cbs, v, sub): _*)
     val melted = pqMeltCodes(
-      corpus.select(col(idCol).as("neighbor_id") +: pqCodeCols(cbs, v, sub): _*)
-        .join(closestCells(corpus, "neighbor_id", 1), "neighbor_id"),
+      encoded.join(
+        closestCells(corpus, "neighbor_id", 1).drop("adc_shift"), "neighbor_id"),
       subspaces, Seq("cell"))
     val tables = pqAdcTables(queries, idCol, v, cbs, sub)
-    val probes = closestCells(queries, "query_id", nProbe)
+    val probes0 = closestCells(queries, "query_id", nProbe)
+    val probes = if (residual) probes0 else probes0.drop("adc_shift")
     pqRankTail(
       melted.join(broadcast(probes), Seq("cell"))
         .filter(col("query_id") =!= col("neighbor_id"))
@@ -1128,7 +1203,8 @@ object Similarity {
   final case class IvfPqIndex(codes: String, centroids: String,
                               codebooks: String, vectors: String,
                               nCells: Int, subspaces: Int, codebookK: Int,
-                              dim: Int, corpusRows: Long, buckets: Int)
+                              dim: Int, corpusRows: Long, buckets: Int,
+                              residual: Boolean = false)
 
   /** Materialize the standing IVF-PQ index — train both quantizers and
     * encode ONCE; every later query batch ADC-scans stored codes for its
@@ -1143,30 +1219,41 @@ object Similarity {
   def writeIvfPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
                       namePrefix: String, nCells: Int = 16,
                       subspaces: Int = 4, codebookK: Int = 16,
-                      iters: Int = 3, buckets: Int = 16): IvfPqIndex = {
+                      iters: Int = 3, buckets: Int = 16,
+                      residual: Boolean = false): IvfPqIndex = {
     val spark = corpus.sparkSession
     graft.functions.NativeFunctions.register(spark)
     val dim = vectorDim(corpus, vecCol)
+    // residual codes are a different layout identity — the flag rides the
+    // table names so residual and raw indexes never alias in the catalog
+    val res = if (residual) "_res" else ""
     val idx = IvfPqIndex(
-      s"${namePrefix}_codes_c${nCells}_s${subspaces}x${codebookK}_b$buckets",
+      s"${namePrefix}_codes${res}_c${nCells}_s${subspaces}x${codebookK}_b$buckets",
       s"${namePrefix}_cent_c$nCells",
-      s"${namePrefix}_cb_s${subspaces}x$codebookK",
+      s"${namePrefix}_cb${res}_s${subspaces}x$codebookK",
       s"${namePrefix}_vec_b$buckets",
-      nCells, subspaces, codebookK, dim, 0L, buckets)
+      nCells, subspaces, codebookK, dim, 0L, buckets, residual)
     if (!(spark.catalog.tableExists(idx.codes) &&
         spark.catalog.tableExists(idx.centroids) &&
         spark.catalog.tableExists(idx.codebooks) &&
         spark.catalog.tableExists(idx.vectors))) {
       val cents = kmeansCentroids(corpus, idCol, vecCol, nCells, iters)
-      val cbs = pqCodebooksFor(corpus, idCol, vecCol, dim, subspaces,
-        codebookK, iters)
+      val cbs =
+        if (residual) residualPqCodebooksFor(corpus, idCol, vecCol, cents,
+          subspaces, codebookK, iters)
+        else pqCodebooksFor(corpus, idCol, vecCol, dim, subspaces,
+          codebookK, iters)
       val sub = dim / subspaces
       val v = col(vecCol).cast("array<double>")
       val cells = assignToCentroids(corpus, idCol, vecCol, cents)
         .select(col("id").as("neighbor_id"), col("cid").as("cell"))
-      val melted = pqMeltCodes(
-        corpus.select(col(idCol).as("neighbor_id") +: pqCodeCols(cbs, v, sub): _*)
-          .join(cells, "neighbor_id"),
+      val encoded =
+        if (residual)
+          residualFrame(corpus, idCol, vecCol, cents)
+            .select(col("id").as("neighbor_id") +:
+              pqCodeCols(cbs, col("rv"), sub): _*)
+        else corpus.select(col(idCol).as("neighbor_id") +: pqCodeCols(cbs, v, sub): _*)
+      val melted = pqMeltCodes(encoded.join(cells, "neighbor_id"),
         subspaces, Seq("cell"))
       graft.sources.BucketedLake.writeBucketedTable(spark, idx.codes,
         melted, "cell", buckets)
@@ -1197,13 +1284,17 @@ object Similarity {
     val cent = broadcast(spark.table(index.centroids)
       .withColumn("c_norm", l2norm(col("cvec"))))
     val w = Window.partitionBy(col("query_id")).orderBy(col("c_sim").desc, col("cid"))
-    val probes = queries.select(col(idCol).as("query_id"), v.as("__v"))
+    val probes0 = queries.select(col(idCol).as("query_id"), v.as("__v"))
       .withColumn("v_norm", l2norm(col("__v")))
       .crossJoin(cent)
       .withColumn("c_sim", dot(col("__v"), col("cvec")) / (col("v_norm") * col("c_norm")))
       .withColumn("crn", row_number().over(w))
       .filter(col("crn") <= nProbe)
-      .select(col("query_id"), col("cid").as("cell"))
+      .select(col("query_id"), col("cid").as("cell"),
+        dot(col("__v"), col("cvec")).as("adc_shift"))
+    // a residual index scores shift + fold (the stored codes are residual
+    // codes); a raw index drops the shift column and folds alone
+    val probes = if (index.residual) probes0 else probes0.drop("adc_shift")
     val tables = queries.select(col(idCol).as("query_id"), v.as("qv"))
       .crossJoin(broadcast(spark.table(index.codebooks)))
       .select(col("query_id"), col("sub"), col("cid"),

@@ -114,6 +114,18 @@ object AuxDumps {
         graft.operators.Similarity.pqCodebooks(
           t(s, d, "embeddings"), "vec_id", "embedding"))),
 
+    // s10/s19/s14: the RESIDUAL product codebooks — trained on
+    // v − centroid(cell) under the s04 coarse quantizer, the serving
+    // configuration's code source. Same bit-reproducible training chain
+    // (deterministic assignment, one zip_with subtraction, exact-decimal
+    // k-means), so this second training emits exactly the codebooks the
+    // s10 plan used; the oracle rebuilds residuals, codes, ADC shifts and
+    // folds from it in SQL.
+    "s09r_codebooks" -> ((s, d) =>
+      graft.operators.Similarity.pqCodebooksDf(s,
+        graft.operators.Similarity.residualPqCodebooks(
+          t(s, d, "embeddings"), "vec_id", "embedding"))),
+
     // s18: the FROZEN initial-half quantizer the appended IVF index serves
     // under — trained on `vec_id % 4 ≠ 0` with the same bit-reproducible
     // k-means the index build ran, so this second training inside Verify

@@ -618,16 +618,22 @@ object ExtensionQueries {
       |  FROM scored) x
       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
-  /** The s10 IVF-PQ oracle, same split. */
+  /** The s10 IVF-PQ oracle, same split — the RESIDUAL path (the serving
+    * configuration): corpus codes quantize v − centroid(cell) against the
+    * residual-trained codebooks (aux `s09r_codebooks`), and each
+    * candidate's ADC score is the probed cell's ⟨q, centroid⟩ shift plus
+    * the subspace-ordered table fold.
+    */
   private val (ivfPqCtes, ivfPqSelect) = {
     def sdot(a: String, b: String) =
       s"list_sum(list_transform(list_zip($a, $b), x -> x[1] * x[2]))"
     def cos(a: String, b: String) =
       s"${sdot(a, b)} / (sqrt(${sdot(a, a)}) * sqrt(${sdot(b, b)}))"
-    val qslice = "v[CAST(sub*16+1 AS INT) : CAST(sub*16+16 AS INT)]"
+    val rslice = "rv[CAST(sub*16+1 AS INT) : CAST(sub*16+16 AS INT)]"
+    val qslice = "q.v[CAST(sub*16+1 AS INT) : CAST(sub*16+16 AS INT)]"
     val ctes =
       s"""cent AS (SELECT cid, cvec AS cv FROM read_parquet('{{AUX}}/s04_centroids/*.parquet')),
-        |cb AS (SELECT sub, cid, cvec FROM read_parquet('{{AUX}}/s09_codebooks/*.parquet')),
+        |cb AS (SELECT sub, cid, cvec FROM read_parquet('{{AUX}}/s09r_codebooks/*.parquet')),
         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |cells AS (
         |  SELECT vec_id, cid AS cell FROM (
@@ -635,25 +641,29 @@ object ExtensionQueries {
         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
         |        ORDER BY ${cos("e.v", "ct.cv")} DESC, ct.cid) AS crn
         |    FROM e CROSS JOIN cent ct) x WHERE crn = 1),
+        |res AS (
+        |  SELECT e.vec_id, list_transform(list_zip(e.v, ct.cv), x -> x[1] - x[2]) AS rv
+        |  FROM e JOIN cells cl ON cl.vec_id = e.vec_id
+        |  JOIN cent ct ON ct.cid = cl.cell),
         |probes AS (
-        |  SELECT vec_id AS query_id, cid AS cell FROM (
-        |    SELECT q.vec_id, ct.cid,
+        |  SELECT vec_id AS query_id, cid AS cell, qdot FROM (
+        |    SELECT q.vec_id, ct.cid, ${sdot("q.v", "ct.cv")} AS qdot,
         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
         |        ORDER BY ${cos("q.v", "ct.cv")} DESC, ct.cid) AS crn
         |    FROM e q CROSS JOIN cent ct WHERE q.vec_id < 10) x WHERE crn <= 2),
         |codes AS (
         |  SELECT vec_id, sub, cid FROM (
-        |    SELECT e.vec_id, cb.sub, cb.cid,
-        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id, cb.sub
-        |        ORDER BY ${sdot(qslice, "cb.cvec")} DESC, cb.cid) AS rn
-        |    FROM e, cb) x WHERE rn = 1),
+        |    SELECT r.vec_id, cb.sub, cb.cid,
+        |      ROW_NUMBER() OVER (PARTITION BY r.vec_id, cb.sub
+        |        ORDER BY ${sdot("r." + rslice, "cb.cvec")} DESC, cb.cid) AS rn
+        |    FROM res r, cb) x WHERE rn = 1),
         |tabs AS (
         |  SELECT q.vec_id AS query_id, cb.sub, cb.cid,
-        |    ${sdot(qslice.replace("v[", "q.v["), "cb.cvec")} AS tdot
+        |    ${sdot(qslice, "cb.cvec")} AS tdot
         |  FROM e q, cb WHERE q.vec_id < 10),
         |adcs AS (
         |  SELECT t.query_id, c.vec_id AS neighbor_id,
-        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(t.tdot ORDER BY t.sub)),
+        |    MAX(p.qdot) + list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(t.tdot ORDER BY t.sub)),
         |      (a, b) -> a + b) AS adc
         |  FROM cells cl
         |  JOIN probes p ON p.cell = cl.cell
@@ -1599,16 +1609,18 @@ object ExtensionQueries {
         .orderBy("query_id", "rank")
     },
 
-    // IVF-PQ composite search (s10): the s04 coarse cells and the s09
-    // product codes stacked into the workhorse index — a query ADC-scores
-    // ONLY the codes of its 2 probed cells, then exact-cosine re-ranks the
-    // coarse top-20. Both quantizers are the already-dumped primitives, so
-    // the oracle rebuilds assignment, probing, codes, tables, folds and
-    // both rankings from the same two aux tables s04 and s09 use.
+    // IVF-PQ composite search (s10): the s04 coarse cells and RESIDUAL
+    // product codes stacked into the workhorse index — each corpus vector
+    // encodes v − centroid(cell), a query ADC-scores ONLY the codes of its
+    // 2 probed cells as ⟨q,centroid⟩ + table fold, then exact-cosine
+    // re-ranks the coarse top-20. The oracle rebuilds assignment,
+    // residuals, probing, codes, tables, shifts, folds and both rankings
+    // from the s04 + s09r aux dumps.
     "s10_ivf_pq" -> of(s"WITH $ivfPqCtes\n$ivfPqSelect") { (s, d) =>
       val e = t(s, d, "embeddings")
       Similarity.ivfPqSearch(e.filter(col("vec_id") < 10), e,
-        "vec_id", "embedding", k = 5, nProbe = 2, coarseM = 20)
+        "vec_id", "embedding", k = 5, nProbe = 2, coarseM = 20,
+        residual = true)
         .orderBy("query_id", "rank")
     },
 
@@ -1807,7 +1819,8 @@ object ExtensionQueries {
     "s19_ivfpq_indexed" -> of(s"WITH $ivfPqCtes\n$ivfPqSelect") { (s, d) =>
       val e = t(s, d, "embeddings")
       val idx = Similarity.writeIvfPqIndex(e, "vec_id", "embedding",
-        "ivfpq_idx_" + graft.sources.BucketedLake.layoutSuffix(d + "#ivfpq", 16))
+        "ivfpq_idx_" + graft.sources.BucketedLake.layoutSuffix(d + "#ivfpq", 16),
+        residual = true)
       Similarity.ivfPqSearchIndexed(e.filter(col("vec_id") < 10), idx,
         "vec_id", "embedding", k = 5, nProbe = 2, coarseM = 20)
         .orderBy("query_id", "rank")
@@ -1864,7 +1877,7 @@ object ExtensionQueries {
       val q = e.filter(col("vec_id") < 10)
       Similarity.recallAtK(
         Similarity.ivfPqSearch(q, e, "vec_id", "embedding",
-          k = 5, nProbe = 2, coarseM = 20),
+          k = 5, nProbe = 2, coarseM = 20, residual = true),
         Similarity.cosineTopK(q, e, "vec_id", "embedding", 5), k = 5)
         .orderBy("query_id")
     },

@@ -318,6 +318,24 @@ class ExtensionSpec extends SparkSpec {
     assert(again === idx)
   }
 
+  test("s19 residual standing index serves the direct residual search bit-for-bit; layouts don't alias") {
+    val q = embs.filter(col("vec_id") < 10)
+    val idx = Similarity.writeIvfPqIndex(embs, "vec_id", "embedding",
+      "ivfpq_res_spec", residual = true)
+    assert(idx.residual)
+    val indexed = Similarity.ivfPqSearchIndexed(q, idx, "vec_id", "embedding",
+      k = 5, nProbe = 2, coarseM = 20)
+    val direct = Similarity.ivfPqSearch(q, embs, "vec_id", "embedding",
+      k = 5, nProbe = 2, coarseM = 20, residual = true)
+    assert(indexed.orderBy("query_id", "rank").collect().toSeq ===
+      direct.orderBy("query_id", "rank").collect().toSeq)
+    // residual and raw indexes under the same prefix are distinct catalog
+    // layouts (the flag rides the code/codebook table names)
+    val raw = Similarity.writeIvfPqIndex(embs, "vec_id", "embedding",
+      "ivfpq_res_spec", residual = false)
+    assert(raw.codes != idx.codes && raw.codebooks != idx.codebooks)
+  }
+
   test("s18 IVF append: appended cells == frozen-quantizer assignment of the union") {
     val half1 = embs.filter(pmod(col("vec_id"), lit(2)) === 0)
     val half2 = embs.filter(pmod(col("vec_id"), lit(2)) =!= 0)

@@ -1136,6 +1136,41 @@ class PipelineOpsSpec extends SparkSpec {
     assert(ivfpq === exact)
   }
 
+  test("residual ivfPqSearch probing every cell with an all-pass coarse == brute-force top-k") {
+    // the residual decomposition ⟨q,c⟩ + table fold changes ADC scores but
+    // never the exact re-rank — with nothing cut, residual must also
+    // reproduce brute force (and its adc column differs from raw's, which
+    // is why only ids/cosines are compared)
+    val q = embs.filter(col("vec_id") < 10)
+    val ivfpq = Similarity.ivfPqSearch(q, embs, "vec_id", "embedding",
+      k = 5, nProbe = 16, coarseM = 1000000, residual = true)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getLong(2), r.getDouble(4))).toMap
+    val exact = Similarity.cosineTopK(q, embs, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(ivfpq === exact)
+  }
+
+  test("residual PQ recall >= raw PQ recall at equal code budget (r10 verdict gate)") {
+    // the point of residual encoding: the same subspaces×codebookK code
+    // budget describes within-cell variation instead of re-describing cell
+    // means, so the ADC ordering cuts fewer true neighbors. Hits are
+    // summed across queries AND across three coarse budgets so a one-query
+    // tie can't mask a regression (sf0.01 measurement: 0.204/0.316/0.448
+    // residual vs 0.176/0.296/0.376 raw at coarseM 5/10/20).
+    val q = embs.filter(col("vec_id") < 25)
+    val exact = Similarity.cosineTopK(q, embs, "vec_id", "embedding", 5)
+    def hits(residual: Boolean): Long = Seq(5, 10, 20).map { cm =>
+      Similarity.recallAtK(
+        Similarity.ivfPqSearch(q, embs, "vec_id", "embedding",
+          k = 5, nProbe = 2, coarseM = cm, residual = residual),
+        exact, 5).agg(sum("n_hit")).head().getLong(0)
+    }.sum
+    val (res, raw) = (hits(residual = true), hits(residual = false))
+    assert(res >= raw, s"residual hits $res < raw hits $raw at equal budget")
+  }
+
   test("dedupByContent: identical payloads collapse to min-id survivor; copies conserved") {
     import spark.implicits._
     val media = graft.operators.Multimodal.asMediaTable(
