@@ -214,6 +214,98 @@ case class HyperplaneSignatures(left: Expression, right: Expression,
     copy(left = l, right = r)
 }
 
+/** Content-defined chunk boundaries of a BINARY payload by gear rolling
+  * hash — `gear_chunk_ends(payload, maskBits)` → ARRAY<LONG> of 1-based
+  * chunk END positions (the last element is always the payload length, so
+  * chunk i spans (ends[i-1], ends[i]]).
+  *
+  * The gear scheme (Xia et al., FastCDC lineage): h ← (h << 1) + gear[b]
+  * per byte, cut after any byte where the low `maskBits` bits of h are
+  * zero — expected chunk length 2^maskBits. Because the shift discards a
+  * bit per step, the cut decision at position i depends ONLY on the last
+  * `maskBits` bytes, so boundaries are position-local: a byte INSERTION
+  * re-chunks one chunk and the stream re-synchronizes at the next cut,
+  * which is exactly the shifted-copy detection fixed-size chunking
+  * provably lacks (SCALE.md). No min/max bounds in this form — bounds
+  * would make cuts sequential-dependent and kill the local property the
+  * oracle recomputes; production would add them in this same loop.
+  *
+  * One tight byte loop per row, inside whole-stage codegen (the generated
+  * code calls [[GearChunkEnds.compute]] — a static JVM loop, not
+  * interpreted expression eval). The 256-entry gear table derives from the
+  * splitmix64 finalizer of the byte value and is exposed as a DataFrame
+  * ([[graft.operators.Multimodal.gearTableDf]]) so the DuckDB oracle
+  * replays the identical boundaries from the dumped table.
+  */
+case class GearChunkEnds(child: Expression, maskBits: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == org.apache.spark.sql.types.BinaryType &&
+        maskBits > 0 && maskBits <= 30) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"gear_chunk_ends expects (BINARY payload) with 0 < maskBits <= 30, " +
+        s"got ${child.dataType.sql}, maskBits=$maskBits")
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = "gear_chunk_ends"
+
+  override def nullSafeEval(input: Any): Any =
+    GearChunkEnds.compute(input.asInstanceOf[Array[Byte]], maskBits)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.GearChunkEnds.compute($c, $maskBits);")
+
+  override protected def withNewChildInternal(c: Expression): GearChunkEnds =
+    copy(child = c)
+}
+
+object GearChunkEnds {
+
+  /** splitmix64 finalizer (public-domain mixing constants) of b+1 — the
+    * deterministic per-byte gear value. b+1, not b, so byte 0x00 doesn't
+    * map through mix(0) (a weak all-zero-input point of the finalizer).
+    */
+  private[graft] def mix(x: Long): Long = {
+    var z = x + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  private[graft] val table: Array[Long] = Array.tabulate(256)(b => mix(b + 1L))
+
+  /** Two passes over the bytes — count cuts, then fill the exact-size
+    * array — so per-row extra memory is O(chunks), never O(bytes).
+    */
+  def compute(bytes: Array[Byte], maskBits: Int): ArrayData = {
+    val n = bytes.length
+    val mask = (1L << maskBits) - 1
+    var cuts = 0
+    var h = 0L
+    var i = 0
+    while (i < n) {
+      h = (h << 1) + table(bytes(i) & 0xFF)
+      i += 1
+      if ((h & mask) == 0L && i < n) cuts += 1
+    }
+    val out = new Array[Long](if (n == 0) 0 else cuts + 1)
+    if (n > 0) {
+      var k = 0
+      h = 0L
+      i = 0
+      while (i < n) {
+        h = (h << 1) + table(bytes(i) & 0xFF)
+        i += 1
+        if ((h & mask) == 0L && i < n) { out(k) = i.toLong; k += 1 }
+      }
+      out(cuts) = n.toLong
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 /** Max-similarity centroid id of a vector against a centroid matrix in ONE
   * fused loop — `nearest_centroid(vec, flatCents, norms, useVnorm)` → LONG.
   * `flatCents` is the k × dim centroid matrix flattened row-major and
@@ -557,6 +649,33 @@ object NativeFunctions {
           intConstArg("hyperplane_signatures", "tables", exprs(3))),
         "built-in")
     }
+  }
+
+  private def registerGear(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    val ident = org.apache.spark.sql.catalyst.FunctionIdentifier("gear_chunk_ends")
+    val alreadyOurs = registry.functionExists(ident) &&
+      (try {
+        val blob = org.apache.spark.sql.catalyst.expressions.Literal.create(
+          Array.empty[Byte], org.apache.spark.sql.types.BinaryType)
+        val one = org.apache.spark.sql.catalyst.expressions.Literal(6)
+        registry.lookupFunction(ident, Seq(blob, one))
+          .isInstanceOf[GearChunkEnds]
+      } catch { case _: Throwable => false })
+    if (!alreadyOurs) {
+      registry.createOrReplaceTempFunction("gear_chunk_ends", exprs =>
+        GearChunkEnds(exprs(0),
+          intConstArg("gear_chunk_ends", "maskBits", exprs(1))),
+        "built-in")
+    }
+  }
+
+  /** Gear content-defined chunk end positions of a BINARY payload (see
+    * [[GearChunkEnds]]).
+    */
+  def gearChunkEnds(spark: SparkSession, payload: Column, maskBits: Int): Column = {
+    registerGear(spark)
+    call_function("gear_chunk_ends", payload, lit(maskBits))
   }
 
   /** Spark's own runtime-filter primitives — `BloomFilterAggregate` /

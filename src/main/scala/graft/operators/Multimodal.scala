@@ -109,9 +109,9 @@ object Multimodal {
     * once on the digest for the first-occurrence ranking, once on doc_id
     * for the rollup — so shuffle volume is O(chunks), independent of blob
     * size. Fixed-size chunking is the deliberate baseline (deterministic,
-    * oracle-able); a content-defined chunker (Rabin/Gear) would raise the
-    * dedup hit rate on shifted payloads at the cost of a data-dependent
-    * boundary scan, and would slot into the same digest→rank→rollup plan.
+    * cheapest boundary math); [[gearChunks]] is the content-defined
+    * alternative that raises the dedup hit rate on shifted payloads and
+    * slots into this same digest→rank→rollup plan.
     */
   def chunkDedupStats(media: DataFrame, chunkBytes: Int = 64): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
@@ -141,8 +141,16 @@ object Multimodal {
     * (id_a < id_b, inter, sz_a, sz_b, jaccard ≥ threshold).
     */
   def chunkJaccardPairs(media: DataFrame, threshold: Double = 0.5,
-                        chunkBytes: Int = 64): DataFrame = {
-    val d = hexChunks(media, chunkBytes)
+                        chunkBytes: Int = 64): DataFrame =
+    jaccardFromChunks(hexChunks(media, chunkBytes), threshold)
+
+  /** The digest→bucket-join→Jaccard tail shared by the fixed-size (m07)
+    * and content-defined (m12) pair surfaces — the chunker is the only
+    * difference between them, so the pairing semantics cannot drift.
+    */
+  private def jaccardFromChunks(chunks: DataFrame,
+                                threshold: Double): DataFrame = {
+    val d = chunks
       .select(col("doc_id"), sha2(unhex(col("chunk_hex")), 256).as("digest"))
       .distinct()
     val sizes = d.groupBy("doc_id").agg(count(lit(1)).as("sz"))
@@ -157,6 +165,55 @@ object Multimodal {
         (col("sz_a") + col("sz_b") - col("inter")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "inter", "sz_a", "sz_b", "jaccard")
+  }
+
+  /** Content-defined (gear rolling-hash) chunk layout — the
+    * [[hexChunks]] contract with data-dependent boundaries
+    * ([[graft.functions.GearChunkEnds]]: cut where the low `maskBits`
+    * bits of the rolling hash are zero, expected chunk 2^maskBits bytes).
+    * Fixed-size chunking detects shared content only when it stays
+    * chunk-ALIGNED; gear boundaries move with the bytes, so a one-byte
+    * insertion re-chunks a single chunk and everything after the next cut
+    * digests identically — the m12 shifted-copy case. Boundary scan runs
+    * in the scan stage (one codegen byte loop per blob); downstream is
+    * byte-for-byte the m02 layout, so every digest consumer composes
+    * unchanged.
+    */
+  def gearChunks(media: DataFrame, maskBits: Int = 6): DataFrame = {
+    val ends = graft.functions.NativeFunctions.gearChunkEnds(
+      media.sparkSession, col("payload"), maskBits)
+    media.filter(octet_length(col("payload")) > 0)
+      .select(col("doc_id"), col("payload"), ends.as("ends"))
+      .select(col("doc_id"), col("payload"), col("ends"),
+        posexplode(col("ends")).as(Seq("chunk_no", "en")))
+      .withColumn("st",
+        when(col("chunk_no") === 0, lit(1L))
+          .otherwise(element_at(col("ends"), col("chunk_no")) + 1))
+      .select(col("doc_id"), col("chunk_no").cast("long").as("chunk_no"),
+        hex(expr("substring(payload, cast(st as int), cast(en - st + 1 as int))"))
+          .as("chunk_hex"))
+  }
+
+  /** Blob near-dup pairs over the content-defined chunk layout — the m07
+    * contract with the alignment caveat lifted: a byte-SHIFTED copy pairs
+    * with its original because gear boundaries re-synchronize after the
+    * edit (the case fixed-size chunking provably misses). Same digest
+    * bucket join, same O(chunks) wire volume, same hub-digest/df-cut
+    * story as [[chunkJaccardPairs]].
+    */
+  def gearChunkJaccardPairs(media: DataFrame, threshold: Double = 0.5,
+                            maskBits: Int = 6): DataFrame =
+    jaccardFromChunks(gearChunks(media, maskBits), threshold)
+
+  /** The 256-entry gear table as (b, g) rows — the hash primitive the m12
+    * oracle consumes (the hyperplanes/doc_hashes aux contract: DuckDB
+    * replays chunk boundaries from the dumped table instead of
+    * reimplementing the splitmix64 derivation).
+    */
+  def gearTableDf(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import spark.implicits._
+    graft.functions.GearChunkEnds.table.zipWithIndex
+      .map { case (g, b) => (b.toLong, g) }.toSeq.toDF("b", "g")
   }
 
   /** Incremental media ingest screen — the d11 daily-ingest shape for the

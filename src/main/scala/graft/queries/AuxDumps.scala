@@ -126,6 +126,13 @@ object AuxDumps {
         graft.operators.Similarity.residualPqCodebooks(
           t(s, d, "embeddings"), "vec_id", "embedding"))),
 
+    // m12: the 256-entry gear table (b, g) — the rolling-hash primitive of
+    // content-defined chunking. The oracle recomputes every boundary from
+    // it in SQL (the cut decision is local to the last maskBits bytes, so
+    // a windowed self-join sum reproduces the rolling hash exactly);
+    // only the splitmix64 derivation of the table itself rides the dump.
+    "gear_table" -> ((s, _) => graft.operators.Multimodal.gearTableDf(s)),
+
     // s18: the FROZEN initial-half quantizer the appended IVF index serves
     // under — trained on `vec_id % 4 ≠ 0` with the same bit-reproducible
     // k-means the index build ran, so this second training inside Verify

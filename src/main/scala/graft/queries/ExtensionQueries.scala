@@ -3051,6 +3051,77 @@ object ExtensionQueries {
         .orderBy("fresh_id", "corpus_id")
     },
 
+    // Content-defined chunk near-dup pairs (m12): the m07 contract with a
+    // gear rolling-hash chunker, on a corpus that CONTAINS byte-shifted
+    // copies (docs < 20 re-appear one byte longer under id + 100000) — the
+    // case fixed-size chunking provably misses, because every 64-byte
+    // window shifts by one. Gear boundaries move with the bytes: the cut
+    // decision is local to the last maskBits bytes, so after the first cut
+    // past the insertion the chunk stream re-synchronizes and the shifted
+    // copy shares every later chunk with its original. The oracle rebuilds
+    // the rolling hash from the dumped gear table (the cut at position i
+    // is (Σ_{d<6} gear(b_{i−d})·2^d) mod 64 = 0 — a windowed self-join),
+    // derives boundaries, chunk spans, distinct chunk sets and the
+    // Jaccard from scratch over injective chunk_hex (the m07 tail).
+    "m12_cdc_chunk_pairs" -> of(
+      s"""WITH hx AS (SELECT i AS v, printf('%02X', i) AS h FROM range(0, 256) t(i)),
+        |gear AS (SELECT b, g FROM read_parquet('{{AUX}}/gear_table/*.parquet')),
+        |base AS (
+        |  SELECT doc_id, hex(encode(text)) AS ph,
+        |    octet_length(encode(text)) AS n FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, hex(encode('~' || text)),
+        |    octet_length(encode('~' || text)) FROM documents WHERE doc_id < 20),
+        |bytes AS (
+        |  SELECT base.doc_id, i AS pos, hx.v AS b
+        |  FROM base, UNNEST(range(1, n + 1)) u(i)
+        |  JOIN hx ON hx.h = substring(ph, CAST((i - 1) * 2 + 1 AS INT), 2)),
+        |gb AS (SELECT bytes.doc_id, pos, g & 63 AS gk
+        |       FROM bytes JOIN gear ON gear.b = bytes.b),
+        |cuts AS (
+        |  SELECT doc_id, pos FROM (
+        |    SELECT x.doc_id, x.pos,
+        |      SUM(y.gk * (1::BIGINT << CAST(x.pos - y.pos AS INT))) AS s
+        |    FROM gb x JOIN gb y
+        |      ON y.doc_id = x.doc_id AND y.pos > x.pos - 6 AND y.pos <= x.pos
+        |    GROUP BY x.doc_id, x.pos) z
+        |  WHERE (z.s & 63) = 0),
+        |ends AS (
+        |  SELECT c.doc_id, c.pos
+        |  FROM cuts c JOIN base ON base.doc_id = c.doc_id AND c.pos < base.n
+        |  UNION
+        |  SELECT doc_id, n FROM base),
+        |chunks AS (
+        |  SELECT doc_id,
+        |    COALESCE(LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos), 0) + 1 AS st,
+        |    pos AS en
+        |  FROM ends),
+        |d AS (
+        |  SELECT DISTINCT c.doc_id,
+        |    substring(b2.ph, CAST((c.st - 1) * 2 + 1 AS INT),
+        |      CAST((c.en - c.st + 1) * 2 AS INT)) AS chunk_hex
+        |  FROM chunks c JOIN base b2 ON b2.doc_id = c.doc_id),
+        |sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM d GROUP BY doc_id),
+        |sh AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS inter
+        |  FROM d a JOIN d b ON a.chunk_hex = b.chunk_hex AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT sh.id_a, sh.id_b, sh.inter, sa.sz AS sz_a, sb.sz AS sz_b,
+        |  CAST(sh.inter AS DOUBLE) / CAST(sa.sz + sb.sz - sh.inter AS DOUBLE) AS jaccard
+        |FROM sh JOIN sz sa ON sa.doc_id = sh.id_a JOIN sz sb ON sb.doc_id = sh.id_b
+        |WHERE CAST(sh.inter AS DOUBLE) / CAST(sa.sz + sb.sz - sh.inter AS DOUBLE) >= 0.4
+        |ORDER BY id_a, id_b""") { (s, d) =>
+      val docs = t(s, d, "documents")
+      val media = graft.operators.Multimodal.asMediaTable(docs, "doc_id", "text")
+      val shifted = graft.operators.Multimodal.asMediaTable(
+        docs.filter(col("doc_id") < 20)
+          .select((col("doc_id") + 100000).as("doc_id"),
+            concat(lit("~"), col("text")).as("text")),
+        "doc_id", "text")
+      graft.operators.Multimodal.gearChunkJaccardPairs(
+        media.union(shifted), threshold = 0.4)
+        .orderBy("id_a", "id_b")
+    },
+
     // Streaming media ingest screen (e31): fresh blobs ARRIVE as a stream
     // and screen live against the m10 standing chunk index — per-blob
     // digesting/dedup/sizing happen IN-ROW (a blob's chunks all live in

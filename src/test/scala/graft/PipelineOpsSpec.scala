@@ -1171,6 +1171,61 @@ class PipelineOpsSpec extends SparkSpec {
     assert(res >= raw, s"residual hits $res < raw hits $raw at equal budget")
   }
 
+  test("gearChunks: boundaries match a plain-Scala rolling-hash replica; chunks reassemble the payload") {
+    import spark.implicits._
+    val texts = Seq(
+      1L -> ("the quick brown fox jumps over the lazy dog " * 8),
+      2L -> "short",
+      3L -> ("a" * 300), // degenerate run: whatever cuts fall, spans must tile
+      4L -> ("lorem ipsum dolor sit amet consectetur adipiscing elit " * 5))
+    val media = graft.operators.Multimodal.asMediaTable(
+      texts.toDF("doc_id", "text"), "doc_id", "text")
+    val got = graft.operators.Multimodal.gearChunks(media, maskBits = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3)).toMap
+    def replicaEnds(bytes: Array[Byte]): Seq[Int] = {
+      var h = 0L
+      val cuts = (1 to bytes.length).filter { i =>
+        h = (h << 1) + graft.functions.GearChunkEnds.table(bytes(i - 1) & 0xFF)
+        (h & 63L) == 0L && i < bytes.length
+      }
+      cuts :+ bytes.length
+    }
+    texts.foreach { case (id, text) =>
+      val bytes = text.getBytes("UTF-8")
+      val ends = replicaEnds(bytes)
+      val exp = (0 +: ends.init).zip(ends).map { case (st, en) =>
+        bytes.slice(st, en).map("%02X".format(_)).mkString }
+      assert(got(id).toSeq === exp, s"doc $id chunking")
+      // spans tile the payload exactly — no byte lost or duplicated
+      assert(got(id).map(_.length / 2).sum === bytes.length, s"doc $id coverage")
+    }
+  }
+
+  test("gear chunking pairs a byte-shifted copy that fixed-size chunking provably misses") {
+    import spark.implicits._
+    // one long doc and its 1-byte-prefixed copy: every 64-byte window
+    // shifts, so fixed-size shares nothing; gear re-synchronizes at the
+    // first cut past the insertion and shares every later chunk. The text
+    // must be APERIODIC — on a string of period p the cut decision (local
+    // to the trailing 6 bytes) is periodic too, so a period with no cut
+    // means no cuts ever and one giant chunk per doc
+    val text = (0 until 16).map(i =>
+      s"sentence number $i carries its own distinct words and digits ${i * 37}")
+      .mkString(" ")
+    val media = graft.operators.Multimodal.asMediaTable(
+      Seq(1L -> text, 2L -> ("~" + text)).toDF("doc_id", "text"),
+      "doc_id", "text")
+    val gear = graft.operators.Multimodal
+      .gearChunkJaccardPairs(media, threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gear === Set((1L, 2L)), "gear must pair the shifted copy")
+    val fixed = graft.operators.Multimodal
+      .chunkJaccardPairs(media, threshold = 0.01)
+      .count()
+    assert(fixed === 0L, "fixed-size chunking must miss the shifted copy entirely")
+  }
+
   test("dedupByContent: identical payloads collapse to min-id survivor; copies conserved") {
     import spark.implicits._
     val media = graft.operators.Multimodal.asMediaTable(
