@@ -618,6 +618,34 @@ object Similarity {
     * lowest-cid tie-break via the negated id. Returns
     * (id, v, v_norm, cid) — one row per corpus vector, no shuffle.
     */
+  /** Per-row top-`nProbe` cell selection against LITERAL centroids — the
+    * stream-safe probe: a window can't rank centroids per query inside a
+    * stream, but `slice(array_sort(...))` over a per-row struct array can,
+    * with no shuffle and no state. Sort key = (−cosine, cid), the s04
+    * window's (cosine DESC, cid) order; cosine is the same
+    * dot/(v_norm·c_norm) tree as the batch walk, so probed cells are
+    * bit-identical to it. Returns one row per (id, probed cid) with the
+    * vector and its norm carried for the candidate join.
+    */
+  def probeCells(df: DataFrame, idCol: String, vecCol: String,
+                 cents: Array[Array[Double]], nProbe: Int): DataFrame = {
+    graft.functions.NativeFunctions.register(df.sparkSession)
+    val norms = cents.map(c => math.sqrt(c.foldLeft(0.0)((a, x) => a + x * x)))
+    val v = col(vecCol).cast("array<double>")
+    val cellStructs = cents.indices.map { ci =>
+      struct(
+        (-(dot(col("__v"), lit(cents(ci))) / (col("__vn") * lit(norms(ci)))))
+          .as("ns"),
+        lit(ci.toLong).as("cid"))
+    }
+    df.select(col(idCol).as("id"), v.as("__v"))
+      .withColumn("__vn", l2norm(col("__v")))
+      .select(col("id"), col("__v"), col("__vn"),
+        explode(slice(array_sort(array(cellStructs: _*)), 1, nProbe)).as("__pc"))
+      .select(col("id"), col("__v").as("v"), col("__vn").as("v_norm"),
+        col("__pc.cid").as("cid"))
+  }
+
   private[graft] def assignToCentroids(corpus: DataFrame, idCol: String,
                                        vecCol: String,
                                        cents: Array[Array[Double]]): DataFrame = {

@@ -554,9 +554,10 @@ object ExtensionQueries {
     * probe width — one SQL definition of the inverted-file walk whoever
     * trained the quantizer (s04/s12/s17 = full-corpus training, s18 = the
     * frozen initial-half quantizer the appended index serves under) and
-    * however many cells a query probes (e28's streaming serve probes 1 —
-    * the nearest-cell assignment expression, since windows can't rank
-    * centroids in-stream).
+    * however many cells a query probes (e28's streaming serve probes 1 via
+    * the nearest-cell assignment expression; e34 probes 2 via the per-row
+    * slice(array_sort) rank — windows can't rank centroids in-stream, but
+    * a per-row sort over the literal centroid table can).
     */
   private def ivfCtesFrom(centroidAux: String, nProbe: Int = 2) =
     s"""corp AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -1772,8 +1773,9 @@ object ExtensionQueries {
     // and take top-5 from the standing IVF index live — the serving twin
     // of s17 (the e23 pattern for retrieval). In-stream cell assignment
     // uses the fused nearest-centroid expression (windows can't rank
-    // centroids in a stream), so the streaming path probes nProbe=1 — the
-    // documented latency-over-recall serving point; the stream-static
+    // centroids in a stream), so this path probes nProbe=1 — the
+    // latency-over-recall serving point; e34 is the nProbe=2 variant via
+    // per-row slice(array_sort) cell ranking; the stream-static
     // candidate join runs BEFORE the one stateful op, a complete-mode
     // bounded-heap top-k whose state is O(queries × k). Oracle = the IVF
     // walk at crn <= 1, assignment parity spec-pinned.
@@ -3120,6 +3122,49 @@ object ExtensionQueries {
       graft.operators.Multimodal.gearChunkJaccardPairs(
         media.union(shifted), threshold = 0.4)
         .orderBy("id_a", "id_b")
+    },
+
+    // Streaming retrieval serve at nProbe=2 (e34): e28's recall gap closed
+    // — in-stream TOP-2 cell selection needs no window because the
+    // centroid table rides as literals and a per-row
+    // slice(array_sort(structs)) ranks them ((−cos, cid) = the batch
+    // walk's (cos DESC, cid)); everything downstream is e28's shape
+    // (stream-static candidate join before the ONE stateful bounded-heap
+    // top-k, state O(queries × k)). Candidates stay provably distinct —
+    // cells partition the corpus, so two probes never surface the same
+    // neighbor twice. Oracle = the batch IVF walk at crn <= 2, the same
+    // SQL that grades the s17 standing index.
+    "e34_stream_ivf_serve_probe2" -> of(
+      s"WITH ${ivfCtesFrom("s04_centroids", 2)}\n$ivfSelect") { (s, d) =>
+      import graft.streaming.{EventsStream, ScreenStream}
+      val e = t(s, d, "embeddings")
+      val idx = Similarity.writeIvfIndex(e, "vec_id", "embedding",
+        "ivf_idx_" + graft.sources.BucketedLake.layoutSuffix(d + "#ivf", 16))
+      val cents = Similarity.loadCentroids(s, idx)
+      val probes = Similarity.probeCells(
+        ScreenStream.readEmbeddings(s, d).filter(col("vec_id") < 10),
+        "vec_id", "embedding", cents, nProbe = 2)
+        .select(col("id").as("query_id"), col("v").as("qv"),
+          col("v_norm").as("q_norm"), col("cid"))
+      val inverted = s.table(idx.cells)
+        .select(col("cid"), col("id").as("neighbor_id"), col("v").as("nv"),
+          col("norm").as("n_norm"))
+      val cand = probes.join(inverted, Seq("cid"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          (Similarity.dot(col("qv"), col("nv")) /
+            (col("q_norm") * col("n_norm"))).as("cosine"))
+      val topk = udaf(new Similarity.TopKAggregator(5),
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Similarity.Scored]())
+      val agg = cand.groupBy("query_id")
+        .agg(topk(col("neighbor_id"), col("cosine")).as("neighbors"))
+      val sinkName = s"stream_ivf_serve2_${sinkCounter.incrementAndGet()}"
+      EventsStream.runAvailableNow(agg, sinkName, outputMode = "complete")
+      s.table(sinkName)
+        .select(col("query_id"), posexplode(col("neighbors")).as(Seq("rank0", "n")))
+        .select(col("query_id"), (col("rank0") + 1).as("rank"),
+          col("n.id").as("neighbor_id"), col("n.score").as("cosine"))
+        .orderBy("query_id", "rank")
     },
 
     // Streaming media ingest screen (e31): fresh blobs ARRIVE as a stream
