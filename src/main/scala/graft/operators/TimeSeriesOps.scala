@@ -23,19 +23,33 @@ object TimeSeriesOps {
     * `aggregate` HOF: acc ← acc·(1−α) + x·α from acc₀ = 0.
     *
     * Scale shape: one shuffle on the key; per-key state is that key's
-    * series (fine for bounded histories — sessions, per-user activity;
-    * an unbounded series belongs in the streaming path —
+    * series (fine for bounded histories — sessions, per-user activity; an
+    * unbounded series belongs in the streaming path —
     * [[graft.streaming.EwmaStream]], which folds the identical arithmetic
-    * with O(1) state per key). Returns (key, n_events, ewma).
+    * with O(1) state per key). That bound is ENFORCED, not documented
+    * (the CrossCheckGuard contract made in-plan): a key whose collected
+    * history exceeds `maxKeyHistory` (default 2²⁰ ≈ 1M rows — ~40 MB of
+    * buffered structs, loud well before an executor dies) aborts the job
+    * with the key in the message, so a hot key surfaces as a clear error
+    * instead of an opaque aggregation OOM. The guard rides the n_events
+    * output column, so column pruning can never elide it.
+    * Returns (key, n_events, ewma).
     */
   def ewmaPerKey(df: DataFrame, keyCol: String, tsCol: String,
-                 tieCol: String, valCol: String, alpha: Double): DataFrame = {
+                 tieCol: String, valCol: String, alpha: Double,
+                 maxKeyHistory: Int = 1 << 20): DataFrame = {
     require(alpha > 0 && alpha <= 1, "alpha must be in (0, 1]")
+    require(maxKeyHistory > 0, "maxKeyHistory must be positive")
     df.groupBy(col(keyCol))
       .agg(sort_array(collect_list(
         struct(col(tsCol), col(tieCol), col(valCol).as("v")))).as("seq"))
       .select(col(keyCol),
-        size(col("seq")).cast("long").as("n_events"),
+        when(size(col("seq")) <= maxKeyHistory, size(col("seq")))
+          .otherwise(raise_error(concat(
+            lit(s"ewmaPerKey: per-key history exceeded maxKeyHistory=$maxKeyHistory rows for key "),
+            col(keyCol).cast("string"),
+            lit(" - an unbounded series belongs in the streaming path (EwmaStream, O(1) state per key), or raise maxKeyHistory deliberately"))))
+          .cast("long").as("n_events"),
         aggregate(col("seq"), lit(0.0),
           (acc, x) => acc * (1 - alpha) + x.getField("v") * alpha).as("ewma"))
   }

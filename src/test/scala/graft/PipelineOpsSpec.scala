@@ -256,6 +256,27 @@ class PipelineOpsSpec extends SparkSpec {
     assert(r.getDouble(2) === 2.625)
   }
 
+  test("ewmaPerKey aborts loudly when a key's history exceeds maxKeyHistory") {
+    import spark.implicits._
+    val df = (1 to 10).map(i => (1L, i.toLong, i.toLong, 1.0))
+      .toDF("k", "ts", "tie", "v")
+    // under the cap: fine
+    assert(graft.operators.TimeSeriesOps
+      .ewmaPerKey(df, "k", "ts", "tie", "v", 0.5, maxKeyHistory = 10)
+      .head().getLong(1) === 10)
+    // over the cap: the in-plan guard must fail the job with the key named
+    val e = intercept[Exception] {
+      graft.operators.TimeSeriesOps
+        .ewmaPerKey(df, "k", "ts", "tie", "v", 0.5, maxKeyHistory = 9)
+        .collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(m =>
+      m.contains("maxKeyHistory=9") && m.contains("for key 1")),
+      s"expected the guard message, got: ${messages(e).mkString(" | ")}")
+  }
+
   test("survivorsByScore keeps the highest-score member, min id on ties") {
     import spark.implicits._
     val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L))
