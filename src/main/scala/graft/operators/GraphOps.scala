@@ -191,14 +191,16 @@ object GraphOps {
     * aggregation state even when a pair shares min(deg_u, deg_v) centers.
     *
     * Returns (id_a, id_b, common, jaccard, ra_index, is_edge) with
-    * id_a < id_b, one row per co-neighbor pair. Note: only pairs with at
-    * least one COMMON neighbor appear — an existing edge whose endpoints
-    * share no neighbor (the weakest bridge of all, jaccard would be 0) has
-    * no row, so a bridge audit over `is_edge` must anti-join the edge set
-    * against this frame to see those, or treat absence as jaccard = 0.
+    * id_a < id_b, one row per co-neighbor pair. Note: by default only
+    * pairs with at least one COMMON neighbor appear — an existing edge
+    * whose endpoints share no neighbor (the weakest bridge of all,
+    * jaccard would be 0) has no row. Set `includeZeroCommonEdges` for
+    * bridge audits: those edges union in with common = 0, jaccard = 0,
+    * ra_index = 0, so an `is_edge` scan sees the full edge set.
     */
   def nodeSimilarity(pairs: DataFrame,
-                     maxCenterDegree: Option[Int] = None): DataFrame = {
+                     maxCenterDegree: Option[Int] = None,
+                     includeZeroCommonEdges: Boolean = false): DataFrame = {
     val und = Caching.persisted(pairs
       .select(least(col("id_a"), col("id_b")).as("a"),
         greatest(col("id_a"), col("id_b")).as("b"))
@@ -217,9 +219,22 @@ object GraphOps {
         col("x.s") === col("y.s") && col("x.t") < col("y.t"))
       .select(col("x.t").as("u"), col("y.t").as("v"),
         col("x.s").as("c"), col("x.d").as("dc"))
-    val cn = wedges.groupBy(col("u"), col("v")).agg(
+    val cn0 = wedges.groupBy(col("u"), col("v")).agg(
       count(lit(1)).as("common"),
       quantizedSum(lit(1.0) / col("dc").cast("double")).as("ra_index"))
+    // `includeZeroCommonEdges` closes the bridge-audit blind spot: an edge
+    // whose endpoints share NO neighbor is the weakest bridge of all, but
+    // it has no co-neighbor row — union those edges in with common = 0
+    // (ra_index 0.0; jaccard computes to 0 below) so `is_edge` scans see
+    // the full edge set. Cost: one anti join of edges against the pair
+    // frame — O(edges), no new shuffle class.
+    val cn =
+      if (!includeZeroCommonEdges) cn0
+      else cn0.unionByName(
+        und.select(col("a").as("u"), col("b").as("v"))
+          .join(cn0.select("u", "v"), Seq("u", "v"), "left_anti")
+          .select(col("u"), col("v"), lit(0L).as("common"),
+            lit(0.0).as("ra_index")))
     cn
       .join(deg.select(col("s").as("u"), col("d").as("du")), "u")
       .join(deg.select(col("s").as("v"), col("d").as("dv")), "v")

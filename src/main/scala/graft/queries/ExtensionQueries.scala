@@ -1351,6 +1351,47 @@ object ExtensionQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // Bridge audit (g05): g04 with the zero-common edges unioned in — an
+    // edge whose endpoints share NO neighbor is the weakest cluster bridge
+    // of all (jaccard 0), and the default co-neighbor frame structurally
+    // misses it. This is the full-edge-set view a curation owner scans
+    // before transitive-closure merging: every is_edge row exists, ranked
+    // worst-first by jaccard. The oracle extends the g04 SQL with the same
+    // anti-joined union.
+    "g05_bridge_audit" -> of(
+      s"""WITH ${jaccardCtes(None)},
+        |und AS (SELECT id_a AS a, id_b AS b FROM jp),
+        |sym AS (SELECT a AS s, b AS t FROM und UNION ALL SELECT b, a FROM und),
+        |deg AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY s),
+        |wed AS (
+        |  SELECT x.t AS u, y.t AS v, x.s AS c, dg.d AS dc
+        |  FROM sym x JOIN sym y ON x.s = y.s AND x.t < y.t
+        |  JOIN deg dg ON dg.s = x.s),
+        |cn0 AS (
+        |  SELECT u, v, CAST(COUNT(*) AS BIGINT) AS common,
+        |    CAST(SUM(CAST(floor(CAST(1.0 AS DOUBLE) / CAST(dc AS DOUBLE) * 1e18)
+        |      AS HUGEINT)) AS DOUBLE) / 1e18 AS ra_index
+        |  FROM wed GROUP BY u, v),
+        |cn AS (
+        |  SELECT u, v, common, ra_index FROM cn0
+        |  UNION ALL
+        |  SELECT e.a, e.b, CAST(0 AS BIGINT), CAST(0.0 AS DOUBLE)
+        |  FROM und e WHERE NOT EXISTS (
+        |    SELECT 1 FROM cn0 WHERE cn0.u = e.a AND cn0.v = e.b))
+        |SELECT cn.u AS id_a, cn.v AS id_b, cn.common,
+        |  CAST(cn.common AS DOUBLE) / (du.d + dv.d - cn.common) AS jaccard,
+        |  cn.ra_index, (e.a IS NOT NULL) AS is_edge
+        |FROM cn JOIN deg du ON du.s = cn.u JOIN deg dv ON dv.s = cn.v
+        |LEFT JOIN und e ON e.a = cn.u AND e.b = cn.v
+        |WHERE e.a IS NOT NULL
+        |ORDER BY jaccard, id_a, id_b""") { (s, d) =>
+      graft.operators.GraphOps.nodeSimilarity(
+        Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text"),
+        includeZeroCommonEdges = true)
+        .filter(col("is_edge"))
+        .orderBy("jaccard", "id_a", "id_b")
+    },
+
     // ---- similarity search ------------------------------------------------
 
     // Exact cosine top-5 for the first 10 vectors, via the bounded-heap

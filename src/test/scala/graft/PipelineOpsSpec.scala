@@ -916,6 +916,18 @@ class PipelineOpsSpec extends SparkSpec {
         .sum.toDouble / 1e18, s"ra_index of ($a,$b)")
       assert(e === und.contains((a, b)), s"is_edge of ($a,$b)")
     }
+    // bridge audit: edge (4,5) has zero common neighbors (5's only
+    // neighbor is 4) so the default frame misses it; the flag unions it in
+    // with zeroed scores and every true edge is now present
+    val audited = graft.operators.GraphOps
+      .nodeSimilarity(pairs, includeZeroCommonEdges = true).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4), r.getBoolean(5)))).toMap
+    assert(audited.keySet === expPairs.toSet + ((4L, 5L)))
+    assert(audited((4L, 5L)) === ((0L, 0.0, 0.0, true)))
+    assert(und.forall(e => audited.contains(e)), "every edge must have a row")
+    expPairs.foreach(p => assert(audited(p) === got(p), s"flag must not perturb $p"))
+
     // hub cap: center 1 (degree 3) and center 4 (degree 3) dropped at cap 2
     // leaves only wedges through degree-<=2 centers (2, 3, 5)
     val capped = graft.operators.GraphOps
