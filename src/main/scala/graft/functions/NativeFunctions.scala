@@ -237,25 +237,29 @@ case class HyperplaneSignatures(left: Expression, right: Expression,
   * ([[graft.operators.Multimodal.gearTableDf]]) so the DuckDB oracle
   * replays the identical boundaries from the dumped table.
   */
-case class GearChunkEnds(child: Expression, maskBits: Int)
+case class GearChunkEnds(child: Expression, maskBits: Int,
+                         minSize: Int = 1, maxSize: Int = Int.MaxValue)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == org.apache.spark.sql.types.BinaryType &&
-        maskBits > 0 && maskBits <= 30) TypeCheckResult.TypeCheckSuccess
+        maskBits > 0 && maskBits <= 30 && minSize >= 1 && maxSize >= minSize)
+      TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"gear_chunk_ends expects (BINARY payload) with 0 < maskBits <= 30, " +
-        s"got ${child.dataType.sql}, maskBits=$maskBits")
+      s"gear_chunk_ends expects (BINARY payload) with 0 < maskBits <= 30 and " +
+        s"1 <= minSize <= maxSize, got ${child.dataType.sql}, " +
+        s"maskBits=$maskBits, minSize=$minSize, maxSize=$maxSize")
   override def dataType: DataType =
     ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
   override def prettyName: String = "gear_chunk_ends"
 
   override def nullSafeEval(input: Any): Any =
-    GearChunkEnds.compute(input.asInstanceOf[Array[Byte]], maskBits)
+    GearChunkEnds.compute(input.asInstanceOf[Array[Byte]], maskBits,
+      minSize, maxSize)
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.GearChunkEnds.compute($c, $maskBits);")
+      s"${ev.value} = graft.functions.GearChunkEnds.compute($c, $maskBits, $minSize, $maxSize);")
 
   override protected def withNewChildInternal(c: Expression): GearChunkEnds =
     copy(child = c)
@@ -278,28 +282,45 @@ object GearChunkEnds {
 
   /** Two passes over the bytes — count cuts, then fill the exact-size
     * array — so per-row extra memory is O(chunks), never O(bytes).
+    *
+    * Bounds semantics (the FastCDC-shaped production form; `minSize = 1`,
+    * `maxSize = MaxValue` degrades to the pure content-defined rule): the
+    * rolling hash is GLOBAL (never reset at a cut — so the hash value at
+    * any position is still a pure function of the trailing bytes, which
+    * is what makes shifted streams re-synchronize); bounds only gate cut
+    * ELIGIBILITY — a content cut is taken only when the current chunk has
+    * reached `minSize` bytes, and a cut is forced at `maxSize` regardless
+    * of content. Eligibility is sequential (each cut depends on the
+    * previous one), which is why the bounded form is oracled through
+    * materialized boundaries + a plain-Scala spec replica rather than the
+    * windowed-SQL recomputation the pure form gets.
     */
-  def compute(bytes: Array[Byte], maskBits: Int): ArrayData = {
+  def compute(bytes: Array[Byte], maskBits: Int, minSize: Int = 1,
+              maxSize: Int = Int.MaxValue): ArrayData = {
     val n = bytes.length
     val mask = (1L << maskBits) - 1
-    var cuts = 0
-    var h = 0L
-    var i = 0
-    while (i < n) {
-      h = (h << 1) + table(bytes(i) & 0xFF)
-      i += 1
-      if ((h & mask) == 0L && i < n) cuts += 1
-    }
-    val out = new Array[Long](if (n == 0) 0 else cuts + 1)
-    if (n > 0) {
-      var k = 0
-      h = 0L
-      i = 0
+    def scan(emit: (Int, Long) => Unit): Int = {
+      var cuts = 0
+      var h = 0L
+      var start = 0
+      var i = 0
       while (i < n) {
         h = (h << 1) + table(bytes(i) & 0xFF)
         i += 1
-        if ((h & mask) == 0L && i < n) { out(k) = i.toLong; k += 1 }
+        val len = i - start
+        if (i < n &&
+            ((len >= minSize && (h & mask) == 0L) || len >= maxSize)) {
+          emit(cuts, i.toLong)
+          cuts += 1
+          start = i
+        }
       }
+      cuts
+    }
+    val cuts = scan((_, _) => ())
+    val out = new Array[Long](if (n == 0) 0 else cuts + 1)
+    if (n > 0) {
+      scan((k, pos) => out(k) = pos)
       out(cuts) = n.toLong
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
@@ -664,18 +685,30 @@ object NativeFunctions {
       } catch { case _: Throwable => false })
     if (!alreadyOurs) {
       registry.createOrReplaceTempFunction("gear_chunk_ends", exprs =>
-        GearChunkEnds(exprs(0),
+        if (exprs.length >= 4)
+          GearChunkEnds(exprs(0),
+            intConstArg("gear_chunk_ends", "maskBits", exprs(1)),
+            intConstArg("gear_chunk_ends", "minSize", exprs(2)),
+            intConstArg("gear_chunk_ends", "maxSize", exprs(3)))
+        else GearChunkEnds(exprs(0),
           intConstArg("gear_chunk_ends", "maskBits", exprs(1))),
         "built-in")
     }
   }
 
   /** Gear content-defined chunk end positions of a BINARY payload (see
-    * [[GearChunkEnds]]).
+    * [[GearChunkEnds]]); `minSize`/`maxSize` bound chunk lengths (the
+    * FastCDC-shaped production form — defaults are the unbounded pure
+    * rule).
     */
-  def gearChunkEnds(spark: SparkSession, payload: Column, maskBits: Int): Column = {
+  def gearChunkEnds(spark: SparkSession, payload: Column, maskBits: Int,
+                    minSize: Int = 1,
+                    maxSize: Int = Int.MaxValue): Column = {
     registerGear(spark)
-    call_function("gear_chunk_ends", payload, lit(maskBits))
+    if (minSize == 1 && maxSize == Int.MaxValue)
+      call_function("gear_chunk_ends", payload, lit(maskBits))
+    else call_function("gear_chunk_ends", payload, lit(maskBits),
+      lit(minSize), lit(maxSize))
   }
 
   /** Spark's own runtime-filter primitives — `BloomFilterAggregate` /

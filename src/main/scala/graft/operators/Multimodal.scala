@@ -179,9 +179,30 @@ object Multimodal {
     * byte-for-byte the m02 layout, so every digest consumer composes
     * unchanged.
     */
-  def gearChunks(media: DataFrame, maskBits: Int = 6): DataFrame = {
+  def gearChunks(media: DataFrame, maskBits: Int = 6, minSize: Int = 1,
+                 maxSize: Int = Int.MaxValue): DataFrame =
+    gearSpans(media, maskBits, minSize, maxSize)
+      .select(col("doc_id"), col("chunk_no"),
+        hex(expr("substring(payload, cast(st as int), cast(en - st + 1 as int))"))
+          .as("chunk_hex"))
+
+  /** The gear chunk SPANS alone — (doc_id, chunk_no, st, en), 1-based
+    * inclusive byte bounds. This is the boundary primitive the bounded
+    * form's oracle consumes (the aux-dump contract: bounds make cut
+    * eligibility sequential, so DuckDB takes the spans as given and
+    * re-derives everything downstream — byte slices, digests, Jaccard —
+    * itself; the boundary algorithm is pinned by the plain-Scala spec
+    * replica instead).
+    */
+  def gearChunkSpans(media: DataFrame, maskBits: Int = 6, minSize: Int = 1,
+                     maxSize: Int = Int.MaxValue): DataFrame =
+    gearSpans(media, maskBits, minSize, maxSize)
+      .select(col("doc_id"), col("chunk_no"), col("st"), col("en"))
+
+  private def gearSpans(media: DataFrame, maskBits: Int, minSize: Int,
+                        maxSize: Int): DataFrame = {
     val ends = graft.functions.NativeFunctions.gearChunkEnds(
-      media.sparkSession, col("payload"), maskBits)
+      media.sparkSession, col("payload"), maskBits, minSize, maxSize)
     media.filter(octet_length(col("payload")) > 0)
       .select(col("doc_id"), col("payload"), ends.as("ends"))
       .select(col("doc_id"), col("payload"), col("ends"),
@@ -189,9 +210,8 @@ object Multimodal {
       .withColumn("st",
         when(col("chunk_no") === 0, lit(1L))
           .otherwise(element_at(col("ends"), col("chunk_no")) + 1))
-      .select(col("doc_id"), col("chunk_no").cast("long").as("chunk_no"),
-        hex(expr("substring(payload, cast(st as int), cast(en - st + 1 as int))"))
-          .as("chunk_hex"))
+      .select(col("doc_id"), col("payload"),
+        col("chunk_no").cast("long").as("chunk_no"), col("st"), col("en"))
   }
 
   /** Blob near-dup pairs over the content-defined chunk layout — the m07
@@ -202,8 +222,9 @@ object Multimodal {
     * story as [[chunkJaccardPairs]].
     */
   def gearChunkJaccardPairs(media: DataFrame, threshold: Double = 0.5,
-                            maskBits: Int = 6): DataFrame =
-    jaccardFromChunks(gearChunks(media, maskBits), threshold)
+                            maskBits: Int = 6, minSize: Int = 1,
+                            maxSize: Int = Int.MaxValue): DataFrame =
+    jaccardFromChunks(gearChunks(media, maskBits, minSize, maxSize), threshold)
 
   /** The 256-entry gear table as (b, g) rows — the hash primitive the m12
     * oracle consumes (the hyperplanes/doc_hashes aux contract: DuckDB

@@ -133,6 +133,17 @@ object AuxDumps {
     // only the splitmix64 derivation of the table itself rides the dump.
     "gear_table" -> ((s, _) => graft.operators.Multimodal.gearTableDf(s)),
 
+    // m13: the BOUNDED gear chunk spans (doc_id, chunk_no, st, en) over
+    // the shared shifted corpus. Bounds make cut eligibility sequential
+    // (not windowed-SQL-expressible), so the spans are the dumped
+    // primitive and the oracle re-derives slices/digests/Jaccard from
+    // them; the boundary algorithm itself is spec-pinned against a
+    // plain-Scala replica.
+    "m13_bounds" -> ((s, d) =>
+      graft.operators.Multimodal.gearChunkSpans(
+        ExtensionQueries.shiftedMediaCorpus(s, d),
+        maskBits = 6, minSize = 16, maxSize = 128)),
+
     // s18: the FROZEN initial-half quantizer the appended IVF index serves
     // under — trained on `vec_id % 4 ≠ 0` with the same bit-reproducible
     // k-means the index build ran, so this second training inside Verify

@@ -112,6 +112,23 @@ object ExtensionQueries {
     root.toString
   }
 
+  /** The m12/m13 test corpus: every document as a media blob PLUS a
+    * byte-shifted copy of docs < 20 (one '~' prefix byte, id + 100000) —
+    * the shifted-duplicate scenario fixed-size chunking provably misses.
+    * Shared by both CDC queries and the m13 boundary aux dump so the three
+    * can never construct different corpora.
+    */
+  private[queries] def shiftedMediaCorpus(s: org.apache.spark.sql.SparkSession,
+                                          dir: String): org.apache.spark.sql.DataFrame = {
+    val docs = t(s, dir, "documents")
+    graft.operators.Multimodal.asMediaTable(docs, "doc_id", "text").union(
+      graft.operators.Multimodal.asMediaTable(
+        docs.filter(col("doc_id") < 20)
+          .select((col("doc_id") + 100000).as("doc_id"),
+            concat(lit("~"), col("text")).as("text")),
+        "doc_id", "text"))
+  }
+
   /** Build (once per session + sf dir) the d12 standing shingle index over
     * the sub-400 corpus; k=4 and the bucket count are part of the layout
     * identity via the table-name suffix.
@@ -3153,15 +3170,47 @@ object ExtensionQueries {
         |FROM sh JOIN sz sa ON sa.doc_id = sh.id_a JOIN sz sb ON sb.doc_id = sh.id_b
         |WHERE CAST(sh.inter AS DOUBLE) / CAST(sa.sz + sb.sz - sh.inter AS DOUBLE) >= 0.4
         |ORDER BY id_a, id_b""") { (s, d) =>
-      val docs = t(s, d, "documents")
-      val media = graft.operators.Multimodal.asMediaTable(docs, "doc_id", "text")
-      val shifted = graft.operators.Multimodal.asMediaTable(
-        docs.filter(col("doc_id") < 20)
-          .select((col("doc_id") + 100000).as("doc_id"),
-            concat(lit("~"), col("text")).as("text")),
-        "doc_id", "text")
       graft.operators.Multimodal.gearChunkJaccardPairs(
-        media.union(shifted), threshold = 0.4)
+        shiftedMediaCorpus(s, d), threshold = 0.4)
+        .orderBy("id_a", "id_b")
+    },
+
+    // Bounded content-defined chunking (m13): the FastCDC-shaped
+    // production form of m12 — chunk lengths clamped to [16, 128] bytes
+    // (min gates cut eligibility, max forces a cut), killing both CDC
+    // degeneracies (a run of tiny chunks from dense cut points; one giant
+    // chunk from a cut-free payload) at the cost of weaker re-sync right
+    // after an edit. The rolling hash stays GLOBAL (never reset), so
+    // re-synchronization still happens ≥ minSize into a chunk. Bounds
+    // make cut eligibility sequential — not windowed-SQL-expressible — so
+    // the oracle consumes the MATERIALIZED spans (aux m13_bounds, the
+    // hash-dump contract) and re-derives byte slices, chunk sets and the
+    // Jaccard itself; the boundary algorithm is pinned by a plain-Scala
+    // spec replica with tiling + bounds assertions.
+    "m13_cdc_bounded_pairs" -> of(
+      s"""WITH base AS (
+        |  SELECT doc_id, hex(encode(text)) AS ph FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, hex(encode('~' || text))
+        |  FROM documents WHERE doc_id < 20),
+        |sp AS (SELECT doc_id, st, en FROM read_parquet('{{AUX}}/m13_bounds/*.parquet')),
+        |d AS (
+        |  SELECT DISTINCT sp.doc_id,
+        |    substring(b.ph, CAST((sp.st - 1) * 2 + 1 AS INT),
+        |      CAST((sp.en - sp.st + 1) * 2 AS INT)) AS chunk_hex
+        |  FROM sp JOIN base b ON b.doc_id = sp.doc_id),
+        |sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM d GROUP BY doc_id),
+        |sh AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS inter
+        |  FROM d a JOIN d b ON a.chunk_hex = b.chunk_hex AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT sh.id_a, sh.id_b, sh.inter, sa.sz AS sz_a, sb.sz AS sz_b,
+        |  CAST(sh.inter AS DOUBLE) / CAST(sa.sz + sb.sz - sh.inter AS DOUBLE) AS jaccard
+        |FROM sh JOIN sz sa ON sa.doc_id = sh.id_a JOIN sz sb ON sb.doc_id = sh.id_b
+        |WHERE CAST(sh.inter AS DOUBLE) / CAST(sa.sz + sb.sz - sh.inter AS DOUBLE) >= 0.4
+        |ORDER BY id_a, id_b""") { (s, d) =>
+      graft.operators.Multimodal.gearChunkJaccardPairs(
+        shiftedMediaCorpus(s, d), threshold = 0.4,
+        maskBits = 6, minSize = 16, maxSize = 128)
         .orderBy("id_a", "id_b")
     },
 

@@ -1235,6 +1235,45 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("bounded gearChunks: plain-Scala replica parity; every chunk within [min, max]; tiling holds") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val (bits, minS, maxS) = (4, 8, 24) // small bounds so both rules fire often
+    def replica(bytes: Array[Byte]): Seq[Int] = {
+      var h = 0L
+      var start = 0
+      val cuts = scala.collection.mutable.ArrayBuffer.empty[Int]
+      for (i <- 1 to bytes.length) {
+        h = (h << 1) + graft.functions.GearChunkEnds.table(bytes(i - 1) & 0xFF)
+        val len = i - start
+        if (i < bytes.length &&
+            ((len >= minS && (h & ((1L << bits) - 1)) == 0L) || len >= maxS)) {
+          cuts += i; start = i
+        }
+      }
+      (cuts :+ bytes.length).toSeq
+    }
+    for (seed <- 1L to 5L) {
+      val bytes = Gen.listOfN(200, Gen.chooseNum(0, 255))(
+        Gen.Parameters.default, Seed(seed)).get.map(_.toByte).toArray
+      val got = graft.functions.GearChunkEnds
+        .compute(bytes, bits, minS, maxS)
+        .toLongArray().toSeq.map(_.toInt)
+      assert(got === replica(bytes), s"seed $seed")
+      // bounds hold for every chunk except possibly the last remainder
+      val lens = (0 +: got.init).zip(got).map { case (a, b) => b - a }
+      assert(lens.init.forall(l => l >= minS && l <= maxS), s"seed $seed bounds")
+      assert(lens.last <= maxS && lens.sum === bytes.length, s"seed $seed tiling")
+    }
+    // degenerate-run payload: pure CDC yields pathological chunks, the
+    // bounded form must clamp every interior chunk to [min, max]
+    val run = Array.fill(300)('a'.toByte)
+    val ends = graft.functions.GearChunkEnds
+      .compute(run, bits, minS, maxS).toLongArray().toSeq.map(_.toInt)
+    val runLens = (0 +: ends.init).zip(ends).map { case (a, b) => b - a }
+    assert(runLens.init.forall(l => l >= minS && l <= maxS))
+  }
+
   test("gear chunking pairs a byte-shifted copy that fixed-size chunking provably misses") {
     import spark.implicits._
     // one long doc and its 1-byte-prefixed copy: every 64-byte window
