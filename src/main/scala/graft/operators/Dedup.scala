@@ -1096,6 +1096,58 @@ object Dedup {
     * pairs), so the all-pairs shape is structurally incapable of running
     * at corpus scale. Raising the cap is an explicit caller decision.
     */
+  /** Edit-distance near-dup pairs — the typo/OCR-noise rung of the dedup
+    * ladder (shingle Jaccard needs whole shared windows; a handful of
+    * single-character edits scattered through a title destroys every
+    * 4-gram yet leaves levenshtein ≤ k). Returns (id_a < id_b, dist) for
+    * every pair with levenshtein(s_a, s_b) ≤ `maxDist`.
+    *
+    * Scale shape (Ed-Join — Xiao, Wang & Lin, VLDB'08): all-pairs
+    * levenshtein is O(n²·len²), the worst join in this file; prefix
+    * filtering makes candidates ∝ rare-gram collisions instead. Each
+    * string's DISTINCT q-grams rank in a GLOBAL (df, gram) order and only
+    * the `q·maxDist + 1` RAREST form its prefix: one edit destroys at
+    * most q distinct grams, so two strings within `maxDist` edits differ
+    * in ≤ q·maxDist grams and their prefixes must intersect — a pair
+    * missing from the prefix bucket join is PROVABLY beyond the bound
+    * (no recall loss, unlike LSH). Candidates prune further by the length
+    * filter |len_a − len_b| ≤ maxDist, then verify with one exact
+    * `levenshtein` per candidate. Shuffles: gram df agg, the prefix
+    * bucket join, the verify join-back — all equi-joins on grams/ids;
+    * hub grams never join because common grams rank LAST in rarity order
+    * and fall outside every prefix (the df-cut built into the theorem).
+    * Strings shorter than q contribute themselves as their only gram.
+    */
+  def editDistancePairs(docs: DataFrame, idCol: String, strCol: String,
+                        maxDist: Int = 4, q: Int = 2): DataFrame = {
+    require(maxDist >= 0 && q >= 1, s"bad knobs: maxDist=$maxDist, q=$q")
+    val prefixLen = q * maxDist + 1
+    val s = docs.select(col(idCol).as("id"), col(strCol).as("s"))
+      .filter(col("s").isNotNull)
+    val grams = Caching.persisted(s.select(col("id"),
+        explode(array_distinct(expr(
+          s"CASE WHEN length(s) >= $q THEN transform(sequence(1, length(s) - ${q - 1}), i -> substring(s, i, $q)) ELSE array(s) END")))
+          .as("g")))
+    val df = grams.groupBy("g").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("df"), col("g"))
+    val prefix = grams.join(df, "g")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= prefixLen)
+      .select(col("id"), col("g"))
+    val cands = prefix.select(col("id").as("id_a"), col("g"))
+      .join(prefix.select(col("id").as("id_b"), col("g")), "g")
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    cands
+      .join(s.select(col("id").as("id_a"), col("s").as("s_a")), "id_a")
+      .join(s.select(col("id").as("id_b"), col("s").as("s_b")), "id_b")
+      .filter(abs(length(col("s_a")) - length(col("s_b"))) <= maxDist)
+      .withColumn("dist", levenshtein(col("s_a"), col("s_b")).cast("long"))
+      .filter(col("dist") <= maxDist)
+      .select("id_a", "id_b", "dist")
+  }
+
   def embeddingCosinePairs(vecs: DataFrame, idCol: String, vecCol: String,
                            threshold: Double,
                            crossCheckCap: Long = CrossCheckGuard.DefaultCap): DataFrame = {

@@ -1276,6 +1276,48 @@ object ExtensionQueries {
         .orderBy("vec_id")
     },
 
+    // Edit-distance near-dup pairs (d19): the typo/OCR rung of the dedup
+    // ladder — pairs within levenshtein ≤ 4 on the 64-char title slice,
+    // candidates via Ed-Join prefix filtering (each string's q·k+1
+    // globally-RAREST distinct 2-grams; a pair missing from the prefix
+    // bucket join is provably beyond the bound — exact, unlike LSH). The
+    // oracle replays grams, the global (df, gram) rarity order, prefixes,
+    // the length filter and the exact levenshtein verify from scratch.
+    // Scoped to lang = 'en' (pure ASCII at every sf, checked): Spark's
+    // levenshtein counts CHARACTERS while DuckDB's counts BYTES, so the
+    // cross-engine compare is only meaningful where the two coincide —
+    // an oracle-surface restriction, not an operator one.
+    "d19_dedup_edit_distance" -> of(
+      """WITH t AS (
+        |  SELECT doc_id AS id, substring(text, 1, 64) AS s
+        |  FROM documents WHERE lang = 'en'),
+        |grams AS (
+        |  SELECT id, UNNEST(list_distinct(CASE WHEN length(s) >= 2
+        |    THEN list_transform(range(1, length(s)), i -> substring(s, CAST(i AS INT), 2))
+        |    ELSE [s] END)) AS g
+        |  FROM t),
+        |dfq AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS df FROM grams GROUP BY g),
+        |pref AS (
+        |  SELECT id, g FROM (
+        |    SELECT gr.id, gr.g,
+        |      ROW_NUMBER() OVER (PARTITION BY gr.id ORDER BY d.df, gr.g) AS rk
+        |    FROM grams gr JOIN dfq d ON d.g = gr.g) z
+        |  WHERE rk <= 9),
+        |cands AS (
+        |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        |  FROM pref a JOIN pref b ON a.g = b.g AND a.id < b.id)
+        |SELECT c.id_a, c.id_b, CAST(levenshtein(ta.s, tb.s) AS BIGINT) AS dist
+        |FROM cands c JOIN t ta ON ta.id = c.id_a JOIN t tb ON tb.id = c.id_b
+        |WHERE abs(length(ta.s) - length(tb.s)) <= 4
+        |  AND levenshtein(ta.s, tb.s) <= 4
+        |ORDER BY id_a, id_b""") { (s, d) =>
+      Dedup.editDistancePairs(
+        t(s, d, "documents").filter(col("lang") === "en")
+          .select(col("doc_id"), substring(col("text"), 1, 64).as("title")),
+        "doc_id", "title", maxDist = 4, q = 2)
+        .orderBy("id_a", "id_b")
+    },
+
     // ---- graph propagation ------------------------------------------------
 
     // Fixed-iteration PageRank over the near-dup pair graph (the curation

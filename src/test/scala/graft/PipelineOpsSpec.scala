@@ -1204,6 +1204,43 @@ class PipelineOpsSpec extends SparkSpec {
     assert(res >= raw, s"residual hits $res < raw hits $raw at equal budget")
   }
 
+  test("editDistancePairs: prefix filtering loses NO pair vs brute force; bound respected") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import spark.implicits._
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    // random strings over a 4-letter alphabet: lots of shared grams (hub
+    // grams rank last and leave the prefixes — the df-cut built into the
+    // theorem), plus engineered near-dups at known distances
+    for (seed <- 1L to 3L) {
+      val base = Gen.listOfN(12,
+        Gen.listOfN(20, Gen.oneOf('a', 'b', 'c', 'd')).map(_.mkString))(
+        Gen.Parameters.default, Seed(seed)).get
+      val docs = base.zipWithIndex.map { case (t, i) => (i.toLong, t) } ++
+        Seq((100L, base.head.drop(2)),              // 2 deletions
+          (101L, "xx" + base(1).drop(2)),           // 2 substitutions
+          (102L, base(2).take(10) + "zz" + base(2).drop(10))) // 2 insertions
+      val got = graft.operators.Dedup.editDistancePairs(
+        docs.toDF("doc_id", "title"), "doc_id", "title", maxDist = 3, q = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val expect = (for {
+        (ia, sa) <- docs; (ib, sb) <- docs
+        if ia < ib && math.abs(sa.length - sb.length) <= 3
+        d = lev(sa, sb) if d <= 3
+      } yield (ia, ib) -> d.toLong).toMap
+      assert(got === expect, s"seed $seed") // completeness: theorem, not luck
+      assert(expect.contains((0L, 100L)) && expect.contains((2L, 102L)),
+        s"seed $seed: engineered near-dups must be in the truth set")
+    }
+  }
+
   test("gearChunks: boundaries match a plain-Scala rolling-hash replica; chunks reassemble the payload") {
     import spark.implicits._
     val texts = Seq(
