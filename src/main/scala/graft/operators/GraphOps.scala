@@ -89,6 +89,50 @@ object GraphOps {
       .select(col("id"), col("degree"), col("pr").as("pagerank"))
   }
 
+  /** Weight-proportional PageRank over an UNDIRECTED weighted pair graph
+    * (`weightCol` ∈ [0, 1] — e.g. the Jaccard of a near-dup pair frame):
+    * r ← (1−d)/N + d·Σ_{s→id} r_s · w_{s,id}/strength_s, where strength_s
+    * is s's total edge weight. The curation read: unweighted centrality
+    * treats a 0.5-Jaccard link like a 0.95 one, so a node stitched into a
+    * cluster by many weak coincidental links outranks a tight template
+    * hub; weighting by similarity makes rank follow actual duplication
+    * mass. Same scale shape as [[pageRank]] — one destination-keyed
+    * shuffle per iteration, edges persisted once, N broadcast — and BOTH
+    * double sums (per-source strength, per-destination rank messages ≤ 1
+    * each since pr < 1 and w/strength ≤ 1) go through [[quantizedSum]],
+    * so results stay bit-reproducible with O(1) aggregation state.
+    * Returns (id, degree, strength, pagerank).
+    */
+  def weightedPageRank(pairs: DataFrame, weightCol: String, iters: Int = 3,
+                       damping: Double = 0.85): DataFrame = {
+    require(iters >= 1, "weightedPageRank: iters must be >= 1")
+    val sym = Caching.persisted(pairs
+      .select(col("id_a").as("s"), col("id_b").as("t"),
+        col(weightCol).cast("double").as("w"))
+      .union(pairs.select(col("id_b").as("s"), col("id_a").as("t"),
+        col(weightCol).cast("double").as("w")))
+      .distinct())
+    val strength = Caching.persisted(sym.groupBy(col("s")).agg(
+      quantizedSum(col("w")).as("strength"), count(lit(1)).as("d")))
+    val edges = Caching.persisted(sym.join(strength, "s"))
+    val nDf = strength.agg(count(lit(1)).cast("double").as("n_nodes"))
+    val teleport = lit(1.0 - damping)
+    def step(ranks: DataFrame): DataFrame =
+      edges
+        .join(ranks.select(col("id").as("s"), col("pr"), col("n_nodes")), "s")
+        .groupBy(col("t"), col("n_nodes"))
+        .agg(quantizedSum(col("pr") * (col("w") / col("strength"))).as("msum"))
+        .select(col("t").as("id"), col("n_nodes"),
+          (teleport / col("n_nodes") + lit(damping) * col("msum")).as("pr"))
+    val r0 = strength.select(col("s").as("id")).crossJoin(broadcast(nDf))
+      .withColumn("pr", lit(1.0) / col("n_nodes"))
+    val rFinal = Iterator.iterate(r0)(step).drop(iters).next()
+    rFinal
+      .join(strength.select(col("s").as("id"), col("d").as("degree"),
+        col("strength")), "id")
+      .select(col("id"), col("degree"), col("strength"), col("pr").as("pagerank"))
+  }
+
   /** Per-node triangle counts and local clustering coefficient over an
     * UNDIRECTED pair graph — the similarity-graph density signals a curation
     * pipeline reads before survivor selection (a near-dup cluster that is

@@ -505,6 +505,38 @@ object ExtensionQueries {
       |ORDER BY f.id"""
   }
 
+  /** Weighted-PageRank oracle: the jp pair graph symmetrized WITH its
+    * Jaccard weights, per-source strengths and per-destination rank
+    * messages both summed through the GraphOps.quantizedSum tree (HUGEINT
+    * exact adder), `iters` unrolled rounds — bit-matching with no ordered
+    * fold at either aggregation.
+    */
+  private def weightedPagerankOracle(iters: Int, damping: Double): String = {
+    val d = s"CAST($damping AS DOUBLE)"
+    val itCtes = (1 to iters).map { i =>
+      val prev = if (i == 1) "r0" else s"it${i - 1}"
+      s"""it$i AS (
+        |  SELECT e.t AS id,
+        |    (CAST(1.0 AS DOUBLE) - $d) / nn.n + $d *
+        |      (CAST(SUM(CAST(floor(r.pr * (e.w / st.strength) * 1e18) AS HUGEINT)) AS DOUBLE) / 1e18) AS pr
+        |  FROM edges0 e JOIN $prev r ON r.id = e.s JOIN str st ON st.s = e.s, nn
+        |  GROUP BY e.t, nn.n)"""
+    }.mkString(",\n")
+    s"""WITH ${jaccardCtes(None)},
+      |edges0 AS (SELECT id_a AS s, id_b AS t, jaccard AS w FROM jp
+      |           UNION ALL SELECT id_b, id_a, jaccard FROM jp),
+      |str AS (SELECT s,
+      |    CAST(SUM(CAST(floor(w * 1e18) AS HUGEINT)) AS DOUBLE) / 1e18 AS strength,
+      |    CAST(COUNT(*) AS BIGINT) AS d
+      |  FROM edges0 GROUP BY s),
+      |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM str),
+      |r0 AS (SELECT s AS id, CAST(1.0 AS DOUBLE) / nn.n AS pr FROM str, nn),
+      |$itCtes
+      |SELECT f.id, st.d AS degree, st.strength, f.pr AS pagerank
+      |FROM it$iters f JOIN str st ON st.s = f.id
+      |ORDER BY f.id"""
+  }
+
   /** Triangle-census oracle: the jp pair graph canonicalized, every edge
     * oriented toward its (degree, id)-larger endpoint, wedges generated at
     * the oriented source and closed against the canonical edge key —
@@ -1329,6 +1361,18 @@ object ExtensionQueries {
       graft.operators.GraphOps.pageRank(
         Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text"),
         iters = 3)
+        .orderBy("id")
+    },
+
+    // Weight-proportional PageRank (g06): g01 with rank flowing along the
+    // pairs' Jaccard weights — similarity-weighted centrality, so a node
+    // held by many weak coincidental links stops outranking a tight
+    // template hub. Strengths AND rank messages sum through the same
+    // quantized exact tree as g01 (no ordered folds, O(1) group state).
+    "g06_weighted_pagerank" -> of(weightedPagerankOracle(3, 0.85)) { (s, d) =>
+      graft.operators.GraphOps.weightedPageRank(
+        Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text"),
+        "jaccard", iters = 3)
         .orderBy("id")
     },
 

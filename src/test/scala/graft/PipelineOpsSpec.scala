@@ -688,6 +688,47 @@ class PipelineOpsSpec extends SparkSpec {
     assert(math.abs(got.values.map(_._2).sum - 1.0) < 1e-12) // no dangling loss
   }
 
+  test("weightedPageRank bit-matches a plain-Scala replica; mass conserved; uniform weights == unweighted ranks") {
+    import spark.implicits._
+    def q(x: Double): BigInt = BigInt(math.floor(x * 1e18).toLong)
+    val pairs = Seq((1L, 2L, 0.9), (2L, 3L, 0.5), (4L, 5L, 0.7))
+      .toDF("id_a", "id_b", "w")
+    val got = graft.operators.GraphOps.weightedPageRank(pairs, "w", iters = 3)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    val edges = Seq((1L, 2L, 0.9), (2L, 1L, 0.9), (2L, 3L, 0.5), (3L, 2L, 0.5),
+      (4L, 5L, 0.7), (5L, 4L, 0.7))
+    val strength = edges.groupBy(_._1).view
+      .mapValues(es => es.map(e => q(e._3)).sum.toDouble / 1e18).toMap
+    val deg = edges.groupBy(_._1).view.mapValues(_.size).toMap
+    val n = deg.size.toDouble
+    var r = deg.keys.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to 3) r = deg.keys.map { t =>
+      val msumq = edges.filter(_._2 == t)
+        .map { case (s, _, w) => q(r(s) * (w / strength(s))) }.sum
+      t -> ((1.0 - 0.85) / n + 0.85 * (msumq.toDouble / 1e18))
+    }.toMap
+    deg.keys.foreach { id =>
+      val (gd, gs, gp) = got(id)
+      assert(gd === deg(id).toLong, s"degree of $id")
+      assert(gs === strength(id), s"strength of $id")
+      assert(gp === r(id), s"pagerank of $id") // bit-exact: same quantized tree
+    }
+    assert(math.abs(got.values.map(_._3).sum - 1.0) < 1e-9)
+    // uniform weights: w/strength == 1/deg exactly when w is a power of
+    // two (0.5 here), so weighted ranks must bit-match the unweighted op
+    val uni = Seq((1L, 2L), (2L, 3L), (4L, 5L))
+    val wUni = graft.operators.GraphOps.weightedPageRank(
+      uni.map { case (a, b) => (a, b, 0.5) }.toDF("id_a", "id_b", "w"),
+      "w", iters = 3).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val plain = graft.operators.GraphOps.pageRank(
+      uni.toDF("id_a", "id_b"), iters = 3).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(wUni === plain)
+  }
+
   test("recallAtK: rank-insensitive overlap, k-truncation on both sides, per-query rollup") {
     import spark.implicits._
     val exact = Seq((1L, 1, 10L), (1L, 2, 11L), (1L, 3, 12L), (2L, 1, 20L))

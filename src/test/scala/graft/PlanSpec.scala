@@ -331,7 +331,7 @@ class PlanSpec extends SparkSpec {
     // whole in-neighborhood in one aggregation group (OOM at a degree-1e7
     // hub); the quantizedSum tree must plan as a partial-aggregating
     // HashAggregate whose state is one decimal, with no array in sight
-    for (q <- Seq("g01_pagerank", "g04_node_similarity")) {
+    for (q <- Seq("g01_pagerank", "g04_node_similarity", "g06_weighted_pagerank")) {
       val plan = physicalPlan(q)
       assert(!plan.contains("collect_list") && !plan.contains("array_sort"),
         s"$q must not buffer per-group message arrays:\n${plan.take(1200)}")
