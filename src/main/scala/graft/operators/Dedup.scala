@@ -1148,6 +1148,52 @@ object Dedup {
       .select("id_a", "id_b", "dist")
   }
 
+  /** Incremental edit-distance screen — the d11 daily-ingest shape for
+    * the typo rung: FRESH strings screen against the standing corpus
+    * (never against each other) under the same Ed-Join prefix contract as
+    * [[editDistancePairs]]. The rarity order is the CORPUS's gram df
+    * (grams the corpus has never seen rank rarest at df 0 — the prefix
+    * theorem holds under ANY shared total order, so the screen stays
+    * exact); candidates form only where a fresh prefix gram hits a corpus
+    * prefix gram, per-ingest work ∝ the batch's rare-gram collisions.
+    * Returns (fresh_id, corpus_id, dist ≤ maxDist).
+    */
+  def incrementalEditDistancePairs(fresh: DataFrame, corpus: DataFrame,
+                                   idCol: String, strCol: String,
+                                   maxDist: Int = 4, q: Int = 2): DataFrame = {
+    require(maxDist >= 0 && q >= 1, s"bad knobs: maxDist=$maxDist, q=$q")
+    val prefixLen = q * maxDist + 1
+    def strs(df: DataFrame) = df.select(col(idCol).as("id"), col(strCol).as("s"))
+      .filter(col("s").isNotNull)
+    def grams(df: DataFrame) = df.select(col("id"),
+      explode(array_distinct(expr(
+        s"CASE WHEN length(s) >= $q THEN transform(sequence(1, length(s) - ${q - 1}), i -> substring(s, i, $q)) ELSE array(s) END")))
+        .as("g"))
+    val (cs, fs) = (strs(corpus), strs(fresh))
+    val cg = Caching.persisted(grams(cs))
+    val dfq = cg.groupBy("g").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("df"), col("g"))
+    val cpref = cg.join(dfq, "g")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= prefixLen)
+      .select(col("id").as("corpus_id"), col("g"))
+    val fpref = grams(fs)
+      .join(dfq, Seq("g"), "left")
+      .withColumn("df", coalesce(col("df"), lit(0L)))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= prefixLen)
+      .select(col("id").as("fresh_id"), col("g"))
+    fpref.join(cpref, "g")
+      .select("fresh_id", "corpus_id").distinct()
+      .join(fs.select(col("id").as("fresh_id"), col("s").as("s_f")), "fresh_id")
+      .join(cs.select(col("id").as("corpus_id"), col("s").as("s_c")), "corpus_id")
+      .filter(abs(length(col("s_f")) - length(col("s_c"))) <= maxDist)
+      .withColumn("dist", levenshtein(col("s_f"), col("s_c")).cast("long"))
+      .filter(col("dist") <= maxDist)
+      .select("fresh_id", "corpus_id", "dist")
+  }
+
   def embeddingCosinePairs(vecs: DataFrame, idCol: String, vecCol: String,
                            threshold: Double,
                            crossCheckCap: Long = CrossCheckGuard.DefaultCap): DataFrame = {

@@ -1350,6 +1350,62 @@ object ExtensionQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // Incremental edit-distance screen (d20): the d11 ingest shape for the
+    // typo rung — fresh docs (doc_id % 10 = 0) screen against the standing
+    // corpus under the d19 prefix contract, rarity ordered by the CORPUS
+    // gram df (unseen grams rank rarest at df 0; the prefix theorem holds
+    // under any shared total order, so the screen stays exact). Per-ingest
+    // pair work ∝ the batch's rare-gram collisions, never corpus
+    // self-pairs. Same en/ASCII oracle scope as d19.
+    "d20_incremental_edit_distance" -> of(
+      """WITH t AS (
+        |  SELECT doc_id AS id, substring(text, 1, 64) AS s
+        |  FROM documents WHERE lang = 'en'),
+        |corp AS (SELECT * FROM t WHERE id % 10 <> 0),
+        |fr AS (SELECT * FROM t WHERE id % 10 = 0),
+        |cg AS (
+        |  SELECT id, UNNEST(list_distinct(CASE WHEN length(s) >= 2
+        |    THEN list_transform(range(1, length(s)), i -> substring(s, CAST(i AS INT), 2))
+        |    ELSE [s] END)) AS g
+        |  FROM corp),
+        |fg AS (
+        |  SELECT id, UNNEST(list_distinct(CASE WHEN length(s) >= 2
+        |    THEN list_transform(range(1, length(s)), i -> substring(s, CAST(i AS INT), 2))
+        |    ELSE [s] END)) AS g
+        |  FROM fr),
+        |dfq AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS df FROM cg GROUP BY g),
+        |cpref AS (
+        |  SELECT id AS corpus_id, g FROM (
+        |    SELECT c.id, c.g,
+        |      ROW_NUMBER() OVER (PARTITION BY c.id ORDER BY d.df, c.g) AS rk
+        |    FROM cg c JOIN dfq d ON d.g = c.g) z
+        |  WHERE rk <= 9),
+        |fpref AS (
+        |  SELECT id AS fresh_id, g FROM (
+        |    SELECT f.id, f.g,
+        |      ROW_NUMBER() OVER (PARTITION BY f.id
+        |        ORDER BY COALESCE(d.df, 0), f.g) AS rk
+        |    FROM fg f LEFT JOIN dfq d ON d.g = f.g) z
+        |  WHERE rk <= 9),
+        |cands AS (
+        |  SELECT DISTINCT f.fresh_id, c.corpus_id
+        |  FROM fpref f JOIN cpref c ON f.g = c.g)
+        |SELECT ca.fresh_id, ca.corpus_id,
+        |  CAST(levenshtein(tf.s, tc.s) AS BIGINT) AS dist
+        |FROM cands ca JOIN fr tf ON tf.id = ca.fresh_id
+        |JOIN corp tc ON tc.id = ca.corpus_id
+        |WHERE abs(length(tf.s) - length(tc.s)) <= 4
+        |  AND levenshtein(tf.s, tc.s) <= 4
+        |ORDER BY fresh_id, corpus_id""") { (s, d) =>
+      val en = t(s, d, "documents").filter(col("lang") === "en")
+        .select(col("doc_id"), substring(col("text"), 1, 64).as("title"))
+      Dedup.incrementalEditDistancePairs(
+        en.filter(pmod(col("doc_id"), lit(10)) === 0),
+        en.filter(pmod(col("doc_id"), lit(10)) =!= 0),
+        "doc_id", "title", maxDist = 4, q = 2)
+        .orderBy("fresh_id", "corpus_id")
+    },
+
     // ---- graph propagation ------------------------------------------------
 
     // Fixed-iteration PageRank over the near-dup pair graph (the curation

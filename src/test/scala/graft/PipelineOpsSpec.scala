@@ -1282,6 +1282,38 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("incrementalEditDistancePairs: fresh-vs-corpus only, complete vs brute force, unseen grams screen exactly") {
+    import spark.implicits._
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val corpus = Seq((1L, "abcabcabcabcabcabcab"), (2L, "dddcbadddcbadddcbadd"),
+      (3L, "aabbccddaabbccddaabb"))
+    // fresh 10: 2 edits from corpus 1; fresh 11: made of grams the corpus
+    // has never seen (df-0 ordering path) and far from everything;
+    // fresh 12: 3 substitutions from corpus 3
+    val fresh = Seq((10L, "abcabcabXabcabcabcaY"), (11L, "zzzzyyyyzzzzyyyyzzzz"),
+      (12L, "aabbccdZaabbccdZaabZ"))
+    val got = graft.operators.Dedup.incrementalEditDistancePairs(
+      fresh.toDF("doc_id", "title"), corpus.toDF("doc_id", "title"),
+      "doc_id", "title", maxDist = 3, q = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val expect = (for {
+      (fi, fsr) <- fresh; (ci, csr) <- corpus
+      if math.abs(fsr.length - csr.length) <= 3
+      d = lev(fsr, csr) if d <= 3
+    } yield (fi, ci) -> d.toLong).toMap
+    assert(got === expect) // completeness under the corpus-df order
+    assert(expect.contains((10L, 1L)) && expect.contains((12L, 3L)))
+    assert(!got.keySet.exists { case (a, b) => a > 9L && b > 9L },
+      "screen must never pair fresh with fresh")
+  }
+
   test("gearChunks: boundaries match a plain-Scala rolling-hash replica; chunks reassemble the payload") {
     import spark.implicits._
     val texts = Seq(
