@@ -934,6 +934,52 @@ object CorpusOps {
     * `exists` containment lambda, no UDF, no explode of the token stream.
     * Docs without spans take the null-array fast path untouched.
     */
+  /** Benchmark-contamination screen — the decontamination step every
+    * LLM training pipeline runs before a corpus ships (the GPT-3/PaLM
+    * recipe: exact k-gram collision against the eval sets): for every
+    * corpus doc, the fraction of its k-word shingles that appear ANYWHERE
+    * in the benchmark set, and how many distinct benchmark docs it
+    * collides with. `frac` near 1 is a leaked eval doc (drop it);
+    * mid-range frac flags shared boilerplate worth a look; 0 is clean.
+    * Every corpus doc is emitted (zeros when clean) so the screen's
+    * output is a complete per-doc audit, join-able back onto any gate.
+    *
+    * Scale shape: the benchmark side is eval-set-sized (thousands of
+    * docs, not the corpus), so its distinct shingle set BROADCASTS and
+    * the corpus-side cost is one scan-stage shingle projection + a
+    * broadcast join — no corpus-keyed shuffle beyond the per-doc rollup.
+    * At a benchmark too large to broadcast, the same plan degrades to a
+    * shuffle join on the shingle key (the d02 bucket shape) with zero
+    * logic change; a bloom prefilter (NativeFunctions.bloomAggBytes)
+    * composes in front of either join.
+    */
+  def contaminationScreen(corpus: DataFrame, bench: DataFrame,
+                          idCol: String, textCol: String,
+                          k: Int = 8): DataFrame = {
+    require(k >= 1, s"contaminationScreen: k must be >= 1, got $k")
+    def shingles(df: DataFrame, as: String) = df.select(col(idCol).as(as),
+        explode(wordShingles(tokens(col(textCol)), k)).as("g"))
+      .distinct()
+    val cg = shingles(corpus, "doc_id")
+    val bg = shingles(bench, "bench_id")
+    val sizes = cg.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val hits = cg.join(broadcast(bg), "g")
+      .groupBy("doc_id")
+      .agg(count_distinct(col("g")).as("n_hit"),
+        count_distinct(col("bench_id")).as("n_bench_docs"))
+    corpus.select(col(idCol).as("doc_id")).distinct()
+      .join(sizes, Seq("doc_id"), "left")
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        coalesce(col("n_bench_docs"), lit(0L)).as("n_bench_docs"))
+      .withColumn("frac",
+        when(col("n_grams") > 0,
+          col("n_hit").cast("double") / col("n_grams").cast("double"))
+          .otherwise(lit(0.0)))
+  }
+
   def applyCutList(docs: DataFrame, spans: DataFrame, idCol: String,
                    textCol: String): DataFrame = {
     val cuts = spans.groupBy(col(idCol))

@@ -2339,6 +2339,44 @@ object ExtensionQueries {
         .orderBy("rank")
     },
 
+    // Benchmark decontamination screen (t34): exact 8-word-shingle
+    // collision of every corpus doc (doc_id >= 50) against the benchmark
+    // set (doc_id < 50) — the GPT-3/PaLM decontamination recipe. frac ≈ 1
+    // is a leaked eval doc; the near-dup structure of this corpus crosses
+    // the split, so real hits exist. Oracle rebuilds shingles, the
+    // collision join and both distinct counts from scratch.
+    "t34_contamination" -> of {
+      val cat = (0 until 8).map(j => s"tk[i+$j]").mkString(" || ' ' || ")
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, $cat AS g
+        |  FROM toks, UNNEST(range(1, len(tk) - 6)) AS u(i)),
+        |cg AS (SELECT doc_id, g FROM sh WHERE doc_id >= 50),
+        |bg AS (SELECT doc_id AS bench_id, g FROM sh WHERE doc_id < 50),
+        |sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams FROM cg GROUP BY doc_id),
+        |hits AS (
+        |  SELECT cg.doc_id, CAST(COUNT(DISTINCT cg.g) AS BIGINT) AS n_hit,
+        |    CAST(COUNT(DISTINCT bg.bench_id) AS BIGINT) AS n_bench_docs
+        |  FROM cg JOIN bg ON bg.g = cg.g GROUP BY cg.doc_id)
+        |SELECT d.doc_id, COALESCE(sz.n_grams, 0) AS n_grams,
+        |  COALESCE(h.n_hit, 0) AS n_hit,
+        |  COALESCE(h.n_bench_docs, 0) AS n_bench_docs,
+        |  CASE WHEN COALESCE(sz.n_grams, 0) > 0
+        |    THEN CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / CAST(sz.n_grams AS DOUBLE)
+        |    ELSE CAST(0.0 AS DOUBLE) END AS frac
+        |FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id >= 50) d
+        |LEFT JOIN sz ON sz.doc_id = d.doc_id
+        |LEFT JOIN hits h ON h.doc_id = d.doc_id
+        |ORDER BY d.doc_id"""
+    } { (s, d) =>
+      val docs = t(s, d, "documents")
+      graft.operators.CorpusOps.contaminationScreen(
+        docs.filter(col("doc_id") >= 50),
+        docs.filter(col("doc_id") < 50),
+        "doc_id", "text", k = 8)
+        .orderBy("doc_id")
+    },
+
     // Streaming drift monitor (e32): t33 live — the fresh batch's token
     // counts are MAINTAINED BY THE STREAM (one complete-mode count whose
     // state is the batch's VOCABULARY, bounded by language, not data

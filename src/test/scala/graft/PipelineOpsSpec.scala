@@ -1245,6 +1245,35 @@ class PipelineOpsSpec extends SparkSpec {
     assert(res >= raw, s"residual hits $res < raw hits $raw at equal budget")
   }
 
+  test("contaminationScreen: leaked doc frac 1, partial quote mid-frac, clean doc zeros, short doc guarded") {
+    import spark.implicits._
+    val benchText = (1 to 12).map(i => s"bench$i").mkString(" ") // 12 tokens
+    val bench = Seq((1L, benchText), (2L, "other eval doc with eight plus tokens in it yes")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (100L, benchText),                                  // verbatim leak
+      (101L, "clean text " + (1 to 10).map(i => s"c$i").mkString(" ")),
+      (102L, (1 to 6).map(i => s"bench$i").mkString(" ") + " then diverges " +
+        (1 to 6).map(i => s"x$i").mkString(" ")),         // shares no FULL 8-gram
+      (103L, "tiny doc")).toDF("doc_id", "text")          // < 8 tokens
+    val got = graft.operators.CorpusOps.contaminationScreen(
+      corpus, bench, "doc_id", "text", k = 8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got.keySet === Set(100L, 101L, 102L, 103L)) // complete audit
+    val (g100, h100, b100, f100) = got(100L)
+    assert(g100 === 5L && h100 === 5L && b100 === 1L && f100 === 1.0)
+    assert(got(101L)._2 === 0L && got(101L)._4 === 0.0)
+    assert(got(102L)._2 === 0L, "a 6-token overlap cannot form an 8-gram")
+    assert(got(103L) === ((0L, 0L, 0L, 0.0))) // no grams, no division
+    // a 9-token prefix overlap DOES form 8-grams and yields a partial frac
+    val partial = graft.operators.CorpusOps.contaminationScreen(
+      Seq((200L, (1 to 9).map(i => s"bench$i").mkString(" ") + " " +
+        (1 to 8).map(i => s"y$i").mkString(" "))).toDF("doc_id", "text"),
+      bench, "doc_id", "text", k = 8).head()
+    assert(partial.getLong(2) === 2L) // shingles at offsets 0 and 1 hit
+    assert(partial.getDouble(4) === 2.0 / 10.0)
+  }
+
   test("editDistancePairs: prefix filtering loses NO pair vs brute force; bound respected") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed
