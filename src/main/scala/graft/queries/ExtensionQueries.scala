@@ -261,6 +261,35 @@ object ExtensionQueries {
     * doc_id % 10 split, so the batch alarm and the streaming monitor
     * grade against one SQL definition.
     */
+  /** The t34 decontamination oracle — shared verbatim by the streaming
+    * twin (e35): both maintenance paths must produce the identical per-doc
+    * audit.
+    */
+  private val t34OracleSql = {
+    val cat = (0 until 8).map(j => s"tk[i+$j]").mkString(" || ' ' || ")
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, $cat AS g
+      |  FROM toks, UNNEST(range(1, len(tk) - 6)) AS u(i)),
+      |cg AS (SELECT doc_id, g FROM sh WHERE doc_id >= 50),
+      |bg AS (SELECT doc_id AS bench_id, g FROM sh WHERE doc_id < 50),
+      |sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams FROM cg GROUP BY doc_id),
+      |hits AS (
+      |  SELECT cg.doc_id, CAST(COUNT(DISTINCT cg.g) AS BIGINT) AS n_hit,
+      |    CAST(COUNT(DISTINCT bg.bench_id) AS BIGINT) AS n_bench_docs
+      |  FROM cg JOIN bg ON bg.g = cg.g GROUP BY cg.doc_id)
+      |SELECT d.doc_id, COALESCE(sz.n_grams, 0) AS n_grams,
+      |  COALESCE(h.n_hit, 0) AS n_hit,
+      |  COALESCE(h.n_bench_docs, 0) AS n_bench_docs,
+      |  CASE WHEN COALESCE(sz.n_grams, 0) > 0
+      |    THEN CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / CAST(sz.n_grams AS DOUBLE)
+      |    ELSE CAST(0.0 AS DOUBLE) END AS frac
+      |FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id >= 50) d
+      |LEFT JOIN sz ON sz.doc_id = d.doc_id
+      |LEFT JOIN hits h ON h.doc_id = d.doc_id
+      |ORDER BY d.doc_id"""
+  }
+
   private val t33OracleSql =
     """WITH ct AS (
         |  SELECT u.tok, CAST(COUNT(*) AS BIGINT) AS corpus_n
@@ -2345,30 +2374,7 @@ object ExtensionQueries {
     // is a leaked eval doc; the near-dup structure of this corpus crosses
     // the split, so real hits exist. Oracle rebuilds shingles, the
     // collision join and both distinct counts from scratch.
-    "t34_contamination" -> of {
-      val cat = (0 until 8).map(j => s"tk[i+$j]").mkString(" || ' ' || ")
-      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
-        |sh AS (
-        |  SELECT DISTINCT doc_id, $cat AS g
-        |  FROM toks, UNNEST(range(1, len(tk) - 6)) AS u(i)),
-        |cg AS (SELECT doc_id, g FROM sh WHERE doc_id >= 50),
-        |bg AS (SELECT doc_id AS bench_id, g FROM sh WHERE doc_id < 50),
-        |sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams FROM cg GROUP BY doc_id),
-        |hits AS (
-        |  SELECT cg.doc_id, CAST(COUNT(DISTINCT cg.g) AS BIGINT) AS n_hit,
-        |    CAST(COUNT(DISTINCT bg.bench_id) AS BIGINT) AS n_bench_docs
-        |  FROM cg JOIN bg ON bg.g = cg.g GROUP BY cg.doc_id)
-        |SELECT d.doc_id, COALESCE(sz.n_grams, 0) AS n_grams,
-        |  COALESCE(h.n_hit, 0) AS n_hit,
-        |  COALESCE(h.n_bench_docs, 0) AS n_bench_docs,
-        |  CASE WHEN COALESCE(sz.n_grams, 0) > 0
-        |    THEN CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / CAST(sz.n_grams AS DOUBLE)
-        |    ELSE CAST(0.0 AS DOUBLE) END AS frac
-        |FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id >= 50) d
-        |LEFT JOIN sz ON sz.doc_id = d.doc_id
-        |LEFT JOIN hits h ON h.doc_id = d.doc_id
-        |ORDER BY d.doc_id"""
-    } { (s, d) =>
+    "t34_contamination" -> of(t34OracleSql) { (s, d) =>
       val docs = t(s, d, "documents")
       graft.operators.CorpusOps.contaminationScreen(
         docs.filter(col("doc_id") >= 50),
@@ -3435,6 +3441,52 @@ object ExtensionQueries {
         .select(col("query_id"), (col("rank0") + 1).as("rank"),
           col("n.id").as("neighbor_id"), col("n.score").as("cosine"))
         .orderBy("query_id", "rank")
+    },
+
+    // Streaming decontamination screen (e35): corpus docs ARRIVE as a
+    // stream and collide live against the static benchmark shingle set —
+    // t34 always-on, the e32 serve-from-state pattern. In-row distinct
+    // shingles explode statelessly into a stream-static BROADCAST probe;
+    // the ONE stateful op materializes only the HIT PAIRS (doc, gram), so
+    // state is bounded by contamination volume, not corpus size — the
+    // thing the alarm fires on is the only thing held. The serve step is
+    // batch: distinct gram/bench-doc counts from the materialized pairs
+    // (re-joining the static bench side) + static per-doc sizes, emitting
+    // the complete zero-filled audit. Graded by the t34 SQL verbatim —
+    // both maintenance paths must agree row for row.
+    "e35_stream_contamination" -> of(t34OracleSql) { (s, d) =>
+      import graft.streaming.{EventsStream, ScreenStream}
+      val docs = t(s, d, "documents")
+      def sh(df: org.apache.spark.sql.DataFrame, as: String) =
+        df.select(col("doc_id").as(as),
+          explode(array_distinct(wordShingles(tokens(col("text")), 8))).as("g"))
+      val bg = sh(docs.filter(col("doc_id") < 50), "bench_id")
+      val hitPairs = ScreenStream.readDocs(s, d).filter(col("doc_id") >= 50)
+        .select(col("doc_id"),
+          explode(array_distinct(wordShingles(tokens(col("text")), 8))).as("g"))
+        .join(broadcast(bg.select("g").distinct()), "g")
+        .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("__n"))
+      val sinkName = s"stream_contam_${sinkCounter.incrementAndGet()}"
+      EventsStream.runAvailableNow(hitPairs, sinkName, outputMode = "complete")
+      val hits = s.table(sinkName).join(bg, "g")
+        .groupBy("doc_id")
+        .agg(count_distinct(col("g")).as("n_hit"),
+          count_distinct(col("bench_id")).as("n_bench_docs"))
+      val corpus = docs.filter(col("doc_id") >= 50)
+      val sizes = sh(corpus, "doc_id")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+      corpus.select("doc_id").distinct()
+        .join(sizes, Seq("doc_id"), "left")
+        .join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          coalesce(col("n_bench_docs"), lit(0L)).as("n_bench_docs"))
+        .withColumn("frac",
+          when(col("n_grams") > 0,
+            col("n_hit").cast("double") / col("n_grams").cast("double"))
+            .otherwise(lit(0.0)))
+        .orderBy("doc_id")
     },
 
     // Streaming media ingest screen (e31): fresh blobs ARRIVE as a stream
