@@ -1119,7 +1119,7 @@ object Dedup {
     * Strings shorter than q contribute themselves as their only gram.
     */
   def editDistancePairs(docs: DataFrame, idCol: String, strCol: String,
-                        maxDist: Int = 4, q: Int = 2): DataFrame = {
+                        maxDist: Int = 4, q: Int = 4): DataFrame = {
     require(maxDist >= 0 && q >= 1, s"bad knobs: maxDist=$maxDist, q=$q")
     val prefixLen = q * maxDist + 1
     val s = docs.select(col(idCol).as("id"), col(strCol).as("s"))
@@ -1166,7 +1166,7 @@ object Dedup {
     */
   def incrementalEditDistancePairs(fresh: DataFrame, corpus: DataFrame,
                                    idCol: String, strCol: String,
-                                   maxDist: Int = 4, q: Int = 2): DataFrame = {
+                                   maxDist: Int = 4, q: Int = 4): DataFrame = {
     require(maxDist >= 0 && q >= 1, s"bad knobs: maxDist=$maxDist, q=$q")
     val prefixLen = q * maxDist + 1
     def strs(df: DataFrame) = df.select(col(idCol).as("id"), col(strCol).as("s"))

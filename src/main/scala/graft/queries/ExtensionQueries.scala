@@ -1353,8 +1353,8 @@ object ExtensionQueries {
         |  SELECT doc_id AS id, substring(text, 1, 64) AS s
         |  FROM documents WHERE lang = 'en'),
         |grams AS (
-        |  SELECT id, UNNEST(list_distinct(CASE WHEN length(s) >= 2
-        |    THEN list_transform(range(1, length(s)), i -> substring(s, CAST(i AS INT), 2))
+        |  SELECT id, UNNEST(list_distinct(CASE WHEN length(s) >= 4
+        |    THEN list_transform(range(1, length(s) - 2), i -> substring(s, CAST(i AS INT), 4))
         |    ELSE [s] END)) AS g
         |  FROM t),
         |dfq AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS df FROM grams GROUP BY g),
@@ -1363,7 +1363,7 @@ object ExtensionQueries {
         |    SELECT gr.id, gr.g,
         |      ROW_NUMBER() OVER (PARTITION BY gr.id ORDER BY d.df, gr.g) AS rk
         |    FROM grams gr JOIN dfq d ON d.g = gr.g) z
-        |  WHERE rk <= 9),
+        |  WHERE rk <= 17),
         |cands AS (
         |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
         |  FROM pref a JOIN pref b ON a.g = b.g AND a.id < b.id)
@@ -1375,7 +1375,7 @@ object ExtensionQueries {
       Dedup.editDistancePairs(
         t(s, d, "documents").filter(col("lang") === "en")
           .select(col("doc_id"), substring(col("text"), 1, 64).as("title")),
-        "doc_id", "title", maxDist = 4, q = 2)
+        "doc_id", "title", maxDist = 4, q = 4)
         .orderBy("id_a", "id_b")
     },
 
@@ -1393,13 +1393,13 @@ object ExtensionQueries {
         |corp AS (SELECT * FROM t WHERE id % 10 <> 0),
         |fr AS (SELECT * FROM t WHERE id % 10 = 0),
         |cg AS (
-        |  SELECT id, UNNEST(list_distinct(CASE WHEN length(s) >= 2
-        |    THEN list_transform(range(1, length(s)), i -> substring(s, CAST(i AS INT), 2))
+        |  SELECT id, UNNEST(list_distinct(CASE WHEN length(s) >= 4
+        |    THEN list_transform(range(1, length(s) - 2), i -> substring(s, CAST(i AS INT), 4))
         |    ELSE [s] END)) AS g
         |  FROM corp),
         |fg AS (
-        |  SELECT id, UNNEST(list_distinct(CASE WHEN length(s) >= 2
-        |    THEN list_transform(range(1, length(s)), i -> substring(s, CAST(i AS INT), 2))
+        |  SELECT id, UNNEST(list_distinct(CASE WHEN length(s) >= 4
+        |    THEN list_transform(range(1, length(s) - 2), i -> substring(s, CAST(i AS INT), 4))
         |    ELSE [s] END)) AS g
         |  FROM fr),
         |dfq AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS df FROM cg GROUP BY g),
@@ -1408,14 +1408,14 @@ object ExtensionQueries {
         |    SELECT c.id, c.g,
         |      ROW_NUMBER() OVER (PARTITION BY c.id ORDER BY d.df, c.g) AS rk
         |    FROM cg c JOIN dfq d ON d.g = c.g) z
-        |  WHERE rk <= 9),
+        |  WHERE rk <= 17),
         |fpref AS (
         |  SELECT id AS fresh_id, g FROM (
         |    SELECT f.id, f.g,
         |      ROW_NUMBER() OVER (PARTITION BY f.id
         |        ORDER BY COALESCE(d.df, 0), f.g) AS rk
         |    FROM fg f LEFT JOIN dfq d ON d.g = f.g) z
-        |  WHERE rk <= 9),
+        |  WHERE rk <= 17),
         |cands AS (
         |  SELECT DISTINCT f.fresh_id, c.corpus_id
         |  FROM fpref f JOIN cpref c ON f.g = c.g)
@@ -1431,7 +1431,7 @@ object ExtensionQueries {
       Dedup.incrementalEditDistancePairs(
         en.filter(pmod(col("doc_id"), lit(10)) === 0),
         en.filter(pmod(col("doc_id"), lit(10)) =!= 0),
-        "doc_id", "title", maxDist = 4, q = 2)
+        "doc_id", "title", maxDist = 4, q = 4)
         .orderBy("fresh_id", "corpus_id")
     },
 
