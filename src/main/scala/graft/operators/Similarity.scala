@@ -618,6 +618,56 @@ object Similarity {
     * lowest-cid tie-break via the negated id. Returns
     * (id, v, v_norm, cid) — one row per corpus vector, no shuffle.
     */
+  /** Hard-negative mining for contrastive training — for each query, the
+    * top-`k` most-similar corpus vectors whose `labelCol` DIFFERS from the
+    * query's: the near-misses a retrieval model must learn to push away,
+    * the single highest-leverage data op in embedding-model training. The
+    * scale path is the trained IVF walk (broadcast centroid table, probes
+    * read nProbe/nCells of the cell-bucketed corpus) with the label
+    * MISMATCH applied as a post-filter inside the probed cells.
+    *
+    * Post-filter vs s16's pre-filter, the duality stated: s16's equality
+    * constraint is SELECTIVE (a label keeps ~1/|labels| of each cell), so
+    * post-filtering an unfiltered top-k there loses recall and the attr
+    * must ride the join key. The negative constraint keeps the COMPLEMENT
+    * (~1−1/|labels| of every cell) — nearly everything passes, so
+    * post-filtering inside the probed cells is the right plan and a
+    * (cid, label) anti-key would buy nothing. Recall loss comes only from
+    * probing (same as unfiltered IVF); a pathological cell dominated by
+    * the query's own label degrades toward fewer-than-k rows, never wrong
+    * rows. Returns (query_id, rank, neighbor_id, neighbor_label, cosine).
+    */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame, idCol: String,
+                    vecCol: String, labelCol: String, k: Int,
+                    nCentroids: Int = 16, nProbe: Int = 2,
+                    iters: Int = 3): DataFrame = {
+    graft.functions.NativeFunctions.register(queries.sparkSession)
+    val cents = kmeansCentroids(corpus, idCol, vecCol, nCentroids, iters)
+    if (cents.isEmpty)
+      return queries.limit(0).select(col(idCol).cast("long").as("query_id"),
+        lit(0).as("rank"), col(idCol).cast("long").as("neighbor_id"),
+        col(labelCol).as("neighbor_label"), lit(0.0).as("cosine"))
+    val inverted = assignToCentroids(corpus, idCol, vecCol, cents)
+      .join(corpus.select(col(idCol).as("id"), col(labelCol).as("n_label")), "id")
+      .select(col("cid"), col("id").as("neighbor_id"), col("v").as("nv"),
+        col("v_norm").as("n_norm"), col("n_label"))
+    val probes = probeCells(queries, idCol, vecCol, cents, nProbe)
+      .join(queries.select(col(idCol).as("id"), col(labelCol).as("q_label")), "id")
+      .select(col("id").as("query_id"), col("v").as("qv"),
+        col("v_norm").as("q_norm"), col("cid"), col("q_label"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    probes.join(inverted, Seq("cid"))
+      .filter(col("query_id") =!= col("neighbor_id") &&
+        col("q_label") =!= col("n_label"))
+      .withColumn("cosine",
+        dot(col("qv"), col("nv")) / (col("q_norm") * col("n_norm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("n_label").as("neighbor_label"), col("cosine"))
+  }
+
   /** Per-row top-`nProbe` cell selection against LITERAL centroids — the
     * stream-safe probe: a window can't rank centroids per query inside a
     * stream, but `slice(array_sort(...))` over a per-row struct array can,

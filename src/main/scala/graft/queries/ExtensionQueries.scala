@@ -2103,6 +2103,46 @@ object ExtensionQueries {
         .orderBy("query_id")
     },
 
+    // Hard-negative mining (s20): for each query, the top-5 most-similar
+    // corpus vectors with a DIFFERENT label — the near-misses a
+    // contrastive retrieval model trains against, the highest-leverage
+    // data op in embedding-model training. IVF scale path with the
+    // mismatch as a POST-filter inside the probed cells (the dual of
+    // s16's pre-filter: the negative constraint keeps the ~1−1/|labels|
+    // complement of every cell, so post-filtering loses nothing a
+    // (cid, label) anti-key would save). Oracle replays assignment,
+    // probing, the mismatch filter and ranking from the s04 dump.
+    "s20_hard_negatives" -> of(
+      s"""WITH corp AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
+        |cent AS (SELECT cid, cvec AS cv FROM read_parquet('{{AUX}}/s04_centroids/*.parquet')),
+        |assign AS (
+        |  SELECT vec_id AS neighbor_id, cid, v AS nv, label AS n_label FROM (
+        |    SELECT c.vec_id, ct.cid, c.v, c.label,
+        |      ROW_NUMBER() OVER (PARTITION BY c.vec_id
+        |        ORDER BY ${listCos("c.v", "ct.cv")} DESC, ct.cid) AS crn
+        |    FROM corp c CROSS JOIN cent ct) x WHERE crn = 1),
+        |probes AS (
+        |  SELECT query_id, cid, qv, q_label FROM (
+        |    SELECT q.vec_id AS query_id, ct.cid, q.v AS qv, q.label AS q_label,
+        |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |        ORDER BY ${listCos("q.v", "ct.cv")} DESC, ct.cid) AS crn
+        |    FROM corp q CROSS JOIN cent ct WHERE q.vec_id < 10) x WHERE crn <= 2),
+        |cand AS (
+        |  SELECT DISTINCT p.query_id, a.neighbor_id, a.n_label AS neighbor_label,
+        |    ${listCos("p.qv", "a.nv")} AS cosine
+        |  FROM probes p JOIN assign a ON a.cid = p.cid
+        |    AND a.neighbor_id <> p.query_id AND a.n_label <> p.q_label)
+        |SELECT query_id, rank, neighbor_id, neighbor_label, cosine FROM (
+        |  SELECT query_id, neighbor_id, neighbor_label, cosine,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, neighbor_id) AS rank
+        |  FROM cand) x WHERE rank <= 5 ORDER BY query_id, rank""") { (s, d) =>
+      val e = t(s, d, "embeddings")
+      Similarity.hardNegatives(e.filter(col("vec_id") < 10), e,
+        "vec_id", "embedding", "label", k = 5)
+        .orderBy("query_id", "rank")
+    },
+
     "s14_ivfpq_recall" -> of(recallOracle(ivfPqCtes, ivfPqSelect)) { (s, d) =>
       val e = t(s, d, "embeddings")
       val q = e.filter(col("vec_id") < 10)

@@ -1226,6 +1226,38 @@ class PipelineOpsSpec extends SparkSpec {
     assert(ivfpq === exact)
   }
 
+  test("hardNegatives probing every cell == brute-force different-label top-k") {
+    val q = embs.filter(col("vec_id") < 10)
+    val got = graft.operators.Similarity.hardNegatives(q, embs,
+      "vec_id", "embedding", "label", k = 5, nCentroids = 16, nProbe = 16)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getLong(2), r.getDouble(4))).toMap
+    // brute force: the s02 window shape with the label INEQUALITY
+    val v = col("embedding").cast("array<double>")
+    val qs = q.select(col("vec_id").as("query_id"), v.as("qv"),
+      col("label").as("ql"))
+    val cs = embs.select(col("vec_id").as("neighbor_id"), v.as("nv"),
+      col("label").as("nl"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    val exact = qs.crossJoin(cs)
+      .filter(col("query_id") =!= col("neighbor_id") && col("ql") =!= col("nl"))
+      .withColumn("cosine", graft.operators.Similarity.dot(col("qv"), col("nv")) /
+        (graft.operators.Similarity.l2norm(col("qv")) *
+          graft.operators.Similarity.l2norm(col("nv"))))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank")) ->
+        (r.getAs[Long]("neighbor_id"), r.getAs[Double]("cosine"))).toMap
+    assert(got === exact)
+    // every mined negative genuinely has a different label
+    val labels = embs.collect().map(r =>
+      r.getAs[Long]("vec_id") -> r.getAs[Any]("label")).toMap
+    got.foreach { case ((qid, _), (nid, _)) =>
+      assert(labels(qid) !== labels(nid), s"$qid -> $nid shares the label")
+    }
+  }
+
   test("residual PQ recall >= raw PQ recall at equal code budget (r10 verdict gate)") {
     // the point of residual encoding: the same subspaces×codebookK code
     // budget describes within-cell variation instead of re-describing cell
