@@ -618,6 +618,43 @@ object Similarity {
     * lowest-cid tie-break via the negated id. Returns
     * (id, v, v_norm, cid) — one row per corpus vector, no shuffle.
     */
+  /** Embedding-space drift monitor — the vector twin of the t33 token
+    * alarm: a fresh batch's per-CELL occupancy (assignment under the
+    * corpus-trained quantizer) against the corpus-proportional
+    * expectation, χ² contribution per cell. A changed embedding model, a
+    * new content source, or an upstream preprocessing drift shows up as
+    * cells over/under-filled long before any downstream metric moves, and
+    * the answer is ATTRIBUTABLE — which semantic regions drifted.
+    *
+    * Same exactness stance as t33: occupancies are exact counts (map-side
+    * combinable), the expectation/χ² is one fixed double tree per cell,
+    * no transcendentals — oracle-able from the dumped centroids alone.
+    * Cells the corpus doesn't occupy are excluded (expectation undefined),
+    * exactly as t33 scopes to the corpus top-K. Scale: assignment is the
+    * shuffle-free argmax projection; the whole monitor shuffles
+    * O(nCells) count rows.
+    */
+  def cellOccupancyDrift(corpus: DataFrame, fresh: DataFrame, idCol: String,
+                         vecCol: String, nCells: Int = 16,
+                         iters: Int = 3): DataFrame = {
+    val cents = kmeansCentroids(corpus, idCol, vecCol, nCells, iters)
+    def occ(df: DataFrame, as: String) =
+      assignToCentroids(df, idCol, vecCol, cents)
+        .groupBy("cid").agg(count(lit(1)).as(as))
+    val joined = occ(corpus, "corpus_n")
+      .join(occ(fresh, "fresh_n"), Seq("cid"), "left")
+      .na.fill(0L, Seq("fresh_n"))
+    val totals = joined.agg(sum("corpus_n").as("c_tot"), sum("fresh_n").as("f_tot"))
+    joined.crossJoin(broadcast(totals))
+      .withColumn("expected",
+        col("f_tot").cast("double") * col("corpus_n").cast("double") /
+          col("c_tot").cast("double"))
+      .withColumn("contrib",
+        (col("fresh_n").cast("double") - col("expected")) *
+          (col("fresh_n").cast("double") - col("expected")) / col("expected"))
+      .select("cid", "corpus_n", "fresh_n", "expected", "contrib")
+  }
+
   /** Hard-negative mining for contrastive training — for each query, the
     * top-`k` most-similar corpus vectors whose `labelCol` DIFFERS from the
     * query's: the near-misses a retrieval model must learn to push away,

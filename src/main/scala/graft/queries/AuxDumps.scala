@@ -154,6 +154,16 @@ object AuxDumps {
           t(s, d, "embeddings").filter(pmod(col("vec_id"), lit(4)) =!= 0),
           "vec_id", "embedding"))),
 
+    // s21: the drift monitor's quantizer — trained on the STANDING corpus
+    // only (vec_id % 8 ≠ 0, the d15/d16 split), because a drift alarm's
+    // reference frame must not be contaminated by the batch it screens.
+    // Same bit-reproducible retraining contract as s04/s18.
+    "s21_centroids" -> ((s, d) =>
+      graft.operators.Similarity.centroidsDf(s,
+        graft.operators.Similarity.kmeansCentroids(
+          t(s, d, "embeddings").filter(pmod(col("vec_id"), lit(8)) =!= 0),
+          "vec_id", "embedding"))),
+
     // Hyperplane-LSH consumers — s03 (one 8-plane table, p 0..7) and d06
     // (8 tables × 4 planes, p 0..31): the ±1 sign vector of each
     // deterministic hyperplane, materialized through the OPERATOR's own

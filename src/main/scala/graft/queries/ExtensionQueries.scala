@@ -1435,6 +1435,40 @@ object ExtensionQueries {
         .orderBy("fresh_id", "corpus_id")
     },
 
+    // Cross-source duplication matrix (t35): which sources duplicate into
+    // which — the rollup a curation owner reads before dropping mirror
+    // sites or re-weighting a scraped source. One row per unordered
+    // source pair with ≥1 near-dup pair: pair count + mean Jaccard (the
+    // mean via the quantized exact sum, so the double is
+    // partitioning-independent). Cost after the d02 pair generation is
+    // two source-map joins + an O(sources²) rollup.
+    "t35_source_dup_matrix" -> of(
+      s"""WITH ${jaccardCtes(None)},
+        |src AS (SELECT doc_id, source FROM documents),
+        |p AS (
+        |  SELECT LEAST(sa.source, sb.source) AS source_a,
+        |    GREATEST(sa.source, sb.source) AS source_b, jp.jaccard
+        |  FROM jp JOIN src sa ON sa.doc_id = jp.id_a
+        |  JOIN src sb ON sb.doc_id = jp.id_b)
+        |SELECT source_a, source_b, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |  CAST(SUM(CAST(floor(jaccard * 1e18) AS HUGEINT)) AS DOUBLE) / 1e18
+        |    / COUNT(*) AS mean_jaccard
+        |FROM p GROUP BY source_a, source_b ORDER BY source_a, source_b""") { (s, d) =>
+      val docs = t(s, d, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text")
+      val src = docs.select(col("doc_id"), col("source"))
+      pairs
+        .join(src.select(col("doc_id").as("id_a"), col("source").as("sa")), "id_a")
+        .join(src.select(col("doc_id").as("id_b"), col("source").as("sb")), "id_b")
+        .select(least(col("sa"), col("sb")).as("source_a"),
+          greatest(col("sa"), col("sb")).as("source_b"), col("jaccard"))
+        .groupBy("source_a", "source_b")
+        .agg(count(lit(1)).as("n_pairs"),
+          (graft.operators.GraphOps.quantizedSum(col("jaccard")) /
+            count(lit(1))).as("mean_jaccard"))
+        .orderBy("source_a", "source_b")
+    },
+
     // ---- graph propagation ------------------------------------------------
 
     // Fixed-iteration PageRank over the near-dup pair graph (the curation
@@ -2141,6 +2175,43 @@ object ExtensionQueries {
       Similarity.hardNegatives(e.filter(col("vec_id") < 10), e,
         "vec_id", "embedding", "label", k = 5)
         .orderBy("query_id", "rank")
+    },
+
+    // Embedding-space drift monitor (s21): the t33 χ² alarm in vector
+    // space — the fresh batch's (vec_id % 8 = 0) per-cell occupancy under
+    // the STANDING-corpus-trained quantizer vs the corpus-proportional
+    // expectation. Attributable (which semantic cells drifted), exact
+    // counts + one fixed double tree per cell, oracled from the s21
+    // centroid dump with the t33 contrib tree verbatim.
+    "s21_embedding_drift" -> of(
+      s"""WITH corp AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cent AS (SELECT cid, cvec AS cv FROM read_parquet('{{AUX}}/s21_centroids/*.parquet')),
+        |assign AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT c.vec_id, ct.cid,
+        |      ROW_NUMBER() OVER (PARTITION BY c.vec_id
+        |        ORDER BY ${listCos("c.v", "ct.cv")} DESC, ct.cid) AS crn
+        |    FROM corp c CROSS JOIN cent ct) x WHERE crn = 1),
+        |co AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS corpus_n
+        |  FROM assign WHERE vec_id % 8 <> 0 GROUP BY cid),
+        |fo AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS fresh_n
+        |  FROM assign WHERE vec_id % 8 = 0 GROUP BY cid),
+        |j AS (SELECT co.cid, co.corpus_n, COALESCE(fo.fresh_n, 0) AS fresh_n
+        |  FROM co LEFT JOIN fo ON fo.cid = co.cid),
+        |tot AS (SELECT CAST(SUM(corpus_n) AS BIGINT) AS c_tot,
+        |    CAST(SUM(fresh_n) AS BIGINT) AS f_tot FROM j)
+        |SELECT j.cid, j.corpus_n, j.fresh_n,
+        |  CAST(tot.f_tot AS DOUBLE) * CAST(j.corpus_n AS DOUBLE) / CAST(tot.c_tot AS DOUBLE) AS expected,
+        |  (CAST(j.fresh_n AS DOUBLE) - CAST(tot.f_tot AS DOUBLE) * CAST(j.corpus_n AS DOUBLE) / CAST(tot.c_tot AS DOUBLE))
+        |    * (CAST(j.fresh_n AS DOUBLE) - CAST(tot.f_tot AS DOUBLE) * CAST(j.corpus_n AS DOUBLE) / CAST(tot.c_tot AS DOUBLE))
+        |    / (CAST(tot.f_tot AS DOUBLE) * CAST(j.corpus_n AS DOUBLE) / CAST(tot.c_tot AS DOUBLE)) AS contrib
+        |FROM j CROSS JOIN tot ORDER BY j.cid""") { (s, d) =>
+      val e = t(s, d, "embeddings")
+      Similarity.cellOccupancyDrift(
+        e.filter(pmod(col("vec_id"), lit(8)) =!= 0),
+        e.filter(pmod(col("vec_id"), lit(8)) === 0),
+        "vec_id", "embedding")
+        .orderBy("cid")
     },
 
     "s14_ivfpq_recall" -> of(recallOracle(ivfPqCtes, ivfPqSelect)) { (s, d) =>

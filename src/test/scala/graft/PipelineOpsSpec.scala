@@ -1226,6 +1226,38 @@ class PipelineOpsSpec extends SparkSpec {
     assert(ivfpq === exact)
   }
 
+  test("cellOccupancyDrift: over-filled cell carries the chi2 mass; balanced batch is flat") {
+    import spark.implicits._
+    // two tight clusters around (1,0) and (0,1); corpus is balanced 4/4
+    def around(base: (Double, Double), eps: Double*) =
+      eps.map(e => Seq(base._1 + e, base._2 - e))
+    val corpus = (around((1.0, 0.0), 0.0, 0.01, 0.02, 0.03) ++
+      around((0.0, 1.0), 0.0, 0.01, 0.02, 0.03))
+      .zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("vec_id", "embedding")
+    // fresh: 6 near cluster A, 0 near B — all drift mass lands on A's cell
+    val skewed = around((1.0, 0.0), 0.001, 0.011, 0.021, 0.031, 0.041, 0.051)
+      .zipWithIndex.map { case (v, i) => (100L + i, v) }
+      .toDF("vec_id", "embedding")
+    val got = graft.operators.Similarity.cellOccupancyDrift(
+      corpus, skewed, "vec_id", "embedding", nCells = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(4)))).toMap
+    assert(got.size === 2)
+    val (hot, cold) = (got.values.find(_._2 == 6L).get, got.values.find(_._2 == 0L).get)
+    assert(hot._1 === 4L && cold._1 === 4L)
+    // expectation is 3/3; chi2 contribs: (6-3)^2/3 = 3 and (0-3)^2/3 = 3
+    assert(hot._3 === 3.0 && cold._3 === 3.0)
+    // a corpus-proportional batch is flat: contrib exactly 0 per cell
+    val balanced = (around((1.0, 0.0), 0.005) ++ around((0.0, 1.0), 0.005))
+      .zipWithIndex.map { case (v, i) => (200L + i, v) }
+      .toDF("vec_id", "embedding")
+    val flat = graft.operators.Similarity.cellOccupancyDrift(
+      corpus, balanced, "vec_id", "embedding", nCells = 2)
+      .collect().map(_.getDouble(4))
+    assert(flat.forall(_ === 0.0))
+  }
+
   test("hardNegatives probing every cell == brute-force different-label top-k") {
     val q = embs.filter(col("vec_id") < 10)
     val got = graft.operators.Similarity.hardNegatives(q, embs,
