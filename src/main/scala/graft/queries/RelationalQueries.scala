@@ -945,6 +945,28 @@ object RelationalQueries {
         .orderBy("z", "p_partkey")
     },
 
+    // Lake-layout Hilbert key (q52): z-order's locality upgrade — the
+    // Hilbert curve is CONTINUOUS (consecutive keys are always
+    // grid-adjacent, spec-pinned over a full grid), so equal-size key
+    // ranges cut tighter bounding boxes than Morton's diagonal jumps and
+    // min/max file stats prune better on both dimensions. The walk is
+    // sequential across bit levels → a codegen expression on the Spark
+    // side, the same recurrence as 16 chained CTE stages on the oracle
+    // side (both stated from one generator each).
+    "q52_hilbert_key" -> of(
+      s"""WITH ${graft.functions.Hilbert.hilbertSqlCtes(
+           "(SELECT p_partkey, p_size FROM part WHERE p_partkey <= 2000)",
+           "p_partkey % 65536", "p_size", "p_partkey, p_size")}
+        |SELECT p_partkey, p_size, hd AS h FROM h16
+        |ORDER BY h, p_partkey""") { (s, d) =>
+      t(s, d, "part").filter(col("p_partkey") <= 2000)
+        .select(col("p_partkey"), col("p_size"),
+          graft.functions.Hilbert.hilbertKey(s,
+            pmod(col("p_partkey"), lit(65536L)),
+            col("p_size").cast("long")).as("h"))
+        .orderBy("h", "p_partkey")
+    },
+
     // §2.4 co-located bucketed join: both sides pre-bucketed (and sorted) by
     // the join key, so the per-order aggregation AND the fact-to-fact join
     // plan without any Exchange (PlanSpec asserts it with broadcast

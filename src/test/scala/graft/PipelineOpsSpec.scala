@@ -300,6 +300,41 @@ class PipelineOpsSpec extends SparkSpec {
     assert(buckets === "4")
   }
 
+  test("hilbertKey: bijective over the full grid; consecutive keys are grid-ADJACENT (the locality z-order lacks)") {
+    import spark.implicits._
+    val bits = 5
+    val n = 1 << bits
+    val grid = (for (x <- 0 until n; y <- 0 until n) yield (x.toLong, y.toLong))
+      .toDF("x", "y")
+    val keyed = grid.select(col("x"), col("y"),
+      graft.functions.Hilbert.hilbertKey(spark, col("x"), col("y"), bits).as("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // bijection onto [0, n^2)
+    assert(keyed.map(_._3).sorted.toSeq === (0L until n.toLong * n).toSeq)
+    // continuity: walking the curve in key order, every step moves to a
+    // grid NEIGHBOR (|dx| + |dy| = 1) — z-order provably fails this (its
+    // boundary jumps are the motivation for the Hilbert key)
+    val walk = keyed.sortBy(_._3)
+    walk.sliding(2).foreach { case Array((x1, y1, _), (x2, y2, h2)) =>
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) === 1L,
+        s"jump at key $h2: ($x1,$y1)->($x2,$y2)")
+    }
+    // the codegen expression and the static loop are the same function
+    keyed.foreach { case (x, y, h) =>
+      assert(h === graft.functions.Hilbert.compute(x, y, bits))
+    }
+    // contrast pin: z-order at the same bits takes at least one non-adjacent step
+    val zWalk = (for (x <- 0 until n; y <- 0 until n) yield {
+      val z = (0 until bits).map(j =>
+        (((x >> j) & 1).toLong << (2 * j)) | (((y >> j) & 1).toLong << (2 * j + 1)))
+        .reduce(_ | _)
+      (x.toLong, y.toLong, z)
+    }).sortBy(_._3)
+    assert(zWalk.sliding(2).exists { case Seq((x1, y1, _), (x2, y2, _)) =>
+      math.abs(x1 - x2) + math.abs(y1 - y2) > 1L
+    })
+  }
+
   test("property: zorderKey matches a plain-Scala Morton interleave") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed
