@@ -340,6 +340,32 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("r11 operators plan clean: equi-joins only, no cartesian anywhere") {
+    // the round's new candidate-generating ops must never fall back to
+    // all-pairs plans: edit-distance prefix joins, CDC digest buckets,
+    // the contamination collision join, hard-negative probes
+    for (q <- Seq("d19_dedup_edit_distance", "d20_incremental_edit_distance",
+        "m12_cdc_chunk_pairs", "m13_cdc_bounded_pairs",
+        "t34_contamination", "s20_hard_negatives", "t35_source_dup_matrix")) {
+      val plan = physicalPlan(q)
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"$q must stay equi-join:\n${plan.take(1200)}")
+    }
+  }
+
+  test("t34: the benchmark side broadcasts — the corpus never shuffles for the collision") {
+    val plan = physicalPlan("t34_contamination")
+    // the GRAM-keyed collision join must be a broadcast (a sort-merge
+    // there shuffles the whole corpus gram stream — the thing the
+    // eval-sized bench side exists to avoid); the later doc_id-keyed
+    // zero-fill joins may plan however the sizes dictate
+    assert("BroadcastHashJoin \\[g#".r.findFirstIn(plan).isDefined,
+      s"expected the gram collision join to broadcast:\n${plan.take(1200)}")
+    assert("SortMergeJoin \\[g#".r.findFirstIn(plan).isEmpty,
+      s"gram collision join must not sort-merge:\n${plan.take(1200)}")
+  }
+
   test("s11: cluster sample shuffles ONCE (the window key) — assignment is a projection") {
     val plan = physicalPlan("s11_cluster_sample")
     // assignment rides as centroid literals (no join), so the only data
