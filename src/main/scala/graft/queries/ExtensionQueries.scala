@@ -354,7 +354,8 @@ object ExtensionQueries {
     * mirrors the operator: distinct (doc, shingle) → [cut] → self-join →
     * pair counts → set sizes → ratio.
     */
-  private def jaccardCtes(maxDocFreq: Option[Int]) = {
+  private def jaccardCtes(maxDocFreq: Option[Int],
+                          table: String = "documents") = {
     val kept = maxDocFreq match {
       case Some(cap) =>
         s"""SELECT doc_id, shingle FROM sh
@@ -362,7 +363,7 @@ object ExtensionQueries {
            |    SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= $cap)"""
       case None => "SELECT doc_id, shingle FROM sh"
     }
-    s"""${shingleInterCtes(kept)},
+    s"""${shingleInterCtes(kept, table)},
       |jp AS (
       |  SELECT id_a, id_b,
       |    inter / (sa.set_size + sb.set_size - inter) AS jaccard
@@ -376,9 +377,9 @@ object ExtensionQueries {
     * Jaccard oracles and the containment oracle — one definition of the
     * k=4 shingling and the pair-intersection count on the SQL side too.
     */
-  private def shingleInterCtes(kept: String) =
+  private def shingleInterCtes(kept: String, table: String = "documents") =
     s"""toks AS (
-      |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      |  SELECT doc_id, string_split(text, ' ') AS tk FROM $table),
       |sh AS (
       |  SELECT DISTINCT doc_id,
       |    tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] AS shingle
@@ -3159,6 +3160,74 @@ object ExtensionQueries {
       graft.operators.CorpusOps.hashSplit(gated, "doc_id",
         Seq("train" -> 90, "holdout" -> 100))
         .filter(col("split") === "train")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"))
+        .orderBy("source")
+    },
+
+    // The corpus-build recipe v2 (t36): t23 with DECONTAMINATION in the
+    // chain — the full pre-training assembly a corpus actually ships
+    // through: benchmark docs (doc_id < 50) are excluded from the pool
+    // outright, the pool deduplicates (near-dup survivors), gates on
+    // quality, splits growth-stably, and every doc sharing ANY 8-shingle
+    // with the benchmark drops before the per-source rollup. Each stage
+    // is an already-oracled operator; this query pins their COMPOSITION
+    // (stage order is load-bearing: decontamination must see the pool,
+    // not the survivors, so a contaminated doc can't sneak through by
+    // losing its dedup cluster to a clean twin... and conversely a
+    // cluster that keeps a contaminated survivor is dropped here).
+    "t36_curated_decontaminated" -> of {
+      val cat = (0 until 8).map(j => s"tk[i+$j]").mkString(" || ' ' || ")
+      s"""WITH RECURSIVE pool AS (SELECT * FROM documents WHERE doc_id >= 50),
+        |${jaccardCtes(None, "pool")},
+        |edges AS (
+        |  SELECT id_a, id_b FROM jp UNION ALL SELECT id_b, id_a FROM jp),
+        |reach(id, label) AS (
+        |  SELECT id_a, id_a FROM edges
+        |  UNION
+        |  SELECT e.id_a, r.label FROM edges e JOIN reach r ON r.id = e.id_b),
+        |losers AS (
+        |  SELECT id FROM (SELECT id, MIN(label) AS cluster FROM reach GROUP BY id) x
+        |  WHERE id <> cluster),
+        |${qualityGateCtes.replace("toks", "qtoks").replace("FROM documents", "FROM pool")},
+        |ctoks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |csh AS (
+        |  SELECT DISTINCT doc_id, $cat AS g
+        |  FROM ctoks, UNNEST(range(1, len(tk) - 6)) AS u(i)),
+        |contaminated AS (
+        |  SELECT DISTINCT a.doc_id FROM csh a JOIN csh b ON b.g = a.g
+        |  WHERE a.doc_id >= 50 AND b.doc_id < 50),
+        |dh AS (SELECT doc_id, h FROM read_parquet('{{AUX}}/doc_hashes/*.parquet')),
+        |splits AS (
+        |  SELECT doc_id,
+        |    CASE WHEN ((h % 100) + 100) % 100 < 90 THEN 'train' ELSE 'holdout' END AS split
+        |  FROM dh),
+        |curated AS (
+        |  SELECT d.doc_id, d.source, g.n_tokens
+        |  FROM pool d
+        |  JOIN gated g ON g.doc_id = d.doc_id AND g.keep
+        |  JOIN splits s ON s.doc_id = d.doc_id AND s.split = 'train'
+        |  WHERE d.doc_id NOT IN (SELECT id FROM losers)
+        |    AND d.doc_id NOT IN (SELECT doc_id FROM contaminated))
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+        |FROM curated GROUP BY source ORDER BY source"""
+    } { (s, d) =>
+      val docs = t(s, d, "documents")
+      val pool = docs.filter(col("doc_id") >= 50)
+      val bench = docs.filter(col("doc_id") < 50)
+      val survivors = Dedup.nearDupSurvivors(pool, "doc_id", "text")
+      val gated = graft.operators.CorpusOps.qualityGate(
+        survivors, "doc_id", "text", carryCols = Seq("source"))
+        .filter(col("keep"))
+      val contaminated = graft.operators.CorpusOps.contaminationScreen(
+        pool, bench, "doc_id", "text", k = 8)
+        .filter(col("n_hit") > 0).select("doc_id")
+      graft.operators.CorpusOps.hashSplit(gated, "doc_id",
+        Seq("train" -> 90, "holdout" -> 100))
+        .filter(col("split") === "train")
+        .join(contaminated, Seq("doc_id"), "left_anti")
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_tokens")).as("n_tokens"))
