@@ -51,7 +51,15 @@ import org.apache.spark.sql.SparkSession
   *   - Headline: `value` = Σ raw per-query min (back-compat), and
   *     `value_trusted` = Σ trusted_min over trusted queries, with
   *     `untrusted_n` making any exclusion visible at top level.
-  * `contended: true` is still set when any rep trips either signal, and
+  * `contended: true` means the HEADLINE is contaminated — some query has no
+  * trusted rep at all, so its reported minimum had no quiet-host chance
+  * (`untrusted_n` > 0 ⟺ `contended`). Individual noisy reps do NOT set the
+  * flag: at ~560 reps per full run, the hard 1.5× calibration cutoff trips
+  * on a handful of JIT/GC outliers even on an idle host (r11: 4/558 reps at
+  * 1.52–1.57× with loadavg ≈ 4 vs threshold 48), and those reps are already
+  * excluded from `trusted_min` — flagging the whole artifact for them made
+  * `contended` unconditionally true and therefore meaningless. The discarded
+  * count ships as `noisy_reps_n`, and
   * `probe_baseline_ms` ships raw so a judge replica can cross-check the
   * baseline itself (a contended STARTUP inflates the baseline and masks
   * calibration_x; loadavg + the absolute probe floor cover that case).
@@ -356,7 +364,8 @@ object Bench {
     val untrusted = (best.keySet -- trustedMin.keySet).toSeq.sorted
     val total = if (best.nonEmpty) best.values.sum else 0.0
     val totalTrusted = if (trustedMin.nonEmpty) trustedMin.values.sum else 0.0
-    val contended = allReps.values.exists(_.exists(r => !trusted(r)))
+    val noisyRepsN = allReps.values.map(_.count(r => !trusted(r))).sum
+    val contended = untrusted.nonEmpty
 
     // ---- JSON assembly (hand-rolled; no json lib on the classpath) ----
     def objD(m: Iterable[(String, Double)]): String =
@@ -376,7 +385,7 @@ object Bench {
       s""""metric":"total","value":$total,"value_trusted":$totalTrusted,"unit":"sec"""" +
         s""","queries":${objD(best)},"trusted_min":${objD(trustedMin)}""" +
         s""","untrusted":$untrustedJson,"untrusted_n":${untrusted.size}""" +
-        s""","errors":$errs,"reps":$reps,"contended":$contended,"waited_quiet_sec":$waitedQuiet,"sf":"$sfDir"$filterFields"""
+        s""","errors":$errs,"reps":$reps,"contended":$contended,"noisy_reps_n":$noisyRepsN,"waited_quiet_sec":$waitedQuiet,"sf":"$sfDir"$filterFields"""
     val fullLine = "{" + headline +
       s""","runs":${perRep(_.sec)}""" +
       s""","trusted_reps":${perRep(r => trusted(r))}""" +

@@ -106,6 +106,44 @@ object TextFunctions {
   def piiCount(text: Column, pattern: String): Column =
     size(regexp_extract_all(text, lit(pattern), lit(0)))
 
+  /** Payment-card candidate runs: 13–19 digits, each adjacent pair optionally
+    * split by ONE space or dash (the common grouping formats). Shared
+    * Java/RE2 subset — non-capturing group + `\b` guards, no lookaround — so
+    * the DuckDB oracle runs the pattern verbatim. The \b guards keep the
+    * pattern from matching a 13-digit WINDOW of a longer digit run.
+    */
+  val cardRe = "\\b\\d(?:[ -]?\\d){12,18}\\b"
+
+  /** Luhn checksum over a digit-only string (ISO/IEC 7812): from the RIGHT,
+    * double every second digit (subtracting 9 when the double exceeds 9) and
+    * require the total ≡ 0 (mod 10). The checksum is what separates a real
+    * card number from an arbitrary digit run — regex-only screens (t11's
+    * shape) over-redact phone-adjacent and id-like runs, so production PII
+    * redaction validates candidates before rewriting text. One `aggregate`
+    * HOF over the digit positions: per-row work O(len), no shuffle, stays in
+    * whole-stage codegen — the same exact-integer style as the oracle's
+    * UNNEST(range) reconstruction.
+    */
+  def luhnValid(digits: Column): Column = bind(digits, d => {
+    val n = length(d)
+    val sum = aggregate(
+      sequence(lit(1), n),
+      lit(0),
+      (acc, i) => {
+        val digit = d.substr(i, lit(1)).cast("int")
+        // 0-based position from the right; odd positions double.
+        val doubled = when(pmod(n - i, lit(2)) === 1,
+          when(digit * 2 > 9, digit * 2 - 9).otherwise(digit * 2))
+          .otherwise(digit)
+        acc + doubled
+      })
+    (pmod(sum, lit(10)) === 0) && n.between(13, 19)
+  })
+
+  /** Audit-safe display form: all but the last four digits masked. */
+  def maskCard(digits: Column): Column =
+    concat(lit("****"), digits.substr(length(digits) - 3, lit(4)))
+
   /** Longest run of identical consecutive elements — single-pass aggregate
     * HOF, so the repetition signal needs no shuffle and no explode (the
     * 100 TB shape: one projection over the corpus).

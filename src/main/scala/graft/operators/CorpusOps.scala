@@ -995,4 +995,35 @@ object CorpusOps {
         concat_ws(" ", col("__kept")).as("text_clean"),
         (size(col("__toks")) - size(col("__kept"))).cast("long").as("n_cut"))
   }
+
+  /** Checksum-validated payment-card screen (SURVEY §2.11) — the PII rung
+    * t11's regex-only pass cannot reach: an arbitrary 13–19-digit run (order
+    * ids, timestamps, serials) matches the card REGEX but fails the Luhn
+    * checksum real card numbers carry by construction, so validating before
+    * redacting is what keeps a corpus-scale scrub from mangling every long
+    * number in the data. Emits one audit row per candidate: the redaction
+    * work-list a reviewer (or the redact step) consumes. `display` shows the
+    * masked form (****last4) for VALIDATED numbers — the sensitive ones —
+    * and the raw run for checksum failures, which are retained verbatim in
+    * the corpus and need no masking in the audit either.
+    *
+    * Scale shape: one shuffle-free projection + generator (regex scan,
+    * per-candidate digit fold all inside whole-stage codegen); output volume
+    * ∝ candidates, never corpus text. The Luhn fold is exact integer
+    * arithmetic — bit-identical on any partitioning and in the oracle's
+    * UNNEST(range) reconstruction.
+    */
+  def cardScreen(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import graft.functions.TextFunctions.{cardRe, luhnValid, maskCard}
+    docs
+      .select(col(idCol),
+        posexplode(regexp_extract_all(col(textCol), lit(cardRe), lit(0)))
+          .as(Seq("cand_no", "raw")))
+      .withColumn("digits", regexp_replace(col("raw"), "[ -]", ""))
+      .select(col(idCol), col("cand_no").cast("long").as("cand_no"),
+        length(col("digits")).cast("long").as("n_digits"),
+        luhnValid(col("digits")).as("luhn_valid"),
+        when(luhnValid(col("digits")), maskCard(col("digits")))
+          .otherwise(col("raw")).as("display"))
+  }
 }

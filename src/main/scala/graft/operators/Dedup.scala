@@ -639,6 +639,57 @@ object Dedup {
     docs.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Incremental dup-cluster maintenance — the lifecycle rung AFTER the
+    * incremental pair screens (d11/d15/d20): fold a fresh ingest batch's
+    * near-dup pairs into STANDING cluster labels without re-clustering the
+    * corpus. The fresh pairs (fresh-vs-corpus from the screen, plus the
+    * batch's internal pairs) can do three things to the standing state:
+    * attach fresh docs to existing clusters, form brand-new clusters, and —
+    * the case a naive "assign to nearest cluster" shortcut gets wrong —
+    * MERGE standing clusters that a fresh doc now bridges. All three reduce
+    * to one component closure over a SUBGRAPH: the members of TOUCHED
+    * standing clusters (connectivity within an untouched-by-the-batch
+    * cluster is fully captured by star edges member→label, because labels
+    * are per-component constants) plus the fresh pairs themselves. Untouched
+    * clusters pass through by anti-join, so per-ingest closure work is
+    * ∝ touched-cluster membership + batch pairs — never the corpus.
+    *
+    * Result is IDENTICAL to re-running [[dupClusters]] over the full pair
+    * set (standing ∪ fresh): components disjoint from the batch keep their
+    * rows verbatim, and a touched component's full membership is present in
+    * the subgraph, so its new min-id label is exact. With monotonically
+    * growing ids (fresh > corpus) a standing survivor therefore stays
+    * survivor unless its cluster merges into one with a smaller min — the
+    * same stability contract the from-scratch op has.
+    *
+    * Scale shape: the touched-membership lookup is a semi-join of the
+    * standing label table on its `cluster` column — bucket the standing
+    * table by `cluster` (the [[graft.sources.BucketedLake]] pattern the
+    * d12/d16 indexes use) and the lookup reads only matching buckets with
+    * zero corpus-side exchange; the closure then runs on the delta-sized
+    * subgraph.
+    *
+    * `standing` is [[dupClusters]] output (id, cluster); `freshPairs` has
+    * (id_a, id_b). Returns the updated full (id, cluster) table.
+    */
+  def incrementalDupClusters(standing: DataFrame, freshPairs: DataFrame,
+                             maxIters: Int = 50): DataFrame = {
+    val touched = freshPairs.select(col("id_a").as("id"))
+      .union(freshPairs.select(col("id_b").as("id"))).distinct()
+    val affectedClusters = standing.join(touched, Seq("id"), "left_semi")
+      .select(col("cluster")).distinct()
+    val members = standing.join(affectedClusters, Seq("cluster"), "left_semi")
+    // Star edges carry each touched cluster's full membership (and its
+    // standing min label, which keeps label minimality exact) into the
+    // subgraph alongside the raw fresh pairs.
+    val subEdges = freshPairs.select(col("id_a"), col("id_b"))
+      .union(members.select(col("id").as("id_a"), col("cluster").as("id_b")))
+    val relabeled = dupClusters(subEdges, maxIters)
+    standing.join(members.select(col("id")), Seq("id"), "left_anti")
+      .select(col("id"), col("cluster"))
+      .union(relabeled.select(col("id"), col("cluster")))
+  }
+
   /** Pluggable survivor selection over dup clusters: instead of the default
     * min-id survivor, keep each cluster's highest-`score` member (ties →
     * lowest id) — the "keep the best copy" policy a curation pipeline wants

@@ -1436,6 +1436,43 @@ object ExtensionQueries {
         .orderBy("fresh_id", "corpus_id")
     },
 
+    // Incremental dup-cluster maintenance (d21): fold the d11 screen's
+    // fresh pairs (cross + batch-internal) into the STANDING d08 cluster
+    // labels of the corpus (doc_id < 400) — attach, new-cluster and
+    // cluster-MERGE cases all handled by one delta-sized closure over
+    // touched-cluster members + fresh pairs, untouched clusters passing
+    // through by anti-join. Graded by the d08 definition itself: the
+    // oracle is the from-scratch recursive closure over ALL documents'
+    // pairs, so the incremental path must land bit-identical to a full
+    // re-cluster (the pair predicate is pairwise ⇒ full-pair set =
+    // corpus-internal ∪ cross ∪ fresh-internal, exactly the two inputs).
+    "d21_incremental_clusters" -> of(
+      s"""WITH RECURSIVE ${jaccardCtes(None)},
+        |edges AS (
+        |  SELECT id_a, id_b FROM jp UNION ALL SELECT id_b, id_a FROM jp),
+        |reach(id, label) AS (
+        |  SELECT id_a, id_a FROM edges
+        |  UNION
+        |  SELECT e.id_a, r.label FROM edges e JOIN reach r ON r.id = e.id_b)
+        |SELECT id AS doc_id, MIN(label) AS cluster,
+        |  id = MIN(label) AS is_survivor
+        |FROM reach GROUP BY id ORDER BY doc_id""") { (s, d) =>
+      val docs = t(s, d, "documents")
+      val corpus = docs.filter(col("doc_id") < 400)
+      val fresh = docs.filter(col("doc_id") >= 400)
+      val standing = Dedup.dupClusters(
+        Dedup.ngramJaccardPairs(corpus, "doc_id", "text"))
+      val freshPairs = Dedup.incrementalJaccardPairs(
+          fresh, corpus, "doc_id", "text")
+          .select(col("fresh_id").as("id_a"), col("corpus_id").as("id_b"))
+        .union(Dedup.ngramJaccardPairs(fresh, "doc_id", "text")
+          .select(col("id_a"), col("id_b")))
+      Dedup.incrementalDupClusters(standing, freshPairs)
+        .select(col("id").as("doc_id"), col("cluster"),
+          (col("id") === col("cluster")).as("is_survivor"))
+        .orderBy("doc_id")
+    },
+
     // Cross-source duplication matrix (t35): which sources duplicate into
     // which — the rollup a curation owner reads before dropping mirror
     // sites or re-weighting a scraped source. One row per unordered
@@ -3232,6 +3269,71 @@ object ExtensionQueries {
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_tokens")).as("n_tokens"))
         .orderBy("source")
+    },
+
+    // Checksum-validated card-number screen (t37): the PII rung beyond
+    // t11's regex-only pass — candidates are 13–19-digit runs (optional
+    // space/dash grouping), but only Luhn-VALID ones are real card shapes
+    // and get masked; checksum failures (order ids, serials — here ~90% of
+    // the synthetic candidates) are listed unredacted. Every doc carries a
+    // deterministic 16-digit synthetic number whose last digit is
+    // doc_id%10, so ~1 in 10 passes the checksum — both branches exercised
+    // at volume. The oracle re-runs the same RE2-subset regex and rebuilds
+    // the Luhn fold digit-by-digit via UNNEST(range) — exact integer
+    // arithmetic, no materialized primitives.
+    "t37_card_screen" -> of {
+      import graft.functions.TextFunctions.cardRe
+      s"""WITH enriched AS (
+        |  SELECT doc_id,
+        |    text || ' card ' ||
+        |    CASE WHEN doc_id % 2 = 0
+        |      THEN substr(card16, 1, 4) || '-' || substr(card16, 5, 4) ||
+        |           '-' || substr(card16, 9, 4) || '-' || substr(card16, 13, 4)
+        |      ELSE card16 END AS card_text
+        |  FROM (SELECT doc_id, text,
+        |      lpad(CAST((doc_id * 271828 + 13) % 1000000000000000 AS VARCHAR),
+        |        15, '0') || CAST(doc_id % 10 AS VARCHAR) AS card16
+        |    FROM documents)),
+        |cands AS (
+        |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS cand_no, cs[i] AS raw
+        |  FROM (SELECT doc_id, regexp_extract_all(card_text, '$cardRe') AS cs
+        |    FROM enriched) x, UNNEST(range(1, len(cs) + 1)) AS u(i)),
+        |norm AS (
+        |  SELECT doc_id, cand_no, raw,
+        |    regexp_replace(raw, '[ -]', '', 'g') AS digits
+        |  FROM cands),
+        |luhn AS (
+        |  SELECT doc_id, cand_no, raw, digits,
+        |    SUM(CASE WHEN (len(digits) - i) % 2 = 1
+        |      THEN CASE WHEN 2 * CAST(substr(digits, i, 1) AS INT) > 9
+        |        THEN 2 * CAST(substr(digits, i, 1) AS INT) - 9
+        |        ELSE 2 * CAST(substr(digits, i, 1) AS INT) END
+        |      ELSE CAST(substr(digits, i, 1) AS INT) END) AS s
+        |  FROM norm, UNNEST(range(1, len(digits) + 1)) AS u(i)
+        |  GROUP BY doc_id, cand_no, raw, digits)
+        |SELECT doc_id, cand_no, CAST(len(digits) AS BIGINT) AS n_digits,
+        |  s % 10 = 0 AND len(digits) BETWEEN 13 AND 19 AS luhn_valid,
+        |  CASE WHEN s % 10 = 0 AND len(digits) BETWEEN 13 AND 19
+        |    THEN '****' || substr(digits, len(digits) - 3, 4)
+        |    ELSE raw END AS display
+        |FROM luhn ORDER BY doc_id, cand_no"""
+    } { (s, d) =>
+      val card16 = concat(
+        lpad(pmod(col("doc_id") * 271828 + 13, lit(1000000000000000L))
+          .cast("string"), 15, "0"),
+        pmod(col("doc_id"), lit(10)).cast("string"))
+      val formatted = when(pmod(col("doc_id"), lit(2)) === 0,
+        concat_ws("-", substring(col("card16"), 1, 4),
+          substring(col("card16"), 5, 4), substring(col("card16"), 9, 4),
+          substring(col("card16"), 13, 4)))
+        .otherwise(col("card16"))
+      graft.operators.CorpusOps.cardScreen(
+        t(s, d, "documents")
+          .withColumn("card16", card16)
+          .withColumn("card_text",
+            concat(col("text"), lit(" card "), formatted)),
+        "doc_id", "card_text")
+        .orderBy("doc_id", "cand_no")
     },
 
     // BPE merge learning (t25) — tokenizer TRAINING: 3 rounds of

@@ -967,6 +967,95 @@ object RelationalQueries {
         .orderBy("h", "p_partkey")
     },
 
+    // Layout pruning audit (q53): the measurement that JUSTIFIES q36/q52 —
+    // simulate the lake write path (sort by layout key, cut 64 equal-width
+    // key-range files), collect per-file min/max stats, and replay a
+    // 4-rectangle scan workload against them counting which files survive
+    // stats pruning. One scan stacks all three layouts (natural / Morton /
+    // Hilbert) via a generator, key ranges broadcast back, and the audit
+    // itself is an O(files × queries) rollup — the whole thing costs one
+    // pass over the table however large it is. Hilbert's continuity shows
+    // up as fewer scanned files on the box/y-slice queries; natural order
+    // prunes only on x. The oracle rebuilds both curve keys from the same
+    // generators as q36/q52 and replays the identical bucketing in SQL.
+    "q53_layout_pruning" -> of {
+      val baseSql =
+        "(SELECT p_partkey % 65536 AS x, CAST(p_size AS BIGINT) AS y " +
+          "FROM part WHERE p_partkey <= 2000)"
+      s"""WITH base AS (SELECT x, y FROM $baseSql b),
+        |${graft.functions.Hilbert.hilbertSqlCtes(baseSql, "x", "y", "x, y")},
+        |keyed AS (
+        |  SELECT 'natural' AS layout, x, y, x AS k FROM base
+        |  UNION ALL
+        |  SELECT 'morton', x, y,
+        |    ${graft.functions.ZOrder.zorderSql("x", "y")} FROM base
+        |  UNION ALL
+        |  SELECT 'hilbert', x, y, hd FROM h16),
+        |rng AS (SELECT layout, MIN(k) AS k0, MAX(k) AS k1
+        |  FROM keyed GROUP BY layout),
+        |filed AS (
+        |  SELECT keyed.layout, x, y,
+        |    ((k - k0) * 64) // (k1 - k0 + 1) AS file
+        |  FROM keyed JOIN rng ON keyed.layout = rng.layout),
+        |fstats AS (
+        |  SELECT layout, file, MIN(x) AS x0, MAX(x) AS x1,
+        |    MIN(y) AS y0, MAX(y) AS y1, CAST(COUNT(*) AS BIGINT) AS n_rows
+        |  FROM filed GROUP BY layout, file),
+        |wl(query_id, qx0, qx1, qy0, qy1) AS (VALUES
+        |  (1, 100, 199, 0, 63),
+        |  (2, 0, 65535, 10, 14),
+        |  (3, 500, 999, 20, 29),
+        |  (4, 1500, 1519, 35, 39))
+        |SELECT layout, CAST(query_id AS BIGINT) AS query_id,
+        |  CAST(COUNT(*) AS BIGINT) AS files_total,
+        |  CAST(SUM(CASE WHEN x1 >= qx0 AND x0 <= qx1
+        |    AND y1 >= qy0 AND y0 <= qy1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS files_scanned,
+        |  CAST(SUM(CASE WHEN x1 >= qx0 AND x0 <= qx1
+        |    AND y1 >= qy0 AND y0 <= qy1 THEN n_rows ELSE 0 END) AS BIGINT)
+        |    AS rows_scanned
+        |FROM fstats CROSS JOIN wl
+        |GROUP BY layout, query_id ORDER BY layout, query_id"""
+    } { (s, d) =>
+      import graft.functions.{Hilbert, ZOrder}
+      val base = t(s, d, "part").filter(col("p_partkey") <= 2000)
+        .select(pmod(col("p_partkey"), lit(65536L)).as("x"),
+          col("p_size").cast("long").as("y"))
+      val keyed = base
+        .select(col("x"), col("y"), explode(array(
+          struct(lit("natural").as("layout"), col("x").as("k")),
+          struct(lit("morton").as("layout"),
+            ZOrder.zorderKey(col("x"), col("y")).as("k")),
+          struct(lit("hilbert").as("layout"),
+            Hilbert.hilbertKey(s, col("x"), col("y")).as("k")))).as("lk"))
+        .select(col("lk.layout").as("layout"), col("x"), col("y"),
+          col("lk.k").as("k"))
+      val rng = keyed.groupBy("layout")
+        .agg(min(col("k")).as("k0"), max(col("k")).as("k1"))
+      val fstats = keyed.join(broadcast(rng), Seq("layout"))
+        .withColumn("file",
+          floor((col("k") - col("k0")) * 64 / (col("k1") - col("k0") + 1)))
+        .groupBy("layout", "file")
+        .agg(min(col("x")).as("x0"), max(col("x")).as("x1"),
+          min(col("y")).as("y0"), max(col("y")).as("y1"),
+          count(lit(1)).as("n_rows"))
+      val wl = s.range(1).select(explode(array(
+        Seq((1L, 100L, 199L, 0L, 63L), (2L, 0L, 65535L, 10L, 14L),
+          (3L, 500L, 999L, 20L, 29L), (4L, 1500L, 1519L, 35L, 39L)).map {
+          case (q, x0, x1, y0, y1) =>
+            struct(lit(q).as("query_id"), lit(x0).as("qx0"),
+              lit(x1).as("qx1"), lit(y0).as("qy0"), lit(y1).as("qy1"))
+        }: _*)).as("q")).select(col("q.*"))
+      val scanned = col("x1") >= col("qx0") && col("x0") <= col("qx1") &&
+        col("y1") >= col("qy0") && col("y0") <= col("qy1")
+      fstats.crossJoin(broadcast(wl))
+        .groupBy("layout", "query_id")
+        .agg(count(lit(1)).as("files_total"),
+          sum(when(scanned, 1L).otherwise(0L)).as("files_scanned"),
+          sum(when(scanned, col("n_rows")).otherwise(0L)).as("rows_scanned"))
+        .orderBy("layout", "query_id")
+    },
+
     // §2.4 co-located bucketed join: both sides pre-bucketed (and sorted) by
     // the join key, so the per-order aggregation AND the fact-to-fact join
     // plan without any Exchange (PlanSpec asserts it with broadcast
