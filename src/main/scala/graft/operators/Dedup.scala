@@ -1147,6 +1147,38 @@ object Dedup {
     * pairs), so the all-pairs shape is structurally incapable of running
     * at corpus scale. Raising the cap is an explicit caller decision.
     */
+  /** Default [[editDistancePairs]]/[[incrementalEditDistancePairs]]
+    * candidate-volume cap. d19 is the one family member whose work is
+    * inherently ∝ candidate collisions rather than corpus size — a
+    * low-entropy corpus (tiny alphabet, replicated shards) can push the
+    * prefix join toward n²·selectivity silently (measured: ×19 wall at
+    * ×10 data on the scaled-replica corpus before q was raised). The cap
+    * turns that silent blow-up into a loud abort, the CrossCheckGuard /
+    * ewmaPerKey pattern. 25M candidates ≈ tens of seconds of banded
+    * verify on one executor core-set — past that the knobs are wrong.
+    */
+  val DefaultEditCandidateCap = 25000000L
+
+  /** In-plan candidate-volume guard: one count over the (persisted)
+    * candidate frame rides every output row via a broadcast cross join,
+    * and `raise_error` aborts the job above `cap` BEFORE the verify stage
+    * pays for the blow-up (the broadcast side materializes first). The
+    * count column is consumed by an always-true filter so column pruning
+    * cannot elide the guard.
+    */
+  private def guardCandidates(cands: DataFrame, cap: Long, what: String,
+                              advice: String): DataFrame = {
+    val n = cands.agg(count(lit(1)).as("n_cand"))
+      .select(when(col("n_cand") <= cap, col("n_cand"))
+        .otherwise(raise_error(concat(
+          lit(s"$what: candidate volume "), col("n_cand").cast("string"),
+          lit(s" exceeds maxCandidates=$cap - the prefix filter is not " +
+            s"selective on this corpus (low-entropy or tiny-alphabet " +
+            s"strings). $advice, or raise maxCandidates deliberately."))))
+        .cast("long").as("n_cand"))
+    cands.crossJoin(broadcast(n)).filter(col("n_cand") >= 0).drop("n_cand")
+  }
+
   /** Edit-distance near-dup pairs — the typo/OCR-noise rung of the dedup
     * ladder (shingle Jaccard needs whole shared windows; a handful of
     * single-character edits scattered through a title destroys every
@@ -1158,19 +1190,30 @@ object Dedup {
     * filtering makes candidates ∝ rare-gram collisions instead. Each
     * string's DISTINCT q-grams rank in a GLOBAL (df, gram) order and only
     * the `q·maxDist + 1` RAREST form its prefix: one edit destroys at
-    * most q distinct grams, so two strings within `maxDist` edits differ
-    * in ≤ q·maxDist grams and their prefixes must intersect — a pair
-    * missing from the prefix bucket join is PROVABLY beyond the bound
-    * (no recall loss, unlike LSH). Candidates prune further by the length
-    * filter |len_a − len_b| ≤ maxDist, then verify with one exact
-    * `levenshtein` per candidate. Shuffles: gram df agg, the prefix
-    * bucket join, the verify join-back — all equi-joins on grams/ids;
-    * hub grams never join because common grams rank LAST in rarity order
-    * and fall outside every prefix (the df-cut built into the theorem).
-    * Strings shorter than q contribute themselves as their only gram.
+    * most q distinct grams, so |G_a ∩ G_b| ≥ max(|G_a|,|G_b|) − q·maxDist
+    * for any true pair, and whenever the LARGER gram set holds more than
+    * q·maxDist distinct grams that overlap forces the two prefixes to
+    * intersect — a pair missing from the prefix bucket join is PROVABLY
+    * beyond the bound (no recall loss, unlike LSH). The theorem has ONE
+    * blind spot: pairs where BOTH sides are gram-poor (< q·maxDist + 1
+    * distinct grams — short or highly repetitive strings; 'abcd' vs
+    * 'abce' at q=4 share zero grams yet sit at distance 1). Those route
+    * through an exhaustive SHORT-POOL length-band join — exact, and
+    * self-bounding because a true partner of a gram-poor string within
+    * `maxDist` edits is length-bounded and (at any realistic q·maxDist)
+    * gram-poor itself. Candidates prune further by the length filter
+    * |len_a − len_b| ≤ maxDist, then verify with one exact `levenshtein`
+    * per candidate. Shuffles: gram df agg, the prefix bucket join, the
+    * length-bucket pool join, the verify join-back — all equi-joins on
+    * grams/lengths/ids; hub grams never join because common grams rank
+    * LAST in rarity order and fall outside every prefix (the df-cut
+    * built into the theorem). Strings shorter than q contribute
+    * themselves as their only gram. `maxCandidates` is the in-plan
+    * volume guard ([[DefaultEditCandidateCap]]).
     */
   def editDistancePairs(docs: DataFrame, idCol: String, strCol: String,
-                        maxDist: Int = 4, q: Int = 4): DataFrame = {
+                        maxDist: Int = 4, q: Int = 4,
+                        maxCandidates: Long = DefaultEditCandidateCap): DataFrame = {
     require(maxDist >= 0 && q >= 1, s"bad knobs: maxDist=$maxDist, q=$q")
     val prefixLen = q * maxDist + 1
     val s = docs.select(col(idCol).as("id"), col(strCol).as("s"))
@@ -1186,11 +1229,26 @@ object Dedup {
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= prefixLen)
       .select(col("id"), col("g"))
-    val cands = prefix.select(col("id").as("id_a"), col("g"))
+    val prefCands = prefix.select(col("id").as("id_a"), col("g"))
       .join(prefix.select(col("id").as("id_b"), col("g")), "g")
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
-    cands
+      .select("id_a", "id_b")
+    // short pool: both-gram-poor pairs are outside the prefix theorem, so
+    // they pair exhaustively WITHIN the |len_a − len_b| ≤ maxDist band —
+    // realized as an equi-join on exploded candidate lengths (2·maxDist+1
+    // keys per short string), never a cross join
+    val short = s.join(grams.groupBy("id").agg(count(lit(1)).as("ng")), "id")
+      .filter(col("ng") < prefixLen)
+      .select(col("id"), length(col("s")).as("len"))
+    val shortCands = short.select(col("id").as("id_a"),
+        explode(sequence(col("len") - maxDist, col("len") + maxDist)).as("len_b"))
+      .join(short.select(col("id").as("id_b"), col("len").as("len_b")), "len_b")
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+    val cands = Caching.persisted(prefCands.union(shortCands).distinct())
+    guardCandidates(cands, maxCandidates, "editDistancePairs",
+      "Raise q, lower maxDist, or screen incrementally with " +
+        "incrementalEditDistancePairs")
       .join(s.select(col("id").as("id_a"), col("s").as("s_a")), "id_a")
       .join(s.select(col("id").as("id_b"), col("s").as("s_b")), "id_b")
       .filter(abs(length(col("s_a")) - length(col("s_b"))) <= maxDist)
@@ -1213,11 +1271,17 @@ object Dedup {
     * theorem holds under ANY shared total order, so the screen stays
     * exact); candidates form only where a fresh prefix gram hits a corpus
     * prefix gram, per-ingest work ∝ the batch's rare-gram collisions.
-    * Returns (fresh_id, corpus_id, dist ≤ maxDist).
+    * Gram-poor strings (< q·maxDist + 1 distinct grams on BOTH sides of a
+    * pair — the prefix theorem's one blind spot, see [[editDistancePairs]])
+    * route through the exhaustive fresh-short × corpus-short length-band
+    * pool, so the screen is exact for every input. `maxCandidates` guards
+    * the candidate volume in-plan. Returns (fresh_id, corpus_id,
+    * dist ≤ maxDist).
     */
   def incrementalEditDistancePairs(fresh: DataFrame, corpus: DataFrame,
                                    idCol: String, strCol: String,
-                                   maxDist: Int = 4, q: Int = 4): DataFrame = {
+                                   maxDist: Int = 4, q: Int = 4,
+                                   maxCandidates: Long = DefaultEditCandidateCap): DataFrame = {
     require(maxDist >= 0 && q >= 1, s"bad knobs: maxDist=$maxDist, q=$q")
     val prefixLen = q * maxDist + 1
     def strs(df: DataFrame) = df.select(col(idCol).as("id"), col(strCol).as("s"))
@@ -1228,6 +1292,7 @@ object Dedup {
         .as("g"))
     val (cs, fs) = (strs(corpus), strs(fresh))
     val cg = Caching.persisted(grams(cs))
+    val fg = Caching.persisted(grams(fs))
     val dfq = cg.groupBy("g").agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id")).orderBy(col("df"), col("g"))
@@ -1235,14 +1300,29 @@ object Dedup {
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= prefixLen)
       .select(col("id").as("corpus_id"), col("g"))
-    val fpref = grams(fs)
+    val fpref = fg
       .join(dfq, Seq("g"), "left")
       .withColumn("df", coalesce(col("df"), lit(0L)))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= prefixLen)
       .select(col("id").as("fresh_id"), col("g"))
-    fpref.join(cpref, "g")
-      .select("fresh_id", "corpus_id").distinct()
+    val prefCands = fpref.join(cpref, "g")
+      .select("fresh_id", "corpus_id")
+    // short pool (both-gram-poor cross pairs): fresh-short length keys
+    // explode over the band, corpus-short side equi-joins on exact length
+    def shortSide(st: DataFrame, g: DataFrame) =
+      st.join(g.groupBy("id").agg(count(lit(1)).as("ng")), "id")
+        .filter(col("ng") < prefixLen)
+        .select(col("id"), length(col("s")).as("len"))
+    val shortCands = shortSide(fs, fg)
+      .select(col("id").as("fresh_id"),
+        explode(sequence(col("len") - maxDist, col("len") + maxDist)).as("len_c"))
+      .join(shortSide(cs, cg).select(col("id").as("corpus_id"),
+        col("len").as("len_c")), "len_c")
+      .select("fresh_id", "corpus_id")
+    val cands = Caching.persisted(prefCands.union(shortCands).distinct())
+    guardCandidates(cands, maxCandidates, "incrementalEditDistancePairs",
+      "Raise q or lower maxDist")
       .join(fs.select(col("id").as("fresh_id"), col("s").as("s_f")), "fresh_id")
       .join(cs.select(col("id").as("corpus_id"), col("s").as("s_c")), "corpus_id")
       .filter(abs(length(col("s_f")) - length(col("s_c"))) <= maxDist)

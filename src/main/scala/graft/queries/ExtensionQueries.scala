@@ -1365,9 +1365,17 @@ object ExtensionQueries {
         |      ROW_NUMBER() OVER (PARTITION BY gr.id ORDER BY d.df, gr.g) AS rk
         |    FROM grams gr JOIN dfq d ON d.g = gr.g) z
         |  WHERE rk <= 17),
+        |sh AS (
+        |  SELECT t.id, length(t.s) AS len FROM t
+        |  JOIN (SELECT id, COUNT(*) AS ng FROM grams GROUP BY id) n
+        |    ON n.id = t.id AND n.ng < 17),
         |cands AS (
-        |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
-        |  FROM pref a JOIN pref b ON a.g = b.g AND a.id < b.id)
+        |  SELECT DISTINCT id_a, id_b FROM (
+        |    SELECT a.id AS id_a, b.id AS id_b
+        |    FROM pref a JOIN pref b ON a.g = b.g AND a.id < b.id
+        |    UNION ALL
+        |    SELECT a.id, b.id FROM sh a JOIN sh b
+        |      ON abs(a.len - b.len) <= 4 AND a.id < b.id) u)
         |SELECT c.id_a, c.id_b, CAST(levenshtein(ta.s, tb.s) AS BIGINT) AS dist
         |FROM cands c JOIN t ta ON ta.id = c.id_a JOIN t tb ON tb.id = c.id_b
         |WHERE abs(length(ta.s) - length(tb.s)) <= 4
@@ -1417,9 +1425,21 @@ object ExtensionQueries {
         |        ORDER BY COALESCE(d.df, 0), f.g) AS rk
         |    FROM fg f LEFT JOIN dfq d ON d.g = f.g) z
         |  WHERE rk <= 17),
+        |csh AS (
+        |  SELECT c.id, length(c.s) AS len FROM corp c
+        |  JOIN (SELECT id, COUNT(*) AS ng FROM cg GROUP BY id) n
+        |    ON n.id = c.id AND n.ng < 17),
+        |fsh AS (
+        |  SELECT f.id, length(f.s) AS len FROM fr f
+        |  JOIN (SELECT id, COUNT(*) AS ng FROM fg GROUP BY id) n
+        |    ON n.id = f.id AND n.ng < 17),
         |cands AS (
-        |  SELECT DISTINCT f.fresh_id, c.corpus_id
-        |  FROM fpref f JOIN cpref c ON f.g = c.g)
+        |  SELECT DISTINCT fresh_id, corpus_id FROM (
+        |    SELECT f.fresh_id, c.corpus_id
+        |    FROM fpref f JOIN cpref c ON f.g = c.g
+        |    UNION ALL
+        |    SELECT f.id, c.id FROM fsh f JOIN csh c
+        |      ON abs(f.len - c.len) <= 4) u)
         |SELECT ca.fresh_id, ca.corpus_id,
         |  CAST(levenshtein(tf.s, tc.s) AS BIGINT) AS dist
         |FROM cands ca JOIN fr tf ON tf.id = ca.fresh_id

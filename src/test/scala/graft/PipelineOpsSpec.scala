@@ -1395,7 +1395,15 @@ class PipelineOpsSpec extends SparkSpec {
       val docs = base.zipWithIndex.map { case (t, i) => (i.toLong, t) } ++
         Seq((100L, base.head.drop(2)),              // 2 deletions
           (101L, "xx" + base(1).drop(2)),           // 2 substitutions
-          (102L, base(2).take(10) + "zz" + base(2).drop(10))) // 2 insertions
+          (102L, base(2).take(10) + "zz" + base(2).drop(10)), // 2 insertions
+          // gram-poor pairs — BOTH sides under q·maxDist+1 distinct grams,
+          // outside the prefix theorem (ADVICE r11): disjoint gram sets at
+          // distance 1 ('ab'/'ac' at q=2), a sub-q-length string vs a
+          // q-length neighbor, and a repetitive string whose distinct-gram
+          // count stays tiny at any length
+          (110L, "ab"), (111L, "ac"),               // dist 1, zero shared grams
+          (112L, "a"), (113L, "aa"),                // len<q vs len=q
+          (114L, "ababababab"), (115L, "babababa")) // repetitive, gram-poor
       val got = graft.operators.Dedup.editDistancePairs(
         docs.toDF("doc_id", "title"), "doc_id", "title", maxDist = 3, q = 2)
         .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
@@ -1421,12 +1429,16 @@ class PipelineOpsSpec extends SparkSpec {
       d(a.length)(b.length)
     }
     val corpus = Seq((1L, "abcabcabcabcabcabcab"), (2L, "dddcbadddcbadddcbadd"),
-      (3L, "aabbccddaabbccddaabb"))
+      (3L, "aabbccddaabbccddaabb"),
+      (4L, "xy")) // gram-poor corpus string (short-pool path)
     // fresh 10: 2 edits from corpus 1; fresh 11: made of grams the corpus
     // has never seen (df-0 ordering path) and far from everything;
-    // fresh 12: 3 substitutions from corpus 3
+    // fresh 12: 3 substitutions from corpus 3; fresh 13: gram-poor with a
+    // gram set DISJOINT from its gram-poor corpus neighbor — the prefix
+    // theorem's blind spot, must come through the short pool (ADVICE r11)
     val fresh = Seq((10L, "abcabcabXabcabcabcaY"), (11L, "zzzzyyyyzzzzyyyyzzzz"),
-      (12L, "aabbccdZaabbccdZaabZ"))
+      (12L, "aabbccdZaabbccdZaabZ"),
+      (13L, "xz"))
     val got = graft.operators.Dedup.incrementalEditDistancePairs(
       fresh.toDF("doc_id", "title"), corpus.toDF("doc_id", "title"),
       "doc_id", "title", maxDist = 3, q = 2)
@@ -1438,8 +1450,32 @@ class PipelineOpsSpec extends SparkSpec {
     } yield (fi, ci) -> d.toLong).toMap
     assert(got === expect) // completeness under the corpus-df order
     assert(expect.contains((10L, 1L)) && expect.contains((12L, 3L)))
+    assert(expect.contains((13L, 4L)),
+      "the gram-poor disjoint pair must be in the truth set (dist 1)")
     assert(!got.keySet.exists { case (a, b) => a > 9L && b > 9L },
       "screen must never pair fresh with fresh")
+  }
+
+  test("editDistancePairs: candidate-volume guard aborts loudly; generous cap passes") {
+    import spark.implicits._
+    // 40 near-identical low-entropy strings: every pair survives the
+    // prefix filter, so candidates = 780 — a cap below that must abort
+    // BEFORE the verify stage, with the raise-q message
+    val docs = (0L until 40L).map(i => (i, "aaaaaaaaab" + (i % 2)))
+      .toDF("doc_id", "title")
+    val e = intercept[Exception] {
+      graft.operators.Dedup.editDistancePairs(docs, "doc_id", "title",
+        maxDist = 2, q = 2, maxCandidates = 100L).count()
+    }
+    def rootMsg(t: Throwable): String =
+      (Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(_.getMessage)
+        ++ Iterator.single("")).mkString(" | ")
+    assert(rootMsg(e).contains("exceeds maxCandidates"),
+      s"guard must name the cap: ${rootMsg(e).take(300)}")
+    // same corpus under the default cap: completes, pairs all at dist<=2
+    val n = graft.operators.Dedup.editDistancePairs(docs, "doc_id", "title",
+      maxDist = 2, q = 2).count()
+    assert(n === 40L * 39L / 2, "all pairs are within distance 2")
   }
 
   test("gearChunks: boundaries match a plain-Scala rolling-hash replica; chunks reassemble the payload") {

@@ -344,13 +344,25 @@ class PlanSpec extends SparkSpec {
     // the round's new candidate-generating ops must never fall back to
     // all-pairs plans: edit-distance prefix joins, CDC digest buckets,
     // the contamination collision join, hard-negative probes
-    for (q <- Seq("d19_dedup_edit_distance", "d20_incremental_edit_distance",
-        "m12_cdc_chunk_pairs", "m13_cdc_bounded_pairs",
+    for (q <- Seq("m12_cdc_chunk_pairs", "m13_cdc_bounded_pairs",
         "t34_contamination", "s20_hard_negatives", "t35_source_dup_matrix")) {
       val plan = physicalPlan(q)
       assert(!plan.contains("CartesianProduct") &&
         !plan.contains("BroadcastNestedLoopJoin"),
         s"$q must stay equi-join:\n${plan.take(1200)}")
+    }
+    // d19/d20 carry the r12 candidate-volume guard: a SINGLE-ROW count
+    // frame broadcast-cross-joined onto the candidate stream (it plans as
+    // one BroadcastNestedLoopJoin over a 1-row side — O(candidates) work,
+    // not a pair blow-up). Candidate GENERATION must still be pure
+    // equi-join: no cartesian, and exactly the one guard BNLJ.
+    for (q <- Seq("d19_dedup_edit_distance", "d20_incremental_edit_distance")) {
+      val plan = physicalPlan(q)
+      assert(!plan.contains("CartesianProduct"),
+        s"$q must stay equi-join:\n${plan.take(1200)}")
+      val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+      assert(bnlj === 1,
+        s"$q: expected exactly the 1-row guard cross join, got $bnlj:\n${plan.take(1200)}")
     }
   }
 
