@@ -633,6 +633,24 @@ object NativeFunctions {
     * arguments and a ClassCastException on LONG literals (ADVICE r9); this
     * raises the standard NON_FOLDABLE_ARGUMENT AnalysisException instead.
     */
+  /** Arity check for SQL-registered builders: `createOrReplaceTempFunction`
+    * hands the builder whatever argument list the query wrote, and an
+    * unchecked `exprs(i)` surfaces as IndexOutOfBoundsException — or worse,
+    * silently ignores an argument when a fallback branch matches (ADVICE
+    * r11: `gear_chunk_ends(payload, maskBits, minSize)` dropped minSize).
+    * Raises the standard WRONG_NUM_ARGS AnalysisException instead.
+    */
+  private[graft] def requireArity(funcName: String, allowed: Seq[Int],
+                                  actual: Int): Unit =
+    if (!allowed.contains(actual))
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        messageParameters = Map(
+          "functionName" -> s"`$funcName`",
+          "expectedNum" -> allowed.mkString(" or "),
+          "actualNum" -> actual.toString,
+          "docroot" -> "https://spark.apache.org/docs/latest"))
+
   private[graft] def intConstArg(funcName: String, paramName: String,
                                  e: org.apache.spark.sql.catalyst.expressions.Expression): Int = {
     def fail() = throw new org.apache.spark.sql.AnalysisException(
@@ -684,15 +702,16 @@ object NativeFunctions {
           .isInstanceOf[GearChunkEnds]
       } catch { case _: Throwable => false })
     if (!alreadyOurs) {
-      registry.createOrReplaceTempFunction("gear_chunk_ends", exprs =>
-        if (exprs.length >= 4)
+      registry.createOrReplaceTempFunction("gear_chunk_ends", { exprs =>
+        requireArity("gear_chunk_ends", Seq(2, 4), exprs.length)
+        if (exprs.length == 4)
           GearChunkEnds(exprs(0),
             intConstArg("gear_chunk_ends", "maskBits", exprs(1)),
             intConstArg("gear_chunk_ends", "minSize", exprs(2)),
             intConstArg("gear_chunk_ends", "maxSize", exprs(3)))
         else GearChunkEnds(exprs(0),
-          intConstArg("gear_chunk_ends", "maskBits", exprs(1))),
-        "built-in")
+          intConstArg("gear_chunk_ends", "maskBits", exprs(1)))
+      }, "built-in")
     }
   }
 

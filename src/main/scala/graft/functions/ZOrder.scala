@@ -98,10 +98,11 @@ object Hilbert {
           .isInstanceOf[HilbertIndex]
       } catch { case _: Throwable => false })
     if (!alreadyOurs) {
-      registry.createOrReplaceTempFunction("hilbert_key", exprs =>
+      registry.createOrReplaceTempFunction("hilbert_key", { exprs =>
+        NativeFunctions.requireArity("hilbert_key", Seq(3), exprs.length)
         HilbertIndex(exprs(0), exprs(1),
-          NativeFunctions.intConstArg("hilbert_key", "bits", exprs(2))),
-        "built-in")
+          NativeFunctions.intConstArg("hilbert_key", "bits", exprs(2)))
+      }, "built-in")
     }
   }
 

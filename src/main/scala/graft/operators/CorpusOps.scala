@@ -948,14 +948,30 @@ object CorpusOps {
     * docs, not the corpus), so its distinct shingle set BROADCASTS and
     * the corpus-side cost is one scan-stage shingle projection + a
     * broadcast join — no corpus-keyed shuffle beyond the per-doc rollup.
-    * At a benchmark too large to broadcast, the same plan degrades to a
-    * shuffle join on the shingle key (the d02 bucket shape) with zero
-    * logic change; a bloom prefilter (NativeFunctions.bloomAggBytes)
-    * composes in front of either join.
+    * At a benchmark too large to broadcast (`broadcastBench = false`),
+    * the same plan degrades to a shuffle join on the shingle key (the
+    * d02 bucket shape) with zero logic change — the collision join and
+    * everything downstream are identical, only the exchange strategy
+    * moves (at real scale the planner makes this call itself once the
+    * bench side crosses the broadcast threshold; the explicit flag pins
+    * the shape deterministically at conformance scale). In that mode a
+    * bloom prefilter (`bloomPrefilter = true`) composes in FRONT of the
+    * join: the sketch builds over the bench shingles (one job over the
+    * small side, rides the plan as a literal) and prunes the CORPUS gram
+    * stream before the exchange, so the big shuffle carries only grams
+    * that might collide — ~|bench shingles| + fpp·|corpus grams| rows
+    * instead of every corpus gram. False positives are dropped by the
+    * exact join and false negatives cannot occur, so the audit is
+    * bit-identical on every path (one oracle grades all of them). The
+    * per-doc denominator (`n_grams`) always counts the UNPRUNED gram
+    * set — pruning is join-side only.
     */
   def contaminationScreen(corpus: DataFrame, bench: DataFrame,
                           idCol: String, textCol: String,
-                          k: Int = 8): DataFrame = {
+                          k: Int = 8,
+                          broadcastBench: Boolean = true,
+                          bloomPrefilter: Boolean = false,
+                          expectedBenchShingles: Long = 1L << 20): DataFrame = {
     require(k >= 1, s"contaminationScreen: k must be >= 1, got $k")
     def shingles(df: DataFrame, as: String) = df.select(col(idCol).as(as),
         explode(wordShingles(tokens(col(textCol)), k)).as("g"))
@@ -963,7 +979,19 @@ object CorpusOps {
     val cg = shingles(corpus, "doc_id")
     val bg = shingles(bench, "bench_id")
     val sizes = cg.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
-    val hits = cg.join(broadcast(bg), "g")
+    val cgJoin =
+      if (!bloomPrefilter) cg
+      else {
+        val bits = math.min(math.max(expectedBenchShingles * 8, 1L << 16), 1L << 26)
+        val bloom = graft.functions.NativeFunctions.bloomAggBytes(
+          bg, xxhash64(col("g")), expectedBenchShingles, bits)
+        cg.filter(graft.functions.NativeFunctions.mightContain(
+          cg.sparkSession, bloom, xxhash64(col("g"))))
+      }
+    val bgSide =
+      if (broadcastBench) broadcast(bg)
+      else bg.hint("shuffle_hash")
+    val hits = cgJoin.join(bgSide, "g")
       .groupBy("doc_id")
       .agg(count_distinct(col("g")).as("n_hit"),
         count_distinct(col("bench_id")).as("n_bench_docs"))
@@ -1025,5 +1053,48 @@ object CorpusOps {
         luhnValid(col("digits")).as("luhn_valid"),
         when(luhnValid(col("digits")), maskCard(col("digits")))
           .otherwise(col("raw")).as("display"))
+  }
+
+  /** Checksum-GATED card redaction — [[cardScreen]]'s audit applied to the
+    * text itself (the production composition of t11's rewrite with t37's
+    * validation): every 13–19-digit candidate run that passes the Luhn
+    * checksum is replaced in-place by its masked form (****last4); runs
+    * that FAIL the checksum (order ids, serials, timestamps) are left
+    * verbatim, so the redactor never mangles the long numbers a
+    * regex-only pass would over-mask. Emits (id, n_cands, n_masked,
+    * redacted).
+    *
+    * Scale shape: one shuffle-free projection — the text splits around
+    * the candidate regex (pieces and matches align because both come
+    * from the same greedy scan), each match folds through the Luhn HOF
+    * inside a `transform`, and the pieces re-interleave with the
+    * processed matches via one `aggregate` fold. No shuffle, no explode,
+    * no UDF; per-row work O(len + candidates·digits), all inside
+    * whole-stage codegen.
+    */
+  def redactValidatedCards(docs: DataFrame, idCol: String,
+                           textCol: String): DataFrame = {
+    import graft.functions.TextFunctions.{cardRe, luhnValid, maskCard}
+    val withParts = docs.select(col(idCol),
+      split(col(textCol), cardRe, -1).as("__p"),
+      regexp_extract_all(col(textCol), lit(cardRe), lit(0)).as("__m"))
+    val processed = transform(col("__m"), m => {
+      val digits = regexp_replace(m, "[ -]", "")
+      when(luhnValid(digits), maskCard(digits)).otherwise(m)
+    })
+    withParts
+      .withColumn("__proc", processed)
+      .select(col(idCol),
+        size(col("__m")).cast("long").as("n_cands"),
+        size(filter(col("__m"), m =>
+          luhnValid(regexp_replace(m, "[ -]", "")))).cast("long")
+          .as("n_masked"),
+        when(size(col("__m")) === 0, element_at(col("__p"), 1))
+          .otherwise(aggregate(
+            sequence(lit(1), size(col("__m"))),
+            element_at(col("__p"), 1),
+            (acc, i) => concat(acc, element_at(col("__proc"), i),
+              element_at(col("__p"), i + 1))))
+          .as("redacted"))
   }
 }

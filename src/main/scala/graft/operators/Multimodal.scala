@@ -180,11 +180,27 @@ object Multimodal {
     * unchanged.
     */
   def gearChunks(media: DataFrame, maskBits: Int = 6, minSize: Int = 1,
-                 maxSize: Int = Int.MaxValue): DataFrame =
-    gearSpans(media, maskBits, minSize, maxSize)
-      .select(col("doc_id"), col("chunk_no"),
-        hex(expr("substring(payload, cast(st as int), cast(en - st + 1 as int))"))
-          .as("chunk_hex"))
+                 maxSize: Int = Int.MaxValue): DataFrame = {
+    val ends = graft.functions.NativeFunctions.gearChunkEnds(
+      media.sparkSession, col("payload"), maskBits, minSize, maxSize)
+    // all chunk slices are cut inside ONE projection (a transform over the
+    // ends array) BEFORE the explode, so the explode emits only (chunk_no,
+    // chunk_hex) rows and `payload` never rides per-chunk output rows —
+    // peak memory per input row is payload + its own hex chunks, not
+    // payload × chunk count (VERDICT r11 #4: the explode-then-substring
+    // shape showed GC pressure on the 10× smoke)
+    media.filter(octet_length(col("payload")) > 0)
+      .select(col("doc_id"), col("payload"), ends.as("ends"))
+      .select(col("doc_id"), expr(
+        "transform(ends, (e, i) -> hex(CASE WHEN i = 0 " +
+          "THEN substring(payload, 1, cast(e AS INT)) " +
+          "ELSE substring(payload, cast(ends[i - 1] + 1 AS INT), " +
+          "cast(e - ends[i - 1] AS INT)) END))").as("hexes"))
+      .select(col("doc_id"),
+        posexplode(col("hexes")).as(Seq("chunk_no", "chunk_hex")))
+      .select(col("doc_id"), col("chunk_no").cast("long").as("chunk_no"),
+        col("chunk_hex"))
+  }
 
   /** The gear chunk SPANS alone — (doc_id, chunk_no, st, en), 1-based
     * inclusive byte bounds. This is the boundary primitive the bounded
@@ -203,14 +219,16 @@ object Multimodal {
                         maxSize: Int): DataFrame = {
     val ends = graft.functions.NativeFunctions.gearChunkEnds(
       media.sparkSession, col("payload"), maskBits, minSize, maxSize)
+    // payload is consumed by the boundary scan and DROPPED before the
+    // explode — only the small ends array rides the generate
     media.filter(octet_length(col("payload")) > 0)
-      .select(col("doc_id"), col("payload"), ends.as("ends"))
-      .select(col("doc_id"), col("payload"), col("ends"),
+      .select(col("doc_id"), ends.as("ends"))
+      .select(col("doc_id"), col("ends"),
         posexplode(col("ends")).as(Seq("chunk_no", "en")))
       .withColumn("st",
         when(col("chunk_no") === 0, lit(1L))
           .otherwise(element_at(col("ends"), col("chunk_no")) + 1))
-      .select(col("doc_id"), col("payload"),
+      .select(col("doc_id"),
         col("chunk_no").cast("long").as("chunk_no"), col("st"), col("en"))
   }
 

@@ -290,6 +290,22 @@ object ExtensionQueries {
       |ORDER BY d.doc_id"""
   }
 
+  /** The d21/e36 shared oracle: the from-scratch recursive closure over
+    * ALL documents' pairs — the incremental batch fold and the streaming
+    * pair-state serve must BOTH land bit-identical to a full re-cluster.
+    */
+  private lazy val d21OracleSql =
+    s"""WITH RECURSIVE ${jaccardCtes(None)},
+      |edges AS (
+      |  SELECT id_a, id_b FROM jp UNION ALL SELECT id_b, id_a FROM jp),
+      |reach(id, label) AS (
+      |  SELECT id_a, id_a FROM edges
+      |  UNION
+      |  SELECT e.id_a, r.label FROM edges e JOIN reach r ON r.id = e.id_b)
+      |SELECT id AS doc_id, MIN(label) AS cluster,
+      |  id = MIN(label) AS is_survivor
+      |FROM reach GROUP BY id ORDER BY doc_id"""
+
   private val t33OracleSql =
     """WITH ct AS (
         |  SELECT u.tok, CAST(COUNT(*) AS BIGINT) AS corpus_n
@@ -1466,17 +1482,7 @@ object ExtensionQueries {
     // pairs, so the incremental path must land bit-identical to a full
     // re-cluster (the pair predicate is pairwise ⇒ full-pair set =
     // corpus-internal ∪ cross ∪ fresh-internal, exactly the two inputs).
-    "d21_incremental_clusters" -> of(
-      s"""WITH RECURSIVE ${jaccardCtes(None)},
-        |edges AS (
-        |  SELECT id_a, id_b FROM jp UNION ALL SELECT id_b, id_a FROM jp),
-        |reach(id, label) AS (
-        |  SELECT id_a, id_a FROM edges
-        |  UNION
-        |  SELECT e.id_a, r.label FROM edges e JOIN reach r ON r.id = e.id_b)
-        |SELECT id AS doc_id, MIN(label) AS cluster,
-        |  id = MIN(label) AS is_survivor
-        |FROM reach GROUP BY id ORDER BY doc_id""") { (s, d) =>
+    "d21_incremental_clusters" -> of(d21OracleSql) { (s, d) =>
       val docs = t(s, d, "documents")
       val corpus = docs.filter(col("doc_id") < 400)
       val fresh = docs.filter(col("doc_id") >= 400)
@@ -3356,6 +3362,107 @@ object ExtensionQueries {
         .orderBy("doc_id", "cand_no")
     },
 
+    // Contamination screen, degraded exchange (t38): the t34 audit with
+    // the bench side treated as TOO BIG to broadcast — the collision
+    // becomes a shuffle-hash join on the shingle key (the d02 bucket
+    // shape) with the bloom prefilter composed in FRONT of it: the
+    // sketch builds over the bench shingles and prunes the corpus gram
+    // stream before the exchange, so the big shuffle carries only
+    // might-collide grams. False positives die in the exact join, false
+    // negatives cannot occur, the denominator counts the unpruned set —
+    // so the audit is bit-identical to t34 and the SAME oracle grades
+    // both paths (VERDICT r11 #5: the documented degrade path was
+    // previously untested).
+    "t38_contamination_shuffle" -> of(t34OracleSql) { (s, d) =>
+      val docs = t(s, d, "documents")
+      graft.operators.CorpusOps.contaminationScreen(
+        docs.filter(col("doc_id") >= 50),
+        docs.filter(col("doc_id") < 50),
+        "doc_id", "text", k = 8,
+        broadcastBench = false, bloomPrefilter = true,
+        expectedBenchShingles = 1L << 14)
+        .orderBy("doc_id")
+    },
+
+    // Checksum-GATED card redaction (t39): the production composition of
+    // t11's rewrite with t37's validation — the SAME enriched fixture as
+    // t37 (every doc carries a deterministic 16-digit number, ~1 in 10
+    // Luhn-valid, half dash-grouped), and only VALIDATED candidates are
+    // masked in-place; checksum failures stay verbatim so the redactor
+    // never mangles order ids. The oracle splits the text around the
+    // same regex, replays the Luhn fold per candidate and re-interleaves
+    // pieces with processed matches via an ordered string_agg — the
+    // exact fold the Spark aggregate HOF runs.
+    "t39_redact_validated" -> of {
+      import graft.functions.TextFunctions.cardRe
+      s"""WITH enriched AS (
+        |  SELECT doc_id,
+        |    text || ' card ' ||
+        |    CASE WHEN doc_id % 2 = 0
+        |      THEN substr(card16, 1, 4) || '-' || substr(card16, 5, 4) ||
+        |           '-' || substr(card16, 9, 4) || '-' || substr(card16, 13, 4)
+        |      ELSE card16 END AS card_text
+        |  FROM (SELECT doc_id, text,
+        |      lpad(CAST((doc_id * 271828 + 13) % 1000000000000000 AS VARCHAR),
+        |        15, '0') || CAST(doc_id % 10 AS VARCHAR) AS card16
+        |    FROM documents)),
+        |p AS (
+        |  SELECT doc_id,
+        |    string_split_regex(card_text, '$cardRe') AS pieces,
+        |    regexp_extract_all(card_text, '$cardRe') AS ms
+        |  FROM enriched),
+        |cand AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS i, ms[i] AS raw,
+        |    regexp_replace(ms[i], '[ -]', '', 'g') AS digits
+        |  FROM p, UNNEST(range(1, len(ms) + 1)) u(i)),
+        |luhn AS (
+        |  SELECT doc_id, i, raw, digits,
+        |    SUM(CASE WHEN (len(digits) - j) % 2 = 1
+        |      THEN CASE WHEN 2 * CAST(substr(digits, j, 1) AS INT) > 9
+        |        THEN 2 * CAST(substr(digits, j, 1) AS INT) - 9
+        |        ELSE 2 * CAST(substr(digits, j, 1) AS INT) END
+        |      ELSE CAST(substr(digits, j, 1) AS INT) END) AS s
+        |  FROM cand, UNNEST(range(1, len(digits) + 1)) u(j)
+        |  GROUP BY doc_id, i, raw, digits),
+        |proc AS (
+        |  SELECT doc_id, i,
+        |    CASE WHEN s % 10 = 0 AND len(digits) BETWEEN 13 AND 19
+        |      THEN '****' || substr(digits, len(digits) - 3, 4)
+        |      ELSE raw END AS rep,
+        |    (s % 10 = 0 AND len(digits) BETWEEN 13 AND 19) AS ok
+        |  FROM luhn),
+        |agg AS (
+        |  SELECT pr.doc_id,
+        |    string_agg(pr.rep || p2.pieces[CAST(pr.i + 1 AS INT)], ''
+        |      ORDER BY pr.i) AS tail_,
+        |    CAST(COUNT(*) AS BIGINT) AS n_cands,
+        |    CAST(SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_masked
+        |  FROM proc pr JOIN p p2 ON p2.doc_id = pr.doc_id
+        |  GROUP BY pr.doc_id)
+        |SELECT p.doc_id, COALESCE(a.n_cands, 0) AS n_cands,
+        |  COALESCE(a.n_masked, 0) AS n_masked,
+        |  p.pieces[1] || COALESCE(a.tail_, '') AS redacted
+        |FROM p LEFT JOIN agg a ON a.doc_id = p.doc_id
+        |ORDER BY p.doc_id"""
+    } { (s, d) =>
+      val card16 = concat(
+        lpad(pmod(col("doc_id") * 271828 + 13, lit(1000000000000000L))
+          .cast("string"), 15, "0"),
+        pmod(col("doc_id"), lit(10)).cast("string"))
+      val formatted = when(pmod(col("doc_id"), lit(2)) === 0,
+        concat_ws("-", substring(col("card16"), 1, 4),
+          substring(col("card16"), 5, 4), substring(col("card16"), 9, 4),
+          substring(col("card16"), 13, 4)))
+        .otherwise(col("card16"))
+      graft.operators.CorpusOps.redactValidatedCards(
+        t(s, d, "documents")
+          .withColumn("card16", card16)
+          .withColumn("card_text",
+            concat(col("text"), lit(" card "), formatted)),
+        "doc_id", "card_text")
+        .orderBy("doc_id")
+    },
+
     // BPE merge learning (t25) — tokenizer TRAINING: 3 rounds of
     // word-weighted pair counting + argmax + merge application over the
     // vocabulary table (corpus touched once; rounds are vocab-sized).
@@ -3638,7 +3745,7 @@ object ExtensionQueries {
         |  SELECT c.doc_id, c.pos
         |  FROM cuts c JOIN base ON base.doc_id = c.doc_id AND c.pos < base.n
         |  UNION
-        |  SELECT doc_id, n FROM base),
+        |  SELECT doc_id, n FROM base WHERE n > 0),
         |chunks AS (
         |  SELECT doc_id,
         |    COALESCE(LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos), 0) + 1 AS st,
@@ -3788,6 +3895,55 @@ object ExtensionQueries {
           when(col("n_grams") > 0,
             col("n_hit").cast("double") / col("n_grams").cast("double"))
             .otherwise(lit(0.0)))
+        .orderBy("doc_id")
+    },
+
+    // STREAMING incremental cluster maintenance (e36): d21 live, the e29
+    // CDC-apply shape — the ingest screen's fresh PAIRS arrive as a
+    // stream (two micro-batch files, so the state provably accumulates
+    // across batches), ONE complete-mode stateful op holds the distinct
+    // pair set (state ∝ ingest pairs, never corpus size), and the serve
+    // step folds the materialized pairs into the STANDING cluster labels
+    // via the same delta-sized touched-subgraph closure as the batch
+    // operator. Graded by the d21 definition itself: the from-scratch
+    // recursive closure over ALL documents' pairs — both maintenance
+    // paths must land bit-identical to a full re-cluster.
+    "e36_stream_clusters" -> of(d21OracleSql) { (s, d) =>
+      import graft.streaming.EventsStream
+      val docs = t(s, d, "documents")
+      val corpus = docs.filter(col("doc_id") < 400)
+      val fresh = docs.filter(col("doc_id") >= 400)
+      val standing = Dedup.dupClusters(
+        Dedup.ngramJaccardPairs(corpus, "doc_id", "text"))
+      val freshPairs = Dedup.incrementalJaccardPairs(
+          fresh, corpus, "doc_id", "text")
+          .select(col("fresh_id").as("id_a"), col("corpus_id").as("id_b"))
+        .union(Dedup.ngramJaccardPairs(fresh, "doc_id", "text")
+          .select(col("id_a"), col("id_b")))
+      // the e29 changelog-feed pattern: pair rows land as files and
+      // stream in one per trigger, split by a deterministic parity
+      val root = java.nio.file.Files.createTempDirectory("graft-pairs-feed-")
+      def dump(df: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit = {
+        val p = s"$root/$name"
+        df.coalesce(1).write.parquet(p)
+        new java.io.File(p).listFiles().foreach(_.setLastModified(mtime))
+      }
+      val t0 = 1600000000000L
+      dump(freshPairs.filter(pmod(col("id_a") + col("id_b"), lit(2)) === 0),
+        "batch-0", t0)
+      dump(freshPairs.filter(pmod(col("id_a") + col("id_b"), lit(2)) === 1),
+        "batch-1", t0 + 60000)
+      val schema = s.read.parquet(s"$root/batch-0").schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$root/batch-*")
+      val statePairs = stream.groupBy("id_a", "id_b")
+        .agg(count(lit(1)).as("__n"))
+      val sinkName = s"stream_clusters_${sinkCounter.incrementAndGet()}"
+      EventsStream.runAvailableNow(statePairs, sinkName, outputMode = "complete")
+      Dedup.incrementalDupClusters(standing,
+          s.table(sinkName).select(col("id_a"), col("id_b")))
+        .select(col("id").as("doc_id"), col("cluster"),
+          (col("id") === col("cluster")).as("is_survivor"))
         .orderBy("doc_id")
     },
 

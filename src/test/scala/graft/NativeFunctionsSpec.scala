@@ -206,4 +206,31 @@ class NativeFunctionsSpec extends SparkSpec {
       .select(explode(col("n.id")).as("id")).as[Long].collect().toSeq
     assert(got === Seq(11L, 12L)) // NaN first, then 0.9
   }
+
+  test("SQL builders reject wrong arities with WRONG_NUM_ARGS, never silently drop args") {
+    // ADVICE r11: gear_chunk_ends(payload, maskBits, minSize) used to fall
+    // into the 2-arg branch and IGNORE minSize; hilbert_key(x, y) threw a
+    // bare IndexOutOfBoundsException. Both must name the function and the
+    // accepted arities instead.
+    // gearChunkEnds/hilbertKey register on first Column-API use
+    graft.functions.NativeFunctions.gearChunkEnds(spark, lit(Array[Byte]()), 6)
+    graft.functions.Hilbert.register(spark)
+    val threeArgGear = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT gear_chunk_ends(CAST('ab' AS BINARY), 6, 64)").collect()
+    }
+    assert(threeArgGear.getMessage.contains("gear_chunk_ends") &&
+      threeArgGear.getMessage.contains("2 or 4"), threeArgGear.getMessage)
+    val twoArgHilbert = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT hilbert_key(1L, 2L)").collect()
+    }
+    assert(twoArgHilbert.getMessage.contains("hilbert_key") &&
+      twoArgHilbert.getMessage.contains("3"), twoArgHilbert.getMessage)
+    // the accepted arities still build
+    assert(spark.sql("SELECT size(gear_chunk_ends(CAST('ab' AS BINARY), 6))")
+      .head().getInt(0) >= 0)
+    assert(spark.sql(
+      "SELECT size(gear_chunk_ends(CAST('ab' AS BINARY), 6, 1, 64))")
+      .head().getInt(0) >= 0)
+    assert(spark.sql("SELECT hilbert_key(1L, 2L, 4)").head().getLong(0) >= 0L)
+  }
 }

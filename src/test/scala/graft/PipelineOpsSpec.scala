@@ -1456,6 +1456,37 @@ class PipelineOpsSpec extends SparkSpec {
       "screen must never pair fresh with fresh")
   }
 
+  test("cardScreen + redactValidatedCards: Luhn vectors, grouping normalization, exact reassembly") {
+    import spark.implicits._
+    // 4111111111111111 is the canonical Luhn-valid test PAN; flipping the
+    // last digit breaks the checksum. Dashes/spaces must normalize away
+    // before the fold, and the screen must not match 12-digit runs.
+    val docs = Seq(
+      (1L, "pay 4111111111111111 now"),            // valid, bare
+      (2L, "pay 4111-1111-1111-1111 now"),         // valid, dash-grouped
+      (3L, "order 4111111111111112 shipped"),      // invalid (checksum)
+      (4L, "code 123456789012 ok"),                // 12 digits: no candidate
+      (5L, "a 4111 1111 1111 1111 b 79927398713")  // valid + valid (11-digit Luhn? no: 79927398713 is 11 digits -> not a candidate)
+    ).toDF("doc_id", "text")
+    val screen = graft.operators.CorpusOps.cardScreen(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getBoolean(3), r.getString(4)))).toMap
+    assert(screen((1L, 0L)) === ((16L, true, "****1111")))
+    assert(screen((2L, 0L)) === ((16L, true, "****1111")))
+    assert(screen((3L, 0L)) === ((16L, false, "4111111111111112")))
+    assert(!screen.keySet.exists(_._1 == 4L), "12-digit runs are not candidates")
+    assert(screen((5L, 0L)) === ((16L, true, "****1111")))
+    assert(!screen.contains((5L, 1L)), "11-digit runs are not candidates")
+    val red = graft.operators.CorpusOps.redactValidatedCards(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(red(1L) === ((1L, 1L, "pay ****1111 now")))
+    assert(red(2L) === ((1L, 1L, "pay ****1111 now")))
+    assert(red(3L) === ((1L, 0L, "order 4111111111111112 shipped")),
+      "checksum failures must stay verbatim")
+    assert(red(4L) === ((0L, 0L, "code 123456789012 ok")))
+    assert(red(5L) === ((1L, 1L, "a ****1111 b 79927398713")))
+  }
+
   test("editDistancePairs: candidate-volume guard aborts loudly; generous cap passes") {
     import spark.implicits._
     // 40 near-identical low-entropy strings: every pair survives the

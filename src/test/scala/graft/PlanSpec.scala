@@ -378,6 +378,19 @@ class PlanSpec extends SparkSpec {
       s"gram collision join must not sort-merge:\n${plan.take(1200)}")
   }
 
+  test("t38: degraded screen shuffle-joins the gram key with the bloom prefilter planted") {
+    val plan = physicalPlan("t38_contamination_shuffle")
+    // the degrade path must NOT silently re-broadcast (that would test
+    // nothing) and the corpus gram stream must pass the might_contain
+    // prune before the exchange
+    assert("BroadcastHashJoin \\[g#".r.findFirstIn(plan).isEmpty,
+      s"bench side must not broadcast in the degraded screen:\n${plan.take(1200)}")
+    assert("ShuffledHashJoin \\[g#".r.findFirstIn(plan).isDefined,
+      s"expected the shingle-key shuffle join:\n${plan.take(1200)}")
+    assert(plan.contains("might_contain"),
+      s"expected the bloom prefilter in the corpus scan stage:\n${plan.take(1200)}")
+  }
+
   test("s11: cluster sample shuffles ONCE (the window key) — assignment is a projection") {
     val plan = physicalPlan("s11_cluster_sample")
     // assignment rides as centroid literals (no join), so the only data
