@@ -61,8 +61,31 @@ import org.apache.spark.sql.SparkSession
   * `contended` unconditionally true and therefore meaningless. The discarded
   * count ships as `noisy_reps_n`, and
   * `probe_baseline_ms` ships raw so a judge replica can cross-check the
-  * baseline itself (a contended STARTUP inflates the baseline and masks
-  * calibration_x; loadavg + the absolute probe floor cover that case).
+  * baseline itself.
+  *
+  * == Learned floor + history context (round 12, VERDICT r11 #1) ==
+  * The r11 headline proved a startup-only baseline is gameable by the
+  * host: its 16:06 run warmed up during a contention window, measured a
+  * 212.9ms baseline on a ~127ms-floor host, and every subsequent rep's
+  * calibration_x compared inflated probes against the inflated reference —
+  * plainly-contended reps (cpu_ms 3-4×, s08 at 7.4× its own history)
+  * shipped as "trusted, contended=false". Three fixes:
+  *   - `calibration_x` now divides by the run's LEARNED floor: every
+  *     per-rep probe is a baseline sample (the spin work is constant), so
+  *     the running minimum converges on the true quiet floor as soon as
+  *     any instant of the run is quiet. Trust is judged at aggregation
+  *     time against the final floor (`probe_floor_ms` in the artifact).
+  *   - `host_speed_x` = this run's floor / the best floor in the committed
+  *     bench history: a ratio > 1 means the HOST ITSELF is slower than the
+  *     one older snapshots ran on — r11's "fleet-wide ~1.2× drift" was
+  *     exactly a 112→127ms floor move (1.13×), visible in history, not a
+  *     plan regression. The field makes round-over-round comparisons
+  *     host-normalizable from the artifacts alone.
+  *   - History-anomaly retries: a query whose best rep exceeds 1.5× its
+  *     own committed trusted floor (host-speed-adjusted) gets bounded
+  *     extra reps, and queries still anomalous after retrying ship in
+  *     `hist_anomalies` — the committed headline self-flags the r11-s08
+  *     failure mode instead of needing a judge to diff history.
   *
   * == Load-independent work metrics (round 7) ==
   * Per rep, a [[WorkMetricsListener]] records shuffle-read/write bytes,
@@ -286,6 +309,48 @@ object Bench {
     // probe_baseline_ms + loadavg fields expose instead.
     (0 until 3).foreach(_ => probeMillis())
     val probeBaseline = (0 until 5).map(_ => probeMillis()).min
+    // r12 (VERDICT r11 #1): the r11 headline shipped on a 212.9ms startup
+    // baseline when the host's true quiet floor was ~127ms — startup
+    // contention inflated the BASELINE, so per-rep calibration compared
+    // inflated probes against an inflated reference and plainly-contended
+    // reps (cpu_ms 3-4x, s08 at 7.4x wall) read as trusted. The floor is
+    // now LEARNED across the run: every per-rep probe is itself a baseline
+    // sample (the work is constant), so the running minimum converges on
+    // the true quiet floor the moment ANY instant of the run is quiet
+    // (bench_history: min-probe 107-128ms across 24 runs while startup
+    // baselines ranged to 212.9). Trust is judged at aggregation time
+    // against the FINAL floor; the retry gate reads the current floor.
+    var probeFloor = probeBaseline
+    // Cross-run context from the committed history: the best floor this
+    // host lineage has shown (host_speed_x > 1 = this run's host is
+    // slower — the r11 "fleet-wide ~1.2x drift" was exactly a 112→127ms
+    // floor move), and per-query trusted minima at the same sf for
+    // anomaly-triggered retries (s08 at 3.84s vs a 0.5-0.8s history
+    // should chase more reps, not ship).
+    val histLines: Vector[String] =
+      try {
+        val src = scala.io.Source.fromFile("bench/bench_history.jsonl")
+        try src.getLines().toVector finally src.close()
+      } catch { case _: Throwable => Vector.empty }
+    val histFloor: Double = {
+      val floors = histLines.flatMap { l =>
+        "\"probe_floor_ms\":([0-9.]+)".r.findFirstMatchIn(l)
+          .orElse("\"probe_baseline_ms\":([0-9.]+)".r.findFirstMatchIn(l))
+          .map(_.group(1).toDouble)
+      }
+      if (floors.nonEmpty) floors.min else Double.NaN
+    }
+    val histMins: Map[String, Double] = {
+      val pairRe = "\"([^\"]+)\":([0-9.eE+-]+)".r
+      histLines
+        .filter(l => "\"sf\":\"([^\"]+)\"".r.findFirstMatchIn(l)
+          .exists(_.group(1) == sfDir))
+        .flatMap(l => "\"trusted_min\":\\{([^}]*)\\}".r.findFirstMatchIn(l)
+          .map(_.group(1)))
+        .flatMap(m => pairRe.findAllMatchIn(m).map(mm =>
+          mm.group(1) -> mm.group(2).toDouble))
+        .groupMapReduce(_._1)(_._2)(math.min)
+    }
 
     def oneRep(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Rep = {
       val gc0 = gcMillis(); val cpu0 = cpuMillis()
@@ -308,6 +373,7 @@ object Bench {
       // work snapshot drains the listener bus, AFTER the clock stops
       val w1 = work.snapshot(spark.sparkContext)
       val probe = probeMillis()
+      if (probe < probeFloor) probeFloor = probe
       val (nRdds, bytes) = SessionSweep.storageFootprint(spark)
       // free persisted intermediates AFTER the clock stops — BOTH cache
       // layers (SQL catalog + RDD-level persists): queries are timed
@@ -320,7 +386,7 @@ object Bench {
     }
 
     def trusted(r: Rep): Boolean =
-      (r.probeMs / probeBaseline) <= 1.5 &&
+      (r.probeMs / probeFloor) <= 1.5 &&
         r.loads.forall(l => l < 0.0 || l <= loadThreshold)
     // CLEAN is the stricter retry gate (VERDICT r9 #3): reps between 1.2×
     // and 1.5× calibration stay trusted (excluding them would overstate
@@ -330,13 +396,14 @@ object Bench {
     // re-runs, so the reported min has had a real chance at an uncontended
     // rep instead of settling for a merely-not-thrashed one.
     def clean(r: Rep): Boolean =
-      (r.probeMs / probeBaseline) <= 1.2 &&
+      (r.probeMs / probeFloor) <= 1.2 &&
         r.loads.forall(l => l < 0.0 || l <= loadThreshold)
 
     val selected = SparkEntry.queries.filter { case (name, _) =>
       only.isEmpty || only.contains(name)
     }
     val maxRetries = 2
+    val histAnomalies = scala.collection.mutable.SortedSet.empty[String]
     val allReps: Map[String, Seq[Rep]] = selected.map { case (name, fn) =>
       var rs = (0 until reps).map(_ => oneRep(fn)).toVector
       // a query with no CLEAN rep gets bounded re-runs: a contaminated min
@@ -347,6 +414,23 @@ object Bench {
         rs = rs :+ oneRep(fn)
         extra += 1
       }
+      // History-anomaly retries (VERDICT r11 #1): a best rep far above the
+      // query's own committed trusted floor — normalized by the host-speed
+      // ratio so a genuinely slower host doesn't chase an unreachable
+      // number — is contention the calibration gate missed (r11's s08:
+      // 3.84s vs a 0.51-0.84s history, all reps "trusted"). Chase it with
+      // bounded extra reps; the artifact lists the queries that stayed
+      // anomalous so the committed headline is self-flagging.
+      val speedAdj = if (histFloor.isNaN) 1.0 else math.max(1.0, probeFloor / histFloor)
+      def anomalous = histMins.get(name).exists { h =>
+        rs.filter(_.ok).map(_.sec).minOption.exists(_ > 1.5 * h * speedAdj)
+      }
+      var extraH = 0
+      while (rs.forall(_.ok) && anomalous && extraH < maxRetries) {
+        rs = rs :+ oneRep(fn)
+        extraH += 1
+      }
+      if (anomalous) histAnomalies += name
       name -> (rs: Seq[Rep])
     }
 
@@ -381,11 +465,18 @@ object Bench {
     val untrustedJson = untrusted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val filterFields =
       if (only.isEmpty) "" else s""","filter":"${only.toSeq.sorted.mkString(",")}","partial":true"""
+    val histAnomalyJson =
+      histAnomalies.toSeq.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val hostSpeedX =
+      if (histFloor.isNaN) "null" else f"${probeFloor / histFloor}%.3f"
     val headline =
       s""""metric":"total","value":$total,"value_trusted":$totalTrusted,"unit":"sec"""" +
         s""","queries":${objD(best)},"trusted_min":${objD(trustedMin)}""" +
         s""","untrusted":$untrustedJson,"untrusted_n":${untrusted.size}""" +
-        s""","errors":$errs,"reps":$reps,"contended":$contended,"noisy_reps_n":$noisyRepsN,"waited_quiet_sec":$waitedQuiet,"sf":"$sfDir"$filterFields"""
+        s""","errors":$errs,"reps":$reps,"contended":$contended,"noisy_reps_n":$noisyRepsN,"waited_quiet_sec":$waitedQuiet""" +
+        s""","probe_floor_ms":${f"$probeFloor%.1f"},"host_floor_hist_ms":${if (histFloor.isNaN) "null" else f"$histFloor%.1f"}""" +
+        s""","host_speed_x":$hostSpeedX,"hist_anomalies":$histAnomalyJson""" +
+        s""","sf":"$sfDir"$filterFields"""
     val fullLine = "{" + headline +
       s""","runs":${perRep(_.sec)}""" +
       s""","trusted_reps":${perRep(r => trusted(r))}""" +
@@ -396,7 +487,7 @@ object Bench {
       s""","loadavg":${objRaw(allReps.view.mapValues(rs => arr(rs.flatMap(_.loads.map(fmtX)))).toSeq)}""" +
       s""","probe_ms":${perRep(r => f"${r.probeMs}%.1f")}""" +
       s""","probe_baseline_ms":${f"$probeBaseline%.1f"}""" +
-      s""","calibration_x":${perRep(r => fmtX(r.probeMs / probeBaseline))}""" +
+      s""","calibration_x":${perRep(r => fmtX(r.probeMs / probeFloor))}""" +
       s""","load_threshold":${fmtX(loadThreshold)}""" +
       s""","shuffle_read_bytes":${perRep(_.work.shuffleReadBytes)}""" +
       s""","shuffle_write_bytes":${perRep(_.work.shuffleWriteBytes)}""" +
@@ -408,7 +499,9 @@ object Bench {
       "}"
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
     val compactLine = compactSummary(total, totalTrusted, best.size,
-      untrusted, failed.toSeq, reps, contended, sfDir, out, filterFields)
+      untrusted, failed.toSeq, reps, contended, sfDir, out,
+      s""","probe_floor_ms":${f"$probeFloor%.1f"},"host_speed_x":$hostSpeedX,"hist_anomalies_n":${histAnomalies.size}""" +
+        filterFields)
     try Files.writeString(Paths.get(out), fullLine + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] file write failed: $e") }
     // Durable per-query history (VERDICT r9 #2): `out` is overwritten by
