@@ -203,6 +203,112 @@ object GraphOps {
           .otherwise(lit(0.0)))
   }
 
+  /** Fixed-round k-core peel over an UNDIRECTED pair graph: repeatedly
+    * remove nodes whose degree among the REMAINING nodes is < k, `rounds`
+    * times, and return the survivors with their within-core degree. After
+    * convergence (survivor set stops shrinking) the result IS the exact
+    * k-core; a fixed round budget — the [[pageRank]] philosophy — keeps
+    * the plan static, driver-loop-free and engine-checkable, and is also
+    * what a production curation run does (coreness is a density screen:
+    * boilerplate/template text forms high-core similarity subgraphs, while
+    * organic near-dup pairs sit in low cores; a bounded peel that
+    * under-removes slightly only errs toward keeping data).
+    *
+    * Scale shape: each round is two semi joins of the persisted canonical
+    * edge set against the (monotonically SHRINKING) survivor set plus one
+    * count aggregation — all keyed on node id, the same key every round,
+    * so a pre-partitioned edge table reuses its exchange and AQE broadcasts
+    * the survivor side as soon as the peel bites. Nothing is collected;
+    * wedge-free (work is O(m) per round, never Σ deg²), so hubs cost
+    * nothing beyond their edge rows.
+    *
+    * Returns one row per surviving node: (id, degree, core_degree) —
+    * `degree` in the full graph, `core_degree` among survivors.
+    */
+  def kCore(pairs: DataFrame, k: Int, rounds: Int = 6): DataFrame = {
+    require(k >= 1, "kCore: k must be >= 1")
+    require(rounds >= 1, "kCore: rounds must be >= 1")
+    val und = Caching.persisted(pairs
+      .select(least(col("id_a"), col("id_b")).as("a"),
+        greatest(col("id_a"), col("id_b")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct())
+    val fullDeg = Caching.persisted(
+      und.select(col("a").as("id")).union(und.select(col("b").as("id")))
+        .groupBy(col("id")).agg(count(lit(1)).as("degree")))
+    def step(alive: DataFrame): DataFrame = {
+      val keptEdges = und
+        .join(alive.select(col("id").as("a")), Seq("a"), "left_semi")
+        .join(alive.select(col("id").as("b")), Seq("b"), "left_semi")
+      keptEdges.select(col("a").as("id")).union(keptEdges.select(col("b").as("id")))
+        .groupBy(col("id")).agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k)
+        .select(col("id"))
+    }
+    val alive0 = fullDeg.select(col("id"))
+    val aliveFinal = Iterator.iterate(alive0)(step).drop(rounds).next()
+    // within-core degree: one more edge restriction against the final set
+    val coreEdges = und
+      .join(aliveFinal.select(col("id").as("a")), Seq("a"), "left_semi")
+      .join(aliveFinal.select(col("id").as("b")), Seq("b"), "left_semi")
+    val coreDeg = coreEdges.select(col("a").as("id"))
+      .union(coreEdges.select(col("b").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("core_degree"))
+    aliveFinal
+      .join(fullDeg, "id")
+      .join(coreDeg, Seq("id"), "left")
+      .select(col("id"), col("degree"),
+        coalesce(col("core_degree"), lit(0L)).as("core_degree"))
+  }
+
+  /** Degree assortativity of an UNDIRECTED pair graph: the Pearson
+    * correlation between the endpoint degrees over the symmetrized edge
+    * list (Newman 2002). The curation read: strongly positive r means
+    * near-dup mass concentrates hub-to-hub (template families referencing
+    * each other — cut as a block); negative r means hub-and-spoke (one
+    * canonical doc with many variants — survivor-select instead).
+    *
+    * Bit-reproducibility for free: every sufficient statistic (edge count,
+    * Σd, Σd², Σd_s·d_t) is an INTEGER sum — summed as DECIMAL(38,0), which
+    * is exact and order-independent, so no quantization is even needed —
+    * and the final Pearson formula is a fixed tree of deterministic IEEE
+    * ops on exactly-represented integers (degrees are far below 2⁵³).
+    * One degree aggregation + two id-keyed joins + one global agg; the
+    * global agg partial-aggregates map-side, so the coordinator sees one
+    * row per partition. Returns one row: (n_nodes, n_edges, assortativity).
+    */
+  def degreeAssortativity(pairs: DataFrame): DataFrame = {
+    val und = Caching.persisted(pairs
+      .select(least(col("id_a"), col("id_b")).as("a"),
+        greatest(col("id_a"), col("id_b")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct())
+    val deg = Caching.persisted(
+      und.select(col("a").as("id")).union(und.select(col("b").as("id")))
+        .groupBy(col("id")).agg(count(lit(1)).as("d")))
+    val sym = und.select(col("a").as("s"), col("b").as("t"))
+      .union(und.select(col("b").as("s"), col("a").as("t")))
+    val joined = sym
+      .join(deg.select(col("id").as("s"), col("d").as("ds")), "s")
+      .join(deg.select(col("id").as("t"), col("d").as("dt")), "t")
+    val dec = DecimalType(38, 0)
+    val stats = joined.agg(
+      count(lit(1)).as("m"),
+      sum(col("ds").cast(dec)).as("sx"),
+      sum((col("ds") * col("ds")).cast(dec)).as("sxx"),
+      sum((col("ds") * col("dt")).cast(dec)).as("sxy"))
+    val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
+    // symmetrized list ⇒ x and y marginals are identical (sx=sy, sxx=syy)
+    val mD = col("m").cast("double")
+    val sxD = col("sx").cast("double")
+    val sxxD = col("sxx").cast("double")
+    val sxyD = col("sxy").cast("double")
+    stats.crossJoin(broadcast(nNodes))
+      .select(col("n_nodes"), (col("m") / 2).cast("long").as("n_edges"),
+        ((mD * sxyD - sxD * sxD) / (mD * sxxD - sxD * sxD))
+          .as("assortativity"))
+  }
+
   /** Neighborhood-similarity link prediction over an UNDIRECTED pair graph:
     * for every node pair sharing at least one neighbor, the three classic
     * scores — common-neighbor count, neighborhood Jaccard

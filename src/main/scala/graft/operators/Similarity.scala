@@ -967,6 +967,92 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "cosine")
   }
 
+  /** Multi-index Hamming ANN (the Norouzi–Punjani–Fleet "Multi-Index
+    * Hashing" shape, CVPR'12): every vector gets a `bands`×`bandBits`-bit
+    * sign-random-projection code held as `bands` SEPARATE small integers
+    * (never one packed 64-bit word — no sign-bit/overflow hazards in any
+    * engine, and the band IS the join key), candidates are the corpus rows
+    * sharing at least one exact band with the query (pigeonhole: a code
+    * within Hamming distance < `bands` of the query MUST agree on some
+    * band, so the candidate set is provably complete for radius
+    * `bands`−1), ranked by full-code Hamming distance — Σ over bands of
+    * bit_count(xor) — and the best `coarseM` re-ranked by exact cosine for
+    * the top-k.
+    *
+    * Where it sits in the family: s03/s15 treat the signature as a BUCKET
+    * (equality only — a 1-bit miss loses the candidate unless probed);
+    * MIH treats it as a DISTANCE (any ≤ bands−1-bit disagreement still
+    * joins, and further disagreement is scored, not lost), giving
+    * LSH-index costs with metric-style recall. The compressed-domain
+    * economics are PQ's (s09): candidate generation and ranking touch only
+    * integer codes — floats move for `coarseM` rows per query, never the
+    * corpus.
+    *
+    * Scale shape: band join = `bands` equi-joins on (band index, band
+    * value) — the corpus side is hash-partitioned by band key, queries
+    * broadcast; ONE distinct on (query, candidate) dedupes multi-band
+    * agreements (bounded ×`bands` duplication, not quadratic). Bucket
+    * occupancy is corpus_size / 2^bandBits per band value on near-uniform
+    * sign codes, so candidate volume per query ≈ bands · n / 2^bandBits —
+    * the default 8-bit bands fit the test corpora (500–50k vectors,
+    * occupancy ≈ 2–200); at 10⁹ vectors the knob is `bandBits` up to
+    * 16–24 (occupancy back to ~15k–60), holding the guaranteed radius at
+    * `bands`−1 — exactly the MIH paper's substring-length tradeoff
+    * (longer substrings, fewer of them, or accept a smaller guaranteed
+    * radius; the adaptiveLshKnobs occupancy policy applies verbatim).
+    */
+  def mihHammingNeighbors(queries: DataFrame, corpus: DataFrame,
+                          idCol: String, vecCol: String, k: Int,
+                          bands: Int = 4, bandBits: Int = 8,
+                          planeOffset: Int = 100,
+                          coarseM: Int = 40): DataFrame = {
+    graft.functions.NativeFunctions.register(queries.sparkSession)
+    val signs = hyperplaneSigns(queries.sparkSession, bands * bandBits,
+      planeOffset, vectorDim(corpus, vecCol))
+    // one small-int code per band: planes planeOffset+j*bandBits ..
+    // +bandBits-1, packed by the same signatureFrom fold (bit-identical
+    // everywhere); kept as an array so the band join explodes positionally
+    def coded(df: DataFrame, id: String, vec: String, norm: String) = {
+      val v = col(vecCol).cast("array<double>")
+      df.select(col(idCol).as(id), v.as(vec),
+        array((0 until bands).map(j =>
+          hyperplaneSignatureFrom(v,
+            signs.slice(j * bandBits, (j + 1) * bandBits))): _*).as("code"))
+        .withColumn(norm, l2norm(col(vec)))
+    }
+    val q = Caching.persisted(coded(queries, "query_id", "qv", "q_norm"))
+    val c = Caching.persisted(coded(corpus, "neighbor_id", "cv", "c_norm"))
+    // codes-only candidate stage (the PQ economy: floats join in only for
+    // the coarseM survivors, never the corpus)
+    val qBands = q.select(col("query_id"), col("code").as("q_code"),
+      posexplode(col("code")).as(Seq("band", "band_val")))
+    val cBands = c.select(col("neighbor_id"), col("code").as("c_code"),
+      posexplode(col("code")).as(Seq("band", "band_val")))
+    val hamming = (0 until bands).map(j =>
+      bit_count(element_at(col("q_code"), j + 1)
+        .bitwiseXOR(element_at(col("c_code"), j + 1))).cast("long"))
+      .reduce(_ + _)
+    val cands = broadcast(qBands).join(cBands, Seq("band", "band_val"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id", "q_code", "c_code")
+      .distinct()
+      .withColumn("hamming", hamming)
+    val wCoarse = Window.partitionBy(col("query_id"))
+      .orderBy(col("hamming"), col("neighbor_id"))
+    val wFine = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    cands
+      .withColumn("crn", row_number().over(wCoarse))
+      .filter(col("crn") <= coarseM)
+      .join(broadcast(q.select(col("query_id"), col("qv"), col("q_norm"))), "query_id")
+      .join(c.select(col("neighbor_id"), col("cv"), col("c_norm")), "neighbor_id")
+      .withColumn("cosine",
+        dot(col("qv"), col("cv")) / (col("q_norm") * col("c_norm")))
+      .withColumn("rank", row_number().over(wFine))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "hamming", "cosine")
+  }
+
   /** Product-quantization codebooks (the FAISS-PQ shape, inner-product
     * flavor): the vector splits into `subspaces` contiguous slices and each
     * slice gets its own `k`-centroid quantizer trained with the SAME

@@ -178,6 +178,19 @@ object AuxDumps {
         .toDF("p", "signs")
     }),
 
+    // s22: the 32 ±1 sign vectors of the MIH code family (planes 100–131 —
+    // a dedicated offset so the family is independent of the 0–31 LSH
+    // planes). p is the LOCAL index 0..31; the oracle derives band = p//8
+    // and bit position p%8 and repacks the four 8-bit band values itself.
+    "mih_planes" -> ((s, d) => {
+      import graft.operators.Similarity
+      val dim = Similarity.vectorDim(t(s, d, "embeddings"), "embedding")
+      import s.implicits._
+      Similarity.hyperplaneSigns(s, 32, 100, dim).zipWithIndex
+        .map { case (sv, p) => (p, sv.toSeq) }.toSeq
+        .toDF("p", "signs")
+    }),
+
     // q43/t30: xxhash64 over the user id — the HLL/KMV key primitive for
     // the events grouping. Keyed by user_id; the oracle recomputes
     // bucketing, rho, registers, bottom-k ranking and every estimate from

@@ -617,6 +617,57 @@ object ExtensionQueries {
       |FROM deg d LEFT JOIN pn ON pn.id = d.id
       |ORDER BY d.id"""
 
+  /** Fixed-round k-core oracle mirroring GraphOps.kCore's peel semantics
+    * (g07). The state carried round-to-round is the SYMMETRIZED edge list;
+    * each round keeps the edges whose BOTH endpoint degrees (one window
+    * pass over the previous round's rows) are ≥ k — removing an edge set
+    * identical to removing the below-k nodes, and preserving symmetry
+    * because the keep condition is endpoint-symmetric. Each CTE references
+    * its predecessor exactly ONCE: DuckDB inlines CTEs, so a peel written
+    * as `a IN (SELECT …)` (two refs per round) re-evaluates the expensive
+    * Jaccard chain 4^rounds times and never finishes — single-reference
+    * window rounds keep the oracle linear in `rounds`. All quantities are
+    * integer counts, so there is nothing to quantize.
+    *
+    * Survivors after round R are the nodes whose degree in round R−1's
+    * edge set is ≥ k (NOT the endpoints of round R's edges — a survivor
+    * whose neighbors all peel in the same round has core_degree 0 but is
+    * still a survivor), so the last round is computed as explicit ds/dt
+    * columns and read twice: once for the survivor set, once for the
+    * within-core degree.
+    */
+  private def kcoreOracle(k: Int, rounds: Int): String = {
+    require(rounds >= 1)
+    val itCtes = (1 until rounds).map { i =>
+      val prev = if (i == 1) "sym0" else s"sym${i - 1}"
+      s"""sym$i AS (
+        |  SELECT s, t FROM (
+        |    SELECT s, t, COUNT(*) OVER (PARTITION BY s) AS ds,
+        |      COUNT(*) OVER (PARTITION BY t) AS dt
+        |    FROM $prev) w
+        |  WHERE ds >= $k AND dt >= $k)"""
+    }.map(_ + ",\n").mkString
+    val last = if (rounds == 1) "sym0" else s"sym${rounds - 1}"
+    s"""WITH ${jaccardCtes(None)},
+      |und AS (SELECT id_a AS a, id_b AS b FROM jp WHERE id_a <> id_b),
+      |fullD AS (
+      |  SELECT id, CAST(COUNT(*) AS BIGINT) AS degree
+      |  FROM (SELECT unnest([a, b]) AS id FROM und) n GROUP BY id),
+      |sym0 AS (SELECT a AS s, b AS t FROM und UNION ALL SELECT b, a FROM und),
+      |${itCtes}dlast AS (
+      |  SELECT s, t, COUNT(*) OVER (PARTITION BY s) AS ds,
+      |    COUNT(*) OVER (PARTITION BY t) AS dt
+      |  FROM $last),
+      |surv AS (SELECT DISTINCT s AS id FROM dlast WHERE ds >= $k),
+      |coreD AS (
+      |  SELECT s AS id, CAST(COUNT(*) AS BIGINT) AS core_degree
+      |  FROM dlast WHERE ds >= $k AND dt >= $k GROUP BY s)
+      |SELECT surv.id, fd.degree, COALESCE(cd.core_degree, 0) AS core_degree
+      |FROM surv JOIN fullD fd ON fd.id = surv.id
+      |LEFT JOIN coreD cd ON cd.id = surv.id
+      |ORDER BY surv.id"""
+  }
+
   /** DuckDB's list-lambda cosine over two DOUBLE[] expressions — the exact
     * per-pair formula every embedding oracle folds.
     */
@@ -1678,6 +1729,48 @@ object ExtensionQueries {
         .orderBy("jaccard", "id_a", "id_b")
     },
 
+    // Fixed-round k-core peel (g07): density screen over the near-dup
+    // graph — high-core survivors are mutually-duplicating template
+    // families (cut as a block before survivor selection), while organic
+    // near-dup pairs peel away in the first rounds. 4 rounds at k=2
+    // (converged: the sf0.01 graph stabilizes after round 1); the oracle
+    // unrolls the identical peel.
+    "g07_kcore" -> of(kcoreOracle(2, 4)) { (s, d) =>
+      graft.operators.GraphOps.kCore(
+        Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text"),
+        k = 2, rounds = 4)
+        .orderBy("id")
+    },
+
+    // Degree assortativity (g08): one Pearson number separating
+    // hub-to-hub template families (r > 0, cut as a block) from
+    // hub-and-spoke canonical-plus-variants shapes (r < 0,
+    // survivor-select). All sufficient statistics are exact integer sums
+    // (DECIMAL(38,0) / HUGEINT), so the final doubles bit-match.
+    "g08_assortativity" -> of(
+      s"""WITH ${jaccardCtes(None)},
+        |und AS (SELECT id_a AS a, id_b AS b FROM jp WHERE id_a <> id_b),
+        |deg AS (
+        |  SELECT id, CAST(COUNT(*) AS BIGINT) AS d
+        |  FROM (SELECT a AS id FROM und UNION ALL SELECT b FROM und) n GROUP BY id),
+        |sym AS (SELECT a AS s, b AS t FROM und UNION ALL SELECT b, a FROM und),
+        |st AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS m,
+        |    SUM(CAST(ds.d AS HUGEINT)) AS sx,
+        |    SUM(CAST(ds.d * ds.d AS HUGEINT)) AS sxx,
+        |    SUM(CAST(ds.d * dt.d AS HUGEINT)) AS sxy
+        |  FROM sym JOIN deg ds ON ds.id = sym.s JOIN deg dt ON dt.id = sym.t),
+        |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM deg)
+        |SELECT nn.n_nodes, CAST(m // 2 AS BIGINT) AS n_edges,
+        |  (CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) /
+        |  (CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS assortativity
+        |FROM st, nn""") { (s, d) =>
+      graft.operators.GraphOps.degreeAssortativity(
+        Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text"))
+    },
+
     // ---- similarity search ------------------------------------------------
 
     // Exact cosine top-5 for the first 10 vectors, via the bounded-heap
@@ -1753,6 +1846,62 @@ object ExtensionQueries {
         |WHERE rank <= 5 ORDER BY query_id, rank""") { (s, d) =>
       val e = t(s, d, "embeddings")
       Similarity.multiProbeLshNeighbors(e.filter(col("vec_id") < 10), e,
+        "vec_id", "embedding", 5)
+        .orderBy("query_id", "rank")
+    },
+
+    // Multi-index Hamming ANN (s22, Norouzi et al. CVPR'12): 32-bit SRP
+    // code held as four SEPARATE 8-bit band ints; candidates share at
+    // least one exact band (pigeonhole-complete for Hamming radius 3),
+    // ranked by full-code Hamming (integer xor/bit_count — codes move,
+    // floats only for the coarse-40 re-rank). The oracle recomputes bits
+    // from the dumped ±1 planes (AuxDumps "hyperplanes64"), repacks the
+    // band values, and replays band-join, Hamming ranking and the exact
+    // cosine re-rank in SQL.
+    "s22_mih_hamming" -> of(
+      s"""WITH planes AS (SELECT p, signs FROM read_parquet('{{AUX}}/mih_planes/*.parquet')),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |bits AS (
+        |  SELECT vec_id, CAST(p // 8 AS INT) AS band, CAST(p % 8 AS INT) AS bp,
+        |    CASE WHEN list_sum(list_transform(list_zip(v, signs), x -> x[1] * x[2])) >= 0
+        |      THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+        |  FROM e, planes),
+        |codes AS (
+        |  SELECT vec_id, band,
+        |    CAST(sum(bit * (1::BIGINT << CAST(7 - bp AS INT))) AS BIGINT) AS band_val
+        |  FROM bits GROUP BY vec_id, band),
+        |cand AS (
+        |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+        |  FROM codes q JOIN codes c
+        |    ON c.band = q.band AND c.band_val = q.band_val AND c.vec_id <> q.vec_id
+        |  WHERE q.vec_id < 10),
+        |ham AS (
+        |  SELECT ca.query_id, ca.neighbor_id,
+        |    CAST(SUM(bit_count(xor(qc.band_val, cc.band_val))) AS BIGINT) AS hamming
+        |  FROM cand ca
+        |  JOIN codes qc ON qc.vec_id = ca.query_id
+        |  JOIN codes cc ON cc.vec_id = ca.neighbor_id AND cc.band = qc.band
+        |  GROUP BY ca.query_id, ca.neighbor_id),
+        |coarse AS (
+        |  SELECT query_id, neighbor_id, hamming,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY hamming, neighbor_id) AS crn
+        |  FROM ham),
+        |sc22 AS (
+        |  SELECT co.query_id, co.neighbor_id, co.hamming,
+        |    ${listCos("qe.v", "ce.v")} AS cosine
+        |  FROM coarse co
+        |  JOIN e qe ON qe.vec_id = co.query_id
+        |  JOIN e ce ON ce.vec_id = co.neighbor_id
+        |  WHERE co.crn <= 40)
+        |SELECT query_id, rank, neighbor_id, hamming, cosine FROM (
+        |  SELECT query_id, neighbor_id, hamming, cosine,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, neighbor_id) AS rank
+        |  FROM sc22) x
+        |WHERE rank <= 5 ORDER BY query_id, rank""") { (s, d) =>
+      val e = t(s, d, "embeddings")
+      Similarity.mihHammingNeighbors(e.filter(col("vec_id") < 10), e,
         "vec_id", "embedding", 5)
         .orderBy("query_id", "rank")
     },

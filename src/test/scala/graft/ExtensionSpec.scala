@@ -178,6 +178,50 @@ class ExtensionSpec extends SparkSpec {
       q, embs, "vec_id", "embedding", 5)) === top5multi)
   }
 
+  test("MIH hamming ANN: pigeonhole-complete candidates, exact hamming, deterministic") {
+    val q = embs.filter(col("vec_id") < 10)
+    // plain-Scala code replica from the same sign vectors (same sequential
+    // dot fold as dot_product, so the sign bits agree)
+    val dim = Similarity.vectorDim(embs, "embedding")
+    val signs = Similarity.hyperplaneSigns(spark, 32, 100, dim)
+    val vecs = embs.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def code(v: Array[Double]): Array[Long] =
+      (0 until 4).map { j =>
+        (0 until 8).foldLeft(0L) { (acc, b) =>
+          val s = signs(j * 8 + b)
+          var d = 0.0; var i = 0
+          while (i < v.length) { d += v(i) * s(i); i += 1 }
+          (acc << 1) | (if (d >= 0) 1L else 0L)
+        }
+      }.toArray
+    val codes = vecs.map { case (id, v) => id -> code(v) }
+    def ham(a: Array[Long], b: Array[Long]): Int =
+      (0 until 4).map(j => java.lang.Long.bitCount(a(j) ^ b(j))).sum
+    val all = Similarity.mihHammingNeighbors(q, embs, "vec_id", "embedding",
+      Int.MaxValue, coarseM = Int.MaxValue).collect()
+    val got = all.map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(3)).toMap
+    assert(got.nonEmpty)
+    // reported hamming matches the replica; candidates share >= 1 band
+    got.foreach { case ((qid, nid), h) =>
+      assert(h === ham(codes(qid), codes(nid)).toLong, s"hamming of ($qid,$nid)")
+      assert((0 until 4).exists(j => codes(qid)(j) == codes(nid)(j)),
+        s"candidate ($qid,$nid) shares no band")
+    }
+    // pigeonhole: EVERY pair within hamming bands-1 = 3 is a candidate
+    for (qid <- 0L until 10L; nid <- vecs.keys if nid != qid) {
+      val h = ham(codes(qid), codes(nid))
+      if (h <= 3)
+        assert(got.contains((qid, nid)), s"pair ($qid,$nid) at hamming $h missing")
+    }
+    // determinism of the full coarse+fine ranking
+    val t5a = Similarity.mihHammingNeighbors(q, embs, "vec_id", "embedding", 5)
+      .collect().toSeq
+    val t5b = Similarity.mihHammingNeighbors(q, embs, "vec_id", "embedding", 5)
+      .collect().toSeq
+    assert(t5a === t5b && t5a.nonEmpty)
+  }
+
   test("recall gate formula: floors match the documented knob points") {
     // the 1-(1-p^b)^L values SCALE.md and the adaptive-knob scaladoc quote,
     // pinned so the ScaleSmoke recall gate's floor can't drift from the doc

@@ -961,6 +961,72 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got.keySet === nodes) // self-loop contributes no node or degree
   }
 
+  /** Plain-Scala fixed-round peel replica for [[graft.operators.GraphOps.kCore]]. */
+  private def peelRef(und: Set[(Long, Long)], k: Int, rounds: Int): Map[Long, (Long, Long)] = {
+    var alive = und.flatMap(e => Set(e._1, e._2))
+    for (_ <- 1 to rounds) {
+      val kept = und.filter(e => alive(e._1) && alive(e._2))
+      val deg = kept.toSeq.flatMap(e => Seq(e._1, e._2)).groupBy(identity).view.mapValues(_.size.toLong).toMap
+      alive = alive.filter(v => deg.getOrElse(v, 0L) >= k)
+    }
+    val fullDeg = und.toSeq.flatMap(e => Seq(e._1, e._2)).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val coreE = und.filter(e => alive(e._1) && alive(e._2))
+    val coreDeg = coreE.toSeq.flatMap(e => Seq(e._1, e._2)).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    alive.map(v => v -> ((fullDeg(v), coreDeg.getOrElse(v, 0L)))).toMap
+  }
+
+  test("kCore: matches the plain-Scala peel; converged peel is the exact core; chain peels away") {
+    import spark.implicits._
+    // K4 core + a pendant chain 4-9-10-11 hanging off it + an isolated
+    // triangle (its own 2-core) + reversed dup and self-loop for
+    // canonicalization. k=2: the chain must peel end-inward (needs >1
+    // round), K4 and the triangle survive.
+    val pairs = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 9L), (9L, 10L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L),
+      (2L, 1L), (9L, 9L)).toDF("id_a", "id_b")
+    val und = Set((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 9L), (9L, 10L), (10L, 11L), (20L, 21L), (21L, 22L), (20L, 22L))
+    val got = graft.operators.GraphOps.kCore(pairs, k = 2, rounds = 4).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === peelRef(und, 2, 4))
+    assert(got.keySet === Set(1L, 2L, 3L, 4L, 20L, 21L, 22L)) // chain fully peeled
+    assert(got(4L) === ((4L, 3L))) // full degree 4 (chain edge), core degree 3
+    // one round is NOT enough for the chain (11 peels, 10 survives round 1)
+    val oneRound = graft.operators.GraphOps.kCore(pairs, k = 2, rounds = 1).collect()
+      .map(_.getLong(0)).toSet
+    assert(oneRound === peelRef(und, 2, 1).keySet)
+    assert(oneRound.contains(10L) && !oneRound.contains(11L))
+    // k above the max core → empty survivors
+    assert(graft.operators.GraphOps.kCore(pairs, k = 4, rounds = 4).count() === 0L)
+  }
+
+  test("degreeAssortativity: matches a plain-Scala Pearson; star graph is degenerate-negative") {
+    import spark.implicits._
+    // square + diagonal + pendant (mixed degrees), canonicalization noise
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L), (4L, 5L),
+      (2L, 1L), (5L, 5L)).toDF("id_a", "id_b")
+    val und = Set((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L), (1L, 3L), (4L, 5L))
+    val deg = und.toSeq.flatMap(e => Seq(e._1, e._2)).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val sym = und.toSeq.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val xs = sym.map { case (s, t) => (deg(s).toDouble, deg(t).toDouble) }
+    val m = xs.size.toDouble
+    val sx = xs.map(_._1).sum; val sxx = xs.map(x => x._1 * x._1).sum
+    val sxy = xs.map(x => x._1 * x._2).sum
+    val expected = (m * sxy - sx * sx) / (m * sxx - sx * sx)
+    val row = graft.operators.GraphOps.degreeAssortativity(pairs).collect().head
+    assert(row.getLong(0) === deg.size.toLong)
+    assert(row.getLong(1) === und.size.toLong)
+    assert(math.abs(row.getDouble(2) - expected) < 1e-12)
+    // star: every edge pairs the hub (deg n-1) with a leaf (deg 1) →
+    // strongly negative assortativity
+    val star = (2L to 7L).map(l => (1L, l)).toDF("id_a", "id_b")
+    val r = graft.operators.GraphOps.degreeAssortativity(star).collect().head.getDouble(2)
+    assert(r < -0.5)
+  }
+
   test("nodeSimilarity: scores match brute force; canonicalization; hub cap") {
     import spark.implicits._
     // square 1-2-3-4-1 with one diagonal (1,3), pendant 5 on 4, plus a

@@ -366,6 +366,22 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("r12 operators plan clean: g07/g08/s22 equi-joins only, no cartesian") {
+    // kCore's per-round semi-joins, assortativity's degree joins and the
+    // MIH band join must all stay hash equi-joins; g08's single-row
+    // stats×n_nodes cross is the only permitted BNLJ (1-row side).
+    for (q <- Seq("g07_kcore", "s22_mih_hamming")) {
+      val plan = physicalPlan(q)
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"$q must stay equi-join:\n${plan.take(1200)}")
+    }
+    val g08 = physicalPlan("g08_assortativity")
+    assert(!g08.contains("CartesianProduct"), g08.take(1200))
+    assert("BroadcastNestedLoopJoin".r.findAllIn(g08).size <= 1,
+      s"g08: only the 1-row stats cross join may nest:\n${g08.take(1200)}")
+  }
+
   test("t34: the benchmark side broadcasts — the corpus never shuffles for the collision") {
     val plan = physicalPlan("t34_contamination")
     // the GRAM-keyed collision join must be a broadcast (a sort-merge
