@@ -1001,6 +1001,23 @@ object Similarity {
     * (longer substrings, fewer of them, or accept a smaller guaranteed
     * radius; the adaptiveLshKnobs occupancy policy applies verbatim).
     */
+  /** The MIH band-code array: one `bandBits`-bit SRP code per band, packed
+    * by the [[hyperplaneSignatureFrom]] fold (bit-identical everywhere).
+    */
+  private[graft] def mihCodeArray(v: Column, signs: Array[Array[Double]],
+                                  bands: Int, bandBits: Int): Column =
+    array((0 until bands).map(j =>
+      hyperplaneSignatureFrom(v, signs.slice(j * bandBits, (j + 1) * bandBits))): _*)
+
+  /** Full-code Hamming distance between two band-code arrays: Σ over bands
+    * of bit_count(xor) — pure integer arithmetic, one codegen projection.
+    */
+  private[graft] def mihHamming(qCode: Column, cCode: Column, bands: Int): Column =
+    (0 until bands).map(j =>
+      bit_count(element_at(qCode, j + 1)
+        .bitwiseXOR(element_at(cCode, j + 1))).cast("long"))
+      .reduce(_ + _)
+
   def mihHammingNeighbors(queries: DataFrame, corpus: DataFrame,
                           idCol: String, vecCol: String, k: Int,
                           bands: Int = 4, bandBits: Int = 8,
@@ -1015,9 +1032,7 @@ object Similarity {
     def coded(df: DataFrame, id: String, vec: String, norm: String) = {
       val v = col(vecCol).cast("array<double>")
       df.select(col(idCol).as(id), v.as(vec),
-        array((0 until bands).map(j =>
-          hyperplaneSignatureFrom(v,
-            signs.slice(j * bandBits, (j + 1) * bandBits))): _*).as("code"))
+        mihCodeArray(v, signs, bands, bandBits).as("code"))
         .withColumn(norm, l2norm(col(vec)))
     }
     val q = Caching.persisted(coded(queries, "query_id", "qv", "q_norm"))
@@ -1028,10 +1043,7 @@ object Similarity {
       posexplode(col("code")).as(Seq("band", "band_val")))
     val cBands = c.select(col("neighbor_id"), col("code").as("c_code"),
       posexplode(col("code")).as(Seq("band", "band_val")))
-    val hamming = (0 until bands).map(j =>
-      bit_count(element_at(col("q_code"), j + 1)
-        .bitwiseXOR(element_at(col("c_code"), j + 1))).cast("long"))
-      .reduce(_ + _)
+    val hamming = mihHamming(col("q_code"), col("c_code"), bands)
     val cands = broadcast(qBands).join(cBands, Seq("band", "band_val"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "neighbor_id", "q_code", "c_code")
@@ -1051,6 +1063,58 @@ object Similarity {
       .withColumn("rank", row_number().over(wFine))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "hamming", "cosine")
+  }
+
+  /** A frame's MIH codes exploded to one row per band: (id, code array,
+    * band, band_val) — the join-ready layout both the batch screen and its
+    * streaming twin consume (the static corpus side is EXACTLY this frame,
+    * so stream and batch can never band differently).
+    */
+  def mihCodeBands(df: DataFrame, idCol: String, vecCol: String,
+                   idAs: String, codeAs: String,
+                   signs: Array[Array[Double]],
+                   bands: Int, bandBits: Int): DataFrame = {
+    graft.functions.NativeFunctions.register(df.sparkSession)
+    df.select(col(idCol).as(idAs),
+        mihCodeArray(col(vecCol).cast("array<double>"), signs,
+          bands, bandBits).as(codeAs))
+      .select(col(idAs), col(codeAs),
+        posexplode(col(codeAs)).as(Seq("band", "band_val")))
+  }
+
+  /** Radius-bounded MIH Hamming SCREEN (the fresh-vs-corpus shape of
+    * [[mihHammingNeighbors]]): emit every band-sharing (fresh, corpus)
+    * pair whose full-code Hamming distance is ≤ `radius`. Codes ONLY — no
+    * vector ever joins, no norm is computed; the whole operator is integer
+    * band joins + one distinct, which is what makes it the cheap standing
+    * pre-screen in front of an exact-cosine verify (the d13/d15 layering
+    * with Hamming as the coarse metric).
+    *
+    * Recall contract, stated precisely: pigeonhole-COMPLETE for
+    * radius ≤ `bands`−1 (such a pair must share a band — never missed);
+    * beyond that, a pair only appears if some band agrees exactly, the
+    * standard MIH truncation (at the default 4×8 bands a radius-6 pair
+    * with differences spread 2+2+1+1 is missed) — size `bands` to the
+    * radius you need guaranteed, exactly as the candidate-volume doc on
+    * [[mihHammingNeighbors]] prescribes.
+    */
+  def mihHammingScreen(fresh: DataFrame, corpus: DataFrame, idCol: String,
+                       vecCol: String, radius: Int = 6,
+                       bands: Int = 4, bandBits: Int = 8,
+                       planeOffset: Int = 100): DataFrame = {
+    graft.functions.NativeFunctions.register(fresh.sparkSession)
+    val signs = hyperplaneSigns(fresh.sparkSession, bands * bandBits,
+      planeOffset, vectorDim(corpus, vecCol))
+    val f = mihCodeBands(fresh, idCol, vecCol, "fresh_id", "f_code",
+      signs, bands, bandBits)
+    val c = mihCodeBands(corpus, idCol, vecCol, "corpus_id", "c_code",
+      signs, bands, bandBits)
+    f.join(c, Seq("band", "band_val"))
+      .filter(col("fresh_id") =!= col("corpus_id"))
+      .select(col("fresh_id"), col("corpus_id"),
+        mihHamming(col("f_code"), col("c_code"), bands).as("hamming"))
+      .filter(col("hamming") <= radius)
+      .distinct()
   }
 
   /** Product-quantization codebooks (the FAISS-PQ shape, inner-product

@@ -668,6 +668,45 @@ object ExtensionQueries {
       |ORDER BY surv.id"""
   }
 
+  /** The MIH code CTE chain shared by s22/s23/e37: sign bits recomputed
+    * from the dumped ±1 planes (AuxDumps "mih_planes"), repacked into the
+    * four 8-bit band values — one SQL definition of the banding whoever
+    * consumes it (top-k, batch screen, streaming screen).
+    */
+  private val mihCodesCtes =
+    """planes AS (SELECT p, signs FROM read_parquet('{{AUX}}/mih_planes/*.parquet')),
+      |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |bits AS (
+      |  SELECT vec_id, CAST(p // 8 AS INT) AS band, CAST(p % 8 AS INT) AS bp,
+      |    CASE WHEN list_sum(list_transform(list_zip(v, signs), x -> x[1] * x[2])) >= 0
+      |      THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+      |  FROM e, planes),
+      |codes AS (
+      |  SELECT vec_id, band,
+      |    CAST(sum(bit * (1::BIGINT << CAST(7 - bp AS INT))) AS BIGINT) AS band_val
+      |  FROM bits GROUP BY vec_id, band)""".stripMargin
+
+  /** The s23/e37 radius-6 MIH screen oracle over the %8 fresh/corpus
+    * split — ONE definition grading the batch operator and its streaming
+    * twin verbatim.
+    */
+  private val mihScreenSql =
+    s"""WITH $mihCodesCtes,
+      |cand AS (
+      |  SELECT DISTINCT f.vec_id AS fresh_id, c.vec_id AS corpus_id
+      |  FROM codes f JOIN codes c
+      |    ON c.band = f.band AND c.band_val = f.band_val
+      |  WHERE f.vec_id % 8 = 0 AND c.vec_id % 8 <> 0),
+      |ham AS (
+      |  SELECT ca.fresh_id, ca.corpus_id,
+      |    CAST(SUM(bit_count(xor(a.band_val, b.band_val))) AS BIGINT) AS hamming
+      |  FROM cand ca
+      |  JOIN codes a ON a.vec_id = ca.fresh_id
+      |  JOIN codes b ON b.vec_id = ca.corpus_id AND b.band = a.band
+      |  GROUP BY ca.fresh_id, ca.corpus_id)
+      |SELECT fresh_id, corpus_id, hamming FROM ham WHERE hamming <= 6
+      |ORDER BY fresh_id, corpus_id""".stripMargin
+
   /** DuckDB's list-lambda cosine over two DOUBLE[] expressions — the exact
     * per-pair formula every embedding oracle folds.
     */
@@ -1859,17 +1898,7 @@ object ExtensionQueries {
     // band values, and replays band-join, Hamming ranking and the exact
     // cosine re-rank in SQL.
     "s22_mih_hamming" -> of(
-      s"""WITH planes AS (SELECT p, signs FROM read_parquet('{{AUX}}/mih_planes/*.parquet')),
-        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |bits AS (
-        |  SELECT vec_id, CAST(p // 8 AS INT) AS band, CAST(p % 8 AS INT) AS bp,
-        |    CASE WHEN list_sum(list_transform(list_zip(v, signs), x -> x[1] * x[2])) >= 0
-        |      THEN 1::BIGINT ELSE 0::BIGINT END AS bit
-        |  FROM e, planes),
-        |codes AS (
-        |  SELECT vec_id, band,
-        |    CAST(sum(bit * (1::BIGINT << CAST(7 - bp AS INT))) AS BIGINT) AS band_val
-        |  FROM bits GROUP BY vec_id, band),
+      s"""WITH $mihCodesCtes,
         |cand AS (
         |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
         |  FROM codes q JOIN codes c
@@ -1904,6 +1933,19 @@ object ExtensionQueries {
       Similarity.mihHammingNeighbors(e.filter(col("vec_id") < 10), e,
         "vec_id", "embedding", 5)
         .orderBy("query_id", "rank")
+    },
+
+    // Radius-6 MIH Hamming screen (s23): the s22 code family as a
+    // fresh-vs-corpus ingest pre-screen — codes ONLY (no vector or norm
+    // ever joins), band equi-join + one integer projection + distinct;
+    // pigeonhole-complete for radius ≤ 3, band-gated beyond (the
+    // documented MIH truncation). Shares its oracle verbatim with the
+    // streaming twin e37.
+    "s23_mih_screen" -> of(mihScreenSql) { (s, d) =>
+      val e = t(s, d, "embeddings")
+      Similarity.mihHammingScreen(e.filter(col("vec_id") % 8 === 0),
+        e.filter(col("vec_id") % 8 =!= 0), "vec_id", "embedding", radius = 6)
+        .orderBy("fresh_id", "corpus_id")
     },
 
     // Embedding L2 normalization — the standard pre-index step (unit
@@ -4600,6 +4642,31 @@ object ExtensionQueries {
       val screened = ScreenStream.screenEmbeddings(fresh, idx,
         "vec_id", "embedding", 0.4)
       val sinkName = s"stream_emb_screen_${sinkCounter.incrementAndGet()}"
+      EventsStream.runAvailableNow(screened, sinkName, outputMode = "complete")
+      s.table(sinkName).orderBy("fresh_id", "corpus_id")
+    },
+
+    // STREAMING MIH Hamming screen (e37) — s23 live: fresh vectors
+    // band-code in-row with the SAME mihCodeArray expression the standing
+    // code table was built with, the band join is stream-static against
+    // that table, Hamming + radius cut are one stateless integer
+    // projection (codes only — no vector or norm ever enters the stream
+    // plan), and the one stateful op is the distinct-of-survivors.
+    // AvailableNow complete-mode emission equals the batch screen, so the
+    // s23 oracle grades the streaming plan verbatim.
+    "e37_stream_mih_screen" -> of(mihScreenSql) { (s, d) =>
+      import graft.streaming.{EventsStream, ScreenStream}
+      val e = t(s, d, "embeddings")
+      val dim = Similarity.vectorDim(e, "embedding")
+      val signs = Similarity.hyperplaneSigns(s, 32, 100, dim)
+      val corpusCodes = Similarity.mihCodeBands(
+        e.filter(col("vec_id") % 8 =!= 0), "vec_id", "embedding",
+        "corpus_id", "c_code", signs, 4, 8)
+      val fresh = ScreenStream.readEmbeddings(s, d)
+        .filter(col("vec_id") % 8 === 0)
+      val screened = ScreenStream.screenMih(fresh, corpusCodes,
+        "vec_id", "embedding", signs, 4, 8, 6)
+      val sinkName = s"stream_mih_${sinkCounter.incrementAndGet()}"
       EventsStream.runAvailableNow(screened, sinkName, outputMode = "complete")
       s.table(sinkName).orderBy("fresh_id", "corpus_id")
     },

@@ -183,4 +183,47 @@ object ScreenStream {
       .groupBy("fresh_id", "corpus_id", "sz_f", "sz_c")
       .agg(count(lit(1)).as("inter"))
   }
+
+  /** The MIH Hamming screen as a Structured Streaming query — s22's code
+    * family serving live (e37): fresh vectors ARRIVE as a stream, band-code
+    * in their own row (the same [[graft.operators.Similarity.mihCodeArray]]
+    * expression the static side was coded with — one definition, stream and
+    * corpus can never band differently), and probe the STANDING code table.
+    * Same plan shape as [[screenEmbeddings]]:
+    *
+    *  - the band join is stream-static and stateless (corpus side is the
+    *    [[graft.operators.Similarity.mihCodeBands]] layout);
+    *  - Hamming + radius cut are one stateless integer projection — NO
+    *    vector or norm ever joins (codes only, the screen's whole point);
+    *  - the one stateful operator is the distinct-of-survivors groupBy
+    *    (hamming rides as a grouping column — the pair determines it),
+    *    state O(live pairs within radius), strictly smaller than e23's
+    *    verified-pair state because the radius cut runs BEFORE the state.
+    *
+    * An AvailableNow complete-mode run equals
+    * [[graft.operators.Similarity.mihHammingScreen]] on the same split, so
+    * one oracle grades batch and stream verbatim.
+    */
+  def screenMih(freshVecs: DataFrame, corpusCodes: DataFrame,
+                idCol: String, vecCol: String,
+                signs: Array[Array[Double]], bands: Int, bandBits: Int,
+                radius: Int): DataFrame = {
+    import graft.operators.Similarity
+    graft.functions.NativeFunctions.register(freshVecs.sparkSession)
+    val banded = freshVecs
+      .select(col(idCol).as("fresh_id"),
+        Similarity.mihCodeArray(col(vecCol).cast("array<double>"), signs,
+          bands, bandBits).as("f_code"))
+      .select(col("fresh_id"), col("f_code"),
+        posexplode(col("f_code")).as(Seq("band", "band_val")))
+    banded
+      .join(corpusCodes, Seq("band", "band_val"))
+      .filter(col("fresh_id") =!= col("corpus_id"))
+      .withColumn("hamming",
+        Similarity.mihHamming(col("f_code"), col("c_code"), bands))
+      .filter(col("hamming") <= radius)
+      .groupBy("fresh_id", "corpus_id", "hamming")
+      .agg(count(lit(1)).as("__occurrences"))
+      .select("fresh_id", "corpus_id", "hamming")
+  }
 }

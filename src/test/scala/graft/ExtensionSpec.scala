@@ -178,10 +178,10 @@ class ExtensionSpec extends SparkSpec {
       q, embs, "vec_id", "embedding", 5)) === top5multi)
   }
 
-  test("MIH hamming ANN: pigeonhole-complete candidates, exact hamming, deterministic") {
-    val q = embs.filter(col("vec_id") < 10)
-    // plain-Scala code replica from the same sign vectors (same sequential
-    // dot fold as dot_product, so the sign bits agree)
+  /** Plain-Scala MIH code replica from the same sign vectors (same
+    * sequential dot fold as dot_product, so the sign bits agree).
+    */
+  private lazy val mihCodes: Map[Long, Array[Long]] = {
     val dim = Similarity.vectorDim(embs, "embedding")
     val signs = Similarity.hyperplaneSigns(spark, 32, 100, dim)
     val vecs = embs.select(col("vec_id"), col("embedding").cast("array<double>"))
@@ -195,9 +195,16 @@ class ExtensionSpec extends SparkSpec {
           (acc << 1) | (if (d >= 0) 1L else 0L)
         }
       }.toArray
-    val codes = vecs.map { case (id, v) => id -> code(v) }
-    def ham(a: Array[Long], b: Array[Long]): Int =
-      (0 until 4).map(j => java.lang.Long.bitCount(a(j) ^ b(j))).sum
+    vecs.map { case (id, v) => id -> code(v) }
+  }
+
+  private def mihHam(a: Array[Long], b: Array[Long]): Int =
+    (0 until 4).map(j => java.lang.Long.bitCount(a(j) ^ b(j))).sum
+
+  test("MIH hamming ANN: pigeonhole-complete candidates, exact hamming, deterministic") {
+    val q = embs.filter(col("vec_id") < 10)
+    val codes = mihCodes
+    def ham(a: Array[Long], b: Array[Long]): Int = mihHam(a, b)
     val all = Similarity.mihHammingNeighbors(q, embs, "vec_id", "embedding",
       Int.MaxValue, coarseM = Int.MaxValue).collect()
     val got = all.map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(3)).toMap
@@ -209,7 +216,7 @@ class ExtensionSpec extends SparkSpec {
         s"candidate ($qid,$nid) shares no band")
     }
     // pigeonhole: EVERY pair within hamming bands-1 = 3 is a candidate
-    for (qid <- 0L until 10L; nid <- vecs.keys if nid != qid) {
+    for (qid <- 0L until 10L; nid <- codes.keys if nid != qid) {
       val h = ham(codes(qid), codes(nid))
       if (h <= 3)
         assert(got.contains((qid, nid)), s"pair ($qid,$nid) at hamming $h missing")
@@ -220,6 +227,23 @@ class ExtensionSpec extends SparkSpec {
     val t5b = Similarity.mihHammingNeighbors(q, embs, "vec_id", "embedding", 5)
       .collect().toSeq
     assert(t5a === t5b && t5a.nonEmpty)
+  }
+
+  test("MIH screen: equals brute-force band-sharing pairs within radius") {
+    val codes = mihCodes
+    val fresh = codes.keySet.filter(_ % 8 == 0)
+    val corpus = codes.keySet.filterNot(_ % 8 == 0)
+    val expected = (for {
+      f <- fresh; c <- corpus
+      if (0 until 4).exists(j => codes(f)(j) == codes(c)(j))
+      h = mihHam(codes(f), codes(c)) if h <= 6
+    } yield (f, c) -> h.toLong).toMap
+    val got = Similarity.mihHammingScreen(
+      embs.filter(col("vec_id") % 8 === 0),
+      embs.filter(col("vec_id") % 8 =!= 0), "vec_id", "embedding", radius = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got === expected)
+    assert(got.nonEmpty)
   }
 
   test("recall gate formula: floors match the documented knob points") {

@@ -71,6 +71,34 @@ class StreamingSpec extends SparkSpec {
     assert(batch.except(streamed).count() === 0)
   }
 
+  test("streaming MIH hamming screen == batch screen on the same split") {
+    import graft.streaming.ScreenStream
+    import graft.operators.Similarity
+    val embs = spark.read.parquet(s"$dir/embeddings.parquet")
+    val dim = Similarity.vectorDim(embs, "embedding")
+    val signs = Similarity.hyperplaneSigns(spark, 32, 100, dim)
+    val corpusCodes = Similarity.mihCodeBands(
+      embs.filter(col("vec_id") % 8 =!= 0), "vec_id", "embedding",
+      "corpus_id", "c_code", signs, 4, 8)
+    val fresh = ScreenStream.readEmbeddings(spark, dir)
+      .filter(col("vec_id") % 8 === 0)
+    assert(fresh.isStreaming)
+    EventsStream.runAvailableNow(
+      ScreenStream.screenMih(fresh, corpusCodes, "vec_id", "embedding",
+        signs, 4, 8, radius = 8),
+      "stream_mih_parity", outputMode = "complete")
+    val streamed = spark.table("stream_mih_parity")
+    val batch = Similarity.mihHammingScreen(
+      embs.filter(col("vec_id") % 8 === 0),
+      embs.filter(col("vec_id") % 8 =!= 0), "vec_id", "embedding",
+      radius = 8)
+    assert(streamed.count() > 0)
+    assert(streamed.except(batch).count() === 0)
+    assert(batch.except(streamed).count() === 0)
+    // every emitted pair is within radius and hamming is an exact integer
+    assert(streamed.filter(col("hamming") > 8).count() === 0)
+  }
+
   test("streaming quality-gate yield counts == batch gate + aggregation") {
     import graft.streaming.{QualityStream, ScreenStream}
     val stream = ScreenStream.readDocs(spark, dir)
