@@ -572,6 +572,56 @@ object CorpusOps {
         log(col("n").cast("double") / col("ctx")).as("lp"))
   }
 
+  /** Interpolated Kneser–Ney bigram LM (Kneser & Ney 1995; the Chen &
+    * Goodman 1998 interpolated form with a single absolute discount D) —
+    * the standard smoothing rung above [[bigramLm]]'s MLE conditionals:
+    *
+    *   P(w2|w1) = max(c(w1 w2) − D, 0)/c(w1·)
+    *            + (D · N1+(w1 ·)/c(w1·)) · N1+(· w2)/N
+    *
+    * where N1+(w1 ·) = distinct continuations of w1, N1+(· w2) = distinct
+    * left contexts of w2 (the continuation probability — "how novel are
+    * the contexts this word appears in", the insight that makes KN beat
+    * Good–Turing on fluency filtering), and N = distinct bigram types.
+    * Every sufficient statistic is an exact integer count; D = 0.75 is
+    * exactly representable, so the probability is one deterministic IEEE
+    * expression over exact inputs and only the final ln is transcendental
+    * — the same trust envelope as [[bigramLm]] (the t40 oracle revalidates
+    * ALL five counts by joining on them and takes only `lp` on faith).
+    *
+    * Scale shape: one corpus-wide bigram aggregation, then everything is
+    * vocabulary-sized — two reaggregations of the persisted count table
+    * (by w1 and by w2), a one-row type total riding as a broadcast, and
+    * the ranked `vocabCap` cut (TakeOrderedAndProject, the t06 shape).
+    * Returns (bg, n, ctx, n1f, n1b, nbg, lp). Feed the (bg, lp) columns
+    * to [[bigramLogprob]] for per-document scoring — the fold, OOV floor
+    * and broadcast-join economics are identical by construction.
+    */
+  def kneserNeyLm(docs: DataFrame, idCol: String, textCol: String,
+                  discount: Double = 0.75,
+                  vocabCap: Int = 262144): DataFrame = {
+    val counts = Caching.persisted(docs
+      .select(explode(wordShingles(tokens(col(textCol)), 2)).as("bg"))
+      .groupBy(col("bg")).agg(count(lit(1)).as("n"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .withColumn("w2", substring_index(col("bg"), " ", -1)))
+    val ctx = counts.groupBy(col("w1"))
+      .agg(sum(col("n")).as("ctx"), count(lit(1)).as("n1f"))
+    val cont = counts.groupBy(col("w2")).agg(count(lit(1)).as("n1b"))
+    val tot = counts.agg(count(lit(1)).as("nbg"))
+    val d = lit(discount)
+    counts
+      .join(ctx, "w1").join(cont, "w2").crossJoin(broadcast(tot))
+      .orderBy(col("n").desc, col("bg")).limit(vocabCap)
+      .select(col("bg"), col("n"), col("ctx"), col("n1f"), col("n1b"),
+        col("nbg"),
+        log(
+          greatest(col("n").cast("double") - d, lit(0.0)) /
+            col("ctx").cast("double") +
+          (d * col("n1f").cast("double") / col("ctx").cast("double")) *
+            (col("n1b").cast("double") / col("nbg").cast("double"))).as("lp"))
+  }
+
   /** Per-document mean bigram log-probability — [[unigramLogprob]]'s n=2
     * sibling (a sharper fluency/perplexity signal: token-ORDER violations
     * score low even when every unigram is common). Out-of-vocab bigrams

@@ -178,6 +178,15 @@ object AuxDumps {
         .toDF("p", "signs")
     }),
 
+    // t40: the interpolated Kneser–Ney bigram table (bg, n, ctx, n1f,
+    // n1b, nbg, lp). Same contract as t22: the oracle recounts ALL FIVE
+    // integer statistics in SQL (bigram count, context total, distinct
+    // continuations, distinct left contexts, type total) and joins on
+    // them, so only the final ln rides the dump.
+    "t40_lp" -> ((s, d) =>
+      graft.operators.CorpusOps.kneserNeyLm(
+        t(s, d, "documents"), "doc_id", "text")),
+
     // s22: the 32 ±1 sign vectors of the MIH code family (planes 100–131 —
     // a dedicated offset so the family is independent of the 0–31 LSH
     // planes). p is the LOCAL index 0..31; the oracle derives band = p//8

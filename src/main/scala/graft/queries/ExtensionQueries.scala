@@ -3298,6 +3298,58 @@ object ExtensionQueries {
         .orderBy("doc_id")
     },
 
+    // Kneser–Ney smoothed bigram fluency scoring (t40) — the standard
+    // smoothing rung above t22's MLE conditionals: interpolated KN with
+    // absolute discount 0.75, continuation probabilities from distinct-
+    // context counts. The ln is the materialized primitive (t40_lp aux);
+    // the oracle recounts all FIVE integer statistics in SQL, joins on
+    // them, and refolds positions in order — t22's trust envelope exactly.
+    "t40_kn_logprob" -> of(
+      """WITH lm AS (SELECT bg, n, ctx, n1f, n1b, nbg, lp
+        |           FROM read_parquet('{{AUX}}/t40_lp/*.parquet')),
+        |bgc AS (
+        |  SELECT tk[i + 1] || ' ' || tk[i + 2] AS bg, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM (SELECT string_split(text, ' ') AS tk FROM documents) d,
+        |    UNNEST(range(len(tk) - 1)) AS r(i) WHERE len(tk) >= 2
+        |  GROUP BY 1),
+        |ctxc AS (
+        |  SELECT split_part(bg, ' ', 1) AS w1, CAST(SUM(n) AS BIGINT) AS c,
+        |    CAST(COUNT(*) AS BIGINT) AS nf
+        |  FROM bgc GROUP BY 1),
+        |contc AS (
+        |  SELECT split_part(bg, ' ', 2) AS w2, CAST(COUNT(*) AS BIGINT) AS nb
+        |  FROM bgc GROUP BY 1),
+        |totc AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM bgc),
+        |vlm AS (
+        |  SELECT lm.bg, lm.lp FROM lm
+        |  JOIN bgc ON bgc.bg = lm.bg AND bgc.n = lm.n
+        |  JOIN ctxc ON ctxc.w1 = split_part(lm.bg, ' ', 1)
+        |    AND ctxc.c = lm.ctx AND ctxc.nf = lm.n1f
+        |  JOIN contc ON contc.w2 = split_part(lm.bg, ' ', 2)
+        |    AND contc.nb = lm.n1b
+        |  JOIN totc ON totc.t = lm.nbg),
+        |pos AS (
+        |  SELECT doc_id, i, tk[i + 1] || ' ' || tk[i + 2] AS bg,
+        |    len(tk) - 1 AS nb
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents) d,
+        |    UNNEST(range(len(tk) - 1)) AS r(i) WHERE len(tk) >= 2),
+        |scored AS (
+        |  SELECT p.doc_id, p.i, p.nb, COALESCE(v.lp, -20.0) AS lp
+        |  FROM pos p LEFT JOIN vlm v ON v.bg = p.bg),
+        |folded AS (
+        |  SELECT doc_id, CAST(MAX(nb) AS BIGINT) AS n_bigrams,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(lp ORDER BY i)),
+        |      (a, b) -> a + b) / MAX(nb) AS mean_logprob
+        |  FROM scored GROUP BY doc_id)
+        |SELECT doc_id, n_bigrams, mean_logprob FROM folded
+        |ORDER BY doc_id""") { (s, d) =>
+      val docs = t(s, d, "documents")
+      val lm = graft.operators.CorpusOps.kneserNeyLm(docs, "doc_id", "text")
+      graft.operators.CorpusOps.bigramLogprob(docs, "doc_id", "text",
+        lm.select(col("bg"), col("lp")), -20.0)
+        .orderBy("doc_id")
+    },
+
     // Gopher/C4-style composite quality gate: per-rule boolean flags + the
     // conjunctive keep decision, kept as flags (not a filter) so the drop
     // reasons stay auditable per rule. Metrics reuse the t02/t12 fragments

@@ -696,6 +696,34 @@ class PipelineOpsSpec extends SparkSpec {
     assert(scored.getDouble(2) === expect) // bit-exact: same fold order
   }
 
+  test("kneserNeyLm: all five statistics and the interpolated probability match by hand") {
+    import spark.implicits._
+    val df = Seq((1L, "a b a b c")).toDF("doc_id", "text")
+    // bigrams: "a b"×2, "b a"×1, "b c"×1; ctx: a→2 (1 continuation type),
+    // b→2 (2 continuation types); left-context types: b←{a}=1, a←{b}=1,
+    // c←{b}=1; N = 3 bigram types
+    val rows = CorpusOps.kneserNeyLm(df, "doc_id", "text")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getDouble(6)))).toMap
+    def kn(n: Long, ctx: Long, n1f: Long, n1b: Long, nbg: Long): Double =
+      StrictMath.log(
+        math.max(n - 0.75, 0.0) / ctx + (0.75 * n1f / ctx) * (n1b.toDouble / nbg))
+    assert(rows("a b") === ((2L, 2L, 1L, 1L, 3L, kn(2, 2, 1, 1, 3))))
+    assert(rows("b a") === ((1L, 2L, 2L, 1L, 3L, kn(1, 2, 2, 1, 3))))
+    assert(rows("b c") === ((1L, 2L, 2L, 1L, 3L, kn(1, 2, 2, 1, 3))))
+    // smoothing bites: an n=1 bigram keeps mass above the discount floor
+    assert(math.exp(rows("b a")._6) > 0.0 && rows("b a")._6 < 0.0)
+    // the scoring composition reuses bigramLogprob's exact fold
+    val scored = CorpusOps.bigramLogprob(df, "doc_id", "text",
+      CorpusOps.kneserNeyLm(df, "doc_id", "text")
+        .select(col("bg"), col("lp")), -20.0).head()
+    assert(scored.getLong(1) === 4L)
+    val expect = (((0.0 + kn(2, 2, 1, 1, 3)) + kn(1, 2, 2, 1, 3)) +
+      kn(2, 2, 1, 1, 3) + kn(1, 2, 2, 1, 3)) / 4
+    assert(scored.getDouble(2) === expect) // bit-exact: same fold order
+  }
+
   test("pageRank bit-matches a plain-Scala fixed-iteration reference; mass conserved") {
     import spark.implicits._
     // path 1-2-3 plus isolated pair 4-5: asymmetric degrees on one
