@@ -248,6 +248,63 @@ object Multimodal {
                             maxSize: Int = Int.MaxValue): DataFrame =
     jaccardFromChunks(gearChunks(media, maskBits, minSize, maxSize), threshold)
 
+  /** Per-blob DISTINCT gear-chunk digest rows (id, digest) — the CDC
+    * counterpart of [[freshDigestSet]]'s fixed-size layout; the digest is
+    * sha2 over the chunk BYTES (hex round-tripped through [[gearChunks]],
+    * so it is bit-identical to digesting the slice directly).
+    */
+  def gearDigestSet(media: DataFrame, idAs: String, maskBits: Int = 6,
+                    minSize: Int = 1, maxSize: Int = Int.MaxValue): DataFrame =
+    gearChunks(media, maskBits, minSize, maxSize)
+      .select(col("doc_id").as(idAs),
+        sha2(unhex(col("chunk_hex")), 256).as("digest"))
+      .distinct()
+
+  /** m12's daily-ingest shape (m14): FRESH blobs screen against the
+    * standing corpus through the GEAR digest probe join — fresh-vs-corpus
+    * pairs only, never corpus self-pairs, per-ingest pair work ∝ the
+    * batch's digest hits. Content-defined boundaries re-synchronize after
+    * an edit, so a byte-shifted ingest copy still pairs with its standing
+    * original — the live dedup case fixed-size chunk screens (m09)
+    * provably miss. Same chunkScreen tail as m09: digest-bucketed
+    * candidates, exact Jaccard over distinct chunk sets, O(chunks) wire.
+    */
+  def incrementalGearChunkPairs(fresh: DataFrame, corpus: DataFrame,
+                                threshold: Double = 0.5, maskBits: Int = 6,
+                                minSize: Int = 1,
+                                maxSize: Int = Int.MaxValue): DataFrame = {
+    val corpusD = Caching.persisted(
+      gearDigestSet(corpus, "corpus_id", maskBits, minSize, maxSize))
+    val sizes = corpusD.groupBy("corpus_id").agg(count(lit(1)).as("sz_c"))
+    chunkScreen(gearDigestSet(fresh, "fresh_id", maskBits, minSize, maxSize),
+      corpusD, sizes, threshold)
+  }
+
+  /** Per-blob DISTINCT gear-chunk digest ARRAY in one in-row projection —
+    * [[inRowChunkDigests]]'s CDC counterpart, for the STREAMING fresh side
+    * (e38): boundaries, slicing, digesting and dedup all live in the
+    * blob's own row, so the stream stays stateless until its single
+    * aggregate. The transform lambda is interpreted — acceptable on the
+    * fresh side, which is micro-batch-sized; the CORPUS side must use the
+    * codegen [[gearChunks]] path (see that method's shape adjudication).
+    * Returns (doc_id, sz_f, digests).
+    */
+  def inRowGearChunkDigests(media: DataFrame, maskBits: Int = 6,
+                            minSize: Int = 1,
+                            maxSize: Int = Int.MaxValue): DataFrame = {
+    val ends = graft.functions.NativeFunctions.gearChunkEnds(
+      media.sparkSession, col("payload"), maskBits, minSize, maxSize)
+    media.filter(octet_length(col("payload")) > 0)
+      .select(col("doc_id"), col("payload"), ends.as("ends"))
+      .withColumn("digests", array_distinct(expr(
+        "transform(ends, (e, i) -> sha2(CASE WHEN i = 0 " +
+          "THEN substring(payload, 1, cast(e AS INT)) " +
+          "ELSE substring(payload, cast(ends[i - 1] + 1 AS INT), " +
+          "cast(e - ends[i - 1] AS INT)) END, 256))")))
+      .select(col("doc_id"), size(col("digests")).cast("long").as("sz_f"),
+        col("digests"))
+  }
+
   /** The 256-entry gear table as (b, g) rows — the hash primitive the m12
     * oracle consumes (the hyperplanes/doc_hashes aux contract: DuckDB
     * replays chunk boundaries from the dumped table instead of

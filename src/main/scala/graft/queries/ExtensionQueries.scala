@@ -668,6 +668,70 @@ object ExtensionQueries {
       |ORDER BY surv.id"""
   }
 
+  /** The m12 gear-boundary replay CTE chain (through the per-doc DISTINCT
+    * chunk set `d` and its sizes `sz`) — shared by the all-pairs CDC query
+    * (m12) and the fresh-vs-corpus gear screen + its streaming twin
+    * (m14/e38), so the boundary semantics cannot drift between them.
+    */
+  private val gearChunkSetCtes =
+    """hx AS (SELECT i AS v, printf('%02X', i) AS h FROM range(0, 256) t(i)),
+      |gear AS (SELECT b, g FROM read_parquet('{{AUX}}/gear_table/*.parquet')),
+      |base AS (
+      |  SELECT doc_id, hex(encode(text)) AS ph,
+      |    octet_length(encode(text)) AS n FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000, hex(encode('~' || text)),
+      |    octet_length(encode('~' || text)) FROM documents WHERE doc_id < 20),
+      |bytes AS (
+      |  SELECT base.doc_id, i AS pos, hx.v AS b
+      |  FROM base, UNNEST(range(1, n + 1)) u(i)
+      |  JOIN hx ON hx.h = substring(ph, CAST((i - 1) * 2 + 1 AS INT), 2)),
+      |gb AS (SELECT bytes.doc_id, pos, g & 63 AS gk
+      |       FROM bytes JOIN gear ON gear.b = bytes.b),
+      |cuts AS (
+      |  SELECT doc_id, pos FROM (
+      |    SELECT x.doc_id, x.pos,
+      |      SUM(y.gk * (1::BIGINT << CAST(x.pos - y.pos AS INT))) AS s
+      |    FROM gb x JOIN gb y
+      |      ON y.doc_id = x.doc_id AND y.pos > x.pos - 6 AND y.pos <= x.pos
+      |    GROUP BY x.doc_id, x.pos) z
+      |  WHERE (z.s & 63) = 0),
+      |ends AS (
+      |  SELECT c.doc_id, c.pos
+      |  FROM cuts c JOIN base ON base.doc_id = c.doc_id AND c.pos < base.n
+      |  UNION
+      |  SELECT doc_id, n FROM base WHERE n > 0),
+      |chunks AS (
+      |  SELECT doc_id,
+      |    COALESCE(LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos), 0) + 1 AS st,
+      |    pos AS en
+      |  FROM ends),
+      |d AS (
+      |  SELECT DISTINCT c.doc_id,
+      |    substring(b2.ph, CAST((c.st - 1) * 2 + 1 AS INT),
+      |      CAST((c.en - c.st + 1) * 2 AS INT)) AS chunk_hex
+      |  FROM chunks c JOIN base b2 ON b2.doc_id = c.doc_id),
+      |sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM d GROUP BY doc_id)""".stripMargin
+
+  /** The m14/e38 fresh-vs-corpus gear-screen oracle over the shifted-copy
+    * split (fresh = the byte-shifted ids >= 100000) — ONE definition
+    * grading the batch screen and its streaming twin verbatim.
+    */
+  private val gearScreenSql =
+    s"""WITH $gearChunkSetCtes,
+      |sh AS (
+      |  SELECT a.doc_id AS fresh_id, b.doc_id AS corpus_id,
+      |    CAST(COUNT(*) AS BIGINT) AS inter
+      |  FROM d a JOIN d b ON a.chunk_hex = b.chunk_hex
+      |  WHERE a.doc_id >= 100000 AND b.doc_id < 100000
+      |  GROUP BY 1, 2)
+      |SELECT sh.fresh_id, sh.corpus_id, sh.inter, sa.sz AS sz_f, sb.sz AS sz_c,
+      |  CAST(sh.inter AS DOUBLE) / CAST(sa.sz + sb.sz - sh.inter AS DOUBLE) AS jaccard
+      |FROM sh JOIN sz sa ON sa.doc_id = sh.fresh_id
+      |JOIN sz sb ON sb.doc_id = sh.corpus_id
+      |WHERE CAST(sh.inter AS DOUBLE) / CAST(sa.sz + sb.sz - sh.inter AS DOUBLE) >= 0.4
+      |ORDER BY fresh_id, corpus_id""".stripMargin
+
   /** The MIH code CTE chain shared by s22/s23/e37: sign bits recomputed
     * from the dumped ±1 planes (AuxDumps "mih_planes"), repacked into the
     * four 8-bit band values — one SQL definition of the banding whoever
@@ -3962,44 +4026,7 @@ object ExtensionQueries {
     // derives boundaries, chunk spans, distinct chunk sets and the
     // Jaccard from scratch over injective chunk_hex (the m07 tail).
     "m12_cdc_chunk_pairs" -> of(
-      s"""WITH hx AS (SELECT i AS v, printf('%02X', i) AS h FROM range(0, 256) t(i)),
-        |gear AS (SELECT b, g FROM read_parquet('{{AUX}}/gear_table/*.parquet')),
-        |base AS (
-        |  SELECT doc_id, hex(encode(text)) AS ph,
-        |    octet_length(encode(text)) AS n FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 100000, hex(encode('~' || text)),
-        |    octet_length(encode('~' || text)) FROM documents WHERE doc_id < 20),
-        |bytes AS (
-        |  SELECT base.doc_id, i AS pos, hx.v AS b
-        |  FROM base, UNNEST(range(1, n + 1)) u(i)
-        |  JOIN hx ON hx.h = substring(ph, CAST((i - 1) * 2 + 1 AS INT), 2)),
-        |gb AS (SELECT bytes.doc_id, pos, g & 63 AS gk
-        |       FROM bytes JOIN gear ON gear.b = bytes.b),
-        |cuts AS (
-        |  SELECT doc_id, pos FROM (
-        |    SELECT x.doc_id, x.pos,
-        |      SUM(y.gk * (1::BIGINT << CAST(x.pos - y.pos AS INT))) AS s
-        |    FROM gb x JOIN gb y
-        |      ON y.doc_id = x.doc_id AND y.pos > x.pos - 6 AND y.pos <= x.pos
-        |    GROUP BY x.doc_id, x.pos) z
-        |  WHERE (z.s & 63) = 0),
-        |ends AS (
-        |  SELECT c.doc_id, c.pos
-        |  FROM cuts c JOIN base ON base.doc_id = c.doc_id AND c.pos < base.n
-        |  UNION
-        |  SELECT doc_id, n FROM base WHERE n > 0),
-        |chunks AS (
-        |  SELECT doc_id,
-        |    COALESCE(LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos), 0) + 1 AS st,
-        |    pos AS en
-        |  FROM ends),
-        |d AS (
-        |  SELECT DISTINCT c.doc_id,
-        |    substring(b2.ph, CAST((c.st - 1) * 2 + 1 AS INT),
-        |      CAST((c.en - c.st + 1) * 2 AS INT)) AS chunk_hex
-        |  FROM chunks c JOIN base b2 ON b2.doc_id = c.doc_id),
-        |sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM d GROUP BY doc_id),
+      s"""WITH $gearChunkSetCtes,
         |sh AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS inter
         |  FROM d a JOIN d b ON a.chunk_hex = b.chunk_hex AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2)
@@ -4011,6 +4038,54 @@ object ExtensionQueries {
       graft.operators.Multimodal.gearChunkJaccardPairs(
         shiftedMediaCorpus(s, d), threshold = 0.4)
         .orderBy("id_a", "id_b")
+    },
+
+    // Gear-CDC ingest screen (m14): m12's daily-ingest shape — the
+    // byte-shifted copies arrive as the FRESH batch and screen against
+    // the standing originals through the gear digest probe join.
+    // Boundary re-sync means every shifted copy still pairs with its
+    // original — the live dedup case the fixed-size screen (m09)
+    // provably misses. Shares its oracle verbatim with the streaming
+    // twin e38.
+    "m14_gear_screen" -> of(gearScreenSql) { (s, d) =>
+      val media = shiftedMediaCorpus(s, d)
+      graft.operators.Multimodal.incrementalGearChunkPairs(
+        media.filter(col("doc_id") >= 100000),
+        media.filter(col("doc_id") < 100000), threshold = 0.4)
+        .orderBy("fresh_id", "corpus_id")
+    },
+
+    // STREAMING gear-CDC ingest screen (e38) — m14 live: arriving blobs
+    // cut/digest/dedup/size their chunk sets IN-ROW, probe the standing
+    // gear digest table stream-static, and the one stateful op is the
+    // shared-chunk count per pair; the Jaccard cut applies batch-side
+    // over the materialized state (the e31 serve shape). AvailableNow
+    // complete-mode emission equals the batch screen, so the m14 oracle
+    // grades the streaming plan verbatim.
+    "e38_stream_gear_screen" -> of(gearScreenSql) { (s, d) =>
+      import graft.streaming.{EventsStream, ScreenStream}
+      val media = shiftedMediaCorpus(s, d)
+      val corpus = media.filter(col("doc_id") < 100000)
+      val corpusD = graft.operators.Multimodal
+        .gearDigestSet(corpus, "corpus_id")
+      val sizes = corpusD.groupBy("corpus_id")
+        .agg(count(lit(1)).as("sz_c"))
+      val docsSchema = s.read
+        .option("pathGlobFilter", "documents.parquet").parquet(d).schema
+      val freshStream = s.readStream.schema(docsSchema)
+        .option("pathGlobFilter", "documents.parquet").parquet(d)
+        .filter(col("doc_id") < 20)
+        .select((col("doc_id") + 100000).cast("long").as("doc_id"),
+          concat(lit("~"), col("text")).cast("binary").as("payload"))
+      val agg = ScreenStream.screenGearChunks(freshStream, corpusD, sizes)
+      val sinkName = s"stream_gear_screen_${sinkCounter.incrementAndGet()}"
+      EventsStream.runAvailableNow(agg, sinkName, outputMode = "complete")
+      s.table(sinkName)
+        .withColumn("jaccard", col("inter").cast("double") /
+          (col("sz_f") + col("sz_c") - col("inter")).cast("double"))
+        .filter(col("jaccard") >= 0.4)
+        .select("fresh_id", "corpus_id", "inter", "sz_f", "sz_c", "jaccard")
+        .orderBy("fresh_id", "corpus_id")
     },
 
     // Bounded content-defined chunking (m13): the FastCDC-shaped

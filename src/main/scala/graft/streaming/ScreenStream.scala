@@ -184,6 +184,37 @@ object ScreenStream {
       .agg(count(lit(1)).as("inter"))
   }
 
+  /** The GEAR content-defined chunk screen as a Structured Streaming query
+    * — m12's daily-ingest shape live (e38), [[screenChunks]]'s CDC
+    * counterpart: fresh blobs cut, digest, dedup and size their chunk sets
+    * IN-ROW ([[graft.operators.Multimodal.inRowGearChunkDigests]] — all of
+    * a blob's chunks live in its row, so no fresh-side shuffle exists),
+    * the digest probe and corpus-size joins are stream-static and
+    * stateless, and the one stateful operator is the shared-chunk COUNT
+    * per (fresh, corpus) pair. Because gear boundaries re-synchronize
+    * after an edit, a byte-SHIFTED arriving copy still pairs with its
+    * standing original — live — which is exactly the case the fixed-size
+    * streaming screen (e31) provably misses. Emits (fresh_id, corpus_id,
+    * inter, sz_f, sz_c); the serve step applies the Jaccard cut
+    * batch-side, and an AvailableNow complete-mode run then equals
+    * [[graft.operators.Multimodal.incrementalGearChunkPairs]] on the same
+    * split (the m14 oracle grades the streaming plan verbatim).
+    */
+  def screenGearChunks(freshMedia: DataFrame, corpusDigests: DataFrame,
+                       corpusSizes: DataFrame, maskBits: Int = 6,
+                       minSize: Int = 1,
+                       maxSize: Int = Int.MaxValue): DataFrame = {
+    val fresh = graft.operators.Multimodal
+      .inRowGearChunkDigests(freshMedia, maskBits, minSize, maxSize)
+      .select(col("doc_id").as("fresh_id"), col("sz_f"),
+        explode(col("digests")).as("digest"))
+    fresh
+      .join(corpusDigests, Seq("digest"))
+      .join(corpusSizes, Seq("corpus_id"))
+      .groupBy("fresh_id", "corpus_id", "sz_f", "sz_c")
+      .agg(count(lit(1)).as("inter"))
+  }
+
   /** The MIH Hamming screen as a Structured Streaming query — s22's code
     * family serving live (e37): fresh vectors ARRIVE as a stream, band-code
     * in their own row (the same [[graft.operators.Similarity.mihCodeArray]]

@@ -99,6 +99,41 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.filter(col("hamming") > 8).count() === 0)
   }
 
+  test("streaming gear-CDC screen == batch gear screen; shifted copies pair live") {
+    import graft.streaming.ScreenStream
+    import graft.operators.Multimodal
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val corpus = Multimodal.asMediaTable(docs, "doc_id", "text")
+    val corpusD = Multimodal.gearDigestSet(corpus, "corpus_id")
+    val sizes = corpusD.groupBy("corpus_id").agg(count(lit(1)).as("sz_c"))
+    val docsSchema = spark.read
+      .option("pathGlobFilter", "documents.parquet").parquet(dir).schema
+    val freshStream = spark.readStream.schema(docsSchema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      .filter(col("doc_id") < 5)
+      .select((col("doc_id") + 100000).cast("long").as("doc_id"),
+        concat(lit("~"), col("text")).cast("binary").as("payload"))
+    assert(freshStream.isStreaming)
+    EventsStream.runAvailableNow(
+      ScreenStream.screenGearChunks(freshStream, corpusD, sizes),
+      "stream_gear_parity", outputMode = "complete")
+    val streamed = spark.table("stream_gear_parity")
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("sz_f") + col("sz_c") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= 0.4)
+      .select("fresh_id", "corpus_id", "inter", "sz_f", "sz_c", "jaccard")
+    val freshBatch = Multimodal.asMediaTable(
+      docs.filter(col("doc_id") < 5)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(lit("~"), col("text")).as("text")),
+      "doc_id", "text")
+    val batch = Multimodal.incrementalGearChunkPairs(
+      freshBatch, corpus, threshold = 0.4)
+    assert(streamed.count() > 0) // boundary re-sync: shifted copies pair
+    assert(streamed.except(batch).count() === 0)
+    assert(batch.except(streamed).count() === 0)
+  }
+
   test("streaming quality-gate yield counts == batch gate + aggregation") {
     import graft.streaming.{QualityStream, ScreenStream}
     val stream = ScreenStream.readDocs(spark, dir)
