@@ -732,6 +732,51 @@ object ExtensionQueries {
       |WHERE CAST(sh.inter AS DOUBLE) / CAST(sa.sz + sb.sz - sh.inter AS DOUBLE) >= 0.4
       |ORDER BY fresh_id, corpus_id""".stripMargin
 
+  /** The t40/e39 Kneser–Ney scoring oracle — ONE definition grading the
+    * batch scorer and its streaming twin verbatim (t22's trust envelope:
+    * all five integer statistics recounted and joined on; only the ln
+    * rides the dump).
+    */
+  private val knScoreSql =
+      """WITH lm AS (SELECT bg, n, ctx, n1f, n1b, nbg, lp
+        |           FROM read_parquet('{{AUX}}/t40_lp/*.parquet')),
+        |bgc AS (
+        |  SELECT tk[i + 1] || ' ' || tk[i + 2] AS bg, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM (SELECT string_split(text, ' ') AS tk FROM documents) d,
+        |    UNNEST(range(len(tk) - 1)) AS r(i) WHERE len(tk) >= 2
+        |  GROUP BY 1),
+        |ctxc AS (
+        |  SELECT split_part(bg, ' ', 1) AS w1, CAST(SUM(n) AS BIGINT) AS c,
+        |    CAST(COUNT(*) AS BIGINT) AS nf
+        |  FROM bgc GROUP BY 1),
+        |contc AS (
+        |  SELECT split_part(bg, ' ', 2) AS w2, CAST(COUNT(*) AS BIGINT) AS nb
+        |  FROM bgc GROUP BY 1),
+        |totc AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM bgc),
+        |vlm AS (
+        |  SELECT lm.bg, lm.lp FROM lm
+        |  JOIN bgc ON bgc.bg = lm.bg AND bgc.n = lm.n
+        |  JOIN ctxc ON ctxc.w1 = split_part(lm.bg, ' ', 1)
+        |    AND ctxc.c = lm.ctx AND ctxc.nf = lm.n1f
+        |  JOIN contc ON contc.w2 = split_part(lm.bg, ' ', 2)
+        |    AND contc.nb = lm.n1b
+        |  JOIN totc ON totc.t = lm.nbg),
+        |pos AS (
+        |  SELECT doc_id, i, tk[i + 1] || ' ' || tk[i + 2] AS bg,
+        |    len(tk) - 1 AS nb
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents) d,
+        |    UNNEST(range(len(tk) - 1)) AS r(i) WHERE len(tk) >= 2),
+        |scored AS (
+        |  SELECT p.doc_id, p.i, p.nb, COALESCE(v.lp, -20.0) AS lp
+        |  FROM pos p LEFT JOIN vlm v ON v.bg = p.bg),
+        |folded AS (
+        |  SELECT doc_id, CAST(MAX(nb) AS BIGINT) AS n_bigrams,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(lp ORDER BY i)),
+        |      (a, b) -> a + b) / MAX(nb) AS mean_logprob
+        |  FROM scored GROUP BY doc_id)
+        |SELECT doc_id, n_bigrams, mean_logprob FROM folded
+        |ORDER BY doc_id""".stripMargin
+
   /** The MIH code CTE chain shared by s22/s23/e37: sign bits recomputed
     * from the dumped ±1 planes (AuxDumps "mih_planes"), repacked into the
     * four 8-bit band values — one SQL definition of the banding whoever
@@ -3368,50 +3413,33 @@ object ExtensionQueries {
     // context counts. The ln is the materialized primitive (t40_lp aux);
     // the oracle recounts all FIVE integer statistics in SQL, joins on
     // them, and refolds positions in order — t22's trust envelope exactly.
-    "t40_kn_logprob" -> of(
-      """WITH lm AS (SELECT bg, n, ctx, n1f, n1b, nbg, lp
-        |           FROM read_parquet('{{AUX}}/t40_lp/*.parquet')),
-        |bgc AS (
-        |  SELECT tk[i + 1] || ' ' || tk[i + 2] AS bg, CAST(COUNT(*) AS BIGINT) AS n
-        |  FROM (SELECT string_split(text, ' ') AS tk FROM documents) d,
-        |    UNNEST(range(len(tk) - 1)) AS r(i) WHERE len(tk) >= 2
-        |  GROUP BY 1),
-        |ctxc AS (
-        |  SELECT split_part(bg, ' ', 1) AS w1, CAST(SUM(n) AS BIGINT) AS c,
-        |    CAST(COUNT(*) AS BIGINT) AS nf
-        |  FROM bgc GROUP BY 1),
-        |contc AS (
-        |  SELECT split_part(bg, ' ', 2) AS w2, CAST(COUNT(*) AS BIGINT) AS nb
-        |  FROM bgc GROUP BY 1),
-        |totc AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM bgc),
-        |vlm AS (
-        |  SELECT lm.bg, lm.lp FROM lm
-        |  JOIN bgc ON bgc.bg = lm.bg AND bgc.n = lm.n
-        |  JOIN ctxc ON ctxc.w1 = split_part(lm.bg, ' ', 1)
-        |    AND ctxc.c = lm.ctx AND ctxc.nf = lm.n1f
-        |  JOIN contc ON contc.w2 = split_part(lm.bg, ' ', 2)
-        |    AND contc.nb = lm.n1b
-        |  JOIN totc ON totc.t = lm.nbg),
-        |pos AS (
-        |  SELECT doc_id, i, tk[i + 1] || ' ' || tk[i + 2] AS bg,
-        |    len(tk) - 1 AS nb
-        |  FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents) d,
-        |    UNNEST(range(len(tk) - 1)) AS r(i) WHERE len(tk) >= 2),
-        |scored AS (
-        |  SELECT p.doc_id, p.i, p.nb, COALESCE(v.lp, -20.0) AS lp
-        |  FROM pos p LEFT JOIN vlm v ON v.bg = p.bg),
-        |folded AS (
-        |  SELECT doc_id, CAST(MAX(nb) AS BIGINT) AS n_bigrams,
-        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(lp ORDER BY i)),
-        |      (a, b) -> a + b) / MAX(nb) AS mean_logprob
-        |  FROM scored GROUP BY doc_id)
-        |SELECT doc_id, n_bigrams, mean_logprob FROM folded
-        |ORDER BY doc_id""") { (s, d) =>
+    "t40_kn_logprob" -> of(knScoreSql) { (s, d) =>
       val docs = t(s, d, "documents")
       val lm = graft.operators.CorpusOps.kneserNeyLm(docs, "doc_id", "text")
       graft.operators.CorpusOps.bigramLogprob(docs, "doc_id", "text",
         lm.select(col("bg"), col("lp")), -20.0)
         .orderBy("doc_id")
+    },
+
+    // STREAMING KN fluency scoring (e39) — t40 live, and the proof that
+    // the scoring fold is stream-legal AS WRITTEN: documents arrive as a
+    // stream and flow through the SAME CorpusOps.bigramLogprob call as
+    // the batch query (posexplode stateless, the LM broadcast join
+    // stream-static, the one stateful op the per-doc position-list
+    // aggregate whose state is bounded by doc length; the fold + divide
+    // are a stateless post-agg projection). AvailableNow complete-mode
+    // emission equals the batch scorer, so the t40 oracle grades the
+    // streaming plan verbatim.
+    "e39_stream_kn_score" -> of(knScoreSql) { (s, d) =>
+      import graft.streaming.{EventsStream, ScreenStream}
+      val docs = t(s, d, "documents")
+      val lm = graft.operators.CorpusOps.kneserNeyLm(docs, "doc_id", "text")
+      val scored = graft.operators.CorpusOps.bigramLogprob(
+        ScreenStream.readDocs(s, d), "doc_id", "text",
+        lm.select(col("bg"), col("lp")), -20.0)
+      val sinkName = s"stream_kn_${sinkCounter.incrementAndGet()}"
+      EventsStream.runAvailableNow(scored, sinkName, outputMode = "complete")
+      s.table(sinkName).orderBy("doc_id")
     },
 
     // Gopher/C4-style composite quality gate: per-rule boolean flags + the
