@@ -280,6 +280,50 @@ object Multimodal {
       corpusD, sizes, threshold)
   }
 
+  /** Build (idempotently, catalog-checked) a standing GEAR digest index —
+    * [[writeChunkIndex]]'s CDC counterpart: the corpus chunks ONCE through
+    * the codegen [[gearChunks]] path, distinct (doc_id, digest) rows land
+    * bucketed by digest, per-doc sizes bucketed by doc_id.
+    */
+  def writeGearChunkIndex(corpus: DataFrame, index: ChunkIndex,
+                          maskBits: Int = 6, minSize: Int = 1,
+                          maxSize: Int = Int.MaxValue,
+                          buckets: Int = 16): ChunkIndex = {
+    val spark = corpus.sparkSession
+    if (!(spark.catalog.tableExists(index.digests) &&
+        spark.catalog.tableExists(index.sizes))) {
+      val d = gearDigestSet(corpus, "doc_id", maskBits, minSize, maxSize)
+        .persist()
+      graft.sources.BucketedLake.writeBucketedTable(spark, index.digests,
+        d, "digest", buckets)
+      graft.sources.BucketedLake.writeBucketedTable(spark, index.sizes,
+        d.groupBy("doc_id").agg(count(lit(1)).as("sz_c")), "doc_id", buckets)
+      d.unpersist(blocking = false)
+    }
+    index
+  }
+
+  /** [[incrementalGearChunkPairs]] against a standing gear
+    * [[ChunkIndex]] — identical results when the index was built from the
+    * same corpus (the m14 oracle applies verbatim), but the per-ingest
+    * cost excludes the corpus chunking + digesting: only the FRESH batch
+    * chunks, and the probe join reads the digest table through its bucket
+    * layout with no corpus-side Exchange (the m10 pattern,
+    * PlanSpec-pinned).
+    */
+  def incrementalGearChunkPairsIndexed(fresh: DataFrame, index: ChunkIndex,
+                                       threshold: Double = 0.5,
+                                       maskBits: Int = 6, minSize: Int = 1,
+                                       maxSize: Int = Int.MaxValue): DataFrame = {
+    val spark = fresh.sparkSession
+    chunkScreen(gearDigestSet(fresh, "fresh_id", maskBits, minSize, maxSize),
+      spark.table(index.digests)
+        .select(col("doc_id").as("corpus_id"), col("digest")),
+      spark.table(index.sizes)
+        .select(col("doc_id").as("corpus_id"), col("sz_c")),
+      threshold)
+  }
+
   /** Per-blob DISTINCT gear-chunk digest ARRAY in one in-row projection —
     * [[inRowChunkDigests]]'s CDC counterpart, for the STREAMING fresh side
     * (e38): boundaries, slicing, digesting and dedup all live in the

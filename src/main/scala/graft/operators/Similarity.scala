@@ -1117,6 +1117,63 @@ object Similarity {
       .distinct()
   }
 
+  /** A standing MIH code table: the [[mihCodeBands]] layout written
+    * bucketed by (band, band_val) — the d16/s17 lake pattern for the MIH
+    * family. The knob family (bands, bandBits, planeOffset, dim) is part
+    * of the table-name identity, so a screen can never probe an index
+    * banded differently.
+    */
+  final case class MihIndex(codes: String, bands: Int, bandBits: Int,
+                            planeOffset: Int, dim: Int)
+
+  /** Build (idempotently, catalog-checked) the standing MIH code index
+    * over `corpus`. One job: code + band-explode + bucketed write; no
+    * vector is stored — the index IS the integer codes.
+    */
+  def writeMihIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                    namePrefix: String, bands: Int = 4, bandBits: Int = 8,
+                    planeOffset: Int = 100, buckets: Int = 16): MihIndex = {
+    val spark = corpus.sparkSession
+    val dim = vectorDim(corpus, vecCol)
+    val idx = MihIndex(s"${namePrefix}_mih_b${bands}x${bandBits}_k$buckets",
+      bands, bandBits, planeOffset, dim)
+    if (!spark.catalog.tableExists(idx.codes)) {
+      val signs = hyperplaneSigns(spark, bands * bandBits, planeOffset, dim)
+      graft.sources.BucketedLake.writeBucketedTable(spark, idx.codes,
+        mihCodeBands(corpus, idCol, vecCol, "corpus_id", "c_code", signs,
+          bands, bandBits),
+        "band", buckets, "band_val")
+    }
+    idx
+  }
+
+  /** [[mihHammingScreen]] against a standing [[MihIndex]] — identical
+    * results when the index was built from the same corpus (spec-pinned;
+    * the s23 oracle applies verbatim), but the per-ingest cost excludes
+    * the corpus-side coding entirely: only the FRESH batch codes, and the
+    * band probe reads the code table through its bucket layout with no
+    * index-side Exchange (the d16 pattern, PlanSpec-pinned). This is the
+    * 100 TB serving shape: the index is integer codes on disk, a probe
+    * touches the matching buckets, and nothing about the corpus is
+    * recomputed per ingest.
+    */
+  def mihHammingScreenIndexed(fresh: DataFrame, index: MihIndex,
+                              idCol: String, vecCol: String,
+                              radius: Int = 6): DataFrame = {
+    val spark = fresh.sparkSession
+    graft.functions.NativeFunctions.register(spark)
+    val signs = hyperplaneSigns(spark, index.bands * index.bandBits,
+      index.planeOffset, index.dim)
+    val f = mihCodeBands(fresh, idCol, vecCol, "fresh_id", "f_code",
+      signs, index.bands, index.bandBits)
+    f.join(spark.table(index.codes), Seq("band", "band_val"))
+      .filter(col("fresh_id") =!= col("corpus_id"))
+      .select(col("fresh_id"), col("corpus_id"),
+        mihHamming(col("f_code"), col("c_code"), index.bands).as("hamming"))
+      .filter(col("hamming") <= radius)
+      .distinct()
+  }
+
   /** Product-quantization codebooks (the FAISS-PQ shape, inner-product
     * flavor): the vector splits into `subspaces` contiguous slices and each
     * slice gets its own `k`-centroid quantizer trained with the SAME

@@ -1060,6 +1060,29 @@ object ExtensionQueries {
     * over the non-fresh corpus (`doc_id % 10 ≠ 0` — the m09 split); chunk
     * size and bucket count ride the naming per the layout contract.
     */
+  /** Build (once per session + sf dir) the m15 standing GEAR digest index
+    * over the ORIGINAL blobs of the shifted corpus; the mask family is
+    * part of the layout identity via the suffix.
+    */
+  private def ensureGearChunkIndex(s: org.apache.spark.sql.SparkSession,
+                                   dir: String,
+                                   corpus: org.apache.spark.sql.DataFrame) = {
+    val suffix = graft.sources.BucketedLake.layoutSuffix(dir + "#gear6", 16)
+    graft.operators.Multimodal.writeGearChunkIndex(corpus,
+      graft.operators.Multimodal.ChunkIndex(
+        s"gear_idx_$suffix", s"gear_sz_$suffix"))
+  }
+
+  /** Build (once per session + sf dir) the s24 standing MIH code index
+    * over the `vec_id % 8 ≠ 0` corpus; the band family is part of the
+    * layout identity via the table name.
+    */
+  private def ensureMihIndex(s: org.apache.spark.sql.SparkSession,
+                             dir: String,
+                             corpus: org.apache.spark.sql.DataFrame) =
+    graft.operators.Similarity.writeMihIndex(corpus, "vec_id", "embedding",
+      "idx_" + graft.sources.BucketedLake.layoutSuffix(dir + "#mih", 16))
+
   private def ensureChunkIndex(s: org.apache.spark.sql.SparkSession,
                                dir: String,
                                media: org.apache.spark.sql.DataFrame) = {
@@ -2054,6 +2077,20 @@ object ExtensionQueries {
       val e = t(s, d, "embeddings")
       Similarity.mihHammingScreen(e.filter(col("vec_id") % 8 === 0),
         e.filter(col("vec_id") % 8 =!= 0), "vec_id", "embedding", radius = 6)
+        .orderBy("fresh_id", "corpus_id")
+    },
+
+    // MIH screen against the STANDING code index (s24): s23 with the
+    // corpus side pre-coded and bucketed on disk — per-ingest cost is
+    // the fresh batch's coding only, the band probe reads the code table
+    // through its bucket layout with no index-side exchange (the d16
+    // pattern). The s23 oracle grades it verbatim.
+    "s24_mih_screen_indexed" -> of(mihScreenSql) { (s, d) =>
+      val e = t(s, d, "embeddings")
+      val idx = ensureMihIndex(s, d, e.filter(col("vec_id") % 8 =!= 0))
+      Similarity.mihHammingScreenIndexed(
+        e.filter(col("vec_id") % 8 === 0), idx, "vec_id", "embedding",
+        radius = 6)
         .orderBy("fresh_id", "corpus_id")
     },
 
@@ -4080,6 +4117,19 @@ object ExtensionQueries {
       graft.operators.Multimodal.incrementalGearChunkPairs(
         media.filter(col("doc_id") >= 100000),
         media.filter(col("doc_id") < 100000), threshold = 0.4)
+        .orderBy("fresh_id", "corpus_id")
+    },
+
+    // Gear-CDC screen against the STANDING digest index (m15): m14 with
+    // the corpus side pre-chunked, pre-digested and bucketed on disk —
+    // per-ingest cost is the fresh batch only, the probe join reads the
+    // index through its bucket layout with no corpus-side exchange (the
+    // m10 pattern). The m14 oracle grades it verbatim.
+    "m15_gear_screen_indexed" -> of(gearScreenSql) { (s, d) =>
+      val media = shiftedMediaCorpus(s, d)
+      val idx = ensureGearChunkIndex(s, d, media.filter(col("doc_id") < 100000))
+      graft.operators.Multimodal.incrementalGearChunkPairsIndexed(
+        media.filter(col("doc_id") >= 100000), idx, threshold = 0.4)
         .orderBy("fresh_id", "corpus_id")
     },
 

@@ -246,6 +246,34 @@ class ExtensionSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("indexed MIH screen == direct screen; indexed gear screen == direct screen") {
+    import graft.operators.{Multimodal, Similarity}
+    val fresh = embs.filter(col("vec_id") % 8 === 0)
+    val corpus = embs.filter(col("vec_id") % 8 =!= 0)
+    val direct = Similarity.mihHammingScreen(fresh, corpus,
+      "vec_id", "embedding", radius = 8)
+    val idx = Similarity.writeMihIndex(corpus, "vec_id", "embedding",
+      "spec_mih_idx")
+    val indexed = Similarity.mihHammingScreenIndexed(fresh, idx,
+      "vec_id", "embedding", radius = 8)
+    assert(indexed.count() > 0)
+    assert(indexed.except(direct).count() === 0)
+    assert(direct.except(indexed).count() === 0)
+    // gear: shifted copies of docs 0-4 screen against the originals
+    val media = Multimodal.asMediaTable(docs, "doc_id", "text")
+    val freshM = Multimodal.asMediaTable(
+      docs.filter(col("doc_id") < 5)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(lit("~"), col("text")).as("text")), "doc_id", "text")
+    val gdirect = Multimodal.incrementalGearChunkPairs(freshM, media, 0.4)
+    val gidx = Multimodal.writeGearChunkIndex(media,
+      Multimodal.ChunkIndex("spec_gear_idx", "spec_gear_sz"))
+    val gindexed = Multimodal.incrementalGearChunkPairsIndexed(freshM, gidx, 0.4)
+    assert(gindexed.count() > 0)
+    assert(gindexed.except(gdirect).count() === 0)
+    assert(gdirect.except(gindexed).count() === 0)
+  }
+
   test("recall gate formula: floors match the documented knob points") {
     // the 1-(1-p^b)^L values SCALE.md and the adaptive-knob scaladoc quote,
     // pinned so the ScaleSmoke recall gate's floor can't drift from the doc

@@ -621,6 +621,38 @@ class PlanSpec extends SparkSpec {
       s"corpus side must read stored digests, not re-digest:\n${branch.mkString("\n")}")
   }
 
+  test("m15: gear digest index reads bucketed; corpus side never exchanges or re-chunks") {
+    val plan = physicalPlan("m15_gear_screen_indexed")
+    val lines = plan.linesIterator.toVector
+    val scanIdx = lines.indexWhere(l => l.contains("gear_idx_") && l.contains("FileScan"))
+    assert(scanIdx > 0, s"expected a scan of the gear digest index:\n${plan.take(1200)}")
+    assert(lines(scanIdx).contains("Bucketed: true"),
+      s"gear index must be read through its bucket layout:\n${lines(scanIdx)}")
+    val freshEnd = lines.lastIndexWhere(
+      l => l.contains("FileScan") || l.contains("Generate"), scanIdx - 1)
+    val branch = lines.slice(freshEnd + 1, scanIdx)
+    assert(!branch.exists(l => l.contains("Exchange") && !l.contains("BroadcastExchange")),
+      s"gear-index side must not exchange:\n${branch.mkString("\n")}")
+    assert(branch.forall(l => !l.contains("sha2") && !l.contains("gear_chunk_ends")),
+      s"corpus side must read stored digests, not re-chunk:\n${branch.mkString("\n")}")
+  }
+
+  test("s24: MIH code index reads bucketed; index side never exchanges or re-codes") {
+    val plan = physicalPlan("s24_mih_screen_indexed")
+    val lines = plan.linesIterator.toVector
+    val scanIdx = lines.indexWhere(l => l.contains("_mih_b") && l.contains("FileScan"))
+    assert(scanIdx > 0, s"expected a scan of the MIH code index:\n${plan.take(1200)}")
+    assert(lines(scanIdx).contains("Bucketed: true"),
+      s"code index must be read through its bucket layout:\n${lines(scanIdx)}")
+    val freshEnd = lines.lastIndexWhere(
+      l => l.contains("FileScan") || l.contains("Generate"), scanIdx - 1)
+    val branch = lines.slice(freshEnd + 1, scanIdx)
+    assert(!branch.exists(l => l.contains("Exchange") && !l.contains("BroadcastExchange")),
+      s"code-index side must not exchange:\n${branch.mkString("\n")}")
+    assert(branch.forall(!_.contains("dot_product")),
+      s"index side must read stored codes, not re-code:\n${branch.mkString("\n")}")
+  }
+
   test("DEBUG flag logs a bounded sample to stderr (honored, unlike reference)") {
     val err = new java.io.ByteArrayOutputStream()
     Console.withErr(new java.io.PrintStream(err)) {
