@@ -303,6 +303,29 @@ object Multimodal {
     index
   }
 
+  /** Fold an ACCEPTED ingest batch into a standing GEAR digest index —
+    * [[appendChunkIndex]]'s CDC counterpart (the d17/d18 compaction
+    * pattern): the batch's distinct gear digests and per-doc counts
+    * append under the catalog-validated bucket spec, so tomorrow's
+    * [[incrementalGearChunkPairsIndexed]] screens against today's
+    * survivors without a rebuild. Batch ids must be disjoint from the
+    * indexed corpus (the screen that precedes this call establishes it).
+    */
+  def appendGearChunkIndex(batch: DataFrame, index: ChunkIndex,
+                           maskBits: Int = 6, minSize: Int = 1,
+                           maxSize: Int = Int.MaxValue,
+                           buckets: Int = 16): ChunkIndex = {
+    val spark = batch.sparkSession
+    val d = gearDigestSet(batch, "doc_id", maskBits, minSize, maxSize)
+      .persist()
+    graft.sources.BucketedLake.appendBucketedTable(spark, index.digests,
+      d, "digest", buckets)
+    graft.sources.BucketedLake.appendBucketedTable(spark, index.sizes,
+      d.groupBy("doc_id").agg(count(lit(1)).as("sz_c")), "doc_id", buckets)
+    d.unpersist(blocking = false)
+    index
+  }
+
   /** [[incrementalGearChunkPairs]] against a standing gear
     * [[ChunkIndex]] — identical results when the index was built from the
     * same corpus (the m14 oracle applies verbatim), but the per-ingest

@@ -1124,7 +1124,7 @@ object Similarity {
     * banded differently.
     */
   final case class MihIndex(codes: String, bands: Int, bandBits: Int,
-                            planeOffset: Int, dim: Int)
+                            planeOffset: Int, dim: Int, buckets: Int)
 
   /** Build (idempotently, catalog-checked) the standing MIH code index
     * over `corpus`. One job: code + band-explode + bucketed write; no
@@ -1136,7 +1136,7 @@ object Similarity {
     val spark = corpus.sparkSession
     val dim = vectorDim(corpus, vecCol)
     val idx = MihIndex(s"${namePrefix}_mih_b${bands}x${bandBits}_k$buckets",
-      bands, bandBits, planeOffset, dim)
+      bands, bandBits, planeOffset, dim, buckets)
     if (!spark.catalog.tableExists(idx.codes)) {
       val signs = hyperplaneSigns(spark, bands * bandBits, planeOffset, dim)
       graft.sources.BucketedLake.writeBucketedTable(spark, idx.codes,
@@ -1145,6 +1145,27 @@ object Similarity {
         "band", buckets, "band_val")
     }
     idx
+  }
+
+  /** Fold an ACCEPTED ingest batch into a standing [[MihIndex]] — the
+    * s18/d17 append pattern with a FROZEN code family: the batch codes
+    * under the index's own (bands, bandBits, planeOffset, dim) knobs —
+    * hash-derived planes, so freezing needs no stored state — and appends
+    * under the catalog-validated bucket spec. Tomorrow's
+    * [[mihHammingScreenIndexed]] probes today's survivors with no
+    * rebuild; batch ids must be disjoint from the indexed corpus.
+    */
+  def appendMihIndex(batch: DataFrame, index: MihIndex, idCol: String,
+                     vecCol: String): MihIndex = {
+    val spark = batch.sparkSession
+    graft.functions.NativeFunctions.register(spark)
+    val signs = hyperplaneSigns(spark, index.bands * index.bandBits,
+      index.planeOffset, index.dim)
+    graft.sources.BucketedLake.appendBucketedTable(spark, index.codes,
+      mihCodeBands(batch, idCol, vecCol, "corpus_id", "c_code", signs,
+        index.bands, index.bandBits),
+      "band", index.buckets, "band_val")
+    index
   }
 
   /** [[mihHammingScreen]] against a standing [[MihIndex]] — identical

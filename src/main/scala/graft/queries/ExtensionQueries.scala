@@ -1083,6 +1083,44 @@ object ExtensionQueries {
     graft.operators.Similarity.writeMihIndex(corpus, "vec_id", "embedding",
       "idx_" + graft.sources.BucketedLake.layoutSuffix(dir + "#mih", 16))
 
+  /** Build-then-append the m16 gear index: built from the even original
+    * ids, the odd half folded in via appendGearChunkIndex — idempotent per
+    * (session, dir) via the d17 contract.
+    */
+  private def ensureAppendedGearIndex(
+      s: org.apache.spark.sql.SparkSession, dir: String,
+      media: org.apache.spark.sql.DataFrame):
+      graft.operators.Multimodal.ChunkIndex = {
+    val suffix = graft.sources.BucketedLake.layoutSuffix(dir + "#gear6a", 16)
+    val names = graft.operators.Multimodal.ChunkIndex(
+      s"gear_idxa_$suffix", s"gear_sza_$suffix")
+    if (s.catalog.tableExists(names.digests)) names
+    else graft.operators.Multimodal.appendGearChunkIndex(
+      media.filter(pmod(col("doc_id"), lit(2)) === 1),
+      graft.operators.Multimodal.writeGearChunkIndex(
+        media.filter(pmod(col("doc_id"), lit(2)) === 0), names))
+  }
+
+  /** Build-then-append the s25 MIH index: built from `vec_id % 8 ∈ {1,2,3}`
+    * under the standard plane family, the `% 8 ∈ {4..7}` half folded in
+    * under the FROZEN knobs — idempotent per (session, dir).
+    */
+  private def ensureAppendedMihIndex(
+      s: org.apache.spark.sql.SparkSession, dir: String,
+      e: org.apache.spark.sql.DataFrame): graft.operators.Similarity.MihIndex = {
+    val prefix = "idxa_" + graft.sources.BucketedLake.layoutSuffix(dir + "#miha", 16)
+    val built = graft.operators.Similarity.writeMihIndex(
+      e.filter(col("vec_id") % 8 =!= 0 && col("vec_id") % 8 <= 3),
+      "vec_id", "embedding", prefix)
+    val marker = built.codes + "_appended"
+    if (!s.catalog.tableExists(marker)) {
+      graft.operators.Similarity.appendMihIndex(
+        e.filter(col("vec_id") % 8 >= 4), built, "vec_id", "embedding")
+      s.range(1).createOrReplaceTempView(marker)
+    }
+    built
+  }
+
   private def ensureChunkIndex(s: org.apache.spark.sql.SparkSession,
                                dir: String,
                                media: org.apache.spark.sql.DataFrame) = {
@@ -2091,6 +2129,19 @@ object ExtensionQueries {
       Similarity.mihHammingScreenIndexed(
         e.filter(col("vec_id") % 8 === 0), idx, "vec_id", "embedding",
         radius = 6)
+        .orderBy("fresh_id", "corpus_id")
+    },
+
+    // MIH index APPEND lifecycle (s25): built from 3/7 of the corpus,
+    // the rest folded in under the FROZEN plane family (hash-derived —
+    // freezing needs no stored state); the s23 screen against the
+    // appended index must equal a screen against the full corpus (the
+    // s23 oracle verbatim).
+    "s25_mih_index_append" -> of(mihScreenSql) { (s, d) =>
+      val e = t(s, d, "embeddings")
+      Similarity.mihHammingScreenIndexed(
+        e.filter(col("vec_id") % 8 === 0),
+        ensureAppendedMihIndex(s, d, e), "vec_id", "embedding", radius = 6)
         .orderBy("fresh_id", "corpus_id")
     },
 
@@ -4130,6 +4181,21 @@ object ExtensionQueries {
       val idx = ensureGearChunkIndex(s, d, media.filter(col("doc_id") < 100000))
       graft.operators.Multimodal.incrementalGearChunkPairsIndexed(
         media.filter(col("doc_id") >= 100000), idx, threshold = 0.4)
+        .orderBy("fresh_id", "corpus_id")
+    },
+
+    // Gear index APPEND lifecycle (m16): the standing digest index built
+    // from half the originals, the other half folded in via the bucketed
+    // append (frozen mask family, catalog-validated spec) — then the m14
+    // screen runs against the appended index and must equal a screen
+    // against a from-scratch index of the full corpus (the m14 oracle
+    // verbatim).
+    "m16_gear_index_append" -> of(gearScreenSql) { (s, d) =>
+      val media = shiftedMediaCorpus(s, d)
+      graft.operators.Multimodal.incrementalGearChunkPairsIndexed(
+        media.filter(col("doc_id") >= 100000),
+        ensureAppendedGearIndex(s, d, media.filter(col("doc_id") < 100000)),
+        threshold = 0.4)
         .orderBy("fresh_id", "corpus_id")
     },
 
