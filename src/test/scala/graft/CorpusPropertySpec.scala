@@ -30,6 +30,52 @@ class CorpusPropertySpec extends SparkSpec {
     Gen.listOfN(120, docGen)(Gen.Parameters.default, Seed(seed)).get
       .groupBy(_.doc_id).map(_._2.head).toSeq // unique ids
 
+  test("property: kneserNeyLm statistics match a plain-Scala replica on random corpora") {
+    import spark.implicits._
+    for (seed <- 1L to 3L) {
+      val data = corpus(seed).filter(_.text.nonEmpty)
+      val docs = data.toDF()
+      val got = CorpusOps.kneserNeyLm(docs, "doc_id", "text")
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+            r.getLong(5), r.getDouble(6)))).toMap
+      // plain-Scala statistics
+      val bgs = data
+        .flatMap(d => d.text.split(" ").toSeq.sliding(2).filter(_.size == 2)
+          .map(_.mkString(" ")))
+      val n = bgs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val byW1 = n.keys.toSeq.groupBy(_.split(" ")(0)) // toSeq: set-backed keys would collapse equal counts in the ctx sum
+      val ctx = byW1.view.mapValues(_.map(n).sum).toMap
+      val n1f = byW1.view.mapValues(_.size.toLong).toMap
+      val n1b = n.keys.toSeq.groupBy(_.split(" ")(1)).view.mapValues(_.size.toLong).toMap
+      val nbg = n.size.toLong
+      assert(got.keySet === n.keySet, s"seed $seed")
+      got.foreach { case (bg, (gn, gctx, gn1f, gn1b, gnbg, lp)) =>
+        val Array(w1, w2) = bg.split(" ")
+        assert(gn === n(bg) && gctx === ctx(w1) && gn1f === n1f(w1) &&
+          gn1b === n1b(w2) && gnbg === nbg, s"stats of '$bg' seed $seed")
+        val p = math.max(gn - 0.75, 0.0) / gctx +
+          (0.75 * gn1f / gctx) * (gn1b.toDouble / gnbg)
+        assert(lp === StrictMath.log(p), s"lp of '$bg' seed $seed")
+        assert(p > 0.0 && p <= 1.0)
+      }
+      // per-context normalization: Σ over the FULL continuation vocab of
+      // the interpolated P is 1 (the KN invariant) — check via the
+      // replica, since got only holds observed bigrams
+      byW1.keys.foreach { w1 =>
+        val observed = byW1(w1).toSeq.map { bg =>
+          math.max(n(bg) - 0.75, 0.0) / ctx(w1) +
+            (0.75 * n1f(w1) / ctx(w1)) * (n1b(bg.split(" ")(1)).toDouble / nbg)
+        }.sum
+        val unobserved = n1b.keys.toSeq
+          .filterNot(w2 => n.contains(s"$w1 $w2"))
+          .map(w2 => (0.75 * n1f(w1) / ctx(w1)) * (n1b(w2).toDouble / nbg)).sum
+        assert(math.abs(observed + unobserved - 1.0) < 1e-9,
+          s"KN normalization for context '$w1' seed $seed")
+      }
+    }
+  }
+
   test("hashSplit: splits disjointly cover the corpus and survive subsetting") {
     import spark.implicits._
     for (seed <- 1L to 3L) {
