@@ -277,6 +277,27 @@ object GraphOps {
         coalesce(col("core_degree"), lit(0L)).as("core_degree"))
   }
 
+  /** Degeneracy profile (g09): [[kCore]] swept over `ks`, one row per k —
+    * (k, n_core_nodes, n_core_edges) — the curve a curation owner reads to
+    * pick the block-cut threshold: the k where the curve hits zero bounds
+    * the graph's degeneracy, and a fat high-k tail is the template-family
+    * signature. Each sweep point shares the persisted canonical edge set
+    * (the guarded persist dedupes by plan), so the sweep costs
+    * Σ_k O(m · rounds), never a re-derivation of the pair input.
+    * n_core_edges is NULL for an empty core (no survivors to sum over) —
+    * the honest "curve has ended" marker, mirrored by the oracle.
+    */
+  def kCoreProfile(pairs: DataFrame, ks: Seq[Int],
+                   rounds: Int = 6): DataFrame = {
+    require(ks.nonEmpty, "kCoreProfile: ks must be non-empty")
+    ks.map { k =>
+      kCore(pairs, k, rounds)
+        .agg(count(lit(1)).as("n_core_nodes"),
+          (sum(col("core_degree")) / 2).cast("long").as("n_core_edges"))
+        .select(lit(k).as("k"), col("n_core_nodes"), col("n_core_edges"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Degree assortativity of an UNDIRECTED pair graph: the Pearson
     * correlation between the endpoint degrees over the symmetrized edge
     * list (Newman 2002). The curation read: strongly positive r means

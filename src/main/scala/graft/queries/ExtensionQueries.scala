@@ -638,6 +638,17 @@ object ExtensionQueries {
     */
   private def kcoreOracle(k: Int, rounds: Int): String = {
     require(rounds >= 1)
+    s"""WITH ${kcoreChain(k, rounds)}
+      |SELECT surv.id, fd.degree, COALESCE(cd.core_degree, 0) AS core_degree
+      |FROM surv JOIN fullD fd ON fd.id = surv.id
+      |LEFT JOIN coreD cd ON cd.id = surv.id
+      |ORDER BY surv.id"""
+  }
+
+  /** The k-core peel CTE chain (through `surv` and `coreD`) shared by the
+    * row-level oracle (g07) and the degeneracy-profile oracle (g09).
+    */
+  private def kcoreChain(k: Int, rounds: Int): String = {
     val itCtes = (1 until rounds).map { i =>
       val prev = if (i == 1) "sym0" else s"sym${i - 1}"
       s"""sym$i AS (
@@ -648,7 +659,7 @@ object ExtensionQueries {
         |  WHERE ds >= $k AND dt >= $k)"""
     }.map(_ + ",\n").mkString
     val last = if (rounds == 1) "sym0" else s"sym${rounds - 1}"
-    s"""WITH ${jaccardCtes(None)},
+    s"""${jaccardCtes(None)},
       |und AS (SELECT id_a AS a, id_b AS b FROM jp WHERE id_a <> id_b),
       |fullD AS (
       |  SELECT id, CAST(COUNT(*) AS BIGINT) AS degree
@@ -661,12 +672,22 @@ object ExtensionQueries {
       |surv AS (SELECT DISTINCT s AS id FROM dlast WHERE ds >= $k),
       |coreD AS (
       |  SELECT s AS id, CAST(COUNT(*) AS BIGINT) AS core_degree
-      |  FROM dlast WHERE ds >= $k AND dt >= $k GROUP BY s)
-      |SELECT surv.id, fd.degree, COALESCE(cd.core_degree, 0) AS core_degree
-      |FROM surv JOIN fullD fd ON fd.id = surv.id
-      |LEFT JOIN coreD cd ON cd.id = surv.id
-      |ORDER BY surv.id"""
+      |  FROM dlast WHERE ds >= $k AND dt >= $k GROUP BY s)"""
   }
+
+  /** The g09 degeneracy-profile oracle: one peel chain per k, each mounted
+    * as a subquery-local WITH, rolled up to (k, nodes, edges) and
+    * union-stacked. SUM over an empty core is NULL on both engines — the
+    * honest end-of-curve marker.
+    */
+  private def kcoreProfileOracle(ks: Seq[Int], rounds: Int): String =
+    ks.map { k =>
+      s"""SELECT $k AS k, CAST(COUNT(*) AS BIGINT) AS n_core_nodes,
+        |  CAST(SUM(core_degree) // 2 AS BIGINT) AS n_core_edges
+        |FROM (WITH ${kcoreChain(k, rounds)}
+        |  SELECT surv.id, COALESCE(cd.core_degree, 0) AS core_degree
+        |  FROM surv LEFT JOIN coreD cd ON cd.id = surv.id) c$k"""
+    }.mkString("\n|UNION ALL\n|") + "\n|ORDER BY k"
 
   /** The m12 gear-boundary replay CTE chain (through the per-doc DISTINCT
     * chunk set `d` and its sizes `sz`) — shared by the all-pairs CDC query
@@ -1949,6 +1970,18 @@ object ExtensionQueries {
         Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text"),
         k = 2, rounds = 4)
         .orderBy("id")
+    },
+
+    // Degeneracy profile (g09): the k-core sweep — survivors and
+    // within-core edges per k, the curve a curation owner reads to pick
+    // the block-cut threshold (the k where it hits zero bounds the
+    // graph's degeneracy). Shares the persisted edge set across sweep
+    // points; NULL edges mark an empty core on both engines.
+    "g09_degeneracy_profile" -> of(kcoreProfileOracle(Seq(2, 3, 4), 4)) { (s, d) =>
+      graft.operators.GraphOps.kCoreProfile(
+        Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text"),
+        ks = Seq(2, 3, 4), rounds = 4)
+        .orderBy("k")
     },
 
     // Degree assortativity (g08): one Pearson number separating
@@ -3518,6 +3551,16 @@ object ExtensionQueries {
     // are a stateless post-agg projection). AvailableNow complete-mode
     // emission equals the batch scorer, so the t40 oracle grades the
     // streaming plan verbatim.
+    //
+    // Measured cost, stated honestly (bench r12, sf0.1): 17.5 s / 35 s CPU
+    // for the one-shot gate vs ~0.5 s batch — the stateful STREAMING
+    // aggregation pays state-store serialization of the per-doc list
+    // buffers, a cost class the batch ObjectHashAggregate never sees. The
+    // parity gate runs once per ingest, so this is acceptable here; a
+    // latency-sensitive deployment would restate the fold as
+    // flatMapGroupsWithState carrying (count, running sum) per doc — the
+    // e33 funnel pattern — at the price of a second fold definition to
+    // keep in lockstep.
     "e39_stream_kn_score" -> of(knScoreSql) { (s, d) =>
       import graft.streaming.{EventsStream, ScreenStream}
       val docs = t(s, d, "documents")

@@ -1030,6 +1030,30 @@ class PipelineOpsSpec extends SparkSpec {
     assert(graft.operators.GraphOps.kCore(pairs, k = 4, rounds = 4).count() === 0L)
   }
 
+  test("kCoreProfile: equals per-k kCore aggregates; survivors monotone non-increasing in k") {
+    import spark.implicits._
+    // K4 + chain + triangle (the kCore fixture): degeneracy 3 (K4's core)
+    val pairs = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 9L), (9L, 10L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L)).toDF("id_a", "id_b")
+    val prof = graft.operators.GraphOps.kCoreProfile(pairs, Seq(1, 2, 3, 4), rounds = 4)
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2)))).toMap
+    for (k <- Seq(1, 2, 3, 4)) {
+      val core = graft.operators.GraphOps.kCore(pairs, k, rounds = 4)
+      val nodes = core.count()
+      val edges = if (nodes == 0) -1L
+        else core.agg((sum(col("core_degree")) / 2).cast("long")).head().getLong(0)
+      assert(prof(k) === ((nodes, edges)), s"profile row k=$k")
+    }
+    // the curve: all 10 nodes at k=1, K4+triangle at k=2, K4 alone at k=3, end at 4
+    assert(prof(1)._1 === 10L && prof(2)._1 === 7L &&
+      prof(3) === ((4L, 6L)) && prof(4) === ((0L, -1L)))
+    val survivors = Seq(1, 2, 3, 4).map(prof(_)._1)
+    assert(survivors === survivors.sorted.reverse)
+  }
+
   test("degreeAssortativity: matches a plain-Scala Pearson; star graph is degenerate-negative") {
     import spark.implicits._
     // square + diagonal + pendant (mixed degrees), canonicalization noise
