@@ -1096,10 +1096,14 @@ object Similarity {
     * standard MIH truncation (at the default 4×8 bands a radius-6 pair
     * with differences spread 2+2+1+1 is missed) — size `bands` to the
     * radius you need guaranteed, exactly as the candidate-volume doc on
-    * [[mihHammingNeighbors]] prescribes.
+    * [[mihHammingNeighbors]] prescribes. The DEFAULT radius is the
+    * guaranteed bands−1; asking for a larger radius is an explicit
+    * opt-in to the truncated-recall regime (callers that do so should
+    * say why, or use the band-ball probe variant for the 2·bands−1
+    * guarantee).
     */
   def mihHammingScreen(fresh: DataFrame, corpus: DataFrame, idCol: String,
-                       vecCol: String, radius: Int = 6,
+                       vecCol: String, radius: Int = 3,
                        bands: Int = 4, bandBits: Int = 8,
                        planeOffset: Int = 100): DataFrame = {
     graft.functions.NativeFunctions.register(fresh.sparkSession)
@@ -1180,7 +1184,7 @@ object Similarity {
     */
   def mihHammingScreenIndexed(fresh: DataFrame, index: MihIndex,
                               idCol: String, vecCol: String,
-                              radius: Int = 6): DataFrame = {
+                              radius: Int = 3): DataFrame = {
     val spark = fresh.sparkSession
     graft.functions.NativeFunctions.register(spark)
     val signs = hyperplaneSigns(spark, index.bands * index.bandBits,

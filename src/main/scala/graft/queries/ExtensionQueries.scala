@@ -2097,7 +2097,7 @@ object ExtensionQueries {
     // least one exact band (pigeonhole-complete for Hamming radius 3),
     // ranked by full-code Hamming (integer xor/bit_count — codes move,
     // floats only for the coarse-40 re-rank). The oracle recomputes bits
-    // from the dumped ±1 planes (AuxDumps "hyperplanes64"), repacks the
+    // from the dumped ±1 planes (AuxDumps "mih_planes"), repacks the
     // band values, and replays band-join, Hamming ranking and the exact
     // cosine re-rank in SQL.
     "s22_mih_hamming" -> of(
@@ -3542,34 +3542,28 @@ object ExtensionQueries {
         .orderBy("doc_id")
     },
 
-    // STREAMING KN fluency scoring (e39) — t40 live, and the proof that
-    // the scoring fold is stream-legal AS WRITTEN: documents arrive as a
-    // stream and flow through the SAME CorpusOps.bigramLogprob call as
-    // the batch query (posexplode stateless, the LM broadcast join
-    // stream-static, the one stateful op the per-doc position-list
-    // aggregate whose state is bounded by doc length; the fold + divide
-    // are a stateless post-agg projection). AvailableNow complete-mode
-    // emission equals the batch scorer, so the t40 oracle grades the
-    // streaming plan verbatim.
-    //
-    // Measured cost, stated honestly (bench r12, sf0.1): 17.5 s / 35 s CPU
-    // for the one-shot gate vs ~0.5 s batch — the stateful STREAMING
-    // aggregation pays state-store serialization of the per-doc list
-    // buffers, a cost class the batch ObjectHashAggregate never sees. The
-    // parity gate runs once per ingest, so this is acceptable here; a
-    // latency-sensitive deployment would restate the fold as
-    // flatMapGroupsWithState carrying (count, running sum) per doc — the
-    // e33 funnel pattern — at the price of a second fold definition to
-    // keep in lockstep.
+    // STREAMING KN fluency scoring (e39) — t40 live, at production cost
+    // (the r12 `weak` restated, VERDICT r12 #1): the stateless front of
+    // the plan is the batch scorer's verbatim (posexplode, stream-static
+    // LM broadcast join, OOV coalesce), but the fold is
+    // flatMapGroupsWithState carrying ONLY (n_folded, Σlp) per doc — the
+    // e33 funnel pattern — instead of the first shape's complete-mode
+    // collect_list aggregate whose per-doc position-list state cost
+    // 18.5 s / 35 s CPU at sf0.1 (10% of the whole r12 bench). Append
+    // emission: one row per doc, batch-fold-bit-identical because each
+    // group sorts its batch arrivals by position and folds onto the
+    // carried sum (StreamingSpec pins parity against
+    // CorpusOps.bigramLogprob); the t40 oracle grades the plan verbatim.
     "e39_stream_kn_score" -> of(knScoreSql) { (s, d) =>
-      import graft.streaming.{EventsStream, ScreenStream}
+      import graft.streaming.{EventsStream, KnScoreStream, ScreenStream}
       val docs = t(s, d, "documents")
       val lm = graft.operators.CorpusOps.kneserNeyLm(docs, "doc_id", "text")
-      val scored = graft.operators.CorpusOps.bigramLogprob(
+      val scored = KnScoreStream.score(
         ScreenStream.readDocs(s, d), "doc_id", "text",
         lm.select(col("bg"), col("lp")), -20.0)
       val sinkName = s"stream_kn_${sinkCounter.incrementAndGet()}"
-      EventsStream.runAvailableNow(scored, sinkName, outputMode = "complete")
+      EventsStream.runAvailableNow(scored.toDF(), sinkName,
+        outputMode = "append")
       s.table(sinkName).orderBy("doc_id")
     },
 

@@ -1077,6 +1077,57 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty,
       "post-restart grid diverged from the batch grid over the full feed")
   }
+
+  test("e39: incremental-state streaming KN fold == batch bigramLogprob, bit-exact") {
+    import graft.streaming.{KnScoreStream, ScreenStream}
+    import graft.operators.CorpusOps
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val lm = CorpusOps.kneserNeyLm(docs, "doc_id", "text")
+      .select(col("bg"), col("lp"))
+    val stream = ScreenStream.readDocs(spark, dir)
+    assert(stream.isStreaming)
+    EventsStream.runAvailableNow(
+      KnScoreStream.score(stream, "doc_id", "text", lm).toDF(),
+      "stream_kn_parity", outputMode = "append")
+    val streamed = spark.table("stream_kn_parity")
+    val batch = CorpusOps.bigramLogprob(docs, "doc_id", "text", lm, -20.0)
+    assert(streamed.count() > 0)
+    // append mode + whole-doc delivery: exactly ONE emission per doc, and
+    // the doubles bit-match the batch position-ordered fold (except is
+    // bitwise on doubles)
+    assert(streamed.count() === batch.count())
+    assert(streamed.except(batch).count() === 0)
+    assert(batch.except(streamed).count() === 0)
+  }
+
+  test("e39 step: cross-batch running fold seeds from state, sorts within batch") {
+    import graft.streaming.KnScoreStream
+    import org.apache.spark.api.java.Optional
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    val rows = Seq.tabulate(7)(i =>
+      KnScoreStream.BgRow(1L, 7L, i, -0.5 - i * 0.125))
+    // batch-fold reference: positions in order from a 0.0 seed
+    val full = rows.foldLeft(0.0)((a, r) => a + r.lp)
+    // batch 1 delivers positions 0..3 shuffled; batch 2 delivers 4..6
+    val s1 = TestGroupState.create[KnScoreStream.DocState](
+      Optional.empty(), GroupStateTimeout.NoTimeout, 0L,
+      Optional.empty[java.lang.Long]().asInstanceOf[Optional[Long]],
+      hasTimedOut = false)
+    val out1 = KnScoreStream.step(1L,
+      Iterator(rows(3), rows(0), rows(2), rows(1)), s1).toList
+    assert(out1.map(_.n_bigrams) === List(7L))
+    assert(s1.get.nFolded === 4L)
+    val s2 = TestGroupState.create[KnScoreStream.DocState](
+      Optional.of(s1.get), GroupStateTimeout.NoTimeout, 0L,
+      Optional.empty[java.lang.Long]().asInstanceOf[Optional[Long]],
+      hasTimedOut = false)
+    val out2 = KnScoreStream.step(1L,
+      Iterator(rows(6), rows(4), rows(5)), s2).toList
+    assert(s2.get.nFolded === 7L)
+    // the carried sum makes the two-batch fold BIT-equal to the one-shot
+    // position-ordered fold
+    assert(out2.head.mean_logprob === full / 7.0)
+  }
 }
 
 /** Latches for the single-runner guard test; top-level so the UDF closure
