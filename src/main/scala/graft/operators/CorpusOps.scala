@@ -639,12 +639,18 @@ object CorpusOps {
   def bigramLogprob(docs: DataFrame, idCol: String, textCol: String,
                     lm: DataFrame, oovLp: Double): DataFrame = {
     val bgArr = wordShingles(tokens(col(textCol)), 2)
+    // n_bigrams is the per-doc ROW COUNT, not size(bgArr) carried through
+    // the explode: the left join preserves every exploded row, so the two
+    // are equal by construction — and the size() variant was a measured
+    // O(doc_len²) trap (r13): after ExtractGenerator splits the select,
+    // column pruning re-inlines the whole tokenize+shingle HOF into the
+    // post-Generate projection, re-evaluated per EXPLODED row, interpreted
+    // (HOFs don't codegen). 18s vs 2s on the e39 stream at sf0.1.
     docs
-      .select(col(idCol), size(bgArr).cast("long").as("__nb"),
-        posexplode(bgArr).as(Seq("pos", "bg")))
+      .select(col(idCol), posexplode(bgArr).as(Seq("pos", "bg")))
       .join(broadcast(lm.select(col("bg"), col("lp"))), Seq("bg"), "left")
       .groupBy(col(idCol))
-      .agg(max(col("__nb")).as("n_bigrams"),
+      .agg(count(lit(1)).as("n_bigrams"),
         aggregate(
           array_sort(collect_list(
             struct(col("pos"), coalesce(col("lp"), lit(oovLp)).as("lp")))),

@@ -317,6 +317,16 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan.take(800))
     assert(!plan.contains("SortMergeJoin"),
       s"the token stream must never shuffle for the LM lookup:\n${plan.take(800)}")
+    // r13: the tokenize+shingle HOF must be evaluated ONCE per doc, inside
+    // the Generate — carrying size(bgArr) through the explode made column
+    // pruning re-inline the whole HOF into the post-Generate PROJECT,
+    // re-evaluated per EXPLODED row, interpreted: O(doc_len²) per doc
+    // (measured 18s vs 2s on the e39 stream at sf0.1). Generate nodes may
+    // carry the HOF; Project nodes never.
+    val hofProjects = plan.linesIterator.filter(l =>
+      l.contains("Project") && l.contains("transform(")).toSeq
+    assert(hofProjects.isEmpty,
+      s"shingle HOF re-inlined into a Project:\n${hofProjects.mkString("\n")}")
   }
 
   test("g02: triangle census is all equi-joins — no cartesian, no nested loop") {

@@ -1105,7 +1105,7 @@ class StreamingSpec extends SparkSpec {
     import org.apache.spark.api.java.Optional
     import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
     val rows = Seq.tabulate(7)(i =>
-      KnScoreStream.BgRow(1L, 7L, i, -0.5 - i * 0.125))
+      KnScoreStream.BgRow(1L, i, -0.5 - i * 0.125))
     // batch-fold reference: positions in order from a 0.0 seed
     val full = rows.foldLeft(0.0)((a, r) => a + r.lp)
     // batch 1 delivers positions 0..3 shuffled; batch 2 delivers 4..6
@@ -1115,7 +1115,8 @@ class StreamingSpec extends SparkSpec {
       hasTimedOut = false)
     val out1 = KnScoreStream.step(1L,
       Iterator(rows(3), rows(0), rows(2), rows(1)), s1).toList
-    assert(out1.map(_.n_bigrams) === List(7L))
+    // partial emission reports the rows folded SO FAR
+    assert(out1.map(_.n_bigrams) === List(4L))
     assert(s1.get.nFolded === 4L)
     val s2 = TestGroupState.create[KnScoreStream.DocState](
       Optional.of(s1.get), GroupStateTimeout.NoTimeout, 0L,
@@ -1124,6 +1125,7 @@ class StreamingSpec extends SparkSpec {
     val out2 = KnScoreStream.step(1L,
       Iterator(rows(6), rows(4), rows(5)), s2).toList
     assert(s2.get.nFolded === 7L)
+    assert(out2.head.n_bigrams === 7L)
     // the carried sum makes the two-batch fold BIT-equal to the one-shot
     // position-ordered fold
     assert(out2.head.mean_logprob === full / 7.0)
