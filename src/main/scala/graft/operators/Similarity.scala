@@ -1096,21 +1096,32 @@ object Similarity {
     * standard MIH truncation (at the default 4×8 bands a radius-6 pair
     * with differences spread 2+2+1+1 is missed) — size `bands` to the
     * radius you need guaranteed, exactly as the candidate-volume doc on
-    * [[mihHammingNeighbors]] prescribes. The DEFAULT radius is the
-    * guaranteed bands−1; asking for a larger radius is an explicit
-    * opt-in to the truncated-recall regime (callers that do so should
-    * say why, or use the band-ball probe variant for the 2·bands−1
-    * guarantee).
+    * [[mihHammingNeighbors]] prescribes, or raise `probeBallRadius`. The
+    * DEFAULT radius is the guaranteed bands−1; asking for a larger radius
+    * without widening the probe ball is an explicit opt-in to the
+    * truncated-recall regime.
+    *
+    * `probeBallRadius` is Norouzi et al.'s actual search procedure
+    * (CVPR'12 §3.1): probe each band index not just at the query's exact
+    * band value but at every value within Hamming distance
+    * ≤ `probeBallRadius` of it in BAND space. At 1 that is the value
+    * plus its `bandBits` single-bit flips — (bandBits+1)× fan-out on the
+    * FRESH side only (the s15 multi-probe economics: the corpus/index
+    * side is untouched, so the standing layout serves any ball radius) —
+    * and the pigeonhole guarantee lifts to radius
+    * (probeBallRadius+1)·bands − 1: a pair within 2·bands−1 must have
+    * some band with ≤ 1 differing bits, which the ball reaches exactly.
     */
   def mihHammingScreen(fresh: DataFrame, corpus: DataFrame, idCol: String,
                        vecCol: String, radius: Int = 3,
                        bands: Int = 4, bandBits: Int = 8,
-                       planeOffset: Int = 100): DataFrame = {
+                       planeOffset: Int = 100,
+                       probeBallRadius: Int = 0): DataFrame = {
     graft.functions.NativeFunctions.register(fresh.sparkSession)
     val signs = hyperplaneSigns(fresh.sparkSession, bands * bandBits,
       planeOffset, vectorDim(corpus, vecCol))
-    val f = mihCodeBands(fresh, idCol, vecCol, "fresh_id", "f_code",
-      signs, bands, bandBits)
+    val f = ballProbes(mihCodeBands(fresh, idCol, vecCol, "fresh_id",
+      "f_code", signs, bands, bandBits), bandBits, probeBallRadius)
     val c = mihCodeBands(corpus, idCol, vecCol, "corpus_id", "c_code",
       signs, bands, bandBits)
     f.join(c, Seq("band", "band_val"))
@@ -1119,6 +1130,29 @@ object Similarity {
         mihHamming(col("f_code"), col("c_code"), bands).as("hamming"))
       .filter(col("hamming") <= radius)
       .distinct()
+  }
+
+  /** Expand each fresh band row into its Hamming BALL in band space: the
+    * band value itself plus, at `ballRadius` 1, every single-bit flip —
+    * one explode over a (bandBits+1)-element array built from the
+    * materialized `band_val` column (cheap integer XORs; nothing about
+    * the code is recomputed). Probing is fresh-side only, so a standing
+    * corpus index serves any ball radius unchanged. Radius > 1 is not
+    * implemented: the ball grows as C(bandBits, r) and the guarantee
+    * step (bands·(r+1)−1) is better bought with more bands.
+    */
+  private def ballProbes(bandRows: DataFrame, bandBits: Int,
+                         ballRadius: Int): DataFrame = {
+    require(ballRadius >= 0 && ballRadius <= 1,
+      s"probeBallRadius must be 0 or 1, got $ballRadius")
+    if (ballRadius == 0) bandRows
+    else {
+      val ball = array((col("band_val") +:
+        (0 until bandBits).map(b =>
+          col("band_val").bitwiseXOR(lit(1L << b)))): _*)
+      bandRows.select(bandRows.columns.filter(_ != "band_val").map(col) :+
+        explode(ball).as("band_val"): _*)
+    }
   }
 
   /** A standing MIH code table: the [[mihCodeBands]] layout written
@@ -1184,13 +1218,15 @@ object Similarity {
     */
   def mihHammingScreenIndexed(fresh: DataFrame, index: MihIndex,
                               idCol: String, vecCol: String,
-                              radius: Int = 3): DataFrame = {
+                              radius: Int = 3,
+                              probeBallRadius: Int = 0): DataFrame = {
     val spark = fresh.sparkSession
     graft.functions.NativeFunctions.register(spark)
     val signs = hyperplaneSigns(spark, index.bands * index.bandBits,
       index.planeOffset, index.dim)
-    val f = mihCodeBands(fresh, idCol, vecCol, "fresh_id", "f_code",
-      signs, index.bands, index.bandBits)
+    val f = ballProbes(mihCodeBands(fresh, idCol, vecCol, "fresh_id",
+      "f_code", signs, index.bands, index.bandBits),
+      index.bandBits, probeBallRadius)
     f.join(spark.table(index.codes), Seq("band", "band_val"))
       .filter(col("fresh_id") =!= col("corpus_id"))
       .select(col("fresh_id"), col("corpus_id"),

@@ -837,6 +837,25 @@ object ExtensionQueries {
       |SELECT fresh_id, corpus_id, hamming FROM ham WHERE hamming <= 6
       |ORDER BY fresh_id, corpus_id""".stripMargin
 
+  /** The s26 band-BALL screen oracle — deliberately NOT a replay of the
+    * band-probe plan: it brute-forces EVERY fresh×corpus pair's full-code
+    * Hamming distance and keeps radius ≤ 7 = 2·bands−1, the distance the
+    * ball-probe pigeonhole guarantees complete. The Spark side only
+    * matches if the band-gated candidate stage truly loses nothing at
+    * that radius — the oracle PROVES the completeness claim instead of
+    * reproducing the candidate logic.
+    */
+  private val mihBallScreenSql =
+    s"""WITH $mihCodesCtes,
+      |ham AS (
+      |  SELECT a.vec_id AS fresh_id, b.vec_id AS corpus_id,
+      |    CAST(SUM(bit_count(xor(a.band_val, b.band_val))) AS BIGINT) AS hamming
+      |  FROM codes a JOIN codes b ON b.band = a.band
+      |  WHERE a.vec_id % 8 = 0 AND b.vec_id % 8 <> 0
+      |  GROUP BY 1, 2)
+      |SELECT fresh_id, corpus_id, hamming FROM ham WHERE hamming <= 7
+      |ORDER BY fresh_id, corpus_id""".stripMargin
+
   /** DuckDB's list-lambda cosine over two DOUBLE[] expressions — the exact
     * per-pair formula every embedding oracle folds.
     */
@@ -2162,6 +2181,23 @@ object ExtensionQueries {
       Similarity.mihHammingScreenIndexed(
         e.filter(col("vec_id") % 8 === 0), idx, "vec_id", "embedding",
         radius = 6)
+        .orderBy("fresh_id", "corpus_id")
+    },
+
+    // Band-BALL MIH screen (s26): s23 running Norouzi et al.'s actual
+    // search procedure — each fresh band probes its band value AND every
+    // single-bit flip (probeBallRadius=1, (bandBits+1)× fresh-side
+    // fan-out only; the corpus side is untouched), lifting the pigeonhole
+    // guarantee from bands−1=3 to 2·bands−1=7. The oracle is a BRUTE
+    // FORCE over all fresh×corpus code pairs at radius 7: it matches only
+    // if the band-gated plan is genuinely complete at that radius — the
+    // spread-bits pairs (e.g. 2+2+1+1) that exact-band matching provably
+    // misses (ExtensionSpec pins the miss) must all be found.
+    "s26_mih_ball_screen" -> of(mihBallScreenSql) { (s, d) =>
+      val e = t(s, d, "embeddings")
+      Similarity.mihHammingScreen(e.filter(col("vec_id") % 8 === 0),
+        e.filter(col("vec_id") % 8 =!= 0), "vec_id", "embedding",
+        radius = 7, probeBallRadius = 1)
         .orderBy("fresh_id", "corpus_id")
     },
 

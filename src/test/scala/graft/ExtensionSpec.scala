@@ -246,6 +246,42 @@ class ExtensionSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("MIH band-ball screen: complete at 2·bands−1; exact-band provably misses spread pairs") {
+    val codes = mihCodes
+    val fresh = codes.keySet.filter(_ % 8 == 0)
+    val corpus = codes.keySet.filterNot(_ % 8 == 0)
+    // ground truth: EVERY pair within radius 7 — no band condition at all
+    val all7 = (for {
+      f <- fresh; c <- corpus
+      h = mihHam(codes(f), codes(c)) if h <= 7
+    } yield (f, c) -> h.toLong).toMap
+    val ball = Similarity.mihHammingScreen(
+      embs.filter(col("vec_id") % 8 === 0),
+      embs.filter(col("vec_id") % 8 =!= 0), "vec_id", "embedding",
+      radius = 7, probeBallRadius = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // the pigeonhole guarantee: ≤ 2·bands−1 ⇒ some band has ≤ 1 differing
+    // bits ⇒ the single-bit-flip ball reaches it — nothing may be missed
+    assert(ball === all7)
+    assert(ball.nonEmpty)
+    // spread pairs (no band exactly equal, e.g. bit differences 2+2+1+1):
+    // exact-band matching misses EXACTLY these — the structural identity
+    // the s23 truncation doc claims
+    val spread = all7.keySet.filter { case (f, c) =>
+      (0 until 4).forall(j => codes(f)(j) != codes(c)(j))
+    }
+    val exact = Similarity.mihHammingScreen(
+      embs.filter(col("vec_id") % 8 === 0),
+      embs.filter(col("vec_id") % 8 =!= 0), "vec_id", "embedding",
+      radius = 7, probeBallRadius = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact === all7.keySet -- spread)
+    // the fixture genuinely exercises the upgrade: spread pairs exist, so
+    // the ball screen finds pairs the exact-band screen provably cannot
+    assert(spread.nonEmpty,
+      "fixture has no spread pair — the completeness upgrade is untested")
+  }
+
   test("indexed MIH screen == direct screen; indexed gear screen == direct screen") {
     import graft.operators.{Multimodal, Similarity}
     val fresh = embs.filter(col("vec_id") % 8 === 0)
