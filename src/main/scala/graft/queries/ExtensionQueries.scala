@@ -675,6 +675,53 @@ object ExtensionQueries {
       |  FROM dlast WHERE ds >= $k AND dt >= $k GROUP BY s)"""
   }
 
+  /** The g10 coreness-decomposition oracle: the SEQUENTIAL fixed-round
+    * peel replayed over the symmetrized edge state — for k = 1..kMax,
+    * `rounds` window-filter CTEs at threshold k, each level resuming from
+    * the previous level's final edge set (exactly
+    * GraphOps.corenessDecomposition's schedule). Level-k survivors are
+    * nodes with degree ≥ k in the level's LAST-round input (the g07
+    * dlast subtlety: a survivor whose neighbors all peel in the final
+    * round has no surviving edge but IS alive), coreness = deepest level
+    * survived, 0 for level-1 drops. Each CTE references its predecessor
+    * once; the per-level survivor reads re-reference one mid-chain window
+    * CTE each — kMax extra window passes, linear, never the 2-refs-per-
+    * round 4^rounds inlining trap.
+    */
+  private def corenessOracle(kMax: Int, rounds: Int): String = {
+    require(kMax >= 1 && rounds >= 1)
+    val chain = (1 to kMax).flatMap { k =>
+      (1 to rounds).map { i =>
+        val prev =
+          if (i > 1) s"e${k}_${i - 1}"
+          else if (k == 1) "sym0"
+          else s"e${k - 1}_$rounds"
+        s"""w${k}_$i AS (
+          |  SELECT s, t, COUNT(*) OVER (PARTITION BY s) AS ds,
+          |    COUNT(*) OVER (PARTITION BY t) AS dt
+          |  FROM $prev),
+          |e${k}_$i AS (SELECT s, t FROM w${k}_$i WHERE ds >= $k AND dt >= $k)"""
+      }
+    }.mkString(",\n|")
+    val survs = (1 to kMax).map { k =>
+      s"""surv$k AS (SELECT DISTINCT s AS id FROM w${k}_$rounds WHERE ds >= $k)"""
+    }.mkString(",\n|")
+    val union = (1 to kMax).map(k => s"SELECT id, $k AS k FROM surv$k")
+      .mkString("\n|    UNION ALL ")
+    s"""WITH ${jaccardCtes(None)},
+      |und AS (SELECT id_a AS a, id_b AS b FROM jp WHERE id_a <> id_b),
+      |allN AS (SELECT DISTINCT id FROM (SELECT unnest([a, b]) AS id FROM und) n),
+      |sym0 AS (SELECT a AS s, b AS t FROM und UNION ALL SELECT b, a FROM und),
+      |$chain,
+      |$survs,
+      |lab AS (
+      |  SELECT id, CAST(MAX(k) AS BIGINT) AS coreness FROM (
+      |    $union) u GROUP BY id)
+      |SELECT n.id, COALESCE(l.coreness, 0) AS coreness
+      |FROM allN n LEFT JOIN lab l ON l.id = n.id
+      |ORDER BY n.id"""
+  }
+
   /** The g09 degeneracy-profile oracle: one peel chain per k, each mounted
     * as a subquery-local WITH, rolled up to (k, nodes, edges) and
     * union-stacked. SUM over an empty core is NULL on both engines — the
@@ -2001,6 +2048,19 @@ object ExtensionQueries {
         Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text"),
         ks = Seq(2, 3, 4), rounds = 4)
         .orderBy("k")
+    },
+
+    // One-pass coreness DECOMPOSITION (g10): per-node coreness via the
+    // sequential min-degree peel — level k resumes from level k−1's
+    // survivors, so the whole degeneracy curve (any k granularity) costs
+    // ONE decomposition instead of g09's full peel per sweep point, and
+    // the coreness column is what curation joins on. The oracle replays
+    // the identical level-by-level fixed-round schedule.
+    "g10_coreness" -> of(corenessOracle(4, 4)) { (s, d) =>
+      graft.operators.GraphOps.corenessDecomposition(
+        Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text"),
+        kMax = 4, rounds = 4)
+        .orderBy("id")
     },
 
     // Degree assortativity (g08): one Pearson number separating

@@ -1054,6 +1054,56 @@ class PipelineOpsSpec extends SparkSpec {
     assert(survivors === survivors.sorted.reverse)
   }
 
+  /** Plain-Scala replica of the SEQUENTIAL fixed-round decomposition
+    * (level k resumes from level k−1's survivors).
+    */
+  private def corenessRef(und: Set[(Long, Long)], kMax: Int,
+                          rounds: Int): Map[Long, Long] = {
+    val all = und.flatMap(e => Set(e._1, e._2))
+    var alive = all
+    val label = scala.collection.mutable.Map.empty[Long, Long]
+    for (k <- 1 to kMax) {
+      for (_ <- 1 to rounds) {
+        val kept = und.filter(e => alive(e._1) && alive(e._2))
+        val deg = kept.toSeq.flatMap(e => Seq(e._1, e._2))
+          .groupBy(identity).view.mapValues(_.size).toMap
+        alive = alive.filter(v => deg.getOrElse(v, 0) >= k)
+      }
+      alive.foreach(v => label(v) = k.toLong)
+    }
+    all.map(v => v -> label.getOrElse(v, 0L)).toMap
+  }
+
+  test("corenessDecomposition: matches the sequential peel; exact coreness; curve derives from labels") {
+    import spark.implicits._
+    // K4 + pendant chain + triangle (the kCore fixture): true coreness is
+    // 3 on K4 (incl. node 4 despite its chain edge), 1 on the chain,
+    // 2 on the triangle — 4 converged rounds per level reach it exactly
+    val pairs = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 9L), (9L, 10L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L),
+      (2L, 1L), (9L, 9L)).toDF("id_a", "id_b")
+    val und = Set((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 9L), (9L, 10L), (10L, 11L), (20L, 21L), (21L, 22L), (20L, 22L))
+    val got = graft.operators.GraphOps.corenessDecomposition(pairs, 4, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === corenessRef(und, 4, 4))
+    assert(got(1L) === 3L && got(4L) === 3L)
+    assert(got(9L) === 1L && got(11L) === 1L)
+    assert(got(20L) === 2L && got(22L) === 2L)
+    // the whole degeneracy curve derives from ONE decomposition: nodes
+    // (and und edges) with coreness ≥ k == kCoreProfile's per-k peel
+    val prof = graft.operators.GraphOps.kCoreProfile(pairs, Seq(1, 2, 3, 4), rounds = 4)
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2)))).toMap
+    for (k <- 1 to 4) {
+      val nodes = got.count(_._2 >= k).toLong
+      val edges = und.count(e => got(e._1) >= k && got(e._2) >= k).toLong
+      assert((nodes, if (nodes == 0) -1L else edges) === prof(k), s"curve k=$k")
+    }
+  }
+
   test("degreeAssortativity: matches a plain-Scala Pearson; star graph is degenerate-negative") {
     import spark.implicits._
     // square + diagonal + pendant (mixed degrees), canonicalization noise
