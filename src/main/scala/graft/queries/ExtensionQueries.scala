@@ -3853,6 +3853,119 @@ object ExtensionQueries {
         .orderBy("source")
     },
 
+    // Multimodal corpus-build recipe v3 (t42, VERDICT r12 #5): the three
+    // round-12 ingest-screen families COMPOSED into one accept/reject
+    // report. A fresh batch (the byte-shifted media twins ≥ 100000 plus
+    // the %7 doc split) runs, in order: (1) gear-CDC chunk screen —
+    // byte-level shifted copies, the most mechanical dup class; (2) text
+    // shingle-Jaccard screen over stage-1 SURVIVORS; (3) MIH Hamming
+    // screen (radius 3 = the guaranteed band radius) over stage-1+2
+    // survivors that HAVE embeddings (the shifted twins don't — media
+    // without a vector passes the semantic stage by construction,
+    // documented). STAGE ORDER IS LOAD-BEARING twice: each stage screens
+    // only the previous survivors (later, costlier stages do less work —
+    // the production layering), and the verdict attributes each reject to
+    // its FIRST-rejecting stage (a shifted copy reports media_dup even
+    // though the text screen would also catch it). The oracle computes
+    // the three reject sets in full and applies the same priority — label
+    // -identical because survivors-only screening equals full screening
+    // minus earlier rejects on a fixed corpus.
+    "t42_multimodal_recipe" -> of(
+      s"""WITH $gearChunkSetCtes,
+        |gsh AS (
+        |  SELECT a.doc_id AS fid, b.doc_id AS cid, CAST(COUNT(*) AS BIGINT) AS inter
+        |  FROM d a JOIN d b ON a.chunk_hex = b.chunk_hex
+        |  WHERE (a.doc_id >= 100000 OR a.doc_id % 7 = 0)
+        |    AND b.doc_id < 100000 AND b.doc_id % 7 <> 0
+        |  GROUP BY 1, 2),
+        |gr AS (
+        |  SELECT DISTINCT gsh.fid AS doc_id
+        |  FROM gsh JOIN sz sa ON sa.doc_id = gsh.fid
+        |  JOIN sz sb ON sb.doc_id = gsh.cid
+        |  WHERE CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.4),
+        |tdocs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, '~' || text FROM documents WHERE doc_id < 20),
+        |ttoks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM tdocs),
+        |tsh AS (
+        |  SELECT DISTINCT doc_id,
+        |    tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] AS shingle
+        |  FROM ttoks, UNNEST(range(1, len(tk) - 2)) AS u(i)),
+        |tsizes AS (SELECT doc_id, COUNT(*) AS set_size FROM tsh GROUP BY doc_id),
+        |tinter AS (
+        |  SELECT f.doc_id AS fid, c.doc_id AS cid, COUNT(*) AS inter
+        |  FROM tsh f JOIN tsh c ON f.shingle = c.shingle
+        |  WHERE (f.doc_id >= 100000 OR f.doc_id % 7 = 0)
+        |    AND c.doc_id < 100000 AND c.doc_id % 7 <> 0
+        |  GROUP BY 1, 2),
+        |tr AS (
+        |  SELECT DISTINCT fid AS doc_id FROM tinter
+        |  JOIN tsizes sf ON sf.doc_id = fid
+        |  JOIN tsizes sc ON sc.doc_id = cid
+        |  WHERE inter / (sf.set_size + sc.set_size - inter) >= 0.5),
+        |$mihCodesCtes,
+        |mcand AS (
+        |  SELECT DISTINCT f.vec_id AS fid, c.vec_id AS cid
+        |  FROM codes f JOIN codes c
+        |    ON c.band = f.band AND c.band_val = f.band_val
+        |  WHERE f.vec_id % 7 = 0 AND c.vec_id % 7 <> 0),
+        |mham AS (
+        |  SELECT mc.fid, mc.cid,
+        |    CAST(SUM(bit_count(xor(a.band_val, b.band_val))) AS BIGINT) AS hamming
+        |  FROM mcand mc JOIN codes a ON a.vec_id = mc.fid
+        |  JOIN codes b ON b.vec_id = mc.cid AND b.band = a.band
+        |  GROUP BY 1, 2),
+        |mr AS (SELECT DISTINCT fid AS doc_id FROM mham WHERE hamming <= 3),
+        |freshset AS (
+        |  SELECT doc_id FROM tdocs WHERE doc_id >= 100000 OR doc_id % 7 = 0)
+        |SELECT f.doc_id,
+        |  CASE WHEN gr.doc_id IS NOT NULL THEN 'media_dup'
+        |       WHEN tr.doc_id IS NOT NULL THEN 'text_dup'
+        |       WHEN mr.doc_id IS NOT NULL THEN 'embedding_dup'
+        |       ELSE 'accepted' END AS verdict
+        |FROM freshset f
+        |LEFT JOIN gr ON gr.doc_id = f.doc_id
+        |LEFT JOIN tr ON tr.doc_id = f.doc_id
+        |LEFT JOIN mr ON mr.doc_id = f.doc_id
+        |ORDER BY f.doc_id""") { (s, d) =>
+      import graft.operators.{Dedup, Multimodal, Similarity}
+      val docs = t(s, d, "documents")
+      val media = shiftedMediaCorpus(s, d)
+      val mediaRejects = Multimodal.incrementalGearChunkPairs(
+        media.filter(col("doc_id") >= 100000 || col("doc_id") % 7 === 0),
+        media.filter(col("doc_id") < 100000 && col("doc_id") % 7 =!= 0),
+        threshold = 0.4)
+        .select(col("fresh_id").as("doc_id")).distinct()
+      val freshText = docs.filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id"), col("text"))
+        .unionByName(docs.filter(col("doc_id") < 20)
+          .select((col("doc_id") + 100000).cast("long").as("doc_id"),
+            concat(lit("~"), col("text")).as("text")))
+      val s1 = freshText.join(mediaRejects, Seq("doc_id"), "left_anti")
+      val textRejects = Dedup.incrementalJaccardPairs(
+        s1, docs.filter(col("doc_id") % 7 =!= 0), "doc_id", "text")
+        .select(col("fresh_id").as("doc_id")).distinct()
+      val s2 = s1.join(textRejects, Seq("doc_id"), "left_anti")
+      val embs = t(s, d, "embeddings")
+      val embRejects = Similarity.mihHammingScreen(
+        embs.filter(col("vec_id") % 7 === 0)
+          .join(s2.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi"),
+        embs.filter(col("vec_id") % 7 =!= 0), "vec_id", "embedding",
+        radius = 3)
+        .select(col("fresh_id").as("doc_id")).distinct()
+      freshText.select(col("doc_id"))
+        .join(mediaRejects.withColumn("__m", lit(1)), Seq("doc_id"), "left")
+        .join(textRejects.withColumn("__t", lit(1)), Seq("doc_id"), "left")
+        .join(embRejects.withColumn("__e", lit(1)), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("__m") === 1, "media_dup")
+            .when(col("__t") === 1, "text_dup")
+            .when(col("__e") === 1, "embedding_dup")
+            .otherwise("accepted").as("verdict"))
+        .orderBy("doc_id")
+    },
+
     // Checksum-validated card-number screen (t37): the PII rung beyond
     // t11's regex-only pass — candidates are 13–19-digit runs (optional
     // space/dash grouping), but only Luhn-VALID ones are real card shapes
