@@ -622,6 +622,76 @@ object CorpusOps {
             (col("n1b").cast("double") / col("nbg").cast("double"))).as("lp"))
   }
 
+  /** Interpolated Kneser–Ney TRIGRAM LM (t41) — the n=3 rung above
+    * [[kneserNeyLm]], with the standard recursive backoff
+    * (Chen & Goodman '98, eq. 16–18):
+    *
+    *   P(w3|w1w2) = max(c(w1w2w3) − D, 0)/c(w1w2·)
+    *              + D·N1+(w1w2·)/c(w1w2·) · P_mid(w3|w2)
+    *   P_mid(w3|w2) = max(N1+(·w2w3) − D, 0)/N1+(·w2·)
+    *              + D·N1+(w2·)/N1+(·w2·) · P_uni(w3)
+    *   P_uni(w3) = N1+(·w3)/N_bigram_types
+    *
+    * where the MIDDLE level counts trigram TYPES (the continuation-count
+    * insight applied recursively — N1+(·w2w3) = distinct w1 preceding the
+    * bigram, N1+(·w2·) = distinct (w1,w3) pairs around w2, N1+(w2·) =
+    * distinct w3 after w2 in any trigram) and the unigram level counts
+    * bigram types exactly as [[kneserNeyLm]]. All EIGHT sufficient
+    * statistics are exact integer counts — the t41 oracle recounts every
+    * one in SQL, joins on them, and takes only `lp` on faith (t40's trust
+    * envelope, one order up).
+    *
+    * Scale shape: ONE corpus-wide trigram aggregation + one bigram
+    * aggregation, then everything is vocabulary-sized — three
+    * reaggregations of the persisted trigram type table (by (w1,w2), by
+    * (w2,w3), by w2), one of the bigram table, a one-row type total
+    * riding as a broadcast, and the ranked `vocabCap` cut. Returns
+    * (tg, n, ctx, n1f, cont, mid_ctx, mid_n1f, n1b, nbg, lp); feed
+    * (tg, lp) to [[trigramLogprob]].
+    */
+  def kneserNeyTrigramLm(docs: DataFrame, idCol: String, textCol: String,
+                         discount: Double = 0.75,
+                         vocabCap: Int = 262144): DataFrame = {
+    val tgc = Caching.persisted(docs
+      .select(explode(wordShingles(tokens(col(textCol)), 3)).as("tg"))
+      .groupBy(col("tg")).agg(count(lit(1)).as("n"))
+      .withColumn("w1", substring_index(col("tg"), " ", 1))
+      .withColumn("w2",
+        substring_index(substring_index(col("tg"), " ", 2), " ", -1))
+      .withColumn("w3", substring_index(col("tg"), " ", -1)))
+    val bgc = Caching.persisted(docs
+      .select(explode(wordShingles(tokens(col(textCol)), 2)).as("bg"))
+      .groupBy(col("bg")).agg(count(lit(1)).as("bn"))
+      .withColumn("b2", substring_index(col("bg"), " ", -1)))
+    val ctx3 = tgc.groupBy(col("w1"), col("w2"))
+      .agg(sum(col("n")).as("ctx"), count(lit(1)).as("n1f"))
+    val cont3 = tgc.groupBy(col("w2"), col("w3"))
+      .agg(count(lit(1)).as("cont"))
+    val mid = tgc.groupBy(col("w2"))
+      .agg(count(lit(1)).as("mid_ctx"),
+        count_distinct(col("w3")).as("mid_n1f"))
+    val uni = bgc.groupBy(col("b2")).agg(count(lit(1)).as("n1b"))
+      .withColumnRenamed("b2", "w3")
+    val tot = bgc.agg(count(lit(1)).as("nbg"))
+    val d = lit(discount)
+    tgc
+      .join(ctx3, Seq("w1", "w2")).join(cont3, Seq("w2", "w3"))
+      .join(mid, Seq("w2")).join(uni, Seq("w3")).crossJoin(broadcast(tot))
+      .orderBy(col("n").desc, col("tg")).limit(vocabCap)
+      .select(col("tg"), col("n"), col("ctx"), col("n1f"), col("cont"),
+        col("mid_ctx"), col("mid_n1f"), col("n1b"), col("nbg"),
+        log(
+          greatest(col("n").cast("double") - d, lit(0.0)) /
+            col("ctx").cast("double") +
+          (d * col("n1f").cast("double") / col("ctx").cast("double")) *
+            (greatest(col("cont").cast("double") - d, lit(0.0)) /
+               col("mid_ctx").cast("double") +
+             (d * col("mid_n1f").cast("double") /
+                col("mid_ctx").cast("double")) *
+               (col("n1b").cast("double") / col("nbg").cast("double"))))
+          .as("lp"))
+  }
+
   /** Per-document mean bigram log-probability — [[unigramLogprob]]'s n=2
     * sibling (a sharper fluency/perplexity signal: token-ORDER violations
     * score low even when every unigram is common). Out-of-vocab bigrams
@@ -637,26 +707,44 @@ object CorpusOps {
     * are absent from the output — the caller's contract.
     */
   def bigramLogprob(docs: DataFrame, idCol: String, textCol: String,
-                    lm: DataFrame, oovLp: Double): DataFrame = {
-    val bgArr = wordShingles(tokens(col(textCol)), 2)
-    // n_bigrams is the per-doc ROW COUNT, not size(bgArr) carried through
-    // the explode: the left join preserves every exploded row, so the two
-    // are equal by construction — and the size() variant was a measured
-    // O(doc_len²) trap (r13): after ExtractGenerator splits the select,
-    // column pruning re-inlines the whole tokenize+shingle HOF into the
-    // post-Generate projection, re-evaluated per EXPLODED row, interpreted
-    // (HOFs don't codegen). 18s vs 2s on the e39 stream at sf0.1.
+                    lm: DataFrame, oovLp: Double): DataFrame =
+    gramLogprob(docs, idCol, textCol, lm, oovLp, 2, "bg", "n_bigrams")
+
+  /** [[bigramLogprob]]'s n=3 sibling, scoring against a
+    * [[kneserNeyTrigramLm]] (or any (tg, lp) table) — the production
+    * fluency-filter rung (t41). Identical fold, contract and scale shape;
+    * documents with fewer than 3 tokens yield no trigrams and are absent.
+    */
+  def trigramLogprob(docs: DataFrame, idCol: String, textCol: String,
+                     lm: DataFrame, oovLp: Double): DataFrame =
+    gramLogprob(docs, idCol, textCol, lm, oovLp, 3, "tg", "n_trigrams")
+
+  /** The shared n-gram scoring fold: posexplode the k-gram array,
+    * broadcast-join the LM, re-fold per doc SORTED BY POSITION from a 0.0
+    * seed (partition-order-independent floats). The per-doc gram count is
+    * the ROW COUNT, not size(gramArr) carried through the explode: the
+    * left join preserves every exploded row, so the two are equal by
+    * construction — and the size() variant was a measured O(doc_len²)
+    * trap (r13): after ExtractGenerator splits the select, column pruning
+    * re-inlines the whole tokenize+shingle HOF into the post-Generate
+    * projection, re-evaluated per EXPLODED row, interpreted (HOFs don't
+    * codegen) — 18s vs 2s on the e39 stream at sf0.1.
+    */
+  private def gramLogprob(docs: DataFrame, idCol: String, textCol: String,
+                          lm: DataFrame, oovLp: Double, k: Int,
+                          gramCol: String, nCol: String): DataFrame = {
+    val gramArr = wordShingles(tokens(col(textCol)), k)
     docs
-      .select(col(idCol), posexplode(bgArr).as(Seq("pos", "bg")))
-      .join(broadcast(lm.select(col("bg"), col("lp"))), Seq("bg"), "left")
+      .select(col(idCol), posexplode(gramArr).as(Seq("pos", gramCol)))
+      .join(broadcast(lm.select(col(gramCol), col("lp"))), Seq(gramCol), "left")
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_bigrams"),
+      .agg(count(lit(1)).as(nCol),
         aggregate(
           array_sort(collect_list(
             struct(col("pos"), coalesce(col("lp"), lit(oovLp)).as("lp")))),
           lit(0.0), (acc, x) => acc + x.getField("lp")).as("__sum_lp"))
-      .select(col(idCol), col("n_bigrams"),
-        (col("__sum_lp") / col("n_bigrams")).as("mean_logprob"))
+      .select(col(idCol), col(nCol),
+        (col("__sum_lp") / col(nCol)).as("mean_logprob"))
   }
 
   /** BPE merge learning — the tokenizer-TRAINING step (Sennrich et al.

@@ -187,6 +187,13 @@ object AuxDumps {
       graft.operators.CorpusOps.kneserNeyLm(
         t(s, d, "documents"), "doc_id", "text")),
 
+    // t41: the interpolated KN TRIGRAM table (tg, n, ctx, n1f, cont,
+    // mid_ctx, mid_n1f, n1b, nbg, lp). The oracle recounts all EIGHT
+    // integer statistics in SQL and joins on them — only the ln rides.
+    "t41_lp" -> ((s, d) =>
+      graft.operators.CorpusOps.kneserNeyTrigramLm(
+        t(s, d, "documents"), "doc_id", "text")),
+
     // s22: the 32 ±1 sign vectors of the MIH code family (planes 100–131 —
     // a dedicated offset so the family is independent of the 0–31 LSH
     // planes). p is the LOCAL index 0..31; the oracle derives band = p//8

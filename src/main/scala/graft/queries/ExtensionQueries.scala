@@ -3624,6 +3624,81 @@ object ExtensionQueries {
         .orderBy("doc_id")
     },
 
+    // Trigram Kneser–Ney fluency scoring (t41) — t40's n=3 rung, the
+    // order production fluency filters actually run: interpolated KN with
+    // recursive backoff (trigram → bigram-continuation → unigram-
+    // continuation, Chen & Goodman '98), all EIGHT sufficient statistics
+    // exact integer counts. The oracle recounts every statistic in SQL
+    // (trigram counts, (w1,w2) context totals + distinct continuations,
+    // (w2,w3) distinct-predecessor counts, per-w2 type/continuation
+    // counts, bigram-type left contexts, the type total), joins on ALL of
+    // them, and takes only the ln on faith — t40's trust envelope one
+    // order up. Scoring refolds positions in order through the shared
+    // gram fold.
+    "t41_kn3_logprob" -> of(
+      """WITH lm AS (SELECT tg, n, ctx, n1f, cont, mid_ctx, mid_n1f, n1b, nbg, lp
+        |           FROM read_parquet('{{AUX}}/t41_lp/*.parquet')),
+        |tgc AS (
+        |  SELECT tk[i + 1] || ' ' || tk[i + 2] || ' ' || tk[i + 3] AS tg,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM (SELECT string_split(text, ' ') AS tk FROM documents) d,
+        |    UNNEST(range(len(tk) - 2)) AS r(i) WHERE len(tk) >= 3
+        |  GROUP BY 1),
+        |ts AS (
+        |  SELECT tg, n, string_split(tg, ' ')[1] AS w1,
+        |    string_split(tg, ' ')[2] AS w2, string_split(tg, ' ')[3] AS w3
+        |  FROM tgc),
+        |ctx3 AS (
+        |  SELECT w1, w2, CAST(SUM(n) AS BIGINT) AS ctx,
+        |    CAST(COUNT(*) AS BIGINT) AS n1f
+        |  FROM ts GROUP BY 1, 2),
+        |cont3 AS (
+        |  SELECT w2, w3, CAST(COUNT(*) AS BIGINT) AS cont FROM ts GROUP BY 1, 2),
+        |mid AS (
+        |  SELECT w2, CAST(COUNT(*) AS BIGINT) AS mid_ctx,
+        |    CAST(COUNT(DISTINCT w3) AS BIGINT) AS mid_n1f
+        |  FROM ts GROUP BY 1),
+        |bgc AS (
+        |  SELECT tk[i + 1] || ' ' || tk[i + 2] AS bg, CAST(COUNT(*) AS BIGINT) AS bn
+        |  FROM (SELECT string_split(text, ' ') AS tk FROM documents) d,
+        |    UNNEST(range(len(tk) - 1)) AS r(i) WHERE len(tk) >= 2
+        |  GROUP BY 1),
+        |unic AS (
+        |  SELECT split_part(bg, ' ', 2) AS w3, CAST(COUNT(*) AS BIGINT) AS n1b
+        |  FROM bgc GROUP BY 1),
+        |totc AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM bgc),
+        |vlm AS (
+        |  SELECT lm.tg, lm.lp FROM lm
+        |  JOIN ts ON ts.tg = lm.tg AND ts.n = lm.n
+        |  JOIN ctx3 ON ctx3.w1 = ts.w1 AND ctx3.w2 = ts.w2
+        |    AND ctx3.ctx = lm.ctx AND ctx3.n1f = lm.n1f
+        |  JOIN cont3 ON cont3.w2 = ts.w2 AND cont3.w3 = ts.w3
+        |    AND cont3.cont = lm.cont
+        |  JOIN mid ON mid.w2 = ts.w2 AND mid.mid_ctx = lm.mid_ctx
+        |    AND mid.mid_n1f = lm.mid_n1f
+        |  JOIN unic ON unic.w3 = ts.w3 AND unic.n1b = lm.n1b
+        |  JOIN totc ON totc.t = lm.nbg),
+        |pos AS (
+        |  SELECT doc_id, i, tk[i + 1] || ' ' || tk[i + 2] || ' ' || tk[i + 3] AS tg
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents) d,
+        |    UNNEST(range(len(tk) - 2)) AS r(i) WHERE len(tk) >= 3),
+        |scored AS (
+        |  SELECT p.doc_id, p.i, COALESCE(v.lp, -20.0) AS lp
+        |  FROM pos p LEFT JOIN vlm v ON v.tg = p.tg),
+        |folded AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(lp ORDER BY i)),
+        |      (a, b) -> a + b) / COUNT(*) AS mean_logprob
+        |  FROM scored GROUP BY doc_id)
+        |SELECT doc_id, n_trigrams, mean_logprob FROM folded
+        |ORDER BY doc_id""") { (s, d) =>
+      val docs = t(s, d, "documents")
+      val lm = graft.operators.CorpusOps.kneserNeyTrigramLm(docs, "doc_id", "text")
+      graft.operators.CorpusOps.trigramLogprob(docs, "doc_id", "text",
+        lm.select(col("tg"), col("lp")), -20.0)
+        .orderBy("doc_id")
+    },
+
     // Kneser–Ney smoothed bigram fluency scoring (t40) — the standard
     // smoothing rung above t22's MLE conditionals: interpolated KN with
     // absolute discount 0.75, continuation probabilities from distinct-

@@ -724,6 +724,49 @@ class PipelineOpsSpec extends SparkSpec {
     assert(scored.getDouble(2) === expect) // bit-exact: same fold order
   }
 
+  test("kneserNeyTrigramLm: exact 8-statistic counts, recursive backoff, scoring fold") {
+    import spark.implicits._
+    val df = Seq((1L, "a b a b c")).toDF("doc_id", "text")
+    // trigrams (each ×1): "a b a", "b a b", "a b c"
+    // ctx3: (a,b) ctx=2 n1f=2; (b,a) ctx=1 n1f=1 — cont3: each pair 1
+    // mid: w2=b mid_ctx=2 mid_n1f=2; w2=a mid_ctx=1 mid_n1f=1
+    // unigram level (bigram types "a b","b a","b c"): n1b = 1 each, nbg=3
+    val rows = CorpusOps.kneserNeyTrigramLm(df, "doc_id", "text")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8),
+          r.getDouble(9)))).toMap
+    def kn3(n: Long, ctx: Long, n1f: Long, cont: Long, midCtx: Long,
+            midN1f: Long, n1b: Long, nbg: Long): Double =
+      StrictMath.log(
+        math.max(n - 0.75, 0.0) / ctx + (0.75 * n1f / ctx) *
+          (math.max(cont - 0.75, 0.0) / midCtx + (0.75 * midN1f / midCtx) *
+            (n1b.toDouble / nbg)))
+    assert(rows("a b a") ===
+      ((1L, 2L, 2L, 1L, 2L, 2L, 1L, 3L, kn3(1, 2, 2, 1, 2, 2, 1, 3))))
+    assert(rows("b a b") ===
+      ((1L, 1L, 1L, 1L, 1L, 1L, 1L, 3L, kn3(1, 1, 1, 1, 1, 1, 1, 3))))
+    assert(rows("a b c") ===
+      ((1L, 2L, 2L, 1L, 2L, 2L, 1L, 3L, kn3(1, 2, 2, 1, 2, 2, 1, 3))))
+    // backoff bites: every n=1 trigram keeps mass above the discount floor
+    assert(rows.values.forall(v => v._9 < 0.0 && math.exp(v._9) > 0.0))
+    // scoring refolds positions in order through the shared gram fold
+    val scored = CorpusOps.trigramLogprob(df, "doc_id", "text",
+      CorpusOps.kneserNeyTrigramLm(df, "doc_id", "text")
+        .select(col("tg"), col("lp")), -20.0).head()
+    assert(scored.getLong(1) === 3L)
+    val expect3 = (((0.0 + kn3(1, 2, 2, 1, 2, 2, 1, 3)) +
+      kn3(1, 1, 1, 1, 1, 1, 1, 3)) + kn3(1, 2, 2, 1, 2, 2, 1, 3)) / 3
+    assert(scored.getDouble(2) === expect3)
+    // a 2-token doc has no trigram and is absent; OOV floors at oovLp
+    val mixed = Seq((1L, "a b"), (2L, "x y z")).toDF("doc_id", "text")
+    val oov = CorpusOps.trigramLogprob(mixed, "doc_id", "text",
+      CorpusOps.kneserNeyTrigramLm(df, "doc_id", "text")
+        .select(col("tg"), col("lp")), -20.0)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(oov.keySet === Set(2L) && oov(2L) === ((1L, -20.0)))
+  }
+
   test("pageRank bit-matches a plain-Scala fixed-iteration reference; mass conserved") {
     import spark.implicits._
     // path 1-2-3 plus isolated pair 4-5: asymmetric degrees on one
