@@ -282,6 +282,67 @@ class ExtensionSpec extends SparkSpec {
       "fixture has no spread pair — the completeness upgrade is untested")
   }
 
+  test("index append lifecycle under GROWTH: 3 appended batches, screen bit-identical to from-scratch at every step") {
+    import graft.operators.{Multimodal, Similarity}
+    // VERDICT r12 #6: s25/m16 append once; this drives the lifecycle the
+    // lake actually runs — repeated ingests folding into the standing
+    // index, with a screen after EVERY append checked against an index
+    // built from scratch over the corpus-so-far.
+    val fresh = embs.filter(col("vec_id") % 8 === 0)
+    def slice(i: Int) = embs.filter(col("vec_id") % 8 =!= 0 &&
+      col("vec_id") % 4 === i)
+    var idx = Similarity.writeMihIndex(slice(0), "vec_id", "embedding",
+      "spec_mih_grow")
+    var corpusSoFar = slice(0)
+    for (i <- 1 to 3) {
+      idx = Similarity.appendMihIndex(slice(i), idx, "vec_id", "embedding")
+      corpusSoFar = corpusSoFar.unionByName(slice(i))
+      val viaAppended = Similarity.mihHammingScreenIndexed(
+        fresh, idx, "vec_id", "embedding", radius = 8)
+      val scratch = Similarity.writeMihIndex(corpusSoFar, "vec_id",
+        "embedding", s"spec_mih_scratch_$i")
+      val viaScratch = Similarity.mihHammingScreenIndexed(
+        fresh, scratch, "vec_id", "embedding", radius = 8)
+      assert(viaAppended.count() > 0, s"step $i produced no pairs")
+      assert(viaAppended.except(viaScratch).count() === 0, s"step $i extra")
+      assert(viaScratch.except(viaAppended).count() === 0, s"step $i missing")
+    }
+    // final step also equals the DIRECT (index-free) screen
+    val direct = Similarity.mihHammingScreen(fresh,
+      embs.filter(col("vec_id") % 8 =!= 0), "vec_id", "embedding", radius = 8)
+    val viaFinal = Similarity.mihHammingScreenIndexed(
+      fresh, idx, "vec_id", "embedding", radius = 8)
+    assert(viaFinal.except(direct).count() === 0)
+    assert(direct.except(viaFinal).count() === 0)
+    // gear side: same 3-append lifecycle on the chunk-digest index
+    val media = Multimodal.asMediaTable(docs, "doc_id", "text")
+    val freshM = Multimodal.asMediaTable(
+      docs.filter(col("doc_id") < 5)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(lit("~"), col("text")).as("text")), "doc_id", "text")
+    def mslice(i: Int) = media.filter(col("doc_id") % 4 === i)
+    var gidx = Multimodal.writeGearChunkIndex(mslice(0),
+      Multimodal.ChunkIndex("spec_gear_grow_d", "spec_gear_grow_s"))
+    var mediaSoFar = mslice(0)
+    for (i <- 1 to 3) {
+      gidx = Multimodal.appendGearChunkIndex(mslice(i), gidx)
+      mediaSoFar = mediaSoFar.unionByName(mslice(i))
+      val viaAppended = Multimodal.incrementalGearChunkPairsIndexed(
+        freshM, gidx, 0.4)
+      val scratch = Multimodal.writeGearChunkIndex(mediaSoFar,
+        Multimodal.ChunkIndex(s"spec_gear_scr_d_$i", s"spec_gear_scr_s_$i"))
+      val viaScratch = Multimodal.incrementalGearChunkPairsIndexed(
+        freshM, scratch, 0.4)
+      assert(viaAppended.except(viaScratch).count() === 0, s"gear step $i extra")
+      assert(viaScratch.except(viaAppended).count() === 0, s"gear step $i missing")
+    }
+    val gdirect = Multimodal.incrementalGearChunkPairs(freshM, media, 0.4)
+    val gfinal = Multimodal.incrementalGearChunkPairsIndexed(freshM, gidx, 0.4)
+    assert(gfinal.count() > 0)
+    assert(gfinal.except(gdirect).count() === 0)
+    assert(gdirect.except(gfinal).count() === 0)
+  }
+
   test("indexed MIH screen == direct screen; indexed gear screen == direct screen") {
     import graft.operators.{Multimodal, Similarity}
     val fresh = embs.filter(col("vec_id") % 8 === 0)

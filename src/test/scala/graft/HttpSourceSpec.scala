@@ -81,4 +81,45 @@ class HttpSourceSpec extends SparkSpec {
       assert(err.getMessage.contains("401"))
     }
   }
+
+  test("HOSTILE server: repeated offset aborts with the cycle guard; endless chain trips the page cap") {
+    // VERDICT r12 #8: the guards existed (SURVEY §7.3-3) and were unit-fed
+    // via fake clients, but no test drove them through the REAL HTTP path.
+    // This server is the pathological input the guards exist for: it
+    // always answers 200 with a next-offset header — first variant repeats
+    // the same offset forever (a broken cursor), second mints fresh ones
+    // forever (an unbounded cursor).
+    val hits = new java.util.concurrent.atomic.AtomicInteger(0)
+    val mint = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/api/v1/signs", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        val n = hits.incrementAndGet()
+        ex.getResponseHeaders.add("next-offset",
+          if (mint.get()) s"mint$n" else "42")
+        val bytes = """{"features":[]}""".getBytes("UTF-8")
+        ex.sendResponseHeaders(200, bytes.length)
+        ex.getResponseBody.write(bytes)
+        ex.close()
+      }
+    })
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      // broken cursor: offset 42 -> 42 again; the loud abort, not a hang
+      val cyc = intercept[IllegalStateException] {
+        new PagedFetcher(new HttpPageClient(base, "tok")).fetchAll()
+      }
+      assert(cyc.getMessage.contains("cycle detected"))
+      assert(hits.get() <= 3, "the cycle guard must abort on the FIRST repeat")
+      // unbounded cursor: every page mints a fresh offset; the cap aborts
+      hits.set(0)
+      mint.set(true)
+      val capped = intercept[IllegalStateException] {
+        new PagedFetcher(new HttpPageClient(base, "tok"), maxPages = 5).fetchAll()
+      }
+      assert(capped.getMessage.contains("maxPages"))
+      assert(hits.get() <= 6, "the page cap must bound the fetch count")
+    } finally server.stop(0)
+  }
 }
