@@ -845,6 +845,69 @@ object ExtensionQueries {
         |SELECT doc_id, n_bigrams, mean_logprob FROM folded
         |ORDER BY doc_id""".stripMargin
 
+  /** The t41/e40 trigram KN scoring oracle — knScoreSql one order up, and
+    * like it ONE definition grading the batch scorer and its streaming
+    * twin verbatim: all EIGHT integer statistics recounted in SQL and
+    * joined on; only the ln rides the t41_lp dump.
+    */
+  private val kn3ScoreSql =
+      """WITH lm AS (SELECT tg, n, ctx, n1f, cont, mid_ctx, mid_n1f, n1b, nbg, lp
+        |           FROM read_parquet('{{AUX}}/t41_lp/*.parquet')),
+        |tgc AS (
+        |  SELECT tk[i + 1] || ' ' || tk[i + 2] || ' ' || tk[i + 3] AS tg,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM (SELECT string_split(text, ' ') AS tk FROM documents) d,
+        |    UNNEST(range(len(tk) - 2)) AS r(i) WHERE len(tk) >= 3
+        |  GROUP BY 1),
+        |ts AS (
+        |  SELECT tg, n, string_split(tg, ' ')[1] AS w1,
+        |    string_split(tg, ' ')[2] AS w2, string_split(tg, ' ')[3] AS w3
+        |  FROM tgc),
+        |ctx3 AS (
+        |  SELECT w1, w2, CAST(SUM(n) AS BIGINT) AS ctx,
+        |    CAST(COUNT(*) AS BIGINT) AS n1f
+        |  FROM ts GROUP BY 1, 2),
+        |cont3 AS (
+        |  SELECT w2, w3, CAST(COUNT(*) AS BIGINT) AS cont FROM ts GROUP BY 1, 2),
+        |mid AS (
+        |  SELECT w2, CAST(COUNT(*) AS BIGINT) AS mid_ctx,
+        |    CAST(COUNT(DISTINCT w3) AS BIGINT) AS mid_n1f
+        |  FROM ts GROUP BY 1),
+        |bgc AS (
+        |  SELECT tk[i + 1] || ' ' || tk[i + 2] AS bg, CAST(COUNT(*) AS BIGINT) AS bn
+        |  FROM (SELECT string_split(text, ' ') AS tk FROM documents) d,
+        |    UNNEST(range(len(tk) - 1)) AS r(i) WHERE len(tk) >= 2
+        |  GROUP BY 1),
+        |unic AS (
+        |  SELECT split_part(bg, ' ', 2) AS w3, CAST(COUNT(*) AS BIGINT) AS n1b
+        |  FROM bgc GROUP BY 1),
+        |totc AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM bgc),
+        |vlm AS (
+        |  SELECT lm.tg, lm.lp FROM lm
+        |  JOIN ts ON ts.tg = lm.tg AND ts.n = lm.n
+        |  JOIN ctx3 ON ctx3.w1 = ts.w1 AND ctx3.w2 = ts.w2
+        |    AND ctx3.ctx = lm.ctx AND ctx3.n1f = lm.n1f
+        |  JOIN cont3 ON cont3.w2 = ts.w2 AND cont3.w3 = ts.w3
+        |    AND cont3.cont = lm.cont
+        |  JOIN mid ON mid.w2 = ts.w2 AND mid.mid_ctx = lm.mid_ctx
+        |    AND mid.mid_n1f = lm.mid_n1f
+        |  JOIN unic ON unic.w3 = ts.w3 AND unic.n1b = lm.n1b
+        |  JOIN totc ON totc.t = lm.nbg),
+        |pos AS (
+        |  SELECT doc_id, i, tk[i + 1] || ' ' || tk[i + 2] || ' ' || tk[i + 3] AS tg
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents) d,
+        |    UNNEST(range(len(tk) - 2)) AS r(i) WHERE len(tk) >= 3),
+        |scored AS (
+        |  SELECT p.doc_id, p.i, COALESCE(v.lp, -20.0) AS lp
+        |  FROM pos p LEFT JOIN vlm v ON v.tg = p.tg),
+        |folded AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(lp ORDER BY i)),
+        |      (a, b) -> a + b) / COUNT(*) AS mean_logprob
+        |  FROM scored GROUP BY doc_id)
+        |SELECT doc_id, n_trigrams, mean_logprob FROM folded
+        |ORDER BY doc_id""".stripMargin
+
   /** The MIH code CTE chain shared by s22/s23/e37: sign bits recomputed
     * from the dumped ±1 planes (AuxDumps "mih_planes"), repacked into the
     * four 8-bit band values — one SQL definition of the banding whoever
@@ -2522,10 +2585,7 @@ object ExtensionQueries {
     "e30_stream_pit_enrich" -> of(RelationalQueries.pitOracleSql) { (s, d) =>
       import graft.streaming.EventsStream
       val hist = RelationalQueries.pitHistory(s, d)
-      val liSchema = s.read
-        .option("pathGlobFilter", "lineitem.parquet").parquet(d).schema
-      val liStream = s.readStream.schema(liSchema)
-        .option("pathGlobFilter", "lineitem.parquet").parquet(d)
+      val liStream = graft.streaming.TableStream.readProbed(s, d, "lineitem")
         .filter(col("l_orderkey") < 2000)
         .select(col("l_orderkey").as("o_orderkey"), col("l_linenumber"),
           col("l_shipdate").cast("timestamp").as("sd"))
@@ -3083,10 +3143,7 @@ object ExtensionQueries {
     // top-K. Graded by the same from-scratch SQL as t33.
     "e32_stream_drift" -> of(t33OracleSql) { (s, d) =>
       import graft.streaming.EventsStream
-      val docsSchema = s.read
-        .option("pathGlobFilter", "documents.parquet").parquet(d).schema
-      val freshStream = s.readStream.schema(docsSchema)
-        .option("pathGlobFilter", "documents.parquet").parquet(d)
+      val freshStream = graft.streaming.TableStream.readProbed(s, d, "documents")
         .filter(pmod(col("doc_id"), lit(10)) === 0)
         .select(explode(TextFunctions.tokens(col("text"))).as("tok"))
         .groupBy("tok").agg(count(lit(1)).as("fresh_n"))
@@ -3635,68 +3692,35 @@ object ExtensionQueries {
     // them, and takes only the ln on faith — t40's trust envelope one
     // order up. Scoring refolds positions in order through the shared
     // gram fold.
-    "t41_kn3_logprob" -> of(
-      """WITH lm AS (SELECT tg, n, ctx, n1f, cont, mid_ctx, mid_n1f, n1b, nbg, lp
-        |           FROM read_parquet('{{AUX}}/t41_lp/*.parquet')),
-        |tgc AS (
-        |  SELECT tk[i + 1] || ' ' || tk[i + 2] || ' ' || tk[i + 3] AS tg,
-        |    CAST(COUNT(*) AS BIGINT) AS n
-        |  FROM (SELECT string_split(text, ' ') AS tk FROM documents) d,
-        |    UNNEST(range(len(tk) - 2)) AS r(i) WHERE len(tk) >= 3
-        |  GROUP BY 1),
-        |ts AS (
-        |  SELECT tg, n, string_split(tg, ' ')[1] AS w1,
-        |    string_split(tg, ' ')[2] AS w2, string_split(tg, ' ')[3] AS w3
-        |  FROM tgc),
-        |ctx3 AS (
-        |  SELECT w1, w2, CAST(SUM(n) AS BIGINT) AS ctx,
-        |    CAST(COUNT(*) AS BIGINT) AS n1f
-        |  FROM ts GROUP BY 1, 2),
-        |cont3 AS (
-        |  SELECT w2, w3, CAST(COUNT(*) AS BIGINT) AS cont FROM ts GROUP BY 1, 2),
-        |mid AS (
-        |  SELECT w2, CAST(COUNT(*) AS BIGINT) AS mid_ctx,
-        |    CAST(COUNT(DISTINCT w3) AS BIGINT) AS mid_n1f
-        |  FROM ts GROUP BY 1),
-        |bgc AS (
-        |  SELECT tk[i + 1] || ' ' || tk[i + 2] AS bg, CAST(COUNT(*) AS BIGINT) AS bn
-        |  FROM (SELECT string_split(text, ' ') AS tk FROM documents) d,
-        |    UNNEST(range(len(tk) - 1)) AS r(i) WHERE len(tk) >= 2
-        |  GROUP BY 1),
-        |unic AS (
-        |  SELECT split_part(bg, ' ', 2) AS w3, CAST(COUNT(*) AS BIGINT) AS n1b
-        |  FROM bgc GROUP BY 1),
-        |totc AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM bgc),
-        |vlm AS (
-        |  SELECT lm.tg, lm.lp FROM lm
-        |  JOIN ts ON ts.tg = lm.tg AND ts.n = lm.n
-        |  JOIN ctx3 ON ctx3.w1 = ts.w1 AND ctx3.w2 = ts.w2
-        |    AND ctx3.ctx = lm.ctx AND ctx3.n1f = lm.n1f
-        |  JOIN cont3 ON cont3.w2 = ts.w2 AND cont3.w3 = ts.w3
-        |    AND cont3.cont = lm.cont
-        |  JOIN mid ON mid.w2 = ts.w2 AND mid.mid_ctx = lm.mid_ctx
-        |    AND mid.mid_n1f = lm.mid_n1f
-        |  JOIN unic ON unic.w3 = ts.w3 AND unic.n1b = lm.n1b
-        |  JOIN totc ON totc.t = lm.nbg),
-        |pos AS (
-        |  SELECT doc_id, i, tk[i + 1] || ' ' || tk[i + 2] || ' ' || tk[i + 3] AS tg
-        |  FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents) d,
-        |    UNNEST(range(len(tk) - 2)) AS r(i) WHERE len(tk) >= 3),
-        |scored AS (
-        |  SELECT p.doc_id, p.i, COALESCE(v.lp, -20.0) AS lp
-        |  FROM pos p LEFT JOIN vlm v ON v.tg = p.tg),
-        |folded AS (
-        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_trigrams,
-        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(lp ORDER BY i)),
-        |      (a, b) -> a + b) / COUNT(*) AS mean_logprob
-        |  FROM scored GROUP BY doc_id)
-        |SELECT doc_id, n_trigrams, mean_logprob FROM folded
-        |ORDER BY doc_id""") { (s, d) =>
+    "t41_kn3_logprob" -> of(kn3ScoreSql) { (s, d) =>
       val docs = t(s, d, "documents")
       val lm = graft.operators.CorpusOps.kneserNeyTrigramLm(docs, "doc_id", "text")
       graft.operators.CorpusOps.trigramLogprob(docs, "doc_id", "text",
         lm.select(col("tg"), col("lp")), -20.0)
         .orderBy("doc_id")
+    },
+
+    // STREAMING trigram KN fluency scoring (e40) — t41 live, at e39's
+    // restated cost class from birth (never the complete-mode list-state
+    // shape): KnScoreStream's n-gram-generic wiring with k=3 against the
+    // static trigram LM. The fold, state width (16 bytes/doc) and append
+    // emission are ORDER-INDEPENDENT — a trigram occurrence is one
+    // (pos, lp) row like a bigram one — so the bit-parity argument
+    // (position-sorted within-batch fold onto the carried sum) transfers
+    // verbatim; StreamingSpec pins it against CorpusOps.trigramLogprob.
+    // The t41 oracle grades the streaming plan with no weakening.
+    "e40_stream_kn3_score" -> of(kn3ScoreSql) { (s, d) =>
+      import graft.streaming.{EventsStream, KnScoreStream, ScreenStream}
+      val docs = t(s, d, "documents")
+      val lm = graft.operators.CorpusOps.kneserNeyTrigramLm(docs, "doc_id", "text")
+      val scored = KnScoreStream.scoreGrams(
+        ScreenStream.readDocs(s, d), "doc_id", "text",
+        lm.select(col("tg"), col("lp")), -20.0, 3, "tg")
+      val sinkName = s"stream_kn3_${sinkCounter.incrementAndGet()}"
+      EventsStream.runAvailableNow(
+        scored.toDF().toDF("doc_id", "n_trigrams", "mean_logprob"), sinkName,
+        outputMode = "append")
+      s.table(sinkName).orderBy("doc_id")
     },
 
     // Kneser–Ney smoothed bigram fluency scoring (t40) — the standard
@@ -4535,10 +4559,7 @@ object ExtensionQueries {
         .gearDigestSet(corpus, "corpus_id")
       val sizes = corpusD.groupBy("corpus_id")
         .agg(count(lit(1)).as("sz_c"))
-      val docsSchema = s.read
-        .option("pathGlobFilter", "documents.parquet").parquet(d).schema
-      val freshStream = s.readStream.schema(docsSchema)
-        .option("pathGlobFilter", "documents.parquet").parquet(d)
+      val freshStream = graft.streaming.TableStream.readProbed(s, d, "documents")
         .filter(col("doc_id") < 20)
         .select((col("doc_id") + 100000).cast("long").as("doc_id"),
           concat(lit("~"), col("text")).cast("binary").as("payload"))
@@ -4744,10 +4765,7 @@ object ExtensionQueries {
       val media = graft.operators.Multimodal.asMediaTable(
         t(s, d, "documents"), "doc_id", "text")
       val idx = ensureChunkIndex(s, d, media)
-      val docsSchema = s.read
-        .option("pathGlobFilter", "documents.parquet").parquet(d).schema
-      val freshStream = s.readStream.schema(docsSchema)
-        .option("pathGlobFilter", "documents.parquet").parquet(d)
+      val freshStream = graft.streaming.TableStream.readProbed(s, d, "documents")
         .filter(pmod(col("doc_id"), lit(10)) === 0)
         .select(col("doc_id").cast("long").as("doc_id"),
           col("text").cast("binary").as("payload"))

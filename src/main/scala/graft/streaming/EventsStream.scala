@@ -39,13 +39,7 @@ object EventsStream {
     */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // FileStreamSource requires a directory; select the single table file
-    // from the sf dir via glob filter.
-    val probed = spark.read
-      .option("pathGlobFilter", "events.parquet").parquet(dir).schema
-    val raw = spark.readStream.schema(probed)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    val raw = TableStream.readProbed(spark, dir, "events")
     graft.queries.Q.adaptEventTs(raw, s"$dir/events.parquet (stream)")
   }
 

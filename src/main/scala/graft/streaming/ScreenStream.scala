@@ -41,13 +41,11 @@ object ScreenStream {
     StructField("source", StringType),
     StructField("n_chars", LongType)))
 
-  /** Streaming read of the documents table (FileStreamSource needs a
-    * directory; glob-select the single table file from the sf dir).
+  /** Streaming read of the documents table (layout-tolerant — see
+    * [[TableStream]]).
     */
   def readDocs(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream.schema(docsSchema)
-      .option("pathGlobFilter", "documents.parquet")
-      .parquet(dir)
+    TableStream.read(spark, dir, "documents", docsSchema)
 
   /** Build the streaming screen plan. `freshDocs` is a STREAMING frame of
     * arriving documents; `corpusShingles` (`idCol`, shingle) and
@@ -82,13 +80,11 @@ object ScreenStream {
         org.apache.spark.sql.types.FloatType)),
     StructField("label", org.apache.spark.sql.types.IntegerType)))
 
-  /** Streaming read of the embeddings table (same single-file glob shape
+  /** Streaming read of the embeddings table (same layout-tolerant shape
     * as [[readDocs]]).
     */
   def readEmbeddings(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream.schema(embeddingsSchema)
-      .option("pathGlobFilter", "embeddings.parquet")
-      .parquet(dir)
+    TableStream.read(spark, dir, "embeddings", embeddingsSchema)
 
   /** The EMBEDDING ingest screen as a Structured Streaming query — the
     * d15/d16 daily-ingest story live: fresh vectors ARRIVE as a stream and

@@ -1100,6 +1100,48 @@ class StreamingSpec extends SparkSpec {
     assert(batch.except(streamed).count() === 0)
   }
 
+  test("e40: n-gram-generic streaming fold (k=3) == batch trigramLogprob, bit-exact") {
+    import graft.streaming.{KnScoreStream, ScreenStream}
+    import graft.operators.CorpusOps
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val lm = CorpusOps.kneserNeyTrigramLm(docs, "doc_id", "text")
+      .select(col("tg"), col("lp"))
+    val stream = ScreenStream.readDocs(spark, dir)
+    assert(stream.isStreaming)
+    EventsStream.runAvailableNow(
+      KnScoreStream.scoreGrams(stream, "doc_id", "text", lm, -20.0, 3, "tg")
+        .toDF().toDF("doc_id", "n_trigrams", "mean_logprob"),
+      "stream_kn3_parity", outputMode = "append")
+    val streamed = spark.table("stream_kn3_parity")
+    val batch = CorpusOps.trigramLogprob(docs, "doc_id", "text", lm, -20.0)
+    assert(streamed.count() > 0)
+    // one append emission per doc, doubles bit-equal to the batch
+    // position-ordered fold (except is bitwise on doubles)
+    assert(streamed.count() === batch.count())
+    assert(streamed.except(batch).count() === 0)
+    assert(batch.except(streamed).count() === 0)
+  }
+
+  test("TableStream: a directory-shaped table streams its rows (zero-row glob trap)") {
+    import graft.streaming.ScreenStream
+    // Build a dir-shaped corpus: <tmp>/documents.parquet is a DIRECTORY of
+    // part files — the layout Spark itself writes (ScaledCorpus, any lake
+    // table). The pre-fix glob-over-sf-dir read streamed ZERO rows from
+    // this layout (r13 smoke audit: a 10× streaming smoke came out 6×
+    // faster than 1× because its stream was empty).
+    val tmp = java.nio.file.Files.createTempDirectory("dirshape").toString
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    docs.write.parquet(s"$tmp/documents.parquet")
+    assert(new java.io.File(s"$tmp/documents.parquet").isDirectory)
+    val stream = ScreenStream.readDocs(spark, tmp)
+    assert(stream.isStreaming)
+    EventsStream.runAvailableNow(
+      stream.groupBy().count(), "dirshape_count", outputMode = "complete")
+    val streamed = spark.table("dirshape_count").collect().head.getLong(0)
+    assert(streamed === docs.count(),
+      "directory-shaped documents table must stream every row")
+  }
+
   test("e39 step: cross-batch running fold seeds from state, sorts within batch") {
     import graft.streaming.KnScoreStream
     import org.apache.spark.api.java.Optional
