@@ -1241,4 +1241,68 @@ object CorpusOps {
               element_at(col("__p"), i + 1))))
           .as("redacted"))
   }
+
+  // ------------------------------------ Temperature mixture resampling --
+
+  /** Per-stratum acceptance rates for temperature-based mixture
+    * resampling — the multilingual/domain REBALANCING step (the mT5/XLM-R
+    * exponentiated-share recipe): a stratum with raw share p_s is given
+    * target share q_s ∝ p_s^τ, flattening the mixture toward uniform as
+    * τ → 0 while τ = 1 keeps it unchanged. At the SAME total corpus size
+    * the acceptance rate is a_s = min(1, q_s·N / n_s) — head strata
+    * downsample, tail strata keep everything (deterministic resampling
+    * never upsamples; the rate table reports the target so a loader can
+    * oversample tail epochs if it wants true temperature weights).
+    *
+    * Determinism contract (what lets DuckDB grade the double bit-exactly):
+    * the default τ = 0.5 computes p_s^τ as `sqrt`, IEEE-exact in both
+    * engines (general `pow` is NOT bit-reproducible across libm builds —
+    * callers straying from 0.5 keep the operator but lose oracle-grade
+    * bit-parity), and the normalizer Σ_s sqrt(n_s) is folded in STRATUM
+    * ORDER from a 0.0 seed over the sorted stratum array — the t22
+    * position-ordered-fold pattern, because float addition order is the
+    * only nondeterminism a per-stratum sum has. The rate expression is
+    * left-associated ((sqrt(n)/S)·N)/n so both engines evaluate the same
+    * IEEE sequence.
+    *
+    * Scale shape: ONE corpus aggregation (the per-stratum count), then
+    * everything is strata-sized — the fold runs on a collected array in a
+    * single-row aggregate (strata counts are bounded by the label
+    * vocabulary, the same plan-literal budget class as the BPE vocab).
+    */
+  def temperatureRates(docs: DataFrame, srcCol: String,
+                       temperature: Double = 0.5): DataFrame = {
+    val cnt = docs.groupBy(col(srcCol)).agg(count(lit(1)).as("n"))
+    val sw =
+      if (temperature == 0.5) sqrt(col("n").cast("double"))
+      else pow(col("n").cast("double"), lit(temperature))
+    val wCnt = cnt.withColumn("__sw", sw)
+    val norm = wCnt.agg(
+      aggregate(
+        array_sort(collect_list(struct(col(srcCol), col("__sw")))),
+        lit(0.0), (acc, x) => acc + x.getField("__sw")).as("__s"),
+      sum(col("n")).cast("double").as("__nn"))
+    wCnt.crossJoin(broadcast(norm))
+      .select(col(srcCol), col("n").cast("long").as("n_docs"),
+        least(lit(1.0),
+          col("__sw") / col("__s") * col("__nn") / col("n").cast("double"))
+          .as("accept_rate"))
+  }
+
+  /** Apply [[temperatureRates]] as a deterministic per-document gate: keep
+    * a doc iff its id-hash uniform u = pmod(xxhash64(id), 10⁶)/10⁶ falls
+    * under its stratum's acceptance rate. Selection follows the id alone
+    * (stable under growth/re-partitioning, the hashSplit guarantee, and at
+    * rate 1.0 every doc survives since u < 1 strictly); the plan is a
+    * broadcast join of the strata-sized rate table + a stateless filter —
+    * no shuffle beyond the rate table's own corpus count.
+    */
+  def temperatureResample(docs: DataFrame, idCol: String, srcCol: String,
+                          temperature: Double = 0.5): DataFrame = {
+    val rates = temperatureRates(docs, srcCol, temperature)
+      .select(col(srcCol), col("accept_rate"))
+    docs.join(broadcast(rates), Seq(srcCol))
+      .filter(pmod(xxhash64(col(idCol)), lit(1000000L)).cast("double")
+        / lit(1000000.0) < col("accept_rate"))
+  }
 }

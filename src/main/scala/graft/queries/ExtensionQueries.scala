@@ -4065,6 +4065,56 @@ object ExtensionQueries {
         .orderBy("doc_id")
     },
 
+    // Temperature mixture resampling (t43) — the multilingual/domain
+    // REBALANCING step (mT5/XLM-R recipe): strata get target share
+    // ∝ share^τ, here τ=0.5 over `lang` (the corpus is en-heavy: en
+    // downsamples to ~0.70 at sf0.01, every tail language keeps rate 1.0
+    // — both branches of the least() live). Bit-exactness of the double
+    // rate is engineered, not hoped for: τ=0.5 runs as IEEE sqrt, the
+    // normalizer Σ√n folds in stratum order from a 0.0 seed (the t22
+    // position-fold pattern — addition order is the only nondeterminism a
+    // float sum has), and the rate is left-associated identically in both
+    // engines. The per-doc gate replays the doc_hashes aux in SQL.
+    "t43_temperature_mix" -> of(
+      """WITH dh AS (SELECT doc_id, h FROM read_parquet('{{AUX}}/doc_hashes/*.parquet')),
+        |cnt AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n
+        |        FROM documents GROUP BY lang),
+        |tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS nn FROM cnt),
+        |ssum AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list(sqrt(CAST(n AS DOUBLE)) ORDER BY lang)), (a, b) -> a + b) AS s
+        |  FROM cnt),
+        |rates AS (
+        |  SELECT c.lang, c.n, least(CAST(1.0 AS DOUBLE),
+        |    sqrt(CAST(c.n AS DOUBLE)) / ssum.s * tot.nn / CAST(c.n AS DOUBLE))
+        |    AS accept_rate
+        |  FROM cnt c, tot, ssum),
+        |kept AS (
+        |  SELECT d.lang, len(string_split(d.text, ' ')) AS tk
+        |  FROM documents d
+        |  JOIN dh ON dh.doc_id = d.doc_id
+        |  JOIN rates r ON r.lang = d.lang
+        |  WHERE CAST(((dh.h % 1000000) + 1000000) % 1000000 AS DOUBLE) / 1000000.0
+        |    < r.accept_rate)
+        |SELECT r.lang, r.n AS n_docs, r.accept_rate,
+        |  CAST(COUNT(k.tk) AS BIGINT) AS n_kept,
+        |  CAST(COALESCE(SUM(k.tk), 0) AS BIGINT) AS n_tokens_kept
+        |FROM rates r LEFT JOIN kept k ON k.lang = r.lang
+        |GROUP BY r.lang, r.n, r.accept_rate
+        |ORDER BY r.lang""") { (s, d) =>
+      val docs = t(s, d, "documents")
+      val kept = graft.operators.CorpusOps
+        .temperatureResample(docs, "doc_id", "lang")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_kept"),
+          sum(size(tokens(col("text"))).cast("long")).as("n_tokens_kept"))
+      graft.operators.CorpusOps.temperatureRates(docs, "lang")
+        .join(kept, Seq("lang"), "left")
+        .select(col("lang"), col("n_docs"), col("accept_rate"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("n_tokens_kept"), lit(0L)).as("n_tokens_kept"))
+        .orderBy("lang")
+    },
+
     // Checksum-validated card-number screen (t37): the PII rung beyond
     // t11's regex-only pass — candidates are 13–19-digit runs (optional
     // space/dash grouping), but only Luhn-VALID ones are real card shapes

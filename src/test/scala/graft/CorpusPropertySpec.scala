@@ -95,6 +95,56 @@ class CorpusPropertySpec extends SparkSpec {
     }
   }
 
+  test("temperatureRates: plain-Scala replica bit-match; flattening and edge temperatures") {
+    import spark.implicits._
+    for (seed <- 10L to 12L) {
+      val docs = corpus(seed).toDF()
+      val rates = CorpusOps.temperatureRates(docs, "source")
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      // replica: IEEE sqrt, normalizer folded in stratum order from 0.0
+      val counts = corpus(seed).groupBy(_.source).view.mapValues(_.size.toLong).toMap
+      val n = counts.values.sum.toDouble
+      val s = counts.toSeq.sortBy(_._1).map { case (_, c) => math.sqrt(c.toDouble) }
+        .foldLeft(0.0)(_ + _)
+      counts.foreach { case (src, c) =>
+        val expect = math.min(1.0, math.sqrt(c.toDouble) / s * n / c.toDouble)
+        assert(rates(src)._1 === c)
+        assert(rates(src)._2 === expect, s"rate for $src (bit-exact)") // == on doubles
+      }
+      // τ=0.5 flattens: the LARGEST stratum is at or below every rate
+      val maxSrc = counts.maxBy(_._2)._1
+      assert(counts.keys.forall(src => rates(maxSrc)._2 <= rates(src)._2))
+      // τ=1 is the identity mixture up to fp round-trip: ((n/S)·N)/n with
+      // S=N is 1.0 ± 1 ulp, and least() caps the high side
+      val flat = CorpusOps.temperatureRates(docs, "source", temperature = 1.0)
+        .collect().map(_.getDouble(2))
+      assert(flat.forall(r => r <= 1.0 && r > 1.0 - 1e-12))
+    }
+  }
+
+  test("temperatureResample: deterministic id-gated subset honoring per-stratum rates") {
+    import spark.implicits._
+    for (seed <- 13L to 14L) {
+      val docs = corpus(seed).toDF()
+      val kept = CorpusOps.temperatureResample(docs, "doc_id", "source")
+      // subset of the input, deterministic across runs
+      assert(kept.select("doc_id", "source", "text").except(docs).count() === 0)
+      val again = CorpusOps.temperatureResample(docs, "doc_id", "source")
+      assert(kept.except(again).count() === 0 && again.except(kept).count() === 0)
+      // a rate-1.0 stratum keeps EVERY doc (u < 1 strictly)
+      val rates = CorpusOps.temperatureRates(docs, "source")
+        .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+      val keptBySrc = kept.groupBy("source").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val origBySrc = docs.groupBy("source").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      rates.filter(_._2 === 1.0).keys.foreach { src =>
+        assert(keptBySrc.getOrElse(src, 0L) === origBySrc(src),
+          s"rate-1.0 stratum $src must survive whole")
+      }
+    }
+  }
+
   test("quotaPerGroup: bound holds, output is a subset, determinism") {
     import spark.implicits._
     for (seed <- 4L to 6L) {
