@@ -1289,11 +1289,17 @@ object CorpusOps {
           .as("accept_rate"))
   }
 
-  /** Apply [[temperatureRates]] as a deterministic per-document gate: keep
-    * a doc iff its id-hash uniform u = pmod(xxhash64(id), 10⁶)/10⁶ falls
-    * under its stratum's acceptance rate. Selection follows the id alone
-    * (stable under growth/re-partitioning, the hashSplit guarantee, and at
-    * rate 1.0 every doc survives since u < 1 strictly); the plan is a
+  /** The deterministic per-document acceptance predicate shared by the
+    * batch resampler and its streaming twin: keep iff the id-hash uniform
+    * u = pmod(xxhash64(id), 10⁶)/10⁶ falls under the row's rate. u < 1
+    * strictly, so a rate-1.0 stratum keeps every doc.
+    */
+  def temperatureGate(id: Column, rate: Column): Column =
+    pmod(xxhash64(id), lit(1000000L)).cast("double") / lit(1000000.0) < rate
+
+  /** Apply [[temperatureRates]] as a deterministic per-document gate
+    * ([[temperatureGate]]). Selection follows the id alone (stable under
+    * growth/re-partitioning, the hashSplit guarantee); the plan is a
     * broadcast join of the strata-sized rate table + a stateless filter —
     * no shuffle beyond the rate table's own corpus count.
     */
@@ -1302,7 +1308,6 @@ object CorpusOps {
     val rates = temperatureRates(docs, srcCol, temperature)
       .select(col(srcCol), col("accept_rate"))
     docs.join(broadcast(rates), Seq(srcCol))
-      .filter(pmod(xxhash64(col(idCol)), lit(1000000L)).cast("double")
-        / lit(1000000.0) < col("accept_rate"))
+      .filter(temperatureGate(col(idCol), col("accept_rate")))
   }
 }

@@ -908,6 +908,40 @@ object ExtensionQueries {
         |SELECT doc_id, n_trigrams, mean_logprob FROM folded
         |ORDER BY doc_id""".stripMargin
 
+  /** The t43/e41 temperature-mixture oracle — ONE definition grading the
+    * batch resampler and its streaming twin verbatim: rates, the id-hash
+    * gate and the per-stratum yields all recomputed in SQL over the
+    * doc_hashes aux; the Σ√n normalizer folds in stratum order from a
+    * 0.0 seed (the t22 position-fold pattern) so the double rate is
+    * bit-identical across engines.
+    */
+  private val tempMixSql =
+      """WITH dh AS (SELECT doc_id, h FROM read_parquet('{{AUX}}/doc_hashes/*.parquet')),
+        |cnt AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n
+        |        FROM documents GROUP BY lang),
+        |tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS nn FROM cnt),
+        |ssum AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list(sqrt(CAST(n AS DOUBLE)) ORDER BY lang)), (a, b) -> a + b) AS s
+        |  FROM cnt),
+        |rates AS (
+        |  SELECT c.lang, c.n, least(CAST(1.0 AS DOUBLE),
+        |    sqrt(CAST(c.n AS DOUBLE)) / ssum.s * tot.nn / CAST(c.n AS DOUBLE))
+        |    AS accept_rate
+        |  FROM cnt c, tot, ssum),
+        |kept AS (
+        |  SELECT d.lang, len(string_split(d.text, ' ')) AS tk
+        |  FROM documents d
+        |  JOIN dh ON dh.doc_id = d.doc_id
+        |  JOIN rates r ON r.lang = d.lang
+        |  WHERE CAST(((dh.h % 1000000) + 1000000) % 1000000 AS DOUBLE) / 1000000.0
+        |    < r.accept_rate)
+        |SELECT r.lang, r.n AS n_docs, r.accept_rate,
+        |  CAST(COUNT(k.tk) AS BIGINT) AS n_kept,
+        |  CAST(COALESCE(SUM(k.tk), 0) AS BIGINT) AS n_tokens_kept
+        |FROM rates r LEFT JOIN kept k ON k.lang = r.lang
+        |GROUP BY r.lang, r.n, r.accept_rate
+        |ORDER BY r.lang""".stripMargin
+
   /** The MIH code CTE chain shared by s22/s23/e37: sign bits recomputed
     * from the dumped ±1 planes (AuxDumps "mih_planes"), repacked into the
     * four 8-bit band values — one SQL definition of the banding whoever
@@ -4075,32 +4109,7 @@ object ExtensionQueries {
     // position-fold pattern — addition order is the only nondeterminism a
     // float sum has), and the rate is left-associated identically in both
     // engines. The per-doc gate replays the doc_hashes aux in SQL.
-    "t43_temperature_mix" -> of(
-      """WITH dh AS (SELECT doc_id, h FROM read_parquet('{{AUX}}/doc_hashes/*.parquet')),
-        |cnt AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n
-        |        FROM documents GROUP BY lang),
-        |tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS nn FROM cnt),
-        |ssum AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-        |    list(sqrt(CAST(n AS DOUBLE)) ORDER BY lang)), (a, b) -> a + b) AS s
-        |  FROM cnt),
-        |rates AS (
-        |  SELECT c.lang, c.n, least(CAST(1.0 AS DOUBLE),
-        |    sqrt(CAST(c.n AS DOUBLE)) / ssum.s * tot.nn / CAST(c.n AS DOUBLE))
-        |    AS accept_rate
-        |  FROM cnt c, tot, ssum),
-        |kept AS (
-        |  SELECT d.lang, len(string_split(d.text, ' ')) AS tk
-        |  FROM documents d
-        |  JOIN dh ON dh.doc_id = d.doc_id
-        |  JOIN rates r ON r.lang = d.lang
-        |  WHERE CAST(((dh.h % 1000000) + 1000000) % 1000000 AS DOUBLE) / 1000000.0
-        |    < r.accept_rate)
-        |SELECT r.lang, r.n AS n_docs, r.accept_rate,
-        |  CAST(COUNT(k.tk) AS BIGINT) AS n_kept,
-        |  CAST(COALESCE(SUM(k.tk), 0) AS BIGINT) AS n_tokens_kept
-        |FROM rates r LEFT JOIN kept k ON k.lang = r.lang
-        |GROUP BY r.lang, r.n, r.accept_rate
-        |ORDER BY r.lang""") { (s, d) =>
+    "t43_temperature_mix" -> of(tempMixSql) { (s, d) =>
       val docs = t(s, d, "documents")
       val kept = graft.operators.CorpusOps
         .temperatureResample(docs, "doc_id", "lang")
@@ -4109,6 +4118,28 @@ object ExtensionQueries {
           sum(size(tokens(col("text"))).cast("long")).as("n_tokens_kept"))
       graft.operators.CorpusOps.temperatureRates(docs, "lang")
         .join(kept, Seq("lang"), "left")
+        .select(col("lang"), col("n_docs"), col("accept_rate"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("n_tokens_kept"), lit(0L)).as("n_tokens_kept"))
+        .orderBy("lang")
+    },
+
+    // The temperature mixture gate against a LIVE ingest (e41) — the
+    // t43 rebalancing dashboard: rates come from the STANDING corpus
+    // (strata-sized, broadcast — the e39 static-LM pattern), arriving
+    // docs pass the batch resampler's stateless gate predicate verbatim,
+    // and the one stateful op is the per-stratum yield groupBy (state
+    // O(strata), complete mode). Serve joins the static rate table back
+    // for n_docs/accept_rate; the t43 oracle grades the plan verbatim.
+    "e41_stream_mix_yield" -> of(tempMixSql) { (s, d) =>
+      import graft.streaming.{EventsStream, MixStream, ScreenStream}
+      val docs = t(s, d, "documents")
+      val rates = graft.operators.CorpusOps.temperatureRates(docs, "lang")
+      val yields = MixStream.gatedYields(
+        ScreenStream.readDocs(s, d), rates, "doc_id", "lang", "text")
+      val sinkName = s"stream_mix_${sinkCounter.incrementAndGet()}"
+      EventsStream.runAvailableNow(yields, sinkName, outputMode = "complete")
+      rates.join(s.table(sinkName), Seq("lang"), "left")
         .select(col("lang"), col("n_docs"), col("accept_rate"),
           coalesce(col("n_kept"), lit(0L)).as("n_kept"),
           coalesce(col("n_tokens_kept"), lit(0L)).as("n_tokens_kept"))

@@ -1122,6 +1122,27 @@ class StreamingSpec extends SparkSpec {
     assert(batch.except(streamed).count() === 0)
   }
 
+  test("e41: streaming temperature-gate yields == batch resample aggregation") {
+    import graft.streaming.{MixStream, ScreenStream}
+    import graft.operators.CorpusOps
+    import graft.functions.TextFunctions.tokens
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val rates = CorpusOps.temperatureRates(docs, "lang")
+    val stream = ScreenStream.readDocs(spark, dir)
+    assert(stream.isStreaming)
+    EventsStream.runAvailableNow(
+      MixStream.gatedYields(stream, rates, "doc_id", "lang", "text"),
+      "stream_mix_parity", outputMode = "complete")
+    val streamed = spark.table("stream_mix_parity")
+    val batch = CorpusOps.temperatureResample(docs, "doc_id", "lang")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_kept"),
+        sum(size(tokens(col("text"))).cast("long")).as("n_tokens_kept"))
+    assert(streamed.count() > 0)
+    assert(streamed.except(batch).count() === 0)
+    assert(batch.except(streamed).count() === 0)
+  }
+
   test("TableStream: a directory-shaped table streams its rows (zero-row glob trap)") {
     import graft.streaming.ScreenStream
     // Build a dir-shaped corpus: <tmp>/documents.parquet is a DIRECTORY of
