@@ -908,6 +908,72 @@ object ExtensionQueries {
         |SELECT doc_id, n_trigrams, mean_logprob FROM folded
         |ORDER BY doc_id""".stripMargin
 
+  /** The t42/e42 multimodal-recipe oracle — ONE definition grading the
+    * batch composition and its staged streaming twin verbatim: all three
+    * screen families' CTE chains composed under the same first-rejecting-
+    * stage priority. A `def` (not a val) so it can safely reference the
+    * shared CTE fragments regardless of initialization order.
+    */
+  private def t42RecipeSql: String =
+      s"""WITH $gearChunkSetCtes,
+        |gsh AS (
+        |  SELECT a.doc_id AS fid, b.doc_id AS cid, CAST(COUNT(*) AS BIGINT) AS inter
+        |  FROM d a JOIN d b ON a.chunk_hex = b.chunk_hex
+        |  WHERE (a.doc_id >= 100000 OR a.doc_id % 7 = 0)
+        |    AND b.doc_id < 100000 AND b.doc_id % 7 <> 0
+        |  GROUP BY 1, 2),
+        |gr AS (
+        |  SELECT DISTINCT gsh.fid AS doc_id
+        |  FROM gsh JOIN sz sa ON sa.doc_id = gsh.fid
+        |  JOIN sz sb ON sb.doc_id = gsh.cid
+        |  WHERE CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.4),
+        |tdocs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, '~' || text FROM documents WHERE doc_id < 20),
+        |ttoks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM tdocs),
+        |tsh AS (
+        |  SELECT DISTINCT doc_id,
+        |    tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] AS shingle
+        |  FROM ttoks, UNNEST(range(1, len(tk) - 2)) AS u(i)),
+        |tsizes AS (SELECT doc_id, COUNT(*) AS set_size FROM tsh GROUP BY doc_id),
+        |tinter AS (
+        |  SELECT f.doc_id AS fid, c.doc_id AS cid, COUNT(*) AS inter
+        |  FROM tsh f JOIN tsh c ON f.shingle = c.shingle
+        |  WHERE (f.doc_id >= 100000 OR f.doc_id % 7 = 0)
+        |    AND c.doc_id < 100000 AND c.doc_id % 7 <> 0
+        |  GROUP BY 1, 2),
+        |tr AS (
+        |  SELECT DISTINCT fid AS doc_id FROM tinter
+        |  JOIN tsizes sf ON sf.doc_id = fid
+        |  JOIN tsizes sc ON sc.doc_id = cid
+        |  WHERE inter / (sf.set_size + sc.set_size - inter) >= 0.5),
+        |$mihCodesCtes,
+        |mcand AS (
+        |  SELECT DISTINCT f.vec_id AS fid, c.vec_id AS cid
+        |  FROM codes f JOIN codes c
+        |    ON c.band = f.band AND c.band_val = f.band_val
+        |  WHERE f.vec_id % 7 = 0 AND c.vec_id % 7 <> 0),
+        |mham AS (
+        |  SELECT mc.fid, mc.cid,
+        |    CAST(SUM(bit_count(xor(a.band_val, b.band_val))) AS BIGINT) AS hamming
+        |  FROM mcand mc JOIN codes a ON a.vec_id = mc.fid
+        |  JOIN codes b ON b.vec_id = mc.cid AND b.band = a.band
+        |  GROUP BY 1, 2),
+        |mr AS (SELECT DISTINCT fid AS doc_id FROM mham WHERE hamming <= 3),
+        |freshset AS (
+        |  SELECT doc_id FROM tdocs WHERE doc_id >= 100000 OR doc_id % 7 = 0)
+        |SELECT f.doc_id,
+        |  CASE WHEN gr.doc_id IS NOT NULL THEN 'media_dup'
+        |       WHEN tr.doc_id IS NOT NULL THEN 'text_dup'
+        |       WHEN mr.doc_id IS NOT NULL THEN 'embedding_dup'
+        |       ELSE 'accepted' END AS verdict
+        |FROM freshset f
+        |LEFT JOIN gr ON gr.doc_id = f.doc_id
+        |LEFT JOIN tr ON tr.doc_id = f.doc_id
+        |LEFT JOIN mr ON mr.doc_id = f.doc_id
+        |ORDER BY f.doc_id"""
+
   /** The t43/e41 temperature-mixture oracle — ONE definition grading the
     * batch resampler and its streaming twin verbatim: rates, the id-hash
     * gate and the per-stratum yields all recomputed in SQL over the
@@ -4003,65 +4069,7 @@ object ExtensionQueries {
     // the three reject sets in full and applies the same priority — label
     // -identical because survivors-only screening equals full screening
     // minus earlier rejects on a fixed corpus.
-    "t42_multimodal_recipe" -> of(
-      s"""WITH $gearChunkSetCtes,
-        |gsh AS (
-        |  SELECT a.doc_id AS fid, b.doc_id AS cid, CAST(COUNT(*) AS BIGINT) AS inter
-        |  FROM d a JOIN d b ON a.chunk_hex = b.chunk_hex
-        |  WHERE (a.doc_id >= 100000 OR a.doc_id % 7 = 0)
-        |    AND b.doc_id < 100000 AND b.doc_id % 7 <> 0
-        |  GROUP BY 1, 2),
-        |gr AS (
-        |  SELECT DISTINCT gsh.fid AS doc_id
-        |  FROM gsh JOIN sz sa ON sa.doc_id = gsh.fid
-        |  JOIN sz sb ON sb.doc_id = gsh.cid
-        |  WHERE CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.4),
-        |tdocs AS (
-        |  SELECT doc_id, text FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 100000, '~' || text FROM documents WHERE doc_id < 20),
-        |ttoks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM tdocs),
-        |tsh AS (
-        |  SELECT DISTINCT doc_id,
-        |    tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] AS shingle
-        |  FROM ttoks, UNNEST(range(1, len(tk) - 2)) AS u(i)),
-        |tsizes AS (SELECT doc_id, COUNT(*) AS set_size FROM tsh GROUP BY doc_id),
-        |tinter AS (
-        |  SELECT f.doc_id AS fid, c.doc_id AS cid, COUNT(*) AS inter
-        |  FROM tsh f JOIN tsh c ON f.shingle = c.shingle
-        |  WHERE (f.doc_id >= 100000 OR f.doc_id % 7 = 0)
-        |    AND c.doc_id < 100000 AND c.doc_id % 7 <> 0
-        |  GROUP BY 1, 2),
-        |tr AS (
-        |  SELECT DISTINCT fid AS doc_id FROM tinter
-        |  JOIN tsizes sf ON sf.doc_id = fid
-        |  JOIN tsizes sc ON sc.doc_id = cid
-        |  WHERE inter / (sf.set_size + sc.set_size - inter) >= 0.5),
-        |$mihCodesCtes,
-        |mcand AS (
-        |  SELECT DISTINCT f.vec_id AS fid, c.vec_id AS cid
-        |  FROM codes f JOIN codes c
-        |    ON c.band = f.band AND c.band_val = f.band_val
-        |  WHERE f.vec_id % 7 = 0 AND c.vec_id % 7 <> 0),
-        |mham AS (
-        |  SELECT mc.fid, mc.cid,
-        |    CAST(SUM(bit_count(xor(a.band_val, b.band_val))) AS BIGINT) AS hamming
-        |  FROM mcand mc JOIN codes a ON a.vec_id = mc.fid
-        |  JOIN codes b ON b.vec_id = mc.cid AND b.band = a.band
-        |  GROUP BY 1, 2),
-        |mr AS (SELECT DISTINCT fid AS doc_id FROM mham WHERE hamming <= 3),
-        |freshset AS (
-        |  SELECT doc_id FROM tdocs WHERE doc_id >= 100000 OR doc_id % 7 = 0)
-        |SELECT f.doc_id,
-        |  CASE WHEN gr.doc_id IS NOT NULL THEN 'media_dup'
-        |       WHEN tr.doc_id IS NOT NULL THEN 'text_dup'
-        |       WHEN mr.doc_id IS NOT NULL THEN 'embedding_dup'
-        |       ELSE 'accepted' END AS verdict
-        |FROM freshset f
-        |LEFT JOIN gr ON gr.doc_id = f.doc_id
-        |LEFT JOIN tr ON tr.doc_id = f.doc_id
-        |LEFT JOIN mr ON mr.doc_id = f.doc_id
-        |ORDER BY f.doc_id""") { (s, d) =>
+    "t42_multimodal_recipe" -> of(t42RecipeSql) { (s, d) =>
       import graft.operators.{Dedup, Multimodal, Similarity}
       val docs = t(s, d, "documents")
       val media = shiftedMediaCorpus(s, d)
@@ -4088,6 +4096,99 @@ object ExtensionQueries {
         radius = 3)
         .select(col("fresh_id").as("doc_id")).distinct()
       freshText.select(col("doc_id"))
+        .join(mediaRejects.withColumn("__m", lit(1)), Seq("doc_id"), "left")
+        .join(textRejects.withColumn("__t", lit(1)), Seq("doc_id"), "left")
+        .join(embRejects.withColumn("__e", lit(1)), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("__m") === 1, "media_dup")
+            .when(col("__t") === 1, "text_dup")
+            .when(col("__e") === 1, "embedding_dup")
+            .otherwise("accepted").as("verdict"))
+        .orderBy("doc_id")
+    },
+
+    // The multimodal corpus-build recipe LIVE (e42) — t42 as a staged
+    // streaming ingest: each family's streaming screen (the e38 gear, e15
+    // shingle and e37 MIH shapes) runs as a sequential AvailableNow
+    // stage, and each later stage's FRESH STREAM is anti-joined
+    // stream-static against the previous stage's materialized rejects —
+    // so the stage order stays load-bearing exactly as in batch (later,
+    // costlier stages see only survivors), and the serve step composes
+    // the three reject sets into first-rejecting-stage verdicts. All
+    // corpus sides are static (digests/shingles/codes built once); the
+    // t42 oracle grades the composed live run verbatim.
+    "e42_stream_multimodal_recipe" -> of(t42RecipeSql) { (s, d) =>
+      import graft.streaming.{EventsStream, ScreenStream, TableStream}
+      import graft.operators.{Dedup, Multimodal, Similarity}
+      val docs = t(s, d, "documents")
+      val media = shiftedMediaCorpus(s, d)
+      // --- stage A: gear-CDC media screen (streaming fresh blobs) ---
+      val mediaCorpus = media.filter(
+        col("doc_id") < 100000 && col("doc_id") % 7 =!= 0)
+      val corpusD = Multimodal.gearDigestSet(mediaCorpus, "corpus_id")
+      val gearSizes = corpusD.groupBy("corpus_id")
+        .agg(count(lit(1)).as("sz_c"))
+      def freshDocsStream() = TableStream.readProbed(s, d, "documents")
+      val freshMediaStream = freshDocsStream()
+        .filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id").cast("long").as("doc_id"),
+          col("text").cast("binary").as("payload"))
+        .unionByName(freshDocsStream().filter(col("doc_id") < 20)
+          .select((col("doc_id") + 100000).cast("long").as("doc_id"),
+            concat(lit("~"), col("text")).cast("binary").as("payload")))
+      val gearSink = s"stream_recipe_gear_${sinkCounter.incrementAndGet()}"
+      EventsStream.runAvailableNow(
+        ScreenStream.screenGearChunks(freshMediaStream, corpusD, gearSizes),
+        gearSink, outputMode = "complete")
+      val mediaRejects = s.table(gearSink)
+        .filter(col("inter").cast("double") /
+          (col("sz_f") + col("sz_c") - col("inter")).cast("double") >= 0.4)
+        .select(col("fresh_id").as("doc_id")).distinct()
+      // --- stage B: text shingle screen over stage-A survivors ---
+      val textCorpus = docs.filter(col("doc_id") % 7 =!= 0)
+      val shC = Dedup.shingleSet(textCorpus, "doc_id", "text", 4,
+        persist = false)
+      val shSizes = shC.groupBy(col("doc_id")).agg(count(lit(1)).as("set_size"))
+      val freshTextStream = freshDocsStream()
+        .filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+        .unionByName(freshDocsStream().filter(col("doc_id") < 20)
+          .select((col("doc_id") + 100000).cast("long").as("doc_id"),
+            concat(lit("~"), col("text")).as("text")))
+        .join(mediaRejects, Seq("doc_id"), "left_anti")
+      val textSink = s"stream_recipe_text_${sinkCounter.incrementAndGet()}"
+      EventsStream.runAvailableNow(
+        ScreenStream.screen(freshTextStream, shC, shSizes, "doc_id", "text"),
+        textSink, outputMode = "append")
+      val textRejects = s.table(textSink)
+        .select(col("fresh_id").as("doc_id")).distinct()
+      // --- stage C: MIH embedding screen over stage-B survivors ---
+      val embs = t(s, d, "embeddings")
+      val dim = Similarity.vectorDim(embs, "embedding")
+      val signs = Similarity.hyperplaneSigns(s, 32, 100, dim)
+      val corpusCodes = Similarity.mihCodeBands(
+        embs.filter(col("vec_id") % 7 =!= 0), "vec_id", "embedding",
+        "corpus_id", "c_code", signs, 4, 8)
+      val freshIdsStatic = docs.filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id"))
+        .unionByName(docs.filter(col("doc_id") < 20)
+          .select((col("doc_id") + 100000).cast("long").as("doc_id")))
+      val survivors2 = freshIdsStatic
+        .join(mediaRejects, Seq("doc_id"), "left_anti")
+        .join(textRejects, Seq("doc_id"), "left_anti")
+      val freshVecStream = ScreenStream.readEmbeddings(s, d)
+        .filter(col("vec_id") % 7 === 0)
+        .join(survivors2.select(col("doc_id").as("vec_id")),
+          Seq("vec_id"), "left_semi")
+      val mihSink = s"stream_recipe_mih_${sinkCounter.incrementAndGet()}"
+      EventsStream.runAvailableNow(
+        ScreenStream.screenMih(freshVecStream, corpusCodes,
+          "vec_id", "embedding", signs, 4, 8, 3),
+        mihSink, outputMode = "complete")
+      val embRejects = s.table(mihSink)
+        .select(col("fresh_id").as("doc_id")).distinct()
+      // --- serve: first-rejecting-stage verdicts (t42's compose) ---
+      freshIdsStatic
         .join(mediaRejects.withColumn("__m", lit(1)), Seq("doc_id"), "left")
         .join(textRejects.withColumn("__t", lit(1)), Seq("doc_id"), "left")
         .join(embRejects.withColumn("__e", lit(1)), Seq("doc_id"), "left")
@@ -5313,7 +5414,7 @@ object ExtensionQueries {
       val fresh = ScreenStream.readDocs(s, d).filter(col("doc_id") >= 400)
       val screened = ScreenStream.screen(fresh, shC, sizes, "doc_id", "text")
       val sinkName = s"stream_screen_${sinkCounter.incrementAndGet()}"
-      EventsStream.runAvailableNow(screened, sinkName, outputMode = "complete")
+      EventsStream.runAvailableNow(screened, sinkName, outputMode = "append")
       s.table(sinkName).orderBy("fresh_id", "corpus_id")
     },
 

@@ -61,7 +61,7 @@ class StreamingSpec extends SparkSpec {
     assert(fresh.isStreaming)
     EventsStream.runAvailableNow(
       ScreenStream.screen(fresh, shC, sizes, "doc_id", "text"),
-      "stream_screen_parity", outputMode = "complete")
+      "stream_screen_parity", outputMode = "append")
     val streamed = spark.table("stream_screen_parity")
     val batch = Dedup.incrementalJaccardPairs(
       docs.filter(col("doc_id") >= 400), corpus, "doc_id", "text",
@@ -1141,6 +1141,20 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.count() > 0)
     assert(streamed.except(batch).count() === 0)
     assert(batch.except(streamed).count() === 0)
+  }
+
+  test("e42: staged streaming recipe == batch t42 composition, verdict-identical") {
+    val batch = graft.SparkEntry.queries("t42_multimodal_recipe")(spark, dir)
+    val live = graft.SparkEntry.queries("e42_stream_multimodal_recipe")(spark, dir)
+    assert(live.count() > 0)
+    assert(live.count() === batch.count())
+    assert(live.except(batch).count() === 0)
+    assert(batch.except(live).count() === 0)
+    // the recipe is non-degenerate on this fixture: at least one reject
+    // from some stage, and accepted docs exist
+    val verdicts = live.select("verdict").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(verdicts.contains("accepted") && verdicts.size >= 2)
   }
 
   test("TableStream: a directory-shaped table streams its rows (zero-row glob trap)") {
