@@ -4139,7 +4139,7 @@ object ExtensionQueries {
       val gearSink = s"stream_recipe_gear_${sinkCounter.incrementAndGet()}"
       EventsStream.runAvailableNow(
         ScreenStream.screenGearChunks(freshMediaStream, corpusD, gearSizes),
-        gearSink, outputMode = "complete")
+        gearSink, outputMode = "append")
       val mediaRejects = s.table(gearSink)
         .filter(col("inter").cast("double") /
           (col("sz_f") + col("sz_c") - col("inter")).cast("double") >= 0.4)
@@ -4184,7 +4184,7 @@ object ExtensionQueries {
       EventsStream.runAvailableNow(
         ScreenStream.screenMih(freshVecStream, corpusCodes,
           "vec_id", "embedding", signs, 4, 8, 3),
-        mihSink, outputMode = "complete")
+        mihSink, outputMode = "append")
       val embRejects = s.table(mihSink)
         .select(col("fresh_id").as("doc_id")).distinct()
       // --- serve: first-rejecting-stage verdicts (t42's compose) ---
@@ -4747,7 +4747,7 @@ object ExtensionQueries {
           concat(lit("~"), col("text")).cast("binary").as("payload"))
       val agg = ScreenStream.screenGearChunks(freshStream, corpusD, sizes)
       val sinkName = s"stream_gear_screen_${sinkCounter.incrementAndGet()}"
-      EventsStream.runAvailableNow(agg, sinkName, outputMode = "complete")
+      EventsStream.runAvailableNow(agg, sinkName, outputMode = "append")
       s.table(sinkName)
         .withColumn("jaccard", col("inter").cast("double") /
           (col("sz_f") + col("sz_c") - col("inter")).cast("double"))
@@ -4953,7 +4953,7 @@ object ExtensionQueries {
           col("text").cast("binary").as("payload"))
       val agg = ScreenStream.screenChunks(freshStream, idx)
       val sinkName = s"stream_chunk_screen_${sinkCounter.incrementAndGet()}"
-      EventsStream.runAvailableNow(agg, sinkName, outputMode = "complete")
+      EventsStream.runAvailableNow(agg, sinkName, outputMode = "append")
       s.table(sinkName)
         .withColumn("jaccard", col("inter").cast("double") /
           (col("sz_f") + col("sz_c") - col("inter")).cast("double"))
@@ -5422,9 +5422,9 @@ object ExtensionQueries {
     // index — the d16 layout's live consumer (e15's cosine-space twin):
     // arriving vectors band in-row with the index's knob family, candidate
     // + vector joins are stream-static against the bucketed tables, and
-    // the one stateful operator is the distinct-of-survivors. AvailableNow
-    // complete-mode emission equals the batch indexed screen, so the d15
-    // oracle grades the streaming plan verbatim.
+    // the one stateful operator is the per-fresh-doc distinct fold (state =
+    // one seen flag per doc). AvailableNow append-mode emission equals the
+    // batch indexed screen, so the d15 oracle grades the plan verbatim.
     "e23_stream_embedding_screen" -> of(incrementalEmbeddingSql) { (s, d) =>
       import graft.streaming.{EventsStream, ScreenStream}
       val e = t(s, d, "embeddings")
@@ -5434,7 +5434,7 @@ object ExtensionQueries {
       val screened = ScreenStream.screenEmbeddings(fresh, idx,
         "vec_id", "embedding", 0.4)
       val sinkName = s"stream_emb_screen_${sinkCounter.incrementAndGet()}"
-      EventsStream.runAvailableNow(screened, sinkName, outputMode = "complete")
+      EventsStream.runAvailableNow(screened, sinkName, outputMode = "append")
       s.table(sinkName).orderBy("fresh_id", "corpus_id")
     },
 
@@ -5443,8 +5443,8 @@ object ExtensionQueries {
     // code table was built with, the band join is stream-static against
     // that table, Hamming + radius cut are one stateless integer
     // projection (codes only — no vector or norm ever enters the stream
-    // plan), and the one stateful op is the distinct-of-survivors.
-    // AvailableNow complete-mode emission equals the batch screen, so the
+    // plan), and the one stateful op is the per-fresh-doc distinct fold.
+    // AvailableNow append-mode emission equals the batch screen, so the
     // s23 oracle grades the streaming plan verbatim.
     "e37_stream_mih_screen" -> of(mihScreenSql) { (s, d) =>
       import graft.streaming.{EventsStream, ScreenStream}
@@ -5459,7 +5459,7 @@ object ExtensionQueries {
       val screened = ScreenStream.screenMih(fresh, corpusCodes,
         "vec_id", "embedding", signs, 4, 8, 6)
       val sinkName = s"stream_mih_${sinkCounter.incrementAndGet()}"
-      EventsStream.runAvailableNow(screened, sinkName, outputMode = "complete")
+      EventsStream.runAvailableNow(screened, sinkName, outputMode = "append")
       s.table(sinkName).orderBy("fresh_id", "corpus_id")
     },
 

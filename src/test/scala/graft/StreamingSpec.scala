@@ -86,7 +86,7 @@ class StreamingSpec extends SparkSpec {
     EventsStream.runAvailableNow(
       ScreenStream.screenMih(fresh, corpusCodes, "vec_id", "embedding",
         signs, 4, 8, radius = 8),
-      "stream_mih_parity", outputMode = "complete")
+      "stream_mih_parity", outputMode = "append")
     val streamed = spark.table("stream_mih_parity")
     val batch = Similarity.mihHammingScreen(
       embs.filter(col("vec_id") % 8 === 0),
@@ -116,7 +116,7 @@ class StreamingSpec extends SparkSpec {
     assert(freshStream.isStreaming)
     EventsStream.runAvailableNow(
       ScreenStream.screenGearChunks(freshStream, corpusD, sizes),
-      "stream_gear_parity", outputMode = "complete")
+      "stream_gear_parity", outputMode = "append")
     val streamed = spark.table("stream_gear_parity")
       .withColumn("jaccard", col("inter").cast("double") /
         (col("sz_f") + col("sz_c") - col("inter")).cast("double"))
