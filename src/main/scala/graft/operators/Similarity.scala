@@ -1097,9 +1097,12 @@ object Similarity {
     * with differences spread 2+2+1+1 is missed) — size `bands` to the
     * radius you need guaranteed, exactly as the candidate-volume doc on
     * [[mihHammingNeighbors]] prescribes, or raise `probeBallRadius`. The
-    * DEFAULT radius is the guaranteed bands−1; asking for a larger radius
-    * without widening the probe ball is an explicit opt-in to the
-    * truncated-recall regime.
+    * DEFAULT (radius 6 over 4×8-bit bands, exact-band probing) is the
+    * historical one and sits in the TRUNCATED-RECALL regime: pairs at
+    * Hamming 4–6 with differences spread across every band are missed.
+    * For guaranteed completeness either lower radius to bands−1 (= 3
+    * here) or pass probeBallRadius = 1, which lifts the guarantee to
+    * 2·bands−1 = 7 ≥ 6 at a (bandBits+1)× fresh-side-only fan-out.
     *
     * `probeBallRadius` is Norouzi et al.'s actual search procedure
     * (CVPR'12 §3.1): probe each band index not just at the query's exact
@@ -1113,7 +1116,7 @@ object Similarity {
     * some band with ≤ 1 differing bits, which the ball reaches exactly.
     */
   def mihHammingScreen(fresh: DataFrame, corpus: DataFrame, idCol: String,
-                       vecCol: String, radius: Int = 3,
+                       vecCol: String, radius: Int = 6,
                        bands: Int = 4, bandBits: Int = 8,
                        planeOffset: Int = 100,
                        probeBallRadius: Int = 0): DataFrame = {
@@ -1218,7 +1221,7 @@ object Similarity {
     */
   def mihHammingScreenIndexed(fresh: DataFrame, index: MihIndex,
                               idCol: String, vecCol: String,
-                              radius: Int = 3,
+                              radius: Int = 6,
                               probeBallRadius: Int = 0): DataFrame = {
     val spark = fresh.sparkSession
     graft.functions.NativeFunctions.register(spark)

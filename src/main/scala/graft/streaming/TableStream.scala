@@ -28,11 +28,19 @@ import org.apache.spark.sql.types.StructType
 object TableStream {
 
   /** Absolute path of the table under `dir`, and whether it is
-    * directory-shaped.
+    * directory-shaped. The probe goes through the Hadoop FileSystem of the
+    * path's own scheme — a local-FS `File.isDirectory` would return false
+    * for any `hdfs://`/`s3a://` URI and silently re-enter the
+    * glob-over-dir zero-row trap this class exists to close.
     */
-  private def resolve(dir: String, table: String): (String, Boolean) = {
+  private def resolve(spark: SparkSession, dir: String,
+                      table: String): (String, Boolean) = {
     val path = s"$dir/$table.parquet"
-    (path, new java.io.File(path).isDirectory)
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
+    val isDir = try fs.getFileStatus(hp).isDirectory
+    catch { case _: java.io.FileNotFoundException => false }
+    (path, isDir)
   }
 
   /** Streaming read with a DECLARED schema (the caller knows the table's
@@ -40,7 +48,7 @@ object TableStream {
     */
   def read(spark: SparkSession, dir: String, table: String,
            schema: StructType): DataFrame = {
-    val (path, isDir) = resolve(dir, table)
+    val (path, isDir) = resolve(spark, dir, table)
     if (isDir) spark.readStream.schema(schema).parquet(path)
     else spark.readStream.schema(schema)
       .option("pathGlobFilter", s"$table.parquet").parquet(dir)
@@ -51,7 +59,7 @@ object TableStream {
     * schema varies by sf dir (events' ts encoding, TPC-H column order).
     */
   def readProbed(spark: SparkSession, dir: String, table: String): DataFrame = {
-    val (path, isDir) = resolve(dir, table)
+    val (path, isDir) = resolve(spark, dir, table)
     val probed =
       if (isDir) spark.read.parquet(path).schema
       else spark.read.option("pathGlobFilter", s"$table.parquet")

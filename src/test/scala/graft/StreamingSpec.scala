@@ -1207,6 +1207,96 @@ class StreamingSpec extends SparkSpec {
     // position-ordered fold
     assert(out2.head.mean_logprob === full / 7.0)
   }
+
+  test("e39 step TTL: idle timeout drops state; re-arrival re-scores from seed") {
+    import graft.streaming.KnScoreStream
+    import org.apache.spark.api.java.Optional
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    val ttl = 60000L
+    val rows = Seq.tabulate(3)(i => KnScoreStream.BgRow(7L, i, -1.0 - i))
+    // arrival under an armed ProcessingTimeTimeout: scores and re-arms
+    val s1 = TestGroupState.create[KnScoreStream.DocState](
+      Optional.empty(), GroupStateTimeout.ProcessingTimeTimeout, 1000L,
+      Optional.empty[java.lang.Long]().asInstanceOf[Optional[Long]],
+      hasTimedOut = false)
+    val out1 = KnScoreStream.step(ttl)(7L, rows.iterator, s1).toList
+    assert(out1.map(_.n_bigrams) === List(3L))
+    assert(s1.getTimeoutTimestampMs.get === 1000L + ttl,
+      "arrival must re-arm the idle TTL")
+    // the timeout firing drops the 16-byte state and emits nothing (the
+    // score already went out on arrival)
+    val sT = TestGroupState.create[KnScoreStream.DocState](
+      Optional.of(s1.get), GroupStateTimeout.ProcessingTimeTimeout, 1000L + ttl,
+      Optional.empty[java.lang.Long]().asInstanceOf[Optional[Long]],
+      hasTimedOut = true)
+    assert(KnScoreStream.step(ttl)(7L, Iterator.empty, sT).isEmpty)
+    assert(sT.isRemoved, "timed-out doc state must be dropped")
+    // a doc re-arriving AFTER the drop re-scores from the fold seed — the
+    // documented bounded-state trade-off, not a silent continuation
+    val s2 = TestGroupState.create[KnScoreStream.DocState](
+      Optional.empty(), GroupStateTimeout.ProcessingTimeTimeout, 2000L + ttl,
+      Optional.empty[java.lang.Long]().asInstanceOf[Optional[Long]],
+      hasTimedOut = false)
+    val out2 = KnScoreStream.step(ttl)(7L, rows.iterator, s2).toList
+    assert(out2 === out1, "post-drop re-arrival must fold from the seed")
+  }
+
+  test("screen folds: per-doc aggregation + enforced whole-doc delivery") {
+    import graft.streaming.ScreenStream
+    import org.apache.spark.api.java.Optional
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    def st(seen: Option[Boolean]) = TestGroupState.create[Boolean](
+      seen.map(java.lang.Boolean.valueOf(_).booleanValue())
+        .map(Optional.of[Boolean]).getOrElse(Optional.empty[Boolean]()),
+      GroupStateTimeout.NoTimeout, 0L,
+      Optional.empty[java.lang.Long]().asInstanceOf[Optional[Long]],
+      hasTimedOut = false)
+    // chunkCountFold: shared-digest counts per corpus doc, sizes carried
+    val rows = Iterator(
+      ScreenStream.ChunkCollisionRow(1L, 4L, 10L, 5L),
+      ScreenStream.ChunkCollisionRow(1L, 4L, 10L, 5L),
+      ScreenStream.ChunkCollisionRow(1L, 4L, 11L, 6L))
+    val out = ScreenStream.chunkCountFold("t")(1L, rows, st(None)).toList
+    assert(out.toSet === Set(
+      ScreenStream.ChunkPairOut(1L, 10L, 4L, 5L, 2L),
+      ScreenStream.ChunkPairOut(1L, 11L, 4L, 6L, 1L)))
+    // distinctPairFold: first-seen metric per corpus doc, one row each
+    val vrows = Iterator(
+      ScreenStream.VerifiedRow(2L, 20L, 0.9),
+      ScreenStream.VerifiedRow(2L, 20L, 0.9),
+      ScreenStream.VerifiedRow(2L, 21L, 0.7))
+    val vout = ScreenStream.distinctPairFold("t")(2L, vrows, st(None)).toList
+    assert(vout.toSet === Set(
+      ScreenStream.VerifiedRow(2L, 20L, 0.9),
+      ScreenStream.VerifiedRow(2L, 21L, 0.7)))
+    // mihDistinctFold: integer twin
+    val mout = ScreenStream.mihDistinctFold(3L, Iterator(
+      ScreenStream.MihRow(3L, 30L, 2L), ScreenStream.MihRow(3L, 30L, 2L)),
+      st(None)).toList
+    assert(mout === List(ScreenStream.MihRow(3L, 30L, 2L)))
+    // the whole-doc-delivery contract is ENFORCED: a doc whose rows span a
+    // second micro-batch fails loudly instead of silently undercounting
+    val e = intercept[IllegalStateException] {
+      ScreenStream.chunkCountFold("t")(1L,
+        Iterator(ScreenStream.ChunkCollisionRow(1L, 4L, 10L, 5L)),
+        st(Some(true))).toList
+    }
+    assert(e.getMessage.contains("second micro-batch"))
+  }
+
+  test("e39 scoreGrams rejects a non-integral id column") {
+    import graft.streaming.KnScoreStream
+    val dir = java.nio.file.Files.createTempDirectory("knid").toString
+    spark.range(1).selectExpr("cast(id as string) doc_id", "'a b c' text")
+      .write.mode("overwrite").parquet(dir)
+    val docs = spark.readStream.schema("doc_id STRING, text STRING")
+      .parquet(dir)
+    val lm = spark.range(0).selectExpr("cast(id as string) bg", "cast(id as double) lp")
+    val e = intercept[IllegalArgumentException] {
+      KnScoreStream.score(docs, "doc_id", "text", lm)
+    }
+    assert(e.getMessage.contains("integral"))
+  }
 }
 
 /** Latches for the single-runner guard test; top-level so the UDF closure
