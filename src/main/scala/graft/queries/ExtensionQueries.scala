@@ -1030,6 +1030,66 @@ object ExtensionQueries {
     * split — ONE definition grading the batch operator and its streaming
     * twin verbatim.
     */
+  /** The fresh-vs-corpus edit-distance screen contract shared by d20
+    * (batch incremental) and e43 (its streaming twin): one SQL definition
+    * replaying grams, the corpus-df rarity order, both prefix cuts, the
+    * short pool, the length filter and the exact levenshtein verify —
+    * so batch and live must agree on their output by construction. Same
+    * en/ASCII oracle scope as d19.
+    */
+  private val incrementalEditSql =
+    """WITH t AS (
+        |  SELECT doc_id AS id, substring(text, 1, 64) AS s
+        |  FROM documents WHERE lang = 'en'),
+        |corp AS (SELECT * FROM t WHERE id % 10 <> 0),
+        |fr AS (SELECT * FROM t WHERE id % 10 = 0),
+        |cg AS (
+        |  SELECT id, UNNEST(list_distinct(CASE WHEN length(s) >= 4
+        |    THEN list_transform(range(1, length(s) - 2), i -> substring(s, CAST(i AS INT), 4))
+        |    ELSE [s] END)) AS g
+        |  FROM corp),
+        |fg AS (
+        |  SELECT id, UNNEST(list_distinct(CASE WHEN length(s) >= 4
+        |    THEN list_transform(range(1, length(s) - 2), i -> substring(s, CAST(i AS INT), 4))
+        |    ELSE [s] END)) AS g
+        |  FROM fr),
+        |dfq AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS df FROM cg GROUP BY g),
+        |cpref AS (
+        |  SELECT id AS corpus_id, g FROM (
+        |    SELECT c.id, c.g,
+        |      ROW_NUMBER() OVER (PARTITION BY c.id ORDER BY d.df, c.g) AS rk
+        |    FROM cg c JOIN dfq d ON d.g = c.g) z
+        |  WHERE rk <= 17),
+        |fpref AS (
+        |  SELECT id AS fresh_id, g FROM (
+        |    SELECT f.id, f.g,
+        |      ROW_NUMBER() OVER (PARTITION BY f.id
+        |        ORDER BY COALESCE(d.df, 0), f.g) AS rk
+        |    FROM fg f LEFT JOIN dfq d ON d.g = f.g) z
+        |  WHERE rk <= 17),
+        |csh AS (
+        |  SELECT c.id, length(c.s) AS len FROM corp c
+        |  JOIN (SELECT id, COUNT(*) AS ng FROM cg GROUP BY id) n
+        |    ON n.id = c.id AND n.ng < 17),
+        |fsh AS (
+        |  SELECT f.id, length(f.s) AS len FROM fr f
+        |  JOIN (SELECT id, COUNT(*) AS ng FROM fg GROUP BY id) n
+        |    ON n.id = f.id AND n.ng < 17),
+        |cands AS (
+        |  SELECT DISTINCT fresh_id, corpus_id FROM (
+        |    SELECT f.fresh_id, c.corpus_id
+        |    FROM fpref f JOIN cpref c ON f.g = c.g
+        |    UNION ALL
+        |    SELECT f.id, c.id FROM fsh f JOIN csh c
+        |      ON abs(f.len - c.len) <= 4) u)
+        |SELECT ca.fresh_id, ca.corpus_id,
+        |  CAST(levenshtein(tf.s, tc.s) AS BIGINT) AS dist
+        |FROM cands ca JOIN fr tf ON tf.id = ca.fresh_id
+        |JOIN corp tc ON tc.id = ca.corpus_id
+        |WHERE abs(length(tf.s) - length(tc.s)) <= 4
+        |  AND levenshtein(tf.s, tc.s) <= 4
+        |ORDER BY fresh_id, corpus_id"""
+
   private val mihScreenSql =
     s"""WITH $mihCodesCtes,
       |cand AS (
@@ -1921,58 +1981,7 @@ object ExtensionQueries {
     // under any shared total order, so the screen stays exact). Per-ingest
     // pair work ∝ the batch's rare-gram collisions, never corpus
     // self-pairs. Same en/ASCII oracle scope as d19.
-    "d20_incremental_edit_distance" -> of(
-      """WITH t AS (
-        |  SELECT doc_id AS id, substring(text, 1, 64) AS s
-        |  FROM documents WHERE lang = 'en'),
-        |corp AS (SELECT * FROM t WHERE id % 10 <> 0),
-        |fr AS (SELECT * FROM t WHERE id % 10 = 0),
-        |cg AS (
-        |  SELECT id, UNNEST(list_distinct(CASE WHEN length(s) >= 4
-        |    THEN list_transform(range(1, length(s) - 2), i -> substring(s, CAST(i AS INT), 4))
-        |    ELSE [s] END)) AS g
-        |  FROM corp),
-        |fg AS (
-        |  SELECT id, UNNEST(list_distinct(CASE WHEN length(s) >= 4
-        |    THEN list_transform(range(1, length(s) - 2), i -> substring(s, CAST(i AS INT), 4))
-        |    ELSE [s] END)) AS g
-        |  FROM fr),
-        |dfq AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS df FROM cg GROUP BY g),
-        |cpref AS (
-        |  SELECT id AS corpus_id, g FROM (
-        |    SELECT c.id, c.g,
-        |      ROW_NUMBER() OVER (PARTITION BY c.id ORDER BY d.df, c.g) AS rk
-        |    FROM cg c JOIN dfq d ON d.g = c.g) z
-        |  WHERE rk <= 17),
-        |fpref AS (
-        |  SELECT id AS fresh_id, g FROM (
-        |    SELECT f.id, f.g,
-        |      ROW_NUMBER() OVER (PARTITION BY f.id
-        |        ORDER BY COALESCE(d.df, 0), f.g) AS rk
-        |    FROM fg f LEFT JOIN dfq d ON d.g = f.g) z
-        |  WHERE rk <= 17),
-        |csh AS (
-        |  SELECT c.id, length(c.s) AS len FROM corp c
-        |  JOIN (SELECT id, COUNT(*) AS ng FROM cg GROUP BY id) n
-        |    ON n.id = c.id AND n.ng < 17),
-        |fsh AS (
-        |  SELECT f.id, length(f.s) AS len FROM fr f
-        |  JOIN (SELECT id, COUNT(*) AS ng FROM fg GROUP BY id) n
-        |    ON n.id = f.id AND n.ng < 17),
-        |cands AS (
-        |  SELECT DISTINCT fresh_id, corpus_id FROM (
-        |    SELECT f.fresh_id, c.corpus_id
-        |    FROM fpref f JOIN cpref c ON f.g = c.g
-        |    UNION ALL
-        |    SELECT f.id, c.id FROM fsh f JOIN csh c
-        |      ON abs(f.len - c.len) <= 4) u)
-        |SELECT ca.fresh_id, ca.corpus_id,
-        |  CAST(levenshtein(tf.s, tc.s) AS BIGINT) AS dist
-        |FROM cands ca JOIN fr tf ON tf.id = ca.fresh_id
-        |JOIN corp tc ON tc.id = ca.corpus_id
-        |WHERE abs(length(tf.s) - length(tc.s)) <= 4
-        |  AND levenshtein(tf.s, tc.s) <= 4
-        |ORDER BY fresh_id, corpus_id""") { (s, d) =>
+    "d20_incremental_edit_distance" -> of(incrementalEditSql) { (s, d) =>
       val en = t(s, d, "documents").filter(col("lang") === "en")
         .select(col("doc_id"), substring(col("text"), 1, 64).as("title"))
       Dedup.incrementalEditDistancePairs(
@@ -5414,6 +5423,33 @@ object ExtensionQueries {
       val fresh = ScreenStream.readDocs(s, d).filter(col("doc_id") >= 400)
       val screened = ScreenStream.screen(fresh, shC, sizes, "doc_id", "text")
       val sinkName = s"stream_screen_${sinkCounter.incrementAndGet()}"
+      EventsStream.runAvailableNow(screened, sinkName, outputMode = "append")
+      s.table(sinkName).orderBy("fresh_id", "corpus_id")
+    },
+
+    // STREAMING edit-distance ingest screen (e43) — the typo/OCR rung
+    // live, the last screen family to get a streaming twin: fresh title
+    // slices arrive as a stream and screen against the standing corpus
+    // under d20's Ed-Join prefix contract (corpus-df rarity order, both
+    // prefix cuts, the gram-poor short pool, banded levenshtein verify,
+    // in-plan per-doc candidate guard). The static gram-df/prefix/short
+    // structures join stream-static BEFORE the one per-fresh-doc fold,
+    // where the fresh prefix cut + dedup + verify run in task memory
+    // (state = one seen flag per doc). AvailableNow append-mode emission
+    // equals the batch incremental screen, so the d20 oracle grades the
+    // streaming plan verbatim.
+    "e43_stream_edit_screen" -> of(incrementalEditSql) { (s, d) =>
+      import graft.streaming.{EventsStream, ScreenStream}
+      val corpus = t(s, d, "documents").filter(col("lang") === "en")
+        .filter(pmod(col("doc_id"), lit(10)) =!= 0)
+        .select(col("doc_id"), substring(col("text"), 1, 64).as("title"))
+      val fresh = ScreenStream.readDocs(s, d)
+        .filter(col("lang") === "en")
+        .filter(pmod(col("doc_id"), lit(10)) === 0)
+        .select(col("doc_id"), substring(col("text"), 1, 64).as("title"))
+      val screened = ScreenStream.screenEditDistance(fresh, corpus,
+        "doc_id", "title", maxDist = 4, q = 4)
+      val sinkName = s"stream_edit_screen_${sinkCounter.incrementAndGet()}"
       EventsStream.runAvailableNow(screened, sinkName, outputMode = "append")
       s.table(sinkName).orderBy("fresh_id", "corpus_id")
     },

@@ -38,4 +38,19 @@ class EntrySpec extends SparkSpec {
     assert(missing.isEmpty,
       s"queries with no COVERAGE.md row (add one per operator): ${missing.mkString(", ")}")
   }
+
+  // README's headline counts drifted by one in r13 (213 vs 214) because
+  // nothing enforced them; now every "N queries"/"N/N" mention must equal
+  // the registry size, so adding a query without updating README fails here
+  test("README query counts equal the registry size") {
+    val readme = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("README.md")), java.nio.charset.StandardCharsets.UTF_8)
+    val n = SparkEntry.queries.size
+    val stale = "(\\d+)(?:/(\\d+))? queries".r.findAllMatchIn(readme)
+      .filterNot(m => m.group(1).toInt == n &&
+        Option(m.group(2)).forall(_.toInt == n))
+      .map(_.matched).toList
+    assert(stale.isEmpty,
+      s"README query counts out of date (registry has $n): ${stale.mkString(", ")}")
+  }
 }

@@ -1241,6 +1241,57 @@ class StreamingSpec extends SparkSpec {
     assert(out2 === out1, "post-drop re-arrival must fold from the seed")
   }
 
+  test("streaming edit-distance screen == batch incremental screen; typo'd copies pair live") {
+    import graft.streaming.{EventsStream, ScreenStream}
+    import graft.operators.Dedup
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val corpus = docs.filter(col("lang") === "en")
+      .select(col("doc_id"), substring(col("text"), 1, 64).as("title"))
+    // fresh = one-substitution copies of corpus titles under shifted ids,
+    // so true pairs at dist 1 are guaranteed to exist
+    def typo(c: org.apache.spark.sql.Column) =
+      concat(substring(c, 1, 7), lit("#"), substring(c, 9, 64))
+    val docsSchema = spark.read
+      .option("pathGlobFilter", "documents.parquet").parquet(dir).schema
+    val freshStream = spark.readStream.schema(docsSchema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      .filter(col("lang") === "en" && col("doc_id") < 50 &&
+        length(col("text")) >= 16)
+      .select((col("doc_id") + 100000).cast("long").as("doc_id"),
+        typo(substring(col("text"), 1, 64)).as("title"))
+    assert(freshStream.isStreaming)
+    EventsStream.runAvailableNow(
+      ScreenStream.screenEditDistance(freshStream, corpus, "doc_id", "title"),
+      "stream_edit_parity", outputMode = "append")
+    val streamed = spark.table("stream_edit_parity")
+    val freshBatch = docs
+      .filter(col("lang") === "en" && col("doc_id") < 50 &&
+        length(col("text")) >= 16)
+      .select((col("doc_id") + 100000).cast("long").as("doc_id"),
+        typo(substring(col("text"), 1, 64)).as("title"))
+    val batch = Dedup.incrementalEditDistancePairs(
+      freshBatch, corpus, "doc_id", "title")
+    assert(streamed.count() > 0, "typo'd copies must pair live")
+    assert(streamed.except(batch).count() === 0)
+    assert(batch.except(streamed).count() === 0)
+  }
+
+  test("bandedLevenshtein matches Spark's thresholded levenshtein") {
+    import graft.streaming.ScreenStream
+    val rnd = new scala.util.Random(42)
+    def word() = Seq.fill(rnd.nextInt(12))("abcd"(rnd.nextInt(4))).mkString
+    val cases = Seq.fill(300)((word(), word())) ++
+      Seq(("", ""), ("", "abc"), ("abcd", ""), ("abcd", "abce"))
+    import spark.implicits._
+    cases.toDF("a", "b")
+      .withColumn("d", levenshtein(col("a"), col("b"), 4))
+      .collect().foreach { r =>
+        assert(ScreenStream.bandedLevenshtein(r.getString(0), r.getString(1), 4)
+          === r.getInt(2).toLong,
+          s"'${r.getString(0)}' vs '${r.getString(1)}'")
+      }
+  }
+
   test("screen folds: per-doc aggregation + enforced whole-doc delivery") {
     import graft.streaming.ScreenStream
     import org.apache.spark.api.java.Optional
