@@ -194,6 +194,14 @@ object AuxDumps {
       graft.operators.CorpusOps.kneserNeyTrigramLm(
         t(s, d, "documents"), "doc_id", "text")),
 
+    // t44: the ORDER-GENERIC interpolated KN table at order 4 (g, n, ctx,
+    // n1f, cont3, mid_ctx3, mid_n1f3, cont2, mid_ctx2, mid_n1f2, n1b,
+    // nbg, lp). The oracle recounts all ELEVEN integer statistics in SQL
+    // and joins on them — only the ln rides.
+    "t44_lp" -> ((s, d) =>
+      graft.operators.CorpusOps.kneserNeyLmOrder(
+        t(s, d, "documents"), "doc_id", "text", 4)),
+
     // s22: the 32 ±1 sign vectors of the MIH code family (planes 100–131 —
     // a dedicated offset so the family is independent of the 0–31 LSH
     // planes). p is the LOCAL index 0..31; the oracle derives band = p//8

@@ -908,6 +908,95 @@ object ExtensionQueries {
         |SELECT doc_id, n_trigrams, mean_logprob FROM folded
         |ORDER BY doc_id""".stripMargin
 
+  /** The t44/e44 4-gram KN oracle — kn3ScoreSql one order up, grading the
+    * ORDER-GENERIC builder (`kneserNeyLmOrder(4)`): recounts all ELEVEN
+    * sufficient statistics (raw 4-gram counts + context sums, the level-3
+    * and level-2 continuation-type triples from the 4-gram and trigram
+    * type tables, and the bigram-type unigram level) in SQL, joins the
+    * dumped LM on every one of them, takes only `lp` on faith, and
+    * replays the position-ordered scoring fold. One definition grades
+    * batch (t44) and live (e44).
+    */
+  private val kn4ScoreSql =
+      """WITH lm AS (SELECT g, n, ctx, n1f, cont3, mid_ctx3, mid_n1f3,
+        |                  cont2, mid_ctx2, mid_n1f2, n1b, nbg, lp
+        |           FROM read_parquet('{{AUX}}/t44_lp/*.parquet')),
+        |qgc AS (
+        |  SELECT tk[i + 1] || ' ' || tk[i + 2] || ' ' || tk[i + 3] || ' ' || tk[i + 4] AS qg,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM (SELECT string_split(text, ' ') AS tk FROM documents) d,
+        |    UNNEST(range(len(tk) - 3)) AS r(i) WHERE len(tk) >= 4
+        |  GROUP BY 1),
+        |qs AS (
+        |  SELECT qg, n, string_split(qg, ' ')[1] AS w1,
+        |    string_split(qg, ' ')[2] AS w2, string_split(qg, ' ')[3] AS w3,
+        |    string_split(qg, ' ')[4] AS w4
+        |  FROM qgc),
+        |ctx4 AS (
+        |  SELECT w1, w2, w3, CAST(SUM(n) AS BIGINT) AS ctx,
+        |    CAST(COUNT(*) AS BIGINT) AS n1f
+        |  FROM qs GROUP BY 1, 2, 3),
+        |cont3t AS (
+        |  SELECT w2, w3, w4, CAST(COUNT(*) AS BIGINT) AS cont3
+        |  FROM qs GROUP BY 1, 2, 3),
+        |mid3 AS (
+        |  SELECT w2, w3, CAST(COUNT(*) AS BIGINT) AS mid_ctx3,
+        |    CAST(COUNT(DISTINCT w4) AS BIGINT) AS mid_n1f3
+        |  FROM qs GROUP BY 1, 2),
+        |tgc AS (
+        |  SELECT tk[i + 1] || ' ' || tk[i + 2] || ' ' || tk[i + 3] AS tg
+        |  FROM (SELECT string_split(text, ' ') AS tk FROM documents) d,
+        |    UNNEST(range(len(tk) - 2)) AS r(i) WHERE len(tk) >= 3
+        |  GROUP BY 1),
+        |ts AS (
+        |  SELECT string_split(tg, ' ')[2] AS t2, string_split(tg, ' ')[3] AS t3
+        |  FROM tgc),
+        |cont2t AS (
+        |  SELECT t2, t3, CAST(COUNT(*) AS BIGINT) AS cont2 FROM ts GROUP BY 1, 2),
+        |mid2 AS (
+        |  SELECT t2, CAST(COUNT(*) AS BIGINT) AS mid_ctx2,
+        |    CAST(COUNT(DISTINCT t3) AS BIGINT) AS mid_n1f2
+        |  FROM ts GROUP BY 1),
+        |bgc AS (
+        |  SELECT tk[i + 1] || ' ' || tk[i + 2] AS bg
+        |  FROM (SELECT string_split(text, ' ') AS tk FROM documents) d,
+        |    UNNEST(range(len(tk) - 1)) AS r(i) WHERE len(tk) >= 2
+        |  GROUP BY 1),
+        |unic AS (
+        |  SELECT split_part(bg, ' ', 2) AS w4, CAST(COUNT(*) AS BIGINT) AS n1b
+        |  FROM bgc GROUP BY 1),
+        |totc AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM bgc),
+        |vlm AS (
+        |  SELECT lm.g, lm.lp FROM lm
+        |  JOIN qs ON qs.qg = lm.g AND qs.n = lm.n
+        |  JOIN ctx4 ON ctx4.w1 = qs.w1 AND ctx4.w2 = qs.w2 AND ctx4.w3 = qs.w3
+        |    AND ctx4.ctx = lm.ctx AND ctx4.n1f = lm.n1f
+        |  JOIN cont3t ON cont3t.w2 = qs.w2 AND cont3t.w3 = qs.w3
+        |    AND cont3t.w4 = qs.w4 AND cont3t.cont3 = lm.cont3
+        |  JOIN mid3 ON mid3.w2 = qs.w2 AND mid3.w3 = qs.w3
+        |    AND mid3.mid_ctx3 = lm.mid_ctx3 AND mid3.mid_n1f3 = lm.mid_n1f3
+        |  JOIN cont2t ON cont2t.t2 = qs.w3 AND cont2t.t3 = qs.w4
+        |    AND cont2t.cont2 = lm.cont2
+        |  JOIN mid2 ON mid2.t2 = qs.w3 AND mid2.mid_ctx2 = lm.mid_ctx2
+        |    AND mid2.mid_n1f2 = lm.mid_n1f2
+        |  JOIN unic ON unic.w4 = qs.w4 AND unic.n1b = lm.n1b
+        |  JOIN totc ON totc.t = lm.nbg),
+        |pos AS (
+        |  SELECT doc_id, i,
+        |    tk[i + 1] || ' ' || tk[i + 2] || ' ' || tk[i + 3] || ' ' || tk[i + 4] AS qg
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents) d,
+        |    UNNEST(range(len(tk) - 3)) AS r(i) WHERE len(tk) >= 4),
+        |scored AS (
+        |  SELECT p.doc_id, p.i, COALESCE(v.lp, -20.0) AS lp
+        |  FROM pos p LEFT JOIN vlm v ON v.g = p.qg),
+        |folded AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_quadgrams,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(lp ORDER BY i)),
+        |      (a, b) -> a + b) / COUNT(*) AS mean_logprob
+        |  FROM scored GROUP BY doc_id)
+        |SELECT doc_id, n_quadgrams, mean_logprob FROM folded
+        |ORDER BY doc_id""".stripMargin
+
   /** The t42/e42 multimodal-recipe oracle — ONE definition grading the
     * batch composition and its staged streaming twin verbatim: all three
     * screen families' CTE chains composed under the same first-rejecting-
@@ -3809,6 +3898,22 @@ object ExtensionQueries {
         .orderBy("doc_id")
     },
 
+    // 4-gram KN fluency scoring (t44) — the ORDER-GENERIC builder
+    // (VERDICT r13 #7) driven one rung past the hand-rolled pair:
+    // `kneserNeyLmOrder(4)` runs the full Chen-Goodman recursion (raw
+    // counts at the top, continuation-TYPE levels at 3 and 2, bigram-type
+    // unigrams) whose order-2/3 instantiations are spec-pinned bit-exact
+    // fixed points of t40/t41's builders. The oracle recounts all ELEVEN
+    // sufficient statistics and joins on them — only the ln rides the
+    // t44_lp dump.
+    "t44_kn4_logprob" -> of(kn4ScoreSql) { (s, d) =>
+      val docs = t(s, d, "documents")
+      val lm = graft.operators.CorpusOps.kneserNeyLmOrder(docs, "doc_id", "text", 4)
+      graft.operators.CorpusOps.ngramLogprob(docs, "doc_id", "text",
+        lm.select(col("g"), col("lp")), -20.0, 4, "g", "n_quadgrams")
+        .orderBy("doc_id")
+    },
+
     // STREAMING trigram KN fluency scoring (e40) — t41 live, at e39's
     // restated cost class from birth (never the complete-mode list-state
     // shape): KnScoreStream's n-gram-generic wiring with k=3 against the
@@ -3828,6 +3933,27 @@ object ExtensionQueries {
       val sinkName = s"stream_kn3_${sinkCounter.incrementAndGet()}"
       EventsStream.runAvailableNow(
         scored.toDF().toDF("doc_id", "n_trigrams", "mean_logprob"), sinkName,
+        outputMode = "append")
+      s.table(sinkName).orderBy("doc_id")
+    },
+
+    // STREAMING 4-gram KN fluency scoring (e44) — t44 live through the
+    // SAME n-gram-generic KnScoreStream wiring as e39 (k=2) and e40
+    // (k=3): the order-generic LM builds batch-side on the standing
+    // corpus, arriving documents score through the constant-width
+    // (n_folded, Σlp) fold — 16 bytes/doc at any order, because a k-gram
+    // occurrence is one (pos, lp) row no matter what k is. The t44 oracle
+    // grades the streaming plan with no weakening.
+    "e44_stream_kn4_score" -> of(kn4ScoreSql) { (s, d) =>
+      import graft.streaming.{EventsStream, KnScoreStream, ScreenStream}
+      val docs = t(s, d, "documents")
+      val lm = graft.operators.CorpusOps.kneserNeyLmOrder(docs, "doc_id", "text", 4)
+      val scored = KnScoreStream.scoreGrams(
+        ScreenStream.readDocs(s, d), "doc_id", "text",
+        lm.select(col("g"), col("lp")), -20.0, 4, "g")
+      val sinkName = s"stream_kn4_${sinkCounter.incrementAndGet()}"
+      EventsStream.runAvailableNow(
+        scored.toDF().toDF("doc_id", "n_quadgrams", "mean_logprob"), sinkName,
         outputMode = "append")
       s.table(sinkName).orderBy("doc_id")
     },
@@ -4147,7 +4273,8 @@ object ExtensionQueries {
             concat(lit("~"), col("text")).cast("binary").as("payload")))
       val gearSink = s"stream_recipe_gear_${sinkCounter.incrementAndGet()}"
       EventsStream.runAvailableNow(
-        ScreenStream.screenGearChunks(freshMediaStream, corpusD, gearSizes),
+        ScreenStream.screenGearChunks(freshMediaStream, corpusD, gearSizes,
+          threshold = 0.4),
         gearSink, outputMode = "append")
       val mediaRejects = s.table(gearSink)
         .filter(col("inter").cast("double") /
@@ -4754,7 +4881,8 @@ object ExtensionQueries {
         .filter(col("doc_id") < 20)
         .select((col("doc_id") + 100000).cast("long").as("doc_id"),
           concat(lit("~"), col("text")).cast("binary").as("payload"))
-      val agg = ScreenStream.screenGearChunks(freshStream, corpusD, sizes)
+      val agg = ScreenStream.screenGearChunks(freshStream, corpusD, sizes,
+        threshold = 0.4)
       val sinkName = s"stream_gear_screen_${sinkCounter.incrementAndGet()}"
       EventsStream.runAvailableNow(agg, sinkName, outputMode = "append")
       s.table(sinkName)
@@ -4960,7 +5088,7 @@ object ExtensionQueries {
         .filter(pmod(col("doc_id"), lit(10)) === 0)
         .select(col("doc_id").cast("long").as("doc_id"),
           col("text").cast("binary").as("payload"))
-      val agg = ScreenStream.screenChunks(freshStream, idx)
+      val agg = ScreenStream.screenChunks(freshStream, idx, threshold = 0.5)
       val sinkName = s"stream_chunk_screen_${sinkCounter.incrementAndGet()}"
       EventsStream.runAvailableNow(agg, sinkName, outputMode = "append")
       s.table(sinkName)

@@ -178,4 +178,36 @@ class CorpusPropertySpec extends SparkSpec {
       }
     }
   }
+
+  // The order-generic recursion must REPRODUCE the hand-rolled builders
+  // bit-for-bit at their orders — the VERDICT r13 #7 "t40/t41 oracles as
+  // fixed points" condition, checked directly: same gram set, and lp
+  // compared with exact float equality (same exact-integer inputs through
+  // the same IEEE expression sequence).
+  test("kneserNeyLmOrder: orders 2 and 3 are bit-exact fixed points") {
+    import spark.implicits._
+    for (seed <- 1L to 3L) {
+      val docs = corpus(seed).filter(_.text.nonEmpty).toDF()
+      val l2 = CorpusOps.kneserNeyLm(docs, "doc_id", "text")
+        .select(col("bg"), col("lp"))
+      val g2 = CorpusOps.kneserNeyLmOrder(docs, "doc_id", "text", 2)
+        .select(col("g").as("bg"), col("lp").as("lp_g"))
+      val n2 = l2.count()
+      assert(g2.count() === n2, s"order-2 gram-set size, seed $seed")
+      val j2 = l2.join(g2, "bg")
+      assert(j2.count() === n2, s"order-2 gram sets differ, seed $seed")
+      assert(j2.filter(col("lp") =!= col("lp_g")).count() === 0,
+        s"order-2 lp bit-parity, seed $seed")
+      val l3 = CorpusOps.kneserNeyTrigramLm(docs, "doc_id", "text")
+        .select(col("tg"), col("lp"))
+      val g3 = CorpusOps.kneserNeyLmOrder(docs, "doc_id", "text", 3)
+        .select(col("g").as("tg"), col("lp").as("lp_g"))
+      val n3 = l3.count()
+      assert(g3.count() === n3, s"order-3 gram-set size, seed $seed")
+      val j3 = l3.join(g3, "tg")
+      assert(j3.count() === n3, s"order-3 gram sets differ, seed $seed")
+      assert(j3.filter(col("lp") =!= col("lp_g")).count() === 0,
+        s"order-3 lp bit-parity, seed $seed")
+    }
+  }
 }

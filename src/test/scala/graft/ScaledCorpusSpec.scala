@@ -132,4 +132,26 @@ class ScaledCorpusSpec extends SparkSpec {
       }
     }
   }
+
+  // VERDICT r13 #5: a x10 scale smoke is part of every live-screen
+  // e-op's definition of done — r13 proved the point twice (a zero-row
+  // stream bug and a state-store OOM were both caught only at x10). This
+  // test makes the contract self-enforcing: every streaming SCREEN/
+  // scorer/cluster query in the registry must be named in SCALE.md (the
+  // scale narrative) so a new e-op ships with its scale evidence or
+  // fails the suite.
+  test("every streaming screen/scorer e-query has a SCALE.md entry") {
+    val scale = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("SCALE.md")), java.nio.charset.StandardCharsets.UTF_8)
+    val families = Seq("screen", "score", "clusters", "recipe", "kn")
+    val eOps = SparkEntry.queries.keySet.filter(n => n.startsWith("e") &&
+      n.contains("stream") && families.exists(n.contains))
+    val missing = eOps.toSeq.sorted.filterNot { n =>
+      val shortId = n.takeWhile(_ != '_')
+      scale.contains(shortId)
+    }
+    assert(missing.isEmpty,
+      s"streaming screen e-ops with no SCALE.md story (run the x10 smoke " +
+        s"and write the row): ${missing.mkString(", ")}")
+  }
 }

@@ -1307,10 +1307,17 @@ class StreamingSpec extends SparkSpec {
       ScreenStream.ChunkCollisionRow(1L, 4L, 10L, 5L),
       ScreenStream.ChunkCollisionRow(1L, 4L, 10L, 5L),
       ScreenStream.ChunkCollisionRow(1L, 4L, 11L, 6L))
-    val out = ScreenStream.chunkCountFold("t")(1L, rows, st(None)).toList
+    val out = ScreenStream.chunkCountFold("t", 0.0)(1L, rows, st(None)).toList
     assert(out.toSet === Set(
       ScreenStream.ChunkPairOut(1L, 10L, 4L, 5L, 2L),
       ScreenStream.ChunkPairOut(1L, 11L, 4L, 6L, 1L)))
+    // fold-side Jaccard cut: 2/(4+5-2)=0.286 ≥ 0.25 kept, 1/9=0.11 dropped
+    // — the emission (and so the in-memory sink) stays verdict-sized
+    val cut = ScreenStream.chunkCountFold("t", 0.25)(1L, Iterator(
+      ScreenStream.ChunkCollisionRow(1L, 4L, 10L, 5L),
+      ScreenStream.ChunkCollisionRow(1L, 4L, 10L, 5L),
+      ScreenStream.ChunkCollisionRow(1L, 4L, 11L, 6L)), st(None)).toList
+    assert(cut === List(ScreenStream.ChunkPairOut(1L, 10L, 4L, 5L, 2L)))
     // distinctPairFold: first-seen metric per corpus doc, one row each
     val vrows = Iterator(
       ScreenStream.VerifiedRow(2L, 20L, 0.9),
@@ -1328,7 +1335,7 @@ class StreamingSpec extends SparkSpec {
     // the whole-doc-delivery contract is ENFORCED: a doc whose rows span a
     // second micro-batch fails loudly instead of silently undercounting
     val e = intercept[IllegalStateException] {
-      ScreenStream.chunkCountFold("t")(1L,
+      ScreenStream.chunkCountFold("t", 0.0)(1L,
         Iterator(ScreenStream.ChunkCollisionRow(1L, 4L, 10L, 5L)),
         st(Some(true))).toList
     }
