@@ -127,6 +127,31 @@ object ScaledCorpus {
         col("label"))
   }
 
+  /** `factor` KEY-DISJOINT replicas of the events table: user and event
+    * ids remap off each other's key space (`id*factor + rep`), everything
+    * else — ts, event_type, value, props — rides verbatim. Per-key series
+    * length, event-type mix and per-key time density therefore stay
+    * constant while key cardinality and total volume scale ×factor: the
+    * honest 10× for the STREAMING families, whose state is keyed by
+    * user/session/window (sessionization, dedup-by-id, per-key EWMA,
+    * stream-stream join buffers) — state grows linearly in keys, never
+    * quadratically in pairs, and no replica's events can join or session
+    * with another's. A verbatim copy would instead put `factor` identical
+    * event series on each key, growing per-key state and join fan-out by
+    * ×factor at CONSTANT key count — a different workload, not a bigger
+    * one (the documents lesson, key-space flavored).
+    */
+  def scaleEvents(events: DataFrame, factor: Int): DataFrame = {
+    val rep = explode(sequence(lit(0), lit(factor - 1))).as("rep")
+    events
+      .select(col("*"), rep)
+      .select(
+        (col("event_id") * factor + col("rep")).as("event_id"),
+        col("ts"),
+        (col("user_id") * factor + col("rep")).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+  }
+
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val out = args.lift(1).getOrElse("target/scale10")
@@ -143,6 +168,8 @@ object ScaledCorpus {
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
     scaleEmbeddings(spark.read.parquet(s"$src/embeddings.parquet"), factor)
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    scaleEvents(spark.read.parquet(s"$src/events.parquet"), factor)
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
 
     println(s"""{"scaled":"$out","factor":$factor,"src":"$src"}""")
     spark.stop()
