@@ -675,4 +675,23 @@ class PlanSpec extends SparkSpec {
     val lines = err.toString.linesIterator.filter(_.contains("[cotrip DEBUG]")).toSeq
     assert(lines.nonEmpty && lines.size <= 5)
   }
+
+  test("t44: order-4 KN scoring broadcast-joins the LM; nothing cartesian") {
+    val plan = physicalPlan("t44_kn4_logprob")
+    // the (gram, lp) join in the scoring fold is the map-side hash join
+    // (a 4-gram vocabulary can't be a plan literal), and the only
+    // nested-loop shapes allowed are the 1-row broadcast type totals
+    assert(plan.contains("BroadcastHashJoin"), plan.take(600))
+    assert(!plan.contains("CartesianProduct"), "order-4 KN planned a cartesian")
+  }
+
+  test("d20 (e43's batch twin): the edit screen plans equi-joins only") {
+    val plan = physicalPlan("d20_incremental_edit_distance")
+    // prefix/short-pool/verify joins are all equi-joins on grams/lengths/
+    // ids; the lone BroadcastNestedLoopJoin allowed is the in-plan
+    // candidate-volume guard's 1-row broadcast count
+    assert(!plan.contains("CartesianProduct"), "edit screen planned a cartesian")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin")
+      || plan.contains("BroadcastHashJoin"))
+  }
 }
