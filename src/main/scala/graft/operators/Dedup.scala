@@ -1332,6 +1332,157 @@ object Dedup {
       .select("fresh_id", "corpus_id", "dist")
   }
 
+  /** Standing edit-distance screen index — the d12/d16/s24 lake pattern
+    * for the typo/OCR family: the corpus structures
+    * [[incrementalEditDistancePairs]] re-derives per call (the gram-df
+    * rarity table, each corpus doc's rarity PREFIX carrying its string,
+    * the gram-poor short pool keyed by length, and the strings) live as
+    * four bucketed warehouse tables. A screen then shuffles ONLY the
+    * fresh batch; every corpus-side probe reads pre-bucketed files.
+    * `maxDist`/`q` are part of the layout contract (the prefix length is
+    * `q·maxDist + 1` — baked into the prefix table at build time).
+    */
+  final case class EditIndex(dfq: String, prefix: String, shortPool: String,
+                             strings: String, maxDist: Int, q: Int,
+                             buckets: Int)
+
+  private def editGramsOf(c: String, q: Int) = expr(
+    s"CASE WHEN length($c) >= $q THEN transform(sequence(1, length($c) - ${q - 1}), " +
+      s"i -> substring($c, i, $q)) ELSE array($c) END")
+
+  def writeEditIndex(corpus: DataFrame, idCol: String, strCol: String,
+                     namePrefix: String, maxDist: Int = 4, q: Int = 4,
+                     buckets: Int = 16): EditIndex = {
+    val spark = corpus.sparkSession
+    val idx = EditIndex(s"${namePrefix}_dfq", s"${namePrefix}_pref",
+      s"${namePrefix}_short", s"${namePrefix}_str", maxDist, q, buckets)
+    if (!spark.catalog.tableExists(idx.dfq)) {
+      val prefixLen = q * maxDist + 1
+      val cs = corpus.select(col(idCol).cast("long").as("corpus_id"),
+        col(strCol).as("s_c")).filter(col("s_c").isNotNull)
+      val cg = Caching.persisted(cs.select(col("corpus_id"),
+        explode(array_distinct(editGramsOf("s_c", q))).as("g")))
+      val dfq = Caching.persisted(
+        cg.groupBy("g").agg(count(lit(1)).as("df")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("corpus_id")).orderBy(col("df"), col("g"))
+      val cpref = cg.join(dfq, "g")
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= prefixLen)
+        .select(col("corpus_id"), col("g"))
+        .join(cs, Seq("corpus_id"))
+        .select(col("g"), col("corpus_id"), col("s_c"))
+      val cshort = cs
+        .join(cg.groupBy("corpus_id").agg(count(lit(1)).as("ng")), Seq("corpus_id"))
+        .filter(col("ng") < prefixLen)
+        .select(length(col("s_c")).as("len_b"), col("corpus_id"), col("s_c"))
+      graft.sources.BucketedLake.writeBucketedTable(spark, idx.prefix,
+        cpref, "g", buckets)
+      graft.sources.BucketedLake.writeBucketedTable(spark, idx.shortPool,
+        cshort, "len_b", buckets)
+      graft.sources.BucketedLake.writeBucketedTable(spark, idx.strings,
+        cs, "corpus_id", buckets)
+      graft.sources.BucketedLake.writeBucketedTable(spark, idx.dfq,
+        dfq, "g", buckets)
+    }
+    idx
+  }
+
+  /** Fold an ACCEPTED ingest batch into a standing [[EditIndex]] under the
+    * FROZEN rarity order — the d17 compaction pattern with one honest
+    * asymmetry: the df table is NOT updated. The Ed-Join prefix theorem
+    * requires only a SHARED total order on grams — ANY fixed order keeps
+    * the screen exact — so freezing the order at build time preserves
+    * exactness for every future screen (spec-pinned: screen-after-append
+    * equals the from-scratch screen's pairs even though the two plans'
+    * CANDIDATE sets may differ). What drifts is only hub-avoidance
+    * QUALITY: grams that become common after the freeze still rank rare,
+    * so candidate volume creeps up with corpus drift — a rebuild-cadence
+    * question (monitor via the in-plan candidate guard), not a
+    * correctness one. Batch ids must be disjoint from the indexed corpus.
+    */
+  def appendEditIndex(batch: DataFrame, index: EditIndex, idCol: String,
+                      strCol: String): EditIndex = {
+    val spark = batch.sparkSession
+    val prefixLen = index.q * index.maxDist + 1
+    val cs = batch.select(col(idCol).cast("long").as("corpus_id"),
+      col(strCol).as("s_c")).filter(col("s_c").isNotNull)
+    val cg = Caching.persisted(cs.select(col("corpus_id"),
+      explode(array_distinct(editGramsOf("s_c", index.q))).as("g")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("corpus_id")).orderBy(col("df"), col("g"))
+    val bpref = cg
+      .join(spark.table(index.dfq), Seq("g"), "left")
+      .withColumn("df", coalesce(col("df"), lit(0L)))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= prefixLen)
+      .select(col("corpus_id"), col("g"))
+      .join(cs, Seq("corpus_id"))
+      .select(col("g"), col("corpus_id"), col("s_c"))
+    val bshort = cs
+      .join(cg.groupBy("corpus_id").agg(count(lit(1)).as("ng")), Seq("corpus_id"))
+      .filter(col("ng") < prefixLen)
+      .select(length(col("s_c")).as("len_b"), col("corpus_id"), col("s_c"))
+    graft.sources.BucketedLake.appendBucketedTable(spark, index.prefix,
+      bpref, "g", index.buckets)
+    graft.sources.BucketedLake.appendBucketedTable(spark, index.shortPool,
+      bshort, "len_b", index.buckets)
+    graft.sources.BucketedLake.appendBucketedTable(spark, index.strings,
+      cs, "corpus_id", index.buckets)
+    index
+  }
+
+  /** [[incrementalEditDistancePairs]] against a standing [[EditIndex]] —
+    * identical RESULTS when the index was built from the same corpus (the
+    * d20 oracle applies verbatim; under appends the frozen-order theorem
+    * keeps the OUTPUT identical even where candidates differ), but the
+    * per-ingest cost excludes every corpus-side derivation: only the
+    * fresh batch grams/ranks/explodes, and the df/prefix/short/strings
+    * probes read the bucketed tables.
+    */
+  def incrementalEditDistancePairsIndexed(fresh: DataFrame, index: EditIndex,
+                                          idCol: String, strCol: String,
+                                          maxCandidates: Long = DefaultEditCandidateCap): DataFrame = {
+    val spark = fresh.sparkSession
+    val (maxDist, q) = (index.maxDist, index.q)
+    val prefixLen = q * maxDist + 1
+    val fs = fresh.select(col(idCol).cast("long").as("id"), col(strCol).as("s"))
+      .filter(col("s").isNotNull)
+    val fg = Caching.persisted(fs.select(col("id"),
+      explode(array_distinct(editGramsOf("s", q))).as("g")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("df"), col("g"))
+    val fpref = fg
+      .join(spark.table(index.dfq), Seq("g"), "left")
+      .withColumn("df", coalesce(col("df"), lit(0L)))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= prefixLen)
+      .select(col("id").as("fresh_id"), col("g"))
+    val prefCands = fpref
+      .join(spark.table(index.prefix).select(col("g"), col("corpus_id")), "g")
+      .select("fresh_id", "corpus_id")
+    val shortCands = fs
+      .join(fg.groupBy("id").agg(count(lit(1)).as("ng")), "id")
+      .filter(col("ng") < prefixLen)
+      .select(col("id").as("fresh_id"),
+        explode(sequence(length(col("s")) - maxDist,
+          length(col("s")) + maxDist)).as("len_b"))
+      .join(spark.table(index.shortPool).select(col("len_b"), col("corpus_id")),
+        "len_b")
+      .select("fresh_id", "corpus_id")
+    val cands = Caching.persisted(prefCands.union(shortCands).distinct())
+    guardCandidates(cands, maxCandidates, "incrementalEditDistancePairsIndexed",
+      "Raise q or lower maxDist; rebuild the index if corpus drift has " +
+        "eroded the frozen rarity order")
+      .join(fs.select(col("id").as("fresh_id"), col("s").as("s_f")), "fresh_id")
+      .join(spark.table(index.strings), Seq("corpus_id"))
+      .filter(abs(length(col("s_f")) - length(col("s_c"))) <= maxDist)
+      .withColumn("dist",
+        levenshtein(col("s_f"), col("s_c"), maxDist).cast("long"))
+      .filter(col("dist") >= 0 && col("dist") <= maxDist)
+      .select("fresh_id", "corpus_id", "dist")
+  }
+
   def embeddingCosinePairs(vecs: DataFrame, idCol: String, vecCol: String,
                            threshold: Double,
                            crossCheckCap: Long = CrossCheckGuard.DefaultCap): DataFrame = {

@@ -1520,6 +1520,36 @@ object ExtensionQueries {
     built
   }
 
+  /** Build (once per session + sf dir) the d22 standing edit-distance
+    * index over the given (doc_id, title) corpus; maxDist=4/q=4 are part
+    * of the layout identity via the suffix.
+    */
+  private def ensureEditIndex(s: org.apache.spark.sql.SparkSession,
+                              dir: String,
+                              corpus: org.apache.spark.sql.DataFrame) =
+    Dedup.writeEditIndex(corpus, "doc_id", "title",
+      "edit_idx_" + graft.sources.BucketedLake.layoutSuffix(dir + "#edit4", 16))
+
+  /** Build-then-append the d23 edit index: built from half the standing
+    * corpus (`doc_id % 10 ∈ 1..5`), the other half (`% 10 ∈ 6..9`) folded
+    * in under the FROZEN rarity order — idempotent per (session, dir) via
+    * the s25 marker pattern.
+    */
+  private def ensureAppendedEditIndex(
+      s: org.apache.spark.sql.SparkSession, dir: String,
+      half1: org.apache.spark.sql.DataFrame,
+      half2: org.apache.spark.sql.DataFrame): Dedup.EditIndex = {
+    val prefix =
+      "edit_idxa_" + graft.sources.BucketedLake.layoutSuffix(dir + "#edit4a", 16)
+    val built = Dedup.writeEditIndex(half1, "doc_id", "title", prefix)
+    val marker = built.dfq + "_appended"
+    if (!s.catalog.tableExists(marker)) {
+      Dedup.appendEditIndex(half2, built, "doc_id", "title")
+      s.range(1).createOrReplaceTempView(marker)
+    }
+    built
+  }
+
   private def ensureChunkIndex(s: org.apache.spark.sql.SparkSession,
                                dir: String,
                                media: org.apache.spark.sql.DataFrame) = {
@@ -2077,6 +2107,43 @@ object ExtensionQueries {
         en.filter(pmod(col("doc_id"), lit(10)) === 0),
         en.filter(pmod(col("doc_id"), lit(10)) =!= 0),
         "doc_id", "title", maxDist = 4, q = 4)
+        .orderBy("fresh_id", "corpus_id")
+    },
+
+    // Standing edit-distance index screen (d22): d20 against the d12/d16
+    // lake pattern — the gram-df rarity table, the corpus rarity prefixes
+    // (strings riding), the gram-poor short pool and the strings live as
+    // four bucketed warehouse tables; a screen shuffles ONLY the fresh
+    // batch. Result-identical to d20 by construction, so its oracle
+    // grades this path verbatim.
+    "d22_incremental_edit_indexed" -> of(incrementalEditSql) { (s, d) =>
+      val en = t(s, d, "documents").filter(col("lang") === "en")
+        .select(col("doc_id"), substring(col("text"), 1, 64).as("title"))
+      val idx = ensureEditIndex(s, d,
+        en.filter(pmod(col("doc_id"), lit(10)) =!= 0))
+      Dedup.incrementalEditDistancePairsIndexed(
+        en.filter(pmod(col("doc_id"), lit(10)) === 0), idx,
+        "doc_id", "title")
+        .orderBy("fresh_id", "corpus_id")
+    },
+
+    // Edit-index append lifecycle (d23): the index is built from HALF the
+    // standing corpus and the other half folds in under the FROZEN rarity
+    // order (the df table is deliberately not updated — the Ed-Join
+    // theorem needs only a SHARED total order, so the screen's OUTPUT
+    // stays exact under any fixed order; what drifts is hub-avoidance
+    // quality, a rebuild-cadence question). Graded by the from-scratch
+    // d20 oracle: the appended screen must land pair-identical even
+    // though its candidate sets may differ from the from-scratch plan's.
+    "d23_incremental_edit_appended" -> of(incrementalEditSql) { (s, d) =>
+      val en = t(s, d, "documents").filter(col("lang") === "en")
+        .select(col("doc_id"), substring(col("text"), 1, 64).as("title"))
+      val idx = ensureAppendedEditIndex(s, d,
+        en.filter(pmod(col("doc_id"), lit(10)).between(1, 5)),
+        en.filter(pmod(col("doc_id"), lit(10)) >= 6))
+      Dedup.incrementalEditDistancePairsIndexed(
+        en.filter(pmod(col("doc_id"), lit(10)) === 0), idx,
+        "doc_id", "title")
         .orderBy("fresh_id", "corpus_id")
     },
 
@@ -5678,6 +5745,29 @@ object ExtensionQueries {
       val screened = ScreenStream.screenEditDistance(fresh, corpus,
         "doc_id", "title", maxDist = 4, q = 4)
       val sinkName = s"stream_edit_screen_${sinkCounter.incrementAndGet()}"
+      EventsStream.runAvailableNow(screened, sinkName, outputMode = "append")
+      s.table(sinkName).orderBy("fresh_id", "corpus_id")
+    },
+
+    // STREAMING edit screen on the STANDING index (e46): e43's serving
+    // shape — the df/prefix/short probes read d22's bucketed tables, so a
+    // live typo screen's per-batch cost excludes every corpus-side
+    // derivation (the e45 pattern for the edit family). The d20 oracle
+    // grades direct batch (d20), indexed batch (d22), appended (d23),
+    // direct live (e43) and indexed live (e46) — five plans, one answer.
+    "e46_stream_edit_screen_indexed" -> of(incrementalEditSql) { (s, d) =>
+      import graft.streaming.{EventsStream, ScreenStream}
+      val en = t(s, d, "documents").filter(col("lang") === "en")
+        .select(col("doc_id"), substring(col("text"), 1, 64).as("title"))
+      val idx = ensureEditIndex(s, d,
+        en.filter(pmod(col("doc_id"), lit(10)) =!= 0))
+      val fresh = ScreenStream.readDocs(s, d)
+        .filter(col("lang") === "en")
+        .filter(pmod(col("doc_id"), lit(10)) === 0)
+        .select(col("doc_id"), substring(col("text"), 1, 64).as("title"))
+      val screened = ScreenStream.screenEditDistanceIndexed(fresh, idx,
+        "doc_id", "title")
+      val sinkName = s"stream_edit_idx_${sinkCounter.incrementAndGet()}"
       EventsStream.runAvailableNow(screened, sinkName, outputMode = "append")
       s.table(sinkName).orderBy("fresh_id", "corpus_id")
     },

@@ -685,6 +685,25 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), "order-4 KN planned a cartesian")
   }
 
+  test("d22: edit-index prefix probe reads bucketed; index side never exchanges") {
+    val plan = physicalPlan("d22_incremental_edit_indexed")
+    // the index tables must actually be read through their bucket layout
+    assert(plan.contains("Bucketed: true"), plan.take(1200))
+    assert(!plan.contains("CartesianProduct"))
+    // no Exchange between the prefix-probe join and the prefix-table scan
+    // (the d12 contract: each ingest never re-shuffles the corpus side)
+    val lines = plan.linesIterator.toVector
+    val scanIdx = lines.indexWhere(l => l.contains("edit_idx_") && l.contains("_pref"))
+    assert(scanIdx > 0, "expected a scan of the edit prefix table:\n" +
+      lines.filter(_.contains("edit_idx_")).mkString("\n").take(1200))
+    val joinIdx = lines.lastIndexWhere(_.contains("Join"), scanIdx)
+    assert(joinIdx >= 0)
+    val branch = lines.slice(joinIdx + 1, scanIdx + 1)
+      .filterNot(_.contains("BroadcastExchange"))
+    assert(!branch.exists(_.contains("Exchange")),
+      s"index side must not exchange:\n${branch.mkString("\n")}")
+  }
+
   test("d20 (e43's batch twin): the edit screen plans equi-joins only") {
     val plan = physicalPlan("d20_incremental_edit_distance")
     // prefix/short-pool/verify joins are all equi-joins on grams/lengths/

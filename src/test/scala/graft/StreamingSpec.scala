@@ -1274,6 +1274,30 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.count() > 0, "typo'd copies must pair live")
     assert(streamed.except(batch).count() === 0)
     assert(batch.except(streamed).count() === 0)
+    // the STANDING-INDEX paths land pair-identical to the direct screen:
+    // indexed batch (d22), frozen-order appended (d23 — half the corpus
+    // folded in under the build-time rarity order; the shared-total-order
+    // theorem keeps the OUTPUT exact even where candidate sets differ),
+    // and the indexed live screen (e46)
+    val idx = Dedup.writeEditIndex(corpus, "doc_id", "title", "spec_edit_full")
+    val idxB = Dedup.incrementalEditDistancePairsIndexed(
+      freshBatch, idx, "doc_id", "title")
+    assert(idxB.except(batch).count() === 0)
+    assert(batch.except(idxB).count() === 0)
+    val half = Dedup.writeEditIndex(
+      corpus.filter(col("doc_id") % 2 === 0), "doc_id", "title", "spec_edit_half")
+    Dedup.appendEditIndex(
+      corpus.filter(col("doc_id") % 2 === 1), half, "doc_id", "title")
+    val appB = Dedup.incrementalEditDistancePairsIndexed(
+      freshBatch, half, "doc_id", "title")
+    assert(appB.except(batch).count() === 0, "appended screen must add no pair")
+    assert(batch.except(appB).count() === 0, "appended screen must miss no pair")
+    EventsStream.runAvailableNow(
+      ScreenStream.screenEditDistanceIndexed(freshStream, idx, "doc_id", "title"),
+      "stream_edit_idx_parity", outputMode = "append")
+    val streamedIdx = spark.table("stream_edit_idx_parity")
+    assert(streamedIdx.except(batch).count() === 0)
+    assert(batch.except(streamedIdx).count() === 0)
   }
 
   test("bandedLevenshtein matches Spark's thresholded levenshtein") {
