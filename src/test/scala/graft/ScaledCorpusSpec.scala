@@ -177,7 +177,7 @@ class ScaledCorpusSpec extends SparkSpec {
   test("every streaming screen/scorer e-query has a SCALE.md entry") {
     val scale = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("SCALE.md")), java.nio.charset.StandardCharsets.UTF_8)
-    val families = Seq("screen", "score", "clusters", "recipe", "kn")
+    val families = Seq("screen", "score", "clusters", "recipe", "kn", "quality")
     val eOps = SparkEntry.queries.keySet.filter(n => n.startsWith("e") &&
       n.contains("stream") && families.exists(n.contains))
     val missing = eOps.toSeq.sorted.filterNot { n =>
