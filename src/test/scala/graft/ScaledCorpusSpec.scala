@@ -177,9 +177,12 @@ class ScaledCorpusSpec extends SparkSpec {
   test("every streaming screen/scorer e-query has a SCALE.md entry") {
     val scale = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("SCALE.md")), java.nio.charset.StandardCharsets.UTF_8)
-    val families = Seq("screen", "score", "clusters", "recipe", "kn", "quality")
+    // the contract is TOTAL over streaming e-queries: every one must be
+    // named in SCALE.md — with a measured ×10 row, or (e29/e30, which ride
+    // TPC-H tables the replica corpus does not scale) an explicit
+    // out-of-scope note
     val eOps = SparkEntry.queries.keySet.filter(n => n.startsWith("e") &&
-      n.contains("stream") && families.exists(n.contains))
+      n.contains("stream"))
     val missing = eOps.toSeq.sorted.filterNot { n =>
       val shortId = n.takeWhile(_ != '_')
       scale.contains(shortId)
