@@ -1298,6 +1298,15 @@ class StreamingSpec extends SparkSpec {
     val streamedIdx = spark.table("stream_edit_idx_parity")
     assert(streamedIdx.except(batch).count() === 0)
     assert(batch.except(streamedIdx).count() === 0)
+    // and the LIVE screen against the APPENDED (frozen-order) index — the
+    // always-on deployment's actual shape: tomorrow's stream probes
+    // today's compacted index, still pair-exact vs the from-scratch screen
+    EventsStream.runAvailableNow(
+      ScreenStream.screenEditDistanceIndexed(freshStream, half, "doc_id", "title"),
+      "stream_edit_app_parity", outputMode = "append")
+    val streamedApp = spark.table("stream_edit_app_parity")
+    assert(streamedApp.except(batch).count() === 0)
+    assert(batch.except(streamedApp).count() === 0)
   }
 
   test("bandedLevenshtein matches Spark's thresholded levenshtein") {
