@@ -9,15 +9,37 @@ import org.apache.spark.sql.functions._
   * true 10× step:
   *
   *  - `documents`: each source row becomes `factor` replicas with remapped
-  *    ids and every token prefixed `r{rep}_`. Replica groups are therefore
-  *    token-DISJOINT — shingles, minhash bands and Jaccard pairs never
-  *    cross replicas — so the result behaves like `factor` independent
-  *    shards of the same generator: dup fraction, per-source mix and
-  *    doc-length distribution all stay constant while volume scales. (A
-  *    verbatim copy would instead make every replica a dup of its siblings
-  *    and grow pair counts quadratically in `factor` — a different
-  *    workload, not a bigger one.) Pair-count linearity is spec-pinned
+  *    ids and the text pushed through a per-replica LENGTH-PRESERVING
+  *    character bijection (replica 0 is the base corpus verbatim; replica
+  *    r ≥ 1 `translate`s the 94 printable-ASCII characters 0x21–0x7E onto
+  *    the 94-codepoint window at U+4E00 + 94·(r−1) in the CJK block —
+  *    space is NOT remapped, so tokenization rides verbatim). Replica
+  *    groups are therefore token-DISJOINT — shingles, minhash bands,
+  *    Jaccard pairs and edit-gram collisions never cross replicas — so
+  *    the result behaves like `factor` independent shards of the same
+  *    generator: dup fraction, per-source mix, doc/token-LENGTH
+  *    distribution and per-position character entropy all stay constant
+  *    while volume scales. (A verbatim copy would instead make every
+  *    replica a dup of its siblings and grow pair counts quadratically in
+  *    `factor` — a different workload, not a bigger one.) Pair-count
+  *    linearity and char-exact length preservation are spec-pinned
   *    (`ScaledCorpusSpec`).
+  *
+  *    Why a bijection and not a token prefix (the r14 lesson — VERDICT
+  *    r14 #1): the previous scaler prefixed every token `r{rep}_`, which
+  *    changes PER-TOKEN LENGTH as a function of the scale factor. Any
+  *    operator with a fixed character window saw different content per
+  *    scale step — at two-digit reps the 4-char prefix consumed ~44% of
+  *    the edit family's 64-char title slice and collapsed within-replica
+  *    gram rarity, manufacturing a ×30 superlinearity that belonged to
+  *    the INSTRUMENT, not the operator (48.6M prefix-join candidates at
+  *    ×30 vs 105k at ×10). A per-character bijection is the scaleEvents
+  *    recipe applied to text: remap the identity space (here, the
+  *    alphabet), keep everything metric verbatim — distinct grams stay
+  *    distinct, identical grams identical, so within-replica gram df is
+  *    ISOMORPHIC to the base corpus at every factor. Token disjointness
+  *    holds for any token containing at least one printable-ASCII
+  *    character (the driver corpus is pure ASCII — TESTDATA canary).
   *  - `embeddings`: `factor` replicas with remapped ids and a per-replica
   *    hash-derived SIGNED PERMUTATION (coordinate permutation ∘ ±1 sign
   *    diagonal) applied to the vector (VERDICT r8 #2 — the earlier cyclic
@@ -56,16 +78,39 @@ import org.apache.spark.sql.functions._
   */
 object ScaledCorpus {
 
-  /** `factor` token-disjoint replicas; ids remapped to `id*factor + rep`. */
+  /** Printable ASCII, 0x21–0x7E — space excluded so whitespace
+    * tokenization is invariant under the replica bijection.
+    */
+  private val RemapFrom: String = (0x21 to 0x7e).map(_.toChar).mkString
+
+  /** Replica r ≥ 1's image alphabet: the 94-codepoint window at
+    * U+4E00 + 94·(r−1) — BMP, single UTF-16 unit per char, so Spark's
+    * char-counting `length`/`substring`/`levenshtein` see EXACTLY the
+    * base corpus's geometry. The CJK block (U+4E00–U+9FFF, ~21k points)
+    * bounds the factor at 200 replicas, far past any smoke.
+    */
+  private def remapTo(rep: Int): String = {
+    require(rep >= 1 && rep <= 200, s"replica $rep outside the CJK window")
+    (0 until RemapFrom.length).map(i => (0x4E00 + 94 * (rep - 1) + i).toChar).mkString
+  }
+
+  /** `factor` token-disjoint replicas; ids remapped to `id*factor + rep`,
+    * text pushed through the per-replica length-preserving character
+    * bijection (replica 0 verbatim — see the class doc). One `translate`
+    * per row against a driver-built literal table indexed by `rep`: a
+    * single pass over the scan, no shuffle, no UDF.
+    */
   def scaleDocuments(docs: DataFrame, factor: Int): DataFrame = {
+    val tos = typedLit((1 until factor).map(remapTo))
     val rep = explode(sequence(lit(0), lit(factor - 1))).as("rep")
     docs
       .select(col("*"), rep)
       .select(
         (col("doc_id") * factor + col("rep")).as("doc_id"),
-        array_join(
-          transform(split(col("text"), " "),
-            t => concat(lit("r"), col("rep"), lit("_"), t)), " ").as("text"),
+        when(col("rep") === 0, col("text"))
+          .otherwise(call_function("translate",
+            col("text"), lit(RemapFrom), element_at(tos, col("rep"))))
+          .as("text"),
         col("lang"), col("source"))
       .withColumn("n_chars", length(col("text")).cast("long"))
   }

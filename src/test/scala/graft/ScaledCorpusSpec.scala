@@ -57,6 +57,52 @@ class ScaledCorpusSpec extends SparkSpec {
       s"replica $r pair structure diverged from base"))
   }
 
+  // VERDICT r14 #1: the old `r{rep}_` token prefix changed per-token
+  // length as a function of the scale factor, so any fixed-character-
+  // window operator (the edit family's 64-char title slice) saw DIFFERENT
+  // content per scale step — at ×30 it manufactured a 463× candidate
+  // blow-up that belonged to the instrument. The bijective scaler must
+  // preserve the corpus's character geometry exactly.
+  test("documents: scaling preserves char lengths, token lengths and gram-df shape") {
+    val factor = 12 // two-digit reps — exactly where the old prefix distorted
+    val scaled = ScaledCorpus.scaleDocuments(docs, factor)
+
+    // per-doc char length is EXACTLY the base doc's at every replica
+    val lenDiff = scaled.alias("s")
+      .withColumn("base_id", (col("doc_id") - pmod(col("doc_id"), lit(factor))) / factor)
+      .join(docs.select(col("doc_id").as("base_id"),
+        length(col("text")).as("base_len")), "base_id")
+      .filter(length(col("s.text")) =!= col("base_len") ||
+        col("n_chars") =!= col("base_len"))
+    assert(lenDiff.count() === 0, "replica text length drifted from base")
+
+    // token-length MULTISET per doc is exactly the base doc's (space is
+    // not remapped, every other char maps 1:1)
+    val tokLens = (df: org.apache.spark.sql.DataFrame, id: org.apache.spark.sql.Column) =>
+      df.select(id.as("base_id"),
+        sort_array(transform(split(col("text"), " "), t => length(t))).as("tl"))
+    val tlDiff = tokLens(scaled,
+        (col("doc_id") - pmod(col("doc_id"), lit(factor))) / factor)
+      .join(tokLens(docs, col("doc_id"))
+        .withColumnRenamed("tl", "tl_base"), "base_id")
+      .filter(col("tl") =!= col("tl_base"))
+    assert(tlDiff.count() === 0, "replica token lengths drifted from base")
+
+    // 4-gram document-frequency HISTOGRAM (the edit family's rarity input)
+    // is factor copies of the base histogram: distinct grams stay
+    // distinct, identical grams identical, under a per-char bijection
+    def dfHist(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.select(explode(array_distinct(expr(
+          "transform(sequence(1, greatest(length(text) - 3, 1)), i -> substring(text, i, 4))"))).as("g"))
+        .groupBy("g").agg(count(lit(1)).as("df"))
+        .groupBy("df").agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val baseHist = dfHist(docs)
+    val scaledHist = dfHist(scaled)
+    assert(scaledHist === baseHist.map { case (k, v) => k -> v * factor },
+      "gram-df histogram is not factor independent copies of the base")
+  }
+
   test("embeddings: every replica's cosine pairs bit-identical to base; no cross-replica pair") {
     val factor = 3
     // Spread-mass unit vectors (64-dim, seeded) mirroring the real corpus's
