@@ -197,6 +197,54 @@ object ScaledCorpus {
         col("event_type"), col("value"), col("props"))
   }
 
+  /** `factor` KEY-DISJOINT replicas of the TPC-H pair (VERDICT r14 #5 —
+    * the last out-of-scope rows in the streaming ×10 contract, e29/e30):
+    * every key column remaps `id·factor + rep` (orderkeys CONSISTENTLY
+    * across both tables, so each replica's lineitems land on its own
+    * orders), everything metric — dates, prices, statuses, linenumbers —
+    * rides verbatim: the scaleEvents recipe. Lines-per-order, update
+    * mix and date density stay constant while key cardinality and volume
+    * scale ×factor.
+    *
+    * Window interaction, stated honestly: the CDC/PIT queries select
+    * orders by the FRACTION window `o_orderkey % 3000 < j`. Under this
+    * remap the selected fraction per replica is exactly j/3000 whenever
+    * `factor` divides both j and 3000 (each replica's residues step by
+    * `factor` through one aligned window) — true for the smoke factors
+    * 10 and 30 against j ∈ {30, 60}. Inner `% m` sub-filters (update
+    * mixes) keep their AGGREGATE fraction but concentrate per replica
+    * (key % 10 == 0 ↔ rep ≡ −10·base (mod 10) — whole replicas carry the
+    * update load); volume and state still scale linearly, which is what
+    * the smoke measures.
+    */
+  def scaleOrders(orders: DataFrame, factor: Int): DataFrame = {
+    val rep = explode(sequence(lit(0), lit(factor - 1))).as("rep")
+    orders
+      .select(col("*"), rep)
+      .select(
+        (col("o_orderkey") * factor + col("rep")).as("o_orderkey"),
+        (col("o_custkey") * factor + col("rep")).as("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
+        col("o_orderpriority"))
+  }
+
+  /** [[scaleOrders]]'s fact side: `l_orderkey` remaps under the SAME
+    * `id·factor + rep`, so replica r's lineitems reference exactly
+    * replica r's orders.
+    */
+  def scaleLineitem(lineitem: DataFrame, factor: Int): DataFrame = {
+    val rep = explode(sequence(lit(0), lit(factor - 1))).as("rep")
+    lineitem
+      .select(col("*"), rep)
+      .select(
+        (col("l_orderkey") * factor + col("rep")).as("l_orderkey"),
+        (col("l_partkey") * factor + col("rep")).as("l_partkey"),
+        (col("l_suppkey") * factor + col("rep")).as("l_suppkey"),
+        col("l_linenumber"), col("l_quantity"), col("l_extendedprice"),
+        col("l_discount"), col("l_tax"), col("l_returnflag"),
+        col("l_linestatus"), col("l_shipdate"))
+  }
+
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val out = args.lift(1).getOrElse("target/scale10")
@@ -215,6 +263,10 @@ object ScaledCorpus {
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
     scaleEvents(spark.read.parquet(s"$src/events.parquet"), factor)
       .write.mode("overwrite").parquet(s"$out/events.parquet")
+    scaleOrders(spark.read.parquet(s"$src/orders.parquet"), factor)
+      .write.mode("overwrite").parquet(s"$out/orders.parquet")
+    scaleLineitem(spark.read.parquet(s"$src/lineitem.parquet"), factor)
+      .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
 
     println(s"""{"scaled":"$out","factor":$factor,"src":"$src"}""")
     spark.stop()

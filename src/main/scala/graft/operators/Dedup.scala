@@ -1179,6 +1179,64 @@ object Dedup {
     cands.crossJoin(broadcast(n)).filter(col("n_cand") >= 0).drop("n_cand")
   }
 
+  /** Corpus-wide longest-common-prefix length of `strCol`, in code
+    * points (Spark `substring` units). Distributed via the classic
+    * identity LCP(set) = LCP(lexicographic min, lexicographic max) — any
+    * divergence inside the set already separates min from max — so the
+    * whole corpus costs TWO string aggregates (one partial-aggregated
+    * scan, no shuffle beyond the two-row final merge) and one driver-side
+    * compare of two strings bounded by `maxScan` (truncation is
+    * order-monotone, so the truncated min/max ARE the truncations of the
+    * true min/max and the result is exactly min(LCP, maxScan)). Empty or
+    * all-null input → 0.
+    */
+  def commonPrefixLength(docs: DataFrame, strCol: String,
+                         maxScan: Int = 4096): Int = {
+    val r = docs.filter(col(strCol).isNotNull)
+      .agg(min(substring(col(strCol), 1, maxScan)).as("lo"),
+        max(substring(col(strCol), 1, maxScan)).as("hi")).head()
+    if (r.isNullAt(0) || r.isNullAt(1)) 0
+    else {
+      val (lo, hi) = (r.getString(0), r.getString(1))
+      val n = math.min(lo.length, hi.length)
+      var i = 0
+      while (i < n && lo.charAt(i) == hi.charAt(i)) i += 1
+      if (i > 0 && Character.isHighSurrogate(lo.charAt(i - 1))) i -= 1
+      lo.codePointCount(0, i)
+    }
+  }
+
+  /** Content-adaptive slice for the edit family (VERDICT r14 #2): the
+    * `sliceChars` characters starting AFTER the corpus-wide common
+    * prefix, as a Column over `strCol`.
+    *
+    * Why it exists: the Ed-Join prefix filter's selectivity rests on the
+    * sliced window carrying each string's DISTINGUISHING grams. A corpus
+    * whose strings share a long head (log lines with a fixed timestamp
+    * format, URL-titled or boilerplate-headed documents) fills a
+    * fixed-position window with corpus-COMMON material — in the limit
+    * every doc's rarest grams are everyone's grams, the prefix join
+    * degrades toward all-pairs, and only the candidate-volume guard
+    * stands between the plan and an n² verify (the measured ×30 lesson:
+    * SCALE.md's r14 probe, where a scaler artifact manufactured exactly
+    * this corpus shape). Skipping the SHARED prefix costs two aggregates
+    * and restores the window to per-doc-distinct content; candidates
+    * collapse back to near-dup collisions (spec-pinned on a
+    * prefix-inflated fixture where the fixed slice trips the guard).
+    *
+    * Semantics note: pairing on a different window is a DIFFERENT (better
+    * conditioned) query — equal-prefix corpora agree on the skipped head,
+    * so for pairs the head contributes 0 edits and distances over the
+    * shifted window equal distances over a same-length fixed window
+    * whenever the head is truly shared. The d24 oracle replays this
+    * definition (LCP and all) in SQL.
+    */
+  def adaptiveEditSlice(docs: DataFrame, strCol: String,
+                        sliceChars: Int = 64,
+                        maxScan: Int = 4096): org.apache.spark.sql.Column =
+    substring(col(strCol),
+      commonPrefixLength(docs, strCol, maxScan) + 1, sliceChars)
+
   /** Edit-distance near-dup pairs — the typo/OCR-noise rung of the dedup
     * ladder (shingle Jaccard needs whole shared windows; a handful of
     * single-character edits scattered through a title destroys every
@@ -1354,8 +1412,16 @@ object Dedup {
                      namePrefix: String, maxDist: Int = 4, q: Int = 4,
                      buckets: Int = 16): EditIndex = {
     val spark = corpus.sparkSession
-    val idx = EditIndex(s"${namePrefix}_dfq", s"${namePrefix}_pref",
-      s"${namePrefix}_short", s"${namePrefix}_str", maxDist, q, buckets)
+    // the knobs ARE the layout (prefix length = q·maxDist + 1 is baked
+    // into the prefix table at build time), so they are baked into the
+    // table names exactly like writeMihIndex's _mih_b{bands}x{bandBits}:
+    // reusing a namePrefix with different maxDist/q/buckets builds a NEW
+    // table family instead of silently returning an index whose stored
+    // prefixes were cut for different knobs (which would break the
+    // pigeonhole guarantee and drop pairs — ADVICE r14)
+    val nm = s"${namePrefix}_edit_d${maxDist}q${q}_k$buckets"
+    val idx = EditIndex(s"${nm}_dfq", s"${nm}_pref",
+      s"${nm}_short", s"${nm}_str", maxDist, q, buckets)
     if (!spark.catalog.tableExists(idx.dfq)) {
       val prefixLen = q * maxDist + 1
       val cs = corpus.select(col(idCol).cast("long").as("corpus_id"),

@@ -1093,15 +1093,15 @@ object Similarity {
     * Recall contract, stated precisely: pigeonhole-COMPLETE for
     * radius ≤ `bands`−1 (such a pair must share a band — never missed);
     * beyond that, a pair only appears if some band agrees exactly, the
-    * standard MIH truncation (at the default 4×8 bands a radius-6 pair
-    * with differences spread 2+2+1+1 is missed) — size `bands` to the
-    * radius you need guaranteed, exactly as the candidate-volume doc on
-    * [[mihHammingNeighbors]] prescribes, or raise `probeBallRadius`. The
-    * DEFAULT (radius 6 over 4×8-bit bands, exact-band probing) is the
-    * historical one and sits in the TRUNCATED-RECALL regime: pairs at
-    * Hamming 4–6 with differences spread across every band are missed.
-    * For guaranteed completeness either lower radius to bands−1 (= 3
-    * here) or pass probeBallRadius = 1, which lifts the guarantee to
+    * standard MIH truncation (at 4×8 bands a radius-6 pair with
+    * differences spread 2+2+1+1 is missed) — size `bands` to the radius
+    * you need guaranteed, exactly as the candidate-volume doc on
+    * [[mihHammingNeighbors]] prescribes, or raise `probeBallRadius`.
+    * `radius` therefore has NO default (ADVICE r14 — an earlier default
+    * of 6 silently placed callers in the truncated-recall regime):
+    * choosing it IS choosing the recall contract. Pass ≤ `bands`−1 for
+    * guaranteed completeness at exact-band probing, or pair a larger
+    * radius with probeBallRadius = 1, which lifts the guarantee to
     * 2·bands−1 = 7 ≥ 6 at a (bandBits+1)× fresh-side-only fan-out.
     *
     * `probeBallRadius` is Norouzi et al.'s actual search procedure
@@ -1116,7 +1116,7 @@ object Similarity {
     * some band with ≤ 1 differing bits, which the ball reaches exactly.
     */
   def mihHammingScreen(fresh: DataFrame, corpus: DataFrame, idCol: String,
-                       vecCol: String, radius: Int = 6,
+                       vecCol: String, radius: Int,
                        bands: Int = 4, bandBits: Int = 8,
                        planeOffset: Int = 100,
                        probeBallRadius: Int = 0): DataFrame = {
@@ -1221,7 +1221,7 @@ object Similarity {
     */
   def mihHammingScreenIndexed(fresh: DataFrame, index: MihIndex,
                               idCol: String, vecCol: String,
-                              radius: Int = 6,
+                              radius: Int,
                               probeBallRadius: Int = 0): DataFrame = {
     val spark = fresh.sparkSession
     graft.functions.NativeFunctions.register(spark)

@@ -2147,6 +2147,68 @@ object ExtensionQueries {
         .orderBy("fresh_id", "corpus_id")
     },
 
+    // Content-adaptive edit slice (d24): the d19 pairing where the title
+    // window starts AFTER the corpus-wide longest common prefix (computed
+    // distributed via LCP(set) = LCP(min, max) — two string aggregates).
+    // The query injects a synthetic shared URL head in front of every
+    // text, the degraded corpus shape (log lines, URL-titled docs) where
+    // a FIXED window fills with corpus-common grams and the Ed-Join
+    // prefix filter collapses toward all-pairs (the r14 ×30 lesson,
+    // spec-pinned: the fixed slice trips the candidate guard on a
+    // shared-head fixture, the adaptive slice stays flat). The oracle
+    // replays the LCP (min/max + the max matching prefix length), the
+    // shifted slice, and the full d19 pair logic in SQL. Same en/ASCII
+    // scope as d19.
+    "d24_edit_adaptive_slice" -> of(
+      """WITH raw AS (
+        |  SELECT doc_id AS id,
+        |    concat('https://corpus.example.org/docs/', text) AS s0
+        |  FROM documents WHERE lang = 'en'),
+        |mm AS (SELECT min(s0) AS a, max(s0) AS b FROM raw),
+        |lcp AS (
+        |  SELECT COALESCE(MAX(i), 0) AS n
+        |  FROM mm, UNNEST(range(1, least(length(a), length(b)) + 1)) AS r(i)
+        |  WHERE substring(a, 1, CAST(i AS INT)) = substring(b, 1, CAST(i AS INT))),
+        |t AS (
+        |  SELECT id, substring(s0, CAST((SELECT n FROM lcp) AS INT) + 1, 64) AS s
+        |  FROM raw),
+        |grams AS (
+        |  SELECT id, UNNEST(list_distinct(CASE WHEN length(s) >= 4
+        |    THEN list_transform(range(1, length(s) - 2), i -> substring(s, CAST(i AS INT), 4))
+        |    ELSE [s] END)) AS g
+        |  FROM t),
+        |dfq AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS df FROM grams GROUP BY g),
+        |pref AS (
+        |  SELECT id, g FROM (
+        |    SELECT gr.id, gr.g,
+        |      ROW_NUMBER() OVER (PARTITION BY gr.id ORDER BY d.df, gr.g) AS rk
+        |    FROM grams gr JOIN dfq d ON d.g = gr.g) z
+        |  WHERE rk <= 17),
+        |sh AS (
+        |  SELECT t.id, length(t.s) AS len FROM t
+        |  JOIN (SELECT id, COUNT(*) AS ng FROM grams GROUP BY id) n
+        |    ON n.id = t.id AND n.ng < 17),
+        |cands AS (
+        |  SELECT DISTINCT id_a, id_b FROM (
+        |    SELECT a.id AS id_a, b.id AS id_b
+        |    FROM pref a JOIN pref b ON a.g = b.g AND a.id < b.id
+        |    UNION ALL
+        |    SELECT a.id, b.id FROM sh a JOIN sh b
+        |      ON abs(a.len - b.len) <= 4 AND a.id < b.id) u)
+        |SELECT c.id_a, c.id_b, CAST(levenshtein(ta.s, tb.s) AS BIGINT) AS dist
+        |FROM cands c JOIN t ta ON ta.id = c.id_a JOIN t tb ON tb.id = c.id_b
+        |WHERE abs(length(ta.s) - length(tb.s)) <= 4
+        |  AND levenshtein(ta.s, tb.s) <= 4
+        |ORDER BY id_a, id_b""") { (s, d) =>
+      val en = t(s, d, "documents").filter(col("lang") === "en")
+        .select(col("doc_id"),
+          concat(lit("https://corpus.example.org/docs/"), col("text")).as("s0"))
+      val sliced = en.select(col("doc_id"),
+        Dedup.adaptiveEditSlice(en, "s0").as("title"))
+      Dedup.editDistancePairs(sliced, "doc_id", "title", maxDist = 4, q = 4)
+        .orderBy("id_a", "id_b")
+    },
+
     // Incremental dup-cluster maintenance (d21): fold the d11 screen's
     // fresh pairs (cross + batch-internal) into the STANDING d08 cluster
     // labels of the corpus (doc_id < 400) — attach, new-cluster and
@@ -2851,7 +2913,7 @@ object ExtensionQueries {
       import graft.streaming.EventsStream
       val hist = RelationalQueries.pitHistory(s, d)
       val liStream = graft.streaming.TableStream.readProbed(s, d, "lineitem")
-        .filter(col("l_orderkey") < 2000)
+        .filter(pmod(col("l_orderkey"), lit(3000)) < 30)
         .select(col("l_orderkey").as("o_orderkey"), col("l_linenumber"),
           col("l_shipdate").cast("timestamp").as("sd"))
       val joined = graft.operators.Merges

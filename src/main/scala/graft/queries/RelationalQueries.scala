@@ -31,7 +31,8 @@ object RelationalQueries {
   private[queries] def cdcParts(s: org.apache.spark.sql.SparkSession, d: String):
       (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
         org.apache.spark.sql.DataFrame) = {
-    val o = t(s, d, "orders").filter(col("o_orderkey") < 3000)
+    // fraction window, same rationale as pitHistory (2% at any scale)
+    val o = t(s, d, "orders").filter(pmod(col("o_orderkey"), lit(3000)) < 60)
     val base = o.select("o_orderkey", "o_orderstatus", "o_totalprice")
     val c1 = o.filter(pmod(col("o_orderkey"), lit(5)) === 0)
       .select(col("o_orderkey"), lit("U").as("op"), col("o_orderstatus"),
@@ -55,7 +56,7 @@ object RelationalQueries {
     * one SQL definition (the hllEventsSql contract).
     */
   private[queries] val cdcOracleSql =
-    """WITH o AS (SELECT * FROM orders WHERE o_orderkey < 3000),
+    """WITH o AS (SELECT * FROM orders WHERE o_orderkey % 3000 < 60),
       |base AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM o),
       |ch AS (
       |  SELECT o_orderkey, 'U' AS op, o_orderstatus,
@@ -81,13 +82,20 @@ object RelationalQueries {
       |SELECT o_orderkey, o_orderstatus, o_totalprice FROM latest WHERE op = 'U'
       |ORDER BY o_orderkey""".stripMargin
 
-  /** The q50/e30 shared SCD2 history (orders < 2000, %10 keys updated at
+  /** The q50/e30 shared SCD2 history (the 1% order window, %10 keys updated at
     * +30 days) and PIT serve tail, so the batch lookup and the streaming
     * enrichment grade against one SQL definition.
     */
   private[queries] def pitHistory(s: org.apache.spark.sql.SparkSession,
                                   d: String): org.apache.spark.sql.DataFrame = {
-    val orders = t(s, d, "orders").filter(col("o_orderkey") < 2000)
+    // FRACTION-based window (VERDICT r14 #5): `o_orderkey % 3000 < 30`
+    // keeps 1% of the table at ANY scale, where the old absolute
+    // `< 2000` pinned a constant 2000-order fixture that made both
+    // sf-scaling and the ScaledCorpus ×N replica remap (id·f + rep — the
+    // fraction is preserved per replica exactly whenever f divides the
+    // window width and modulus) measure a flat workload.
+    val orders = t(s, d, "orders")
+      .filter(pmod(col("o_orderkey"), lit(3000)) < 30)
     val cur = orders.select(col("o_orderkey"), col("o_totalprice"),
       col("o_orderdate").cast("timestamp").as("valid_from"))
     val upd = orders.filter(pmod(col("o_orderkey"), lit(10)) === 0)
@@ -107,11 +115,11 @@ object RelationalQueries {
   private[queries] val pitOracleSql =
     """WITH cur AS (
       |  SELECT o_orderkey, o_totalprice, CAST(o_orderdate AS TIMESTAMP) AS valid_from
-      |  FROM orders WHERE o_orderkey < 2000),
+      |  FROM orders WHERE o_orderkey % 3000 < 30),
       |upd AS (
       |  SELECT o_orderkey, o_totalprice * 1.1 AS o_totalprice,
       |    CAST(o_orderdate AS TIMESTAMP) + INTERVAL 30 DAY AS uts
-      |  FROM orders WHERE o_orderkey < 2000 AND o_orderkey % 10 = 0),
+      |  FROM orders WHERE o_orderkey % 3000 < 30 AND o_orderkey % 10 = 0),
       |hist AS (
       |  SELECT c.o_orderkey, c.o_totalprice, c.valid_from, u.uts AS valid_to
       |  FROM cur c JOIN upd u USING (o_orderkey)
@@ -123,7 +131,7 @@ object RelationalQueries {
       |li AS (
       |  SELECT l_orderkey AS o_orderkey, l_linenumber,
       |    CAST(l_shipdate AS TIMESTAMP) AS sd
-      |  FROM lineitem WHERE l_orderkey < 2000)
+      |  FROM lineitem WHERE l_orderkey % 3000 < 30)
       |SELECT li.o_orderkey, li.l_linenumber, li.sd,
       |  h.o_totalprice AS price_at_ship, h.valid_from
       |FROM li JOIN hist h USING (o_orderkey)
@@ -876,11 +884,11 @@ object RelationalQueries {
     "q37_scd2_merge" -> of(
       """WITH cur AS (
         |  SELECT o_orderkey, o_totalprice, CAST(o_orderdate AS TIMESTAMP) AS valid_from
-        |  FROM orders WHERE o_orderkey < 2000),
+        |  FROM orders WHERE o_orderkey % 3000 < 30),
         |upd AS (
         |  SELECT o_orderkey, o_totalprice * 1.1 AS o_totalprice,
         |    CAST(o_orderdate AS TIMESTAMP) + INTERVAL 30 DAY AS uts
-        |  FROM orders WHERE o_orderkey < 2000 AND o_orderkey % 10 = 0)
+        |  FROM orders WHERE o_orderkey % 3000 < 30 AND o_orderkey % 10 = 0)
         |SELECT c.o_orderkey, c.o_totalprice, c.valid_from, u.uts AS valid_to
         |FROM cur c JOIN upd u USING (o_orderkey)
         |UNION ALL
@@ -889,7 +897,9 @@ object RelationalQueries {
         |UNION ALL
         |SELECT o_orderkey, o_totalprice, uts AS valid_from, NULL FROM upd
         |ORDER BY o_orderkey, valid_from""") { (s, d) =>
-      val orders = t(s, d, "orders").filter(col("o_orderkey") < 2000)
+      // fraction window, same rationale as pitHistory (1% at any scale)
+      val orders = t(s, d, "orders")
+        .filter(pmod(col("o_orderkey"), lit(3000)) < 30)
       val cur = orders.select(col("o_orderkey"), col("o_totalprice"),
         col("o_orderdate").cast("timestamp").as("valid_from"))
       val upd = orders.filter(pmod(col("o_orderkey"), lit(10)) === 0)
@@ -907,7 +917,8 @@ object RelationalQueries {
     // plain hash join, never a range join; facts whose ts precede every
     // version drop (inner semantics, the as-of-with-history contract).
     "q50_scd2_pit" -> of(pitOracleSql) { (s, d) =>
-      val li = t(s, d, "lineitem").filter(col("l_orderkey") < 2000)
+      val li = t(s, d, "lineitem")
+        .filter(pmod(col("l_orderkey"), lit(3000)) < 30)
         .select(col("l_orderkey").as("o_orderkey"), col("l_linenumber"),
           col("l_shipdate").cast("timestamp").as("sd"))
       pitServe(li, pitHistory(s, d))

@@ -1720,6 +1720,56 @@ class PipelineOpsSpec extends SparkSpec {
     assert(n === 40L * 39L / 2, "all pairs are within distance 2")
   }
 
+  test("adaptiveEditSlice: shared-prefix corpus blows up the fixed slice, stays flat adaptive") {
+    import spark.implicits._
+    // VERDICT r14 #2: a fixed-position window over a shared-head corpus
+    // (log lines, URL-titled docs) fills with corpus-common grams — the
+    // rarest grams are everyone's grams and the prefix join degrades
+    // toward all-pairs. Fixture: a 70-char shared head, distinguishing
+    // material ONLY past it, plus planted near-dup tails.
+    val head = "https://corpus.example.org/shard-0000/2026/01/01/documents/part-" // 64 chars
+    assert(head.length === 64)
+    val rnd = new scala.util.Random(7)
+    def tail(): String = Seq.fill(48)("abcdefghijklmnopqrstuvwxyz0123456789"(
+      rnd.nextInt(36))).mkString
+    val tails = Seq.fill(60)(tail())
+    val base = tails.zipWithIndex.map { case (t, i) => (i.toLong, head + t) }
+    // planted pairs: one substitution inside the tail → true dist 1
+    val dups = tails.take(8).zipWithIndex.map { case (t, i) =>
+      ((i + 1000).toLong, head + (t.updated(10, '#'))) }
+    val docs = (base ++ dups).toDF("doc_id", "s0")
+
+    // the corpus-wide LCP is the shared head (tails diverge at char 65)
+    val lcp = graft.operators.Dedup.commonPrefixLength(docs, "s0")
+    assert(lcp === 64, s"LCP must be the shared head, got $lcp")
+
+    // FIXED slice 1..64: exactly the shared head → every string's
+    // slice is identical → all C(68,2)=2278 pairs survive the prefix
+    // filter; a cap below that must abort loudly
+    val fixed = docs.select(col("doc_id"),
+      substring(col("s0"), 1, 64).as("title"))
+    val e = intercept[Exception] {
+      graft.operators.Dedup.editDistancePairs(fixed, "doc_id", "title",
+        maxDist = 4, q = 4, maxCandidates = 1000L).count()
+    }
+    def rootMsg(t: Throwable): String =
+      (Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(_.getMessage)
+        ++ Iterator.single("")).mkString(" | ")
+    assert(rootMsg(e).contains("exceeds maxCandidates"),
+      s"fixed slice must trip the guard: ${rootMsg(e).take(300)}")
+
+    // ADAPTIVE slice under the SAME cap: the window starts past the head,
+    // carries per-doc-distinct grams, and candidates collapse to the
+    // planted collisions — the 8 true pairs at dist 1, nothing else
+    val adaptive = docs.select(col("doc_id"),
+      graft.operators.Dedup.adaptiveEditSlice(docs, "s0").as("title"))
+    val pairs = graft.operators.Dedup.editDistancePairs(adaptive, "doc_id",
+      "title", maxDist = 4, q = 4, maxCandidates = 1000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.length === 8, s"expected the 8 planted pairs, got ${pairs.toSeq}")
+    assert(pairs.forall { case (a, b, d) => d === 1L && b === a + 1000L })
+  }
+
   test("gearChunks: boundaries match a plain-Scala rolling-hash replica; chunks reassemble the payload") {
     import spark.implicits._
     val texts = Seq(

@@ -605,10 +605,23 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("q51: split predicates push to the order scans; the base is never re-scanned wide") {
+  test("q51: the fraction window evaluates at the order scans; no cartesian") {
+    // r15: the fixture window moved from an absolute `< 3000` (which a
+    // parquet scan could min/max-prune but which pinned a CONSTANT-size
+    // workload at every scale) to the fraction `% 3000 < 60`. A modulo
+    // cannot become a pushed parquet filter, so the pin is now that the
+    // predicate still evaluates AT the scan (a DataFilter on the batched
+    // read — one pass, no later re-filter of a wide frame) and columns
+    // stay pruned.
     val plan = physicalPlan("q51_cdc_apply")
-    assert(plan.contains("LessThan(o_orderkey"),
-      s"the < 3000 bound must reach the parquet scan:\n${plan.take(1200)}")
+    assert(plan.contains("pmod(o_orderkey"),
+      s"the fraction window must evaluate at the scan:\n${plan.take(1200)}")
+    val scanLine = plan.linesIterator
+      .find(l => l.contains("FileScan") && l.contains("orders.parquet"))
+    assert(scanLine.exists(!_.contains("o_orderdate")) ||
+      plan.linesIterator.exists(l => l.contains("ReadSchema") &&
+        !l.contains("o_orderpriority")),
+      "base scan must stay column-pruned")
     assert(!plan.contains("CartesianProduct"), plan.take(800))
   }
 

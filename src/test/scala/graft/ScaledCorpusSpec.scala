@@ -213,6 +213,51 @@ class ScaledCorpusSpec extends SparkSpec {
       "a replica's per-key series must equal the base key's")
   }
 
+  test("orders/lineitem: key-disjoint replicas keep joins in-replica and windows fractional") {
+    val factor = 3
+    val orders = Seq(
+      (0L, 100L, "O", 10.0, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "1-URGENT"),
+      (1L, 101L, "F", 20.0, java.sql.Timestamp.valueOf("2024-01-02 00:00:00"), "2-HIGH"),
+      (40L, 102L, "O", 30.0, java.sql.Timestamp.valueOf("2024-01-03 00:00:00"), "3-MEDIUM"),
+      (2999L, 104L, "O", 50.0, java.sql.Timestamp.valueOf("2024-01-05 00:00:00"), "5-LOW"),
+      (3000L, 103L, "F", 40.0, java.sql.Timestamp.valueOf("2024-01-04 00:00:00"), "4-LOW")
+    ).toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority")
+    val li = Seq(
+      (0L, 5L, 7L, 1, 1.0, 100.0, 0.1, 0.02, "N", "O", java.sql.Timestamp.valueOf("2024-02-01 00:00:00")),
+      (0L, 6L, 8L, 2, 2.0, 200.0, 0.1, 0.02, "N", "O", java.sql.Timestamp.valueOf("2024-02-02 00:00:00")),
+      (1L, 5L, 7L, 1, 3.0, 300.0, 0.1, 0.02, "R", "F", java.sql.Timestamp.valueOf("2024-02-03 00:00:00"))
+    ).toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+      "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+      "l_returnflag", "l_linestatus", "l_shipdate")
+    val so = ScaledCorpus.scaleOrders(orders, factor)
+    val sl = ScaledCorpus.scaleLineitem(li, factor)
+    assert(so.count() === orders.count() * factor)
+    assert(sl.count() === li.count() * factor)
+    assert(so.select("o_orderkey").distinct().count() === so.count())
+    // joins stay IN-REPLICA: every lineitem lands on an order of its own
+    // replica, and lines-per-order is the base table's verbatim
+    val j = sl.join(so, col("l_orderkey") === col("o_orderkey"))
+    assert(j.count() === sl.count(), "every scaled lineitem must join its order")
+    assert(j.filter(pmod(col("l_orderkey"), lit(factor)) =!=
+      pmod(col("o_orderkey"), lit(factor))).count() === 0)
+    val lpo = j.groupBy("o_orderkey").agg(count(lit(1)).as("n"))
+      .withColumn("base", ((col("o_orderkey") - pmod(col("o_orderkey"),
+        lit(factor))) / factor).cast("long"))
+    val baseLpo = li.groupBy("l_orderkey").agg(count(lit(1)).as("bn"))
+      .withColumnRenamed("l_orderkey", "base")
+    assert(lpo.join(baseLpo, "base").filter(col("n") =!= col("bn")).count() === 0)
+    // the CDC/PIT fraction window (o_orderkey % 3000 < 30 with
+    // factor | 30 and factor | 3000) must select exactly ×factor the base
+    // in-window volume: in-window base keys 0/1/3000 scale in, out-of-
+    // window 40/2999 stay out at every replica
+    val inWin = so.filter(pmod(col("o_orderkey"), lit(3000)) < 30)
+    assert(inWin.count() ===
+      orders.filter(pmod(col("o_orderkey"), lit(3000)) < 30).count() * factor,
+      "window volume must scale exactly ×factor")
+    assert(inWin.count() === 3L * factor)
+  }
+
   // VERDICT r13 #5: a x10 scale smoke is part of every live-screen
   // e-op's definition of done — r13 proved the point twice (a zero-row
   // stream bug and a state-store OOM were both caught only at x10). This

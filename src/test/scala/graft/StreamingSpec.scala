@@ -1309,6 +1309,37 @@ class StreamingSpec extends SparkSpec {
     assert(batch.except(streamedApp).count() === 0)
   }
 
+  test("writeEditIndex bakes knobs into the layout identity (no knob-mismatched reuse)") {
+    // The stored prefix table is cut at q·maxDist+1 grams AT BUILD TIME,
+    // so reusing a namePrefix with different knobs must resolve to a
+    // DIFFERENT table family (the writeMihIndex naming pattern) — the old
+    // idempotence check keyed on the prefix alone and would return an
+    // index whose stored prefixes were cut for the FIRST caller's knobs,
+    // silently breaking the pigeonhole guarantee (ADVICE r14).
+    import graft.operators.Dedup
+    import spark.implicits._
+    val corpus = Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamba"))
+      .toDF("doc_id", "title")
+    val a = Dedup.writeEditIndex(corpus, "doc_id", "title",
+      "spec_edit_knobs", maxDist = 1, q = 4)
+    val b = Dedup.writeEditIndex(corpus, "doc_id", "title",
+      "spec_edit_knobs", maxDist = 4, q = 4)
+    assert((a.dfq != b.dfq) && (a.prefix != b.prefix) &&
+      (a.shortPool != b.shortPool) && (a.strings != b.strings),
+      "knob-mismatched reuse must build a new table family")
+    assert(a.maxDist === 1 && b.maxDist === 4)
+    // each layout serves its own contract: the dist-2 pair is beyond a's
+    // bound and within b's
+    val fresh = Seq((10L, "alpha beta gamble")).toDF("doc_id", "title")
+    val atA = Dedup.incrementalEditDistancePairsIndexed(
+      fresh, a, "doc_id", "title").collect()
+    assert(atA.forall(_.getLong(2) <= 1))
+    val atB = Dedup.incrementalEditDistancePairsIndexed(
+      fresh, b, "doc_id", "title").collect()
+    assert(atB.map(r => (r.getLong(1), r.getLong(2))).toSet
+      .contains((2L, 2L)), "dist-2 pair must surface under maxDist=4 layout")
+  }
+
   test("bandedLevenshtein matches Spark's thresholded levenshtein") {
     import graft.streaming.ScreenStream
     val rnd = new scala.util.Random(42)
@@ -1361,7 +1392,7 @@ class StreamingSpec extends SparkSpec {
       ScreenStream.VerifiedRow(2L, 20L, 0.9),
       ScreenStream.VerifiedRow(2L, 21L, 0.7)))
     // mihDistinctFold: integer twin
-    val mout = ScreenStream.mihDistinctFold(3L, Iterator(
+    val mout = ScreenStream.mihDistinctFold()(3L, Iterator(
       ScreenStream.MihRow(3L, 30L, 2L), ScreenStream.MihRow(3L, 30L, 2L)),
       st(None)).toList
     assert(mout === List(ScreenStream.MihRow(3L, 30L, 2L)))
@@ -1373,6 +1404,93 @@ class StreamingSpec extends SparkSpec {
         st(Some(true))).toList
     }
     assert(e.getMessage.contains("second micro-batch"))
+  }
+
+  test("screen folds: idleTtl drops the seen flag; post-drop re-arrival re-screens") {
+    // ADVICE r14: always-on (non-AvailableNow) deployments grow one seen
+    // flag per fresh doc forever, and a checkpoint-recovery replay of a
+    // committed-state/uncommitted-sink batch hard-fails on its own flag.
+    // idleTtlMillis > 0 arms ProcessingTimeTimeout (the KnScoreStream
+    // escape hatch): a timed-out invocation must drop state and emit
+    // nothing, and a doc re-arriving after the drop must fold cleanly.
+    import graft.streaming.ScreenStream
+    import org.apache.spark.api.java.Optional
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    val ttl = 60000L
+    val sT = TestGroupState.create[Boolean](Optional.of(true),
+      GroupStateTimeout.ProcessingTimeTimeout, 1000L,
+      Optional.empty[java.lang.Long]().asInstanceOf[Optional[Long]],
+      hasTimedOut = true)
+    assert(ScreenStream.screenFold(0.5, ttl)(9L, Iterator.empty, sT).isEmpty)
+    assert(sT.isRemoved, "timed-out screen state must be dropped")
+    // re-arrival after the drop screens from scratch and re-arms the TTL
+    val s2 = TestGroupState.create[Boolean](Optional.empty[Boolean](),
+      GroupStateTimeout.ProcessingTimeTimeout, 1000L,
+      Optional.empty[java.lang.Long]().asInstanceOf[Optional[Long]],
+      hasTimedOut = false)
+    val out = ScreenStream.screenFold(0.5, ttl)(9L,
+      Iterator(ScreenStream.CollisionRow(9L, 3L, 20L, 3L),
+        ScreenStream.CollisionRow(9L, 3L, 20L, 3L),
+        ScreenStream.CollisionRow(9L, 3L, 20L, 3L)), s2).toList
+    assert(out === List(ScreenStream.PairOut(9L, 20L, 1.0)))
+    assert(s2.exists, "seen flag must be re-set on post-drop arrival")
+    // the other fold families share the same contract
+    val sT2 = TestGroupState.create[Boolean](Optional.of(true),
+      GroupStateTimeout.ProcessingTimeTimeout, 1000L,
+      Optional.empty[java.lang.Long]().asInstanceOf[Optional[Long]],
+      hasTimedOut = true)
+    assert(ScreenStream.chunkCountFold("t", 0.0, ttl)(9L, Iterator.empty, sT2).isEmpty)
+    assert(sT2.isRemoved)
+    val sT3 = TestGroupState.create[Boolean](Optional.of(true),
+      GroupStateTimeout.ProcessingTimeTimeout, 1000L,
+      Optional.empty[java.lang.Long]().asInstanceOf[Optional[Long]],
+      hasTimedOut = true)
+    assert(ScreenStream.mihDistinctFold(ttl)(9L, Iterator.empty, sT3).isEmpty)
+    assert(sT3.isRemoved)
+    val sT4 = TestGroupState.create[Boolean](Optional.of(true),
+      GroupStateTimeout.ProcessingTimeTimeout, 1000L,
+      Optional.empty[java.lang.Long]().asInstanceOf[Optional[Long]],
+      hasTimedOut = true)
+    ScreenStream.resetTaskCandidateVolume()
+    assert(ScreenStream.editFold(4, 4, 100, 1000L, ttl)(9L, Iterator.empty, sT4).isEmpty)
+    assert(sT4.isRemoved)
+  }
+
+  test("editFold: per-task accumulated candidate guard trips at the batch-cap grain") {
+    // VERDICT r14 #3: the per-doc cap alone let a micro-batch of B docs
+    // run B×cap verifies with no abort while the batch twin's GLOBAL
+    // raise_error would have stopped the same volume. The fold now also
+    // accumulates candidates per task (ThreadLocal, reset at the task /
+    // micro-batch boundary) against taskCandidateCap — docs that each sit
+    // UNDER the per-doc cap must still abort once their task's running
+    // total crosses the task cap.
+    import graft.streaming.ScreenStream
+    import org.apache.spark.api.java.Optional
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    def st() = TestGroupState.create[Boolean](Optional.empty[Boolean](),
+      GroupStateTimeout.NoTimeout, 0L,
+      Optional.empty[java.lang.Long]().asInstanceOf[Optional[Long]],
+      hasTimedOut = false)
+    // each doc yields 2 candidates (corpus ids 10/11 via one shared gram)
+    def rowsFor(doc: Long) = Iterator(
+      ScreenStream.EdRow(doc, "abcdef", "abcd", 2L, 10L, "abcdxf"),
+      ScreenStream.EdRow(doc, "abcdef", "abcd", 2L, 11L, "abcdyf"))
+    ScreenStream.resetTaskCandidateVolume()
+    val fold = ScreenStream.editFold(maxDist = 4, q = 4,
+      perDocCap = 100, taskCap = 3L) _
+    // doc 1: task total 2 ≤ 3 — folds fine, both pairs verify at dist 1
+    val out1 = fold(1L, rowsFor(1L), st()).toList
+    assert(out1.map(_.corpus_id).toSet === Set(10L, 11L))
+    // doc 2 in the SAME task: total 4 > 3 — aborts even though the doc
+    // itself is far under perDocCap
+    val e = intercept[IllegalStateException] { fold(2L, rowsFor(2L), st()).toList }
+    assert(e.getMessage.contains("taskCandidateCap"))
+    assert(e.getMessage.contains("accumulated"))
+    // a NEW task (reset boundary) folds the same doc fine
+    ScreenStream.resetTaskCandidateVolume()
+    val out3 = fold(3L, rowsFor(3L), st()).toList
+    assert(out3.map(_.corpus_id).toSet === Set(10L, 11L))
+    ScreenStream.resetTaskCandidateVolume()
   }
 
   test("e39 scoreGrams rejects a non-integral id column") {
