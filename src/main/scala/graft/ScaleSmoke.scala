@@ -30,13 +30,78 @@ object ScaleSmoke {
     1.0 - math.pow(1.0 - math.pow(p, b), l)
   }
 
+  /** Ceil(log₂ n) without libm (the adaptiveLshKnobs formulation). */
+  private def ceilLog2(n: Long): Int =
+    if (n <= 1L) 0 else 64 - java.lang.Long.numberOfLeadingZeros(n - 1)
+
+  /** ==indexab mode (VERDICT r14 #4)== Pinned-vs-adaptive knob A/B for
+    * the STANDING index serving shapes, on the e23/s24 corpus/fresh split
+    * (`vec_id % 8`): build the embedding signature index and the MIH code
+    * index twice — once at the oracle-anchored knobs ((4,8) planes×tables
+    * / 4×8-bit bands) and once at the occupancy-holding adaptive knobs
+    * ([[graft.operators.Dedup.adaptiveLshKnobs]] for LSH; bandBits =
+    * max(8, ⌈log₂ n⌉ − 7) at fixed bands for MIH — n/2^bandBits ≈ 128,
+    * the same policy) — then time ONLY the screens (build cost reported
+    * separately) with per-phase work metrics. MIH screens run at
+    * radius = bands−1 = 3, the guaranteed-complete contract BOTH knob
+    * families honor in their own code space (cross-knob pair sets are not
+    * comparable beyond it — longer codes measure a finer Hamming).
+    * Emits one JSON line per (family, knobs).
+    */
+  private def indexAb(spark: SparkSession, dir: String,
+                      work: WorkMetricsListener): Unit = {
+    import org.apache.spark.sql.functions._
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val corpus = e.filter(col("vec_id") % 8 =!= 0)
+    val fresh = e.filter(col("vec_id") % 8 === 0)
+    val n = corpus.count()
+    val tag = dir.replaceAll(".*/", "").replaceAll("[^A-Za-z0-9_]", "_")
+
+    def timed[A](f: => A): (A, Double, WorkSnapshot) = {
+      val w0 = work.snapshot(spark.sparkContext)
+      val t0 = System.nanoTime()
+      val a = f
+      ((a, (System.nanoTime() - t0) / 1e9, work.snapshot(spark.sparkContext) - w0))
+    }
+
+    // — embedding signature index (the e23/d12 family) —
+    for ((label, b0, l0) <- Seq(("pinned", 4, 8), ("adaptive", 0, 0))) {
+      val (idx, buildSec, _) = timed {
+        graft.operators.Dedup.writeEmbeddingSignatureIndex(
+          corpus, "vec_id", "embedding", s"ab_${tag}_emb_$label", b0, l0)
+      }
+      val (pairs, sec, w) = timed {
+        graft.operators.Dedup.incrementalEmbeddingPairsIndexed(
+          fresh, idx, "vec_id", "embedding", 0.4).count()
+      }
+      println(f"""{"mode":"indexab","family":"emb","knobs":"$label","dir":"$dir","n":$n,"planes_per_table":${idx.planesPerTable},"tables":${idx.tables},"build_sec":$buildSec%.2f,"screen_sec":$sec%.2f,"pairs":$pairs,"shuffle_read_bytes":${w.shuffleReadBytes},"shuffle_write_bytes":${w.shuffleWriteBytes},"spill_disk_bytes":${w.spillDiskBytes},"tasks":${w.tasks}}""")
+    }
+
+    // — MIH code index (the s24 family) —
+    val adaptiveBits = math.min(24, math.max(8, ceilLog2(n) - 7))
+    for ((label, bits) <- Seq(("pinned", 8), ("adaptive", adaptiveBits))) {
+      val (idx, buildSec, _) = timed {
+        graft.operators.Similarity.writeMihIndex(
+          corpus, "vec_id", "embedding", s"ab_${tag}_mih_$label",
+          bands = 4, bandBits = bits)
+      }
+      val (pairs, sec, w) = timed {
+        graft.operators.Similarity.mihHammingScreenIndexed(
+          fresh, idx, "vec_id", "embedding", radius = 3).count()
+      }
+      println(f"""{"mode":"indexab","family":"mih","knobs":"$label","dir":"$dir","n":$n,"bands":4,"band_bits":$bits,"build_sec":$buildSec%.2f,"screen_sec":$sec%.2f,"pairs":$pairs,"shuffle_read_bytes":${w.shuffleReadBytes},"shuffle_write_bytes":${w.shuffleWriteBytes},"spill_disk_bytes":${w.spillDiskBytes},"tasks":${w.tasks}}""")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("target/scale10")
     // "exact" = all-pairs ground truth (cap raised for the measurement);
     // "recall" = the standing recall gate (truth + LSH + floor assertion);
+    // "indexab" = pinned-vs-adaptive standing-index A/B (VERDICT r14 #4);
     // otherwise the arg is planesPerTable for the LSH path
     val exact = args.lift(1).contains("exact")
     val recallGate = args.lift(1).contains("recall")
+    val indexAbMode = args.lift(1).contains("indexab")
     val planesPerTable =
       if (exact) 0
       else if (recallGate) args.lift(2).map(_.toInt).getOrElse(0)
@@ -56,6 +121,13 @@ object ScaleSmoke {
     spark.sparkContext.addSparkListener(work)
 
     val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+
+    if (indexAbMode) {
+      indexAb(spark, dir, work)
+      SessionSweep.sweep(spark, blocking = true)
+      spark.stop()
+      return
+    }
 
     if (recallGate) {
       // == Standing recall gate (VERDICT r9 #6) ==

@@ -94,7 +94,32 @@ object ScaledCorpus {
     (0 until RemapFrom.length).map(i => (0x4E00 + 94 * (rep - 1) + i).toChar).mkString
   }
 
-  /** `factor` token-disjoint replicas; ids remapped to `id*factor + rep`,
+
+  /** Class-preserving id remap: with base = classMod·q + m, the replica
+    * id is classMod·(q·factor + rep) + m — key-disjoint across replicas
+    * AND `id % d` is preserved verbatim for every divisor d of classMod.
+    *
+    * Why the class matters (the r15 lesson): the harness splits
+    * fresh/corpus by residue classes (documents `% 10`, embeddings
+    * `% 8`, the CDC/PIT order window `% 3000` with `% 5`/`% 10`/`% 15`
+    * mixes inside). Under the naive `id·factor + rep` remap the residue
+    * becomes the REPLICA (id % 10 = rep), so "fresh" collapsed onto
+    * replica 0 — which is content-disjoint from every other replica by
+    * construction — and a scaled screen measured ZERO collisions
+    * (DuckDB replay: 103k candidates at 1×, 0 at ×10) while claiming to
+    * scale the workload. Preserving the class keeps every replica
+    * contributing to BOTH sides of each split, so per-replica workload
+    * is the base workload verbatim. classMod = 1 degenerates to the
+    * plain `id·factor + rep` (events, part/supp keys — no class splits).
+    */
+  private def remapId(base: org.apache.spark.sql.Column, rep: org.apache.spark.sql.Column,
+                      factor: Int, classMod: Int): org.apache.spark.sql.Column = {
+    val m = pmod(base, lit(classMod))
+    ((base - m) * factor + rep * classMod + m).cast("long")
+  }
+
+  /** `factor` token-disjoint replicas; ids remapped class-preservingly
+    * (classMod 10 — the harness's doc split),
     * text pushed through the per-replica length-preserving character
     * bijection (replica 0 verbatim — see the class doc). One `translate`
     * per row against a driver-built literal table indexed by `rep`: a
@@ -106,7 +131,7 @@ object ScaledCorpus {
     docs
       .select(col("*"), rep)
       .select(
-        (col("doc_id") * factor + col("rep")).as("doc_id"),
+        remapId(col("doc_id"), col("rep"), factor, 10).as("doc_id"),
         when(col("rep") === 0, col("text"))
           .otherwise(call_function("translate",
             col("text"), lit(RemapFrom), element_at(tos, col("rep"))))
@@ -162,7 +187,7 @@ object ScaledCorpus {
     embs
       .select(col("*"), rep)
       .select(
-        (col("vec_id") * factor + col("rep")).as("vec_id"),
+        remapId(col("vec_id"), col("rep"), factor, 8).as("vec_id"),
         when(col("rep") === 0, col("embedding")).otherwise(
           zip_with(
             element_at(perms, col("rep") + 1),
@@ -191,9 +216,9 @@ object ScaledCorpus {
     events
       .select(col("*"), rep)
       .select(
-        (col("event_id") * factor + col("rep")).as("event_id"),
+        remapId(col("event_id"), col("rep"), factor, 1).as("event_id"),
         col("ts"),
-        (col("user_id") * factor + col("rep")).as("user_id"),
+        remapId(col("user_id"), col("rep"), factor, 1).as("user_id"),
         col("event_type"), col("value"), col("props"))
   }
 
@@ -222,8 +247,8 @@ object ScaledCorpus {
     orders
       .select(col("*"), rep)
       .select(
-        (col("o_orderkey") * factor + col("rep")).as("o_orderkey"),
-        (col("o_custkey") * factor + col("rep")).as("o_custkey"),
+        remapId(col("o_orderkey"), col("rep"), factor, 3000).as("o_orderkey"),
+        remapId(col("o_custkey"), col("rep"), factor, 1).as("o_custkey"),
         col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
         col("o_orderpriority"))
   }
@@ -237,9 +262,9 @@ object ScaledCorpus {
     lineitem
       .select(col("*"), rep)
       .select(
-        (col("l_orderkey") * factor + col("rep")).as("l_orderkey"),
-        (col("l_partkey") * factor + col("rep")).as("l_partkey"),
-        (col("l_suppkey") * factor + col("rep")).as("l_suppkey"),
+        remapId(col("l_orderkey"), col("rep"), factor, 3000).as("l_orderkey"),
+        remapId(col("l_partkey"), col("rep"), factor, 1).as("l_partkey"),
+        remapId(col("l_suppkey"), col("rep"), factor, 1).as("l_suppkey"),
         col("l_linenumber"), col("l_quantity"), col("l_extendedprice"),
         col("l_discount"), col("l_tax"), col("l_returnflag"),
         col("l_linestatus"), col("l_shipdate"))

@@ -202,6 +202,20 @@ object AuxDumps {
       graft.operators.CorpusOps.kneserNeyLmOrder(
         t(s, d, "documents"), "doc_id", "text", 4)),
 
+    // t45: the KN bigram table at THREE discounts (discount, bg, n, ctx,
+    // n1f, n1b, nbg, lp) — the production sweep of the 0.75 constant
+    // (VERDICT r14 #7). The integer statistics are discount-INDEPENDENT,
+    // so the oracle recounts them once and joins per discount; only the
+    // ln rides, exactly the t40 contract ×3.
+    "t45_lp" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Seq(0.4, 0.75, 0.9).map { disc =>
+        graft.operators.CorpusOps
+          .kneserNeyLm(docs, "doc_id", "text", discount = disc)
+          .withColumn("discount", lit(disc))
+      }.reduce(_.unionByName(_))
+    }),
+
     // s22: the 32 ±1 sign vectors of the MIH code family (planes 100–131 —
     // a dedicated offset so the family is independent of the 0–31 LSH
     // planes). p is the LOCAL index 0..31; the oracle derives band = p//8

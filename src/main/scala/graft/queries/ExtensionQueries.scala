@@ -845,6 +845,55 @@ object ExtensionQueries {
         |SELECT doc_id, n_bigrams, mean_logprob FROM folded
         |ORDER BY doc_id""".stripMargin
 
+  /** The t45 discount-sweep oracle — knScoreSql's statistics validation
+    * run ONCE (the integer counts are discount-independent), then each
+    * discount's dumped lp table joins on all five statistics and the
+    * position-ordered fold replays per (discount, doc). The discount
+    * column rides the dump on BOTH join sides, so the double equality is
+    * between identical stored values.
+    */
+  private val knDiscountSweepSql =
+      """WITH lm AS (SELECT discount, bg, n, ctx, n1f, n1b, nbg, lp
+        |           FROM read_parquet('{{AUX}}/t45_lp/*.parquet')),
+        |bgc AS (
+        |  SELECT tk[i + 1] || ' ' || tk[i + 2] AS bg, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM (SELECT string_split(text, ' ') AS tk FROM documents) d,
+        |    UNNEST(range(len(tk) - 1)) AS r(i) WHERE len(tk) >= 2
+        |  GROUP BY 1),
+        |ctxc AS (
+        |  SELECT split_part(bg, ' ', 1) AS w1, CAST(SUM(n) AS BIGINT) AS c,
+        |    CAST(COUNT(*) AS BIGINT) AS nf
+        |  FROM bgc GROUP BY 1),
+        |contc AS (
+        |  SELECT split_part(bg, ' ', 2) AS w2, CAST(COUNT(*) AS BIGINT) AS nb
+        |  FROM bgc GROUP BY 1),
+        |totc AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM bgc),
+        |vlm AS (
+        |  SELECT lm.discount, lm.bg, lm.lp FROM lm
+        |  JOIN bgc ON bgc.bg = lm.bg AND bgc.n = lm.n
+        |  JOIN ctxc ON ctxc.w1 = split_part(lm.bg, ' ', 1)
+        |    AND ctxc.c = lm.ctx AND ctxc.nf = lm.n1f
+        |  JOIN contc ON contc.w2 = split_part(lm.bg, ' ', 2)
+        |    AND contc.nb = lm.n1b
+        |  JOIN totc ON totc.t = lm.nbg),
+        |pos AS (
+        |  SELECT doc_id, i, tk[i + 1] || ' ' || tk[i + 2] AS bg,
+        |    len(tk) - 1 AS nb
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents) d,
+        |    UNNEST(range(len(tk) - 1)) AS r(i) WHERE len(tk) >= 2),
+        |scored AS (
+        |  SELECT dsc.discount, p.doc_id, p.i, p.nb, COALESCE(v.lp, -20.0) AS lp
+        |  FROM (SELECT DISTINCT discount FROM lm) dsc
+        |  CROSS JOIN pos p
+        |  LEFT JOIN vlm v ON v.discount = dsc.discount AND v.bg = p.bg),
+        |folded AS (
+        |  SELECT discount, doc_id, CAST(MAX(nb) AS BIGINT) AS n_bigrams,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(lp ORDER BY i)),
+        |      (a, b) -> a + b) / MAX(nb) AS mean_logprob
+        |  FROM scored GROUP BY discount, doc_id)
+        |SELECT discount, doc_id, n_bigrams, mean_logprob FROM folded
+        |ORDER BY discount, doc_id""".stripMargin
+
   /** The t41/e40 trigram KN scoring oracle — knScoreSql one order up, and
     * like it ONE definition grading the batch scorer and its streaming
     * twin verbatim: all EIGHT integer statistics recounted in SQL and
@@ -4041,6 +4090,28 @@ object ExtensionQueries {
       graft.operators.CorpusOps.ngramLogprob(docs, "doc_id", "text",
         lm.select(col("g"), col("lp")), -20.0, 4, "g", "n_quadgrams")
         .orderBy("doc_id")
+    },
+
+    // KN discount sweep (t45, VERDICT r14 #7): a production fluency
+    // filter SWEEPS the absolute discount instead of trusting 0.75 — the
+    // 11 integer statistics are discount-independent (one corpus pass
+    // family serves every discount), only the final arithmetic changes,
+    // so the sweep costs k LM head-computations, not k corpus scans.
+    // Emits per-(discount, doc) scores at D ∈ {0.4, 0.75, 0.9}. The
+    // oracle recounts the shared integer statistics ONCE, joins each
+    // discount's dumped table on all five (the t40 contract ×3 — only
+    // the ln rides), and replays the position-ordered fold per discount.
+    "t45_kn_discount_sweep" -> of(knDiscountSweepSql) { (s, d) =>
+      val docs = t(s, d, "documents")
+      Seq(0.4, 0.75, 0.9).map { disc =>
+        val lm = graft.operators.CorpusOps
+          .kneserNeyLm(docs, "doc_id", "text", discount = disc)
+        graft.operators.CorpusOps.bigramLogprob(docs, "doc_id", "text",
+          lm.select(col("bg"), col("lp")), -20.0)
+          .withColumn("discount", lit(disc))
+      }.reduce(_.unionByName(_))
+        .select("discount", "doc_id", "n_bigrams", "mean_logprob")
+        .orderBy("discount", "doc_id")
     },
 
     // STREAMING trigram KN fluency scoring (e40) — t41 live, at e39's

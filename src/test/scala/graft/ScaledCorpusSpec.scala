@@ -47,14 +47,22 @@ class ScaledCorpusSpec extends SparkSpec {
     assert(scaled.count() === docs.count() * factor)
     val pairs = Dedup.ngramJaccardPairs(scaled, "doc_id", "text")
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // class-preserving remap (classMod 10): rep = (id div 10) mod factor,
+    // base = ((id div 10) div factor)·10 + id mod 10
+    def rep(x: Long) = (x / 10) % factor
+    def baseId(x: Long) = (x / 10 / factor) * 10 + x % 10
     // no pair crosses replicas (token disjointness)
-    assert(pairs.forall { case (a, b) => a % factor === b % factor })
+    assert(pairs.forall { case (a, b) => rep(a) === rep(b) })
     // exact per-replica replication of the base pair set
-    val byRep = pairs.groupBy(_._1 % factor).view
-      .mapValues(_.map { case (a, b) => (a / factor, b / factor) }.toSet).toMap
+    val byRep = pairs.groupBy(p => rep(p._1)).view
+      .mapValues(_.map { case (a, b) => (baseId(a), baseId(b)) }.toSet).toMap
     assert(byRep.keySet === (0L until factor.toLong).toSet)
     (0L until factor.toLong).foreach(r => assert(byRep(r) === base,
       s"replica $r pair structure diverged from base"))
+    // the harness's fresh/corpus split class is PRESERVED (the r15
+    // lesson: under id·factor+rep, id%10 became the replica and the
+    // %10==0 "fresh" side was content-disjoint from the corpus)
+    assert(pairs.flatMap(p => Seq(p._1, p._2)).forall(x => x % 10 === baseId(x) % 10))
   }
 
   // VERDICT r14 #1: the old `r{rep}_` token prefix changed per-token
@@ -69,7 +77,8 @@ class ScaledCorpusSpec extends SparkSpec {
 
     // per-doc char length is EXACTLY the base doc's at every replica
     val lenDiff = scaled.alias("s")
-      .withColumn("base_id", (col("doc_id") - pmod(col("doc_id"), lit(factor))) / factor)
+      .withColumn("base_id",
+        expr(s"((doc_id div 10) div $factor) * 10 + (doc_id % 10)"))
       .join(docs.select(col("doc_id").as("base_id"),
         length(col("text")).as("base_len")), "base_id")
       .filter(length(col("s.text")) =!= col("base_len") ||
@@ -82,7 +91,7 @@ class ScaledCorpusSpec extends SparkSpec {
       df.select(id.as("base_id"),
         sort_array(transform(split(col("text"), " "), t => length(t))).as("tl"))
     val tlDiff = tokLens(scaled,
-        (col("doc_id") - pmod(col("doc_id"), lit(factor))) / factor)
+        expr(s"((doc_id div 10) div $factor) * 10 + (doc_id % 10)"))
       .join(tokLens(docs, col("doc_id"))
         .withColumnRenamed("tl", "tl_base"), "base_id")
       .filter(col("tl") =!= col("tl_base"))
@@ -138,17 +147,21 @@ class ScaledCorpusSpec extends SparkSpec {
     val pairs = cosinePairs(scaled)
     // intra-replica structure: each replica contributes exactly the base
     // pairs; the spec data has no cross-replica cosine above threshold
+    // class-preserving remap (classMod 8): for base ids < 8 the replica
+    // id is simply 8·rep + id, and id % 8 is preserved (the e23/s24
+    // fresh split class)
+    def vid(a: Long, r: Long) = (a - a % 8) * factor + 8 * r + a % 8
     val expectedKeys = (0L until factor.toLong).flatMap(r =>
-      base.keySet.map { case (a, b) => (a * factor + r, b * factor + r) }).toSet
+      base.keySet.map { case (a, b) => (vid(a, r), vid(b, r)) }).toSet
     assert(pairs.keySet === expectedKeys)
     // replica 0 is verbatim → bit-identical cosines; permuted replicas
     // carry the same dot terms in a different summation order → ~1 ulp
     base.foreach { case ((a, b), c) =>
-      assert(pairs((a * factor, b * factor)) === c,
+      assert(pairs((vid(a, 0), vid(b, 0))) === c,
         s"replica-0 cosine for ($a,$b) not bit-identical to base") }
     (1L until factor.toLong).foreach { r =>
       base.foreach { case ((a, b), c) =>
-        assert(math.abs(pairs((a * factor + r, b * factor + r)) - c) < 1e-12,
+        assert(math.abs(pairs((vid(a, r), vid(b, r))) - c) < 1e-12,
           s"replica-$r cosine for ($a,$b) drifted beyond summation-reorder noise") }
     }
   }
@@ -239,18 +252,20 @@ class ScaledCorpusSpec extends SparkSpec {
     // replica, and lines-per-order is the base table's verbatim
     val j = sl.join(so, col("l_orderkey") === col("o_orderkey"))
     assert(j.count() === sl.count(), "every scaled lineitem must join its order")
-    assert(j.filter(pmod(col("l_orderkey"), lit(factor)) =!=
-      pmod(col("o_orderkey"), lit(factor))).count() === 0)
+    // class-preserving remap (classMod 3000): rep = (k div 3000) mod f
+    assert(j.filter(expr(s"(l_orderkey div 3000) % $factor") =!=
+      expr(s"(o_orderkey div 3000) % $factor")).count() === 0)
     val lpo = j.groupBy("o_orderkey").agg(count(lit(1)).as("n"))
-      .withColumn("base", ((col("o_orderkey") - pmod(col("o_orderkey"),
-        lit(factor))) / factor).cast("long"))
+      .withColumn("base", expr(
+        s"((o_orderkey div 3000) div $factor) * 3000 + (o_orderkey % 3000)"))
     val baseLpo = li.groupBy("l_orderkey").agg(count(lit(1)).as("bn"))
       .withColumnRenamed("l_orderkey", "base")
     assert(lpo.join(baseLpo, "base").filter(col("n") =!= col("bn")).count() === 0)
-    // the CDC/PIT fraction window (o_orderkey % 3000 < 30 with
-    // factor | 30 and factor | 3000) must select exactly ×factor the base
-    // in-window volume: in-window base keys 0/1/3000 scale in, out-of-
-    // window 40/2999 stay out at every replica
+    // the CDC/PIT fraction window (o_orderkey % 3000 < 30) must select
+    // exactly ×factor the base in-window volume — the classMod-3000 remap
+    // preserves id % 3000 VERBATIM (and with it the inner %5/%10/%15
+    // update mixes): in-window base keys 0/1/3000 scale in, out-of-window
+    // 40/2999 stay out at every replica
     val inWin = so.filter(pmod(col("o_orderkey"), lit(3000)) < 30)
     assert(inWin.count() ===
       orders.filter(pmod(col("o_orderkey"), lit(3000)) < 30).count() * factor,
@@ -269,9 +284,9 @@ class ScaledCorpusSpec extends SparkSpec {
     val scale = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("SCALE.md")), java.nio.charset.StandardCharsets.UTF_8)
     // the contract is TOTAL over streaming e-queries: every one must be
-    // named in SCALE.md — with a measured ×10 row, or (e29/e30, which ride
-    // TPC-H tables the replica corpus does not scale) an explicit
-    // out-of-scope note
+    // named in SCALE.md with a measured ×10 row (r15 closed the last two:
+    // scaleOrders/scaleLineitem + the fraction windows brought e29/e30
+    // in scope)
     val eOps = SparkEntry.queries.keySet.filter(n => n.startsWith("e") &&
       n.contains("stream"))
     val missing = eOps.toSeq.sorted.filterNot { n =>
