@@ -41,20 +41,32 @@ object ScaleSmoke {
     * / 4×8-bit bands) and once at the occupancy-holding adaptive knobs
     * ([[graft.operators.Dedup.adaptiveLshKnobs]] for LSH; bandBits =
     * max(8, ⌈log₂ n⌉ − 7) at fixed bands for MIH — n/2^bandBits ≈ 128,
-    * the same policy) — then time ONLY the screens (build cost reported
-    * separately) with per-phase work metrics. MIH screens run at
-    * radius = bands−1 = 3, the guaranteed-complete contract BOTH knob
-    * families honor in their own code space (cross-knob pair sets are not
-    * comparable beyond it — longer codes measure a finer Hamming).
-    * Emits one JSON line per (family, knobs).
+    * the same policy).
+    *
+    * The measured quantity is EXACT CANDIDATE VOLUME, computed from
+    * per-bucket COUNT joins (Σ over buckets of corpus-occupancy ×
+    * fresh-occupancy — exact, never enumerates a candidate row), because
+    * at deep scale the pinned arm's candidates are the wall itself: at
+    * ×30 the (4,8) family would enumerate ~10¹⁰ rows and the full screen
+    * is deliberately SKIPPED (`screen_sec: -1`) above `fullScreenCap` —
+    * that refusal IS the measurement. Arms under the cap also run the
+    * real screen end-to-end. MIH screens run at radius = bands−1 = 3,
+    * the guaranteed-complete contract both knob families honor in their
+    * own code space (cross-knob pair sets are not comparable beyond it —
+    * longer codes measure a finer Hamming). Emits one JSON line per
+    * (family, knobs).
     */
   private def indexAb(spark: SparkSession, dir: String,
                       work: WorkMetricsListener): Unit = {
     import org.apache.spark.sql.functions._
+    import graft.operators.{Dedup, Similarity}
+    val fullScreenCap = 2e8
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
     val corpus = e.filter(col("vec_id") % 8 =!= 0)
-    val fresh = e.filter(col("vec_id") % 8 === 0)
+    val fresh = e.filter(col("vec_id") % 8 === 0).persist()
     val n = corpus.count()
+    val nF = fresh.count()
+    val dim = Similarity.vectorDim(e, "embedding")
     val tag = dir.replaceAll(".*/", "").replaceAll("[^A-Za-z0-9_]", "_")
 
     def timed[A](f: => A): (A, Double, WorkSnapshot) = {
@@ -63,34 +75,62 @@ object ScaleSmoke {
       val a = f
       ((a, (System.nanoTime() - t0) / 1e9, work.snapshot(spark.sparkContext) - w0))
     }
+    def volume(corpusKeyed: org.apache.spark.sql.DataFrame,
+               freshKeyed: org.apache.spark.sql.DataFrame,
+               keys: Seq[String]): Long = {
+      val c = corpusKeyed.groupBy(keys.map(col): _*).agg(count(lit(1)).as("nc"))
+      val f = freshKeyed.groupBy(keys.map(col): _*).agg(count(lit(1)).as("nf"))
+      c.join(f, keys).agg(coalesce(sum(col("nc") * col("nf")), lit(0L)))
+        .head().getLong(0)
+    }
+
+    graft.functions.NativeFunctions.register(spark)
 
     // — embedding signature index (the e23/d12 family) —
     for ((label, b0, l0) <- Seq(("pinned", 4, 8), ("adaptive", 0, 0))) {
       val (idx, buildSec, _) = timed {
-        graft.operators.Dedup.writeEmbeddingSignatureIndex(
+        Dedup.writeEmbeddingSignatureIndex(
           corpus, "vec_id", "embedding", s"ab_${tag}_emb_$label", b0, l0)
       }
-      val (pairs, sec, w) = timed {
-        graft.operators.Dedup.incrementalEmbeddingPairsIndexed(
-          fresh, idx, "vec_id", "embedding", 0.4).count()
+      val signs = Similarity.hyperplaneSigns(spark, idx.tables * idx.planesPerTable, 0, dim)
+      val fSig = fresh
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .select(posexplode(graft.functions.NativeFunctions.hyperplaneSignatures(
+          spark, col("v"), signs.flatten, idx.planesPerTable, idx.tables))
+          .as(Seq("tbl", "sig")))
+      val (cand, candSec, _) = timed {
+        volume(spark.table(idx.signatures), fSig, Seq("tbl", "sig"))
       }
-      println(f"""{"mode":"indexab","family":"emb","knobs":"$label","dir":"$dir","n":$n,"planes_per_table":${idx.planesPerTable},"tables":${idx.tables},"build_sec":$buildSec%.2f,"screen_sec":$sec%.2f,"pairs":$pairs,"shuffle_read_bytes":${w.shuffleReadBytes},"shuffle_write_bytes":${w.shuffleWriteBytes},"spill_disk_bytes":${w.spillDiskBytes},"tasks":${w.tasks}}""")
+      val (pairs, sec, w) =
+        if (cand <= fullScreenCap) timed {
+          Dedup.incrementalEmbeddingPairsIndexed(
+            fresh, idx, "vec_id", "embedding", 0.4).count()
+        } else ((-1L, -1.0, WorkSnapshot(0, 0, 0, 0, 0)))
+      println(f"""{"mode":"indexab","family":"emb","knobs":"$label","dir":"$dir","n":$n,"n_fresh":$nF,"planes_per_table":${idx.planesPerTable},"tables":${idx.tables},"build_sec":$buildSec%.2f,"candidates":$cand,"cand_sec":$candSec%.2f,"screen_sec":$sec%.2f,"pairs":$pairs,"shuffle_read_bytes":${w.shuffleReadBytes},"shuffle_write_bytes":${w.shuffleWriteBytes},"spill_disk_bytes":${w.spillDiskBytes},"tasks":${w.tasks}}""")
     }
 
     // — MIH code index (the s24 family) —
     val adaptiveBits = math.min(24, math.max(8, ceilLog2(n) - 7))
     for ((label, bits) <- Seq(("pinned", 8), ("adaptive", adaptiveBits))) {
       val (idx, buildSec, _) = timed {
-        graft.operators.Similarity.writeMihIndex(
+        Similarity.writeMihIndex(
           corpus, "vec_id", "embedding", s"ab_${tag}_mih_$label",
           bands = 4, bandBits = bits)
       }
-      val (pairs, sec, w) = timed {
-        graft.operators.Similarity.mihHammingScreenIndexed(
-          fresh, idx, "vec_id", "embedding", radius = 3).count()
+      val mihSigns = Similarity.hyperplaneSigns(spark, 4 * bits, idx.planeOffset, dim)
+      val fBand = Similarity.mihCodeBands(fresh, "vec_id", "embedding",
+        "fresh_id", "f_code", mihSigns, 4, bits)
+      val (cand, candSec, _) = timed {
+        volume(spark.table(idx.codes), fBand, Seq("band", "band_val"))
       }
-      println(f"""{"mode":"indexab","family":"mih","knobs":"$label","dir":"$dir","n":$n,"bands":4,"band_bits":$bits,"build_sec":$buildSec%.2f,"screen_sec":$sec%.2f,"pairs":$pairs,"shuffle_read_bytes":${w.shuffleReadBytes},"shuffle_write_bytes":${w.shuffleWriteBytes},"spill_disk_bytes":${w.spillDiskBytes},"tasks":${w.tasks}}""")
+      val (pairs, sec, w) =
+        if (cand <= fullScreenCap) timed {
+          Similarity.mihHammingScreenIndexed(
+            fresh, idx, "vec_id", "embedding", radius = 3).count()
+        } else ((-1L, -1.0, WorkSnapshot(0, 0, 0, 0, 0)))
+      println(f"""{"mode":"indexab","family":"mih","knobs":"$label","dir":"$dir","n":$n,"n_fresh":$nF,"bands":4,"band_bits":$bits,"build_sec":$buildSec%.2f,"candidates":$cand,"cand_sec":$candSec%.2f,"screen_sec":$sec%.2f,"pairs":$pairs,"shuffle_read_bytes":${w.shuffleReadBytes},"shuffle_write_bytes":${w.shuffleWriteBytes},"spill_disk_bytes":${w.spillDiskBytes},"tasks":${w.tasks}}""")
     }
+    fresh.unpersist(blocking = false)
   }
 
   def main(args: Array[String]): Unit = {
@@ -103,7 +143,7 @@ object ScaleSmoke {
     val recallGate = args.lift(1).contains("recall")
     val indexAbMode = args.lift(1).contains("indexab")
     val planesPerTable =
-      if (exact) 0
+      if (exact || indexAbMode) 0
       else if (recallGate) args.lift(2).map(_.toInt).getOrElse(0)
       else args.lift(1).map(_.toInt).getOrElse(8)
     val tables =
