@@ -698,6 +698,24 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), "order-4 KN planned a cartesian")
   }
 
+  test("t45: discount sweep shares the statistics family; LM joins broadcast, no cartesian") {
+    val plan = physicalPlan("t45_kn_discount_sweep")
+    // each discount's (bg, lp) scoring join is a map-side hash join (the
+    // vocabulary can't be a plan literal); sweeping must never cross-pair
+    assert(plan.contains("BroadcastHashJoin"), plan.take(600))
+    assert(!plan.contains("CartesianProduct"), "discount sweep planned a cartesian")
+  }
+
+  test("d24: adaptive slice pairs plan equi-joins only; lang filter reaches the scan") {
+    // the LCP aggregates run eagerly (two string aggs, driver compare);
+    // the PAIR plan built on top must be the d19 shape — gram/length
+    // equi-joins, no cartesian — and the en scope pushes to parquet
+    val plan = physicalPlan("d24_edit_adaptive_slice")
+    assert(plan.contains("EqualTo(lang,en)") || plan.contains("PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]"),
+      s"lang filter must reach the scan:\n${plan.take(900)}")
+    assert(!plan.contains("CartesianProduct"), "adaptive-slice pairing planned a cartesian")
+  }
+
   test("d22: edit-index prefix probe reads bucketed; index side never exchanges") {
     val plan = physicalPlan("d22_incremental_edit_indexed")
     // the index tables must actually be read through their bucket layout
