@@ -130,8 +130,9 @@ object ExtensionQueries {
   }
 
   /** Build (once per session + sf dir) the d12 standing shingle index over
-    * the sub-400 corpus; k=4 and the bucket count are part of the layout
-    * identity via the table-name suffix.
+    * the `doc_id % 10 < 8` corpus (a fraction window — scales with the
+    * data); k=4 and the bucket count are part of the layout identity via
+    * the table-name suffix.
     */
   private def ensureShingleIndex(s: org.apache.spark.sql.SparkSession,
                                  dir: String,
@@ -1888,8 +1889,10 @@ object ExtensionQueries {
         .orderBy("doc_id")
     },
 
-    // Incremental near-dup screening — today's batch (doc_id >= 400)
-    // against the standing corpus (< 400), never corpus-vs-corpus: the
+    // Incremental near-dup screening — today's batch (doc_id % 10 ≥ 8,
+    // a FRACTION window so the split scales with the data — the r15
+    // fixture lesson) against the standing corpus (% 10 < 8), never
+    // corpus-vs-corpus: the
     // daily-ingest shape where the corpus shingle table is a standing
     // index and each ingest shuffles only the fresh batch.
     "d11_dedup_incremental" -> of(
@@ -1902,7 +1905,7 @@ object ExtensionQueries {
         |inter AS (
         |  SELECT f.doc_id AS fresh_id, c.doc_id AS corpus_id, COUNT(*) AS inter
         |  FROM sh f JOIN sh c ON f.shingle = c.shingle
-        |  WHERE f.doc_id >= 400 AND c.doc_id < 400
+        |  WHERE f.doc_id % 10 >= 8 AND c.doc_id % 10 < 8
         |  GROUP BY f.doc_id, c.doc_id)
         |SELECT fresh_id, corpus_id,
         |  inter / (sf.set_size + sc.set_size - inter) AS jaccard
@@ -1913,7 +1916,8 @@ object ExtensionQueries {
         |ORDER BY fresh_id, corpus_id""") { (s, d) =>
       val docs = t(s, d, "documents")
       Dedup.incrementalJaccardPairs(
-        docs.filter(col("doc_id") >= 400), docs.filter(col("doc_id") < 400),
+        docs.filter(pmod(col("doc_id"), lit(10)) >= 8),
+        docs.filter(pmod(col("doc_id"), lit(10)) < 8),
         "doc_id", "text")
         .orderBy("fresh_id", "corpus_id")
     },
@@ -1934,7 +1938,7 @@ object ExtensionQueries {
         |inter AS (
         |  SELECT f.doc_id AS fresh_id, c.doc_id AS corpus_id, COUNT(*) AS inter
         |  FROM sh f JOIN sh c ON f.shingle = c.shingle
-        |  WHERE f.doc_id >= 400 AND c.doc_id < 400
+        |  WHERE f.doc_id % 10 >= 8 AND c.doc_id % 10 < 8
         |  GROUP BY f.doc_id, c.doc_id)
         |SELECT fresh_id, corpus_id,
         |  inter / (sf.set_size + sc.set_size - inter) AS jaccard
@@ -1945,7 +1949,8 @@ object ExtensionQueries {
         |ORDER BY fresh_id, corpus_id""") { (s, d) =>
       val docs = t(s, d, "documents")
       Dedup.incrementalJaccardPairsBloomed(
-        docs.filter(col("doc_id") >= 400), docs.filter(col("doc_id") < 400),
+        docs.filter(pmod(col("doc_id"), lit(10)) >= 8),
+        docs.filter(pmod(col("doc_id"), lit(10)) < 8),
         "doc_id", "text",
         // sized to the batch: ≤ sf0.1's ~250k fresh shingles → 2 Mb sketch
         // (256 KiB); an oversized sketch is pure literal-shipping overhead
@@ -1994,7 +1999,7 @@ object ExtensionQueries {
         |inter AS (
         |  SELECT f.doc_id AS fresh_id, c.doc_id AS corpus_id, COUNT(*) AS inter
         |  FROM sh f JOIN sh c ON f.shingle = c.shingle
-        |  WHERE f.doc_id >= 400 AND c.doc_id < 400
+        |  WHERE f.doc_id % 10 >= 8 AND c.doc_id % 10 < 8
         |  GROUP BY f.doc_id, c.doc_id)
         |SELECT fresh_id, corpus_id,
         |  inter / (sf.set_size + sc.set_size - inter) AS jaccard
@@ -2004,15 +2009,17 @@ object ExtensionQueries {
         |WHERE inter / (sf.set_size + sc.set_size - inter) >= 0.5
         |ORDER BY fresh_id, corpus_id""") { (s, d) =>
       val docs = t(s, d, "documents")
-      val idx = ensureShingleIndex(s, d, docs.filter(col("doc_id") < 400))
+      val idx = ensureShingleIndex(s, d,
+        docs.filter(pmod(col("doc_id"), lit(10)) < 8))
       Dedup.incrementalJaccardPairsIndexed(
-        docs.filter(col("doc_id") >= 400), idx, "doc_id", "text")
+        docs.filter(pmod(col("doc_id"), lit(10)) >= 8), idx, "doc_id", "text")
         .orderBy("fresh_id", "corpus_id")
     },
 
     // The d12 standing shingle index GROWN BY APPEND (d18 — the Jaccard
-    // family's compaction step, d17's shape for shingles): built from the
-    // sub-200 corpus, docs 200-399 folded in via appendShingleIndex, then
+    // family's compaction step, d17's shape for shingles): built from
+    // half the corpus (doc_id % 10 < 4), the other half (% 10 ∈ 4..7)
+    // folded in via appendShingleIndex, then
     // the same fresh screen. The d11 oracle pins that an appended index
     // screens exactly like a freshly-built one.
     "d18_dedup_incremental_shingle_appended" -> of(
@@ -2025,7 +2032,7 @@ object ExtensionQueries {
         |inter AS (
         |  SELECT f.doc_id AS fresh_id, c.doc_id AS corpus_id, COUNT(*) AS inter
         |  FROM sh f JOIN sh c ON f.shingle = c.shingle
-        |  WHERE f.doc_id >= 400 AND c.doc_id < 400
+        |  WHERE f.doc_id % 10 >= 8 AND c.doc_id % 10 < 8
         |  GROUP BY f.doc_id, c.doc_id)
         |SELECT fresh_id, corpus_id,
         |  inter / (sf.set_size + sc.set_size - inter) AS jaccard
@@ -2041,14 +2048,14 @@ object ExtensionQueries {
       // append is not idempotent — the catalog presence of the shingles
       // table marks already-built-AND-appended for this (session, dir)
       if (!s.catalog.tableExists(idx.shingles)) {
-        Dedup.writeShingleIndex(docs.filter(col("doc_id") < 200),
+        Dedup.writeShingleIndex(docs.filter(pmod(col("doc_id"), lit(10)) < 4),
           "doc_id", "text", idx)
         Dedup.appendShingleIndex(
-          docs.filter(col("doc_id") >= 200 && col("doc_id") < 400), idx,
+          docs.filter(pmod(col("doc_id"), lit(10)).between(4, 7)), idx,
           "doc_id", "text")
       }
       Dedup.incrementalJaccardPairsIndexed(
-        docs.filter(col("doc_id") >= 400), idx, "doc_id", "text")
+        docs.filter(pmod(col("doc_id"), lit(10)) >= 8), idx, "doc_id", "text")
         .orderBy("fresh_id", "corpus_id")
     },
 
@@ -2260,7 +2267,7 @@ object ExtensionQueries {
 
     // Incremental dup-cluster maintenance (d21): fold the d11 screen's
     // fresh pairs (cross + batch-internal) into the STANDING d08 cluster
-    // labels of the corpus (doc_id < 400) — attach, new-cluster and
+    // labels of the corpus (doc_id % 10 < 8) — attach, new-cluster and
     // cluster-MERGE cases all handled by one delta-sized closure over
     // touched-cluster members + fresh pairs, untouched clusters passing
     // through by anti-join. Graded by the d08 definition itself: the
@@ -2270,8 +2277,8 @@ object ExtensionQueries {
     // corpus-internal ∪ cross ∪ fresh-internal, exactly the two inputs).
     "d21_incremental_clusters" -> of(d21OracleSql) { (s, d) =>
       val docs = t(s, d, "documents")
-      val corpus = docs.filter(col("doc_id") < 400)
-      val fresh = docs.filter(col("doc_id") >= 400)
+      val corpus = docs.filter(pmod(col("doc_id"), lit(10)) < 8)
+      val fresh = docs.filter(pmod(col("doc_id"), lit(10)) >= 8)
       val standing = Dedup.dupClusters(
         Dedup.ngramJaccardPairs(corpus, "doc_id", "text"))
       val freshPairs = Dedup.incrementalJaccardPairs(
@@ -5334,8 +5341,8 @@ object ExtensionQueries {
     "e36_stream_clusters" -> of(d21OracleSql) { (s, d) =>
       import graft.streaming.EventsStream
       val docs = t(s, d, "documents")
-      val corpus = docs.filter(col("doc_id") < 400)
-      val fresh = docs.filter(col("doc_id") >= 400)
+      val corpus = docs.filter(pmod(col("doc_id"), lit(10)) < 8)
+      val fresh = docs.filter(pmod(col("doc_id"), lit(10)) >= 8)
       val standing = Dedup.dupClusters(
         Dedup.ngramJaccardPairs(corpus, "doc_id", "text"))
       val freshPairs = Dedup.incrementalJaccardPairs(
@@ -5835,7 +5842,7 @@ object ExtensionQueries {
         |inter AS (
         |  SELECT f.doc_id AS fresh_id, c.doc_id AS corpus_id, COUNT(*) AS inter
         |  FROM sh f JOIN sh c ON f.shingle = c.shingle
-        |  WHERE f.doc_id >= 400 AND c.doc_id < 400
+        |  WHERE f.doc_id % 10 >= 8 AND c.doc_id % 10 < 8
         |  GROUP BY f.doc_id, c.doc_id)
         |SELECT fresh_id, corpus_id,
         |  inter / (sf.set_size + sc.set_size - inter) AS jaccard
@@ -5845,10 +5852,12 @@ object ExtensionQueries {
         |WHERE inter / (sf.set_size + sc.set_size - inter) >= 0.5
         |ORDER BY fresh_id, corpus_id""") { (s, d) =>
       import graft.streaming.{EventsStream, ScreenStream}
-      val corpus = t(s, d, "documents").filter(col("doc_id") < 400)
+      val corpus = t(s, d, "documents")
+        .filter(pmod(col("doc_id"), lit(10)) < 8)
       val shC = Dedup.shingleSet(corpus, "doc_id", "text", 4, persist = false)
       val sizes = shC.groupBy(col("doc_id")).agg(count(lit(1)).as("set_size"))
-      val fresh = ScreenStream.readDocs(s, d).filter(col("doc_id") >= 400)
+      val fresh = ScreenStream.readDocs(s, d)
+        .filter(pmod(col("doc_id"), lit(10)) >= 8)
       val screened = ScreenStream.screen(fresh, shC, sizes, "doc_id", "text")
       val sinkName = s"stream_screen_${sinkCounter.incrementAndGet()}"
       EventsStream.runAvailableNow(screened, sinkName, outputMode = "append")
