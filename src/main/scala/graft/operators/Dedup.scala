@@ -1400,17 +1400,49 @@ object Dedup {
     * `maxDist`/`q` are part of the layout contract (the prefix length is
     * `q·maxDist + 1` — baked into the prefix table at build time).
     */
+  /** `sliceFrom`/`sliceChars` are the FROZEN pairing-window knobs
+    * (VERDICT r15 #1): when `sliceChars > 0` the index was built over
+    * `substring(s, sliceFrom, sliceChars)` with `sliceFrom` = the
+    * corpus-wide LCP + 1 computed AT BUILD TIME — the [[adaptiveEditSlice]]
+    * window made a standing-index property. Probes and appends slice at
+    * the stored offset (never recomputing it), so the window is frozen
+    * exactly like the rarity order: a shared-head corpus (log lines,
+    * URL-titled docs) keeps its prefix selectivity across every future
+    * screen and append instead of collapsing toward all-pairs and
+    * aborting on the candidate guard. `sliceChars = 0` means the caller
+    * pre-sliced (or wants whole strings) — the pre-r16 contract,
+    * unchanged.
+    */
   final case class EditIndex(dfq: String, prefix: String, shortPool: String,
                              strings: String, maxDist: Int, q: Int,
-                             buckets: Int)
+                             buckets: Int, sliceFrom: Int = 1,
+                             sliceChars: Int = 0)
 
   private def editGramsOf(c: String, q: Int) = expr(
     s"CASE WHEN length($c) >= $q THEN transform(sequence(1, length($c) - ${q - 1}), " +
       s"i -> substring($c, i, $q)) ELSE array($c) END")
 
+  /** The index's frozen pairing window applied to a string column:
+    * identity when `sliceChars = 0` (caller-sliced contract).
+    */
+  private def slicedStr(c: org.apache.spark.sql.Column,
+                        idx: EditIndex): org.apache.spark.sql.Column =
+    if (idx.sliceChars > 0) substring(c, idx.sliceFrom, idx.sliceChars) else c
+
+  /** `sliceChars > 0` builds the ADAPTIVE-WINDOW variant: the corpus-wide
+    * LCP is computed here (two string aggregates — [[commonPrefixLength]])
+    * and the index is built over `substring(s, lcp + 1, sliceChars)`;
+    * the offset joins maxDist/q/buckets in the knob-baked table names
+    * (`..._w{sliceChars}o{sliceFrom}`), so a corpus whose head has
+    * drifted builds a NEW family instead of silently probing a stale
+    * window. Re-entry with the same corpus recomputes the same LCP and
+    * finds the same tables. `sliceChars = 0` (default) keeps the pre-r16
+    * whole-string contract and table names verbatim.
+    */
   def writeEditIndex(corpus: DataFrame, idCol: String, strCol: String,
                      namePrefix: String, maxDist: Int = 4, q: Int = 4,
-                     buckets: Int = 16): EditIndex = {
+                     buckets: Int = 16, sliceChars: Int = 0,
+                     sliceMaxScan: Int = 4096): EditIndex = {
     val spark = corpus.sparkSession
     // the knobs ARE the layout (prefix length = q·maxDist + 1 is baked
     // into the prefix table at build time), so they are baked into the
@@ -1419,13 +1451,18 @@ object Dedup {
     // table family instead of silently returning an index whose stored
     // prefixes were cut for different knobs (which would break the
     // pigeonhole guarantee and drop pairs — ADVICE r14)
-    val nm = s"${namePrefix}_edit_d${maxDist}q${q}_k$buckets"
+    val sliceFrom =
+      if (sliceChars > 0)
+        commonPrefixLength(corpus.select(col(strCol)), strCol, sliceMaxScan) + 1
+      else 1
+    val win = if (sliceChars > 0) s"_w${sliceChars}o$sliceFrom" else ""
+    val nm = s"${namePrefix}_edit_d${maxDist}q${q}_k$buckets$win"
     val idx = EditIndex(s"${nm}_dfq", s"${nm}_pref",
-      s"${nm}_short", s"${nm}_str", maxDist, q, buckets)
+      s"${nm}_short", s"${nm}_str", maxDist, q, buckets, sliceFrom, sliceChars)
     if (!spark.catalog.tableExists(idx.dfq)) {
       val prefixLen = q * maxDist + 1
       val cs = corpus.select(col(idCol).cast("long").as("corpus_id"),
-        col(strCol).as("s_c")).filter(col("s_c").isNotNull)
+        slicedStr(col(strCol), idx).as("s_c")).filter(col("s_c").isNotNull)
       val cg = Caching.persisted(cs.select(col("corpus_id"),
         explode(array_distinct(editGramsOf("s_c", q))).as("g")))
       val dfq = Caching.persisted(
@@ -1466,13 +1503,21 @@ object Dedup {
     * so candidate volume creeps up with corpus drift — a rebuild-cadence
     * question (monitor via the in-plan candidate guard), not a
     * correctness one. Batch ids must be disjoint from the indexed corpus.
+    *
+    * The adaptive pairing window freezes the same way (VERDICT r15 #1):
+    * the batch slices at the INDEX's stored `sliceFrom` — never its own
+    * LCP — so appended strings live in the same window every standing
+    * probe reads. A batch whose head diverges from the build-time head
+    * is still screened exactly (the window is part of the operator
+    * definition); what drifts is window QUALITY, the same
+    * rebuild-cadence monitoring as the rarity order.
     */
   def appendEditIndex(batch: DataFrame, index: EditIndex, idCol: String,
                       strCol: String): EditIndex = {
     val spark = batch.sparkSession
     val prefixLen = index.q * index.maxDist + 1
     val cs = batch.select(col(idCol).cast("long").as("corpus_id"),
-      col(strCol).as("s_c")).filter(col("s_c").isNotNull)
+      slicedStr(col(strCol), index).as("s_c")).filter(col("s_c").isNotNull)
     val cg = Caching.persisted(cs.select(col("corpus_id"),
       explode(array_distinct(editGramsOf("s_c", index.q))).as("g")))
     val w = org.apache.spark.sql.expressions.Window
@@ -1504,7 +1549,10 @@ object Dedup {
     * keeps the OUTPUT identical even where candidates differ), but the
     * per-ingest cost excludes every corpus-side derivation: only the
     * fresh batch grams/ranks/explodes, and the df/prefix/short/strings
-    * probes read the bucketed tables.
+    * probes read the bucketed tables. An adaptive-window index
+    * (`sliceChars > 0`) slices the fresh batch at its FROZEN
+    * `sliceFrom` — the probe always reads the window the index was
+    * built over.
     */
   def incrementalEditDistancePairsIndexed(fresh: DataFrame, index: EditIndex,
                                           idCol: String, strCol: String,
@@ -1512,8 +1560,8 @@ object Dedup {
     val spark = fresh.sparkSession
     val (maxDist, q) = (index.maxDist, index.q)
     val prefixLen = q * maxDist + 1
-    val fs = fresh.select(col(idCol).cast("long").as("id"), col(strCol).as("s"))
-      .filter(col("s").isNotNull)
+    val fs = fresh.select(col(idCol).cast("long").as("id"),
+      slicedStr(col(strCol), index).as("s")).filter(col("s").isNotNull)
     val fg = Caching.persisted(fs.select(col("id"),
       explode(array_distinct(editGramsOf("s", q))).as("g")))
     val w = org.apache.spark.sql.expressions.Window

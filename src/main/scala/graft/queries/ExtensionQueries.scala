@@ -1229,6 +1229,79 @@ object ExtensionQueries {
         |  AND levenshtein(tf.s, tc.s) <= 4
         |ORDER BY fresh_id, corpus_id"""
 
+  /** The ADAPTIVE-WINDOW standing edit screen contract shared by d25
+    * (batch probe on the standing index) and e47 (its streaming twin):
+    * the d20 screen logic over a shared-head corpus (synthetic URL head,
+    * the d24 degraded shape) where the pairing window starts after the
+    * CORPUS-side longest common prefix — the LCP is a build-time property
+    * of the corpus half only (the index freezes it; fresh strings slice
+    * at the stored offset), and the scan is capped at 4096 chars exactly
+    * like [[graft.operators.Dedup.commonPrefixLength]]'s `maxScan`
+    * (ADVICE r15: the cap is part of the operator definition the oracle
+    * must replay). Same en/ASCII oracle scope as d19.
+    */
+  private val adaptiveEditIncrementalSql =
+    """WITH raw AS (
+        |  SELECT doc_id AS id,
+        |    concat('https://corpus.example.org/docs/', text) AS s0
+        |  FROM documents WHERE lang = 'en'),
+        |mm AS (SELECT min(s0) AS a, max(s0) AS b FROM raw WHERE id % 10 <> 0),
+        |lcp AS (
+        |  SELECT COALESCE(MAX(i), 0) AS n
+        |  FROM mm, UNNEST(range(1, least(length(a), length(b), 4096) + 1)) AS r(i)
+        |  WHERE substring(a, 1, CAST(i AS INT)) = substring(b, 1, CAST(i AS INT))),
+        |t AS (
+        |  SELECT id, substring(s0, CAST((SELECT n FROM lcp) AS INT) + 1, 64) AS s
+        |  FROM raw),
+        |corp AS (SELECT * FROM t WHERE id % 10 <> 0),
+        |fr AS (SELECT * FROM t WHERE id % 10 = 0),
+        |cg AS (
+        |  SELECT id, UNNEST(list_distinct(CASE WHEN length(s) >= 4
+        |    THEN list_transform(range(1, length(s) - 2), i -> substring(s, CAST(i AS INT), 4))
+        |    ELSE [s] END)) AS g
+        |  FROM corp),
+        |fg AS (
+        |  SELECT id, UNNEST(list_distinct(CASE WHEN length(s) >= 4
+        |    THEN list_transform(range(1, length(s) - 2), i -> substring(s, CAST(i AS INT), 4))
+        |    ELSE [s] END)) AS g
+        |  FROM fr),
+        |dfq AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS df FROM cg GROUP BY g),
+        |cpref AS (
+        |  SELECT id AS corpus_id, g FROM (
+        |    SELECT c.id, c.g,
+        |      ROW_NUMBER() OVER (PARTITION BY c.id ORDER BY d.df, c.g) AS rk
+        |    FROM cg c JOIN dfq d ON d.g = c.g) z
+        |  WHERE rk <= 17),
+        |fpref AS (
+        |  SELECT id AS fresh_id, g FROM (
+        |    SELECT f.id, f.g,
+        |      ROW_NUMBER() OVER (PARTITION BY f.id
+        |        ORDER BY COALESCE(d.df, 0), f.g) AS rk
+        |    FROM fg f LEFT JOIN dfq d ON d.g = f.g) z
+        |  WHERE rk <= 17),
+        |csh AS (
+        |  SELECT c.id, length(c.s) AS len FROM corp c
+        |  JOIN (SELECT id, COUNT(*) AS ng FROM cg GROUP BY id) n
+        |    ON n.id = c.id AND n.ng < 17),
+        |fsh AS (
+        |  SELECT f.id, length(f.s) AS len FROM fr f
+        |  JOIN (SELECT id, COUNT(*) AS ng FROM fg GROUP BY id) n
+        |    ON n.id = f.id AND n.ng < 17),
+        |cands AS (
+        |  SELECT DISTINCT fresh_id, corpus_id FROM (
+        |    SELECT f.fresh_id, c.corpus_id
+        |    FROM fpref f JOIN cpref c ON f.g = c.g
+        |    UNION ALL
+        |    SELECT f.id, c.id FROM fsh f JOIN csh c
+        |      ON abs(f.len - c.len) <= 4) u)
+        |SELECT ca.fresh_id, ca.corpus_id,
+        |  CAST(levenshtein(tf.s, tc.s) AS BIGINT) AS dist
+        |FROM cands ca JOIN fr tf ON tf.id = ca.fresh_id
+        |JOIN corp tc ON tc.id = ca.corpus_id
+        |WHERE abs(length(tf.s) - length(tc.s)) <= 4
+        |  AND levenshtein(tf.s, tc.s) <= 4
+        |ORDER BY fresh_id, corpus_id"""
+
   private val mihScreenSql =
     s"""WITH $mihCodesCtes,
       |cand AS (
@@ -1579,6 +1652,19 @@ object ExtensionQueries {
                               corpus: org.apache.spark.sql.DataFrame) =
     Dedup.writeEditIndex(corpus, "doc_id", "title",
       "edit_idx_" + graft.sources.BucketedLake.layoutSuffix(dir + "#edit4", 16))
+
+  /** The ADAPTIVE-WINDOW standing edit index for d25/e47: built over the
+    * raw head-prefixed strings with `sliceChars = 64`, so
+    * [[Dedup.writeEditIndex]] computes the corpus LCP once at build time
+    * and freezes the offset into the knob family (table names carry
+    * `_w64o{off}`).
+    */
+  private def ensureAdaptiveEditIndex(s: org.apache.spark.sql.SparkSession,
+                                      dir: String,
+                                      corpus: org.apache.spark.sql.DataFrame) =
+    Dedup.writeEditIndex(corpus, "doc_id", "s0",
+      "edit_idxw_" + graft.sources.BucketedLake.layoutSuffix(dir + "#edit4w", 16),
+      sliceChars = 64)
 
   /** Build-then-append the d23 edit index: built from half the standing
     * corpus (`doc_id % 10 ∈ 1..5`), the other half (`% 10 ∈ 6..9`) folded
@@ -2223,7 +2309,7 @@ object ExtensionQueries {
         |mm AS (SELECT min(s0) AS a, max(s0) AS b FROM raw),
         |lcp AS (
         |  SELECT COALESCE(MAX(i), 0) AS n
-        |  FROM mm, UNNEST(range(1, least(length(a), length(b)) + 1)) AS r(i)
+        |  FROM mm, UNNEST(range(1, least(length(a), length(b), 4096) + 1)) AS r(i)
         |  WHERE substring(a, 1, CAST(i AS INT)) = substring(b, 1, CAST(i AS INT))),
         |t AS (
         |  SELECT id, substring(s0, CAST((SELECT n FROM lcp) AS INT) + 1, 64) AS s
@@ -2263,6 +2349,31 @@ object ExtensionQueries {
         Dedup.adaptiveEditSlice(en, "s0").as("title"))
       Dedup.editDistancePairs(sliced, "doc_id", "title", maxDist = 4, q = 4)
         .orderBy("id_a", "id_b")
+    },
+
+    // Adaptive-window STANDING edit screen (d25): d24's corpus-aware
+    // window threaded through the d22 lake pattern (VERDICT r15 #1 — the
+    // d24 fix was batch-only). The index is built over the raw
+    // shared-head strings with sliceChars = 64: writeEditIndex computes
+    // the CORPUS-side LCP once at build time, bakes the offset into the
+    // knob family (table names carry _w64o{off}), and builds every
+    // structure over the shifted window; the probe slices the fresh
+    // batch at the FROZEN offset. A standing screen pointed at log lines
+    // or URL-titled docs therefore keeps its prefix selectivity instead
+    // of collapsing toward all-pairs and aborting on the candidate
+    // guard. The oracle replays the corpus LCP (capped at 4096 like
+    // commonPrefixLength's maxScan — ADVICE r15), the frozen slice on
+    // BOTH sides, and the full d20 screen logic in SQL.
+    "d25_edit_adaptive_indexed" -> of(adaptiveEditIncrementalSql) { (s, d) =>
+      val en = t(s, d, "documents").filter(col("lang") === "en")
+        .select(col("doc_id"),
+          concat(lit("https://corpus.example.org/docs/"), col("text")).as("s0"))
+      val idx = ensureAdaptiveEditIndex(s, d,
+        en.filter(pmod(col("doc_id"), lit(10)) =!= 0))
+      Dedup.incrementalEditDistancePairsIndexed(
+        en.filter(pmod(col("doc_id"), lit(10)) === 0), idx,
+        "doc_id", "s0")
+        .orderBy("fresh_id", "corpus_id")
     },
 
     // Incremental dup-cluster maintenance (d21): fold the d11 screen's
@@ -5910,6 +6021,31 @@ object ExtensionQueries {
       val screened = ScreenStream.screenEditDistanceIndexed(fresh, idx,
         "doc_id", "title")
       val sinkName = s"stream_edit_idx_${sinkCounter.incrementAndGet()}"
+      EventsStream.runAvailableNow(screened, sinkName, outputMode = "append")
+      s.table(sinkName).orderBy("fresh_id", "corpus_id")
+    },
+
+    // STREAMING adaptive-window edit screen (e47): d25's live twin — the
+    // last leg of VERDICT r15 #1. Arriving shared-head strings slice at
+    // the standing index's FROZEN offset (a stateless projection inside
+    // screenEditDistanceIndexed — the live screen never recomputes the
+    // LCP), then flow through the e46 stream-static probe + fold shape
+    // unchanged. One oracle grades the batch probe (d25) and the live
+    // screen verbatim.
+    "e47_stream_edit_adaptive" -> of(adaptiveEditIncrementalSql) { (s, d) =>
+      import graft.streaming.{EventsStream, ScreenStream}
+      val head = lit("https://corpus.example.org/docs/")
+      val corpus = t(s, d, "documents").filter(col("lang") === "en")
+        .filter(pmod(col("doc_id"), lit(10)) =!= 0)
+        .select(col("doc_id"), concat(head, col("text")).as("s0"))
+      val idx = ensureAdaptiveEditIndex(s, d, corpus)
+      val fresh = ScreenStream.readDocs(s, d)
+        .filter(col("lang") === "en")
+        .filter(pmod(col("doc_id"), lit(10)) === 0)
+        .select(col("doc_id"), concat(head, col("text")).as("s0"))
+      val screened = ScreenStream.screenEditDistanceIndexed(fresh, idx,
+        "doc_id", "s0")
+      val sinkName = s"stream_edit_adapt_${sinkCounter.incrementAndGet()}"
       EventsStream.runAvailableNow(screened, sinkName, outputMode = "append")
       s.table(sinkName).orderBy("fresh_id", "corpus_id")
     },

@@ -1340,6 +1340,102 @@ class StreamingSpec extends SparkSpec {
       .contains((2L, 2L)), "dist-2 pair must surface under maxDist=4 layout")
   }
 
+  test("adaptive-window EditIndex: offset frozen at build, across append, and in the live screen") {
+    // VERDICT r15 #1: the d24 adaptive slice threaded through the
+    // standing-index family. Pins (a) the build-time LCP lands in the
+    // knob-baked layout identity; (b) an APPEND slices at the index's
+    // frozen offset — never its own LCP — and the screen stays
+    // pair-exact vs the direct incremental screen over the frozen
+    // window; (c) on the shared-head corpus the FIXED-window standing
+    // index trips the candidate guard where the adaptive index stays
+    // selective (the d24 A/B, standing-path flavored); (d) the live
+    // screen slices arrivals at the frozen offset.
+    import graft.operators.Dedup
+    import graft.streaming.{EventsStream, ScreenStream}
+    import spark.implicits._
+    val head = "https://corpus.example.org/shard-0000/2026/01/01/documents/part-"
+    assert(head.length === 64)
+    val rnd = new scala.util.Random(11)
+    def tail(): String = Seq.fill(48)(
+      "abcdefghijklmnopqrstuvwxyz0123456789"(rnd.nextInt(36))).mkString
+    val tails = Seq.fill(40)(tail())
+    // build half: shared-head strings (corpus LCP = the 64-char head)
+    val half1 = tails.take(20).zipWithIndex
+      .map { case (t, i) => (i.toLong, head + t + t) }.toDF("doc_id", "s0")
+    // append half: NO shared head (its own LCP is ~0) — long enough that
+    // the frozen window still sees real content
+    val half2 = tails.drop(20).zipWithIndex
+      .map { case (t, i) => ((i + 100).toLong, "plain-" + t + t) }.toDF("doc_id", "s0")
+    val idx = Dedup.writeEditIndex(half1, "doc_id", "s0",
+      "spec_edit_adapt", sliceChars = 64)
+    assert(idx.sliceFrom === 65,
+      s"build-time LCP must be the shared head; got ${idx.sliceFrom}")
+    assert(idx.sliceChars === 64)
+    assert(idx.dfq.contains("w64o65"),
+      "window knobs must join the layout identity")
+    val idx2 = Dedup.appendEditIndex(half2, idx, "doc_id", "s0")
+    assert(idx2.sliceFrom === 65 && idx2.sliceChars === 64,
+      "append must carry the frozen offset, never recompute it")
+    // fresh: one-substitution copies (typo at position 70 — inside the
+    // frozen window) of strings from BOTH halves, shifted ids
+    def typo(s: String) = s.updated(70, '#')
+    val fresh = (
+      tails.take(5).zipWithIndex.map { case (t, i) =>
+        ((i + 1000).toLong, typo(head + t + t)) } ++
+      tails.drop(20).take(5).zipWithIndex.map { case (t, i) =>
+        ((i + 2000).toLong, typo("plain-" + t + t)) })
+      .toDF("doc_id", "s0")
+    val screened = Dedup.incrementalEditDistancePairsIndexed(
+      fresh, idx2, "doc_id", "s0")
+    // reference: the direct incremental screen with BOTH sides pre-sliced
+    // at the FROZEN window — including the appended half, whose own LCP
+    // differs (the window is part of the operator definition)
+    def frozenSlice(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"), substring(col("s0"), 65, 64).as("s"))
+    val ref = Dedup.incrementalEditDistancePairs(
+      frozenSlice(fresh), frozenSlice(half1.union(half2)), "doc_id", "s")
+    assert(screened.count() > 0, "typo'd copies of both halves must pair")
+    assert(screened.except(ref).count() === 0)
+    assert(ref.except(screened).count() === 0)
+    // both halves' planted pairs surface — the appended half screens at
+    // the frozen window even though it never shared the head
+    val byId = screened.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((0 until 5).forall(i => byId.contains(((i + 1000).toLong, i.toLong))))
+    assert((0 until 5).forall(i => byId.contains(((i + 2000).toLong, (i + 100).toLong))))
+    // the A/B: a FIXED-window standing index on the shared-head corpus
+    // fills every prefix with head grams — all 5×20 fresh×corpus pairs
+    // survive the prefix join and a cap below that must abort — while the
+    // adaptive index under the SAME cap screens fine
+    val fixedIdx = Dedup.writeEditIndex(
+      half1.select(col("doc_id"), substring(col("s0"), 1, 64).as("s0")),
+      "doc_id", "s0", "spec_edit_fixedwin")
+    val freshHalf1 = fresh.filter(col("doc_id") < 2000)
+    val e = intercept[Exception] {
+      Dedup.incrementalEditDistancePairsIndexed(
+        freshHalf1.select(col("doc_id"), substring(col("s0"), 1, 64).as("s0")),
+        fixedIdx, "doc_id", "s0", maxCandidates = 90L).count()
+    }
+    def rootMsg(t: Throwable): String =
+      (Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(_.getMessage)
+        ++ Iterator.single("")).mkString(" | ")
+    assert(rootMsg(e).contains("exceeds maxCandidates"),
+      s"fixed-window standing screen must trip the guard: ${rootMsg(e).take(300)}")
+    val adaptPairs = Dedup.incrementalEditDistancePairsIndexed(
+      freshHalf1, idx, "doc_id", "s0", maxCandidates = 90L)
+    assert(adaptPairs.count() === 5,
+      "adaptive standing screen under the same cap keeps only true collisions")
+    // live twin: arrivals slice at the frozen offset inside the plan
+    val tmp = java.nio.file.Files.createTempDirectory("edit_adapt_stream").toString
+    fresh.write.mode("overwrite").parquet(tmp)
+    val fstream = spark.readStream.schema(fresh.schema).parquet(tmp)
+    EventsStream.runAvailableNow(
+      ScreenStream.screenEditDistanceIndexed(fstream, idx2, "doc_id", "s0"),
+      "stream_edit_adapt_parity", outputMode = "append")
+    val streamed = spark.table("stream_edit_adapt_parity")
+    assert(streamed.except(ref).count() === 0)
+    assert(ref.except(streamed).count() === 0)
+  }
+
   test("bandedLevenshtein matches Spark's thresholded levenshtein") {
     import graft.streaming.ScreenStream
     val rnd = new scala.util.Random(42)
