@@ -133,6 +133,83 @@ object ScaleSmoke {
     fresh.unpersist(blocking = false)
   }
 
+  /** ==editab mode (VERDICT r15 #1)== Fixed-vs-adaptive pairing-window
+    * A/B for the STANDING edit index on a SHARED-HEAD corpus (every en
+    * doc prefixed with the d24 synthetic URL head): build the index
+    * twice — once over the fixed 1..64 window, once adaptive
+    * (`sliceChars = 64`, corpus LCP frozen at build) — then measure, per
+    * arm, (a) the exact prefix-join candidate volume via per-gram COUNT
+    * joins (never enumerating a candidate row — at ×10 the fixed arm's
+    * candidates ARE the wall), and (b) the real indexed screen
+    * end-to-end under the default 25M guard, recording a guard abort as
+    * the REFUSAL it is. The expected artifact: fixed volume ∝
+    * |fresh|·|corpus| (quadratic in scale, guard-refused at ×10),
+    * adaptive volume ∝ true collisions (linear). One JSON line per arm.
+    */
+  private def editAdaptiveAb(spark: SparkSession, dir: String,
+                             work: WorkMetricsListener): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Dedup
+    val head = "https://corpus.example.org/shard-0000/2026/01/01/documents/part-"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("lang") === "en")
+      .select(col("doc_id"), concat(lit(head), col("text")).as("s0"))
+    val corpus = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+    val fresh = docs.filter(pmod(col("doc_id"), lit(10)) === 0).persist()
+    val (nC, nF) = (corpus.count(), fresh.count())
+    val tag = dir.replaceAll(".*/", "").replaceAll("[^A-Za-z0-9_]", "_")
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
+    }
+    val ((fixedIdx, adaptIdx), buildSec) = timed {
+      (Dedup.writeEditIndex(
+        corpus.select(col("doc_id"), substring(col("s0"), 1, 64).as("s0")),
+        "doc_id", "s0", s"ab_${tag}_editfix"),
+       Dedup.writeEditIndex(corpus, "doc_id", "s0", s"ab_${tag}_editad",
+         sliceChars = 64))
+    }
+    for ((label, idx, freshArm) <- Seq(
+        ("fixed", fixedIdx,
+          fresh.select(col("doc_id"), substring(col("s0"), 1, 64).as("s0"))),
+        ("adaptive", adaptIdx, fresh))) {
+      // the probe's own fresh-side prefix derivation (slice at the frozen
+      // offset for the adaptive arm, grams, corpus-df rank, 17-cut)
+      val fs = (if (idx.sliceChars > 0)
+          freshArm.select(col("doc_id"),
+            substring(col("s0"), idx.sliceFrom, idx.sliceChars).as("s0"))
+        else freshArm)
+        .select(col("doc_id").cast("long").as("id"), col("s0").as("s"))
+        .filter(col("s").isNotNull)
+      val g = fs.select(col("id"), explode(array_distinct(expr(
+        "CASE WHEN length(s) >= 4 THEN transform(sequence(1, length(s) - 3), " +
+          "i -> substring(s, i, 4)) ELSE array(s) END"))).as("g"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("id")).orderBy(col("df"), col("g"))
+      val fpref = g.join(spark.table(idx.dfq), Seq("g"), "left")
+        .withColumn("df", coalesce(col("df"), lit(0L)))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 17).select(col("id"), col("g"))
+      val (vol, volSec) = timed {
+        val c = spark.table(idx.prefix).groupBy("g").agg(count(lit(1)).as("nc"))
+        val f2 = fpref.groupBy("g").agg(count(lit(1)).as("nf"))
+        c.join(f2, "g").agg(coalesce(sum(col("nc") * col("nf")), lit(0L)))
+          .head().getLong(0)
+      }
+      val ((pairs, refused), screenSec) = timed {
+        try (Dedup.incrementalEditDistancePairsIndexed(
+          freshArm, idx, "doc_id", "s0").count(), false)
+        catch {
+          case e: Exception
+            if Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+              .exists(t => Option(t.getMessage).exists(
+                _.contains("exceeds maxCandidates"))) => (-1L, true)
+        }
+      }
+      println(f"""{"mode":"editab","knobs":"$label","dir":"$dir","n_corpus":$nC,"n_fresh":$nF,"slice_from":${idx.sliceFrom},"build_sec":$buildSec%.2f,"prefix_volume":$vol,"vol_sec":$volSec%.2f,"screen_sec":$screenSec%.2f,"pairs":$pairs,"guard_refused":$refused}""")
+    }
+    fresh.unpersist(blocking = false)
+  }
+
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("target/scale10")
     // "exact" = all-pairs ground truth (cap raised for the measurement);
@@ -142,8 +219,9 @@ object ScaleSmoke {
     val exact = args.lift(1).contains("exact")
     val recallGate = args.lift(1).contains("recall")
     val indexAbMode = args.lift(1).contains("indexab")
+    val editAbMode = args.lift(1).contains("editab")
     val planesPerTable =
-      if (exact || indexAbMode) 0
+      if (exact || indexAbMode || editAbMode) 0
       else if (recallGate) args.lift(2).map(_.toInt).getOrElse(0)
       else args.lift(1).map(_.toInt).getOrElse(8)
     val tables =
@@ -164,6 +242,13 @@ object ScaleSmoke {
 
     if (indexAbMode) {
       indexAb(spark, dir, work)
+      SessionSweep.sweep(spark, blocking = true)
+      spark.stop()
+      return
+    }
+
+    if (editAbMode) {
+      editAdaptiveAb(spark, dir, work)
       SessionSweep.sweep(spark, blocking = true)
       spark.stop()
       return
