@@ -80,18 +80,29 @@ object CorpusOps {
     * the existing vocabulary); scaling-law work reads exactly this shape.
     * Returns (q, n_docs, n_tokens, vocab) cumulative per prefix.
     *
-    * Scale note: prefix assignment is one global NTILE over (hash, id) —
-    * a total order. At corpus scale assign buckets by hash RANGE instead
-    * (range partitioning gives the same growth-stable prefixes without a
-    * single-partition window); the per-token min-prefix aggregation and
-    * rollups are unchanged.
+    * Scale shape (VERDICT r15 #2 — the global NTILE implemented away):
+    * prefix assignment needs the global (hash, id) RANK, but never a
+    * single-partition window. The sign-bit-flipped hash's top bits cut
+    * the hash space into `rangeBuckets` fixed equal-width RANGES —
+    * deterministic, no sampling, monotone in (h, id) order, and uniform
+    * because xxhash64 is — so the global rank decomposes into
+    * (range offset) + (within-range row_number): per-range counts are
+    * one `rangeBuckets`-row aggregate, their prefix-sum offsets a
+    * window over `rangeBuckets` rows (bounded by the KNOB, not the
+    * corpus — the t33 rank-window class), and the within-range
+    * row_number is a window PARTITIONED by range. NTILE's bucket
+    * function is then replayed arithmetically from (rank, N) — the
+    * first N mod buckets buckets take ⌈N/buckets⌉ rows — so the result
+    * is bit-identical to the global NTILE at any n (spec-pinned), and
+    * at 100 TB no task ever sees more than ~N/rangeBuckets rows; grow
+    * `rangeBuckets` with the corpus to hold per-task volume constant.
     */
   def vocabularyGrowth(docs: DataFrame, idCol: String, textCol: String,
-                       buckets: Int = 4): DataFrame = {
-    val w = Window.orderBy(col("h"), col(idCol))
-    val qd = docs.select(col(idCol), col(textCol).as("text"))
-      .withColumn("h", xxhash64(col(idCol)))
-      .withColumn("q", ntile(buckets).over(w))
+                       buckets: Int = 4, rangeBuckets: Int = 1024): DataFrame = {
+    val qd = vocabularyGrowthPrefixes(
+      docs.select(col(idCol), col(textCol).as("text")), idCol,
+      buckets, rangeBuckets)
+      .select(col(idCol), col("text"), col("q"))
     val tok = qd.select(col("q"), explode(tokens(col("text"))).as("tok"))
     val perQ = tok.groupBy("q").agg(count(lit(1)).as("toks"))
     val docsQ = qd.groupBy("q").agg(count(lit(1)).as("docs"))
@@ -105,6 +116,49 @@ object CorpusOps {
         sum("docs").over(cum).as("n_docs"),
         sum("toks").over(cum).as("n_tokens"),
         sum("new_vocab").over(cum).as("vocab"))
+  }
+
+  /** [[vocabularyGrowth]]'s prefix assignment — all input columns plus
+    * `q`, the 1-based corpus-prefix bucket in global (xxhash64(id), id)
+    * order, computed WITHOUT a single-partition window (see the
+    * vocabularyGrowth scaladoc) and bit-identical to
+    * `ntile(buckets) OVER (ORDER BY h, id)` (spec-pinned at every
+    * n mod buckets residue).
+    */
+  private[graft] def vocabularyGrowthPrefixes(docs: DataFrame, idCol: String,
+                                              buckets: Int,
+                                              rangeBuckets: Int): DataFrame = {
+    require(rangeBuckets > 1 && (rangeBuckets & (rangeBuckets - 1)) == 0,
+      s"rangeBuckets must be a power of two > 1: $rangeBuckets")
+    val shift = 64 - java.lang.Long.numberOfTrailingZeros(rangeBuckets.toLong)
+    val ranged = docs
+      .withColumn("h", xxhash64(col(idCol)))
+      // flip the sign bit so unsigned top-bit order == signed h order
+      .withColumn("fb", shiftrightunsigned(
+        col("h").bitwiseXOR(lit(Long.MinValue)), shift))
+    val perFb = ranged.groupBy("fb").agg(count(lit(1)).as("n_fb"))
+    val wOff = Window.orderBy("fb")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = perFb
+      .withColumn("off", coalesce(sum("n_fb").over(wOff), lit(0L)))
+      .select(col("fb"), col("off"))
+    val totals = perFb.agg(sum("n_fb").as("n_tot"))
+    val wIn = Window.partitionBy(col("fb")).orderBy(col("h"), col(idCol))
+    ranged
+      .withColumn("rin", row_number().over(wIn))
+      .join(broadcast(offs), "fb")
+      .crossJoin(broadcast(totals))
+      .withColumn("rank", col("off") + col("rin"))
+      .withColumn("base_sz", expr(s"n_tot DIV $buckets"))
+      .withColumn("n_rem", col("n_tot") % buckets)
+      .withColumn("big_cut", col("n_rem") * (col("base_sz") + 1))
+      .withColumn("q",
+        when(col("rank") <= col("big_cut"),
+          expr("(rank - 1) DIV (base_sz + 1) + 1"))
+          .otherwise(expr("n_rem + (rank - big_cut - 1) DIV base_sz + 1"))
+          .cast("int"))
+      .drop("h", "fb", "rin", "off", "n_tot", "rank", "base_sz", "n_rem",
+        "big_cut")
   }
 
   /** Token-distribution DRIFT between a fresh batch and the standing

@@ -1770,6 +1770,33 @@ class PipelineOpsSpec extends SparkSpec {
     assert(pairs.forall { case (a, b, d) => d === 1L && b === a + 1000L })
   }
 
+  test("vocabularyGrowth: hash-range rank assignment bit-matches the global NTILE anchor") {
+    // VERDICT r15 #2: the prefix assignment is now range-offset +
+    // partitioned row_number + an arithmetic NTILE replay. The global
+    // NTILE stays the small-n ORACLE ANCHOR: at every (n mod buckets)
+    // residue and at range counts both far below and above the doc
+    // count, the per-doc bucket must be bit-identical to ntile's.
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    def text(): String = Seq.fill(6)(
+      Seq.fill(4)("abcdefgh"(rnd.nextInt(8))).mkString).mkString(" ")
+    for (n <- Seq(101, 102, 103, 104)) { // 101..104 cover all n % 4 residues
+      val docs = (1 to n).map(i => (i.toLong * 17, text())).toDF("doc_id", "text")
+      val anchor = docs
+        .withColumn("h", xxhash64(col("doc_id")))
+        .withColumn("q", ntile(4).over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("h"), col("doc_id"))))
+        .select(col("doc_id"), col("q"))
+      for (rb <- Seq(4, 1024)) { // ranges both coarse and mostly-empty
+        val got = graft.operators.CorpusOps.vocabularyGrowthPrefixes(
+          docs, "doc_id", 4, rb).select(col("doc_id"), col("q"))
+        assert(got.except(anchor).count() === 0 &&
+          anchor.except(got).count() === 0,
+          s"range assignment diverged from NTILE at n=$n rangeBuckets=$rb")
+      }
+    }
+  }
+
   test("gearChunks: boundaries match a plain-Scala rolling-hash replica; chunks reassemble the payload") {
     import spark.implicits._
     val texts = Seq(

@@ -716,6 +716,40 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), "adaptive-slice pairing planned a cartesian")
   }
 
+  test("t32: no global NTILE; the doc-scale rank window is partitioned by hash range") {
+    // VERDICT r15 #2: prefix assignment used to funnel every doc row
+    // through one NTILE task. The scale path decomposes the global rank
+    // into range offsets (a rangeBuckets-row rollup — knob-bounded) +
+    // a row_number window PARTITIONED by the hash range.
+    val plan = physicalPlan("t32_vocab_growth")
+    assert(!plan.contains("ntile("),
+      "the global NTILE is back in the t32 plan")
+    val partitionedRank =
+      "windowspecdefinition\\(fb#\\d+L?, h#\\d+L? ASC".r
+    assert(partitionedRank.findFirstIn(plan).isDefined,
+      "the doc-scale row_number window must be partitioned by fb:\n" +
+        plan.linesIterator.filter(_.contains("windowspecdefinition"))
+          .mkString("\n").take(1200))
+  }
+
+  test("d25: adaptive edit-index probe reads bucketed; index side never exchanges") {
+    // the d22 contract carried to the adaptive-window family: the frozen
+    // offset changes WHAT is indexed, never the probe's exchange shape
+    val plan = physicalPlan("d25_edit_adaptive_indexed")
+    assert(plan.contains("Bucketed: true"), plan.take(1200))
+    assert(!plan.contains("CartesianProduct"))
+    val lines = plan.linesIterator.toVector
+    val scanIdx = lines.indexWhere(l => l.contains("edit_idxw_") && l.contains("_pref"))
+    assert(scanIdx > 0, "expected a scan of the adaptive edit prefix table:\n" +
+      lines.filter(_.contains("edit_idxw_")).mkString("\n").take(1200))
+    val joinIdx = lines.lastIndexWhere(_.contains("Join"), scanIdx)
+    assert(joinIdx >= 0)
+    val branch = lines.slice(joinIdx + 1, scanIdx + 1)
+      .filterNot(_.contains("BroadcastExchange"))
+    assert(!branch.exists(_.contains("Exchange")),
+      s"index side must not exchange:\n${branch.mkString("\n")}")
+  }
+
   test("d22: edit-index prefix probe reads bucketed; index side never exchanges") {
     val plan = physicalPlan("d22_incremental_edit_indexed")
     // the index tables must actually be read through their bucket layout
