@@ -110,7 +110,7 @@ object ScaleSmoke {
     }
 
     // — MIH code index (the s24 family) —
-    val adaptiveBits = math.min(24, math.max(8, ceilLog2(n) - 7))
+    val adaptiveBits = Similarity.adaptiveMihBandBits(n)
     for ((label, bits) <- Seq(("pinned", 8), ("adaptive", adaptiveBits))) {
       val (idx, buildSec, _) = timed {
         Similarity.writeMihIndex(

@@ -1001,6 +1001,20 @@ object Similarity {
     * (longer substrings, fewer of them, or accept a smaller guaranteed
     * radius; the adaptiveLshKnobs occupancy policy applies verbatim).
     */
+  /** The occupancy-holding `bandBits` policy at corpus size `n` — the
+    * adaptive knob the r15 pinned-vs-adaptive A/B measured (bits =
+    * ⌈log₂ n⌉ − 7 clamped to [8, 24]: expected band-bucket occupancy
+    * n / 2^bandBits ≈ 128, the [[graft.operators.Dedup.adaptiveLshKnobs]]
+    * policy applied to the MIH substring length). The oracle anchor
+    * (bits = 8) is the fixed point below n = 2¹⁵; the s28 gate grades
+    * the policy's operating point with an oracle-replayed recall row.
+    */
+  def adaptiveMihBandBits(n: Long): Int = {
+    val ceilLog2 =
+      if (n <= 1L) 0 else 64 - java.lang.Long.numberOfLeadingZeros(n - 1)
+    math.min(24, math.max(8, ceilLog2 - 7))
+  }
+
   /** The MIH band-code array: one `bandBits`-bit SRP code per band, packed
     * by the [[hyperplaneSignatureFrom]] fold (bit-identical everywhere).
     */

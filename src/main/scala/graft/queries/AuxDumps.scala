@@ -229,6 +229,38 @@ object AuxDumps {
         .toDF("p", "signs")
     }),
 
+    // s27: the hyperplane signs AT THE ADAPTIVE LSH KNOBS for this sf's
+    // planted-near-dup universe (base embeddings + one perturbed copy per
+    // vec_id < 50) — b·l planes through the operator's own derivation,
+    // with b riding as a column so the oracle can replay table slicing
+    // (p // b) and bit position (b−1 − p % b) at whatever knob step the
+    // corpus size resolves to. The knobs change with sf, the dump follows.
+    "adaptive_planes" -> ((s, d) => {
+      import graft.operators.{Dedup, Similarity}
+      val e = t(s, d, "embeddings")
+      val dim = Similarity.vectorDim(e, "embedding")
+      val n = e.count() + e.filter(col("vec_id") < 50).count()
+      val (b, l) = Dedup.adaptiveLshKnobs(n)
+      import s.implicits._
+      Similarity.hyperplaneSigns(s, b * l, 0, dim).zipWithIndex
+        .map { case (sv, p) => (p, sv.toSeq, b) }.toSeq
+        .toDF("p", "signs", "b")
+    }),
+
+    // s28: the MIH sign family (offset 100) at the ADAPTIVE bandBits for
+    // this sf's corpus size — 4·bits planes, bits riding as a column
+    // (the adaptive_planes contract for the code family).
+    "adaptive_mih_planes" -> ((s, d) => {
+      import graft.operators.Similarity
+      val e = t(s, d, "embeddings")
+      val dim = Similarity.vectorDim(e, "embedding")
+      val bits = Similarity.adaptiveMihBandBits(e.count())
+      import s.implicits._
+      Similarity.hyperplaneSigns(s, 4 * bits, 100, dim).zipWithIndex
+        .map { case (sv, p) => (p, sv.toSeq, bits) }.toSeq
+        .toDF("p", "signs", "bits")
+    }),
+
     // q43/t30: xxhash64 over the user id — the HLL/KMV key primitive for
     // the events grouping. Keyed by user_id; the oracle recomputes
     // bucketing, rho, registers, bottom-k ranking and every estimate from
