@@ -114,8 +114,12 @@ object ScaledCorpus {
     */
   private def remapId(base: org.apache.spark.sql.Column, rep: org.apache.spark.sql.Column,
                       factor: Int, classMod: Int): org.apache.spark.sql.Column = {
-    val m = pmod(base, lit(classMod))
-    ((base - m) * factor + rep * classMod + m).cast("long")
+    // widen FIRST (ADVICE r15): an id column read as 32-bit int would
+    // otherwise multiply in its native type and silently wrap (non-ANSI)
+    // before the final cast, colliding replica ids at large ids × factors
+    val b = base.cast("long")
+    val m = pmod(b, lit(classMod.toLong))
+    ((b - m) * factor + rep.cast("long") * classMod + m)
   }
 
   /** `factor` token-disjoint replicas; ids remapped class-preservingly
@@ -231,16 +235,15 @@ object ScaledCorpus {
     * mix and date density stay constant while key cardinality and volume
     * scale ×factor.
     *
-    * Window interaction, stated honestly: the CDC/PIT queries select
-    * orders by the FRACTION window `o_orderkey % 3000 < j`. Under this
-    * remap the selected fraction per replica is exactly j/3000 whenever
-    * `factor` divides both j and 3000 (each replica's residues step by
-    * `factor` through one aligned window) — true for the smoke factors
-    * 10 and 30 against j ∈ {30, 60}. Inner `% m` sub-filters (update
-    * mixes) keep their AGGREGATE fraction but concentrate per replica
-    * (key % 10 == 0 ↔ rep ≡ −10·base (mod 10) — whole replicas carry the
-    * update load); volume and state still scale linearly, which is what
-    * the smoke measures.
+    * Window interaction: the CDC/PIT queries select orders by the
+    * FRACTION window `o_orderkey % 3000 < j`, with inner `% m` update
+    * mixes for m ∈ {5, 10, 15}. The classMod-3000 remap preserves
+    * `o_orderkey % 3000` VERBATIM on every replica (and with it every
+    * `% d` for d dividing 3000) for ANY factor — so each replica's
+    * selected window fraction, and the update-mix composition inside
+    * it, is the base workload's exactly (spec-pinned; the r15 class-
+    * preservation lesson). Splits on residues of non-divisors of 3000
+    * would scramble per replica — none of the TPC-H fixtures use one.
     */
   def scaleOrders(orders: DataFrame, factor: Int): DataFrame = {
     val rep = explode(sequence(lit(0), lit(factor - 1))).as("rep")
