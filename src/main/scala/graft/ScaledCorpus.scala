@@ -144,6 +144,48 @@ object ScaledCorpus {
       .withColumn("n_chars", length(col("text")).cast("long"))
   }
 
+  /** Replica r's BYTE-length-preserving image alphabet: the printable
+    * ASCII window ROTATED by r positions within itself — every image
+    * char is single-byte UTF-8, so `octet_length`, gear/fixed chunk
+    * boundaries, shuffle MB and every other byte-denominated quantity
+    * ride exactly (the CJK window is 3 bytes/char — 2.64× heavier
+    * replicas, which made the media family's scale curves upper bounds;
+    * VERDICT r15 #4). Rotation is a bijection on the SAME alphabet, so
+    * cross-replica content collisions are no longer structurally zero:
+    * a rotated q-gram CAN coincide with an organic gram of another
+    * replica. That makes this the instrument for the MEDIA/chunk
+    * families only, whose collision unit is a ≥2^maskBits-byte
+    * content-defined chunk (a 64+-byte substring whose rotation is
+    * another corpus substring — probability ~0, and the spec pins the
+    * measured cross-replica duplicate-digest count at ZERO on the
+    * fixture). Text-gram families keep the CJK bijection, which buys
+    * structural disjointness at the price of byte inflation.
+    */
+  private def remapToBytes(rep: Int): String = {
+    require(rep >= 1 && rep <= 93, s"replica $rep outside the rotation window")
+    (0 until RemapFrom.length)
+      .map(i => RemapFrom((i + rep) % RemapFrom.length)).mkString
+  }
+
+  /** [[scaleDocuments]] with the byte-length-preserving rotation
+    * alphabet (see [[remapToBytes]]) — same class-preserving id remap,
+    * same single-`translate` pass; replica 0 verbatim.
+    */
+  def scaleDocumentsBytes(docs: DataFrame, factor: Int): DataFrame = {
+    val tos = typedLit((1 until factor).map(remapToBytes))
+    val rep = explode(sequence(lit(0), lit(factor - 1))).as("rep")
+    docs
+      .select(col("*"), rep)
+      .select(
+        remapId(col("doc_id"), col("rep"), factor, 10).as("doc_id"),
+        when(col("rep") === 0, col("text"))
+          .otherwise(call_function("translate",
+            col("text"), lit(RemapFrom), element_at(tos, col("rep"))))
+          .as("text"),
+        col("lang"), col("source"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+  }
+
   /** Deterministic splitmix64-derived signed permutation for replica `rep`
     * over dimension `d`: (perm, signs) with y_i = signs(i) · x_{perm(i)}.
     * Pure function of (rep, d) — the scaled corpus is bit-reproducible
@@ -277,6 +319,9 @@ object ScaledCorpus {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val out = args.lift(1).getOrElse("target/scale10")
     val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    // "bytes": documents through the byte-length-preserving rotation
+    // alphabet (the media-family instrument) instead of the CJK bijection
+    val bytesMode = args.lift(3).contains("bytes")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -285,7 +330,9 @@ object ScaledCorpus {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    scaleDocuments(spark.read.parquet(s"$src/documents.parquet"), factor)
+    val docScaler: (DataFrame, Int) => DataFrame =
+      if (bytesMode) scaleDocumentsBytes else scaleDocuments
+    docScaler(spark.read.parquet(s"$src/documents.parquet"), factor)
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
     scaleEmbeddings(spark.read.parquet(s"$src/embeddings.parquet"), factor)
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")

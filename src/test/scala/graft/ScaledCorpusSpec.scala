@@ -112,6 +112,53 @@ class ScaledCorpusSpec extends SparkSpec {
       "gram-df histogram is not factor independent copies of the base")
   }
 
+  // VERDICT r15 #4: the CJK bijection is char-exact but byte-inflating
+  // (3 UTF-8 bytes per image char), which made the media family's scale
+  // curves conservative upper bounds. The byte variant rotates within the
+  // single-byte printable-ASCII class: octet lengths ride exactly, and
+  // the media family's collision unit (a whole content-defined chunk)
+  // still never crosses replicas.
+  test("documents: byte-variant scaling preserves octet lengths; chunk content never crosses replicas") {
+    val factor = 12
+    val scaled = ScaledCorpus.scaleDocumentsBytes(docs, factor)
+    assert(scaled.count() === docs.count() * factor)
+    val byteDiff = scaled
+      .withColumn("base_id",
+        expr(s"((doc_id div 10) div $factor) * 10 + (doc_id % 10)"))
+      .join(docs.select(col("doc_id").as("base_id"),
+        expr("octet_length(text)").as("base_bytes")), "base_id")
+      .filter(expr("octet_length(text)") =!= col("base_bytes"))
+    assert(byteDiff.count() === 0,
+      "replica byte length drifted from base (the CJK variant inflates 3x here)")
+    // char geometry rides too (rotation is 1:1 on the same alphabet)
+    val charDiff = scaled
+      .withColumn("base_id",
+        expr(s"((doc_id div 10) div $factor) * 10 + (doc_id % 10)"))
+      .join(docs.select(col("doc_id").as("base_id"),
+        length(col("text")).as("base_len")), "base_id")
+      .filter(length(col("text")) =!= col("base_len"))
+    assert(charDiff.count() === 0)
+    // no gear chunk's CONTENT appears in two replicas — the media
+    // family's collision unit (boundaries are content-defined, so they
+    // differ per replica alphabet; byte VOLUME is what must be exact)
+    val media = graft.operators.Multimodal.asMediaTable(scaled, "doc_id", "text")
+    // the production screen's knobs (e38/m14: maskBits 6, minSize 16):
+    // at minSize ≥ 16 a rotated chunk coinciding with another replica's
+    // organic chunk needs a 16+-byte substring fixed by a nontrivial
+    // rotation composition — unboundedly unlikely, and pinned zero here
+    // (minSize 1 DOES collide on 1-byte chunks: spaces are unrotated and
+    // single rotated chars land on other replicas' alphabet — measured 7
+    // crossings on this fixture, which is why tiny-chunk knobs are not
+    // the byte-instrument's contract)
+    val crossed = graft.operators.Multimodal.gearChunks(media,
+        maskBits = 6, minSize = 16, maxSize = 128)
+      .withColumn("rep", expr(s"(doc_id div 10) % $factor"))
+      .groupBy("chunk_hex").agg(countDistinct("rep").as("reps"))
+      .filter(col("reps") > 1)
+    assert(crossed.count() === 0,
+      "chunk content crossed replicas under the rotation alphabet")
+  }
+
   test("embeddings: every replica's cosine pairs bit-identical to base; no cross-replica pair") {
     val factor = 3
     // Spread-mass unit vectors (64-dim, seeded) mirroring the real corpus's
