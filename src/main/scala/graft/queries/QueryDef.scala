@@ -35,6 +35,25 @@ object Q {
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** The fraction-window fact readers (VERDICT r15 #5): `orders` /
+    * `lineitem` rows with `key % 3000 < j`, read through the
+    * residue-sorted standing layout ([[graft.sources.BucketedLake
+    * .ensureResidue]]) so the window filter hits a PHYSICAL `wres`
+    * column with tight per-file min/max stats and the scan PRUNES —
+    * the pruning the r15 move off absolute key ranges gave up. `wres`
+    * ≡ `key % 3000` by construction, so results (and every oracle's
+    * `% 3000 < j` SQL) are unchanged.
+    */
+  def ordersWindow(spark: SparkSession, dir: String, j: Int): DataFrame = {
+    val tables = graft.sources.BucketedLake.ensureResidue(spark, dir)
+    spark.table(tables.orders).filter(col("wres") < j).drop("wres")
+  }
+
+  def lineitemWindow(spark: SparkSession, dir: String, j: Int): DataFrame = {
+    val tables = graft.sources.BucketedLake.ensureResidue(spark, dir)
+    spark.table(tables.lineitem).filter(col("wres") < j).drop("wres")
+  }
+
   /** events.parquet reader, TYPE-ADAPTIVE on `ts` (VERDICT r8 #1): the
     * driver has shipped this column both as TIMESTAMP(NANOS) (rounds 1–7)
     * and as plain timestamp[us] (round 8+), and may flip again. Hard-coding

@@ -31,8 +31,9 @@ object RelationalQueries {
   private[queries] def cdcParts(s: org.apache.spark.sql.SparkSession, d: String):
       (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
         org.apache.spark.sql.DataFrame) = {
-    // fraction window, same rationale as pitHistory (2% at any scale)
-    val o = t(s, d, "orders").filter(pmod(col("o_orderkey"), lit(3000)) < 60)
+    // fraction window, same rationale as pitHistory (2% at any scale);
+    // read through the residue layout so the window PRUNES (r15 #5)
+    val o = Q.ordersWindow(s, d, 60)
     val base = o.select("o_orderkey", "o_orderstatus", "o_totalprice")
     val c1 = o.filter(pmod(col("o_orderkey"), lit(5)) === 0)
       .select(col("o_orderkey"), lit("U").as("op"), col("o_orderstatus"),
@@ -91,11 +92,11 @@ object RelationalQueries {
     // FRACTION-based window (VERDICT r14 #5): `o_orderkey % 3000 < 30`
     // keeps 1% of the table at ANY scale, where the old absolute
     // `< 2000` pinned a constant 2000-order fixture that made both
-    // sf-scaling and the ScaledCorpus ×N replica remap (id·f + rep — the
-    // fraction is preserved per replica exactly whenever f divides the
-    // window width and modulus) measure a flat workload.
-    val orders = t(s, d, "orders")
-      .filter(pmod(col("o_orderkey"), lit(3000)) < 30)
+    // sf-scaling and the ScaledCorpus ×N replica remap measure a flat
+    // workload. Read through the residue layout (physical `wres`
+    // column, range-sorted files) so the window also PRUNES the scan
+    // like the absolute range did (VERDICT r15 #5).
+    val orders = Q.ordersWindow(s, d, 30)
     val cur = orders.select(col("o_orderkey"), col("o_totalprice"),
       col("o_orderdate").cast("timestamp").as("valid_from"))
     val upd = orders.filter(pmod(col("o_orderkey"), lit(10)) === 0)
@@ -897,9 +898,9 @@ object RelationalQueries {
         |UNION ALL
         |SELECT o_orderkey, o_totalprice, uts AS valid_from, NULL FROM upd
         |ORDER BY o_orderkey, valid_from""") { (s, d) =>
-      // fraction window, same rationale as pitHistory (1% at any scale)
-      val orders = t(s, d, "orders")
-        .filter(pmod(col("o_orderkey"), lit(3000)) < 30)
+      // fraction window, same rationale as pitHistory (1% at any scale);
+      // residue layout → pruned scan (r15 #5)
+      val orders = Q.ordersWindow(s, d, 30)
       val cur = orders.select(col("o_orderkey"), col("o_totalprice"),
         col("o_orderdate").cast("timestamp").as("valid_from"))
       val upd = orders.filter(pmod(col("o_orderkey"), lit(10)) === 0)
@@ -917,8 +918,7 @@ object RelationalQueries {
     // plain hash join, never a range join; facts whose ts precede every
     // version drop (inner semantics, the as-of-with-history contract).
     "q50_scd2_pit" -> of(pitOracleSql) { (s, d) =>
-      val li = t(s, d, "lineitem")
-        .filter(pmod(col("l_orderkey"), lit(3000)) < 30)
+      val li = Q.lineitemWindow(s, d, 30)
         .select(col("l_orderkey").as("o_orderkey"), col("l_linenumber"),
           col("l_shipdate").cast("timestamp").as("sd"))
       pitServe(li, pitHistory(s, d))

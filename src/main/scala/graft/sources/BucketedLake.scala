@@ -73,6 +73,54 @@ object BucketedLake {
       .bucketBy(buckets, key, moreKeys: _*).sortBy(key, moreKeys: _*)
       .format("parquet").saveAsTable(name)
 
+  final case class ResidueTables(orders: String, lineitem: String)
+
+  /** Fraction-window serving layout (VERDICT r15 #5): the r15 fixture
+    * change from absolute key ranges (`o_orderkey < 2000`) to fraction
+    * windows (`o_orderkey % 3000 < j`) made the workload scale honestly
+    * but cost parquet min/max pruning — row-group stats exist for
+    * PHYSICAL columns, and a modulo has none. The production answer is
+    * a layout, not a query trick: write the fact pair once per dir with
+    * the window residue as a REAL column (`wres = key % 3000`),
+    * range-partitioned and sorted by it, so every file/row-group covers
+    * a narrow residue range and a `wres < j` filter prunes the scan the
+    * way `< 2000` did — while `wres` ≡ `key % 3000` keeps the window
+    * semantics (and every oracle) unchanged. Paid once at write time,
+    * amortized over every CDC/PIT/SCD2 serve against the dir — the d12
+    * standing-layout economics applied to the relational fixtures.
+    */
+  def ensureResidue(spark: SparkSession, dir: String,
+                    files: Int = 16): ResidueTables = {
+    import org.apache.spark.sql.functions.pmod
+    val suffix = layoutSuffix(dir + "#res3000", files)
+    val tables = ResidueTables(s"orders_res_$suffix", s"lineitem_res_$suffix")
+    // df by-name: when the table already exists (every call after the
+    // first), the source parquet is never opened — schema inference and
+    // file listing would otherwise tax every serve with ~0.1 s
+    def write(name: String, df: => DataFrame): Unit =
+      if (!spark.catalog.tableExists(name)) {
+        val warehouse = new org.apache.hadoop.fs.Path(
+          spark.conf.get("spark.sql.warehouse.dir")).toUri.getPath
+        val stale = new java.io.File(warehouse, name)
+        if (stale.exists()) {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+          }
+          rm(stale)
+        }
+        df.repartitionByRange(files, col("wres"))
+          .sortWithinPartitions("wres")
+          .write.mode(SaveMode.Overwrite).format("parquet").saveAsTable(name)
+      }
+    write(tables.orders,
+      spark.read.parquet(s"$dir/orders.parquet")
+        .withColumn("wres", pmod(col("o_orderkey"), org.apache.spark.sql.functions.lit(3000L))))
+    write(tables.lineitem,
+      spark.read.parquet(s"$dir/lineitem.parquet")
+        .withColumn("wres", pmod(col("l_orderkey"), org.apache.spark.sql.functions.lit(3000L))))
+    tables
+  }
+
   def ensure(spark: SparkSession, dir: String, buckets: Int = 8): Tables = {
     val suffix = layoutSuffix(dir, buckets)
     val tables = Tables(s"orders_bkt_$suffix", s"lineitem_bkt_$suffix")

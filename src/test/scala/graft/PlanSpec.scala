@@ -605,24 +605,31 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("q51: the fraction window evaluates at the order scans; no cartesian") {
-    // r15: the fixture window moved from an absolute `< 3000` (which a
-    // parquet scan could min/max-prune but which pinned a CONSTANT-size
-    // workload at every scale) to the fraction `% 3000 < 60`. A modulo
-    // cannot become a pushed parquet filter, so the pin is now that the
-    // predicate still evaluates AT the scan (a DataFilter on the batched
-    // read — one pass, no later re-filter of a wide frame) and columns
-    // stay pruned.
+  test("q51: the fraction window PRUNES the order scans again; no cartesian") {
+    // r15 moved the fixture window from an absolute `< 3000` (prunable
+    // but constant-size at every scale) to the fraction `% 3000 < 60`
+    // (scales honestly, but a modulo has no row-group stats — the pin
+    // degraded to "evaluates at the scan"). r16 restores pruning with
+    // the residue LAYOUT (BucketedLake.ensureResidue): the window rides
+    // a physical `wres` column over range-sorted files, so the filter
+    // is a PUSHED parquet predicate with tight min/max again — the pin
+    // upgrades back to a pruned scan (VERDICT r15 #5).
     val plan = physicalPlan("q51_cdc_apply")
-    assert(plan.contains("pmod(o_orderkey"),
-      s"the fraction window must evaluate at the scan:\n${plan.take(1200)}")
-    val scanLine = plan.linesIterator
-      .find(l => l.contains("FileScan") && l.contains("orders.parquet"))
-    assert(scanLine.exists(!_.contains("o_orderdate")) ||
-      plan.linesIterator.exists(l => l.contains("ReadSchema") &&
-        !l.contains("o_orderpriority")),
+    assert(plan.contains("LessThan(wres,60)"),
+      s"the fraction window must be a pushed parquet filter on wres:\n${plan.take(1200)}")
+    assert(plan.linesIterator.exists(l => l.contains("PushedFilters") &&
+      l.contains("LessThan(wres,60)")),
+      s"wres < 60 must appear in PushedFilters:\n${plan.take(1200)}")
+    assert(plan.linesIterator.exists(l => l.contains("ReadSchema") &&
+      !l.contains("o_orderpriority")),
       "base scan must stay column-pruned")
     assert(!plan.contains("CartesianProduct"), plan.take(800))
+  }
+
+  test("q50/e30's lineitem window is a pushed wres filter too") {
+    val plan = physicalPlan("q50_scd2_pit")
+    assert(plan.contains("LessThan(wres,30)"),
+      s"the PIT fact window must push to the residue layout:\n${plan.take(1200)}")
   }
 
   test("m10: chunk-digest index reads bucketed; corpus side never exchanges or re-digests") {
