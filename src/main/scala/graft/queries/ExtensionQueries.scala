@@ -3660,6 +3660,48 @@ object ExtensionQueries {
         .orderBy("doc_id")
     },
 
+    // Leakage-safe corpus split (t46): the t05 hash split with the
+    // near-dup structure closed over — every doc takes the split of its
+    // DUP-CLUSTER representative's hash bucket, so a chain of near
+    // duplicates can never straddle train/test (the eval-leakage mode a
+    // doc-hash split is structurally blind to, closed AT SPLIT TIME
+    // rather than patched by a decontamination screen afterwards).
+    // `moved` attributes which docs the closure actually re-assigned.
+    // The oracle replays the d08 recursive closure, the singleton
+    // fallback, and BOTH hash-bucket splits from the doc_hashes dump.
+    "t46_leakage_safe_split" -> of(
+      s"""WITH RECURSIVE ${jaccardCtes(None)},
+        |edges AS (
+        |  SELECT id_a, id_b FROM jp UNION ALL SELECT id_b, id_a FROM jp),
+        |reach(id, label) AS (
+        |  SELECT id_a, id_a FROM edges
+        |  UNION
+        |  SELECT e.id_a, r.label FROM edges e JOIN reach r ON r.id = e.id_b),
+        |cl AS (SELECT id AS doc_id, MIN(label) AS cluster FROM reach GROUP BY id),
+        |lab AS (
+        |  SELECT d.doc_id, COALESCE(cl.cluster, d.doc_id) AS cluster
+        |  FROM documents d LEFT JOIN cl USING (doc_id)),
+        |dh AS (SELECT doc_id, ((h % 100) + 100) % 100 AS bucket
+        |  FROM read_parquet('{{AUX}}/doc_hashes/*.parquet'))
+        |SELECT l.doc_id, l.cluster,
+        |  CASE WHEN ch.bucket < 90 THEN 'train'
+        |       WHEN ch.bucket < 95 THEN 'val' ELSE 'test' END AS split,
+        |  (CASE WHEN ch.bucket < 90 THEN 'train'
+        |        WHEN ch.bucket < 95 THEN 'val' ELSE 'test' END)
+        |    <> (CASE WHEN oh.bucket < 90 THEN 'train'
+        |             WHEN oh.bucket < 95 THEN 'val' ELSE 'test' END) AS moved
+        |FROM lab l JOIN dh ch ON ch.doc_id = l.cluster
+        |JOIN dh oh ON oh.doc_id = l.doc_id
+        |ORDER BY l.doc_id""") { (s, d) =>
+      val docs = t(s, d, "documents")
+      val clusters = Dedup.dupClusters(
+        Dedup.ngramJaccardPairs(docs, "doc_id", "text"))
+      graft.operators.CorpusOps.leakageSafeSplit(docs, clusters, "doc_id",
+        Seq("train" -> 90, "val" -> 95, "test" -> 100))
+        .select("doc_id", "cluster", "split", "moved")
+        .orderBy("doc_id")
+    },
+
     // Per-source quota sampling (source mixing): at most 20 docs per source,
     // chosen in hash order. Oracle reproduces the ranking from the same id
     // hashes.

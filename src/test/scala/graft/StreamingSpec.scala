@@ -1434,6 +1434,21 @@ class StreamingSpec extends SparkSpec {
     val streamed = spark.table("stream_edit_adapt_parity")
     assert(streamed.except(ref).count() === 0)
     assert(ref.except(streamed).count() === 0)
+    // DIRECT live screen with adaptiveSliceChars: the corpus LCP is a
+    // plan-build-time batch aggregate over the static side; both sides
+    // slice at the same offset, so the direct screen over half1 equals
+    // the incremental screen over half1 at half1's OWN frozen window
+    // (offset 65 — the same shared head)
+    EventsStream.runAvailableNow(
+      ScreenStream.screenEditDistance(fstream, half1, "doc_id", "s0",
+        adaptiveSliceChars = 64),
+      "stream_edit_adapt_direct", outputMode = "append")
+    val directStreamed = spark.table("stream_edit_adapt_direct")
+    val refHalf1 = Dedup.incrementalEditDistancePairs(
+      frozenSlice(fresh), frozenSlice(half1), "doc_id", "s")
+    assert(directStreamed.count() > 0)
+    assert(directStreamed.except(refHalf1).count() === 0)
+    assert(refHalf1.except(directStreamed).count() === 0)
   }
 
   test("bandedLevenshtein matches Spark's thresholded levenshtein") {
