@@ -551,6 +551,37 @@ object ExtensionQueries {
     s"""WITH ${jaccardCtes(maxDocFreq)}
       |SELECT id_a, id_b, jaccard FROM jp ORDER BY id_a, id_b"""
 
+  /** The leakage-safe split contract shared by t46 (batch) and e48 (the
+    * split served live at ingest): d08's recursive closure, the
+    * singleton fallback, and BOTH hash-bucket splits (cluster
+    * representative's and the doc's own, for the `moved` audit) replayed
+    * from the doc_hashes dump.
+    */
+  private val t46OracleSql =
+    s"""WITH RECURSIVE ${jaccardCtes(None)},
+      |edges AS (
+      |  SELECT id_a, id_b FROM jp UNION ALL SELECT id_b, id_a FROM jp),
+      |reach(id, label) AS (
+      |  SELECT id_a, id_a FROM edges
+      |  UNION
+      |  SELECT e.id_a, r.label FROM edges e JOIN reach r ON r.id = e.id_b),
+      |cl AS (SELECT id AS doc_id, MIN(label) AS cluster FROM reach GROUP BY id),
+      |lab AS (
+      |  SELECT d.doc_id, COALESCE(cl.cluster, d.doc_id) AS cluster
+      |  FROM documents d LEFT JOIN cl USING (doc_id)),
+      |dh AS (SELECT doc_id, ((h % 100) + 100) % 100 AS bucket
+      |  FROM read_parquet('{{AUX}}/doc_hashes/*.parquet'))
+      |SELECT l.doc_id, l.cluster,
+      |  CASE WHEN ch.bucket < 90 THEN 'train'
+      |       WHEN ch.bucket < 95 THEN 'val' ELSE 'test' END AS split,
+      |  (CASE WHEN ch.bucket < 90 THEN 'train'
+      |        WHEN ch.bucket < 95 THEN 'val' ELSE 'test' END)
+      |    <> (CASE WHEN oh.bucket < 90 THEN 'train'
+      |             WHEN oh.bucket < 95 THEN 'val' ELSE 'test' END) AS moved
+      |FROM lab l JOIN dh ch ON ch.doc_id = l.cluster
+      |JOIN dh oh ON oh.doc_id = l.doc_id
+      |ORDER BY l.doc_id"""
+
   /** The t21 quality-gate CTE chain (metrics from the t02/t12 fragments,
     * per-rule flags, conjunctive keep), shared by the batch gate (t21) and
     * its streaming-yield twin (e16) so the two oracles cannot drift.
@@ -3669,30 +3700,7 @@ object ExtensionQueries {
     // `moved` attributes which docs the closure actually re-assigned.
     // The oracle replays the d08 recursive closure, the singleton
     // fallback, and BOTH hash-bucket splits from the doc_hashes dump.
-    "t46_leakage_safe_split" -> of(
-      s"""WITH RECURSIVE ${jaccardCtes(None)},
-        |edges AS (
-        |  SELECT id_a, id_b FROM jp UNION ALL SELECT id_b, id_a FROM jp),
-        |reach(id, label) AS (
-        |  SELECT id_a, id_a FROM edges
-        |  UNION
-        |  SELECT e.id_a, r.label FROM edges e JOIN reach r ON r.id = e.id_b),
-        |cl AS (SELECT id AS doc_id, MIN(label) AS cluster FROM reach GROUP BY id),
-        |lab AS (
-        |  SELECT d.doc_id, COALESCE(cl.cluster, d.doc_id) AS cluster
-        |  FROM documents d LEFT JOIN cl USING (doc_id)),
-        |dh AS (SELECT doc_id, ((h % 100) + 100) % 100 AS bucket
-        |  FROM read_parquet('{{AUX}}/doc_hashes/*.parquet'))
-        |SELECT l.doc_id, l.cluster,
-        |  CASE WHEN ch.bucket < 90 THEN 'train'
-        |       WHEN ch.bucket < 95 THEN 'val' ELSE 'test' END AS split,
-        |  (CASE WHEN ch.bucket < 90 THEN 'train'
-        |        WHEN ch.bucket < 95 THEN 'val' ELSE 'test' END)
-        |    <> (CASE WHEN oh.bucket < 90 THEN 'train'
-        |             WHEN oh.bucket < 95 THEN 'val' ELSE 'test' END) AS moved
-        |FROM lab l JOIN dh ch ON ch.doc_id = l.cluster
-        |JOIN dh oh ON oh.doc_id = l.doc_id
-        |ORDER BY l.doc_id""") { (s, d) =>
+    "t46_leakage_safe_split" -> of(t46OracleSql) { (s, d) =>
       val docs = t(s, d, "documents")
       val clusters = Dedup.dupClusters(
         Dedup.ngramJaccardPairs(docs, "doc_id", "text"))
@@ -6254,6 +6262,32 @@ object ExtensionQueries {
       val sinkName = s"stream_edit_idx_${sinkCounter.incrementAndGet()}"
       EventsStream.runAvailableNow(screened, sinkName, outputMode = "append")
       s.table(sinkName).orderBy("fresh_id", "corpus_id")
+    },
+
+    // STREAMING leakage-safe split serve (e48): t46 at ingest time —
+    // arriving documents are assigned their split LIVE by a stream-static
+    // left join against the standing cluster labels (the d08/d21/e36
+    // labeling the dedup pipeline maintains; batch-derived here) plus the
+    // same two stateless hash projections. Fully stateless — no watermark,
+    // no state store — so split-at-ingest serves at any arrival rate; a
+    // doc whose cluster is unknown (not yet screened) is its own cluster,
+    // exactly the batch singleton fallback. The t46 oracle grades the
+    // plan verbatim.
+    "e48_stream_leakage_split" -> of(t46OracleSql) { (s, d) =>
+      import graft.streaming.EventsStream
+      val docs = t(s, d, "documents")
+      val clusters = Dedup.dupClusters(
+        Dedup.ngramJaccardPairs(docs, "doc_id", "text"))
+      val arriving = graft.streaming.TableStream.readProbed(s, d, "documents")
+        .select("doc_id")
+      val assigned = graft.operators.CorpusOps.leakageSafeSplit(
+        arriving, clusters, "doc_id",
+        Seq("train" -> 90, "val" -> 95, "test" -> 100))
+      val sinkName = s"stream_leak_split_${sinkCounter.incrementAndGet()}"
+      EventsStream.runAvailableNow(assigned, sinkName, outputMode = "append")
+      s.table(sinkName)
+        .select("doc_id", "cluster", "split", "moved")
+        .orderBy("doc_id")
     },
 
     // STREAMING adaptive-window edit screen (e47): d25's live twin — the

@@ -95,6 +95,41 @@ class CorpusPropertySpec extends SparkSpec {
     }
   }
 
+  test("leakageSafeSplit: no cluster straddles splits; dup-free corpus degenerates to hashSplit") {
+    import spark.implicits._
+    val weights = Seq("train" -> 90, "val" -> 95, "test" -> 100)
+    // engineered clusters: ids grouped in threes (0,1,2 | 3,4,5 | ...) —
+    // passed directly as (id, cluster) labels, the operator's real input
+    val docs = (0L until 90L).map(i => Tuple1(i)).toDF("doc_id")
+    val clusters = (0L until 90L).map(i => (i, (i / 3) * 3)).toDF("id", "cluster")
+    val split = CorpusOps.leakageSafeSplit(docs, clusters, "doc_id", weights)
+    // THE invariant: every cluster lands wholly in one split — near-dup
+    // chains can never straddle train/test
+    val straddle = split.groupBy("cluster")
+      .agg(countDistinct("split").as("nsplits")).filter(col("nsplits") > 1)
+    assert(straddle.count() === 0, "a cluster straddled splits")
+    assert(split.count() === 90)
+    // `moved` is exactly the docs whose own-hash split differs
+    val own = CorpusOps.hashSplit(docs, "doc_id", weights)
+      .select(col("doc_id"), col("split").as("own_split"))
+    val joined = split.join(own, "doc_id")
+    assert(joined.filter(col("moved") =!= (col("split") =!= col("own_split")))
+      .count() === 0)
+    assert(joined.filter(col("moved")).count() > 0,
+      "fixture must actually move some docs or the audit is vacuous")
+    // dup-free corpus (no labels): degenerates to hashSplit exactly
+    val loneDocs = (1000L until 1100L).map(Tuple1(_)).toDF("doc_id")
+    val lone = CorpusOps.leakageSafeSplit(loneDocs,
+      spark.emptyDataset[(Long, Long)].toDF("id", "cluster"),
+      "doc_id", weights)
+    assert(lone.filter(col("moved")).count() === 0)
+    val loneOwn = CorpusOps.hashSplit(loneDocs, "doc_id", weights)
+      .select(col("doc_id"), col("split").as("own_split"))
+    assert(lone.join(loneOwn, "doc_id")
+      .filter(col("split") =!= col("own_split")).count() === 0)
+    assert(lone.filter(col("cluster") =!= col("doc_id")).count() === 0)
+  }
+
   test("temperatureRates: plain-Scala replica bit-match; flattening and edge temperatures") {
     import spark.implicits._
     for (seed <- 10L to 12L) {
