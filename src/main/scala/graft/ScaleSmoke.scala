@@ -30,10 +30,6 @@ object ScaleSmoke {
     1.0 - math.pow(1.0 - math.pow(p, b), l)
   }
 
-  /** Ceil(log₂ n) without libm (the adaptiveLshKnobs formulation). */
-  private def ceilLog2(n: Long): Int =
-    if (n <= 1L) 0 else 64 - java.lang.Long.numberOfLeadingZeros(n - 1)
-
   /** ==indexab mode (VERDICT r14 #4)== Pinned-vs-adaptive knob A/B for
     * the STANDING index serving shapes, on the e23/s24 corpus/fresh split
     * (`vec_id % 8`): build the embedding signature index and the MIH code
@@ -161,19 +157,25 @@ object ScaleSmoke {
     def timed[A](f: => A): (A, Double) = {
       val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
     }
-    val ((fixedIdx, adaptIdx), buildSec) = timed {
-      (Dedup.writeEditIndex(
+    val (fixedIdx, fixedBuildSec) = timed {
+      Dedup.writeEditIndex(
         corpus.select(col("doc_id"), substring(col("s0"), 1, 64).as("s0")),
-        "doc_id", "s0", s"ab_${tag}_editfix"),
-       Dedup.writeEditIndex(corpus, "doc_id", "s0", s"ab_${tag}_editad",
-         sliceChars = 64))
+        "doc_id", "s0", s"ab_${tag}_editfix")
     }
-    for ((label, idx, freshArm) <- Seq(
-        ("fixed", fixedIdx,
+    val (adaptIdx, adaptBuildSec) = timed {
+      Dedup.writeEditIndex(corpus, "doc_id", "s0", s"ab_${tag}_editad",
+        sliceChars = 64)
+    }
+    for ((label, idx, buildSec, freshArm) <- Seq(
+        ("fixed", fixedIdx, fixedBuildSec,
           fresh.select(col("doc_id"), substring(col("s0"), 1, 64).as("s0"))),
-        ("adaptive", adaptIdx, fresh))) {
+        ("adaptive", adaptIdx, adaptBuildSec, fresh))) {
       // the probe's own fresh-side prefix derivation (slice at the frozen
-      // offset for the adaptive arm, grams, corpus-df rank, 17-cut)
+      // offset for the adaptive arm; gram size and prefix length derived
+      // from the INDEX knobs, so the measured volume is the volume of the
+      // screen actually configured)
+      val q = idx.q
+      val prefixLen = idx.q * idx.maxDist + 1
       val fs = (if (idx.sliceChars > 0)
           freshArm.select(col("doc_id"),
             substring(col("s0"), idx.sliceFrom, idx.sliceChars).as("s0"))
@@ -181,14 +183,14 @@ object ScaleSmoke {
         .select(col("doc_id").cast("long").as("id"), col("s0").as("s"))
         .filter(col("s").isNotNull)
       val g = fs.select(col("id"), explode(array_distinct(expr(
-        "CASE WHEN length(s) >= 4 THEN transform(sequence(1, length(s) - 3), " +
-          "i -> substring(s, i, 4)) ELSE array(s) END"))).as("g"))
+        s"CASE WHEN length(s) >= $q THEN transform(sequence(1, length(s) - ${q - 1}), " +
+          s"i -> substring(s, i, $q)) ELSE array(s) END"))).as("g"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("id")).orderBy(col("df"), col("g"))
       val fpref = g.join(spark.table(idx.dfq), Seq("g"), "left")
         .withColumn("df", coalesce(col("df"), lit(0L)))
         .withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= 17).select(col("id"), col("g"))
+        .filter(col("rk") <= prefixLen).select(col("id"), col("g"))
       val (vol, volSec) = timed {
         val c = spark.table(idx.prefix).groupBy("g").agg(count(lit(1)).as("nc"))
         val f2 = fpref.groupBy("g").agg(count(lit(1)).as("nf"))

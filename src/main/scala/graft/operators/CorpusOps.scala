@@ -62,16 +62,14 @@ object CorpusOps {
     * plus two hash projections — no new shuffle class.
     */
   def leakageSafeSplit(docs: DataFrame, clusters: DataFrame, idCol: String,
-                       weights: Seq[(String, Int)]): DataFrame = {
-    val lab = docs.select(col(idCol))
+                       weights: Seq[(String, Int)]): DataFrame =
+    docs // all input columns ride through, exactly like hashSplit's
       .join(clusters.select(col("id").as(idCol), col("cluster")),
         Seq(idCol), "left")
       .withColumn("cluster", coalesce(col("cluster"), col(idCol)))
-    lab
       .withColumn("split", splitExpr(hashBucket(col("cluster")), weights))
       .withColumn("moved",
         splitExpr(hashBucket(col(idCol)), weights) =!= col("split"))
-  }
 
   /** Per-group quota sampling (source mixing): keep at most `quota` rows per
     * `groupCol`, chosen by hash order (unbiased w.r.t. id ordering) with the

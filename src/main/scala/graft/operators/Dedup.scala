@@ -737,13 +737,10 @@ object Dedup {
     * (ExtensionSpec) so the anchor can't drift silently.
     */
   def adaptiveLshKnobs(n: Long): (Int, Int) = {
-    // exact integer ⌈log₂(n)⌉ (ADVICE r9): the double-log formulation held
-    // the spec-pinned (4,8) anchor at n=2048 only because libm's ln came out
-    // exactly integral there — 64 - nlz(n-1) has no such dependence
-    val ceilLog2 =
-      if (n <= 1L) 0
-      else 64 - java.lang.Long.numberOfLeadingZeros(n - 1)
-    val b = math.min(20, math.max(4, ceilLog2 - 7))
+    // exact integer ⌈log₂(n)⌉ ([[Similarity.ceilLog2]] — ADVICE r9: the
+    // double-log formulation held the spec-pinned (4,8) anchor at n=2048
+    // only because libm's ln came out exactly integral there)
+    val b = math.min(20, math.max(4, Similarity.ceilLog2(n) - 7))
     val l = if (b <= 6) 8 else if (b <= 10) 16 else if (b <= 14) 32 else 64
     (b, l)
   }
@@ -1451,10 +1448,25 @@ object Dedup {
     // table family instead of silently returning an index whose stored
     // prefixes were cut for different knobs (which would break the
     // pigeonhole guarantee and drop pairs — ADVICE r14)
+    // the offset is needed to DERIVE the table name, which would put a
+    // corpus min/max aggregate in front of the tableExists fast path on
+    // every serve — contradicting the index's own "no corpus-side work
+    // per ingest" contract — so the build-time LCP is memoized per
+    // (namePrefix, window knobs) in a session temp view (the d23
+    // '_appended' marker pattern; a fresh session recomputes once and
+    // derives the same knob-baked names)
     val sliceFrom =
-      if (sliceChars > 0)
-        commonPrefixLength(corpus.select(col(strCol)), strCol, sliceMaxScan) + 1
-      else 1
+      if (sliceChars > 0) {
+        val marker = s"${namePrefix}_edit_w${sliceChars}s${sliceMaxScan}_off"
+        if (spark.catalog.tableExists(marker))
+          spark.table(marker).head().getLong(0).toInt
+        else {
+          val off = commonPrefixLength(
+            corpus.select(col(strCol)), strCol, sliceMaxScan) + 1
+          spark.range(off, off + 1L).createOrReplaceTempView(marker)
+          off
+        }
+      } else 1
     val win = if (sliceChars > 0) s"_w${sliceChars}o$sliceFrom" else ""
     val nm = s"${namePrefix}_edit_d${maxDist}q${q}_k$buckets$win"
     val idx = EditIndex(s"${nm}_dfq", s"${nm}_pref",

@@ -1009,11 +1009,17 @@ object Similarity {
     * (bits = 8) is the fixed point below n = 2¹⁵; the s28 gate grades
     * the policy's operating point with an oracle-replayed recall row.
     */
-  def adaptiveMihBandBits(n: Long): Int = {
-    val ceilLog2 =
-      if (n <= 1L) 0 else 64 - java.lang.Long.numberOfLeadingZeros(n - 1)
-    math.min(24, math.max(8, ceilLog2 - 7))
-  }
+  def adaptiveMihBandBits(n: Long): Int =
+    math.min(24, math.max(8, ceilLog2(n) - 7))
+
+  /** Exact integer ⌈log₂ n⌉ (ADVICE r9: the double-log formulation held
+    * knob anchors only where libm's ln came out exactly integral;
+    * 64 − nlz(n−1) has no such dependence). Shared by every adaptive
+    * knob policy — [[adaptiveMihBandBits]] and
+    * [[graft.operators.Dedup.adaptiveLshKnobs]].
+    */
+  private[graft] def ceilLog2(n: Long): Int =
+    if (n <= 1L) 0 else 64 - java.lang.Long.numberOfLeadingZeros(n - 1)
 
   /** The MIH band-code array: one `bandBits`-bit SRP code per band, packed
     * by the [[hyperplaneSignatureFrom]] fold (bit-identical everywhere).

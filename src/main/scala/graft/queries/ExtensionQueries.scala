@@ -312,15 +312,21 @@ object ExtensionQueries {
       |  FROM sigs a JOIN sigs b2 ON a.tbl = b2.tbl AND a.sig = b2.sig
       |    AND a.vec_id < b2.vec_id
       |  WHERE a.vec_id >= 1000000 OR b2.vec_id >= 1000000),
-      |caught AS (
-      |  SELECT CASE WHEN id_b >= 1000000 THEN id_b ELSE id_a END AS query_id,
-      |         CASE WHEN id_b >= 1000000 THEN id_a ELSE id_b END AS other_id
+      |hits AS (
+      |  SELECT id_a, id_b
       |  FROM cand
       |  JOIN u ua ON ua.vec_id = id_a
       |  JOIN u ub ON ub.vec_id = id_b
       |  WHERE list_sum(list_transform(list_zip(ua.v, ub.v), x -> x[1] * x[2]))
       |    / (sqrt(list_sum(list_transform(ua.v, x -> x*x)))
-      |       * sqrt(list_sum(list_transform(ub.v, x -> x*x)))) >= 0.9)
+      |       * sqrt(list_sum(list_transform(ub.v, x -> x*x)))) >= 0.9),
+      |caught AS (
+      |  SELECT CASE WHEN id_b >= 1000000 THEN id_b ELSE id_a END AS query_id,
+      |         CASE WHEN id_b >= 1000000 THEN id_a ELSE id_b END AS other_id
+      |  FROM hits
+      |  UNION ALL
+      |  SELECT id_a, id_b FROM hits
+      |  WHERE id_a >= 1000000 AND id_b >= 1000000)
       |$plantedGateSelect"""
 
   private val adaptiveMihRecallSql =
@@ -3550,13 +3556,20 @@ object ExtensionQueries {
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       val planted = plantNearDups(e)
       val universe = e.unionByName(planted)
-      val caught = Dedup.embeddingCosinePairsLsh(universe, "vec_id", "v", 0.9)
+      val hits = Dedup.embeddingCosinePairsLsh(universe, "vec_id", "v", 0.9)
         .filter(col("id_a") >= 1000000L || col("id_b") >= 1000000L)
+      // truth is enumerated PER PLANTED QUERY (both orientations when a
+      // pair's endpoints are both plants), so a both-planted hit must
+      // credit both query rows — not just the id_b-as-query canonical one
+      val caught = hits
         .select(
           when(col("id_b") >= 1000000L, col("id_b")).otherwise(col("id_a"))
             .as("query_id"),
           when(col("id_b") >= 1000000L, col("id_a")).otherwise(col("id_b"))
             .as("other_id"))
+        .union(hits
+          .filter(col("id_a") >= 1000000L && col("id_b") >= 1000000L)
+          .select(col("id_a").as("query_id"), col("id_b").as("other_id")))
       plantedRecallRollup(planted, universe, caught)
     },
 

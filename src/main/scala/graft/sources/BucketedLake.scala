@@ -35,10 +35,15 @@ object BucketedLake {
     * cleared first (CREATE TABLE AS validates the location even in
     * Overwrite mode).
     */
-  private[graft] def writeBucketedTable(spark: SparkSession, name: String,
-                                        df: DataFrame, key: String,
-                                        buckets: Int,
-                                        moreKeys: String*): Unit =
+  /** Run `write` only when `name` is absent from this session's catalog,
+    * clearing any stale warehouse files an earlier JVM left at the
+    * table's location first (the in-memory catalog forgets tables across
+    * JVMs but the files persist; CREATE TABLE AS validates the location
+    * even in Overwrite mode). The one guard every derived-layout writer
+    * shares — bucketed and residue-sorted alike.
+    */
+  private def freshTable(spark: SparkSession, name: String)
+                        (write: => Unit): Unit =
     if (!spark.catalog.tableExists(name)) {
       // hadoop Path handles unencoded/scheme-less warehouse dirs where
       // java.net.URI would throw or yield a null path
@@ -51,6 +56,14 @@ object BucketedLake {
         }
         rm(stale)
       }
+      write
+    }
+
+  private[graft] def writeBucketedTable(spark: SparkSession, name: String,
+                                        df: DataFrame, key: String,
+                                        buckets: Int,
+                                        moreKeys: String*): Unit =
+    freshTable(spark, name) {
       df.write.mode(SaveMode.Overwrite)
         .bucketBy(buckets, key, moreKeys: _*).sortBy(key, moreKeys: _*)
         .format("parquet").saveAsTable(name)
@@ -98,16 +111,7 @@ object BucketedLake {
     // first), the source parquet is never opened — schema inference and
     // file listing would otherwise tax every serve with ~0.1 s
     def write(name: String, df: => DataFrame): Unit =
-      if (!spark.catalog.tableExists(name)) {
-        val warehouse = new org.apache.hadoop.fs.Path(
-          spark.conf.get("spark.sql.warehouse.dir")).toUri.getPath
-        val stale = new java.io.File(warehouse, name)
-        if (stale.exists()) {
-          def rm(f: java.io.File): Unit = {
-            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-          }
-          rm(stale)
-        }
+      freshTable(spark, name) {
         df.repartitionByRange(files, col("wres"))
           .sortWithinPartitions("wres")
           .write.mode(SaveMode.Overwrite).format("parquet").saveAsTable(name)
