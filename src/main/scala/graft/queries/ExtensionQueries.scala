@@ -1829,6 +1829,23 @@ object ExtensionQueries {
     Dedup.writeEditIndex(corpus, "doc_id", "title",
       "edit_idx_" + graft.sources.BucketedLake.layoutSuffix(dir + "#edit4", 16))
 
+  /** The STANDING dup-cluster label table for e49 (the d16 lake pattern
+    * applied to the split family): the d08 closure's (id, cluster) rows
+    * persisted bucketed by id, so a split serve probes labels with zero
+    * derivation — the labeling d21/e36 would maintain incrementally in
+    * production.
+    */
+  private def ensureClusterLabels(s: org.apache.spark.sql.SparkSession,
+                                  dir: String,
+                                  docs: org.apache.spark.sql.DataFrame): String = {
+    val name = "dup_labels_" +
+      graft.sources.BucketedLake.layoutSuffix(dir + "#dup_labels", 16)
+    graft.sources.BucketedLake.writeBucketedTable(s, name,
+      Dedup.dupClusters(Dedup.ngramJaccardPairs(docs, "doc_id", "text")),
+      "id", 16)
+    name
+  }
+
   /** The ADAPTIVE-WINDOW standing edit index for d25/e47: built over the
     * raw head-prefixed strings with `sliceChars = 64`, so
     * [[Dedup.writeEditIndex]] computes the corpus LCP once at build time
@@ -6297,6 +6314,29 @@ object ExtensionQueries {
         arriving, clusters, "doc_id",
         Seq("train" -> 90, "val" -> 95, "test" -> 100))
       val sinkName = s"stream_leak_split_${sinkCounter.incrementAndGet()}"
+      EventsStream.runAvailableNow(assigned, sinkName, outputMode = "append")
+      s.table(sinkName)
+        .select("doc_id", "cluster", "split", "moved")
+        .orderBy("doc_id")
+    },
+
+    // STREAMING leakage-safe split against STANDING labels (e49): e48's
+    // serving shape — the (id, cluster) labeling lives as a bucketed
+    // warehouse table (what d21/e36 maintain incrementally in
+    // production), so the live split pays NO closure per run: arriving
+    // docs probe the label table stream-static and take the two hash
+    // projections. Result-identical to e48 by construction — the t46
+    // oracle grades direct batch, live-derived and live-standing, three
+    // plans one answer.
+    "e49_stream_leakage_split_standing" -> of(t46OracleSql) { (s, d) =>
+      import graft.streaming.EventsStream
+      val labels = ensureClusterLabels(s, d, t(s, d, "documents"))
+      val arriving = graft.streaming.TableStream.readProbed(s, d, "documents")
+        .select("doc_id")
+      val assigned = graft.operators.CorpusOps.leakageSafeSplit(
+        arriving, s.table(labels), "doc_id",
+        Seq("train" -> 90, "val" -> 95, "test" -> 100))
+      val sinkName = s"stream_leak_split_idx_${sinkCounter.incrementAndGet()}"
       EventsStream.runAvailableNow(assigned, sinkName, outputMode = "append")
       s.table(sinkName)
         .select("doc_id", "cluster", "split", "moved")
