@@ -52,6 +52,16 @@ object ScaleSmoke {
     * longer codes measure a finer Hamming). Emits one JSON line per
     * (family, knobs).
     */
+  /** The ab_* warehouse-table tag for a corpus dir: readable basename PLUS
+    * the full-path layout hash (ADVICE r16 — basename alone collides two
+    * corpora at a/scale10 vs b/scale10, silently measuring the first
+    * corpus's index on the second run; the query-side ensure* helpers
+    * already key by the full path).
+    */
+  private def abTag(dir: String): String =
+    dir.replaceAll(".*/", "").replaceAll("[^A-Za-z0-9_]", "_") + "_" +
+      graft.sources.BucketedLake.layoutSuffix(dir, 16)
+
   private def indexAb(spark: SparkSession, dir: String,
                       work: WorkMetricsListener): Unit = {
     import org.apache.spark.sql.functions._
@@ -63,7 +73,7 @@ object ScaleSmoke {
     val n = corpus.count()
     val nF = fresh.count()
     val dim = Similarity.vectorDim(e, "embedding")
-    val tag = dir.replaceAll(".*/", "").replaceAll("[^A-Za-z0-9_]", "_")
+    val tag = abTag(dir)
 
     def timed[A](f: => A): (A, Double, WorkSnapshot) = {
       val w0 = work.snapshot(spark.sparkContext)
@@ -153,7 +163,7 @@ object ScaleSmoke {
     val corpus = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
     val fresh = docs.filter(pmod(col("doc_id"), lit(10)) === 0).persist()
     val (nC, nF) = (corpus.count(), fresh.count())
-    val tag = dir.replaceAll(".*/", "").replaceAll("[^A-Za-z0-9_]", "_")
+    val tag = abTag(dir)
     def timed[A](f: => A): (A, Double) = {
       val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
     }

@@ -53,7 +53,12 @@ object CorpusOps {
     * docs whose own-hash split differs from their cluster's — the
     * attributable audit of what leakage-closing actually changed.
     * Singleton docs (no pair) are their own cluster, so on a dup-free
-    * corpus this degenerates to [[hashSplit]] exactly.
+    * corpus this degenerates to [[hashSplit]] exactly. Cluster labels are
+    * member ids (the closure's min-id representative), so they are cast
+    * to `idCol`'s own type before hashing — xxhash64 is TYPE-sensitive,
+    * and without the cast an int-id corpus joined to long labels would
+    * hash singletons through an implicit widening and silently break the
+    * degenerate-to-[[hashSplit]] contract (ADVICE r16).
     *
     * Scale shape: `clusters` is the (id, cluster) labeling the dedup
     * pipeline already maintains — d08 batch closure, d21 incremental
@@ -62,14 +67,17 @@ object CorpusOps {
     * plus two hash projections — no new shuffle class.
     */
   def leakageSafeSplit(docs: DataFrame, clusters: DataFrame, idCol: String,
-                       weights: Seq[(String, Int)]): DataFrame =
+                       weights: Seq[(String, Int)]): DataFrame = {
+    val idType = docs.schema(idCol).dataType
     docs // all input columns ride through, exactly like hashSplit's
-      .join(clusters.select(col("id").as(idCol), col("cluster")),
+      .join(clusters.select(col("id").cast(idType).as(idCol),
+        col("cluster").cast(idType).as("cluster")),
         Seq(idCol), "left")
       .withColumn("cluster", coalesce(col("cluster"), col(idCol)))
       .withColumn("split", splitExpr(hashBucket(col("cluster")), weights))
       .withColumn("moved",
         splitExpr(hashBucket(col(idCol)), weights) =!= col("split"))
+  }
 
   /** Per-group quota sampling (source mixing): keep at most `quota` rows per
     * `groupCol`, chosen by hash order (unbiased w.r.t. id ordering) with the

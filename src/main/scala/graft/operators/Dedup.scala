@@ -1430,11 +1430,18 @@ object Dedup {
     * LCP is computed here (two string aggregates — [[commonPrefixLength]])
     * and the index is built over `substring(s, lcp + 1, sliceChars)`;
     * the offset joins maxDist/q/buckets in the knob-baked table names
-    * (`..._w{sliceChars}o{sliceFrom}`), so a corpus whose head has
-    * drifted builds a NEW family instead of silently probing a stale
-    * window. Re-entry with the same corpus recomputes the same LCP and
-    * finds the same tables. `sliceChars = 0` (default) keeps the pre-r16
-    * whole-string contract and table names verbatim.
+    * (`..._w{sliceChars}o{sliceFrom}`). HARD CONTRACT (ADVICE r16): a
+    * `namePrefix` names ONE corpus — the build-time LCP is memoized per
+    * (namePrefix, window knobs) within the session, so re-entering with
+    * the SAME prefix over a corpus whose head has drifted reuses the
+    * frozen offset and the existing table family (exactly what a
+    * standing index should do: the probe window never moves under a
+    * live screen). Drift protection is cross-JVM only: a fresh session
+    * recomputes the LCP, and a drifted head then derives a DIFFERENT
+    * `_w{chars}o{off}` family instead of silently probing a stale
+    * window. To re-window within a session, use a new `namePrefix`.
+    * `sliceChars = 0` (default) keeps the pre-r16 whole-string contract
+    * and table names verbatim.
     */
   def writeEditIndex(corpus: DataFrame, idCol: String, strCol: String,
                      namePrefix: String, maxDist: Int = 4, q: Int = 4,

@@ -45,14 +45,26 @@ object Q {
     * `% 3000 < j` SQL) are unchanged.
     */
   def ordersWindow(spark: SparkSession, dir: String, j: Int): DataFrame = {
+    requireResidueJ(j)
     val tables = graft.sources.BucketedLake.ensureResidue(spark, dir)
     spark.table(tables.orders).filter(col("wres") < j).drop("wres")
   }
 
   def lineitemWindow(spark: SparkSession, dir: String, j: Int): DataFrame = {
+    requireResidueJ(j)
     val tables = graft.sources.BucketedLake.ensureResidue(spark, dir)
     spark.table(tables.lineitem).filter(col("wres") < j).drop("wres")
   }
+
+  /** Guard (ADVICE r16): the residue layout is written at ONE modulus
+    * ([[graft.sources.BucketedLake.ResidueMod]]); a window bound at or
+    * past it would silently read the whole table (no pruning, no window),
+    * and a caller assuming a different modulus would read a wrong slice.
+    */
+  private def requireResidueJ(j: Int): Unit =
+    require(0 < j && j < graft.sources.BucketedLake.ResidueMod,
+      s"window bound j=$j out of range (0, ${graft.sources.BucketedLake.ResidueMod}) " +
+        "for the %" + graft.sources.BucketedLake.ResidueMod + " residue layout")
 
   /** events.parquet reader, TYPE-ADAPTIVE on `ts` (VERDICT r8 #1): the
     * driver has shipped this column both as TIMESTAMP(NANOS) (rounds 1–7)

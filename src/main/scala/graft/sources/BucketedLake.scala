@@ -102,10 +102,18 @@ object BucketedLake {
     * amortized over every CDC/PIT/SCD2 serve against the dir — the d12
     * standing-layout economics applied to the relational fixtures.
     */
+  /** The one residue modulus this layout is written with — baked into the
+    * table-name suffix; window readers validate their `j` against it
+    * (ADVICE r16: a `wres < j` with `j >= ResidueMod` silently reads the
+    * whole table as if unpruned, and a caller expecting a different
+    * modulus would read a WRONG slice).
+    */
+  val ResidueMod = 3000
+
   def ensureResidue(spark: SparkSession, dir: String,
                     files: Int = 16): ResidueTables = {
     import org.apache.spark.sql.functions.pmod
-    val suffix = layoutSuffix(dir + "#res3000", files)
+    val suffix = layoutSuffix(dir + s"#res$ResidueMod", files)
     val tables = ResidueTables(s"orders_res_$suffix", s"lineitem_res_$suffix")
     // df by-name: when the table already exists (every call after the
     // first), the source parquet is never opened — schema inference and
@@ -118,10 +126,12 @@ object BucketedLake {
       }
     write(tables.orders,
       spark.read.parquet(s"$dir/orders.parquet")
-        .withColumn("wres", pmod(col("o_orderkey"), org.apache.spark.sql.functions.lit(3000L))))
+        .withColumn("wres", pmod(col("o_orderkey"),
+          org.apache.spark.sql.functions.lit(ResidueMod.toLong))))
     write(tables.lineitem,
       spark.read.parquet(s"$dir/lineitem.parquet")
-        .withColumn("wres", pmod(col("l_orderkey"), org.apache.spark.sql.functions.lit(3000L))))
+        .withColumn("wres", pmod(col("l_orderkey"),
+          org.apache.spark.sql.functions.lit(ResidueMod.toLong))))
     tables
   }
 

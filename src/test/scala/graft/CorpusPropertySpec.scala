@@ -128,6 +128,31 @@ class CorpusPropertySpec extends SparkSpec {
     assert(lone.join(loneOwn, "doc_id")
       .filter(col("split") =!= col("own_split")).count() === 0)
     assert(lone.filter(col("cluster") =!= col("doc_id")).count() === 0)
+    // ADVICE r16: INT ids against LONG cluster labels — xxhash64 is
+    // type-sensitive, so without the internal cast the singleton
+    // fallback would hash a widened long and silently diverge from
+    // hashSplit(int). The cast canonicalizes labels to the id type:
+    // dup-free int corpus must still degenerate to hashSplit exactly.
+    val intDocs = (0 until 200).map(Tuple1(_)).toDF("doc_id") // IntegerType
+    val intLone = CorpusOps.leakageSafeSplit(intDocs,
+      spark.emptyDataset[(Long, Long)].toDF("id", "cluster"),
+      "doc_id", weights)
+    assert(intLone.filter(col("moved")).count() === 0,
+      "int-id singleton must never read moved=true")
+    val intOwn = CorpusOps.hashSplit(intDocs, "doc_id", weights)
+      .select(col("doc_id"), col("split").as("own_split"))
+    assert(intLone.join(intOwn, "doc_id")
+      .filter(col("split") =!= col("own_split")).count() === 0,
+      "int-id dup-free corpus must degenerate to hashSplit(int) exactly")
+    // and WITH long labels on int ids, clustered docs follow the label
+    // cast into the id domain while the join still resolves
+    val intClusters = (0 until 200).map(i => (i.toLong, ((i / 4) * 4).toLong))
+      .toDF("id", "cluster")
+    val intSplit = CorpusOps.leakageSafeSplit(intDocs, intClusters,
+      "doc_id", weights)
+    assert(intSplit.groupBy("cluster")
+      .agg(countDistinct("split").as("n")).filter(col("n") > 1).count() === 0)
+    assert(intSplit.count() === 200)
   }
 
   test("temperatureRates: plain-Scala replica bit-match; flattening and edge temperatures") {
