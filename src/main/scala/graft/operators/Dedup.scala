@@ -674,6 +674,22 @@ object Dedup {
     */
   def incrementalDupClusters(standing: DataFrame, freshPairs: DataFrame,
                              maxIters: Int = 50): DataFrame = {
+    val (members, relabeled) =
+      incrementalDupClustersParts(standing, freshPairs, maxIters)
+    standing.join(members.select(col("id")), Seq("id"), "left_anti")
+      .select(col("id"), col("cluster"))
+      .union(relabeled.select(col("id"), col("cluster")))
+  }
+
+  /** [[incrementalDupClusters]]'s delta machinery, exposed for the
+    * write-back path ([[maintainClusterLabels]]): `members` = the touched
+    * standing clusters' full membership, `relabeled` = the delta-sized
+    * (id, cluster) rows the batch changes or creates — exactly what an
+    * append-maintained label table needs to fold in.
+    */
+  private[graft] def incrementalDupClustersParts(
+      standing: DataFrame, freshPairs: DataFrame,
+      maxIters: Int = 50): (DataFrame, DataFrame) = {
     val touched = freshPairs.select(col("id_a").as("id"))
       .union(freshPairs.select(col("id_b").as("id"))).distinct()
     val affectedClusters = standing.join(touched, Seq("id"), "left_semi")
@@ -684,10 +700,70 @@ object Dedup {
     // subgraph alongside the raw fresh pairs.
     val subEdges = freshPairs.select(col("id_a"), col("id_b"))
       .union(members.select(col("id").as("id_a"), col("cluster").as("id_b")))
-    val relabeled = dupClusters(subEdges, maxIters)
-    standing.join(members.select(col("id")), Seq("id"), "left_anti")
-      .select(col("id"), col("cluster"))
-      .union(relabeled.select(col("id"), col("cluster")))
+    (members, dupClusters(subEdges, maxIters))
+  }
+
+  // ---- standing cluster-label lake (VERDICT r16 #1) ------------------------
+
+  /** Persist a [[dupClusters]] labeling as the STANDING label table — the
+    * d12/d16 lake pattern applied to the labels themselves, so serving
+    * paths (incremental maintenance, leakage-safe splits, survivor
+    * policies) read labels from a bucketed layout instead of re-deriving
+    * the corpus closure per run. Layout: (id, cluster, epoch) bucketed +
+    * sorted by id; the base build writes every row at epoch 0 and
+    * [[maintainClusterLabels]] APPENDS delta-sized relabelings at higher
+    * epochs — merge-on-read (each id's latest epoch wins, resolved
+    * bucket-locally by [[readClusterLabels]]), so an ingest batch never
+    * pays a corpus-sized rewrite; compaction is a separate rewrite when
+    * epochs accumulate, exactly the appendBucketedTable economics.
+    */
+  def writeClusterLabels(spark: org.apache.spark.sql.SparkSession,
+                         name: String, clusters: DataFrame,
+                         buckets: Int = 16): String = {
+    graft.sources.BucketedLake.writeBucketedTable(spark, name,
+      clusters.select(col("id"), col("cluster"))
+        .withColumn("epoch", lit(0L)),
+      "id", buckets)
+    name
+  }
+
+  /** The current (id, cluster) labeling from a standing label table:
+    * each id's latest-epoch row. The table is bucketed by id, so the
+    * per-id fold is bucket-local — NO exchange (PlanSpec-pinned); at any
+    * corpus size a label read costs one pruned scan + local aggregation.
+    * Deterministic because every epoch holds at most one row per id
+    * (base build and each maintenance delta are [[dupClusters]]-shaped).
+    */
+  def readClusterLabels(spark: org.apache.spark.sql.SparkSession,
+                        name: String): DataFrame =
+    spark.table(name).groupBy(col("id"))
+      .agg(max_by(col("cluster"), col("epoch")).as("cluster"))
+
+  /** Fold an ingest batch's near-dup pairs into the standing label table
+    * — [[incrementalDupClusters]] made a WRITE-BACK (the d17/s25 append
+    * contract for labels): attach / new-cluster / merge resolve through
+    * the same delta-sized touched-subgraph closure, and ONLY the
+    * relabeled rows append, at the next epoch — tomorrow's split serve
+    * and tomorrow's maintenance read today's fold through
+    * [[readClusterLabels]] with zero re-derivation. Idempotent in VALUE:
+    * re-folding the same pairs appends rows that merge-on-read to the
+    * same labeling (the closure is a fixed point), so retries are safe.
+    * The epoch bump reads max(epoch) — one long column off the bucketed
+    * files; a production lake would track it in the table catalog.
+    */
+  def maintainClusterLabels(spark: org.apache.spark.sql.SparkSession,
+                            name: String, freshPairs: DataFrame,
+                            buckets: Int = 16,
+                            maxIters: Int = 50): String = {
+    val standing = readClusterLabels(spark, name)
+    val (_, relabeled) =
+      incrementalDupClustersParts(standing, freshPairs, maxIters)
+    val next = spark.table(name).agg(max(col("epoch"))).head().getLong(0) + 1L
+    graft.sources.BucketedLake.appendBucketedTable(spark, name,
+      relabeled.select(col("id"), col("cluster"))
+        .withColumn("epoch", lit(next)),
+      "id", buckets)
+    name
   }
 
   /** Pluggable survivor selection over dup clusters: instead of the default

@@ -1829,20 +1829,59 @@ object ExtensionQueries {
     Dedup.writeEditIndex(corpus, "doc_id", "title",
       "edit_idx_" + graft.sources.BucketedLake.layoutSuffix(dir + "#edit4", 16))
 
-  /** The STANDING dup-cluster label table for e49 (the d16 lake pattern
-    * applied to the split family): the d08 closure's (id, cluster) rows
-    * persisted bucketed by id, so a split serve probes labels with zero
-    * derivation — the labeling d21/e36 would maintain incrementally in
-    * production.
+  /** The ONE standing dup-cluster label table of the cluster family
+    * (VERDICT r16 #1 — the d16 lake pattern completed end to end): base
+    * build = the d08 closure over the STANDING corpus (`doc_id % 10 < 8`,
+    * the d11/d21 split) written as (id, cluster, epoch 0) bucketed by id.
+    * d21/e36 serve against [[Dedup.readClusterLabels]] of this table;
+    * [[ensureMaintainedClusterLabels]] write-backs the fresh batch's fold
+    * so split serves (e49) read the maintained full labeling — labels are
+    * derived from raw shingle pairs exactly ONCE per corpus, never per
+    * serve.
     */
-  private def ensureClusterLabels(s: org.apache.spark.sql.SparkSession,
-                                  dir: String,
-                                  docs: org.apache.spark.sql.DataFrame): String = {
-    val name = "dup_labels_" +
-      graft.sources.BucketedLake.layoutSuffix(dir + "#dup_labels", 16)
-    graft.sources.BucketedLake.writeBucketedTable(s, name,
-      Dedup.dupClusters(Dedup.ngramJaccardPairs(docs, "doc_id", "text")),
-      "id", 16)
+  private def ensureCorpusClusterLabels(
+      s: org.apache.spark.sql.SparkSession, dir: String,
+      docs: org.apache.spark.sql.DataFrame): String =
+    Dedup.writeClusterLabels(s,
+      "dup_labels_" +
+        graft.sources.BucketedLake.layoutSuffix(dir + "#dup_labels_c8", 16),
+      Dedup.dupClusters(Dedup.ngramJaccardPairs(
+        docs.filter(pmod(col("doc_id"), lit(10)) < 8), "doc_id", "text")))
+
+  /** The fresh batch's near-dup pairs for the cluster family's
+    * maintenance — cross pairs from the STANDING shingle index (the d12
+    * probe: corpus side never re-shuffles) plus the batch's internal
+    * pairs. Shared by the d21/e36 serves and the d26 write-back so all
+    * three fold the identical pair set.
+    */
+  private def freshClusterPairs(
+      s: org.apache.spark.sql.SparkSession, dir: String,
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val fresh = docs.filter(pmod(col("doc_id"), lit(10)) >= 8)
+    val idx = ensureShingleIndex(s, dir,
+      docs.filter(pmod(col("doc_id"), lit(10)) < 8))
+    Dedup.incrementalJaccardPairsIndexed(fresh, idx, "doc_id", "text")
+      .select(col("fresh_id").as("id_a"), col("corpus_id").as("id_b"))
+      .union(Dedup.ngramJaccardPairs(fresh, "doc_id", "text")
+        .select(col("id_a"), col("id_b")))
+  }
+
+  /** Ensure the fresh batch's fold has been WRITTEN BACK into the standing
+    * label table (d26's contract, idempotent per session via the s25
+    * marker pattern): after this, [[Dedup.readClusterLabels]] returns the
+    * FULL corpus labeling — bit-identical to a from-scratch d08 closure
+    * over all documents — so tomorrow's e49 split and tomorrow's d21
+    * serve read today's maintenance instead of re-deriving anything.
+    */
+  private def ensureMaintainedClusterLabels(
+      s: org.apache.spark.sql.SparkSession, dir: String,
+      docs: org.apache.spark.sql.DataFrame): String = {
+    val name = ensureCorpusClusterLabels(s, dir, docs)
+    val marker = name + "_maintained"
+    if (!s.catalog.tableExists(marker)) {
+      Dedup.maintainClusterLabels(s, name, freshClusterPairs(s, dir, docs))
+      s.range(1).createOrReplaceTempView(marker)
+    }
     name
   }
 
@@ -2569,28 +2608,47 @@ object ExtensionQueries {
         .orderBy("fresh_id", "corpus_id")
     },
 
-    // Incremental dup-cluster maintenance (d21): fold the d11 screen's
-    // fresh pairs (cross + batch-internal) into the STANDING d08 cluster
-    // labels of the corpus (doc_id % 10 < 8) — attach, new-cluster and
-    // cluster-MERGE cases all handled by one delta-sized closure over
+    // Incremental dup-cluster maintenance (d21): fold the ingest batch's
+    // fresh pairs into the STANDING cluster labels — attach, new-cluster
+    // and cluster-MERGE cases all handled by one delta-sized closure over
     // touched-cluster members + fresh pairs, untouched clusters passing
-    // through by anti-join. Graded by the d08 definition itself: the
-    // oracle is the from-scratch recursive closure over ALL documents'
-    // pairs, so the incremental path must land bit-identical to a full
-    // re-cluster (the pair predicate is pairwise ⇒ full-pair set =
-    // corpus-internal ∪ cross ∪ fresh-internal, exactly the two inputs).
+    // through by anti-join. The SERVE reads both standing structures from
+    // the lake (VERDICT r16 #1 — the last corpus-sized derivation pulled
+    // out of a serving path): labels from the bucketed label table
+    // (Dedup.readClusterLabels — merge-on-read, no exchange) and cross
+    // pairs through the d12 standing shingle index, so per-serve cost is
+    // the batch's shingling + bucket-pruned probes + the delta closure,
+    // NEVER a corpus shingle self-join (PlanSpec-pinned). Graded by the
+    // d08 definition itself: the oracle is the from-scratch recursive
+    // closure over ALL documents' pairs, so the incremental path must
+    // land bit-identical to a full re-cluster (the pair predicate is
+    // pairwise ⇒ full-pair set = corpus-internal ∪ cross ∪
+    // fresh-internal); correct whether or not d26's write-back has
+    // already folded this batch (the closure is a fixed point).
     "d21_incremental_clusters" -> of(d21OracleSql) { (s, d) =>
       val docs = t(s, d, "documents")
-      val corpus = docs.filter(pmod(col("doc_id"), lit(10)) < 8)
-      val fresh = docs.filter(pmod(col("doc_id"), lit(10)) >= 8)
-      val standing = Dedup.dupClusters(
-        Dedup.ngramJaccardPairs(corpus, "doc_id", "text"))
-      val freshPairs = Dedup.incrementalJaccardPairs(
-          fresh, corpus, "doc_id", "text")
-          .select(col("fresh_id").as("id_a"), col("corpus_id").as("id_b"))
-        .union(Dedup.ngramJaccardPairs(fresh, "doc_id", "text")
-          .select(col("id_a"), col("id_b")))
-      Dedup.incrementalDupClusters(standing, freshPairs)
+      val standing = Dedup.readClusterLabels(
+        s, ensureCorpusClusterLabels(s, d, docs))
+      Dedup.incrementalDupClusters(standing, freshClusterPairs(s, d, docs))
+        .select(col("id").as("doc_id"), col("cluster"),
+          (col("id") === col("cluster")).as("is_survivor"))
+        .orderBy("doc_id")
+    },
+
+    // Label-table MAINTENANCE (d26 — VERDICT r16 #1's write-back rung):
+    // the d21 fold made durable. The accepted batch's pairs fold through
+    // the same delta-sized closure and the RELABELED rows append into the
+    // standing label table at the next epoch (Dedup.maintainClusterLabels
+    // — the d17/s25 append contract for labels; merge-on-read, so the
+    // ingest never pays a corpus-sized rewrite and re-folding the same
+    // batch is value-idempotent). The query serves the maintained table
+    // back through readClusterLabels — tomorrow's e49 split and
+    // tomorrow's d21 serve read exactly this — and is graded by the same
+    // from-scratch d08 oracle as d21/e36: the maintained TABLE, not just
+    // the fold, must equal a full re-cluster bit for bit.
+    "d26_label_table_maintenance" -> of(d21OracleSql) { (s, d) =>
+      val name = ensureMaintainedClusterLabels(s, d, t(s, d, "documents"))
+      Dedup.readClusterLabels(s, name)
         .select(col("id").as("doc_id"), col("cluster"),
           (col("id") === col("cluster")).as("is_survivor"))
         .orderBy("doc_id")
@@ -5715,21 +5773,19 @@ object ExtensionQueries {
     // pair set (state ∝ ingest pairs, never corpus size), and the serve
     // step folds the materialized pairs into the STANDING cluster labels
     // via the same delta-sized touched-subgraph closure as the batch
-    // operator. Graded by the d21 definition itself: the from-scratch
-    // recursive closure over ALL documents' pairs — both maintenance
-    // paths must land bit-identical to a full re-cluster.
+    // operator. Like d21, the serve reads standing structures from the
+    // lake (VERDICT r16 #1): labels via readClusterLabels, the feed's
+    // cross pairs through the d12 shingle index — no corpus-sized
+    // derivation anywhere in the serving path. Graded by the d21
+    // definition itself: the from-scratch recursive closure over ALL
+    // documents' pairs — both maintenance paths must land bit-identical
+    // to a full re-cluster.
     "e36_stream_clusters" -> of(d21OracleSql) { (s, d) =>
       import graft.streaming.EventsStream
       val docs = t(s, d, "documents")
-      val corpus = docs.filter(pmod(col("doc_id"), lit(10)) < 8)
-      val fresh = docs.filter(pmod(col("doc_id"), lit(10)) >= 8)
-      val standing = Dedup.dupClusters(
-        Dedup.ngramJaccardPairs(corpus, "doc_id", "text"))
-      val freshPairs = Dedup.incrementalJaccardPairs(
-          fresh, corpus, "doc_id", "text")
-          .select(col("fresh_id").as("id_a"), col("corpus_id").as("id_b"))
-        .union(Dedup.ngramJaccardPairs(fresh, "doc_id", "text")
-          .select(col("id_a"), col("id_b")))
+      val standing = Dedup.readClusterLabels(
+        s, ensureCorpusClusterLabels(s, d, docs))
+      val freshPairs = freshClusterPairs(s, d, docs)
       // the e29 changelog-feed pattern: pair rows land as files and
       // stream in one per trigger, split by a deterministic parity
       val root = java.nio.file.Files.createTempDirectory("graft-pairs-feed-")
@@ -6322,19 +6378,22 @@ object ExtensionQueries {
 
     // STREAMING leakage-safe split against STANDING labels (e49): e48's
     // serving shape — the (id, cluster) labeling lives as a bucketed
-    // warehouse table (what d21/e36 maintain incrementally in
-    // production), so the live split pays NO closure per run: arriving
-    // docs probe the label table stream-static and take the two hash
-    // projections. Result-identical to e48 by construction — the t46
-    // oracle grades direct batch, live-derived and live-standing, three
-    // plans one answer.
+    // warehouse table, and as of r17 it is THE MAINTAINED table (base
+    // corpus closure at epoch 0 + d26's write-back fold of the fresh
+    // batch), so this split literally reads yesterday's maintenance:
+    // arriving docs probe readClusterLabels stream-static and take the
+    // two hash projections — NO closure, no shingle pass, per run.
+    // Result-identical to e48 by construction (the maintained labeling
+    // is bit-identical to the full d08 closure — d26's own oracle pins
+    // that) — the t46 oracle grades direct batch, live-derived and
+    // live-standing, three plans one answer.
     "e49_stream_leakage_split_standing" -> of(t46OracleSql) { (s, d) =>
       import graft.streaming.EventsStream
-      val labels = ensureClusterLabels(s, d, t(s, d, "documents"))
+      val labels = ensureMaintainedClusterLabels(s, d, t(s, d, "documents"))
       val arriving = graft.streaming.TableStream.readProbed(s, d, "documents")
         .select("doc_id")
       val assigned = graft.operators.CorpusOps.leakageSafeSplit(
-        arriving, s.table(labels), "doc_id",
+        arriving, Dedup.readClusterLabels(s, labels), "doc_id",
         Seq("train" -> 90, "val" -> 95, "test" -> 100))
       val sinkName = s"stream_leak_split_idx_${sinkCounter.incrementAndGet()}"
       EventsStream.runAvailableNow(assigned, sinkName, outputMode = "append")

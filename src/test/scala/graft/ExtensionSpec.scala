@@ -897,6 +897,45 @@ class ExtensionSpec extends SparkSpec {
     assert(empty.count() === 0)
   }
 
+  test("standing label table: write-back maintenance equals full re-cluster; value-idempotent merge-on-read") {
+    import spark.implicits._
+    val name = s"labels_spec_${System.nanoTime()}"
+    // standing corpus clusters: {1,2} and {10,11}; 20 is a pair-less doc
+    // that must never enter the labeling (the dupClusters edge contract)
+    val basePairs = Seq((1L, 2L), (10L, 11L)).toDF("id_a", "id_b")
+    Dedup.writeClusterLabels(spark, name, Dedup.dupClusters(basePairs),
+      buckets = 4)
+    // fresh batch exercises all three maintenance cases: ATTACH (30→2),
+    // NEW cluster (40,41), and MERGE (a fresh doc 50 bridging the two
+    // standing clusters 1 and 10 — the case a nearest-cluster shortcut
+    // gets wrong)
+    val freshPairs = Seq((30L, 2L), (40L, 41L), (50L, 1L), (50L, 10L))
+      .toDF("id_a", "id_b")
+    Dedup.maintainClusterLabels(spark, name, freshPairs, buckets = 4)
+    val read = Dedup.readClusterLabels(spark, name)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = Dedup.dupClusters(basePairs.unionByName(freshPairs))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(read === full, "maintained table must equal a full re-cluster")
+    assert(read(11L) === 1L, "merge case: 11 must relabel to the merged min")
+    // re-folding the SAME batch appends rows but merge-on-read lands the
+    // identical labeling (the closure is a fixed point — retry-safe)
+    Dedup.maintainClusterLabels(spark, name, freshPairs, buckets = 4)
+    val again = Dedup.readClusterLabels(spark, name)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again === full, "re-fold must be value-idempotent")
+    val epochs = spark.table(name).select("epoch").distinct().count()
+    assert(epochs === 3, "base + two maintenance epochs must coexist")
+    // a second DISJOINT batch folds on top of the first's result
+    Dedup.maintainClusterLabels(spark, name,
+      Seq((60L, 40L)).toDF("id_a", "id_b"), buckets = 4)
+    val read3 = Dedup.readClusterLabels(spark, name)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(read3(60L) === 40L && read3(41L) === 40L)
+    assert(read3 - 60L === full, "untouched labels must ride through")
+    spark.sql(s"DROP TABLE $name")
+  }
+
   test("exact dedup keeps lowest tiebreak row and all groups") {
     val out = Dedup.exact(docs, Seq("lang", "source"), "doc_id")
     val groups = docs.select("lang", "source").distinct().count()

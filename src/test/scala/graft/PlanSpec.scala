@@ -148,6 +148,39 @@ class PlanSpec extends SparkSpec {
       s"corpus side must read stored signatures, not recompute:\n${plan.take(1500)}")
   }
 
+  test("d21: serve reads standing labels + shingle index — no corpus-side derivation") {
+    val plan = physicalPlan("d21_incremental_clusters")
+    // labels must come from the standing bucketed table, not a re-derived
+    // closure (the r16 `weak`: the last corpus-sized derivation in a
+    // serving path)
+    assert(plan.contains("dup_labels_"),
+      s"expected a standing label-table scan:\n${plan.take(1500)}")
+    // cross pairs must probe the d12 standing shingle index
+    assert(plan.contains("shingle_idx_"),
+      s"expected a standing shingle-index scan:\n${plan.take(1500)}")
+    // and NO corpus-side (`% 10 < 8`) documents scan may appear anywhere —
+    // the only documents reads a serve is allowed are the fresh batch's
+    // (`% 10 >= 8`)
+    val corpusScan = "pmod\\([^)]*doc_id[^)]*, 10\\) < 8".r
+    assert(corpusScan.findFirstIn(plan).isEmpty,
+      s"serve plan re-derives the corpus side:\n${plan.take(2000)}")
+  }
+
+  test("label table: merge-on-read resolves bucket-locally, no exchange") {
+    import spark.implicits._
+    val name = s"labels_plan_${System.nanoTime()}"
+    graft.operators.Dedup.writeClusterLabels(spark, name,
+      Seq((1L, 1L), (2L, 1L)).toDF("id", "cluster"), buckets = 4)
+    graft.operators.Dedup.maintainClusterLabels(spark, name,
+      Seq((3L, 1L)).toDF("id_a", "id_b"), buckets = 4)
+    val plan = graft.operators.Dedup.readClusterLabels(spark, name)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Bucketed: true"), plan.take(800))
+    assert(!plan.contains("Exchange"),
+      s"latest-epoch read must be bucket-local:\n$plan")
+    spark.sql(s"DROP TABLE $name")
+  }
+
   test("d13: bloom prefilter sits on the corpus branch before the shuffle join") {
     val plan = physicalPlan("d13_dedup_incremental_bloom")
     // the semi-join reduction must actually be planted: a might_contain
