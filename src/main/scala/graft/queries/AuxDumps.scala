@@ -183,38 +183,33 @@ object AuxDumps {
     // integer statistics in SQL (bigram count, context total, distinct
     // continuations, distinct left contexts, type total) and joins on
     // them, so only the final ln rides the dump.
-    "t40_lp" -> ((s, d) =>
-      graft.operators.CorpusOps.kneserNeyLm(
-        t(s, d, "documents"), "doc_id", "text")),
+    // As of r17 the KN lp dumps READ the standing LM tables (the same
+    // rows every scorer serves from), so the oracles grade the standing
+    // path end-to-end: a stale table would fail the recounted-statistics
+    // joins, and table-vs-direct bit-identity is separately spec-pinned.
+    "t40_lp" -> ((s, d) => s.table(StandingLm.ensure(s, d, 2))),
 
     // t41: the interpolated KN TRIGRAM table (tg, n, ctx, n1f, cont,
     // mid_ctx, mid_n1f, n1b, nbg, lp). The oracle recounts all EIGHT
     // integer statistics in SQL and joins on them — only the ln rides.
-    "t41_lp" -> ((s, d) =>
-      graft.operators.CorpusOps.kneserNeyTrigramLm(
-        t(s, d, "documents"), "doc_id", "text")),
+    "t41_lp" -> ((s, d) => s.table(StandingLm.ensure(s, d, 3))),
 
     // t44: the ORDER-GENERIC interpolated KN table at order 4 (g, n, ctx,
     // n1f, cont3, mid_ctx3, mid_n1f3, cont2, mid_ctx2, mid_n1f2, n1b,
     // nbg, lp). The oracle recounts all ELEVEN integer statistics in SQL
     // and joins on them — only the ln rides.
-    "t44_lp" -> ((s, d) =>
-      graft.operators.CorpusOps.kneserNeyLmOrder(
-        t(s, d, "documents"), "doc_id", "text", 4)),
+    "t44_lp" -> ((s, d) => s.table(StandingLm.ensure(s, d, 4))),
 
     // t45: the KN bigram table at THREE discounts (discount, bg, n, ctx,
     // n1f, n1b, nbg, lp) — the production sweep of the 0.75 constant
     // (VERDICT r14 #7). The integer statistics are discount-INDEPENDENT,
     // so the oracle recounts them once and joins per discount; only the
     // ln rides, exactly the t40 contract ×3.
-    "t45_lp" -> ((s, d) => {
-      val docs = t(s, d, "documents")
+    "t45_lp" -> ((s, d) =>
       Seq(0.4, 0.75, 0.9).map { disc =>
-        graft.operators.CorpusOps
-          .kneserNeyLm(docs, "doc_id", "text", discount = disc)
+        s.table(StandingLm.ensure(s, d, 2, disc))
           .withColumn("discount", lit(disc))
-      }.reduce(_.unionByName(_))
-    }),
+      }.reduce(_.unionByName(_))),
 
     // s22: the 32 ±1 sign vectors of the MIH code family (planes 100–131 —
     // a dedicated offset so the family is independent of the 0–31 LSH

@@ -1143,8 +1143,15 @@ object ExtensionQueries {
     * replays the position-ordered scoring fold. One definition grades
     * batch (t44) and live (e44).
     */
-  private val kn4ScoreSql =
-      """WITH lm AS (SELECT g, n, ctx, n1f, cont3, mid_ctx3, mid_n1f3,
+  /** The kn4 statistics-validation CTE chain shared by kn4ScoreSql and
+    * the t47 standing-table identity oracle: recounts all ELEVEN integer
+    * statistics from scratch and joins the dumped LM on every one —
+    * `vlm` carries the full validated row, so a stale standing table
+    * (any statistic diverging from the live corpus) drops rows and fails
+    * the row-count compare.
+    */
+  private val kn4StatsCtes =
+      """lm AS (SELECT g, n, ctx, n1f, cont3, mid_ctx3, mid_n1f3,
         |                  cont2, mid_ctx2, mid_n1f2, n1b, nbg, lp
         |           FROM read_parquet('{{AUX}}/t44_lp/*.parquet')),
         |qgc AS (
@@ -1193,7 +1200,7 @@ object ExtensionQueries {
         |  FROM bgc GROUP BY 1),
         |totc AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM bgc),
         |vlm AS (
-        |  SELECT lm.g, lm.lp FROM lm
+        |  SELECT lm.* FROM lm
         |  JOIN qs ON qs.qg = lm.g AND qs.n = lm.n
         |  JOIN ctx4 ON ctx4.w1 = qs.w1 AND ctx4.w2 = qs.w2 AND ctx4.w3 = qs.w3
         |    AND ctx4.ctx = lm.ctx AND ctx4.n1f = lm.n1f
@@ -1206,7 +1213,10 @@ object ExtensionQueries {
         |  JOIN mid2 ON mid2.t2 = qs.w3 AND mid2.mid_ctx2 = lm.mid_ctx2
         |    AND mid2.mid_n1f2 = lm.mid_n1f2
         |  JOIN unic ON unic.w4 = qs.w4 AND unic.n1b = lm.n1b
-        |  JOIN totc ON totc.t = lm.nbg),
+        |  JOIN totc ON totc.t = lm.nbg)""".stripMargin
+
+  private val kn4ScoreSql =
+      s"""WITH $kn4StatsCtes,
         |pos AS (
         |  SELECT doc_id, i,
         |    tk[i + 1] || ' ' || tk[i + 2] || ' ' || tk[i + 3] || ' ' || tk[i + 4] AS qg
@@ -4514,10 +4524,9 @@ object ExtensionQueries {
     // order up. Scoring refolds positions in order through the shared
     // gram fold.
     "t41_kn3_logprob" -> of(kn3ScoreSql) { (s, d) =>
-      val docs = t(s, d, "documents")
-      val lm = graft.operators.CorpusOps.kneserNeyTrigramLm(docs, "doc_id", "text")
-      graft.operators.CorpusOps.trigramLogprob(docs, "doc_id", "text",
-        lm.select(col("tg"), col("lp")), -20.0)
+      val lm = s.table(StandingLm.ensure(s, d, 3))
+      graft.operators.CorpusOps.trigramLogprob(t(s, d, "documents"),
+        "doc_id", "text", lm.select(col("tg"), col("lp")), -20.0)
         .orderBy("doc_id")
     },
 
@@ -4530,11 +4539,27 @@ object ExtensionQueries {
     // sufficient statistics and joins on them — only the ln rides the
     // t44_lp dump.
     "t44_kn4_logprob" -> of(kn4ScoreSql) { (s, d) =>
-      val docs = t(s, d, "documents")
-      val lm = graft.operators.CorpusOps.kneserNeyLmOrder(docs, "doc_id", "text", 4)
-      graft.operators.CorpusOps.ngramLogprob(docs, "doc_id", "text",
-        lm.select(col("g"), col("lp")), -20.0, 4, "g", "n_quadgrams")
+      val lm = s.table(StandingLm.ensure(s, d, 4))
+      graft.operators.CorpusOps.ngramLogprob(t(s, d, "documents"),
+        "doc_id", "text", lm.select(col("g"), col("lp")), -20.0, 4,
+        "g", "n_quadgrams")
         .orderBy("doc_id")
+    },
+
+    // Standing-LM-table identity (t47 — VERDICT r16 #2's proof row): the
+    // persisted order-4 KN table served back verbatim, graded by the
+    // from-scratch DuckDB recount of all ELEVEN integer statistics (the
+    // kn4 CTE chain) joined on every one — so a standing table that
+    // drifted from the live corpus by ANY statistic drops rows and fails
+    // the compare, pinning table == direct derivation end-to-end (the
+    // bit-level lp identity at every order is CorpusPropertySpec's pin;
+    // the transcendental itself rides the dump, t40's trust envelope).
+    "t47_kn_lm_standing" -> of(
+      s"""WITH $kn4StatsCtes
+        |SELECT g, n, ctx, n1f, cont3, mid_ctx3, mid_n1f3,
+        |  cont2, mid_ctx2, mid_n1f2, n1b, nbg, lp
+        |FROM vlm ORDER BY g""") { (s, d) =>
+      s.table(StandingLm.ensure(s, d, 4)).orderBy("g")
     },
 
     // KN discount sweep (t45, VERDICT r14 #7): a production fluency
@@ -4549,8 +4574,7 @@ object ExtensionQueries {
     "t45_kn_discount_sweep" -> of(knDiscountSweepSql) { (s, d) =>
       val docs = t(s, d, "documents")
       Seq(0.4, 0.75, 0.9).map { disc =>
-        val lm = graft.operators.CorpusOps
-          .kneserNeyLm(docs, "doc_id", "text", discount = disc)
+        val lm = s.table(StandingLm.ensure(s, d, 2, disc))
         graft.operators.CorpusOps.bigramLogprob(docs, "doc_id", "text",
           lm.select(col("bg"), col("lp")), -20.0)
           .withColumn("discount", lit(disc))
@@ -4570,8 +4594,7 @@ object ExtensionQueries {
     // The t41 oracle grades the streaming plan with no weakening.
     "e40_stream_kn3_score" -> of(kn3ScoreSql) { (s, d) =>
       import graft.streaming.{EventsStream, KnScoreStream, ScreenStream}
-      val docs = t(s, d, "documents")
-      val lm = graft.operators.CorpusOps.kneserNeyTrigramLm(docs, "doc_id", "text")
+      val lm = s.table(StandingLm.ensure(s, d, 3))
       val scored = KnScoreStream.scoreGrams(
         ScreenStream.readDocs(s, d), "doc_id", "text",
         lm.select(col("tg"), col("lp")), -20.0, 3, "tg")
@@ -4591,8 +4614,7 @@ object ExtensionQueries {
     // grades the streaming plan with no weakening.
     "e44_stream_kn4_score" -> of(kn4ScoreSql) { (s, d) =>
       import graft.streaming.{EventsStream, KnScoreStream, ScreenStream}
-      val docs = t(s, d, "documents")
-      val lm = graft.operators.CorpusOps.kneserNeyLmOrder(docs, "doc_id", "text", 4)
+      val lm = s.table(StandingLm.ensure(s, d, 4))
       val scored = KnScoreStream.scoreGrams(
         ScreenStream.readDocs(s, d), "doc_id", "text",
         lm.select(col("g"), col("lp")), -20.0, 4, "g")
@@ -4610,10 +4632,9 @@ object ExtensionQueries {
     // the oracle recounts all FIVE integer statistics in SQL, joins on
     // them, and refolds positions in order — t22's trust envelope exactly.
     "t40_kn_logprob" -> of(knScoreSql) { (s, d) =>
-      val docs = t(s, d, "documents")
-      val lm = graft.operators.CorpusOps.kneserNeyLm(docs, "doc_id", "text")
-      graft.operators.CorpusOps.bigramLogprob(docs, "doc_id", "text",
-        lm.select(col("bg"), col("lp")), -20.0)
+      val lm = s.table(StandingLm.ensure(s, d, 2))
+      graft.operators.CorpusOps.bigramLogprob(t(s, d, "documents"),
+        "doc_id", "text", lm.select(col("bg"), col("lp")), -20.0)
         .orderBy("doc_id")
     },
 
@@ -4631,8 +4652,7 @@ object ExtensionQueries {
     // CorpusOps.bigramLogprob); the t40 oracle grades the plan verbatim.
     "e39_stream_kn_score" -> of(knScoreSql) { (s, d) =>
       import graft.streaming.{EventsStream, KnScoreStream, ScreenStream}
-      val docs = t(s, d, "documents")
-      val lm = graft.operators.CorpusOps.kneserNeyLm(docs, "doc_id", "text")
+      val lm = s.table(StandingLm.ensure(s, d, 2))
       val scored = KnScoreStream.score(
         ScreenStream.readDocs(s, d), "doc_id", "text",
         lm.select(col("bg"), col("lp")), -20.0)

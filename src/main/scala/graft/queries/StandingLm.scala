@@ -1,0 +1,66 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators.CorpusOps
+import graft.queries.Q.t
+
+/** Standing Kneser–Ney LM tables (VERDICT r16 #2) — the d12/d16 lake
+  * pattern for the fluency-filter family: the corpus n-gram passes (the
+  * expensive part of every KN build) run ONCE per (corpus, order,
+  * discount) and the finished LM head persists as a knob-keyed warehouse
+  * table; every scorer — batch (t40/t41/t44/t45) and streaming
+  * (e39/e40/e44) — serves from the table, paying only the vocabulary-
+  * sized broadcast join + per-doc fold per run. The knobs ARE the layout
+  * (the edit-index naming contract): order and discount are baked into
+  * the table name, so a different smoothing point builds a NEW table
+  * instead of silently serving stale probabilities, and the t45 sweep's
+  * three discount tables coexist. Table-vs-direct identity is
+  * spec-pinned bit-for-bit at every order (CorpusPropertySpec) and
+  * oracle-graded end-to-end (t47: the standing table's eleven integer
+  * statistics recounted from scratch in DuckDB).
+  *
+  * Scale shape: the LM head is vocab-capped (≤262k rows), so the table is
+  * broadcast-sized by construction; what the pattern removes at 100 TB is
+  * the per-serve corpus scan family (order−1 n-gram aggregations over the
+  * whole corpus), exactly the cost class the r16 bench saw e44 re-pay on
+  * every run.
+  */
+object StandingLm {
+
+  /** The builders' gram-column name per order (hand-rolled 2/3 keep their
+    * historical names; the order-generic builder emits `g`).
+    */
+  def gramCol(order: Int): String = order match {
+    case 2 => "bg"
+    case 3 => "tg"
+    case _ => "g"
+  }
+
+  /** Ensure (once per session + sf dir + knobs) the standing KN LM table
+    * over the `documents` corpus; returns its catalog name. Orders 2 and
+    * 3 build through the hand-rolled t40/t41 builders (bit-exact fixed
+    * points of the order-generic recursion, spec-pinned), higher orders
+    * through [[CorpusOps.kneserNeyLmOrder]].
+    */
+  def ensure(s: SparkSession, dir: String, order: Int,
+             discount: Double = 0.75): String = {
+    val name = "kn_lm_" +
+      graft.sources.BucketedLake.layoutSuffix(dir + "#knlm", 8) +
+      s"_o${order}_d${math.round(discount * 100)}"
+    if (!s.catalog.tableExists(name))
+      graft.sources.BucketedLake.writeBucketedTable(
+        s, name, build(s, dir, order, discount), gramCol(order), 8)
+    name
+  }
+
+  private def build(s: SparkSession, dir: String, order: Int,
+                    discount: Double): DataFrame = {
+    val docs = t(s, dir, "documents")
+    order match {
+      case 2 => CorpusOps.kneserNeyLm(docs, "doc_id", "text", discount)
+      case 3 => CorpusOps.kneserNeyTrigramLm(docs, "doc_id", "text", discount)
+      case k => CorpusOps.kneserNeyLmOrder(docs, "doc_id", "text", k, discount)
+    }
+  }
+}

@@ -270,4 +270,27 @@ class CorpusPropertySpec extends SparkSpec {
         s"order-3 lp bit-parity, seed $seed")
     }
   }
+
+  test("StandingLm: table content is bit-identical to the direct builder at every order") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    def rows(df: org.apache.spark.sql.DataFrame, gram: String) =
+      df.collect().map(r => r.getString(r.fieldIndex(gram)) ->
+        r.toSeq.mkString("|")).toMap
+    for ((order, direct) <- Seq[(Int, org.apache.spark.sql.DataFrame)](
+        2 -> CorpusOps.kneserNeyLm(docs, "doc_id", "text"),
+        3 -> CorpusOps.kneserNeyTrigramLm(docs, "doc_id", "text"),
+        4 -> CorpusOps.kneserNeyLmOrder(docs, "doc_id", "text", 4))) {
+      val gram = graft.queries.StandingLm.gramCol(order)
+      val table = spark.table(graft.queries.StandingLm.ensure(spark, dir, order))
+      val (tm, dm) = (rows(table, gram), rows(direct, gram))
+      assert(tm === dm, s"order-$order standing table drifted from direct")
+    }
+    // knobs are the layout: a different discount is a DIFFERENT table
+    val d40 = graft.queries.StandingLm.ensure(spark, dir, 2, 0.4)
+    val d75 = graft.queries.StandingLm.ensure(spark, dir, 2, 0.75)
+    assert(d40 !== d75)
+    assert(rows(spark.table(d40), "bg") ===
+      rows(CorpusOps.kneserNeyLm(docs, "doc_id", "text", discount = 0.4), "bg"))
+  }
 }
