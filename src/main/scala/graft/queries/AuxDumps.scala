@@ -234,7 +234,9 @@ object AuxDumps {
       import graft.operators.{Dedup, Similarity}
       val e = t(s, d, "embeddings")
       val dim = Similarity.vectorDim(e, "embedding")
-      val n = e.count() + e.filter(col("vec_id") < 50).count()
+      // same memo key as s27: the dump replays the gate's frozen knob
+      val n = graft.operators.KnobMemo.corpusN(s, d + "#adaptive_lsh_n")(
+        e.count() + e.filter(col("vec_id") < 50).count())
       val (b, l) = Dedup.adaptiveLshKnobs(n)
       import s.implicits._
       Similarity.hyperplaneSigns(s, b * l, 0, dim).zipWithIndex
@@ -249,7 +251,8 @@ object AuxDumps {
       import graft.operators.Similarity
       val e = t(s, d, "embeddings")
       val dim = Similarity.vectorDim(e, "embedding")
-      val bits = Similarity.adaptiveMihBandBits(e.count())
+      val bits = Similarity.adaptiveMihBandBits(
+        graft.operators.KnobMemo.corpusN(s, d + "#emb_n")(e.count()))
       import s.implicits._
       Similarity.hyperplaneSigns(s, 4 * bits, 100, dim).zipWithIndex
         .map { case (sv, p) => (p, sv.toSeq, bits) }.toSeq

@@ -170,13 +170,19 @@ object ExtensionQueries {
       appended: org.apache.spark.sql.DataFrame): Dedup.EmbeddingSignatureIndex = {
     val prefix =
       "emb_idxa_" + graft.sources.BucketedLake.layoutSuffix(dir + "#emb_app", 16)
-    val (b, l) = Dedup.adaptiveLshKnobs(initial.count())
+    // the knob input is FROZEN at first derivation (KnobMemo — VERDICT
+    // r16 #3): later serves replay the build-time n instead of paying a
+    // corpus count to reconstruct the knob-baked table names
+    val (b, l) = Dedup.adaptiveLshKnobs(
+      graft.operators.KnobMemo.corpusN(s, dir + "#emb_app_initial_n")(
+        initial.count()))
     val sigName = s"${prefix}_sig_p${b}x${l}_b16"
     if (s.catalog.tableExists(sigName)) {
       val vecName = s"${prefix}_vec_p${b}x${l}_b16"
       Dedup.EmbeddingSignatureIndex(sigName, vecName, b, l,
         graft.operators.Similarity.vectorDim(initial, "embedding"),
-        s.table(vecName).count(), 16)
+        graft.operators.KnobMemo.corpusN(s, dir + "#emb_app_vec_n")(
+          s.table(vecName).count()), 16)
     } else
       Dedup.appendEmbeddingSignatureIndex(appended,
         Dedup.writeEmbeddingSignatureIndex(initial, "vec_id", "embedding",
@@ -3641,7 +3647,13 @@ object ExtensionQueries {
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       val planted = plantNearDups(e)
       val universe = e.unionByName(planted)
-      val hits = Dedup.embeddingCosinePairsLsh(universe, "vec_id", "v", 0.9)
+      // the knob input is derived ONCE per (session, corpus) and frozen
+      // (KnobMemo — VERDICT r16 #3); the gate's repeated serves replay it
+      val n = graft.operators.KnobMemo.corpusN(s, d + "#adaptive_lsh_n")(
+        e.count() + e.filter(col("vec_id") < 50).count())
+      val (b, l) = Dedup.adaptiveLshKnobs(n)
+      val hits = Dedup.embeddingCosinePairsLsh(universe, "vec_id", "v", 0.9,
+          planesPerTable = b, tables = l)
         .filter(col("id_a") >= 1000000L || col("id_b") >= 1000000L)
       // truth is enumerated PER PLANTED QUERY (both orientations when a
       // pair's endpoints are both plants), so a both-planted hit must
@@ -3672,7 +3684,8 @@ object ExtensionQueries {
       val planted = plantNearDups(e)
       val caught = Similarity.mihHammingScreen(planted, e, "vec_id", "v",
         radius = 3, bands = 4,
-        bandBits = Similarity.adaptiveMihBandBits(e.count()))
+        bandBits = Similarity.adaptiveMihBandBits(
+          graft.operators.KnobMemo.corpusN(s, d + "#emb_n")(e.count())))
         .select(col("fresh_id").as("query_id"), col("corpus_id").as("other_id"))
       plantedRecallRollup(planted, e, caught)
     },

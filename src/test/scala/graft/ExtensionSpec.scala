@@ -936,6 +936,20 @@ class ExtensionSpec extends SparkSpec {
     spark.sql(s"DROP TABLE $name")
   }
 
+  test("KnobMemo: a frozen knob input replays without re-derivation; keys are independent") {
+    val derived = new java.util.concurrent.atomic.AtomicInteger(0)
+    val key = s"spec_knob_${System.nanoTime()}"
+    def derive(): Long = { derived.incrementAndGet(); 4242L }
+    val first = graft.operators.KnobMemo.corpusN(spark, key)(derive())
+    val replay = graft.operators.KnobMemo.corpusN(spark, key)(derive())
+    assert(first === 4242L && replay === 4242L)
+    assert(derived.get() === 1,
+      "the derivation must run ONCE per key — serves replay the frozen value")
+    // a different key derives independently (different corpus, new family)
+    val other = graft.operators.KnobMemo.corpusN(spark, key + "_b")(99L)
+    assert(other === 99L && derived.get() === 1)
+  }
+
   test("exact dedup keeps lowest tiebreak row and all groups") {
     val out = Dedup.exact(docs, Seq("lang", "source"), "doc_id")
     val groups = docs.select("lang", "source").distinct().count()
