@@ -1250,8 +1250,8 @@ object ExtensionQueries {
         |gsh AS (
         |  SELECT a.doc_id AS fid, b.doc_id AS cid, CAST(COUNT(*) AS BIGINT) AS inter
         |  FROM d a JOIN d b ON a.chunk_hex = b.chunk_hex
-        |  WHERE (a.doc_id >= 100000 OR a.doc_id % 7 = 0)
-        |    AND b.doc_id < 100000 AND b.doc_id % 7 <> 0
+        |  WHERE (a.doc_id >= 100000 OR a.doc_id % 10 = 0)
+        |    AND b.doc_id < 100000 AND b.doc_id % 10 <> 0
         |  GROUP BY 1, 2),
         |gr AS (
         |  SELECT DISTINCT gsh.fid AS doc_id
@@ -1271,8 +1271,8 @@ object ExtensionQueries {
         |tinter AS (
         |  SELECT f.doc_id AS fid, c.doc_id AS cid, COUNT(*) AS inter
         |  FROM tsh f JOIN tsh c ON f.shingle = c.shingle
-        |  WHERE (f.doc_id >= 100000 OR f.doc_id % 7 = 0)
-        |    AND c.doc_id < 100000 AND c.doc_id % 7 <> 0
+        |  WHERE (f.doc_id >= 100000 OR f.doc_id % 10 = 0)
+        |    AND c.doc_id < 100000 AND c.doc_id % 10 <> 0
         |  GROUP BY 1, 2),
         |tr AS (
         |  SELECT DISTINCT fid AS doc_id FROM tinter
@@ -1284,7 +1284,7 @@ object ExtensionQueries {
         |  SELECT DISTINCT f.vec_id AS fid, c.vec_id AS cid
         |  FROM codes f JOIN codes c
         |    ON c.band = f.band AND c.band_val = f.band_val
-        |  WHERE f.vec_id % 7 = 0 AND c.vec_id % 7 <> 0),
+        |  WHERE f.vec_id % 8 = 0 AND c.vec_id % 8 <> 0),
         |mham AS (
         |  SELECT mc.fid, mc.cid,
         |    CAST(SUM(bit_count(xor(a.band_val, b.band_val))) AS BIGINT) AS hamming
@@ -1293,7 +1293,7 @@ object ExtensionQueries {
         |  GROUP BY 1, 2),
         |mr AS (SELECT DISTINCT fid AS doc_id FROM mham WHERE hamming <= 3),
         |freshset AS (
-        |  SELECT doc_id FROM tdocs WHERE doc_id >= 100000 OR doc_id % 7 = 0)
+        |  SELECT doc_id FROM tdocs WHERE doc_id >= 100000 OR doc_id % 10 = 0)
         |SELECT f.doc_id,
         |  CASE WHEN gr.doc_id IS NOT NULL THEN 'media_dup'
         |       WHEN tr.doc_id IS NOT NULL THEN 'text_dup'
@@ -4868,7 +4868,9 @@ object ExtensionQueries {
     // Multimodal corpus-build recipe v3 (t42, VERDICT r12 #5): the three
     // round-12 ingest-screen families COMPOSED into one accept/reject
     // report. A fresh batch (the byte-shifted media twins ≥ 100000 plus
-    // the %7 doc split) runs, in order: (1) gear-CDC chunk screen —
+    // the %10 doc / %8 vec split — preserved residue classes of the
+    // scaled-corpus remap, so the ×N legs replicate the base workload
+    // exactly; ADVICE r15 / VERDICT r16 #5) runs, in order: (1) gear-CDC chunk screen —
     // byte-level shifted copies, the most mechanical dup class; (2) text
     // shingle-Jaccard screen over stage-1 SURVIVORS; (3) MIH Hamming
     // screen (radius 3 = the guaranteed band radius) over stage-1+2
@@ -4887,25 +4889,25 @@ object ExtensionQueries {
       val docs = t(s, d, "documents")
       val media = shiftedMediaCorpus(s, d)
       val mediaRejects = Multimodal.incrementalGearChunkPairs(
-        media.filter(col("doc_id") >= 100000 || col("doc_id") % 7 === 0),
-        media.filter(col("doc_id") < 100000 && col("doc_id") % 7 =!= 0),
+        media.filter(col("doc_id") >= 100000 || col("doc_id") % 10 === 0),
+        media.filter(col("doc_id") < 100000 && col("doc_id") % 10 =!= 0),
         threshold = 0.4)
         .select(col("fresh_id").as("doc_id")).distinct()
-      val freshText = docs.filter(col("doc_id") % 7 === 0)
+      val freshText = docs.filter(col("doc_id") % 10 === 0)
         .select(col("doc_id"), col("text"))
         .unionByName(docs.filter(col("doc_id") < 20)
           .select((col("doc_id") + 100000).cast("long").as("doc_id"),
             concat(lit("~"), col("text")).as("text")))
       val s1 = freshText.join(mediaRejects, Seq("doc_id"), "left_anti")
       val textRejects = Dedup.incrementalJaccardPairs(
-        s1, docs.filter(col("doc_id") % 7 =!= 0), "doc_id", "text")
+        s1, docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text")
         .select(col("fresh_id").as("doc_id")).distinct()
       val s2 = s1.join(textRejects, Seq("doc_id"), "left_anti")
       val embs = t(s, d, "embeddings")
       val embRejects = Similarity.mihHammingScreen(
-        embs.filter(col("vec_id") % 7 === 0)
+        embs.filter(col("vec_id") % 8 === 0)
           .join(s2.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi"),
-        embs.filter(col("vec_id") % 7 =!= 0), "vec_id", "embedding",
+        embs.filter(col("vec_id") % 8 =!= 0), "vec_id", "embedding",
         radius = 3)
         .select(col("fresh_id").as("doc_id")).distinct()
       freshText.select(col("doc_id"))
@@ -4937,13 +4939,13 @@ object ExtensionQueries {
       val media = shiftedMediaCorpus(s, d)
       // --- stage A: gear-CDC media screen (streaming fresh blobs) ---
       val mediaCorpus = media.filter(
-        col("doc_id") < 100000 && col("doc_id") % 7 =!= 0)
+        col("doc_id") < 100000 && col("doc_id") % 10 =!= 0)
       val corpusD = Multimodal.gearDigestSet(mediaCorpus, "corpus_id")
       val gearSizes = corpusD.groupBy("corpus_id")
         .agg(count(lit(1)).as("sz_c"))
       def freshDocsStream() = TableStream.readProbed(s, d, "documents")
       val freshMediaStream = freshDocsStream()
-        .filter(col("doc_id") % 7 === 0)
+        .filter(col("doc_id") % 10 === 0)
         .select(col("doc_id").cast("long").as("doc_id"),
           col("text").cast("binary").as("payload"))
         .unionByName(freshDocsStream().filter(col("doc_id") < 20)
@@ -4959,12 +4961,12 @@ object ExtensionQueries {
           (col("sz_f") + col("sz_c") - col("inter")).cast("double") >= 0.4)
         .select(col("fresh_id").as("doc_id")).distinct()
       // --- stage B: text shingle screen over stage-A survivors ---
-      val textCorpus = docs.filter(col("doc_id") % 7 =!= 0)
+      val textCorpus = docs.filter(col("doc_id") % 10 =!= 0)
       val shC = Dedup.shingleSet(textCorpus, "doc_id", "text", 4,
         persist = false)
       val shSizes = shC.groupBy(col("doc_id")).agg(count(lit(1)).as("set_size"))
       val freshTextStream = freshDocsStream()
-        .filter(col("doc_id") % 7 === 0)
+        .filter(col("doc_id") % 10 === 0)
         .select(col("doc_id").cast("long").as("doc_id"), col("text"))
         .unionByName(freshDocsStream().filter(col("doc_id") < 20)
           .select((col("doc_id") + 100000).cast("long").as("doc_id"),
@@ -4981,9 +4983,9 @@ object ExtensionQueries {
       val dim = Similarity.vectorDim(embs, "embedding")
       val signs = Similarity.hyperplaneSigns(s, 32, 100, dim)
       val corpusCodes = Similarity.mihCodeBands(
-        embs.filter(col("vec_id") % 7 =!= 0), "vec_id", "embedding",
+        embs.filter(col("vec_id") % 8 =!= 0), "vec_id", "embedding",
         "corpus_id", "c_code", signs, 4, 8)
-      val freshIdsStatic = docs.filter(col("doc_id") % 7 === 0)
+      val freshIdsStatic = docs.filter(col("doc_id") % 10 === 0)
         .select(col("doc_id"))
         .unionByName(docs.filter(col("doc_id") < 20)
           .select((col("doc_id") + 100000).cast("long").as("doc_id")))
@@ -4991,7 +4993,7 @@ object ExtensionQueries {
         .join(mediaRejects, Seq("doc_id"), "left_anti")
         .join(textRejects, Seq("doc_id"), "left_anti")
       val freshVecStream = ScreenStream.readEmbeddings(s, d)
-        .filter(col("vec_id") % 7 === 0)
+        .filter(col("vec_id") % 8 === 0)
         .join(survivors2.select(col("doc_id").as("vec_id")),
           Seq("vec_id"), "left_semi")
       val mihSink = s"stream_recipe_mih_${sinkCounter.incrementAndGet()}"
@@ -5031,21 +5033,21 @@ object ExtensionQueries {
       val docs = t(s, d, "documents")
       val media = shiftedMediaCorpus(s, d)
       // --- standing indexes over e42's exact corpus splits ---
-      val sfx = graft.sources.BucketedLake.layoutSuffix(d + "#rcp7", 16)
+      val sfx = graft.sources.BucketedLake.layoutSuffix(d + "#rcp10", 16)
       val gearIdx = Multimodal.writeGearChunkIndex(
-        media.filter(col("doc_id") < 100000 && col("doc_id") % 7 =!= 0),
+        media.filter(col("doc_id") < 100000 && col("doc_id") % 10 =!= 0),
         Multimodal.ChunkIndex(s"rcp_gear_$sfx", s"rcp_gearsz_$sfx"))
       val shIdx = Dedup.writeShingleIndex(
-        docs.filter(col("doc_id") % 7 =!= 0), "doc_id", "text",
+        docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text",
         Dedup.ShingleIndex(s"rcp_sh_$sfx", s"rcp_shsz_$sfx"))
       val embs = t(s, d, "embeddings")
       val mihIdx = Similarity.writeMihIndex(
-        embs.filter(col("vec_id") % 7 =!= 0), "vec_id", "embedding",
+        embs.filter(col("vec_id") % 8 =!= 0), "vec_id", "embedding",
         s"rcp_$sfx")
       // --- stage A: gear screen against the digest index ---
       def freshDocsStream() = TableStream.readProbed(s, d, "documents")
       val freshMediaStream = freshDocsStream()
-        .filter(col("doc_id") % 7 === 0)
+        .filter(col("doc_id") % 10 === 0)
         .select(col("doc_id").cast("long").as("doc_id"),
           col("text").cast("binary").as("payload"))
         .unionByName(freshDocsStream().filter(col("doc_id") < 20)
@@ -5066,7 +5068,7 @@ object ExtensionQueries {
         .select(col("fresh_id").as("doc_id")).distinct()
       // --- stage B: text screen against the shingle index ---
       val freshTextStream = freshDocsStream()
-        .filter(col("doc_id") % 7 === 0)
+        .filter(col("doc_id") % 10 === 0)
         .select(col("doc_id").cast("long").as("doc_id"), col("text"))
         .unionByName(freshDocsStream().filter(col("doc_id") < 20)
           .select((col("doc_id") + 100000).cast("long").as("doc_id"),
@@ -5083,7 +5085,7 @@ object ExtensionQueries {
       val dim = Similarity.vectorDim(embs, "embedding")
       val signs = Similarity.hyperplaneSigns(s,
         mihIdx.bands * mihIdx.bandBits, mihIdx.planeOffset, dim)
-      val freshIdsStatic = docs.filter(col("doc_id") % 7 === 0)
+      val freshIdsStatic = docs.filter(col("doc_id") % 10 === 0)
         .select(col("doc_id"))
         .unionByName(docs.filter(col("doc_id") < 20)
           .select((col("doc_id") + 100000).cast("long").as("doc_id")))
@@ -5091,7 +5093,7 @@ object ExtensionQueries {
         .join(mediaRejects, Seq("doc_id"), "left_anti")
         .join(textRejects, Seq("doc_id"), "left_anti")
       val freshVecStream = ScreenStream.readEmbeddings(s, d)
-        .filter(col("vec_id") % 7 === 0)
+        .filter(col("vec_id") % 8 === 0)
         .join(survivors2.select(col("doc_id").as("vec_id")),
           Seq("vec_id"), "left_semi")
       val mihSink = s"stream_rcpidx_mih_${sinkCounter.incrementAndGet()}"

@@ -44,7 +44,7 @@ object RelationalQueries {
         when(pmod(col("o_orderkey"), lit(15)) === 0, "D").otherwise("U").as("op"),
         col("o_orderstatus"), (col("o_totalprice") * 1.10).as("o_totalprice"),
         (col("o_orderdate").cast("timestamp") + expr("INTERVAL 20 DAYS")).as("ts"))
-    val c3 = o.filter(pmod(col("o_orderkey"), lit(7)) === 0)
+    val c3 = o.filter(pmod(col("o_orderkey"), lit(8)) === 0)
       .select((col("o_orderkey") + 1000000L).as("o_orderkey"),
         lit("U").as("op"), lit("N").as("o_orderstatus"),
         col("o_totalprice"),
@@ -73,7 +73,7 @@ object RelationalQueries {
       |  UNION ALL
       |  SELECT o_orderkey + 1000000, 'U', 'N', o_totalprice,
       |    CAST(o_orderdate AS TIMESTAMP) + INTERVAL 5 DAY
-      |  FROM o WHERE o_orderkey % 7 = 0),
+      |  FROM o WHERE o_orderkey % 8 = 0),
       |latest AS (SELECT * FROM (
       |  SELECT ch.*, ROW_NUMBER() OVER (PARTITION BY o_orderkey
       |    ORDER BY ts DESC, op DESC) AS rn FROM ch) x WHERE rn = 1)
