@@ -222,6 +222,54 @@ object ScaleSmoke {
     fresh.unpersist(blocking = false)
   }
 
+  /** ×N leg for the cluster-label lake + leakage-safe split families
+    * (VERDICT r16 #1 done-criterion "serve cost ∝ batch" and #4 "a ×10
+    * row for t46's batch shape"). Build = standing shingle index + base
+    * label table (the once-per-corpus cost); serve = the d21 fold
+    * (fresh pairs via the standing index probe + delta closure over the
+    * label table read); maintain = the d26 write-back append; split =
+    * t46's assignment given maintained labels (one join + two hash
+    * projections — the operator's own cost, labels never re-derived).
+    */
+  private def labelSplitAb(spark: SparkSession, dir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.operators.{CorpusOps, Dedup}
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val corpus = docs.filter(pmod(col("doc_id"), lit(10)) < 8)
+    val fresh = docs.filter(pmod(col("doc_id"), lit(10)) >= 8)
+    val tag = abTag(dir)
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
+    }
+    val (shIdx, idxSec) = timed {
+      Dedup.writeShingleIndex(corpus, "doc_id", "text",
+        Dedup.ShingleIndex(s"ab_${tag}_lblsh", s"ab_${tag}_lblshsz"))
+    }
+    val (lblTable, buildSec) = timed {
+      Dedup.writeClusterLabels(spark, s"ab_${tag}_lbl",
+        Dedup.dupClusters(Dedup.ngramJaccardPairs(corpus, "doc_id", "text")))
+    }
+    def freshPairs() = Dedup
+      .incrementalJaccardPairsIndexed(fresh, shIdx, "doc_id", "text")
+      .select(col("fresh_id").as("id_a"), col("corpus_id").as("id_b"))
+      .union(Dedup.ngramJaccardPairs(fresh, "doc_id", "text")
+        .select(col("id_a"), col("id_b")))
+    val (serveRows, serveSec) = timed {
+      Dedup.incrementalDupClusters(
+        Dedup.readClusterLabels(spark, lblTable), freshPairs()).count()
+    }
+    val (_, maintainSec) = timed {
+      Dedup.maintainClusterLabels(spark, lblTable, freshPairs())
+    }
+    val weights = Seq("train" -> 90, "val" -> 95, "test" -> 100)
+    val ((splitRows, moved), splitSec) = timed {
+      val sp = CorpusOps.leakageSafeSplit(docs.select("doc_id"),
+        Dedup.readClusterLabels(spark, lblTable), "doc_id", weights)
+      (sp.count(), sp.filter(col("moved")).count())
+    }
+    println(f"""{"mode":"labelab","dir":"$dir","n_docs":${docs.count()},"idx_build_sec":$idxSec%.2f,"label_build_sec":$buildSec%.2f,"serve_sec":$serveSec%.2f,"serve_rows":$serveRows,"maintain_sec":$maintainSec%.2f,"split_sec":$splitSec%.2f,"split_rows":$splitRows,"moved":$moved}""")
+  }
+
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("target/scale10")
     // "exact" = all-pairs ground truth (cap raised for the measurement);
@@ -232,8 +280,9 @@ object ScaleSmoke {
     val recallGate = args.lift(1).contains("recall")
     val indexAbMode = args.lift(1).contains("indexab")
     val editAbMode = args.lift(1).contains("editab")
+    val labelAbMode = args.lift(1).contains("labelab")
     val planesPerTable =
-      if (exact || indexAbMode || editAbMode) 0
+      if (exact || indexAbMode || editAbMode || labelAbMode) 0
       else if (recallGate) args.lift(2).map(_.toInt).getOrElse(0)
       else args.lift(1).map(_.toInt).getOrElse(8)
     val tables =
@@ -261,6 +310,13 @@ object ScaleSmoke {
 
     if (editAbMode) {
       editAdaptiveAb(spark, dir, work)
+      SessionSweep.sweep(spark, blocking = true)
+      spark.stop()
+      return
+    }
+
+    if (labelAbMode) {
+      labelSplitAb(spark, dir)
       SessionSweep.sweep(spark, blocking = true)
       spark.stop()
       return
