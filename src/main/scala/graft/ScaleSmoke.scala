@@ -270,6 +270,67 @@ object ScaleSmoke {
     println(f"""{"mode":"labelab","dir":"$dir","n_docs":${docs.count()},"idx_build_sec":$idxSec%.2f,"label_build_sec":$buildSec%.2f,"serve_sec":$serveSec%.2f,"serve_rows":$serveRows,"maintain_sec":$maintainSec%.2f,"split_sec":$splitSec%.2f,"split_rows":$splitRows,"moved":$moved}""")
   }
 
+  /** The s27/s28 planted recall gates AT THE SCALED KNOB STEP (VERDICT
+    * r16 #7): the oracle-graded gates run at the fixture sf where the
+    * adaptive policies resolve (4,8)/8-bit; this leg replays the same
+    * plant (deterministic ±5% coordinate perturbation of vec_id < 50 —
+    * cosine ≥ 0.998 to the source), the same exact planted-query × corpus
+    * ≥0.9 truth (50·n work), and the same screens with knobs LEFT TO THE
+    * POLICIES against a scaled corpus, so the knob step the policies
+    * take at ×10 (e.g. (4,8)→(8,16)) is recall-MEASURED, not formula-
+    * asserted. Emits per-family total and minimum per-query recall.
+    */
+  private def plantedRecallAb(spark: SparkSession, dir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.operators.{Dedup, Similarity}
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val planted = e.filter(col("vec_id") < 50)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        expr("transform(v, (x, i) -> x * (1.0D + 0.05D * " +
+          "(CASE WHEN i % 2 = 0 THEN 1.0D ELSE -1.0D END)))").as("v"))
+    val universe = e.unionByName(planted).persist()
+    val n = universe.count()
+    val (b, l) = Dedup.adaptiveLshKnobs(n)
+    val bits = Similarity.adaptiveMihBandBits(e.count())
+    def withNorm(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("norm", graft.operators.Similarity.l2norm(col("v")))
+    def truth(others: org.apache.spark.sql.DataFrame) = withNorm(planted)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qn"))
+      .crossJoin(withNorm(others).select(col("vec_id").as("other_id"),
+        col("v").as("ov"), col("norm").as("onn")))
+      .filter(col("query_id") =!= col("other_id"))
+      .filter(Similarity.dot(col("qv"), col("ov")) / (col("qn") * col("onn")) >= 0.9)
+      .select("query_id", "other_id")
+    def rollup(t: org.apache.spark.sql.DataFrame,
+               caught: org.apache.spark.sql.DataFrame): (Long, Long, Double) = {
+      val per = t.join(caught.withColumn("hit", lit(1L)),
+          Seq("query_id", "other_id"), "left")
+        .groupBy("query_id")
+        .agg(count(lit(1)).as("tn"), sum(coalesce(col("hit"), lit(0L))).as("cn"))
+        .agg(sum("tn"), sum("cn"),
+          min(col("cn").cast("double") / col("tn").cast("double")))
+        .head()
+      (per.getLong(0), per.getLong(1), per.getDouble(2))
+    }
+    val lshHits = Dedup.embeddingCosinePairsLsh(universe, "vec_id", "v", 0.9, b, l)
+      .filter(col("id_a") >= 1000000L || col("id_b") >= 1000000L)
+    val lshCaught = lshHits
+      .select(when(col("id_b") >= 1000000L, col("id_b")).otherwise(col("id_a"))
+          .as("query_id"),
+        when(col("id_b") >= 1000000L, col("id_a")).otherwise(col("id_b"))
+          .as("other_id"))
+      .union(lshHits.filter(col("id_a") >= 1000000L && col("id_b") >= 1000000L)
+        .select(col("id_a").as("query_id"), col("id_b").as("other_id")))
+    val (lt, lc, lmin) = rollup(truth(universe), lshCaught)
+    val mihCaught = Similarity.mihHammingScreen(planted, e, "vec_id", "v",
+        radius = 3, bands = 4, bandBits = bits)
+      .select(col("fresh_id").as("query_id"), col("corpus_id").as("other_id"))
+    val (mt, mc, mmin) = rollup(truth(e), mihCaught)
+    universe.unpersist(blocking = false)
+    println(f"""{"mode":"plantedrecall","dir":"$dir","n":$n,"lsh_b":$b,"lsh_l":$l,"mih_bits":$bits,"lsh_truth":$lt,"lsh_caught":$lc,"lsh_min_query_recall":$lmin%.4f,"mih_truth":$mt,"mih_caught":$mc,"mih_min_query_recall":$mmin%.4f}""")
+  }
+
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("target/scale10")
     // "exact" = all-pairs ground truth (cap raised for the measurement);
@@ -281,8 +342,9 @@ object ScaleSmoke {
     val indexAbMode = args.lift(1).contains("indexab")
     val editAbMode = args.lift(1).contains("editab")
     val labelAbMode = args.lift(1).contains("labelab")
+    val plantedMode = args.lift(1).contains("plantedrecall")
     val planesPerTable =
-      if (exact || indexAbMode || editAbMode || labelAbMode) 0
+      if (exact || indexAbMode || editAbMode || labelAbMode || plantedMode) 0
       else if (recallGate) args.lift(2).map(_.toInt).getOrElse(0)
       else args.lift(1).map(_.toInt).getOrElse(8)
     val tables =
@@ -317,6 +379,13 @@ object ScaleSmoke {
 
     if (labelAbMode) {
       labelSplitAb(spark, dir)
+      SessionSweep.sweep(spark, blocking = true)
+      spark.stop()
+      return
+    }
+
+    if (plantedMode) {
+      plantedRecallAb(spark, dir)
       SessionSweep.sweep(spark, blocking = true)
       spark.stop()
       return
