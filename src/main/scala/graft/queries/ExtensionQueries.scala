@@ -4575,6 +4575,105 @@ object ExtensionQueries {
       s.table(StandingLm.ensure(s, d, 4)).orderBy("g")
     },
 
+    // Corpus-build v4 (t48 — VERDICT r16 #7): the assembled ingest
+    // pipeline END TO END on standing structures, one oracle. An arriving
+    // batch (doc_id % 10 >= 8, the d21 family's ingest) flows through:
+    // (1) near-dup screen — cross pairs against the d12 STANDING shingle
+    // index plus the batch's internal pairs under first-seen-wins (the
+    // smaller id survives); (2) decontamination — survivors' 8-token
+    // shingles probe the t34 benchmark set (doc_id < 50; a benchmark doc
+    // arriving in training data rejects itself — the point of the
+    // screen); (3) leakage-safe split — survivors take their cluster's
+    // hash split from the MAINTAINED standing label table (d26's
+    // write-back), with the `moved` audit riding. Rejects report their
+    // FIRST-rejecting stage, t42's priority contract. Per-ingest cost is
+    // batch shingling + bucket-pruned probes + two hash projections —
+    // zero corpus-side derivation anywhere, the 100 TB serving shape of
+    // the whole assembly. The oracle composes the jaccard screen, the
+    // t34 contamination probe, the d08 recursive closure and the t46
+    // split arithmetic from scratch in SQL.
+    "t48_corpus_build_v4" -> of(
+      s"""WITH RECURSIVE ${jaccardCtes(None)},
+        |edges AS (
+        |  SELECT id_a, id_b FROM jp UNION ALL SELECT id_b, id_a FROM jp),
+        |fresh AS (SELECT doc_id FROM documents WHERE doc_id % 10 >= 8),
+        |dupr AS (
+        |  SELECT DISTINCT e.id_a AS doc_id FROM edges e
+        |  WHERE e.id_a % 10 >= 8
+        |    AND (e.id_b % 10 < 8 OR e.id_b < e.id_a)),
+        |toks8 AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |sh8 AS (
+        |  SELECT DISTINCT doc_id, ${(0 until 8).map(j => s"tk[i+$j]").mkString(" || ' ' || ")} AS g
+        |  FROM toks8, UNNEST(range(1, len(tk) - 6)) AS u(i)),
+        |contam AS (
+        |  SELECT DISTINCT s.doc_id FROM sh8 s
+        |  JOIN (SELECT DISTINCT g FROM sh8 WHERE doc_id < 50) b USING (g)
+        |  WHERE s.doc_id % 10 >= 8),
+        |reach(id, label) AS (
+        |  SELECT id_a, id_a FROM edges
+        |  UNION
+        |  SELECT e.id_a, r.label FROM edges e JOIN reach r ON r.id = e.id_b),
+        |cl AS (SELECT id AS doc_id, MIN(label) AS cluster FROM reach GROUP BY id),
+        |lab AS (
+        |  SELECT f.doc_id, COALESCE(cl.cluster, f.doc_id) AS cluster
+        |  FROM fresh f LEFT JOIN cl USING (doc_id)),
+        |dh AS (SELECT doc_id, ((h % 100) + 100) % 100 AS bucket
+        |  FROM read_parquet('{{AUX}}/doc_hashes/*.parquet'))
+        |SELECT f.doc_id,
+        |  CASE WHEN d.doc_id IS NOT NULL THEN 'near_dup'
+        |       WHEN c.doc_id IS NOT NULL THEN 'contaminated'
+        |       WHEN ch.bucket < 90 THEN 'train'
+        |       WHEN ch.bucket < 95 THEN 'val' ELSE 'test' END AS verdict,
+        |  CASE WHEN d.doc_id IS NOT NULL OR c.doc_id IS NOT NULL THEN FALSE
+        |       ELSE (CASE WHEN ch.bucket < 90 THEN 'train'
+        |                  WHEN ch.bucket < 95 THEN 'val' ELSE 'test' END)
+        |         <> (CASE WHEN oh.bucket < 90 THEN 'train'
+        |                  WHEN oh.bucket < 95 THEN 'val' ELSE 'test' END)
+        |  END AS moved
+        |FROM fresh f
+        |LEFT JOIN dupr d ON d.doc_id = f.doc_id
+        |LEFT JOIN contam c ON c.doc_id = f.doc_id
+        |JOIN lab l ON l.doc_id = f.doc_id
+        |JOIN dh ch ON ch.doc_id = l.cluster
+        |JOIN dh oh ON oh.doc_id = f.doc_id
+        |ORDER BY f.doc_id""") { (s, d) =>
+      val docs = t(s, d, "documents")
+      val fresh = docs.filter(pmod(col("doc_id"), lit(10)) >= 8)
+      val idx = ensureShingleIndex(s, d,
+        docs.filter(pmod(col("doc_id"), lit(10)) < 8))
+      val dupRejects = Dedup
+        .incrementalJaccardPairsIndexed(fresh, idx, "doc_id", "text")
+        .select(col("fresh_id").as("doc_id"))
+        .union(Dedup.ngramJaccardPairs(fresh, "doc_id", "text")
+          .select(col("id_b").as("doc_id")))
+        .distinct()
+      val s1 = fresh.join(dupRejects, Seq("doc_id"), "left_anti")
+      val bg = docs.filter(col("doc_id") < 50)
+        .select(explode(array_distinct(
+          wordShingles(tokens(col("text")), 8))).as("g")).distinct()
+      val contam = s1
+        .select(col("doc_id"), explode(array_distinct(
+          wordShingles(tokens(col("text")), 8))).as("g"))
+        .join(broadcast(bg), "g").select("doc_id").distinct()
+      val s2 = s1.join(contam, Seq("doc_id"), "left_anti")
+      val labels = Dedup.readClusterLabels(
+        s, ensureMaintainedClusterLabels(s, d, docs))
+      val assigned = graft.operators.CorpusOps.leakageSafeSplit(
+        s2.select("doc_id"), labels, "doc_id",
+        Seq("train" -> 90, "val" -> 95, "test" -> 100))
+      fresh.select("doc_id")
+        .join(dupRejects.withColumn("__d", lit(1)), Seq("doc_id"), "left")
+        .join(contam.withColumn("__c", lit(1)), Seq("doc_id"), "left")
+        .join(assigned.select(col("doc_id"), col("split"), col("moved")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("__d") === 1, "near_dup")
+            .when(col("__c") === 1, "contaminated")
+            .otherwise(col("split")).as("verdict"),
+          coalesce(col("moved"), lit(false)).as("moved"))
+        .orderBy("doc_id")
+    },
+
     // KN discount sweep (t45, VERDICT r14 #7): a production fluency
     // filter SWEEPS the absolute discount instead of trusting 0.75 — the
     // 11 integer statistics are discount-independent (one corpus pass
