@@ -470,7 +470,19 @@ object Dedup {
     * hooks onto itself, so it is the component's last surviving supernode.
     */
   def dupClusters(pairs: DataFrame, maxIters: Int = 50): DataFrame =
-    dupClustersWithRounds(pairs, maxIters)._1
+    dupClustersWithRounds(pairs, maxIters, localSolve = true)._1
+
+  /** Edge-count gate for the small-graph local solve: ≤ this many
+    * DISTINCT canonical pair rows (≈32 MB collected at 2×8 B per row)
+    * resolve on the driver via min-root union-find — exact same min-id
+    * labels as the distributed closure (spec-pinned on random graphs),
+    * without the per-round job latency that dominates a delta-sized
+    * subgraph (an ingest batch's touched clusters, a fixture corpus).
+    * Above the cap the hook-flatten contraction loop is the scale path,
+    * unchanged. The same economics as AQE localizing a small shuffle:
+    * the DATA decides, and the big-data path is always there.
+    */
+  private val LocalSolveEdgeCap = 1L << 21
 
   /** [[dupClusters]] plus the number of contraction rounds it ran —
     * operational telemetry (a rounds count near `maxIters` says the pair
@@ -478,7 +490,9 @@ object Dedup {
     * convergence-rate spec measures through.
     */
   private[graft] def dupClustersWithRounds(pairs: DataFrame,
-                                           maxIters: Int = 50): (DataFrame, Int) = {
+                                           maxIters: Int = 50,
+                                           localSolve: Boolean = false)
+      : (DataFrame, Int) = {
     val spark = pairs.sparkSession
     val level = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // Every per-round intermediate is materialized into an RDD WE hold the
@@ -521,6 +535,47 @@ object Dedup {
       .distinct()
     var (eRdd, eCnt) = materialize(e0)(r => r.get(0) != r.get(1))
     retained += eRdd
+    // small-graph local solve (see [[LocalSolveEdgeCap]]): the input is
+    // already materialized and counted, so the gate is free; long-typed
+    // ids only (every graft pair generator), the distributed loop handles
+    // anything else. Union-to-the-smaller-root keeps each root the
+    // component MINIMUM by induction, so labels are bit-identical to the
+    // contraction loop's.
+    val longIds = e0.schema.fields.forall(
+      _.dataType == org.apache.spark.sql.types.LongType)
+    if (localSolve && longIds && eCnt <= LocalSolveEdgeCap &&
+        eRdd.count() <= 2 * LocalSolveEdgeCap) {
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (c != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      eRdd.collect().foreach { row =>
+        val a = row.getLong(0); val b = row.getLong(1)
+        if (!parent.contains(a)) parent(a) = a
+        if (!parent.contains(b)) parent(b) = b
+        if (a != b) {
+          val (ra, rb) = (find(a), find(b))
+          if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+        }
+      }
+      val out = parent.keys.toArray.map(id =>
+        org.apache.spark.sql.Row(id, find(id)))
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("cluster",
+          org.apache.spark.sql.types.LongType, nullable = false)))
+      val result = spark.createDataFrame(
+        spark.sparkContext.parallelize(out.toIndexedSeq,
+          math.max(1, math.min(spark.sparkContext.defaultParallelism,
+            out.length / 4096 + 1))), schema)
+      eRdd.unpersist(blocking = false)
+      return (result, 0)
+    }
     var edges = spark.createDataFrame(eRdd, e0.schema)
       .filter(col("a") =!= col("b"))
     var mapping: Option[DataFrame] = None
@@ -674,9 +729,10 @@ object Dedup {
     */
   def incrementalDupClusters(standing: DataFrame, freshPairs: DataFrame,
                              maxIters: Int = 50): DataFrame = {
+    val st = Caching.persisted(standing)
     val (members, relabeled) =
-      incrementalDupClustersParts(standing, freshPairs, maxIters)
-    standing.join(members.select(col("id")), Seq("id"), "left_anti")
+      incrementalDupClustersParts(st, freshPairs, maxIters)
+    st.join(members.select(col("id")), Seq("id"), "left_anti")
       .select(col("id"), col("cluster"))
       .union(relabeled.select(col("id"), col("cluster")))
   }
@@ -690,15 +746,22 @@ object Dedup {
   private[graft] def incrementalDupClustersParts(
       standing: DataFrame, freshPairs: DataFrame,
       maxIters: Int = 50): (DataFrame, DataFrame) = {
-    val touched = freshPairs.select(col("id_a").as("id"))
-      .union(freshPairs.select(col("id_b").as("id"))).distinct()
-    val affectedClusters = standing.join(touched, Seq("id"), "left_semi")
+    // both inputs are referenced by MULTIPLE actions of the fold (touched,
+    // members, subgraph seed, the caller's anti-join): persist them so the
+    // pair screen and the label read each run ONCE, not once per branch —
+    // the r16 shapes hid this behind the corpus closure's checkpoint; a
+    // table-served standing side exposed it (~3× the screen per serve)
+    val st = Caching.persisted(standing)
+    val fp = Caching.persisted(freshPairs.select(col("id_a"), col("id_b")))
+    val touched = fp.select(col("id_a").as("id"))
+      .union(fp.select(col("id_b").as("id"))).distinct()
+    val affectedClusters = st.join(touched, Seq("id"), "left_semi")
       .select(col("cluster")).distinct()
-    val members = standing.join(affectedClusters, Seq("cluster"), "left_semi")
+    val members = st.join(affectedClusters, Seq("cluster"), "left_semi")
     // Star edges carry each touched cluster's full membership (and its
     // standing min label, which keeps label minimality exact) into the
     // subgraph alongside the raw fresh pairs.
-    val subEdges = freshPairs.select(col("id_a"), col("id_b"))
+    val subEdges = fp
       .union(members.select(col("id").as("id_a"), col("cluster").as("id_b")))
     (members, dupClusters(subEdges, maxIters))
   }

@@ -5919,7 +5919,10 @@ object ExtensionQueries {
       val docs = t(s, d, "documents")
       val standing = Dedup.readClusterLabels(
         s, ensureCorpusClusterLabels(s, d, docs))
-      val freshPairs = freshClusterPairs(s, d, docs)
+      // persisted: the feed writes BOTH parity files from this frame —
+      // without it each dump re-runs the whole screen
+      val freshPairs = graft.operators.Caching.persisted(
+        freshClusterPairs(s, d, docs))
       // the e29 changelog-feed pattern: pair rows land as files and
       // stream in one per trigger, split by a deterministic parity
       val root = java.nio.file.Files.createTempDirectory("graft-pairs-feed-")

@@ -883,6 +883,25 @@ class ExtensionSpec extends SparkSpec {
     assert(none.count() === 0)
   }
 
+  test("dup clusters: local solve and distributed contraction agree on random graphs") {
+    import spark.implicits._
+    val rng = new scala.util.Random(42)
+    for (trial <- 1 to 4) {
+      // random graph with chains, stars and merges; some self-pairs
+      val n = 200 + trial * 100
+      val edges = (1 to n).map { _ =>
+        (rng.nextInt(120).toLong, rng.nextInt(120).toLong)
+      } ++ Seq((500L, 500L))
+      val pairs = edges.toDF("id_a", "id_b")
+      val local = Dedup.dupClusters(pairs) // gated → local union-find
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val dist = Dedup.dupClustersWithRounds(pairs)._1 // always distributed
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(local === dist, s"trial $trial: label sets diverged")
+      assert(local(500L) === 500L, "self-pair singleton contract")
+    }
+  }
+
   test("dup clusters: self-pairs yield singleton rows; empty input yields empty") {
     import spark.implicits._
     // (7,7) is an id seen ONLY as a self-pair — no connectivity, but the
