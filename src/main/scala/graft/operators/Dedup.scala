@@ -829,6 +829,36 @@ object Dedup {
     name
   }
 
+  /** Compact a standing label table back to a single epoch — the
+    * appendBucketedTable contract's "rewrite when appends accumulate"
+    * step for labels (the d18 compaction rung): the merge-on-read result
+    * is materialized once, the table rewritten at epoch 0 under the SAME
+    * bucket spec, and every superseded delta row drops. Reads before and
+    * after are bit-identical by construction ([[readClusterLabels]] IS
+    * the merge the rewrite materializes — spec-pinned); what compaction
+    * buys is the read-side fold shrinking back to one row per id and
+    * single-file buckets that stay globally sorted. Run it on a cadence
+    * (epochs × delta volume), never on the ingest path.
+    */
+  def compactClusterLabels(spark: org.apache.spark.sql.SparkSession,
+                           name: String, buckets: Int = 16): String = {
+    // materialize the merged labeling BEFORE the overwrite (the rewrite
+    // reads the very table it replaces) — through the held-handle RDD
+    // pattern, not Dataset.localCheckpoint (whose hidden persisted RDD
+    // nothing can free; the dupClusters lesson)
+    val plan = readClusterLabels(spark, name).withColumn("epoch", lit(0L))
+    val rdd = plan.rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    rdd.localCheckpoint()
+    rdd.count() // force: the overwrite must never re-read the old files
+    spark.createDataFrame(rdd, plan.schema)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .bucketBy(buckets, "id").sortBy("id")
+      .format("parquet").saveAsTable(name)
+    rdd.unpersist(blocking = false)
+    name
+  }
+
   /** Pluggable survivor selection over dup clusters: instead of the default
     * min-id survivor, keep each cluster's highest-`score` member (ties →
     * lowest id) — the "keep the best copy" policy a curation pipeline wants

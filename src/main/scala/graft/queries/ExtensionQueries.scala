@@ -2670,6 +2670,25 @@ object ExtensionQueries {
         .orderBy("doc_id")
     },
 
+    // Label-table COMPACTION (d27 — the lifecycle's last rung): after
+    // maintenance epochs accumulate, the merge-on-read result rewrites
+    // the table at a single epoch 0 under the same bucket spec (the d18
+    // compaction step for labels; run on a cadence, never on the ingest
+    // path). Reads before and after are bit-identical by construction —
+    // readClusterLabels IS the merge the rewrite materializes — so the
+    // same from-scratch d08 oracle grades the COMPACTED table, closing
+    // the loop: build (epoch 0) → maintain (d26, delta appends) →
+    // compact (d27, one row per id again, single-file globally-sorted
+    // buckets) all land on one answer.
+    "d27_label_table_compaction" -> of(d21OracleSql) { (s, d) =>
+      val name = ensureMaintainedClusterLabels(s, d, t(s, d, "documents"))
+      Dedup.compactClusterLabels(s, name)
+      Dedup.readClusterLabels(s, name)
+        .select(col("id").as("doc_id"), col("cluster"),
+          (col("id") === col("cluster")).as("is_survivor"))
+        .orderBy("doc_id")
+    },
+
     // Cross-source duplication matrix (t35): which sources duplicate into
     // which — the rollup a curation owner reads before dropping mirror
     // sites or re-weighting a scraped source. One row per unordered

@@ -952,6 +952,20 @@ class ExtensionSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(read3(60L) === 40L && read3(41L) === 40L)
     assert(read3 - 60L === full, "untouched labels must ride through")
+    // COMPACTION: merge-on-read materialized back to a single epoch —
+    // read identical, epochs collapse, further maintenance still works
+    Dedup.compactClusterLabels(spark, name, buckets = 4)
+    val compacted = Dedup.readClusterLabels(spark, name)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(compacted === read3, "compaction must not change the labeling")
+    assert(spark.table(name).select("epoch").distinct().count() === 1)
+    assert(spark.table(name).count() === read3.size.toLong,
+      "compaction must drop every superseded delta row")
+    Dedup.maintainClusterLabels(spark, name,
+      Seq((70L, 60L)).toDF("id_a", "id_b"), buckets = 4)
+    assert(Dedup.readClusterLabels(spark, name)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      .apply(70L) === 40L, "post-compaction maintenance must keep folding")
     spark.sql(s"DROP TABLE $name")
   }
 
