@@ -473,16 +473,21 @@ object Dedup {
     dupClustersWithRounds(pairs, maxIters, localSolve = true)._1
 
   /** Edge-count gate for the small-graph local solve: ≤ this many
-    * DISTINCT canonical pair rows (≈32 MB collected at 2×8 B per row)
-    * resolve on the driver via min-root union-find — exact same min-id
-    * labels as the distributed closure (spec-pinned on random graphs),
-    * without the per-round job latency that dominates a delta-sized
-    * subgraph (an ingest batch's touched clusters, a fixture corpus).
-    * Above the cap the hook-flatten contraction loop is the scale path,
-    * unchanged. The same economics as AQE localizing a small shuffle:
-    * the DATA decides, and the big-data path is always there.
+    * DISTINCT canonical non-self pair rows (total rows ≤ 2× including
+    * self-pairs) resolve on the driver via min-root union-find — exact
+    * same min-id labels as the distributed closure (spec-pinned on
+    * random graphs), without the per-round job latency that dominates a
+    * delta-sized subgraph (an ingest batch's touched clusters, a fixture
+    * corpus). Memory is the real budget, sized honestly: rows collect as
+    * primitive-long pairs (never GenericRow), so the transient driver
+    * footprint at the cap is ~2M boxed-tuple rows + the LongMap + the
+    * output array — low hundreds of MB, within any multi-GB driver but
+    * NOT a 1g default; lower the cap before raising it. Above the cap
+    * the hook-flatten contraction loop is the scale path, unchanged. The
+    * same economics as AQE localizing a small shuffle: the DATA decides,
+    * and the big-data path is always there.
     */
-  private val LocalSolveEdgeCap = 1L << 21
+  private val LocalSolveEdgeCap = 1L << 20
 
   /** [[dupClusters]] plus the number of contraction rounds it ran —
     * operational telemetry (a rounds count near `maxIters` says the pair
@@ -553,8 +558,8 @@ object Dedup {
         while (c != r) { val n = parent(c); parent(c) = r; c = n }
         r
       }
-      eRdd.collect().foreach { row =>
-        val a = row.getLong(0); val b = row.getLong(1)
+      eRdd.map(r => (r.getLong(0), r.getLong(1))).collect().foreach { p =>
+        val (a, b) = p
         if (!parent.contains(a)) parent(a) = a
         if (!parent.contains(b)) parent(b) = b
         if (a != b) {
@@ -821,7 +826,10 @@ object Dedup {
     val standing = readClusterLabels(spark, name)
     val (_, relabeled) =
       incrementalDupClustersParts(standing, freshPairs, maxIters)
-    val next = spark.table(name).agg(max(col("epoch"))).head().getLong(0) + 1L
+    // coalesce: an EMPTY standing table (dup-free corpus — a supported
+    // degenerate case) has a null max; the first fold then lands at epoch 0
+    val next = spark.table(name)
+      .agg(coalesce(max(col("epoch")), lit(-1L))).head().getLong(0) + 1L
     graft.sources.BucketedLake.appendBucketedTable(spark, name,
       relabeled.select(col("id"), col("cluster"))
         .withColumn("epoch", lit(next)),

@@ -1857,12 +1857,19 @@ object ExtensionQueries {
     */
   private def ensureCorpusClusterLabels(
       s: org.apache.spark.sql.SparkSession, dir: String,
-      docs: org.apache.spark.sql.DataFrame): String =
-    Dedup.writeClusterLabels(s,
-      "dup_labels_" +
-        graft.sources.BucketedLake.layoutSuffix(dir + "#dup_labels_c8", 16),
-      Dedup.dupClusters(Dedup.ngramJaccardPairs(
-        docs.filter(pmod(col("doc_id"), lit(10)) < 8), "doc_id", "text")))
+      docs: org.apache.spark.sql.DataFrame): String = {
+    val name = "dup_labels_" +
+      graft.sources.BucketedLake.layoutSuffix(dir + "#dup_labels_c8", 16)
+    // guard BEFORE deriving: dupClusters is eager (its contraction loop
+    // runs jobs at call time), so evaluating it as writeClusterLabels'
+    // argument would re-run the corpus screen + closure on every serve
+    // even though the write itself is skipped (r17 self-review)
+    if (!s.catalog.tableExists(name))
+      Dedup.writeClusterLabels(s, name,
+        Dedup.dupClusters(Dedup.ngramJaccardPairs(
+          docs.filter(pmod(col("doc_id"), lit(10)) < 8), "doc_id", "text")))
+    name
+  }
 
   /** The fresh batch's near-dup pairs for the cluster family's
     * maintenance — cross pairs from the STANDING shingle index (the d12

@@ -45,9 +45,14 @@ object StandingLm {
     */
   def ensure(s: SparkSession, dir: String, order: Int,
              discount: Double = 0.75): String = {
+    // the discount encodes LOSSLESSLY (shortest-roundtrip toString, '.'
+    // and '-' made identifier-safe): rounding to a percent would let two
+    // nearby discounts silently share one table — exactly the stale-
+    // probability failure the knob-baked naming exists to prevent
+    val dTag = discount.toString.replace('.', 'p').replace('-', 'm')
     val name = "kn_lm_" +
       graft.sources.BucketedLake.layoutSuffix(dir + "#knlm", 8) +
-      s"_o${order}_d${math.round(discount * 100)}"
+      s"_o${order}_d$dTag"
     if (!s.catalog.tableExists(name))
       graft.sources.BucketedLake.writeBucketedTable(
         s, name, build(s, dir, order, discount), gramCol(order), 8)

@@ -967,6 +967,19 @@ class ExtensionSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       .apply(70L) === 40L, "post-compaction maintenance must keep folding")
     spark.sql(s"DROP TABLE $name")
+    // dup-free degenerate case (r17 self-review): an EMPTY base table —
+    // the corpus had no pairs — must accept its first fold, not NPE on
+    // the null max(epoch)
+    val empty = s"labels_spec_empty_${System.nanoTime()}"
+    Dedup.writeClusterLabels(spark, empty,
+      Dedup.dupClusters(spark.emptyDataset[(Long, Long)].toDF("id_a", "id_b")),
+      buckets = 4)
+    Dedup.maintainClusterLabels(spark, empty,
+      Seq((1L, 2L)).toDF("id_a", "id_b"), buckets = 4)
+    assert(Dedup.readClusterLabels(spark, empty)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ===
+      Map(1L -> 1L, 2L -> 1L))
+    spark.sql(s"DROP TABLE $empty")
   }
 
   test("KnobMemo: a frozen knob input replays without re-derivation; keys are independent") {
