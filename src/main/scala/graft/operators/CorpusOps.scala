@@ -829,14 +829,45 @@ object CorpusOps {
     */
   def kneserNeyLmOrder(docs: DataFrame, idCol: String, textCol: String,
                        order: Int, discount: Double = 0.75,
-                       vocabCap: Int = 262144): DataFrame = {
+                       vocabCap: Int = 262144): DataFrame =
+    kneserNeyHeadFromCounts(
+      k => Caching.persisted(knGramCounts(docs, textCol, k)),
+      order, discount, vocabCap)
+
+  /** The KN sufficient-statistics primitive: raw k-gram corpus counts
+    * (g, n) — ONE exploded aggregation over the corpus, and the only
+    * corpus-sized computation in any Kneser–Ney build (every statistic in
+    * [[kneserNeyHeadFromCounts]] derives from these tables). Counts are
+    * exact longs, so they fold ADDITIVELY under corpus append — the
+    * property the standing gram-count lake ([[writeKnGramTable]] /
+    * [[maintainKnGramTable]]) turns into the LM family's maintenance
+    * rung.
+    */
+  def knGramCounts(docs: DataFrame, textCol: String, k: Int): DataFrame =
+    docs.select(explode(wordShingles(tokens(col(textCol)), k)).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("n"))
+
+  /** [[kneserNeyLmOrder]]'s head derivation split from its corpus passes:
+    * builds the order-`order` KN head from a PROVIDER of k-gram count
+    * tables (k = 2..order, each (g, n)) instead of the corpus itself —
+    * the expression tree is the same object code as the docs-driven
+    * builder, so a head derived from maintained standing gram tables is
+    * bit-identical to a from-scratch retrain whenever the summed counts
+    * match (exact integers in, the identical float tree out). The
+    * provider is memoized: each order's table is fetched once however
+    * many levels consume it (the docs path previously recomputed the
+    * top-order gram aggregation twice, once for the last middle level's
+    * type table and once for the raw top counts).
+    */
+  def kneserNeyHeadFromCounts(gramCounts: Int => DataFrame, order: Int,
+                              discount: Double = 0.75,
+                              vocabCap: Int = 262144): DataFrame = {
     require(order >= 2, s"order must be >= 2, got $order")
     val d = lit(discount)
-    def gramCounts(k: Int) = docs
-      .select(explode(wordShingles(tokens(col(textCol)), k)).as("g"))
-      .groupBy(col("g")).agg(count(lit(1)).as("n"))
+    val memo = scala.collection.mutable.Map.empty[Int, DataFrame]
+    def gc(k: Int): DataFrame = memo.getOrElseUpdate(k, gramCounts(k))
     // level 1: continuation unigrams from bigram TYPES
-    val bg = Caching.persisted(gramCounts(2))
+    val bg = gc(2)
     val tot = bg.agg(count(lit(1)).as("nbg"))
     var stats: Seq[String] = Seq("n1b", "nbg")
     var p: DataFrame = bg
@@ -847,7 +878,7 @@ object CorpusOps {
         (col("n1b").cast("double") / col("nbg").cast("double")).as("p")): _*)
     // middle levels k = 2 .. order−1, each from the (k+1)-gram type table
     for (k <- 2 until order) {
-      val types = Caching.persisted(gramCounts(k + 1))
+      val types = gc(k + 1)
         .select(substring_index(col("g"), " ", -k).as("sfxk"),
           substring_index(substring_index(col("g"), " ", k), " ", -(k - 1))
             .as("midk"),
@@ -874,8 +905,7 @@ object CorpusOps {
       stats = Seq(s"cont$k", s"mid_ctx$k", s"mid_n1f$k") ++ prevStats
     }
     // top level: raw corpus counts at `order`
-    val topc = Caching.persisted(
-      if (order == 2) bg else gramCounts(order))
+    val topc = gc(order)
     val ctxF = topc
       .groupBy(substring_index(col("g"), " ", order - 1).as("ctxg"))
       .agg(sum(col("n")).as("ctx"), count(lit(1)).as("n1f"))
@@ -892,6 +922,101 @@ object CorpusOps {
             col("ctx").cast("double") +
             (d * col("n1f").cast("double") / col("ctx").cast("double")) *
               col("p_prev")).as("lp")): _*)
+  }
+
+  // ---- standing KN gram-count lake (the LM family's maintenance rung) ----
+
+  /** Persist a corpus's k-gram counts as a STANDING gram-count table —
+    * the d26 label-lake pattern for the LM family's sufficient
+    * statistics. Layout: (g, n, epoch) bucketed + sorted by g; the base
+    * build writes every row at epoch 0 and [[maintainKnGramTable]]
+    * APPENDS an ingest batch's batch-local counts at higher epochs —
+    * merge-on-read by per-gram ADDITION ([[readKnGramCounts]]; counts
+    * are exact longs, so sum-of-epochs ≡ a from-scratch recount of the
+    * grown corpus), never a corpus-sized rewrite on the ingest path.
+    * Unlike the label fold (a fixed point, value-idempotent on retry), a
+    * count delta is NOT re-appendable — so maintenance is EPOCH-KEYED
+    * and replaying an applied epoch is a no-op (exactly-once by table
+    * inspection; a production lake would track applied epochs in the
+    * catalog). The table is discount-independent (the t45 sweep
+    * property): one gram family serves every smoothing point, and the
+    * head re-derives gram-table-sized via [[kneserNeyHeadFromCounts]] —
+    * no corpus pass ever runs at serve or maintenance time beyond the
+    * batch's own counting.
+    */
+  def writeKnGramTable(spark: org.apache.spark.sql.SparkSession,
+                       name: String, counts: DataFrame,
+                       buckets: Int = 8): String = {
+    graft.sources.BucketedLake.writeBucketedTable(spark, name,
+      counts.select(col("g"), col("n")).withColumn("epoch", lit(0L)),
+      "g", buckets)
+    name
+  }
+
+  /** Fold an ingest batch's k-gram counts into a standing gram-count
+    * table at `epoch` (a caller-assigned ingest identifier, > 0): the
+    * delta rows append under the catalog-validated bucket spec and
+    * merge-on-read addition does the rest. Returns true when the fold
+    * applied, false when `epoch` was already present (replay → no-op —
+    * additive deltas double-count under blind re-append, so the epoch
+    * key IS the exactly-once contract; an empty batch is a value-level
+    * no-op on either branch).
+    */
+  def maintainKnGramTable(spark: org.apache.spark.sql.SparkSession,
+                          name: String, batchCounts: DataFrame,
+                          epoch: Long, buckets: Int = 8): Boolean = {
+    require(epoch > 0L, s"epoch 0 is the base build; got $epoch")
+    val applied =
+      !spark.table(name).filter(col("epoch") === epoch).isEmpty
+    if (!applied)
+      graft.sources.BucketedLake.appendBucketedTable(spark, name,
+        batchCounts.select(col("g"), col("n"))
+          .withColumn("epoch", lit(epoch)),
+        "g", buckets)
+    !applied
+  }
+
+  /** The current k-gram counts from a standing gram-count table: per-gram
+    * SUM across epochs (map-side combine IS the merge, and the table is
+    * bucketed by g, so the fold is bucket-local — no exchange). Plugs
+    * straight into [[kneserNeyHeadFromCounts]] as one order's provider.
+    */
+  def readKnGramCounts(spark: org.apache.spark.sql.SparkSession,
+                       name: String): DataFrame =
+    spark.table(name).groupBy(col("g")).agg(sum(col("n")).as("n"))
+
+  /** Compact a standing gram-count table back to a single epoch — the
+    * label lake's cadence rung ([[graft.operators.Dedup
+    * .compactClusterLabels]]) for gram counts: the merged sums
+    * materialize once, the table rewrites under the SAME bucket spec,
+    * superseded delta rows drop, and reads are bit-identical before and
+    * after ([[readKnGramCounts]] IS the merge the rewrite materializes).
+    * Unlike the label compaction (which rewrites at epoch 0), the single
+    * surviving epoch is the FRONTIER — max(epoch) — because here the
+    * epoch column doubles as the exactly-once ledger: collapsing to 0
+    * would let a replayed frontier fold re-apply and double-count.
+    * Preserving the frontier keeps replay protection for the only epoch
+    * that can be in-flight (epochs are assigned monotonically; run
+    * compaction on a cadence, never concurrently with an ingest — and a
+    * production lake tracks the full applied-epoch set in the catalog).
+    */
+  def compactKnGramTable(spark: org.apache.spark.sql.SparkSession,
+                         name: String, buckets: Int = 8): String = {
+    val frontier = spark.table(name)
+      .agg(coalesce(max(col("epoch")), lit(0L))).head().getLong(0)
+    // materialize BEFORE the overwrite (the rewrite reads the very table
+    // it replaces) — the held-handle RDD pattern, as compactClusterLabels
+    val plan = readKnGramCounts(spark, name).withColumn("epoch", lit(frontier))
+    val rdd = plan.rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    rdd.localCheckpoint()
+    rdd.count() // force: the overwrite must never re-read the old files
+    spark.createDataFrame(rdd, plan.schema)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .bucketBy(buckets, "g").sortBy("g")
+      .format("parquet").saveAsTable(name)
+    rdd.unpersist(blocking = false)
+    name
   }
 
   /** Per-document mean bigram log-probability — [[unigramLogprob]]'s n=2

@@ -4601,6 +4601,28 @@ object ExtensionQueries {
       s.table(StandingLm.ensure(s, d, 4)).orderBy("g")
     },
 
+    // LM-table MAINTENANCE (t49) — the lifecycle rung the standing-LM
+    // lake was missing (build → serve → MAINTAIN, the d26 contract for
+    // the fluency-filter family): the KN sufficient statistics are
+    // additive gram counts, so standing (g, n, epoch) tables built over
+    // the base corpus absorb an ingest batch by EPOCH-KEYED append
+    // (per-gram addition at read time — the batch pays only its own
+    // counting; replaying an applied epoch is a no-op, the exactly-once
+    // contract additive deltas need), and the order-4 head re-derives
+    // gram-table-sized from the maintained counts. Base (% 10 < 8) +
+    // batch (% 10 >= 8) = the whole corpus, so the t47 standing-table
+    // oracle — a from-scratch DuckDB recount of all ELEVEN integer
+    // statistics over the full documents table — grades the maintained
+    // path bit-for-bit with no weakening: a fold that dropped, doubled
+    // or mis-summed ANY gram diverges some statistic and fails the join.
+    "t49_kn_lm_maintenance" -> of(
+      s"""WITH $kn4StatsCtes
+        |SELECT g, n, ctx, n1f, cont3, mid_ctx3, mid_n1f3,
+        |  cont2, mid_ctx2, mid_n1f2, n1b, nbg, lp
+        |FROM vlm ORDER BY g""") { (s, d) =>
+      StandingLm.maintainedHead(s, d, 4).orderBy("g")
+    },
+
     // Corpus-build v4 (t48 — VERDICT r16 #7): the assembled ingest
     // pipeline END TO END on standing structures, one oracle. An arriving
     // batch (doc_id % 10 >= 8, the d21 family's ingest) flows through:

@@ -68,4 +68,45 @@ object StandingLm {
       case k => CorpusOps.kneserNeyLmOrder(docs, "doc_id", "text", k, discount)
     }
   }
+
+  // ---- standing gram-count tables: the LM family's maintenance rung ----
+
+  /** Knob-baked name of one standing k-gram count table over the `dir`
+    * corpus (the gram family is shared across orders that need level k
+    * and across EVERY discount — the t45 sweep property made layout).
+    */
+  def gramTableName(dir: String, k: Int): String =
+    "kn_gc_" + graft.sources.BucketedLake.layoutSuffix(dir + "#kngc", 8) +
+      s"_k$k"
+
+  /** The LM lifecycle's MAINTENANCE serve (t49): standing gram-count
+    * tables built once over the base corpus (`doc_id % 10 < 8`, the d21
+    * family's standing slice), the ingest batch (`% 10 >= 8`) folded in
+    * by epoch-keyed additive append — the batch pays only its OWN gram
+    * counting — and the order-`order` KN head re-derived gram-table-sized
+    * from the maintained counts. Bit-identical to a from-scratch retrain
+    * over the grown corpus ([[CorpusOps.kneserNeyHeadFromCounts]]'s
+    * contract: same summed counts in, the identical float tree out), so
+    * the t47 standing-table oracle grades this path with no weakening.
+    * Idempotent per (session, dir): the base build is catalog-guarded and
+    * the fold replays as a no-op (epoch 1 already present).
+    */
+  def maintainedHead(s: SparkSession, dir: String, order: Int,
+                     discount: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.functions.{col, pmod, lit}
+    val docs = t(s, dir, "documents")
+    val base = docs.filter(pmod(col("doc_id"), lit(10)) < 8)
+    val batch = docs.filter(pmod(col("doc_id"), lit(10)) >= 8)
+    val names = (2 to order).map { k =>
+      val name = gramTableName(dir, k)
+      if (!s.catalog.tableExists(name))
+        CorpusOps.writeKnGramTable(s, name,
+          CorpusOps.knGramCounts(base, "text", k))
+      CorpusOps.maintainKnGramTable(s, name,
+        CorpusOps.knGramCounts(batch, "text", k), epoch = 1L)
+      k -> name
+    }.toMap
+    CorpusOps.kneserNeyHeadFromCounts(
+      k => CorpusOps.readKnGramCounts(s, names(k)), order, discount)
+  }
 }

@@ -293,4 +293,63 @@ class CorpusPropertySpec extends SparkSpec {
     assert(rows(spark.table(d40), "bg") ===
       rows(CorpusOps.kneserNeyLm(docs, "doc_id", "text", discount = 0.4), "bg"))
   }
+
+  // The LM family's maintenance rung: standing gram-count tables fold an
+  // ingest batch by epoch-keyed additive append, and the head re-derived
+  // from the maintained counts must equal a from-scratch retrain over the
+  // grown corpus bit-for-bit (exact integer counts in, the identical IEEE
+  // tree out). Also pins the exactly-once contract (epoch replay = no-op)
+  // and the frontier-preserving compaction (reads identical, ledger kept).
+  test("KN gram lake: maintained head == retrain; epoch replay no-op; compaction") {
+    import spark.implicits._
+    val data = corpus(11L).filter(_.text.nonEmpty)
+    val docs = data.toDF()
+    val base = docs.filter(pmod(col("doc_id"), lit(10)) < 8)
+    val batch = docs.filter(pmod(col("doc_id"), lit(10)) >= 8)
+    val names = (2 to 4).map { k =>
+      val nm = s"t_kn_gc_spec_k$k"
+      spark.sql(s"DROP TABLE IF EXISTS $nm")
+      CorpusOps.writeKnGramTable(spark, nm,
+        CorpusOps.knGramCounts(base, "text", k))
+      assert(CorpusOps.maintainKnGramTable(spark, nm,
+        CorpusOps.knGramCounts(batch, "text", k), epoch = 1L),
+        s"first fold must apply, k=$k")
+      assert(!CorpusOps.maintainKnGramTable(spark, nm,
+        CorpusOps.knGramCounts(batch, "text", k), epoch = 1L),
+        s"epoch replay must be a no-op, k=$k")
+      k -> nm
+    }.toMap
+    // merged counts == a from-scratch recount of the grown corpus
+    def counts(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for (k <- 2 to 4)
+      assert(counts(CorpusOps.readKnGramCounts(spark, names(k))) ===
+        counts(CorpusOps.knGramCounts(docs, "text", k)),
+        s"summed epochs must equal union-corpus counts, k=$k")
+    // maintained head == direct retrain, bit-for-bit on every column
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> r.toSeq.mkString("|")).toMap
+    val maintained = CorpusOps.kneserNeyHeadFromCounts(
+      k => CorpusOps.readKnGramCounts(spark, names(k)), 4)
+    val direct = CorpusOps.kneserNeyLmOrder(docs, "doc_id", "text", 4)
+    assert(rows(maintained) === rows(direct))
+    // compaction: reads bit-identical, epochs collapse to the FRONTIER
+    // (the exactly-once ledger survives — a frontier replay stays a no-op)
+    val before = counts(CorpusOps.readKnGramCounts(spark, names(2)))
+    CorpusOps.compactKnGramTable(spark, names(2))
+    assert(counts(CorpusOps.readKnGramCounts(spark, names(2))) === before)
+    assert(spark.table(names(2)).select("epoch").distinct()
+      .collect().map(_.getLong(0)).toSeq === Seq(1L))
+    assert(!CorpusOps.maintainKnGramTable(spark, names(2),
+      CorpusOps.knGramCounts(batch, "text", 2), epoch = 1L),
+      "frontier replay after compaction must stay a no-op")
+    // and the lifecycle continues: a NEW epoch folds in post-compaction
+    val b2 = docs.filter(pmod(col("doc_id"), lit(10)) === 3)
+    assert(CorpusOps.maintainKnGramTable(spark, names(2),
+      CorpusOps.knGramCounts(b2, "text", 2), epoch = 2L))
+    val expect = counts(CorpusOps.knGramCounts(docs.unionByName(b2), "text", 2))
+    assert(counts(CorpusOps.readKnGramCounts(spark, names(2))) === expect,
+      "post-compaction fold must keep summing")
+    names.values.foreach(nm => spark.sql(s"DROP TABLE IF EXISTS $nm"))
+  }
 }

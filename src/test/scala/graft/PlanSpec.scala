@@ -166,6 +166,18 @@ class PlanSpec extends SparkSpec {
       s"serve plan re-derives the corpus side:\n${plan.take(2000)}")
   }
 
+  test("t49: maintained-LM head reads only standing gram tables — no corpus pass") {
+    val plan = physicalPlan("t49_kn_lm_maintenance")
+    // the head must derive from the standing gram-count tables...
+    assert(plan.contains("kn_gc_"),
+      s"expected standing gram-table scans:\n${plan.take(1500)}")
+    // ...and NEVER re-run a corpus n-gram pass at serve time (the e44
+    // amortization gap t47 closed for builds, closed here for the
+    // maintained path too): no documents scan may appear in the plan
+    assert(!plan.contains("documents"),
+      s"maintained head re-scans the corpus:\n${plan.take(2000)}")
+  }
+
   test("label table: merge-on-read resolves bucket-locally, no exchange") {
     import spark.implicits._
     val name = s"labels_plan_${System.nanoTime()}"
