@@ -4623,6 +4623,36 @@ object ExtensionQueries {
       StandingLm.maintainedHead(s, d, 4).orderBy("g")
     },
 
+    // STREAMING LM-table maintenance (e50) — t49's ingest half live: the
+    // arriving batch's per-(k, g) gram counts are maintained BY THE
+    // STREAM (one complete-mode count over the union of the three gram
+    // explosions — state is the BATCH's gram vocabulary, bounded by the
+    // arriving data, never the corpus; the e32 drift-counter shape), and
+    // the serve step folds the materialized deltas into the standing
+    // gram family (its own lifecycle tag, epoch-keyed exactly-once as
+    // t49) before re-deriving the order-4 head gram-table-sized. One
+    // from-scratch eleven-statistic oracle grades batch and live
+    // maintenance bit-for-bit.
+    "e50_stream_kn_maintenance" -> of(
+      s"""WITH $kn4StatsCtes
+        |SELECT g, n, ctx, n1f, cont3, mid_ctx3, mid_n1f3,
+        |  cont2, mid_ctx2, mid_n1f2, n1b, nbg, lp
+        |FROM vlm ORDER BY g""") { (s, d) =>
+      import graft.streaming.EventsStream
+      val fresh = graft.streaming.TableStream.readProbed(s, d, "documents")
+        .filter(pmod(col("doc_id"), lit(10)) >= 8)
+      val grams = (2 to 4).map { k =>
+        fresh.select(lit(k).as("k"),
+          explode(TextFunctions.wordShingles(
+            TextFunctions.tokens(col("text")), k)).as("g"))
+      }.reduce(_.unionByName(_))
+        .groupBy("k", "g").agg(count(lit(1)).as("n"))
+      val sinkName = s"stream_kngc_${sinkCounter.incrementAndGet()}"
+      EventsStream.runAvailableNow(grams, sinkName, outputMode = "complete")
+      StandingLm.maintainedHeadFromDeltas(s, d, s.table(sinkName), 4)
+        .orderBy("g")
+    },
+
     // Corpus-build v4 (t48 — VERDICT r16 #7): the assembled ingest
     // pipeline END TO END on standing structures, one oracle. An arriving
     // batch (doc_id % 10 >= 8, the d21 family's ingest) flows through:

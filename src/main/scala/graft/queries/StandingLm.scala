@@ -74,9 +74,12 @@ object StandingLm {
   /** Knob-baked name of one standing k-gram count table over the `dir`
     * corpus (the gram family is shared across orders that need level k
     * and across EVERY discount — the t45 sweep property made layout).
+    * `tag` separates maintenance lifecycles (t49 batch = "", e50
+    * streaming = "s") so neither serve's fold state leaks into the other.
     */
-  def gramTableName(dir: String, k: Int): String =
-    "kn_gc_" + graft.sources.BucketedLake.layoutSuffix(dir + "#kngc", 8) +
+  def gramTableName(dir: String, k: Int, tag: String = ""): String =
+    "kn_gc" + tag + "_" +
+      graft.sources.BucketedLake.layoutSuffix(dir + "#kngc" + tag, 8) +
       s"_k$k"
 
   /** The LM lifecycle's MAINTENANCE serve (t49): standing gram-count
@@ -95,15 +98,40 @@ object StandingLm {
                      discount: Double = 0.75): DataFrame = {
     import org.apache.spark.sql.functions.{col, pmod, lit}
     val docs = t(s, dir, "documents")
-    val base = docs.filter(pmod(col("doc_id"), lit(10)) < 8)
     val batch = docs.filter(pmod(col("doc_id"), lit(10)) >= 8)
+    maintainedHeadImpl(s, dir, order, discount, tag = "",
+      k => CorpusOps.knGramCounts(batch, "text", k))
+  }
+
+  /** [[maintainedHead]]'s STREAMING twin's serve half (e50): the ingest
+    * batch's per-(k, g) gram counts arrive already materialized by the
+    * stream (complete-mode count — state is the BATCH's gram vocabulary,
+    * bounded by the arriving data, never the corpus), and the serve step
+    * folds each order's slice into its own standing gram family (tag
+    * `"s"` — a separate lifecycle from t49's, so neither serve's fold
+    * state nor bench cost leaks into the other) before re-deriving the
+    * head. One oracle grades batch and live maintenance.
+    */
+  def maintainedHeadFromDeltas(s: SparkSession, dir: String,
+                               deltas: DataFrame, order: Int,
+                               discount: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    maintainedHeadImpl(s, dir, order, discount, tag = "s",
+      k => deltas.filter(col("k") === lit(k)).select(col("g"), col("n")))
+  }
+
+  private def maintainedHeadImpl(s: SparkSession, dir: String, order: Int,
+                                 discount: Double, tag: String,
+                                 deltaFor: Int => DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, pmod, lit}
+    val docs = t(s, dir, "documents")
+    val base = docs.filter(pmod(col("doc_id"), lit(10)) < 8)
     val names = (2 to order).map { k =>
-      val name = gramTableName(dir, k)
+      val name = gramTableName(dir, k, tag)
       if (!s.catalog.tableExists(name))
         CorpusOps.writeKnGramTable(s, name,
           CorpusOps.knGramCounts(base, "text", k))
-      CorpusOps.maintainKnGramTable(s, name,
-        CorpusOps.knGramCounts(batch, "text", k), epoch = 1L)
+      CorpusOps.maintainKnGramTable(s, name, deltaFor(k), epoch = 1L)
       k -> name
     }.toMap
     CorpusOps.kneserNeyHeadFromCounts(

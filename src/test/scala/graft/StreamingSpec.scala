@@ -959,6 +959,43 @@ class StreamingSpec extends SparkSpec {
       Sketches.hllEstimate(batch, Seq("grp")).orderBy("grp").collect().toSeq)
   }
 
+  test("e50: stream-maintained gram counts == batch knGramCounts of the union") {
+    // the complete-mode (k, g) count is the LM maintenance rung's stream
+    // state: after two micro-batches it must equal the batch gram counts
+    // of everything seen — the additive-delta law the standing gram
+    // tables fold in (and the oracle then grades end to end)
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.CorpusOps
+    import graft.functions.TextFunctions
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[(Long, String)]
+    val grams = (2 to 4).map { k =>
+      ms.toDF().toDF("doc_id", "text").select(lit(k).as("k"),
+        explode(TextFunctions.wordShingles(
+          TextFunctions.tokens(col("text")), k)).as("g"))
+    }.reduce(_.unionByName(_))
+      .groupBy("k", "g").agg(count(lit(1)).as("n"))
+    val q = grams.writeStream.format("memory").queryName("stream_kngc_mb")
+      .outputMode("complete").start()
+    val b1 = Seq((1L, "a b c a b"), (2L, "b c d e"))
+    val b2 = Seq((3L, "a b c a b c"), (4L, "x y"))
+    try {
+      ms.addData(b1: _*)
+      q.processAllAvailable()
+      ms.addData(b2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("stream_kngc_mb")
+    for (k <- 2 to 4) {
+      val batch = CorpusOps.knGramCounts(
+        (b1 ++ b2).toDF("doc_id", "text"), "text", k)
+      val slice = streamed.filter(col("k") === k).select("g", "n")
+      assert(slice.except(batch).isEmpty && batch.except(slice).isEmpty,
+        s"stream-maintained k=$k gram counts diverged from the batch recount")
+    }
+  }
+
   test("e25: CMS grid accumulates across micro-batches == batch grid of the union") {
     // complete-mode additive counter state: after two micro-batches the
     // grid must equal the batch routing of everything seen
