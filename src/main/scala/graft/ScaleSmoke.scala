@@ -270,6 +270,50 @@ object ScaleSmoke {
     println(f"""{"mode":"labelab","dir":"$dir","n_docs":${docs.count()},"idx_build_sec":$idxSec%.2f,"label_build_sec":$buildSec%.2f,"serve_sec":$serveSec%.2f,"serve_rows":$serveRows,"maintain_sec":$maintainSec%.2f,"split_sec":$splitSec%.2f,"split_rows":$splitRows,"moved":$moved}""")
   }
 
+  /** ==lmmaint mode== The LM maintenance rung's scale instrument (t49/
+    * e50): on a base / ingest hash split, measure
+    * (1) the standing gram-table family build (the once-per-corpus cost),
+    * (2) the batch fold (must be ∝ the batch's own gram counting +
+    * append), (3) the head re-derivation from the maintained tables
+    * (gram-table-sized), against (4) a from-scratch order-4 retrain over
+    * the grown corpus (the corpus-passes cost class maintenance exists
+    * to avoid). Run at ×1 and ×10: fold + head should track the batch /
+    * gram-table sizes, retrain the corpus. `batchPct` (default 20, the
+    * t49 fixture share) varies the ingest share — the fold must scale
+    * with IT, not the corpus (a 2% daily ingest vs the fixture's 20%).
+    */
+  private def lmMaintAb(spark: SparkSession, dir: String,
+                        batchPct: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.operators.CorpusOps
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val base = docs.filter(pmod(col("doc_id"), lit(100)) < 100 - batchPct)
+    val batch = docs.filter(pmod(col("doc_id"), lit(100)) >= 100 - batchPct)
+    val tag = abTag(dir) + s"_p$batchPct"
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
+    }
+    val names = (2 to 4).map(k => k -> s"ab_${tag}_kngc_k$k").toMap
+    names.values.foreach(n => spark.sql(s"DROP TABLE IF EXISTS $n"))
+    val (_, buildSec) = timed {
+      (2 to 4).foreach(k => CorpusOps.writeKnGramTable(spark, names(k),
+        CorpusOps.knGramCounts(base, "text", k)))
+    }
+    val (_, foldSec) = timed {
+      (2 to 4).foreach(k => CorpusOps.maintainKnGramTable(spark, names(k),
+        CorpusOps.knGramCounts(batch, "text", k), epoch = 1L))
+    }
+    val (headRows, headSec) = timed {
+      CorpusOps.kneserNeyHeadFromCounts(
+        k => CorpusOps.readKnGramCounts(spark, names(k)), 4).count()
+    }
+    val gramRows = (2 to 4).map(k => spark.table(names(k)).count()).sum
+    val (retrainRows, retrainSec) = timed {
+      CorpusOps.kneserNeyLmOrder(docs, "doc_id", "text", 4).count()
+    }
+    println(f"""{"mode":"lmmaint","dir":"$dir","batch_pct":$batchPct,"n_base":${base.count()},"n_batch":${batch.count()},"gram_rows":$gramRows,"build_sec":$buildSec%.2f,"fold_sec":$foldSec%.2f,"head_sec":$headSec%.2f,"head_rows":$headRows,"retrain_sec":$retrainSec%.2f,"retrain_rows":$retrainRows}""")
+  }
+
   /** The s27/s28 planted recall gates AT THE SCALED KNOB STEP (VERDICT
     * r16 #7): the oracle-graded gates run at the fixture sf where the
     * adaptive policies resolve (4,8)/8-bit; this leg replays the same
@@ -343,8 +387,10 @@ object ScaleSmoke {
     val editAbMode = args.lift(1).contains("editab")
     val labelAbMode = args.lift(1).contains("labelab")
     val plantedMode = args.lift(1).contains("plantedrecall")
+    val lmMaintMode = args.lift(1).contains("lmmaint")
     val planesPerTable =
-      if (exact || indexAbMode || editAbMode || labelAbMode || plantedMode) 0
+      if (exact || indexAbMode || editAbMode || labelAbMode || plantedMode ||
+        lmMaintMode) 0
       else if (recallGate) args.lift(2).map(_.toInt).getOrElse(0)
       else args.lift(1).map(_.toInt).getOrElse(8)
     val tables =
@@ -386,6 +432,13 @@ object ScaleSmoke {
 
     if (plantedMode) {
       plantedRecallAb(spark, dir)
+      SessionSweep.sweep(spark, blocking = true)
+      spark.stop()
+      return
+    }
+
+    if (lmMaintMode) {
+      lmMaintAb(spark, dir, args.lift(2).map(_.toInt).getOrElse(20))
       SessionSweep.sweep(spark, blocking = true)
       spark.stop()
       return
