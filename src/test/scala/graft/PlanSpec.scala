@@ -166,11 +166,13 @@ class PlanSpec extends SparkSpec {
       s"serve plan re-derives the corpus side:\n${plan.take(2000)}")
   }
 
-  test("t49: maintained-LM head reads only standing gram tables — no corpus pass") {
+  test("t49: serve reads the frontier-epoch maintained head — no corpus pass") {
     val plan = physicalPlan("t49_kn_lm_maintenance")
-    // the head must derive from the standing gram-count tables...
-    assert(plan.contains("kn_gc_"),
-      s"expected standing gram-table scans:\n${plan.take(1500)}")
+    // the serve must read the persisted maintained head (whose name
+    // carries the gram family's frontier epoch — staleness impossible by
+    // identity)...
+    assert(plan.contains("kn_lmm_") && plan.contains("_e1"),
+      s"expected the frontier-epoch maintained-head scan:\n${plan.take(1500)}")
     // ...and NEVER re-run a corpus n-gram pass at serve time (the e44
     // amortization gap t47 closed for builds, closed here for the
     // maintained path too): no documents scan may appear in the plan
