@@ -4653,6 +4653,24 @@ object ExtensionQueries {
         .orderBy("g")
     },
 
+    // Gram-table COMPACTION (t50) — the LM lifecycle's cadence rung
+    // proven end to end (the d27 contract for gram counts): maintenance
+    // epochs collapse to the FRONTIER epoch (not 0 — here the epoch
+    // column doubles as the exactly-once replay ledger, and compacting
+    // it away would let a replayed frontier fold double-count), the
+    // rewrite happens under the same bucket spec, superseded delta rows
+    // drop, and the order-4 head derived FROM THE COMPACTED TABLES — its
+    // own persisted name, so the derivation provably consumed the
+    // rewritten layout — lands on the same from-scratch eleven-statistic
+    // oracle as t49/e50: build → maintain → compact, one answer.
+    "t50_kn_gram_compaction" -> of(
+      s"""WITH $kn4StatsCtes
+        |SELECT g, n, ctx, n1f, cont3, mid_ctx3, mid_n1f3,
+        |  cont2, mid_ctx2, mid_n1f2, n1b, nbg, lp
+        |FROM vlm ORDER BY g""") { (s, d) =>
+      StandingLm.compactedHead(s, d, 4).orderBy("g")
+    },
+
     // Corpus-build v4 (t48 — VERDICT r16 #7): the assembled ingest
     // pipeline END TO END on standing structures, one oracle. An arriving
     // batch (doc_id % 10 >= 8, the d21 family's ingest) flows through:

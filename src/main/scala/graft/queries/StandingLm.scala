@@ -127,6 +127,41 @@ object StandingLm {
       k => deltas.filter(col("k") === lit(k)).select(col("g"), col("n")))
   }
 
+  /** The gram family's COMPACTION rung proven end to end (t50): ensure
+    * the t49 maintained family, compact every gram table back to a
+    * single (frontier) epoch, then derive the head FROM THE COMPACTED
+    * TABLES — persisted under its own name so the derivation provably
+    * consumed the rewritten layout, not the pre-compaction head — and
+    * grade it with the same from-scratch oracle. Compaction preserves
+    * the frontier epoch ([[CorpusOps.compactKnGramTable]]), so the t49
+    * lifecycle (its no-op replay check, its frontier-named head) is
+    * untouched by running this after it, in either order.
+    */
+  def compactedHead(s: SparkSession, dir: String, order: Int,
+                    discount: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.functions.{col, pmod, lit}
+    val docs = t(s, dir, "documents")
+    val batch = docs.filter(pmod(col("doc_id"), lit(10)) >= 8)
+    // ensure the maintained family exists (build + fold, all idempotent)
+    maintainedHeadImpl(s, dir, order, discount, tag = "",
+      k => CorpusOps.knGramCounts(batch, "text", k))
+    val names = (2 to order).map(k => k -> gramTableName(dir, k)).toMap
+    val marker = names(2) + "_compacted"
+    if (!s.catalog.tableExists(marker)) {
+      names.values.foreach(n => CorpusOps.compactKnGramTable(s, n))
+      s.range(1).createOrReplaceTempView(marker)
+    }
+    val headName = "kn_lmc_" +
+      graft.sources.BucketedLake.layoutSuffix(dir + "#knlmc", 8) +
+      s"_o${order}_d${discountTag(discount)}"
+    if (!s.catalog.tableExists(headName))
+      graft.sources.BucketedLake.writeBucketedTable(s, headName,
+        CorpusOps.kneserNeyHeadFromCounts(
+          k => CorpusOps.readKnGramCounts(s, names(k)), order, discount),
+        "g", 8)
+    s.table(headName)
+  }
+
   private def maintainedHeadImpl(s: SparkSession, dir: String, order: Int,
                                  discount: Double, tag: String,
                                  deltaFor: Int => DataFrame): DataFrame = {
