@@ -831,8 +831,7 @@ object CorpusOps {
                        order: Int, discount: Double = 0.75,
                        vocabCap: Int = 262144): DataFrame =
     kneserNeyHeadFromCounts(
-      k => Caching.persisted(knGramCounts(docs, textCol, k)),
-      order, discount, vocabCap)
+      k => knGramCounts(docs, textCol, k), order, discount, vocabCap)
 
   /** The KN sufficient-statistics primitive: raw k-gram corpus counts
     * (g, n) — ONE exploded aggregation over the corpus, and the only
@@ -854,10 +853,12 @@ object CorpusOps {
     * builder, so a head derived from maintained standing gram tables is
     * bit-identical to a from-scratch retrain whenever the summed counts
     * match (exact integers in, the identical float tree out). The
-    * provider is memoized: each order's table is fetched once however
-    * many levels consume it (the docs path previously recomputed the
-    * top-order gram aggregation twice, once for the last middle level's
-    * type table and once for the raw top counts).
+    * provider is memoized AND persisted: each order's table computes once
+    * however many levels consume it — gc(2) feeds both the type total and
+    * the continuation-unigram grouping, gc(order) both the last middle
+    * level's types and the raw top counts (the docs path previously
+    * recomputed the top-order gram aggregation twice, and a table-backed
+    * provider would otherwise re-run its epoch-sum merge per consumer).
     */
   def kneserNeyHeadFromCounts(gramCounts: Int => DataFrame, order: Int,
                               discount: Double = 0.75,
@@ -865,7 +866,8 @@ object CorpusOps {
     require(order >= 2, s"order must be >= 2, got $order")
     val d = lit(discount)
     val memo = scala.collection.mutable.Map.empty[Int, DataFrame]
-    def gc(k: Int): DataFrame = memo.getOrElseUpdate(k, gramCounts(k))
+    def gc(k: Int): DataFrame =
+      memo.getOrElseUpdate(k, Caching.persisted(gramCounts(k)))
     // level 1: continuation unigrams from bigram TYPES
     val bg = gc(2)
     val tot = bg.agg(count(lit(1)).as("nbg"))

@@ -139,27 +139,42 @@ object StandingLm {
     */
   def compactedHead(s: SparkSession, dir: String, order: Int,
                     discount: Double = 0.75): DataFrame = {
-    import org.apache.spark.sql.functions.{col, pmod, lit}
-    val docs = t(s, dir, "documents")
-    val batch = docs.filter(pmod(col("doc_id"), lit(10)) >= 8)
     // ensure the maintained family exists (build + fold, all idempotent)
-    maintainedHeadImpl(s, dir, order, discount, tag = "",
-      k => CorpusOps.knGramCounts(batch, "text", k))
+    maintainedHead(s, dir, order, discount)
     val names = (2 to order).map(k => k -> gramTableName(dir, k)).toMap
-    val marker = names(2) + "_compacted"
-    if (!s.catalog.tableExists(marker)) {
-      names.values.foreach(n => CorpusOps.compactKnGramTable(s, n))
-      s.range(1).createOrReplaceTempView(marker)
-    }
+    val frontier = compactFamilyAndFrontier(s, names.values)
     val headName = "kn_lmc_" +
       graft.sources.BucketedLake.layoutSuffix(dir + "#knlmc", 8) +
-      s"_o${order}_d${discountTag(discount)}"
+      s"_o${order}_d${discountTag(discount)}_e$frontier"
     if (!s.catalog.tableExists(headName))
       graft.sources.BucketedLake.writeBucketedTable(s, headName,
         CorpusOps.kneserNeyHeadFromCounts(
           k => CorpusOps.readKnGramCounts(s, names(k)), order, discount),
         "g", 8)
     s.table(headName)
+  }
+
+  /** Compact every gram table in the family that still carries multiple
+    * epochs — decided from the TABLE STATE itself, never a session
+    * marker, so a fold landing after a compaction re-triggers the next
+    * compaction and every order a caller covers gets its own check —
+    * and return the family's frontier epoch (which compaction PRESERVES:
+    * [[CorpusOps.compactKnGramTable]]'s replay-ledger contract), so a
+    * post-compaction fold advances the frontier and any head persisted
+    * under an older frontier can never be served by identity.
+    */
+  private[graft] def compactFamilyAndFrontier(
+      s: SparkSession, names: Iterable[String]): Long = {
+    import org.apache.spark.sql.functions.{col, max, coalesce, lit,
+      count_distinct}
+    names.foreach { n =>
+      val epochs = s.table(n)
+        .agg(count_distinct(col("epoch"))).head().getLong(0)
+      if (epochs > 1) CorpusOps.compactKnGramTable(s, n)
+    }
+    names.map(n =>
+      s.table(n).agg(coalesce(max(col("epoch")), lit(0L)))
+        .head().getLong(0)).max
   }
 
   private def maintainedHeadImpl(s: SparkSession, dir: String, order: Int,

@@ -350,6 +350,23 @@ class CorpusPropertySpec extends SparkSpec {
     val expect = counts(CorpusOps.knGramCounts(docs.unionByName(b2), "text", 2))
     assert(counts(CorpusOps.readKnGramCounts(spark, names(2))) === expect,
       "post-compaction fold must keep summing")
+    // the serving-side compaction decision is STATE-derived, never a
+    // session marker: every table still carrying multiple epochs
+    // compacts to its OWN frontier (names(2) just took epoch 2 → {1,2}
+    // → 2; names(3)/(4) are {0,1} → 1), and the returned family
+    // frontier is the max — so a compacted-head name minted before the
+    // fold can never be served again
+    val frontier = graft.queries.StandingLm
+      .compactFamilyAndFrontier(spark, names.values)
+    assert(frontier === 2L)
+    assert(spark.table(names(2)).select("epoch").distinct()
+      .collect().map(_.getLong(0)).toSeq === Seq(2L),
+      "multi-epoch table must re-compact to its new frontier")
+    assert(spark.table(names(3)).select("epoch").distinct()
+      .collect().map(_.getLong(0)).toSeq === Seq(1L),
+      "sibling tables compact to their own frontier")
+    assert(counts(CorpusOps.readKnGramCounts(spark, names(2))) === expect,
+      "re-compaction must not change reads")
     names.values.foreach(nm => spark.sql(s"DROP TABLE IF EXISTS $nm"))
   }
 }
