@@ -57,8 +57,33 @@ object CorpusPipelineDemo {
       .withColumn("text", graft.functions.TextFunctions.redactPii(col("text")))
     println(s"=== quality gate: ${clean.count()} docs pass repetition + LM filters")
 
+    // 2b. fluency, the standing-LM-lifecycle way (t49's shape): gram-count
+    // tables build once on the standing corpus slice, "tomorrow's" ingest
+    // folds in by epoch-keyed additive append (the batch pays only its own
+    // counting; a replayed epoch is a no-op), and the trigram KN head
+    // re-derives gram-table-sized — then scores EVERY doc fluency-style
+    val baseC = clean.filter(pmod(col("doc_id"), lit(10)) < 8)
+    val batchC = clean.filter(pmod(col("doc_id"), lit(10)) >= 8)
+    val gcNames = (2 to 3).map { k =>
+      val nm = s"demo_kngc_k$k"
+      spark.sql(s"DROP TABLE IF EXISTS $nm")
+      CorpusOps.writeKnGramTable(spark, nm,
+        CorpusOps.knGramCounts(baseC, "text", k))
+      CorpusOps.maintainKnGramTable(spark, nm,
+        CorpusOps.knGramCounts(batchC, "text", k), epoch = 1L)
+      k -> nm
+    }.toMap
+    val knLm = CorpusOps.kneserNeyHeadFromCounts(
+      k => CorpusOps.readKnGramCounts(spark, gcNames(k)), order = 3)
+    val knScored = CorpusOps.trigramLogprob(clean, "doc_id", "text",
+      knLm.select(col("g").as("tg"), col("lp")), -20.0)
+    val knOk = knScored.filter(col("mean_logprob") > -12.0).select("doc_id")
+    val fluent = clean.join(knOk, "doc_id")
+    println(s"=== KN fluency (standing gram tables, maintained): " +
+      s"${fluent.count()} of ${clean.count()} docs pass the trigram filter")
+
     // 3. reproducible split + per-source quota
-    val split = CorpusOps.hashSplit(clean, "doc_id",
+    val split = CorpusOps.hashSplit(fluent, "doc_id",
       Seq("train" -> 90, "val" -> 95, "test" -> 100))
     split.groupBy("split").count().orderBy("split").collect()
       .foreach(r => println(s"=== split ${r.getString(0)}: ${r.getLong(1)} docs"))
@@ -83,7 +108,7 @@ object CorpusPipelineDemo {
       s"${budget.getLong(1)} BPE pieces after 3 merges")
 
     // 5. contamination audit: held-out docs fingerprint-colliding with train
-    val wfp = clean.select(col("doc_id"), winnowFingerprint(col("text")).as("w"))
+    val wfp = fluent.select(col("doc_id"), winnowFingerprint(col("text")).as("w"))
     val trainFp = wfp.join(train.select("doc_id"), "doc_id")
       .select(col("w"))
     val leaks = wfp.join(split.filter(col("split") =!= "train").select("doc_id"), "doc_id")
