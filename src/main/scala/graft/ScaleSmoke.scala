@@ -249,22 +249,28 @@ object ScaleSmoke {
       Dedup.writeClusterLabels(spark, s"ab_${tag}_lbl",
         Dedup.dupClusters(Dedup.ngramJaccardPairs(corpus, "doc_id", "text")))
     }
-    def freshPairs() = Dedup
+    // the fresh-pair screen is SHARED work (both the serve and the
+    // write-back consume the same pairs): persist it once so maintain_sec
+    // measures the write-back increment — the delta closure + append —
+    // not a from-scratch re-screen (review r17: the unpersisted def
+    // re-ran the whole screen per leg and inflated the published rows)
+    val fp = graft.operators.Caching.persisted(Dedup
       .incrementalJaccardPairsIndexed(fresh, shIdx, "doc_id", "text")
       .select(col("fresh_id").as("id_a"), col("corpus_id").as("id_b"))
       .union(Dedup.ngramJaccardPairs(fresh, "doc_id", "text")
-        .select(col("id_a"), col("id_b")))
+        .select(col("id_a"), col("id_b"))))
     val (serveRows, serveSec) = timed {
       Dedup.incrementalDupClusters(
-        Dedup.readClusterLabels(spark, lblTable), freshPairs()).count()
+        Dedup.readClusterLabels(spark, lblTable), fp).count()
     }
     val (_, maintainSec) = timed {
-      Dedup.maintainClusterLabels(spark, lblTable, freshPairs())
+      Dedup.maintainClusterLabels(spark, lblTable, fp)
     }
     val weights = Seq("train" -> 90, "val" -> 95, "test" -> 100)
     val ((splitRows, moved), splitSec) = timed {
-      val sp = CorpusOps.leakageSafeSplit(docs.select("doc_id"),
-        Dedup.readClusterLabels(spark, lblTable), "doc_id", weights)
+      val sp = graft.operators.Caching.persisted(
+        CorpusOps.leakageSafeSplit(docs.select("doc_id"),
+          Dedup.readClusterLabels(spark, lblTable), "doc_id", weights))
       (sp.count(), sp.filter(col("moved")).count())
     }
     println(f"""{"mode":"labelab","dir":"$dir","n_docs":${docs.count()},"idx_build_sec":$idxSec%.2f,"label_build_sec":$buildSec%.2f,"serve_sec":$serveSec%.2f,"serve_rows":$serveRows,"maintain_sec":$maintainSec%.2f,"split_sec":$splitSec%.2f,"split_rows":$splitRows,"moved":$moved}""")

@@ -482,12 +482,19 @@ object Dedup {
     * primitive-long pairs (never GenericRow), so the transient driver
     * footprint at the cap is ~2M boxed-tuple rows + the LongMap + the
     * output array — low hundreds of MB, within any multi-GB driver but
-    * NOT a 1g default; lower the cap before raising it. Above the cap
-    * the hook-flatten contraction loop is the scale path, unchanged. The
-    * same economics as AQE localizing a small shuffle: the DATA decides,
-    * and the big-data path is always there.
+    * NOT a 1g default; size the cap to YOUR driver via the session conf
+    * `spark.graft.dedup.localSolveEdgeCap` (edges; 0 disables the local
+    * solve entirely, small-heap drivers should lower it before ever
+    * raising it). Above the cap the hook-flatten contraction loop is the
+    * scale path, unchanged. The same economics as AQE localizing a small
+    * shuffle: the DATA decides, and the big-data path is always there.
     */
-  private val LocalSolveEdgeCap = 1L << 20
+  private val LocalSolveEdgeCapDefault = 1L << 20
+
+  private[graft] def localSolveEdgeCap(
+      spark: org.apache.spark.sql.SparkSession): Long =
+    spark.conf.getOption("spark.graft.dedup.localSolveEdgeCap")
+      .map(_.toLong).getOrElse(LocalSolveEdgeCapDefault)
 
   /** [[dupClusters]] plus the number of contraction rounds it ran —
     * operational telemetry (a rounds count near `maxIters` says the pair
@@ -540,16 +547,17 @@ object Dedup {
       .distinct()
     var (eRdd, eCnt) = materialize(e0)(r => r.get(0) != r.get(1))
     retained += eRdd
-    // small-graph local solve (see [[LocalSolveEdgeCap]]): the input is
-    // already materialized and counted, so the gate is free; long-typed
-    // ids only (every graft pair generator), the distributed loop handles
-    // anything else. Union-to-the-smaller-root keeps each root the
-    // component MINIMUM by induction, so labels are bit-identical to the
-    // contraction loop's.
+    // small-graph local solve (see [[LocalSolveEdgeCapDefault]]): the
+    // input is already materialized and counted, so the gate is free;
+    // long-typed ids only (every graft pair generator), the distributed
+    // loop handles anything else. Union-to-the-smaller-root keeps each
+    // root the component MINIMUM by induction, so labels are bit-identical
+    // to the contraction loop's.
     val longIds = e0.schema.fields.forall(
       _.dataType == org.apache.spark.sql.types.LongType)
-    if (localSolve && longIds && eCnt <= LocalSolveEdgeCap &&
-        eRdd.count() <= 2 * LocalSolveEdgeCap) {
+    val localCap = localSolveEdgeCap(spark)
+    if (localSolve && localCap > 0 && longIds && eCnt <= localCap &&
+        eRdd.count() <= 2 * localCap) {
       val parent = scala.collection.mutable.LongMap.empty[Long]
       def find(x: Long): Long = {
         var r = x

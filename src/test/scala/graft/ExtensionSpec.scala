@@ -900,6 +900,16 @@ class ExtensionSpec extends SparkSpec {
       assert(local === dist, s"trial $trial: label sets diverged")
       assert(local(500L) === 500L, "self-pair singleton contract")
     }
+    // the cap is a session knob sized to the DRIVER (small-heap drivers
+    // lower it; 0 disables the local solve): with it off, the public API
+    // takes the distributed loop and lands on the same labels
+    val knobPairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    spark.conf.set("spark.graft.dedup.localSolveEdgeCap", "0")
+    try {
+      val viaDistributed = Dedup.dupClusters(knobPairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(viaDistributed === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    } finally spark.conf.unset("spark.graft.dedup.localSolveEdgeCap")
   }
 
   test("dup clusters: self-pairs yield singleton rows; empty input yields empty") {
