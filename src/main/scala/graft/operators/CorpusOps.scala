@@ -327,6 +327,43 @@ object CorpusOps {
         .otherwise(0.0).as("dup_shingle_frac"))
   }
 
+  /** Within-document duplicate-BLOCK removal — the repetition family's
+    * REWRITE rung (t12 measures repetition, this CLEANS it: the t11→t39
+    * detect→rewrite pattern applied to boilerplate): the token stream
+    * splits into consecutive `block`-token blocks, every repeat of an
+    * earlier block drops (first occurrence wins, order preserved —
+    * Spark's array_distinct contract), and the survivors rejoin. This
+    * catches the copy-pasted paragraph / repeated boilerplate INSIDE one
+    * document that whole-doc dedup structurally cannot (the within-doc
+    * class of Lee et al. 2022, at block granularity — block-ALIGNED
+    * repeats are removed exactly; unaligned repeats are left for the
+    * shingle family, which detects but should not blindly rewrite them).
+    * One shuffle-free HOF projection — a scan at any corpus size, like
+    * the quality gate it composes with. The rewrite is in TOKEN space:
+    * single-space rejoin, the engine-wide tokens() contract.
+    */
+  def dedupBlocks(docs: DataFrame, idCol: String, textCol: String,
+                  block: Int = 5): DataFrame = {
+    require(block > 0, s"block must be positive, got $block")
+    // let-binding (the TextFunctions.bind trick): evaluate the token
+    // array and the block array ONCE per row each, not per reference
+    def bind(v: Column, f: Column => Column): Column =
+      element_at(transform(array(v), f), 1)
+    docs.select(col(idCol),
+      bind(tokens(col(textCol)), tk =>
+        bind(transform(
+          sequence(lit(0),
+            ceil(size(tk).cast("double") / block).cast("int") - 1),
+          i => array_join(slice(tk, i * block + 1, lit(block)), " ")),
+          bs => bind(array_distinct(bs), kept => struct(
+            array_join(kept, " ").as("text_clean"),
+            size(bs).cast("long").as("n_blocks"),
+            (size(bs) - size(kept)).cast("long").as("n_removed")))))
+        .as("r"))
+      .select(col(idCol), col("r.text_clean"),
+        col("r.n_blocks"), col("r.n_removed"))
+  }
+
   /** Gopher/C4-style composite quality gate (Rae et al. 2021 §A1.1's rule
     * shape): per-document metrics, one boolean flag per rule, and the
     * conjunctive `keep` decision — the filter step of a training-data build,

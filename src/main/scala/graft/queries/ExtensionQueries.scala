@@ -4671,6 +4671,42 @@ object ExtensionQueries {
       StandingLm.compactedHead(s, d, 4).orderBy("g")
     },
 
+    // Within-document duplicate-block REMOVAL (t51) — the repetition
+    // family's rewrite rung (t12 measures, this cleans; the t11→t39
+    // detect→rewrite pattern applied to boilerplate): consecutive
+    // `block`-token blocks, first occurrence wins, survivors rejoin in
+    // order — the within-doc repetition class whole-doc dedup cannot
+    // touch (Lee et al. 2022, block-aligned). block = 2 on this corpus
+    // so BOTH branches run at volume (~36% of fixture docs carry at
+    // least one repeated 2-block; 5-blocks never repeat here — the t37
+    // convention of exercising the rewrite, not just the pass-through).
+    // The oracle rebuilds the blocking positionally (list_slice +
+    // range), takes first occurrences by min block index, and re-joins
+    // in that order — the array_distinct order contract, written out.
+    "t51_dedup_block_rewrite" -> of(
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |blocks AS (
+        |  SELECT doc_id, i,
+        |    array_to_string(list_slice(tk, i*2 + 1, i*2 + 2), ' ') AS b
+        |  FROM toks, UNNEST(range(CAST(ceil(len(tk)/2.0) AS BIGINT))) AS r(i)),
+        |firsts AS (SELECT doc_id, b, MIN(i) AS fi FROM blocks GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT doc_id, string_agg(b, ' ' ORDER BY fi) AS text_clean,
+        |    CAST(COUNT(*) AS BIGINT) AS kept
+        |  FROM firsts GROUP BY 1),
+        |cnt AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_blocks
+        |  FROM blocks GROUP BY 1)
+        |SELECT t.doc_id, a.text_clean, c.n_blocks,
+        |  c.n_blocks - a.kept AS n_removed
+        |FROM toks t JOIN agg a USING (doc_id) JOIN cnt c USING (doc_id)
+        |ORDER BY t.doc_id""") { (s, d) =>
+      graft.operators.CorpusOps.dedupBlocks(
+        t(s, d, "documents"), "doc_id", "text", block = 2)
+        .orderBy("doc_id")
+    },
+
     // Corpus-build v4 (t48 — VERDICT r16 #7): the assembled ingest
     // pipeline END TO END on standing structures, one oracle. An arriving
     // batch (doc_id % 10 >= 8, the d21 family's ingest) flows through:

@@ -239,6 +239,43 @@ class CorpusPropertySpec extends SparkSpec {
     }
   }
 
+  test("dedupBlocks: first-occurrence block rewrite, counts, edge docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e a b c d e f g"), // block 5: exact repeat + tail
+      (2L, "x y x y x y"),             // block 2: two repeats
+      (3L, "solo"),                    // shorter than any block
+      (4L, "")                         // empty text → one empty block
+    ).toDF("doc_id", "text")
+    val b5 = CorpusOps.dedupBlocks(docs, "doc_id", "text", block = 5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(b5(1L) === (("a b c d e f g", 3L, 1L)))
+    assert(b5(3L) === (("solo", 1L, 0L)))
+    assert(b5(4L) === (("", 1L, 0L)))
+    val b2 = CorpusOps.dedupBlocks(docs, "doc_id", "text", block = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(b2(2L) === (("x y", 3L, 2L)))
+    // property on random corpora: clean text re-tokenizes to the distinct
+    // block multiset's first occurrences; counts reconcile; no-repeat docs
+    // pass through verbatim
+    for (seed <- 12L to 13L) {
+      val c = corpus(seed).toDF()
+      val out = CorpusOps.dedupBlocks(c, "doc_id", "text", block = 2)
+        .collect()
+      val texts = corpus(seed).map(d => d.doc_id -> d.text).toMap
+      out.foreach { r =>
+        val toks = texts(r.getLong(0)).split(" ", -1).toSeq
+        val blocks = toks.grouped(2).map(_.mkString(" ")).toSeq
+        val kept = blocks.distinct
+        assert(r.getString(1) === kept.mkString(" "))
+        assert(r.getLong(2) === blocks.size.toLong)
+        assert(r.getLong(3) === (blocks.size - kept.size).toLong)
+      }
+    }
+  }
+
   // The order-generic recursion must REPRODUCE the hand-rolled builders
   // bit-for-bit at their orders — the VERDICT r13 #7 "t40/t41 oracles as
   // fixed points" condition, checked directly: same gram set, and lp
