@@ -77,10 +77,19 @@ object CorpusPipelineDemo {
       k => CorpusOps.readKnGramCounts(spark, gcNames(k)), order = 3)
     val knScored = CorpusOps.trigramLogprob(clean, "doc_id", "text",
       knLm.select(col("g").as("tg"), col("lp")), -20.0)
-    val knOk = knScored.filter(col("mean_logprob") > -12.0).select("doc_id")
-    val fluent = clean.join(knOk, "doc_id")
+    // LEFT join: a doc with fewer than 3 tokens yields no trigrams and is
+    // absent from the scorer's output (its documented contract) — an inner
+    // join would silently drop it from the split/packing/audit below.
+    // Sub-trigram docs are unscorable, not disfluent: keep them, and say so.
+    val knJoined = clean.join(
+      knScored.select(col("doc_id"), col("mean_logprob")), Seq("doc_id"), "left")
+    val unscored = knJoined.filter(col("mean_logprob").isNull).count()
+    val fluent = knJoined
+      .filter(col("mean_logprob").isNull || col("mean_logprob") > -12.0)
+      .drop("mean_logprob")
     println(s"=== KN fluency (standing gram tables, maintained): " +
-      s"${fluent.count()} of ${clean.count()} docs pass the trigram filter")
+      s"${fluent.count()} of ${clean.count()} docs pass the trigram filter " +
+      s"($unscored sub-trigram docs kept unscored)")
 
     // 3. reproducible split + per-source quota
     val split = CorpusOps.hashSplit(fluent, "doc_id",

@@ -493,8 +493,19 @@ object Dedup {
 
   private[graft] def localSolveEdgeCap(
       spark: org.apache.spark.sql.SparkSession): Long =
-    spark.conf.getOption("spark.graft.dedup.localSolveEdgeCap")
-      .map(_.toLong).getOrElse(LocalSolveEdgeCapDefault)
+    spark.conf.getOption("spark.graft.dedup.localSolveEdgeCap").map { v =>
+      // name the conf key in the failure (ADVICE r17: a bare toLong
+      // surfaced as an unexplained NumberFormatException deep inside
+      // dupClusters); a negative value means the same as 0 — disabled
+      val parsed =
+        try v.trim.toLong
+        catch { case e: NumberFormatException =>
+          throw new IllegalArgumentException(
+            "spark.graft.dedup.localSolveEdgeCap must be an edge count " +
+              s"(long; 0 disables the local solve) — got '$v'", e)
+        }
+      math.max(parsed, 0L)
+    }.getOrElse(LocalSolveEdgeCapDefault)
 
   /** [[dupClusters]] plus the number of contraction rounds it ran —
     * operational telemetry (a rounds count near `maxIters` says the pair
@@ -796,10 +807,15 @@ object Dedup {
   def writeClusterLabels(spark: org.apache.spark.sql.SparkSession,
                          name: String, clusters: DataFrame,
                          buckets: Int = 16): String = {
+    val fresh = !spark.catalog.tableExists(name)
     graft.sources.BucketedLake.writeBucketedTable(spark, name,
       clusters.select(col("id"), col("cluster"))
         .withColumn("epoch", lit(0L)),
       "id", buckets)
+    // base build = frontier 0 in the catalog (VERDICT r17 #6: folds read
+    // the property, never a max(epoch) scan); fresh writes only — the
+    // write above no-ops on an existing table
+    if (fresh) graft.sources.BucketedLake.setFrontier(spark, name, 0L)
     name
   }
 
@@ -824,8 +840,9 @@ object Dedup {
     * [[readClusterLabels]] with zero re-derivation. Idempotent in VALUE:
     * re-folding the same pairs appends rows that merge-on-read to the
     * same labeling (the closure is a fixed point), so retries are safe.
-    * The epoch bump reads max(epoch) — one long column off the bucketed
-    * files; a production lake would track it in the table catalog.
+    * The epoch bump reads the catalog-tracked frontier property (VERDICT
+    * r17 #6 — no per-fold max(epoch) scan; `FrontierSpec` pins property
+    * == max(epoch)), falling back to one scan for pre-property layouts.
     */
   def maintainClusterLabels(spark: org.apache.spark.sql.SparkSession,
                             name: String, freshPairs: DataFrame,
@@ -834,14 +851,17 @@ object Dedup {
     val standing = readClusterLabels(spark, name)
     val (_, relabeled) =
       incrementalDupClustersParts(standing, freshPairs, maxIters)
-    // coalesce: an EMPTY standing table (dup-free corpus — a supported
-    // degenerate case) has a null max; the first fold then lands at epoch 0
-    val next = spark.table(name)
-      .agg(coalesce(max(col("epoch")), lit(-1L))).head().getLong(0) + 1L
+    // fallback coalesce: an EMPTY pre-property standing table (dup-free
+    // corpus — a supported degenerate case) has a null max; the first
+    // fold then lands at epoch 0
+    val next = graft.sources.BucketedLake.frontier(spark, name)
+      .getOrElse(spark.table(name)
+        .agg(coalesce(max(col("epoch")), lit(-1L))).head().getLong(0)) + 1L
     graft.sources.BucketedLake.appendBucketedTable(spark, name,
       relabeled.select(col("id"), col("cluster"))
         .withColumn("epoch", lit(next)),
       "id", buckets)
+    graft.sources.BucketedLake.setFrontier(spark, name, next)
     name
   }
 
@@ -872,6 +892,10 @@ object Dedup {
       .bucketBy(buckets, "id").sortBy("id")
       .format("parquet").saveAsTable(name)
     rdd.unpersist(blocking = false)
+    // labels compact to epoch 0 (the fold is value-idempotent, so unlike
+    // gram counts there is no replay ledger to preserve) — reset the
+    // catalog frontier to match, the Overwrite dropped it anyway
+    graft.sources.BucketedLake.setFrontier(spark, name, 0L)
     name
   }
 
