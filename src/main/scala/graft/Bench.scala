@@ -15,8 +15,12 @@ import org.apache.spark.sql.SparkSession
   *     FULL artifact with every per-rep field. The file is the durable
   *     record; the stdout line is the scrape-safe summary of the same run.
   *
-  * Each query is timed `reps` times (default 3) and the MIN is reported;
-  * all raw timings ship in `"runs"`.
+  * Each query is timed up to `reps` times (default 3) and the MIN is
+  * reported; all raw timings ship in `"runs"`. Base rep counts are
+  * ADAPTIVE per query (round 18, VERDICT r17 #1 — the 3-rep suite outgrew
+  * the driver's window): see [[plannedReps]] for the policy and
+  * [[ContrastOnly]] for the A/B-foil exclusion; `reps_planned` /
+  * `excluded` in the artifact record both decisions per run.
   *
   * == Trust model (round 7) ==
   * Rounds 5 and 6 both produced official artifacts whose wall times were
@@ -127,6 +131,57 @@ object Bench {
   /** One query's aggregated verdict over its reps. */
   final case class QueryVerdict(failed: Boolean, rawMin: Option[Double],
                                 trustedMin: Option[Double])
+
+  /** Direct-path A/B foils excluded from the per-round suite (VERDICT r17
+    * #1): e42 exists only as e45's contrast — three sequential
+    * AvailableNow stages re-deriving the corpus per run, the documented
+    * anti-pattern its indexed twin removes — and its ~9 s × reps was the
+    * suite's single largest line while the contrast itself is already
+    * measured where it matters (ScaleSmoke's recipe legs, with ×10/×30
+    * curves). Correctness still grades it every round (Verify runs ALL
+    * queries); the bench lists the exclusion in the artifact
+    * (`excluded`), and `SPARK_GRAFT_BENCH_FULL=1` or naming it in
+    * `SPARK_GRAFT_BENCH_ONLY` re-measures it on demand.
+    */
+  val ContrastOnly: Set[String] = Set("e42_stream_multimodal_recipe")
+
+  /** Adaptive per-query rep plan (VERDICT r17 #1): the 3-rep 238-query
+    * suite outgrew the driver's bench window (BENCH_r17 rc=124), and most
+    * of those reps re-measure queries whose cost is already
+    * well-established. Policy, from the query's committed history at this
+    * sf (`raw` = trusted_min per run in file order; `norm` = the same
+    * values divided by each run's host-speed ratio, so cross-round floor
+    * drift doesn't read as instability):
+    *   - fewer than 3 history runs → `defaultReps` (new queries get the
+    *     full treatment);
+    *   - recent min < 300 ms → 1 rep: the worst-case absolute error is
+    *     tiny (≤ ~0.1 s each against a ~200 s total) and a genuinely
+    *     inflated rep is chased by the history-anomaly retries + re-pass;
+    *   - recent host-normalized band ≤ 25 %, or recent min < 1 s → 2
+    *     reps: stable queries don't need a third sample, and sub-second
+    *     unstable ones are bounded-stakes with the same retry net;
+    *   - otherwise (≥ 1 s AND band > 25 % — the GC/state-store-variance
+    *     tail: g07/g09, stream joins) → `defaultReps`: these are exactly
+    *     the queries where a third sample still moves the min.
+    * Every tier keeps the full trust ladder — per-rep calibration, the
+    * no-clean-rep retries, history-anomaly retries, and the end-of-run
+    * re-pass — so fewer BASE reps never means an unchased contaminated
+    * minimum. Never returns more than `defaultReps`.
+    */
+  def plannedReps(defaultReps: Int, raw: Seq[Double],
+                  norm: Seq[Double]): Int = {
+    if (defaultReps <= 1 || raw.size < 3 || norm.size < 3) defaultReps
+    else {
+      val m = raw.takeRight(3).min
+      val r = norm.takeRight(3)
+      val band = if (r.min <= 0.0) Double.MaxValue else (r.max - r.min) / r.min
+      val p =
+        if (m < 0.30) 1
+        else if (band <= 0.25 || m < 1.0) 2
+        else defaultReps
+      math.min(p, defaultReps)
+    }
+  }
 
   /** Rep-aggregation policy, extracted so `BenchPolicySpec` can pin it.
     *
@@ -347,16 +402,37 @@ object Bench {
       }
       if (floors.nonEmpty) floors.min else Double.NaN
     }
-    val histMins: Map[String, Double] = {
+    // Per-run (floor, trusted_min map) at this sf, in file = chronological
+    // order — feeds both the anomaly floor (min per query) and the
+    // adaptive rep plan (recent values + host-normalized band).
+    val histRuns: Vector[(Double, Map[String, Double])] = {
       val pairRe = "\"([^\"]+)\":([0-9.eE+-]+)".r
       histLines
         .filter(l => "\"sf\":\"([^\"]+)\"".r.findFirstMatchIn(l)
           .exists(_.group(1) == sfDir))
-        .flatMap(l => "\"trusted_min\":\\{([^}]*)\\}".r.findFirstMatchIn(l)
-          .map(_.group(1)))
-        .flatMap(m => pairRe.findAllMatchIn(m).map(mm =>
-          mm.group(1) -> mm.group(2).toDouble))
-        .groupMapReduce(_._1)(_._2)(math.min)
+        .flatMap { l =>
+          "\"trusted_min\":\\{([^}]*)\\}".r.findFirstMatchIn(l)
+            .map(_.group(1)).map { m =>
+              val floor = "\"probe_floor_ms\":([0-9.]+)".r.findFirstMatchIn(l)
+                .orElse(
+                  "\"probe_baseline_ms\":([0-9.]+)".r.findFirstMatchIn(l))
+                .map(_.group(1).toDouble).getOrElse(Double.NaN)
+              (floor, pairRe.findAllMatchIn(m)
+                .map(mm => mm.group(1) -> mm.group(2).toDouble).toMap)
+            }
+        }
+    }
+    val histMins: Map[String, Double] =
+      histRuns.flatMap(_._2).groupMapReduce(_._1)(_._2)(math.min)
+    // raw and host-normalized per-query history series for plannedReps
+    val histRaw: Map[String, Vector[Double]] = histRuns.flatMap(_._2)
+      .groupMap(_._1)(_._2).view.mapValues(_.toVector).toMap
+    val histNorm: Map[String, Vector[Double]] = {
+      val base = if (histFloor.isNaN) Double.NaN else histFloor
+      histRuns.flatMap { case (fl, m) =>
+        val adj = if (fl.isNaN || base.isNaN) 1.0 else math.max(1.0, fl / base)
+        m.view.mapValues(_ / adj).toSeq
+      }.groupMap(_._1)(_._2).view.mapValues(_.toVector).toMap
     }
 
     def oneRep(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Rep = {
@@ -406,13 +482,24 @@ object Bench {
       (r.probeMs / probeFloor) <= 1.2 &&
         r.loads.forall(l => l < 0.0 || l <= loadThreshold)
 
+    // contrast-only foils stay out of the per-round suite unless the run
+    // asks for them (BENCH_ONLY by name, or BENCH_FULL=1)
+    val benchFull = sys.env.get("SPARK_GRAFT_BENCH_FULL").contains("1")
+    val excluded =
+      if (only.nonEmpty || benchFull) Seq.empty[String]
+      else ContrastOnly.toSeq.sorted
     val selected = SparkEntry.queries.filter { case (name, _) =>
-      only.isEmpty || only.contains(name)
+      (if (only.isEmpty) !excluded.contains(name) else only.contains(name))
     }
+    val repPlan: Map[String, Int] = selected.keysIterator.map { name =>
+      name -> plannedReps(reps,
+        histRaw.getOrElse(name, Vector.empty),
+        histNorm.getOrElse(name, Vector.empty))
+    }.toMap
     val maxRetries = 2
     val histAnomalies = scala.collection.mutable.SortedSet.empty[String]
     val allReps: Map[String, Seq[Rep]] = selected.map { case (name, fn) =>
-      var rs = (0 until reps).map(_ => oneRep(fn)).toVector
+      var rs = (0 until repPlan(name)).map(_ => oneRep(fn)).toVector
       // a query with no CLEAN rep gets bounded re-runs: a contaminated min
       // is WORSE than a late one (r6: g02 reported 21× its real cost).
       // Failures are never load-related — don't retry them.
@@ -488,7 +575,7 @@ object Bench {
     }
 
     val verdicts: Map[String, QueryVerdict] = finalReps.map { case (n, rs) =>
-      n -> judgeReps(rs.map(_.sec), rs.map(_.ok), rs.map(trusted), reps)
+      n -> judgeReps(rs.map(_.sec), rs.map(_.ok), rs.map(trusted), repPlan(n))
     }
     val failed = scala.collection.immutable.SortedSet.empty[String] ++
       verdicts.collect { case (n, v) if v.failed => n }
@@ -522,10 +609,13 @@ object Bench {
       histAnomalies.toSeq.map("\"" + _ + "\"").mkString("[", ",", "]")
     val hostSpeedX =
       if (histFloor.isNaN) "null" else f"${probeFloor / histFloor}%.3f"
+    val repsPlannedJson = objRaw(repPlan.view.mapValues(_.toString).toSeq)
+    val excludedJson = excluded.map("\"" + _ + "\"").mkString("[", ",", "]")
     val headline =
       s""""metric":"total","value":$total,"value_trusted":$totalTrusted,"unit":"sec"""" +
         s""","queries":${objD(best)},"trusted_min":${objD(trustedMin)}""" +
         s""","untrusted":$untrustedJson,"untrusted_n":${untrusted.size}""" +
+        s""","reps_planned":$repsPlannedJson,"excluded":$excludedJson""" +
         s""","errors":$errs,"reps":$reps,"contended":$contended,"noisy_reps_n":$noisyRepsN,"waited_quiet_sec":$waitedQuiet""" +
         s""","probe_floor_ms":${f"$probeFloor%.1f"},"host_floor_hist_ms":${if (histFloor.isNaN) "null" else f"$histFloor%.1f"}""" +
         s""","host_speed_x":$hostSpeedX,"hist_anomalies":$histAnomalyJson""" +
@@ -552,9 +642,11 @@ object Bench {
       s""","storage_bytes":${perRep(_.leftBytes)}""" +
       "}"
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
+    val repTierCounts = repPlan.values.groupBy(identity).view.mapValues(_.size)
     val compactLine = compactSummary(total, totalTrusted, best.size,
       untrusted, failed.toSeq, reps, contended, sfDir, out,
       s""","probe_floor_ms":${f"$probeFloor%.1f"},"host_speed_x":$hostSpeedX,"hist_anomalies_n":${histAnomalies.size},"repass_n":${repassQueries.size}""" +
+        s""","reps_1":${repTierCounts.getOrElse(1, 0)},"reps_2":${repTierCounts.getOrElse(2, 0)},"excluded_n":${excluded.size}""" +
         filterFields)
     try Files.writeString(Paths.get(out), fullLine + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] file write failed: $e") }

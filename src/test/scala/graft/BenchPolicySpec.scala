@@ -91,4 +91,59 @@ class BenchPolicySpec extends AnyFunSuite {
     assert(line.contains(""""errors":[]"""))
     assert(!line.contains("more"))
   }
+
+  // ---- adaptive rep plan (round 18, VERDICT r17 #1) ----
+
+  test("plannedReps: new queries (thin history) get the full default") {
+    assert(Bench.plannedReps(3, Nil, Nil) === 3)
+    assert(Bench.plannedReps(3, Seq(0.1, 0.1), Seq(0.1, 0.1)) === 3)
+  }
+
+  test("plannedReps: stable sub-300ms history → 1 rep") {
+    val h = Seq(0.21, 0.22, 0.20)
+    assert(Bench.plannedReps(3, h, h) === 1)
+  }
+
+  test("plannedReps: the 300ms gate reads the RECENT min, not ancient history") {
+    // a query that got faster (old 2s, now 0.2s) qualifies on its last 3
+    val raw = Seq(2.0, 2.1, 0.21, 0.22, 0.20)
+    assert(Bench.plannedReps(3, raw, raw) === 1)
+    // and one that got slower does NOT drop to 1 rep on its old values
+    val slow = Seq(0.2, 0.2, 1.4, 1.5, 1.41)
+    assert(Bench.plannedReps(3, slow, slow) === 2) // band ≤ 25% → 2, not 1
+  }
+
+  test("plannedReps: stable big query → 2 reps; unstable big query keeps 3") {
+    val stable = Seq(4.0, 4.1, 3.9)
+    assert(Bench.plannedReps(3, stable, stable) === 2)
+    val unstable = Seq(4.0, 5.8, 3.9)
+    assert(Bench.plannedReps(3, unstable, unstable) === 3)
+  }
+
+  test("plannedReps: sub-second queries get 2 reps even when unstable") {
+    val h = Seq(0.5, 0.9, 0.45)
+    assert(Bench.plannedReps(3, h, h) === 2)
+  }
+
+  test("plannedReps: band is judged on the host-NORMALIZED series") {
+    // raw values drift 30% because the host floor drifted; normalized
+    // they're flat — the query is stable, not noisy
+    val raw = Seq(4.0, 5.2, 4.0)
+    val norm = Seq(4.0, 4.05, 4.0)
+    assert(Bench.plannedReps(3, raw, norm) === 2)
+  }
+
+  test("plannedReps: never exceeds the configured default") {
+    val h = Seq(4.0, 5.8, 3.9) // would keep 3 under default 3
+    assert(Bench.plannedReps(2, h, h) === 2)
+    assert(Bench.plannedReps(1, h, h) === 1)
+    assert(Bench.plannedReps(1, Seq(0.2, 0.2, 0.2), Seq(0.2, 0.2, 0.2)) === 1)
+  }
+
+  test("contrast-only exclusion names real registry queries") {
+    // a typo'd ContrastOnly entry would silently exclude NOTHING while the
+    // artifact claims it did
+    Bench.ContrastOnly.foreach(n =>
+      assert(SparkEntry.queries.contains(n), s"ContrastOnly '$n' not in registry"))
+  }
 }
