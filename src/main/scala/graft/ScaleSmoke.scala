@@ -311,7 +311,8 @@ object ScaleSmoke {
     }
     val (headRows, headSec) = timed {
       CorpusOps.kneserNeyHeadFromCounts(
-        k => CorpusOps.readKnGramCounts(spark, names(k)), 4).count()
+        k => CorpusOps.readKnGramCounts(spark, names(k)), 4,
+        spreadProviders = true).count()
     }
     val gramRows = (2 to 4).map(k => spark.table(names(k)).count()).sum
     val (retrainRows, retrainSec) = timed {

@@ -74,7 +74,8 @@ object CorpusPipelineDemo {
       k -> nm
     }.toMap
     val knLm = CorpusOps.kneserNeyHeadFromCounts(
-      k => CorpusOps.readKnGramCounts(spark, gcNames(k)), order = 3)
+      k => CorpusOps.readKnGramCounts(spark, gcNames(k)), order = 3,
+      spreadProviders = true)
     val knScored = CorpusOps.trigramLogprob(clean, "doc_id", "text",
       knLm.select(col("g").as("tg"), col("lp")), -20.0)
     // LEFT join: a doc with fewer than 3 tokens yields no trigrams and is

@@ -896,15 +896,29 @@ object CorpusOps {
     * level's types and the raw top counts (the docs path previously
     * recomputed the top-order gram aggregation twice, and a table-backed
     * provider would otherwise re-run its epoch-sum merge per consumer).
+    *
+    * `spreadProviders` (VERDICT r17 #5): a TABLE-backed provider's
+    * bucket-local epoch merge emits only bucket-count partitions (8), so
+    * at ×30 gram volumes the eleven-statistic join fan-out ran ~1M-row
+    * partitions on a 32-thread host — GC pressure that swung the ×30 head
+    * derivation 16–59 s across identical inputs. `true` repartitions each
+    * persisted provider by `g` to the session's shuffle parallelism
+    * before the joins (values unchanged — exact integer counts; the float
+    * tree is row-local past the joins). The direct corpus path stays
+    * `false`: its providers already come out of a 32-way groupBy, and the
+    * forced re-exchange would be pure overhead.
     */
   def kneserNeyHeadFromCounts(gramCounts: Int => DataFrame, order: Int,
                               discount: Double = 0.75,
-                              vocabCap: Int = 262144): DataFrame = {
+                              vocabCap: Int = 262144,
+                              spreadProviders: Boolean = false): DataFrame = {
     require(order >= 2, s"order must be >= 2, got $order")
     val d = lit(discount)
     val memo = scala.collection.mutable.Map.empty[Int, DataFrame]
     def gc(k: Int): DataFrame =
-      memo.getOrElseUpdate(k, Caching.persisted(gramCounts(k)))
+      memo.getOrElseUpdate(k, Caching.persisted(
+        if (spreadProviders) gramCounts(k).repartition(col("g"))
+        else gramCounts(k)))
     // level 1: continuation unigrams from bigram TYPES
     val bg = gc(2)
     val tot = bg.agg(count(lit(1)).as("nbg"))
@@ -1066,18 +1080,11 @@ object CorpusOps {
     val frontier = graft.sources.BucketedLake.frontier(spark, name)
       .getOrElse(spark.table(name)
         .agg(coalesce(max(col("epoch")), lit(0L))).head().getLong(0))
-    // materialize BEFORE the overwrite (the rewrite reads the very table
-    // it replaces) — the held-handle RDD pattern, as compactClusterLabels
-    val plan = readKnGramCounts(spark, name).withColumn("epoch", lit(frontier))
-    val rdd = plan.rdd
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    rdd.localCheckpoint()
-    rdd.count() // force: the overwrite must never re-read the old files
-    spark.createDataFrame(rdd, plan.schema)
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .bucketBy(buckets, "g").sortBy("g")
-      .format("parquet").saveAsTable(name)
-    rdd.unpersist(blocking = false)
+    // merged sums materialize BEFORE the overwrite through the shared
+    // held-handle rewrite (the rewrite reads the table it replaces)
+    graft.sources.BucketedLake.rewriteBucketedTable(spark, name,
+      readKnGramCounts(spark, name).withColumn("epoch", lit(frontier)),
+      "g", buckets)
     // the Overwrite drops table properties — restore the frontier so the
     // monotonic-fold ledger survives compaction
     graft.sources.BucketedLake.setFrontier(spark, name, frontier)

@@ -149,7 +149,8 @@ object StandingLm {
     if (!s.catalog.tableExists(headName))
       graft.sources.BucketedLake.writeBucketedTable(s, headName,
         CorpusOps.kneserNeyHeadFromCounts(
-          k => CorpusOps.readKnGramCounts(s, names(k)), order, discount),
+          k => CorpusOps.readKnGramCounts(s, names(k)), order, discount,
+          spreadProviders = true),
         "g", 8)
     s.table(headName)
   }
@@ -172,15 +173,72 @@ object StandingLm {
         .agg(count_distinct(col("epoch"))).head().getLong(0)
       if (epochs > 1) CorpusOps.compactKnGramTable(s, n)
     }
-    names.map(n =>
-      s.table(n).agg(coalesce(max(col("epoch")), lit(0L)))
-        .head().getLong(0)).max
+    names.map(n => tableFrontier(s, n)).max
   }
 
-  private def maintainedHeadImpl(s: SparkSession, dir: String, order: Int,
-                                 discount: Double, tag: String,
-                                 deltaFor: Int => DataFrame): DataFrame = {
-    import org.apache.spark.sql.functions.{col, pmod, lit, max, coalesce}
+  /** A gram table's frontier epoch — the catalog property (no data scan;
+    * VERDICT r17 #6), falling back to one max(epoch) read for layouts
+    * written before the property existed.
+    */
+  private def tableFrontier(s: SparkSession, name: String): Long = {
+    import org.apache.spark.sql.functions.{col, max, coalesce, lit}
+    graft.sources.BucketedLake.frontier(s, name).getOrElse(
+      s.table(name).agg(coalesce(max(col("epoch")), lit(0L)))
+        .head().getLong(0))
+  }
+
+  // ---- head refresh cadence (VERDICT r17 #3) ----
+
+  /** Session knob: how many frontier epochs a persisted head may lag
+    * before a fold's serve re-derives it. Default 1 = refresh whenever
+    * the frontier advanced (round-17 behavior). Raising it buys the d18
+    * economics: folds stay batch-sized every ingest; the gram-table-sized
+    * head derivation (16–59 s at ×30) runs once per N ingests, with
+    * serves reading the last persisted head in between — a bounded,
+    * caller-chosen staleness, made safe by the `_e{epoch}` naming (what's
+    * served is exactly the labeled epoch, never a silently mixed state).
+    */
+  private[graft] def headRefreshEpochs(s: SparkSession): Int =
+    s.conf.getOption("spark.graft.lm.headRefreshEpochs").map { v =>
+      val n =
+        try v.trim.toInt
+        catch { case e: NumberFormatException =>
+          throw new IllegalArgumentException(
+            "spark.graft.lm.headRefreshEpochs must be a positive epoch " +
+              s"count — got '$v'", e)
+        }
+      require(n > 0,
+        s"spark.graft.lm.headRefreshEpochs must be positive; got $n")
+      n
+    }.getOrElse(1)
+
+  /** The staleness advisory ([[graft.operators.Dedup.staleKnobs]]'s shape
+    * for LM heads): refresh when no head was ever persisted, or when the
+    * newest persisted head lags the gram family's frontier by
+    * `refreshEpochs` or more. Pure — `LmCadenceSpec` pins the boundary.
+    */
+  private[graft] def headStale(frontier: Long, persisted: Option[Long],
+                               refreshEpochs: Int): Boolean =
+    persisted.forall(e => frontier - e >= refreshEpochs)
+
+  /** Newest persisted head epoch for `headBase` (catalog listing, no data
+    * job): table names are `{headBase}{epoch}`, so the maximum parsed
+    * suffix is the serve candidate.
+    */
+  private def latestPersistedHead(s: SparkSession,
+                                  headBase: String): Option[Long] =
+    s.catalog.listTables().collect().iterator
+      .map(_.name)
+      .filter(_.startsWith(headBase))
+      .flatMap(n => n.stripPrefix(headBase).toLongOption)
+      .maxOption
+
+  private[graft] def maintainedHeadImpl(s: SparkSession, dir: String,
+                                        order: Int, discount: Double,
+                                        tag: String,
+                                        deltaFor: Int => DataFrame,
+                                        epoch: Long = 1L): DataFrame = {
+    import org.apache.spark.sql.functions.{col, pmod, lit}
     val docs = t(s, dir, "documents")
     val base = docs.filter(pmod(col("doc_id"), lit(10)) < 8)
     val names = (2 to order).map { k =>
@@ -188,26 +246,36 @@ object StandingLm {
       if (!s.catalog.tableExists(name))
         CorpusOps.writeKnGramTable(s, name,
           CorpusOps.knGramCounts(base, "text", k))
-      CorpusOps.maintainKnGramTable(s, name, deltaFor(k), epoch = 1L)
+      CorpusOps.maintainKnGramTable(s, name, deltaFor(k), epoch)
       k -> name
     }.toMap
-    // Maintenance ENDS by persisting the re-derived head — the table
-    // scorers consume (the production shape: a fold refreshes the head
-    // once; serves read it, never a live derivation). The gram family's
-    // FRONTIER epoch is baked into the head's name, so a head persisted
-    // before a fold simply isn't this name — staleness is impossible by
-    // identity, the same argument as the knob-baked LM names (a crash
-    // between fold and head persist leaves only an orphaned older name).
-    val frontier = names.values.map(n =>
-      s.table(n).agg(coalesce(max(col("epoch")), lit(0L)))
-        .head().getLong(0)).max
-    val headName = "kn_lmm" + tag + "_" +
+    // Maintenance ends by SERVING a persisted head — but which one is the
+    // cadence decision (VERDICT r17 #3): the fold itself stays batch-sized
+    // every ingest, and the gram-table-sized head derivation runs only
+    // when the staleness advisory fires ([[headStale]] against
+    // [[headRefreshEpochs]]; default 1 = refresh on every advancing fold,
+    // the round-17 behavior). In between, serves read the newest persisted
+    // head — the FRONTIER epoch baked into each head's name means the
+    // served state is always exactly the epoch the name says (staleness is
+    // bounded and labeled, never silent; a crash between fold and refresh
+    // leaves only an orphaned older name, same argument as the knob-baked
+    // LM names). Refresh itself is bit-identical to a from-scratch retrain
+    // at that frontier, so the t49/e50 oracles grade the refreshed head
+    // with no weakening.
+    val frontier = names.values.map(n => tableFrontier(s, n)).max
+    val headBase = "kn_lmm" + tag + "_" +
       graft.sources.BucketedLake.layoutSuffix(dir + "#knlmm" + tag, 8) +
-      s"_o${order}_d${discountTag(discount)}_e$frontier"
+      s"_o${order}_d${discountTag(discount)}_e"
+    val persisted = latestPersistedHead(s, headBase)
+    val serveEpoch =
+      if (headStale(frontier, persisted, headRefreshEpochs(s))) frontier
+      else persisted.get
+    val headName = headBase + serveEpoch
     if (!s.catalog.tableExists(headName))
       graft.sources.BucketedLake.writeBucketedTable(s, headName,
         CorpusOps.kneserNeyHeadFromCounts(
-          k => CorpusOps.readKnGramCounts(s, names(k)), order, discount),
+          k => CorpusOps.readKnGramCounts(s, names(k)), order, discount,
+          spreadProviders = true),
         "g", 8)
     s.table(headName)
   }
