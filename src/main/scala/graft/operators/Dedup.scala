@@ -878,20 +878,11 @@ object Dedup {
     */
   def compactClusterLabels(spark: org.apache.spark.sql.SparkSession,
                            name: String, buckets: Int = 16): String = {
-    // materialize the merged labeling BEFORE the overwrite (the rewrite
-    // reads the very table it replaces) — through the held-handle RDD
-    // pattern, not Dataset.localCheckpoint (whose hidden persisted RDD
-    // nothing can free; the dupClusters lesson)
-    val plan = readClusterLabels(spark, name).withColumn("epoch", lit(0L))
-    val rdd = plan.rdd
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    rdd.localCheckpoint()
-    rdd.count() // force: the overwrite must never re-read the old files
-    spark.createDataFrame(rdd, plan.schema)
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .bucketBy(buckets, "id").sortBy("id")
-      .format("parquet").saveAsTable(name)
-    rdd.unpersist(blocking = false)
+    // the merged labeling materializes BEFORE the overwrite through the
+    // shared held-handle rewrite (the rewrite reads the table it replaces)
+    graft.sources.BucketedLake.rewriteBucketedTable(spark, name,
+      readClusterLabels(spark, name).withColumn("epoch", lit(0L)),
+      "id", buckets)
     // labels compact to epoch 0 (the fold is value-idempotent, so unlike
     // gram counts there is no replay ledger to preserve) — reset the
     // catalog frontier to match, the Overwrite dropped it anyway

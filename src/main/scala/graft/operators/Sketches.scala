@@ -303,6 +303,111 @@ object Sketches {
       .select(grpCols.map(col) ++ Seq(col("q"), col("n"), col("bin"), col("est")): _*)
   }
 
+  // ----------------------------------------- Log-linear (quantile, unbounded) --
+
+  /** Log-linear quantile sketch — the [[histCounts]] family's
+    * UNBOUNDED-DOMAIN sibling (VERDICT r17 #7: equi-width bins assume a
+    * known [lo, lo+bins·w) range; this one doesn't). The HdrHistogram /
+    * DDSketch-"fast" shape: each value bins into its binary OCTAVE
+    * (the k with 2^(k-1) < |v| ≤ 2^k — every double has one) subdivided
+    * into [[LogLinSubBins]] equal sub-buckets, giving a bounded RELATIVE
+    * rank-position error (bucket width / value ≤ 1/16 ≈ 6%, so a
+    * quantile estimate is within ~3% of the true value's magnitude at any
+    * scale from subnormals to 1e308) with state ≤ 16 × octaves-present —
+    * in practice a few hundred counters however wide the data. Negative
+    * values mirror into negated codes and zero has its own code, so the
+    * code order IS value order and one cumulative walk serves any mix.
+    *
+    * Determinism contract (the whole [[Sketches]] family's): the octave
+    * comes from ceil(log2(|v|)) CORRECTED by two exact power-of-two
+    * comparisons — libm log2 implementations differ by an ulp across
+    * engines, but any value within ±1 octave lands identically after the
+    * correction, so Spark and the DuckDB oracle cannot disagree on a
+    * boundary value. The sub-bucket arithmetic is exact IEEE throughout:
+    * |v| − lo is Sterbenz-exact (lo ≤ |v| ≤ 2lo), ×16 and ÷lo only move
+    * the exponent. Counters are exact longs; merge = per-code SUM
+    * (additive state algebra, the [[histMergeCounts]] contract).
+    */
+  val LogLinSubBins = 16L
+  /** Octave offset keeping codes positive: double exponents reach −1074
+    * (subnormals), so k + 1100 > 0 for every representable magnitude.
+    */
+  val LogLinKOff = 1100L
+
+  /** The signed sketch code of one value — 0 for 0.0, positive for v > 0,
+    * negated for v < 0 (code order = value order). Mirrored verbatim by
+    * the q54 oracle SQL.
+    */
+  def logLinCode(v: Column): Column = {
+    val a = abs(v)
+    val k0 = ceil(log2(a))
+    val k = when(a > pow(lit(2.0), k0), k0 + lit(1L))
+      .when(a <= pow(lit(2.0), k0 - lit(1L)), k0 - lit(1L))
+      .otherwise(k0)
+    val lo = pow(lit(2.0), k - lit(1L))
+    val sub = least(lit(LogLinSubBins - 1L),
+      floor((a - lo) * lit(LogLinSubBins.toDouble) / lo))
+    val mag = (k + lit(LogLinKOff)) * lit(LogLinSubBins) + sub
+    when(v === lit(0.0), lit(0L))
+      .when(v > lit(0.0), mag)
+      .otherwise(-mag)
+  }
+
+  /** Per-group log-linear state: (grpCols..., code, cnt) for codes present
+    * in the input — ONE groupBy with map-side partial sums, like
+    * [[histCounts]].
+    */
+  def logLinCounts(df: DataFrame, grpCols: Seq[String], value: Column): DataFrame =
+    df.select(grpCols.map(col) :+ logLinCode(value).as("code"): _*)
+      .groupBy((grpCols :+ "code").map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Merge two log-linear states: union + per-code sum ([[histMergeCounts]]
+    * for the unbounded sketch — a standing quantile table absorbs delta
+    * batches at |delta codes| cost).
+    */
+  def logLinMergeCounts(a: DataFrame, b: DataFrame, grpCols: Seq[String]): DataFrame =
+    a.unionByName(b)
+      .groupBy((grpCols :+ "code").map(col): _*)
+      .agg(sum("cnt").as("cnt"))
+
+  /** Quantile estimates from a log-linear state — [[histQuantiles]]' walk
+    * (cumulative over code order, linear interpolation inside the hit
+    * bucket) with the bucket bounds reconstructed from the code: for
+    * magnitude m = |code|, octave k = m >> 4 − KOff and sub = m & 15 give
+    * the positive bucket [lo·(16+sub)/16, lo·(17+sub)/16) with
+    * lo = 2^(k−1) — all power-of-two-exact doubles; a negative code's
+    * bucket is the mirror, interpolated from its low (most negative) end
+    * so estimates stay monotone in q. Zero's bucket is the point mass 0.
+    * Returns (grpCols..., q, n, code, est).
+    */
+  def logLinQuantiles(counts: DataFrame, grpCols: Seq[String],
+                      qs: Seq[Double]): DataFrame = {
+    val w = Window.partitionBy(grpCols.map(col): _*).orderBy("code")
+    val wg = Window.partitionBy((grpCols :+ "q").map(col): _*)
+    val mag = abs(col("code"))
+    val k = shiftright(mag, 4) - lit(LogLinKOff)
+    val sub = mag.bitwiseAND(lit(15L))
+    val lo = pow(lit(2.0), k - lit(1L))
+    val width = lo / lit(LogLinSubBins.toDouble)
+    val bLo = lo + sub.cast("double") * width // lo·(16+sub)/16, exact
+    val frac = (col("t") - (col("cum") - col("cnt")).cast("double")) /
+      col("cnt").cast("double")
+    counts.withColumn("cum", sum("cnt").over(w))
+      .withColumn("q", explode(typedlit(qs)))
+      .withColumn("n", max("cum").over(wg))
+      .withColumn("t", col("q") * col("n").cast("double"))
+      .withColumn("hit_code",
+        min(when(col("cum").cast("double") >= col("t"), col("code"))).over(wg))
+      .filter(col("code") === col("hit_code"))
+      .withColumn("est",
+        when(col("code") === lit(0L), lit(0.0))
+          .when(col("code") > lit(0L), bLo + frac * width)
+          .otherwise(-(bLo + width) + frac * width))
+      .select(grpCols.map(col) ++
+        Seq(col("q"), col("n"), col("code"), col("est")): _*)
+  }
+
   // ---------------------------------------------------------------- KMV --
 
   /** Sketch size: estimate standard error ≈ 1/√(k-2) ≈ 18% at k=32. */

@@ -2400,6 +2400,58 @@ object ExtensionQueries {
         .orderBy("fresh_id", "corpus_id")
     },
 
+    // The appended shingle index COMPACTED (d28 — VERDICT r17 #4, the
+    // generic rung the appended index families were missing): d18's
+    // build-then-append lifecycle leaves multi-file buckets (one file per
+    // append per bucket, global sort lost); BucketedLake
+    // .compactBucketedTable rewrites both index tables back to one
+    // globally-sorted file per bucket — a file-LAYOUT operation, the same
+    // rows — and the same fresh screen runs against the compacted layout.
+    // The d11 oracle pins that build → append → compact lands on exactly
+    // the freshly-built index's answer; PlanSpec pins the single-file
+    // buckets and the exchange-free probe.
+    "d28_shingle_index_compacted" -> of(
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] AS shingle
+        |  FROM toks, UNNEST(range(1, len(tk) - 2)) AS u(i)),
+        |sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT f.doc_id AS fresh_id, c.doc_id AS corpus_id, COUNT(*) AS inter
+        |  FROM sh f JOIN sh c ON f.shingle = c.shingle
+        |  WHERE f.doc_id % 10 >= 8 AND c.doc_id % 10 < 8
+        |  GROUP BY f.doc_id, c.doc_id)
+        |SELECT fresh_id, corpus_id,
+        |  inter / (sf.set_size + sc.set_size - inter) AS jaccard
+        |FROM inter
+        |JOIN sizes sf ON sf.doc_id = fresh_id
+        |JOIN sizes sc ON sc.doc_id = corpus_id
+        |WHERE inter / (sf.set_size + sc.set_size - inter) >= 0.5
+        |ORDER BY fresh_id, corpus_id""") { (s, d) =>
+      val docs = t(s, d, "documents")
+      val suffix =
+        graft.sources.BucketedLake.layoutSuffix(d + "#shingle_k4_cpt", 16)
+      val idx = Dedup.ShingleIndex(s"shingle_idxc_$suffix", s"shingle_szc_$suffix")
+      // catalog presence marks built-appended-AND-compacted for this
+      // (session, dir) — append is not idempotent, so the whole lifecycle
+      // runs exactly once
+      if (!s.catalog.tableExists(idx.shingles)) {
+        Dedup.writeShingleIndex(docs.filter(pmod(col("doc_id"), lit(10)) < 4),
+          "doc_id", "text", idx)
+        Dedup.appendShingleIndex(
+          docs.filter(pmod(col("doc_id"), lit(10)).between(4, 7)), idx,
+          "doc_id", "text")
+        graft.sources.BucketedLake.compactBucketedTable(
+          s, idx.shingles, "shingle", 16)
+        graft.sources.BucketedLake.compactBucketedTable(
+          s, idx.sizes, "doc_id", 16)
+      }
+      Dedup.incrementalJaccardPairsIndexed(
+        docs.filter(pmod(col("doc_id"), lit(10)) >= 8), idx, "doc_id", "text")
+        .orderBy("fresh_id", "corpus_id")
+    },
+
     // SemDeDup-style semantic dedup: k-means clusters are the candidate
     // generator (within-cluster pairs only — the IVF idea applied to dedup),
     // pairs at cosine ≥ 0.4 resolve to clusters by connected components.

@@ -47,6 +47,61 @@ object SketchQueries {
       |FROM hit h JOIN cum c ON c.grp = h.grp AND c.bin = h.bin
       |ORDER BY h.grp, h.q""".stripMargin
 
+  /** The per-event-type LOG-LINEAR quantile contract shared by q54
+    * (incremental batch merge) and e51 (streaming counter maintenance) —
+    * the histEventsSql pattern on the unbounded-domain sketch: the
+    * from-scratch octave binning (ceil-log2 with the two exact
+    * power-of-two corrections — see [[graft.operators.Sketches
+    * .logLinCode]]'s determinism contract), sub-bucket arithmetic,
+    * cumulative walk and interpolated estimate, all in one SQL
+    * definition, so every maintenance path must land on identical
+    * estimates.
+    */
+  private val logLinEventsSql =
+    """WITH src AS (SELECT event_type AS grp, value AS v FROM events),
+      |oct AS (SELECT grp, v, ABS(v) AS a,
+      |    CAST(CEIL(LOG2(ABS(v))) AS BIGINT) AS k0 FROM src WHERE v <> 0e0),
+      |kk AS (SELECT grp, v, a,
+      |    CASE WHEN a > POWER(2.0, k0) THEN k0 + 1
+      |         WHEN a <= POWER(2.0, k0 - 1) THEN k0 - 1
+      |         ELSE k0 END AS k FROM oct),
+      |cd AS (
+      |  SELECT grp, CASE WHEN v > 0e0 THEN mag ELSE -mag END AS code FROM (
+      |    SELECT grp, v, (k + 1100) * 16 + LEAST(15,
+      |        CAST(FLOOR((a - POWER(2.0, k - 1)) * 16e0 / POWER(2.0, k - 1))
+      |          AS BIGINT)) AS mag
+      |    FROM kk) x
+      |  UNION ALL
+      |  SELECT grp, 0 AS code FROM src WHERE v = 0e0),
+      |bc AS (SELECT grp, code, CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM cd GROUP BY grp, code),
+      |cum AS (SELECT grp, code, cnt,
+      |    CAST(SUM(cnt) OVER (PARTITION BY grp ORDER BY code) AS BIGINT) AS cum
+      |  FROM bc),
+      |tot AS (SELECT grp, CAST(SUM(cnt) AS BIGINT) AS n FROM bc GROUP BY grp),
+      |qs AS (SELECT CAST(q AS DOUBLE) AS q FROM (VALUES (0.5), (0.9), (0.99)) v(q)),
+      |tgt AS (SELECT t.grp, qs.q, t.n, qs.q * CAST(t.n AS DOUBLE) AS t
+      |  FROM tot t CROSS JOIN qs),
+      |hit AS (SELECT tgt.grp, tgt.q, tgt.n, tgt.t, MIN(c.code) AS code
+      |  FROM tgt JOIN cum c ON c.grp = tgt.grp AND CAST(c.cum AS DOUBLE) >= tgt.t
+      |  GROUP BY tgt.grp, tgt.q, tgt.n, tgt.t),
+      |geo AS (SELECT h.grp, h.q, h.n, h.t, h.code, c.cum, c.cnt,
+      |    ABS(h.code) // 16 - 1100 AS k, ABS(h.code) % 16 AS sub
+      |  FROM hit h JOIN cum c ON c.grp = h.grp AND c.code = h.code)
+      |SELECT grp, q, n, code,
+      |  CASE WHEN code = 0 THEN 0e0
+      |       WHEN code > 0 THEN
+      |         (POWER(2.0, k - 1) + CAST(sub AS DOUBLE) * (POWER(2.0, k - 1) / 16e0))
+      |         + (t - CAST(cum - cnt AS DOUBLE)) / CAST(cnt AS DOUBLE)
+      |           * (POWER(2.0, k - 1) / 16e0)
+      |       ELSE
+      |         -((POWER(2.0, k - 1) + CAST(sub AS DOUBLE) * (POWER(2.0, k - 1) / 16e0))
+      |           + POWER(2.0, k - 1) / 16e0)
+      |         + (t - CAST(cum - cnt AS DOUBLE)) / CAST(cnt AS DOUBLE)
+      |           * (POWER(2.0, k - 1) / 16e0)
+      |  END AS est
+      |FROM geo ORDER BY grp, q""".stripMargin
+
   /** The per-event-type HLL contract shared by q46 (incremental batch
     * merge) and e24 (streaming register maintenance): one SQL definition —
     * the from-scratch sketch over ALL events — so both maintenance paths
@@ -539,5 +594,49 @@ object SketchQueries {
         .select("et_a", "et_b", "exact_a", "exact_b", "exact_inter",
           "est_a", "est_b", "est_union", "est_inter")
         .orderBy("et_a", "et_b")
+    },
+
+    // Log-linear quantile sketch with incremental merge (q54 — VERDICT r17
+    // #7, the q47 histogram's UNBOUNDED-domain sibling): per-type
+    // p50/p90/p99 from octave-binned counters (2^(k-1), 2^k] × 16 linear
+    // sub-buckets — bounded RELATIVE error at any magnitude, no [lo, hi)
+    // range baked into the sketch spec. Same split-merge proof shape as
+    // q47: the state is built over two disjoint time halves and MERGED
+    // (per-code sum), so the estimates must equal the from-scratch
+    // sketch's by the additive state algebra. Determinism rides the
+    // exact-arithmetic contract in Sketches.logLinCode (ceil-log2 with
+    // power-of-two corrections; Sterbenz-exact sub-bucketing), which the
+    // oracle mirrors operation for operation.
+    "q54_loglin_quantiles" -> of(logLinEventsSql) { (s, d) =>
+      val ev = Q.events(s, d)
+      val cut = lit("2024-01-15").cast("timestamp")
+      def st(df: org.apache.spark.sql.DataFrame) = Sketches.logLinCounts(
+        df.select(col("event_type").as("grp"), col("value")),
+        Seq("grp"), col("value"))
+      val merged = Sketches.logLinMergeCounts(
+        st(ev.filter(col("ts") < cut)),
+        st(ev.filter(col("ts") >= cut)), Seq("grp"))
+      Sketches.logLinQuantiles(merged, Seq("grp"), Seq(0.5, 0.9, 0.99))
+        .orderBy("grp", "q")
+    },
+
+    // Streaming log-linear quantiles (e51): the per-group code counters
+    // are MAINTAINED BY THE STREAM (one complete-mode count aggregate —
+    // state is the codes PRESENT in the data, ≤ 16 × octaves-present per
+    // group, bounded by the sketch spec, never per-value); the quantile
+    // walk is a batch read over the materialized state. Graded against
+    // the same from-scratch SQL as q54, so all three maintenance paths —
+    // from-scratch, incremental merge, streaming — land on identical
+    // estimates (the e26 pattern for the unbounded sketch).
+    "e51_stream_loglin" -> of(logLinEventsSql) { (s, d) =>
+      import graft.streaming.EventsStream
+      val ev = EventsStream.readEvents(s, d)
+      val counts = Sketches.logLinCounts(
+        ev.select(col("event_type").as("grp"), col("value")),
+        Seq("grp"), col("value"))
+      val sinkName = s"stream_loglin_${sinkCounter.incrementAndGet()}"
+      EventsStream.runAvailableNow(counts, sinkName, outputMode = "complete")
+      Sketches.logLinQuantiles(s.table(sinkName), Seq("grp"), Seq(0.5, 0.9, 0.99))
+        .orderBy("grp", "q")
     })
 }

@@ -86,6 +86,69 @@ object BucketedLake {
       .bucketBy(buckets, key, moreKeys: _*).sortBy(key, moreKeys: _*)
       .format("parquet").saveAsTable(name)
 
+  /** Rewrite a bucketed table in place from `plan` — the shared
+    * held-handle overwrite every compaction rung uses: the plan
+    * materializes into an RDD WE hold (persist + localCheckpoint + count)
+    * BEFORE the Overwrite, because the rewrite reads the very files it
+    * replaces — and never through `Dataset.localCheckpoint`, whose hidden
+    * persisted RDD nothing can free (the dupClusters lesson).
+    */
+  private[graft] def rewriteBucketedTable(spark: SparkSession, name: String,
+                                          plan: DataFrame, key: String,
+                                          buckets: Int,
+                                          moreKeys: String*): Unit = {
+    // Align partitions to buckets BEFORE the write: a bucketed write emits
+    // one file per (task, bucket), so an unaligned plan (size-split scan,
+    // AQE-coalesced aggregate — or a repartition whose reducer mapping AQE
+    // rewires into local reads on the .rdd path) would rebuild the very
+    // multi-file buckets compaction exists to remove. The bucket id is
+    // computed IN the plan with the writer's own function (murmur3-pmod —
+    // `functions.hash` IS HashPartitioning's Murmur3Hash at the default
+    // seed) and rows are placed by an identity RDD partitioner, so
+    // partition i holds exactly bucket i's rows → one file per bucket, by
+    // construction, immune to adaptive re-planning.
+    val keyCols = (key +: moreKeys).map(col)
+    val withBid = plan.withColumn("__bid",
+      org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.hash(keyCols: _*),
+        org.apache.spark.sql.functions.lit(buckets)))
+    val rdd = withBid.rdd
+      .map(r => (r.getInt(r.length - 1),
+        org.apache.spark.sql.Row.fromSeq(r.toSeq.dropRight(1))))
+      .partitionBy(new org.apache.spark.Partitioner {
+        override def numPartitions: Int = buckets
+        override def getPartition(k: Any): Int = k.asInstanceOf[Int]
+      })
+      .values
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    rdd.localCheckpoint()
+    rdd.count() // force: the overwrite must never re-read the old files
+    spark.createDataFrame(rdd, plan.schema)
+      .write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, key, moreKeys: _*).sortBy(key, moreKeys: _*)
+      .format("parquet").saveAsTable(name)
+    rdd.unpersist(blocking = false)
+  }
+
+  /** Compact an append-grown bucketed table back to one file per bucket
+    * (VERDICT r17 #4 — the generic rung the shingle/edit/MIH/gear/IVF
+    * index families' appends were missing): [[appendBucketedTable]] adds
+    * one file per bucket per fold, so buckets accumulate files and lose
+    * their global sort (sort-merge consumers pay a per-partition re-sort;
+    * scans pay per-file open overhead). Compaction rewrites the SAME rows
+    * — this is a file-layout operation, not a merge; reads are
+    * bit-identical before and after by construction — under the SAME
+    * bucket spec, restoring single-file, globally-sorted buckets. Run it
+    * on a cadence (appends × probe volume), never on the ingest path —
+    * the d27/t50 economics for every appended index.
+    */
+  def compactBucketedTable(spark: SparkSession, name: String, key: String,
+                           buckets: Int, moreKeys: String*): String = {
+    rewriteBucketedTable(spark, name, spark.table(name), key, buckets,
+      moreKeys: _*)
+    name
+  }
+
   /** Catalog-tracked frontier epoch for a standing maintained table
     * (VERDICT r17 #6): the maintenance rungs used to learn "what epoch is
     * this table at?" by scanning max(epoch) off the data files on every

@@ -180,6 +180,38 @@ class PlanSpec extends SparkSpec {
       s"maintained head re-scans the corpus:\n${plan.take(2000)}")
   }
 
+  test("d28: compaction restores single-file buckets; probe stays exchange-free") {
+    // evaluating the query runs build → append → compact (catalog-guarded)
+    val df = SparkEntry.queries("d28_shingle_index_compacted")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // the probe must read the compacted index through its bucketed layout
+    // with no Exchange between the probe join and the index scan (the d12
+    // contract, unchanged by compaction)
+    assert(plan.contains("Bucketed: true"), plan.take(1200))
+    val lines = plan.linesIterator.toVector
+    val scanIdx = lines.indexWhere(_.contains("shingle_idxc_"))
+    assert(scanIdx > 0, s"expected a scan of the compacted index:\n${plan.take(1200)}")
+    val joinIdx = lines.lastIndexWhere(_.contains("Join"), scanIdx)
+    assert(joinIdx >= 0)
+    val branch = lines.slice(joinIdx + 1, scanIdx + 1)
+      .filterNot(_.contains("BroadcastExchange"))
+    assert(!branch.exists(_.contains("Exchange")),
+      s"compacted index side must not exchange:\n${branch.mkString("\n")}")
+    // and the LAYOUT claim itself: after build (1 file/bucket) + append
+    // (+1 file/bucket) + compact, each index table is back to exactly one
+    // file per bucket
+    val warehouse = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir")).toUri.getPath
+    for (t <- Seq("shingle_idxc_", "shingle_szc_")) {
+      val name = spark.catalog.listTables().collect().map(_.name)
+        .find(_.startsWith(t)).getOrElse(fail(s"no $t table in catalog"))
+      val files = Option(new java.io.File(warehouse, name).listFiles())
+        .getOrElse(Array.empty).filter(_.getName.endsWith(".parquet"))
+      assert(files.length === 16,
+        s"$name should hold 16 single-file buckets, found ${files.length}")
+    }
+  }
+
   test("label table: merge-on-read resolves bucket-locally, no exchange") {
     import spark.implicits._
     val name = s"labels_plan_${System.nanoTime()}"

@@ -181,6 +181,80 @@ class SketchSpec extends SparkSpec with TableDrivenPropertyChecks {
       }
   }
 
+  // ------------------------------------------------- log-linear sketch ----
+
+  /** Plain-Scala replica of [[Sketches.logLinCode]]: exact octave (the k
+    * with 2^(k-1) < |v| ≤ 2^k, from math.getExponent adjusted at exact
+    * powers of two) and the same exact sub-bucket arithmetic.
+    */
+  private def refLogLinCode(v: Double): Long = {
+    if (v == 0.0) 0L
+    else {
+      val a = math.abs(v)
+      // getExponent(a) = floor(log2(a)); the octave contract is
+      // 2^(k-1) < a <= 2^k, so exact powers of two belong to THEIR OWN k
+      // while everything else rounds up
+      val e = math.getExponent(a)
+      val k = if (a == math.pow(2.0, e)) e else e + 1
+      val lo = math.pow(2.0, k - 1)
+      val sub = math.min(15L, math.floor((a - lo) * 16.0 / lo).toLong)
+      val mag = (k + 1100L) * 16L + sub
+      if (v > 0) mag else -mag
+    }
+  }
+
+  test("loglin: code matches the exponent-based reference on edges and random values") {
+    val rnd = new scala.util.Random(23)
+    val vals = Seq(0.0, 1.0, -1.0, 2.0, 4.0, 0.5, 0.25, 1e-300, 1e300,
+      3.9999999, 4.0000001, -511.9, 0.01, 490.02) ++
+      Seq.fill(500)(math.exp(rnd.nextDouble() * 40 - 20) *
+        (if (rnd.nextBoolean()) 1 else -1))
+    val got = vals.toDF("v")
+      .select(col("v"), Sketches.logLinCode(col("v")).as("code"))
+      .collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    vals.foreach { v =>
+      assert(got(v) === refLogLinCode(v),
+        s"value $v: code ${got(v)} != ref ${refLogLinCode(v)}")
+    }
+  }
+
+  test("loglin: counters merge additively and merged quantiles are bit-identical") {
+    val rnd = new scala.util.Random(29)
+    val vals = Seq.fill(600)(("g", math.exp(rnd.nextDouble() * 12 - 4)))
+    val (va, vb) = vals.splitAt(253)
+    val merged = Sketches.logLinMergeCounts(
+      Sketches.logLinCounts(va.toDF("grp", "v"), Seq("grp"), col("v")),
+      Sketches.logLinCounts(vb.toDF("grp", "v"), Seq("grp"), col("v")),
+      Seq("grp"))
+    val direct = Sketches.logLinCounts(vals.toDF("grp", "v"), Seq("grp"), col("v"))
+    assert(direct.except(merged).isEmpty && merged.except(direct).isEmpty)
+    val qs = Seq(0.5, 0.9, 0.99)
+    val eA = Sketches.logLinQuantiles(direct, Seq("grp"), qs).orderBy("q").collect().toSeq
+    val eB = Sketches.logLinQuantiles(merged, Seq("grp"), qs).orderBy("q").collect().toSeq
+    assert(eA === eB)
+  }
+
+  test("loglin: relative error ≤ one sub-bucket (1/16) at every magnitude, negatives included") {
+    val rnd = new scala.util.Random(31)
+    // four decades of magnitude in one group, plus a negative tail — the
+    // regime the fixed-range histogram cannot sketch at all
+    val vals = Seq.fill(2000)(math.exp(rnd.nextDouble() * 9.2)) ++ // 1..1e4
+      Seq.fill(200)(-math.exp(rnd.nextDouble() * 4.6))             // -1..-100
+    val counts = Sketches.logLinCounts(
+      vals.map(("g", _)).toDF("grp", "v"), Seq("grp"), col("v"))
+    val sorted = vals.sorted
+    Sketches.logLinQuantiles(counts, Seq("grp"), Seq(0.1, 0.5, 0.9, 0.99))
+      .select("q", "est").as[(Double, Double)].collect().foreach { case (q, est) =>
+        // the ⌈q·n⌉-th smallest value shares the estimate's bucket, whose
+        // width is its own lo/16 — a RELATIVE bound: |est − true| ≤
+        // max(|est|, |true|) / 16
+        val trueQ = sorted(math.ceil(q * vals.size).toInt - 1)
+        val bound = math.max(math.abs(est), math.abs(trueQ)) / 16.0
+        assert(math.abs(est - trueQ) <= bound,
+          s"q=$q: est $est vs true $trueQ beyond one sub-bucket ($bound)")
+      }
+  }
+
   // ------------------------------------------------------ profiler ----
 
   test("profiler: counts, nulls, string-image min/max and estimate branches behave") {
