@@ -99,18 +99,31 @@ class BenchPolicySpec extends AnyFunSuite {
     assert(Bench.plannedReps(3, Seq(0.1, 0.1), Seq(0.1, 0.1)) === 3)
   }
 
-  test("plannedReps: stable sub-300ms history → 1 rep") {
+  test("plannedReps: stable small history → 2 reps (cold rep + warm measure, never 1)") {
+    // the 1-rep tier was tried and measured wrong: a cold rep is ~2× the
+    // warm floor (JIT/codegen), so one rep either ships inflated or
+    // relabels the warm rep as a retry
     val h = Seq(0.21, 0.22, 0.20)
-    assert(Bench.plannedReps(3, h, h) === 1)
+    assert(Bench.plannedReps(3, h, h) === 2)
   }
 
-  test("plannedReps: the 300ms gate reads the RECENT min, not ancient history") {
+  test("plannedReps: the tier gate reads the RECENT window, not ancient history") {
     // a query that got faster (old 2s, now 0.2s) qualifies on its last 3
     val raw = Seq(2.0, 2.1, 0.21, 0.22, 0.20)
-    assert(Bench.plannedReps(3, raw, raw) === 1)
-    // and one that got slower does NOT drop to 1 rep on its old values
+    assert(Bench.plannedReps(3, raw, raw) === 2)
     val slow = Seq(0.2, 0.2, 1.4, 1.5, 1.41)
-    assert(Bench.plannedReps(3, slow, slow) === 2) // band ≤ 25% → 2, not 1
+    assert(Bench.plannedReps(3, slow, slow) === 2) // recent band ≤ 25%
+  }
+
+  test("worthChasing: needs BOTH the 1.5× relative signal and 0.5s of absolute excess") {
+    // tiny query, hugely relative but immaterial: not chased
+    assert(!Bench.worthChasing(0.55, 0.2, 1.0))
+    // big query, material excess: chased
+    assert(Bench.worthChasing(4.5, 2.0, 1.0))
+    // relative trip but excess under the bar on a slow host: not chased
+    assert(!Bench.worthChasing(0.8, 0.3, 1.2))
+    // below the relative bar, however big the absolute gap: not chased
+    assert(!Bench.worthChasing(14.0, 10.0, 1.0))
   }
 
   test("plannedReps: stable big query → 2 reps; unstable big query keeps 3") {
