@@ -154,33 +154,26 @@ object Bench {
     * drift doesn't read as instability):
     *   - fewer than 3 history runs → `defaultReps` (new queries get the
     *     full treatment);
-    *   - recent min < 1 s, or recent host-normalized band ≤ 25 % → 2
-    *     reps: the first rep pays per-query JIT/codegen (measured in this
-    *     round's first candidate: a COLD rep is ~2× the warm floor at the
-    *     median — so a 1-rep tier, tried first, just relabeled the warm
-    *     rep as a retry and converged slower), the second rep is the warm
-    *     measure; stable or bounded-stakes queries don't need a third
-    *     sample, and a genuinely inflated pair is chased by the
-    *     history-anomaly net;
-    *   - otherwise (≥ 1 s AND band > 25 % — the GC/state-store-variance
-    *     tail: g07/g09, stream joins) → `defaultReps`: exactly the
-    *     queries where a third sample still moves the min.
-    * Every tier keeps the full trust ladder — per-rep calibration, the
+    *   - otherwise → 2 reps: the first rep pays per-query JIT/codegen
+    *     (measured in this round's first candidate: a COLD rep is ~2× the
+    *     warm floor at the median — so a 1-rep tier, tried first, just
+    *     relabeled the warm rep as a retry and converged slower), the
+    *     second rep is the warm measure. A blanket third rep is not paid:
+    *     across the committed history, min(first 2 reps) equals the
+    *     eventual floor at the median, and the queries where a pair
+    *     genuinely isn't enough (the GC/state-store-variance tail) are
+    *     exactly the ones the excess-gated history-anomaly net re-reps —
+    *     evidence-triggered third samples instead of 240 unconditional
+    *     ones.
+    * Every query keeps the full trust ladder — per-rep calibration, the
     * no-clean-rep retries, the (excess-gated, budgeted) history-anomaly
     * retries and re-pass — so fewer BASE reps never means an unchased
     * contaminated minimum. Never returns more than `defaultReps`.
     */
   def plannedReps(defaultReps: Int, raw: Seq[Double],
-                  norm: Seq[Double]): Int = {
+                  norm: Seq[Double]): Int =
     if (defaultReps <= 1 || raw.size < 3 || norm.size < 3) defaultReps
-    else {
-      val m = raw.takeRight(3).min
-      val r = norm.takeRight(3)
-      val band = if (r.min <= 0.0) Double.MaxValue else (r.max - r.min) / r.min
-      val p = if (band <= 0.25 || m < 1.0) 2 else defaultReps
-      math.min(p, defaultReps)
-    }
-  }
+    else math.min(2, defaultReps)
 
   /** History-anomaly chase gate (round 18): a query is worth EXTRA reps
     * only when its best rep is both RELATIVELY anomalous (> 1.5× its

@@ -99,20 +99,15 @@ class BenchPolicySpec extends AnyFunSuite {
     assert(Bench.plannedReps(3, Seq(0.1, 0.1), Seq(0.1, 0.1)) === 3)
   }
 
-  test("plannedReps: stable small history → 2 reps (cold rep + warm measure, never 1)") {
+  test("plannedReps: any established history → 2 reps (cold rep + warm measure, never 1)") {
     // the 1-rep tier was tried and measured wrong: a cold rep is ~2× the
     // warm floor (JIT/codegen), so one rep either ships inflated or
-    // relabels the warm rep as a retry
-    val h = Seq(0.21, 0.22, 0.20)
-    assert(Bench.plannedReps(3, h, h) === 2)
-  }
-
-  test("plannedReps: the tier gate reads the RECENT window, not ancient history") {
-    // a query that got faster (old 2s, now 0.2s) qualifies on its last 3
-    val raw = Seq(2.0, 2.1, 0.21, 0.22, 0.20)
-    assert(Bench.plannedReps(3, raw, raw) === 2)
-    val slow = Seq(0.2, 0.2, 1.4, 1.5, 1.41)
-    assert(Bench.plannedReps(3, slow, slow) === 2) // recent band ≤ 25%
+    // relabels the warm rep as a retry; a blanket 3rd rep is not paid —
+    // the excess-gated anomaly net adds third samples where evidence says
+    val small = Seq(0.21, 0.22, 0.20)
+    assert(Bench.plannedReps(3, small, small) === 2)
+    val bigNoisy = Seq(4.0, 5.8, 3.9)
+    assert(Bench.plannedReps(3, bigNoisy, bigNoisy) === 2)
   }
 
   test("worthChasing: needs BOTH the 1.5× relative signal and 0.5s of absolute excess") {
@@ -124,26 +119,6 @@ class BenchPolicySpec extends AnyFunSuite {
     assert(!Bench.worthChasing(0.8, 0.3, 1.2))
     // below the relative bar, however big the absolute gap: not chased
     assert(!Bench.worthChasing(14.0, 10.0, 1.0))
-  }
-
-  test("plannedReps: stable big query → 2 reps; unstable big query keeps 3") {
-    val stable = Seq(4.0, 4.1, 3.9)
-    assert(Bench.plannedReps(3, stable, stable) === 2)
-    val unstable = Seq(4.0, 5.8, 3.9)
-    assert(Bench.plannedReps(3, unstable, unstable) === 3)
-  }
-
-  test("plannedReps: sub-second queries get 2 reps even when unstable") {
-    val h = Seq(0.5, 0.9, 0.45)
-    assert(Bench.plannedReps(3, h, h) === 2)
-  }
-
-  test("plannedReps: band is judged on the host-NORMALIZED series") {
-    // raw values drift 30% because the host floor drifted; normalized
-    // they're flat — the query is stable, not noisy
-    val raw = Seq(4.0, 5.2, 4.0)
-    val norm = Seq(4.0, 4.05, 4.0)
-    assert(Bench.plannedReps(3, raw, norm) === 2)
   }
 
   test("plannedReps: never exceeds the configured default") {
