@@ -200,6 +200,11 @@ object AuxDumps {
     // and joins on them — only the ln rides.
     "t44_lp" -> ((s, d) => s.table(StandingLm.ensure(s, d, 4))),
 
+    // t52: the cadence-served order-2 head (base + epoch-1 batch only —
+    // the bounded staleness the refresh cadence buys). Shares the query's
+    // own idempotent scenario, so the dump IS what scorers served.
+    "t52_lp" -> ((s, d) => ExtensionQueries.cadenceServedHead(s, d)),
+
     // t45: the KN bigram table at THREE discounts (discount, bg, n, ctx,
     // n1f, n1b, nbg, lp) — the production sweep of the 0.75 constant
     // (VERDICT r14 #7). The integer statistics are discount-INDEPENDENT,

@@ -988,6 +988,41 @@ object ExtensionQueries {
     * all five integer statistics recounted and joined on; only the ln
     * rides the dump).
     */
+  /** t52's scenario, shared with its aux dump (idempotent per session +
+    * dir): three maintenance folds into a dedicated gram-family tag under
+    * a head-refresh cadence of 3 — the advisory fires only on the FIRST
+    * fold (nothing persisted yet), so the served head covers base
+    * (doc_id % 10 < 8) + epoch 1 (% 10 = 8) and the epoch-2/3 batches
+    * (% 20 = 9 / % 20 = 19) are folded into the gram tables but NOT yet
+    * served. The oracle recounts the order-2 KN statistics from scratch
+    * over exactly `doc_id % 10 < 9`, so a cadence bug in EITHER direction
+    * fails: refresh-every-fold (the head would cover all docs) and
+    * never-refresh (it would cover only the base) both diverge every
+    * joined statistic.
+    */
+  private[queries] def cadenceServedHead(
+      s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val key = "spark.graft.lm.headRefreshEpochs"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "3")
+    try {
+      val docs = t(s, d, "documents")
+      def fold(epoch: Long, pred: org.apache.spark.sql.Column) =
+        StandingLm.maintainedHeadImpl(s, d, order = 2, discount = 0.75,
+          tag = "cad",
+          deltaFor = k => graft.operators.CorpusOps.knGramCounts(
+            docs.filter(pred), "text", k),
+          epoch = epoch)
+      fold(1L, pmod(col("doc_id"), lit(10)) === 8)
+      fold(2L, pmod(col("doc_id"), lit(20)) === 9)
+      fold(3L, pmod(col("doc_id"), lit(20)) === 19)
+    } finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
+
   private val knScoreSql =
       """WITH lm AS (SELECT bg, n, ctx, n1f, n1b, nbg, lp
         |           FROM read_parquet('{{AUX}}/t40_lp/*.parquet')),
@@ -4721,6 +4756,47 @@ object ExtensionQueries {
         |  cont2, mid_ctx2, mid_n1f2, n1b, nbg, lp
         |FROM vlm ORDER BY g""") { (s, d) =>
       StandingLm.compactedHead(s, d, 4).orderBy("g")
+    },
+
+    // Head-refresh CADENCE served (t52 — the r18 fold/refresh decoupling
+    // made a first-class graded behavior, not just a spec): three folds
+    // land under spark.graft.lm.headRefreshEpochs=3, the staleness
+    // advisory fires only on the first (nothing persisted yet), and the
+    // SERVED head is the epoch-1 refresh — base + first batch, the
+    // labeled bounded staleness the cadence buys. The oracle recounts the
+    // order-2 KN statistics from scratch over exactly that corpus slice
+    // (doc_id % 10 < 9) and joins on all five integer statistics (the
+    // t47 trust envelope at order 2; lp rides the t52_lp dump), so
+    // refresh-every-fold and never-refresh both fail the compare — and
+    // the epoch-2/3 grams, though folded into the standing tables, must
+    // be absent from what scorers see.
+    "t52_kn_head_cadence" -> of(
+      """WITH lm AS (SELECT g, n, ctx, n1f, n1b, nbg, lp
+        |           FROM read_parquet('{{AUX}}/t52_lp/*.parquet')),
+        |toks AS (SELECT string_split(text, ' ') AS tk FROM documents
+        |         WHERE doc_id % 10 < 9),
+        |bgc AS (
+        |  SELECT tk[i + 1] || ' ' || tk[i + 2] AS g, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM toks, UNNEST(range(len(tk) - 1)) AS r(i) WHERE len(tk) >= 2
+        |  GROUP BY 1),
+        |ctxc AS (
+        |  SELECT split_part(g, ' ', 1) AS w1, CAST(SUM(n) AS BIGINT) AS c,
+        |    CAST(COUNT(*) AS BIGINT) AS nf
+        |  FROM bgc GROUP BY 1),
+        |contc AS (
+        |  SELECT split_part(g, ' ', 2) AS w2, CAST(COUNT(*) AS BIGINT) AS nb
+        |  FROM bgc GROUP BY 1),
+        |totc AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM bgc)
+        |SELECT lm.g, lm.n, lm.ctx, lm.n1f, lm.n1b, lm.nbg, lm.lp
+        |FROM lm
+        |JOIN bgc ON bgc.g = lm.g AND bgc.n = lm.n
+        |JOIN ctxc ON ctxc.w1 = split_part(lm.g, ' ', 1)
+        |  AND ctxc.c = lm.ctx AND ctxc.nf = lm.n1f
+        |JOIN contc ON contc.w2 = split_part(lm.g, ' ', 2)
+        |  AND contc.nb = lm.n1b
+        |JOIN totc ON totc.t = lm.nbg
+        |ORDER BY lm.g""") { (s, d) =>
+      cadenceServedHead(s, d).orderBy("g")
     },
 
     // Within-document duplicate-block REMOVAL (t51) — the repetition
