@@ -633,6 +633,19 @@ class PlanSpec extends SparkSpec {
       s"base/delta split predicates must reach the parquet scans:\n${plan.take(1200)}")
   }
 
+  test("q54: code counts partial-aggregate; split predicates push to both event scans") {
+    val plan = physicalPlan("q54_loglin_quantiles")
+    // the map-side combine on (grp, code) IS the log-linear merge at work
+    // (the q47 contract on the unbounded sketch)
+    val aggs = "HashAggregate".r.findAllIn(plan).size
+    assert(aggs >= 4, s"expected partial+final aggregates at 2+ levels:\n${plan.take(800)}")
+    assert(plan.contains("LessThan(ts") && plan.contains("GreaterThanOrEqual(ts"),
+      s"base/delta split predicates must reach the parquet scans:\n${plan.take(1200)}")
+    // the octave binning stays codegen-friendly: no UDF anywhere in the plan
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
+      s"logLinCode must be built-in expressions only:\n${plan.take(800)}")
+  }
+
   test("s16: the label filter rides the hash joins — no cartesian pair space") {
     val plan = physicalPlan("s16_filtered_recall")
     assert(!plan.contains("CartesianProduct"),
