@@ -143,7 +143,7 @@ object Merges {
       .filter(col("__rn") === 1).drop("__rn")
     val untouched = base.join(latest.select(keyCol), Seq(keyCol), "left_anti")
     val upserts = latest.filter(col("op") === "U")
-      .select(base.columns.map(col): _*)
+      .select(base.columns.toIndexedSeq.map(col): _*)
     untouched.unionByName(upserts)
   }
 

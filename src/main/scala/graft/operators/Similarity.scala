@@ -1173,7 +1173,8 @@ object Similarity {
       val ball = array((col("band_val") +:
         (0 until bandBits).map(b =>
           col("band_val").bitwiseXOR(lit(1L << b)))): _*)
-      bandRows.select(bandRows.columns.filter(_ != "band_val").map(col) :+
+      bandRows.select(bandRows.columns.toIndexedSeq
+        .filter(_ != "band_val").map(col) :+
         explode(ball).as("band_val"): _*)
     }
   }
