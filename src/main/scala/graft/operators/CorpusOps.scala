@@ -1030,6 +1030,10 @@ object CorpusOps {
     * batch hole: zero appended rows used to leave the epoch replayable
     * with different content). No per-fold data scan (VERDICT r17 #6);
     * tables from before the property fall back to one max(epoch) read.
+    * A retry of an epoch whose append landed but whose frontier write was
+    * lost to a crash (ADVICE r18) is detected by row presence and
+    * resolves as a property repair, never a second append — the call
+    * still returns true because the fold IS applied on exit.
     */
   def maintainKnGramTable(spark: org.apache.spark.sql.SparkSession,
                           name: String, batchCounts: DataFrame,
@@ -1040,10 +1044,23 @@ object CorpusOps {
         .agg(coalesce(max(col("epoch")), lit(0L))).head().getLong(0))
     val applies = epoch > frontier
     if (applies) {
-      graft.sources.BucketedLake.appendBucketedTable(spark, name,
-        batchCounts.select(col("g"), col("n"))
-          .withColumn("epoch", lit(epoch)),
-        "g", buckets)
+      // Belt-and-braces replay guard (ADVICE r18): append and setFrontier
+      // are not atomic — a crash between them leaves rows at an epoch the
+      // catalog never recorded, and a retry of that epoch would pass the
+      // frontier gate above and re-append, silently double-counting the
+      // additive gram deltas. Rows already present at this epoch mean an
+      // applied-but-unrecorded fold: skip the append and just repair the
+      // property. The presence check is the old bucketed filter — cheap
+      // because every append file is single-epoch, so parquet min/max
+      // stats prune all but the crashed fold's own files.
+      val alreadyApplied =
+        !spark.table(name).filter(col("epoch") === epoch).isEmpty
+      if (!alreadyApplied) {
+        graft.sources.BucketedLake.appendBucketedTable(spark, name,
+          batchCounts.select(col("g"), col("n"))
+            .withColumn("epoch", lit(epoch)),
+          "g", buckets)
+      }
       graft.sources.BucketedLake.setFrontier(spark, name, epoch)
     }
     applies

@@ -854,9 +854,26 @@ object Dedup {
     // fallback coalesce: an EMPTY pre-property standing table (dup-free
     // corpus — a supported degenerate case) has a null max; the first
     // fold then lands at epoch 0
-    val next = graft.sources.BucketedLake.frontier(spark, name)
-      .getOrElse(spark.table(name)
-        .agg(coalesce(max(col("epoch")), lit(-1L))).head().getLong(0)) + 1L
+    val next = graft.sources.BucketedLake.frontier(spark, name) match {
+      case Some(p) =>
+        // Crash reconcile (ADVICE r18): append-then-setFrontier is not
+        // atomic, so rows can exist ABOVE the property (a fold landed,
+        // its frontier write didn't). Without the repair the next fold
+        // would reuse that epoch and two distinct folds would share one
+        // ledger label (reads stay correct — the fold is value-idempotent
+        // — but FrontierSpec's property == max(epoch) invariant breaks).
+        // Cheap: every append file is single-epoch, so parquet min/max
+        // stats prune all files at epochs ≤ p; the scan reads only an
+        // orphaned fold's own rows (normally zero files).
+        val orphan = spark.table(name).filter(col("epoch") > p)
+          .agg(coalesce(max(col("epoch")), lit(p))).head().getLong(0)
+        if (orphan > p)
+          graft.sources.BucketedLake.setFrontier(spark, name, orphan)
+        orphan + 1L
+      case None =>
+        spark.table(name)
+          .agg(coalesce(max(col("epoch")), lit(-1L))).head().getLong(0) + 1L
+    }
     graft.sources.BucketedLake.appendBucketedTable(spark, name,
       relabeled.select(col("id"), col("cluster"))
         .withColumn("epoch", lit(next)),

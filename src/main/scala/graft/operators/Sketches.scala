@@ -337,18 +337,38 @@ object Sketches {
   /** The signed sketch code of one value — 0 for 0.0, positive for v > 0,
     * negated for v < 0 (code order = value order). Mirrored verbatim by
     * the q54 oracle SQL.
+    *
+    * Domain guards (ADVICE r18 — the extremes where the two engines used
+    * to diverge exactly where the determinism contract claimed they
+    * couldn't): NaN and ±Inf code to NULL and are EXCLUDED from the
+    * sketch ([[logLinCounts]] drops null codes; the oracle's `isfinite`
+    * filter mirrors it) — NaN has no place in a value order (and DuckDB
+    * orders NaN above all numbers while Spark's `>` returns false, so any
+    * in-band NaN code would disagree), and Inf has no octave (DuckDB's
+    * `CAST(CEIL(LOG2(inf)) AS BIGINT)` raises). DDSketch makes the same
+    * call: non-finite inputs are rejected, not binned. The octave is
+    * additionally clamped to k ≥ −1073 so lo = 2^(k−1) never underflows
+    * to 0.0 (at |v| = 2^−1074, the min subnormal, an unclamped lo =
+    * 2^−1075 = 0 turns the sub-bucket division into ∞ — Spark's `least`
+    * caps it but DuckDB's `CAST(FLOOR(inf) AS BIGINT)` raises). Under the
+    * clamp the bottom octave spans (0, 2^−1073] and every sub-bucket step
+    * stays exact: a − lo is Sterbenz-exact (lo ≤ a ≤ 2lo still holds),
+    * ×16 and ÷lo shift the exponent only (a subnormal × 16 loses no
+    * mantissa bits).
     */
   def logLinCode(v: Column): Column = {
     val a = abs(v)
     val k0 = ceil(log2(a))
-    val k = when(a > pow(lit(2.0), k0), k0 + lit(1L))
+    val kr = when(a > pow(lit(2.0), k0), k0 + lit(1L))
       .when(a <= pow(lit(2.0), k0 - lit(1L)), k0 - lit(1L))
       .otherwise(k0)
+    val k = greatest(kr, lit(-1073L))
     val lo = pow(lit(2.0), k - lit(1L))
     val sub = least(lit(LogLinSubBins - 1L),
       floor((a - lo) * lit(LogLinSubBins.toDouble) / lo))
     val mag = (k + lit(LogLinKOff)) * lit(LogLinSubBins) + sub
-    when(v === lit(0.0), lit(0L))
+    when(isnan(v) || a === lit(Double.PositiveInfinity), lit(null).cast("long"))
+      .when(v === lit(0.0), lit(0L))
       .when(v > lit(0.0), mag)
       .otherwise(-mag)
   }
@@ -359,6 +379,7 @@ object Sketches {
     */
   def logLinCounts(df: DataFrame, grpCols: Seq[String], value: Column): DataFrame =
     df.select(grpCols.map(col) :+ logLinCode(value).as("code"): _*)
+      .filter(col("code").isNotNull) // NaN/±Inf excluded (ADVICE r18)
       .groupBy((grpCols :+ "code").map(col): _*)
       .agg(count(lit(1)).as("cnt"))
 

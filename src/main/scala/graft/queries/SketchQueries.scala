@@ -60,11 +60,12 @@ object SketchQueries {
   private val logLinEventsSql =
     """WITH src AS (SELECT event_type AS grp, value AS v FROM events),
       |oct AS (SELECT grp, v, ABS(v) AS a,
-      |    CAST(CEIL(LOG2(ABS(v))) AS BIGINT) AS k0 FROM src WHERE v <> 0e0),
+      |    CAST(CEIL(LOG2(ABS(v))) AS BIGINT) AS k0 FROM src
+      |  WHERE v <> 0e0 AND isfinite(v)),
       |kk AS (SELECT grp, v, a,
-      |    CASE WHEN a > POWER(2.0, k0) THEN k0 + 1
+      |    GREATEST(CASE WHEN a > POWER(2.0, k0) THEN k0 + 1
       |         WHEN a <= POWER(2.0, k0 - 1) THEN k0 - 1
-      |         ELSE k0 END AS k FROM oct),
+      |         ELSE k0 END, -1073) AS k FROM oct),
       |cd AS (
       |  SELECT grp, CASE WHEN v > 0e0 THEN mag ELSE -mag END AS code FROM (
       |    SELECT grp, v, (k + 1100) * 16 + LEAST(15,

@@ -124,6 +124,51 @@ class FrontierSpec extends SparkSpec {
     spark.sql(s"DROP TABLE IF EXISTS $name")
   }
 
+  test("gram table: crash-retry (append landed, frontier write lost) repairs, never double-counts") {
+    val name = "t_frontier_gc_crash"
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    CorpusOps.writeKnGramTable(spark, name, Seq(("a b", 1L)).toDF("g", "n"))
+    // simulate the crash window (ADVICE r18): epoch 1's delta rows land via
+    // the same append path maintainKnGramTable uses, but the process "dies"
+    // before setFrontier — the catalog still says 0
+    BucketedLake.appendBucketedTable(spark, name,
+      Seq(("a b", 2L)).toDF("g", "n").withColumn("epoch", lit(1L)), "g", 8)
+    assert(prop(name) === Some(0L))
+    assert(maxEpoch(name) === 1L)
+    // the retry of epoch 1 passes the frontier gate (1 > 0) but must detect
+    // the landed rows and repair the property instead of re-appending
+    assert(CorpusOps.maintainKnGramTable(spark, name,
+      Seq(("a b", 2L)).toDF("g", "n"), epoch = 1L),
+      "the repaired retry still reports the fold as applied")
+    assert(prop(name) === Some(1L), "property repaired to the landed epoch")
+    assert(maxEpoch(name) === 1L)
+    assert(CorpusOps.readKnGramCounts(spark, name).head().getLong(1) === 3L,
+      "the crash-retry must not have double-counted the delta")
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+  }
+
+  test("label table: fold entry reconciles a crash-orphaned epoch before assigning its own") {
+    val name = "t_frontier_labels_crash"
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    Dedup.writeClusterLabels(spark, name,
+      Seq((1L, 1L), (2L, 1L)).toDF("id", "cluster"))
+    assert(prop(name) === Some(0L))
+    // simulate the crash window: an epoch-1 fold's rows landed but the
+    // frontier write was lost — property says 0, data says 1
+    BucketedLake.appendBucketedTable(spark, name,
+      Seq((3L, 1L)).toDF("id", "cluster").withColumn("epoch", lit(1L)),
+      "id", 16)
+    assert(prop(name) === Some(0L))
+    assert(maxEpoch(name) === 1L)
+    // the next fold must NOT reuse epoch 1 (two distinct folds sharing a
+    // ledger label): it repairs the property and lands at epoch 2
+    Dedup.maintainClusterLabels(spark, name,
+      Seq((4L, 1L)).toDF("id_a", "id_b"))
+    assert(prop(name) === Some(2L), "repair + fold advance the property past the orphan")
+    assert(maxEpoch(name) === 2L, "property == max(epoch) restored")
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+  }
+
   test("localSolveEdgeCap: malformed conf fails naming the key; negative = 0") {
     spark.conf.set("spark.graft.dedup.localSolveEdgeCap", "not-a-number")
     val e = intercept[IllegalArgumentException](Dedup.localSolveEdgeCap(spark))

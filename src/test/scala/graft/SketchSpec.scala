@@ -193,9 +193,14 @@ class SketchSpec extends SparkSpec with TableDrivenPropertyChecks {
       val a = math.abs(v)
       // getExponent(a) = floor(log2(a)); the octave contract is
       // 2^(k-1) < a <= 2^k, so exact powers of two belong to THEIR OWN k
-      // while everything else rounds up
-      val e = math.getExponent(a)
-      val k = if (a == math.pow(2.0, e)) e else e + 1
+      // while everything else rounds up. getExponent returns -1023 for
+      // every subnormal, so recover the true exponent from the unbiased
+      // bit position before the clamp.
+      val e =
+        if (a >= java.lang.Double.MIN_NORMAL) math.getExponent(a)
+        else -1075 + (64 - java.lang.Long.numberOfLeadingZeros(
+          java.lang.Double.doubleToLongBits(a)))
+      val k = math.max(if (a == math.pow(2.0, e)) e else e + 1, -1073)
       val lo = math.pow(2.0, k - 1)
       val sub = math.min(15L, math.floor((a - lo) * 16.0 / lo).toLong)
       val mag = (k + 1100L) * 16L + sub
@@ -216,6 +221,34 @@ class SketchSpec extends SparkSpec with TableDrivenPropertyChecks {
       assert(got(v) === refLogLinCode(v),
         s"value $v: code ${got(v)} != ref ${refLogLinCode(v)}")
     }
+  }
+
+  test("loglin: domain extremes — subnormals clamp, NaN/±Inf excluded (ADVICE r18)") {
+    // the exact failure inputs from the advice: |v| = 2^-1074 used to
+    // underflow lo to 0 (division by zero → DuckDB CAST(FLOOR(inf)) error)
+    // and NaN took the v<0 branch to a garbage negative code
+    val minSub = java.lang.Double.MIN_VALUE // 2^-1074
+    val vals = Seq(minSub, -minSub, math.pow(2.0, -1073), 3e-308,
+      Double.NaN, Double.PositiveInfinity, Double.NegativeInfinity)
+    val got = vals.toDF("v")
+      .select(col("v"), Sketches.logLinCode(col("v")).as("code"))
+      .collect().map(r =>
+        (r.getDouble(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+    got.foreach {
+      case (v, code) if v.isNaN || v.isInfinite =>
+        assert(code.isEmpty, s"non-finite $v must code to NULL, got $code")
+      case (v, code) =>
+        assert(code === Some(refLogLinCode(v)),
+          s"subnormal $v: code $code != ref ${refLogLinCode(v)}")
+        // code order = value order must survive the clamp
+        assert(code.get.signum === math.signum(v).toInt)
+    }
+    // ...and the counts path drops the non-finite rows instead of grouping
+    // a null code
+    val counts = Sketches.logLinCounts(
+      vals.map(("g", _)).toDF("grp", "v"), Seq("grp"), col("v"))
+      .agg(sum("cnt")).head().getLong(0)
+    assert(counts === 4L, "NaN/±Inf must be excluded from the sketch")
   }
 
   test("loglin: counters merge additively and merged quantiles are bit-identical") {
