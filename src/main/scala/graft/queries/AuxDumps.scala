@@ -50,6 +50,13 @@ object AuxDumps {
       t(s, d, "documents")
         .select(col("doc_id"), xxhash64(col("doc_id")).as("h"))),
 
+    // q55/e52: xxhash64 over the event id — the rank-sketch level/sample
+    // primitive. The oracle recomputes the levels (smear/popcount), the
+    // adaptive cutoff, and the sample's rank walk from the hash alone.
+    "event_hashes" -> ((s, d) =>
+      t(s, d, "events")
+        .select(col("event_id"), xxhash64(col("event_id")).as("h"))),
+
     // s11: xxhash64 over the vector id — the within-cluster sampling order.
     // Same contract as doc_hashes: the oracle recomputes assignment and
     // ranking in SQL and takes only the hash value from the dump.

@@ -103,6 +103,50 @@ object SketchQueries {
       |  END AS est
       |FROM geo ORDER BY grp, q""".stripMargin
 
+  /** The per-event-type RANK-ERROR quantile contract shared by q55
+    * (incremental state merge) and e52 (streaming state maintenance) —
+    * the logLinEventsSql pattern on the third quantile-sketch class
+    * (bounded RANK error on arbitrary distributions; see
+    * [[graft.operators.Sketches.RankQSampleAgg]]): levels from the
+    * materialized event-id hashes via the HLL oracle's smear/popcount
+    * arithmetic, the adaptive cutoff L from the level histogram's suffix
+    * counts, the ≤256-row sample, and the order-statistic pick — all
+    * recomputed from scratch in SQL, so every maintenance path must land
+    * on identical estimates.
+    */
+  private val rankQEventsSql =
+    """WITH uh AS (SELECT event_id, h FROM read_parquet('{{AUX}}/event_hashes/*.parquet')),
+      |src AS (SELECT e.event_type AS grp, e.value AS v, uh.h AS h
+      |  FROM events e JOIN uh USING (event_id)),
+      |wb AS (SELECT grp, v, h, h & 9223372036854775807 AS w FROM src),
+      |s1 AS (SELECT grp, v, h, w | (w >> 1) AS s FROM wb),
+      |s2 AS (SELECT grp, v, h, s | (s >> 2) AS s FROM s1),
+      |s3 AS (SELECT grp, v, h, s | (s >> 4) AS s FROM s2),
+      |s4 AS (SELECT grp, v, h, s | (s >> 8) AS s FROM s3),
+      |s5 AS (SELECT grp, v, h, s | (s >> 16) AS s FROM s4),
+      |s6 AS (SELECT grp, v, h, s | (s >> 32) AS s FROM s5),
+      |lv AS (SELECT grp, v, h, 63 - bit_count(s) AS lvl FROM s6),
+      |hist AS (SELECT grp, lvl, CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM lv GROUP BY grp, lvl),
+      |suf AS (SELECT grp, lvl, SUM(cnt) OVER (PARTITION BY grp ORDER BY lvl DESC) AS suffix
+      |  FROM hist),
+      |sel AS (SELECT grp,
+      |    CAST(COALESCE(MAX(CASE WHEN suffix > 256 THEN lvl + 1 END), 0) AS BIGINT) AS l
+      |  FROM suf GROUP BY grp),
+      |tot AS (SELECT grp, CAST(SUM(cnt) AS BIGINT) AS n FROM hist GROUP BY grp),
+      |samp AS (SELECT lv.grp, lv.v,
+      |    ROW_NUMBER() OVER (PARTITION BY lv.grp ORDER BY lv.v, lv.h) AS rn
+      |  FROM lv JOIN sel ON sel.grp = lv.grp WHERE lv.lvl >= sel.l),
+      |msz AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS m FROM samp GROUP BY grp),
+      |qs AS (SELECT CAST(q AS DOUBLE) AS q FROM (VALUES (0.5), (0.9), (0.99)) v(q)),
+      |tgt AS (SELECT t.grp, qs.q, t.n, sel.l, msz.m,
+      |    GREATEST(1, CAST(CEIL(qs.q * CAST(msz.m AS DOUBLE)) AS BIGINT)) AS r
+      |  FROM tot t JOIN sel ON sel.grp = t.grp JOIN msz ON msz.grp = t.grp
+      |  CROSS JOIN qs)
+      |SELECT tgt.grp, tgt.q, tgt.n, tgt.l, tgt.m, s.v AS est
+      |FROM tgt JOIN samp s ON s.grp = tgt.grp AND s.rn = tgt.r
+      |ORDER BY tgt.grp, tgt.q""".stripMargin
+
   /** The per-event-type HLL contract shared by q46 (incremental batch
     * merge) and e24 (streaming register maintenance): one SQL definition —
     * the from-scratch sketch over ALL events — so both maintenance paths
@@ -629,6 +673,53 @@ object SketchQueries {
     // the same from-scratch SQL as q54, so all three maintenance paths —
     // from-scratch, incremental merge, streaming — land on identical
     // estimates (the e26 pattern for the unbounded sketch).
+    // Rank-error quantile sketch with incremental state merge (q55 —
+    // VERDICT r18 #4, the third quantile-sketch class): per-type
+    // p50/p90/p99 with bounded RANK error on ARBITRARY distributions —
+    // the guarantee q47 (needs a known range) and q54 (relative VALUE
+    // error, blind to clustering) don't give. KLL's role with the
+    // compaction decisions hash-derived (level = clz(xxhash64(id))) so
+    // the state is a deterministic function of the input multiset and a
+    // from-scratch DuckDB oracle grades it bit-for-bit — a literal KLL
+    // compactor stack is merge-tree-order-dependent, which Spark doesn't
+    // fix. Same split-merge proof shape as q54: states built over two
+    // disjoint time halves and merged by the state algebra (histograms
+    // add, samples concat, re-cut at the merged level) must equal the
+    // from-scratch sketch by the L-monotonicity argument.
+    "q55_rankq_quantiles" -> of(rankQEventsSql) { (s, d) =>
+      val ev = Q.events(s, d)
+      val cut = lit("2024-01-15").cast("timestamp")
+      def st(df: org.apache.spark.sql.DataFrame) = Sketches.rankQStates(
+        df.select(col("event_type").as("grp"), col("event_id"), col("value")),
+        Seq("grp"), col("event_id"), col("value"))
+      val merged = Sketches.rankQMergeStates(
+        st(ev.filter(col("ts") < cut)),
+        st(ev.filter(col("ts") >= cut)), Seq("grp"))
+      Sketches.rankQQuantiles(merged, Seq("grp"), Seq(0.5, 0.9, 0.99))
+        .orderBy("grp", "q")
+    },
+
+    // Streaming rank-error quantiles (e52): the per-group sketch state —
+    // 64 exact level counters + the ≤256-row adaptive sample — is
+    // MAINTAINED BY THE STREAM (one complete-mode typed-aggregator
+    // aggregate; the state algebra IS the Aggregator's merge, bounded by
+    // the sketch spec, never per-value); the quantile walk is a batch
+    // read over the materialized states. Graded against the same
+    // from-scratch SQL as q55, so all three maintenance paths —
+    // from-scratch, incremental merge, streaming — land on identical
+    // estimates (the e51 pattern for the rank sketch).
+    "e52_stream_rankq" -> of(rankQEventsSql) { (s, d) =>
+      import graft.streaming.EventsStream
+      val ev = EventsStream.readEvents(s, d)
+      val states = Sketches.rankQStates(
+        ev.select(col("event_type").as("grp"), col("event_id"), col("value")),
+        Seq("grp"), col("event_id"), col("value"))
+      val sinkName = s"stream_rankq_${sinkCounter.incrementAndGet()}"
+      EventsStream.runAvailableNow(states, sinkName, outputMode = "complete")
+      Sketches.rankQQuantiles(s.table(sinkName), Seq("grp"), Seq(0.5, 0.9, 0.99))
+        .orderBy("grp", "q")
+    },
+
     "e51_stream_loglin" -> of(logLinEventsSql) { (s, d) =>
       import graft.streaming.EventsStream
       val ev = EventsStream.readEvents(s, d)

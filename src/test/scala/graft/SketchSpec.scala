@@ -267,6 +267,66 @@ class SketchSpec extends SparkSpec with TableDrivenPropertyChecks {
     assert(eA === eB)
   }
 
+  // ------------------------------------------- rank-error quantile sketch ----
+
+  test("rankq: merged state is bit-identical to from-scratch — any split, any order") {
+    val rnd = new scala.util.Random(37)
+    val rows = (1L to 3000L).map(id => ("g", id, rnd.nextGaussian() * 100))
+    def st(part: Seq[(String, Long, Double)]) = Sketches.rankQStates(
+      part.toDF("grp", "id", "v"), Seq("grp"), col("id"), col("v"))
+    // three different splits of the same multiset, one of them reversed —
+    // the state must be a function of the multiset alone
+    val direct = st(rows)
+    val splits = Seq(rows.splitAt(700), rows.splitAt(2500),
+      rows.reverse.splitAt(1300))
+    val ref = direct.select("st").head()
+    splits.foreach { case (a, b) =>
+      val merged = Sketches.rankQMergeStates(st(a), st(b), Seq("grp"))
+      val eA = Sketches.rankQQuantiles(direct, Seq("grp"), Seq(0.5, 0.9, 0.99))
+        .orderBy("q").collect().toSeq
+      val eB = Sketches.rankQQuantiles(merged, Seq("grp"), Seq(0.5, 0.9, 0.99))
+        .orderBy("q").collect().toSeq
+      assert(eA === eB, "merged quantiles must equal from-scratch")
+    }
+    // and the aggregator itself is order-independent: the reversed input's
+    // own state equals the forward one's
+    assert(st(rows.reverse).select("st").head() === ref)
+  }
+
+  test("rankq: bounded rank error on a clustered distribution; exact when n ≤ k") {
+    val rnd = new scala.util.Random(41)
+    // the distribution the log-linear sketch CANNOT rank: 95% of mass in
+    // one tiny value cluster, 5% spread over 6 decades — relative-value
+    // buckets collapse the cluster into one bin
+    val clustered = Seq.fill(9500)(1000.0 + rnd.nextGaussian() * 0.001) ++
+      Seq.fill(500)(math.exp(rnd.nextDouble() * 13.8))
+    val rows = clustered.zipWithIndex.map { case (v, i) => ("g", i.toLong, v) }
+    val states = Sketches.rankQStates(
+      rows.toDF("grp", "id", "v"), Seq("grp"), col("id"), col("v"))
+    val sorted = clustered.sorted
+    val n = sorted.size
+    Sketches.rankQQuantiles(states, Seq("grp"), Seq(0.1, 0.5, 0.9, 0.99))
+      .select("q", "est", "n", "m").as[(Double, Double, Long, Long)]
+      .collect().foreach { case (q, est, nOut, m) =>
+        assert(nOut === n.toLong, "n must be the exact total")
+        assert(m <= Sketches.RankQK, "sample must respect the budget")
+        // true rank of the estimate vs target rank: within 4·n/√k
+        // (k=256 → √k=16; bound 0.25·n — loose; seeded draw lands ≪ it)
+        val rank = sorted.count(_ <= est)
+        assert(math.abs(rank - q * n) <= 4.0 * n / 16.0,
+          s"q=$q: est $est has rank $rank vs target ${q * n}")
+      }
+    // n ≤ k ⇒ the sample is the whole group and estimates are EXACT
+    // order statistics
+    val small = (1 to 100).map(i => ("g", i.toLong, i.toDouble))
+    val exact = Sketches.rankQQuantiles(
+      Sketches.rankQStates(small.toDF("grp", "id", "v"), Seq("grp"),
+        col("id"), col("v")),
+      Seq("grp"), Seq(0.5, 0.9)).select("q", "est")
+      .as[(Double, Double)].collect().toMap
+    assert(exact === Map(0.5 -> 50.0, 0.9 -> 90.0))
+  }
+
   test("loglin: relative error ≤ one sub-bucket (1/16) at every magnitude, negatives included") {
     val rnd = new scala.util.Random(31)
     // four decades of magnitude in one group, plus a negative tail — the
