@@ -4769,7 +4769,10 @@ object ExtensionQueries {
     // t47 trust envelope at order 2; lp rides the t52_lp dump), so
     // refresh-every-fold and never-refresh both fail the compare — and
     // the epoch-2/3 grams, though folded into the standing tables, must
-    // be absent from what scorers see.
+    // be absent from what scorers see. The cadence value 3 here is also
+    // the recommended production shape: N ≈ head_cost/fold_cost ≈ 3–5
+    // from the measured ×10 economics (see StandingLm.headRefreshEpochs'
+    // sizing note).
     "t52_kn_head_cadence" -> of(
       """WITH lm AS (SELECT g, n, ctx, n1f, n1b, nbg, lp
         |           FROM read_parquet('{{AUX}}/t52_lp/*.parquet')),

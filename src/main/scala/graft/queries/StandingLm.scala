@@ -197,6 +197,15 @@ object StandingLm {
     * serves reading the last persisted head in between — a bounded,
     * caller-chosen staleness, made safe by the `_e{epoch}` naming (what's
     * served is exactly the labeled epoch, never a silently mixed state).
+    *
+    * Sizing (VERDICT r18 #5, from the measured ×10 economics — SCALE.md
+    * r18: fold ≈ 4.3 s, head ≈ 14.8 s, ratio ≈ 3.5): N ≈
+    * head_cost / fold_cost makes the amortized head work per ingest equal
+    * one fold — i.e. N = 3–5 roughly halves per-ingest maintenance while
+    * bounding served staleness at N−1 epochs. Raise N further only when
+    * serves tolerate staler heads than that; the default 1 is the
+    * freshest-possible (and most expensive) point, kept as default
+    * because correctness never depends on the knob.
     */
   private[graft] def headRefreshEpochs(s: SparkSession): Int =
     s.conf.getOption("spark.graft.lm.headRefreshEpochs").map { v =>

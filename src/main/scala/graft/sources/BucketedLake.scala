@@ -149,6 +149,50 @@ object BucketedLake {
     name
   }
 
+  /** The table's filesystem directory, from the catalog (DESCRIBE
+    * EXTENDED — public SQL surface, no session internals).
+    */
+  private def tableDir(spark: SparkSession, name: String): java.io.File = {
+    val loc = spark.sql(s"DESCRIBE TABLE EXTENDED $name").collect()
+      .collectFirst { case r if r.getString(0) == "Location" => r.getString(1) }
+      .getOrElse(throw new IllegalStateException(
+        s"no Location in DESCRIBE TABLE EXTENDED $name"))
+    new java.io.File(new java.net.URI(loc).getPath)
+  }
+
+  /** Max parquet files in any single bucket of a bucketed table — a
+    * DRIVER-SIDE directory listing (no Spark job; the staleKnobs shape).
+    * The bucketed writer encodes the bucket id as the `_NNNNN` suffix in
+    * each file name, so the count comes straight off the names.
+    */
+  def bucketMaxFiles(spark: SparkSession, name: String): Int = {
+    val bucketRe = "_(\\d{5})\\.".r
+    val files = Option(tableDir(spark, name).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(_.getName.endsWith(".parquet"))
+    val perBucket = files.toSeq
+      .flatMap(f => bucketRe.findFirstMatchIn(f.getName).map(_.group(1).toInt))
+      .groupBy(identity).view.mapValues(_.size)
+    if (perBucket.isEmpty) 0 else perBucket.values.max
+  }
+
+  /** Compaction-staleness advisory (VERDICT r18 #3 — the adaptive-knob
+    * advisory shape applied to file layout): [[appendBucketedTable]] adds
+    * one file per touched bucket per fold and breaks the bucket's global
+    * sort, silently — nothing on the probe path fails, scans just pay
+    * per-file open overhead and sort-merge consumers a per-partition
+    * re-sort. This tells an operator WHEN to pay the
+    * [[compactBucketedTable]] rewrite: true once any bucket holds more
+    * than `maxFilesPerBucket` files (i.e. more than `maxFilesPerBucket −
+    * 1` uncompacted appends in the worst bucket). Driver-side file
+    * listing, no Spark job — cheap enough to poll per fold. Fires after
+    * appends accumulate; clears after compaction (spec-pinned, the
+    * staleKnobs contract).
+    */
+  def indexStale(spark: SparkSession, name: String,
+                 maxFilesPerBucket: Int = 3): Boolean =
+    bucketMaxFiles(spark, name) > maxFilesPerBucket
+
   /** Catalog-tracked frontier epoch for a standing maintained table
     * (VERDICT r17 #6): the maintenance rungs used to learn "what epoch is
     * this table at?" by scanning max(epoch) off the data files on every
