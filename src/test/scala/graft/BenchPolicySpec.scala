@@ -99,15 +99,16 @@ class BenchPolicySpec extends AnyFunSuite {
     assert(Bench.plannedReps(3, Seq(0.1, 0.1), Seq(0.1, 0.1)) === 3)
   }
 
-  test("plannedReps: any established history → 2 reps (cold rep + warm measure, never 1)") {
+  test("plannedReps: established, band-stable history → 2 reps (cold rep + warm measure, never 1)") {
     // the 1-rep tier was tried and measured wrong: a cold rep is ~2× the
     // warm floor (JIT/codegen), so one rep either ships inflated or
     // relabels the warm rep as a retry; a blanket 3rd rep is not paid —
-    // the excess-gated anomaly net adds third samples where evidence says
+    // within-band noise is the documented host-throughput band, which the
+    // normalized headline absorbs and extra reps cannot fix
     val small = Seq(0.21, 0.22, 0.20)
     assert(Bench.plannedReps(3, small, small) === 2)
-    val bigNoisy = Seq(4.0, 5.8, 3.9)
-    assert(Bench.plannedReps(3, bigNoisy, bigNoisy) === 2)
+    val withinBand = Seq(4.0, 5.8, 3.9) // spread 1.49 ≤ 2.0
+    assert(Bench.plannedReps(3, withinBand, withinBand) === 2)
   }
 
   test("worthChasing: needs BOTH the 1.5× relative signal and 0.5s of absolute excess") {
@@ -126,6 +127,75 @@ class BenchPolicySpec extends AnyFunSuite {
     assert(Bench.plannedReps(2, h, h) === 2)
     assert(Bench.plannedReps(1, h, h) === 1)
     assert(Bench.plannedReps(1, Seq(0.2, 0.2, 0.2), Seq(0.2, 0.2, 0.2)) === 1)
+  }
+
+  test("plannedReps: a >2× spread in recent normalized floors keeps the full default (ADVICE r18)") {
+    // the norm series is now load-bearing: open disagreement in the last 3
+    // host-normalized floors = the genuine variance tail → 3 base reps
+    val unstable = Seq(1.0, 2.5, 1.1)
+    assert(Bench.plannedReps(3, unstable, unstable) === 3)
+    // raw noisy but normalized stable → the host moved, not the query → 2
+    assert(Bench.plannedReps(3, Seq(1.0, 2.5, 1.1), Seq(1.0, 1.2, 1.1)) === 2)
+    // older history beyond the last 3 never triggers the full default
+    assert(Bench.plannedReps(3, Seq(9.0, 1.0, 1.1, 1.0),
+      Seq(9.0, 1.0, 1.1, 1.0)) === 2)
+  }
+
+  // ---- host-throughput normalization (round 19, VERDICT r18 #1) ----
+
+  test("normalizedSec: scales down by the rep's parallel-probe inflation, never up") {
+    // probe at 2× the floor → host granted half throughput → quiet time ≈ sec/2
+    assert(Bench.normalizedSec(10.0, 100.0, 50.0) === 5.0)
+    // probe at the floor → untouched
+    assert(Bench.normalizedSec(10.0, 50.0, 50.0) === 10.0)
+    // degenerate probes (unmeasured, zero) → raw value unchanged
+    assert(Bench.normalizedSec(10.0, 0.0, 50.0) === 10.0)
+    assert(Bench.normalizedSec(10.0, 50.0, 0.0) === 10.0)
+  }
+
+  test("normalizedMin: decoupled mins absorb a transient probe-only spike, keep sustained steal") {
+    // transient: rep1's probe spiked 2.3× (GC hit the probe, not the
+    // query) — a per-rep pairing would emit 1.016/2.29 ≈ 0.44, far below
+    // the true 0.85 floor; decoupled mins pair best wall with best probe
+    val t = Bench.normalizedMin(Seq(1.016, 0.852), Seq(85.0, 38.0), 37.1)
+    assert(t.exists(v => math.abs(v - 0.852 * 37.1 / 38.0) < 1e-9))
+    // sustained: every probe inflated 1.24× (the r18 window) → the min
+    // probe still carries the correction
+    val s = Bench.normalizedMin(Seq(2.48, 2.52), Seq(46.0, 46.5), 37.1)
+    assert(s.exists(v => math.abs(v - 2.48 * 37.1 / 46.0) < 1e-9))
+    assert(Bench.normalizedMin(Nil, Nil, 37.1).isEmpty)
+  }
+
+  test("eraRef: same-era floors only, normalized entries preferred, None when era is silent") {
+    val hist = Seq(
+      // same era (within 5% of runFloor 100): raw 2.0, no norm
+      (103.0, Map("q" -> 2.0), Map.empty[String, Double]),
+      // same era: raw 3.0 but norm 1.5 — the norm value must win
+      (98.0, Map("q" -> 3.0), Map("q" -> 1.5)),
+      // different era (fast host): its misleading 0.5 must NOT leak in
+      (80.0, Map("q" -> 0.5), Map("q" -> 0.5)))
+    assert(Bench.eraRef("q", 100.0, hist) === Some(1.5))
+    // unknown query in the era → None (caller falls back to the global gate)
+    assert(Bench.eraRef("other", 100.0, hist) === None)
+    // no era match at all → None
+    assert(Bench.eraRef("q", 200.0, hist) === None)
+    // NaN floors never match
+    assert(Bench.eraRef("q", Double.NaN, hist) === None)
+    assert(Bench.eraRef("q", 100.0,
+      Seq((Double.NaN, Map("q" -> 1.0), Map.empty[String, Double]))) === None)
+  }
+
+  test("compact line with the round-19 extra fields still fits the scrape window") {
+    val names = (1 to 132).map(i => f"q${i}%02d_some_long_query_name_$i")
+    val extras =
+      s""","value_normalized":199.123,"probe_floor_ms":123.4,"probe_par_floor_ms":45.6""" +
+        s""","host_speed_x":1.234,"host_parallel_x":1.567,"hist_anomalies_n":12,"repass_n":12""" +
+        s""","common_n":241,"total_common_prev":208.123,"prev_total_common":203.456""" +
+        s""","reps_1":0,"reps_2":230,"excluded_n":1"""
+    val line = Bench.compactSummary(113.2345, 99999.9999, 132,
+      names, names, 3, contended = true, sf = "/root/testdata/sf0.1",
+      detail = "/root/repo/BENCH.json", filterFields = extras)
+    assert(line.length < 1500, s"compact line is ${line.length} chars")
   }
 
   test("contrast-only exclusion names real registry queries") {
