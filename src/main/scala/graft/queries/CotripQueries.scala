@@ -38,24 +38,57 @@ object CotripQueries {
     """{"features":[]}""",
     s"""{"features":[${feat("ls1", "LineString", "[[0.0,0.0],[1.0,1.0]]")},${feat("mpg1", "MultiPolygon", "[[[[0.0,0.0],[1.0,0.0],[1.0,1.0],[0.0,0.0]]],[[[5.0,5.0],[6.0,5.0],[6.0,6.0],[5.0,5.0]]]]")},${feat("gc1", "GeometryCollection", "null")}]}""")
 
+  /** The statically-known golden output of the default-config pipeline
+    * over [[fixturePages]] — shared by c01 (driver-side fetch), and c05
+    * (micro-batch stream): every form must land on the same features.
+    */
+  private val goldenPipelineSql =
+    """SELECT * FROM (VALUES
+      | ('ls1', 'LineString', '[[0.0,0.0],[1.0,1.0]]'),
+      | ('mp1-0', 'Point', '[1.0,2.0]'),
+      | ('mp1-1', 'Point', '[3.0,4.0]'),
+      | ('mp1-2', 'Point', '[5.0,6.0]'),
+      | ('mpg1-0', 'Polygon', '[[[0.0,0.0],[1.0,0.0],[1.0,1.0],[0.0,0.0]]]'),
+      | ('mpg1-1', 'Polygon', '[[[5.0,5.0],[6.0,5.0],[6.0,6.0],[5.0,5.0]]]'),
+      | ('pt1', 'Point', '[-105.52,39.74]')
+      |) AS t(id, geom_type, coordinates) ORDER BY id""".stripMargin
+
+  /** Memory-sink name source for the streaming form. */
+  private val sinkCounter = new java.util.concurrent.atomic.AtomicLong(0)
+
   val defs: Map[String, QueryDef] = Map(
 
     // Full pipeline, default config (all toggles on): Multi* explodes with
     // positional id suffixes, GeometryCollection dropped.
-    "c01_cotrip_pipeline" -> of(
-      """SELECT * FROM (VALUES
-        | ('ls1', 'LineString', '[[0.0,0.0],[1.0,1.0]]'),
-        | ('mp1-0', 'Point', '[1.0,2.0]'),
-        | ('mp1-1', 'Point', '[3.0,4.0]'),
-        | ('mp1-2', 'Point', '[5.0,6.0]'),
-        | ('mpg1-0', 'Polygon', '[[[0.0,0.0],[1.0,0.0],[1.0,1.0],[0.0,0.0]]]'),
-        | ('mpg1-1', 'Polygon', '[[[5.0,5.0],[6.0,5.0],[6.0,6.0],[5.0,5.0]]]'),
-        | ('pt1', 'Point', '[-105.52,39.74]')
-        |) AS t(id, geom_type, coordinates) ORDER BY id""") { (s, _) =>
+    "c01_cotrip_pipeline" -> of(goldenPipelineSql) { (s, _) =>
       CotripOps.pipeline(CotripSource.fromPages(s, fixturePages), TaskConfig("t"))
         .select(col("id"), col("geometry.type").as("geom_type"),
           col("geometry.coordinates").as("coordinates"))
         .orderBy("id")
+    },
+
+    // STREAMING form of the conformance pipeline (c05 — VERDICT r18 #7,
+    // SURVEY §2.10's direct Structured-Streaming equivalent of the
+    // reference's InvocationType.Schedule snapshot): the same fixture
+    // chain read through the cotrip-pages MICRO-BATCH stream — one page
+    // per trigger under admission control, reusing the batch DSv2
+    // per-page partition layout — with the same P1 → E1 → P2 transforms
+    // running per micro-batch (the pipeline is select/explode/filter,
+    // all stateless, so append mode holds) and Trigger.AvailableNow
+    // draining the whole chain. Graded against c01's golden VALUES
+    // oracle: the scheduled-snapshot and streaming forms must agree
+    // feature for feature.
+    "c05_cotrip_stream" -> of(goldenPipelineSql) { (s, _) =>
+      val pages = s.readStream.format("cotrip-pages")
+        .option("mode", "fixture").option("path", fixtureDir.toString)
+        .load()
+      val out = CotripOps.pipeline(
+        CotripSource.fromPageRows(pages), TaskConfig("t"))
+        .select(col("id"), col("geometry.type").as("geom_type"),
+          col("geometry.coordinates").as("coordinates"))
+      val sink = s"cotrip_stream_${sinkCounter.incrementAndGet()}"
+      graft.streaming.EventsStream.runAvailableNow(out, sink)
+      s.table(sink).orderBy("id")
     },
 
     // Same pipeline through the DataSourceV2 `cotrip-pages` source (one

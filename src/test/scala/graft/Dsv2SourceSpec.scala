@@ -44,6 +44,42 @@ class Dsv2SourceSpec extends SparkSpec {
     assert(viaDsv2.count() === 7)
   }
 
+  test("micro-batch stream: one page per trigger by default; pagespertrigger batches wider") {
+    val dir = writeFixtures()
+    def drain(opts: Map[String, String], sink: String): Long = {
+      val pages = spark.readStream.format("cotrip-pages")
+        .option("mode", "fixture").option("path", dir.toString)
+        .options(opts).load()
+      val out = CotripOps.pipeline(CotripSource.fromPageRows(pages), TaskConfig("t"))
+      val before = graft.streaming.StreamTelemetry.microBatchesCompleted.get()
+      graft.streaming.EventsStream.runAvailableNow(out, sink)
+      graft.streaming.StreamTelemetry.microBatchesCompleted.get() - before
+    }
+    // default admission control: 3 pages → 3 one-page micro-batches
+    assert(drain(Map.empty, "c05_spec_sink1") === 3L)
+    assert(spark.table("c05_spec_sink1").count() === 7L)
+    // pagespertrigger=2 → ceil(3/2) = 2 micro-batches, same features
+    assert(drain(Map("pagespertrigger" -> "2"), "c05_spec_sink2") === 2L)
+    assert(spark.table("c05_spec_sink2").count() === 7L)
+    // and the drained features equal the batch pipeline's byte for byte
+    val batch = CotripOps.pipeline(
+      CotripSource.fromPages(spark, CotripQueries.fixturePages), TaskConfig("t"))
+    assert(spark.table("c05_spec_sink1").except(batch).count() === 0)
+    assert(batch.except(spark.table("c05_spec_sink1")).count() === 0)
+  }
+
+  test("micro-batch stream: http mode is rejected with the driver-side-discovery rationale") {
+    val err = intercept[Exception] {
+      val pages = spark.readStream.format("cotrip-pages")
+        .option("mode", "http").option("baseurl", "http://localhost:1")
+        .option("apikey", "k").load()
+      graft.streaming.EventsStream.runAvailableNow(pages, "c05_spec_sink3")
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(err).exists(_.contains("mode=fixture")), msgs(err).mkString("; "))
+  }
+
   test("unknown mode fails with a clear message") {
     val err = intercept[Exception] {
       spark.read.format("cotrip-pages").option("mode", "nope").load().collect()
