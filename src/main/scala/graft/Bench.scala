@@ -406,6 +406,12 @@ object Bench {
     */
   private val ParProbeThreads = 32
   private val ParProbePasses = 24
+  /** Probe-shape version, stamped into the artifact: parallel floors are
+    * only comparable across runs that measured the SAME fixed work, so
+    * `histParFloor` filters history on it. Bump when threads / array
+    * size / passes change.
+    */
+  private val ParProbeVer = 2
   private lazy val parProbePool =
     java.util.concurrent.Executors.newFixedThreadPool(ParProbeThreads,
       (r: Runnable) => {
@@ -595,8 +601,9 @@ object Bench {
     // best committed PARALLEL floor — host_parallel_x context (null until
     // the first round-19+ artifact lands in history)
     val histParFloor: Double = {
-      val floors = histLines.flatMap(l =>
-        "\"probe_par_floor_ms\":([0-9.]+)".r.findFirstMatchIn(l)
+      val floors = histLines
+        .filter(_.contains(s""""par_probe_ver":$ParProbeVer"""))
+        .flatMap(l => "\"probe_par_floor_ms\":([0-9.]+)".r.findFirstMatchIn(l)
           .map(_.group(1).toDouble))
       if (floors.nonEmpty) floors.min else Double.NaN
     }
@@ -850,7 +857,7 @@ object Bench {
         s""","reps_planned":$repsPlannedJson,"excluded":$excludedJson""" +
         s""","errors":$errs,"reps":$reps,"contended":$contended,"noisy_reps_n":$noisyRepsN,"waited_quiet_sec":$waitedQuiet""" +
         s""","probe_floor_ms":${f"$probeFloor%.1f"},"host_floor_hist_ms":${if (histFloor.isNaN) "null" else f"$histFloor%.1f"}""" +
-        s""","probe_par_floor_ms":${f"$parFloor%.1f"},"par_floor_hist_ms":${if (histParFloor.isNaN) "null" else f"$histParFloor%.1f"}""" +
+        s""","probe_par_floor_ms":${f"$parFloor%.1f"},"par_probe_ver":$ParProbeVer,"par_floor_hist_ms":${if (histParFloor.isNaN) "null" else f"$histParFloor%.1f"}""" +
         s""","host_speed_x":$hostSpeedX,"host_parallel_x":$hostParallelX,"hist_anomalies":$histAnomalyJson""" +
         s""","common_n":${commonPrev.size},"total_common_prev":${f"$totalCommonPrev%.3f"},"prev_total_common":${f"$prevTotalCommon%.3f"}""" +
         s""","repass_queries":${repassQueries.map("\"" + _ + "\"").mkString("[", ",", "]")},"repass_waited_sec":$repassWaited""" +

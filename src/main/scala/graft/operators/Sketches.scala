@@ -570,7 +570,13 @@ object Sketches {
   def rankQQuantiles(states: DataFrame, grpCols: Seq[String],
                      qs: Seq[Double], k: Int = RankQK): DataFrame = {
     val g = grpCols.map(col)
-    val lv = states
+    // the walk reads `states` twice (selector + sample branches) and the
+    // plan would otherwise recompute the whole upstream sketch build per
+    // branch — persist the state frame (tiny: ≤ 64 counters + k items per
+    // group) so the build runs once (release via SessionSweep, the
+    // library convention)
+    val st = Caching.persisted(states)
+    val lv = st
       .select(g :+ posexplode(col("st.hist")).as(Seq("lvl", "cnt")): _*)
       .filter(col("cnt") > 0)
     val wDesc = Window.partitionBy(g: _*).orderBy(col("lvl").desc)
@@ -584,7 +590,7 @@ object Sketches {
     // attribute ids fails analysis
     val selR = grpCols.foldLeft(
       sel)((df, c) => df.withColumnRenamed(c, s"__sel_$c"))
-    val smp = states.select(g :+ explode(col("st.items")).as("it"): _*)
+    val smp = st.select(g :+ explode(col("st.items")).as("it"): _*)
       .join(selR, grpCols.map(c => col(c) === col(s"__sel_$c")).reduce(_ && _))
       .drop(grpCols.map(c => s"__sel_$c"): _*)
       .filter(col("it.lvl") >= col("l"))
