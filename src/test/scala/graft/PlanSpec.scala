@@ -646,6 +646,26 @@ class PlanSpec extends SparkSpec {
       s"logLinCode must be built-in expressions only:\n${plan.take(800)}")
   }
 
+  test("q55: sketch state partial-aggregates map-side; split predicates push; build runs once") {
+    val df = SparkEntry.queries("q55_rankq_quantiles")(spark, dir)
+    df.collect() // materialize so the persisted-state reuse is in the plan
+    val plan = df.queryExecution.executedPlan.toString
+    // the bounded typed-aggregator state (64 counters + k items) partial-
+    // aggregates BEFORE the exchange — the map-side combine IS the state
+    // algebra's merge at work (the KMV contract on the rank sketch)
+    val partials = "ObjectHashAggregate".r.findAllIn(plan).size
+    assert(partials >= 4,
+      s"expected partial+final ObjectHashAggregate on both halves:\n${plan.take(1000)}")
+    assert(plan.contains("LessThan(ts") && plan.contains("GreaterThanOrEqual(ts"),
+      s"base/delta split predicates must reach the parquet scans:\n${plan.take(1200)}")
+    // the walk reads the state twice (selector + sample); the persisted
+    // state frame must serve both so the sketch build runs ONCE
+    assert(plan.contains("InMemoryTableScan"),
+      s"quantile walk must reuse the persisted state, not rebuild it:\n${plan.take(1000)}")
+    // level computation stays built-in expressions (smear/popcount)
+    assert(!plan.contains("BatchEvalPython"), plan.take(600))
+  }
+
   test("s16: the label filter rides the hash joins — no cartesian pair space") {
     val plan = physicalPlan("s16_filtered_recall")
     assert(!plan.contains("CartesianProduct"),
