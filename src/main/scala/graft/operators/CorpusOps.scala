@@ -1738,4 +1738,76 @@ object CorpusOps {
     docs.join(broadcast(rates), Seq(srcCol))
       .filter(temperatureGate(col(idCol), col("accept_rate")))
   }
+
+  // ------------------------- sequence packing (concat-then-chunk) --------
+
+  /** Pack a corpus into fixed-length training sequences — the GPT-style
+    * "concatenate all documents in a deterministic order, then cut every
+    * `seqLen` tokens" packing every LLM pretraining pipeline runs before
+    * batching. [[packSequences]] (t09) owns the per-shard LAYOUT and
+    * delegates the pack-boundary straddle to the consumer; this operator
+    * is that consumer made first-class, over ONE GLOBAL stream: documents
+    * concatenate in id-hash order (the hashSplit determinism contract:
+    * stable under growth and re-partitioning, no curriculum leak from
+    * ingest order) and each document emits one row per sequence it
+    * overlaps: `(seq_id, doc_id, doc_from, doc_to, seq_off)` — token span
+    * [doc_from, doc_to] of the doc lands at offset `seq_off` of sequence
+    * `seq_id`. Every sequence is exactly `seqLen` tokens (the last one
+    * ragged), every doc's spans tile [0, n_tok) exactly, and a doc longer
+    * than `seqLen` spans ≥ 2 sequences. Zero-token documents are dropped
+    * (nothing to pack).
+    *
+    * Scale design (the reason this is not one `Window.orderBy`): the
+    * global token offset is a DISTRIBUTED PREFIX SUM, never a
+    * single-partition window over the corpus. Docs range-bucket by the
+    * top `rangeBits` bits of their id hash (arithmetic shift + recenter:
+    * monotone in SIGNED hash order, the order the concatenation — and
+    * the oracle's `ORDER BY h` — is defined over), each bucket cumsums
+    * locally (a bucket-partitioned window), and the 2^rangeBits bucket
+    * totals prefix-sum on the tiny side and broadcast back. All-long arithmetic end to end (offsets
+    * via integral DIV, never a double `floor`), so the two-level sum is
+    * bit-identical to the flat global cumsum the t53 oracle runs. The
+    * windowed slim frame (id, counts, offsets — no text) persists so the
+    * bucket-totals branch doesn't re-derive it.
+    */
+  def packSequenceSpans(docs: DataFrame, idCol: String, textCol: String,
+                        seqLen: Long, rangeBits: Int = 8): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive; got $seqLen")
+    require(rangeBits >= 1 && rangeBits <= 16,
+      s"rangeBits must be in [1, 16]; got $rangeBits")
+    val h = xxhash64(col(idCol))
+    val base = docs.select(col(idCol).as("doc_id"),
+        size(tokens(col(textCol))).cast("long").as("n_tok"),
+        h.as("h"),
+        (shiftright(h, 64 - rangeBits) +
+          lit(1L << (rangeBits - 1))).as("b"))
+      .filter(col("n_tok") > 0)
+    val wLocal = Window.partitionBy("b").orderBy("h", "doc_id")
+    val local = Caching.persisted(
+      base.withColumn("local_end", sum("n_tok").over(wLocal)))
+    // exclusive prefix over the 2^rangeBits bucket totals — tiny, driver-
+    // adjacent, broadcast back (max(local_end) per bucket IS the total,
+    // so the totals reuse the windowed frame instead of a second corpus
+    // aggregation)
+    val prefixes = local.groupBy("b").agg(max("local_end").as("tot"))
+      .withColumn("prefix", coalesce(sum("tot").over(
+        Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select("b", "prefix")
+    val offs = local.join(broadcast(prefixes), "b")
+      .withColumn("end_off", col("prefix") + col("local_end"))
+      .withColumn("start_off", col("end_off") - col("n_tok"))
+    offs
+      .withColumn("seq_id", explode(sequence(
+        expr(s"start_off DIV $seqLen"), expr(s"(end_off - 1) DIV $seqLen"))))
+      .withColumn("doc_from",
+        greatest(lit(0L), col("seq_id") * seqLen - col("start_off")))
+      .withColumn("doc_to",
+        least(col("n_tok"), (col("seq_id") + lit(1L)) * seqLen -
+          col("start_off")) - lit(1L))
+      .withColumn("seq_off",
+        greatest(col("start_off"), col("seq_id") * seqLen) -
+          col("seq_id") * seqLen)
+      .select("seq_id", "doc_id", "doc_from", "doc_to", "seq_off")
+  }
 }

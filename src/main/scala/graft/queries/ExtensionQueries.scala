@@ -4814,6 +4814,41 @@ object ExtensionQueries {
     // The oracle rebuilds the blocking positionally (list_slice +
     // range), takes first occurrences by min block index, and re-joins
     // in that order — the array_distinct order contract, written out.
+    // Sequence-span packing (t53 — the concat-then-chunk every LLM
+    // pretraining pipeline runs; t09's delegated straddle-split made
+    // first-class over ONE GLOBAL stream): documents concatenate in
+    // id-hash order and cut into 512-token sequences; each doc emits one
+    // row per sequence it overlaps, with the doc-side token span and its
+    // offset inside the sequence. The Spark side computes the global
+    // token offset as a DISTRIBUTED two-level prefix sum (range-bucketed
+    // by the top hash bits + broadcast bucket prefixes —
+    // CorpusOps.packSequenceSpans); the oracle runs the semantically-
+    // equal FLAT global cumsum over the materialized doc hashes, so the
+    // two-level decomposition is graded bit-for-bit, offsets and spans
+    // alike (all-long arithmetic, integral division on both engines).
+    "t53_sequence_packing" -> of(
+      """WITH dh AS (SELECT doc_id, h FROM read_parquet('{{AUX}}/doc_hashes/*.parquet')),
+        |base AS (SELECT d.doc_id,
+        |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tok, dh.h
+        |  FROM documents d JOIN dh USING (doc_id)
+        |  WHERE len(string_split(d.text, ' ')) > 0),
+        |offs AS (SELECT doc_id, n_tok,
+        |    CAST(SUM(n_tok) OVER (ORDER BY h, doc_id) AS BIGINT) AS end_off
+        |  FROM base),
+        |spans AS (SELECT doc_id, n_tok, end_off - n_tok AS start_off,
+        |    UNNEST(generate_series((end_off - n_tok) // 512,
+        |                           (end_off - 1) // 512)) AS seq_id
+        |  FROM offs)
+        |SELECT seq_id, doc_id,
+        |  GREATEST(0, seq_id * 512 - start_off) AS doc_from,
+        |  LEAST(n_tok, (seq_id + 1) * 512 - start_off) - 1 AS doc_to,
+        |  GREATEST(start_off, seq_id * 512) - seq_id * 512 AS seq_off
+        |FROM spans ORDER BY seq_id, doc_id""") { (s, d) =>
+      graft.operators.CorpusOps
+        .packSequenceSpans(t(s, d, "documents"), "doc_id", "text", 512L)
+        .orderBy("seq_id", "doc_id")
+    },
+
     "t51_dedup_block_rewrite" -> of(
       """WITH toks AS (
         |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),

@@ -239,6 +239,56 @@ class CorpusPropertySpec extends SparkSpec {
     }
   }
 
+  test("packSequenceSpans: spans tile docs exactly; sequences are full; two-level == flat cumsum") {
+    import spark.implicits._
+    for (seed <- 11L to 13L) {
+      val docs = corpus(seed).toDF()
+      val L = 64L
+      val spans = CorpusOps.packSequenceSpans(docs, "doc_id", "text", L)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      // doc tiling: per doc, spans partition [0, n_tok) with no gap/overlap
+      val nTok = docs
+        .select(col("doc_id"), size(split(col("text"), " ", -1)).cast("long").as("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      spans.groupBy(_._2).foreach { case (doc, rows) =>
+        val ordered = rows.sortBy(_._3)
+        assert(ordered.head._3 === 0L, s"doc $doc first span must start at 0")
+        assert(ordered.last._4 === nTok(doc) - 1, s"doc $doc last span must end at n_tok-1")
+        ordered.zip(ordered.tail).foreach { case ((_, _, _, to1, _), (_, _, from2, _, _)) =>
+          assert(from2 === to1 + 1, s"doc $doc spans must be gapless")
+        }
+      }
+      // sequence fullness: every sequence but the last carries exactly L
+      // tokens; the last carries total mod L (or L when it divides)
+      val total = spans.map { case (_, _, from, to, _) => to - from + 1 }.sum
+      val bySeq = spans.groupBy(_._1).view
+        .mapValues(_.map { case (_, _, from, to, _) => to - from + 1 }.sum)
+      val lastSeq = bySeq.keys.max
+      bySeq.foreach { case (seq, tok) =>
+        if (seq < lastSeq) assert(tok === L, s"sequence $seq must be full")
+        else assert(tok === (if (total % L == 0) L else total % L))
+      }
+      // seq_off consistency: within a sequence, spans ordered by seq_off
+      // are gapless from 0
+      spans.groupBy(_._1).foreach { case (seq, rows) =>
+        val ordered = rows.sortBy(_._5)
+        assert(ordered.head._5 === 0L, s"sequence $seq must start at offset 0")
+        ordered.zip(ordered.tail).foreach {
+          case ((_, _, from1, to1, off1), (_, _, _, _, off2)) =>
+            assert(off2 === off1 + (to1 - from1 + 1), s"sequence $seq gapless")
+        }
+      }
+      // two-level prefix sum == flat: a different bucket width must give
+      // the identical result (the decomposition is invisible)
+      val spans4 = CorpusOps.packSequenceSpans(docs, "doc_id", "text", L,
+        rangeBits = 4).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      assert(spans4.sorted.toSeq === spans.sorted.toSeq,
+        "rangeBits must not change the packing")
+    }
+  }
+
   test("dedupBlocks: first-occurrence block rewrite, counts, edge docs") {
     import spark.implicits._
     val docs = Seq(
