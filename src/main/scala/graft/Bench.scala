@@ -614,9 +614,12 @@ object Bench {
       .groupMap(_._1)(_._2).view.mapValues(_.toVector).toMap
     val histNorm: Map[String, Vector[Double]] = {
       val base = if (histFloor.isNaN) Double.NaN else histFloor
-      histRuns.flatMap { case (fl, m, _) =>
+      histRuns.flatMap { case (fl, m, norm) =>
         val adj = if (fl.isNaN || base.isNaN) 1.0 else math.max(1.0, fl / base)
-        m.view.mapValues(_ / adj).toSeq
+        // prefer the run's own parallel-probe-normalized value (rounds
+        // ≥ 19) over the spin-floor approximation — the band decision
+        // sharpens as normalized history accumulates
+        m.view.map { case (k, v) => k -> norm.getOrElse(k, v / adj) }.toSeq
       }.groupMap(_._1)(_._2).view.mapValues(_.toVector).toMap
     }
 
