@@ -131,7 +131,7 @@ object SketchQueries {
       |suf AS (SELECT grp, lvl, SUM(cnt) OVER (PARTITION BY grp ORDER BY lvl DESC) AS suffix
       |  FROM hist),
       |sel AS (SELECT grp,
-      |    CAST(COALESCE(MAX(CASE WHEN suffix > 256 THEN lvl + 1 END), 0) AS BIGINT) AS l
+      |    CAST(COALESCE(MAX(CASE WHEN suffix > {{K}} THEN lvl + 1 END), 0) AS BIGINT) AS l
       |  FROM suf GROUP BY grp),
       |tot AS (SELECT grp, CAST(SUM(cnt) AS BIGINT) AS n FROM hist GROUP BY grp),
       |samp AS (SELECT lv.grp, lv.v,
@@ -146,6 +146,7 @@ object SketchQueries {
       |SELECT tgt.grp, tgt.q, tgt.n, tgt.l, tgt.m, s.v AS est
       |FROM tgt JOIN samp s ON s.grp = tgt.grp AND s.rn = tgt.r
       |ORDER BY tgt.grp, tgt.q""".stripMargin
+      .replace("{{K}}", Sketches.RankQK.toString) // one k, both engines
 
   /** The per-event-type HLL contract shared by q46 (incremental batch
     * merge) and e24 (streaming register maintenance): one SQL definition —

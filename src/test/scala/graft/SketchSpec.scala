@@ -293,6 +293,30 @@ class SketchSpec extends SparkSpec with TableDrivenPropertyChecks {
     assert(st(rows.reverse).select("st").head() === ref)
   }
 
+  test("rankq: merging a group absent from one side takes the other's state intact") {
+    // the oracle never exercises the full-outer coalesce path (it builds
+    // from scratch) — pin it here: a group present in only one half must
+    // come through the merge with its state (hist + items) untouched
+    val a = Sketches.rankQStates(
+      (1L to 400L).map(i => ("only_a", i, i.toDouble)).toDF("grp", "id", "v"),
+      Seq("grp"), col("id"), col("v"))
+    val b = Sketches.rankQStates(
+      (1L to 300L).map(i => ("only_b", i, -i.toDouble)).toDF("grp", "id", "v"),
+      Seq("grp"), col("id"), col("v"))
+    val merged = Sketches.rankQMergeStates(a, b, Seq("grp"))
+    val est = Sketches.rankQQuantiles(merged, Seq("grp"), Seq(0.5))
+      .select("grp", "n", "est").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val direct = Sketches.rankQQuantiles(
+      Sketches.rankQMergeStates(a, a.limit(0), Seq("grp")), Seq("grp"), Seq(0.5))
+      .select("grp", "n", "est").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(est("only_a") === direct("only_a"),
+      "a one-sided group must survive the merge bit-identically")
+    assert(est("only_b")._1 === 300L)
+    assert(est.keySet === Set("only_a", "only_b"))
+  }
+
   test("rankq: bounded rank error on a clustered distribution; exact when n ≤ k") {
     val rnd = new scala.util.Random(41)
     // the distribution the log-linear sketch CANNOT rank: 95% of mass in
