@@ -237,6 +237,77 @@ case class HyperplaneSignatures(left: Expression, right: Expression,
   * ([[graft.operators.Multimodal.gearTableDf]]) so the DuckDB oracle
   * replays the identical boundaries from the dumped table.
   */
+/** Log-linear sketch code of a double ([[graft.operators.Sketches]]'
+  * octave × 16-sub-bucket binning) as ONE native expression. The Column
+  * form composes ceil/log2/pow through conditional branches — even
+  * let-bound it pays ~5 single-element-array HOF wraps plus three pow
+  * calls per row, which dominates a 100 TB scan (measured at ×30: the
+  * unbound tree cost ~10 µs/row, the bound one ~1.8 µs/row, this
+  * expression ~0.1 µs/row). Here the octave comes from the EXPONENT BITS
+  * (exact — literally the SketchSpec reference arithmetic: getExponent,
+  * power-of-two iff the mantissa field is empty, subnormal exponent from
+  * the mantissa's highest bit), lo = 2^(k−1) via scalb (exact), and the
+  * sub-bucket arithmetic is the same IEEE ops as the Column form, so the
+  * two are value-identical on every input (spec-pinned incl. extremes).
+  * NULL for NaN/±Inf (the ADVICE r18 domain guard), 0 for ±0.0.
+  */
+case class LogLinCode(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == DoubleType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"log_lin_code expects DOUBLE, got ${child.dataType.sql}")
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "log_lin_code"
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[Double]
+    if (java.lang.Double.isNaN(v) || java.lang.Double.isInfinite(v)) null
+    else java.lang.Long.valueOf(LogLinCode.compute(v))
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |if (java.lang.Double.isNaN($c) || java.lang.Double.isInfinite($c)) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = graft.functions.LogLinCode.compute($c);
+         |}""".stripMargin)
+
+  override protected def withNewChildInternal(c: Expression): LogLinCode =
+    copy(child = c)
+}
+
+object LogLinCode {
+  /** Exact code for a FINITE double (callers exclude NaN/±Inf): the k
+    * with 2^(k−1) < |v| ≤ 2^k is getExponent(|v|) for exact powers of
+    * two and getExponent(|v|)+1 otherwise (subnormal exponents recovered
+    * from the mantissa's highest set bit), clamped at −1073 so lo never
+    * underflows; sub = min(15, ⌊(|v|−lo)·16/lo⌋) with lo = 2^(k−1) —
+    * Sterbenz/power-of-two exact, identical to the Column form's tree.
+    */
+  def compute(v: Double): Long = {
+    if (v == 0.0) return 0L
+    val a = Math.abs(v)
+    val bits = java.lang.Double.doubleToRawLongBits(a)
+    val mant = bits & 0xFFFFFFFFFFFFFL
+    val e =
+      if (a >= java.lang.Double.MIN_NORMAL) Math.getExponent(a)
+      else 63 - java.lang.Long.numberOfLeadingZeros(mant) - 1074
+    val isPow2 =
+      if (a >= java.lang.Double.MIN_NORMAL) mant == 0L
+      else (mant & (mant - 1L)) == 0L
+    val k = Math.max(if (isPow2) e else e + 1, -1073)
+    val lo = Math.scalb(1.0, k - 1)
+    val sub = Math.min(15L, Math.floor((a - lo) * 16.0 / lo).toLong)
+    val mag = (k + 1100L) * 16L + sub
+    if (v > 0.0) mag else -mag
+  }
+}
+
 case class GearChunkEnds(child: Expression, maskBits: Int,
                          minSize: Int = 1, maxSize: Int = Int.MaxValue)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
@@ -575,6 +646,30 @@ object NativeFunctions {
   def dotProduct(spark: SparkSession, a: Column, b: Column): Column = {
     register(spark)
     call_function("dot_product", a, b)
+  }
+
+  /** Log-linear sketch code via the native expression (registers on first
+    * use; see [[LogLinCode]] — the hot-path form of
+    * [[graft.operators.Sketches.logLinCode]]).
+    */
+  def logLinCode(spark: SparkSession, v: Column): Column = {
+    registerLogLin(spark)
+    call_function("log_lin_code", v)
+  }
+
+  private def registerLogLin(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    val ident = org.apache.spark.sql.catalyst.FunctionIdentifier("log_lin_code")
+    val alreadyOurs = registry.functionExists(ident) &&
+      (try {
+        registry.lookupFunction(ident, Seq(
+          org.apache.spark.sql.catalyst.expressions.Literal(1.0)))
+          .isInstanceOf[LogLinCode]
+      } catch { case _: Throwable => false })
+    if (!alreadyOurs) {
+      registry.createOrReplaceTempFunction(
+        "log_lin_code", exprs => LogLinCode(exprs(0)), "built-in")
+    }
   }
 
   /** All `tables` LSH signatures of `vec` against the flattened row-major

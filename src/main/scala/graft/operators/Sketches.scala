@@ -336,7 +336,11 @@ object Sketches {
 
   /** The signed sketch code of one value — 0 for 0.0, positive for v > 0,
     * negated for v < 0 (code order = value order). Mirrored verbatim by
-    * the q54 oracle SQL.
+    * the q54 oracle SQL. This built-ins form is the DEFINITION (it is
+    * what the oracle transcribes); the hot path ([[logLinCounts]]) runs
+    * [[graft.functions.LogLinCode]], the native expression computing the
+    * identical value from the exponent bits — equality spec-pinned on
+    * edges, extremes and randoms.
     *
     * Domain guards (ADVICE r18 — the extremes where the two engines used
     * to diverge exactly where the determinism contract claimed they
@@ -356,21 +360,42 @@ object Sketches {
     * ×16 and ÷lo shift the exponent only (a subnormal × 16 loses no
     * mantissa bits).
     */
+  /** Let-binding (the TextFunctions.bind idiom): evaluates `value` ONCE
+    * per row so `body` can reference it many times. Without it, the
+    * octave/sub-bucket tree below inlines its ceil∘log2 and pow subtrees
+    * into every `when` branch that references them — measured at ×30
+    * (3M rows): ~10 µs/row, a 31 s counts pass where a plain count takes
+    * 0.5 s, because conditional branches defeat codegen's common-
+    * subexpression elimination and the transcendentals re-evaluate
+    * dozens of times per row.
+    */
+  private def bindOnce(value: Column, body: Column => Column): Column =
+    element_at(transform(array(value), body), 1)
+
   def logLinCode(v: Column): Column = {
-    val a = abs(v)
-    val k0 = ceil(log2(a))
-    val kr = when(a > pow(lit(2.0), k0), k0 + lit(1L))
-      .when(a <= pow(lit(2.0), k0 - lit(1L)), k0 - lit(1L))
-      .otherwise(k0)
-    val k = greatest(kr, lit(-1073L))
-    val lo = pow(lit(2.0), k - lit(1L))
-    val sub = least(lit(LogLinSubBins - 1L),
-      floor((a - lo) * lit(LogLinSubBins.toDouble) / lo))
-    val mag = (k + lit(LogLinKOff)) * lit(LogLinSubBins) + sub
-    when(isnan(v) || a === lit(Double.PositiveInfinity), lit(null).cast("long"))
-      .when(v === lit(0.0), lit(0L))
-      .when(v > lit(0.0), mag)
-      .otherwise(-mag)
+    // binds evaluate EAGERLY for every row (unlike when-branches), so the
+    // degenerate rows (0, NaN, ±Inf — whose octave tree would hit
+    // log2(0) = -Inf and ANSI-unfriendly NaN casts) compute on a harmless
+    // stand-in; the final CASE picks their constant codes regardless
+    val safe = when(isnan(v) ||
+        abs(v) === lit(Double.PositiveInfinity) || v === lit(0.0), lit(1.0))
+      .otherwise(abs(v))
+    bindOnce(safe, a =>
+      bindOnce(ceil(log2(a)), k0 =>
+        bindOnce(greatest(
+            when(a > pow(lit(2.0), k0), k0 + lit(1L))
+              .when(a <= pow(lit(2.0), k0 - lit(1L)), k0 - lit(1L))
+              .otherwise(k0),
+            lit(-1073L)), k =>
+          bindOnce(pow(lit(2.0), k - lit(1L)), lo =>
+            bindOnce((k + lit(LogLinKOff)) * lit(LogLinSubBins) +
+                least(lit(LogLinSubBins - 1L),
+                  floor((a - lo) * lit(LogLinSubBins.toDouble) / lo)), mag =>
+              when(isnan(v) || abs(v) === lit(Double.PositiveInfinity),
+                lit(null).cast("long"))
+                .when(v === lit(0.0), lit(0L))
+                .when(v > lit(0.0), mag)
+                .otherwise(-mag))))))
   }
 
   /** Per-group log-linear state: (grpCols..., code, cnt) for codes present
@@ -378,7 +403,12 @@ object Sketches {
     * [[histCounts]].
     */
   def logLinCounts(df: DataFrame, grpCols: Seq[String], value: Column): DataFrame =
-    df.select(grpCols.map(col) :+ logLinCode(value).as("code"): _*)
+    // the NATIVE code expression on the hot path (one static call per row
+    // inside whole-stage codegen); [[logLinCode]] is the definitional
+    // built-ins form, spec-pinned value-identical on every input
+    df.select(grpCols.map(col) :+
+        graft.functions.NativeFunctions
+          .logLinCode(df.sparkSession, value.cast("double")).as("code"): _*)
       .filter(col("code").isNotNull) // NaN/±Inf excluded (ADVICE r18)
       .groupBy((grpCols :+ "code").map(col): _*)
       .agg(count(lit(1)).as("cnt"))

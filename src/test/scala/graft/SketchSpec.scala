@@ -251,6 +251,27 @@ class SketchSpec extends SparkSpec with TableDrivenPropertyChecks {
     assert(counts === 4L, "NaN/±Inf must be excluded from the sketch")
   }
 
+  test("loglin: native LogLinCode == the definitional Column form on every input class") {
+    val rnd = new scala.util.Random(43)
+    val vals = Seq(0.0, -0.0, 1.0, -1.0, 2.0, 0.5, 1e-300, 1e300,
+      java.lang.Double.MIN_VALUE, -java.lang.Double.MIN_VALUE,
+      math.pow(2.0, -1073), java.lang.Double.MIN_NORMAL,
+      java.lang.Double.MAX_VALUE, -java.lang.Double.MAX_VALUE,
+      3.9999999, 4.0000001, Double.NaN,
+      Double.PositiveInfinity, Double.NegativeInfinity) ++
+      Seq.fill(1000)(math.exp(rnd.nextDouble() * 80 - 40) *
+        (if (rnd.nextBoolean()) 1 else -1))
+    val both = vals.toDF("v").select(
+        Sketches.logLinCode(col("v")).as("column_form"),
+        graft.functions.NativeFunctions.logLinCode(spark, col("v")).as("native"))
+      .collect()
+    both.zip(vals).foreach { case (r, v) =>
+      val c = if (r.isNullAt(0)) None else Some(r.getLong(0))
+      val n = if (r.isNullAt(1)) None else Some(r.getLong(1))
+      assert(c === n, s"value $v: column form $c != native $n")
+    }
+  }
+
   test("loglin: counters merge additively and merged quantiles are bit-identical") {
     val rnd = new scala.util.Random(29)
     val vals = Seq.fill(600)(("g", math.exp(rnd.nextDouble() * 12 - 4)))
