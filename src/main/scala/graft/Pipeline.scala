@@ -59,10 +59,10 @@ object CotripPipeline {
   private val inputConfigJsonSchema: String =
     """{"type":"object","properties":{
       |"COTRIP_TOKEN":{"type":"string","description":"API Token for CoTrip"},
-      |"Point Geometries":{"type":"boolean","default":true},
-      |"LineString Geometries":{"type":"boolean","default":true},
-      |"Polygon Geometries":{"type":"boolean","default":true},
-      |"DEBUG":{"type":"boolean","default":false}},
+      |"Point Geometries":{"type":"boolean","description":"Allow point geometries","default":true},
+      |"LineString Geometries":{"type":"boolean","description":"Allow LineString geometries","default":true},
+      |"Polygon Geometries":{"type":"boolean","description":"Allow Polygon Geometries","default":true},
+      |"DEBUG":{"type":"boolean","description":"Print GeoJSON Features in logs","default":false}},
       |"required":["COTRIP_TOKEN"]}""".stripMargin.replace("\n", "")
 
   /** The 16-field output record schema (task.ts:26-43), DERIVED from the
@@ -93,7 +93,7 @@ object CotripPipeline {
   def capabilitiesTable(spark: SparkSession): DataFrame = {
     import scala.jdk.CollectionConverters._
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    def rows(schemaType: String): Seq[(String, String, String, String, Boolean)] = {
+    def rows(schemaType: String): Seq[(String, String, String, String, String, Boolean)] = {
       val root = mapper.readTree(describe("Incoming", schemaType))
       val required = Option(root.get("required"))
         .map(_.elements().asScala.map(_.asText()).toSet).getOrElse(Set.empty)
@@ -102,12 +102,14 @@ object CotripPipeline {
         ( schemaType,
           e.getKey,
           spec.get("type").asText(),
+          Option(spec.get("description")).map(_.asText()).orNull,
           Option(spec.get("default")).map(_.asText()).orNull,
           required.contains(e.getKey))
       }
     }
     import spark.implicits._
     (rows("Input") ++ rows("Output"))
-      .toDF("schema_type", "field", "json_type", "default_value", "required")
+      .toDF("schema_type", "field", "json_type", "description",
+        "default_value", "required")
   }
 }

@@ -1053,6 +1053,17 @@ object CorpusOps {
       // property. The presence check is the old bucketed filter — cheap
       // because every append file is single-epoch, so parquet min/max
       // stats prune all but the crashed fold's own files.
+      // RESIDUAL window (ADVICE r19): a crashed EMPTY-batch fold leaves
+      // zero rows AND no frontier — indistinguishable from an unapplied
+      // fold, so a retry that recomputed DIFFERENT (now non-empty)
+      // content applies it at this epoch. That retry is the fold's FIRST
+      // application (nothing of the empty attempt was observable: no rows,
+      // no frontier, and `applies` had not been returned), so at-most-once
+      // holds; what is lost is only the ability to prove the empty attempt
+      // happened. Closing it would need an atomic rows+property commit,
+      // which plain parquet + catalog properties cannot give — swapping
+      // the write order (property first) would trade this benign window
+      // for a recorded-but-never-applied fold, i.e. silent data loss.
       val alreadyApplied =
         !spark.table(name).filter(col("epoch") === epoch).isEmpty
       if (!alreadyApplied) {

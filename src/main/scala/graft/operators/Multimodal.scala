@@ -294,9 +294,9 @@ object Multimodal {
         spark.catalog.tableExists(index.sizes))) {
       val d = gearDigestSet(corpus, "doc_id", maskBits, minSize, maxSize)
         .persist()
-      graft.sources.BucketedLake.writeBucketedTable(spark, index.digests,
+      graft.sources.BucketedLake.writeBucketedTableLedgered(spark, index.digests,
         d, "digest", buckets)
-      graft.sources.BucketedLake.writeBucketedTable(spark, index.sizes,
+      graft.sources.BucketedLake.writeBucketedTableLedgered(spark, index.sizes,
         d.groupBy("doc_id").agg(count(lit(1)).as("sz_c")), "doc_id", buckets)
       d.unpersist(blocking = false)
     }
@@ -310,18 +310,26 @@ object Multimodal {
     * [[incrementalGearChunkPairsIndexed]] screens against today's
     * survivors without a rebuild. Batch ids must be disjoint from the
     * indexed corpus (the screen that precedes this call establishes it).
+    * Exactly-once (VERDICT r19 #1): pass the caller's fold `epoch` and a
+    * crash-then-retry is a no-op (one epoch across both tables, per-table
+    * frontier gate + row-presence repair — the appendShingleIndex
+    * contract); `epoch = 0` auto-assigns a NEW fold.
     */
   def appendGearChunkIndex(batch: DataFrame, index: ChunkIndex,
                            maskBits: Int = 6, minSize: Int = 1,
                            maxSize: Int = Int.MaxValue,
-                           buckets: Int = 16): ChunkIndex = {
+                           buckets: Int = 16, epoch: Long = 0L): ChunkIndex = {
     val spark = batch.sparkSession
+    val e =
+      if (epoch > 0L) epoch
+      else graft.sources.BucketedLake.reconciledNextEpoch(spark,
+        Seq(index.digests, index.sizes))
     val d = gearDigestSet(batch, "doc_id", maskBits, minSize, maxSize)
       .persist()
-    graft.sources.BucketedLake.appendBucketedTable(spark, index.digests,
-      d, "digest", buckets)
-    graft.sources.BucketedLake.appendBucketedTable(spark, index.sizes,
-      d.groupBy("doc_id").agg(count(lit(1)).as("sz_c")), "doc_id", buckets)
+    graft.sources.BucketedLake.appendBucketedTableOnce(spark, index.digests,
+      d, e, "digest", buckets)
+    graft.sources.BucketedLake.appendBucketedTableOnce(spark, index.sizes,
+      d.groupBy("doc_id").agg(count(lit(1)).as("sz_c")), e, "doc_id", buckets)
     d.unpersist(blocking = false)
     index
   }
@@ -428,9 +436,9 @@ object Multimodal {
       val d = hexChunks(corpus, chunkBytes)
         .select(col("doc_id"), sha2(unhex(col("chunk_hex")), 256).as("digest"))
         .distinct().persist()
-      graft.sources.BucketedLake.writeBucketedTable(spark, index.digests,
+      graft.sources.BucketedLake.writeBucketedTableLedgered(spark, index.digests,
         d, "digest", buckets)
-      graft.sources.BucketedLake.writeBucketedTable(spark, index.sizes,
+      graft.sources.BucketedLake.writeBucketedTableLedgered(spark, index.sizes,
         d.groupBy("doc_id").agg(count(lit(1)).as("sz_c")), "doc_id", buckets)
       d.unpersist(blocking = false)
     }
@@ -444,18 +452,26 @@ object Multimodal {
     * [[incrementalChunkPairsIndexed]] screens against today's survivors
     * without a rebuild. Batch ids must be disjoint from the indexed
     * corpus (the screen that precedes this call establishes it — that is
-    * what makes the sizes append pure addition).
+    * what makes the sizes append pure addition). Exactly-once (VERDICT
+    * r19 #1): pass the caller's fold `epoch` and a crash-then-retry is a
+    * no-op (one epoch across both tables — the appendShingleIndex
+    * contract); `epoch = 0` auto-assigns a NEW fold.
     */
   def appendChunkIndex(batch: DataFrame, index: ChunkIndex,
-                       chunkBytes: Int = 64, buckets: Int = 16): ChunkIndex = {
+                       chunkBytes: Int = 64, buckets: Int = 16,
+                       epoch: Long = 0L): ChunkIndex = {
     val spark = batch.sparkSession
+    val e =
+      if (epoch > 0L) epoch
+      else graft.sources.BucketedLake.reconciledNextEpoch(spark,
+        Seq(index.digests, index.sizes))
     val d = hexChunks(batch, chunkBytes)
       .select(col("doc_id"), sha2(unhex(col("chunk_hex")), 256).as("digest"))
       .distinct().persist()
-    graft.sources.BucketedLake.appendBucketedTable(spark, index.digests,
-      d, "digest", buckets)
-    graft.sources.BucketedLake.appendBucketedTable(spark, index.sizes,
-      d.groupBy("doc_id").agg(count(lit(1)).as("sz_c")), "doc_id", buckets)
+    graft.sources.BucketedLake.appendBucketedTableOnce(spark, index.digests,
+      d, e, "digest", buckets)
+    graft.sources.BucketedLake.appendBucketedTableOnce(spark, index.sizes,
+      d.groupBy("doc_id").agg(count(lit(1)).as("sz_c")), e, "doc_id", buckets)
     d.unpersist(blocking = false)
     index
   }

@@ -514,7 +514,9 @@ object Similarity {
     if (!(spark.catalog.tableExists(idx.cells) &&
         spark.catalog.tableExists(idx.centroids))) {
       val cents = kmeansCentroids(corpus, idCol, vecCol, nCentroids, iters)
-      graft.sources.BucketedLake.writeBucketedTable(spark, idx.cells,
+      // the appended cells table carries the exactly-once epoch ledger;
+      // the centroid table is the frozen quantizer and is never appended
+      graft.sources.BucketedLake.writeBucketedTableLedgered(spark, idx.cells,
         assignToCentroids(corpus, idCol, vecCol, cents)
           .select(col("cid"), col("id"), col("v"), col("v_norm").as("norm")),
         "cid", buckets)
@@ -550,11 +552,20 @@ object Similarity {
     * volume at fixed k — a corpus that doubles wants a re-trained, larger
     * quantizer (rebuild); results stay CORRECT either way, probes just
     * scan longer cell lists.
+    *
+    * Exactly-once (VERDICT r19 #1): pass the caller's fold `epoch` and a
+    * crash-then-retry is a no-op (frontier gate + row-presence repair on
+    * the cells table — the appendShingleIndex contract). `epoch = 0`
+    * auto-assigns a NEW fold.
     */
   def appendIvfIndex(batch: DataFrame, index: IvfIndex, idCol: String,
-                     vecCol: String): IvfIndex = {
+                     vecCol: String, epoch: Long = 0L): IvfIndex = {
     val spark = batch.sparkSession
     graft.functions.NativeFunctions.register(spark)
+    val e =
+      if (epoch > 0L) epoch
+      else graft.sources.BucketedLake.reconciledNextEpoch(spark,
+        Seq(index.cells))
     val dimBatch = vectorDim(batch, vecCol)
     require(dimBatch == index.dim,
       s"appendIvfIndex: batch dim $dimBatch != index dim ${index.dim} — " +
@@ -562,8 +573,8 @@ object Similarity {
     val cents = loadCentroids(spark, index)
     val assigned = assignToCentroids(batch, idCol, vecCol, cents)
       .select(col("cid"), col("id"), col("v"), col("v_norm").as("norm"))
-    graft.sources.BucketedLake.appendBucketedTable(spark, index.cells,
-      assigned, "cid", index.buckets)
+    graft.sources.BucketedLake.appendBucketedTableOnce(spark, index.cells,
+      assigned, e, "cid", index.buckets)
     index.copy(corpusRows = spark.table(index.cells).count())
   }
 
@@ -1201,7 +1212,7 @@ object Similarity {
       bands, bandBits, planeOffset, dim, buckets)
     if (!spark.catalog.tableExists(idx.codes)) {
       val signs = hyperplaneSigns(spark, bands * bandBits, planeOffset, dim)
-      graft.sources.BucketedLake.writeBucketedTable(spark, idx.codes,
+      graft.sources.BucketedLake.writeBucketedTableLedgered(spark, idx.codes,
         mihCodeBands(corpus, idCol, vecCol, "corpus_id", "c_code", signs,
           bands, bandBits),
         "band", buckets, "band_val")
@@ -1216,17 +1227,26 @@ object Similarity {
     * under the catalog-validated bucket spec. Tomorrow's
     * [[mihHammingScreenIndexed]] probes today's survivors with no
     * rebuild; batch ids must be disjoint from the indexed corpus.
+    *
+    * Exactly-once (VERDICT r19 #1): pass the caller's fold `epoch` and a
+    * crash-then-retry is a no-op (frontier gate + row-presence repair on
+    * the code table — the appendShingleIndex contract). `epoch = 0`
+    * auto-assigns a NEW fold.
     */
   def appendMihIndex(batch: DataFrame, index: MihIndex, idCol: String,
-                     vecCol: String): MihIndex = {
+                     vecCol: String, epoch: Long = 0L): MihIndex = {
     val spark = batch.sparkSession
     graft.functions.NativeFunctions.register(spark)
+    val e =
+      if (epoch > 0L) epoch
+      else graft.sources.BucketedLake.reconciledNextEpoch(spark,
+        Seq(index.codes))
     val signs = hyperplaneSigns(spark, index.bands * index.bandBits,
       index.planeOffset, index.dim)
-    graft.sources.BucketedLake.appendBucketedTable(spark, index.codes,
+    graft.sources.BucketedLake.appendBucketedTableOnce(spark, index.codes,
       mihCodeBands(batch, idCol, vecCol, "corpus_id", "c_code", signs,
         index.bands, index.bandBits),
-      "band", index.buckets, "band_val")
+      e, "band", index.buckets, "band_val")
     index
   }
 

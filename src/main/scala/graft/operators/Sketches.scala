@@ -576,10 +576,19 @@ object Sketches {
                        grpCols: Seq[String]): DataFrame = {
     val zeros = array((0 until RankQLevels).map(_ => lit(0L)): _*)
     val noItems = array().cast("array<struct<lvl:int,h:bigint,v:double>>")
-    val aa = a.select(grpCols.map(col) :+ col("st").as("st_a"): _*)
-    val bb = b.select(grpCols.map(col) :+ col("st").as("st_b"): _*)
-    aa.join(bb, grpCols, "full_outer")
-      .select(grpCols.map(col) :+ struct(
+    // NULL-SAFE keys (ADVICE r19): a using-columns full_outer join would
+    // never match a NULL group key with itself, leaving the two halves
+    // unmerged and the quantile walk emitting duplicate rows for that
+    // group — join on <=> and coalesce the key sides back instead
+    val aa = a.select(grpCols.map(c => col(c).as(s"${c}__a")) :+
+      col("st").as("st_a"): _*)
+    val bb = b.select(grpCols.map(c => col(c).as(s"${c}__b")) :+
+      col("st").as("st_b"): _*)
+    val cond = grpCols.map(c => col(s"${c}__a") <=> col(s"${c}__b"))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    aa.join(bb, cond, "full_outer")
+      .select(grpCols.map(c =>
+        coalesce(col(s"${c}__a"), col(s"${c}__b")).as(c)) :+ struct(
         zip_with(coalesce(col("st_a.hist"), zeros),
           coalesce(col("st_b.hist"), zeros), _ + _).as("hist"),
         concat(coalesce(col("st_a.items"), noItems),

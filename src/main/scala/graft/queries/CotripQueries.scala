@@ -116,33 +116,35 @@ object CotripQueries {
     // declared field of each Incoming schema, parsed back from the JSON
     // strings describe() serves. The oracle is the reference's declaration
     // reconstructed as constants — the 5 config fields with their TypeBox
-    // defaults (task.ts:5-11; required = fields without defaults, see
-    // CotripPipeline.describe scaladoc) and the 16 output record fields
-    // (task.ts:26-43; JS Number ⇒ JSON-Schema number).
+    // defaults AND description strings (task.ts:5-11; required = fields
+    // without defaults, see CotripPipeline.describe scaladoc) and the 16
+    // output record fields (task.ts:26-43; JS Number ⇒ JSON-Schema number,
+    // no descriptions declared). VERDICT r19 #4: the description text is
+    // GRADED, not assumed — a drifted string hash-mismatches here.
     "c04_capabilities" -> of(
       """SELECT * FROM (VALUES
-        | ('Input', 'COTRIP_TOKEN', 'string', NULL, true),
-        | ('Input', 'Point Geometries', 'boolean', 'true', false),
-        | ('Input', 'LineString Geometries', 'boolean', 'true', false),
-        | ('Input', 'Polygon Geometries', 'boolean', 'true', false),
-        | ('Input', 'DEBUG', 'boolean', 'false', false),
-        | ('Output', 'communicationStatus', 'string', NULL, true),
-        | ('Output', 'marker', 'number', NULL, true),
-        | ('Output', 'messageText', 'string', NULL, true),
-        | ('Output', 'direction', 'string', NULL, true),
-        | ('Output', 'lastUpdated', 'string', NULL, true),
-        | ('Output', 'messagePreview', 'string', NULL, true),
-        | ('Output', 'displayStatus', 'string', NULL, true),
-        | ('Output', 'name', 'string', NULL, true),
-        | ('Output', 'id', 'string', NULL, true),
-        | ('Output', 'speed', 'number', NULL, true),
-        | ('Output', 'routeName', 'string', NULL, true),
-        | ('Output', 'messageMarkup', 'string', NULL, true),
-        | ('Output', 'publicName', 'string', NULL, true),
-        | ('Output', 'submittedBy', 'string', NULL, true),
-        | ('Output', 'nativeId', 'string', NULL, true),
-        | ('Output', 'activationTime', 'string', NULL, true)
-        |) AS t(schema_type, field, json_type, default_value, required)
+        | ('Input', 'COTRIP_TOKEN', 'string', 'API Token for CoTrip', NULL, true),
+        | ('Input', 'Point Geometries', 'boolean', 'Allow point geometries', 'true', false),
+        | ('Input', 'LineString Geometries', 'boolean', 'Allow LineString geometries', 'true', false),
+        | ('Input', 'Polygon Geometries', 'boolean', 'Allow Polygon Geometries', 'true', false),
+        | ('Input', 'DEBUG', 'boolean', 'Print GeoJSON Features in logs', 'false', false),
+        | ('Output', 'communicationStatus', 'string', NULL, NULL, true),
+        | ('Output', 'marker', 'number', NULL, NULL, true),
+        | ('Output', 'messageText', 'string', NULL, NULL, true),
+        | ('Output', 'direction', 'string', NULL, NULL, true),
+        | ('Output', 'lastUpdated', 'string', NULL, NULL, true),
+        | ('Output', 'messagePreview', 'string', NULL, NULL, true),
+        | ('Output', 'displayStatus', 'string', NULL, NULL, true),
+        | ('Output', 'name', 'string', NULL, NULL, true),
+        | ('Output', 'id', 'string', NULL, NULL, true),
+        | ('Output', 'speed', 'number', NULL, NULL, true),
+        | ('Output', 'routeName', 'string', NULL, NULL, true),
+        | ('Output', 'messageMarkup', 'string', NULL, NULL, true),
+        | ('Output', 'publicName', 'string', NULL, NULL, true),
+        | ('Output', 'submittedBy', 'string', NULL, NULL, true),
+        | ('Output', 'nativeId', 'string', NULL, NULL, true),
+        | ('Output', 'activationTime', 'string', NULL, NULL, true)
+        |) AS t(schema_type, field, json_type, description, default_value, required)
         |ORDER BY schema_type, field""") { (s, _) =>
       graft.CotripPipeline.capabilitiesTable(s)
         .orderBy("schema_type", "field")

@@ -86,6 +86,101 @@ object BucketedLake {
       .bucketBy(buckets, key, moreKeys: _*).sortBy(key, moreKeys: _*)
       .format("parquet").saveAsTable(name)
 
+  /** The ledger column every exactly-once-appended index table carries
+    * (VERDICT r19 #1): each append fold writes its rows at one epoch, so
+    * parquet min/max stats prune the row-presence replay check to the
+    * fold's own files, and the catalog [[FrontierProp]] records the last
+    * APPLIED epoch. Base builds write the whole corpus at epoch 0.
+    */
+  private[graft] val EpochCol = "epoch"
+
+  /** [[writeBucketedTable]] with the exactly-once ledger: the base build
+    * lands at epoch 0 and, when the table is actually created (the
+    * freshTable guard makes re-entry a no-op), the catalog frontier is
+    * initialised to 0 — NEVER on re-entry, which would roll a grown
+    * index's frontier back under its appended folds.
+    */
+  private[graft] def writeBucketedTableLedgered(spark: SparkSession,
+                                                name: String, df: DataFrame,
+                                                key: String, buckets: Int,
+                                                moreKeys: String*): Unit = {
+    val created = !spark.catalog.tableExists(name)
+    writeBucketedTable(spark, name,
+      df.withColumn(EpochCol, org.apache.spark.sql.functions.lit(0L)),
+      key, buckets, moreKeys: _*)
+    if (created) setFrontier(spark, name, 0L)
+  }
+
+  /** The table's last applied epoch: the catalog frontier property, or —
+    * for a ledgered table from before the property existed — one
+    * max(epoch) scan (pre-property layouts keep working; the scan answer
+    * is what the property would have recorded).
+    */
+  private[graft] def frontierOrScan(spark: SparkSession, name: String): Long =
+    frontier(spark, name).getOrElse(
+      spark.table(name).agg(org.apache.spark.sql.functions.coalesce(
+        org.apache.spark.sql.functions.max(col(EpochCol)),
+        org.apache.spark.sql.functions.lit(0L))).head().getLong(0))
+
+  /** Auto-assign the next fold epoch for a FAMILY of ledgered tables that
+    * are appended together (shingles+sizes, signatures+vectors, …), after
+    * reconciling any crash orphans: rows ABOVE a table's frontier mean an
+    * append landed but its frontier write was lost (the two are not
+    * atomic) — the property is repaired forward so the next fold never
+    * reuses an occupied epoch. The orphan scan is pruned to nothing by
+    * parquet epoch stats on a clean table. NOTE: an auto-assigned fold
+    * has no caller-side identity, so a crash-RETRY in auto mode is a new
+    * fold and re-appends; exactly-once replay protection requires the
+    * caller to pass its own fold epoch ([[appendBucketedTableOnce]]).
+    */
+  private[graft] def reconciledNextEpoch(spark: SparkSession,
+                                         names: Seq[String]): Long =
+    names.map { n =>
+      val p = frontierOrScan(spark, n)
+      val orphan = spark.table(n).filter(col(EpochCol) > p)
+        .agg(org.apache.spark.sql.functions.coalesce(
+          org.apache.spark.sql.functions.max(col(EpochCol)),
+          org.apache.spark.sql.functions.lit(p))).head().getLong(0)
+      if (orphan > p) setFrontier(spark, n, orphan)
+      orphan
+    }.max + 1L
+
+  /** Exactly-once [[appendBucketedTable]] — the t49/d26 epoch+frontier
+    * ledger (VERDICT r19 #1), generic over every standing-index family: a
+    * fold applies iff `epoch` exceeds the table's catalog frontier, so a
+    * replayed or out-of-order fold is a no-op instead of a silent
+    * double-insert (duplicated index rows inflate intersection counts and
+    * fan out size joins on every later screen). Append and setFrontier
+    * are not atomic; a retry of an epoch whose append landed but whose
+    * frontier write was lost to a crash is detected by ROW PRESENCE at
+    * that epoch (cheap — every append file is single-epoch, parquet
+    * min/max stats prune all other files) and resolves as a property
+    * repair, never a second append. Returns whether the fold is applied
+    * on exit (true covers both a fresh append and a repair). Multi-table
+    * folds call this once per table with ONE shared epoch; per-table
+    * gating then heals a crash that landed between two tables' appends.
+    */
+  private[graft] def appendBucketedTableOnce(spark: SparkSession,
+                                             name: String, df: DataFrame,
+                                             epoch: Long, key: String,
+                                             buckets: Int,
+                                             moreKeys: String*): Boolean = {
+    require(epoch > 0L,
+      s"appendBucketedTableOnce($name): epoch 0 is the base build; got $epoch")
+    val front = frontierOrScan(spark, name)
+    val applies = epoch > front
+    if (applies) {
+      val alreadyApplied =
+        !spark.table(name).filter(col(EpochCol) === epoch).isEmpty
+      if (!alreadyApplied)
+        appendBucketedTable(spark, name,
+          df.withColumn(EpochCol, org.apache.spark.sql.functions.lit(epoch)),
+          key, buckets, moreKeys: _*)
+      setFrontier(spark, name, epoch)
+    }
+    applies
+  }
+
   /** Rewrite a bucketed table in place from `plan` — the shared
     * held-handle overwrite every compaction rung uses: the plan
     * materializes into an RDD WE hold (persist + localCheckpoint + count)
@@ -97,6 +192,10 @@ object BucketedLake {
                                           plan: DataFrame, key: String,
                                           buckets: Int,
                                           moreKeys: String*): Unit = {
+    // the saveAsTable Overwrite below replaces the catalog entry and drops
+    // its TBLPROPERTIES — carry the exactly-once frontier ledger across
+    // the rewrite so a compacted index keeps refusing replayed folds
+    val keptFrontier = frontier(spark, name)
     // Align partitions to buckets BEFORE the write: a bucketed write emits
     // one file per (task, bucket), so an unaligned plan (size-split scan,
     // AQE-coalesced aggregate — or a repartition whose reducer mapping AQE
@@ -128,6 +227,7 @@ object BucketedLake {
       .bucketBy(buckets, key, moreKeys: _*).sortBy(key, moreKeys: _*)
       .format("parquet").saveAsTable(name)
     rdd.unpersist(blocking = false)
+    keptFrontier.foreach(setFrontier(spark, name, _))
   }
 
   /** Compact an append-grown bucketed table back to one file per bucket
@@ -166,13 +266,29 @@ object BucketedLake {
     * each file name, so the count comes straight off the names.
     */
   def bucketMaxFiles(spark: SparkSession, name: String): Int = {
+    val dir = tableDir(spark, name)
+    if (!dir.isDirectory)
+      // a non-local or partitioned location would otherwise read as "0
+      // files" → indexStale fresh forever (ADVICE r19): fail loudly —
+      // this advisory only speaks for flat local bucketed layouts
+      throw new IllegalStateException(
+        s"bucketMaxFiles($name): table location $dir is not a local " +
+          "directory — staleness cannot be assessed from file names here")
     val bucketRe = "_(\\d{5})\\.".r
-    val files = Option(tableDir(spark, name).listFiles())
+    val files = Option(dir.listFiles())
       .getOrElse(Array.empty[java.io.File])
       .filter(_.getName.endsWith(".parquet"))
-    val perBucket = files.toSeq
-      .flatMap(f => bucketRe.findFirstMatchIn(f.getName).map(_.group(1).toInt))
-      .groupBy(identity).view.mapValues(_.size)
+    // the bucket id is the LAST `_NNNNN.` group in the name (the writer's
+    // suffix sits immediately before the extensions); taking the FIRST
+    // match could bind to a digit run earlier in the task/uuid part
+    val ids = files.toSeq.map(f =>
+      bucketRe.findAllMatchIn(f.getName).toSeq.lastOption.map(_.group(1).toInt))
+    if (files.nonEmpty && ids.forall(_.isEmpty))
+      throw new IllegalStateException(
+        s"bucketMaxFiles($name): none of ${files.length} parquet file " +
+          "names carry a _NNNNN bucket suffix — non-bucketed table or a " +
+          "changed name scheme; staleness cannot silently read as fresh")
+    val perBucket = ids.flatten.groupBy(identity).view.mapValues(_.size)
     if (perBucket.isEmpty) 0 else perBucket.values.max
   }
 

@@ -114,61 +114,184 @@ final case class CotripPageOffset(n: Long)
 
 /** Structured-Streaming form of the paginated source (SURVEY §2.10 names
   * it as the direct streaming equivalent of the reference's
-  * `InvocationType.Schedule` snapshot; VERDICT r18 #7): the same
-  * per-page InputPartition layout as the batch scan, micro-batched
-  * `pagespertrigger` pages at a time (default 1 — one page per
-  * micro-batch, the pagination loop's own granularity) under standard
-  * admission control, so `Trigger.AvailableNow` drains the whole fixture
-  * chain through N micro-batches and stops. Fixture mode only: the HTTP
-  * chain's offsets come from response headers (task.ts:60-72), which is
-  * driver-side discovery — the batch DSv2 path covers it; a live feed
-  * would surface new `page-*.json` drops, which this stream picks up on
-  * the next trigger because the listing re-runs per `latestOffset` call.
+  * `InvocationType.Schedule` snapshot; VERDICT r18 #7, http mode VERDICT
+  * r19 #3): the same per-page InputPartition layout as the batch scan,
+  * micro-batched `pagespertrigger` pages at a time (default 1 — one page
+  * per micro-batch, the pagination loop's own granularity) under standard
+  * admission control, so `Trigger.AvailableNow` drains the whole chain
+  * through N micro-batches and stops. Two modes:
+  *
+  *   - `mode=fixture`: pages are `page-*.json` drops in a directory; a
+  *     live feed surfaces new files, picked up on the next trigger
+  *     because the listing re-runs per `latestOffset` call. Committed
+  *     offsets are positions in page order, so the PREFIX of the listing
+  *     under a committed offset must never change (ADVICE r19): every
+  *     plan re-verifies the already-planned prefix against the fresh
+  *     listing and fails loudly on drift instead of silently replaying
+  *     or skipping pages.
+  *   - `mode=http`: the live offset chain (task.ts:60-72). The chain is
+  *     inherently sequential — offset i+1 lives in response i's header —
+  *     so DISCOVERY is an admission-controlled driver-side walk (one
+  *     body-discarded GET per newly admitted page, memoized tokens,
+  *     [[PagedFetcher]]'s cycle + `maxpages` cap guards), while the page
+  *     BODY fetch + parse stays on executors via the batch layout's own
+  *     [[HttpPagePartition]]. After the `'None'` terminator the stream
+  *     re-probes the last page once per trigger, so a chain that grows a
+  *     tail later (a live feed) resumes; `Trigger.AvailableNow` freezes
+  *     the target at the chain end as of trigger time. A RESTARTED query
+  *     re-walks the chain from page 0 to recover tokens for its committed
+  *     offset — the upstream is not a replayable log, so bodies past a
+  *     restart reflect the chain as re-walked (the reference re-fetches
+  *     everything on every schedule tick; this is strictly stronger).
   */
 final class CotripPageMicroBatchStream(options: Map[String, String])
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
   import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit, ReadMaxRows}
 
-  require(options.getOrElse("mode", "fixture") == "fixture",
-    "cotrip-pages streaming supports mode=fixture only (the HTTP offset " +
-      "chain is driver-side discovery — use the batch path)")
-  private val path = options("path")
+  private val mode = options.getOrElse("mode", "fixture")
+  require(mode == "fixture" || mode == "http",
+    s"cotrip-pages streaming supports mode=fixture and mode=http; got $mode")
   private val perTrigger: Long = options.get("pagespertrigger")
     .map(_.toLong).getOrElse(1L)
   require(perTrigger > 0, s"pagespertrigger must be positive; got $perTrigger")
 
+  // ---- fixture mode state --------------------------------------------
+  private lazy val path = options("path")
+  // names already planned, by page index: the committed-prefix stability
+  // guard (ADVICE r19 — positional offsets over a re-run listing)
+  private val plannedNames = scala.collection.mutable.ArrayBuffer.empty[String]
+
+  // ---- http mode state -----------------------------------------------
+  private lazy val httpClient =
+    new HttpPageClient(options("baseurl"), options("apikey"))
+  private val maxPages: Int = options.get("maxpages").map(_.toInt).getOrElse(10000)
+  // tokens(i) = the offset param that fetches page i; page 0 sends none
+  private val tokens =
+    scala.collection.mutable.ArrayBuffer[Option[String]](None)
+  private val seenTokens = scala.collection.mutable.HashSet.empty[String]
+  private var sentinel = false // last discovered page's next-offset was 'None'
+
+  /** Walk the header chain until `target` pages are discovered or the
+    * terminator appears. One GET per NEW page (the newest page's header
+    * yields the next token; its body is discarded — executors fetch it by
+    * token). Synchronized: latestOffset and planInputPartitions both
+    * discover, and the memo is the single source of token truth.
+    */
+  private def discoverTo(target: Long): Unit = synchronized {
+    while (!sentinel && tokens.size < target) {
+      if (tokens.size >= maxPages)
+        throw new IllegalStateException(s"pagination exceeded maxPages=$maxPages")
+      val next = httpClient.fetch(tokens.last).nextOffset
+      next match {
+        case Some(t) if t != "None" =>
+          if (!seenTokens.add(t))
+            throw new IllegalStateException(s"pagination cycle detected at offset $t")
+          tokens += Some(t)
+        case _ => sentinel = true
+      }
+    }
+  }
+
+  /** The chain may grow a tail after its terminator (a live feed): one
+    * re-probe of the last page per call; if its header moved past the
+    * sentinel, discovery resumes.
+    */
+  private def reprobeTail(): Unit = synchronized {
+    if (sentinel) {
+      httpClient.fetch(tokens.last).nextOffset match {
+        case Some(t) if t != "None" =>
+          if (!seenTokens.add(t))
+            throw new IllegalStateException(s"pagination cycle detected at offset $t")
+          tokens += Some(t)
+          sentinel = false
+        case _ => ()
+      }
+    }
+  }
+
   // frozen by prepareForTriggerAvailableNow: AvailableNow must drain to the
-  // listing AS OF trigger time, not chase files that appear mid-run
+  // chain AS OF trigger time, not chase pages that appear mid-run
   @volatile private var availableNowTarget: Option[Long] = None
 
   private def pageCount(): Long =
     CotripPageSource.fixtureFiles(path).length.toLong
 
+  /** Pages known fetchable right now, discovering at most up to `want` in
+    * http mode (admission-controlled — never walks past what this trigger
+    * will admit).
+    */
+  private def available(want: Long): Long = mode match {
+    case "fixture" => pageCount()
+    case _ =>
+      if (sentinel && tokens.size < want) reprobeTail()
+      discoverTo(want)
+      tokens.size.toLong
+  }
+
   override def initialOffset(): Offset = CotripPageOffset(0L)
   override def deserializeOffset(json: String): Offset =
     CotripPageOffset(json.trim.toLong)
   override def prepareForTriggerAvailableNow(): Unit =
-    availableNowTarget = Some(pageCount())
+    availableNowTarget = Some(mode match {
+      case "fixture" => pageCount()
+      case _ => // walk the whole chain (cap-guarded); the end IS the target
+        reprobeTail(); discoverTo(Long.MaxValue); tokens.size.toLong
+    })
   override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(perTrigger)
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException(
       "admission-controlled source: latestOffset(start, limit)")
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val avail = availableNowTarget.getOrElse(pageCount())
     val s = start.asInstanceOf[CotripPageOffset].n
     val step = limit match {
       case r: ReadMaxRows => math.max(1L, r.maxRows())
-      case _ => math.max(1L, avail - s)
+      case _ => Long.MaxValue
     }
-    CotripPageOffset(math.min(avail, s + step))
+    val want = if (step == Long.MaxValue) Long.MaxValue else s + step
+    val avail = availableNowTarget.getOrElse(available(want))
+    if (avail < s)
+      throw new IllegalStateException(
+        s"page chain shrank under committed offset $s (now $avail pages) — " +
+          "refusing to rewind silently")
+    CotripPageOffset(math.min(avail, if (want < 0) Long.MaxValue else want))
   }
-  override def reportLatestOffset(): Offset = CotripPageOffset(pageCount())
+  override def reportLatestOffset(): Offset = CotripPageOffset(mode match {
+    case "fixture" => pageCount()
+    case _ => tokens.size.toLong
+  })
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[CotripPageOffset].n.toInt
     val e = end.asInstanceOf[CotripPageOffset].n.toInt
-    CotripPageSource.fixtureFiles(path).slice(s, e).zipWithIndex.map {
-      case (f, i) => FixturePagePartition(s + i, f.getAbsolutePath): InputPartition
+    mode match {
+      case "fixture" =>
+        val files = CotripPageSource.fixtureFiles(path)
+        if (files.length < e)
+          throw new IllegalStateException(
+            s"fixture listing holds ${files.length} pages but offset $e is " +
+              "committed — files were removed under the stream")
+        // committed-prefix stability (ADVICE r19): positions are only a
+        // valid offset space while the already-planned prefix is stable
+        val checkTo = math.min(plannedNames.size, e)
+        var i = 0
+        while (i < checkTo) {
+          if (files(i).getName != plannedNames(i))
+            throw new IllegalStateException(
+              s"fixture page chain changed under a planned offset: position $i " +
+                s"was '${plannedNames(i)}', now '${files(i).getName}' — a new or " +
+                "renamed file re-ordered the committed prefix")
+          i += 1
+        }
+        while (plannedNames.size < e) plannedNames += files(plannedNames.size).getName
+        files.slice(s, e).zipWithIndex.map {
+          case (f, j) => FixturePagePartition(s + j, f.getAbsolutePath): InputPartition
+        }
+      case _ =>
+        discoverTo(e.toLong) // restart path: re-walk the chain to cover [s, e)
+        (s until e).map { i =>
+          HttpPagePartition(i, options("baseurl"), options("apikey"),
+            tokens(i)): InputPartition
+        }.toArray
     }
   }
   override def createReaderFactory(): PartitionReaderFactory =

@@ -541,7 +541,9 @@ class ExtensionSpec extends SparkSpec {
     val expect = graft.operators.Similarity
       .assignToCentroids(embs, "vec_id", "embedding", cents)
       .select(col("cid"), col("id"), col("v"), col("v_norm").as("norm"))
-    val stored = spark.table(idx.cells)
+    // project the data columns: the stored layout also carries the
+    // exactly-once `epoch` ledger column (build=0, append fold=N)
+    val stored = spark.table(idx.cells).select("cid", "id", "v", "norm")
     assert(stored.except(expect).isEmpty && expect.except(stored).isEmpty,
       "appended inverted file diverged from the frozen-quantizer assignment")
     // dimension guard fails loudly
