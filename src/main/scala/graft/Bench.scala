@@ -122,6 +122,14 @@ import org.apache.spark.sql.SparkSession
   *     set — ADVICE r18: suite growth and exclusions change the raw
   *     total's denominator).
   *
+  * Round 20 (VERDICT r19 #2) promotes `value_normalized` to the DECISION
+  * headline: it leads the stdout line, anomaly chasing already runs
+  * solely on normalized values, and the round-over-round comparison reads
+  * from the normalized common-set totals (`total_common_prev_norm` /
+  * `prev_total_common_norm`, the previous side falling back to raw for
+  * pre-r19 history entries). Raw totals stay in the artifact for judging
+  * the normalization itself, never for the round verdict.
+  *
   * == Load-independent work metrics (round 7) ==
   * Per rep, a [[WorkMetricsListener]] records shuffle-read/write bytes,
   * spilled bytes (memory + disk), and task count. These are invariant
@@ -164,8 +172,12 @@ object Bench {
     * measured where it matters (ScaleSmoke's recipe legs, with ×10/×30
     * curves). Correctness still grades it every round (Verify runs ALL
     * queries); the bench lists the exclusion in the artifact
-    * (`excluded`), and `SPARK_GRAFT_BENCH_FULL=1` or naming it in
-    * `SPARK_GRAFT_BENCH_ONLY` re-measures it on demand.
+    * (`excluded`), measures each excluded foil ONCE per run in the
+    * `contrast_lane` map (VERDICT r19 #6 — the artifact stays
+    * registry-complete without the foil's floor-bound reps inflating the
+    * suite), and `SPARK_GRAFT_BENCH_FULL=1` or naming it in
+    * `SPARK_GRAFT_BENCH_ONLY` re-measures it under full rep policy on
+    * demand.
     */
   val ContrastOnly: Set[String] = Set("e42_stream_multimodal_recipe")
 
@@ -324,14 +336,20 @@ object Bench {
   def compactSummary(total: Double, totalTrusted: Double, queriesN: Int,
                      untrusted: Seq[String], failed: Seq[String], reps: Int,
                      contended: Boolean, sf: String, detail: String,
-                     filterFields: String = "", listCap: Int = 10): String = {
+                     filterFields: String = "", listCap: Int = 10,
+                     totalNorm: Double = Double.NaN): String = {
     def capped(names: Seq[String]): String = {
       val shown = names.take(listCap).map("\"" + _ + "\"")
       val more = names.size - listCap
       (if (more > 0) shown :+ s""""+$more more"""" else shown)
         .mkString("[", ",", "]")
     }
-    f"""{"metric":"total","value":$total%.3f,"value_trusted":$totalTrusted%.3f,"unit":"sec","queries_n":$queriesN,"untrusted_n":${untrusted.size},"untrusted":${capped(untrusted)},"errors":${capped(failed)},"reps":$reps,"contended":$contended,"sf":"$sf","detail":"$detail"$filterFields}"""
+    // value_normalized leads (VERDICT r19 #2): the host-normalized total is
+    // the DECISION headline — the raw total follows for back-compat and for
+    // judging the normalization itself
+    val normField =
+      if (totalNorm.isNaN) "" else f""""value_normalized":$totalNorm%.3f,"""
+    f"""{"metric":"total",$normField"value":$total%.3f,"value_trusted":$totalTrusted%.3f,"unit":"sec","queries_n":$queriesN,"untrusted_n":${untrusted.size},"untrusted":${capped(untrusted)},"errors":${capped(failed)},"reps":$reps,"contended":$contended,"sf":"$sf","detail":"$detail"$filterFields}"""
   }
 
   private def gcMillis(): Long = {
@@ -815,21 +833,45 @@ object Bench {
     // denominator
     // ... skipping partial (filtered dispute re-measure) entries, whose
     // 2-3-query maps would collapse the intersection to nothing
-    val prevRun: Map[String, Double] = {
+    val (prevRun: Map[String, Double], prevRunNorm: Map[String, Double]) = {
       val pairRe = "\"([^\"]+)\":([0-9.eE+-]+)".r
+      def mapField(l: String, field: String): Map[String, Double] =
+        ("\"" + field + "\":\\{([^}]*)\\}").r.findFirstMatchIn(l)
+          .map(m => pairRe.findAllMatchIn(m.group(1))
+            .map(mm => mm.group(1) -> mm.group(2).toDouble).toMap)
+          .getOrElse(Map.empty)
       histLines
         .filter(l => "\"sf\":\"([^\"]+)\"".r.findFirstMatchIn(l)
           .exists(_.group(1) == sfDir) && !l.contains("\"partial\":true"))
-        .flatMap(l => "\"trusted_min\":\\{([^}]*)\\}".r.findFirstMatchIn(l)
-          .map(m => pairRe.findAllMatchIn(m.group(1))
-            .map(mm => mm.group(1) -> mm.group(2).toDouble).toMap))
-        .lastOption.getOrElse(Map.empty)
+        .lastOption
+        .map(l => (mapField(l, "trusted_min"), mapField(l, "trusted_min_norm")))
+        .getOrElse((Map.empty[String, Double], Map.empty[String, Double]))
     }
     val commonPrev = best.keySet.intersect(prevRun.keySet)
     val totalCommonPrev = commonPrev.toSeq.map(best).sum
     val prevTotalCommon = commonPrev.toSeq.map(prevRun).sum
+    // NORMALIZED common-set totals (VERDICT r19 #2): the round-over-round
+    // decision numbers — same query set, both sides host-normalized (the
+    // previous side falls back to raw where a pre-r19 entry has no norm)
+    val totalCommonPrevNorm = commonPrev.toSeq.flatMap(bestNorm.get).sum
+    val prevTotalCommonNorm =
+      commonPrev.toSeq.map(n => prevRunNorm.getOrElse(n, prevRun(n))).sum
     val noisyRepsN = finalReps.values.map(_.count(r => !trusted(r))).sum
     val contended = untrusted.nonEmpty
+
+    // Contrast lane (VERDICT r19 #6): the registry-complete answer to the
+    // ContrastOnly exclusion — each excluded A/B foil is measured ONCE per
+    // run in its own lane (one rep, reported separately, never summed into
+    // any headline). The foils are floor-dominated by construction (e42 =
+    // three sequential AvailableNow stages paying 3× the micro-batch
+    // state-store spin-up), so min-of-reps buys nothing; one honest rep
+    // keeps every registry query measured in every committed artifact
+    // while the suite total keeps comparing real operators.
+    val contrastLane: Map[String, Double] =
+      excluded.flatMap(n => SparkEntry.queries.get(n).map { fn =>
+        val r = oneRep(fn)
+        n -> (if (r.ok) r.sec else -1.0)
+      }).toMap
 
     // ---- JSON assembly (hand-rolled; no json lib on the classpath) ----
     def objD(m: Iterable[(String, Double)]): String =
@@ -863,6 +905,8 @@ object Bench {
         s""","probe_par_floor_ms":${f"$parFloor%.1f"},"par_probe_ver":$ParProbeVer,"par_floor_hist_ms":${if (histParFloor.isNaN) "null" else f"$histParFloor%.1f"}""" +
         s""","host_speed_x":$hostSpeedX,"host_parallel_x":$hostParallelX,"hist_anomalies":$histAnomalyJson""" +
         s""","common_n":${commonPrev.size},"total_common_prev":${f"$totalCommonPrev%.3f"},"prev_total_common":${f"$prevTotalCommon%.3f"}""" +
+        s""","total_common_prev_norm":${f"$totalCommonPrevNorm%.3f"},"prev_total_common_norm":${f"$prevTotalCommonNorm%.3f"}""" +
+        s""","contrast_lane":${objD(contrastLane)}""" +
         s""","repass_queries":${repassQueries.map("\"" + _ + "\"").mkString("[", ",", "]")},"repass_waited_sec":$repassWaited""" +
         s""","sf":"$sfDir"$filterFields"""
     val fullLine = "{" + headline +
@@ -891,11 +935,13 @@ object Bench {
     val repTierCounts = repPlan.values.groupBy(identity).view.mapValues(_.size)
     val compactLine = compactSummary(total, totalTrusted, best.size,
       untrusted, failed.toSeq, reps, contended, sfDir, out,
-      s""","value_normalized":${f"$totalNorm%.3f"},"probe_floor_ms":${f"$probeFloor%.1f"},"probe_par_floor_ms":${f"$parFloor%.1f"}""" +
+      s""","probe_floor_ms":${f"$probeFloor%.1f"},"probe_par_floor_ms":${f"$parFloor%.1f"}""" +
         s""","host_speed_x":$hostSpeedX,"host_parallel_x":$hostParallelX,"hist_anomalies_n":${histAnomalies.size},"repass_n":${repassQueries.size}""" +
         s""","common_n":${commonPrev.size},"total_common_prev":${f"$totalCommonPrev%.3f"},"prev_total_common":${f"$prevTotalCommon%.3f"}""" +
-        s""","reps_1":${repTierCounts.getOrElse(1, 0)},"reps_2":${repTierCounts.getOrElse(2, 0)},"excluded_n":${excluded.size}""" +
-        filterFields)
+        s""","total_common_prev_norm":${f"$totalCommonPrevNorm%.3f"},"prev_total_common_norm":${f"$prevTotalCommonNorm%.3f"}""" +
+        s""","reps_1":${repTierCounts.getOrElse(1, 0)},"reps_2":${repTierCounts.getOrElse(2, 0)},"excluded_n":${excluded.size},"lane_n":${contrastLane.size}""" +
+        filterFields,
+      totalNorm = totalNorm)
     try Files.writeString(Paths.get(out), fullLine + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] file write failed: $e") }
     // Durable per-query history (VERDICT r9 #2): `out` is overwritten by

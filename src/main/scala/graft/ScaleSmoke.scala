@@ -382,6 +382,72 @@ object ScaleSmoke {
     println(f"""{"mode":"plantedrecall","dir":"$dir","n":$n,"lsh_b":$b,"lsh_l":$l,"mih_bits":$bits,"lsh_truth":$lt,"lsh_caught":$lc,"lsh_min_query_recall":$lmin%.4f,"mih_truth":$mt,"mih_caught":$mc,"mih_min_query_recall":$mmin%.4f}""")
   }
 
+  /** ==qsweep mode (VERDICT r19 #5)== Relational q-family scale audit:
+    * the sketch/text/dedup/multimodal families all carry ×10/×30 curves
+    * (the r19 wide sweep caught q54's conditional-CSE per-row pathology
+    * there), but the q-family — joins, windows, IVM, CDC, salted joins —
+    * had never run above sf0.1. This mode runs the named q-queries (the
+    * most expensive by committed bench history, by default) against a
+    * [[ScaledCorpus]] dir and emits one JSON line per query with:
+    *
+    *   - `cold_sec` / `warm_sec`: first run (per-query codegen included)
+    *     and a second run after a blocking sweep — the warm number is the
+    *     scaling signal (the q54 pathology shows as warm wall growing
+    *     super-linearly in the factor);
+    *   - load-independent work metrics (shuffle bytes, spill, tasks) —
+    *     a shuffle that grows faster than ×factor is a plan problem even
+    *     on a noisy host;
+    *   - physical join-operator counts parsed from the FINAL (post-AQE)
+    *     plan — `bhj`/`smj`/`shj`/`bnlj`/`cartesian` — so a
+    *     broadcast↔sort-merge flip between scales is visible in the
+    *     artifact, not just in a saved explain dump.
+    *
+    * ScaledCorpus scales the three join dims under the fact FKs' remap
+    * (referential integrity per replica), so join OUTPUT scales ×factor —
+    * without that, scaled facts would dangle against 1× dims and the
+    * sweep would measure joins that drop (factor−1)/factor of their rows.
+    */
+  private def qSweep(spark: SparkSession, dir: String,
+                     namesArg: Option[String],
+                     work: WorkMetricsListener): Unit = {
+    val names = namesArg
+      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+      .getOrElse(Seq("q26_pivot", "q55_rankq_quantiles",
+        "q03_join_agg_nation", "q30_grouping_sets", "q50_scd2_pit",
+        "q51_cdc_apply", "q33_bucketed_join", "q19_having_case",
+        "q37_scd2_merge", "q53_layout_pruning", "q47_hist_quantiles",
+        "q42_auto_salted_join"))
+    val unknown = names.filterNot(SparkEntry.queries.contains)
+    require(unknown.isEmpty, s"qsweep: unknown queries ${unknown.mkString(",")}")
+    names.foreach { n =>
+      val fn = SparkEntry.queries(n)
+      val t0 = System.nanoTime()
+      val df0 = fn(spark, dir)
+      df0.count()
+      val cold = (System.nanoTime() - t0) / 1e9
+      SessionSweep.sweep(spark, blocking = true)
+      val w0 = work.snapshot(spark.sparkContext)
+      val t1 = System.nanoTime()
+      val df1 = fn(spark, dir)
+      df1.count()
+      val warm = (System.nanoTime() - t1) / 1e9
+      val w = work.snapshot(spark.sparkContext) - w0
+      // FINAL plan after AQE re-planning: materialized by the count above
+      val plan = df1.queryExecution.executedPlan.toString
+      def ops(marker: String): Int =
+        marker.r.findAllMatchIn(plan).size
+      SessionSweep.sweep(spark, blocking = true)
+      println(
+        s"""{"mode":"qsweep","dir":"$dir","query":"$n"""" +
+          f""","cold_sec":$cold%.3f,"warm_sec":$warm%.3f""" +
+          s""","shuffle_read":${w.shuffleReadBytes},"shuffle_write":${w.shuffleWriteBytes}""" +
+          s""","spill_disk":${w.spillDiskBytes},"tasks":${w.tasks}""" +
+          s""","bhj":${ops("BroadcastHashJoin")},"smj":${ops("SortMergeJoin")}""" +
+          s""","shj":${ops("ShuffledHashJoin")},"bnlj":${ops("BroadcastNestedLoopJoin")}""" +
+          s""","cartesian":${ops("CartesianProduct")}}""")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("target/scale10")
     // "exact" = all-pairs ground truth (cap raised for the measurement);
@@ -395,9 +461,10 @@ object ScaleSmoke {
     val labelAbMode = args.lift(1).contains("labelab")
     val plantedMode = args.lift(1).contains("plantedrecall")
     val lmMaintMode = args.lift(1).contains("lmmaint")
+    val qsweepMode = args.lift(1).contains("qsweep")
     val planesPerTable =
       if (exact || indexAbMode || editAbMode || labelAbMode || plantedMode ||
-        lmMaintMode) 0
+        lmMaintMode || qsweepMode) 0
       else if (recallGate) args.lift(2).map(_.toInt).getOrElse(0)
       else args.lift(1).map(_.toInt).getOrElse(8)
     val tables =
@@ -415,6 +482,13 @@ object ScaleSmoke {
     spark.sparkContext.addSparkListener(work)
 
     val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+
+    if (qsweepMode) {
+      qSweep(spark, dir, args.lift(2), work)
+      SessionSweep.sweep(spark, blocking = true)
+      spark.stop()
+      return
+    }
 
     if (indexAbMode) {
       indexAb(spark, dir, work)

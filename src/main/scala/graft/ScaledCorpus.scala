@@ -315,6 +315,23 @@ object ScaledCorpus {
         col("l_linestatus"), col("l_shipdate"))
   }
 
+  /** ×factor replicas of the three scaling DIMENSIONS (VERDICT r19 #5 —
+    * the q-family sweep needs every table its joins read): keys remap
+    * under the SAME `id·factor + rep` as the fact-side foreign keys
+    * ([[scaleOrders]]' o_custkey, [[scaleLineitem]]'s l_partkey /
+    * l_suppkey), so replica r's facts join exactly replica r's dims and
+    * join OUTPUT scales ×factor with the input — the TPC-H SF contract
+    * (customer/supplier/part grow with SF; nation/region stay fixed and
+    * ride verbatim). Attribute columns repeat across replicas, so
+    * group-by-attribute cardinality stays constant while counts scale.
+    */
+  private def scaleByKey(df: DataFrame, key: String, factor: Int): DataFrame = {
+    val rep = explode(sequence(lit(0), lit(factor - 1))).as("rep")
+    df.select(col("*"), rep)
+      .select(remapId(col(key), col("rep"), factor, 1).as(key) +:
+        df.columns.filterNot(_ == key).map(col): _*)
+  }
+
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val out = args.lift(1).getOrElse("target/scale10")
@@ -342,6 +359,16 @@ object ScaledCorpus {
       .write.mode("overwrite").parquet(s"$out/orders.parquet")
     scaleLineitem(spark.read.parquet(s"$src/lineitem.parquet"), factor)
       .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+    // scaling dims ride the fact FKs' remap; fixed dims copy verbatim
+    Seq("customer" -> "c_custkey", "supplier" -> "s_suppkey",
+      "part" -> "p_partkey").foreach { case (t, k) =>
+      scaleByKey(spark.read.parquet(s"$src/$t.parquet"), k, factor)
+        .write.mode("overwrite").parquet(s"$out/$t.parquet")
+    }
+    Seq("nation", "region").foreach { t =>
+      spark.read.parquet(s"$src/$t.parquet")
+        .write.mode("overwrite").parquet(s"$out/$t.parquet")
+    }
 
     println(s"""{"scaled":"$out","factor":$factor,"src":"$src"}""")
     spark.stop()

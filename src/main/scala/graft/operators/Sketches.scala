@@ -242,11 +242,26 @@ object Sketches {
 
   /** Clamped bin index of one value — floor((v - lo)/w) bounded into
     * [0, bins). The exact expression the oracle mirrors
-    * (`CAST(LEAST(GREATEST(CAST(FLOOR((value - 0e0)/8e0) AS BIGINT), 0), 63) AS INT)`).
+    * (`CAST(LEAST(GREATEST(CAST(FLOOR((value - 0e0)/8e0) AS BIGINT), 0), 63) AS INT)`
+    * under the same `isfinite` filter).
+    *
+    * Domain guard (VERDICT r19 #7 — the q54/log-linear lesson applied to
+    * this family): NaN and ±Inf bin to NULL and are EXCLUDED from the
+    * sketch ([[histCounts]] drops null bins; the oracle mirrors with
+    * `isfinite`). Unguarded, the two engines diverge exactly where the
+    * determinism contract claims they can't — Spark's ANSI `FLOOR(NaN)`
+    * path errors while a non-ANSI cast would silently bin NaN at 0, and
+    * DuckDB's `CAST(FLOOR('inf') AS BIGINT)` raises where clamping would
+    * put +Inf in the top bin. Finite edges stay exact: ±0.0 and the
+    * minimum subnormal land in bin 0 (the (v−lo)/w division flushes them
+    * toward zero, floor gives 0), spec-pinned alongside the extremes.
     */
   def histBin(v: Column): Column =
-    least(greatest(floor((v - lit(HistLo)) / lit(HistW)), lit(0L)),
-      lit(HistBins - 1L)).cast("int")
+    when(isnan(v) || abs(v) === lit(Double.PositiveInfinity),
+      lit(null).cast("int"))
+      .otherwise(
+        least(greatest(floor((v - lit(HistLo)) / lit(HistW)), lit(0L)),
+          lit(HistBins - 1L)).cast("int"))
 
   /** Per-group histogram state: (grpCols..., bin, cnt) for the bins
     * PRESENT in the input (absent bins are implicit zeros — the
@@ -256,6 +271,7 @@ object Sketches {
     */
   def histCounts(df: DataFrame, grpCols: Seq[String], value: Column): DataFrame =
     df.select(grpCols.map(col) :+ histBin(value).as("bin"): _*)
+      .filter(col("bin").isNotNull) // NaN/±Inf excluded (VERDICT r19 #7)
       .groupBy((grpCols :+ "bin").map(col): _*)
       .agg(count(lit(1)).as("cnt"))
 

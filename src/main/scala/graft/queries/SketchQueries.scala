@@ -29,7 +29,7 @@ object SketchQueries {
   private val histEventsSql =
     """WITH h AS (SELECT event_type AS grp,
       |    CAST(LEAST(GREATEST(CAST(FLOOR((value - 0e0) / 8e0) AS BIGINT), 0), 63) AS INT) AS bin
-      |  FROM events),
+      |  FROM events WHERE isfinite(value)),
       |bc AS (SELECT grp, bin, CAST(COUNT(*) AS BIGINT) AS cnt FROM h GROUP BY grp, bin),
       |tot AS (SELECT grp, CAST(SUM(cnt) AS BIGINT) AS n FROM bc GROUP BY grp),
       |cum AS (SELECT grp, bin, cnt,

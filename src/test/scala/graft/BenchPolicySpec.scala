@@ -185,17 +185,21 @@ class BenchPolicySpec extends AnyFunSuite {
       Seq((Double.NaN, Map("q" -> 1.0), Map.empty[String, Double]))) === None)
   }
 
-  test("compact line with the round-19 extra fields still fits the scrape window") {
+  test("compact line with the round-20 extra fields still fits the scrape window") {
     val names = (1 to 132).map(i => f"q${i}%02d_some_long_query_name_$i")
     val extras =
-      s""","value_normalized":199.123,"probe_floor_ms":123.4,"probe_par_floor_ms":45.6""" +
+      s""","probe_floor_ms":123.4,"probe_par_floor_ms":45.6""" +
         s""","host_speed_x":1.234,"host_parallel_x":1.567,"hist_anomalies_n":12,"repass_n":12""" +
         s""","common_n":241,"total_common_prev":208.123,"prev_total_common":203.456""" +
-        s""","reps_1":0,"reps_2":230,"excluded_n":1"""
+        s""","total_common_prev_norm":195.123,"prev_total_common_norm":196.456""" +
+        s""","reps_1":0,"reps_2":230,"excluded_n":1,"lane_n":1"""
     val line = Bench.compactSummary(113.2345, 99999.9999, 132,
       names, names, 3, contended = true, sf = "/root/testdata/sf0.1",
-      detail = "/root/repo/BENCH.json", filterFields = extras)
+      detail = "/root/repo/BENCH.json", filterFields = extras,
+      totalNorm = 199.123)
     assert(line.length < 1500, s"compact line is ${line.length} chars")
+    // the decision headline leads the line (VERDICT r19 #2)
+    assert(line.startsWith("""{"metric":"total","value_normalized":199.123,"""))
   }
 
   test("contrast-only exclusion names real registry queries") {

@@ -148,6 +148,32 @@ class SketchSpec extends SparkSpec with TableDrivenPropertyChecks {
     }
   }
 
+  test("hist: domain extremes — ±0.0 and min subnormal land in bin 0, NaN/±Inf excluded (VERDICT r19 #7)") {
+    // the q54/log-linear lesson ported to the clamped histogram: unguarded,
+    // Spark's ANSI FLOOR/CAST path errors on NaN while DuckDB's
+    // CAST(FLOOR('inf')) raises — the guard excludes non-finite rows in
+    // BOTH engines (isfinite in the oracle SQL) instead
+    val minSub = java.lang.Double.MIN_VALUE // 2^-1074
+    val vals = Seq(0.0, -0.0, minSub, -minSub,
+      Double.NaN, Double.PositiveInfinity, Double.NegativeInfinity)
+    val got = vals.toDF("v")
+      .select(col("v"), Sketches.histBin(col("v")).as("bin"))
+      .collect().map(r =>
+        (r.getDouble(0), if (r.isNullAt(1)) None else Some(r.getInt(1))))
+    got.foreach {
+      case (v, bin) if v.isNaN || v.isInfinite =>
+        assert(bin.isEmpty, s"non-finite $v must bin to NULL, got $bin")
+      case (v, bin) =>
+        assert(bin === Some(0), s"edge value $v must land in bin 0, got $bin")
+    }
+    // and the counts path drops the non-finite rows instead of grouping a
+    // null bin
+    val counts = Sketches.histCounts(
+      vals.map(("g", _)).toDF("grp", "v"), Seq("grp"), col("v"))
+      .agg(sum("cnt")).head().getLong(0)
+    assert(counts === 4L, "NaN/±Inf must be excluded from the sketch")
+  }
+
   test("hist: counters merge additively and the merged quantiles are bit-identical") {
     val rnd = new scala.util.Random(17)
     val vals = Seq.fill(500)(("g", rnd.nextDouble() * 520))
@@ -336,6 +362,45 @@ class SketchSpec extends SparkSpec with TableDrivenPropertyChecks {
       "a one-sided group must survive the merge bit-identically")
     assert(est("only_b")._1 === 300L)
     assert(est.keySet === Set("only_a", "only_b"))
+  }
+
+  test("rankq: hash-space level edges match the JDK clz reference; value extremes flow exactly (VERDICT r19 #7)") {
+    // rankQLevel consumes HASHES (xxhash64 output), never data values, so
+    // the NaN/±Inf value extremes cannot reach its arithmetic — no domain
+    // guard is needed there; the edges that matter are the hash-space
+    // ones (zero, sign bit, all-ones, boundary powers)
+    val hs = Seq(0L, 1L, -1L, 2L, 3L, Long.MaxValue, Long.MinValue,
+      Long.MinValue + 1L, 1L << 62, (1L << 62) - 1L)
+    def ref(h: Long): Int =
+      java.lang.Long.numberOfLeadingZeros(h & Long.MaxValue) - 1
+    val lvls = hs.toDF("h")
+      .select(col("h"), Sketches.rankQLevel(col("h")).as("lvl"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    hs.foreach { h =>
+      assert(lvls(h) === ref(h), s"hash $h: level ${lvls(h)} != ref ${ref(h)}")
+      // every level must index the 64-slot histogram
+      assert(lvls(h) >= 0 && lvls(h) <= 63, s"hash $h: level out of range")
+    }
+    // VALUE extremes ride through the sketch untouched: with n ≤ k the
+    // sample is the whole group and estimates are exact order statistics,
+    // including signed zero, subnormals and infinities (comparison order
+    // on doubles agrees between Spark and DuckDB for all of them; NaN is
+    // excluded from this pin because the two engines agree it sorts last,
+    // making any estimate it appears in distribution-meaningless, not
+    // wrong)
+    val minSub = java.lang.Double.MIN_VALUE
+    val edgeVals = Seq(Double.NegativeInfinity, -2.5, -minSub, 0.0,
+      minSub, 1.5, Double.PositiveInfinity)
+    val rows = edgeVals.zipWithIndex.map { case (v, i) => ("g", i.toLong, v) }
+    val est = Sketches.rankQQuantiles(
+      Sketches.rankQStates(rows.toDF("grp", "id", "v"), Seq("grp"),
+        col("id"), col("v")),
+      Seq("grp"), Seq(0.01, 0.5, 1.0))
+      .select("q", "est").as[(Double, Double)].collect().toMap
+    // rank max(1, ceil(q*7)): 0.01 → 1st, 0.5 → 4th, 1.0 → 7th
+    assert(est(0.01) === Double.NegativeInfinity)
+    assert(est(0.5) === 0.0)
+    assert(est(1.0) === Double.PositiveInfinity)
   }
 
   test("rankq: bounded rank error on a clustered distribution; exact when n ≤ k") {
