@@ -36,6 +36,37 @@ final case class CotripPipeline(config: TaskConfig) {
   def runAndSubmit(spark: SparkSession, client: PageClient, endpoint: String,
                    poster: (String, String) => Unit): Unit =
     FeatureCollectionSink.submit(run(spark, client), endpoint, poster)
+
+  /** Engine twin of the reference's Lambda entry point (task.ts:120-122:
+    * `handler(event) = internal(Task.init(...), event)`, wired by the
+    * container's `CMD ["dist/task.handler"]` — SURVEY §3.2, the last
+    * unmapped reference surface): ONE dispatch that serves both things a
+    * caller ever asks the task for — its schemas or a run. The `internal`
+    * dispatcher lives in the closed `@tak-ps/etl` layer, so the event
+    * protocol here is the OBSERVABLE one: a `type` of `schema:input` /
+    * `schema:output` returns the matching [[CotripPipeline.describe]]
+    * JSON (with `flow: "Outgoing"` overriding to `{}`, task.ts:45-47);
+    * an absent/empty type — the scheduled invocation
+    * (`InvocationType.Schedule`, task.ts:16) — runs `control()` end to
+    * end and returns the submitted FeatureCollection JSON. Anything else
+    * fails loudly rather than silently running a fetch.
+    */
+  def handler(spark: SparkSession, client: PageClient,
+              event: String = "{}"): String = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.readTree(
+      if (event == null || event.trim.isEmpty) "{}" else event)
+    val typ = Option(root.get("type")).map(_.asText()).getOrElse("")
+    val flow = Option(root.get("flow")).map(_.asText()).getOrElse("Incoming")
+    typ match {
+      case "schema:input" => CotripPipeline.describe(flow, "Input")
+      case "schema:output" => CotripPipeline.describe(flow, "Output")
+      case "" | "schedule" =>
+        FeatureCollectionSink.toFeatureCollectionJson(run(spark, client))
+      case other =>
+        throw new IllegalArgumentException(s"unknown event type: $other")
+    }
+  }
 }
 
 object CotripPipeline {

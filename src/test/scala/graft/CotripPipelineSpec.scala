@@ -198,4 +198,30 @@ class CotripPipelineSpec extends SparkSpec {
     val types2 = rows(out2).map(_._2).toSet
     assert(types2.subsetOf(Set("Point", "LineString", "Polygon")))
   }
+
+  test("handler dispatch: schema events serve describe(), default event runs control(), unknown fails loudly") {
+    val pipe = graft.CotripPipeline(TaskConfig("t"))
+    val client = FixturePageClient.chain(Seq(page(allFixtures)))
+    // schema events return the served JSON verbatim (the c04-graded surface)
+    assert(pipe.handler(spark, client, """{"type":"schema:input"}""")
+      === graft.CotripPipeline.describe("Incoming", "Input"))
+    assert(pipe.handler(spark, client, """{"type":"schema:output"}""")
+      === graft.CotripPipeline.describe("Incoming", "Output"))
+    // Outgoing flow overrides to {} (task.ts:45-47)
+    assert(pipe.handler(spark, client,
+      """{"type":"schema:input","flow":"Outgoing"}""") === "{}")
+    // the scheduled invocation (absent/empty type) runs the whole pipeline
+    // and returns the submitted FeatureCollection
+    val fc = pipe.handler(spark, client)
+    assert(fc.startsWith("""{"type":"FeatureCollection","features":["""))
+    Seq("pt1", "ls1", "pg1", "mp1-0", "mp1-2", "mls1-1", "mpg1-0").foreach(id =>
+      assert(fc.contains(s""""id":"$id""""), s"missing $id in handler output"))
+    assert(!fc.contains("gc1"), "GeometryCollection must be dropped")
+    assert(pipe.handler(spark, client, """{"type":"schedule"}""") === fc)
+    // anything else fails loudly rather than silently fetching
+    val err = intercept[IllegalArgumentException] {
+      pipe.handler(spark, client, """{"type":"nonsense"}""")
+    }
+    assert(err.getMessage.contains("unknown event type"))
+  }
 }
