@@ -187,7 +187,7 @@ object ExtensionQueries {
       Dedup.appendEmbeddingSignatureIndex(appended,
         Dedup.writeEmbeddingSignatureIndex(initial, "vec_id", "embedding",
           prefix),
-        "vec_id", "embedding")
+        "vec_id", "embedding", epoch = 1L)
   }
 
   /** The fresh-vs-corpus embedding screen contract shared by d15 (direct),
@@ -1802,7 +1802,7 @@ object ExtensionQueries {
     else
       Similarity.appendIvfIndex(appended,
         Similarity.writeIvfIndex(initial, "vec_id", "embedding", prefix),
-        "vec_id", "embedding")
+        "vec_id", "embedding", epoch = 1L)
   }
 
   /** Build (once per session + sf dir) the m10 standing chunk-digest index
@@ -1847,7 +1847,8 @@ object ExtensionQueries {
     else graft.operators.Multimodal.appendGearChunkIndex(
       media.filter(pmod(col("doc_id"), lit(2)) === 1),
       graft.operators.Multimodal.writeGearChunkIndex(
-        media.filter(pmod(col("doc_id"), lit(2)) === 0), names))
+        media.filter(pmod(col("doc_id"), lit(2)) === 0), names),
+      epoch = 1L)
   }
 
   /** Build-then-append the s25 MIH index: built from `vec_id % 8 ∈ {1,2,3}`
@@ -1864,7 +1865,8 @@ object ExtensionQueries {
     val marker = built.codes + "_appended"
     if (!s.catalog.tableExists(marker)) {
       graft.operators.Similarity.appendMihIndex(
-        e.filter(col("vec_id") % 8 >= 4), built, "vec_id", "embedding")
+        e.filter(col("vec_id") % 8 >= 4), built, "vec_id", "embedding",
+        epoch = 1L)
       s.range(1).createOrReplaceTempView(marker)
     }
     built
@@ -1970,7 +1972,7 @@ object ExtensionQueries {
     val built = Dedup.writeEditIndex(half1, "doc_id", "title", prefix)
     val marker = built.dfq + "_appended"
     if (!s.catalog.tableExists(marker)) {
-      Dedup.appendEditIndex(half2, built, "doc_id", "title")
+      Dedup.appendEditIndex(half2, built, "doc_id", "title", epoch = 1L)
       s.range(1).createOrReplaceTempView(marker)
     }
     built
@@ -2004,7 +2006,8 @@ object ExtensionQueries {
       graft.operators.Multimodal.appendChunkIndex(
         media.filter(pmod(col("doc_id"), lit(10)) >= 6),
         graft.operators.Multimodal.writeChunkIndex(
-          media.filter(pmod(col("doc_id"), lit(10)).between(1, 5)), names))
+          media.filter(pmod(col("doc_id"), lit(10)).between(1, 5)), names),
+        epoch = 1L)
     }
   }
 
@@ -2428,7 +2431,7 @@ object ExtensionQueries {
           "doc_id", "text", idx)
         Dedup.appendShingleIndex(
           docs.filter(pmod(col("doc_id"), lit(10)).between(4, 7)), idx,
-          "doc_id", "text")
+          "doc_id", "text", epoch = 1L)
       }
       Dedup.incrementalJaccardPairsIndexed(
         docs.filter(pmod(col("doc_id"), lit(10)) >= 8), idx, "doc_id", "text")
@@ -2476,7 +2479,7 @@ object ExtensionQueries {
           "doc_id", "text", idx)
         Dedup.appendShingleIndex(
           docs.filter(pmod(col("doc_id"), lit(10)).between(4, 7)), idx,
-          "doc_id", "text")
+          "doc_id", "text", epoch = 1L)
         graft.sources.BucketedLake.compactBucketedTable(
           s, idx.shingles, "shingle", 16)
         graft.sources.BucketedLake.compactBucketedTable(
