@@ -469,6 +469,8 @@ object ScaleSmoke {
       else args.lift(1).map(_.toInt).getOrElse(8)
     val tables =
       if (recallGate) args.lift(3).map(_.toInt).getOrElse(0)
+      // qsweep's args(2) is a query-name list, not a knob — don't parse it
+      else if (qsweepMode) 8
       else args.lift(2).map(_.toInt).getOrElse(8)
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")

@@ -57,7 +57,8 @@ object RetrievalPipelineDemo {
 
     // 4. daily ingest: fold the new batch in under the FROZEN quantizer
     // (s18) — cell boundaries never move under standing assignments
-    val idx1 = Similarity.appendIvfIndex(ingest, idx0, "vec_id", "embedding")
+    val idx1 = Similarity.appendIvfIndex(ingest, idx0, "vec_id", "embedding",
+      epoch = 1L)
     println(s"=== appended: index now holds ${idx1.corpusRows} rows (no rebuild)")
     val servedAfter = Similarity.ivfSearchIndexed(
       embs.filter(col("vec_id") < 5), idx1, "vec_id", "embedding", 3)

@@ -1037,45 +1037,13 @@ object CorpusOps {
     */
   def maintainKnGramTable(spark: org.apache.spark.sql.SparkSession,
                           name: String, batchCounts: DataFrame,
-                          epoch: Long, buckets: Int = 8): Boolean = {
-    require(epoch > 0L, s"epoch 0 is the base build; got $epoch")
-    val frontier = graft.sources.BucketedLake.frontier(spark, name)
-      .getOrElse(spark.table(name)
-        .agg(coalesce(max(col("epoch")), lit(0L))).head().getLong(0))
-    val applies = epoch > frontier
-    if (applies) {
-      // Belt-and-braces replay guard (ADVICE r18): append and setFrontier
-      // are not atomic — a crash between them leaves rows at an epoch the
-      // catalog never recorded, and a retry of that epoch would pass the
-      // frontier gate above and re-append, silently double-counting the
-      // additive gram deltas. Rows already present at this epoch mean an
-      // applied-but-unrecorded fold: skip the append and just repair the
-      // property. The presence check is the old bucketed filter — cheap
-      // because every append file is single-epoch, so parquet min/max
-      // stats prune all but the crashed fold's own files.
-      // RESIDUAL window (ADVICE r19): a crashed EMPTY-batch fold leaves
-      // zero rows AND no frontier — indistinguishable from an unapplied
-      // fold, so a retry that recomputed DIFFERENT (now non-empty)
-      // content applies it at this epoch. That retry is the fold's FIRST
-      // application (nothing of the empty attempt was observable: no rows,
-      // no frontier, and `applies` had not been returned), so at-most-once
-      // holds; what is lost is only the ability to prove the empty attempt
-      // happened. Closing it would need an atomic rows+property commit,
-      // which plain parquet + catalog properties cannot give — swapping
-      // the write order (property first) would trade this benign window
-      // for a recorded-but-never-applied fold, i.e. silent data loss.
-      val alreadyApplied =
-        !spark.table(name).filter(col("epoch") === epoch).isEmpty
-      if (!alreadyApplied) {
-        graft.sources.BucketedLake.appendBucketedTable(spark, name,
-          batchCounts.select(col("g"), col("n"))
-            .withColumn("epoch", lit(epoch)),
-          "g", buckets)
-      }
-      graft.sources.BucketedLake.setFrontier(spark, name, epoch)
-    }
-    applies
-  }
+                          epoch: Long, buckets: Int = 8): Boolean =
+    // the whole exactly-once algorithm — frontier gate, row-presence
+    // replay repair (ADVICE r18), residual empty-fold window (ADVICE
+    // r19) — lives ONCE in the shared ledger helper; this family's only
+    // specifics are its (g, n) shape and bucket key
+    graft.sources.BucketedLake.appendBucketedTableOnce(spark, name,
+      batchCounts.select(col("g"), col("n")), epoch, "g", buckets)
 
   /** The current k-gram counts from a standing gram-count table: per-gram
     * SUM across epochs (map-side combine IS the merge, and the table is

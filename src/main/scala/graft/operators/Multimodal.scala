@@ -310,20 +310,17 @@ object Multimodal {
     * [[incrementalGearChunkPairsIndexed]] screens against today's
     * survivors without a rebuild. Batch ids must be disjoint from the
     * indexed corpus (the screen that precedes this call establishes it).
-    * Exactly-once (VERDICT r19 #1): pass the caller's fold `epoch` and a
-    * crash-then-retry is a no-op (one epoch across both tables, per-table
-    * frontier gate + row-presence repair — the appendShingleIndex
-    * contract); `epoch = 0` auto-assigns a NEW fold.
+    * Exactly-once (VERDICT r19 #1): the caller's fold `epoch` (REQUIRED —
+    * the appendShingleIndex contract) makes a crash-then-retry a no-op
+    * (one epoch across both tables, per-table frontier gate +
+    * row-presence repair).
     */
   def appendGearChunkIndex(batch: DataFrame, index: ChunkIndex,
                            maskBits: Int = 6, minSize: Int = 1,
                            maxSize: Int = Int.MaxValue,
-                           buckets: Int = 16, epoch: Long = 0L): ChunkIndex = {
+                           buckets: Int = 16, epoch: Long): ChunkIndex = {
     val spark = batch.sparkSession
-    val e =
-      if (epoch > 0L) epoch
-      else graft.sources.BucketedLake.reconciledNextEpoch(spark,
-        Seq(index.digests, index.sizes))
+    val e = epoch
     val d = gearDigestSet(batch, "doc_id", maskBits, minSize, maxSize)
       .persist()
     graft.sources.BucketedLake.appendBucketedTableOnce(spark, index.digests,
@@ -453,18 +450,15 @@ object Multimodal {
     * without a rebuild. Batch ids must be disjoint from the indexed
     * corpus (the screen that precedes this call establishes it — that is
     * what makes the sizes append pure addition). Exactly-once (VERDICT
-    * r19 #1): pass the caller's fold `epoch` and a crash-then-retry is a
-    * no-op (one epoch across both tables — the appendShingleIndex
-    * contract); `epoch = 0` auto-assigns a NEW fold.
+    * r19 #1): the caller's fold `epoch` (REQUIRED — the
+    * appendShingleIndex contract) makes a crash-then-retry a no-op (one
+    * epoch across both tables).
     */
   def appendChunkIndex(batch: DataFrame, index: ChunkIndex,
                        chunkBytes: Int = 64, buckets: Int = 16,
-                       epoch: Long = 0L): ChunkIndex = {
+                       epoch: Long): ChunkIndex = {
     val spark = batch.sparkSession
-    val e =
-      if (epoch > 0L) epoch
-      else graft.sources.BucketedLake.reconciledNextEpoch(spark,
-        Seq(index.digests, index.sizes))
+    val e = epoch
     val d = hexChunks(batch, chunkBytes)
       .select(col("doc_id"), sha2(unhex(col("chunk_hex")), 256).as("digest"))
       .distinct().persist()

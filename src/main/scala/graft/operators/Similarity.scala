@@ -553,19 +553,15 @@ object Similarity {
     * quantizer (rebuild); results stay CORRECT either way, probes just
     * scan longer cell lists.
     *
-    * Exactly-once (VERDICT r19 #1): pass the caller's fold `epoch` and a
-    * crash-then-retry is a no-op (frontier gate + row-presence repair on
-    * the cells table — the appendShingleIndex contract). `epoch = 0`
-    * auto-assigns a NEW fold.
+    * Exactly-once (VERDICT r19 #1): the caller's fold `epoch` (REQUIRED —
+    * the appendShingleIndex contract) makes a crash-then-retry a no-op
+    * (frontier gate + row-presence repair on the cells table).
     */
   def appendIvfIndex(batch: DataFrame, index: IvfIndex, idCol: String,
-                     vecCol: String, epoch: Long = 0L): IvfIndex = {
+                     vecCol: String, epoch: Long): IvfIndex = {
     val spark = batch.sparkSession
     graft.functions.NativeFunctions.register(spark)
-    val e =
-      if (epoch > 0L) epoch
-      else graft.sources.BucketedLake.reconciledNextEpoch(spark,
-        Seq(index.cells))
+    val e = epoch
     val dimBatch = vectorDim(batch, vecCol)
     require(dimBatch == index.dim,
       s"appendIvfIndex: batch dim $dimBatch != index dim ${index.dim} — " +
@@ -1228,19 +1224,15 @@ object Similarity {
     * [[mihHammingScreenIndexed]] probes today's survivors with no
     * rebuild; batch ids must be disjoint from the indexed corpus.
     *
-    * Exactly-once (VERDICT r19 #1): pass the caller's fold `epoch` and a
-    * crash-then-retry is a no-op (frontier gate + row-presence repair on
-    * the code table — the appendShingleIndex contract). `epoch = 0`
-    * auto-assigns a NEW fold.
+    * Exactly-once (VERDICT r19 #1): the caller's fold `epoch` (REQUIRED —
+    * the appendShingleIndex contract) makes a crash-then-retry a no-op
+    * (frontier gate + row-presence repair on the code table).
     */
   def appendMihIndex(batch: DataFrame, index: MihIndex, idCol: String,
-                     vecCol: String, epoch: Long = 0L): MihIndex = {
+                     vecCol: String, epoch: Long): MihIndex = {
     val spark = batch.sparkSession
     graft.functions.NativeFunctions.register(spark)
-    val e =
-      if (epoch > 0L) epoch
-      else graft.sources.BucketedLake.reconciledNextEpoch(spark,
-        Seq(index.codes))
+    val e = epoch
     val signs = hyperplaneSigns(spark, index.bands * index.bandBits,
       index.planeOffset, index.dim)
     graft.sources.BucketedLake.appendBucketedTableOnce(spark, index.codes,

@@ -122,29 +122,6 @@ object BucketedLake {
         org.apache.spark.sql.functions.max(col(EpochCol)),
         org.apache.spark.sql.functions.lit(0L))).head().getLong(0))
 
-  /** Auto-assign the next fold epoch for a FAMILY of ledgered tables that
-    * are appended together (shingles+sizes, signatures+vectors, …), after
-    * reconciling any crash orphans: rows ABOVE a table's frontier mean an
-    * append landed but its frontier write was lost (the two are not
-    * atomic) — the property is repaired forward so the next fold never
-    * reuses an occupied epoch. The orphan scan is pruned to nothing by
-    * parquet epoch stats on a clean table. NOTE: an auto-assigned fold
-    * has no caller-side identity, so a crash-RETRY in auto mode is a new
-    * fold and re-appends; exactly-once replay protection requires the
-    * caller to pass its own fold epoch ([[appendBucketedTableOnce]]).
-    */
-  private[graft] def reconciledNextEpoch(spark: SparkSession,
-                                         names: Seq[String]): Long =
-    names.map { n =>
-      val p = frontierOrScan(spark, n)
-      val orphan = spark.table(n).filter(col(EpochCol) > p)
-        .agg(org.apache.spark.sql.functions.coalesce(
-          org.apache.spark.sql.functions.max(col(EpochCol)),
-          org.apache.spark.sql.functions.lit(p))).head().getLong(0)
-      if (orphan > p) setFrontier(spark, n, orphan)
-      orphan
-    }.max + 1L
-
   /** Exactly-once [[appendBucketedTable]] — the t49/d26 epoch+frontier
     * ledger (VERDICT r19 #1), generic over every standing-index family: a
     * fold applies iff `epoch` exceeds the table's catalog frontier, so a
@@ -159,6 +136,17 @@ object BucketedLake {
     * on exit (true covers both a fresh append and a repair). Multi-table
     * folds call this once per table with ONE shared epoch; per-table
     * gating then heals a crash that landed between two tables' appends.
+    *
+    * RESIDUAL window (ADVICE r19): a crashed EMPTY-batch fold leaves zero
+    * rows AND no frontier — indistinguishable from an unapplied fold, so
+    * a retry that recomputed DIFFERENT (now non-empty) content applies it
+    * at this epoch. That retry is the fold's FIRST application (nothing
+    * of the empty attempt was observable), so at-most-once holds; what is
+    * lost is only the ability to prove the empty attempt happened.
+    * Closing it would need an atomic rows+property commit, which plain
+    * parquet + catalog properties cannot give — swapping the write order
+    * (property first) would trade this benign window for a
+    * recorded-but-never-applied fold, i.e. silent data loss.
     */
   private[graft] def appendBucketedTableOnce(spark: SparkSession,
                                              name: String, df: DataFrame,

@@ -288,6 +288,14 @@ final class CotripPageMicroBatchStream(options: Map[String, String])
         }
       case _ =>
         discoverTo(e.toLong) // restart path: re-walk the chain to cover [s, e)
+        if (tokens.size < e)
+          // the fixture branch's shrink guard, for the live chain: a
+          // checkpointed batch can be re-planned after a restart, and a
+          // chain that now terminates before the batch's end must abort
+          // with the diagnostic, not an index error deep in the slice
+          throw new IllegalStateException(
+            s"page chain terminates after ${tokens.size} pages but offset $e " +
+              "is committed — the upstream chain shrank under the stream")
         (s until e).map { i =>
           HttpPagePartition(i, options("baseurl"), options("apikey"),
             tokens(i)): InputPartition

@@ -169,6 +169,15 @@ class Dsv2SourceSpec extends SparkSpec {
       val h = hits.get()
       stream.planInputPartitions(CotripPageOffset(0L), CotripPageOffset(3L))
       assert(hits.get() === h, "re-planning must reuse memoized tokens")
+      // a chain that SHRANK under a committed offset aborts the restart
+      // re-plan with the diagnostic, never an index error
+      chain.set(twoPages)
+      val shrunk = new CotripPageMicroBatchStream(opts)
+      val err = intercept[IllegalStateException] {
+        shrunk.planInputPartitions(CotripPageOffset(2L), CotripPageOffset(3L))
+      }
+      assert(err.getMessage.contains("chain shrank") ||
+        err.getMessage.contains("terminates after"), err.getMessage)
     }
     // hostile chain: a repeated offset aborts loudly, never loops
     val looped = Map[Option[String], (String, String)](

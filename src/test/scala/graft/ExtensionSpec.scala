@@ -295,7 +295,8 @@ class ExtensionSpec extends SparkSpec {
       "spec_mih_grow")
     var corpusSoFar = slice(0)
     for (i <- 1 to 3) {
-      idx = Similarity.appendMihIndex(slice(i), idx, "vec_id", "embedding")
+      idx = Similarity.appendMihIndex(slice(i), idx, "vec_id", "embedding",
+        epoch = i.toLong)
       corpusSoFar = corpusSoFar.unionByName(slice(i))
       val viaAppended = Similarity.mihHammingScreenIndexed(
         fresh, idx, "vec_id", "embedding", radius = 8)
@@ -325,7 +326,7 @@ class ExtensionSpec extends SparkSpec {
       Multimodal.ChunkIndex("spec_gear_grow_d", "spec_gear_grow_s"))
     var mediaSoFar = mslice(0)
     for (i <- 1 to 3) {
-      gidx = Multimodal.appendGearChunkIndex(mslice(i), gidx)
+      gidx = Multimodal.appendGearChunkIndex(mslice(i), gidx, epoch = i.toLong)
       mediaSoFar = mediaSoFar.unionByName(mslice(i))
       val viaAppended = Multimodal.incrementalGearChunkPairsIndexed(
         freshM, gidx, 0.4)
@@ -422,7 +423,7 @@ class ExtensionSpec extends SparkSpec {
     val built = Dedup.writeEmbeddingSignatureIndex(half1, "vec_id", "embedding",
       "emb_idx_append_spec")
     val grown = Dedup.appendEmbeddingSignatureIndex(half2, built,
-      "vec_id", "embedding")
+      "vec_id", "embedding", epoch = 1L)
     // the handle accounts for the appended rows; knob family unchanged
     assert(grown.corpusRows === corpus.count())
     assert((grown.planesPerTable, grown.tables) ===
@@ -436,7 +437,7 @@ class ExtensionSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException] {
       Dedup.appendEmbeddingSignatureIndex(
         fresh.select(col("vec_id"), expr("slice(embedding, 1, 8)").as("embedding")),
-        grown, "vec_id", "embedding")
+        grown, "vec_id", "embedding", epoch = 2L)
     }
     assert(e.getMessage.contains("dim"))
     // staleness advisory: growth past the adaptive policy's next knob step
@@ -454,7 +455,7 @@ class ExtensionSpec extends SparkSpec {
       "doc_id", "text",
       Dedup.ShingleIndex("shingle_idx_append_spec", "shingle_sz_append_spec"))
     Dedup.appendShingleIndex(
-      corpus.filter(col("doc_id") >= 200), idx, "doc_id", "text")
+      corpus.filter(col("doc_id") >= 200), idx, "doc_id", "text", epoch = 1L)
     val screened = Dedup.incrementalJaccardPairsIndexed(fresh, idx,
       "doc_id", "text")
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
@@ -533,7 +534,8 @@ class ExtensionSpec extends SparkSpec {
     val half1 = embs.filter(pmod(col("vec_id"), lit(2)) === 0)
     val half2 = embs.filter(pmod(col("vec_id"), lit(2)) =!= 0)
     val idx0 = Similarity.writeIvfIndex(half1, "vec_id", "embedding", "ivf_app_spec")
-    val idx = Similarity.appendIvfIndex(half2, idx0, "vec_id", "embedding")
+    val idx = Similarity.appendIvfIndex(half2, idx0, "vec_id", "embedding",
+      epoch = 1L)
     assert(idx.corpusRows === embs.count())
     // the cells table must equal assigning the WHOLE corpus under the
     // quantizer trained on half1 — appends froze the cell boundaries
@@ -550,7 +552,7 @@ class ExtensionSpec extends SparkSpec {
     import spark.implicits._
     val bad = Seq((999999L, Seq(1.0f, 2.0f))).toDF("vec_id", "embedding")
     val e = intercept[IllegalArgumentException] {
-      Similarity.appendIvfIndex(bad, idx, "vec_id", "embedding")
+      Similarity.appendIvfIndex(bad, idx, "vec_id", "embedding", epoch = 2L)
     }
     assert(e.getMessage.contains("dim"))
   }
@@ -713,7 +715,8 @@ class ExtensionSpec extends SparkSpec {
     val half2 = media.filter(pmod(col("doc_id"), lit(10)) >= 6)
     val appended = Multimodal.appendChunkIndex(half2,
       Multimodal.writeChunkIndex(half1,
-        Multimodal.ChunkIndex("chunk_idxa_spec", "chunk_sza_spec")))
+        Multimodal.ChunkIndex("chunk_idxa_spec", "chunk_sza_spec")),
+      epoch = 1L)
     val direct = Multimodal.writeChunkIndex(half1.unionByName(half2),
       Multimodal.ChunkIndex("chunk_idxf_spec", "chunk_szf_spec"))
     val a = Multimodal.incrementalChunkPairsIndexed(fresh, appended)

@@ -118,7 +118,8 @@ class IndexCompactionSpec extends SparkSpec {
       en.filter(pmod(col("doc_id"), lit(10)).between(1, 5)),
       "doc_id", "title", s"cspec_edit_$n")
     Dedup.appendEditIndex(
-      en.filter(pmod(col("doc_id"), lit(10)) >= 6), idx, "doc_id", "title")
+      en.filter(pmod(col("doc_id"), lit(10)) >= 6), idx, "doc_id", "title",
+      epoch = 1L)
     // fresh batch = near-dups BY CONSTRUCTION (one char appended to corpus
     // titles → edit distance 1): sf0.001 is too small for organic pairs
     val fresh = en.filter(pmod(col("doc_id"), lit(10)).between(1, 8))
@@ -140,7 +141,8 @@ class IndexCompactionSpec extends SparkSpec {
       e.filter(col("vec_id") % 8 =!= 0 && col("vec_id") % 8 <= 3),
       "vec_id", "embedding", s"cspec_mih_$n")
     Similarity.appendMihIndex(
-      e.filter(col("vec_id") % 8 >= 4), idx, "vec_id", "embedding")
+      e.filter(col("vec_id") % 8 >= 4), idx, "vec_id", "embedding",
+      epoch = 1L)
     gradeLifecycle(idx.codes,
       Seq((idx.codes, "band", Seq("band_val"))),
       idx.buckets,
@@ -158,7 +160,7 @@ class IndexCompactionSpec extends SparkSpec {
       standing.filter(pmod(col("doc_id"), lit(2)) === 0),
       Multimodal.ChunkIndex(s"cspec_gear_idx_$n", s"cspec_gear_sz_$n"))
     Multimodal.appendGearChunkIndex(
-      standing.filter(pmod(col("doc_id"), lit(2)) === 1), idx)
+      standing.filter(pmod(col("doc_id"), lit(2)) === 1), idx, epoch = 1L)
     gradeLifecycle(idx.digests,
       Seq((idx.digests, "digest", Nil), (idx.sizes, "doc_id", Nil)),
       buckets = 16,
@@ -175,7 +177,7 @@ class IndexCompactionSpec extends SparkSpec {
       Similarity.writeIvfIndex(
         e.filter(pmod(col("vec_id"), lit(4)) =!= 0),
         "vec_id", "embedding", s"cspec_ivf_$n"),
-      "vec_id", "embedding")
+      "vec_id", "embedding", epoch = 1L)
     gradeLifecycle(idx.cells,
       Seq((idx.cells, "cid", Nil)),
       idx.buckets,

@@ -1324,7 +1324,8 @@ class StreamingSpec extends SparkSpec {
     val half = Dedup.writeEditIndex(
       corpus.filter(col("doc_id") % 2 === 0), "doc_id", "title", "spec_edit_half")
     Dedup.appendEditIndex(
-      corpus.filter(col("doc_id") % 2 === 1), half, "doc_id", "title")
+      corpus.filter(col("doc_id") % 2 === 1), half, "doc_id", "title",
+      epoch = 1L)
     val appB = Dedup.incrementalEditDistancePairsIndexed(
       freshBatch, half, "doc_id", "title")
     assert(appB.except(batch).count() === 0, "appended screen must add no pair")
@@ -1410,7 +1411,7 @@ class StreamingSpec extends SparkSpec {
     assert(idx.sliceChars === 64)
     assert(idx.dfq.contains("w64o65"),
       "window knobs must join the layout identity")
-    val idx2 = Dedup.appendEditIndex(half2, idx, "doc_id", "s0")
+    val idx2 = Dedup.appendEditIndex(half2, idx, "doc_id", "s0", epoch = 1L)
     assert(idx2.sliceFrom === 65 && idx2.sliceChars === 64,
       "append must carry the frozen offset, never recompute it")
     // fresh: one-substitution copies (typo at position 70 — inside the
