@@ -237,13 +237,12 @@ object Dedup {
                          k: Int = 4, buckets: Int = 16,
                          epoch: Long): ShingleIndex = {
     val spark = batch.sparkSession
-    val e = epoch
     val sh = shingleSet(batch, idCol, textCol, k, persist = true)
     graft.sources.BucketedLake.appendBucketedTableOnce(spark, index.shingles,
-      sh, e, "shingle", buckets)
+      sh, epoch, "shingle", buckets)
     graft.sources.BucketedLake.appendBucketedTableOnce(spark, index.sizes,
       sh.groupBy(col(idCol)).agg(count(lit(1)).as("set_size")),
-      e, idCol, buckets)
+      epoch, idCol, buckets)
     sh.unpersist()
     index
   }
@@ -1269,7 +1268,6 @@ object Dedup {
                                     epoch: Long): EmbeddingSignatureIndex = {
     val spark = batch.sparkSession
     graft.functions.NativeFunctions.register(spark)
-    val e = epoch
     val v = batch
       .select(col(idCol), col(vecCol).cast("array<double>").as("v"))
       .withColumn("norm", Similarity.l2norm(col("v")))
@@ -1286,9 +1284,9 @@ object Dedup {
         posexplode(graft.functions.NativeFunctions.hyperplaneSignatures(
           spark, col("v"), allSigns.flatten,
           index.planesPerTable, index.tables)).as(Seq("tbl", "sig"))),
-      e, "tbl", index.buckets, "sig")
+      epoch, "tbl", index.buckets, "sig")
     val appliedVectors = graft.sources.BucketedLake.appendBucketedTableOnce(
-      spark, index.vectors, v, e, idCol, index.buckets)
+      spark, index.vectors, v, epoch, idCol, index.buckets)
     v.unpersist(blocking = false)
     index.copy(corpusRows =
       if (appliedVectors) index.corpusRows + n else index.corpusRows)
@@ -1788,7 +1786,6 @@ object Dedup {
   def appendEditIndex(batch: DataFrame, index: EditIndex, idCol: String,
                       strCol: String, epoch: Long): EditIndex = {
     val spark = batch.sparkSession
-    val e = epoch
     val prefixLen = index.q * index.maxDist + 1
     val cs = batch.select(col(idCol).cast("long").as("corpus_id"),
       slicedStr(col(strCol), index).as("s_c")).filter(col("s_c").isNotNull)
@@ -1809,11 +1806,11 @@ object Dedup {
       .filter(col("ng") < prefixLen)
       .select(length(col("s_c")).as("len_b"), col("corpus_id"), col("s_c"))
     graft.sources.BucketedLake.appendBucketedTableOnce(spark, index.prefix,
-      bpref, e, "g", index.buckets)
+      bpref, epoch, "g", index.buckets)
     graft.sources.BucketedLake.appendBucketedTableOnce(spark, index.shortPool,
-      bshort, e, "len_b", index.buckets)
+      bshort, epoch, "len_b", index.buckets)
     graft.sources.BucketedLake.appendBucketedTableOnce(spark, index.strings,
-      cs, e, "corpus_id", index.buckets)
+      cs, epoch, "corpus_id", index.buckets)
     index
   }
 

@@ -320,13 +320,12 @@ object Multimodal {
                            maxSize: Int = Int.MaxValue,
                            buckets: Int = 16, epoch: Long): ChunkIndex = {
     val spark = batch.sparkSession
-    val e = epoch
     val d = gearDigestSet(batch, "doc_id", maskBits, minSize, maxSize)
       .persist()
     graft.sources.BucketedLake.appendBucketedTableOnce(spark, index.digests,
-      d, e, "digest", buckets)
+      d, epoch, "digest", buckets)
     graft.sources.BucketedLake.appendBucketedTableOnce(spark, index.sizes,
-      d.groupBy("doc_id").agg(count(lit(1)).as("sz_c")), e, "doc_id", buckets)
+      d.groupBy("doc_id").agg(count(lit(1)).as("sz_c")), epoch, "doc_id", buckets)
     d.unpersist(blocking = false)
     index
   }
@@ -458,14 +457,13 @@ object Multimodal {
                        chunkBytes: Int = 64, buckets: Int = 16,
                        epoch: Long): ChunkIndex = {
     val spark = batch.sparkSession
-    val e = epoch
     val d = hexChunks(batch, chunkBytes)
       .select(col("doc_id"), sha2(unhex(col("chunk_hex")), 256).as("digest"))
       .distinct().persist()
     graft.sources.BucketedLake.appendBucketedTableOnce(spark, index.digests,
-      d, e, "digest", buckets)
+      d, epoch, "digest", buckets)
     graft.sources.BucketedLake.appendBucketedTableOnce(spark, index.sizes,
-      d.groupBy("doc_id").agg(count(lit(1)).as("sz_c")), e, "doc_id", buckets)
+      d.groupBy("doc_id").agg(count(lit(1)).as("sz_c")), epoch, "doc_id", buckets)
     d.unpersist(blocking = false)
     index
   }

@@ -561,7 +561,6 @@ object Similarity {
                      vecCol: String, epoch: Long): IvfIndex = {
     val spark = batch.sparkSession
     graft.functions.NativeFunctions.register(spark)
-    val e = epoch
     val dimBatch = vectorDim(batch, vecCol)
     require(dimBatch == index.dim,
       s"appendIvfIndex: batch dim $dimBatch != index dim ${index.dim} — " +
@@ -570,7 +569,7 @@ object Similarity {
     val assigned = assignToCentroids(batch, idCol, vecCol, cents)
       .select(col("cid"), col("id"), col("v"), col("v_norm").as("norm"))
     graft.sources.BucketedLake.appendBucketedTableOnce(spark, index.cells,
-      assigned, e, "cid", index.buckets)
+      assigned, epoch, "cid", index.buckets)
     index.copy(corpusRows = spark.table(index.cells).count())
   }
 
@@ -1232,13 +1231,12 @@ object Similarity {
                      vecCol: String, epoch: Long): MihIndex = {
     val spark = batch.sparkSession
     graft.functions.NativeFunctions.register(spark)
-    val e = epoch
     val signs = hyperplaneSigns(spark, index.bands * index.bandBits,
       index.planeOffset, index.dim)
     graft.sources.BucketedLake.appendBucketedTableOnce(spark, index.codes,
       mihCodeBands(batch, idCol, vecCol, "corpus_id", "c_code", signs,
         index.bands, index.bandBits),
-      e, "band", index.buckets, "band_val")
+      epoch, "band", index.buckets, "band_val")
     index
   }
 
