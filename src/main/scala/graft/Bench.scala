@@ -512,6 +512,26 @@ object Bench {
       // Spark's 1 MB.
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
         sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PARTITION", "1048576"))
+      // Optimization r20 (guide §2.2/§2.4): let AQE re-plan INSIDE cached
+      // plans. Spark's default (false) pins every `Dataset.persist`
+      // materialization to the full static shuffle width so downstream
+      // stages over the cache pay that many map tasks per pass — the
+      // operator-internal persists (dedup edge sets, graph peels, trained
+      // centroid frames) all hit this. `true` lets the cached plan keep
+      // AQE's coalesced output partitioning; results are partitioning-
+      // independent by library contract (exact-integer/decimal sums
+      // everywhere a double would be order-sensitive).
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_IN_CACHE", "true"))
+      // Size-based coalescing even when the cluster has idle slots
+      // (Spark's parallelismFirst=true keeps ~defaultParallelism
+      // partitions however tiny the shuffle, maximizing per-stage task
+      // overhead on latency-bound stages). At scale the advisory size
+      // governs either way; locally this collapses KB-scale shuffles to
+      // one task. minPartitionSize above still floors the compute-dense
+      // stages.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val work = new WorkMetricsListener

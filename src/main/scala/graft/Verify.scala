@@ -17,6 +17,15 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Same AQE posture as Bench (optimization r20), so the graded plans
+      // are the benched plans: AQE may re-plan inside cached frames and
+      // coalesces by size even when idle slots exist. Both are
+      // partitioning-only knobs; the library's aggregation trees are
+      // partitioning-independent by contract (exact integer/decimal sums).
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_IN_CACHE", "true"))
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -1510,6 +1510,24 @@ object Dedup {
     * themselves as their only gram. `maxCandidates` is the in-plan
     * volume guard ([[DefaultEditCandidateCap]]).
     */
+  /** Candidate-pair cache sized for the banded-levenshtein VERIFY stage
+    * (optimization r20, guide §1.2 per-task work): the verify is CPU-dense
+    * per byte, so AQE's bytes-based coalescing (and a cached plan's
+    * coalesced output partitioning) sizes it far too narrow — measured at
+    * sf0.1 the whole verify collapsed to one task (+75% wall on d19). Pin
+    * the partitioning to the session's core count on the SAME keys the
+    * dedup needs, so the explicit exchange REPLACES the distinct's own
+    * (no extra shuffle) and AQE leaves a user repartition uncoalesced.
+    * Scale-adaptive: defaultParallelism is the cluster core count — the
+    * right width for a CPU-bound stage at any data size; rows are
+    * (long, long) pairs, so even the 25M-candidate cap is ~400 MB.
+    */
+  private def verifyWidthCands(cands: DataFrame): DataFrame =
+    Caching.persisted(cands
+      .repartition(cands.sparkSession.sparkContext.defaultParallelism,
+        cands.columns.map(col).toIndexedSeq: _*)
+      .distinct())
+
   def editDistancePairs(docs: DataFrame, idCol: String, strCol: String,
                         maxDist: Int = 4, q: Int = 4,
                         maxCandidates: Long = DefaultEditCandidateCap): DataFrame = {
@@ -1544,7 +1562,7 @@ object Dedup {
       .join(short.select(col("id").as("id_b"), col("len").as("len_b")), "len_b")
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
-    val cands = Caching.persisted(prefCands.union(shortCands).distinct())
+    val cands = verifyWidthCands(prefCands.union(shortCands))
     guardCandidates(cands, maxCandidates, "editDistancePairs",
       "Raise q, lower maxDist, or screen incrementally with " +
         "incrementalEditDistancePairs")
@@ -1619,7 +1637,7 @@ object Dedup {
       .join(shortSide(cs, cg).select(col("id").as("corpus_id"),
         col("len").as("len_c")), "len_c")
       .select("fresh_id", "corpus_id")
-    val cands = Caching.persisted(prefCands.union(shortCands).distinct())
+    val cands = verifyWidthCands(prefCands.union(shortCands))
     guardCandidates(cands, maxCandidates, "incrementalEditDistancePairs",
       "Raise q or lower maxDist")
       .join(fs.select(col("id").as("fresh_id"), col("s").as("s_f")), "fresh_id")
@@ -1855,7 +1873,7 @@ object Dedup {
       .join(spark.table(index.shortPool).select(col("len_b"), col("corpus_id")),
         "len_b")
       .select("fresh_id", "corpus_id")
-    val cands = Caching.persisted(prefCands.union(shortCands).distinct())
+    val cands = verifyWidthCands(prefCands.union(shortCands))
     guardCandidates(cands, maxCandidates, "incrementalEditDistancePairsIndexed",
       "Raise q or lower maxDist; rebuild the index if corpus drift has " +
         "eroded the frozen rarity order")

@@ -262,7 +262,7 @@ object GraphOps {
         .localCheckpoint(true)
     }
     val alive0 = fullDeg.select(col("id"))
-    val aliveFinal = Iterator.iterate(alive0)(step).drop(rounds).next()
+    val (aliveFinal, _) = peelToFixpoint(alive0, rounds, step)
     // within-core degree: one more edge restriction against the final set
     val coreEdges = und
       .join(aliveFinal.select(col("id").as("a")), Seq("a"), "left_semi")
@@ -275,6 +275,37 @@ object GraphOps {
       .join(coreDeg, Seq("id"), "left")
       .select(col("id"), col("degree"),
         coalesce(col("core_degree"), lit(0L)).as("core_degree"))
+  }
+
+  /** Run `step` up to `rounds` times, stopping early at the FIXPOINT
+    * (optimization r20, guide §1.2 "remove unnecessary passes"): the peel
+    * step is monotone-shrinking (its output only contains ids drawn from
+    * edges both of whose endpoints are in its input, so
+    * alive_{n+1} ⊆ alive_n), which makes equal COUNT ⇔ equal SET — and
+    * once a round leaves the survivor set unchanged, every later round is
+    * the identity function, so stopping there returns a bit-identical
+    * frame while skipping the remaining rounds' jobs (g07's graph
+    * converges after round 1 of 4; g10 paid kMax·rounds = 16 steps for
+    * ~5 productive ones). The count runs over the round's own EAGER
+    * `localCheckpoint` — already-materialized cached partitions, a
+    * milliseconds job — never a recompute of the round. The fixed `rounds`
+    * budget stays the semantic contract (the oracle unrolls it); the exit
+    * is purely an algebraic no-op elision.
+    */
+  private def peelToFixpoint(alive0: DataFrame, rounds: Int,
+                             step: DataFrame => DataFrame): (DataFrame, Long) = {
+    var alive = alive0
+    var prevN = -1L
+    var r = 0
+    while (r < rounds && prevN != 0L) {
+      val next = step(alive)
+      val n = next.count()
+      if (n == prevN) return (next, n)
+      alive = next
+      prevN = n
+      r += 1
+    }
+    (alive, prevN)
   }
 
   /** One-pass coreness DECOMPOSITION (g10, VERDICT r12 #4): per-node
@@ -324,10 +355,22 @@ object GraphOps {
         .select(col("id"))
         .localCheckpoint(true)
     }
+    // Per-level fixpoint exit (guide §1.2, see [[peelToFixpoint]]): each
+    // level peels only until its survivor set stabilizes, and once a level
+    // empties, every deeper level is empty too (step output ⊆ input), so
+    // its frames would union in zero rows — skip them. Both cuts are
+    // algebraic no-op elisions; the emitted rows are bit-identical to the
+    // full kMax·rounds schedule the oracle unrolls.
     var alive = allNodes
-    val levels = (1 to kMax).map { k =>
-      (1 to rounds).foreach(_ => alive = step(alive, k))
-      alive.select(col("id"), lit(k.toLong).as("coreness"))
+    var aliveN = -1L
+    val levels = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var k = 1
+    while (k <= kMax && aliveN != 0L) {
+      val (a, n) = peelToFixpoint(alive, rounds, step(_, k))
+      alive = a
+      aliveN = n
+      levels += alive.select(col("id"), lit(k.toLong).as("coreness"))
+      k += 1
     }
     allNodes
       .join(levels.reduce(_ unionByName _)

@@ -5433,17 +5433,32 @@ object ExtensionQueries {
       val docs = t(s, d, "documents")
       val media = shiftedMediaCorpus(s, d)
       // --- standing indexes over e42's exact corpus splits ---
+      // The three builds are mutually independent (distinct tables,
+      // distinct inputs) and each is a terminal write action, so they run
+      // as three concurrent driver-submitted jobs (guide §2.6: overlap
+      // independent jobs so one build's task tail back-fills the others'
+      // idle slots). Results are unchanged — only job ordering overlaps.
       val sfx = graft.sources.BucketedLake.layoutSuffix(d + "#rcp10", 16)
-      val gearIdx = Multimodal.writeGearChunkIndex(
-        media.filter(col("doc_id") < 100000 && col("doc_id") % 10 =!= 0),
-        Multimodal.ChunkIndex(s"rcp_gear_$sfx", s"rcp_gearsz_$sfx"))
-      val shIdx = Dedup.writeShingleIndex(
-        docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text",
-        Dedup.ShingleIndex(s"rcp_sh_$sfx", s"rcp_shsz_$sfx"))
       val embs = t(s, d, "embeddings")
-      val mihIdx = Similarity.writeMihIndex(
-        embs.filter(col("vec_id") % 8 =!= 0), "vec_id", "embedding",
-        s"rcp_$sfx")
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      val (gearIdx, shIdx, mihIdx) =
+        try {
+          val gearF = Future(Multimodal.writeGearChunkIndex(
+            media.filter(col("doc_id") < 100000 && col("doc_id") % 10 =!= 0),
+            Multimodal.ChunkIndex(s"rcp_gear_$sfx", s"rcp_gearsz_$sfx")))
+          val shF = Future(Dedup.writeShingleIndex(
+            docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text",
+            Dedup.ShingleIndex(s"rcp_sh_$sfx", s"rcp_shsz_$sfx")))
+          val mihF = Future(Similarity.writeMihIndex(
+            embs.filter(col("vec_id") % 8 =!= 0), "vec_id", "embedding",
+            s"rcp_$sfx"))
+          (Await.result(gearF, Duration.Inf), Await.result(shF, Duration.Inf),
+            Await.result(mihF, Duration.Inf))
+        } finally pool.shutdown()
       // --- stage A: gear screen against the digest index ---
       def freshDocsStream() = TableStream.readProbed(s, d, "documents")
       val freshMediaStream = freshDocsStream()
