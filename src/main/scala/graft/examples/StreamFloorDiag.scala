@@ -141,6 +141,18 @@ object StreamFloorDiag {
       catch { case e: Throwable => println(s"[floor] ssjoin w=$w failed: $e") }
     }
 
+    // 6. offsets-WAL cost experiment: the default FileContext-based
+    // checkpoint manager spends ~30 ms per metadata write even on tmpfs;
+    // the FileSystem-based one (rename-based atomicity, same guarantee on
+    // local FS) may be cheaper. Measured here before touching any default.
+    spark.conf.set("spark.sql.streaming.checkpointFileManagerClass",
+      "org.apache.spark.sql.execution.streaming.checkpointing.FileSystemBasedCheckpointFileManager")
+    try {
+      run("passthrough_fsmgr", () => passthrough(), "append", 8)
+      run("stateful_count_fsmgr", () => statefulCount(), "complete", 8)
+    } catch { case e: Throwable => println(s"[floor] fsmgr failed: $e") }
+    finally spark.conf.unset("spark.sql.streaming.checkpointFileManagerClass")
+
     spark.stop()
   }
 }

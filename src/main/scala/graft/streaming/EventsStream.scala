@@ -153,7 +153,26 @@ object EventsStream {
       val ckpt = java.nio.file.Files
         .createTempDirectory(ephemeralCheckpointRoot, "graft-ckpt-")
       val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+      // Checkpoint-manager choice (optimization r20, measured in
+      // StreamFloorDiag): Spark's default FileContext-based manager costs
+      // ~30 ms PER metadata write even on tmpfs — offsets WAL, commit log,
+      // and every state-store delta all pay it, ~0.3–0.5 s per
+      // AvailableNow run before any data work. The FileSystem-based
+      // manager (rename-based atomicity — exactly as strong on a local
+      // filesystem, where rename is atomic) does the same writes at ~7 ms.
+      // These helpers' checkpoints are ephemeral-local by contract (tmpfs,
+      // deleted on completion), so the local-FS guarantee is the relevant
+      // one; a durable deployment on a store whose rename is not atomic
+      // should override SPARK_GRAFT_STREAM_CKPT_MANAGER (empty = keep
+      // Spark's default). Save/set/restore rides the same single-runner
+      // lock as the shuffle-width override.
+      val CkptMgrKey = "spark.sql.streaming.checkpointFileManagerClass"
+      val ckptMgr = sys.env.getOrElse("SPARK_GRAFT_STREAM_CKPT_MANAGER",
+        "org.apache.spark.sql.execution.streaming.checkpointing." +
+          "FileSystemBasedCheckpointFileManager")
+      val prevMgr = spark.conf.getOption(CkptMgrKey)
       try {
+        if (ckptMgr.nonEmpty) spark.conf.set(CkptMgrKey, ckptMgr)
         spark.conf.set("spark.sql.shuffle.partitions",
           math.min(statePartitions, prevShuffle.toInt).max(1).toString)
         val q = df.writeStream
@@ -177,6 +196,10 @@ object EventsStream {
         ()
       } finally {
         spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+        prevMgr match {
+          case Some(v) => spark.conf.set(CkptMgrKey, v)
+          case None => spark.conf.unset(CkptMgrKey)
+        }
         // best-effort cleanup that must never mask the query's own failure:
         // walk streams throw UncheckedIOException (a RuntimeException) from
         // iteration, not just IOException, and the stream holds a directory
