@@ -226,8 +226,16 @@ object GraphOps {
     * `degree` in the full graph, `core_degree` among survivors.
     */
   def kCore(pairs: DataFrame, k: Int, rounds: Int = 6): DataFrame = {
-    require(k >= 1, "kCore: k must be >= 1")
-    require(rounds >= 1, "kCore: rounds must be >= 1")
+    val (und, fullDeg) = kCoreBase(pairs)
+    kCoreOn(und, fullDeg, k, rounds)
+  }
+
+  /** Shared k-core base frames: the persisted canonical undirected edge set
+    * and the full-graph degree table. Split out of [[kCore]] so that
+    * [[kCoreProfile]] can materialize them ONCE before overlapping its
+    * per-k sweeps (guarded persists dedupe by plan either way; the split
+    * only controls WHEN the one real computation happens). */
+  private def kCoreBase(pairs: DataFrame): (DataFrame, DataFrame) = {
     val und = Caching.persisted(pairs
       .select(least(col("id_a"), col("id_b")).as("a"),
         greatest(col("id_a"), col("id_b")).as("b"))
@@ -236,6 +244,13 @@ object GraphOps {
     val fullDeg = Caching.persisted(
       und.select(col("a").as("id")).union(und.select(col("b").as("id")))
         .groupBy(col("id")).agg(count(lit(1)).as("degree")))
+    (und, fullDeg)
+  }
+
+  private def kCoreOn(und: DataFrame, fullDeg: DataFrame,
+                      k: Int, rounds: Int): DataFrame = {
+    require(k >= 1, "kCore: k must be >= 1")
+    require(rounds >= 1, "kCore: rounds must be >= 1")
     // Per-round lineage truncation — the one operator in the library that
     // materializes between rounds, and necessarily so: each round
     // references the previous survivor set TWICE (both endpoint semi
@@ -392,12 +407,37 @@ object GraphOps {
   def kCoreProfile(pairs: DataFrame, ks: Seq[Int],
                    rounds: Int = 6): DataFrame = {
     require(ks.nonEmpty, "kCoreProfile: ks must be non-empty")
-    ks.map { k =>
-      kCore(pairs, k, rounds)
-        .agg(count(lit(1)).as("n_core_nodes"),
-          (sum(col("core_degree")) / 2).cast("long").as("n_core_edges"))
-        .select(lit(k).as("k"), col("n_core_nodes"), col("n_core_edges"))
-    }.reduce(_ unionByName _)
+    require(ks.forall(_ >= 1), "kCoreProfile: every k must be >= 1")
+    require(rounds >= 1, "kCoreProfile: rounds must be >= 1")
+    // Overlap the sweep points (optimization r20, guide §2.6): each per-k
+    // peel is an eager driver loop of small localCheckpoint jobs that are
+    // mutually independent across k, so the sweep submits them from a
+    // thread pool and one sweep's round tail back-fills the others' idle
+    // slots. The shared base frames materialize ONCE, sequentially, before
+    // the fork, so the futures never race to compute the guarded persists;
+    // the per-k survivor sets and the union order (ks order) are
+    // bit-identical to the sequential sweep — only job ordering overlaps.
+    val (und, fullDeg) = kCoreBase(pairs)
+    fullDeg.count()
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(ks.size, 8))
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    val perK =
+      try {
+        val fs = ks.map { k =>
+          Future {
+            kCoreOn(und, fullDeg, k, rounds)
+              .agg(count(lit(1)).as("n_core_nodes"),
+                (sum(col("core_degree")) / 2).cast("long").as("n_core_edges"))
+              .select(lit(k).as("k"), col("n_core_nodes"), col("n_core_edges"))
+          }
+        }
+        fs.map(Await.result(_, Duration.Inf))
+      } finally pool.shutdown()
+    perK.reduce(_ unionByName _)
   }
 
   /** Degree assortativity of an UNDIRECTED pair graph: the Pearson
