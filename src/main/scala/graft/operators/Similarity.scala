@@ -1028,12 +1028,25 @@ object Similarity {
     if (n <= 1L) 0 else 64 - java.lang.Long.numberOfLeadingZeros(n - 1)
 
   /** The MIH band-code array: one `bandBits`-bit SRP code per band, packed
-    * by the [[hyperplaneSignatureFrom]] fold (bit-identical everywhere).
+    * by the [[hyperplaneSignatureFrom]] fold (bit-identical everywhere) —
+    * computed by the FUSED `hyperplane_signatures` loop (optimization r20):
+    * the per-band `array(hyperplaneSignatureFrom...)` form is
+    * bands·bandBits separate dot_product calls, which at 4×8 = 32 planes
+    * falls out of whole-stage codegen (the d06 lesson at NativeFunctions
+    * §HyperplaneSignatures — Janino method budget) and ran every plane
+    * interpreted: measured 1.1 s single-task for a 1.7k-row corpus side
+    * where the fused loop is milliseconds. Packing is spec-pinned
+    * bit-identical (MSB-first per band, row-major plane order). Null edge,
+    * as in d06: a null/ragged vector now yields a NULL code array (its
+    * band rows drop at the posexplode) instead of all-zero codes — vectors
+    * are non-null by the embeddings contract, and a null vector has no
+    * meaningful code either way.
     */
-  private[graft] def mihCodeArray(v: Column, signs: Array[Array[Double]],
+  private[graft] def mihCodeArray(spark: org.apache.spark.sql.SparkSession,
+                                  v: Column, signs: Array[Array[Double]],
                                   bands: Int, bandBits: Int): Column =
-    array((0 until bands).map(j =>
-      hyperplaneSignatureFrom(v, signs.slice(j * bandBits, (j + 1) * bandBits))): _*)
+    graft.functions.NativeFunctions.hyperplaneSignatures(
+      spark, v, signs.flatten, bandBits, bands)
 
   /** Full-code Hamming distance between two band-code arrays: Σ over bands
     * of bit_count(xor) — pure integer arithmetic, one codegen projection.
@@ -1058,7 +1071,7 @@ object Similarity {
     def coded(df: DataFrame, id: String, vec: String, norm: String) = {
       val v = col(vecCol).cast("array<double>")
       df.select(col(idCol).as(id), v.as(vec),
-        mihCodeArray(v, signs, bands, bandBits).as("code"))
+        mihCodeArray(df.sparkSession, v, signs, bands, bandBits).as("code"))
         .withColumn(norm, l2norm(col(vec)))
     }
     val q = Caching.persisted(coded(queries, "query_id", "qv", "q_norm"))
@@ -1102,8 +1115,8 @@ object Similarity {
                    bands: Int, bandBits: Int): DataFrame = {
     graft.functions.NativeFunctions.register(df.sparkSession)
     df.select(col(idCol).as(idAs),
-        mihCodeArray(col(vecCol).cast("array<double>"), signs,
-          bands, bandBits).as(codeAs))
+        mihCodeArray(df.sparkSession, col(vecCol).cast("array<double>"),
+          signs, bands, bandBits).as(codeAs))
       .select(col(idAs), col(codeAs),
         posexplode(col(codeAs)).as(Seq("band", "band_val")))
   }
