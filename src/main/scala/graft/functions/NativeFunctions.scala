@@ -398,6 +398,76 @@ object GearChunkEnds {
   }
 }
 
+/** k-word shingles of a token array in ONE fused loop —
+  * `word_shingles(toks, k)` → ARRAY<STRING> of the n−k+1 space-joined
+  * windows (empty when n < k), the hot-path form of
+  * [[graft.functions.TextFunctions.wordShingles]].
+  *
+  * Why an expression (optimization r20): the HOF form
+  * (`transform(sequence(...), i => concat_ws(" ", slice(toks, i+1, k)))`)
+  * is CodegenFallback — every shingle pays interpreted lambda dispatch
+  * plus a slice array allocation — and the shingle derivation sits in the
+  * SCAN stage of every Jaccard-family operator, where a one-row-group
+  * input file caps parallelism at one task (measured at sf0.1: ~450 ms
+  * single-task for 5k docs; the fused loop is ~10×). One tight loop over
+  * the token array, `UTF8String.concatWs` per window (byte-level identical
+  * to `concat_ws`, including the skip-null-elements contract).
+  *
+  * Semantics contract (spec-pinned bit-equality with the HOF form): window
+  * i = tokens i..i+k−1 joined by a single space with null elements
+  * skipped; n < k → EMPTY array. Null INPUT → null here (standard unary
+  * null propagation) where the HOF form yields an empty array — the
+  * [[NativeFunctions.wordShinglesFused]] helper coalesces to empty so call
+  * sites see the HOF behavior unchanged.
+  */
+case class WordShingles(child: Expression, k: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.StringType, _) if k >= 1 =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"word_shingles expects (ARRAY<STRING> toks) with k >= 1, got " +
+        s"${child.dataType.sql}, k=$k")
+  }
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+  override def prettyName: String = "word_shingles"
+
+  override def nullSafeEval(input: Any): Any =
+    WordShingles.compute(input.asInstanceOf[ArrayData], k)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.WordShingles.compute($c, $k);")
+
+  override protected def withNewChildInternal(c: Expression): WordShingles =
+    copy(child = c)
+}
+
+object WordShingles {
+  private val sep = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+
+  def compute(toks: ArrayData, k: Int): ArrayData = {
+    val n = toks.numElements()
+    if (n < k) return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array.empty[Any])
+    val out = new Array[AnyRef](n - k + 1)
+    val parts = new Array[org.apache.spark.unsafe.types.UTF8String](k)
+    var i = 0
+    while (i + k <= n) {
+      var j = 0
+      while (j < k) {
+        parts(j) = if (toks.isNullAt(i + j)) null else toks.getUTF8String(i + j)
+        j += 1
+      }
+      out(i) = org.apache.spark.unsafe.types.UTF8String.concatWs(sep, parts: _*)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 /** Max-similarity centroid id of a vector against a centroid matrix in ONE
   * fused loop — `nearest_centroid(vec, flatCents, norms, useVnorm)` → LONG.
   * `flatCents` is the k × dim centroid matrix flattened row-major and
@@ -646,6 +716,38 @@ object NativeFunctions {
   def dotProduct(spark: SparkSession, a: Column, b: Column): Column = {
     register(spark)
     call_function("dot_product", a, b)
+  }
+
+  /** k-word shingles via the fused native loop (registers on first use;
+    * see [[WordShingles]]) — drop-in for
+    * [[graft.functions.TextFunctions.wordShingles]] including the
+    * null-text edge: the expression null-propagates, so the helper
+    * coalesces a null input to the HOF form's empty array.
+    */
+  def wordShinglesFused(spark: SparkSession, toks: Column, k: Int): Column = {
+    registerWordShingles(spark)
+    org.apache.spark.sql.functions.coalesce(
+      call_function("word_shingles", toks, lit(k)),
+      typedlit(Array.empty[String]))
+  }
+
+  private def registerWordShingles(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    val ident = org.apache.spark.sql.catalyst.FunctionIdentifier("word_shingles")
+    val alreadyOurs = registry.functionExists(ident) &&
+      (try {
+        val arr = org.apache.spark.sql.catalyst.expressions.Literal.create(
+          Array("a"), ArrayType(org.apache.spark.sql.types.StringType))
+        val one = org.apache.spark.sql.catalyst.expressions.Literal(1)
+        registry.lookupFunction(ident, Seq(arr, one))
+          .isInstanceOf[WordShingles]
+      } catch { case _: Throwable => false })
+    if (!alreadyOurs) {
+      registry.createOrReplaceTempFunction("word_shingles", { exprs =>
+        requireArity("word_shingles", Seq(2), exprs.length)
+        WordShingles(exprs(0), intConstArg("word_shingles", "k", exprs(1)))
+      }, "built-in")
+    }
   }
 
   /** Log-linear sketch code via the native expression (registers on first

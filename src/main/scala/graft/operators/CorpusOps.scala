@@ -14,6 +14,13 @@ import graft.functions.TextFunctions.{maxDupCount, maxRunLength, tokens, wordShi
   */
 object CorpusOps {
 
+  /** [[graft.functions.TextFunctions.wordShingles]] via the fused native
+    * loop (optimization r20) — per-row cost only; the emitted shingle set
+    * is bit-identical (spec-pinned at NativeFunctionsSpec).
+    */
+  private def shinglesFused(df: DataFrame, toks: Column, k: Int): Column =
+    graft.functions.NativeFunctions.wordShinglesFused(df.sparkSession, toks, k)
+
   /** Deterministic bucket in [0, 100) for an id — the basis for splits and
     * quota ordering. xxhash64 decorrelates the bucket from any id structure
     * (sequential ids, sharded ranges); `pmod` keeps it non-negative.
@@ -314,8 +321,8 @@ object CorpusOps {
   def repetitionSignals(docs: DataFrame, idCol: String,
                         textCol: String): DataFrame = {
     val tk = tokens(col(textCol))
-    val bg = wordShingles(tk, 2)
-    val sh = wordShingles(tk, 5)
+    val bg = shinglesFused(docs, tk, 2)
+    val sh = shinglesFused(docs, tk, 5)
     docs.select(col(idCol),
       size(tk).cast("long").as("n_tokens"),
       maxRunLength(tk).as("max_run"),
@@ -403,7 +410,7 @@ object CorpusOps {
     val meanLen = graft.functions.TextFunctions.meanTokenLen(col(textCol), tk)
     val stopR =
       graft.functions.TextFunctions.langScore(tk, stopwords).cast("double") / n
-    val bg = wordShingles(tk, 2)
+    val bg = shinglesFused(docs, tk, 2)
     val topBgFrac = when(size(bg) > 0,
       maxDupCount(bg).cast("double") / size(bg)).otherwise(0.0)
     val run = maxRunLength(tk)
@@ -700,7 +707,7 @@ object CorpusOps {
   def bigramLm(docs: DataFrame, idCol: String, textCol: String,
                vocabCap: Int = 262144): DataFrame = {
     val counts = docs
-      .select(explode(wordShingles(tokens(col(textCol)), 2)).as("bg"))
+      .select(explode(shinglesFused(docs, tokens(col(textCol)), 2)).as("bg"))
       .groupBy(col("bg")).agg(count(lit(1)).as("n"))
     val ctx = counts
       .groupBy(substring_index(col("bg"), " ", 1).as("__w1"))
@@ -741,7 +748,7 @@ object CorpusOps {
                   discount: Double = 0.75,
                   vocabCap: Int = 262144): DataFrame = {
     val counts = Caching.persisted(docs
-      .select(explode(wordShingles(tokens(col(textCol)), 2)).as("bg"))
+      .select(explode(shinglesFused(docs, tokens(col(textCol)), 2)).as("bg"))
       .groupBy(col("bg")).agg(count(lit(1)).as("n"))
       .withColumn("w1", substring_index(col("bg"), " ", 1))
       .withColumn("w2", substring_index(col("bg"), " ", -1)))
@@ -793,14 +800,14 @@ object CorpusOps {
                          discount: Double = 0.75,
                          vocabCap: Int = 262144): DataFrame = {
     val tgc = Caching.persisted(docs
-      .select(explode(wordShingles(tokens(col(textCol)), 3)).as("tg"))
+      .select(explode(shinglesFused(docs, tokens(col(textCol)), 3)).as("tg"))
       .groupBy(col("tg")).agg(count(lit(1)).as("n"))
       .withColumn("w1", substring_index(col("tg"), " ", 1))
       .withColumn("w2",
         substring_index(substring_index(col("tg"), " ", 2), " ", -1))
       .withColumn("w3", substring_index(col("tg"), " ", -1)))
     val bgc = Caching.persisted(docs
-      .select(explode(wordShingles(tokens(col(textCol)), 2)).as("bg"))
+      .select(explode(shinglesFused(docs, tokens(col(textCol)), 2)).as("bg"))
       .groupBy(col("bg")).agg(count(lit(1)).as("bn"))
       .withColumn("b2", substring_index(col("bg"), " ", -1)))
     val ctx3 = tgc.groupBy(col("w1"), col("w2"))
@@ -880,7 +887,7 @@ object CorpusOps {
     * rung.
     */
   def knGramCounts(docs: DataFrame, textCol: String, k: Int): DataFrame =
-    docs.select(explode(wordShingles(tokens(col(textCol)), k)).as("g"))
+    docs.select(explode(shinglesFused(docs, tokens(col(textCol)), k)).as("g"))
       .groupBy(col("g")).agg(count(lit(1)).as("n"))
 
   /** [[kneserNeyLmOrder]]'s head derivation split from its corpus passes:
@@ -1140,7 +1147,7 @@ object CorpusOps {
   private def gramLogprob(docs: DataFrame, idCol: String, textCol: String,
                           lm: DataFrame, oovLp: Double, k: Int,
                           gramCol: String, nCol: String): DataFrame = {
-    val gramArr = wordShingles(tokens(col(textCol)), k)
+    val gramArr = shinglesFused(docs, tokens(col(textCol)), k)
     docs
       .select(col(idCol), posexplode(gramArr).as(Seq("pos", gramCol)))
       .join(broadcast(lm.select(col(gramCol), col("lp"))), Seq(gramCol), "left")
@@ -1424,7 +1431,8 @@ object CorpusOps {
   private def positionedWindows(docs: DataFrame, idCol: String,
                                 textCol: String, k: Int): DataFrame =
     Caching.persisted(docs.select(col(idCol),
-      posexplode(wordShingles(tokens(col(textCol)), k)).as(Seq("pos", "win"))))
+      posexplode(shinglesFused(docs, tokens(col(textCol)), k))
+        .as(Seq("pos", "win"))))
 
   /** Gaps-and-islands merge of surviving window positions into maximal
     * spans: a window starting more than k past its predecessor opens a new
@@ -1525,7 +1533,7 @@ object CorpusOps {
                           expectedBenchShingles: Long = 1L << 20): DataFrame = {
     require(k >= 1, s"contaminationScreen: k must be >= 1, got $k")
     def shingles(df: DataFrame, as: String) = df.select(col(idCol).as(as),
-        explode(wordShingles(tokens(col(textCol)), k)).as("g"))
+        explode(shinglesFused(df, tokens(col(textCol)), k)).as("g"))
       .distinct()
     val cg = shingles(corpus, "doc_id")
     val bg = shingles(bench, "bench_id")

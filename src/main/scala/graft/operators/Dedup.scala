@@ -57,7 +57,8 @@ object Dedup {
     // intermediate, removed; the set materializes in one scan stage).
     val sh = docs
       .select(col(idCol),
-        explode(array_distinct(wordShingles(tokens(col(textCol)), k))).as("shingle"))
+        explode(array_distinct(graft.functions.NativeFunctions.wordShinglesFused(
+          docs.sparkSession, tokens(col(textCol)), k))).as("shingle"))
     if (persist) Caching.persisted(sh) else sh
   }
 
@@ -333,7 +334,8 @@ object Dedup {
     // per corpus pass, not once per consumer. ~16 bytes/shingle.
     val hashed = Caching.persisted(docs
       .select(col(idCol),
-        explode(array_distinct(wordShingles(tokens(col(textCol)), k))).as("shingle"))
+        explode(array_distinct(graft.functions.NativeFunctions.wordShinglesFused(
+          docs.sparkSession, tokens(col(textCol)), k))).as("shingle"))
       .select(col(idCol), xxhash64(col("shingle")).as("h")))
     // Signature via codegen'd hash-agg (no higher-order lambdas on the hot
     // path): the i-th permutation re-mixes the 8-byte shingle hash with

@@ -39,7 +39,8 @@ object AuxDumps {
       val docs = t(s, d, "documents")
       val norm = docs.select(normalize(col("text")).as("s"))
       val sh = docs.select(
-        explode(wordShingles(tokens(normalize(col("text"))), 5)).as("s"))
+        explode(graft.functions.NativeFunctions.wordShinglesFused(
+          s, tokens(normalize(col("text"))), 5)).as("s"))
       norm.union(sh).distinct().select(col("s"), xxhash64(col("s")).as("h"))
     }),
 

@@ -4733,8 +4733,8 @@ object ExtensionQueries {
         .filter(pmod(col("doc_id"), lit(10)) >= 8)
       val grams = (2 to 4).map { k =>
         fresh.select(lit(k).as("k"),
-          explode(TextFunctions.wordShingles(
-            TextFunctions.tokens(col("text")), k)).as("g"))
+          explode(graft.functions.NativeFunctions.wordShinglesFused(
+            s, TextFunctions.tokens(col("text")), k)).as("g"))
       }.reduce(_.unionByName(_))
         .groupBy("k", "g").agg(count(lit(1)).as("n"))
       val sinkName = s"stream_kngc_${sinkCounter.incrementAndGet()}"
@@ -4951,10 +4951,12 @@ object ExtensionQueries {
       val s1 = fresh.join(dupRejects, Seq("doc_id"), "left_anti")
       val bg = docs.filter(col("doc_id") < 50)
         .select(explode(array_distinct(
-          wordShingles(tokens(col("text")), 8))).as("g")).distinct()
+          graft.functions.NativeFunctions.wordShinglesFused(
+            s, tokens(col("text")), 8))).as("g")).distinct()
       val contam = s1
         .select(col("doc_id"), explode(array_distinct(
-          wordShingles(tokens(col("text")), 8))).as("g"))
+          graft.functions.NativeFunctions.wordShinglesFused(
+            s, tokens(col("text")), 8))).as("g"))
         .join(broadcast(bg), "g").select("doc_id").distinct()
       val s2 = s1.join(contam, Seq("doc_id"), "left_anti")
       val labels = Dedup.readClusterLabels(
@@ -6186,11 +6188,13 @@ object ExtensionQueries {
       val docs = t(s, d, "documents")
       def sh(df: org.apache.spark.sql.DataFrame, as: String) =
         df.select(col("doc_id").as(as),
-          explode(array_distinct(wordShingles(tokens(col("text")), 8))).as("g"))
+          explode(array_distinct(graft.functions.NativeFunctions
+            .wordShinglesFused(s, tokens(col("text")), 8))).as("g"))
       val bg = sh(docs.filter(col("doc_id") < 50), "bench_id")
       val hitPairs = ScreenStream.readDocs(s, d).filter(col("doc_id") >= 50)
         .select(col("doc_id"),
-          explode(array_distinct(wordShingles(tokens(col("text")), 8))).as("g"))
+          explode(array_distinct(graft.functions.NativeFunctions
+            .wordShinglesFused(s, tokens(col("text")), 8))).as("g"))
         .join(broadcast(bg.select("g").distinct()), "g")
         .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("__n"))
       val sinkName = s"stream_contam_${sinkCounter.incrementAndGet()}"

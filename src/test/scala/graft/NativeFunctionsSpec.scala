@@ -233,4 +233,39 @@ class NativeFunctionsSpec extends SparkSpec {
       .head().getInt(0) >= 0)
     assert(spark.sql("SELECT hilbert_key(1L, 2L, 4)").head().getLong(0) >= 0L)
   }
+
+  test("word_shingles: fused loop bit-matches the HOF form incl. edges") {
+    // real corpus + the edge zoo: null text, empty text, exactly-k tokens,
+    // fewer-than-k tokens, double spaces (empty tokens from split -1),
+    // repeated shingles (distinct NOT folded in — the raw window list)
+    val edges = Seq(
+      (900001L, null.asInstanceOf[String]), (900002L, ""),
+      (900003L, "one two three four"), (900004L, "one two three"),
+      (900005L, "a  b c d e"), (900006L, "x x x x x x"),
+      (900007L, " leading and trailing "))
+      .toDF("doc_id", "text")
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text")).limit(300)
+      .unionByName(edges)
+    for (k <- Seq(2, 4, 8)) {
+      val diff = docs.select(
+        NativeFunctions.wordShinglesFused(spark,
+          graft.functions.TextFunctions.tokens(col("text")), k).as("fused"),
+        graft.functions.TextFunctions.wordShingles(
+          graft.functions.TextFunctions.tokens(col("text")), k).as("hof"))
+        .filter(col("fused") =!= col("hof") ||
+          col("fused").isNull =!= col("hof").isNull)
+      assert(diff.count() === 0, s"word_shingles mismatch at k=$k")
+    }
+    // interpreted path agrees with codegen'd SQL and preserves window order
+    NativeFunctions.register(spark)
+    val viaSql = spark.sql(
+      "SELECT word_shingles(split('a b c d', ' ', -1), 2)")
+      .head().getSeq[String](0)
+    assert(viaSql === Seq("a b", "b c", "c d"))
+    val expr = graft.functions.WordShingles(
+      Literal.create(Seq("a", "b", "c"),
+        ArrayType(org.apache.spark.sql.types.StringType)), 2)
+    assert(expr.eval(null).asInstanceOf[ArrayData].numElements() === 2)
+  }
 }
